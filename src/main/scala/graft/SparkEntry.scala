@@ -1,13 +1,386 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (+ the north-star LLM
+  * pipeline operators, §2.11) has an entry in `queries`; the SQL-expressible
+  * ones also have a DuckDB oracle in `oracleSql`. Column names are aliased
+  * identically on both sides (the driver sorts columns by name before
+  * hashing). Every top-k / window query carries a unique tiebreaker so the
+  * selected row set is deterministic across engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ------------------------------------------------------------- helpers
+
+  /** Synthetic geo coordinates derived from lineitem keys (TESTDATA has no
+    * Latitude/Longitude columns; SURVEY.md §5.1 parameterizes the bin
+    * columns). Exact in IEEE double on both engines: integer modulo then a
+    * single division/subtraction.
+    */
+  private def geoPoints(li: DataFrame): DataFrame =
+    li.select(
+      ((col("l_partkey") % 1800) / lit(10.0) - lit(90.0)).as("Latitude"),
+      ((col("l_orderkey") % 3600) / lit(10.0) - lit(180.0)).as("Longitude"),
+      col("l_quantity").as("Data"))
+
+  private val geoPointsSql =
+    """SELECT (l_partkey % 1800) / CAST(10 AS DOUBLE) - 90 AS lat,
+      |       (l_orderkey % 3600) / CAST(10 AS DOUBLE) - 180 AS lon,
+      |       l_quantity AS data
+      |FROM lineitem""".stripMargin
+
+  /** Geo-grid oracle SQL mirroring GeoAggregate's closed-form binning;
+    * step = 2.5°, value scale ÷10 (`agg.py:145`).
+    */
+  private def geoAggSql(aggFn: String): String =
+    s"""WITH pts AS ($geoPointsSql),
+       |b AS (SELECT CAST(floor((lat + 90) / 2.5e0) AS BIGINT) AS lat_bin,
+       |             CAST(floor((lon + 180) / 2.5e0) AS BIGINT) AS lon_bin,
+       |             data / CAST(10 AS DOUBLE) AS jds
+       |      FROM pts)
+       |SELECT $aggFn(jds) AS "Data",
+       |       lat_bin * 2.5e0 + (-90) + 1.25e0 AS "Latitude",
+       |       lon_bin * 2.5e0 + (-180) + 1.25e0 AS "Longitude"
+       |FROM b GROUP BY lat_bin, lon_bin""".stripMargin
+
+  /** DuckDB token expressions matching graft.functions.tokens (trim, split
+    * on \s+, drop empties).
+    */
+  private val toksSql =
+    """list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)"""
+
+  /** Bbox dimension rendered as a SQL VALUES list from the same Scala data
+    * AddCountry uses — one source of truth for both engines.
+    */
+  private val boxesValuesSql = AddCountry.defaultBoxes
+    .map(b => s"('${b.country}', ${b.lat_min}, ${b.lat_max}, ${b.lon_min}, ${b.lon_max})")
+    .mkString(",\n  ")
+
+  private def T(s: SparkSession, d: String, name: String): DataFrame =
+    Tables(s, d, name)
+
+  // ------------------------------------------------------------ flagship
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. Regional
+    * revenue rollup: orders ⋈ customer ⋈ nation ⋈ region with the three
+    * dimension tables broadcast.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    regionalRevenue(spark, "/root/testdata/sf0.001")
+
+  private def regionalRevenue(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .join(broadcast(T(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans / projections / filters (SURVEY §2.1, §2.2) ---
+    "q01_pricing_summary" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_extendedprice")).as("avg_price"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+    "q02_projection" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+    "q03_filter" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
+
+    // --- joins (SURVEY §2.3) ---
+    "q04_regional_revenue" -> ((s, d) => regionalRevenue(s, d)),
+
+    // --- aggregations (SURVEY §2.4: mean / median / max) ---
+    "q05_group_median" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          median(col("l_quantity")).as("median_qty"),
+          median(col("l_extendedprice")).as("median_price"))),
+    "q06_group_minmax" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          max(col("l_extendedprice")).as("max_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          avg(col("l_extendedprice")).as("avg_price"))),
+
+    // --- set ops (SURVEY §2.5: union/collate) ---
+    "q07_union_all" -> ((s, d) =>
+      T(s, d, "customer")
+        .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+          lit("customer").as("kind"))
+        .unionByName(
+          T(s, d, "supplier")
+            .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+              lit("supplier").as("kind")))),
+
+    // --- window / sort / top-k (SURVEY §2.5) ---
+    "q08_window_topn" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      T(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    }),
+    "q09_topk_orders" -> ((s, d) =>
+      T(s, d, "orders")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+    "q10_distinct" -> ((s, d) =>
+      T(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
+    // --- geo-grid aggregation, the reference's core op (SURVEY §2.2, §2.4) ---
+    "q11_geo_median" -> ((s, d) =>
+      GeoAggregate(geoPoints(T(s, d, "lineitem")), "median", 2.5)),
+    "q12_geo_mean" -> ((s, d) =>
+      GeoAggregate(geoPoints(T(s, d, "lineitem")), "mean", 2.5)),
+    "q13_geo_max" -> ((s, d) =>
+      GeoAggregate(geoPoints(T(s, d, "lineitem")), "max", 2.5)),
+
+    // --- country enrichment via broadcast bbox join (SURVEY §2.7 U1) ---
+    "q14_add_country" -> ((s, d) => {
+      val pts = T(s, d, "customer").select(
+        col("c_custkey"),
+        ((col("c_custkey") % 1800) / lit(10.0) - lit(90.0)).as("Latitude"),
+        ((col("c_custkey") * 7 % 3600) / lit(10.0) - lit(180.0)).as("Longitude"))
+      AddCountry(pts, AddCountry.boxesDf(s))
+    }),
+
+    // --- events: json, time rollup, analytic window (SURVEY §2.6, §2.10) ---
+    "q15_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+    "q16_hourly_rollup" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))),
+    "q17_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("value"),
+          (col("value") - col("prev_value")).as("delta"))
+    }),
+
+    // --- dedup (north-star §2.11) ---
+    "q18_dedup_exact" -> ((s, d) =>
+      Dedup.exactByHash(T(s, d, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "n_chars")),
+
+    // --- text analysis (north-star §2.11) ---
+    "q19_token_stats" -> ((s, d) =>
+      TextAnalysis.tokenStats(T(s, d, "documents"))),
+    "q20_corpus_summary" -> ((s, d) =>
+      TextAnalysis.corpusSummary(T(s, d, "documents"))),
+    "q21_jaccard_adjacent" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val t = docs.select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      t.alias("a")
+        .join(t.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(
+          col("a.doc_id").as("doc_id"),
+          jaccard(col("a.toks"), col("b.toks")).as("jaccard_next"))
+    }),
+    "q24_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(T(s, d, "documents"))),
+    "q25_langid_counts" -> ((s, d) =>
+      T(s, d, "documents")
+        .select(TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"))),
+
+    // --- similarity search (north-star §2.11) ---
+    "q22_cosine_topk" -> ((s, d) =>
+      Similarity.cosineTopK(T(s, d, "embeddings"), queryId = 0L, k = 10)),
+    "q23_knn" -> ((s, d) =>
+      Similarity.nearestNeighbor(T(s, d, "embeddings"), col("vec_id") < 20)),
+
+    // --- rows-only checked (no exact SQL oracle): LSH/sketch/multimodal ---
+    "q26_minhash_sigs" -> ((s, d) =>
+      Dedup.minhashSignatures(T(s, d, "documents"), "doc_id", "text",
+        shingleK = 3, numPerm = 64)),
+    "q27_simhash" -> ((s, d) =>
+      T(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash64"))),
+    "q28_srp_buckets" -> ((s, d) =>
+      T(s, d, "embeddings")
+        .select(col("vec_id"),
+          Similarity.srpBucket(col("embedding"), dim = 64, numPlanes = 8).as("bucket"))),
+    "q29_multimodal_features" -> ((s, d) =>
+      Multimodal.decodeStub(
+        Multimodal.synthesize(s, T(s, d, "documents").select("doc_id"), "doc_id"))),
+    "q30_bucketed_topk" -> ((s, d) =>
+      Similarity.cosineTopKBucketed(T(s, d, "embeddings"), queryId = 0L, k = 10,
+        dim = 64, numPlanes = 4)))
+
+  // ---------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_extendedprice) AS avg_price,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_projection" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
+    "q03_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin,
+    "q04_regional_revenue" ->
+      """SELECT r_name, n_name, sum(o_totalprice) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q05_group_median" ->
+      """SELECT l_returnflag,
+        |  median(l_quantity) AS median_qty,
+        |  median(l_extendedprice) AS median_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q06_group_minmax" ->
+      """SELECT l_linestatus,
+        |  max(l_extendedprice) AS max_price,
+        |  min(l_extendedprice) AS min_price,
+        |  avg(l_extendedprice) AS avg_price
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q07_union_all" ->
+      """SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier""".stripMargin,
+    "q08_window_topn" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |        CAST(row_number() OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INTEGER) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 3""".stripMargin,
+    "q09_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q10_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q11_geo_median" -> geoAggSql("median"),
+    "q12_geo_mean" -> geoAggSql("avg"),
+    "q13_geo_max" -> geoAggSql("max"),
+    "q14_add_country" ->
+      s"""WITH boxes(country, lat_min, lat_max, lon_min, lon_max) AS (VALUES
+         |  $boxesValuesSql),
+         |pts AS (SELECT c_custkey,
+         |  (c_custkey % 1800) / CAST(10 AS DOUBLE) - 90 AS "Latitude",
+         |  (c_custkey * 7 % 3600) / CAST(10 AS DOUBLE) - 180 AS "Longitude"
+         |  FROM customer)
+         |SELECT c_custkey, "Latitude", "Longitude",
+         |  coalesce(country, 'No country') AS "Country"
+         |FROM pts LEFT JOIN boxes
+         |  ON "Latitude" >= lat_min AND "Latitude" < lat_max
+         | AND "Longitude" >= lon_min AND "Longitude" < lon_max""".stripMargin,
+    "q15_json_extract" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "q16_hourly_rollup" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |  event_type, count(*) AS n_events, sum(value) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q17_window_lag" ->
+      """SELECT event_id, user_id, value,
+        |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM events""".stripMargin,
+    "q18_dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
+    "q19_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INTEGER) AS n_tokens,
+         |  CAST(len(trim(text)) AS INTEGER) AS n_chars_trim,
+         |  CAST(len(list_distinct($toksSql)) AS INTEGER) AS n_distinct_tokens
+         |FROM documents""".stripMargin,
+    "q20_corpus_summary" ->
+      s"""WITH t AS (SELECT lang, len($toksSql) AS n_tokens, n_chars FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  avg(n_tokens) AS avg_tokens,
+         |  CAST(avg(n_chars) AS DOUBLE) AS avg_chars
+         |FROM t GROUP BY lang""".stripMargin,
+    "q21_jaccard_adjacent" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents)
+         |SELECT a.doc_id AS doc_id,
+         |  CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+         |            / len(list_distinct(list_concat(a.toks, b.toks))) END AS jaccard_next
+         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q22_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS ae FROM embeddings),
+         |scored AS (
+         |  SELECT vec_id,
+         |    list_sum(list_transform(range(1, 65), i -> ae[i] * qe[i]))
+         |    / (sqrt(list_sum(list_transform(range(1, 65), i -> ae[i] * ae[i])))
+         |       * sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))) AS sim
+         |  FROM v, q WHERE vec_id <> 0)
+         |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q23_knn" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(1, 65), i -> c.e[i] * p.e[i]))
+         |    / (sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i] * c.e[i])))
+         |       * sqrt(list_sum(list_transform(range(1, 65), i -> p.e[i] * p.e[i])))) AS sim
+         |  FROM v p JOIN v c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 20)
+         |SELECT probe_id, neighbor_id, sim
+         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+         |WHERE rn = 1""".stripMargin,
+    "q24_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS DOUBLE) AS n_tokens,
+         |  CASE WHEN len($toksSql) = 0 THEN 0.0
+         |       ELSE len(regexp_replace(text, '\\s', '', 'g')) / CAST(len($toksSql) AS DOUBLE)
+         |  END AS mean_token_len,
+         |  CASE WHEN len($toksSql) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(list_distinct($toksSql),
+         |                 x -> list_contains([${TextAnalysis.stopwords.map("'" + _ + "'").mkString(",")}], x))) AS DOUBLE)
+         |            / len($toksSql)
+         |  END AS stopword_ratio,
+         |  CASE WHEN len(text) = 0 THEN 0.0
+         |       ELSE (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         |            / CAST(len(text) AS DOUBLE)
+         |  END AS punct_ratio
+         |FROM documents""".stripMargin)
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks shared by the operators. All are composed
+  * from `org.apache.spark.sql.functions` so they stay inside whole-stage
+  * codegen — no Scala UDFs in hot paths (SURVEY.md §4).
+  */
+package object functions {
+
+  // ---------------------------------------------------------------- vectors
+
+  /** Elementwise product-sum of two numeric array columns, computed in
+    * double. `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — a strict
+    * left-to-right fold, so results are bit-deterministic for a given
+    * element order (matters for oracle parity).
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity of two embedding columns (any numeric element type;
+    * computed in double).
+    */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  // ------------------------------------------------------------------ text
+
+  /** Whitespace tokenization after trim; empty/blank text → empty array
+    * (Spark's split on "" yields [""], which we filter).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct word k-shingles ("w1 w2 ... wk" strings) of a text column. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      filter(
+        transform(ts, (_, i) => array_join(slice(ts, i + 1, lit(k)), " ")),
+        (s) => size(split(s, " ")) === k))
+  }
+
+  /** Jaccard similarity of two array columns treated as sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val union = size(array_union(da, db)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+}

@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extension; SURVEY.md §2.11): exact, MinHash-LSH near-dup, SimHash
+  * near-dup, and n-gram Jaccard verification.
+  *
+  * Scale design: every stage is a shuffle on a well-distributed key
+  * (content hash, (band, bucket), simhash block) — no driver-side state, no
+  * cross-join over the corpus. Candidate generation is LSH-bounded, so the
+  * pairwise verification join touches only hash-colliding groups, not O(n²).
+  */
+object Dedup {
+
+  // ----------------------------------------------------------- exact dedup
+
+  /** Keep exactly one row per key, deterministically (lowest `orderCol`):
+    * row_number() over (partition by key order by tiebreak) == 1.
+    * `dropDuplicates` would keep an arbitrary row — unacceptable for
+    * reproducible pipelines and for oracle comparison.
+    *
+    * At 100 TB prefer `exactByHash` below: grouping on a 128-bit content
+    * hash shuffles ~16-byte keys instead of full document texts.
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tiebreakCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact dedup via content hash: min(id) per xxhash64(content). Shuffles
+    * only (hash, id) pairs; survivors are re-joined to fetch payloads. This
+    * is the 100 TB shape: the wide columns never shuffle.
+    */
+  def exactByHash(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val keepIds = df
+      .select(xxhash64(col(contentCol)).as("__h"), col(idCol))
+      .groupBy("__h").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keepIds, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------ MinHash LSH
+
+  /** Deterministic MinHash permutation parameters: h_i(x) = (a_i·x + b_i)
+    * mod p. Both a_i and x are < 2^31 so a_i·x fits a long with no overflow;
+    * p = 2^61-1. Seeds fixed so signatures are reproducible across
+    * runs/executors.
+    */
+  val MersennePrime: Long = 2305843009213693951L // 2^61-1
+  val HashDomain: Long = 2147483647L // 2^31-1: keeps a*h inside 63 bits
+
+  def permutationParams(numPerm: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPerm)(
+      (rnd.nextLong(HashDomain - 1) + 1, rnd.nextLong(HashDomain)))
+  }
+
+  /** MinHash signatures: docs → exploded distinct shingles → per-permutation
+    * min. Output: (idCol, sig array<long> of length numPerm).
+    *
+    * Plan shape: explode (no shuffle) → per-row array of permuted hashes →
+    * elementwise-min aggregation via groupBy(id).agg(min per slot) expressed
+    * as `aggregate(collect?)` — we instead explode the permutation index so
+    * the partial aggregation is a plain codegen'd min() and the shuffle key
+    * (id, perm) is perfectly distributed.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, numPerm: Int = 128): DataFrame = {
+    val params = permutationParams(numPerm)
+    val aArr = array(params.map(p => lit(p._1)): _*)
+    val bArr = array(params.map(p => lit(p._2)): _*)
+    val shingled = docs.select(
+      col(idCol),
+      explode(wordShingles(col(textCol), shingleK)).as("__sh"))
+    // non-negative 31-bit shingle hash, so a*h never overflows a long
+    val h = pmod(xxhash64(col("__sh")), lit(HashDomain))
+    // all numPerm permuted hashes for this shingle, as one array expression
+    val permuted = shingled.select(
+      col(idCol),
+      posexplode(zip_with(aArr, bArr, (a, b) => pmod(a * h + b, lit(MersennePrime))))
+        .as(Seq("__perm", "__v")))
+    permuted
+      .groupBy(col(idCol), col("__perm"))
+      .agg(min(col("__v")).as("__minv"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__perm"), col("__minv")))).as("__s"))
+      .select(col(idCol), transform(col("__s"), s => s.getField("__minv")).as("sig"))
+  }
+
+  /** LSH banding: signature → (band, hash-of-band-slice) buckets; docs
+    * sharing any bucket are candidates. numPerm must = bands · rowsPerBand.
+    * Returns candidate pairs (idCol_a < idCol_b), distinct.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String,
+                    bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+        .as(Seq("__band", "__bucket")))
+    val a = banded.select(col("__band"), col("__bucket"), col(idCol).as("id_a"))
+    val b = banded.select(col("__band"), col("__bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Full near-dup pipeline: signatures → LSH candidates → exact Jaccard
+    * verification on word shingles → pairs with jaccard ≥ threshold.
+    */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          shingleK: Int = 3, numPerm: Int = 128,
+                          bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numPerm)
+    val cands = lshCandidates(sigs, idCol, bands, numPerm / bands)
+    val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleK).as("__sh"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard_sim"))
+      .filter(col("jaccard_sim") >= threshold)
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over word tokens: per-bit ±1 votes weighted by token
+    * frequency, sign → bit. Computed per-row with array expressions — no
+    * shuffle at all until the caller groups by (or bands) the signature.
+    */
+  def simhash(text: Column): Column = {
+    val ts = tokens(text)
+    // per-token 64-bit hash
+    val hashes = transform(ts, t => xxhash64(t))
+    // vote for bit i = sum over tokens of (bit set ? 1 : -1)
+    val bitsOf = (h: Column) =>
+      transform(sequence(lit(0), lit(63)),
+        i => when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+    val votes = aggregate(
+      hashes,
+      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      (acc, h) => zip_with(acc, bitsOf(h), (x, y) => x + y))
+    // assemble: bit i set iff votes[i] > 0
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates at hamming distance ≤ 3 via the classic
+    * 4-block pigeonhole banding (any pair within distance 3 shares at least
+    * one exact 16-bit block). Join key is (block index, block value) —
+    * bounded buckets, no O(n²).
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxDistance: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol), simhash(col(textCol)).as("__sig"))
+    val blocks = sigs.select(
+      col(idCol), col("__sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftright", col("__sig"), i * 16).bitwiseAND(0xffffL)))
+        .as(Seq("__blk", "__blkv")))
+    val a = blocks.select(col("__blk"), col("__blkv"),
+      col(idCol).as("id_a"), col("__sig").as("sig_a"))
+    val b = blocks.select(col("__blk"), col("__blkv"),
+      col(idCol).as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, Seq("__blk", "__blkv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+}

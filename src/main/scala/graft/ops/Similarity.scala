@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Embedding similarity search (north-star extension; SURVEY.md §2.11).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the query vector(s)
+  * against a full scan; exact, embarrassingly parallel, the right answer up
+  * to the point the scan itself is the bottleneck.
+  *
+  * Scale path: LSH-bucketed search via signed-random-projection (SRP)
+  * hyperplane hashing — probe only the query's bucket(s). At 100 TB the
+  * bucketed variant turns a full-corpus scan into a hash-partitioned lookup;
+  * recall is tunable by number of hyperplanes / probes.
+  */
+object Similarity {
+
+  /** Top-k most-similar vectors to ONE query vector, identified by id, from
+    * the same table. Plan: scan → broadcast 1-row dim → project sim →
+    * TakeOrderedAndProject (Spark plans orderBy+limit as top-k, no full
+    * sort). Ties broken by id for determinism.
+    */
+  def cosineTopK(emb: DataFrame, queryId: Long, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    emb
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosineSimilarity(col(vecCol), col("__qvec")).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Batch 1-NN: for every probe vector (a subset), the single most similar
+    * other vector. Probe side broadcasts; corpus side streams — no shuffle
+    * of the big table. Deterministic via (sim desc, id) ordering.
+    */
+  def nearestNeighbor(emb: DataFrame, probeFilter: Column,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = emb.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pvec"))
+    val scored = emb
+      .crossJoin(broadcast(probes))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        cosineSimilarity(col(vecCol), col("__pvec")).as("sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("sim"), col("neighbor_id"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // -------------------------------------------- LSH (signed random projection)
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane i is a
+    * hash-derived value in [-1, 1). No RNG state — reproducible everywhere.
+    */
+  private def planeComponent(plane: Int, j: Column): Column =
+    (pmod(xxhash64(lit(plane), j), lit(1000003L)).cast("double") / 500001.5) - 1.0
+
+  /** SRP bucket id: one sign bit per hyperplane, packed into a long.
+    * Vectors with the same bucket id are near-duplicates in angle with
+    * high probability as numPlanes grows.
+    */
+  def srpBucket(vec: Column, dim: Int, numPlanes: Int = 16): Column = {
+    val v = vec.cast("array<double>")
+    val bits = (0 until numPlanes).map { plane =>
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), lit(dim - 1)), (x, j) => x * planeComponent(plane, j)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << plane)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Bucketed approximate top-k: restrict the scan to the query's SRP
+    * bucket, then exact cosine within it. At scale the corpus is written
+    * partitioned/bucketed by this id, so the probe reads one bucket.
+    */
+  def cosineTopKBucketed(emb: DataFrame, queryId: Long, k: Int, dim: Int,
+                         numPlanes: Int = 8,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withBucket = emb.withColumn("__bucket", srpBucket(col(vecCol), dim, numPlanes))
+    val q = withBucket.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"), col("__bucket").as("__qbucket"))
+    withBucket
+      .crossJoin(broadcast(q))
+      .filter(col("__bucket") === col("__qbucket") && col(idCol) =!= queryId)
+      .select(col(idCol), cosineSimilarity(col(vecCol), col("__qvec")).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style coarse quantization: assign every vector to its nearest of
+    * `centroids` (broadcast), producing a `cell` column the table can be
+    * repartitioned/bucketed by; probes then search only `nProbe` cells.
+    */
+  def assignCells(emb: DataFrame, centroids: DataFrame,
+                  vecCol: String = "embedding",
+                  centIdCol: String = "cell_id", centVecCol: String = "centroid"): DataFrame = {
+    val scored = emb.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosineSimilarity(col(vecCol), col(centVecCol)))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("__sim"), col(centIdCol))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__sim", centVecCol)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Text-corpus analysis operators for training-data pipelines (north-star
+  * extension; SURVEY.md §2.11). All column-expression based — fully
+  * codegen'd, no UDFs, no shuffles except the final aggregations, so every
+  * op scales linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Per-document token statistics. */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ts = tokens(col(textCol))
+    docs.select(
+      col("doc_id"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      length(trim(col(textCol))).as("n_chars_trim"),
+      size(array_distinct(ts)).as("n_distinct_tokens"))
+  }
+
+  /** Ratio of characters matching `charClass` (a regex character class like
+    * "[.,!?;:]") — computed via length-difference after regexp_replace so the
+    * identical formula is expressible in the DuckDB oracle.
+    */
+  def charClassRatio(text: Column, charClass: String): Column = {
+    val total = length(text)
+    when(total === 0, lit(0.0)).otherwise(
+      (total - length(regexp_replace(text, charClass, ""))).cast("double") /
+        total.cast("double"))
+  }
+
+  /** A small multilingual stopword list for the quality heuristics. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "le", "la", "et", "de", "un", "une",
+    "der", "die", "das", "und", "ein",
+    "el", "los", "y", "en", "que")
+
+  /** Heuristic quality score per document: blends token count, mean token
+    * length, stopword ratio and punctuation density. Deterministic and
+    * SQL-expressible; thresholds are the usual C4-style heuristics.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ts = tokens(col(textCol))
+    val nTok = size(ts).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(array_intersect(array_distinct(ts), stopArr)).cast("double")
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      when(nTok === 0, lit(0.0))
+        .otherwise(length(regexp_replace(col(textCol), "\\s", "")).cast("double") / nTok)
+        .as("mean_token_len"),
+      when(nTok === 0, lit(0.0)).otherwise(nStop / nTok).as("stopword_ratio"),
+      charClassRatio(col(textCol), "[.,!?;:]").as("punct_ratio"))
+  }
+
+  /** N-gram-profile language ID heuristic: score text against small
+    * per-language marker-token lists, pick the argmax; ties and zero scores
+    * → "und" (undetermined). Markers chosen for the latin-script languages
+    * in the testdata corpus; zh falls out via the CJK char-class check.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "for"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "es", "con", "para"))
+
+  def languageId(text: Column): Column = {
+    val ts = array_distinct(tokens(lower(text)))
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (langCode, markers) =>
+      struct(
+        size(array_intersect(ts, array(markers.map(lit): _*))).as("score"),
+        lit(langCode).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    when(cjk > 0, lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Rolling polynomial fingerprint of the token stream (base-31 mod 2^61-1
+    * over murmur3 token hashes) — an order-sensitive document signature for
+    * fast change detection. aggregate() folds left-to-right, so it is the
+    * deterministic classic rolling hash, fully distributed per row.
+    */
+  def fingerprint(text: Column): Column = {
+    val p = lit(2305843009213693951L) // 2^61-1
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(hash(t).cast("long"), p), p))
+  }
+
+  /** Corpus-level language/quality rollup. */
+  def corpusSummary(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("lang"), tokenCount(col(textCol)).as("n_tokens"),
+        col("n_chars"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        avg(col("n_tokens")).as("avg_tokens"),
+        avg(col("n_chars")).as("avg_chars"))
+}
