@@ -1,0 +1,174 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** File IO surface of the reference, Spark-first (SURVEY.md §2.1).
+  *
+  * - CSV reads carry the pandas-parity options (`read_csv(...,
+  *   skipinitialspace=True)`, `csv2parquet.py:75`): header, schema
+  *   inference, leading-whitespace strip (Spark's read-side default is
+  *   false — set explicitly).
+  * - Format dispatch by extension mirrors `read_file`/`write_file`
+  *   (`add_country.py:44-72`, `agg.py:47-77`): `.csv` / `.parquet`, error
+  *   on anything else.
+  * - `agg` output stays Parquet-only regardless of input format — the
+  *   reference quirk at `agg.py:171-172` (documented in SURVEY §2.1 S10).
+  */
+object IO {
+
+  val CsvExt = "csv"
+  val ParquetExt = "parquet"
+
+  /** Lower-cased extension without the dot, "" if none. */
+  def extensionOf(path: String): String = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    val i = base.lastIndexOf('.')
+    if (i < 0) "" else base.substring(i + 1).toLowerCase
+  }
+
+  /** `read_csv(src, index_col=False, skipinitialspace=True, low_memory=True)`
+    * parity (`csv2parquet.py:75`). Chunked low-memory parse is Spark's
+    * native partition-wise CSV reader; dtype inference is `inferSchema`.
+    */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("ignoreLeadingWhiteSpace", "true")
+      .csv(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** `read_file(path[, cols])` — extension dispatch + optional projection
+    * pushdown (`agg.py:47-61`). The select is logical: Catalyst prunes
+    * columns into the scan (ColumnPruning), so Parquet reads only `cols`.
+    */
+  def readFile(spark: SparkSession, path: String, cols: Seq[String] = Nil): DataFrame = {
+    val df = extensionOf(path) match {
+      case CsvExt => readCsv(spark, path)
+      case ParquetExt => readParquet(spark, path)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported file type '.$other' for $path (expected .csv or .parquet)")
+    }
+    if (cols.isEmpty) df else df.select(cols.head, cols.tail: _*)
+  }
+
+  /** `write_file(df, path, file_type)` (`add_country.py:59-72`): format
+    * chosen by the target extension; CSV keeps the header, Parquet has no
+    * index concept (parity with `index=False` is free).
+    */
+  def writeFile(df: DataFrame, path: String): Unit = extensionOf(path) match {
+    case CsvExt => writeSingleFile(df, path, CsvExt)
+    case ParquetExt => writeSingleFile(df, path, ParquetExt)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported file type '.$other' for $path (expected .csv or .parquet)")
+  }
+
+  /** The reference emits ONE file per input file (`to_parquet(dest)`);
+    * Spark emits a directory of parts. For CLI parity we write to a scratch
+    * dir and move the single part into place. coalesce(1) is fine here —
+    * per-file outputs are small by construction (one input file's worth);
+    * large collated outputs should use `writeDir` instead.
+    */
+  def writeSingleFile(df: DataFrame, dest: String, format: String): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(conf)
+    val tmp = new Path(
+      destPath.getParent,
+      s".${destPath.getName}_tmp_${System.nanoTime()}")
+    val writer = df.coalesce(1).write.mode(SaveMode.Overwrite)
+    (format match {
+      case CsvExt => writer.option("header", "true").format("csv")
+      case ParquetExt => writer.format("parquet")
+    }).save(tmp.toString)
+    val part = fs.listStatus(tmp)
+      .map(_.getPath)
+      .find(p => p.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    if (fs.exists(destPath)) fs.delete(destPath, false)
+    fs.rename(part, destPath)
+    fs.delete(tmp, true)
+  }
+
+  /** Directory-output variant — the scalable default shape for big results
+    * (collate mode at 100 TB): parallel part files, optional partitioning.
+    */
+  def writeDir(df: DataFrame, dest: String, format: String = ParquetExt,
+               partitionBy: Seq[String] = Nil): Unit = {
+    val w0 = df.write.mode(SaveMode.Overwrite)
+    val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    (format match {
+      case CsvExt => w1.option("header", "true").format("csv")
+      case _ => w1.format(format)
+    }).save(dest)
+  }
+
+  /** Recursive case-insensitive CSV discovery (`csv2parquet.py:85`)
+    * via Hadoop FileSystem — driver-side listing, needed when each input
+    * file maps to its own output file (per-file job granularity).
+    */
+  def discoverCsvFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && extensionOf(f.getPath.getName) == CsvExt)
+        out += f.getPath.toString
+    }
+    out.sorted.toSeq // deterministic processing order (csv2parquet.py:54,56)
+  }
+
+  /** User-supplied wildcard glob → file list (`add_country.py:135`,
+    * `agg.py:178`).
+    */
+  def globFiles(spark: SparkSession, pattern: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(conf)
+    val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    statuses.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+  }
+}
+
+/** Destination-path derivation (`csv2parquet.py:63-79`,
+  * `add_suffix_to_filename` at `add_country.py:75-79` / `agg.py:80-84`).
+  * Implements the CORRECT suffix semantics (`agg.py:84`); the reference's
+  * `add_country.py:79` double-dot variant is a bug we do not reproduce
+  * (SURVEY.md §2.1 S11).
+  */
+object PathDerive {
+
+  /** `file.ext` + suffix → `file{suffix}.ext`. */
+  def addSuffix(path: String, suffix: String): String = {
+    val i = path.lastIndexOf('.')
+    val slash = path.lastIndexOf('/')
+    if (i <= slash) s"$path$suffix"
+    else s"${path.substring(0, i)}$suffix${path.substring(i)}"
+  }
+
+  /** csv2parquet dest resolution (`csv2parquet.py:63-79`): empty dest →
+    * sibling `.parquet`; dest ending in "/" (directory) → same basename
+    * under it; otherwise the explicit dest.
+    */
+  def csvToParquetDest(src: String, dest: String): String = {
+    val base = src.substring(src.lastIndexOf('/') + 1)
+    val parquetName = {
+      val i = base.lastIndexOf('.')
+      (if (i < 0) base else base.substring(0, i)) + ".parquet"
+    }
+    if (dest.isEmpty) {
+      val dir = src.substring(0, src.lastIndexOf('/') + 1)
+      s"$dir$parquetName"
+    } else if (dest.endsWith("/")) s"$dest$parquetName"
+    else dest
+  }
+}

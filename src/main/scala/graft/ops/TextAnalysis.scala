@@ -83,13 +83,15 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
-  /** Rolling polynomial fingerprint of the token stream (base-31 mod 2^61-1
+  /** Rolling polynomial fingerprint of the token stream (base-31 mod 2^31-1
     * over murmur3 token hashes) — an order-sensitive document signature for
     * fast change detection. aggregate() folds left-to-right, so it is the
-    * deterministic classic rolling hash, fully distributed per row.
+    * deterministic classic rolling hash, fully distributed per row. The
+    * modulus keeps every intermediate < 2^36, safe under ANSI overflow
+    * checks (Spark 4 default).
     */
   def fingerprint(text: Column): Column = {
-    val p = lit(2305843009213693951L) // 2^61-1
+    val p = lit(2147483647L) // 2^31-1
     aggregate(
       tokens(text),
       lit(0L),

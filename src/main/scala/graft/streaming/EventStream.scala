@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape (extension,
+  * not parity — the reference is batch-only; SURVEY.md §2.10).
+  *
+  * The batch-equivalent aggregations live in SparkEntry (q16) where the
+  * DuckDB oracle can check them; these streaming variants share the same
+  * logical transforms, so correctness carries over and the streaming runs
+  * validate watermarking/window plumbing.
+  */
+object EventStream {
+
+  /** events.parquet physical schema under nanosAsLong (ts: long nanos). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of events with `ts` normalized to TimestampType.
+    * `dir` is the sf directory — the file source requires a directory, so
+    * we glob-filter to the events table inside it.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 1-hour windowed rollup with a 10-minute watermark — the
+    * streaming twin of q16_hourly_rollup.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding-window per-type rate (1 hour window, 15 minute slide). */
+  def slidingRate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"))
+
+  /** Session windows per user with a 30-minute gap. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Run a streaming DataFrame to completion against a bounded file source
+    * via the memory sink; returns the materialized result. Used by tests
+    * and demos ("batch drives the stream", spark_guide.md).
+    */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+                  outputMode: String = "append"): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different text about spark catalyst optimizer rules and physical plans"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "another unrelated document mentioning parquet columnar storage formats")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup (window) keeps lowest id per text") {
+    val kept = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("exact dedup (content hash) keeps min id per text") {
+    val kept = Dedup.exactByHash(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("minhash signatures are deterministic with fixed length") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleK = 3, numPerm = 32)
+    val rows = sigs.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getSeq[Long](r.fieldIndex("sig")).length == 32))
+    // identical texts → identical signatures
+    val byId = rows
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](r.fieldIndex("sig")).toList)
+      .toMap
+    assert(byId(1L) == byId(4L))
+    assert(byId(1L) != byId(3L))
+  }
+
+  test("minhash LSH near-dup pipeline finds planted near-dup and exact-dup pairs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleK = 3, numPerm = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("simhash: identical text → distance 0, near-dup close, unrelated far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(4L)) == 0)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("simhash banding returns exact-dup pair at distance 0") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDistance = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.io.{IO, PathDerive}
+
+class IOSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_io").toString
+
+  private def writeText(path: String, content: String): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), content)
+  }
+
+  test("csv read: header, inference, leading-whitespace strip (pandas parity)") {
+    val dir = tmpDir()
+    writeText(s"$dir/typed.csv",
+      """i,f,s,maybe_num,sci
+        |1,  1.5,  hello,1,1e3
+        |2,2.5,world,x,2.5e-2
+        |,3.5,  spaced,3,
+        |""".stripMargin)
+    val df = IO.readCsv(spark, s"$dir/typed.csv")
+    val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("i") == "integer")
+    assert(types("f") == "double")
+    assert(types("s") == "string")
+    assert(types("maybe_num") == "string") // one non-numeric row → string
+    assert(types("sci") == "double")
+    val rows = df.orderBy("f").collect()
+    assert(rows(0).getAs[String]("s") == "hello") // leading spaces stripped
+    assert(rows(2).getAs[String]("s") == "spaced")
+    assert(rows(2).isNullAt(rows(2).fieldIndex("i"))) // empty cell → null
+  }
+
+  test("csv2parquet round trip preserves values via single-file write") {
+    val dir = tmpDir()
+    writeText(s"$dir/in.csv", "a,b\n1,x\n2,y\n")
+    IO.writeSingleFile(IO.readCsv(spark, s"$dir/in.csv"), s"$dir/out.parquet", "parquet")
+    assert(Files.isRegularFile(Paths.get(s"$dir/out.parquet"))) // one FILE, not a dir
+    val back = spark.read.parquet(s"$dir/out.parquet").orderBy("a").collect()
+    assert(back.map(_.getString(1)).toSeq == Seq("x", "y"))
+  }
+
+  test("extension dispatch: unknown extension rejected") {
+    assertThrows[IllegalArgumentException](IO.readFile(spark, "/tmp/x.txt"))
+    assert(IO.extensionOf("a/b/c.CSV") == "csv")
+    assert(IO.extensionOf("noext") == "")
+  }
+
+  test("recursive discovery finds nested + uppercase CSV, ignores others") {
+    val dir = tmpDir()
+    writeText(s"$dir/a/x.csv", "a\n1\n")
+    writeText(s"$dir/a/b/y.CSV", "a\n2\n")
+    writeText(s"$dir/z.txt", "nope")
+    val found = IO.discoverCsvFiles(spark, dir)
+    assert(found.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet == Set("x.csv", "y.CSV"))
+  }
+
+  test("suffix insertion (correct variant, no double dot)") {
+    assert(PathDerive.addSuffix("/d/f.csv", "_agg") == "/d/f_agg.csv")
+    assert(PathDerive.addSuffix("/d.x/f", "_agg") == "/d.x/f_agg")
+    assert(PathDerive.csvToParquetDest("/d/f.csv", "") == "/d/f.parquet")
+    assert(PathDerive.csvToParquetDest("/d/f.csv", "/o/") == "/o/f.parquet")
+    assert(PathDerive.csvToParquetDest("/d/f.csv", "/o/g.parquet") == "/o/g.parquet")
+  }
+
+  test("glob listing is deterministic (sorted)") {
+    val dir = tmpDir()
+    writeText(s"$dir/b.csv", "a\n1\n")
+    writeText(s"$dir/a.csv", "a\n1\n")
+    val found = IO.globFiles(spark, s"$dir/*.csv")
+    assert(found == found.sorted && found.size == 2)
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import graft.streaming.EventStream
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly rollup over bounded file source matches batch q16") {
+    val streamed = EventStream.hourlyRollup(
+      EventStream.read(spark, sf0001))
+    // complete mode: append would hold back the final windows of a bounded
+    // source (watermark never passes them); complete emits the full state
+    val got = EventStream.runToMemory(spark, streamed, "hourly_test", "complete")
+    val batch = SparkEntry.queries("q16_hourly_rollup")(spark, sf0001)
+    // same (hour, type) → count mapping (streaming append emits finalized
+    // windows; with bounded input + processAllAvailable all windows close)
+    val a = got.select("hour_epoch", "event_type", "n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val b = batch.select("hour_epoch", "event_type", "n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
+  test("session windows produce per-user sessions") {
+    val streamed = EventStream.userSessions(
+      EventStream.read(spark, sf0001))
+    val got = EventStream.runToMemory(spark, streamed, "sessions_test")
+    assert(got.count() > 0)
+  }
+}

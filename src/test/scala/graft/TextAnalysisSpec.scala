@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+import graft.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: trim, split, drop empties") {
+    val got = Seq("  a b   c  ", "", "   ").toDF("t")
+      .select(tokens(col("t")).as("toks"), tokenCount(col("t")).as("n"))
+      .as[(Seq[String], Int)].collect().toSeq
+    assert(got(0) == (Seq("a", "b", "c"), 3))
+    assert(got(1)._2 == 0)
+    assert(got(2)._2 == 0)
+  }
+
+  test("word shingles") {
+    val got = Seq("a b c d").toDF("t")
+      .select(wordShingles(col("t"), 3).as("s")).as[Seq[String]].collect().head
+    assert(got.toSet == Set("a b c", "b c d"))
+  }
+
+  test("jaccard of token sets") {
+    val got = Seq(("a b c", "b c d")).toDF("x", "y")
+      .select(jaccard(split(col("x"), " "), split(col("y"), " ")).as("j"))
+      .as[Double].collect().head
+    assert(math.abs(got - 0.5) < 1e-15) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("quality score fields on a hand row") {
+    val df = Seq((1L, "the cat, the hat!")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(df).collect().head
+    assert(r.getAs[Double]("n_tokens") == 4.0)
+    // non-space chars = 14, tokens 4 → 3.5
+    assert(r.getAs[Double]("mean_token_len") == 3.5)
+    // distinct tokens {the, cat,, hat!}; only "the" is a stopword → 1/4
+    assert(r.getAs[Double]("stopword_ratio") == 0.25)
+    // 2 punct chars of 17 total
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 2.0 / 17.0) < 1e-15)
+  }
+
+  test("language id picks marker-rich language; cjk short-circuits; und fallback") {
+    val df = Seq(
+      (1L, "the cat and the dog is with the house"),
+      (2L, "le chat et la maison est une belle"),
+      (3L, "der hund und die katze ist mit ein"),
+      (4L, "el gato y los perros es con para"),
+      (5L, "你好 世界"),
+      (6L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "fr")
+    assert(got(3L) == "de")
+    assert(got(4L) == "es")
+    assert(got(5L) == "zh")
+    assert(got(6L) == "und")
+  }
+
+  test("fingerprint: deterministic, order-sensitive") {
+    val df = Seq(("a b c"), ("c b a"), ("a b c")).toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("f")).as[Long].collect()
+    assert(df(0) == df(2))
+    assert(df(0) != df(1))
+  }
+}
