@@ -213,8 +213,7 @@ object SparkEntry {
     "q24_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(T(s, d, "documents"))),
     "q25_langid_counts" -> ((s, d) =>
-      T(s, d, "documents")
-        .select(TextAnalysis.languageId(col("text")).as("lang_pred"))
+      TextAnalysis.languageIdDf(T(s, d, "documents"))
         .groupBy("lang_pred")
         .agg(count(lit(1)).as("n_docs"))),
 

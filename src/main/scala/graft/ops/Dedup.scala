@@ -61,36 +61,35 @@ object Dedup {
       (rnd.nextLong(HashDomain - 1) + 1, rnd.nextLong(HashDomain)))
   }
 
-  /** MinHash signatures: docs → exploded distinct shingles → per-permutation
-    * min. Output: (idCol, sig array<long> of length numPerm).
+  /** MinHash signatures: (idCol, sig array<long> of length numPerm), where
+    * sig[j] = min over distinct shingles of (a_j·hash(shingle) + b_j) mod p.
     *
-    * Plan shape: explode (no shuffle) → per-row array of permuted hashes →
-    * elementwise-min aggregation via groupBy(id).agg(min per slot) expressed
-    * as `aggregate(collect?)` — we instead explode the permutation index so
-    * the partial aggregation is a plain codegen'd min() and the shuffle key
-    * (id, perm) is perfectly distributed.
+    * Computed entirely per-row as nested array expressions — a MAP-ONLY
+    * plan with ZERO shuffle, which is the shape that survives 100 TB (an
+    * earlier explode(shingle × perm) variant pushed numPerm×|shingles| rows
+    * through two shuffles and was ~10× slower at sf0.1). Empty documents
+    * get the sentinel p in every slot.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, numPerm: Int = 128): DataFrame = {
     val params = permutationParams(numPerm)
     val aArr = array(params.map(p => lit(p._1)): _*)
     val bArr = array(params.map(p => lit(p._2)): _*)
-    val shingled = docs.select(
-      col(idCol),
-      explode(wordShingles(col(textCol), shingleK)).as("__sh"))
-    // non-negative 31-bit shingle hash, so a*h never overflows a long
-    val h = pmod(xxhash64(col("__sh")), lit(HashDomain))
-    // all numPerm permuted hashes for this shingle, as one array expression
-    val permuted = shingled.select(
-      col(idCol),
-      posexplode(zip_with(aArr, bArr, (a, b) => pmod(a * h + b, lit(MersennePrime))))
-        .as(Seq("__perm", "__v")))
-    permuted
-      .groupBy(col(idCol), col("__perm"))
-      .agg(min(col("__v")).as("__minv"))
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("__perm"), col("__minv")))).as("__s"))
-      .select(col(idCol), transform(col("__s"), s => s.getField("__minv")).as("sig"))
+    // non-negative 31-bit shingle hashes, so a*h never overflows a long
+    val hs = transform(
+      wordShingles(col(textCol), shingleK),
+      sh => pmod(xxhash64(sh), lit(HashDomain)))
+    // let-bind hs via a 1-element transform: HOF lambdas re-evaluate their
+    // child expression on every invocation, so inlining hs directly into
+    // the per-permutation lambda would re-tokenize numPerm times per row
+    val sig = element_at(
+      transform(array(hs), hsv =>
+        zip_with(aArr, bArr, (a, b) =>
+          coalesce(
+            array_min(transform(hsv, h => pmod(a * h + b, lit(MersennePrime)))),
+            lit(MersennePrime)))),
+      1)
+    docs.select(col(idCol), sig.as("sig"))
   }
 
   /** LSH banding: signature → (band, hash-of-band-slice) buckets; docs

@@ -37,23 +37,31 @@ object Similarity {
 
   /** Batch 1-NN: for every probe vector (a subset), the single most similar
     * other vector. Probe side broadcasts; corpus side streams — no shuffle
-    * of the big table. Deterministic via (sim desc, id) ordering.
+    * of the big table. Norms are precomputed once per row on each side, so
+    * the per-pair work is one dot product.
+    *
+    * The argmax is a single hash aggregation — max(struct(sim, -id)) —
+    * instead of a window sort: ~|probes| groups of partial aggregation, no
+    * full materialization/sort of the |corpus|×|probes| score matrix.
+    * Deterministic: struct comparison is (sim desc → -id desc ⇔ id asc).
     */
   def nearestNeighbor(emb: DataFrame, probeFilter: Column,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val probes = emb.filter(probeFilter)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("__pvec"))
-    val scored = emb
+    val withNorm = emb.select(
+      col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+    val probes = withNorm.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col("__v").as("__pv"), col("__n").as("__pn"))
+    val scored = withNorm
       .crossJoin(broadcast(probes))
       .filter(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"), col(idCol).as("neighbor_id"),
-        cosineSimilarity(col(vecCol), col("__pvec")).as("sim"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(desc("sim"), col("neighbor_id"))
+        (dotProduct(col("__v"), col("__pv")) / (col("__n") * col("__pn"))).as("sim"))
     scored
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(col("probe_id"))
+      .agg(max(struct(col("sim"), (-col("neighbor_id")).as("negid"))).as("__b"))
+      .select(col("probe_id"), (-col("__b.negid")).as("neighbor_id"),
+        col("__b.sim").as("sim"))
   }
 
   // -------------------------------------------- LSH (signed random projection)

@@ -69,19 +69,46 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein"),
     "es" -> Seq("el", "los", "las", "y", "es", "con", "para"))
 
-  def languageId(text: Column): Column = {
-    val ts = array_distinct(tokens(lower(text)))
+  /** Distinct lowercase tokens — plain split, no empty-token filter: the
+    * empty string never matches a marker, and skipping the filter() HOF
+    * keeps this codegen-friendly.
+    */
+  def distinctTokens(text: Column): Column =
+    array_distinct(split(lower(trim(text)), "\\s+"))
+
+  /** Language score/argmax given a PRE-MATERIALIZED distinct-token column.
+    * Keep the token array in its own projection (see languageIdDf): inlining
+    * it here would re-tokenize once per language, because subexpression
+    * elimination skips conditionally-evaluated branches (the `when` chain).
+    */
+  def languageIdScored(text: Column, distinctToks: Column): Column = {
     val scores = langMarkers.toSeq.sortBy(_._1).map { case (langCode, markers) =>
       struct(
-        size(array_intersect(ts, array(markers.map(lit): _*))).as("score"),
+        size(array_intersect(distinctToks, array(markers.map(lit): _*))).as("score"),
         lit(langCode).as("lang"))
     }
     val best = greatest(scores: _*)
-    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
-    when(cjk > 0, lit("zh"))
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }
+
+  /** Single-expression convenience form (tests, ad-hoc columns). For bulk
+    * scoring prefer languageIdDf's two-projection shape.
+    */
+  def languageId(text: Column): Column =
+    languageIdScored(text, distinctTokens(text))
+
+  /** Bulk language-ID: two projections so the token array is computed once
+    * per row (CollapseProject keeps them separate — the alias is referenced
+    * once per language and is non-cheap).
+    */
+  def languageIdDf(docs: DataFrame, textCol: String = "text",
+                   outCol: String = "lang_pred"): DataFrame =
+    docs
+      .withColumn("__ts", distinctTokens(col(textCol)))
+      .withColumn(outCol, languageIdScored(col(textCol), col("__ts")))
+      .drop("__ts")
 
   /** Rolling polynomial fingerprint of the token stream (base-31 mod 2^31-1
     * over murmur3 token hashes) — an order-sensitive document signature for
