@@ -66,11 +66,14 @@ object Similarity {
 
   // -------------------------------------------- LSH (signed random projection)
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane i is a
-    * hash-derived value in [-1, 1). No RNG state — reproducible everywhere.
+  /** Deterministic seeded hyperplanes, generated driver-side and shipped as
+    * literal arrays — reproducible across runs/executors, and the per-row
+    * work is numPlanes codegen'd dot products (no interpreted HOFs).
     */
-  private def planeComponent(plane: Int, j: Column): Column =
-    (pmod(xxhash64(lit(plane), j), lit(1000003L)).cast("double") / 500001.5) - 1.0
+  def srpPlanes(dim: Int, numPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextDouble() * 2.0 - 1.0))
+  }
 
   /** SRP bucket id: one sign bit per hyperplane, packed into a long.
     * Vectors with the same bucket id are near-duplicates in angle with
@@ -78,11 +81,8 @@ object Similarity {
     */
   def srpBucket(vec: Column, dim: Int, numPlanes: Int = 16): Column = {
     val v = vec.cast("array<double>")
-    val bits = (0 until numPlanes).map { plane =>
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), lit(dim - 1)), (x, j) => x * planeComponent(plane, j)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << plane)).otherwise(lit(0L))
+    val bits = srpPlanes(dim, numPlanes).zipWithIndex.map { case (plane, i) =>
+      when(dotProduct(v, array(plane.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{dotProduct, DotProduct}
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot product matches hand-computed values (double + float inputs)") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0))
+    ).toDF("a", "b")
+    val got = df.select(dotProduct(col("a"), col("b")).as("d")).as[Double].collect()
+    assert(got.toSeq == Seq(32.0, 0.0))
+    val floats = Seq((Array(1.5f, 2.0f), Array(2.0f, 3.0f))).toDF("a", "b")
+    assert(floats.select(dotProduct(col("a"), col("b"))).as[Double].collect().head == 9.0)
+  }
+
+  test("null array → null; null elements contribute zero") {
+    val df = Seq(
+      (Some(Seq(Some(1.0), None, Some(3.0))), Some(Seq(Some(2.0), Some(5.0), Some(4.0)))),
+      (None, Some(Seq(Some(1.0))))
+    ).toDF("a", "b")
+    val got = df.select(dotProduct(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(14.0), None))
+  }
+
+  test("agrees with the HOF formulation on real embeddings") {
+    val emb = Tables.embeddings(spark, sf0001).limit(50)
+      .select(col("embedding").cast("array<double>").as("e"))
+    val hof = aggregate(zip_with(col("e"), col("e"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = emb.select(abs(dotProduct(col("e"), col("e")) - hof).as("d"))
+      .agg(max(col("d"))).as[Double].collect().head
+    assert(diff == 0.0) // same in-order accumulation → bit-identical
+  }
+
+  test("SQL registration (as GraftExtensions would inject)") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    val got = spark.sql(
+      "SELECT dot_product(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>), CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d")
+      .as[Double].collect().head
+    assert(got == 11.0)
+  }
+
+  test("type check rejects non-double arrays with a helpful message") {
+    val bad = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+    val e = intercept[Exception] {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      bad.select(ColumnBridge.column(DotProduct(
+        ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b"))))).collect()
+    }
+    assert(e.getMessage.contains("array<double>") || e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-quality gates: the optimizations the library depends on at scale
+  * must actually appear in the physical plans (SURVEY.md §4). These catch
+  * regressions like a lost broadcast hint or a filter that stopped pushing
+  * into the Parquet scan.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+  private def planString(df: DataFrame): String = plan(df).toString
+
+  test("q03 filter pushes predicates into the parquet scan") {
+    val s = planString(SparkEntry.queries("q03_filter")(spark, sf0001))
+    assert(s.contains("PushedFilters: ["))
+    assert(s.contains("GreaterThan(l_quantity,45"), s)
+  }
+
+  test("q02 projection prunes the read schema to selected columns") {
+    val s = planString(SparkEntry.queries("q02_projection")(spark, sf0001))
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"))
+    assert(!readSchema.contains("l_shipdate"), readSchema) // unused col not scanned
+  }
+
+  test("q04 joins the dimension tables via broadcast, not shuffle") {
+    val s = planString(SparkEntry.queries("q04_regional_revenue")(spark, sf0001))
+    assert(s.contains("BroadcastHashJoin"))
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("q09 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val s = planString(SparkEntry.queries("q09_topk_orders")(spark, sf0001))
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("q01 aggregation is partial+final hash aggregate (map-side combine)") {
+    val s = planString(SparkEntry.queries("q01_pricing_summary")(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(s).length >= 2, s)
+  }
+
+  test("q26 minhash signatures are a map-only plan: no exchange at all") {
+    val s = planString(SparkEntry.queries("q26_minhash_sigs")(spark, sf0001))
+    assert(!s.contains("Exchange"), s)
+  }
+
+  test("q14 bbox enrichment broadcasts the dim and never shuffles the fact side") {
+    val s = planString(SparkEntry.queries("q14_add_country")(spark, sf0001))
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("ShuffleExchange"), s)
+  }
+
+  test("q22 cosine top-k uses the native dot_product expression in codegen") {
+    val df = SparkEntry.queries("q22_cosine_topk")(spark, sf0001)
+    assert(planString(df).contains("dot_product"), planString(df))
+    assert(planString(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("metadata-only multimodal scan does not read the blob column") {
+    val media = graft.ops.Multimodal.synthesize(
+      spark, Tables.documents(spark, sf0001).select("doc_id"), "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    media.write.mode("overwrite").parquet(s"$dir/media")
+    val scan = graft.ops.Multimodal.metadataScan(spark.read.parquet(s"$dir/media"))
+    val readSchema = planString(scan).linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("content"), readSchema)
+  }
+}
