@@ -239,7 +239,47 @@ object SparkEntry {
         Multimodal.synthesize(s, T(s, d, "documents").select("doc_id"), "doc_id"))),
     "q30_bucketed_topk" -> ((s, d) =>
       Similarity.cosineTopKBucketed(T(s, d, "embeddings"), queryId = 0L, k = 10,
-        dim = 64, numPlanes = 4)))
+        dim = 64, numPlanes = 4)),
+
+    // --- near-dup pair detection (north-star §2.11) ---
+    "q31_blocked_jaccard_neardup" -> ((s, d) => {
+      // blocked pairwise dedup: candidate pairs only within (lang, source)
+      // blocks — the classic blocking-key design that bounds the pair count
+      val docs = T(s, d, "documents")
+      // hashed token sets + precomputed sizes: per-pair work is one
+      // long-array intersect (jaccard preserved up to 64-bit collisions)
+      val t = docs.select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(transform(tokens(col("text")), xxhash64(_))).as("toks"))
+        .withColumn("n", size(col("toks")))
+      val inter = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double")
+      val unionSize = (col("a.n") + col("b.n")).cast("double") - inter
+      t.alias("a")
+        .join(t.alias("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          when(unionSize === 0, lit(0.0)).otherwise(inter / unionSize).as("jaccard_sim"))
+        .filter(col("jaccard_sim") >= 0.9)
+    }),
+    "q32_embedding_neardup" -> ((s, d) => {
+      // exact brute-force baseline (oracle-checkable); the LSH-blocked scale
+      // path is q33/srpBucket. One side broadcast: corpus never shuffles.
+      val v = T(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val withNorm = v.withColumn("n", sqrt(dotProduct(col("e"), col("e"))))
+      val a = withNorm.select(col("vec_id").as("id_a"), col("e").as("ea"), col("n").as("na"))
+      val b = withNorm.select(col("vec_id").as("id_b"), col("e").as("eb"), col("n").as("nb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (dotProduct(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine_sim"))
+        .filter(col("cosine_sim") >= 0.4)
+    }),
+    "q33_minhash_lsh_neardup" -> ((s, d) =>
+      // full LSH pipeline on bigram shingles: signatures → banding →
+      // verified pairs; catches the corpus's ~25 planted near-dup pairs
+      // (jaccard ≈ 0.99) without the token-set vocab-noise matches
+      Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
+        shingleK = 2, numPerm = 64, bands = 8, threshold = 0.8)))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -366,6 +406,50 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
          |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
          |WHERE rn = 1""".stripMargin,
+    "q25_langid_counts" -> {
+      // mirrors languageIdScored: distinct lowercase tokens scored against
+      // marker lists; argmax with greatest(struct) semantics = on score
+      // ties the lexicographically-last language wins, hence the reversed
+      // CASE order; zh short-circuits on any CJK char
+      val marker = TextAnalysis.langMarkers.map { case (lc, ms) =>
+        lc -> s"len(list_filter(dtoks, x -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], x)))"
+      }
+      s"""WITH scored AS (
+         |  SELECT text,
+         |    ${marker("de")} AS s_de, ${marker("en")} AS s_en,
+         |    ${marker("es")} AS s_es, ${marker("fr")} AS s_fr
+         |  FROM (SELECT text,
+         |          list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS dtoks
+         |        FROM documents)),
+         |pred AS (
+         |  SELECT CASE
+         |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |    WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         |    WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+         |    WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+         |    WHEN s_de > 0 THEN 'de'
+         |    ELSE 'und' END AS lang_pred
+         |  FROM scored)
+         |SELECT lang_pred, count(*) AS n_docs FROM pred GROUP BY lang_pred""".stripMargin
+    },
+    "q31_blocked_jaccard_neardup" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, list_distinct($toksSql) AS toks
+         |           FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard_sim
+         |FROM t a JOIN t b
+         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9""".stripMargin,
+    "q32_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |             sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS n
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) / (a.n * b.n) AS cosine_sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) / (a.n * b.n) >= 0.4""".stripMargin,
     "q24_quality_score" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS DOUBLE) AS n_tokens,

@@ -30,6 +30,11 @@ package object functions {
   def cosineSimilarity(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Native MinHash signature (see MinHashSignature scaladoc). */
+  def minhashSignature(shingleHashes: Column, as: Array[Long], bs: Array[Long]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(MinHashSignature(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingleHashes), as, bs))
+
   // ------------------------------------------------------------------ text
 
   /** Whitespace tokenization after trim; empty/blank text → empty array
@@ -40,14 +45,22 @@ package object functions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Distinct word k-shingles ("w1 w2 ... wk" strings) of a text column. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val ts = tokens(text)
-    array_distinct(
-      filter(
-        transform(ts, (_, i) => array_join(slice(ts, i + 1, lit(k)), " ")),
-        (s) => size(split(s, " ")) === k))
-  }
+  /** Distinct word k-shingles ("w1 w2 ... wk" strings) of a text column.
+    *
+    * The token array is let-bound as a lambda variable (1-element transform
+    * wrapper): a captured child expression inside an HOF lambda is
+    * re-evaluated on every lambda call, which would re-tokenize once per
+    * shingle. Shingles are built positionally over sequence(1, n-k+1) —
+    * no per-shingle re-split to filter ragged tails.
+    */
+  def wordShingles(text: Column, k: Int): Column =
+    element_at(
+      transform(array(tokens(text)), tsv =>
+        when(size(tsv) < k, array().cast("array<string>"))
+          .otherwise(array_distinct(
+            transform(sequence(lit(1), size(tsv) - lit(k - 1)),
+              i => array_join(slice(tsv, i, lit(k)), " "))))),
+      1)
 
   /** Jaccard similarity of two array columns treated as sets. */
   def jaccard(a: Column, b: Column): Column = {
