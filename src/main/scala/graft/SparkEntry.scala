@@ -279,7 +279,20 @@ object SparkEntry {
       // verified pairs; catches the corpus's ~25 planted near-dup pairs
       // (jaccard ≈ 0.99) without the token-set vocab-noise matches
       Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
-        shingleK = 2, numPerm = 64, bands = 8, threshold = 0.8)))
+        shingleK = 2, numPerm = 64, bands = 8, threshold = 0.8)),
+
+    // --- hierarchical aggregates + skew-safe distinct (extensions) ---
+    "q34_rollup_revenue" -> ((s, d) =>
+      T(s, d, "orders")
+        .join(broadcast(T(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))),
+    "q35_distinct_users_per_type" -> ((s, d) =>
+      Salting.skewSafeDistinctCount(
+        Tables.events(s, d), Seq("event_type"), "user_id", "n_users")))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -363,12 +376,16 @@ object SparkEntry {
     "q18_dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
-    "q19_token_stats" ->
+    "q19_token_stats" -> {
+      val bpe = TextAnalysis.bpeSplitPattern.replace("'", "''")
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS INTEGER) AS n_tokens,
          |  CAST(len(trim(text)) AS INTEGER) AS n_chars_trim,
-         |  CAST(len(list_distinct($toksSql)) AS INTEGER) AS n_distinct_tokens
-         |FROM documents""".stripMargin,
+         |  CAST(len(list_distinct($toksSql)) AS INTEGER) AS n_distinct_tokens,
+         |  CAST(len(list_filter(regexp_extract_all(text, '$bpe'),
+         |        m -> regexp_matches(m, '\\S'))) AS INTEGER) AS n_bpe_tokens
+         |FROM documents""".stripMargin
+    },
     "q20_corpus_summary" ->
       s"""WITH t AS (SELECT lang, len($toksSql) AS n_tokens, n_chars FROM documents)
          |SELECT lang, count(*) AS n_docs,
@@ -450,6 +467,16 @@ object SparkEntry {
         |  list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) / (a.n * b.n) AS cosine_sim
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) / (a.n * b.n) >= 0.4""".stripMargin,
+    "q34_rollup_revenue" ->
+      """SELECT r_name, n_name, sum(o_totalprice) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q35_distinct_users_per_type" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
     "q24_quality_score" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS DOUBLE) AS n_tokens,

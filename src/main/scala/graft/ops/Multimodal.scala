@@ -71,4 +71,54 @@ object Multimodal {
     media.select(col("media_id"), col("kind"),
       col("meta.width").as("width"), col("meta.height").as("height"),
       col("meta.duration_ms").as("duration_ms"))
+
+  case class MediaFeature(media_id: Long, kind: String, n_bytes: Int,
+                          features: Array[Double])
+
+  /** STUB CODEC — stands in for a native decoder (libjpeg/ffmpeg-class,
+    * not available in this container). One instance per partition models
+    * the expensive codec-context initialization; `decode` is a
+    * deterministic fake emitting an 8-dim byte-derived feature so the
+    * distributed plumbing is fully exercisable.
+    */
+  final class StubCodec {
+    def decode(bytes: Array[Byte]): Array[Double] = {
+      val out = new Array[Double](8)
+      if (bytes != null) {
+        var h = 1125899906842597L // deterministic rolling hash of the bytes
+        var i = 0
+        while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+        var j = 0
+        while (j < 8) {
+          h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+          out(j) = math.abs(h % 1000003L).toDouble / 1000003.0
+          j += 1
+        }
+      }
+      out
+    }
+  }
+
+  /** Partition-wise decode via mapPartitions (SURVEY.md §4 tier d — the
+    * right tier here because a codec context is imperative, per-partition
+    * state the expression layer can't model). The iterator is consumed
+    * lazily, so a partition holds one row's blob at a time plus the codec;
+    * with default maxPartitionBytes that bounds executor memory regardless
+    * of corpus size.
+    */
+  def decodePartitionwise(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new StubCodec // one codec context per partition
+        rows.map { case (id, kind, bytes) =>
+          MediaFeature(id, kind, if (bytes == null) 0 else bytes.length,
+            codec.decode(bytes))
+        }
+      }
+      .toDF()
+  }
 }

@@ -11,14 +11,15 @@ import graft.functions._
   */
 object TextAnalysis {
 
-  /** Per-document token statistics. */
+  /** Per-document token statistics (whitespace + BPE-ish counts). */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val ts = tokens(col(textCol))
     docs.select(
       col("doc_id"),
       tokenCount(col(textCol)).as("n_tokens"),
       length(trim(col(textCol))).as("n_chars_trim"),
-      size(array_distinct(ts)).as("n_distinct_tokens"))
+      size(array_distinct(ts)).as("n_distinct_tokens"),
+      bpeTokenCount(col(textCol)).as("n_bpe_tokens"))
   }
 
   /** Ratio of characters matching `charClass` (a regex character class like
@@ -124,6 +125,23 @@ object TextAnalysis {
       lit(0L),
       (acc, t) => pmod(acc * lit(31L) + pmod(hash(t).cast("long"), p), p))
   }
+
+  /** GPT-2-style pre-tokenizer regex (contractions, letter runs, digit
+    * runs, punctuation runs, whitespace runs) — the classic BPE split
+    * pattern, restricted to constructs RE2 and Java regex treat
+    * identically so a DuckDB oracle can mirror it.
+    */
+  val bpeSplitPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token count: number of pre-tokenizer matches that are not
+    * pure whitespace. A cheap, deterministic proxy for "LLM tokens" used
+    * to budget corpus size per document.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(
+      regexp_extract_all(text, lit(bpeSplitPattern), lit(0)),
+      m => m.rlike("\\S")))
 
   /** Corpus-level language/quality rollup. */
   def corpusSummary(docs: DataFrame, textCol: String = "text"): DataFrame =

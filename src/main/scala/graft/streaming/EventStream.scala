@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` table shape (extension,
@@ -66,6 +67,60 @@ object EventStream {
         unix_timestamp(col("session_window.start")).as("session_start"),
         unix_timestamp(col("session_window.end")).as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
+
+  case class EventRow(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+                        n_events: Long, session_value: Double)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * explicit-state twin of `userSessions` (session_window), shown because
+    * real pipelines need custom per-session logic (caps, early emission,
+    * side outputs) that the built-in window can't express. State is one
+    * small struct per active user; event-time timeout closes sessions at
+    * watermark + gap.
+    */
+  def sessionizeStateful(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .selectExpr("user_id", "ts", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start / 1000, s.last / 1000, s.n, s.sum))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            // events within a batch are not ordered — sort this user's slice
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start / 1000, s.last / 1000, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /** Run a streaming DataFrame to completion against a bounded file source
     * via the memory sink; returns the materialized result. Used by tests

@@ -26,4 +26,27 @@ class StreamingSpec extends SparkSpec {
     val got = EventStream.runToMemory(spark, streamed, "sessions_test")
     assert(got.count() > 0)
   }
+
+  test("stateful sessionization (flatMapGroupsWithState) closes gap-separated sessions") {
+    val streamed = EventStream.sessionizeStateful(
+      EventStream.read(spark, sf0001), gapMinutes = 30).toDF()
+    val got = EventStream.runToMemory(spark, streamed, "stateful_sessions_test")
+      .collect()
+    assert(got.nonEmpty)
+    // every emitted session respects the gap invariant and has ≥1 event
+    assert(got.forall { r =>
+      r.getAs[Long]("session_end") >= r.getAs[Long]("session_start") &&
+        r.getAs[Long]("n_events") >= 1
+    })
+    // sessions for the same user must be separated by more than the gap
+    val byUser = got.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { ss =>
+      val sorted = ss.sortBy(_.getAs[Long]("session_start"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("session_start") - a.getAs[Long]("session_end") > 30 * 60)
+        case _ =>
+      }
+    }
+  }
 }
