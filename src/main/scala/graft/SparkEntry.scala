@@ -292,7 +292,17 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))),
     "q35_distinct_users_per_type" -> ((s, d) =>
       Salting.skewSafeDistinctCount(
-        Tables.events(s, d), Seq("event_type"), "user_id", "n_users")))
+        Tables.events(s, d), Seq("event_type"), "user_id", "n_users")),
+    "q36_asof_last_purchase" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      AsOfJoin(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "purchase"),
+        keyCols = Seq("user_id"), timeCol = "ts",
+        payloadCol = "value", outCol = "last_purchase_value")
+        .select("event_id", "user_id", "last_purchase_value")
+    }))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -477,6 +487,11 @@ object SparkEntry {
     "q35_distinct_users_per_type" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    "q36_asof_last_purchase" ->
+      """SELECT c.event_id, c.user_id, p.value AS last_purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts > p.ts""".stripMargin,
     "q24_quality_score" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS DOUBLE) AS n_tokens,
