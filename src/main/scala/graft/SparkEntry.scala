@@ -302,7 +302,19 @@ object SparkEntry {
         keyCols = Seq("user_id"), timeCol = "ts",
         payloadCol = "value", outCol = "last_purchase_value")
         .select("event_id", "user_id", "last_purchase_value")
-    }))
+    }),
+    "q37_ivf_topk" -> ((s, d) => {
+      // deterministic demo centroids: every 97th vector
+      val emb = T(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      Similarity.ivfTopK(emb, centroids, queryId = 1L, k = 10, nProbe = 2)
+    }),
+    "q38_neardup_clusters" -> ((s, d) =>
+      Dedup.clusterNearDups(
+        Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
+          shingleK = 2, numPerm = 64, bands = 8, threshold = 0.8))))
 
   // ---------------------------------------------------------- oracle SQL
 

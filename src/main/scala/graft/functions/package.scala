@@ -62,6 +62,22 @@ package object functions {
               i => array_join(slice(tsv, i, lit(k)), " "))))),
       1)
 
+  /** Distinct 64-bit hashes of word k-shingles, computed by hashing token
+    * sub-slices directly — no "w1 w2 w3" string materialization (xxhash64
+    * hashes array contents). Equivalent set identity to
+    * `wordShingles(...).map(xxhash64)` up to hash collisions; prefer this
+    * in dedup hot paths, `wordShingles` when the strings themselves are
+    * needed.
+    */
+  def shingleHashes(text: Column, k: Int): Column =
+    element_at(
+      transform(array(tokens(text)), tsv =>
+        when(size(tsv) < k, array().cast("array<bigint>"))
+          .otherwise(array_distinct(
+            transform(sequence(lit(1), size(tsv) - lit(k - 1)),
+              i => xxhash64(slice(tsv, i, lit(k))))))),
+      1)
+
   /** Jaccard similarity of two array columns treated as sets. */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)

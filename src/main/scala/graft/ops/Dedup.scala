@@ -75,8 +75,8 @@ object Dedup {
     val params = permutationParams(numPerm)
     // non-negative 31-bit shingle hashes, so a*h never overflows a long
     val hs = transform(
-      wordShingles(col(textCol), shingleK),
-      sh => pmod(xxhash64(sh), lit(HashDomain)))
+      shingleHashes(col(textCol), shingleK),
+      h => pmod(h, lit(HashDomain)))
     val sig = graft.functions.minhashSignature(
       hs, params.map(_._1).toArray, params.map(_._2).toArray)
     docs.select(col(idCol), sig.as("sig"))
@@ -85,6 +85,13 @@ object Dedup {
   /** LSH banding: signature → (band, hash-of-band-slice) buckets; docs
     * sharing any bucket are candidates. numPerm must = bands · rowsPerBand.
     * Returns candidate pairs (idCol_a < idCol_b), distinct.
+    *
+    * Pairs are generated WITHIN each bucket group (sort_array(collect_list)
+    * → positional pair expansion) instead of a bucket self-join: the
+    * signature pipeline runs once, not twice, and the only shuffles are one
+    * hash aggregation on (band, bucket) plus the distinct. Bucket groups
+    * are LSH-bounded, so the in-bucket pair expansion is the candidate set
+    * itself — no blow-up beyond the output size.
     */
   def lshCandidates(sigs: DataFrame, idCol: String,
                     bands: Int, rowsPerBand: Int): DataFrame = {
@@ -94,11 +101,15 @@ object Dedup {
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
         .as(Seq("__band", "__bucket")))
-    val a = banded.select(col("__band"), col("__bucket"), col(idCol).as("id_a"))
-    val b = banded.select(col("__band"), col("__bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("__band", "__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    banded
+      .groupBy(col("__band"), col("__bucket"))
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(
+        flatten(transform(col("__ids"), (x, i) =>
+          transform(slice(col("__ids"), i + 2, size(col("__ids"))),
+            y => struct(x.as("id_a"), y.as("id_b")))))).as("__pair"))
+      .select(col("__pair.id_a"), col("__pair.id_b"))
       .distinct()
   }
 
@@ -120,9 +131,7 @@ object Dedup {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numPerm)
     val cands = lshCandidates(sigs, idCol, bands, numPerm / bands)
     val sh = docs.select(
-      col(idCol),
-      array_distinct(transform(wordShingles(col(textCol), shingleK), xxhash64(_)))
-        .as("__sh"))
+      col(idCol), shingleHashes(col(textCol), shingleK).as("__sh"))
       .withColumn("__n", size(col("__sh")))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val unionSize = (col("n_a") + col("n_b")).cast("double") - inter
@@ -132,6 +141,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         when(unionSize === 0, lit(0.0)).otherwise(inter / unionSize).as("jaccard_sim"))
       .filter(col("jaccard_sim") >= threshold)
+  }
+
+  // ------------------------------------------------- near-dup clustering
+
+  /** Connected components over a near-dup pair list via iterative min-label
+    * propagation: every doc in a component converges to the component's
+    * smallest doc id. Each iteration is one join + one aggregation (both
+    * shuffles on well-distributed ids); iterations needed ≈ graph diameter
+    * (near-dup clusters are dense, so 2–3 in practice). The driver only
+    * checks a scalar convergence count per iteration — no data ever
+    * collects. Returns (idCol, cluster_rep) for every node in `pairs`.
+    */
+  def clusterNearDups(pairs: DataFrame, maxIter: Int = 10,
+                      idCol: String = "doc_id"): DataFrame = {
+    // materialize the pair list once — `pairs` is typically a full LSH
+    // pipeline, and edges are re-read every iteration
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "src_label"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("src_label")).as("label"))
+      val next = labels.select("node", "label").union(propagated)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true) // truncate the growing lineage each round
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node").as(idCol), col("label").as("cluster_rep"))
   }
 
   // --------------------------------------------------------------- SimHash

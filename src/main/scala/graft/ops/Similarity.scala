@@ -108,15 +108,44 @@ object Similarity {
   /** IVF-style coarse quantization: assign every vector to its nearest of
     * `centroids` (broadcast), producing a `cell` column the table can be
     * repartitioned/bucketed by; probes then search only `nProbe` cells.
+    * Argmax is a hash aggregation (max over (sim, -cell)), not a window.
     */
   def assignCells(emb: DataFrame, centroids: DataFrame,
-                  vecCol: String = "embedding",
+                  vecCol: String = "embedding", idCol: String = "vec_id",
                   centIdCol: String = "cell_id", centVecCol: String = "centroid"): DataFrame = {
     val scored = emb.crossJoin(broadcast(centroids))
       .withColumn("__sim", cosineSimilarity(col(vecCol), col(centVecCol)))
-    val w = Window.partitionBy(col("vec_id")).orderBy(desc("__sim"), col(centIdCol))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__sim", centVecCol)
+    scored
+      .groupBy(col(idCol))
+      .agg(
+        max(struct(col("__sim"), (-col(centIdCol)).cast("long").as("negcell"))).as("__b"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol), (-col("__b.negcell")).cast("int").as(centIdCol))
+  }
+
+  /** IVF probe: exact top-k restricted to the query's `nProbe` nearest
+    * cells. The cell table (vector → cell) is what you'd persist bucketed
+    * by cell at scale; here it is computed inline. Approximate: recall
+    * depends on nProbe / centroid quality.
+    */
+  def ivfTopK(emb: DataFrame, centroids: DataFrame, queryId: Long, k: Int,
+              nProbe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = assignCells(emb, centroids, vecCol, idCol)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    // the query's nProbe nearest cells
+    val qCells = centroids.crossJoin(broadcast(q))
+      .select(col("cell_id"), cosineSimilarity(col("centroid"), col("__qvec")).as("__sim"))
+      .orderBy(desc("__sim"), col("cell_id"))
+      .limit(nProbe)
+      .select("cell_id")
+    cells
+      .join(broadcast(qCells), "cell_id")
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosineSimilarity(col(vecCol), col("__qvec")).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
   }
 }
