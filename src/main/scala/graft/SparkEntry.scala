@@ -314,7 +314,35 @@ object SparkEntry {
     "q38_neardup_clusters" -> ((s, d) =>
       Dedup.clusterNearDups(
         Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
-          shingleK = 2, numPerm = 64, bands = 8, threshold = 0.8))))
+          shingleK = 2, numPerm = 64, bands = 8, threshold = 0.8))),
+
+    // --- scalar/json/date function coverage (SURVEY §2.6) ---
+    "q39_props_stats" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(avg(col("k")).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))),
+    "q40_scalar_funcs" -> ((s, d) =>
+      T(s, d, "orders")
+        .filter(col("o_orderpriority").like("%URGENT%") ||
+          col("o_orderstatus") === "F")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
+          round(col("o_totalprice") / 1000.0, 2).as("kprice"))),
+    "q41_price_buckets" -> ((s, d) =>
+      T(s, d, "orders")
+        .select(
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"))))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -504,6 +532,29 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts > p.ts""".stripMargin,
+    "q39_props_stats" ->
+      """SELECT event_type,
+        |  avg(k) AS avg_k,
+        |  CAST(min(k) AS INTEGER) AS min_k,
+        |  CAST(max(k) AS INTEGER) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "q40_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  upper(substring(o_orderpriority, 1, 3)) AS prio3,
+        |  round(o_totalprice / CAST(1000 AS DOUBLE), 2) AS kprice
+        |FROM orders
+        |WHERE o_orderpriority LIKE '%URGENT%' OR o_orderstatus = 'F'""".stripMargin,
+    "q41_price_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
     "q24_quality_score" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS DOUBLE) AS n_tokens,

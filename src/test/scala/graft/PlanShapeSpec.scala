@@ -59,6 +59,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(planString(df).contains("TakeOrderedAndProject"))
   }
 
+  test("date-partitioned writes enable partition pruning at read time") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = Tables.events(spark, sf0001)
+      .withColumn("event_date", to_date(col("ts")))
+    graft.io.IO.writeDir(events, s"$dir/events_by_date",
+      partitionBy = Seq("event_date"))
+    val pruned = spark.read.parquet(s"$dir/events_by_date")
+      .filter(col("event_date") === "2024-01-05")
+    val s = planString(pruned)
+    val pf = s.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_date"), s) // filter lands on the partition column
+    assert(pruned.count() > 0)
+  }
+
   test("metadata-only multimodal scan does not read the blob column") {
     val media = graft.ops.Multimodal.synthesize(
       spark, Tables.documents(spark, sf0001).select("doc_id"), "doc_id")
