@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long])
     extends UnaryExpression {
 
-  private val P = 2305843009213693951L // 2^61-1
+  private val P = 2147483647L // 2^31-1
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess

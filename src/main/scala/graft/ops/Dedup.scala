@@ -48,17 +48,21 @@ object Dedup {
   // ------------------------------------------------------------ MinHash LSH
 
   /** Deterministic MinHash permutation parameters: h_i(x) = (a_i·x + b_i)
-    * mod p. Both a_i and x are < 2^31 so a_i·x fits a long with no overflow;
-    * p = 2^61-1. Seeds fixed so signatures are reproducible across
-    * runs/executors.
+    * mod p with p = 2^31−1 and a, b, x all < p — a·x fits a long with no
+    * overflow, and crucially the modulus matches the hash domain: with a
+    * much larger p (an earlier 2^61−1 version) the product wraps at most
+    * twice, leaving the "permutation" piecewise-monotone in x, so most
+    * documents share band minima and LSH floods with false candidates
+    * (220k candidates at sf0.1 vs ~600 with proper mixing). Seeds fixed so
+    * signatures are reproducible across runs/executors.
     */
-  val MersennePrime: Long = 2305843009213693951L // 2^61-1
-  val HashDomain: Long = 2147483647L // 2^31-1: keeps a*h inside 63 bits
+  val MersennePrime: Long = 2147483647L // 2^31-1: modulus AND hash domain
+  val HashDomain: Long = MersennePrime
 
   def permutationParams(numPerm: Int, seed: Long = 42L): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPerm)(
-      (rnd.nextLong(HashDomain - 1) + 1, rnd.nextLong(HashDomain)))
+      (rnd.nextLong(MersennePrime - 1) + 1, rnd.nextLong(MersennePrime)))
   }
 
   /** MinHash signatures: (idCol, sig array<long> of length numPerm), where
