@@ -249,9 +249,9 @@ object SparkEntry {
       // hashed token sets + precomputed sizes: per-pair work is one
       // long-array intersect (jaccard preserved up to 64-bit collisions)
       val t = docs.select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(transform(tokens(col("text")), xxhash64(_))).as("toks"))
+        sort_array(array_distinct(transform(tokens(col("text")), xxhash64(_)))).as("toks"))
         .withColumn("n", size(col("toks")))
-      val inter = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double")
+      val inter = sortedIntersectCount(col("a.toks"), col("b.toks")).cast("double")
       val unionSize = (col("a.n") + col("b.n")).cast("double") - inter
       t.alias("a")
         .join(t.alias("b"),

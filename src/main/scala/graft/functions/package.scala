@@ -78,6 +78,12 @@ package object functions {
               i => xxhash64(slice(tsv, i, lit(k))))))),
       1)
 
+  /** |A ∩ B| of two SORTED array<bigint> columns (see SortedIntersectCount). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(SortedIntersectCount(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
   /** Jaccard similarity of two array columns treated as sets. */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)

@@ -47,6 +47,23 @@ class DotProductSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("sortedIntersectCount: duplicates, disjoint, empty, agrees with array_intersect") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L), 2),
+      (Seq(1L, 1L, 2L, 2L), Seq(1L, 2L, 2L), 2), // duplicates count once
+      (Seq(1L, 2L), Seq(3L, 4L), 0),
+      (Seq.empty[Long], Seq(1L), 0)
+    ).toDF("a", "b", "expected")
+    val rows = df.select(
+      graft.functions.sortedIntersectCount(col("a"), col("b")).as("got"),
+      size(array_intersect(col("a"), col("b"))).as("builtin"),
+      col("expected")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(2))
+      assert(r.getInt(0) == r.getInt(1)) // matches Spark's set semantics
+    }
+  }
+
   test("type check rejects non-double arrays with a helpful message") {
     val bad = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
     val e = intercept[Exception] {
