@@ -342,7 +342,20 @@ object SparkEntry {
             .when(col("o_totalprice") < 150000, "medium")
             .otherwise("large").as("bucket"))
         .groupBy("bucket")
-        .agg(count(lit(1)).as("n_orders"))))
+        .agg(count(lit(1)).as("n_orders"))),
+    "q42_shipping_priority" -> ((s, d) =>
+      // TPC-H Q3 shape: selective dim filter -> broadcast -> fact join ->
+      // agg -> top-k (TakeOrderedAndProject)
+      T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-07-01"))
+        .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-07-01"))
+        .groupBy(col("l_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("order_epoch"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -555,6 +568,18 @@ object SparkEntry {
         |            ELSE 'large' END AS bucket,
         |  count(*) AS n_orders
         |FROM orders GROUP BY 1""".stripMargin,
+    "q42_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q24_quality_score" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS DOUBLE) AS n_tokens,

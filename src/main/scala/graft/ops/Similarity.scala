@@ -123,6 +123,79 @@ object Similarity {
       .select(col(idCol), col(vecCol), (-col("__b.negcell")).cast("int").as(centIdCol))
   }
 
+  /** Spherical k-means centroids for IVF (Lloyd iterations, fully
+    * distributed): deterministic hash-picked init → assign (broadcast
+    * centroids) → per-cell elementwise mean via posexplode + (cell, dim)
+    * aggregation → L2-normalize. `localCheckpoint` per iteration truncates
+    * the growing lineage; centroids collect to the driver only implicitly
+    * via the broadcast in `assignCells` — k rows, never the corpus.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iterations: Int = 5,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .localCheckpoint(true)
+    // farthest-point init (k-means++ flavor): hash-seeded first pick, then
+    // repeatedly the point least similar to any chosen centroid — avoids
+    // the empty-cluster collapse of purely random seeds. k-1 driver
+    // round-trips of ONE row each; the corpus never collects.
+    val first = v.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .select("__v").head().getSeq[Double](0)
+    val chosen = scala.collection.mutable.ArrayBuffer[Seq[Double]](first)
+    while (chosen.length < k) {
+      val chosenDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(chosen.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__c",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+      val next = v.crossJoin(broadcast(chosenDf))
+        .select(col(idCol), col("__v"),
+          cosineSimilarity(col("__v"), col("__c")).as("__sim"))
+        .groupBy(col(idCol)).agg(first_value(col("__v")).as("__v"),
+          max(col("__sim")).as("__maxsim"))
+        .orderBy(col("__maxsim").asc, col(idCol))
+        .select("__v").head().getSeq[Double](0)
+      chosen += next
+    }
+    var centroids = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        chosen.toSeq.zipWithIndex.map { case (c, i) => org.apache.spark.sql.Row(i, c) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell_id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val assigned = assignCells(v, centroids, "__v", idCol)
+      val means = assigned
+        .select(col("cell_id"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .groupBy(col("cell_id"), col("__dim"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("__dim"), col("__m")))).as("__s"))
+        .select(col("cell_id"),
+          transform(col("__s"), s => s.getField("__m")).as("centroid"))
+      // L2-normalize so cosine-argmax assignment is scale-free; cells that
+      // lost every member keep their previous centroid (no k shrink)
+      val normalized = means
+        .withColumn("__n", sqrt(dotProduct(col("centroid"), col("centroid"))))
+        .select(col("cell_id"),
+          when(col("__n") > 0, zip_with(col("centroid"),
+            array_repeat(col("__n"), size(col("centroid"))), (x, n) => x / n))
+            .otherwise(col("centroid")).as("centroid"))
+      centroids = centroids.alias("o")
+        .join(normalized.alias("m"), Seq("cell_id"), "left")
+        .select(col("cell_id"),
+          coalesce(col("m.centroid"), col("o.centroid")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
   /** IVF probe: exact top-k restricted to the query's `nProbe` nearest
     * cells. The cell table (vector → cell) is what you'd persist bucketed
     * by cell at scale; here it is computed inline. Approximate: recall

@@ -68,6 +68,17 @@ object EventStream {
         unix_timestamp(col("session_window.end")).as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup: duplicates of `idCols` arriving within the
+    * watermark horizon are dropped; state for a key is evicted once the
+    * watermark passes it (bounded state — the batch `dropDuplicates` has
+    * no eviction story on an infinite stream).
+    */
+  def dedupedStream(events: DataFrame, idCols: Seq[String],
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   case class EventRow(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_start: Long, session_end: Long,

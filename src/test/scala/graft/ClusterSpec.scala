@@ -28,6 +28,28 @@ class ClusterSpec extends SparkSpec {
     assert(got.values.forall(_ == 1L))
   }
 
+  test("kmeansCentroids separates well-separated clusters") {
+    val vecs = (0 until 30).map { i =>
+      if (i % 2 == 0) (i.toLong, Array(1.0f + i * 0.001f, 0.0f, 0.0f))
+      else (i.toLong, Array(0.0f, 1.0f + i * 0.001f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val centroids = Similarity.kmeansCentroids(vecs, k = 2, iterations = 3)
+    val cents = centroids.select("cell_id", "centroid")
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(cents.size == 2)
+    // one centroid per axis direction
+    val axes = cents.values.map(c => if (c(0) > c(1)) 0 else 1).toSet
+    assert(axes == Set(0, 1))
+    // assignment splits the clusters cleanly
+    val cells = Similarity.assignCells(
+      vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("__v")),
+      centroids, "__v")
+      .select("vec_id", "cell_id").as[(Long, Int)].collect().toMap
+    val evenCells = cells.filter(_._1 % 2 == 0).values.toSet
+    val oddCells = cells.filter(_._1 % 2 == 1).values.toSet
+    assert(evenCells.size == 1 && oddCells.size == 1 && evenCells != oddCells)
+  }
+
   test("ivfTopK: probing the right cells finds the brute-force neighbors") {
     val emb = Tables.embeddings(spark, sf0001)
     val centroids = emb.filter(col("vec_id") % 97 === 0)

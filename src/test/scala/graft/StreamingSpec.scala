@@ -27,6 +27,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("streaming dedup drops within-watermark duplicates") {
+    import graft.io.IO
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    val once = Tables.events(spark, sf0001).limit(200)
+    // duplicate every event, write as a file-source the stream can read
+    IO.writeSingleFile(
+      once.unionByName(once)
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "CAST(unix_micros(ts) * 1000 AS BIGINT)")), // back to long nanos shape
+      s"$dir/events.parquet", "parquet")
+    val deduped = EventStream.dedupedStream(
+      EventStream.read(spark, dir), Seq("event_id"))
+    val got = EventStream.runToMemory(spark, deduped, "dedup_stream_test")
+    assert(got.count() == 200)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) closes gap-separated sessions") {
     val streamed = EventStream.sessionizeStateful(
       EventStream.read(spark, sf0001), gapMinutes = 30).toDF()
