@@ -355,7 +355,25 @@ object SparkEntry {
           unix_timestamp(col("o_orderdate")).as("order_epoch"))
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(desc("revenue"), col("l_orderkey"))
-        .limit(10)))
+        .limit(10)),
+    "q43_semi_anti" -> ((s, d) => {
+      val c = T(s, d, "customer")
+      val o = T(s, d, "orders")
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(lit("with_orders").as("kind"), col("c_custkey"))
+      val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("kind"), col("c_custkey"))
+      withOrders.unionByName(withoutOrders)
+    }),
+    "q44_setops" -> ((s, d) => {
+      val ordered = T(s, d, "lineitem")
+        .join(T(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"))
+      val all = T(s, d, "part").select(col("p_brand"))
+      all.intersect(ordered).select(col("p_brand"), lit("ordered").as("status"))
+        .unionByName(
+          all.except(ordered).select(col("p_brand"), lit("never_ordered").as("status")))
+    }))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -580,6 +598,22 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-07-01'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q43_semi_anti" ->
+      """SELECT 'with_orders' AS kind, c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'no_orders' AS kind, c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q44_setops" ->
+      """SELECT p_brand, 'ordered' AS status FROM (
+        |  SELECT p_brand FROM part
+        |  INTERSECT
+        |  SELECT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |UNION ALL
+        |SELECT p_brand, 'never_ordered' AS status FROM (
+        |  SELECT p_brand FROM part
+        |  EXCEPT
+        |  SELECT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin,
     "q24_quality_score" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS DOUBLE) AS n_tokens,
