@@ -77,6 +77,47 @@ object AddCountry {
       .drop("__bbox_country", "lat_min", "lat_max", "lon_min", "lon_max")
   }
 
+  /** Grid-indexed variant for LARGE box sets: the broadcast nested-loop
+    * join above evaluates every point against every box — right at 12
+    * boxes, wrong at 100k (polygon-table scale). Here each box is expanded
+    * (driver-side; boxes are a dim table) into the coarse grid cells it
+    * overlaps, points compute their one cell, and the join is a plain
+    * equi-join on cell id + exact containment filter — hash-joinable,
+    * broadcastable while the expanded dim fits, shuffle-joinable beyond.
+    * Point cell count is always 1, so no point-side duplication; the final
+    * left join restores unmatched rows with the "No country" fallback.
+    */
+  def viaGridIndex(points: DataFrame, boxes: Seq[Bbox], cellDeg: Double = 10.0,
+                   latCol: String = "Latitude", lonCol: String = "Longitude"): DataFrame = {
+    requireDisjoint(boxes)
+    val spark = points.sparkSession
+    import spark.implicits._
+    // cells overlapped by [min, max): first = floor(min/cell); last =
+    // ceil(max/cell) - 1 (max edge exclusive, so an exact-boundary max does
+    // not claim the next cell)
+    def cellRange(min: Double, max: Double, offset: Double): Range.Inclusive =
+      math.floor((min + offset) / cellDeg).toInt to
+        (math.ceil((max + offset) / cellDeg).toInt - 1)
+    val boxCells = boxes.flatMap { b =>
+      for {
+        la <- cellRange(b.lat_min, b.lat_max, 90)
+        lo <- cellRange(b.lon_min, b.lon_max, 180)
+      } yield (la.toLong * 100000L + lo, b.country,
+        b.lat_min, b.lat_max, b.lon_min, b.lon_max)
+    }.toDF("cell", "__bbox_country", "lat_min", "lat_max", "lon_min", "lon_max")
+    val withCell = points.withColumn("__cell",
+      floor((col(latCol) + 90) / cellDeg).cast("long") * 100000L +
+        floor((col(lonCol) + 180) / cellDeg).cast("long"))
+    withCell
+      .join(broadcast(boxCells),
+        withCell("__cell") === boxCells("cell") &&
+          col(latCol) >= col("lat_min") && col(latCol) < col("lat_max") &&
+          col(lonCol) >= col("lon_min") && col(lonCol) < col("lon_max"),
+        "left")
+      .withColumn("Country", coalesce(col("__bbox_country"), lit(NoCountry)))
+      .drop("cell", "__cell", "__bbox_country", "lat_min", "lat_max", "lon_min", "lon_max")
+  }
+
   /** API-parity tier (SURVEY.md §2.7 U1 tier a): a pluggable scalar
     * resolver applied as a UDF, try/catch → "No country"
     * (`add_country.py:120-124`). Demo/compat only — the join tier above is

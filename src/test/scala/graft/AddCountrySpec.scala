@@ -29,6 +29,29 @@ class AddCountrySpec extends SparkSpec {
     assert(by(2L) == "Canada") // lat_max exclusive → falls into Canada's [49,72)
   }
 
+  test("grid-indexed variant agrees with the nested-loop join on every cell") {
+    // points across box interiors, boundaries, and the ocean
+    val pts = (for {
+      lat <- -85 to 85 by 17
+      lon <- -175 to 175 by 23
+    } yield (lat.toDouble * 1000 + lon, lat.toDouble, lon.toDouble))
+      .toDF("id", "Latitude", "Longitude")
+    val viaBnlj = AddCountry(pts, AddCountry.boxesDf(spark))
+      .select("id", "Country").as[(Double, String)].collect().toMap
+    val viaGrid = AddCountry.viaGridIndex(pts, AddCountry.defaultBoxes)
+      .select("id", "Country").as[(Double, String)].collect().toMap
+    assert(viaGrid == viaBnlj)
+    assert(viaGrid.values.toSet.size > 3) // several countries + No country hit
+  }
+
+  test("grid-indexed join is an equi (hash) join, not a nested loop") {
+    val pts = Seq((1L, 40.0, -100.0)).toDF("id", "Latitude", "Longitude")
+    val plan = AddCountry.viaGridIndex(pts, AddCountry.defaultBoxes)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("overlapping boxes are rejected at construction") {
     val bad = Seq(
       AddCountry.Bbox("A", 0, 10, 0, 10),
