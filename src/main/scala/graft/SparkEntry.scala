@@ -373,6 +373,15 @@ object SparkEntry {
       all.intersect(ordered).select(col("p_brand"), lit("ordered").as("status"))
         .unionByName(
           all.except(ordered).select(col("p_brand"), lit("never_ordered").as("status")))
+    }),
+    "q45_grouped_topk" -> ((s, d) => {
+      // native grouped top-k operator (graft.plans.GroupedTopK): bounded
+      // per-group buffers before AND after the shuffle instead of a full
+      // per-group sort — same rows as the q08 window formulation
+      val li = T(s, d, "lineitem")
+      graft.plans.TopK.perGroup(li, Seq("l_suppkey"),
+        Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)), 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
     }))
 
   // ---------------------------------------------------------- oracle SQL
@@ -604,6 +613,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'no_orders' AS kind, c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q45_grouped_topk" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 3""".stripMargin,
     "q44_setops" ->
       """SELECT p_brand, 'ordered' AS status FROM (
         |  SELECT p_brand FROM part
