@@ -382,7 +382,18 @@ object SparkEntry {
       graft.plans.TopK.perGroup(li, Seq("l_suppkey"),
         Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)), 3)
         .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
-    }))
+    }),
+    "q46_returned_revenue" -> ((s, d) =>
+      // TPC-H Q10 shape: returned-items revenue per customer, top 20
+      T(s, d, "customer")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -613,6 +624,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'no_orders' AS kind, c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q46_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q45_grouped_topk" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
         |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

@@ -49,6 +49,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
+  test("LSH candidate rate: pairwise-disjoint docs produce zero candidates") {
+    // 200 docs with fully disjoint vocabularies → every pairwise jaccard is
+    // 0, so an r=8 band match is (collision-level) impossible. This is the
+    // regression guard for the degenerate-permutation bug (a piecewise-
+    // monotone family made unrelated docs share band minima en masse).
+    val docs = (0 until 200)
+      .map(i => (i.toLong, (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleK = 2, numPerm = 64)
+    val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 8, rowsPerBand = 8)
+    assert(cands.count() == 0)
+  }
+
   test("simhash: identical text → distance 0, near-dup close, unrelated far") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
