@@ -393,7 +393,18 @@ object SparkEntry {
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(desc("revenue"), col("c_custkey"))
-        .limit(20)))
+        .limit(20)),
+    "q47_above_customer_avg" -> ((s, d) => {
+      // correlated-aggregate pattern: orders above their own customer's
+      // average order value, decorrelated as groupBy + broadcastable join
+      val o = T(s, d, "orders")
+      val avgs = o.groupBy(col("o_custkey").as("ck"))
+        .agg(avg(col("o_totalprice")).as("cust_avg"))
+      o.join(avgs, col("o_custkey") === col("ck"))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("cust_avg"))
+    }))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -634,6 +645,12 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q47_above_customer_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |        avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        |      FROM orders)
+        |WHERE o_totalprice > cust_avg""".stripMargin,
     "q45_grouped_topk" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
         |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
