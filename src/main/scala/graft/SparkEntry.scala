@@ -67,6 +67,70 @@ object SparkEntry {
   private def T(s: SparkSession, d: String, name: String): DataFrame =
     Tables(s, d, name)
 
+  // ---------------------------------------------- oracle SQL helper pieces
+
+  /** DuckDB side of `graft.functions.md5Hash31` / `md5Hash60` — the
+    * engines' md5 hex strings are identical, so parsing the same prefix
+    * yields the same integer.
+    */
+  private def hash31Sql(e: String): String =
+    s"('0x' || substring(md5($e), 1, 8))::BIGINT % 2147483647"
+  private def hash60Sql(e: String): String =
+    s"('0x' || substring(md5($e), 1, 15))::BIGINT"
+
+  /** DuckDB cosine over two DOUBLE[] exprs, exactly mirroring
+    * `cosineSimilarity` (in-order product sum; proven bit-equal by q22/q23).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
+       |    / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
+       |       * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))))""".stripMargin
+
+  /** Same MinHash permutation params as the Spark side, as a VALUES list —
+    * one source of truth for both engines (a, b < 2^31 so a·h+b stays in
+    * BIGINT range in DuckDB exactly as in the native expression).
+    */
+  private val minhashParamsSql = Dedup.permutationParams(64).zipWithIndex
+    .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(",\n  ")
+
+  /** Same seeded SRP hyperplanes as `Similarity.srpBucket`, as a VALUES
+    * list. Scala's Double.toString is shortest-round-trip, so the DuckDB
+    * DOUBLE cast recovers bit-identical planes.
+    */
+  private def planesValuesSql(dim: Int, numPlanes: Int, seed: Long = 42L): String =
+    Similarity.srpPlanes(dim, numPlanes, seed).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(",")}]::DOUBLE[])" }
+      .mkString(",\n  ")
+
+  /** Distinct word-k-shingle CTEs over `documents` (toks → shingle sets),
+    * mirroring `wordShingles`: k-grams of whitespace tokens joined by ' '.
+    */
+  private def shingleCtesSql(k: Int): String =
+    s"""toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |sh AS (SELECT doc_id, CASE WHEN len(t) < $k THEN []::VARCHAR[]
+       |    ELSE list_distinct(list_transform(range(1, len(t) - ${k - 2}),
+       |           i -> ${(0 until k).map(j => s"t[i + $j]").mkString(" || ' ' || ")})) END AS s
+       |  FROM toks)""".stripMargin
+
+  /** CTE chain for all-pairs exact jaccard over k-shingle sets with
+    * threshold (final CTE: `jp(id_a, id_b, jaccard_sim)`) — the oracle twin
+    * of the LSH pipeline (q33/q38). Safe as an exact oracle on this corpus:
+    * every true near-dup pair is ≥0.9 and nothing else is above 0.3, and
+    * LSH recall at s≥0.9 (r=8, b=8) is 1 on the data.
+    */
+  private def jaccardPairCtesSql(k: Int, threshold: Double): String =
+    s"""${shingleCtesSql(k)},
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_filter(a.s, x -> list_contains(b.s, x))) AS ninter,
+       |    len(a.s) AS na, len(b.s) AS nb
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |jp AS (SELECT id_a, id_b,
+       |    CAST(ninter AS DOUBLE) / (na + nb - ninter) AS jaccard_sim
+       |  FROM inter WHERE na + nb > 0 AND
+       |    CAST(ninter AS DOUBLE) / (na + nb - ninter) >= $threshold)""".stripMargin
+
   // ------------------------------------------------------------ flagship
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Regional
@@ -223,20 +287,34 @@ object SparkEntry {
     "q23_knn" -> ((s, d) =>
       Similarity.nearestNeighbor(T(s, d, "embeddings"), col("vec_id") < 20)),
 
-    // --- rows-only checked (no exact SQL oracle): LSH/sketch/multimodal ---
+    // --- LSH/sketch/multimodal, oracle-exact via portable md5 hashing ---
     "q26_minhash_sigs" -> ((s, d) =>
-      Dedup.minhashSignatures(T(s, d, "documents"), "doc_id", "text",
-        shingleK = 3, numPerm = 64)),
+      // oracle-parity twin of the production minhash pipeline: same native
+      // MinHashSignature expression + permutation family, md5-based shingle
+      // hash DuckDB recomputes exactly; signature exploded to scalar rows
+      // (the driver's compare cannot sort on array columns)
+      Dedup.minhashSignaturesPortable(T(s, d, "documents"), "doc_id", "text",
+        shingleK = 3, numPerm = 64)
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("perm", "sig")))),
     "q27_simhash" -> ((s, d) =>
+      // 60-bit portable simhash (md5Hash60 token hash — 15 hex chars fit a
+      // signed long in both engines); production path stays 64-bit xxhash64
       T(s, d, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash64"))),
+        .select(col("doc_id"),
+          Dedup.simhash(col("text"), t => md5Hash60(t), 60).as("simhash60"))),
     "q28_srp_buckets" -> ((s, d) =>
       T(s, d, "embeddings")
         .select(col("vec_id"),
           Similarity.srpBucket(col("embedding"), dim = 64, numPlanes = 8).as("bucket"))),
-    "q29_multimodal_features" -> ((s, d) =>
-      Multimodal.decodeStub(
-        Multimodal.synthesize(s, T(s, d, "documents").select("doc_id"), "doc_id"))),
+    "q29_multimodal_features" -> ((s, d) => {
+      val m = Multimodal.decodeStub(
+        Multimodal.synthesize(s, T(s, d, "documents").select("doc_id"), "doc_id"))
+      val fcols = (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i"))
+      // flattened scalars (struct/array columns break the driver's sort)
+      m.select(Seq(col("media_id"), col("kind"), col("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.duration_ms").as("duration_ms")) ++ fcols: _*)
+    }),
     "q30_bucketed_topk" -> ((s, d) =>
       Similarity.cosineTopKBucketed(T(s, d, "embeddings"), queryId = 0L, k = 10,
         dim = 64, numPlanes = 4)),
@@ -261,19 +339,14 @@ object SparkEntry {
           when(unionSize === 0, lit(0.0)).otherwise(inter / unionSize).as("jaccard_sim"))
         .filter(col("jaccard_sim") >= 0.9)
     }),
-    "q32_embedding_neardup" -> ((s, d) => {
-      // exact brute-force baseline (oracle-checkable); the LSH-blocked scale
-      // path is q33/srpBucket. One side broadcast: corpus never shuffles.
-      val v = T(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val withNorm = v.withColumn("n", sqrt(dotProduct(col("e"), col("e"))))
-      val a = withNorm.select(col("vec_id").as("id_a"), col("e").as("ea"), col("n").as("na"))
-      val b = withNorm.select(col("vec_id").as("id_b"), col("e").as("eb"), col("n").as("nb"))
-      a.join(broadcast(b), col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          (dotProduct(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine_sim"))
-        .filter(col("cosine_sim") >= 0.4)
-    }),
+    "q32_embedding_neardup" -> ((s, d) =>
+      // banded-SRP candidates + exact cosine verify (equi-join on
+      // (band, bucket) — no full-corpus broadcast, no nested-loop join;
+      // PlanShapeSpec gates it). τ=0.4 forces r=2/b=24 (per-pair miss
+      // ≈5e-6 at τ — see srpBandedNearDupPairs scaladoc); the all-pairs
+      // form lives only in the DuckDB oracle now.
+      Similarity.srpBandedNearDupPairs(T(s, d, "embeddings"), dim = 64,
+        threshold = 0.4, planesPerBand = 2, bands = 24)),
     "q33_minhash_lsh_neardup" -> ((s, d) =>
       // full LSH pipeline on bigram shingles: signatures → banding →
       // verified pairs; catches the corpus's ~25 planted near-dup pairs
@@ -579,6 +652,95 @@ object SparkEntry {
         |  list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) / (a.n * b.n) AS cosine_sim
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) / (a.n * b.n) >= 0.4""".stripMargin,
+    "q26_minhash_sigs" ->
+      s"""WITH params(perm, a, b) AS (VALUES
+         |  $minhashParamsSql),
+         |${shingleCtesSql(3)},
+         |h AS (SELECT doc_id, list_transform(s, x -> ${hash31Sql("x")}) AS hs FROM sh)
+         |SELECT doc_id, CAST(perm AS INTEGER) AS perm,
+         |  coalesce(list_min(list_transform(hs, x -> (a * x + b) % 2147483647)),
+         |           2147483647) AS sig
+         |FROM h CROSS JOIN params""".stripMargin,
+    "q27_simhash" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    list_transform(list_filter(string_split_regex(trim(text), '\\s+'),
+         |                               x -> len(x) > 0),
+         |      t -> ${hash60Sql("t")}) AS hs
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(coalesce(list_sum(list_transform(range(0, 60), i ->
+         |    CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+         |           CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         |         THEN (1::BIGINT << i) ELSE 0::BIGINT END)), 0) AS BIGINT) AS simhash60
+         |FROM h""".stripMargin,
+    "q28_srp_buckets" ->
+      s"""WITH planes(i, p) AS (VALUES
+         |  ${planesValuesSql(64, 8)}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+         |SELECT vec_id,
+         |  CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), j -> e[j] * p[j])) >= 0
+         |           THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+         |FROM v CROSS JOIN planes GROUP BY vec_id""".stripMargin,
+    "q29_multimodal_features" -> {
+      val fcols = (0 until 8).map(i =>
+        s"((${hash31Sql(s"hx || $i")}) % 1000003)::DOUBLE / 1000003 AS f$i").mkString(",\n  ")
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+         |    sha256(CAST(doc_id AS VARCHAR)) AS hx,
+         |    CAST(doc_id % 640 + 32 AS INTEGER) AS width,
+         |    CAST(doc_id % 480 + 32 AS INTEGER) AS height,
+         |    doc_id % 60000 AS duration_ms
+         |  FROM documents)
+         |SELECT media_id, kind,
+         |  CAST(octet_length(from_hex(hx)) AS INTEGER) AS n_bytes,
+         |  width, height, duration_ms,
+         |  $fcols
+         |FROM m""".stripMargin
+    },
+    "q30_bucketed_topk" ->
+      s"""WITH planes(i, p) AS (VALUES
+         |  ${planesValuesSql(64, 4)}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |b AS (SELECT vec_id,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), j -> e[j] * p[j])) >= 0
+         |             THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+         |  FROM v CROSS JOIN planes GROUP BY vec_id),
+         |q AS (SELECT e AS qe, bucket AS qb FROM v JOIN b USING (vec_id) WHERE vec_id = 0)
+         |SELECT v.vec_id,
+         |  ${cosSql("v.e", "qe")} AS sim
+         |FROM v JOIN b USING (vec_id), q
+         |WHERE b.bucket = qb AND v.vec_id <> 0
+         |ORDER BY sim DESC, v.vec_id LIMIT 10""".stripMargin,
+    "q33_minhash_lsh_neardup" ->
+      s"""WITH ${jaccardPairCtesSql(2, 0.8)}
+         |SELECT id_a, id_b, jaccard_sim FROM jp""".stripMargin,
+    "q37_ivf_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
+         |  FROM v WHERE vec_id % 97 = 0),
+         |scored AS (SELECT v.vec_id, cent.cell_id,
+         |    ${cosSql("v.e", "cent.c")} AS sim
+         |  FROM v CROSS JOIN cent),
+         |assign AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 1),
+         |qc AS (SELECT cell_id FROM cent, q
+         |  ORDER BY ${cosSql("c", "qe")} DESC, cell_id LIMIT 2)
+         |SELECT v.vec_id,
+         |  ${cosSql("v.e", "qe")} AS sim
+         |FROM v JOIN assign USING (vec_id) JOIN qc USING (cell_id), q
+         |WHERE v.vec_id <> 1
+         |ORDER BY sim DESC, v.vec_id LIMIT 10""".stripMargin,
+    "q38_neardup_clusters" ->
+      s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(src, dst) AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+         |FROM reach GROUP BY src""".stripMargin,
     "q34_rollup_revenue" ->
       """SELECT r_name, n_name, sum(o_totalprice) AS revenue, count(*) AS n_orders
         |FROM orders

@@ -78,6 +78,24 @@ package object functions {
               i => xxhash64(slice(tsv, i, lit(k))))))),
       1)
 
+  // -------------------------------------------------------- portable hashes
+
+  /** 31-bit hash computable bit-identically by Spark AND DuckDB: parse the
+    * first 8 hex chars of md5 (both engines emit the same lowercase hex over
+    * UTF-8 bytes), reduce mod 2^31−1. Spark: `conv(substr(md5,1,8),16,10)`;
+    * DuckDB: `('0x'||substring(md5(s),1,8))::BIGINT % 2147483647`. Used by
+    * the oracle-parity twins of the minhash/feature queries — the production
+    * dedup path keeps the faster codegen'd xxhash64.
+    */
+  def md5Hash31(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long") % lit(2147483647L)
+
+  /** 60-bit variant (15 hex chars < 2^60 — never overflows a signed long in
+    * either engine). DuckDB: `('0x'||substring(md5(s),1,15))::BIGINT`.
+    */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   /** |A ∩ B| of two SORTED array<bigint> columns (see SortedIntersectCount). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(SortedIntersectCount(

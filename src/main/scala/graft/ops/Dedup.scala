@@ -86,6 +86,22 @@ object Dedup {
     docs.select(col(idCol), sig.as("sig"))
   }
 
+  /** Oracle-parity twin of `minhashSignatures`: same permutation family and
+    * native signature expression, but the shingle hash is the portable
+    * md5-based 31-bit hash (`graft.functions.md5Hash31`) that DuckDB can
+    * recompute bit-identically — so signatures are exactly checkable by a
+    * SQL oracle. Production dedup keeps `minhashSignatures` (xxhash64 over
+    * token slices, no shingle-string materialization — faster).
+    */
+  def minhashSignaturesPortable(docs: DataFrame, idCol: String, textCol: String,
+                                shingleK: Int = 3, numPerm: Int = 64): DataFrame = {
+    val params = permutationParams(numPerm)
+    val hs = transform(wordShingles(col(textCol), shingleK), s => md5Hash31(s))
+    val sig = graft.functions.minhashSignature(
+      hs, params.map(_._1).toArray, params.map(_._2).toArray)
+    docs.select(col(idCol), sig.as("sig"))
+  }
+
   /** LSH banding: signature → (band, hash-of-band-slice) buckets; docs
     * sharing any bucket are candidates. numPerm must = bands · rowsPerBand.
     * Returns candidate pairs (idCol_a < idCol_b), distinct.
@@ -96,18 +112,38 @@ object Dedup {
     * hash aggregation on (band, bucket) plus the distinct. Bucket groups
     * are LSH-bounded, so the in-bucket pair expansion is the candidate set
     * itself — no blow-up beyond the output size.
+    *
+    * DEGENERATE-BUCKET BOUND: a bucket of b ids materializes one b-element
+    * array row and b(b−1)/2 pairs, so a pathological bucket (e.g. millions
+    * of EXACT duplicates, which share every band) would OOM an executor.
+    * `maxBucket` caps each bucket at its first `maxBucket` ids (ids are
+    * sorted, so the kept prefix is deterministic); overflow ids past the cap
+    * lose only candidacy THROUGH that bucket, not membership in others.
+    * Pipeline order matters: run exact dedup (`exactByHash`) FIRST — after
+    * it, same-signature groups are genuine near-dup clusters, which are
+    * small; the cap is a guard rail, not a recall knob.
     */
   def lshCandidates(sigs: DataFrame, idCol: String,
-                    bands: Int, rowsPerBand: Int): DataFrame = {
+                    bands: Int, rowsPerBand: Int,
+                    maxBucket: Int = 10000): DataFrame = {
     val banded = sigs.select(
       col(idCol),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
         .as(Seq("__band", "__bucket")))
+    bucketPairs(banded, idCol, maxBucket)
+  }
+
+  /** Pair expansion within (band, bucket) groups, shared by MinHash-LSH and
+    * SRP banding: sorted id list per bucket (capped at `maxBucket`, see
+    * `lshCandidates`) → positional (a < b) pair expansion → distinct.
+    * Expects columns (idCol, __band, __bucket).
+    */
+  private[ops] def bucketPairs(banded: DataFrame, idCol: String, maxBucket: Int): DataFrame =
     banded
       .groupBy(col("__band"), col("__bucket"))
-      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .agg(slice(sort_array(collect_list(col(idCol))), 1, maxBucket).as("__ids"))
       .filter(size(col("__ids")) > 1)
       .select(explode(
         flatten(transform(col("__ids"), (x, i) =>
@@ -115,7 +151,6 @@ object Dedup {
             y => struct(x.as("id_a"), y.as("id_b")))))).as("__pair"))
       .select(col("__pair.id_a"), col("__pair.id_b"))
       .distinct()
-  }
 
   /** Full near-dup pipeline: signatures → LSH candidates → Jaccard
     * verification → pairs with jaccard ≥ threshold.
@@ -192,25 +227,30 @@ object Dedup {
 
   // --------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over word tokens: per-bit ±1 votes weighted by token
+  /** SimHash over word tokens: per-bit ±1 votes weighted by token
     * frequency, sign → bit. Computed per-row with array expressions — no
     * shuffle at all until the caller groups by (or bands) the signature.
+    *
+    * Default: 64 bits over xxhash64 (production path). The oracle-parity
+    * twin passes `md5Hash60` + 60 bits so DuckDB can recompute the exact
+    * signature (q27).
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column,
+              tokenHash: Column => Column = xxhash64(_),
+              numBits: Int = 64): Column = {
     val ts = tokens(text)
-    // per-token 64-bit hash
-    val hashes = transform(ts, t => xxhash64(t))
+    val hashes = transform(ts, t => tokenHash(t))
     // vote for bit i = sum over tokens of (bit set ? 1 : -1)
     val bitsOf = (h: Column) =>
-      transform(sequence(lit(0), lit(63)),
+      transform(sequence(lit(0), lit(numBits - 1)),
         i => when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
     val votes = aggregate(
       hashes,
-      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      transform(sequence(lit(0), lit(numBits - 1)), _ => lit(0)),
       (acc, h) => zip_with(acc, bitsOf(h), (x, y) => x + y))
     // assemble: bit i set iff votes[i] > 0
     aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
+      zip_with(votes, sequence(lit(0), lit(numBits - 1)),
         (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L),
       (acc, x) => acc.bitwiseOR(x))

@@ -54,10 +54,16 @@ object Multimodal {
     * deterministic 8-dim "feature" derived from the bytes so downstream
     * plumbing (schema, partitioning, joins onto features) is fully
     * exercisable. Signature and batch shape match the real thing.
+    *
+    * The fake feature is md5-derived from the blob's hex (portable hash —
+    * see `graft.functions.md5Hash31`) so a DuckDB oracle can recompute it
+    * exactly (q29): f_i = md5-hash31(hex(content) ‖ i) mod 1000003 ÷ 1000003.
     */
   def decodeStub(media: DataFrame): DataFrame = {
+    val hexContent = lower(hex(col("content")))
     val featureAt = (i: Int) =>
-      (pmod(xxhash64(col("content"), lit(i)), lit(1000003L)).cast("double") / 1000003.0)
+      ((graft.functions.md5Hash31(concat(hexContent, lit(i))) % 1000003L)
+        .cast("double") / 1000003.0)
     media.select(
       col("media_id"), col("kind"), col("meta"),
       length(col("content")).as("n_bytes"),

@@ -79,12 +79,47 @@ object Similarity {
     * Vectors with the same bucket id are near-duplicates in angle with
     * high probability as numPlanes grows.
     */
-  def srpBucket(vec: Column, dim: Int, numPlanes: Int = 16): Column = {
+  def srpBucket(vec: Column, dim: Int, numPlanes: Int = 16, seed: Long = 42L): Column = {
     val v = vec.cast("array<double>")
-    val bits = srpPlanes(dim, numPlanes).zipWithIndex.map { case (plane, i) =>
+    val bits = srpPlanes(dim, numPlanes, seed).zipWithIndex.map { case (plane, i) =>
       when(dotProduct(v, array(plane.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Banded-SRP near-dup pairs: OR-construction over `bands` independent
+    * SRP hash tables of `planesPerBand` hyperplanes each (band b seeded
+    * seed+b), candidate pairs within any shared (band, bucket), then exact
+    * cosine verification ≥ threshold. Replaces the all-pairs broadcast
+    * formulation: the join is an equi-join on (band, bucket) — no
+    * BroadcastNestedLoopJoin, no full-corpus broadcast — and the pair
+    * expansion reuses the bucket-capped machinery of the MinHash path.
+    *
+    * Parameter choice is the collision calculus: P(band match) =
+    * (1 − θ/π)^r for angle θ. A LOW threshold (τ=0.4 ⇒ θ/π≈0.37) forces
+    * r=2; with b=24 bands the per-pair miss at τ is 0.602^24 ≈ 5e-6 —
+    * effectively exhaustive, which is the honest price of low-τ similarity
+    * join (no LSH family is selective there). At near-dup thresholds
+    * (τ≥0.8) use r=8+, where buckets actually prune.
+    */
+  def srpBandedNearDupPairs(emb: DataFrame, dim: Int, threshold: Double,
+                            planesPerBand: Int = 2, bands: Int = 24,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+    val banded = emb.select(
+      col(idCol),
+      posexplode(array((0 until bands).map(b =>
+        srpBucket(col(vecCol), dim, planesPerBand, seed + b)): _*))
+        .as(Seq("__band", "__bucket")))
+    val cands = Dedup.bucketPairs(banded, idCol, maxBucket)
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+    cands
+      .join(v.select(col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dotProduct(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
   }
 
   /** Bucketed approximate top-k: restrict the scan to the query's SRP
@@ -124,11 +159,19 @@ object Similarity {
   }
 
   /** Spherical k-means centroids for IVF (Lloyd iterations, fully
-    * distributed): deterministic hash-picked init → assign (broadcast
+    * distributed): deterministic hash-sampled init → assign (broadcast
     * centroids) → per-cell elementwise mean via posexplode + (cell, dim)
     * aggregation → L2-normalize. `localCheckpoint` per iteration truncates
     * the growing lineage; centroids collect to the driver only implicitly
     * via the broadcast in `assignCells` — k rows, never the corpus.
+    *
+    * Init is ONE distributed top-k job (TakeOrdered on a salted hash of the
+    * id): deterministic, uniform over the corpus, O(scan) regardless of k.
+    * The previous farthest-point scheme ran k−1 sequential full-corpus jobs
+    * with a driver `.head()` each — O(k·scan) plus driver latency, a
+    * scale-killer at real k (1024+). Hash sampling can seed near-duplicate
+    * centroids, but Lloyd iterations + the kept-centroid rule for emptied
+    * cells recover cluster spread (ClusterSpec pins separation recall).
     */
   def kmeansCentroids(emb: DataFrame, k: Int, iterations: Int = 5,
                       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -136,32 +179,15 @@ object Similarity {
     val spark = emb.sparkSession
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .localCheckpoint(true)
-    // farthest-point init (k-means++ flavor): hash-seeded first pick, then
-    // repeatedly the point least similar to any chosen centroid — avoids
-    // the empty-cluster collapse of purely random seeds. k-1 driver
-    // round-trips of ONE row each; the corpus never collects.
-    val first = v.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
-      .select("__v").head().getSeq[Double](0)
-    val chosen = scala.collection.mutable.ArrayBuffer[Seq[Double]](first)
-    while (chosen.length < k) {
-      val chosenDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(chosen.toSeq.map(org.apache.spark.sql.Row(_)), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__c",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType)))))
-      val next = v.crossJoin(broadcast(chosenDf))
-        .select(col(idCol), col("__v"),
-          cosineSimilarity(col("__v"), col("__c")).as("__sim"))
-        .groupBy(col(idCol)).agg(first_value(col("__v")).as("__v"),
-          max(col("__sim")).as("__maxsim"))
-        .orderBy(col("__maxsim").asc, col(idCol))
-        .select("__v").head().getSeq[Double](0)
-      chosen += next
-    }
+    // one TakeOrdered job: k hash-picked rows, collected (k rows only —
+    // they are driver-resident by design, as the broadcast side of assign)
+    val chosen: Seq[Seq[Double]] = v
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(k)
+      .select("__v").collect().toSeq.map(_.getSeq[Double](0))
     var centroids = spark.createDataFrame(
       spark.sparkContext.parallelize(
-        chosen.toSeq.zipWithIndex.map { case (c, i) => org.apache.spark.sql.Row(i, c) }, 1),
+        chosen.zipWithIndex.map { case (c, i) => org.apache.spark.sql.Row(i, c) }, 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("cell_id",
           org.apache.spark.sql.types.IntegerType),
