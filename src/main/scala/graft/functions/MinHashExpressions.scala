@@ -10,7 +10,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Input: array<long> of non-negative 31-bit shingle hashes. Output:
   * array<long> of length `numPerm`, slot j = min over shingles of
-  * (a_j·h + b_j) mod p, p = 2^61−1 (sentinel p for empty docs).
+  * (a_j·h + b_j) mod p, p = 2^31−1 (sentinel p for empty docs). The
+  * modulus deliberately matches the 31-bit hash domain (Dedup.MersennePrime)
+  * — an earlier 2^61−1 modulus left the family piecewise-monotone and
+  * flooded LSH with false candidates (see Dedup.permutationParams).
   *
   * Why a custom expression (SURVEY.md §4 tier b): the equivalent
   * `zip_with(aArr, bArr, (a,b) → array_min(transform(hs, …)))` formulation

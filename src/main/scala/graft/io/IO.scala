@@ -91,8 +91,20 @@ object IO {
       .map(_.getPath)
       .find(p => p.getName.startsWith("part-"))
       .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-    if (fs.exists(destPath)) fs.delete(destPath, false)
-    fs.rename(part, destPath)
+    // guard the silent-loss paths: an existing non-empty DIRECTORY at dest
+    // would survive the non-recursive delete and swallow the rename (the
+    // part would land at dest/part-*); a false rename (e.g. cross-filesystem)
+    // would otherwise be followed by deleting the only copy in tmp.
+    if (fs.exists(destPath)) {
+      if (fs.getFileStatus(destPath).isDirectory)
+        throw new IllegalStateException(
+          s"destination $dest exists and is a directory; refusing to overwrite")
+      fs.delete(destPath, false)
+    }
+    if (!fs.rename(part, destPath)) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(s"rename $part -> $destPath failed")
+    }
     fs.delete(tmp, true)
   }
 

@@ -52,8 +52,13 @@ object GeoAggregate {
     "max" -> (c => max(c)))
 
   /** Left-closed interval bin index, 0-based from `lo`; matches
-    * `numpy.digitize(x, arange(lo, hi, step)) - 1` for in-range values
-    * (`agg.py:149-151`): value < lo → -1, value ≥ last edge → last index.
+    * `numpy.digitize(x, arange(lo, hi, step)) - 1` for strictly in-range
+    * values in [lo, hi) (`agg.py:149-151`). Out-of-range values diverge
+    * from digitize, which saturates: digitize yields -1 below lo and the
+    * last index at/above the top edge, while this closed form keeps
+    * decreasing (-2, -3, …) / increasing. Latitude/longitude inputs are
+    * in-range by construction; callers binning open-ended domains should
+    * clamp with greatest/least first.
     */
   def binId(c: Column, lo: Double, step: Double): Column =
     floor((c - lit(lo)) / lit(step)).cast("long")

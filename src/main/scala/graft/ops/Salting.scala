@@ -17,10 +17,14 @@ object Salting {
     * serializes. Phase 1 dedups on (key, value) — partial aggregation
     * collapses duplicates map-side, and the shuffle key (key, value) is
     * uniform even when `key` alone is not; phase 2 counts per key.
+    *
+    * NULL values are excluded to match `count(DISTINCT value)` semantics
+    * (a bare distinct would keep one (key, NULL) row and count it).
     */
   def skewSafeDistinctCount(df: DataFrame, keys: Seq[String], valueCol: String,
                             outCol: String = "n_distinct"): DataFrame =
     df.select((keys :+ valueCol).map(col): _*)
+      .filter(col(valueCol).isNotNull)
       .distinct()
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as(outCol))

@@ -27,6 +27,16 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
   *
   * At 100 TB this is the difference between shuffling the fact table and
   * shuffling k rows per (group × task).
+  *
+  * MEMORY CAVEAT: TopKPass holds one k-buffer per distinct group seen by a
+  * task in an in-memory map with no spill, so per-task memory is
+  * O(groups_in_task × k × rowSize). That is the right trade when groups ≪
+  * rows (the top-k-per-entity shape this operator exists for). When the
+  * group key is high-cardinality (groups ≈ rows) the buffers approach the
+  * input size and can OOM an executor where the window formulation would
+  * sort-and-spill — prefer the window plan there, or pre-partition so each
+  * task sees a bounded group count. (A spillable buffer map is the
+  * follow-up if a real workload needs the high-cardinality case.)
   */
 case class GroupedTopK(groupExprs: Seq[Expression], sortOrder: Seq[SortOrder],
                        k: Int, child: LogicalPlan) extends UnaryNode {

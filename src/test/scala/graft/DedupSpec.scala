@@ -62,6 +62,18 @@ class DedupSpec extends SparkSpec {
     assert(cands.count() == 0)
   }
 
+  test("degenerate bucket: 10k identical docs complete under the bucket cap") {
+    // every doc shares every band bucket; uncapped this is one 10k-element
+    // array row and C(10k,2) ≈ 50M pairs per band. The cap keeps the sorted
+    // prefix of each bucket: candidates = C(cap, 2), computed quickly.
+    val many = spark.range(10000)
+      .selectExpr("id AS doc_id", "'the exact same text in every document' AS text")
+    val sigs = Dedup.minhashSignatures(many, "doc_id", "text", shingleK = 2, numPerm = 16)
+    val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 2, rowsPerBand = 8,
+      maxBucket = 100)
+    assert(cands.count() == 100L * 99 / 2)
+  }
+
   test("simhash: identical text → distance 0, near-dup close, unrelated far") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap

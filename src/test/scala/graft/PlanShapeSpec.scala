@@ -53,6 +53,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("ShuffleExchange"), s)
   }
 
+  test("q32 embedding near-dup has no nested-loop join or full-corpus broadcast") {
+    val s = planString(SparkEntry.queries("q32_embedding_neardup")(spark, sf0001))
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q22 cosine top-k uses the native dot_product expression in codegen") {
     val df = SparkEntry.queries("q22_cosine_topk")(spark, sf0001)
     assert(planString(df).contains("dot_product"), planString(df))
