@@ -340,13 +340,12 @@ object SparkEntry {
         .filter(col("jaccard_sim") >= 0.9)
     }),
     "q32_embedding_neardup" -> ((s, d) =>
-      // banded-SRP candidates + exact cosine verify (equi-join on
-      // (band, bucket) — no full-corpus broadcast, no nested-loop join;
-      // PlanShapeSpec gates it). τ=0.4 forces r=2/b=24 (per-pair miss
-      // ≈5e-6 at τ — see srpBandedNearDupPairs scaladoc); the all-pairs
-      // form lives only in the DuckDB oracle now.
-      Similarity.srpBandedNearDupPairs(T(s, d, "embeddings"), dim = 64,
-        threshold = 0.4, planesPerBand = 2, bands = 24)),
+      // exact all-pairs cosine ≥ τ via symmetric block partitioning: each
+      // pair evaluated once, equi-joins only — no full-corpus broadcast,
+      // no nested-loop join (PlanShapeSpec gates it). τ=0.4 is below any
+      // LSH family's pruning range (srpBandedNearDupPairs covers τ≥0.8);
+      // the naive broadcast form lives only in the DuckDB oracle now.
+      Similarity.allPairsSimilarityJoin(T(s, d, "embeddings"), threshold = 0.4)),
     "q33_minhash_lsh_neardup" -> ((s, d) =>
       // full LSH pipeline on bigram shingles: signatures → banding →
       // verified pairs; catches the corpus's ~25 planted near-dup pairs
@@ -477,7 +476,53 @@ object SparkEntry {
         .filter(col("o_totalprice") > col("cust_avg"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("cust_avg"))
-    }))
+    }),
+    "q48_volume_shipping" -> ((s, d) => {
+      // TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+      // year; the fact join chain shuffles, both nation dims broadcast,
+      // and the l_shipdate range predicate pushes into the Parquet scan
+      val n1 = T(s, d, "nation").select(
+        col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+      val n2 = T(s, d, "nation").select(
+        col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+      T(s, d, "supplier")
+        .join(T(s, d, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .filter(
+          col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
+            col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
+            col("supp_nation") =!= col("cust_nation") &&
+            col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+    "q49_order_priority" -> ((s, d) =>
+      // TPC-H Q4 shape: date-windowed order counts per priority, existence
+      // semi-join against late-shipped lineitems (decorrelated EXISTS)
+      T(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-10-01"))
+        .join(T(s, d, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))),
+    "q50_cube_revenue" -> ((s, d) =>
+      // CUBE over (region, order status): all four grouping-set levels in
+      // one pass (rollup's sibling; exercises ExpandExec)
+      T(s, d, "orders")
+        .join(broadcast(T(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("o_orderstatus"))
+        .agg(sum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -813,6 +858,38 @@ object SparkEntry {
         |        avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
         |      FROM orders)
         |WHERE o_totalprice > cust_avg""".stripMargin,
+    "q48_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM supplier
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q49_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q50_cube_revenue" ->
+      """SELECT r_name, o_orderstatus, sum(o_totalprice) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, o_orderstatus)""".stripMargin,
     "q45_grouped_topk" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
         |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

@@ -58,7 +58,11 @@ object Main {
   /** `csv2parquet src [dest]`: file → file; dir → recursive discovery with
     * mirrored basenames (`csv2parquet.py:125-133`).
     */
+  private def debugFlag(args: Array[String]): Boolean =
+    args.contains("-d") || args.contains("--debug")
+
   def csv2parquet(spark: SparkSession, args: Array[String]): Unit = {
+    val log = new CliLog("csv2parquet", debugFlag(args))
     val pos = args.filterNot(_.startsWith("-"))
     require(pos.nonEmpty, "csv2parquet needs a src argument")
     val src = pos(0)
@@ -67,16 +71,22 @@ object Main {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.getFileStatus(new org.apache.hadoop.fs.Path(src)).isDirectory) {
       val files = IO.discoverCsvFiles(spark, src)
-      if (files.isEmpty) System.err.println("no CSV files found")
+      // deviation from csv2parquet.py:89-90, which logs this error even on
+      // success: we log it only when the glob is actually empty
+      if (files.isEmpty) log.error("no CSV files found")
       files.foreach { f =>
         val d =
           if (dest.isEmpty) PathDerive.csvToParquetDest(f, "")
           else PathDerive.csvToParquetDest(f, dest.stripSuffix("/") + "/")
+        log.debug(s"csv_file: $f -> $d")
         IO.writeSingleFile(IO.readCsv(spark, f), d, IO.ParquetExt)
       }
+      log.info(s"converted ${files.length} file(s) under $src")
     } else {
-      IO.writeSingleFile(
-        IO.readCsv(spark, src), PathDerive.csvToParquetDest(src, dest), IO.ParquetExt)
+      val d = PathDerive.csvToParquetDest(src, dest)
+      log.debug(s"csv_file: $src -> $d")
+      IO.writeSingleFile(IO.readCsv(spark, src), d, IO.ParquetExt)
+      log.info(s"converted $src")
     }
   }
 
@@ -85,14 +95,19 @@ object Main {
     * broadcast bbox join and write back in the SAME format (S10).
     */
   def addCountry(spark: SparkSession, args: Array[String]): Unit = {
+    val log = new CliLog("add_country", debugFlag(args))
     val pos = args.filterNot(_.startsWith("-"))
     require(pos.nonEmpty, "add_country needs a glob argument")
     val suffix = if (pos.length > 1) pos(1) else "_with_country"
     val boxes = AddCountry.boxesDf(spark)
-    for (f <- IO.globFiles(spark, pos(0))) {
+    val files = IO.globFiles(spark, pos(0))
+    for (f <- files) {
+      val dest = PathDerive.addSuffix(f, suffix)
+      log.debug(s"data_file: $f -> $dest")
       val out = AddCountry(IO.readFile(spark, f), boxes)
-      IO.writeFile(out, PathDerive.addSuffix(f, suffix))
+      IO.writeFile(out, dest)
     }
+    log.info(s"enriched ${files.length} file(s) matching ${pos(0)}")
   }
 
   /** `agg glob [suffix] [-m mode] [-s meters] [--collate]` (`agg.py:262-272`;
@@ -121,9 +136,12 @@ object Main {
     require(GeoAggregate.modes.contains(mode.toLowerCase),
       s"mode must be one of ${GeoAggregate.modes.keys.mkString("|")}") // agg.py:287
     require(meters >= 0, "grid size must be >= 0") // agg.py:291
+    val log = new CliLog("agg", debugFlag(args))
     val suffix = if (pos.length > 1) pos(1) else "_geo_aggregated"
     val files = IO.globFiles(spark, pos(0))
     val step = GeoAggregate.metersToDegrees(meters)
+    log.debug(s"mode=$mode size_m=$meters step_deg=$step collate=$collate " +
+      s"files=${files.length}")
     if (collate) {
       // one multi-path read → one aggregate → one output (agg.py:174-193)
       val cols = Seq("Latitude", "Longitude", "Data")
@@ -132,15 +150,17 @@ object Main {
       val all = dfs.reduce(_ unionByName _)
       IO.writeSingleFile(
         GeoAggregate(all, mode, step), s"$suffix.parquet", IO.ParquetExt) // agg.py:169
+      log.info(s"collated ${files.length} file(s) -> $suffix.parquet")
     } else {
       for (f <- files) {
+        val dest = PathDerive.addSuffix(f, suffix).replaceAll("\\.[^./]+$", ".parquet")
+        log.debug(s"data_file: $f -> $dest")
         val out = GeoAggregate(IO.readFile(spark, f, Seq("Latitude", "Longitude", "Data")),
           mode, step)
         // always parquet, even for CSV input (agg.py:171-172)
-        IO.writeSingleFile(out,
-          PathDerive.addSuffix(f, suffix).replaceAll("\\.[^./]+$", ".parquet"),
-          IO.ParquetExt)
+        IO.writeSingleFile(out, dest, IO.ParquetExt)
       }
+      log.info(s"aggregated ${files.length} file(s) matching ${pos(0)}")
     }
   }
 }

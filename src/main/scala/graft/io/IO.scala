@@ -30,13 +30,28 @@ object IO {
   /** `read_csv(src, index_col=False, skipinitialspace=True, low_memory=True)`
     * parity (`csv2parquet.py:75`). Chunked low-memory parse is Spark's
     * native partition-wise CSV reader; dtype inference is `inferSchema`.
+    *
+    * Integer columns are upcast to long: pandas infers int64 (never int32),
+    * so without the upcast a converted Parquet file would carry INT32 where
+    * the reference emits INT64 — a schema-level deviation visible to any
+    * downstream reader. The full inference matrix (incl. the two remaining
+    * documented deviations: int-with-NA and lowercase booleans) is pinned
+    * by CsvInferenceParitySpec.
     */
-  def readCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read
+  def readCsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
       .option("header", "true")
       .option("inferSchema", "true")
       .option("ignoreLeadingWhiteSpace", "true")
       .csv(path)
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val cols = raw.schema.fields.map { f =>
+      if (f.dataType == IntegerType) col(f.name).cast(LongType).as(f.name)
+      else col(f.name)
+    }
+    raw.select(cols.toSeq: _*)
+  }
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -140,6 +140,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact all-pairs cosine self-join ≥ threshold via symmetric block
+    * partitioning. Exact low-threshold similarity join is inherently
+    * O(n²) in COMPUTE (at τ=0.4 no LSH family prunes — srpBandedNearDupPairs
+    * at full recall generated 6× redundant candidates plus a 75M-row
+    * distinct), so the scalable shape is to make the quadratic work
+    * partition-parallel and memory-bounded rather than pretend to prune:
+    *
+    *   - each row gets a hash block id in [0, blocks); the driver emits the
+    *     blocks(blocks+1)/2 unordered block pairs as a tiny broadcast;
+    *   - pair (x, y) is evaluated exactly ONCE — in the task owning its
+    *     block pair — so there is no candidate dedup shuffle at all;
+    *   - replication is O(n·blocks/2) rows, task memory is two blocks
+    *     (n/blocks rows each), and no full-corpus broadcast exists (the
+    *     8 GB broadcast death of the naive formulation).
+    *
+    * At a real near-dup threshold (τ ≥ 0.8) prefer srpBandedNearDupPairs
+    * with r=8+, which actually prunes.
+    */
+  def allPairsSimilarityJoin(emb: DataFrame, threshold: Double, blocks: Int = 32,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+      .withColumn("__blk", pmod(xxhash64(col(idCol)), lit(blocks)).cast("int"))
+    val bp = (for (i <- 0 until blocks; j <- i until blocks) yield (i, j))
+      .toDF("__ba", "__bb")
+    val a = v.select(col(idCol).as("__ida"), col("__v").as("__va"),
+      col("__n").as("__na"), col("__blk").as("__ba"))
+    val b = v.select(col(idCol).as("__idb"), col("__v").as("__vb"),
+      col("__n").as("__nb"), col("__blk").as("__bb"))
+    a.join(broadcast(bp), "__ba")
+      .join(b, "__bb")
+      // diagonal block: keep one orientation; cross-block: already unique
+      .filter(col("__ba") < col("__bb") || col("__ida") < col("__idb"))
+      .select(
+        least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        (dotProduct(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest of
     * `centroids` (broadcast), producing a `cell` column the table can be
     * repartitioned/bucketed by; probes then search only `nProbe` cells.

@@ -66,6 +66,22 @@ class CliSpec extends SparkSpec {
       Main.run(spark, "agg", Array(s"$dir/pts.csv", "-m", "sum")))
   }
 
+  test("-d toggles debug logging; <prog>.log file handler written either way") {
+    val dir = tmpDir()
+    sys.props("graft.log.dir") = dir
+    try {
+      writeText(s"$dir/pts.csv", geoCsv)
+      Main.run(spark, "agg", Array(s"$dir/pts.csv", "-s", "278000"))
+      val quiet = Files.readString(Paths.get(s"$dir/agg.log"))
+      assert(quiet.contains(" INFO agg:"), quiet)
+      assert(!quiet.contains(" DEBUG agg:"), quiet)
+      Main.run(spark, "agg", Array(s"$dir/pts.csv", "-d", "-s", "278000"))
+      val verbose = Files.readString(Paths.get(s"$dir/agg.log"))
+      assert(verbose.contains(" DEBUG agg:"), verbose)
+      assert(verbose.contains("data_file:"), verbose)
+    } finally sys.props.remove("graft.log.dir")
+  }
+
   test("add_country: same-format write-back with suffix") {
     val dir = tmpDir()
     writeText(s"$dir/pts.csv", geoCsv)

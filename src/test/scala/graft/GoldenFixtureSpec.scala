@@ -32,7 +32,7 @@ class GoldenFixtureSpec extends SparkSpec {
   test("typed.csv: pandas-parity inference on the committed fixture") {
     val df = IO.readCsv(spark, s"$fixtures/typed.csv")
     val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
-    assert(types("int_col") == "integer")
+    assert(types("int_col") == "long") // pandas int64 parity (readCsv upcast)
     assert(types("float_col") == "double")
     assert(types("maybe_num") == "string")
     assert(types("sci") == "double")

@@ -24,7 +24,7 @@ class IOSpec extends SparkSpec {
         |""".stripMargin)
     val df = IO.readCsv(spark, s"$dir/typed.csv")
     val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
-    assert(types("i") == "integer")
+    assert(types("i") == "long") // pandas int64 parity (readCsv upcast)
     assert(types("f") == "double")
     assert(types("s") == "string")
     assert(types("maybe_num") == "string") // one non-numeric row → string

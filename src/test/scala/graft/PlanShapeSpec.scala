@@ -59,6 +59,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q48 pushes the shipdate range into the parquet scan; nations broadcast") {
+    val s = planString(SparkEntry.queries("q48_volume_shipping")(spark, sf0001))
+    val pushed = s.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("l_shipdate"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("q49 EXISTS plans as a semi join with the date filter pushed down") {
+    val s = planString(SparkEntry.queries("q49_order_priority")(spark, sf0001))
+    assert(s.contains("Semi"), s)
+    val pushed = s.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("o_orderdate"), s)
+  }
+
   test("q22 cosine top-k uses the native dot_product expression in codegen") {
     val df = SparkEntry.queries("q22_cosine_topk")(spark, sf0001)
     assert(planString(df).contains("dot_product"), planString(df))

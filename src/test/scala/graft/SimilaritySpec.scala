@@ -54,6 +54,43 @@ class SimilaritySpec extends SparkSpec {
     assert(!top.contains(3L))
   }
 
+  test("all-pairs block join matches the brute-force pair set exactly") {
+    val n = 40
+    val synth = (0L until n).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31.0 + d * 7.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val blocked = Similarity.allPairsSimilarityJoin(synth, threshold = 0.2, blocks = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over the same dotProduct expression → identical doubles
+    val v = synth.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nn", l2Norm(col("e")))
+    val brute = v.toDF("id_a", "ea", "na")
+      .crossJoin(v.toDF("id_b", "eb", "nb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dotProduct(col("ea"), col("eb")) / (col("na") * col("nb"))).as("s"))
+      .filter(col("s") >= 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked == brute)
+    assert(brute.nonEmpty) // the gate means something
+  }
+
+  test("srp banded near-dup prunes: planted pair found, orthogonal absent") {
+    val base = Array.tabulate(8)(d => math.cos(d * 1.3).toFloat)
+    val nearDup = base.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.01f else 0f) }
+    val rows = Seq((0L, base), (1L, nearDup)) ++
+      (2L until 20L).map(i => (i, Array.tabulate(8)(d => math.sin(i * 97.0 + d * 13.0).toFloat)))
+    val pairs = Similarity.srpBandedNearDupPairs(rows.toDF("vec_id", "embedding"),
+      dim = 8, threshold = 0.9, planesPerBand = 4, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    // every reported pair really is ≥ τ (verification step, not just banding)
+    val sims = Similarity.srpBandedNearDupPairs(rows.toDF("vec_id", "embedding"),
+      dim = 8, threshold = 0.9, planesPerBand = 4, bands = 8)
+      .select("cosine_sim").as[Double].collect()
+    assert(sims.forall(_ >= 0.9))
+  }
+
   test("IVF cell assignment picks the nearest centroid") {
     val centroids = Seq(
       (0, Array(1.0f, 0.0f, 0.0f)),
