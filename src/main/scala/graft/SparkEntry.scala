@@ -522,7 +522,53 @@ object SparkEntry {
         .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .cube(col("r_name"), col("o_orderstatus"))
         .agg(sum(col("o_totalprice")).as("revenue"),
-          count(lit(1)).as("n_orders"))))
+          count(lit(1)).as("n_orders"))),
+    "q51_sessionization" -> ((s, d) => {
+      // batch twin of EventStream.userSessions: 30-minute-gap sessions via
+      // gaps-and-islands (lag → new-session flag → running sum), exact in
+      // microseconds. Both window passes share one (user_id) shuffle+sort.
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(w)
+      val newSession = when(
+        prev.isNull ||
+          unix_micros(col("ts")) - unix_micros(prev) > 1800L * 1000000L, 1L)
+        .otherwise(0L)
+      ev.withColumn("__new", newSession)
+        .withColumn("session_seq",
+          sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          unix_micros(min(col("ts"))).as("session_start_us"),
+          count(lit(1)).as("n_events"),
+          sum(col("value")).as("total_value"))
+    }),
+    "q52_percentiles" -> ((s, d) =>
+      // exact multi-quantile per group (linear interpolation — the same
+      // definition pandas/numpy/DuckDB use); ObjectHashAggregate like median
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"))),
+    "q53_term_freq_topk" -> ((s, d) => {
+      // inverted-index style term frequencies, top 5 per language through
+      // the native GroupedTopK operator (bounded buffers, no window sort)
+      val terms = T(s, d, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("n_occurrences"))
+      graft.plans.TopK.perGroup(terms, Seq("lang"),
+        Seq(("n_occurrences", true), ("token", false)), 5)
+    }),
+    "q54_winnow_fingerprints" -> ((s, d) =>
+      // winnowing fingerprints (k=3 shingles, window w=4) with the portable
+      // hash so the exact fingerprint sets are oracle-checked
+      T(s, d, "documents").select(
+        col("doc_id"),
+        explode(TextAnalysis.winnowFingerprints(col("text"), 3, 4,
+          sh => md5Hash31(sh))).as("fp"))))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -890,6 +936,57 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY CUBE(r_name, o_orderstatus)""".stripMargin,
+    "q51_sessionization" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  count(*) AS n_events, sum(value) AS total_value
+        |FROM sessions GROUP BY user_id, session_seq""".stripMargin,
+    "q52_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q53_term_freq_topk" ->
+      """WITH terms AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                       x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |counts AS (SELECT lang, token, count(*) AS n_occurrences
+        |           FROM terms GROUP BY lang, token)
+        |SELECT lang, token, n_occurrences FROM (
+        |  SELECT lang, token, n_occurrences,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_occurrences DESC, token) AS rn
+        |  FROM counts)
+        |WHERE rn <= 5""".stripMargin,
+    "q54_winnow_fingerprints" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+         |  FROM documents),
+         |hs AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN []::BIGINT[]
+         |    ELSE list_transform(range(1, len(t) - 1),
+         |           i -> ${hash31Sql("t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]")}) END AS h
+         |  FROM toks),
+         |fp AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN []::BIGINT[]
+         |    WHEN len(h) <= 4 THEN [list_min(h)]
+         |    ELSE list_distinct(list_transform(range(1, len(h) - 2),
+         |           i -> list_min(list_slice(h, i, i + 3)))) END AS fps
+         |  FROM hs)
+         |SELECT doc_id, unnest(fps) AS fp FROM fp""".stripMargin,
     "q45_grouped_topk" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
         |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

@@ -126,6 +126,39 @@ object TextAnalysis {
       (acc, t) => pmod(acc * lit(31L) + pmod(hash(t).cast("long"), p), p))
   }
 
+  /** Winnowing fingerprints (the localized document-fingerprinting scheme
+    * from the MOSS winnowing paper): POSITIONAL k-gram shingle hashes →
+    * sliding windows of `w` consecutive hashes → min per window → distinct
+    * set. Any shared run of ≥ w+k−1 tokens between two documents is
+    * guaranteed to share at least one fingerprint, so a fingerprint
+    * inverted index finds partial overlaps that whole-document hashing
+    * (`fingerprint` above) misses. Map-only per row; grouping by the
+    * exploded fingerprint is the caller's (bounded) shuffle.
+    *
+    * `shingleHash` is pluggable: xxhash64 in production; `md5Hash31` in the
+    * oracle-parity query so DuckDB recomputes the exact set (q54).
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int,
+                         shingleHash: Column => Column): Column = {
+    // let-bound token vector (1-element transform wrapper — same pattern as
+    // wordShingles) → positional, NON-distinct shingle hash sequence
+    val hs = element_at(
+      transform(array(tokens(text)), tsv =>
+        when(size(tsv) < k, array().cast("array<bigint>"))
+          .otherwise(
+            transform(sequence(lit(1), size(tsv) - lit(k - 1)),
+              i => shingleHash(array_join(slice(tsv, i, lit(k)), " "))))),
+      1)
+    element_at(
+      transform(array(hs), h =>
+        when(size(h) === 0, array().cast("array<bigint>"))
+          .when(size(h) <= w, array(array_min(h)))
+          .otherwise(sort_array(array_distinct(
+            transform(sequence(lit(1), size(h) - lit(w - 1)),
+              i => array_min(slice(h, i, lit(w)))))))),
+      1)
+  }
+
   /** GPT-2-style pre-tokenizer regex (contractions, letter runs, digit
     * runs, punctuation runs, whitespace runs) — the classic BPE split
     * pattern, restricted to constructs RE2 and Java regex treat

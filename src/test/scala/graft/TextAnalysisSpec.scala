@@ -67,4 +67,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df(0) == df(2))
     assert(df(0) != df(1))
   }
+
+  test("winnowing: shared run of ≥ w+k-1 tokens shares a fingerprint; short docs get one") {
+    import org.apache.spark.sql.functions.xxhash64
+    val k = 3; val w = 4
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1
+    val df = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight $shared nine ten"),
+      (3L, "totally unrelated words everywhere around here always"),
+      (4L, "tiny doc") // < k tokens → empty fingerprint set
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      TextAnalysis.winnowFingerprints(col("text"), k, w, h => xxhash64(h)).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((fps(1L).toSet intersect fps(2L).toSet).nonEmpty) // overlap guarantee
+    assert((fps(1L).toSet intersect fps(3L).toSet).isEmpty)
+    assert(fps(4L).isEmpty)
+    // mid-size doc (k ≤ tokens, shingles ≤ w) collapses to a single min
+    val one = Seq((5L, "a b c d")).toDF("doc_id", "text")
+      .select(TextAnalysis.winnowFingerprints(col("text"), k, w, h => xxhash64(h)).as("f"))
+      .as[Seq[Long]].collect().head
+    assert(one.length == 1)
+  }
 }
