@@ -6,7 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{DotProduct, SortedIntersectCount}
 
-/** Session extensions exposing graft's native expressions to SQL users:
+/** Session extensions wiring graft's engine pieces into any SparkSession:
+  * the native SQL expressions, the GroupedTopK planning strategy, and the
+  * row_number-top-k rewrite rule
+  * ([[graft.plans.RowNumberTopKRewrite]]):
   *
   *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
   *   // or: spark.sql.extensions=graft.GraftExtensions
@@ -14,6 +17,8 @@ import graft.functions.{DotProduct, SortedIntersectCount}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
     e.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

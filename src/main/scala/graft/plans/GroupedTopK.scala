@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 
 /** Grouped top-k as a first-class operator (SURVEY.md §4 tier c — custom
   * LogicalPlan + Strategy + SparkPlan).
@@ -88,13 +88,17 @@ case class GroupedTopKPartialExec(groupExprs: Seq[Expression],
     copy(child = newChild)
 }
 
-/** Exact per-group top-k after hash partitioning on the group keys. */
+/** Exact per-group top-k after hash partitioning on the group keys.
+  * Empty group keys = global top-k, which requires ALL rows in one
+  * partition (AllTuples) — UnspecifiedDistribution would silently return
+  * per-partition top-ks.
+  */
 case class GroupedTopKFinalExec(groupExprs: Seq[Expression],
                                 sortOrder: Seq[SortOrder], k: Int,
                                 child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupExprs.isEmpty) UnspecifiedDistribution :: Nil
+    if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions(

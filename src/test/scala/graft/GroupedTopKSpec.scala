@@ -48,4 +48,43 @@ class GroupedTopKSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       TopK.perGroup(li, Seq("l_suppkey"), Seq(("l_orderkey", false)), 0))
   }
+
+  test("global top-k (no group keys) gathers to one partition, matches orderBy+limit") {
+    val topk = TopK.perGroup(li, Nil,
+      Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)), 5)
+      .select("l_orderkey", "l_linenumber").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expected = li
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(5)
+      .select("l_orderkey", "l_linenumber").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(topk == expected)
+  }
+
+  test("RowNumberTopKRewrite: window rn<=k with rn dropped plans as GroupedTopK") {
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ graft.plans.RowNumberTopKRewrite
+      if (!spark.experimental.extraStrategies.contains(graft.plans.GroupedTopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.GroupedTopKStrategy
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      val rewritten = li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+      val rows = rewritten.collect()
+      val s = rewritten.queryExecution.executedPlan.toString
+      assert(s.contains("GroupedTopKFinal"), s)
+      assert(!s.contains("WindowExec"), s)
+      // identical rows to the un-rewritten window formulation
+      val plain = li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+      assert(rows.map(_.toString).toSet == plain.collect().map(_.toString).toSet)
+      // keeping rn in the output must NOT rewrite (rank is required)
+      val keepsRn = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      keepsRn.collect()
+      assert(!keepsRn.queryExecution.executedPlan.toString.contains("GroupedTopKFinal"))
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
