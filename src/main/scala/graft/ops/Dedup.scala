@@ -33,14 +33,24 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Exact dedup via content hash: min(id) per xxhash64(content). Shuffles
-    * only (hash, id) pairs; survivors are re-joined to fetch payloads. This
-    * is the 100 TB shape: the wide columns never shuffle.
+  /** Exact dedup via content hash: min(id) per 128-bit content hash (two
+    * independently-seeded xxhash64 lanes). Shuffles only (hash, id) pairs;
+    * survivors are re-joined to fetch payloads. This is the 100 TB shape:
+    * the wide columns never shuffle.
+    *
+    * Why 128 bits: a single 64-bit lane hits birthday collisions around
+    * 2^32 documents — a few billion, i.e. exactly the corpus size this
+    * operator exists for — and a collision here silently DELETES a unique
+    * document. Two lanes push the first expected collision past 10^19 docs.
     */
   def exactByHash(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    // salt FIRST: xxhash64 chains arguments left-to-right with the running
+    // hash as seed, so xxhash64(content, 1) would be a pure function of
+    // lane 1 (correlated); xxhash64(1, content) re-seeds the content hash
     val keepIds = df
-      .select(xxhash64(col(contentCol)).as("__h"), col(idCol))
-      .groupBy("__h").agg(min(col(idCol)).as(idCol))
+      .select(xxhash64(col(contentCol)).as("__h1"),
+        xxhash64(lit(1L), col(contentCol)).as("__h2"), col(idCol))
+      .groupBy("__h1", "__h2").agg(min(col(idCol)).as(idCol))
       .select(idCol)
     df.join(keepIds, Seq(idCol), "left_semi")
   }
