@@ -133,6 +133,39 @@ object EventStream {
       }
   }
 
+  /** Stream-static enrichment join: the static dimension is joined fresh
+    * per micro-batch (broadcast — it is the classic "enrich events with a
+    * dim table" pattern). Stateless: no watermark required, and the static
+    * side may be swapped between restarts without state migration.
+    */
+  def enriched(events: DataFrame, dim: DataFrame,
+               key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval self-join: purchases within `withinMinutes`
+    * AFTER a click by the same user. Both sides carry a watermark and the
+    * join condition bounds event-time distance, so the state store retains
+    * each side only for watermark + interval — bounded state on an
+    * unbounded stream (an unconstrained stream-stream join would grow
+    * state forever).
+    */
+  def clickPurchaseJoin(events: DataFrame, withinMinutes: Int = 60): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Run a streaming DataFrame to completion against a bounded file source
     * via the memory sink; returns the materialized result. Used by tests
     * and demos ("batch drives the stream", spark_guide.md).

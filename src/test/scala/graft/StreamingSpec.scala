@@ -43,6 +43,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == 200)
   }
 
+  test("stream-static enrichment matches the batch join exactly") {
+    import org.apache.spark.sql.functions._
+    val dim = spark.range(0, 150)
+      .select(col("id").as("user_id"), (col("id") % 3).as("segment"))
+    val streamed = EventStream.enriched(EventStream.read(spark, sf0001), dim)
+    val got = EventStream.runToMemory(spark, streamed, "enriched_test")
+    val batch = Tables.events(spark, sf0001).join(dim, Seq("user_id"), "left")
+    assert(got.count() == batch.count())
+    assert(got.filter(col("segment").isNull).count() ==
+      batch.filter(col("segment").isNull).count())
+  }
+
+  test("stream-stream interval join (click→purchase ≤1h) matches the batch equivalent") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.clickPurchaseJoin(EventStream.read(spark, sf0001))
+    val got = EventStream.runToMemory(spark, streamed, "click_purchase_test")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, sf0001)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = c.join(p,
+      col("user_id") === col("pu") && col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 60 MINUTES"))
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) closes gap-separated sessions") {
     val streamed = EventStream.sessionizeStateful(
       EventStream.read(spark, sf0001), gapMinutes = 30).toDF()
