@@ -28,15 +28,15 @@ import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistrib
   * At 100 TB this is the difference between shuffling the fact table and
   * shuffling k rows per (group × task).
   *
-  * MEMORY CAVEAT: TopKPass holds one k-buffer per distinct group seen by a
-  * task in an in-memory map with no spill, so per-task memory is
-  * O(groups_in_task × k × rowSize). That is the right trade when groups ≪
-  * rows (the top-k-per-entity shape this operator exists for). When the
-  * group key is high-cardinality (groups ≈ rows) the buffers approach the
-  * input size and can OOM an executor where the window formulation would
-  * sort-and-spill — prefer the window plan there, or pre-partition so each
-  * task sees a bounded group count. (A spillable buffer map is the
-  * follow-up if a real workload needs the high-cardinality case.)
+  * MEMORY: the partial pass tracks at most `PartialMaxGroups` groups per
+  * task — rows of further groups stream through to the exchange unfiltered
+  * (correct; only the pre-selection benefit is lost for the overflow
+  * groups) — so map-side memory is strictly bounded at high group
+  * cardinality. The final pass is exact and holds groups-per-partition × k
+  * rows; size `spark.sql.shuffle.partitions` so that stays in executor
+  * memory (at extreme cardinality the window sort-and-spill formulation
+  * remains the safer plan — the rewrite rule preserves semantics either
+  * way).
   */
 case class GroupedTopK(groupExprs: Seq[Expression], sortOrder: Seq[SortOrder],
                        k: Int, child: LogicalPlan) extends UnaryNode {
@@ -46,34 +46,67 @@ case class GroupedTopK(groupExprs: Seq[Expression], sortOrder: Seq[SortOrder],
     copy(child = newChild)
 }
 
-/** Shared bounded per-group selection pass. */
+/** Shared bounded per-group selection pass.
+  *
+  * `maxGroups` caps the tracked-group map. Rows of groups BEYOND the cap
+  * stream through unfiltered (`passthrough`) instead of being buffered —
+  * legal wherever the pass is a pre-selection in front of an exact
+  * consumer, because forwarding extra rows never changes a top-k. With the
+  * cap, memory is strictly O(maxGroups × k × rowSize) regardless of group
+  * cardinality. The exact final pass runs with maxGroups = ∞ (it must see
+  * every group; its memory is groups-per-PARTITION × k, sized by the
+  * shuffle partition count).
+  */
 private[plans] object TopKPass {
   def run(iter: Iterator[InternalRow], groupExprs: Seq[Expression],
-          sortOrder: Seq[SortOrder], k: Int,
-          output: Seq[Attribute]): Iterator[InternalRow] = {
+          sortOrder: Seq[SortOrder], k: Int, output: Seq[Attribute],
+          maxGroups: Int = Int.MaxValue): Iterator[InternalRow] = {
     val groupProj = UnsafeProjection.create(groupExprs, output)
     val rowProj = UnsafeProjection.create(output, output)
     val ordering = RowOrdering.create(sortOrder, output)
     val buffers = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[UnsafeRow]]
-    while (iter.hasNext) {
-      val row = iter.next()
-      val buf = buffers.getOrElseUpdate(
-        groupProj(row).copy(), new mutable.ArrayBuffer[UnsafeRow](k + 1))
-      // skip early when the buffer is full and row sorts after the current kth
-      if (buf.length < k || ordering.compare(row, buf.last) < 0) {
-        val copied = rowProj(row).copy()
-        var i = buf.length
-        while (i > 0 && ordering.compare(copied, buf(i - 1)) < 0) i -= 1
-        buf.insert(i, copied)
-        if (buf.length > k) buf.remove(k)
+
+    // lazily interleave: overflow-group rows are emitted the moment they
+    // arrive (never stored); buffered top-ks drain after input is exhausted
+    val passthrough: Iterator[InternalRow] = new Iterator[InternalRow] {
+      private var pending: InternalRow = _
+      private def advance(): Unit = {
+        while (pending == null && iter.hasNext) {
+          val row = iter.next()
+          val key = groupProj(row)
+          val existing = buffers.get(key)
+          if (existing.isEmpty && buffers.size >= maxGroups) {
+            pending = rowProj(row).copy() // untracked group: forward as-is
+          } else {
+            val buf = existing.getOrElse {
+              val b = new mutable.ArrayBuffer[UnsafeRow](k + 1)
+              buffers.put(key.copy(), b)
+              b
+            }
+            // skip early when full and row sorts after the current kth
+            if (buf.length < k || ordering.compare(row, buf.last) < 0) {
+              val copied = rowProj(row).copy()
+              var i = buf.length
+              while (i > 0 && ordering.compare(copied, buf(i - 1)) < 0) i -= 1
+              buf.insert(i, copied)
+              if (buf.length > k) buf.remove(k)
+            }
+          }
+        }
+      }
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): InternalRow = {
+        advance(); val r = pending; pending = null; r
       }
     }
-    buffers.valuesIterator.flatMap(_.iterator)
+    passthrough ++ buffers.valuesIterator.flatMap(_.iterator)
   }
 }
 
 /** Map-side bounded pre-selection: no distribution requirement; shrinks
-  * what the exchange has to move.
+  * what the exchange has to move. Memory-capped — beyond
+  * `PartialMaxGroups` tracked groups per task, rows pass through to the
+  * exchange unfiltered (correct: the final pass is exact).
   */
 case class GroupedTopKPartialExec(groupExprs: Seq[Expression],
                                   sortOrder: Seq[SortOrder], k: Int,
@@ -82,10 +115,19 @@ case class GroupedTopKPartialExec(groupExprs: Seq[Expression],
   override def outputPartitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions(
-      TopKPass.run(_, groupExprs, sortOrder, k, output),
+      TopKPass.run(_, groupExprs, sortOrder, k, output,
+        GroupedTopKPartialExec.PartialMaxGroups),
       preservesPartitioning = true)
   override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKPartialExec =
     copy(child = newChild)
+}
+
+object GroupedTopKPartialExec {
+  /** Tracked-group cap per partial task: 100k groups × k rows of buffer is
+    * a few hundred MB at most for wide rows, far under executor memory,
+    * while still collapsing the common groups≪rows workloads completely.
+    */
+  val PartialMaxGroups: Int = 100000
 }
 
 /** Exact per-group top-k after hash partitioning on the group keys.

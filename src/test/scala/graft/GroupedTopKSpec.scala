@@ -49,6 +49,23 @@ class GroupedTopKSpec extends SparkSpec {
       TopK.perGroup(li, Seq("l_suppkey"), Seq(("l_orderkey", false)), 0))
   }
 
+  test("partial-pass group cap: beyond-cap groups pass through, result stays exact") {
+    // one input partition with 150k distinct groups > PartialMaxGroups
+    // (100k): the partial task tracks the first 100k groups and forwards
+    // the rest unbuffered; the final pass must still be exact for ALL
+    val n = 150000L
+    val df = spark.range(2 * n)
+      .selectExpr(s"id % $n AS g", "id AS v")
+      .repartition(1)
+    val top1 = TopK.perGroup(df, Seq("g"), Seq(("v", false)), 1)
+    assert(top1.count() == n) // every group present exactly once
+    // top-1 by v ascending == min(v) per group
+    val mismatches = top1.alias("t")
+      .join(df.groupBy("g").agg(org.apache.spark.sql.functions.min("v").as("mv")), "g")
+      .filter(col("v") =!= col("mv")).count()
+    assert(mismatches == 0)
+  }
+
   test("global top-k (no group keys) gathers to one partition, matches orderBy+limit") {
     val topk = TopK.perGroup(li, Nil,
       Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)), 5)
