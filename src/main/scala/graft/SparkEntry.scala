@@ -322,12 +322,20 @@ object SparkEntry {
     // --- near-dup pair detection (north-star §2.11) ---
     "q31_blocked_jaccard_neardup" -> ((s, d) => {
       // blocked pairwise dedup: candidate pairs only within (lang, source)
-      // blocks — the classic blocking-key design that bounds the pair count
+      // blocks, and each block capped at its first 1000 doc_ids (rank
+      // window) so in-block pairs stay bounded as the corpus grows — an
+      // uncapped block's pair count is quadratic in corpus size. The LSH
+      // pipeline (q33) is the unbounded-corpus path; this is the
+      // blocking-key + bounded-sample design.
       val docs = T(s, d, "documents")
+      val blockW = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
       // hashed token sets + precomputed sizes: per-pair work is one
       // long-array intersect (jaccard preserved up to 64-bit collisions)
-      val t = docs.select(col("doc_id"), col("lang"), col("source"),
-        sort_array(array_distinct(transform(tokens(col("text")), xxhash64(_)))).as("toks"))
+      val t = docs
+        .withColumn("__r", row_number().over(blockW))
+        .filter(col("__r") <= 1000)
+        .select(col("doc_id"), col("lang"), col("source"),
+          sort_array(array_distinct(transform(tokens(col("text")), xxhash64(_)))).as("toks"))
         .withColumn("n", size(col("toks")))
       val inter = sortedIntersectCount(col("a.toks"), col("b.toks")).cast("double")
       val unionSize = (col("a.n") + col("b.n")).cast("double") - inter
@@ -568,7 +576,32 @@ object SparkEntry {
       T(s, d, "documents").select(
         col("doc_id"),
         explode(TextAnalysis.winnowFingerprints(col("text"), 3, 4,
-          sh => md5Hash31(sh))).as("fp"))))
+          sh => md5Hash31(sh))).as("fp"))),
+    "q55_promo_revenue" -> ((s, d) =>
+      // TPC-H Q14 shape: conditional aggregation — promo share of revenue
+      // in one pass over the join (no second scan for the numerator)
+      T(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-07-01"))
+        .join(T(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) * sum(
+            when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(lit(0.0))) /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("promo_revenue_pct"))),
+    "q56_supplier_part_counts" -> ((s, d) =>
+      // TPC-H Q16 shape: distinct supplier count per part attribute with a
+      // NOT IN exclusion (planned as an anti-join, not a subquery loop)
+      T(s, d, "lineitem")
+        .join(T(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_size").isin(1, 7, 14, 23) && col("p_type") =!= "PROMO")
+        .join(T(s, d, "supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey").as("bad_supp")),
+          col("l_suppkey") === col("bad_supp"), "left_anti")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -726,8 +759,12 @@ object SparkEntry {
          |SELECT lang_pred, count(*) AS n_docs FROM pred GROUP BY lang_pred""".stripMargin
     },
     "q31_blocked_jaccard_neardup" ->
-      s"""WITH t AS (SELECT doc_id, lang, source, list_distinct($toksSql) AS toks
-         |           FROM documents)
+      s"""WITH capped AS (SELECT doc_id, lang, source, text FROM (
+         |    SELECT doc_id, lang, source, text,
+         |      row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS r
+         |    FROM documents) WHERE r <= 1000),
+         |t AS (SELECT doc_id, lang, source, list_distinct($toksSql) AS toks
+         |           FROM capped)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard_sim
@@ -1004,6 +1041,20 @@ object SparkEntry {
         |  SELECT p_brand FROM part
         |  EXCEPT
         |  SELECT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin,
+    "q55_promo_revenue" ->
+      """SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                        THEN l_extendedprice * (1 - l_discount)
+        |                        ELSE 0.0 END)
+        |       / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+    "q56_supplier_part_counts" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (1, 7, 14, 23) AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size""".stripMargin,
     "q24_quality_score" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS DOUBLE) AS n_tokens,
