@@ -601,7 +601,20 @@ object SparkEntry {
           .select(col("s_suppkey").as("bad_supp")),
           col("l_suppkey") === col("bad_supp"), "left_anti")
         .groupBy(col("p_brand"), col("p_size"))
-        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))),
+    "q57_event_pivot" -> ((s, d) =>
+      // pivot/crosstab: per user-decile event-type counts; explicit value
+      // list keeps the column set static (one pass, no value-discovery job)
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("user_decile"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))),
+    "q58_hash_sample" -> ((s, d) =>
+      // deterministic ~5% hash-gated sample of documents (stable under
+      // re-runs/repartitioning — the held-out-split property); portable
+      // hash flavor so the oracle draws the identical sample
+      Sampling.hashSamplePortable(T(s, d, "documents"), "doc_id", 5)
+        .select("doc_id", "lang", "source", "n_chars")))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -1055,6 +1068,17 @@ object SparkEntry {
         |WHERE p_size IN (1, 7, 14, 23) AND p_type <> 'PROMO'
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY p_brand, p_size""".stripMargin,
+    "q57_event_pivot" ->
+      """SELECT user_id % 10 AS user_decile,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q58_hash_sample" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE (${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 100 < 5""".stripMargin,
     "q24_quality_score" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS DOUBLE) AS n_tokens,

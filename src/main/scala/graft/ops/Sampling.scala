@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines (north-star
+  * extension). `df.sample()` is seed-dependent per partitioning and not
+  * reproducible across engines or re-partitionings; hash-gating on a key
+  * IS: a row's membership depends only on its key, so samples are stable
+  * under re-runs, repartitioning, and incremental appends (the property
+  * held-out/eval splits need). Map-only — no shuffle, fully pushdown-
+  * friendly.
+  */
+object Sampling {
+
+  /** Keep rows whose key hashes into the first `percent` buckets of 100.
+    * Production flavor: xxhash64 (fast, codegen'd).
+    */
+  def hashSample(df: DataFrame, keyCol: String, percent: Int,
+                 seed: Long = 42L): DataFrame = {
+    require(percent >= 0 && percent <= 100, "percent must be in [0, 100]")
+    df.filter(pmod(xxhash64(lit(seed), col(keyCol)), lit(100)) < percent)
+  }
+
+  /** Oracle-parity flavor: same gating with the portable md5-derived hash
+    * (`graft.functions.md5Hash31`) that DuckDB computes identically —
+    * used where a cross-engine-reproducible split matters more than speed.
+    */
+  def hashSamplePortable(df: DataFrame, keyCol: String, percent: Int): DataFrame = {
+    require(percent >= 0 && percent <= 100, "percent must be in [0, 100]")
+    df.filter(
+      graft.functions.md5Hash31(col(keyCol).cast("string")) % 100 < percent)
+  }
+
+  /** Disjoint train/heldout split columns from the same hash — every row
+    * gets exactly one label; changing `heldoutPercent` only MOVES the
+    * boundary (rows never swap between arbitrary splits on re-runs).
+    */
+  def splitLabel(keyCol: Column, heldoutPercent: Int, seed: Long = 42L): Column =
+    when(pmod(xxhash64(lit(seed), keyCol), lit(100)) < heldoutPercent, "heldout")
+      .otherwise("train")
+}
