@@ -136,6 +136,25 @@ object IO {
     }).save(dest)
   }
 
+  /** Write a DataFrame as a BUCKETED external parquet table (bucket
+    * metadata lives in the catalog, so `saveAsTable` is required; `path`
+    * keeps the data out of the default warehouse). Two tables bucketed by
+    * their join key with the same bucket count join WITHOUT an exchange —
+    * at 100 TB this converts every recurring fact-fact join on the key
+    * into a shuffle-free zipped scan (pay one shuffle at write time,
+    * amortized over every subsequent join). Optionally sorted within
+    * buckets so sort-merge joins skip the sort too.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCols: Seq[String], numBuckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    val w0 = df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    w1.format("parquet").saveAsTable(table)
+  }
+
   /** Recursive case-insensitive CSV discovery (`csv2parquet.py:85`)
     * via Hadoop FileSystem — driver-side listing, needed when each input
     * file maps to its own output file (per-file job granularity).

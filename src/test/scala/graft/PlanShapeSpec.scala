@@ -94,6 +94,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("bucketed tables co-locate the join: no exchange on either side") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    graft.io.IO.writeBucketed(
+      Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity"),
+      "t_li_bucketed", s"$dir/li", Seq("l_orderkey"), 8, Seq("l_orderkey"))
+    graft.io.IO.writeBucketed(
+      Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice"),
+      "t_or_bucketed", s"$dir/or", Seq("o_orderkey"), 8, Seq("o_orderkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val j = spark.table("t_li_bucketed")
+        .join(spark.table("t_or_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      j.collect()
+      val s = j.queryExecution.executedPlan.toString
+      assert(!s.contains("Exchange"), s) // bucketing replaced the shuffle
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS t_or_bucketed")
+    }
+  }
+
   test("metadata-only multimodal scan does not read the blob column") {
     val media = graft.ops.Multimodal.synthesize(
       spark, Tables.documents(spark, sf0001).select("doc_id"), "doc_id")
