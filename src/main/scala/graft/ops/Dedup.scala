@@ -194,15 +194,19 @@ object Dedup {
 
   // ------------------------------------------------- near-dup clustering
 
-  /** Connected components over a near-dup pair list via iterative min-label
-    * propagation: every doc in a component converges to the component's
-    * smallest doc id. Each iteration is one join + one aggregation (both
-    * shuffles on well-distributed ids); iterations needed ≈ graph diameter
-    * (near-dup clusters are dense, so 2–3 in practice). The driver only
-    * checks a scalar convergence count per iteration — no data ever
-    * collects. Returns (idCol, cluster_rep) for every node in `pairs`.
+  /** Connected components over a near-dup pair list: every doc in a
+    * component converges to the component's smallest doc id. Each round is
+    * (a) neighbor-min propagation — one join + one aggregation on
+    * well-distributed ids — and (b) POINTER DOUBLING
+    * (label(u) ← label(label(u)), one self-join), so convergence is
+    * O(log diameter) rounds, not O(diameter): a million-node chain needs
+    * ~20 rounds instead of a million. Labels only ever decrease and every
+    * label value is a node id of the same component, so the converged
+    * state (stable under both steps, checked by a scalar count — nothing
+    * ever collects) is exactly per-component min. Returns
+    * (idCol, cluster_rep) for every node in `pairs`.
     */
-  def clusterNearDups(pairs: DataFrame, maxIter: Int = 10,
+  def clusterNearDups(pairs: DataFrame, maxIter: Int = 20,
                       idCol: String = "doc_id"): DataFrame = {
     // materialize the pair list once — `pairs` is typically a full LSH
     // pipeline, and edges are re-read every iteration
@@ -217,13 +221,24 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // (a) neighbor-min: pull the smallest label across every edge
       val propagated = edges
         .join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "src_label"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("src_label")).as("label"))
-      val next = labels.select("node", "label").union(propagated)
+      // checkpoint BEFORE the doubling self-join: truncates the growing
+      // lineage each round and gives the self-join a plain scan to dedup
+      // (self-joining the live union plan trips Union constraint rewrite)
+      val viaNeighbors = labels.select("node", "label").union(propagated)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true) // truncate the growing lineage each round
+        .localCheckpoint(true)
+      // (b) pointer doubling: follow the label chain one hop — label
+      // values are node ids, so the lookup is a self-join; the chained
+      // label is never larger (labels are monotone decreasing)
+      val next = viaNeighbors.alias("n")
+        .join(viaNeighbors.select(col("node").as("l_node"), col("label").as("l_label")),
+          col("n.label") === col("l_node"))
+        .select(col("n.node").as("node"), col("l_label").as("label"))
       val changed = next.alias("n")
         .join(labels.alias("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") =!= col("o.label"))

@@ -28,6 +28,40 @@ class ClusterSpec extends SparkSpec {
     assert(got.values.forall(_ == 1L))
   }
 
+  test("pointer doubling: a 300-node chain converges in ~log rounds, not 300") {
+    // neighbor-min alone moves the min one hop per round (300 rounds);
+    // with doubling, 12 rounds must suffice
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusterNearDups(chain, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 300)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("clusterNearDups matches a local union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 400
+    val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val got = Dedup.clusterNearDups(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+    assert(got == expected)
+  }
+
   test("kmeansCentroids separates well-separated clusters") {
     val vecs = (0 until 30).map { i =>
       if (i % 2 == 0) (i.toLong, Array(1.0f + i * 0.001f, 0.0f, 0.0f))
