@@ -614,7 +614,25 @@ object SparkEntry {
       // re-runs/repartitioning — the held-out-split property); portable
       // hash flavor so the oracle draws the identical sample
       Sampling.hashSamplePortable(T(s, d, "documents"), "doc_id", 5)
-        .select("doc_id", "lang", "source", "n_chars")))
+        .select("doc_id", "lang", "source", "n_chars")),
+    "q59_incremental_dedup" -> ((s, d) => {
+      // operational dedup shape: a new batch dedups against the existing
+      // corpus (hash anti-join) — the corpus is never re-deduped
+      val docs = T(s, d, "documents")
+      Dedup.exactNewOnly(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "text", "doc_id")
+        .select("doc_id", "lang", "n_chars")
+    }),
+    "q60_incremental_neardup" -> ((s, d) => {
+      // batch rows with no near-duplicate in the corpus (LSH bucket probe
+      // + jaccard verify against the corpus signature index)
+      val docs = T(s, d, "documents")
+      Dedup.nearDupNewOnly(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", shingleK = 2, numPerm = 64, bands = 8, threshold = 0.8)
+        .select("doc_id", "lang", "n_chars")
+    }))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -1079,6 +1097,22 @@ object SparkEntry {
     "q58_hash_sample" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE (${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 100 < 5""".stripMargin,
+    "q59_incremental_dedup" ->
+      """WITH batchf AS (
+        |  SELECT * FROM documents WHERE doc_id >= 400
+        |    AND text NOT IN (SELECT text FROM documents WHERE doc_id < 400))
+        |SELECT doc_id, lang, n_chars FROM batchf
+        |WHERE doc_id IN (SELECT min(doc_id) FROM batchf GROUP BY text)""".stripMargin,
+    "q60_incremental_neardup" ->
+      s"""WITH ${shingleCtesSql(2)},
+         |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id < 250),
+         |batch AS (SELECT doc_id, s FROM sh WHERE doc_id >= 250),
+         |dup AS (SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON
+         |  CAST(len(list_filter(b.s, x -> list_contains(c.s, x))) AS DOUBLE)
+         |    / (len(b.s) + len(c.s) - len(list_filter(b.s, x -> list_contains(c.s, x))))
+         |    >= 0.8)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
     "q24_quality_score" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS DOUBLE) AS n_tokens,

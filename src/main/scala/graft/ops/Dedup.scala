@@ -55,6 +55,67 @@ object Dedup {
     df.join(keepIds, Seq(idCol), "left_semi")
   }
 
+  // ------------------------------------------------------- incremental dedup
+
+  /** Incremental exact dedup: rows of `batch` whose content does NOT
+    * already appear in `corpus`, then first-per-content within the batch.
+    * This is the operational shape at 100 TB — new data dedups against the
+    * existing corpus via a 128-bit hash anti-join (only hashes shuffle;
+    * neither side's wide columns move), never by re-deduping the corpus.
+    */
+  def exactNewOnly(corpus: DataFrame, batch: DataFrame,
+                   contentCol: String, idCol: String): DataFrame = {
+    val corpusHashes = corpus.select(
+      xxhash64(col(contentCol)).as("__h1"),
+      xxhash64(lit(1L), col(contentCol)).as("__h2")).distinct()
+    val fresh = batch
+      .withColumn("__h1", xxhash64(col(contentCol)))
+      .withColumn("__h2", xxhash64(lit(1L), col(contentCol)))
+      .join(corpusHashes, Seq("__h1", "__h2"), "left_anti")
+      .drop("__h1", "__h2")
+    exactByHash(fresh, contentCol, idCol)
+  }
+
+  /** Incremental near-dup filter: rows of `batch` with NO near-duplicate
+    * (jaccard ≥ threshold on shingle sets) in `corpus`. Candidates come
+    * from shared LSH band buckets between the batch's signatures and the
+    * corpus's — at scale the corpus side is a PERSISTED signature index
+    * bucketed by (band, bucket), so a daily batch probes buckets instead
+    * of scanning the corpus. Batch-internal near-dups are NOT removed here
+    * (run `minhashNearDupPairs` + `clusterNearDups` within the batch for
+    * that); the two concerns compose.
+    */
+  def nearDupNewOnly(corpus: DataFrame, batch: DataFrame,
+                     idCol: String, textCol: String,
+                     shingleK: Int = 3, numPerm: Int = 128,
+                     bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val rowsPerBand = numPerm / bands
+    def banded(docs: DataFrame, side: String) =
+      minhashSignatures(docs, idCol, textCol, shingleK, numPerm)
+        .select(col(idCol).as(side),
+          posexplode(
+            transform(sequence(lit(0), lit(bands - 1)),
+              b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+            .as(Seq("__band", "__bucket")))
+    val cands = banded(batch, "__bid")
+      .join(banded(corpus, "__cid"), Seq("__band", "__bucket"))
+      .select("__bid", "__cid").distinct()
+    // verify on true shingle sets; batch ids with any verified match drop
+    def shingled(docs: DataFrame, side: String) =
+      docs.select(col(idCol).as(side),
+        sort_array(shingleHashes(col(textCol), shingleK)).as(s"__sh_$side"))
+        .withColumn(s"__n_$side", size(col(s"__sh_$side")))
+    val inter = sortedIntersectCount(col("__sh___bid"), col("__sh___cid")).cast("double")
+    val unionSize = (col("__n___bid") + col("__n___cid")).cast("double") - inter
+    val dupBatchIds = cands
+      .join(shingled(batch, "__bid"), "__bid")
+      .join(shingled(corpus, "__cid"), "__cid")
+      .filter(when(unionSize === 0, lit(0.0)).otherwise(inter / unionSize) >= threshold)
+      .select(col("__bid").as(idCol)).distinct()
+    batch.join(dupBatchIds, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------ MinHash LSH
 
   /** Deterministic MinHash permutation parameters: h_i(x) = (a_i·x + b_i)

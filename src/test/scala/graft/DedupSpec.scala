@@ -62,6 +62,34 @@ class DedupSpec extends SparkSpec {
     assert(cands.count() == 0)
   }
 
+  test("incremental exact dedup: batch rows already in the corpus are dropped") {
+    val corpus = Seq(
+      (100L, "existing document one"),
+      (101L, "existing document two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, "existing document one"), // exact dup of corpus
+      (201L, "a genuinely new document"),
+      (202L, "a genuinely new document"), // in-batch dup
+      (203L, "another new document")).toDF("doc_id", "text")
+    val kept = Dedup.exactNewOnly(corpus, batch, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(201L, 203L))
+  }
+
+  test("incremental near-dup filter: batch rows near a corpus doc are dropped") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup
+      (201L, "completely different text about catalyst optimizer rules and physical plans")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.nearDupNewOnly(corpus, batch, "doc_id", "text",
+      shingleK = 3, numPerm = 32, bands = 8, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(201L))
+  }
+
   test("degenerate bucket: 10k identical docs complete under the bucket cap") {
     // every doc shares every band bucket; uncapped this is one 10k-element
     // array row and C(10k,2) ≈ 50M pairs per band. The cap keeps the sorted
