@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, SortedIntersectCount}
+import graft.functions.{DotProduct, SimHashBits, SortedIntersectCount}
 
 /** Session extensions wiring graft's engine pieces into any SparkSession:
   * the native SQL expressions, the GroupedTopK planning strategy, and the
@@ -32,6 +32,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 2, "sorted_intersect_count takes exactly 2 arguments")
         SortedIntersectCount(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "simhash_bits takes (hashes array, numBits literal)")
+        val bits = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"simhash_bits numBits must be an integer literal, got $other")
+        }
+        SimHashBits(exprs(0), bits)
       }))
   }
 }

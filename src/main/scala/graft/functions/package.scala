@@ -35,6 +35,11 @@ package object functions {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(MinHashSignature(
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingleHashes), as, bs))
 
+  /** Native SimHash bit-vote over pre-hashed tokens (see SimHashBits). */
+  def simhashBits(tokenHashes: Column, numBits: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(SimHashBits(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokenHashes), numBits))
+
   // ------------------------------------------------------------------ text
 
   /** Whitespace tokenization after trim; empty/blank text → empty array

@@ -314,8 +314,10 @@ object Dedup {
   // --------------------------------------------------------------- SimHash
 
   /** SimHash over word tokens: per-bit ±1 votes weighted by token
-    * frequency, sign → bit. Computed per-row with array expressions — no
-    * shuffle at all until the caller groups by (or bands) the signature.
+    * frequency, sign → bit. Map-only per row via the native codegen'd
+    * SimHashBits expression (the earlier HOF formulation ran
+    * |tokens|×numBits interpreted lambda calls per row) — no shuffle at
+    * all until the caller groups by (or bands) the signature.
     *
     * Default: 64 bits over xxhash64 (production path). The oracle-parity
     * twin passes `md5Hash60` + 60 bits so DuckDB can recompute the exact
@@ -323,24 +325,8 @@ object Dedup {
     */
   def simhash(text: Column,
               tokenHash: Column => Column = xxhash64(_),
-              numBits: Int = 64): Column = {
-    val ts = tokens(text)
-    val hashes = transform(ts, t => tokenHash(t))
-    // vote for bit i = sum over tokens of (bit set ? 1 : -1)
-    val bitsOf = (h: Column) =>
-      transform(sequence(lit(0), lit(numBits - 1)),
-        i => when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-    val votes = aggregate(
-      hashes,
-      transform(sequence(lit(0), lit(numBits - 1)), _ => lit(0)),
-      (acc, h) => zip_with(acc, bitsOf(h), (x, y) => x + y))
-    // assemble: bit i set iff votes[i] > 0
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(numBits - 1)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x))
-  }
+              numBits: Int = 64): Column =
+    graft.functions.simhashBits(transform(tokens(text), t => tokenHash(t)), numBits)
 
   /** Hamming distance between two 64-bit signatures. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -115,4 +115,42 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 4L)))
   }
+
+  test("native SimHashBits matches the HOF bit-vote formulation exactly") {
+    // re-build the original HOF formulation and compare on real docs
+    val hashes = transform(graft.functions.tokens(col("text")), t => xxhash64(t))
+    val bitsOf = (h: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(0), lit(63)),
+        i => when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+    val votes = aggregate(hashes,
+      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      (acc, h) => zip_with(acc, bitsOf(h), (x, y) => x + y))
+    val hof = aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val both = Tables.documents(spark, sf0001).limit(100)
+      .select(graft.functions.simhashBits(hashes, 64).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(both.count() == 0)
+  }
+
+  test("saltedSumCount equals the plain aggregation") {
+    val ev = Tables.events(spark, sf0001)
+    val salted = graft.ops.Salting.saltedSumCount(ev, Seq("event_type"), "value")
+      .as[(String, Double, Long)].collect().toMap2
+    val plain = ev.groupBy("event_type")
+      .agg(sum(col("value")).as("s"), count(lit(1)).as("c"))
+      .as[(String, Double, Long)].collect().toMap2
+    assert(salted.keySet == plain.keySet)
+    for (k <- plain.keySet) {
+      val (ss, sc) = salted(k); val (ps, pc) = plain(k)
+      assert(sc == pc)
+      assert(math.abs(ss - ps) < 1e-6) // summation order differs
+    }
+  }
+
+  implicit class Tuple3Ops[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
 }
