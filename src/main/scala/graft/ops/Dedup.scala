@@ -281,17 +281,24 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
+    var labelSum = labels.agg(sum(col("label").cast("decimal(38,0)")))
+      .head().getDecimal(0)
     while (iter < maxIter && !converged) {
       // (a) neighbor-min: pull the smallest label across every edge
       val propagated = edges
         .join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "src_label"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("src_label")).as("label"))
-      // checkpoint BEFORE the doubling self-join: truncates the growing
-      // lineage each round and gives the self-join a plain scan to dedup
-      // (self-joining the live union plan trips Union constraint rewrite)
-      val viaNeighbors = labels.select("node", "label").union(propagated)
-        .groupBy("node").agg(min("label").as("label"))
+      // merge own label with the neighbor min via LEFT JOIN + least — NOT
+      // union+groupBy: unioning two branches built from the same
+      // checkpointed labels plan trips Spark's Union constraint rewrite
+      // ("key not found" on a shared attribute). Checkpoint BEFORE the
+      // doubling self-join (truncates the per-round lineage and gives the
+      // self-join a plain scan to dedup).
+      val viaNeighbors = labels
+        .join(propagated.withColumnRenamed("label", "__nmin"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
       // (b) pointer doubling: follow the label chain one hop — label
       // values are node ids, so the lookup is a self-join; the chained
@@ -300,12 +307,16 @@ object Dedup {
         .join(viaNeighbors.select(col("node").as("l_node"), col("label").as("l_label")),
           col("n.label") === col("l_node"))
         .select(col("n.node").as("node"), col("l_label").as("label"))
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
+        .localCheckpoint(true) // next round + the sum below reuse it
+      // convergence via the label-sum invariant: labels only ever DECREASE,
+      // so the total is strictly monotone and equal sums ⟺ no change — one
+      // aggregation scan per round instead of a join with the previous state
+      // (decimal(38) accumulator: 10^11 nodes × 10^11 max id overflows long)
+      val nextSum = next.agg(sum(col("label").cast("decimal(38,0)")))
+        .head().getDecimal(0)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(labelSum) == 0
+      labelSum = nextSum
       iter += 1
     }
     labels.select(col("node").as(idCol), col("label").as("cluster_rep"))
