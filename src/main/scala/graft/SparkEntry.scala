@@ -604,11 +604,14 @@ object SparkEntry {
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))),
     "q57_event_pivot" -> ((s, d) =>
       // pivot/crosstab: per user-decile event-type counts; explicit value
-      // list keeps the column set static (one pass, no value-discovery job)
+      // list keeps the column set static (one pass, no value-discovery
+      // job); absent cells filled to 0 to match SQL conditional counts
+      // (pivot+count yields NULL for a missing combination)
       Tables.events(s, d)
         .groupBy((col("user_id") % 10).as("user_decile"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(count(lit(1)))),
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))),
     "q58_hash_sample" -> ((s, d) =>
       // deterministic ~5% hash-gated sample of documents (stable under
       // re-runs/repartitioning — the held-out-split property); portable

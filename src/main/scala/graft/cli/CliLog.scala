@@ -20,12 +20,15 @@ final class CliLog(prog: String, debugEnabled: Boolean) {
     sys.env.getOrElse("GRAFT_LOG_DIR", "."))
   private val file = new File(dir, s"$prog.log")
   private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  // one persistent auto-flushing handler per logger (like the reference's
+  // FileHandler), not an open/close round-trip per line
+  private lazy val writer =
+    new PrintWriter(new FileWriter(file, true), true)
 
   private def write(level: String, msg: String): Unit = {
     val line = s"${LocalDateTime.now.format(fmt)} $level $prog: $msg"
     Console.err.println(line)
-    val w = new PrintWriter(new FileWriter(file, true))
-    try w.println(line) finally w.close()
+    writer.println(line)
   }
 
   def info(msg: => String): Unit = write("INFO", msg)

@@ -92,12 +92,10 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val rowsPerBand = numPerm / bands
     def banded(docs: DataFrame, side: String) =
-      minhashSignatures(docs, idCol, textCol, shingleK, numPerm)
-        .select(col(idCol).as(side),
-          posexplode(
-            transform(sequence(lit(0), lit(bands - 1)),
-              b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
-            .as(Seq("__band", "__bucket")))
+      bandBuckets(
+        minhashSignatures(docs, idCol, textCol, shingleK, numPerm),
+        idCol, bands, rowsPerBand)
+        .withColumnRenamed(idCol, side)
     val cands = banded(batch, "__bid")
       .join(banded(corpus, "__cid"), Seq("__band", "__bucket"))
       .select("__bid", "__cid").distinct()
@@ -184,27 +182,38 @@ object Dedup {
     * are LSH-bounded, so the in-bucket pair expansion is the candidate set
     * itself — no blow-up beyond the output size.
     *
-    * DEGENERATE-BUCKET BOUND: a bucket of b ids materializes one b-element
-    * array row and b(b−1)/2 pairs, so a pathological bucket (e.g. millions
-    * of EXACT duplicates, which share every band) would OOM an executor.
-    * `maxBucket` caps each bucket at its first `maxBucket` ids (ids are
-    * sorted, so the kept prefix is deterministic); overflow ids past the cap
-    * lose only candidacy THROUGH that bucket, not membership in others.
-    * Pipeline order matters: run exact dedup (`exactByHash`) FIRST — after
-    * it, same-signature groups are genuine near-dup clusters, which are
-    * small; the cap is a guard rail, not a recall knob.
+    * DEGENERATE-BUCKET BOUND: a bucket of b ids expands to b(b−1)/2 pairs,
+    * so a pathological bucket (e.g. millions of EXACT duplicates, which
+    * share every band) would explode quadratically. `maxBucket` caps each
+    * bucket at its first `maxBucket` ids (sorted → deterministic prefix),
+    * bounding the pair expansion; overflow ids past the cap lose only
+    * candidacy THROUGH that bucket, not membership in others. NOTE the cap
+    * is applied by slice AFTER collect_list, so the aggregation buffer
+    * still holds the full id array (8 B per id — linear, survivable;
+    * the quadratic pair expansion is what kills executors). Pipeline order
+    * matters: run exact dedup (`exactByHash`) FIRST — after it,
+    * same-signature groups are genuine near-dup clusters, which are small;
+    * the cap is a guard rail, not a recall knob.
     */
   def lshCandidates(sigs: DataFrame, idCol: String,
                     bands: Int, rowsPerBand: Int,
-                    maxBucket: Int = 10000): DataFrame = {
-    val banded = sigs.select(
+                    maxBucket: Int = 10000): DataFrame =
+    bucketPairs(bandBuckets(sigs, idCol, bands, rowsPerBand), idCol, maxBucket)
+
+  /** Banding projection shared by in-corpus LSH (`lshCandidates`) and the
+    * incremental probe (`nearDupNewOnly`): (id, __band, __bucket) rows,
+    * one per band, bucket = seeded hash of the band's signature slice.
+    * ONE definition — batch signatures must land in the same buckets as a
+    * corpus index built earlier, so the band seed/slice math cannot drift.
+    */
+  private[ops] def bandBuckets(sigs: DataFrame, idCol: String,
+                               bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
       col(idCol),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
         .as(Seq("__band", "__bucket")))
-    bucketPairs(banded, idCol, maxBucket)
-  }
 
   /** Pair expansion within (band, bucket) groups, shared by MinHash-LSH and
     * SRP banding: sorted id list per bucket (capped at `maxBucket`, see
@@ -280,9 +289,11 @@ object Dedup {
       .withColumn("label", col("node"))
       .localCheckpoint(true)
     var iter = 0
-    var converged = false
+    // empty pair list → no nodes → sum() is null; converge immediately
+    // instead of NPEing on BigDecimal.compareTo
     var labelSum = labels.agg(sum(col("label").cast("decimal(38,0)")))
       .head().getDecimal(0)
+    var converged = labelSum == null
     while (iter < maxIter && !converged) {
       // (a) neighbor-min: pull the smallest label across every edge
       val propagated = edges

@@ -18,16 +18,17 @@ object Salting {
     * collapses duplicates map-side, and the shuffle key (key, value) is
     * uniform even when `key` alone is not; phase 2 counts per key.
     *
-    * NULL values are excluded to match `count(DISTINCT value)` semantics
-    * (a bare distinct would keep one (key, NULL) row and count it).
+    * NULL handling matches `count(DISTINCT value)` exactly: `count(value)`
+    * after the distinct skips NULLs without dropping the GROUP — a key
+    * whose values are all NULL still appears with count 0 (a pre-distinct
+    * NULL filter would make the group vanish instead).
     */
   def skewSafeDistinctCount(df: DataFrame, keys: Seq[String], valueCol: String,
                             outCol: String = "n_distinct"): DataFrame =
     df.select((keys :+ valueCol).map(col): _*)
-      .filter(col(valueCol).isNotNull)
       .distinct()
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as(outCol))
+      .agg(count(col(valueCol)).as(outCol))
 
   /** Salted two-phase sum/count per key — for when map-side partial
     * aggregation is unavailable (e.g. immediately downstream of a wide

@@ -46,12 +46,18 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Above this k the bounded-buffer operator's memory (k rows per group
+    * per task) stops being obviously better than WindowExec's
+    * sort-and-spill — leave large-k rank filters to the window plan.
+    */
+  val MaxRewriteK = 10000
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projList, Filter(cond, w: Window)) =>
       (for {
         rn <- rowNumberAttr(w)
         k <- limitFrom(cond, rn)
-        if k > 0
+        if k > 0 && k <= MaxRewriteK
         if w.orderSpec.nonEmpty
         if !projList.exists(_.references.contains(rn))
         if projList.forall(_.references.subsetOf(w.child.outputSet))

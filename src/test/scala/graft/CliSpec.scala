@@ -68,6 +68,7 @@ class CliSpec extends SparkSpec {
 
   test("-d toggles debug logging; <prog>.log file handler written either way") {
     val dir = tmpDir()
+    val prevLogDir = sys.props.get("graft.log.dir")
     sys.props("graft.log.dir") = dir
     try {
       writeText(s"$dir/pts.csv", geoCsv)
@@ -79,7 +80,10 @@ class CliSpec extends SparkSpec {
       val verbose = Files.readString(Paths.get(s"$dir/agg.log"))
       assert(verbose.contains(" DEBUG agg:"), verbose)
       assert(verbose.contains("data_file:"), verbose)
-    } finally sys.props.remove("graft.log.dir")
+    } finally prevLogDir match {
+      case Some(v) => sys.props("graft.log.dir") = v
+      case None => sys.props.remove("graft.log.dir")
+    }
   }
 
   test("add_country: same-format write-back with suffix") {

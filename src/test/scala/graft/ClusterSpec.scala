@@ -38,6 +38,11 @@ class ClusterSpec extends SparkSpec {
     assert(got.values.forall(_ == 1L))
   }
 
+  test("clusterNearDups on an empty pair list returns empty (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusterNearDups(empty).count() == 0)
+  }
+
   test("clusterNearDups matches a local union-find on a random graph") {
     val rnd = new scala.util.Random(7)
     val n = 400

@@ -135,6 +135,16 @@ class DedupSpec extends SparkSpec {
     assert(both.count() == 0)
   }
 
+  test("skewSafeDistinctCount: NULLs skipped but all-NULL keys keep their group") {
+    val df = Seq(
+      ("a", Some(1L)), ("a", Some(1L)), ("a", Some(2L)), ("a", None),
+      ("b", None) // all-NULL key: count(DISTINCT) semantics = (b, 0)
+    ).toDF("k", "v")
+    val got = graft.ops.Salting.skewSafeDistinctCount(df, Seq("k"), "v")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 0L))
+  }
+
   test("saltedSumCount equals the plain aggregation") {
     val ev = Tables.events(spark, sf0001)
     val salted = graft.ops.Salting.saltedSumCount(ev, Seq("event_type"), "value")

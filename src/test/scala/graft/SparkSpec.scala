@@ -10,6 +10,11 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
+  // keep CLI logs out of the repo working tree during `sbt test` (CliLog
+  // defaults to cwd like the reference); individual tests may override
+  sys.props.getOrElseUpdate("graft.log.dir",
+    java.nio.file.Files.createTempDirectory("graft_test_logs").toString)
+
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
