@@ -618,6 +618,28 @@ object SparkEntry {
       // hash flavor so the oracle draws the identical sample
       Sampling.hashSamplePortable(T(s, d, "documents"), "doc_id", 5)
         .select("doc_id", "lang", "source", "n_chars")),
+    "q61_moving_avg" -> ((s, d) => {
+      // ROWS-frame analytic: 7-row trailing moving average over the daily
+      // revenue series — the rows frame needs only a bounded buffer per
+      // partition slot, no re-scan per row
+      val daily = T(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("order_day"))
+        .agg(sum(col("o_totalprice")).as("day_revenue"))
+      val w = Window.orderBy(col("order_day")).rowsBetween(-6, 0)
+      daily.select(
+        unix_timestamp(col("order_day").cast("timestamp")).as("day_epoch"),
+        col("day_revenue"),
+        avg(col("day_revenue")).over(w).as("ma7"))
+    }),
+    "q62_group_concat" -> ((s, d) =>
+      // ordered string aggregation (LISTAGG/string_agg): deterministic via
+      // an explicit sort of the collected set
+      T(s, d, "nation")
+        .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n_nations"))),
     "q59_incremental_dedup" -> ((s, d) => {
       // operational dedup shape: a new batch dedups against the existing
       // corpus (hash anti-join) — the corpus is never re-deduped
@@ -1100,6 +1122,22 @@ object SparkEntry {
     "q58_hash_sample" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE (${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 100 < 5""".stripMargin,
+    "q61_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_day,
+        |         sum(o_totalprice) AS day_revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(epoch(CAST(order_day AS TIMESTAMP)) AS BIGINT) AS day_epoch,
+        |  day_revenue,
+        |  avg(day_revenue) OVER (ORDER BY order_day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+        |FROM daily""".stripMargin,
+    "q62_group_concat" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
     "q59_incremental_dedup" ->
       """WITH batchf AS (
         |  SELECT * FROM documents WHERE doc_id >= 400
