@@ -32,11 +32,10 @@ import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistrib
   * task — rows of further groups stream through to the exchange unfiltered
   * (correct; only the pre-selection benefit is lost for the overflow
   * groups) — so map-side memory is strictly bounded at high group
-  * cardinality. The final pass is exact and holds groups-per-partition × k
-  * rows; size `spark.sql.shuffle.partitions` so that stays in executor
-  * memory (at extreme cardinality the window sort-and-spill formulation
-  * remains the safer plan — the rewrite rule preserves semantics either
-  * way).
+  * cardinality. The final pass requires a (group, order) child ordering —
+  * Spark's spillable SortExec over the ALREADY-REDUCED post-exchange set —
+  * and streams group boundaries with O(1) state, so no stage of the
+  * operator holds unbounded per-group structures.
   */
 case class GroupedTopK(groupExprs: Seq[Expression], sortOrder: Seq[SortOrder],
                        k: Int, child: LogicalPlan) extends UnaryNode {
@@ -134,6 +133,15 @@ object GroupedTopKPartialExec {
   * Empty group keys = global top-k, which requires ALL rows in one
   * partition (AllTuples) — UnspecifiedDistribution would silently return
   * per-partition top-ks.
+  *
+  * SPILL-SAFE: declares requiredChildOrdering (group keys, then the sort
+  * order), so Spark inserts its spillable SortExec on the post-partial,
+  * post-exchange row set — at most ~k·groups·tasks rows plus partial-cap
+  * passthrough, far smaller than the input. The pass itself is then a
+  * streaming group-boundary scan emitting the first k rows per group with
+  * O(1) state — final-side memory no longer depends on group cardinality
+  * at all (the earlier in-memory buffer map held groups-per-partition × k
+  * rows with no spill).
   */
 case class GroupedTopKFinalExec(groupExprs: Seq[Expression],
                                 sortOrder: Seq[SortOrder], k: Int,
@@ -142,10 +150,33 @@ case class GroupedTopKFinalExec(groupExprs: Seq[Expression],
   override def requiredChildDistribution: Seq[Distribution] =
     if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(groupExprs.map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)) ++ sortOrder)
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
   override protected def doExecute(): RDD[InternalRow] =
-    child.execute().mapPartitions(
-      TopKPass.run(_, groupExprs, sortOrder, k, output),
-      preservesPartitioning = true)
+    child.execute().mapPartitions({ iter =>
+      val groupProj = UnsafeProjection.create(groupExprs, output)
+      new Iterator[InternalRow] {
+        private var currentKey: UnsafeRow = _
+        private var emitted = 0
+        private var pending: InternalRow = _
+        private def advance(): Unit = {
+          while (pending == null && iter.hasNext) {
+            val row = iter.next()
+            val key = groupProj(row)
+            if (currentKey == null || key != currentKey) {
+              currentKey = key.copy()
+              emitted = 0
+            }
+            if (emitted < k) { emitted += 1; pending = row }
+          }
+        }
+        override def hasNext: Boolean = { advance(); pending != null }
+        override def next(): InternalRow = {
+          advance(); val r = pending; pending = null; r
+        }
+      }
+    }, preservesPartitioning = true)
   override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKFinalExec =
     copy(child = newChild)
 }
