@@ -26,4 +26,24 @@ class EntrySpec extends SparkSpec {
       "sum_base_price", "sum_disc_price", "avg_qty", "avg_price", "avg_disc",
       "count_order"))
   }
+
+  test("every query has an oracle (zero rows-only checks)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries with no oracle: $missing")
+  }
+
+  test("no query emits array/struct/map columns (driver compare cannot sort them)") {
+    // round-1 regression guard: the driver's pandas compare crashed on
+    // array-typed outputs ('unhashable type: numpy.ndarray'); everything
+    // must project to atomic columns
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, sf0001).schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      })
+      assert(bad.isEmpty,
+        s"$name emits non-atomic columns: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+    }
+  }
 }
