@@ -618,6 +618,30 @@ object SparkEntry {
       // hash flavor so the oracle draws the identical sample
       Sampling.hashSamplePortable(T(s, d, "documents"), "doc_id", 5)
         .select("doc_id", "lang", "source", "n_chars")),
+    "q63_quality_filter" -> ((s, d) => {
+      // quantile-based outlier removal — the standard corpus-cleaning step:
+      // drop docs outside the [p05, p95] band of a quality signal. The
+      // 1-row percentile frame broadcasts; the corpus never shuffles.
+      val scored = TextAnalysis.qualityScore(T(s, d, "documents"))
+        .select(col("doc_id"), col("mean_token_len"))
+      val bounds = scored.agg(
+        expr("percentile(mean_token_len, 0.05)").as("lo"),
+        expr("percentile(mean_token_len, 0.95)").as("hi"))
+      scored.crossJoin(broadcast(bounds))
+        .filter(col("mean_token_len") >= col("lo") &&
+          col("mean_token_len") <= col("hi"))
+        .select("doc_id", "mean_token_len")
+    }),
+    "q64_stratified_sample" -> ((s, d) =>
+      // stratified hash sampling — rebalance the corpus by language with
+      // per-stratum rates (deterministic, append-stable); portable hash so
+      // the oracle draws the identical rows
+      T(s, d, "documents")
+        .filter(
+          (md5Hash31(col("doc_id").cast("string")) % 100) <
+            when(col("lang") === "en", 20).otherwise(60))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))),
     "q61_moving_avg" -> ((s, d) => {
       // ROWS-frame analytic: 7-row trailing moving average over the daily
       // revenue series — the rows frame needs only a bounded buffer per
@@ -1122,6 +1146,26 @@ object SparkEntry {
     "q58_hash_sample" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE (${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 100 < 5""".stripMargin,
+    "q63_quality_filter" -> {
+      // mean_token_len must mirror TextAnalysis.qualityScore exactly (same
+      // expression q24 already hash-matches)
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len($toksSql) = 0 THEN 0.0
+         |         ELSE len(regexp_replace(text, '\\s', '', 'g')) / CAST(len($toksSql) AS DOUBLE)
+         |    END AS mean_token_len
+         |  FROM documents),
+         |b AS (SELECT quantile_cont(mean_token_len, 0.05) AS lo,
+         |             quantile_cont(mean_token_len, 0.95) AS hi
+         |      FROM scored)
+         |SELECT doc_id, mean_token_len FROM scored, b
+         |WHERE mean_token_len >= lo AND mean_token_len <= hi""".stripMargin
+    },
+    "q64_stratified_sample" ->
+      s"""SELECT lang, count(*) AS n_docs FROM documents
+         |WHERE (${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 100 <
+         |      CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+         |GROUP BY lang""".stripMargin,
     "q61_moving_avg" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS order_day,
