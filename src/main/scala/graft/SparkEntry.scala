@@ -618,6 +618,15 @@ object SparkEntry {
       // hash flavor so the oracle draws the identical sample
       Sampling.hashSamplePortable(T(s, d, "documents"), "doc_id", 5)
         .select("doc_id", "lang", "source", "n_chars")),
+    "q65_multimodal_mapPartitions" -> ((s, d) => {
+      // the mapPartitions codec tier (one codec context per partition) —
+      // the oracle recomputes StubCodec's portable byte-rolling-hash +
+      // md5 feature arithmetic from the blob's hex
+      val m = Multimodal.decodePartitionwise(
+        Multimodal.synthesize(s, T(s, d, "documents").select("doc_id"), "doc_id"))
+      val fcols = (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i"))
+      m.select(Seq(col("media_id"), col("kind"), col("n_bytes")) ++ fcols: _*)
+    }),
     "q63_quality_filter" -> ((s, d) => {
       // quantile-based outlier removal — the standard corpus-cleaning step:
       // drop docs outside the [p05, p95] band of a quality signal. The
@@ -1146,6 +1155,26 @@ object SparkEntry {
     "q58_hash_sample" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE (${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 100 < 5""".stripMargin,
+    "q65_multimodal_mapPartitions" -> {
+      val fcols = (0 until 8).map(i =>
+        s"(((('0x' || substring(md5(CAST(h AS VARCHAR) || '_' || $i), 1, 8))::BIGINT"
+          + s" % 2147483647) % 1000003))::DOUBLE / 1000003 AS f$i").mkString(",\n  ")
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+         |    sha256(CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents),
+         |rolled AS (SELECT media_id, kind,
+         |    CAST(octet_length(from_hex(hx)) AS INTEGER) AS n_bytes,
+         |    list_reduce(
+         |      list_prepend(0::BIGINT,
+         |        list_transform(range(0, CAST(len(hx) // 2 AS INTEGER)),
+         |          j -> ('0x' || substring(hx, CAST(j * 2 + 1 AS INTEGER), 2))::BIGINT)),
+         |      (a, b) -> (31 * a + b) % 2147483647) AS h
+         |  FROM m)
+         |SELECT media_id, kind, n_bytes,
+         |  $fcols
+         |FROM rolled""".stripMargin
+    },
     "q63_quality_filter" -> {
       // mean_token_len must mirror TextAnalysis.qualityScore exactly (same
       // expression q24 already hash-matches)

@@ -83,21 +83,32 @@ object Multimodal {
 
   /** STUB CODEC — stands in for a native decoder (libjpeg/ffmpeg-class,
     * not available in this container). One instance per partition models
-    * the expensive codec-context initialization; `decode` is a
-    * deterministic fake emitting an 8-dim byte-derived feature so the
-    * distributed plumbing is fully exercisable.
+    * the expensive codec-context initialization (here: the MessageDigest);
+    * `decode` is a deterministic fake emitting an 8-dim byte-derived
+    * feature so the distributed plumbing is fully exercisable.
+    *
+    * The fake arithmetic is deliberately ORACLE-PORTABLE (q65): a
+    * byte-level rolling hash mod 2^31−1 (DuckDB folds the blob's hex
+    * pairs), then per-feature md5 of the decimal-rendered hash — the same
+    * portable-hash construction as `graft.functions.md5Hash31`.
     */
   final class StubCodec {
+    private val md5 = java.security.MessageDigest.getInstance("MD5")
+
     def decode(bytes: Array[Byte]): Array[Double] = {
       val out = new Array[Double](8)
       if (bytes != null) {
-        var h = 1125899906842597L // deterministic rolling hash of the bytes
+        val P = 2147483647L
+        var h = 0L // rolling hash over UNSIGNED bytes, mod 2^31-1
         var i = 0
-        while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+        while (i < bytes.length) { h = (31 * h + (bytes(i) & 0xff)) % P; i += 1 }
         var j = 0
         while (j < 8) {
-          h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
-          out(j) = math.abs(h % 1000003L).toDouble / 1000003.0
+          md5.reset()
+          val hex = md5.digest(s"${h}_$j".getBytes("UTF-8"))
+            .take(4).map(b => f"${b & 0xff}%02x").mkString
+          out(j) = ((java.lang.Long.parseLong(hex, 16) % P) % 1000003L)
+            .toDouble / 1000003.0
           j += 1
         }
       }
