@@ -618,6 +618,36 @@ object SparkEntry {
       // hash flavor so the oracle draws the identical sample
       Sampling.hashSamplePortable(T(s, d, "documents"), "doc_id", 5)
         .select("doc_id", "lang", "source", "n_chars")),
+    "q66_large_orders" -> ((s, d) => {
+      // TPC-H Q18 shape: customers with any order whose total quantity
+      // exceeds a threshold — groupBy-HAVING decorrelated into a semi join
+      val big = T(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("big_ok"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      T(s, d, "orders")
+        .join(big, col("o_orderkey") === col("big_ok"), "left_semi")
+        .join(broadcast(T(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"))
+    }),
+    "q67_min_cost_supplier" -> ((s, d) => {
+      // TPC-H Q2 shape: per-part minimum-cost supplier — a correlated
+      // MIN subquery decorrelated as aggregate + join-back; ties broken
+      // by supplier key for determinism
+      val costs = T(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("cost"))
+      val best = costs.groupBy(col("l_partkey").as("bp"))
+        .agg(min(struct(col("cost"), col("l_suppkey"))).as("b"))
+        .select(col("bp"), col("b.cost").as("best_cost"),
+          col("b.l_suppkey").as("best_supp"))
+      best
+        .join(broadcast(T(s, d, "part")), col("bp") === col("p_partkey"))
+        .filter(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_brand"), col("best_supp"),
+          col("best_cost"))
+    }),
     "q65_multimodal_mapPartitions" -> ((s, d) => {
       // the mapPartitions codec tier (one codec context per partition) —
       // the oracle recomputes StubCodec's portable byte-rolling-hash +
@@ -1155,6 +1185,26 @@ object SparkEntry {
     "q58_hash_sample" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE (${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 100 < 5""".stripMargin,
+    "q66_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 150)""".stripMargin,
+    "q67_min_cost_supplier" ->
+      """WITH costs AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |best AS (
+        |  SELECT l_partkey, cost AS best_cost, l_suppkey AS best_supp
+        |  FROM (SELECT l_partkey, l_suppkey, cost,
+        |          row_number() OVER (PARTITION BY l_partkey
+        |            ORDER BY cost, l_suppkey) AS rn
+        |        FROM costs) WHERE rn = 1)
+        |SELECT p_partkey, p_brand, best_supp, best_cost
+        |FROM best JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 10""".stripMargin,
     "q65_multimodal_mapPartitions" -> {
       val fcols = (0 until 8).map(i =>
         s"(((('0x' || substring(md5(CAST(h AS VARCHAR) || '_' || $i), 1, 8))::BIGINT"
