@@ -661,6 +661,11 @@ object SparkEntry {
       // quantile-based outlier removal — the standard corpus-cleaning step:
       // drop docs outside the [p05, p95] band of a quality signal. The
       // 1-row percentile frame broadcasts; the corpus never shuffles.
+      // EXACT percentile buffers all values in one aggregation state — the
+      // oracle-parity choice; at corpus scale use approx_percentile (the
+      // band edges don't need exactness there). Membership is deterministic
+      // across engines: percentile is sort+interpolate (no summation
+      // order), and q52 pins the interpolation arithmetic bit-equal.
       val scored = TextAnalysis.qualityScore(T(s, d, "documents"))
         .select(col("doc_id"), col("mean_token_len"))
       val bounds = scored.agg(
@@ -675,10 +680,8 @@ object SparkEntry {
       // stratified hash sampling — rebalance the corpus by language with
       // per-stratum rates (deterministic, append-stable); portable hash so
       // the oracle draws the identical rows
-      T(s, d, "documents")
-        .filter(
-          (md5Hash31(col("doc_id").cast("string")) % 100) <
-            when(col("lang") === "en", 20).otherwise(60))
+      Sampling.hashSamplePortable(T(s, d, "documents"), "doc_id",
+        when(col("lang") === "en", 20).otherwise(60))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"))),
     "q61_moving_avg" -> ((s, d) => {

@@ -21,9 +21,14 @@ final class CliLog(prog: String, debugEnabled: Boolean) {
   private val file = new File(dir, s"$prog.log")
   private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
   // one persistent auto-flushing handler per logger (like the reference's
-  // FileHandler), not an open/close round-trip per line
-  private lazy val writer =
-    new PrintWriter(new FileWriter(file, true), true)
+  // FileHandler), not an open/close round-trip per line; opened on first
+  // write so a silent logger never touches the filesystem
+  private var openedWriter: Option[PrintWriter] = None
+  private def writer: PrintWriter = openedWriter.getOrElse {
+    val w = new PrintWriter(new FileWriter(file, true), true)
+    openedWriter = Some(w)
+    w
+  }
 
   private def write(level: String, msg: String): Unit = {
     val line = s"${LocalDateTime.now.format(fmt)} $level $prog: $msg"
@@ -34,4 +39,10 @@ final class CliLog(prog: String, debugEnabled: Boolean) {
   def info(msg: => String): Unit = write("INFO", msg)
   def debug(msg: => String): Unit = if (debugEnabled) write("DEBUG", msg)
   def error(msg: => String): Unit = write("ERROR", msg)
+
+  /** Release the file handle (the reference's FileHandler has close() too);
+    * callers that construct one CliLog per invocation must call this or
+    * leak one fd per run.
+    */
+  def close(): Unit = { openedWriter.foreach(_.close()); openedWriter = None }
 }

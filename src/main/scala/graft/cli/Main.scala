@@ -61,8 +61,8 @@ object Main {
   private def debugFlag(args: Array[String]): Boolean =
     args.contains("-d") || args.contains("--debug")
 
-  def csv2parquet(spark: SparkSession, args: Array[String]): Unit = {
-    val log = new CliLog("csv2parquet", debugFlag(args))
+  def csv2parquet(spark: SparkSession, args: Array[String]): Unit =
+    withLog(new CliLog("csv2parquet", debugFlag(args))) { log =>
     val pos = args.filterNot(_.startsWith("-"))
     require(pos.nonEmpty, "csv2parquet needs a src argument")
     val src = pos(0)
@@ -90,12 +90,18 @@ object Main {
     }
   }
 
+  /** Run `body` with a CliLog, releasing its file handle afterwards (one
+    * logger per invocation — without the close every run leaks an fd).
+    */
+  private def withLog(log: CliLog)(body: CliLog => Unit): Unit =
+    try body(log) finally log.close()
+
   /** `add_country glob [suffix]` (default `_with_country`,
     * `add_country.py:28`): per input file, enrich with Country via the
     * broadcast bbox join and write back in the SAME format (S10).
     */
-  def addCountry(spark: SparkSession, args: Array[String]): Unit = {
-    val log = new CliLog("add_country", debugFlag(args))
+  def addCountry(spark: SparkSession, args: Array[String]): Unit =
+    withLog(new CliLog("add_country", debugFlag(args))) { log =>
     val pos = args.filterNot(_.startsWith("-"))
     require(pos.nonEmpty, "add_country needs a glob argument")
     val suffix = if (pos.length > 1) pos(1) else "_with_country"
@@ -136,7 +142,7 @@ object Main {
     require(GeoAggregate.modes.contains(mode.toLowerCase),
       s"mode must be one of ${GeoAggregate.modes.keys.mkString("|")}") // agg.py:287
     require(meters >= 0, "grid size must be >= 0") // agg.py:291
-    val log = new CliLog("agg", debugFlag(args))
+    withLog(new CliLog("agg", debugFlag(args))) { log =>
     val suffix = if (pos.length > 1) pos(1) else "_geo_aggregated"
     val files = IO.globFiles(spark, pos(0))
     val step = GeoAggregate.metersToDegrees(meters)
@@ -161,6 +167,7 @@ object Main {
         IO.writeSingleFile(out, dest, IO.ParquetExt)
       }
       log.info(s"aggregated ${files.length} file(s) matching ${pos(0)}")
+    }
     }
   }
 }

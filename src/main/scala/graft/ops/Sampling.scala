@@ -25,11 +25,16 @@ object Sampling {
   /** Oracle-parity flavor: same gating with the portable md5-derived hash
     * (`graft.functions.md5Hash31`) that DuckDB computes identically —
     * used where a cross-engine-reproducible split matters more than speed.
+    * The percent may be a per-row Column (stratified rates, e.g. by
+    * language) — ONE definition of the gate for both the flat and
+    * stratified forms, so the hash/bucket math cannot drift.
     */
+  def hashSamplePortable(df: DataFrame, keyCol: String, percent: Column): DataFrame =
+    df.filter(graft.functions.md5Hash31(col(keyCol).cast("string")) % 100 < percent)
+
   def hashSamplePortable(df: DataFrame, keyCol: String, percent: Int): DataFrame = {
     require(percent >= 0 && percent <= 100, "percent must be in [0, 100]")
-    df.filter(
-      graft.functions.md5Hash31(col(keyCol).cast("string")) % 100 < percent)
+    hashSamplePortable(df, keyCol, lit(percent))
   }
 
   /** Disjoint train/heldout split columns from the same hash — every row

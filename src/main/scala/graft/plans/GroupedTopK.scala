@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
@@ -156,6 +156,16 @@ case class GroupedTopKFinalExec(groupExprs: Seq[Expression],
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(groupExprs, output)
+      // boundary detection must use the SAME equivalence as the sort, not
+      // UnsafeRow byte equality: float keys have distinct bit patterns that
+      // the ordering treats as equal (NaN representations, -0.0 vs 0.0), and
+      // byte-comparing them would reset the counter mid-group and over-emit
+      val keyAttrs = groupExprs.zipWithIndex.map { case (e, i) =>
+        AttributeReference(s"k$i", e.dataType, e.nullable)()
+      }
+      val keyOrdering = RowOrdering.create(
+        keyAttrs.map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
+        keyAttrs)
       new Iterator[InternalRow] {
         private var currentKey: UnsafeRow = _
         private var emitted = 0
@@ -164,7 +174,7 @@ case class GroupedTopKFinalExec(groupExprs: Seq[Expression],
           while (pending == null && iter.hasNext) {
             val row = iter.next()
             val key = groupProj(row)
-            if (currentKey == null || key != currentKey) {
+            if (currentKey == null || keyOrdering.compare(key, currentKey) != 0) {
               currentKey = key.copy()
               emitted = 0
             }

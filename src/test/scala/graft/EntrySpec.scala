@@ -6,10 +6,20 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every declared query runs and returns rows at sf0.001") {
+  test("every declared query runs, returns rows, and emits only atomic columns") {
+    // one construction+execution per query: rows>0 (t1 smoke contract) AND
+    // the driver-compat schema gate (round-1 regression: the driver's
+    // pandas compare crashes on array/struct/map outputs)
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf0001).count()
-      assert(n > 0, s"$name returned 0 rows")
+      val df = fn(spark, sf0001)
+      val bad = df.schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      })
+      assert(bad.isEmpty,
+        s"$name emits non-atomic columns: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+      assert(df.count() > 0, s"$name returned 0 rows")
     }
   }
 
@@ -32,18 +42,4 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"queries with no oracle: $missing")
   }
 
-  test("no query emits array/struct/map columns (driver compare cannot sort them)") {
-    // round-1 regression guard: the driver's pandas compare crashed on
-    // array-typed outputs ('unhashable type: numpy.ndarray'); everything
-    // must project to atomic columns
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val bad = fn(spark, sf0001).schema.fields.filter(f => f.dataType match {
-        case _: ArrayType | _: MapType | _: StructType => true
-        case _ => false
-      })
-      assert(bad.isEmpty,
-        s"$name emits non-atomic columns: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
-    }
-  }
 }
