@@ -618,6 +618,12 @@ object SparkEntry {
       // hash flavor so the oracle draws the identical sample
       Sampling.hashSamplePortable(T(s, d, "documents"), "doc_id", 5)
         .select("doc_id", "lang", "source", "n_chars")),
+    "q68_normalized_dedup" -> ((s, d) =>
+      // fuzzy-exact dedup: first doc per CANONICALIZED text (lowercase,
+      // punctuation stripped, whitespace collapsed) — catches re-cased /
+      // re-wrapped duplicates that byte-exact hashing misses
+      Dedup.exactNormalized(T(s, d, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "n_chars")),
     "q66_large_orders" -> ((s, d) => {
       // TPC-H Q18 shape: customers with any order whose total quantity
       // exceeds a threshold — groupBy-HAVING decorrelated into a semi join
@@ -1188,6 +1194,14 @@ object SparkEntry {
     "q58_hash_sample" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE (${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 100 < 5""".stripMargin,
+    "q68_normalized_dedup" ->
+      """WITH n AS (SELECT doc_id, lang, n_chars,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(text), '[.,!?;:''"()\[\]{}]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM n
+        |WHERE doc_id IN (SELECT min(doc_id) FROM n GROUP BY norm)""".stripMargin,
     "q66_large_orders" ->
       """SELECT c_custkey, c_name, o_orderkey, o_totalprice
         |FROM orders

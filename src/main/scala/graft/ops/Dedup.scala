@@ -55,6 +55,29 @@ object Dedup {
     df.join(keepIds, Seq(idCol), "left_semi")
   }
 
+  /** Canonical text form for "fuzzy-exact" dedup: lowercase, strip
+    * punctuation, collapse whitespace runs, trim. Catches the re-encoded /
+    * re-wrapped / re-cased duplicates exact hashing misses while staying a
+    * pure map-side expression (the heavy near-dup machinery is only needed
+    * beyond what normalization folds away).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[.,!?;:'\"()\\[\\]{}]", ""),
+      "\\s+", " "))
+
+  /** Exact dedup on the NORMALIZED content — same 128-bit hash shuffle as
+    * `exactByHash`, keyed on `normalizeText(contentCol)`.
+    */
+  def exactNormalized(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val keepIds = df
+      .select(xxhash64(normalizeText(col(contentCol))).as("__h1"),
+        xxhash64(lit(1L), normalizeText(col(contentCol))).as("__h2"), col(idCol))
+      .groupBy("__h1", "__h2").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keepIds, Seq(idCol), "left_semi")
+  }
+
   // ------------------------------------------------------- incremental dedup
 
   /** Incremental exact dedup: rows of `batch` whose content does NOT

@@ -62,6 +62,17 @@ class DedupSpec extends SparkSpec {
     assert(cands.count() == 0)
   }
 
+  test("normalized dedup folds case/punctuation/whitespace variants") {
+    val variants = Seq(
+      (1L, "Hello, World!  How are you?"),
+      (2L, "hello world how are you"), // same after normalization
+      (3L, "HELLO   world, how ARE you."), // same after normalization
+      (4L, "an entirely different text")).toDF("doc_id", "text")
+    val kept = Dedup.exactNormalized(variants, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+  }
+
   test("incremental exact dedup: batch rows already in the corpus are dropped") {
     val corpus = Seq(
       (100L, "existing document one"),
