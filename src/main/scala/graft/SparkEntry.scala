@@ -69,6 +69,22 @@ object SparkEntry {
 
   // ---------------------------------------------- oracle SQL helper pieces
 
+  /** Shared by q14 (broadcast bbox tier) and q69 (grid equi-join tier) —
+    * both containment-join strategies must produce identical enrichment.
+    */
+  private lazy val addCountryOracleSql =
+    s"""WITH boxes(country, lat_min, lat_max, lon_min, lon_max) AS (VALUES
+       |  $boxesValuesSql),
+       |pts AS (SELECT c_custkey,
+       |  (c_custkey % 1800) / CAST(10 AS DOUBLE) - 90 AS "Latitude",
+       |  (c_custkey * 7 % 3600) / CAST(10 AS DOUBLE) - 180 AS "Longitude"
+       |  FROM customer)
+       |SELECT c_custkey, "Latitude", "Longitude",
+       |  coalesce(country, 'No country') AS "Country"
+       |FROM pts LEFT JOIN boxes
+       |  ON "Latitude" >= lat_min AND "Latitude" < lat_max
+       | AND "Longitude" >= lon_min AND "Longitude" < lon_max""".stripMargin
+
   /** DuckDB side of `graft.functions.md5Hash31` / `md5Hash60` — the
     * engines' md5 hex strings are identical, so parsing the same prefix
     * yields the same integer.
@@ -618,6 +634,17 @@ object SparkEntry {
       // hash flavor so the oracle draws the identical sample
       Sampling.hashSamplePortable(T(s, d, "documents"), "doc_id", 5)
         .select("doc_id", "lang", "source", "n_chars")),
+    "q69_grid_country" -> ((s, d) => {
+      // same semantics as q14, different physical strategy: the grid-cell
+      // EQUI-join tier of the spatial containment join (scales past the
+      // broadcast-nested-loop bbox tier when the dim grows) — shares q14's
+      // oracle semantics, so both tiers are hash-checked
+      val pts = T(s, d, "customer").select(
+        col("c_custkey"),
+        ((col("c_custkey") % 1800) / lit(10.0) - lit(90.0)).as("Latitude"),
+        ((col("c_custkey") * 7 % 3600) / lit(10.0) - lit(180.0)).as("Longitude"))
+      AddCountry.viaGridIndex(pts, AddCountry.defaultBoxes)
+    }),
     "q68_normalized_dedup" -> ((s, d) =>
       // fuzzy-exact dedup: first doc per CANONICALIZED text (lowercase,
       // punctuation stripped, whitespace collapsed) — catches re-cased /
@@ -786,18 +813,8 @@ object SparkEntry {
     "q11_geo_median" -> geoAggSql("median"),
     "q12_geo_mean" -> geoAggSql("avg"),
     "q13_geo_max" -> geoAggSql("max"),
-    "q14_add_country" ->
-      s"""WITH boxes(country, lat_min, lat_max, lon_min, lon_max) AS (VALUES
-         |  $boxesValuesSql),
-         |pts AS (SELECT c_custkey,
-         |  (c_custkey % 1800) / CAST(10 AS DOUBLE) - 90 AS "Latitude",
-         |  (c_custkey * 7 % 3600) / CAST(10 AS DOUBLE) - 180 AS "Longitude"
-         |  FROM customer)
-         |SELECT c_custkey, "Latitude", "Longitude",
-         |  coalesce(country, 'No country') AS "Country"
-         |FROM pts LEFT JOIN boxes
-         |  ON "Latitude" >= lat_min AND "Latitude" < lat_max
-         | AND "Longitude" >= lon_min AND "Longitude" < lon_max""".stripMargin,
+    "q14_add_country" -> addCountryOracleSql,
+    "q69_grid_country" -> addCountryOracleSql, // tier-equivalence: same semantics
     "q15_json_extract" ->
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k

@@ -75,6 +75,18 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.nonEmpty) // the gate means something
   }
 
+  test("all-pairs block join is invariant to the block count") {
+    val synth = (0L until 35L).map(i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 17.0 + d * 3.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    def run(blocks: Int) =
+      Similarity.allPairsSimilarityJoin(synth, threshold = 0.3, blocks = blocks)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(run(1) == run(4))
+    assert(run(4) == run(9))
+    assert(run(4).nonEmpty)
+  }
+
   test("srp banded near-dup prunes: planted pair found, orthogonal absent") {
     val base = Array.tabulate(8)(d => math.cos(d * 1.3).toFloat)
     val nearDup = base.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.01f else 0f) }
