@@ -38,4 +38,12 @@ class AsOfJoinSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       AsOfJoin(df, df, Seq("id"), "t", "v", "v"))
   }
+
+  test("empty right side: all left rows survive with a null carry-forward") {
+    val left = Seq((1L, ts(5), 1.0), (2L, ts(6), 2.0)).toDF("id", "t", "v")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("id", "t", "v")
+    val out = AsOfJoin(left, right, Seq("id"), "t", "v", "last_v")
+    assert(out.count() == 2)
+    assert(out.filter(org.apache.spark.sql.functions.col("last_v").isNotNull).count() == 0)
+  }
 }
