@@ -1,6 +1,23 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 object Bench {
+  /** Checksum-consuming action: aggregate a hash of EVERY output column over
+    * EVERY row. A bare `count()` lets Catalyst prune all columns and collapse
+    * projection-only queries (q02) to a metadata/count-only scan, flattering
+    * the engine; hashing a struct of all columns forces full materialization
+    * while still returning one row to the driver.
+    */
+  private def consume(df: DataFrame): Unit =
+    df.agg(count(lit(1)), sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+
+  private def timeAll(spark: SparkSession, sfDir: String): Map[String, Double] =
+    SparkEntry.queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,15 +33,17 @@ object Bench {
     // warm the session (codegen, parquet reader, broadcast machinery) so the
     // first timed query doesn't absorb ~4s of one-time JVM/session startup
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // pass 1 = fresh (includes per-plan codegen/analysis); pass 2 = steady
+    // state (plan+codegen caches warm) — the number that tracks actual
+    // execution cost. Headline metric stays the fresh total for
+    // cross-round comparability; steady_total is reported alongside.
+    val fresh = timeAll(spark, sfDir)
+    val steady = timeAll(spark, sfDir)
+    def js(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = if (fresh.nonEmpty) fresh.values.sum else 0.0
+    val steadyTotal = if (steady.nonEmpty) steady.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(fresh)},"steady_total":$steadyTotal,"queries_steady":${js(steady)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

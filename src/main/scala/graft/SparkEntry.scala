@@ -106,7 +106,7 @@ object SparkEntry {
     * one source of truth for both engines (a, b < 2^31 so a·h+b stays in
     * BIGINT range in DuckDB exactly as in the native expression).
     */
-  private val minhashParamsSql = Dedup.permutationParams(64).zipWithIndex
+  private val minhashParamsSql = Dedup.permutationParams(32).zipWithIndex
     .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(",\n  ")
 
   /** Same seeded SRP hyperplanes as `Similarity.srpBucket`, as a VALUES
@@ -309,8 +309,12 @@ object SparkEntry {
       // MinHashSignature expression + permutation family, md5-based shingle
       // hash DuckDB recomputes exactly; signature exploded to scalar rows
       // (the driver's compare cannot sort on array columns)
+      // numPerm=32 (not the production 64): md5-per-shingle is the price of
+      // DuckDB-recomputable signatures, and the twin exists to pin the
+      // signature ARITHMETIC, not to be a production dedup — half the perms
+      // halve the oracle-plumbing cost in the bench (q33 keeps 64)
       Dedup.minhashSignaturesPortable(T(s, d, "documents"), "doc_id", "text",
-        shingleK = 3, numPerm = 64)
+        shingleK = 3, numPerm = 32)
         .select(col("doc_id"), posexplode(col("sig")).as(Seq("perm", "sig")))),
     "q27_simhash" -> ((s, d) =>
       // 60-bit portable simhash (md5Hash60 token hash — 15 hex chars fit a
@@ -915,7 +919,8 @@ object SparkEntry {
          |    / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard_sim
          |FROM t a JOIN t b
          |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+         |WHERE len(a.toks) + len(b.toks) > 0
+         |  AND CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9""".stripMargin,
     "q32_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -1306,6 +1311,7 @@ object SparkEntry {
          |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id < 250),
          |batch AS (SELECT doc_id, s FROM sh WHERE doc_id >= 250),
          |dup AS (SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON
+         |  len(b.s) + len(c.s) > 0 AND
          |  CAST(len(list_filter(b.s, x -> list_contains(c.s, x))) AS DOUBLE)
          |    / (len(b.s) + len(c.s) - len(list_filter(b.s, x -> list_contains(c.s, x))))
          |    >= 0.8)

@@ -353,6 +353,15 @@ object Dedup {
       labelSum = nextSum
       iter += 1
     }
+    // callers cannot distinguish converged from truncated labels from the
+    // output alone — be loud when maxIter ran out (pointer doubling makes
+    // this O(log diameter), so hitting the cap means a pathological graph
+    // or a maxIter set far too low, not normal operation)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusterNearDups: label propagation did NOT converge within " +
+          s"$maxIter iterations — returned cluster_rep labels may be " +
+          s"partially merged (some components split). Increase maxIter.")
     labels.select(col("node").as(idCol), col("label").as("cluster_rep"))
   }
 

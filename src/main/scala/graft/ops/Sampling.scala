@@ -28,9 +28,20 @@ object Sampling {
     * The percent may be a per-row Column (stratified rates, e.g. by
     * language) — ONE definition of the gate for both the flat and
     * stratified forms, so the hash/bucket math cannot drift.
+    *
+    * The rate is range-checked PER ROW (raise_error on a value outside
+    * [0, 100]) — the Int overload's require() can't see inside a Column,
+    * and a bad stratum rate would otherwise silently yield an empty or
+    * full stratum. NULL rates pass through (NULL < gate is NULL → row
+    * filtered), matching SQL comparison semantics.
     */
-  def hashSamplePortable(df: DataFrame, keyCol: String, percent: Column): DataFrame =
-    df.filter(graft.functions.md5Hash31(col(keyCol).cast("string")) % 100 < percent)
+  def hashSamplePortable(df: DataFrame, keyCol: String, percent: Column): DataFrame = {
+    val checked = when(percent.isNull || (percent >= 0 && percent <= 100), percent)
+      .otherwise(raise_error(concat(
+        lit("hashSamplePortable: percent must be in [0, 100], got "),
+        percent.cast("string"))).cast("int"))
+    df.filter(graft.functions.md5Hash31(col(keyCol).cast("string")) % 100 < checked)
+  }
 
   def hashSamplePortable(df: DataFrame, keyCol: String, percent: Int): DataFrame = {
     require(percent >= 0 && percent <= 100, "percent must be in [0, 100]")

@@ -181,6 +181,12 @@ case class GroupedTopKFinalExec(groupExprs: Seq[Expression],
             if (emitted < k) { emitted += 1; pending = row }
           }
         }
+        // `pending` is handed out WITHOUT copying: advance() only pulls the
+        // next (memory-reusing) sorter row after the previous one has been
+        // consumed, which is the standard SparkPlan iterator contract (same
+        // as SortExec's output) — any consumer that buffers rows across
+        // next() calls must copy them itself. The partial pass, by
+        // contrast, copies because it buffers rows internally.
         override def hasNext: Boolean = { advance(); pending != null }
         override def next(): InternalRow = {
           advance(); val r = pending; pending = null; r

@@ -104,4 +104,45 @@ class GroupedTopKSpec extends SparkSpec {
       assert(!keepsRn.queryExecution.executedPlan.toString.contains("GroupedTopKFinal"))
     } finally spark.experimental.extraOptimizations = prev
   }
+
+  test("RowNumberTopKRewrite: widened literal shapes (long bound, casted literal, rn = 1)") {
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ graft.plans.RowNumberTopKRewrite
+      if (!spark.experimental.extraStrategies.contains(graft.plans.GroupedTopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.GroupedTopKStrategy
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      def build(pred: org.apache.spark.sql.Column) =
+        li.withColumn("rn", row_number().over(w))
+          .filter(pred)
+          .select("l_suppkey", "l_orderkey", "l_linenumber")
+      val windowPlain3 = build(col("rn") <= 3).collect().map(_.toString).toSet
+      val windowPlain1 = build(col("rn") <= 1).collect().map(_.toString).toSet
+      // rn <= 3L: rank behind a widening cast + a LONG literal bound
+      val longBound = build(col("rn") <= lit(3L))
+      assert(longBound.queryExecution.executedPlan.toString.contains("GroupedTopKFinal"),
+        longBound.queryExecution.executedPlan.toString)
+      assert(longBound.collect().map(_.toString).toSet == windowPlain3)
+      // rn <= CAST(3 AS INT): literal behind a foldable cast
+      val castBound = build(col("rn") <= expr("CAST(3 AS INT)"))
+      assert(castBound.queryExecution.executedPlan.toString.contains("GroupedTopKFinal"),
+        castBound.queryExecution.executedPlan.toString)
+      assert(castBound.collect().map(_.toString).toSet == windowPlain3)
+      // rn = 1 (both literal positions)
+      for (p <- Seq(col("rn") === 1L, lit(1) === col("rn"))) {
+        val eq1 = build(p)
+        assert(eq1.queryExecution.executedPlan.toString.contains("GroupedTopKFinal"),
+          eq1.queryExecution.executedPlan.toString)
+        assert(eq1.collect().map(_.toString).toSet == windowPlain1)
+      }
+      // rank() = 1 must NOT rewrite: rank admits ties (see rule scaladoc)
+      val rankEq1 = li.withColumn("rk", rank().over(w))
+        .filter(col("rk") === 1)
+        .select("l_suppkey", "l_orderkey", "l_linenumber")
+      rankEq1.collect()
+      assert(!rankEq1.queryExecution.executedPlan.toString.contains("GroupedTopKFinal"))
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }

@@ -63,6 +63,29 @@ class LshPropertySpec extends SparkSpec {
     }
   }
 
+  test("corpus gap property: no sf0.01 document pair has 2-shingle jaccard in (0.3, 0.9)") {
+    // The q33/q38/q60 oracles are EXACT all-pairs jaccard while the Spark
+    // side is LSH-recall-bounded; their equality relies on this corpus
+    // property (every true near-dup pair ≥ 0.9, nothing else above 0.3 —
+    // where recall at r=8, b=8 is 1). If the data generator ever changes,
+    // this test fails with a diagnostic instead of an opaque oracle
+    // mismatch. 500 docs → 125k pairs: exact all-pairs is cheap here.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val sh = docs.select(col("doc_id"),
+      sort_array(shingleHashes(col("text"), 2)).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val inter = graft.functions.sortedIntersectCount(col("a.sh"), col("b.sh")).cast("double")
+    val unionSize = (col("a.n") + col("b.n")).cast("double") - inter
+    val pairs = sh.alias("a")
+      .join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(when(unionSize === 0, lit(0.0)).otherwise(inter / unionSize).as("j"))
+    val inGap = pairs.filter(col("j") > 0.3 && col("j") < 0.9).count()
+    assert(inGap == 0,
+      s"$inGap document pairs have jaccard in (0.3, 0.9) — the exact-oracle-" +
+        "equals-LSH assumption of q33/q38/q60 no longer holds on this corpus")
+    assert(pairs.filter(col("j") >= 0.9).count() > 0) // planted near-dups exist
+  }
+
   test("negative control: the degenerate 2^61-1-modulus family is rejected") {
     // Reimplements the broken family the fix in Dedup.permutationParams
     // removed: same (a, b) params and 31-bit shingle hashes, but modulus

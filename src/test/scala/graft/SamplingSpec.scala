@@ -30,6 +30,23 @@ class SamplingSpec extends SparkSpec {
     assert(p5.subsetOf(p20))
   }
 
+  test("Column-rate overload raises on a per-row rate outside [0, 100]") {
+    // the Int overloads require() at call time; the Column overload can only
+    // check per row — a silently-empty or silently-full stratum is the bug
+    val bad = Sampling.hashSamplePortable(docs, "doc_id",
+      when(col("lang") === "en", -5).otherwise(50))
+    val e = intercept[Exception](bad.count())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("percent must be in [0, 100]")), e)
+    // valid per-row rates still work (0 and 100 are legal boundary values)
+    val ok = Sampling.hashSamplePortable(docs, "doc_id",
+      when(col("lang") === "en", 0).otherwise(100))
+    assert(ok.filter(col("lang") === "en").count() == 0)
+    assert(ok.filter(col("lang") =!= "en").count() ==
+      docs.filter(col("lang") =!= "en").count())
+  }
+
   test("splitLabel partitions every row into exactly one split") {
     val labeled = docs.select(col("doc_id"),
       Sampling.splitLabel(col("doc_id"), 10).as("split"))
