@@ -752,6 +752,31 @@ object SparkEntry {
         "text", "doc_id")
         .select("doc_id", "lang", "n_chars")
     }),
+    // --- approximate-sketch tier (scale twins of q52 / q35 / q63) ---
+    "q70_approx_percentiles" -> ((s, d) =>
+      // sketch quantiles with a per-quantile error gate: exact values are
+      // hash-checked against DuckDB, and each percentile_approx estimate
+      // must land inside the exact [p−0.01, p+0.01] band (GK guarantees
+      // rank error ≤ 1e-4 — a red gate means a broken sketch). At corpus
+      // scale only the sketch side runs (Quantiles.approxPercentiles):
+      // bounded state instead of q52's full-value buffering.
+      Quantiles.approxPercentilesChecked(
+        Tables.events(s, d), Seq("event_type"), "value", Seq(0.5, 0.9, 0.99))),
+    "q71_approx_distinct" -> ((s, d) =>
+      // HLL++ distinct-count gate next to the exact count — the scale twin
+      // of q35 (HLL state is ~KB per group vs count(DISTINCT)'s full key
+      // set; register-max merge makes the estimate partitioning-invariant)
+      Quantiles.approxDistinctChecked(
+        Tables.events(s, d), Seq("event_type"), "user_id", "n_users")),
+    "q72_approx_quality_filter" -> ((s, d) =>
+      // q63's band filter through the sketch tier: count selected by the
+      // exact band (oracle-checked) and assert the approx band selects the
+      // same count up to the GK rank-error slack
+      Quantiles.approxBandFilterChecked(
+        TextAnalysis.qualityScore(T(s, d, "documents"))
+          .select(col("doc_id"), col("mean_token_len")),
+        "mean_token_len", 0.05, 0.95)),
+
     "q60_incremental_neardup" -> ((s, d) => {
       // batch rows with no near-duplicate in the corpus (LSH bucket probe
       // + jaccard verify against the corpus signature index)
@@ -1140,6 +1165,31 @@ object SparkEntry {
         |  epoch_us(min(ts)) AS session_start_us,
         |  count(*) AS n_events, sum(value) AS total_value
         |FROM sessions GROUP BY user_id, session_seq""".stripMargin,
+    "q70_approx_percentiles" ->
+      // the ok gates are literal true on the oracle side: DuckDB verifies
+      // the exact values; the Spark side verifies the sketch against them
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  quantile_cont(value, 0.99) AS p99,
+        |  true AS p50_ok, true AS p90_ok, true AS p99_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q71_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  true AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q72_approx_quality_filter" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len($toksSql) = 0 THEN 0.0
+         |         ELSE len(regexp_replace(text, '\\s', '', 'g')) / CAST(len($toksSql) AS DOUBLE)
+         |    END AS mean_token_len
+         |  FROM documents),
+         |b AS (SELECT quantile_cont(mean_token_len, 0.05) AS lo,
+         |             quantile_cont(mean_token_len, 0.95) AS hi
+         |      FROM scored)
+         |SELECT count(*) AS n_exact, true AS approx_band_ok
+         |FROM scored, b WHERE mean_token_len >= lo AND mean_token_len <= hi""".stripMargin,
     "q52_percentiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-sketch tier for quantiles and distinct counts (north-star
+  * extension; the 100 TB companion to the exact forms in q52/q63/q35).
+  *
+  * Exact `percentile` is a TypedImperativeAggregate that buffers EVERY group
+  * value in one aggregation state — for a global percentile that is the
+  * whole corpus' doubles in a single task, which does not survive corpus
+  * scale. The sketch tier replaces it:
+  *
+  *   - quantiles: `percentile_approx` (Greenwald–Khanna summary) — state is
+  *     O(accuracy · log n) regardless of group size, mergeable, with a hard
+  *     rank-error guarantee of n/accuracy;
+  *   - distinct counts: `approx_count_distinct` (HyperLogLog++) — fixed
+  *     ~kilobytes of register state per group, relative error ≈ rsd,
+  *     and the register merge is commutative max, so results are
+  *     deterministic under any partitioning.
+  *
+  * The `...Checked` variants compute BOTH tiers and emit the exact values
+  * plus boolean gates asserting the sketch landed inside its guaranteed
+  * error band — that is what makes the approximate tier ORACLE-CHECKABLE:
+  * DuckDB recomputes the exact side and the gates must read `true`. At
+  * production scale you run only the sketch tier (`approxPercentiles` /
+  * `approxDistinct` / `approxBandFilter`).
+  */
+object Quantiles {
+
+  /** Default GK accuracy: rank error ≤ n/10000 (Spark's own default). */
+  val DefaultAccuracy = 10000
+
+  private def labelOf(p: Double): String = {
+    val pct = p * 100
+    if (pct == pct.floor) s"p${pct.toInt}" else s"p${pct}".replace('.', '_')
+  }
+
+  /** Sketch-only per-group quantiles — the operator you run at corpus scale.
+    * One hash aggregation; state bounded by `accuracy`, not group size.
+    */
+  def approxPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                        ps: Seq[Double], accuracy: Int = DefaultAccuracy): DataFrame = {
+    val arr = percentile_approx(col(valueCol),
+      array(ps.map(lit): _*), lit(accuracy))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(arr.as("__ap"))
+      .select(groupCols.map(col) ++
+        ps.zipWithIndex.map { case (p, i) =>
+          element_at(col("__ap"), i + 1).as(labelOf(p))
+        }: _*)
+  }
+
+  /** Exact + sketch quantiles with a per-quantile correctness gate: the
+    * sketch value must land inside the exact value band
+    * [percentile(p − rankDelta), percentile(p + rankDelta)]. The GK
+    * guarantee is rank error ≤ 1/accuracy, so any rankDelta ≫ 1/accuracy
+    * (default 0.01 vs 1e-4) must hold on EVERY dataset — a false gate means
+    * the sketch (or its merge) is broken, not the data.
+    *
+    * Output: groupCols, one exact column per p (named p50/p90/...), one
+    * boolean `<label>_ok` per p.
+    */
+  def approxPercentilesChecked(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                               ps: Seq[Double], rankDelta: Double = 0.01,
+                               accuracy: Int = DefaultAccuracy): DataFrame = {
+    val v = valueCol
+    val exact = ps.map(p => expr(s"percentile($v, $p)").as(labelOf(p)))
+    val bandLo = ps.map(p =>
+      expr(s"percentile($v, ${math.max(0.0, p - rankDelta)})").as(s"__lo_${labelOf(p)}"))
+    val bandHi = ps.map(p =>
+      expr(s"percentile($v, ${math.min(1.0, p + rankDelta)})").as(s"__hi_${labelOf(p)}"))
+    val approx = percentile_approx(col(v), array(ps.map(lit): _*), lit(accuracy)).as("__ap")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(exact.head, (exact.tail ++ bandLo ++ bandHi :+ approx): _*)
+    agg.select(groupCols.map(col) ++
+      ps.map(p => col(labelOf(p))) ++
+      ps.zipWithIndex.map { case (p, i) =>
+        val l = labelOf(p)
+        element_at(col("__ap"), i + 1)
+          .between(col(s"__lo_$l"), col(s"__hi_$l")).as(s"${l}_ok")
+      }: _*)
+  }
+
+  /** Sketch-only per-group distinct counts (HLL++). */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                     rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(keyCol), rsd).as(s"approx_n_$keyCol"))
+
+  /** Exact + HLL distinct count with a relative-error gate: the estimate
+    * must be within `relTol` of exact (or ±1 absolute for tiny groups).
+    * relTol defaults to 3× the requested rsd — a ≈99.7% band, so a red
+    * gate means broken sketch, not statistical bad luck.
+    */
+  def approxDistinctChecked(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                            outCol: String, rsd: Double = 0.05,
+                            relTol: Double = 0.15): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col(keyCol)).as(outCol),
+        approx_count_distinct(col(keyCol), rsd).as("__a"))
+      .select(groupCols.map(col) :+ col(outCol) :+
+        (abs(col("__a") - col(outCol)).cast("double") <=
+          greatest(lit(1.0), col(outCol).cast("double") * relTol)).as("approx_ok"): _*)
+
+  /** Sketch-tier outlier-band filter — the scale twin of the q63 pattern:
+    * keep rows whose `valueCol` lies within the [pLo, pHi] approximate
+    * quantile band. ONE pass to sketch the bounds (bounded state), one
+    * broadcast of a 1-row bounds relation; the corpus never shuffles.
+    */
+  def approxBandFilter(df: DataFrame, valueCol: String,
+                       pLo: Double, pHi: Double,
+                       accuracy: Int = DefaultAccuracy): DataFrame = {
+    val bounds = df.agg(
+      percentile_approx(col(valueCol), array(lit(pLo), lit(pHi)), lit(accuracy)).as("__b"))
+      .select(element_at(col("__b"), 1).as("__lo"), element_at(col("__b"), 2).as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
+  /** Band-filter correctness gate, count-based: |{rows in approx band}| may
+    * differ from |{rows in exact band}| only by the GK rank-error slack —
+    * each bound's rank is off by at most n/accuracy, plus ≤ 2 ranks of
+    * interpolation-convention gap between GK (returns a sample) and exact
+    * `percentile` (interpolates on (n−1)·p), for ⌈2·(2n/accuracy + 2)⌉
+    * total. Output is one row (n_exact, approx_band_ok) — DuckDB
+    * recomputes n_exact and the gate must be true.
+    */
+  def approxBandFilterChecked(df: DataFrame, valueCol: String,
+                              pLo: Double, pHi: Double,
+                              accuracy: Int = DefaultAccuracy): DataFrame = {
+    val v = col(valueCol)
+    val bounds = df.agg(
+      expr(s"percentile($valueCol, $pLo)").as("__lo_e"),
+      expr(s"percentile($valueCol, $pHi)").as("__hi_e"),
+      percentile_approx(v, array(lit(pLo), lit(pHi)), lit(accuracy)).as("__b"))
+    df.crossJoin(broadcast(bounds))
+      .agg(
+        sum(when(v.between(col("__lo_e"), col("__hi_e")), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(v.between(element_at(col("__b"), 1), element_at(col("__b"), 2)), 1L)
+          .otherwise(0L)).as("__n_approx"),
+        count(lit(1)).as("__n"))
+      .select(col("n_exact"),
+        (abs(col("__n_approx") - col("n_exact")).cast("double") <=
+          ceil(lit(2.0) * (lit(2.0) * col("__n") / accuracy + lit(2.0))).cast("double"))
+          .as("approx_band_ok"))
+  }
+}

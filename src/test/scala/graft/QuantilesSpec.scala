@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Quantiles
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables.events(spark, sf0001)
+  private lazy val sf001 = "/root/testdata/sf0.01"
+
+  test("sketch quantiles land inside the exact error band (sf0.01, per group)") {
+    // the property the q70 gate enforces, asserted directly at the verify SF
+    val checked = Quantiles.approxPercentilesChecked(
+      Tables.events(spark, sf001), Seq("event_type"), "value", Seq(0.5, 0.9, 0.99))
+    val bad = checked.filter(!col("p50_ok") || !col("p90_ok") || !col("p99_ok"))
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+  }
+
+  test("approx plan carries NO exact percentile aggregate (bounded state only)") {
+    // exact `percentile` buffers every group value; the sketch tier must
+    // not — gate on the aggregate expression actually planned. (Both are
+    // ObjectHashAggregate; the EXPRESSION is what distinguishes full-value
+    // state from GK-summary state.)
+    val approx = Quantiles.approxPercentiles(
+      events, Seq("event_type"), "value", Seq(0.5, 0.9))
+    val s = approx.queryExecution.executedPlan.toString
+    assert(s.contains("percentile_approx("), s)
+    assert(!s.contains("percentile(value"), s) // exact form absent
+    // and the global (no-group) form — the q63 scale-killer shape — too
+    val global = Quantiles.approxPercentiles(events, Nil, "value", Seq(0.05, 0.95))
+    val gs = global.queryExecution.executedPlan.toString
+    assert(gs.contains("percentile_approx("), gs)
+    assert(!gs.contains("percentile(value"), gs)
+  }
+
+  test("HLL distinct estimates stay within 3×rsd of exact per group") {
+    val checked = Quantiles.approxDistinctChecked(
+      Tables.events(spark, sf001), Seq("event_type"), "user_id", "n_users")
+    assert(checked.filter(!col("approx_ok")).count() == 0)
+    // and the sketch-only operator returns one row per group
+    val sketchOnly = Quantiles.approxDistinct(events, Seq("event_type"), "user_id")
+    assert(sketchOnly.count() == events.select("event_type").distinct().count())
+  }
+
+  test("approx band filter keeps the middle of the distribution, drops tails") {
+    val filtered = Quantiles.approxBandFilter(events, "value", 0.05, 0.95)
+    val n = events.count().toDouble
+    val kept = filtered.count().toDouble
+    // ~90% band, generous tolerance for value ties at the boundary
+    assert(kept / n > 0.80 && kept <= n, s"kept ${kept / n}")
+    // the median always survives a (0.05, 0.95) band
+    val med = events.agg(expr("percentile(value, 0.5)")).head().getDouble(0)
+    assert(filtered.filter(col("value") === med).count() ==
+      events.filter(col("value") === med).count())
+  }
+
+  test("band-filter count gate holds at the verify SF") {
+    val scored = graft.ops.TextAnalysis.qualityScore(Tables.documents(spark, sf001))
+      .select(col("doc_id"), col("mean_token_len"))
+    val row = Quantiles.approxBandFilterChecked(scored, "mean_token_len", 0.05, 0.95)
+      .head()
+    assert(row.getBoolean(1), row.toString)
+    assert(row.getLong(0) > 0)
+  }
+}
