@@ -752,6 +752,40 @@ object SparkEntry {
         "text", "doc_id")
         .select("doc_id", "lang", "n_chars")
     }),
+    // --- outer-join reconciliation + explicit grouping sets ---
+    "q73_full_outer_balance" -> ((s, d) => {
+      // reconciliation staple: per-nation negative-balance customer totals
+      // FULL OUTER JOIN per-nation negative-balance supplier totals —
+      // nations present on one side only keep NULLs on the other. Both
+      // sides pre-aggregate to ≤ |nation| rows before the join, so the
+      // full-outer join itself is dimension-sized regardless of corpus SF.
+      val c = T(s, d, "customer").filter(col("c_acctbal") < 0)
+        .groupBy(col("c_nationkey").as("nk_c"))
+        .agg(sum(col("c_acctbal")).as("cust_neg_bal"), count(lit(1)).as("n_cust"))
+      val su = T(s, d, "supplier").filter(col("s_acctbal") < 0)
+        .groupBy(col("s_nationkey").as("nk_s"))
+        .agg(sum(col("s_acctbal")).as("supp_neg_bal"), count(lit(1)).as("n_supp"))
+      c.join(su, col("nk_c") === col("nk_s"), "full_outer")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          col("cust_neg_bal"), col("n_cust"), col("supp_neg_bal"), col("n_supp"))
+    }),
+    "q74_grouping_sets" -> ((s, d) =>
+      // explicit GROUPING SETS — rollup (q34) and cube (q50) cover the
+      // fixed lattices; this is the arbitrary-subset form, with
+      // grouping_id() disambiguating a genuine NULL key from a subtotal
+      // row (bit order: first grouping column = MSB, same as DuckDB's
+      // GROUPING(r_name, o_orderstatus))
+      T(s, d, "orders")
+        .join(broadcast(T(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupingSets(
+          Seq(Seq(col("r_name"), col("o_orderstatus")), Seq(col("r_name")), Seq()),
+          col("r_name"), col("o_orderstatus"))
+        .agg(sum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          grouping_id().cast("int").as("gid"))),
+
     // --- approximate-sketch tier (scale twins of q52 / q35 / q63) ---
     "q70_approx_percentiles" -> ((s, d) =>
       // sketch quantiles with a per-quantile error gate: exact values are
@@ -1165,6 +1199,25 @@ object SparkEntry {
         |  epoch_us(min(ts)) AS session_start_us,
         |  count(*) AS n_events, sum(value) AS total_value
         |FROM sessions GROUP BY user_id, session_seq""".stripMargin,
+    "q73_full_outer_balance" ->
+      """WITH c AS (SELECT c_nationkey AS nk_c, sum(c_acctbal) AS cust_neg_bal,
+        |             count(*) AS n_cust
+        |           FROM customer WHERE c_acctbal < 0 GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk_s, sum(s_acctbal) AS supp_neg_bal,
+        |        count(*) AS n_supp
+        |      FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+        |SELECT coalesce(nk_c, nk_s) AS nationkey,
+        |  cust_neg_bal, n_cust, supp_neg_bal, n_supp
+        |FROM c FULL OUTER JOIN s ON nk_c = nk_s""".stripMargin,
+    "q74_grouping_sets" ->
+      """SELECT r_name, o_orderstatus, sum(o_totalprice) AS revenue,
+        |  count(*) AS n_orders,
+        |  CAST(GROUPING(r_name, o_orderstatus) AS INTEGER) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, o_orderstatus), (r_name), ())""".stripMargin,
     "q70_approx_percentiles" ->
       // the ok gates are literal true on the oracle side: DuckDB verifies
       // the exact values; the Spark side verifies the sketch against them
