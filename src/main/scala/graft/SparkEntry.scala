@@ -102,6 +102,23 @@ object SparkEntry {
        |    / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
        |       * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))))""".stripMargin
 
+  /** Shared by q23 (broadcast-probe tier) and q75 (blocked tier) — both
+    * batch-1-NN strategies must produce identical neighbors and sims.
+    */
+  private lazy val knnOracleSql =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> c.e[i] * p.e[i]))
+       |    / (sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i] * c.e[i])))
+       |       * sqrt(list_sum(list_transform(range(1, 65), i -> p.e[i] * p.e[i])))) AS sim
+       |  FROM v p JOIN v c ON c.vec_id <> p.vec_id
+       |  WHERE p.vec_id < 20)
+       |SELECT probe_id, neighbor_id, sim
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+       |WHERE rn = 1""".stripMargin
+
   /** Same MinHash permutation params as the Spark side, as a VALUES list —
     * one source of truth for both engines (a, b < 2^31 so a·h+b stays in
     * BIGINT range in DuckDB exactly as in the native expression).
@@ -302,6 +319,11 @@ object SparkEntry {
       Similarity.cosineTopK(T(s, d, "embeddings"), queryId = 0L, k = 10)),
     "q23_knn" -> ((s, d) =>
       Similarity.nearestNeighbor(T(s, d, "embeddings"), col("vec_id") < 20)),
+    "q75_knn_blocked" -> ((s, d) =>
+      // q23's semantics through the blocked bipartite scheme — the path
+      // that survives a probe set too large to broadcast (same oracle:
+      // the two plans must agree bit-for-bit)
+      Similarity.nearestNeighborBlocked(T(s, d, "embeddings"), col("vec_id") < 20)),
 
     // --- LSH/sketch/multimodal, oracle-exact via portable md5 hashing ---
     "q26_minhash_sigs" -> ((s, d) =>
@@ -927,19 +949,8 @@ object SparkEntry {
          |       * sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))) AS sim
          |  FROM v, q WHERE vec_id <> 0)
          |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
-    "q23_knn" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |scored AS (
-         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-         |    list_sum(list_transform(range(1, 65), i -> c.e[i] * p.e[i]))
-         |    / (sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i] * c.e[i])))
-         |       * sqrt(list_sum(list_transform(range(1, 65), i -> p.e[i] * p.e[i])))) AS sim
-         |  FROM v p JOIN v c ON c.vec_id <> p.vec_id
-         |  WHERE p.vec_id < 20)
-         |SELECT probe_id, neighbor_id, sim
-         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
-         |WHERE rn = 1""".stripMargin,
+    "q23_knn" -> knnOracleSql,
+    "q75_knn_blocked" -> knnOracleSql, // tier-equivalence: same semantics
     "q25_langid_counts" -> {
       // mirrors languageIdScored: distinct lowercase tokens scored against
       // marker lists; argmax with greatest(struct) semantics = on score

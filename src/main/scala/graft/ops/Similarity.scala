@@ -38,7 +38,10 @@ object Similarity {
   /** Batch 1-NN: for every probe vector (a subset), the single most similar
     * other vector. Probe side broadcasts; corpus side streams — no shuffle
     * of the big table. Norms are precomputed once per row on each side, so
-    * the per-pair work is one dot product.
+    * the per-pair work is one dot product. REQUIRES the probe set to be
+    * broadcast-sized; for large probe batches use
+    * [[nearestNeighborBlocked]], which bounds per-task probe memory by
+    * blocking instead of broadcasting.
     *
     * The argmax is a single hash aggregation — max(struct(sim, -id)) —
     * instead of a window sort: ~|probes| groups of partial aggregation, no
@@ -54,6 +57,57 @@ object Similarity {
       .select(col(idCol).as("probe_id"), col("__v").as("__pv"), col("__n").as("__pn"))
     val scored = withNorm
       .crossJoin(broadcast(probes))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        (dotProduct(col("__v"), col("__pv")) / (col("__n") * col("__pn"))).as("sim"))
+    scored
+      .groupBy(col("probe_id"))
+      .agg(max(struct(col("sim"), (-col("neighbor_id")).as("negid"))).as("__b"))
+      .select(col("probe_id"), (-col("__b.negid")).as("neighbor_id"),
+        col("__b.sim").as("sim"))
+  }
+
+  /** Batch 1-NN WITHOUT the broadcast-probe ceiling. `nearestNeighbor`
+    * broadcasts the probe set — the right plan while probes fit in a
+    * broadcast, but the realistic "re-score yesterday's batch against the
+    * corpus" case has millions of probes, and a broadcast build side that
+    * size kills executors. This variant is the bipartite analogue of
+    * [[allPairsSimilarityJoin]]'s blocked scheme:
+    *
+    *   - probes are hash-split into `probeBlocks`, corpus into
+    *     `corpusBlocks`; the probeBlocks×corpusBlocks pair grid is the only
+    *     broadcast (a few hundred int pairs);
+    *   - each side joins the grid on its own block id, acquiring the full
+    *     (probe-block, corpus-block) key — so the scoring join is a pure
+    *     EQUI-join on that pair, one task per grid cell;
+    *   - per-task memory is one probe block (|probes|/probeBlocks rows) —
+    *     bounded by choosing probeBlocks, independent of total probe count.
+    *     Replication is the blocked-matmul trade: corpus ×probeBlocks,
+    *     probes ×corpusBlocks rows through the exchange.
+    *
+    * Same argmax aggregation as `nearestNeighbor` — results are identical
+    * (dot products are order-independent per pair), which SimilaritySpec
+    * asserts. Choose `nearestNeighbor` when the probe set is broadcast-
+    * sized; this when it is not.
+    */
+  def nearestNeighborBlocked(emb: DataFrame, probeFilter: Column,
+                             probeBlocks: Int = 4, corpusBlocks: Int = 8,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val withNorm = emb.select(
+      col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+    val grid = (for (p <- 0 until probeBlocks; c <- 0 until corpusBlocks) yield (p, c))
+      .toDF("__pb", "__cb")
+    val probes = withNorm.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col("__v").as("__pv"), col("__n").as("__pn"),
+        pmod(xxhash64(col(idCol)), lit(probeBlocks)).cast("int").as("__pb"))
+      .join(broadcast(grid), "__pb") // probe row → one (pb, cb) per corpus block
+    val corpus = withNorm
+      .withColumn("__cb", pmod(xxhash64(col(idCol)), lit(corpusBlocks)).cast("int"))
+      .join(broadcast(grid), "__cb") // corpus row → one (pb, cb) per probe block
+    val scored = corpus.join(probes, Seq("__pb", "__cb"))
       .filter(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"), col(idCol).as("neighbor_id"),
         (dotProduct(col("__v"), col("__pv")) / (col("__n") * col("__pn"))).as("sim"))

@@ -39,6 +39,53 @@ class SimilaritySpec extends SparkSpec {
     assert(nn(1L) == 0L)
   }
 
+  test("blocked 1-NN matches the broadcast path bit-for-bit on real embeddings") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val broadcastPath = Similarity.nearestNeighbor(emb, col("vec_id") < 20)
+      .collect().map(_.toString).toSet
+    val blockedPath = Similarity.nearestNeighborBlocked(emb, col("vec_id") < 20)
+      .collect().map(_.toString).toSet
+    assert(blockedPath == broadcastPath)
+    assert(blockedPath.nonEmpty)
+    // block-count invariance (like the all-pairs join gate)
+    val other = Similarity.nearestNeighborBlocked(emb, col("vec_id") < 20,
+      probeBlocks = 3, corpusBlocks = 5).collect().map(_.toString).toSet
+    assert(other == broadcastPath)
+  }
+
+  test("blocked 1-NN never broadcasts the probe relation — only the block grid") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // disable size-based broadcasts so the gate sees the declared shape
+      // (at test scale AQE would legally broadcast the tiny probe side),
+      // and AQE so BroadcastExchangeExec nodes are directly collectable
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Similarity.nearestNeighborBlocked(emb, col("vec_id") < 20)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      // every BroadcastExchange must sit over the LocalTableScan grid, and
+      // the probe↔corpus scoring join must be a shuffled equi-join
+      val bcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bcasts.nonEmpty)
+      bcasts.foreach { b =>
+        val leaves = b.collectLeaves().map(_.getClass.getSimpleName).toSet
+        assert(leaves.forall(_.contains("LocalTableScan")),
+          s"broadcast over non-grid input: $leaves")
+      }
+      val s = plan.toString
+      assert(!s.contains("BroadcastNestedLoopJoin"), s)
+      assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"), s)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("srp bucket: same direction → same bucket, opposite → different") {
     val b = vecs.select(col("vec_id"),
       Similarity.srpBucket(col("embedding"), dim = 3, numPlanes = 16).as("b"))
