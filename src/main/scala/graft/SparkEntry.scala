@@ -119,6 +119,46 @@ object SparkEntry {
        |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
        |WHERE rn = 1""".stripMargin
 
+  /** Shared by q60 (inline corpus signatures) and q76 (persisted bucketed
+    * signature index) — both incremental near-dup strategies must keep the
+    * same batch rows. The zero-union guard mirrors the Spark side's
+    * unionSize==0 → 0.0 (DuckDB IEEE 0/0 = NaN, and NaN >= τ is TRUE).
+    */
+  private lazy val incrementalNearDupOracleSql =
+    s"""WITH ${shingleCtesSql(2)},
+       |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id < 250),
+       |batch AS (SELECT doc_id, s FROM sh WHERE doc_id >= 250),
+       |dup AS (SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON
+       |  len(b.s) + len(c.s) > 0 AND
+       |  CAST(len(list_filter(b.s, x -> list_contains(c.s, x))) AS DOUBLE)
+       |    / (len(b.s) + len(c.s) - len(list_filter(b.s, x -> list_contains(c.s, x))))
+       |    >= 0.8)
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin
+
+  /** Shared by q37 (inline assignment) and q77 (persisted partitioned
+    * index) — both IVF strategies must return identical neighbors.
+    */
+  private lazy val ivfOracleSql =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
+       |  FROM v WHERE vec_id % 97 = 0),
+       |scored AS (SELECT v.vec_id, cent.cell_id,
+       |    ${cosSql("v.e", "cent.c")} AS sim
+       |  FROM v CROSS JOIN cent),
+       |assign AS (SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 1),
+       |qc AS (SELECT cell_id FROM cent, q
+       |  ORDER BY ${cosSql("c", "qe")} DESC, cell_id LIMIT 2)
+       |SELECT v.vec_id,
+       |  ${cosSql("v.e", "qe")} AS sim
+       |FROM v JOIN assign USING (vec_id) JOIN qc USING (cell_id), q
+       |WHERE v.vec_id <> 1
+       |ORDER BY sim DESC, v.vec_id LIMIT 10""".stripMargin
+
   /** Same MinHash permutation params as the Spark side, as a VALUES list —
     * one source of truth for both engines (a, b < 2^31 so a·h+b stays in
     * BIGINT range in DuckDB exactly as in the native expression).
@@ -774,6 +814,40 @@ object SparkEntry {
         "text", "doc_id")
         .select("doc_id", "lang", "n_chars")
     }),
+    // --- persisted-index lifecycle (build once, probe many) ---
+    "q76_indexed_neardup" -> ((s, d) => {
+      // q60's semantics through the PERSISTED signature index: the corpus
+      // half is written as two bucketed tables (band/bucket-bucketed
+      // signatures + id-bucketed verification shingles), then the batch
+      // probes them — the operational shape where the corpus is hashed
+      // once, not per batch. Same oracle as q60.
+      val docs = T(s, d, "documents")
+      val tag = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(d.getBytes).getMostSignificantBits)
+      val name = s"neardup_idx_$tag"
+      Dedup.buildNearDupIndex(docs.filter(col("doc_id") < 250),
+        name, s"/tmp/graft_index/$tag", "doc_id", "text",
+        shingleK = 2, numPerm = 64, bands = 8)
+      Dedup.nearDupNewOnlyIndexed(docs.filter(col("doc_id") >= 250),
+        name, "doc_id", "text", shingleK = 2, numPerm = 64, bands = 8,
+        threshold = 0.8)
+        .select("doc_id", "lang", "n_chars")
+    }),
+    "q77_ivf_indexed" -> ((s, d) => {
+      // q37's semantics through the PERSISTED IVF index: cell assignments
+      // written partitioned by cell_id, probe reads only its nProbe cells
+      // (static partition pruning). Same centroids + oracle as q37.
+      val emb = T(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      val tag = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(d.getBytes).getMostSignificantBits)
+      val path = s"/tmp/graft_ivf/$tag"
+      Similarity.buildIvfIndex(emb, centroids, path)
+      Similarity.ivfTopKIndexed(s, path, centroids, queryId = 1L, k = 10, nProbe = 2)
+    }),
+
     // --- outer-join reconciliation + explicit grouping sets ---
     "q73_full_outer_balance" -> ((s, d) => {
       // reconciliation staple: per-nation negative-balance customer totals
@@ -1062,25 +1136,8 @@ object SparkEntry {
     "q33_minhash_lsh_neardup" ->
       s"""WITH ${jaccardPairCtesSql(2, 0.8)}
          |SELECT id_a, id_b, jaccard_sim FROM jp""".stripMargin,
-    "q37_ivf_topk" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
-         |  FROM v WHERE vec_id % 97 = 0),
-         |scored AS (SELECT v.vec_id, cent.cell_id,
-         |    ${cosSql("v.e", "cent.c")} AS sim
-         |  FROM v CROSS JOIN cent),
-         |assign AS (SELECT vec_id, cell_id FROM (
-         |    SELECT vec_id, cell_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
-         |    FROM scored) WHERE rn = 1),
-         |q AS (SELECT e AS qe FROM v WHERE vec_id = 1),
-         |qc AS (SELECT cell_id FROM cent, q
-         |  ORDER BY ${cosSql("c", "qe")} DESC, cell_id LIMIT 2)
-         |SELECT v.vec_id,
-         |  ${cosSql("v.e", "qe")} AS sim
-         |FROM v JOIN assign USING (vec_id) JOIN qc USING (cell_id), q
-         |WHERE v.vec_id <> 1
-         |ORDER BY sim DESC, v.vec_id LIMIT 10""".stripMargin,
+    "q37_ivf_topk" -> ivfOracleSql,
+    "q77_ivf_indexed" -> ivfOracleSql, // tier-equivalence: same semantics
     "q38_neardup_clusters" ->
       s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
          |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
@@ -1420,17 +1477,8 @@ object SparkEntry {
         |    AND text NOT IN (SELECT text FROM documents WHERE doc_id < 400))
         |SELECT doc_id, lang, n_chars FROM batchf
         |WHERE doc_id IN (SELECT min(doc_id) FROM batchf GROUP BY text)""".stripMargin,
-    "q60_incremental_neardup" ->
-      s"""WITH ${shingleCtesSql(2)},
-         |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id < 250),
-         |batch AS (SELECT doc_id, s FROM sh WHERE doc_id >= 250),
-         |dup AS (SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON
-         |  len(b.s) + len(c.s) > 0 AND
-         |  CAST(len(list_filter(b.s, x -> list_contains(c.s, x))) AS DOUBLE)
-         |    / (len(b.s) + len(c.s) - len(list_filter(b.s, x -> list_contains(c.s, x))))
-         |    >= 0.8)
-         |SELECT doc_id, lang, n_chars FROM documents
-         |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
+    "q60_incremental_neardup" -> incrementalNearDupOracleSql,
+    "q76_indexed_neardup" -> incrementalNearDupOracleSql, // tier-equivalence
     "q24_quality_score" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS DOUBLE) AS n_tokens,

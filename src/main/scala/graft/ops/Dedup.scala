@@ -102,9 +102,10 @@ object Dedup {
   /** Incremental near-dup filter: rows of `batch` with NO near-duplicate
     * (jaccard ≥ threshold on shingle sets) in `corpus`. Candidates come
     * from shared LSH band buckets between the batch's signatures and the
-    * corpus's — at scale the corpus side is a PERSISTED signature index
-    * bucketed by (band, bucket), so a daily batch probes buckets instead
-    * of scanning the corpus. Batch-internal near-dups are NOT removed here
+    * corpus's — at scale use [[nearDupNewOnlyIndexed]] against the
+    * PERSISTED signature index ([[buildNearDupIndex]], bucketed by
+    * (band, bucket)), so a daily batch probes buckets instead of
+    * re-hashing the corpus. Batch-internal near-dups are NOT removed here
     * (run `minhashNearDupPairs` + `clusterNearDups` within the batch for
     * that); the two concerns compose.
     */
@@ -132,6 +133,93 @@ object Dedup {
     val dupBatchIds = cands
       .join(shingled(batch, "__bid"), "__bid")
       .join(shingled(corpus, "__cid"), "__cid")
+      .filter(when(unionSize === 0, lit(0.0)).otherwise(inter / unionSize) >= threshold)
+      .select(col("__bid").as(idCol)).distinct()
+    batch.join(dupBatchIds, Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------- persisted signature index
+
+  /** Build-once / probe-many lifecycle for incremental near-dup: persist
+    * the corpus's LSH surface as two BUCKETED tables so daily batches probe
+    * the index instead of re-scanning (or re-hashing) the corpus:
+    *
+    *   - `<name>_sig`  (idCol, __band, __bucket), bucketed by
+    *     (__band, __bucket) — the candidate-probe join key. A batch's
+    *     banded signatures shuffle into the index's bucket layout; the
+    *     index side is read in place, ZERO exchange (plan-gated by
+    *     PlanShapeSpec).
+    *   - `<name>_shingles` (idCol, __sh, __n), bucketed by idCol — the
+    *     verification side-input, joined by candidate id without
+    *     shuffling the stored shingle arrays.
+    *
+    * Pay the corpus signature computation and one bucketing shuffle ONCE
+    * at build time; every subsequent batch pays only its own (small) side.
+    * The banding math is [[bandBuckets]] — the same definition the inline
+    * path uses, so batch signatures land in exactly the stored buckets.
+    * Probe-time (shingleK, numPerm, bands) MUST match the build call;
+    * they parameterize the hash family itself.
+    */
+  def buildNearDupIndex(corpus: DataFrame, name: String, path: String,
+                        idCol: String, textCol: String,
+                        shingleK: Int = 3, numPerm: Int = 128, bands: Int = 16,
+                        numBuckets: Int = 32): Unit = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val banded = bandBuckets(
+      minhashSignatures(corpus, idCol, textCol, shingleK, numPerm),
+      idCol, bands, numPerm / bands)
+    graft.io.IO.writeBucketed(banded, s"${name}_sig", s"$path/sig",
+      Seq("__band", "__bucket"), numBuckets, Seq("__band", "__bucket"))
+    val sh = corpus.select(col(idCol),
+      sort_array(shingleHashes(col(textCol), shingleK)).as("__sh"))
+      .withColumn("__n", size(col("__sh")))
+    graft.io.IO.writeBucketed(sh, s"${name}_shingles", s"$path/shingles",
+      Seq(idCol), numBuckets)
+  }
+
+  /** Candidate pairs (batch id, corpus id) from probing the persisted
+    * index: the batch's banded signatures equi-join the bucketed
+    * `<name>_sig` table on (band, bucket). Exposed separately so the
+    * shuffle-free property of the index side is plan-testable in
+    * isolation.
+    */
+  def indexCandidates(batch: DataFrame, name: String,
+                      idCol: String, textCol: String,
+                      shingleK: Int, numPerm: Int, bands: Int): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val corpusSig = batch.sparkSession.table(s"${name}_sig")
+      .withColumnRenamed(idCol, "__cid")
+    val batchBanded = bandBuckets(
+      minhashSignatures(batch, idCol, textCol, shingleK, numPerm),
+      idCol, bands, numPerm / bands)
+      .withColumnRenamed(idCol, "__bid")
+    batchBanded.join(corpusSig, Seq("__band", "__bucket"))
+      .select("__bid", "__cid")
+  }
+
+  /** `nearDupNewOnly` against the PERSISTED index — identical semantics
+    * (rows of `batch` with no jaccard-≥-threshold neighbor in the indexed
+    * corpus), but the corpus is never rescanned: candidates come from the
+    * bucketed signature table, verification shingles from the bucketed
+    * shingle table.
+    */
+  def nearDupNewOnlyIndexed(batch: DataFrame, name: String,
+                            idCol: String, textCol: String,
+                            shingleK: Int = 3, numPerm: Int = 128,
+                            bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val cands = indexCandidates(batch, name, idCol, textCol,
+      shingleK, numPerm, bands).distinct()
+    val corpusSh = batch.sparkSession.table(s"${name}_shingles")
+      .select(col(idCol).as("__cid"),
+        col("__sh").as("__sh___cid"), col("__n").as("__n___cid"))
+    val batchSh = batch.select(col(idCol).as("__bid"),
+      sort_array(shingleHashes(col(textCol), shingleK)).as("__sh___bid"))
+      .withColumn("__n___bid", size(col("__sh___bid")))
+    val inter = sortedIntersectCount(col("__sh___bid"), col("__sh___cid")).cast("double")
+    val unionSize = (col("__n___bid") + col("__n___cid")).cast("double") - inter
+    val dupBatchIds = cands
+      .join(batchSh, "__bid")
+      .join(corpusSh, "__cid")
       .filter(when(unionSize === 0, lit(0.0)).otherwise(inter / unionSize) >= threshold)
       .select(col("__bid").as(idCol)).distinct()
     batch.join(dupBatchIds, Seq(idCol), "left_anti")

@@ -319,10 +319,47 @@ object Similarity {
     centroids
   }
 
+  /** Persist the IVF index: the assigned cell table written PARTITIONED by
+    * cell_id. A probe then reads only its `nProbe` cells' directories —
+    * partition pruning turns a corpus scan into a few-cell lookup
+    * (plan-gated by PlanShapeSpec). Build once per (corpus, centroids);
+    * probes pay only their own cells.
+    */
+  def buildIvfIndex(emb: DataFrame, centroids: DataFrame, path: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    graft.io.IO.writeDir(assignCells(emb, centroids, vecCol, idCol), path,
+      partitionBy = Seq("cell_id"))
+
+  /** [[ivfTopK]] against the PERSISTED index: identical semantics, but the
+    * cell assignment is read back pruned to the query's `nProbe` cells —
+    * the cell ids are collected first (nProbe ints), so the pruning filter
+    * is STATIC and lands on the partition column at planning time.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     centroids: DataFrame, queryId: Long, k: Int, nProbe: Int = 2,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val index = spark.read.parquet(indexPath)
+    val q = index.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    val probeCells: Seq[Int] = centroids.crossJoin(broadcast(q))
+      .select(col("cell_id"), cosineSimilarity(col("centroid"), col("__qvec")).as("__sim"))
+      .orderBy(desc("__sim"), col("cell_id"))
+      .limit(nProbe)
+      .select("cell_id").collect().toSeq.map(_.getInt(0))
+    index
+      .filter(col("cell_id").isin(probeCells: _*)) // static partition pruning
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosineSimilarity(col(vecCol), col("__qvec")).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF probe: exact top-k restricted to the query's `nProbe` nearest
-    * cells. The cell table (vector → cell) is what you'd persist bucketed
-    * by cell at scale; here it is computed inline. Approximate: recall
-    * depends on nProbe / centroid quality.
+    * cells. The cell table (vector → cell) is what you'd persist
+    * partitioned by cell at scale ([[buildIvfIndex]] / [[ivfTopKIndexed]]);
+    * here it is computed inline. Approximate: recall depends on nProbe /
+    * centroid quality.
     */
   def ivfTopK(emb: DataFrame, centroids: DataFrame, queryId: Long, k: Int,
               nProbe: Int = 2,

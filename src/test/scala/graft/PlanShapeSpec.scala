@@ -119,6 +119,65 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("persisted LSH signature index: probe shuffles ONLY the batch side") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    graft.ops.Dedup.buildNearDupIndex(docs.filter(col("doc_id") < 250),
+      "t_neardup_idx", dir, "doc_id", "text", shingleK = 2, numPerm = 64, bands = 8)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val cands = graft.ops.Dedup.indexCandidates(docs.filter(col("doc_id") >= 250),
+        "t_neardup_idx", "doc_id", "text", shingleK = 2, numPerm = 64, bands = 8)
+      cands.collect()
+      val p = cands.queryExecution.executedPlan
+      val shuffles = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.length == 1, p.toString) // the index side reads in place
+      val scans = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.exists(_.bucketedScan), p.toString)
+      // full probe through the index returns exactly the inline path's rows
+      val indexed = graft.ops.Dedup.nearDupNewOnlyIndexed(
+        docs.filter(col("doc_id") >= 250), "t_neardup_idx", "doc_id", "text",
+        shingleK = 2, numPerm = 64, bands = 8, threshold = 0.8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val inline = graft.ops.Dedup.nearDupNewOnly(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", shingleK = 2, numPerm = 64, bands = 8, threshold = 0.8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(indexed == inline)
+      assert(indexed.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql("DROP TABLE IF EXISTS t_neardup_idx_sig")
+      spark.sql("DROP TABLE IF EXISTS t_neardup_idx_shingles")
+    }
+  }
+
+  test("persisted IVF index: probe scan prunes to the nProbe cell partitions") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val centroids = emb.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") / 97).cast("int").as("cell_id"),
+        col("embedding").as("centroid"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    graft.ops.Similarity.buildIvfIndex(emb, centroids, s"$dir/ivf")
+    val probe = graft.ops.Similarity.ivfTopKIndexed(
+      spark, s"$dir/ivf", centroids, queryId = 1L, k = 10, nProbe = 2)
+    assert(probe.count() > 0)
+    val s = planString(probe)
+    val pruned = s.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pruned.contains("cell_id"), s) // static pruning reached the scan
+  }
+
   test("metadata-only multimodal scan does not read the blob column") {
     val media = graft.ops.Multimodal.synthesize(
       spark, Tables.documents(spark, sf0001).select("doc_id"), "doc_id")
