@@ -75,6 +75,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join: golden fixture pins the boundary semantics") {
+    import org.apache.spark.sql.functions._
+    // committed handcrafted timeline (fixtures/stream_events.csv) — unlike
+    // the generated-data twin above, this pins the exact boundary rules:
+    //   pair (1,2): purchase AT the click instant       → included (>=)
+    //   pair (1,3): purchase at click + 60min exactly   → included (<=)
+    //   event 4:    purchase at click + 60min + 1s      → excluded
+    //   event 5:    purchase 1s BEFORE the click        → excluded
+    //   event 8:    user with no click                  → excluded
+    //   event 7:    one purchase matched by TWO clicks (6 and 9) — m:n
+    //   event 10:   past both clicks' windows           → excluded
+    val base = 1704067200L // 2024-01-01T00:00:00Z
+    val fixtures = getClass.getResource("/fixtures").getPath
+    val csv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$fixtures/stream_events.csv")
+    val events = csv.select(
+      col("event_id").cast("long").as("event_id"),
+      ((col("ts_s").cast("long") + base) * 1000000000L).as("ts"), // nanos
+      col("user_id").cast("long").as("user_id"),
+      col("event_type"),
+      col("value").cast("double").as("value"),
+      lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_golden").toString
+    graft.io.IO.writeSingleFile(events, s"$dir/events.parquet", "parquet")
+    val streamed = EventStream.clickPurchaseJoin(EventStream.read(spark, dir))
+    val got = EventStream.runToMemory(spark, streamed, "click_purchase_golden")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (6L, 7L), (9L, 7L)), got)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) closes gap-separated sessions") {
     val streamed = EventStream.sessionizeStateful(
       EventStream.read(spark, sf0001), gapMinutes = 30).toDF()
