@@ -907,6 +907,67 @@ object SparkEntry {
           .select(col("doc_id"), col("mean_token_len")),
         "mean_token_len", 0.05, 0.95)),
 
+    // --- analytic/stat/date/string function breadth (SURVEY §2.5, §2.6) ---
+    "q78_window_stats" -> ((s, d) => {
+      // distribution-rank window family; the (o_totalprice, o_orderkey)
+      // ordering is tie-free so ntile bucket edges are deterministic
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+    }),
+    "q79_date_functions" -> ((s, d) =>
+      T(s, d, "orders").select(
+        col("o_orderkey"),
+        // truncated/boundary dates rendered as strings: a DATE column
+        // round-trips differently through pandas in the two engines
+        date_format(trunc(col("o_orderdate"), "month"), "yyyy-MM-dd")
+          .as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow_sun1"),
+        quarter(col("o_orderdate")).as("qtr"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        datediff(to_date(lit("1998-12-31")), col("o_orderdate"))
+          .as("days_to_eoy"))),
+    "q80_string_functions" -> ((s, d) =>
+      T(s, d, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        levenshtein(col("p_name"), col("p_type")).as("name_type_dist"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("key_padded"),
+        reverse(col("p_name")).as("name_rev"),
+        instr(col("p_name"), "re").as("re_pos"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("type_lower_vowels"))),
+    "q81_tfidf_top_terms" -> ((s, d) =>
+      TextAnalysis.tfIdfTopTerms(T(s, d, "documents"), "doc_id", "text", 3)),
+    "q82_stat_aggregates" -> ((s, d) =>
+      // second-moment aggregate family; rounded on both sides because
+      // Welford merge order differs across engines (~1e-12 relative)
+      T(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("qty_price_corr"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("qty_price_covar"),
+        round(stddev_samp(col("l_discount")), 6).as("discount_sd"),
+        round(var_pop(col("l_tax")), 6).as("tax_var"))),
+    "q83_range_frame" -> ((s, d) => {
+      // RANGE frame keyed on epoch seconds: a gap in the day sequence
+      // shrinks the trailing-week window (unlike the ROWS frame of q61)
+      val daily = Tables.events(s, d)
+        .groupBy(
+          unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"),
+          col("event_type"))
+        .agg(sum(col("value")).as("day_value"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day_epoch"))
+        .rangeBetween(-6L * 86400, Window.currentRow)
+      daily.select(col("event_type"), col("day_epoch"),
+        round(sum(col("day_value")).over(w), 4).as("value_7d"))
+    }),
+
     "q60_incremental_neardup" -> ((s, d) => {
       // batch rows with no near-duplicate in the corpus (LSH bucket probe
       // + jaccard verify against the corpus signature index)
@@ -1479,6 +1540,64 @@ object SparkEntry {
         |WHERE doc_id IN (SELECT min(doc_id) FROM batchf GROUP BY text)""".stripMargin,
     "q60_incremental_neardup" -> incrementalNearDupOracleSql,
     "q76_indexed_neardup" -> incrementalNearDupOracleSql, // tier-equivalence
+    "q78_window_stats" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cum_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "q79_date_functions" ->
+      """SELECT o_orderkey,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  dayofweek(o_orderdate) + 1 AS dow_sun1,
+        |  quarter(o_orderdate) AS qtr,
+        |  weekofyear(o_orderdate) AS iso_week,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy
+        |FROM orders""".stripMargin,
+    "q80_string_functions" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  levenshtein(p_name, p_type) AS name_type_dist,
+        |  lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+        |  reverse(p_name) AS name_rev,
+        |  instr(p_name, 're') AS re_pos,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS type_lower_vowels
+        |FROM part""".stripMargin,
+    "q81_tfidf_top_terms" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tfc.term AS term,
+         |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         |  FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n)
+         |SELECT doc_id, term, tfidf FROM (
+         |  SELECT doc_id, term, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, term) AS rn
+         |  FROM scored)
+         |WHERE rn <= 3""".stripMargin,
+    "q82_stat_aggregates" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+        |  round(stddev_samp(l_discount), 6) AS discount_sd,
+        |  round(var_pop(l_tax), 6) AS tax_var
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q83_range_frame" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+        |    event_type, sum(value) AS day_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day_epoch,
+        |  round(sum(day_value) OVER (PARTITION BY event_type ORDER BY day_epoch
+        |    RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW), 4) AS value_7d
+        |FROM daily""".stripMargin,
     "q24_quality_score" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS DOUBLE) AS n_tokens,

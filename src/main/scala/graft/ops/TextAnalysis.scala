@@ -176,6 +176,36 @@ object TextAnalysis {
       regexp_extract_all(text, lit(bpeSplitPattern), lit(0)),
       m => m.rlike("\\S")))
 
+  /** TF-IDF top-k terms per document: tf = in-document term count, df =
+    * number of documents containing the term, idf = ln(N/df) (raw — every
+    * scored term has df ≥ 1 so the log is finite). Scores are rounded to 6
+    * decimals BEFORE ranking so an oracle engine recomputing ln
+    * independently ranks identically; ties break on the term itself.
+    *
+    * Shape at corpus scale: tokenize+count is map-side combinable, the df
+    * join shuffles on term (vocabulary-partitioned — a 100 TB corpus vocab
+    * is never broadcast), N is a 1-row broadcast, and the final top-k runs
+    * through the bounded-buffer GroupedTopK operator instead of a full
+    * per-document window sort.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // (idCol, term) is unique after the groupBy, so df = rows per term
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+    graft.plans.TopK.perGroup(scored, Seq(idCol),
+      Seq(("tfidf", true), ("term", false)), k)
+  }
+
   /** Corpus-level language/quality rollup. */
   def corpusSummary(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

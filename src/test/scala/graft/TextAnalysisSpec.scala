@@ -90,4 +90,21 @@ class TextAnalysisSpec extends SparkSpec {
       .as[Seq[Long]].collect().head
     assert(one.length == 1)
   }
+
+  test("tf-idf top terms: corpus-wide terms score 0, rare terms rank first") {
+    // "common" is in every doc → idf = ln(1) = 0; each doc's distinctive
+    // term must outrank it despite lower tf
+    val docs = Seq(
+      (1L, "common common common apple"),
+      (2L, "common common banana banana"),
+      (3L, "common cherry")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 1)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(top == Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+    // df=1 term in a 3-doc corpus: tf * ln(3); banana has tf=2
+    val banana = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 1)
+      .as[(Long, String, Double)].collect().find(_._1 == 2L).get._3
+    assert(math.abs(banana - math.rint(2 * math.log(3.0) * 1e6) / 1e6) < 1e-9)
+  }
 }
