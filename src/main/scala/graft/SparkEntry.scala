@@ -94,6 +94,29 @@ object SparkEntry {
   private def hash60Sql(e: String): String =
     s"('0x' || substring(md5($e), 1, 15))::BIGINT"
 
+  /** Winnowing-fingerprint CTE chain over `documents` (k-token shingles,
+    * hash window w, portable md5 hash) — mirrors
+    * `TextAnalysis.winnowFingerprints(text, k, w, md5Hash31)`. Shared by
+    * q54 (fingerprint dump, k=3 w=4) and q85 (contamination semi-join,
+    * k=5 w=8).
+    */
+  private def winnowFpCtesSql(k: Int, w: Int): String = {
+    val shingle = (0 until k)
+      .map(j => if (j == 0) "t[i]" else s"t[i + $j]").mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |hs AS (SELECT doc_id, CASE WHEN len(t) < $k THEN []::BIGINT[]
+       |    ELSE list_transform(range(1, len(t) - ${k - 2}),
+       |           i -> ${hash31Sql(shingle)}) END AS h
+       |  FROM toks),
+       |fp AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN []::BIGINT[]
+       |    WHEN len(h) <= $w THEN [list_min(h)]
+       |    ELSE list_distinct(list_transform(range(1, len(h) - ${w - 2}),
+       |           i -> list_min(list_slice(h, i, i + ${w - 1})))) END AS fps
+       |  FROM hs)""".stripMargin
+  }
+
   /** DuckDB cosine over two DOUBLE[] exprs, exactly mirroring
     * `cosineSimilarity` (in-order product sum; proven bit-equal by q22/q23).
     */
@@ -968,6 +991,22 @@ object SparkEntry {
         round(sum(col("day_value")).over(w), 4).as("value_7d"))
     }),
 
+    // --- training-batch assembly (north-star §2.11) ---
+    "q84_pack_sequences" -> ((s, d) =>
+      // block packing of documents into 512-token training packs, sharded
+      // by id so packing parallelizes across input splits
+      TextAnalysis.packSequences(T(s, d, "documents"), budgetTokens = 512,
+        nShards = 4)),
+    "q85_contamination_check" -> ((s, d) => {
+      // winnow-fingerprint overlap between a training batch and a held
+      // reference corpus: catches quoted benchmark passages, not just
+      // whole-document near-dups (portable hash → oracle recomputes sets)
+      val docs = T(s, d, "documents")
+      TextAnalysis.contaminationFlags(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
+    }),
+
     "q60_incremental_neardup" -> ((s, d) => {
       // batch rows with no near-duplicate in the corpus (LSH bucket probe
       // + jaccard verify against the corpus signature index)
@@ -1393,18 +1432,7 @@ object SparkEntry {
         |  FROM counts)
         |WHERE rn <= 5""".stripMargin,
     "q54_winnow_fingerprints" ->
-      s"""WITH toks AS (SELECT doc_id,
-         |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
-         |  FROM documents),
-         |hs AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN []::BIGINT[]
-         |    ELSE list_transform(range(1, len(t) - 1),
-         |           i -> ${hash31Sql("t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]")}) END AS h
-         |  FROM toks),
-         |fp AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN []::BIGINT[]
-         |    WHEN len(h) <= 4 THEN [list_min(h)]
-         |    ELSE list_distinct(list_transform(range(1, len(h) - 2),
-         |           i -> list_min(list_slice(h, i, i + 3)))) END AS fps
-         |  FROM hs)
+      s"""WITH ${winnowFpCtesSql(3, 4)}
          |SELECT doc_id, unnest(fps) AS fp FROM fp""".stripMargin,
     "q45_grouped_topk" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
@@ -1589,6 +1617,26 @@ object SparkEntry {
         |  round(stddev_samp(l_discount), 6) AS discount_sd,
         |  round(var_pop(l_tax), 6) AS tax_var
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q84_pack_sequences" ->
+      s"""WITH t AS (SELECT lang, doc_id, doc_id % 4 AS shard,
+         |    len($toksSql) AS n_tokens
+         |  FROM documents)
+         |SELECT lang, doc_id, shard, n_tokens,
+         |  CAST(floor(coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY lang, shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+         |    AS BIGINT) AS pack_id
+         |FROM t""".stripMargin,
+    "q85_contamination_check" ->
+      s"""WITH ${winnowFpCtesSql(5, 8)},
+         |pairs AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+         |corpus_fp AS (SELECT DISTINCT fp FROM pairs WHERE doc_id < 400),
+         |hits AS (SELECT DISTINCT doc_id FROM pairs
+         |         WHERE doc_id >= 400 AND fp IN (SELECT fp FROM corpus_fp))
+         |SELECT doc_id,
+         |  CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END
+         |    AS contaminated
+         |FROM documents WHERE doc_id >= 400""".stripMargin,
     "q83_range_frame" ->
       """WITH daily AS (
         |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 
@@ -157,6 +158,57 @@ object TextAnalysis {
             transform(sequence(lit(1), size(h) - lit(w - 1)),
               i => array_min(slice(h, i, lit(w)))))))),
       1)
+  }
+
+  /** Benchmark-contamination check: flag each batch document that shares
+    * at least one winnowing fingerprint with the reference corpus — any
+    * shared token run of ≥ w+k−1 tokens is guaranteed caught (winnowing's
+    * coverage property), so benchmark passages quoted inside training
+    * documents surface even when the documents as wholes are dissimilar.
+    *
+    * Scale shape: the corpus side reduces to a distinct fingerprint set —
+    * the fingerprint inverted index you'd persist once (IO.writeBucketed)
+    * and probe per batch; the batch is flagged via semi-join on the
+    * fingerprint, so corpus text is never rescanned and no text moves
+    * through the shuffle.
+    */
+  def contaminationFlags(batch: DataFrame, corpus: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         k: Int = 3, w: Int = 4,
+                         shingleHash: Column => Column): DataFrame = {
+    def fps(df: DataFrame) = df.select(col(idCol),
+      explode(winnowFingerprints(col(textCol), k, w, shingleHash)).as("fp"))
+    val corpusFps = fps(corpus).select("fp").distinct()
+    val hit = fps(batch).join(corpusFps, Seq("fp"), "left_semi")
+      .select(col(idCol)).distinct()
+    batch.select(col(idCol))
+      .join(hit.withColumn("contaminated", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("contaminated"), lit(0)).as("contaminated"))
+  }
+
+  /** Deterministic distributed sequence packing ("block packing" for
+    * training batches): shard documents by id, order within
+    * (partitionCols, shard) by id, and cut packs where the running token
+    * total BEFORE the document crosses a multiple of `budgetTokens`:
+    * pack_id = floor(cum_before / budget). An over-budget document gets a
+    * pack to itself rather than erroring. Sharding is the scale story — a
+    * real packer packs within input splits; a single global greedy pass
+    * would serialize the corpus through one window task.
+    */
+  def packSequences(docs: DataFrame, budgetTokens: Int, nShards: Int = 4,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    partitionCols: Seq[String] = Seq("lang")): DataFrame = {
+    val w = Window
+      .partitionBy((partitionCols.map(col) :+ col("shard")): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(
+      (partitionCols.map(col) :+ col(idCol) :+
+        pmod(col(idCol), lit(nShards)).as("shard") :+
+        tokenCount(col(textCol)).as("n_tokens")): _*)
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) /
+          lit(budgetTokens.toDouble)))
   }
 
   /** GPT-2-style pre-tokenizer regex (contractions, letter runs, digit

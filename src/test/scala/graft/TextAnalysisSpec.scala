@@ -91,6 +91,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one.length == 1)
   }
 
+  test("sequence packing: budget cut points, over-budget doc isolated") {
+    // single shard, budget 5; token counts 3,3,7,2 → cum_before 0,3,6,13
+    // → packs 0,0,1,2: the 7-token doc exceeds the budget and lands alone
+    val docs = Seq(
+      (0L, "en", "a b c"), (4L, "en", "d e f"),
+      (8L, "en", "g h i j k l m"), (12L, "en", "n o")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.packSequences(docs, budgetTokens = 5, nShards = 1)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 4L -> 0L, 8L -> 1L, 12L -> 2L))
+  }
+
+  test("contamination: shared ≥ w+k-1 token run flags; disjoint and short docs don't") {
+    val k = 3; val w = 4
+    val quoted = "the quick brown fox jumps over the lazy dog today" // 10 tokens
+    val corpus = Seq((1L, s"header text $quoted trailing words here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"unrelated prefix $quoted suffix"), // quotes a ≥6-token run
+      (11L, "completely different content with no shared runs at all"),
+      (12L, "so tiny") // < k tokens → no fingerprints
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationFlags(batch, corpus, "doc_id", "text",
+      k, w, shingleHash = h => xxhash64(h))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(10L -> 1, 11L -> 0, 12L -> 0))
+  }
+
   test("tf-idf top terms: corpus-wide terms score 0, rare terms rank first") {
     // "common" is in every doc → idf = ln(1) = 0; each doc's distinctive
     // term must outrank it despite lower tf
