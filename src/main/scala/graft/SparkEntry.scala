@@ -1007,6 +1007,12 @@ object SparkEntry {
         "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
     }),
 
+    "q86_quantize_int8" -> ((s, d) =>
+      // int8 vector compression with exactness pinned by integer summaries
+      // (q_sum/q_norm2 are order-insensitive integer folds) and a
+      // reconstruction-error bound per vector
+      Similarity.quantizeInt8(T(s, d, "embeddings"))),
+
     "q60_incremental_neardup" -> ((s, d) => {
       // batch rows with no near-duplicate in the corpus (LSH bucket probe
       // + jaccard verify against the corpus signature index)
@@ -1637,6 +1643,24 @@ object SparkEntry {
          |  CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END
          |    AS contaminated
          |FROM documents WHERE doc_id >= 400""".stripMargin,
+    "q86_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |a AS (SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+        |q AS (SELECT vec_id, e, amax / 127.0 AS scale,
+        |    CASE WHEN amax = 0
+        |         THEN list_transform(e, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(e, x -> CAST(round(x / (amax / 127.0)) AS BIGINT))
+        |    END AS qv
+        |  FROM a)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_norm2,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_saturated,
+        |  round(list_sum(list_transform(range(1, len(e) + 1),
+        |      i -> (e[i] - qv[i] * scale) * (e[i] - qv[i] * scale))) / len(e), 12)
+        |    AS recon_mse
+        |FROM q""".stripMargin,
     "q83_range_frame" ->
       """WITH daily AS (
         |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,

@@ -381,4 +381,34 @@ object Similarity {
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
   }
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * vector-store compression (4-8× smaller than float32/64, SIMD-friendly
+    * integer dot products downstream): scale = max|x|/127, q_i =
+    * round(x_i/scale) ∈ [-127, 127]; a zero vector quantizes to zeros with
+    * scale 0. Map-only per row, so it scales with input splits. Emits
+    * scalar summaries of the quantized vector (sum, squared norm,
+    * saturation count, reconstruction MSE) rather than the array — the
+    * driver compare needs sortable scalar columns, and the summaries pin
+    * the exact integer vector: q_sum/q_norm2 are order-insensitive integer
+    * folds an independent engine reproduces bit-exactly.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val amax = array_max(transform(col(vecCol), x => abs(x)))
+    val scale = amax / 127.0
+    val q = when(amax === 0.0, transform(col(vecCol), _ => lit(0L)))
+      .otherwise(transform(col(vecCol), x => round(x / scale, 0).cast("long")))
+    emb
+      .select(col(idCol), scale.as("scale"), col(vecCol).as("__v"), q.as("__q"))
+      .select(col(idCol), col("scale"),
+        aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(col("__q"), lit(0L), (a, x) => a + x * x).as("q_norm2"),
+        size(filter(col("__q"), x => abs(x) === 127)).as("n_saturated"),
+        round(
+          aggregate(zip_with(col("__v"), col("__q"),
+              (v, qi) => (v - qi * col("scale")) * (v - qi * col("scale"))),
+            lit(0.0), (a, x) => a + x) / size(col("__v")), 12)
+          .as("recon_mse"))
+  }
 }

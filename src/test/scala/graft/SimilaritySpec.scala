@@ -160,4 +160,23 @@ class SimilaritySpec extends SparkSpec {
     assert(cells(0L) == 0 && cells(1L) == 0)
     assert(cells(2L) == 1)
   }
+
+  test("int8 quantization: max element saturates, zero vector → scale 0, mse bounded") {
+    val emb = Seq(
+      (1L, Seq(12.7, -6.35, 0.05)), // scale 0.1 → q = (127, -64, 1)
+      (2L, Seq(0.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(math.abs(r1.getDouble(1) - 0.1) < 1e-12) // scale = 12.7/127
+    assert(r1.getLong(2) == 127L - 64L + 1L) // q_sum: round(-63.5) = -64 (half away from zero)
+    assert(r1.getLong(3) == 127L * 127 + 64L * 64 + 1L)
+    assert(r1.getInt(4) == 1) // only the max element saturates
+    // recon error per element ≤ (scale/2)² → mse ≤ scale²/4
+    assert(r1.getDouble(5) <= 0.1 * 0.1 / 4 + 1e-12)
+    val r2 = got(2L)
+    assert(r2.getDouble(1) == 0.0 && r2.getLong(2) == 0L &&
+      r2.getLong(3) == 0L && r2.getInt(4) == 0 && r2.getDouble(5) == 0.0)
+  }
 }
