@@ -19,6 +19,8 @@ object IO {
 
   val CsvExt = "csv"
   val ParquetExt = "parquet"
+  val JsonExt = "json"
+  val JsonlExt = "jsonl"
 
   /** Lower-cased extension without the dot, "" if none. */
   def extensionOf(path: String): String = {
@@ -56,6 +58,17 @@ object IO {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-lines read (one object per line — the interchange format of
+    * web-scale text corpora; an extension beyond the reference's csv/
+    * parquet surface). Schema inference costs a full sampling pass, so at
+    * corpus scale pass `schema` explicitly and keep the read single-pass.
+    */
+  def readJson(spark: SparkSession, path: String,
+               schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
   /** `read_file(path[, cols])` — extension dispatch + optional projection
     * pushdown (`agg.py:47-61`). The select is logical: Catalyst prunes
     * columns into the scan (ColumnPruning), so Parquet reads only `cols`.
@@ -64,9 +77,10 @@ object IO {
     val df = extensionOf(path) match {
       case CsvExt => readCsv(spark, path)
       case ParquetExt => readParquet(spark, path)
+      case JsonExt | JsonlExt => readJson(spark, path)
       case other =>
         throw new IllegalArgumentException(
-          s"unsupported file type '.$other' for $path (expected .csv or .parquet)")
+          s"unsupported file type '.$other' for $path (expected .csv, .parquet, or .json(l))")
     }
     if (cols.isEmpty) df else df.select(cols.head, cols.tail: _*)
   }
@@ -78,9 +92,10 @@ object IO {
   def writeFile(df: DataFrame, path: String): Unit = extensionOf(path) match {
     case CsvExt => writeSingleFile(df, path, CsvExt)
     case ParquetExt => writeSingleFile(df, path, ParquetExt)
+    case JsonExt | JsonlExt => writeSingleFile(df, path, JsonExt)
     case other =>
       throw new IllegalArgumentException(
-        s"unsupported file type '.$other' for $path (expected .csv or .parquet)")
+        s"unsupported file type '.$other' for $path (expected .csv, .parquet, or .json(l))")
   }
 
   /** The reference emits ONE file per input file (`to_parquet(dest)`);
@@ -100,6 +115,7 @@ object IO {
     val writer = df.coalesce(1).write.mode(SaveMode.Overwrite)
     (format match {
       case CsvExt => writer.option("header", "true").format("csv")
+      case JsonExt | JsonlExt => writer.format("json")
       case ParquetExt => writer.format("parquet")
     }).save(tmp.toString)
     val part = fs.listStatus(tmp)

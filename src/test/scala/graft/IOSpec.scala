@@ -50,6 +50,23 @@ class IOSpec extends SparkSpec {
     assert(IO.extensionOf("noext") == "")
   }
 
+  test("json-lines roundtrip through the extension dispatch, nested struct intact") {
+    val dir = tmpDir()
+    import spark.implicits._
+    val df = Seq((1L, "hello world", ("en", 11)), (2L, "bonjour", ("fr", 7)))
+      .toDF("doc_id", "text", "meta")
+    IO.writeFile(df, s"$dir/docs.jsonl")
+    assert(Files.isRegularFile(Paths.get(s"$dir/docs.jsonl")))
+    val back = IO.readFile(spark, s"$dir/docs.jsonl").orderBy("doc_id")
+    assert(back.select("doc_id", "text").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "hello world"), (2L, "bonjour")))
+    assert(back.select("meta._2").as[Long].collect().toSeq == Seq(11L, 7L))
+    // explicit schema skips the inference pass (the at-scale path)
+    val typed = IO.readJson(spark, s"$dir/docs.jsonl",
+      Some(back.schema)).where($"meta._1" === "en")
+    assert(typed.count() == 1)
+  }
+
   test("recursive discovery finds nested + uppercase CSV, ignores others") {
     val dir = tmpDir()
     writeText(s"$dir/a/x.csv", "a\n1\n")
