@@ -1007,6 +1007,34 @@ object SparkEntry {
         "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
     }),
 
+    "q88_range_join" -> ((s, d) => {
+      // no-equi-key interval join through the bucketized rewrite: five
+      // overlapping 6-day promo windows (5-day stride) against the event
+      // stream; an event inside an overlap counts toward both windows
+      val base = 1704067200L // 2024-01-01T00:00:00Z, the events epoch
+      val win = T(s, d, "region").select(
+        col("r_regionkey"),
+        timestamp_seconds(lit(base) + col("r_regionkey") * (5L * 86400))
+          .as("w_start"),
+        timestamp_seconds(lit(base) + col("r_regionkey") * (5L * 86400)
+          + 6L * 86400).as("w_end"))
+      RangeJoin.bucketized(Tables.events(s, d), "ts", win,
+        "w_start", "w_end", bucketWidth = 2L * 86400)
+        .groupBy("r_regionkey")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"))
+    }),
+    "q87_text_cleaning" -> ((s, d) => {
+      // HTML/email/URL scrub: the exact cleaned string is pinned through
+      // the portable hash, so the oracle engine must reproduce every
+      // replacement byte-for-byte
+      val cleaned = TextAnalysis.cleanText(col("text"))
+      T(s, d, "documents").select(
+        col("doc_id"),
+        md5Hash31(cleaned).as("clean_hash"),
+        length(col("text")).as("n_chars_raw"),
+        length(cleaned).as("n_chars_clean"))
+    }),
     "q86_quantize_int8" -> ((s, d) =>
       // int8 vector compression with exactness pinned by integer summaries
       // (q_sum/q_norm2 are order-insensitive integer folds) and a
@@ -1643,6 +1671,32 @@ object SparkEntry {
          |  CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END
          |    AS contaminated
          |FROM documents WHERE doc_id >= 400""".stripMargin,
+    "q88_range_join" ->
+      """WITH win AS (SELECT r_regionkey,
+        |    make_timestamp((1704067200::BIGINT + r_regionkey * 432000) * 1000000)
+        |      AS w_start,
+        |    make_timestamp((1704067200::BIGINT + r_regionkey * 432000 + 518400) * 1000000)
+        |      AS w_end
+        |  FROM region)
+        |SELECT r_regionkey, count(*) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts <= w.w_end
+        |GROUP BY r_regionkey""".stripMargin,
+    "q87_text_cleaning" -> {
+      val cleaned =
+        """trim(regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(
+          |        regexp_replace(text, '<[^>]+>', ' ', 'g'),
+          |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+          |      'https?://[^ \t\n]+', '<url>', 'g'),
+          |    '\s+', ' ', 'g'))""".stripMargin
+      s"""SELECT doc_id,
+         |  ${hash31Sql(s"($cleaned)")} AS clean_hash,
+         |  len(text) AS n_chars_raw,
+         |  len($cleaned) AS n_chars_clean
+         |FROM documents""".stripMargin
+    },
     "q86_quantize_int8" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |a AS (SELECT vec_id, e,

@@ -160,6 +160,21 @@ object TextAnalysis {
       1)
   }
 
+  /** Training-corpus text cleaning: strip HTML tags, redact emails and
+    * URLs to placeholder tokens (the standard PII/noise scrub before
+    * tokenization), collapse whitespace, trim. Pure regexp_replace chain —
+    * codegen'd, map-only, and restricted to regex constructs Java and RE2
+    * interpret identically so an independent engine reproduces the exact
+    * cleaned string.
+    */
+  def cleanText(text: Column): Column = {
+    val noHtml = regexp_replace(text, "<[^>]+>", " ")
+    val noEmail = regexp_replace(noHtml,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<email>")
+    val noUrl = regexp_replace(noEmail, "https?://[^ \\t\\n]+", "<url>")
+    trim(regexp_replace(noUrl, "\\s+", " "))
+  }
+
   /** Benchmark-contamination check: flag each batch document that shares
     * at least one winnowing fingerprint with the reference corpus — any
     * shared token run of ≥ w+k−1 tokens is guaranteed caught (winnowing's

@@ -91,6 +91,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one.length == 1)
   }
 
+  test("text cleaning: html stripped, email/url redacted, whitespace collapsed") {
+    val got = Seq(
+      "Contact <b>us</b> at  bob.smith+x@example.co.uk   today",
+      "see https://ex.com/a?b=1 and http://y.org\tnow",
+      "  already clean  ").toDF("t")
+      .select(TextAnalysis.cleanText(col("t")).as("c")).as[String].collect()
+    assert(got(0) == "Contact us at <email> today")
+    assert(got(1) == "see <url> and <url> now")
+    assert(got(2) == "already clean")
+  }
+
+  test("sequence packing property: pack totals bounded by budget + largest doc") {
+    val budget = 256
+    val packed = TextAnalysis.packSequences(
+      Tables.documents(spark, "/root/testdata/sf0.001"), budgetTokens = budget)
+    val packs = packed.groupBy("lang", "shard", "pack_id")
+      .agg(sum(col("n_tokens")).as("total"), max(col("n_tokens")).as("largest"),
+        count(lit(1)).as("n_docs")).collect()
+    assert(packs.nonEmpty)
+    packs.foreach { r =>
+      val total = r.getAs[Long]("total"); val largest = r.getAs[Int]("largest")
+      // block packing admits at most one doc past each budget boundary
+      assert(total < budget + largest,
+        s"pack ${r.mkString(",")} exceeds budget+largest")
+    }
+  }
+
   test("sequence packing: budget cut points, over-budget doc isolated") {
     // single shard, budget 5; token counts 3,3,7,2 → cum_before 0,3,6,13
     // → packs 0,0,1,2: the 7-token doc exceeds the budget and lands alone
