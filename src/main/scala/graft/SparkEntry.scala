@@ -1007,6 +1007,20 @@ object SparkEntry {
         "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
     }),
 
+    "q89_heavy_hitters" -> ((s, d) => {
+      // Space-Saving top-10 terms via the native bounded-state aggregate.
+      // The corpus vocabulary (31 tokens) is under the 64-entry capacity,
+      // so the sketch is provably exact with zero error — which is what
+      // lets DuckDB oracle-check it with plain counts; the eviction/skew
+      // regime is pinned by SpaceSavingSpec.
+      T(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .agg(spaceSavingTopK(col("token"), capacity = 64, k = 10).as("__hh"))
+        .select(explode(col("__hh")).as("e"))
+        .select(col("e.item").as("token"),
+          col("e.count_est").as("n_occurrences"),
+          (col("e.count_err") === 0L).as("sketch_exact"))
+    }),
     "q88_range_join" -> ((s, d) => {
       // no-equi-key interval join through the bucketized rewrite: five
       // overlapping 6-day promo windows (5-day stride) against the event
@@ -1671,6 +1685,14 @@ object SparkEntry {
          |  CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END
          |    AS contaminated
          |FROM documents WHERE doc_id >= 400""".stripMargin,
+    "q89_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS n_occurrences FROM t GROUP BY token)
+         |SELECT token, n_occurrences, true AS sketch_exact FROM (
+         |  SELECT token, n_occurrences,
+         |    row_number() OVER (ORDER BY n_occurrences DESC, token) AS rn
+         |  FROM c)
+         |WHERE rn <= 10""".stripMargin,
     "q88_range_join" ->
       """WITH win AS (SELECT r_regionkey,
         |    make_timestamp((1704067200::BIGINT + r_regionkey * 432000) * 1000000)

@@ -40,6 +40,14 @@ package object functions {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(SimHashBits(
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokenHashes), numBits))
 
+  /** Space-Saving heavy-hitters aggregate (see SpaceSavingTopK scaladoc):
+    * top-k frequent items with bounded state per aggregation state.
+    */
+  def spaceSavingTopK(item: Column, capacity: Int, k: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(SpaceSavingTopK(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(item),
+      capacity, k).toAggregateExpression())
+
   // ------------------------------------------------------------------ text
 
   /** Whitespace tokenization after trim; empty/blank text → empty array
