@@ -1007,6 +1007,12 @@ object SparkEntry {
         "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
     }),
 
+    "q90_profile" -> ((s, d) =>
+      // single-pass data-profiling summary (one scan for ALL columns; a
+      // per-column job loop would scan the table once per column)
+      Profile.profile(T(s, d, "orders"),
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+          "o_orderpriority"))),
     "q89_heavy_hitters" -> ((s, d) => {
       // Space-Saving top-10 terms via the native bounded-state aggregate.
       // The corpus vocabulary (31 tokens) is under the 64-entry capacity,
@@ -1685,6 +1691,17 @@ object SparkEntry {
          |  CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END
          |    AS contaminated
          |FROM documents WHERE doc_id >= 400""".stripMargin,
+    "q90_profile" -> {
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin).mkString("\nUNION ALL\n")
+    },
     "q89_heavy_hitters" ->
       s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
          |c AS (SELECT token, count(*) AS n_occurrences FROM t GROUP BY token)

@@ -94,6 +94,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective non-broadcast join") {
+    // at 100 TB a selective dim filter can't broadcast past the threshold;
+    // Spark's runtime bloom filter (InjectRuntimeFilter) still prunes fact
+    // rows before the shuffle — gate that the engine's plans get it
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtimeFilter.number.threshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // the 10GB default assumes production scans; the sf0.01 fixture is tiny
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+      val d = "/root/testdata/sf0.01"
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+      val o = spark.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum(col("l_quantity")).as("q"))
+      val s = planString(j)
+      // InjectRuntimeFilter: fact rows meet a might_contain(bloom of the
+      // filtered dim keys) BEFORE the join's shuffle
+      assert(s.contains("might_contain"), s)
+      assert(s.contains("bloom_filter_agg"), s)
+      assert(j.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no exchange on either side") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString
