@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, SimHashBits, SortedIntersectCount}
+import graft.functions.{DotProduct, SimHashBits, SortedIntersectCount, SpaceSavingTopK}
 
 /** Session extensions wiring graft's engine pieces into any SparkSession:
   * the native SQL expressions, the GroupedTopK planning strategy, and the
@@ -44,6 +44,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"simhash_bits numBits must be an integer literal, got $other")
         }
         SimHashBits(exprs(0), bits)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("space_saving_topk"),
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, "space_saving_topk"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 3,
+          "space_saving_topk takes (item, capacity literal, k literal)")
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"space_saving_topk $what must be an integer literal, got $other")
+        }
+        // returning the AggregateFunction directly — the analyzer wraps it
+        // into an AggregateExpression like any registered aggregate
+        SpaceSavingTopK(exprs(0), intLit(exprs(1), "capacity"), intLit(exprs(2), "k"))
       }))
   }
 }

@@ -63,6 +63,19 @@ class SpaceSavingSpec extends SparkSpec {
     assert(got == Seq("hh-0", "hh-1", "hh-2"))
   }
 
+  test("SQL registration (as GraftExtensions would inject)") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "space_saving_topk",
+      exprs => SpaceSavingTopK(exprs.head, 8, 2), "built-in")
+    Seq("a", "a", "b", "a", "c").toDF("item").createOrReplaceTempView("ss_items")
+    val got = spark.sql(
+      """SELECT e.item, e.count_est
+        |FROM (SELECT explode(space_saving_topk(item, 8, 2)) AS e
+        |      FROM ss_items)""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L), ("b", 1L)))
+  }
+
   test("nulls are skipped; k caps the output") {
     val xs = Seq(Some("a"), None, Some("a"), Some("b"), None)
     val got = xs.toDF("item")
