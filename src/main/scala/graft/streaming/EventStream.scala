@@ -166,6 +166,21 @@ object EventStream {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Streaming heavy hitters: the Space-Saving aggregate over an unbounded
+    * stream, state bounded at `capacity` entries per aggregation state no
+    * matter how many distinct keys flow past — the property that makes a
+    * frequent-items dashboard viable on an unbounded keyspace (an exact
+    * streaming count per key grows state forever). Complete-mode global
+    * aggregation: each micro-batch folds into the same sketch state.
+    */
+  def heavyHitters(events: DataFrame, itemCol: String = "event_type",
+                   capacity: Int = 64, k: Int = 5): DataFrame =
+    events
+      .agg(graft.functions.spaceSavingTopK(col(itemCol), capacity, k).as("__hh"))
+      .select(explode(col("__hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.count_est").as("count_est"),
+        col("e.count_err").as("count_err"))
+
   /** Run a streaming DataFrame to completion against a bounded file source
     * via the memory sink; returns the materialized result. Used by tests
     * and demos ("batch drives the stream", spark_guide.md).

@@ -20,6 +20,22 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("streaming heavy hitters matches exact batch counts (under-capacity regime)") {
+    // 5 distinct event types < capacity 64 → the sketch is exact even as
+    // micro-batches merge into the running state
+    val streamed = EventStream.heavyHitters(
+      EventStream.read(spark, sf0001), "event_type", capacity = 64, k = 5)
+    val got = EventStream.runToMemory(spark, streamed, "hh_test", "complete")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Tables.events(spark, sf0001).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (t, (est, err)) =>
+      assert(est == batch(t), s"$t est=$est exact=${batch(t)}")
+      assert(err == 0L)
+    }
+  }
+
   test("session windows produce per-user sessions") {
     val streamed = EventStream.userSessions(
       EventStream.read(spark, sf0001))
