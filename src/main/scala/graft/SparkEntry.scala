@@ -1007,6 +1007,18 @@ object SparkEntry {
         "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
     }),
 
+    "q91_weighted_sample" -> ((s, d) =>
+      // importance sampling by document length: deterministic A-ES keys,
+      // so the selected set is reproducible across engines and re-runs
+      Sampling.weightedSample(
+        T(s, d, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", k = 50)),
+    "q92_resample_gaps" -> ((s, d) =>
+      // sparse high-value events (value ≥ 200 ≈ p97) resampled to a dense
+      // per-type daily grid; absent days zero-filled and flagged
+      Resample.dailyWithGaps(
+        Tables.events(s, d).filter(col("value") >= 200),
+        "event_type", "ts", "value")),
     "q90_profile" -> ((s, d) =>
       // single-pass data-profiling summary (one scan for ALL columns; a
       // per-column job loop would scan the table once per column)
@@ -1691,6 +1703,30 @@ object SparkEntry {
          |  CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END
          |    AS contaminated
          |FROM documents WHERE doc_id >= 400""".stripMargin,
+    "q91_weighted_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM (
+         |  SELECT doc_id, lang, n_chars,
+         |    row_number() OVER (ORDER BY
+         |      pow(((${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 1000003) / 1000003.0,
+         |          1.0 / n_chars) DESC, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 50""".stripMargin,
+    "q92_resample_gaps" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    sum(value) AS day_total, count(*) AS n_events
+        |  FROM events WHERE value >= 200 GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(day) AS mn, max(day) AS mx
+        |         FROM daily GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        |  FROM span)
+        |SELECT g.event_type, CAST(epoch(g.day) AS BIGINT) AS day_epoch,
+        |  round(coalesce(d.day_total, 0), 4) AS day_total,
+        |  coalesce(d.n_events, 0) AS n_events,
+        |  d.day_total IS NULL AS filled
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.event_type = d.event_type AND g.day = d.day""".stripMargin,
     "q90_profile" -> {
       val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -55,4 +55,29 @@ object Sampling {
   def splitLabel(keyCol: Column, heldoutPercent: Int, seed: Long = 42L): Column =
     when(pmod(xxhash64(lit(seed), keyCol), lit(100)) < heldoutPercent, "heldout")
       .otherwise("train")
+
+  /** Deterministic weighted sample without replacement (the
+    * Efraimidis–Spirakis A-ES scheme): each row gets key u^(1/w) with u a
+    * deterministic uniform derived from the portable hash of its id, and
+    * the k largest keys are the sample — inclusion probability scales
+    * with `weightCol` (importance sampling by quality/length scores).
+    * Deterministic twin of the classic randomized reservoir: re-runs,
+    * repartitionings, and an independent engine pick the SAME rows.
+    * Map-only scoring + TakeOrderedAndProject top-k — no shuffle of the
+    * corpus. A non-positive weight gets sentinel key −1 (valid keys live
+    * in [0,1]), i.e. sampled only after every positive-weight row — the
+    * `when` guard keeps ANSI mode from throwing on 1/0.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (graft.functions.md5Hash31(col(idCol).cast("string")) % 1000003L)
+      .cast("double") / 1000003.0
+    val key = when(col(weightCol) > 0,
+      pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .otherwise(lit(-1.0))
+    df.withColumn("__wkey", key)
+      .orderBy(desc("__wkey"), col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
 }

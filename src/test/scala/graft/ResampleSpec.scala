@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Resample
+
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap days materialize zero-filled and flagged; present days aggregate") {
+    // key "a": events on day 0 and day 3 → days 1, 2 filled; "b": one day
+    val day = 86400L
+    val df = Seq(
+      ("a", 10L, 1.5), ("a", 20L, 2.5),          // day 0, two events
+      ("a", 3 * day + 5, 4.0),                   // day 3
+      ("b", 7 * day + 1, 9.0))
+      .toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val got = Resample.dailyWithGaps(df, "k", "ts", "v")
+      .orderBy("k", "day_epoch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("a", 0L, 4.0, 2L, false),
+      ("a", day, 0.0, 0L, true),
+      ("a", 2 * day, 0.0, 0L, true),
+      ("a", 3 * day, 4.0, 1L, false),
+      ("b", 7 * day, 9.0, 1L, false)))
+  }
+}

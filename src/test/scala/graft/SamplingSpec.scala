@@ -54,4 +54,19 @@ class SamplingSpec extends SparkSpec {
     assert(labeled.count() == docs.count())
     assert(labeled.filter(col("split") === "heldout").count() > 0)
   }
+
+  test("weighted sample favors heavy rows, is repartition-invariant, zero weight loses") {
+    import spark.implicits._
+    // 10 rows with weight 10000 among 500 of weight 1: every heavy key is
+    // u^(1/10000) ≈ 1, so all 10 must land in a top-50 sample
+    val rows = (1L to 500L).map(i => (i, if (i <= 10) 10000 else 1)) :+ (501L, 0)
+    val df = rows.toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", 50)
+      .select("id").as[Long].collect().toSet
+    assert((1L to 10L).toSet.subsetOf(a))
+    assert(!a.contains(501L)) // zero weight → key 0, never ahead of positives
+    val b = Sampling.weightedSample(df.repartition(13), "id", "w", 50)
+      .select("id").as[Long].collect().toSet
+    assert(a == b) // deterministic under repartitioning
+  }
 }
