@@ -1007,6 +1007,22 @@ object SparkEntry {
         "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
     }),
 
+    "q93_zscore_days" -> ((s, d) => {
+      // per-type daily anomaly scores: flag days whose total deviates from
+      // the type's mean by > 1.5 sample stddevs. The flag compares the
+      // ROUNDED z so both engines gate on bit-identical values (an
+      // unrounded threshold compare could flip on last-ULP sum noise)
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+        .agg(sum(col("value")).as("day_total"))
+      val w = Window.partitionBy(col("event_type"))
+      val z = round((col("day_total") - avg(col("day_total")).over(w)) /
+        stddev_samp(col("day_total")).over(w), 6)
+      daily.select(col("event_type"), col("day_epoch"),
+        round(col("day_total"), 4).as("day_total"),
+        z.as("z"), (abs(z) > 1.5).as("is_outlier"))
+    }),
     "q91_weighted_sample" -> ((s, d) =>
       // importance sampling by document length: deterministic A-ES keys,
       // so the selected set is reproducible across engines and re-runs
@@ -1703,6 +1719,21 @@ object SparkEntry {
          |  CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END
          |    AS contaminated
          |FROM documents WHERE doc_id >= 400""".stripMargin,
+    "q93_zscore_days" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+        |    sum(value) AS day_total
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT event_type, day_epoch,
+        |    round(day_total, 4) AS day_total,
+        |    round((day_total - avg(day_total) OVER w)
+        |          / stddev_samp(day_total) OVER w, 6) AS z
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type))
+        |SELECT event_type, day_epoch, day_total, z, abs(z) > 1.5 AS is_outlier
+        |FROM scored""".stripMargin,
     "q91_weighted_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM (
          |  SELECT doc_id, lang, n_chars,

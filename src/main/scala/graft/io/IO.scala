@@ -152,6 +152,20 @@ object IO {
     }).save(dest)
   }
 
+  /** Incremental partition maintenance: overwrite ONLY the partitions
+    * present in `df`, leaving all other partitions of `dest` untouched
+    * (dynamic partition overwrite). This is the operational shape of a
+    * recurring ETL at 100 TB — reprocess yesterday's partitions in place
+    * without rewriting (or even listing) the other years of data; static
+    * overwrite mode would drop the whole table first.
+    */
+  def overwritePartitions(df: DataFrame, dest: String,
+                          partitionBy: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(dest)
+
   /** Write a DataFrame as a BUCKETED external parquet table (bucket
     * metadata lives in the catalog, so `saveAsTable` is required; `path`
     * keeps the data out of the default warehouse). Two tables bucketed by

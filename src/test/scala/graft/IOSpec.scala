@@ -50,6 +50,40 @@ class IOSpec extends SparkSpec {
     assert(IO.extensionOf("noext") == "")
   }
 
+  test("dynamic partition overwrite touches only the incoming partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir()
+    val dest = s"$dir/daily"
+    IO.overwritePartitions(
+      Seq((1, "d1", 10.0), (2, "d2", 20.0), (3, "d3", 30.0))
+        .toDF("id", "day", "v"), dest, Seq("day"))
+    val d1FilesBefore = new java.io.File(s"$dest/day=d1").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    // reprocess ONLY day d2 with corrected values
+    IO.overwritePartitions(
+      Seq((2, "d2", 99.0)).toDF("id", "day", "v"), dest, Seq("day"))
+    val back = spark.read.parquet(dest)
+      .select("id", "v").as[(Int, Double)].collect().toMap
+    assert(back == Map(1 -> 10.0, 2 -> 99.0, 3 -> 30.0))
+    val d1FilesAfter = new java.io.File(s"$dest/day=d1").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(d1FilesAfter == d1FilesBefore) // untouched partition: same files
+  }
+
+  test("parquet schema evolution: later files add columns, mergeSchema unifies") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$dir/evo/batch=1")
+    Seq((2L, "b", 7.5)).toDF("id", "s", "score").write.parquet(s"$dir/evo/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/evo")
+    assert(merged.columns.sorted.toSeq == Seq("batch", "id", "s", "score"))
+    val rows = merged.select("id", "score").orderBy("id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(rows.toSeq == Seq((1L, None), (2L, Some(7.5)))) // old rows null-fill
+  }
+
   test("json-lines roundtrip through the extension dispatch, nested struct intact") {
     val dir = tmpDir()
     import spark.implicits._
