@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` table shape (extension,
@@ -28,12 +28,16 @@ object EventStream {
     * `dir` is the sf directory — the file source requires a directory, so
     * we glob-filter to the events table inside it.
     */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
+  def read(spark: SparkSession, dir: String,
+           glob: String = "events.parquet",
+           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r0 = spark.readStream
       .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .option("pathGlobFilter", glob)
+    val r1 = maxFilesPerTrigger.fold(r0)(n => r0.option("maxFilesPerTrigger", n))
+    r1.parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Tumbling 1-hour windowed rollup with a 10-minute watermark — the
     * streaming twin of q16_hourly_rollup.
@@ -180,6 +184,52 @@ object EventStream {
       .select(explode(col("__hh")).as("e"))
       .select(col("e.item").as("item"), col("e.count_est").as("count_est"),
         col("e.count_err").as("count_err"))
+
+  /** Merge one micro-batch into a day-partitioned daily-totals table:
+    * reduce the batch to (event_type, day), read back ONLY the affected
+    * day partitions (partition-pruned — the day list is a tiny collect),
+    * sum with the stored totals, and dynamically overwrite just those
+    * partitions. The maintenance cost per trigger is proportional to the
+    * batch's day span, not the table's history.
+    *
+    * At-least-once caveat: re-applying an already-merged batch after a
+    * failure double counts; exactly-once needs a committed-batch-id
+    * ledger (or idempotent event-id dedup upstream) — out of scope here.
+    */
+  def upsertDailyTotals(batch: DataFrame, dest: String): Unit = {
+    val spark = batch.sparkSession
+    val daily = batch
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("value")).as("day_total"), count(lit(1)).as("n_events"))
+    val days = daily.select("day").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (days.nonEmpty) {
+      val existing =
+        if (new java.io.File(dest).exists())
+          spark.read.parquet(dest)
+            // partition-dir values type-infer back as DATE; normalize so
+            // the union with the batch's string days is exact, not coerced
+            .withColumn("day", col("day").cast("string"))
+            .filter(col("day").isin(days: _*))
+            .select("event_type", "day", "day_total", "n_events")
+        else daily.limit(0)
+      val merged = existing.unionByName(daily)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("day_total")).as("day_total"),
+          sum(col("n_events")).as("n_events"))
+      graft.io.IO.overwritePartitions(merged, dest, Seq("day"))
+    }
+  }
+
+  /** End-to-end incremental ETL: every micro-batch upserts the
+    * day-partitioned totals table via [[upsertDailyTotals]] — the
+    * streaming half of the dynamic-partition-overwrite maintenance shape.
+    */
+  def incrementalDailyEtl(events: DataFrame, dest: String): DataStreamWriter[Row] =
+    events.writeStream
+      .foreachBatch((batch: Dataset[Row], _: Long) =>
+        upsertDailyTotals(batch.toDF(), dest))
 
   /** Run a streaming DataFrame to completion against a bounded file source
     * via the memory sink; returns the materialized result. Used by tests

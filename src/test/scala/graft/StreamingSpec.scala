@@ -36,6 +36,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch incremental ETL: multi-batch upserts equal the global aggregate") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_etl").toString
+    // split the raw events into 4 files → maxFilesPerTrigger=1 forces 4
+    // micro-batches whose days overlap (same partitions upserted repeatedly)
+    spark.read.parquet(s"$sf0001/events.parquet").repartition(4)
+      .write.parquet(s"$dir/src")
+    val streamed = EventStream.read(spark, s"$dir/src", glob = "part-*.parquet",
+      maxFilesPerTrigger = Some(1))
+    val q = EventStream.incrementalDailyEtl(streamed, s"$dir/daily").start()
+    q.processAllAvailable(); q.stop()
+    assert(q.recentProgress.length >= 4, s"expected ≥4 micro-batches")
+    val got = spark.read.parquet(s"$dir/daily")
+      // partition-dir values type-infer back as DATE; normalize for compare
+      .withColumn("day", col("day").cast("string"))
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        ((r.getAs[Double]("day_total"), r.getAs[Long]("n_events")))).toMap
+    val expect = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("value")).as("t"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("t"), r.getAs[Long]("n")))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, (t, n)) =>
+      assert(n == expect(k)._2, s"$k n=$n expect=${expect(k)._2}")
+      // totals merge across batches in a different sum order → tolerance
+      assert(math.abs(t - expect(k)._1) < 1e-6, s"$k t=$t expect=${expect(k)._1}")
+    }
+  }
+
   test("session windows produce per-user sessions") {
     val streamed = EventStream.userSessions(
       EventStream.read(spark, sf0001))
