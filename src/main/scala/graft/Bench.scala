@@ -6,15 +6,23 @@ object Bench {
     * EVERY row. A bare `count()` lets Catalyst prune all columns and collapse
     * projection-only queries (q02) to a metadata/count-only scan, flattering
     * the engine; hashing a struct of all columns forces full materialization
-    * while still returning one row to the driver.
+    * while still returning one row to the driver. The fold is bit_xor, NOT
+    * sum: uniform 64-bit hashes overflow a Long sum within a few dozen rows
+    * and Spark 4's default ANSI mode turns that into ARITHMETIC_OVERFLOW —
+    * which would abort row-heavy queries mid-execution and silently
+    * under-measure them (xor is overflow-free and order-insensitive).
     */
   private def consume(df: DataFrame): Unit =
-    df.agg(count(lit(1)), sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+    df.agg(count(lit(1)),
+      expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(", ")}))"))
+      .collect()
 
   private def timeAll(spark: SparkSession, sfDir: String): Map[String, Double] =
     SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+      // no swallowed exceptions: a failing query must fail the bench run
+      // loudly rather than record a partial-execution time
+      consume(fn(spark, sfDir))
       name -> (System.nanoTime() - t0) / 1e9
     }
 

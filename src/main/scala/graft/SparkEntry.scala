@@ -1738,8 +1738,8 @@ object SparkEntry {
       s"""SELECT doc_id, lang, n_chars FROM (
          |  SELECT doc_id, lang, n_chars,
          |    row_number() OVER (ORDER BY
-         |      pow(((${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 1000003) / 1000003.0,
-         |          1.0 / n_chars) DESC, doc_id) AS rn
+         |      round(pow(((${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 1000003) / 1000003.0,
+         |            1.0 / n_chars), 9) DESC, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 50""".stripMargin,
     "q92_resample_gaps" ->
@@ -1796,7 +1796,7 @@ object SparkEntry {
           |        regexp_replace(text, '<[^>]+>', ' ', 'g'),
           |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
           |      'https?://[^ \t\n]+', '<url>', 'g'),
-          |    '\s+', ' ', 'g'))""".stripMargin
+          |    '[ \t\n\f\r]+', ' ', 'g'))""".stripMargin
       s"""SELECT doc_id,
          |  ${hash31Sql(s"($cleaned)")} AS clean_hash,
          |  len(text) AS n_chars_raw,

@@ -27,8 +27,13 @@ object Profile {
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single summary row: stack(n, name1, nn1, nd1, mn1, mx1, ...)
+    // label literal escaped and generated identifiers backtick-quoted, so a
+    // column named "order date" or "o'clock" cannot break the parse
+    def lbl(c: String) = "'" + c.replace("'", "''") + "'"
+    def id(p: String, c: String) = s"`${(p + c).replace("`", "``")}`"
     val stackArgs = cols.map(c =>
-      s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
+      s"${lbl(c)}, ${id("__nn_", c)}, ${id("__nd_", c)}, ${id("__mn_", c)}, ${id("__mx_", c)}")
+      .mkString(", ")
     row.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_str, max_str)")
   }

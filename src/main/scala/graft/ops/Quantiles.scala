@@ -90,18 +90,21 @@ object Quantiles {
 
   /** Exact + HLL distinct count with a relative-error gate: the estimate
     * must be within `relTol` of exact (or ±1 absolute for tiny groups).
-    * relTol defaults to 3× the requested rsd — a ≈99.7% band, so a red
-    * gate means broken sketch, not statistical bad luck.
+    * relTol derives from the requested rsd (3× — a ≈99.7% band) unless
+    * explicitly overridden, so a red gate means broken sketch, not
+    * statistical bad luck, at ANY rsd.
     */
   def approxDistinctChecked(df: DataFrame, groupCols: Seq[String], keyCol: String,
                             outCol: String, rsd: Double = 0.05,
-                            relTol: Double = 0.15): DataFrame =
+                            relTol: Double = Double.NaN): DataFrame = {
+    val tol = if (relTol.isNaN) 3.0 * rsd else relTol
     df.groupBy(groupCols.map(col): _*)
       .agg(countDistinct(col(keyCol)).as(outCol),
         approx_count_distinct(col(keyCol), rsd).as("__a"))
       .select(groupCols.map(col) :+ col(outCol) :+
         (abs(col("__a") - col(outCol)).cast("double") <=
-          greatest(lit(1.0), col(outCol).cast("double") * relTol)).as("approx_ok"): _*)
+          greatest(lit(1.0), col(outCol).cast("double") * tol)).as("approx_ok"): _*)
+  }
 
   /** Sketch-tier outlier-band filter — the scale twin of the q63 pattern:
     * keep rows whose `valueCol` lies within the [pLo, pHi] approximate

@@ -72,8 +72,11 @@ object Sampling {
                      k: Int): DataFrame = {
     val u = (graft.functions.md5Hash31(col(idCol).cast("string")) % 1000003L)
       .cast("double") / 1000003.0
+    // rounded BEFORE ranking: pow differs by a last-ulp across libms, and
+    // an unrounded rank boundary could select different rows in an
+    // independent engine (ties the rounding introduces break on idCol)
     val key = when(col(weightCol) > 0,
-      pow(u, lit(1.0) / col(weightCol).cast("double")))
+      round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9))
       .otherwise(lit(-1.0))
     df.withColumn("__wkey", key)
       .orderBy(desc("__wkey"), col(idCol))

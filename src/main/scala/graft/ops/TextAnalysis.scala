@@ -172,7 +172,9 @@ object TextAnalysis {
     val noEmail = regexp_replace(noHtml,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<email>")
     val noUrl = regexp_replace(noEmail, "https?://[^ \\t\\n]+", "<url>")
-    trim(regexp_replace(noUrl, "\\s+", " "))
+    // explicit class, not \s: Java's \s includes vertical tab (\x0B), RE2's
+    // does not — the only construct in this chain the two disagree on
+    trim(regexp_replace(noUrl, "[ \\t\\n\\f\\r]+", " "))
   }
 
   /** Benchmark-contamination check: flag each batch document that shares
@@ -205,8 +207,11 @@ object TextAnalysis {
     * training batches): shard documents by id, order within
     * (partitionCols, shard) by id, and cut packs where the running token
     * total BEFORE the document crosses a multiple of `budgetTokens`:
-    * pack_id = floor(cum_before / budget). An over-budget document gets a
-    * pack to itself rather than erroring. Sharding is the scale story — a
+    * pack_id = floor(cum_before / budget). The invariant is "at most one
+    * boundary-crossing document per pack" (pack total < budget + its
+    * largest member, property-tested) — an over-budget document still
+    * shares its pack with the docs that preceded it before the boundary.
+    * Sharding is the scale story — a
     * real packer packs within input splits; a single global greedy pass
     * would serialize the corpus through one window task.
     */

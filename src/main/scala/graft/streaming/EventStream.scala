@@ -205,8 +205,12 @@ object EventStream {
     val days = daily.select("day").distinct()
       .collect().map(_.getString(0)).toSeq
     if (days.nonEmpty) {
+      val destPath = new org.apache.hadoop.fs.Path(dest)
+      val destExists = destPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(destPath) // Hadoop FS, not java.io — dest may be hdfs://s3a://
       val existing =
-        if (new java.io.File(dest).exists())
+        if (destExists)
           spark.read.parquet(dest)
             // partition-dir values type-infer back as DATE; normalize so
             // the union with the batch's string days is exact, not coerced

@@ -16,6 +16,13 @@ class ProfileSpec extends SparkSpec {
     assert(got("s") == ((1L, 2L, "a", "b")))
   }
 
+  test("column names with spaces and quotes survive the generated unpivot") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("order date", "o'clock")
+    val got = Profile.profile(df, Seq("order date", "o'clock"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("order date" -> 2L, "o'clock" -> 2L))
+  }
+
   test("profile is a single aggregation: exactly one scan of the input") {
     val prof = Profile.profile(Tables.orders(spark, sf0001),
       Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
