@@ -1007,6 +1007,22 @@ object SparkEntry {
         "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
     }),
 
+    "q94_array_functions" -> ((s, d) => {
+      // higher-order/array function family over the embedding vectors,
+      // reduced to scalars (sorted-middle via array_sort, L1 via an
+      // in-order fold both engines compute identically)
+      val v = col("embedding")
+      T(s, d, "embeddings").select(
+        col("vec_id"),
+        array_min(v).as("v_min"),
+        array_max(v).as("v_max"),
+        round(aggregate(transform(v, x => abs(x)), lit(0.0), (a, x) => a + x), 6)
+          .as("l1_norm"),
+        round(aggregate(slice(v, 1, 3), lit(0.0), (a, x) => a + x), 6)
+          .as("first3_sum"),
+        size(filter(v, x => x > 0)).as("n_positive"),
+        element_at(array_sort(v), 32).as("sorted_mid"))
+    }),
     "q93_zscore_days" -> ((s, d) => {
       // per-type daily anomaly scores: flag days whose total deviates from
       // the type's mean by > 1.5 sample stddevs. The flag compares the
@@ -1719,6 +1735,15 @@ object SparkEntry {
          |  CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END
          |    AS contaminated
          |FROM documents WHERE doc_id >= 400""".stripMargin,
+    "q94_array_functions" ->
+      """SELECT vec_id,
+        |  list_min(embedding) AS v_min,
+        |  list_max(embedding) AS v_max,
+        |  round(list_sum(list_transform(embedding, x -> abs(x))), 6) AS l1_norm,
+        |  round(list_sum(list_slice(embedding, 1, 3)), 6) AS first3_sum,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_positive,
+        |  list_sort(embedding)[32] AS sorted_mid
+        |FROM embeddings""".stripMargin,
     "q93_zscore_days" ->
       """WITH daily AS (
         |  SELECT event_type,

@@ -382,6 +382,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-SQ8: IVF probing over int8-quantized vectors — the memory tier
+    * production ANN systems ship (corpus held as int8 codes + a per-vector
+    * scale: 8× smaller than float64, so 8× more corpus per executor and
+    * integer-SIMD-friendly scoring downstream). The probe routes through
+    * full-precision centroids (they are k rows — quantizing them saves
+    * nothing), scores candidates with the quantized cosine (the max-abs
+    * scale cancels in cosine, so codes alone suffice), and top-ks.
+    * Scores are approximate by construction → correctness is a RECALL
+    * gate against exact search (SimilaritySpec), not an oracle equality.
+    */
+  def ivfTopKSq8(emb: DataFrame, centroids: DataFrame, queryId: Long, k: Int,
+                 nProbe: Int = 2,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val amax = array_max(transform(v, x => abs(x)))
+    val codes = when(amax === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => round(x / (amax / 127.0), 0).cast("long")))
+    val coded = assignCells(emb, centroids, vecCol, idCol)
+      .withColumn("__codes", codes.cast("array<double>"))
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    val qCells = centroids.crossJoin(broadcast(q))
+      .select(col("cell_id"),
+        cosineSimilarity(col("centroid"), col("__qvec")).as("__sim"))
+      .orderBy(desc("__sim"), col("cell_id"))
+      .limit(nProbe)
+      .select("cell_id")
+    coded
+      .join(broadcast(qCells), "cell_id")
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        cosineSimilarity(col("__codes"), col("__qvec")).as("sim_sq8"))
+      .orderBy(desc("sim_sq8"), col(idCol))
+      .limit(k)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * vector-store compression (4-8× smaller than float32/64, SIMD-friendly
     * integer dot products downstream): scale = max|x|/127, q_i =

@@ -161,6 +161,34 @@ class SimilaritySpec extends SparkSpec {
     assert(cells(2L) == 1)
   }
 
+  test("IVF-SQ8 recall: quantized probe recovers the exact top-k neighbors") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val centroids = emb.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") / 97).cast("int").as("cell_id"),
+        col("embedding").as("centroid"))
+    val k = 10
+    val exact = Similarity.cosineTopK(emb, queryId = 1L, k = k)
+      .select("vec_id").as[Long].collect().toSet
+    // same routing as q37's IVF; only the candidate scoring is quantized —
+    // so any recall lost vs plain IVF is the int8 rounding alone
+    val ivf = Similarity.ivfTopK(emb, centroids, queryId = 1L, k = k, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val sq8 = Similarity.ivfTopKSq8(emb, centroids, queryId = 1L, k = k, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(sq8.size == k)
+    // int8 rounding must not change what the probe recovers: near-total
+    // agreement with plain IVF. Recall vs EXACT search is bounded by IVF's
+    // own cell routing (~0.4 on these uniform random embeddings at
+    // nProbe=2) — sq8 may not degrade it beyond one swap.
+    val recallVsIvf = (sq8 intersect ivf).size.toDouble / k
+    assert(recallVsIvf >= 0.9, s"sq8 lost ${ivf -- sq8} vs plain IVF")
+    val ivfVsExact = (ivf intersect exact).size.toDouble / k
+    val sq8VsExact = (sq8 intersect exact).size.toDouble / k
+    assert(sq8VsExact >= ivfVsExact - 0.101,
+      s"sq8 recall $sq8VsExact dropped below IVF's $ivfVsExact")
+  }
+
   test("int8 quantization: max element saturates, zero vector → scale 0, mse bounded") {
     val emb = Seq(
       (1L, Seq(12.7, -6.35, 0.05)), // scale 0.1 → q = (127, -64, 1)
