@@ -1007,6 +1007,12 @@ object SparkEntry {
         "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
     }),
 
+    "q95_chunking" -> ((s, d) =>
+      // retrieval-prep chunking: 32-token windows every 16 tokens; the
+      // exact chunk text is pinned through the portable hash
+      TextAnalysis.chunkDocuments(T(s, d, "documents"), size = 32, stride = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5Hash31(col("chunk_text")).as("chunk_hash"))),
     "q94_array_functions" -> ((s, d) => {
       // higher-order/array function family over the embedding vectors,
       // reduced to scalars (sorted-middle via array_sort, L1 via an
@@ -1735,6 +1741,22 @@ object SparkEntry {
          |  CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END
          |    AS contaminated
          |FROM documents WHERE doc_id >= 400""".stripMargin,
+    "q95_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+         |c AS (SELECT doc_id, tk,
+         |    CASE WHEN n = 0 THEN []::BIGINT[]
+         |         ELSE range(0, 1 + CASE WHEN n > 32
+         |                               THEN (n - 32 + 15) // 16 ELSE 0 END)
+         |    END AS idxs
+         |  FROM n),
+         |e AS (SELECT doc_id, tk, unnest(idxs) AS chunk_idx FROM c)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |  CAST(len(list_slice(tk, chunk_idx * 16 + 1, chunk_idx * 16 + 32)) AS INT)
+         |    AS n_chunk_tokens,
+         |  ${hash31Sql("array_to_string(list_slice(tk, chunk_idx * 16 + 1, chunk_idx * 16 + 32), ' ')")}
+         |    AS chunk_hash
+         |FROM e""".stripMargin,
     "q94_array_functions" ->
       """SELECT vec_id,
         |  list_min(embedding) AS v_min,

@@ -203,6 +203,36 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("contaminated"), lit(0)).as("contaminated"))
   }
 
+  /** Overlapping token-window chunking (retrieval/context-window prep):
+    * split each document into chunks of `size` tokens starting every
+    * `stride` tokens (overlap = size − stride), the standard shape for
+    * embedding long documents. nChunks = 1 + ⌈(n − size)/stride⌉ (0 for
+    * empty docs; the last chunk may be short). Map-only per row —
+    * tokenize once, explode computed starts, slice.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     size: Int = 32, stride: Int = 16): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val n = size_(col("__t"))
+    val nChunks = when(n === 0, lit(0)).otherwise(
+      lit(1) + greatest(lit(0),
+        floor((n - size + (stride - 1)).cast("double") / stride).cast("int")))
+    docs
+      .withColumn("__t", tokens(col(textCol)))
+      .select(col(idCol), col("__t"),
+        explode(when(nChunks === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), nChunks - 1))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        size_(slice(col("__t"), col("chunk_idx") * stride + 1, lit(size)))
+          .as("n_chunk_tokens"),
+        array_join(slice(col("__t"), col("chunk_idx") * stride + 1, lit(size)), " ")
+          .as("chunk_text"))
+  }
+
+  // alias: `size` the function vs `size` the parameter name above
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Deterministic distributed sequence packing ("block packing" for
     * training batches): shard documents by id, order within
     * (partitionCols, shard) by id, and cut packs where the running token

@@ -91,6 +91,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one.length == 1)
   }
 
+  test("chunking: boundary counts, overlap, short/exact/empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10 > size → 2 chunks
+      (2L, "a b c"),   // n < size → 1 chunk
+      (3L, "a b c d"), // n == size → 1 chunk
+      (4L, "")         // empty → 0 chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, size = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getString(3)))).toMap
+    // doc 1: n=10, nChunks = 1 + ceil(6/3) = 3
+    assert(got.keySet == Set((1L, 0), (1L, 1), (1L, 2), (2L, 0), (3L, 0)))
+    assert(got((1L, 0))._2 == "t1 t2 t3 t4")
+    assert(got((1L, 1))._2 == "t4 t5 t6 t7") // overlap of size-stride = 1 token
+    assert(got((1L, 2))._2 == "t7 t8 t9 t10")
+    assert(got((2L, 0)) == ((3, "a b c")))
+    assert(got((3L, 0)) == ((4, "a b c d")))
+  }
+
   test("text cleaning: html stripped, email/url redacted, whitespace collapsed") {
     val got = Seq(
       "Contact <b>us</b> at  bob.smith+x@example.co.uk   today",
