@@ -1007,6 +1007,10 @@ object SparkEntry {
         "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
     }),
 
+    "q96_unigram_lm_score" -> ((s, d) =>
+      // corpus-trained unigram LM cross-entropy per document (the CCNet
+      // quality-filter shape: improbable token streams score high)
+      TextAnalysis.unigramCrossEntropy(T(s, d, "documents"))),
     "q95_chunking" -> ((s, d) =>
       // retrieval-prep chunking: 32-token windows every 16 tokens; the
       // exact chunk text is pinned through the portable hash
@@ -1741,6 +1745,14 @@ object SparkEntry {
          |  CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END
          |    AS contaminated
          |FROM documents WHERE doc_id >= 400""".stripMargin,
+    "q96_unigram_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+         |total AS (SELECT count(*) AS total FROM toks)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(-avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS cross_entropy
+         |FROM toks JOIN counts USING (token) CROSS JOIN total
+         |GROUP BY doc_id""".stripMargin,
     "q95_chunking" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |n AS (SELECT doc_id, tk, len(tk) AS n FROM t),

@@ -308,6 +308,27 @@ object TextAnalysis {
       Seq(("tfidf", true), ("term", false)), k)
   }
 
+  /** Unigram language-model scoring (the CCNet-style quality filter):
+    * learn p(token) = count/total over the corpus in one aggregate, then
+    * score each document by its cross-entropy −avg(ln p(t_i)) — high
+    * scores mean improbable token streams (boilerplate, noise, wrong
+    * language). The LM join shuffles on token (vocabulary-partitioned, the
+    * TF-IDF shape), corpus total is a 1-row broadcast; zero-token docs
+    * produce no row.
+    */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("__cnt"))
+    val total = toks.agg(count(lit(1)).as("__total"))
+    toks.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-avg(log(col("__cnt").cast("double") / col("__total"))), 6)
+          .as("cross_entropy"))
+  }
+
   /** Corpus-level language/quality rollup. */
   def corpusSummary(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

@@ -91,6 +91,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one.length == 1)
   }
 
+  test("unigram LM: rare-token doc scores higher; uniform corpus scores ln(V)") {
+    // 4 docs over a 2-token vocab with counts 6:2 → p = 0.75 / 0.25
+    val docs = Seq(
+      (1L, "a a a"), (2L, "a a a"), (3L, "b b"), (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramCrossEntropy(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!got.contains(4L)) // empty doc → no row
+    val r6 = (x: Double) => math.rint(x * 1e6) / 1e6
+    assert(got(1L) == ((3L, r6(-math.log(6.0 / 8)))))
+    assert(got(3L) == ((2L, r6(-math.log(2.0 / 8)))))
+    assert(got(3L)._2 > got(1L)._2) // the rare-token doc is more surprising
+  }
+
   test("chunking: boundary counts, overlap, short/exact/empty docs") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10 > size → 2 chunks
