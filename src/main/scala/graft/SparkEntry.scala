@@ -214,7 +214,7 @@ object SparkEntry {
     * threshold (final CTE: `jp(id_a, id_b, jaccard_sim)`) — the oracle twin
     * of the LSH pipeline (q33/q38). Safe as an exact oracle on this corpus:
     * every true near-dup pair is ≥0.9 and nothing else is above 0.3, and
-    * LSH recall at s≥0.9 (r=8, b=8) is 1 on the data.
+    * LSH recall at s≥0.8 (r=4, b=16; miss ≤ 4e-8 at s=0.9) is 1 on the data.
     */
   private def jaccardPairCtesSql(k: Int, threshold: Double): String =
     s"""${shingleCtesSql(k)},
@@ -464,7 +464,7 @@ object SparkEntry {
       // verified pairs; catches the corpus's ~25 planted near-dup pairs
       // (jaccard ≈ 0.99) without the token-set vocab-noise matches
       Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
-        shingleK = 2, numPerm = 64, bands = 8, threshold = 0.8)),
+        shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)),
 
     // --- hierarchical aggregates + skew-safe distinct (extensions) ---
     "q34_rollup_revenue" -> ((s, d) =>
@@ -499,7 +499,7 @@ object SparkEntry {
     "q38_neardup_clusters" -> ((s, d) =>
       Dedup.clusterNearDups(
         Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
-          shingleK = 2, numPerm = 64, bands = 8, threshold = 0.8))),
+          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))),
 
     // --- scalar/json/date function coverage (SURVEY §2.6) ---
     "q39_props_stats" -> ((s, d) =>
@@ -519,7 +519,14 @@ object SparkEntry {
           year(col("o_orderdate")).as("o_year"),
           month(col("o_orderdate")).as("o_month"),
           upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
-          round(col("o_totalprice") / 1000.0, 2).as("kprice"))),
+          // double-rounded through integer cents: round(x/1000, 2) directly
+          // diverges across engines when the quotient sits a last-ulp from
+          // a .005 boundary (Spark rounds the exact binary expansion,
+          // DuckDB a multiply-based form — observed at sf0.1). Integer
+          // intermediates make every rounding input either far from .5 or
+          // EXACTLY .5, which both engines round identically (away from 0)
+          (round(round(col("o_totalprice") * 100, 0) / 1000, 0) / 100)
+            .as("kprice"))),
     "q41_price_buckets" -> ((s, d) =>
       T(s, d, "orders")
         .select(
@@ -850,9 +857,9 @@ object SparkEntry {
       val name = s"neardup_idx_$tag"
       Dedup.buildNearDupIndex(docs.filter(col("doc_id") < 250),
         name, s"/tmp/graft_index/$tag", "doc_id", "text",
-        shingleK = 2, numPerm = 64, bands = 8)
+        shingleK = 2, numPerm = 64, bands = 16)
       Dedup.nearDupNewOnlyIndexed(docs.filter(col("doc_id") >= 250),
-        name, "doc_id", "text", shingleK = 2, numPerm = 64, bands = 8,
+        name, "doc_id", "text", shingleK = 2, numPerm = 64, bands = 16,
         threshold = 0.8)
         .select("doc_id", "lang", "n_chars")
     }),
@@ -1121,7 +1128,7 @@ object SparkEntry {
       val docs = T(s, d, "documents")
       Dedup.nearDupNewOnly(
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
-        "doc_id", "text", shingleK = 2, numPerm = 64, bands = 8, threshold = 0.8)
+        "doc_id", "text", shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)
         .select("doc_id", "lang", "n_chars")
     }))
 
@@ -1383,7 +1390,7 @@ object SparkEntry {
         |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
         |  upper(substring(o_orderpriority, 1, 3)) AS prio3,
-        |  round(o_totalprice / CAST(1000 AS DOUBLE), 2) AS kprice
+        |  round(round(o_totalprice * 100) / 1000) / 100 AS kprice
         |FROM orders
         |WHERE o_orderpriority LIKE '%URGENT%' OR o_orderstatus = 'F'""".stripMargin,
     "q41_price_buckets" ->

@@ -350,7 +350,7 @@ object Dedup {
     * preserved exactly up to 64-bit hash collisions); each side's set size
     * is precomputed and the per-pair work is one allocation-free two-pointer
     * merge (SortedIntersectCount): j = |∩| / (|A|+|B|−|∩|). Choose
-    * rowsPerBand (= numPerm/bands) by the target similarity: r=8 at
+    * rowsPerBand (= numPerm/bands) by the target similarity: r=4-8 at
     * τ≈0.8+ keeps the false-candidate rate ~1e-6 per pair; r=4 floods the
     * verify join with ~1% of all pairs.
     */

@@ -67,7 +67,7 @@ class LshPropertySpec extends SparkSpec {
     // The q33/q38/q60 oracles are EXACT all-pairs jaccard while the Spark
     // side is LSH-recall-bounded; their equality relies on this corpus
     // property (every true near-dup pair ≥ 0.9, nothing else above 0.3 —
-    // where recall at r=8, b=8 is 1). If the data generator ever changes,
+    // where recall at r=4, b=16 is 1 to ~4e-8). If the generator changes,
     // this test fails with a diagnostic instead of an opaque oracle
     // mismatch. 500 docs → 125k pairs: exact all-pairs is cheap here.
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
