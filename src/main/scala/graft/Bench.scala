@@ -14,7 +14,7 @@ object Bench {
     */
   private def consume(df: DataFrame): Unit =
     df.agg(count(lit(1)),
-      expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(", ")}))"))
+      expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`${c.replace("`", "``")}`").mkString(", ")}))"))
       .collect()
 
   private def timeAll(spark: SparkSession, sfDir: String): Map[String, Double] =

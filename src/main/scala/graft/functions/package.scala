@@ -51,10 +51,12 @@ package object functions {
   // ------------------------------------------------------------------ text
 
   /** Whitespace tokenization after trim; empty/blank text → empty array
-    * (Spark's split on "" yields [""], which we filter).
+    * (Spark's split on "" yields [""], which we filter). The split class
+    * is explicit, not \s: Java's \s includes vertical tab (\x0B), RE2's
+    * (the DuckDB oracles') does not — the one construct they disagree on.
     */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    filter(split(trim(text), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

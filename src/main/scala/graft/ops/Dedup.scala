@@ -350,9 +350,13 @@ object Dedup {
     * preserved exactly up to 64-bit hash collisions); each side's set size
     * is precomputed and the per-pair work is one allocation-free two-pointer
     * merge (SortedIntersectCount): j = |∩| / (|A|+|B|−|∩|). Choose
-    * rowsPerBand (= numPerm/bands) by the target similarity: r=4-8 at
-    * τ≈0.8+ keeps the false-candidate rate ~1e-6 per pair; r=4 floods the
-    * verify join with ~1% of all pairs.
+    * rowsPerBand (= numPerm/bands) by the target similarity: r=8 at τ≈0.9
+    * keeps the false-candidate rate ~1e-6 per pair but misses ~1% of
+    * marginal (j≈0.9) true pairs; r=4/b=16 is near-perfect recall at
+    * τ≥0.8 (miss ≤ 4e-8 at j=0.9) at the price of admitting ~12% of
+    * j≈0.3 noise pairs as candidates — affordable because buckets are
+    * capped and verification is one two-pointer merge. Below r=4 the
+    * verify join floods.
     */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleK: Int = 3, numPerm: Int = 128,

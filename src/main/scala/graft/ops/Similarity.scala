@@ -395,12 +395,10 @@ object Similarity {
   def ivfTopKSq8(emb: DataFrame, centroids: DataFrame, queryId: Long, k: Int,
                  nProbe: Int = 2,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = col(vecCol)
-    val amax = array_max(transform(v, x => abs(x)))
-    val codes = when(amax === 0.0, transform(v, _ => lit(0L)))
-      .otherwise(transform(v, x => round(x / (amax / 127.0), 0).cast("long")))
+    // zero vectors are unsupported by the whole similarity family (cosine
+    // is 0/0 on them, an ANSI-mode error) — same contract as ivfTopK
     val coded = assignCells(emb, centroids, vecCol, idCol)
-      .withColumn("__codes", codes.cast("array<double>"))
+      .withColumn("__codes", int8Codes(col(vecCol)).cast("array<double>"))
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
     val qCells = centroids.crossJoin(broadcast(q))
@@ -430,14 +428,22 @@ object Similarity {
     * the exact integer vector: q_sum/q_norm2 are order-insensitive integer
     * folds an independent engine reproduces bit-exactly.
     */
+  /** Shared int8 code rule (q = round(x·127/max|x|), zero vector → zeros)
+    * — ONE definition so quantizeInt8 and ivfTopKSq8 cannot drift.
+    */
+  private def int8Codes(v: Column): Column = {
+    val amax = array_max(transform(v, x => abs(x)))
+    when(amax === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => round(x / (amax / 127.0), 0).cast("long")))
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     val amax = array_max(transform(col(vecCol), x => abs(x)))
     val scale = amax / 127.0
-    val q = when(amax === 0.0, transform(col(vecCol), _ => lit(0L)))
-      .otherwise(transform(col(vecCol), x => round(x / scale, 0).cast("long")))
     emb
-      .select(col(idCol), scale.as("scale"), col(vecCol).as("__v"), q.as("__q"))
+      .select(col(idCol), scale.as("scale"), col(vecCol).as("__v"),
+        int8Codes(col(vecCol)).as("__q"))
       .select(col(idCol), col("scale"),
         aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"),
         aggregate(col("__q"), lit(0L), (a, x) => a + x * x).as("q_norm2"),

@@ -76,7 +76,7 @@ object TextAnalysis {
     * keeps this codegen-friendly.
     */
   def distinctTokens(text: Column): Column =
-    array_distinct(split(lower(trim(text)), "\\s+"))
+    array_distinct(split(lower(trim(text)), "[ \\t\\n\\f\\r]+"))
 
   /** Language score/argmax given a PRE-MATERIALIZED distinct-token column.
     * Keep the token array in its own projection (see languageIdDf): inlining
@@ -214,6 +214,9 @@ object TextAnalysis {
                      textCol: String = "text",
                      size: Int = 32, stride: Int = 16): DataFrame = {
     require(size > 0 && stride > 0, "size and stride must be positive")
+    // stride > size would be gap sampling, which the nChunks coverage
+    // formula does not model (it would emit phantom empty chunks)
+    require(stride <= size, s"stride ($stride) must be <= size ($size)")
     val n = size_(col("__t"))
     val nChunks = when(n === 0, lit(0)).otherwise(
       lit(1) + greatest(lit(0),
@@ -320,7 +323,8 @@ object TextAnalysis {
                           textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val counts = toks.groupBy("token").agg(count(lit(1)).as("__cnt"))
-    val total = toks.agg(count(lit(1)).as("__total"))
+    // total derives from counts — NOT a third tokenize pass over the corpus
+    val total = counts.agg(sum(col("__cnt")).as("__total"))
     toks.join(counts, "token")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
