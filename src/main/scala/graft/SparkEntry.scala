@@ -1024,6 +1024,39 @@ object SparkEntry {
       TextAnalysis.chunkDocuments(T(s, d, "documents"), size = 32, stride = 16)
         .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
           md5Hash31(col("chunk_text")).as("chunk_hash"))),
+    "q97_mad_outliers" -> ((s, d) => {
+      // robust companion to q93: MAD-based modified z over the same daily
+      // grain (medians don't move when the anomaly itself inflates stddev)
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+        .agg(round(sum(col("value")), 4).as("day_total"))
+      Quantiles.madOutlierScores(daily, Seq("event_type"), "day_total")
+        .select(col("event_type"), col("day_epoch"), col("day_total"),
+          col("robust_z"), col("is_outlier"))
+    }),
+    "q98_histogram" -> ((s, d) =>
+      // fixed-width 25-unit histogram of event values (20 bins over the
+      // [0, 500) domain) — the profiling companion to q90; bin edges are
+      // exactly representable so floor() agrees across engines
+      Tables.events(s, d)
+        .select(least(greatest(floor(col("value") / 25.0), lit(0.0)), lit(19.0))
+          .cast("int").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("bin"), (col("bin") * 25.0).as("bin_lo"), col("n_events"))),
+    "q99_type_entropy" -> ((s, d) => {
+      // per-user Shannon entropy of the event-type distribution — a
+      // behavioral-diversity feature (0 = single-type user)
+      val c = Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("__n"))
+      val t = c.groupBy(col("user_id")).agg(sum(col("__n")).as("__t"))
+      c.join(t, "user_id")
+        .groupBy(col("user_id"))
+        .agg(sum(col("__n")).as("n_events"),
+          round(-sum((col("__n") / col("__t")) *
+            log(col("__n").cast("double") / col("__t"))), 6).as("type_entropy"))
+    }),
     "q94_array_functions" -> ((s, d) => {
       // higher-order/array function family over the embedding vectors,
       // reduced to scalars (sorted-middle via array_sort, L1 via an
@@ -1776,6 +1809,41 @@ object SparkEntry {
          |  ${hash31Sql("array_to_string(list_slice(tk, chunk_idx * 16 + 1, chunk_idx * 16 + 32), ' ')")}
          |    AS chunk_hash
          |FROM e""".stripMargin,
+    "q97_mad_outliers" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+        |    round(sum(value), 4) AS day_total
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(day_total, 0.5) AS med
+        |        FROM daily GROUP BY 1),
+        |dev AS (SELECT d.event_type, day_epoch, day_total, med,
+        |    abs(day_total - med) AS dv
+        |  FROM daily d JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(dv, 0.5) AS mad
+        |        FROM dev GROUP BY 1),
+        |scored AS (
+        |  SELECT d.event_type, day_epoch, day_total,
+        |    CASE WHEN mad > 0
+        |         THEN round(0.6745 * (day_total - med) / mad, 6)
+        |         ELSE 0.0 END AS robust_z
+        |  FROM dev d JOIN mad USING (event_type))
+        |SELECT event_type, day_epoch, day_total, robust_z,
+        |  abs(robust_z) > 3.5 AS is_outlier
+        |FROM scored""".stripMargin,
+    "q98_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS INT) AS bin
+        |  FROM events)
+        |SELECT bin, bin * 25.0 AS bin_lo, count(*) AS n_events
+        |FROM b GROUP BY bin""".stripMargin,
+    "q99_type_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, sum(n) AS t FROM c GROUP BY 1)
+        |SELECT c.user_id, sum(n) AS n_events,
+        |  round(-sum((n / t) * ln(CAST(n AS DOUBLE) / t)), 6) AS type_entropy
+        |FROM c JOIN t USING (user_id) GROUP BY c.user_id""".stripMargin,
     "q94_array_functions" ->
       """SELECT vec_id,
         |  list_min(embedding) AS v_min,

@@ -106,6 +106,32 @@ object Quantiles {
           greatest(lit(1.0), col(outCol).cast("double") * tol)).as("approx_ok"): _*)
   }
 
+  /** Robust (MAD-based) outlier scores per group: modified z =
+    * 0.6745·(x − median) / MAD, MAD = median(|x − median|) — the
+    * outlier detector that survives what breaks q93's mean/stddev z-score
+    * (a single huge day inflates the stddev and masks itself; medians
+    * don't move). Two exact-percentile passes over the GROUPED values —
+    * fine at a bounded per-key grain (e.g. daily totals); for raw corpus
+    * values use the approx tier. A zero MAD (> 50% of the group identical)
+    * yields score 0 rather than an ANSI division error.
+    */
+  def madOutlierScores(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       threshold: Double = 3.5): DataFrame = {
+    val v = col(valueCol)
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val withDev = df.join(med, groupCols)
+      .withColumn("__dev", abs(v - col("__med")))
+    val mad = withDev.groupBy(groupCols.map(col): _*)
+      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+    val z = when(col("__mad") > 0,
+      round(lit(0.6745) * (v - col("__med")) / col("__mad"), 6))
+      .otherwise(lit(0.0))
+    withDev.join(mad, groupCols)
+      .select(df.columns.map(col).toSeq :+ z.as("robust_z") :+
+        (abs(z) > threshold).as("is_outlier"): _*)
+  }
+
   /** Sketch-tier outlier-band filter — the scale twin of the q63 pattern:
     * keep rows whose `valueCol` lies within the [pLo, pHi] approximate
     * quantile band. ONE pass to sketch the bounds (bounded state), one

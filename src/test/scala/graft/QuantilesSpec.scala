@@ -64,4 +64,27 @@ class QuantilesSpec extends SparkSpec {
     assert(row.getBoolean(1), row.toString)
     assert(row.getLong(0) > 0)
   }
+
+  test("MAD outliers: planted spike flagged, stddev-masked; zero-MAD group scores 0") {
+    import spark.implicits._
+    // group "a": tight cluster around 10 plus one huge spike. The spike
+    // inflates the stddev enough that a plain z-score stays under 2σ —
+    // the masking effect MAD is immune to.
+    val a = Seq(9.0, 10.0, 10.0, 10.0, 11.0, 10.5, 9.5, 1000.0).map(("a", _))
+    val b = Seq(5.0, 5.0, 5.0, 5.0).map(("b", _)) // MAD = 0
+    val got = Quantiles.madOutlierScores(
+      (a ++ b).toDF("g", "v"), Seq("g"), "v")
+      .as[(String, Double, Double, Boolean)].collect()
+    val spike = got.find(r => r._1 == "a" && r._2 == 1000.0).get
+    assert(spike._4, s"spike not flagged: $spike")
+    assert(got.filter(r => r._1 == "a" && r._2 != 1000.0).forall(!_._4))
+    got.filter(_._1 == "b").foreach { r =>
+      assert(r._3 == 0.0 && !r._4, s"zero-MAD group mis-scored: $r")
+    }
+    // the masking check: plain z of the spike is under 2 despite being
+    // 100x the cluster (stddev ≈ 350 because of the spike itself)
+    val vs = a.map(_._2); val mean = vs.sum / vs.size
+    val sd = math.sqrt(vs.map(x => (x - mean) * (x - mean)).sum / (vs.size - 1))
+    assert((1000.0 - mean) / sd < 2.6)
+  }
 }
