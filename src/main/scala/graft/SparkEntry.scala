@@ -94,6 +94,18 @@ object SparkEntry {
   private def hash60Sql(e: String): String =
     s"('0x' || substring(md5($e), 1, 15))::BIGINT"
 
+  /** DuckDB mirror of `TextAnalysis.cleanText` — shared by q87 and the
+    * q100 pipeline capstone.
+    */
+  private lazy val cleanTextSql: String =
+    """trim(regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(text, '<[^>]+>', ' ', 'g'),
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+      |      'https?://[^ \t\n]+', '<url>', 'g'),
+      |    '[ \t\n\f\r]+', ' ', 'g'))""".stripMargin
+
   /** Winnowing-fingerprint CTE chain over `documents` (k-token shingles,
     * hash window w, portable md5 hash) — mirrors
     * `TextAnalysis.winnowFingerprints(text, k, w, md5Hash31)`. Shared by
@@ -1024,6 +1036,21 @@ object SparkEntry {
       TextAnalysis.chunkDocuments(T(s, d, "documents"), size = 32, stride = 16)
         .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
           md5Hash31(col("chunk_text")).as("chunk_hash"))),
+    "q100_training_pipeline" -> ((s, d) => {
+      // capstone composition — the full pre-training data path in one
+      // lazy plan: PII scrub → min-length quality gate → exact dedup on
+      // the cleaned text → sharded sequence packing → per-pack stats.
+      // Every stage is one of the library operators; Catalyst fuses the
+      // map-side stages into the same scan.
+      val cleaned = T(s, d, "documents")
+        .withColumn("clean_text", TextAnalysis.cleanText(col("text")))
+      val kept = cleaned.filter(tokenCount(col("clean_text")) >= 10)
+      val deduped = Dedup.exact(kept, Seq("clean_text"), "doc_id")
+      TextAnalysis.packSequences(deduped, budgetTokens = 256, nShards = 4,
+        idCol = "doc_id", textCol = "clean_text")
+        .groupBy(col("lang"), col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    }),
     "q97_mad_outliers" -> ((s, d) => {
       // robust companion to q93: MAD-based modified z over the same daily
       // grain (medians don't move when the anomaly itself inflates stddev)
@@ -1809,6 +1836,30 @@ object SparkEntry {
          |  ${hash31Sql("array_to_string(list_slice(tk, chunk_idx * 16 + 1, chunk_idx * 16 + 32), ' ')")}
          |    AS chunk_hash
          |FROM e""".stripMargin,
+    "q100_training_pipeline" ->
+      s"""WITH cleaned AS (
+         |  SELECT doc_id, lang, $cleanTextSql AS ct FROM documents),
+         |toked AS (
+         |  SELECT doc_id, lang,
+         |    ct, list_filter(string_split(ct, ' '), x -> len(x) > 0) AS tk
+         |  FROM cleaned),
+         |kept AS (SELECT * FROM toked WHERE len(tk) >= 10),
+         |deduped AS (
+         |  SELECT * FROM kept
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY ct)),
+         |t AS (SELECT lang, doc_id, doc_id % 4 AS shard, len(tk) AS n_tokens
+         |      FROM deduped),
+         |packed AS (
+         |  SELECT lang, shard,
+         |    CAST(floor(coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+         |      AS BIGINT) AS pack_id,
+         |    n_tokens
+         |  FROM t)
+         |SELECT lang, shard, pack_id, count(*) AS n_docs,
+         |  sum(n_tokens) AS total_tokens
+         |FROM packed GROUP BY 1, 2, 3""".stripMargin,
     "q97_mad_outliers" ->
       """WITH daily AS (
         |  SELECT event_type,
@@ -1922,21 +1973,12 @@ object SparkEntry {
         |  round(sum(value), 4) AS total_value
         |FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts <= w.w_end
         |GROUP BY r_regionkey""".stripMargin,
-    "q87_text_cleaning" -> {
-      val cleaned =
-        """trim(regexp_replace(
-          |    regexp_replace(
-          |      regexp_replace(
-          |        regexp_replace(text, '<[^>]+>', ' ', 'g'),
-          |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
-          |      'https?://[^ \t\n]+', '<url>', 'g'),
-          |    '[ \t\n\f\r]+', ' ', 'g'))""".stripMargin
+    "q87_text_cleaning" ->
       s"""SELECT doc_id,
-         |  ${hash31Sql(s"($cleaned)")} AS clean_hash,
+         |  ${hash31Sql(s"($cleanTextSql)")} AS clean_hash,
          |  len(text) AS n_chars_raw,
-         |  len($cleaned) AS n_chars_clean
-         |FROM documents""".stripMargin
-    },
+         |  len($cleanTextSql) AS n_chars_clean
+         |FROM documents""".stripMargin,
     "q86_quantize_int8" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |a AS (SELECT vec_id, e,
