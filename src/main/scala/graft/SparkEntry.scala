@@ -1271,7 +1271,7 @@ object SparkEntry {
          |  CAST(len(trim(text)) AS INTEGER) AS n_chars_trim,
          |  CAST(len(list_distinct($toksSql)) AS INTEGER) AS n_distinct_tokens,
          |  CAST(len(list_filter(regexp_extract_all(text, '$bpe'),
-         |        m -> regexp_matches(m, '\\S'))) AS INTEGER) AS n_bpe_tokens
+         |        m -> regexp_matches(m, '[^ \\t\\n\\f\\r]'))) AS INTEGER) AS n_bpe_tokens
          |FROM documents""".stripMargin
     },
     "q20_corpus_summary" ->

@@ -64,7 +64,7 @@ object Dedup {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[.,!?;:'\"()\\[\\]{}]", ""),
-      "\\s+", " "))
+      "[ \\t\\n\\f\\r]+", " "))
 
   /** Exact dedup on the NORMALIZED content — same 128-bit hash shuffle as
     * `exactByHash`, keyed on `normalizeText(contentCol)`.
@@ -359,7 +359,7 @@ object Dedup {
     * verify join floods.
     */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          shingleK: Int = 3, numPerm: Int = 128,
+                          shingleK: Int = 3, numPerm: Int = 64,
                           bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numPerm)

@@ -428,15 +428,6 @@ object Similarity {
     * the exact integer vector: q_sum/q_norm2 are order-insensitive integer
     * folds an independent engine reproduces bit-exactly.
     */
-  /** Shared int8 code rule (q = round(x·127/max|x|), zero vector → zeros)
-    * — ONE definition so quantizeInt8 and ivfTopKSq8 cannot drift.
-    */
-  private def int8Codes(v: Column): Column = {
-    val amax = array_max(transform(v, x => abs(x)))
-    when(amax === 0.0, transform(v, _ => lit(0L)))
-      .otherwise(transform(v, x => round(x / (amax / 127.0), 0).cast("long")))
-  }
-
   def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     val amax = array_max(transform(col(vecCol), x => abs(x)))
@@ -454,4 +445,14 @@ object Similarity {
             lit(0.0), (a, x) => a + x) / size(col("__v")), 12)
           .as("recon_mse"))
   }
+
+  /** Shared int8 code rule (q = round(x·127/max|x|), zero vector → zeros)
+    * — ONE definition so quantizeInt8 and ivfTopKSq8 cannot drift.
+    */
+  private def int8Codes(v: Column): Column = {
+    val amax = array_max(transform(v, x => abs(x)))
+    when(amax === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => round(x / (amax / 127.0), 0).cast("long")))
+  }
+
 }

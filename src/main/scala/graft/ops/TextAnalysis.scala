@@ -54,7 +54,8 @@ object TextAnalysis {
       col("doc_id"),
       nTok.as("n_tokens"),
       when(nTok === 0, lit(0.0))
-        .otherwise(length(regexp_replace(col(textCol), "\\s", "")).cast("double") / nTok)
+        .otherwise(length(regexp_replace(col(textCol), "[ \\t\\n\\f\\r]", ""))
+          .cast("double") / nTok)
         .as("mean_token_len"),
       when(nTok === 0, lit(0.0)).otherwise(nStop / nTok).as("stopword_ratio"),
       charClassRatio(col(textCol), "[.,!?;:]").as("punct_ratio"))
@@ -270,7 +271,8 @@ object TextAnalysis {
     * identically so a DuckDB oracle can mirror it.
     */
   val bpeSplitPattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 
   /** BPE-ish token count: number of pre-tokenizer matches that are not
     * pure whitespace. A cheap, deterministic proxy for "LLM tokens" used
@@ -279,7 +281,7 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(filter(
       regexp_extract_all(text, lit(bpeSplitPattern), lit(0)),
-      m => m.rlike("\\S")))
+      m => m.rlike("[^ \\t\\n\\f\\r]")))
 
   /** TF-IDF top-k terms per document: tf = in-document term count, df =
     * number of documents containing the term, idf = ln(N/df) (raw — every

@@ -68,7 +68,7 @@ class QuantilesSpec extends SparkSpec {
   test("MAD outliers: planted spike flagged, stddev-masked; zero-MAD group scores 0") {
     import spark.implicits._
     // group "a": tight cluster around 10 plus one huge spike. The spike
-    // inflates the stddev enough that a plain z-score stays under 2σ —
+    // inflates the stddev enough that its own plain z-score is only ≈2.5σ —
     // the masking effect MAD is immune to.
     val a = Seq(9.0, 10.0, 10.0, 10.0, 11.0, 10.5, 9.5, 1000.0).map(("a", _))
     val b = Seq(5.0, 5.0, 5.0, 5.0).map(("b", _)) // MAD = 0
@@ -81,7 +81,7 @@ class QuantilesSpec extends SparkSpec {
     got.filter(_._1 == "b").foreach { r =>
       assert(r._3 == 0.0 && !r._4, s"zero-MAD group mis-scored: $r")
     }
-    // the masking check: plain z of the spike is under 2 despite being
+    // the masking check: plain z of the spike is only ≈2.5 despite being
     // 100x the cluster (stddev ≈ 350 because of the spike itself)
     val vs = a.map(_._2); val mean = vs.sum / vs.size
     val sd = math.sqrt(vs.map(x => (x - mean) * (x - mean)).sum / (vs.size - 1))
