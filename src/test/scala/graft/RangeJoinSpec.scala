@@ -37,6 +37,29 @@ class RangeJoinSpec extends SparkSpec {
       (7L, 11L), (4L, 12L)))
   }
 
+  test("salting composes: salted bucket join returns the identical pair set") {
+    // the scaladoc claims skew tooling composes with the bucket key — prove
+    // it: replicate each interval across `salts` sub-keys, route each probe
+    // to one deterministic sub-key, join on (bucket, salt); a hot bucket's
+    // work then spreads over `salts` tasks with NO change in results
+    val salts = 4
+    val probes = tsDf((1L to 200L).map(i => (i, 1000L + i * 3)))
+    val wins = ivDf((1L to 30L).map(i => (i, 950L + i * 11, 1000L + i * 11)))
+    val expected = RangeJoin.bucketized(probes, "ts", wins, "w_start", "w_end", 50L)
+      .select("event_id", "win_id").as[(Long, Long)].collect().toSet
+    val p = probes.withColumn("__bucket", floor(col("ts").cast("long") / 50L))
+      .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(salts)).cast("int"))
+    val iv = wins
+      .withColumn("__bucket", explode(sequence(
+        floor(col("w_start").cast("long") / 50L),
+        floor(col("w_end").cast("long") / 50L))))
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    val salted = p.join(iv, Seq("__bucket", "__salt"))
+      .filter(col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+      .select("event_id", "win_id").as[(Long, Long)].collect().toSet
+    assert(salted == expected)
+  }
+
   test("bucketized plans as an equi-join, not a nested loop") {
     val probes = tsDf((1L to 50L).map(i => (i, 1000L + i * 7)))
     val wins = ivDf((1L to 20L).map(i => (i, 1000L + i * 13, 1040L + i * 13)))

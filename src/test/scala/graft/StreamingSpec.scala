@@ -67,6 +67,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming heavy hitters under eviction: guarantees survive micro-batch merges") {
+    // capacity 3 < 5 event types → the sketch evicts inside AND across
+    // micro-batches; the SS guarantees must still hold vs exact counts
+    val streamed = EventStream.heavyHitters(
+      EventStream.read(spark, sf0001), "event_type", capacity = 3, k = 3)
+    val got = EventStream.runToMemory(spark, streamed, "hh_evict_test", "complete")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val truth = Tables.events(spark, sf0001).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    // any type with true count > n/capacity must be present
+    truth.filter(_._2 > n / 3).keys.foreach(t =>
+      assert(got.contains(t), s"heavy type $t missing from $got"))
+    got.foreach { case (t, (est, err)) =>
+      val tr = truth(t)
+      assert(est >= tr && est - err <= tr, s"$t est=$est err=$err true=$tr")
+    }
+  }
+
   test("session windows produce per-user sessions") {
     val streamed = EventStream.userSessions(
       EventStream.read(spark, sf0001))
