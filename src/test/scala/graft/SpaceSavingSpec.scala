@@ -76,6 +76,50 @@ class SpaceSavingSpec extends SparkSpec {
     assert(got == Seq(("a", 3L), ("b", 1L)))
   }
 
+  test("property: guarantees hold for arbitrary streams, splits, and merge orders") {
+    // pure buffer-algebra check (no Spark): random zipf-ish streams split
+    // into random partitions, each updated independently, merged in a
+    // random order — presence and error-bound guarantees must always hold
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val capacity = 8
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      items <- Gen.listOfN(n, Gen.frequency(
+        (8, Gen.choose(0, 3)), // few hot items
+        (2, Gen.choose(0, 60))  // long tail
+      ).map(i => s"i$i"))
+      nParts <- Gen.choose(1, 5)
+      parts <- Gen.listOfN(items.size, Gen.choose(0, nParts - 1))
+    } yield (items, parts)
+    (0 until 300).foreach { seedI =>
+      gen.apply(Gen.Parameters.default, Seed(seedI.toLong)).foreach {
+        case (items, parts) =>
+          val agg = SpaceSavingTopK(
+            org.apache.spark.sql.catalyst.expressions.Literal("x"), capacity, capacity)
+          val buffers = items.zip(parts).groupBy(_._2).values.map { chunk =>
+            val b = agg.createAggregationBuffer()
+            chunk.foreach { case (it, _) => b.add(it) }
+            b
+          }.toList
+          // merge in the (arbitrary) groupBy order, seeded differently via fold direction
+          val merged =
+            if (seedI % 2 == 0) buffers.reduce(agg.merge)
+            else buffers.reverse.reduce(agg.merge)
+          val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+          val n = items.size.toLong
+          val present = merged.entries.keySet
+          truth.filter(_._2 > n / capacity).keys.foreach(t =>
+            assert(present.contains(t), s"seed=$seedI heavy $t missing"))
+          merged.entries.foreach { case (it, (est, err)) =>
+            val tr = truth.getOrElse(it, 0L)
+            assert(est >= tr && est - err <= tr,
+              s"seed=$seedI $it est=$est err=$err true=$tr")
+          }
+      }
+    }
+  }
+
   test("nulls are skipped; k caps the output") {
     val xs = Seq(Some("a"), None, Some("a"), Some("b"), None)
     val got = xs.toDF("item")
