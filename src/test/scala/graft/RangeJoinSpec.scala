@@ -37,6 +37,25 @@ class RangeJoinSpec extends SparkSpec {
       (7L, 11L), (4L, 12L)))
   }
 
+  test("property: bucketized equals naive for random intervals and widths") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      val probes = tsDf((1L to 150L).map(i => (i, 500L + rnd.nextInt(1000))))
+      val wins = ivDf((1L to 40L).map { i =>
+        val s = 400L + rnd.nextInt(1100)
+        (i, s, s + rnd.nextInt(200)) // width 0-199, overlapping freely
+      })
+      val naive = probes.crossJoin(wins)
+        .filter(col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+        .select("event_id", "win_id").as[(Long, Long)].collect().toSet
+      for (width <- Seq(7L, 64L, 1000L)) {
+        val got = RangeJoin.bucketized(probes, "ts", wins, "w_start", "w_end", width)
+          .select("event_id", "win_id").as[(Long, Long)].collect().toSet
+        assert(got == naive, s"trial=$trial width=$width")
+      }
+    }
+  }
+
   test("salting composes: salted bucket join returns the identical pair set") {
     // the scaladoc claims skew tooling composes with the bucket key — prove
     // it: replicate each interval across `salts` sub-keys, route each probe
