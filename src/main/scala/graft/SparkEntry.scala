@@ -1858,7 +1858,7 @@ object SparkEntry {
          |    n_tokens
          |  FROM t)
          |SELECT lang, shard, pack_id, count(*) AS n_docs,
-         |  sum(n_tokens) AS total_tokens
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM packed GROUP BY 1, 2, 3""".stripMargin,
     "q97_mad_outliers" ->
       """WITH daily AS (
@@ -1892,7 +1892,7 @@ object SparkEntry {
       """WITH c AS (SELECT user_id, event_type, count(*) AS n
         |           FROM events GROUP BY 1, 2),
         |t AS (SELECT user_id, sum(n) AS t FROM c GROUP BY 1)
-        |SELECT c.user_id, sum(n) AS n_events,
+        |SELECT c.user_id, CAST(sum(n) AS BIGINT) AS n_events,
         |  round(-sum((n / t) * ln(CAST(n AS DOUBLE) / t)), 6) AS type_entropy
         |FROM c JOIN t USING (user_id) GROUP BY c.user_id""".stripMargin,
     "q94_array_functions" ->
@@ -1948,7 +1948,7 @@ object SparkEntry {
         "o_orderdate", "o_orderpriority")
       cols.map(c =>
         s"""SELECT '$c' AS col_name,
-           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            |  count(DISTINCT $c) AS n_distinct,
            |  CAST(min($c) AS VARCHAR) AS min_str,
            |  CAST(max($c) AS VARCHAR) AS max_str

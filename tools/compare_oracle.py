@@ -4,12 +4,22 @@
 Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
 
 For each query dumped by graft.Verify: run the oracle SQL in DuckDB over the
-same parquet tables, sort columns by name, sort rows, compare values with a
-small numeric tolerance. Purely a local development check — the driver runs
-its own equivalent.
+same parquet tables, sort columns by name, sort rows, compare values.
+
+STRICT by design (round-4 fix): the driver hashes RENDERED values, so a
+Spark bigint `64` vs a DuckDB HUGEINT/double `64.0` is a driver hash_match
+failure even though a float-coercing compare would pass. Therefore:
+  - a float-kind vs integer/bool/string-kind dtype mismatch FAILS loudly
+    (DuckDB sum(INTEGER/BIGINT) returns HUGEINT -> pandas float64; the
+    oracle SQL must CAST(sum(...) AS BIGINT));
+  - non-float columns compare EXACTLY (string equality, null==null);
+  - only when BOTH sides are genuinely float do we use a 1e-6 tolerance,
+    and we additionally WARN when the float values are not bit-identical
+    (the driver's hash may still disagree on rendering).
 """
-import json, sys, glob, os, math
+import json, sys, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -18,8 +28,33 @@ for t in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(t).replace(".parquet", "")
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
 
-oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def kind(series):
+    """Collapse a dtype to the comparison kind the driver's render cares
+    about: 'f' float, 'i' integer, 'b' bool, 's' string/other object."""
+    dt = series.dtype
+    if pd.api.types.is_float_dtype(dt):
+        return "f"
+    if pd.api.types.is_bool_dtype(dt):
+        return "b"
+    if pd.api.types.is_integer_dtype(dt):
+        return "i"
+    # object columns holding Python ints (DuckDB HUGEINT sometimes lands
+    # here) count as integer if every non-null value is an int
+    if dt == object:
+        non_null = series.dropna()
+        if len(non_null) and all(isinstance(v, (int, np.integer))
+                                 and not isinstance(v, (bool, np.bool_))
+                                 for v in non_null):
+            return "i"
+        if len(non_null) and all(isinstance(v, (bool, np.bool_))
+                                 for v in non_null):
+            return "b"
+    return "s"
+
+
 failures = 0
+warnings = 0
 for name in sorted(os.listdir(out_dir)):
     qdir = os.path.join(out_dir, name)
     if not os.path.isdir(qdir):
@@ -27,24 +62,25 @@ for name in sorted(os.listdir(out_dir)):
     spark_df = pd.concat(
         [pd.read_parquet(f) for f in glob.glob(f"{qdir}/*.parquet")],
         ignore_index=True)
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if name not in oracle:
-        print(f"{name:24s} rows-only: {len(spark_df)} rows "
+        print(f"{name:28s} rows-only: {len(spark_df)} rows "
               + ("OK" if len(spark_df) > 0 else "EMPTY (suspicious)"))
         continue
     try:
         duck_df = con.sql(oracle[name]).df()
     except Exception as e:
-        print(f"{name:24s} ORACLE SQL ERROR: {e}")
+        print(f"{name:28s} ORACLE SQL ERROR: {e}")
         failures += 1
         continue
     a = spark_df.reindex(sorted(spark_df.columns), axis=1)
     b = duck_df.reindex(sorted(duck_df.columns), axis=1)
     if list(a.columns) != list(b.columns):
-        print(f"{name:24s} COLUMN MISMATCH spark={list(a.columns)} duck={list(b.columns)}")
+        print(f"{name:28s} COLUMN MISMATCH spark={list(a.columns)} duck={list(b.columns)}")
         failures += 1
         continue
     if len(a) != len(b):
-        print(f"{name:24s} ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}")
+        print(f"{name:28s} ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}")
         failures += 1
         continue
     a = a.sort_values(by=list(a.columns), ignore_index=True)
@@ -52,25 +88,40 @@ for name in sorted(os.listdir(out_dir)):
     bad = None
     for c in a.columns:
         av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            av = pd.to_numeric(av, errors="coerce").astype(float)
-            bv = pd.to_numeric(bv, errors="coerce").astype(float)
-            both_nan = av.isna() & bv.isna()
-            close = ((av - bv).abs() <= 1e-6 + 1e-6 * bv.abs()) | both_nan
+        ka, kb = kind(av), kind(bv)
+        if ka != kb:
+            bad = (f"DTYPE MISMATCH col {c}: spark dtype={av.dtype}({ka}) "
+                   f"duck dtype={bv.dtype}({kb}) — driver hash WILL differ "
+                   f"(e.g. 64 vs 64.0); CAST the oracle side")
+            break
+        if ka == "f":
+            fa = pd.to_numeric(av, errors="coerce").astype(float)
+            fb = pd.to_numeric(bv, errors="coerce").astype(float)
+            both_nan = fa.isna() & fb.isna()
+            close = ((fa - fb).abs() <= 1e-6 + 1e-6 * fb.abs()) | both_nan
             if not close.all():
                 i = close.idxmin()
-                bad = f"col {c} row {i}: spark={av[i]} duck={bv[i]}"
+                bad = f"col {c} row {i}: spark={fa[i]} duck={fb[i]}"
                 break
+            exact = (fa == fb) | both_nan
+            if not exact.all():
+                i = exact.idxmin()
+                print(f"{name:28s} WARN col {c} float not bit-exact "
+                      f"(row {i}: {fa[i]!r} vs {fb[i]!r}) — within 1e-6 but "
+                      f"the driver's hash may disagree; round on both sides")
+                warnings += 1
         else:
-            eq = (av.astype(str) == bv.astype(str))
+            sa = av.astype(str).where(~av.isna(), "<null>")
+            sb = bv.astype(str).where(~bv.isna(), "<null>")
+            eq = (sa == sb)
             if not eq.all():
                 i = eq.idxmin()
                 bad = f"col {c} row {i}: spark={av[i]!r} duck={bv[i]!r}"
                 break
     if bad:
-        print(f"{name:24s} VALUE MISMATCH {bad}")
+        print(f"{name:28s} VALUE MISMATCH {bad}")
         failures += 1
     else:
-        print(f"{name:24s} OK ({len(a)} rows)")
-print(f"\n{failures} failures")
+        print(f"{name:28s} OK ({len(a)} rows)")
+print(f"\n{failures} failures, {warnings} warnings")
 sys.exit(1 if failures else 0)

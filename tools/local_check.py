@@ -38,6 +38,21 @@ for name, sql in sorted(oracle.items()):
         print(f"{name}: ROWS spark={len(sdf)} oracle={len(odf)}"); fail += 1; continue
     dt_mismatch = [(c, str(sdf[c].dtype), str(odf[c].dtype))
                    for c in sdf.columns if sdf[c].dtype != odf[c].dtype]
+    # float-vs-integer kind drift (DuckDB HUGEINT -> float64) renders 64.0
+    # where Spark renders 64: the driver's hash compare fails even though
+    # numpy's == passes, so treat it as a hard failure here too.
+    def _kind(s):
+        if pd.api.types.is_float_dtype(s.dtype): return "f"
+        if pd.api.types.is_bool_dtype(s.dtype): return "b"
+        if pd.api.types.is_integer_dtype(s.dtype): return "i"
+        return "s"
+    kind_mismatch = [(c, str(sdf[c].dtype), str(odf[c].dtype))
+                     for c in sdf.columns if _kind(sdf[c]) != _kind(odf[c])]
+    if kind_mismatch:
+        print(f"{name}: DTYPE KIND MISMATCH {kind_mismatch} "
+              f"(driver renders e.g. 64 vs 64.0 -> hash fail; CAST the oracle)")
+        fail += 1
+        continue
     ok = True
     for c in sdf.columns:
         a, b = sdf[c].values, odf[c].values
