@@ -289,50 +289,68 @@ object TextAnalysis {
     * decimals BEFORE ranking so an oracle engine recomputing ln
     * independently ranks identically; ties break on the term itself.
     *
-    * Shape at corpus scale: tokenize+count is map-side combinable, the df
-    * join shuffles on term (vocabulary-partitioned — a 100 TB corpus vocab
-    * is never broadcast), N is a 1-row broadcast, and the final top-k runs
+    * Shape at corpus scale — the scoring plan tokenizes ONCE: df comes
+    * from a count window over term on the already-aggregated tf relation
+    * (one shuffle, replacing the old agg+self-join that recomputed the
+    * whole tokenize subtree for the df branch), and N is collected
+    * eagerly from an idCol-pruned scan that reads one slim parquet
+    * column, never the text — so nothing corpus-scale is cached and the
+    * text bytes are read exactly once. The window shares the old join's
+    * term partitioning (vocabulary-partitioned; a hot term concentrates
+    * in one task either way, bounded by n_docs). The final top-k runs
     * through the bounded-buffer GroupedTopK operator instead of a full
     * per-document window sort.
     */
   def tfIdfTopTerms(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", k: Int = 3): DataFrame = {
+    val nDocs = docs.agg(countDistinct(col(idCol))).first().getLong(0)
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     // (idCol, term) is unique after the groupBy, so df = rows per term
-    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
-    val scored = tf.join(docFreq, "term")
-      .crossJoin(broadcast(nDocs))
-      .select(col(idCol), col("term"),
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
-          .as("tfidf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val scored = withDf.select(col(idCol), col("term"),
+      round(col("tf") * log(lit(nDocs).cast("double") / col("df")), 6)
+        .as("tfidf"))
     graft.plans.TopK.perGroup(scored, Seq(idCol),
       Seq(("tfidf", true), ("term", false)), k)
   }
 
   /** Unigram language-model scoring (the CCNet-style quality filter):
-    * learn p(token) = count/total over the corpus in one aggregate, then
-    * score each document by its cross-entropy −avg(ln p(t_i)) — high
-    * scores mean improbable token streams (boilerplate, noise, wrong
-    * language). The LM join shuffles on token (vocabulary-partitioned, the
-    * TF-IDF shape), corpus total is a 1-row broadcast; zero-token docs
-    * produce no row.
+    * learn p(token) = count/total over the corpus, then score each
+    * document by its cross-entropy −avg(ln p(t_i)) — high scores mean
+    * improbable token streams (boilerplate, noise, wrong language).
+    * Zero-token docs produce no row.
+    *
+    * Shape at corpus scale — the text is tokenized ONCE: per-token corpus
+    * counts come from a count window over token (vocabulary-partitioned,
+    * one shuffle, replacing the old counts agg + join that rebuilt the
+    * tokenize subtree twice), the stream is immediately reduced to a
+    * doc-level relation (id, n_tokens, mean ln cnt), and ONLY that small
+    * relation is persisted — thousands of times smaller than the token
+    * stream — to derive the corpus total without a second pass. Using
+    * −avg(ln(cnt/T)) = ln(T) − avg(ln cnt), the total folds in as a
+    * post-aggregation constant; the reassociation drift is the same
+    * ~1e-13 class as the engines' differing summation orders, absorbed
+    * by the 6-decimal rounding (NOTES_r3 item 15). The cache entry is
+    * deduplicated by Spark's CacheManager across repeated calls on the
+    * same plan; callers can release it with unpersist()/clearCache.
     */
   def unigramCrossEntropy(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val counts = toks.groupBy("token").agg(count(lit(1)).as("__cnt"))
-    // total derives from counts — NOT a third tokenize pass over the corpus
-    val total = counts.agg(sum(col("__cnt")).as("__total"))
-    toks.join(counts, "token")
-      .crossJoin(broadcast(total))
-      .groupBy(col(idCol))
+    val withCnt = toks.withColumn("__cnt",
+      count(lit(1)).over(Window.partitionBy(col("token"))))
+    val perDoc = withCnt.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        round(-avg(log(col("__cnt").cast("double") / col("__total"))), 6)
-          .as("cross_entropy"))
+        avg(log(col("__cnt").cast("double"))).as("__mean_log_cnt"))
+      .persist()
+    val total = perDoc.agg(sum(col("n_tokens"))).first().getLong(0)
+    perDoc.select(col(idCol), col("n_tokens"),
+      round(log(lit(total).cast("double")) - col("__mean_log_cnt"), 6)
+        .as("cross_entropy"))
   }
 
   /** Corpus-level language/quality rollup. */
