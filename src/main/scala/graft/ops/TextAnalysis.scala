@@ -194,15 +194,64 @@ object TextAnalysis {
                          idCol: String = "doc_id", textCol: String = "text",
                          k: Int = 3, w: Int = 4,
                          shingleHash: Column => Column): DataFrame = {
-    def fps(df: DataFrame) = df.select(col(idCol),
+    val corpusFps = winnowFps(corpus, idCol, textCol, k, w, shingleHash)
+      .select("fp").distinct()
+    flagAgainst(batch, corpusFps, idCol, textCol, k, w, shingleHash)
+  }
+
+  /** Per-doc exploded winnow fingerprints — ONE definition shared by the
+    * inline and indexed contamination paths, so a batch's fingerprints
+    * land exactly on the values an index stored earlier (the hash math
+    * cannot drift between build and probe).
+    */
+  private def winnowFps(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, w: Int,
+                        shingleHash: Column => Column): DataFrame =
+    df.select(col(idCol),
       explode(winnowFingerprints(col(textCol), k, w, shingleHash)).as("fp"))
-    val corpusFps = fps(corpus).select("fp").distinct()
-    val hit = fps(batch).join(corpusFps, Seq("fp"), "left_semi")
+
+  private def flagAgainst(batch: DataFrame, corpusFps: DataFrame,
+                          idCol: String, textCol: String, k: Int, w: Int,
+                          shingleHash: Column => Column): DataFrame = {
+    val hit = winnowFps(batch, idCol, textCol, k, w, shingleHash)
+      .join(corpusFps, Seq("fp"), "left_semi")
       .select(col(idCol)).distinct()
     batch.select(col(idCol))
       .join(hit.withColumn("contaminated", lit(1)), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("contaminated"), lit(0)).as("contaminated"))
   }
+
+  /** Build-once / probe-many lifecycle for the contamination check: the
+    * reference corpus's distinct winnow-fingerprint set is written ONCE as
+    * an fp-bucketed table (the fingerprint inverted index), and each
+    * training batch probes it with a semi-join — the corpus text is never
+    * rescanned, and the index side of the probe is read in place with
+    * ZERO exchange (bucket layout = join key; plan-gated in
+    * PlanShapeSpec). Pay the corpus fingerprint computation and one
+    * bucketing shuffle at build time; every batch pays only its own side.
+    * Probe-time (k, w, shingleHash) MUST match the build call — they
+    * parameterize the fingerprint family itself.
+    */
+  def buildContaminationIndex(corpus: DataFrame, name: String, path: String,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              k: Int = 3, w: Int = 4,
+                              shingleHash: Column => Column,
+                              numBuckets: Int = 32): Unit =
+    graft.io.IO.writeBucketed(
+      winnowFps(corpus, idCol, textCol, k, w, shingleHash)
+        .select("fp").distinct(),
+      name, path, Seq("fp"), numBuckets, Seq("fp"))
+
+  /** [[contaminationFlags]] against the PERSISTED fingerprint index —
+    * identical semantics, corpus-free probe.
+    */
+  def contaminationFlagsIndexed(batch: DataFrame, name: String,
+                                idCol: String = "doc_id",
+                                textCol: String = "text",
+                                k: Int = 3, w: Int = 4,
+                                shingleHash: Column => Column): DataFrame =
+    flagAgainst(batch, batch.sparkSession.table(name), idCol, textCol, k, w,
+      shingleHash)
 
   /** Overlapping token-window chunking (retrieval/context-window prep):
     * split each document into chunks of `size` tokens starting every
@@ -283,37 +332,61 @@ object TextAnalysis {
       regexp_extract_all(text, lit(bpeSplitPattern), lit(0)),
       m => m.rlike("[^ \\t\\n\\f\\r]")))
 
+  /** Per-(doc, term) frequency relation — the shared single-tokenize core
+    * of [[tfIdfTopTerms]] and [[unigramCrossEntropy]]. The text column is
+    * scanned and tokenized exactly ONCE: the (id, term, tf) rows (far
+    * smaller than the raw token stream, and free of the text bytes) are
+    * materialized via an eager localCheckpoint, and every downstream
+    * branch — document-frequency counts, vocabulary counts, per-doc
+    * scores — reads the materialized relation instead of re-running the
+    * scan + explode subtree.
+    *
+    * Why localCheckpoint rather than persist(): same executor-side
+    * MEMORY_AND_DISK materialization, but no entry in the session's
+    * CacheManager to leak — storage is released by the ContextCleaner as
+    * soon as the plan is garbage collected, so repeated operator calls
+    * cannot accumulate cache entries (gated in TextAnalysisSpec).
+    * `materialize = false` exposes the un-checkpointed plan so
+    * PlanShapeSpec can gate the one-Generate/one-scan shape.
+    */
+  private[graft] def termFrequencies(docs: DataFrame, idCol: String,
+                                     textCol: String,
+                                     materialize: Boolean = true): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    if (materialize) tf.localCheckpoint() else tf
+  }
+
   /** TF-IDF top-k terms per document: tf = in-document term count, df =
     * number of documents containing the term, idf = ln(N/df) (raw — every
     * scored term has df ≥ 1 so the log is finite). Scores are rounded to 6
     * decimals BEFORE ranking so an oracle engine recomputing ln
     * independently ranks identically; ties break on the term itself.
     *
-    * Shape at corpus scale — the scoring plan tokenizes ONCE: df comes
-    * from a count window over term on the already-aggregated tf relation
-    * (one shuffle, replacing the old agg+self-join that recomputed the
-    * whole tokenize subtree for the df branch), and N is collected
-    * eagerly from an idCol-pruned scan that reads one slim parquet
-    * column, never the text — so nothing corpus-scale is cached and the
-    * text bytes are read exactly once. The window shares the old join's
-    * term partitioning (vocabulary-partitioned; a hot term concentrates
-    * in one task either way, bounded by n_docs). The final top-k runs
+    * Shape at corpus scale — one tokenize pass ([[termFrequencies]]),
+    * then df from a map-side-combinable `groupBy(term).count()` joined
+    * back at (doc, term) granularity. Partial aggregation collapses a hot
+    * (stop-word) term into one partial count per task BEFORE the shuffle,
+    * and the join's build side is vocabulary-sized (AQE broadcasts it at
+    * runtime) — unlike the previous count-window over `term`, whose
+    * partition for a universal term was a single n_docs-sized sort buffer
+    * on one task. N is collected eagerly from an idCol-pruned scan that
+    * reads one slim parquet column, never the text. The final top-k runs
     * through the bounded-buffer GroupedTopK operator instead of a full
     * per-document window sort.
     */
   def tfIdfTopTerms(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", k: Int = 3): DataFrame = {
     val nDocs = docs.agg(countDistinct(col(idCol))).first().getLong(0)
-    val tf = docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(docs, idCol, textCol)
     // (idCol, term) is unique after the groupBy, so df = rows per term
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("term"))))
-    val scored = withDf.select(col(idCol), col("term"),
-      round(col("tf") * log(lit(nDocs).cast("double") / col("df")), 6)
-        .as("tfidf"))
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfRel, "term")
+      .select(col(idCol), col("term"),
+        round(col("tf") * log(lit(nDocs).cast("double") / col("df")), 6)
+          .as("tfidf"))
     graft.plans.TopK.perGroup(scored, Seq(idCol),
       Seq(("tfidf", true), ("term", false)), k)
   }
@@ -324,33 +397,35 @@ object TextAnalysis {
     * improbable token streams (boilerplate, noise, wrong language).
     * Zero-token docs produce no row.
     *
-    * Shape at corpus scale — the text is tokenized ONCE: per-token corpus
-    * counts come from a count window over token (vocabulary-partitioned,
-    * one shuffle, replacing the old counts agg + join that rebuilt the
-    * tokenize subtree twice), the stream is immediately reduced to a
-    * doc-level relation (id, n_tokens, mean ln cnt), and ONLY that small
-    * relation is persisted — thousands of times smaller than the token
-    * stream — to derive the corpus total without a second pass. Using
-    * −avg(ln(cnt/T)) = ln(T) − avg(ln cnt), the total folds in as a
-    * post-aggregation constant; the reassociation drift is the same
-    * ~1e-13 class as the engines' differing summation orders, absorbed
-    * by the 6-decimal rounding (NOTES_r3 item 15). The cache entry is
-    * deduplicated by Spark's CacheManager across repeated calls on the
-    * same plan; callers can release it with unpersist()/clearCache.
+    * Shape at corpus scale — the text is tokenized ONCE
+    * ([[termFrequencies]], materialized at (doc, token) granularity), and
+    * every count derives from that relation: per-token corpus counts via
+    * a map-side-combinable `groupBy(token).sum(tf)` (a hot stop-word
+    * collapses to one partial per task before the shuffle — the previous
+    * count-window over the raw occurrence stream sort-buffered every
+    * occurrence of the token in ONE task), the corpus total via a scalar
+    * aggregate over the vocabulary-sized counts. Per-doc scoring joins
+    * the counts back (vocabulary-sized build side; AQE broadcasts it)
+    * and weights ln(cnt) by tf. Using −avg(ln(cnt/T)) = ln(T) −
+    * avg(ln cnt), the total folds in as a post-aggregation constant; the
+    * tf-weighted reassociation drift is the same ~1e-13 class as the
+    * engines' differing summation orders, absorbed by the 6-decimal
+    * rounding (NOTES_r3 item 15). No persist(): the checkpoint is
+    * CacheManager-free and self-releasing (see [[termFrequencies]]).
     */
   def unigramCrossEntropy(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val withCnt = toks.withColumn("__cnt",
-      count(lit(1)).over(Window.partitionBy(col("token"))))
-    val perDoc = withCnt.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        avg(log(col("__cnt").cast("double"))).as("__mean_log_cnt"))
-      .persist()
-    val total = perDoc.agg(sum(col("n_tokens"))).first().getLong(0)
-    perDoc.select(col(idCol), col("n_tokens"),
-      round(log(lit(total).cast("double")) - col("__mean_log_cnt"), 6)
-        .as("cross_entropy"))
+    val tf = termFrequencies(docs, idCol, textCol)
+    val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("__cnt"))
+    val total = counts.agg(sum(col("__cnt"))).first().getLong(0)
+    tf.join(counts, "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (sum(col("tf").cast("double") * log(col("__cnt").cast("double"))) /
+          sum(col("tf")).cast("double")).as("__mean_log_cnt"))
+      .select(col(idCol), col("n_tokens"),
+        round(log(lit(total).cast("double")) - col("__mean_log_cnt"), 6)
+          .as("cross_entropy"))
   }
 
   /** Corpus-level language/quality rollup. */
