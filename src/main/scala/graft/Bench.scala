@@ -51,6 +51,22 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (fresh.nonEmpty) fresh.values.sum else 0.0
     val steadyTotal = if (steady.nonEmpty) steady.values.sum else 0.0
+    // the driver's log capture truncates the one-line JSON tail, losing
+    // ~half the per-query times — ALSO write the complete artifact to a
+    // committed file so round-over-round regressions stay adjudicable
+    val detail = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detailJson = new StringBuilder()
+      .append(s"""{"sf":"$sfDir","n_queries":${fresh.size},""")
+      .append(s""""fresh_total":$total,"steady_total":$steadyTotal,""")
+      .append("\"fresh\":{")
+      .append(fresh.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"$k\":$v" }.mkString(",\n"))
+      .append("},\n\"steady\":{")
+      .append(steady.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"$k\":$v" }.mkString(",\n"))
+      .append("}}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(detail),
+      detailJson.toString)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(fresh)},"steady_total":$steadyTotal,"queries_steady":${js(steady)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -171,6 +171,21 @@ object SparkEntry {
        |SELECT doc_id, lang, n_chars FROM documents
        |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin
 
+  /** Shared by q85 (inline corpus fingerprints) and q101 (persisted
+    * fp-bucketed fingerprint index) — both contamination-check tiers must
+    * flag exactly the same batch documents.
+    */
+  private lazy val contaminationOracleSql =
+    s"""WITH ${winnowFpCtesSql(5, 8)},
+       |pairs AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+       |corpus_fp AS (SELECT DISTINCT fp FROM pairs WHERE doc_id < 400),
+       |hits AS (SELECT DISTINCT doc_id FROM pairs
+       |         WHERE doc_id >= 400 AND fp IN (SELECT fp FROM corpus_fp))
+       |SELECT doc_id,
+       |  CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END
+       |    AS contaminated
+       |FROM documents WHERE doc_id >= 400""".stripMargin
+
   /** Shared by q37 (inline assignment) and q77 (persisted partitioned
     * index) — both IVF strategies must return identical neighbors.
     */
@@ -1198,6 +1213,86 @@ object SparkEntry {
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
         "doc_id", "text", shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)
         .select("doc_id", "lang", "n_chars")
+    }),
+
+    "q101_contamination_indexed" -> ((s, d) => {
+      // q85's semantics through the PERSISTED winnow-fingerprint inverted
+      // index: the reference corpus is fingerprinted and fp-bucketed ONCE
+      // (build), each training batch probes with a semi-join that reads
+      // the index in place — zero exchange on the index side (PlanShapeSpec
+      // gates it). Same oracle as q85: tier equivalence.
+      val docs = T(s, d, "documents")
+      val tag = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(d.getBytes).getMostSignificantBits)
+      val name = s"contam_idx_$tag"
+      TextAnalysis.buildContaminationIndex(docs.filter(col("doc_id") < 400),
+        name, s"/tmp/graft_contidx/$tag", "doc_id", "text", k = 5, w = 8,
+        shingleHash = md5Hash31)
+      TextAnalysis.contaminationFlagsIndexed(docs.filter(col("doc_id") >= 400),
+        name, "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
+    }),
+    "q102_null_robustness" -> ((s, d) => {
+      // null-semantics gate (the testdata itself is null-free): inject
+      // NULLs with a when(), then push them through exact dedup (NULL keys
+      // collapse into one group — row 1 of the NULL partition survives),
+      // profile-style counts (count(*) counts NULL rows, count(v) skips
+      // them), and a distribution entropy over the non-null values only —
+      // one driver-checked row per event type, left-joined so a type with
+      // zero non-null values would surface as a NULL entropy, not a
+      // dropped row.
+      val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        when(col("value") < 50, lit(null)).otherwise(floor(col("value") / 10))
+          .as("v"))
+      val dd = Dedup.exact(e, Seq("event_type", "v"), "event_id")
+      val stats = dd.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_kept"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null_kept"),
+        count(col("v")).as("n_nonnull_kept"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+      val c = e.filter(col("v").isNotNull).groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("__n"))
+      val t = c.groupBy(col("event_type")).agg(sum(col("__n")).as("__t"))
+      val ent = c.join(t, "event_type").groupBy(col("event_type"))
+        .agg(round(-sum((col("__n") / col("__t")) *
+          log(col("__n").cast("double") / col("__t"))), 6).as("v_entropy"))
+      stats.join(ent, Seq("event_type"), "left")
+    }),
+    "q103_exists_windowed_anti" -> ((s, d) => {
+      // SQL-authored correlated NOT EXISTS over a WINDOWED subquery:
+      // customers whose MOST RECENT order (row_number over the
+      // per-customer date ranking) is not urgent — including customers
+      // with no orders at all (NOT EXISTS is null-tolerant where NOT IN
+      // is not). Plans as a left-anti join (PlanShapeSpec gates it).
+      T(s, d, "customer").createOrReplaceTempView("v_customer")
+      T(s, d, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c_custkey, c_name, c_acctbal FROM v_customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM (
+            SELECT o_custkey, o_orderpriority,
+              row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey) AS rn
+            FROM v_orders) w
+          WHERE w.o_custkey = c.c_custkey AND w.rn = 1
+            AND w.o_orderpriority = '1-URGENT')""")
+    }),
+    "q104_sql_top1_per_key" -> ((s, d) => {
+      // the ubiquitous SQL top-1-per-key idiom (lateral-style: each
+      // customer's single highest-value order) authored as row_number SQL.
+      // RowNumberTopKRewrite — installed session-wide exactly as a
+      // production spark.sql.extensions deployment would — replans the
+      // window+filter as the native bounded-buffer GroupedTopK operator
+      // (PlanShapeSpec asserts the rewrite fired on this SQL form).
+      graft.plans.TopK.installSqlExtensions(s)
+      T(s, d, "customer").createOrReplaceTempView("v_customer")
+      T(s, d, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice FROM (
+          SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+            row_number() OVER (PARTITION BY c.c_custkey
+              ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+          FROM v_customer c JOIN v_orders o ON o.o_custkey = c.c_custkey)
+        WHERE rn = 1""")
     }))
 
   // ---------------------------------------------------------- oracle SQL
@@ -1810,16 +1905,50 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
          |    AS BIGINT) AS pack_id
          |FROM t""".stripMargin,
-    "q85_contamination_check" ->
-      s"""WITH ${winnowFpCtesSql(5, 8)},
-         |pairs AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
-         |corpus_fp AS (SELECT DISTINCT fp FROM pairs WHERE doc_id < 400),
-         |hits AS (SELECT DISTINCT doc_id FROM pairs
-         |         WHERE doc_id >= 400 AND fp IN (SELECT fp FROM corpus_fp))
-         |SELECT doc_id,
-         |  CASE WHEN doc_id IN (SELECT doc_id FROM hits) THEN 1 ELSE 0 END
-         |    AS contaminated
-         |FROM documents WHERE doc_id >= 400""".stripMargin,
+    "q85_contamination_check" -> contaminationOracleSql,
+    "q101_contamination_indexed" -> contaminationOracleSql, // tier-equivalence
+    "q102_null_robustness" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN value < 50 THEN NULL
+        |         ELSE CAST(floor(value / 10) AS BIGINT) END AS v
+        |  FROM events),
+        |dd AS (SELECT * FROM e WHERE event_id IN (
+        |  SELECT min(event_id) FROM e GROUP BY event_type, v)),
+        |stats AS (
+        |  SELECT event_type, count(*) AS n_kept,
+        |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null_kept,
+        |    count(v) AS n_nonnull_kept,
+        |    min(v) AS v_min, max(v) AS v_max
+        |  FROM dd GROUP BY event_type),
+        |c AS (SELECT event_type, v, count(*) AS n FROM e
+        |      WHERE v IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n) AS t FROM c GROUP BY 1),
+        |ent AS (
+        |  SELECT c.event_type,
+        |    round(-sum((n / t) * ln(CAST(n AS DOUBLE) / t)), 6) AS v_entropy
+        |  FROM c JOIN t USING (event_type) GROUP BY c.event_type)
+        |SELECT event_type, n_kept, n_null_kept, n_nonnull_kept,
+        |  v_min, v_max, v_entropy
+        |FROM stats LEFT JOIN ent USING (event_type)""".stripMargin,
+    "q103_exists_windowed_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM (
+        |    SELECT o_custkey, o_orderpriority,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |    FROM orders) w
+        |  WHERE w.o_custkey = c.c_custkey AND w.rn = 1
+        |    AND w.o_orderpriority = '1-URGENT')""".stripMargin,
+    "q104_sql_top1_per_key" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice FROM (
+        |  SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY c.c_custkey
+        |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+        |WHERE rn = 1""".stripMargin,
     "q96_unigram_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
          |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),

@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true,
+              rsd: Double = 0.05): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
+        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c), rsd))
           .as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
@@ -56,13 +57,20 @@ object Profile {
     *
     * At corpus scale you run ONLY the `exact = false` branch and trust the
     * HLL contract; the exact branch exists here so the gate itself is
-    * driver-checkable. Caveat: the exact branch counts distinct STRING
+    * driver-checkable. Caveats: the exact branch counts distinct STRING
     * renderings — identical for all practical column types (Spark's
     * double→string is shortest-roundtrip), diverging only on SQL-equal
-    * float pairs like -0.0/0.0.
+    * float pairs like -0.0/0.0. And nd_ok is a ~3-sigma PROBABILISTIC
+    * gate: Spark's HLL++ is deterministic for a fixed dataset (the current
+    * scale factors pass reproducibly), but changing the profiled columns
+    * or scale factor can legitimately flip a gate bit on the error tail —
+    * that is the gate doing its job, not a correctness bug.
+    *
+    * `rsd` parameterizes BOTH sides coherently: the sketch precision
+    * (threaded into approx_count_distinct) and the 3·rsd gate tolerance.
     */
   def profileChecked(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
-    val approx = profile(df, cols, exact = false)
+    val approx = profile(df, cols, exact = false, rsd = rsd)
       .withColumnRenamed("n_distinct", "__nd_est")
     def lbl(c: String) = "'" + c.replace("'", "''") + "'"
     def idq(c: String) = s"`${c.replace("`", "``")}`"
@@ -72,11 +80,16 @@ object Profile {
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, __v)")
       .groupBy(col("col_name"))
       .agg(countDistinct(col("__v")).as("n_distinct"))
-    approx.join(exact, "col_name")
-      .select(col("col_name"), col("n_nulls"), col("n_distinct"),
+    // LEFT join from the approx side: on an empty input the exact branch
+    // groups away to zero rows, but profile() (and the oracle's aggregate
+    // shape) still emit one row per column — coalesce keeps that parity
+    // (n_distinct = 0, and the gate trivially holds at 0 ≤ max(1, ·))
+    val nd = coalesce(col("n_distinct"), lit(0L))
+    approx.join(exact, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_nulls"), nd.as("n_distinct"),
         col("min_str"), col("max_str"),
-        (abs(col("__nd_est") - col("n_distinct")).cast("double") <=
-          greatest(lit(1.0), col("n_distinct").cast("double") * (3.0 * rsd)))
+        (abs(col("__nd_est") - nd).cast("double") <=
+          greatest(lit(1.0), nd.cast("double") * (3.0 * rsd)))
           .as("nd_ok"))
   }
 }

@@ -348,6 +348,15 @@ object TextAnalysis {
     * cannot accumulate cache entries (gated in TextAnalysisSpec).
     * `materialize = false` exposes the un-checkpointed plan so
     * PlanShapeSpec can gate the one-Generate/one-scan shape.
+    *
+    * Caveat for elastic clusters: localCheckpoint truncates lineage and
+    * its blocks are non-replicated executor-local state, so losing an
+    * executor (spot kill, dynamic-allocation decommission) makes the
+    * downstream query fail unrecoverably instead of recomputing. On a
+    * cluster with dynamic allocation, prefer a reliable checkpoint dir or
+    * persist() with an explicit unpersist() at the call site; eagerness
+    * also means the materialization job runs even if the caller never
+    * consumes the result.
     */
   private[graft] def termFrequencies(docs: DataFrame, idCol: String,
                                      textCol: String,

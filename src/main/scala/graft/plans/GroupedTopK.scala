@@ -208,6 +208,25 @@ object GroupedTopKStrategy extends SparkStrategy {
 
 object TopK {
 
+  /** Install the SQL-facing engine pieces on an EXISTING session (the
+    * non-`spark.sql.extensions` path, mirroring what [[graft.GraftExtensions]]
+    * injects at session build time): the GroupedTopK planning strategy and
+    * the [[RowNumberTopKRewrite]] optimizer rule, so SQL-authored
+    * `row_number() ... WHERE rn <= k` top-k idioms replan as the native
+    * bounded-buffer operator. Idempotent; the rewrite is
+    * semantics-preserving (see its scaladoc), so session-wide installation
+    * is safe — it is exactly how a production `spark.sql.extensions`
+    * deployment behaves.
+    */
+  def installSqlExtensions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(RowNumberTopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RowNumberTopKRewrite
+  }
+
   /** Top-k rows per group, ordered by `(column name, descending?)` pairs —
     * must be a TOTAL order (include tiebreakers) for deterministic output.
     * Registers the planning strategy idempotently on the session.
