@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
@@ -92,6 +92,22 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
     */
   val MaxRewriteK = 10000
 
+  /** Spark's own InferWindowGroupLimit (a main-batch rule that runs BEFORE
+    * user-provided optimizations) may already have inserted a
+    * WindowGroupLimit below the Window from the very same rank predicate.
+    * GroupedTopK subsumes it — keeping both would double-limit through two
+    * sort pairs — so strip a same-spec row_number group limit that keeps at
+    * least k rows per group (always the case when both derive from one
+    * `rn <= k` filter; the guard keeps the strip provably lossless).
+    */
+  private def stripInferredLimit(child: LogicalPlan, w: Window, k: Long): LogicalPlan =
+    child match {
+      case wgl @ WindowGroupLimit(part, order, RowNumber(), limit, inner)
+          if part == w.partitionSpec && order == w.orderSpec && limit >= k =>
+        inner
+      case _ => child
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projList, Filter(cond, w: Window)) =>
       (for {
@@ -101,7 +117,9 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
         if w.orderSpec.nonEmpty
         if !projList.exists(_.references.contains(rn))
         if projList.forall(_.references.subsetOf(w.child.outputSet))
-      } yield Project(projList, GroupedTopK(w.partitionSpec, w.orderSpec, k.toInt, w.child)))
+      } yield Project(projList,
+        GroupedTopK(w.partitionSpec, w.orderSpec, k.toInt,
+          stripInferredLimit(w.child, w, k))))
         .getOrElse(p)
   }
 }

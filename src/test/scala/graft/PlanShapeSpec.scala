@@ -216,6 +216,108 @@ class PlanShapeSpec extends SparkSpec {
     assert(pruned.contains("cell_id"), s) // static pruning reached the scan
   }
 
+  test("termFrequencies tokenizes once: one Generate over one file scan") {
+    // the round-4/5 single-tokenize contract, plan-gated: the shared
+    // (doc, term, tf) relation reads the text column exactly once — a
+    // reintroduced per-branch tokenize would show a second Generate/scan
+    val tf = graft.ops.TextAnalysis.termFrequencies(
+      Tables.documents(spark, sf0001), "doc_id", "text", materialize = false)
+    val s = planString(tf)
+    assert("Generate".r.findAllIn(s).length == 1, s)
+    assert("FileScan".r.findAllIn(s).length == 1, s)
+  }
+
+  test("q81/q96 plans have no Window over the token stream and no re-tokenize") {
+    // the hot-token skew fix: df/vocab counts come from map-side-combinable
+    // groupBy aggregates joined back, never a count-window partitioned by
+    // term/token (one n_docs-sized sort buffer on one task at 100 TB);
+    // downstream of the materialized tf relation nothing re-explodes
+    Seq("q81_tfidf_top_terms", "q96_unigram_lm_score").foreach { q =>
+      val s = planString(SparkEntry.queries(q)(spark, sf0001))
+      assert(!s.contains("Window"), s"$q plans a Window:\n$s")
+      assert(!s.contains("Generate"), s"$q re-tokenizes:\n$s")
+    }
+  }
+
+  test("q100 dedup shuffles the content hash, never the cleaned text") {
+    val s = planString(SparkEntry.queries("q100_training_pipeline")(spark, sf0001))
+    val exchanges = s.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, s)
+    exchanges.foreach(l =>
+      assert(!l.contains("clean_text"), s"exchange keyed on text:\n$l"))
+  }
+
+  test("q103 SQL NOT EXISTS over a windowed subquery plans as an anti join") {
+    val s = planString(SparkEntry.queries("q103_exists_windowed_anti")(spark, sf0001))
+    assert(s.contains("Anti"), s)
+  }
+
+  test("q104 SQL row_number top-1 replans as GroupedTopK (rewrite fired)") {
+    val df = SparkEntry.queries("q104_sql_top1_per_key")(spark, sf0001)
+    val s = planString(df)
+    assert(s.contains("GroupedTopK"), s)
+    assert(!s.contains("Window"), s)
+  }
+
+  test("contamination fingerprint index: probe reads the index in place") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_contam_idx").toString
+    graft.ops.TextAnalysis.buildContaminationIndex(
+      docs.filter(col("doc_id") < 250), "t_contam_idx", dir,
+      "doc_id", "text", k = 3, w = 4,
+      shingleHash = graft.functions.md5Hash31, numBuckets = 8)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val flags = graft.ops.TextAnalysis.contaminationFlagsIndexed(
+        docs.filter(col("doc_id") >= 250), "t_contam_idx", "doc_id", "text",
+        k = 3, w = 4, shingleHash = graft.functions.md5Hash31)
+      flags.collect()
+      val p = flags.queryExecution.executedPlan
+      val scans = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.exists(_.bucketedScan), p.toString) // index read in place
+      // zero exchange on the index SIDE of the probe semi-join: the join
+      // input that holds the bucketed scan reaches the join with no
+      // shuffle between them (bucket layout = join key); only the batch
+      // side moves. Downstream shuffles (distinct, flag join) are fine.
+      val semis = p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType.toString.contains("Semi") => j
+      }
+      assert(semis.nonEmpty, p.toString)
+      def bucketedIn(sp: SparkPlan): Boolean = sp.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.bucketedScan => f
+      }.nonEmpty
+      semis.filter(j => bucketedIn(j.right) || bucketedIn(j.left)).foreach { j =>
+        val idxSide = if (bucketedIn(j.right)) j.right else j.left
+        val shufflesOnIdx = idxSide.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(shufflesOnIdx.isEmpty, s"shuffle on the index side:\n$p")
+      }
+      // tier equivalence: the persisted index flags exactly the inline rows
+      val indexed = flags.collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val inline = graft.ops.TextAnalysis.contaminationFlags(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+        "doc_id", "text", k = 3, w = 4,
+        shingleHash = graft.functions.md5Hash31)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(indexed == inline)
+      assert(indexed.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql("DROP TABLE IF EXISTS t_contam_idx")
+    }
+  }
+
   test("metadata-only multimodal scan does not read the blob column") {
     val media = graft.ops.Multimodal.synthesize(
       spark, Tables.documents(spark, sf0001).select("doc_id"), "doc_id")

@@ -23,6 +23,38 @@ class ProfileSpec extends SparkSpec {
     assert(got == Map("order date" -> 2L, "o'clock" -> 2L))
   }
 
+  test("profileChecked: exact distinct counts, HLL gate green, rsd threaded") {
+    val df = Seq(
+      (Some(3L), Some("b")), (None, Some("a")), (Some(1L), None),
+      (Some(3L), Some("a"))).toDF("num", "s")
+    val got = Profile.profileChecked(df, Seq("num", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4),
+          r.getBoolean(5)))).toMap
+    // same values as the exact profile, plus a green sketch gate
+    assert(got("num") == ((1L, 2L, "1", "3", true)))
+    assert(got("s") == ((1L, 2L, "a", "b", true)))
+    // a non-default rsd reaches the sketch (not just the gate tolerance):
+    // at tiny cardinality HLL is exact for any precision, so the tightened
+    // gate must still hold
+    val tight = Profile.profileChecked(df, Seq("num", "s"), rsd = 0.01)
+      .collect().map(_.getBoolean(5))
+    assert(tight.forall(identity))
+  }
+
+  test("profileChecked on empty input keeps one row per column (profile parity)") {
+    // n_nulls is NULL on empty input (sum over zero rows) — same as
+    // profile() and the oracle's aggregate shape; n_distinct coalesces to 0
+    val empty = Seq.empty[(Option[Long], Option[String])].toDF("num", "s")
+    val rows = Profile.profileChecked(empty, Seq("num", "s")).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("num", "s"))
+    rows.foreach { r =>
+      assert(r.isNullAt(1))           // n_nulls: null, as profile() renders it
+      assert(r.getLong(2) == 0L)      // n_distinct coalesced
+      assert(r.getBoolean(5))         // gate trivially green at 0 ≤ max(1, ·)
+    }
+  }
+
   test("profile is a single aggregation: exactly one scan of the input") {
     val prof = Profile.profile(Tables.orders(spark, sf0001),
       Seq("o_orderkey", "o_orderstatus", "o_totalprice"))

@@ -193,4 +193,14 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().find(_._1 == 2L).get._3
     assert(math.abs(banana - math.rint(2 * math.log(3.0) * 1e6) / 1e6) < 1e-9)
   }
+
+  test("tf-idf / unigram LM leave no cache entries behind (checkpoint, not persist)") {
+    // the materialized tf relation is a localCheckpoint — self-releasing
+    // executor state, NOT a CacheManager entry that a long-lived session
+    // would accumulate across operator calls
+    val docs = Tables.documents(spark, sf0001)
+    TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2).collect()
+    TextAnalysis.unigramCrossEntropy(docs).collect()
+    assert(org.apache.spark.sql.graftbridge.ColumnBridge.cacheManagerIsEmpty(spark))
+  }
 }
