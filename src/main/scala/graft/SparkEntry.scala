@@ -1293,7 +1293,37 @@ object SparkEntry {
               ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
           FROM v_customer c JOIN v_orders o ON o.o_custkey = c.c_custkey)
         WHERE rn = 1""")
-    }))
+    }),
+    "q105_incremental_etl" -> ((s, d) => {
+      // the incremental-ETL maintenance shape, driver-checked end to end:
+      // two event batches (split MID-day, so the boundary day exists in
+      // BOTH and exercises the merge-sum path) upsert a day-partitioned
+      // totals table via dynamic partition overwrite; reading the table
+      // back must equal a from-scratch daily rollup (the oracle). The
+      // dest is wiped first so the query is rerun-idempotent.
+      val tag = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(d.getBytes).getMostSignificantBits)
+      val dest = s"/tmp/graft_etl/$tag"
+      val p = new org.apache.hadoop.fs.Path(dest)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val ev = Tables.events(s, d)
+      val cut = "2024-01-15 12:00:00"
+      graft.streaming.EventStream.upsertDailyTotals(
+        ev.filter(col("ts") < lit(cut).cast("timestamp")), dest)
+      graft.streaming.EventStream.upsertDailyTotals(
+        ev.filter(col("ts") >= lit(cut).cast("timestamp")), dest)
+      s.read.parquet(dest)
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("day_total"), col("n_events"))
+    }),
+    "q106_rolling_fingerprint" -> ((s, d) =>
+      // order-sensitive rolling document fingerprint (base-31 fold mod
+      // 2^31-1 over per-token hashes) — portable-hash twin so DuckDB
+      // recomputes the exact fold left-to-right (list_reduce); the
+      // production default keeps the codegen'd murmur3 token hash
+      T(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text"), md5Hash31).as("fp"))))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -1949,6 +1979,21 @@ object SparkEntry {
         |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
         |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
         |WHERE rn = 1""".stripMargin,
+    "q105_incremental_etl" ->
+      // from-scratch daily rollup: the incremental two-batch upsert must
+      // converge to exactly this (q16's proven unrounded-double pattern)
+      """SELECT event_type,
+        |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  sum(value) AS day_total, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q106_rolling_fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(t, x -> ${hash31Sql("x")})),
+         |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
+         |FROM toks""".stripMargin,
     "q96_unigram_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
          |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),

@@ -120,12 +120,13 @@ object TextAnalysis {
     * modulus keeps every intermediate < 2^36, safe under ANSI overflow
     * checks (Spark 4 default).
     */
-  def fingerprint(text: Column): Column = {
+  def fingerprint(text: Column,
+                  tokenHash: Column => Column = t => hash(t).cast("long")): Column = {
     val p = lit(2147483647L) // 2^31-1
     aggregate(
       tokens(text),
       lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + pmod(hash(t).cast("long"), p), p))
+      (acc, t) => pmod(acc * lit(31L) + pmod(tokenHash(t), p), p))
   }
 
   /** Winnowing fingerprints (the localized document-fingerprinting scheme
