@@ -18,13 +18,18 @@ object Bench {
       .collect()
 
   private def timeAll(spark: SparkSession, sfDir: String): Map[String, Double] =
-    SparkEntry.queries.map { case (name, fn) =>
+    // sorted-name order, NOT HashMap order: q104 installs the top-k rewrite
+    // into the shared session mid-run, so which queries execute pre- vs
+    // post-install must stay stable round over round — hash order would
+    // reshuffle it whenever the key set changes and turn plan-shape
+    // differences into phantom per-query regressions in BENCH_DETAIL.json
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // no swallowed exceptions: a failing query must fail the bench run
       // loudly rather than record a partial-execution time
       consume(fn(spark, sfDir))
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -67,6 +67,14 @@ object SparkEntry {
   private def T(s: SparkSession, d: String, name: String): DataFrame =
     Tables(s, d, name)
 
+  /** Stable per-sf-dir tag for the /tmp table/index locations of the
+    * persisted-lifecycle queries (q76/q77/q101/q105): the build/probe (and
+    * wipe/write) sites of one query must key to the SAME location for a
+    * given input dir, and different sf dirs must never collide.
+    */
+  private def tagFor(d: String): String = java.lang.Long.toHexString(
+    java.util.UUID.nameUUIDFromBytes(d.getBytes).getMostSignificantBits)
+
   // ---------------------------------------------- oracle SQL helper pieces
 
   /** Shared by q14 (broadcast bbox tier) and q69 (grid equi-join tier) —
@@ -879,8 +887,7 @@ object SparkEntry {
       // probes them — the operational shape where the corpus is hashed
       // once, not per batch. Same oracle as q60.
       val docs = T(s, d, "documents")
-      val tag = java.lang.Long.toHexString(
-        java.util.UUID.nameUUIDFromBytes(d.getBytes).getMostSignificantBits)
+      val tag = tagFor(d)
       val name = s"neardup_idx_$tag"
       Dedup.buildNearDupIndex(docs.filter(col("doc_id") < 250),
         name, s"/tmp/graft_index/$tag", "doc_id", "text",
@@ -898,8 +905,7 @@ object SparkEntry {
       val centroids = emb.filter(col("vec_id") % 97 === 0)
         .select((col("vec_id") / 97).cast("int").as("cell_id"),
           col("embedding").as("centroid"))
-      val tag = java.lang.Long.toHexString(
-        java.util.UUID.nameUUIDFromBytes(d.getBytes).getMostSignificantBits)
+      val tag = tagFor(d)
       val path = s"/tmp/graft_ivf/$tag"
       Similarity.buildIvfIndex(emb, centroids, path)
       Similarity.ivfTopKIndexed(s, path, centroids, queryId = 1L, k = 10, nProbe = 2)
@@ -1222,8 +1228,7 @@ object SparkEntry {
       // the index in place — zero exchange on the index side (PlanShapeSpec
       // gates it). Same oracle as q85: tier equivalence.
       val docs = T(s, d, "documents")
-      val tag = java.lang.Long.toHexString(
-        java.util.UUID.nameUUIDFromBytes(d.getBytes).getMostSignificantBits)
+      val tag = tagFor(d)
       val name = s"contam_idx_$tag"
       TextAnalysis.buildContaminationIndex(docs.filter(col("doc_id") < 400),
         name, s"/tmp/graft_contidx/$tag", "doc_id", "text", k = 5, w = 8,
@@ -1301,8 +1306,7 @@ object SparkEntry {
       // totals table via dynamic partition overwrite; reading the table
       // back must equal a from-scratch daily rollup (the oracle). The
       // dest is wiped first so the query is rerun-idempotent.
-      val tag = java.lang.Long.toHexString(
-        java.util.UUID.nameUUIDFromBytes(d.getBytes).getMostSignificantBits)
+      val tag = tagFor(d)
       val dest = s"/tmp/graft_etl/$tag"
       val p = new org.apache.hadoop.fs.Path(dest)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

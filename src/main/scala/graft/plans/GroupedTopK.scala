@@ -218,10 +218,13 @@ object TopK {
     * is safe — it is exactly how a production `spark.sql.extensions`
     * deployment behaves.
     */
-  def installSqlExtensions(spark: org.apache.spark.sql.SparkSession): Unit = {
+  private def registerStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GroupedTopKStrategy
+
+  def installSqlExtensions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    registerStrategy(spark)
     if (!spark.experimental.extraOptimizations.contains(RowNumberTopKRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RowNumberTopKRewrite
@@ -239,9 +242,7 @@ object TopK {
   def perGroup(df: DataFrame, groupCols: Seq[String],
                orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    registerStrategy(spark) // strategy only — perGroup never installs the rewrite
     val analyzed = df.queryExecution.analyzed
     val groupExprs: Seq[Expression] =
       groupCols.map(c => org.apache.spark.sql.graftbridge.ColumnBridge.expression(df(c)))

@@ -253,10 +253,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q104 SQL row_number top-1 replans as GroupedTopK (rewrite fired)") {
-    val df = SparkEntry.queries("q104_sql_top1_per_key")(spark, sf0001)
-    val s = planString(df)
-    assert(s.contains("GroupedTopK"), s)
-    assert(!s.contains("Window"), s)
+    // q104 installs the rewrite session-wide (its production deployment
+    // shape) — restore afterwards so suite ordering can't silently turn
+    // other suites' window-formulation REFERENCE plans into GroupedTopK
+    // (GroupedTopKSpec compares the operator against a real WindowExec)
+    val prevOpt = spark.experimental.extraOptimizations
+    try {
+      val df = SparkEntry.queries("q104_sql_top1_per_key")(spark, sf0001)
+      val s = planString(df)
+      assert(s.contains("GroupedTopK"), s)
+      assert(!s.contains("Window"), s)
+    } finally spark.experimental.extraOptimizations = prevOpt
   }
 
   test("contamination fingerprint index: probe reads the index in place") {
