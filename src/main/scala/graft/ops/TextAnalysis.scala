@@ -382,20 +382,27 @@ object TextAnalysis {
     * and the join's build side is vocabulary-sized (AQE broadcasts it at
     * runtime) — unlike the previous count-window over `term`, whose
     * partition for a universal term was a single n_docs-sized sort buffer
-    * on one task. N is collected eagerly from an idCol-pruned scan that
-    * reads one slim parquet column, never the text. The final top-k runs
-    * through the bounded-buffer GroupedTopK operator instead of a full
-    * per-document window sort.
+    * on one task. N is NOT collected to the driver: a one-row
+    * countDistinct aggregate over the checkpointed relation is
+    * broadcast-cross-joined into the scoring plan, so the whole operator
+    * after the checkpoint is a single Spark job (the previous shape paid
+    * a separate N pre-scan job before any scoring work started). The
+    * final top-k runs through the bounded-buffer GroupedTopK operator
+    * instead of a full per-document window sort.
     */
   def tfIdfTopTerms(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", k: Int = 3): DataFrame = {
-    val nDocs = docs.agg(countDistinct(col(idCol))).first().getLong(0)
     val tf = termFrequencies(docs, idCol, textCol)
+    // one row; derives from the checkpointed tf, so no extra text scan.
+    // Cast to double HERE so log(N/df) divides double/bigint exactly as
+    // the previous lit(nDocs).cast("double") formulation did.
+    val nRow = tf.agg(countDistinct(col(idCol)).cast("double").as("__n"))
     // (idCol, term) is unique after the groupBy, so df = rows per term
     val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfRel, "term")
+      .crossJoin(broadcast(nRow))
       .select(col(idCol), col("term"),
-        round(col("tf") * log(lit(nDocs).cast("double") / col("df")), 6)
+        round(col("tf") * log(col("__n") / col("df")), 6)
           .as("tfidf"))
     graft.plans.TopK.perGroup(scored, Seq(idCol),
       Seq(("tfidf", true), ("term", false)), k)
@@ -413,11 +420,14 @@ object TextAnalysis {
     * a map-side-combinable `groupBy(token).sum(tf)` (a hot stop-word
     * collapses to one partial per task before the shuffle — the previous
     * count-window over the raw occurrence stream sort-buffered every
-    * occurrence of the token in ONE task), the corpus total via a scalar
-    * aggregate over the vocabulary-sized counts. Per-doc scoring joins
-    * the counts back (vocabulary-sized build side; AQE broadcasts it)
-    * and weights ln(cnt) by tf. Using −avg(ln(cnt/T)) = ln(T) −
-    * avg(ln cnt), the total folds in as a post-aggregation constant; the
+    * occurrence of the token in ONE task), the corpus total via a
+    * one-row aggregate over the vocabulary-sized counts that is
+    * broadcast-cross-joined into the scoring plan rather than collected
+    * to the driver — everything after the checkpoint is ONE Spark job.
+    * Per-doc scoring joins the counts back (vocabulary-sized build side;
+    * AQE broadcasts it) and weights ln(cnt) by tf. Using
+    * −avg(ln(cnt/T)) = ln(T) − avg(ln cnt), the total folds in as a
+    * post-aggregation constant; the
     * tf-weighted reassociation drift is the same ~1e-13 class as the
     * engines' differing summation orders, absorbed by the 6-decimal
     * rounding (NOTES_r3 item 15). No persist(): the checkpoint is
@@ -427,14 +437,16 @@ object TextAnalysis {
                           textCol: String = "text"): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)
     val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("__cnt"))
-    val total = counts.agg(sum(col("__cnt"))).first().getLong(0)
+    // one row; same double value as the previous collected-Long-then-cast
+    val totalRow = counts.agg(sum(col("__cnt")).cast("double").as("__total"))
     tf.join(counts, "term")
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
         (sum(col("tf").cast("double") * log(col("__cnt").cast("double"))) /
           sum(col("tf")).cast("double")).as("__mean_log_cnt"))
+      .crossJoin(broadcast(totalRow))
       .select(col(idCol), col("n_tokens"),
-        round(log(lit(total).cast("double")) - col("__mean_log_cnt"), 6)
+        round(log(col("__total")) - col("__mean_log_cnt"), 6)
           .as("cross_entropy"))
   }
 
