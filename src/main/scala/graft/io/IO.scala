@@ -185,6 +185,23 @@ object IO {
     w1.format("parquet").saveAsTable(table)
   }
 
+  /** [[writeBucketed]] unless `table` is already registered in THIS
+    * session's catalog — the build-once/probe-many lifecycle without
+    * paying the build on every call. Scoping the skip to the session
+    * catalog (in-memory, dies with the JVM) rather than to the path on
+    * disk is deliberate: a leftover path from an earlier process may
+    * describe different source data, and silently probing it would be a
+    * stale-index correctness bug; a fresh session always rebuilds.
+    * Returns true iff the build ran.
+    */
+  def ensureBucketed(df: DataFrame, table: String, path: String,
+                     bucketCols: Seq[String], numBuckets: Int,
+                     sortCols: Seq[String] = Nil): Boolean = {
+    val spark = df.sparkSession
+    if (spark.catalog.tableExists(table)) false
+    else { writeBucketed(df, table, path, bucketCols, numBuckets, sortCols); true }
+  }
+
   /** Recursive case-insensitive CSV discovery (`csv2parquet.py:85`)
     * via Hadoop FileSystem — driver-side listing, needed when each input
     * file maps to its own output file (per-file job granularity).

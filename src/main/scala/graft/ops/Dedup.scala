@@ -177,6 +177,26 @@ object Dedup {
       Seq(idCol), numBuckets)
   }
 
+  /** [[buildNearDupIndex]] unless BOTH of the index's tables are already
+    * registered in this session's catalog (see
+    * [[graft.io.IO.ensureBucketed]] for why the skip is session-scoped).
+    * If either half is missing the pair is rebuilt together — the sig and
+    * shingle tables must describe the same corpus snapshot. Returns true
+    * iff the build ran.
+    */
+  def ensureNearDupIndex(corpus: DataFrame, name: String, path: String,
+                         idCol: String, textCol: String,
+                         shingleK: Int = 3, numPerm: Int = 128, bands: Int = 16,
+                         numBuckets: Int = 32): Boolean = {
+    val cat = corpus.sparkSession.catalog
+    val present = cat.tableExists(s"${name}_sig") &&
+      cat.tableExists(s"${name}_shingles")
+    if (!present)
+      buildNearDupIndex(corpus, name, path, idCol, textCol, shingleK,
+        numPerm, bands, numBuckets)
+    !present
+  }
+
   /** Candidate pairs (batch id, corpus id) from probing the persisted
     * index: the batch's banded signatures equi-join the bucketed
     * `<name>_sig` table on (band, bucket). Exposed separately so the

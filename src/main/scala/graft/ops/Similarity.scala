@@ -330,6 +330,29 @@ object Similarity {
     graft.io.IO.writeDir(assignCells(emb, centroids, vecCol, idCol), path,
       partitionBy = Seq("cell_id"))
 
+  /** Session-scoped paths already built by [[ensureIvfIndex]]. The IVF
+    * index is a plain partitioned directory (no catalog entry to key the
+    * skip on, unlike the bucketed indexes), so the build-once registry is
+    * this JVM-local set — it dies with the session for the same
+    * stale-index-safety reason [[graft.io.IO.ensureBucketed]] scopes its
+    * skip to the session catalog.
+    */
+  private val ivfBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** [[buildIvfIndex]] unless this session already built `path`; repeated
+    * probes in one session pay the cell-assignment write once. Returns
+    * true iff the build ran.
+    */
+  def ensureIvfIndex(emb: DataFrame, centroids: DataFrame, path: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    if (ivfBuilt.contains(path)) false
+    else {
+      buildIvfIndex(emb, centroids, path, idCol, vecCol)
+      ivfBuilt.add(path)
+      true
+    }
+  }
+
   /** [[ivfTopK]] against the PERSISTED index: identical semantics, but the
     * cell assignment is read back pruned to the query's `nProbe` cells —
     * the cell ids are collected first (nProbe ints), so the pruning filter

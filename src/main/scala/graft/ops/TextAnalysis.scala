@@ -243,6 +243,22 @@ object TextAnalysis {
         .select("fp").distinct(),
       name, path, Seq("fp"), numBuckets, Seq("fp"))
 
+  /** [[buildContaminationIndex]] unless `name` already exists in this
+    * session's catalog (see [[graft.io.IO.ensureBucketed]] for why the
+    * skip is session-scoped): repeated pipeline invocations in one
+    * long-lived session pay the corpus fingerprint pass once. Returns
+    * true iff the build ran.
+    */
+  def ensureContaminationIndex(corpus: DataFrame, name: String, path: String,
+                               idCol: String = "doc_id", textCol: String = "text",
+                               k: Int = 3, w: Int = 4,
+                               shingleHash: Column => Column,
+                               numBuckets: Int = 32): Boolean =
+    graft.io.IO.ensureBucketed(
+      winnowFps(corpus, idCol, textCol, k, w, shingleHash)
+        .select("fp").distinct(),
+      name, path, Seq("fp"), numBuckets, Seq("fp"))
+
   /** [[contaminationFlags]] against the PERSISTED fingerprint index —
     * identical semantics, corpus-free probe.
     */

@@ -146,6 +146,26 @@ class DedupSpec extends SparkSpec {
     assert(both.count() == 0)
   }
 
+  test("ensureNearDupIndex builds once per session; a missing half rebuilds the pair") {
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") < 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ens_ndi").toString
+    val name = "ensure_ndi_test"
+    def ensure() = Dedup.ensureNearDupIndex(corpus, name, dir,
+      "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8)
+    assert(ensure())  // builds both tables
+    assert(!ensure()) // both present → skip
+    // sig and shingles must describe the same corpus snapshot: losing
+    // either half forces the PAIR to rebuild
+    spark.sql(s"DROP TABLE ${name}_sig")
+    assert(ensure())
+    assert(!ensure())
+    val probe = Dedup.nearDupNewOnlyIndexed(
+      docs.filter(col("doc_id") >= 60 && col("doc_id") < 90), name,
+      "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8)
+    assert(probe.count() > 0)
+  }
+
   test("skewSafeDistinctCount: NULLs skipped but all-NULL keys keep their group") {
     val df = Seq(
       ("a", Some(1L)), ("a", Some(1L)), ("a", Some(2L)), ("a", None),

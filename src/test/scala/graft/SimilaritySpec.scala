@@ -189,6 +189,20 @@ class SimilaritySpec extends SparkSpec {
       s"sq8 recall $sq8VsExact dropped below IVF's $ivfVsExact")
   }
 
+  test("ensureIvfIndex builds once per session, probe works off the ensured index") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val centroids = emb.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") / 97).cast("int").as("cell_id"),
+        col("embedding").as("centroid"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ens_ivf")
+      .toString + "/ivf"
+    assert(Similarity.ensureIvfIndex(emb, centroids, path))  // builds
+    assert(!Similarity.ensureIvfIndex(emb, centroids, path)) // session skip
+    val probed = Similarity.ivfTopKIndexed(spark, path, centroids,
+      queryId = 1L, k = 5, nProbe = 2)
+    assert(probed.count() == 5)
+  }
+
   test("int8 quantization: max element saturates, zero vector → scale 0, mse bounded") {
     val emb = Seq(
       (1L, Seq(12.7, -6.35, 0.05)), // scale 0.1 → q = (127, -64, 1)

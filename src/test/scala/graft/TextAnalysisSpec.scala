@@ -177,6 +177,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(10L -> 1, 11L -> 0, 12L -> 0))
   }
 
+  test("ensureContaminationIndex builds once per session, probe matches inline") {
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") < 50)
+    val batch = docs.filter(col("doc_id") >= 50 && col("doc_id") < 80)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ens_cont").toString
+    val name = "ensure_contam_test"
+    def ensure() = TextAnalysis.ensureContaminationIndex(corpus, name, dir,
+      "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
+    assert(ensure())  // first call in the session builds
+    assert(!ensure()) // second call skips — the catalog already has it
+    val indexed = TextAnalysis.contaminationFlagsIndexed(batch, name,
+      "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
+      .as[(Long, Int)].collect().toMap
+    val inline = TextAnalysis.contaminationFlags(batch, corpus,
+      "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
+      .as[(Long, Int)].collect().toMap
+    assert(indexed == inline)
+    spark.sql(s"DROP TABLE $name")
+    assert(ensure()) // a fresh catalog (new session) would rebuild
+  }
+
   test("tf-idf top terms: corpus-wide terms score 0, rare terms rank first") {
     // "common" is in every doc → idf = ln(1) = 0; each doc's distinctive
     // term must outrank it despite lower tf
