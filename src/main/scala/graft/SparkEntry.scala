@@ -1330,7 +1330,40 @@ object SparkEntry {
       // recomputes the exact fold left-to-right (list_reduce); the
       // production default keeps the codegen'd murmur3 token hash
       T(s, d, "documents").select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text"), md5Hash31).as("fp"))))
+        TextAnalysis.fingerprint(col("text"), md5Hash31).as("fp"))),
+    "q107_repetition_flags" -> ((s, d) =>
+      // Gopher-style repetition filters: duplicate-token fraction +
+      // top-bigram fraction, thresholds chosen to split this corpus
+      // (dup median ≈ 0.54, top-bigram p90 ≈ 0.069); fractions rounded
+      // to 6 decimals BEFORE the compare so both engines flag the same
+      // rows
+      TextAnalysis.repetitionStats(T(s, d, "documents"),
+        dupTokenMax = 0.6, topBigramMax = 0.05)),
+    "q108_mixture_sample" -> ((s, d) =>
+      // data-mixture construction: rates DERIVED from per-lang counts to
+      // hit target shares (en 40%, others 15% each) of a 60%-of-corpus
+      // output — integer ppm gate on the portable hash draws identical
+      // rows in DuckDB. Checksum pins the exact kept id set (bit_xor:
+      // overflow-proof under ANSI)
+      Sampling.sampleToMixture(T(s, d, "documents"), "lang", "doc_id",
+        Map("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15),
+        outPct = 60)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("bit_xor(doc_id)").as("id_checksum"))),
+    "q109_token_budget_trim" -> ((s, d) =>
+      // per-domain token-budget enforcement at histogram granularity:
+      // keep the longest-doc buckets of each lang until 2k tokens (the
+      // per-lang corpus runs 3.5-12k, so the trim bites at every SF) —
+      // the only window runs over the (lang, bucket) histogram, never
+      // the corpus
+      Sampling.budgetTrim(T(s, d, "documents"), "lang", "n_chars",
+        bucketWidth = 50L, tokenCount = tokenCount(col("text")),
+        budgetTokens = 2000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(tokenCount(col("text"))).as("tokens_kept"),
+          expr("bit_xor(doc_id)").as("id_checksum"))))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -2001,6 +2034,54 @@ object SparkEntry {
          |      list_transform(t, x -> ${hash31Sql("x")})),
          |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
          |FROM toks""".stripMargin,
+    "q107_repetition_flags" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |base AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+         |    list_transform(range(1, greatest(len(t), 1)),
+         |      i -> t[i] || ' ' || t[i + 1]) AS bg
+         |  FROM toks),
+         |bgc AS (SELECT doc_id, b, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(bg) AS b FROM base) GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, max(c) AS maxc, sum(c) AS nbg FROM bgc GROUP BY 1),
+         |f AS (SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+         |    CASE WHEN n > 0 THEN round(1.0 - CAST(nd AS DOUBLE) / n, 6)
+         |         ELSE 0.0 END AS dup_token_frac,
+         |    CASE WHEN coalesce(nbg, 0) > 0
+         |         THEN round(CAST(maxc AS DOUBLE) / nbg, 6)
+         |         ELSE 0.0 END AS top_bigram_frac
+         |  FROM base LEFT JOIN agg USING (doc_id))
+         |SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+         |  CAST(dup_token_frac > 0.6 OR top_bigram_frac > 0.05 AS INTEGER)
+         |    AS repetitive
+         |FROM f""".stripMargin,
+    "q108_mixture_sample" ->
+      s"""WITH counts AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+         |total AS (SELECT count(*) AS t FROM documents),
+         |rates AS (SELECT lang, least(1000000,
+         |    (1000000 * (((t * 60) // 100) *
+         |      (CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 15 WHEN 'es' THEN 15
+         |                 WHEN 'fr' THEN 15 WHEN 'zh' THEN 15 ELSE 0 END) // 100))
+         |      // nd) AS ppm
+         |  FROM counts CROSS JOIN total),
+         |kept AS (SELECT d.lang AS lang, doc_id
+         |  FROM documents d JOIN rates USING (lang)
+         |  WHERE (${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 1000000 < ppm)
+         |SELECT lang, count(*) AS n_kept, bit_xor(doc_id) AS id_checksum
+         |FROM kept GROUP BY lang""".stripMargin,
+    "q109_token_budget_trim" ->
+      s"""WITH d AS (SELECT doc_id, lang, len($toksSql) AS ntok,
+         |    n_chars // 50 AS bucket FROM documents),
+         |hist AS (SELECT lang, bucket, sum(ntok) AS btok FROM d GROUP BY 1, 2),
+         |cum AS (SELECT lang, bucket,
+         |    coalesce(sum(btok) OVER (PARTITION BY lang ORDER BY bucket DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |  FROM hist),
+         |keptb AS (SELECT lang, bucket FROM cum WHERE cumb < 2000),
+         |kept AS (SELECT d.* FROM d JOIN keptb USING (lang, bucket))
+         |SELECT lang, count(*) AS n_docs_kept,
+         |  CAST(sum(ntok) AS BIGINT) AS tokens_kept,
+         |  bit_xor(doc_id) AS id_checksum
+         |FROM kept GROUP BY lang""".stripMargin,
     "q96_unigram_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
          |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines (north-star
@@ -82,5 +83,82 @@ object Sampling {
       .orderBy(desc("__wkey"), col(idCol))
       .limit(k)
       .drop("__wkey")
+  }
+
+  /** Rebalance a corpus toward TARGET domain shares (data-mixture
+    * construction, the "domain reweighting" step of training-data
+    * assembly): unlike [[hashSamplePortable]] with constant per-stratum
+    * rates, the keep-rate here is DERIVED from the data — domain d keeps
+    * min(1, target_n(d) / actual_n(d)) of its rows, where target_n(d) =
+    * (total·outPct%)·share(d)%. Domains absent from `sharesPct` are
+    * dropped. All rate math is INTEGER (DIV / parts-per-million gate):
+    * floating division would put engine-specific rounding on the keep
+    * boundary, and the md5 gate must select bit-identical row sets
+    * across engines and re-runs.
+    *
+    * Shape at corpus scale: one map-side-combinable count per domain
+    * (#domains rows), rates broadcast back, then a map-only hash gate —
+    * the corpus itself is never shuffled, and appends only ADD kept rows
+    * (a row's membership depends on its own id and the recomputed rates).
+    */
+  def sampleToMixture(df: DataFrame, domainCol: String, idCol: String,
+                      sharesPct: Map[String, Int],
+                      outPct: Int = 60): DataFrame = {
+    require(outPct >= 0 && outPct <= 100, "outPct must be in [0, 100]")
+    require(sharesPct.values.forall(s => s >= 0 && s <= 100),
+      "each share must be in [0, 100]")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__nd"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    val share = sharesPct.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(col(domainCol) === k, v).otherwise(acc)
+    }
+    val ratesResolved = counts.crossJoin(broadcast(total))
+      .withColumn("__share", share)
+      .select(col(domainCol),
+        least(lit(1000000L),
+          expr("(1000000 * (((__total * " + outPct +
+            ") DIV 100) * __share DIV 100)) DIV __nd")).as("__ppm"))
+    df.join(broadcast(ratesResolved), domainCol)
+      .filter(graft.functions.md5Hash31(col(idCol).cast("string"))
+        % 1000000 < col("__ppm"))
+      // the join hoists its key to the front — restore the input schema
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Token-budget trimming per domain (data-budget enforcement): keep the
+    * highest-`scoreCol` documents of each domain until the domain's token
+    * budget is exhausted. NOT a per-domain sort: documents are bucketed
+    * by score (`scoreCol DIV bucketWidth`), per-(domain, bucket) token
+    * totals are aggregated, and a bucket is kept iff the running token
+    * total of strictly-better buckets is below the budget — so at most
+    * one partially-over-budget bucket is kept whole, and the budget is
+    * enforced at bucket granularity. That granularity is the 100 TB
+    * design: the only window runs over the (domain, bucket) HISTOGRAM
+    * (tiny — #buckets rows per domain), the kept-bucket set broadcasts
+    * back, and the corpus itself sees one aggregate and one map-side
+    * semi-join — no global or per-domain sort of documents, which is
+    * exactly the shape a per-document greedy cutoff would force.
+    *
+    * `scoreCol` must be a non-negative integral column (DIV truncates
+    * toward zero, which is floor only for non-negatives).
+    */
+  def budgetTrim(df: DataFrame, domainCol: String, scoreCol: String,
+                 bucketWidth: Long, tokenCount: Column,
+                 budgetTokens: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val bucketed = df
+      .withColumn("__bucket", expr(s"$scoreCol DIV $bucketWidth"))
+      .withColumn("__tok", tokenCount)
+    val hist = bucketed.groupBy(col(domainCol), col("__bucket"))
+      .agg(sum(col("__tok")).as("__btok"))
+    val w = Window.partitionBy(col(domainCol)).orderBy(desc("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = hist
+      .withColumn("__cumBefore", coalesce(sum(col("__btok")).over(w), lit(0L)))
+      .filter(col("__cumBefore") < budgetTokens)
+      .select(col(domainCol), col("__bucket"))
+    bucketed.join(broadcast(kept), Seq(domainCol, "__bucket"), "left_semi")
+      // the join hoists its keys to the front — restore the input schema
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 }

@@ -477,4 +477,57 @@ object TextAnalysis {
         sum(col("n_tokens")).as("total_tokens"),
         avg(col("n_tokens")).as("avg_tokens"),
         avg(col("n_chars")).as("avg_chars"))
+
+  /** Repetition-based quality filters (the Gopher/MassiveText family):
+    * per document, the duplicate-token fraction (1 − distinct/total) and
+    * the top-bigram fraction (occurrences of the most frequent bigram /
+    * total bigrams) — boilerplate and degenerately repetitive documents
+    * score high on both and get `repetitive = 1`.
+    *
+    * Shape at corpus scale: tokenize once per row; bigram counting is
+    * explode → two-level aggregate keyed by (doc, bigram) then doc —
+    * partial aggregation collapses within-task duplicates before the
+    * shuffle, and every key includes the doc id, so no corpus-wide hot
+    * key exists (unlike a corpus-vocabulary window). Fractions are
+    * rounded to 6 decimals BEFORE the threshold compare so an
+    * independent engine flags identical rows (NOTES_r3 item 15).
+    *
+    * Degenerate inputs: an empty doc has no tokens → both fractions 0;
+    * a 1-token doc has no bigrams → top-bigram fraction 0 (the `when`
+    * guards keep ANSI mode from throwing on 0/0).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      dupTokenMax: Double = 0.6,
+                      topBigramMax: Double = 0.05): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        size(col("__t")).as("__n"),
+        size(array_distinct(col("__t"))).as("__nd"))
+    // positional bigrams; sequence(1, 0) would count DOWN in Spark, so
+    // guard docs with < 2 tokens to an empty array explicitly
+    val bigrams = base.select(col(idCol),
+      explode(when(col("__n") < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), col("__n") - 1),
+          i => concat_ws(" ", element_at(col("__t"), i),
+            element_at(col("__t"), i + 1))))).as("__bg"))
+    val bgAgg = bigrams.groupBy(col(idCol), col("__bg"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("__maxc"), sum(col("__c")).as("__nbg"))
+    val joined = base.join(bgAgg, Seq(idCol), "left")
+    val dupFrac = when(col("__n") > 0,
+      round(lit(1.0) - col("__nd").cast("double") / col("__n"), 6))
+      .otherwise(lit(0.0))
+    val topBgFrac = when(coalesce(col("__nbg"), lit(0L)) > 0,
+      round(col("__maxc").cast("double") / col("__nbg"), 6))
+      .otherwise(lit(0.0))
+    joined.select(col(idCol),
+      col("__n").cast("int").as("n_tokens"),
+      dupFrac.as("dup_token_frac"),
+      topBgFrac.as("top_bigram_frac"))
+      .withColumn("repetitive",
+        (col("dup_token_frac") > dupTokenMax ||
+          col("top_bigram_frac") > topBigramMax).cast("int"))
+  }
 }

@@ -69,4 +69,48 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(a == b) // deterministic under repartitioning
   }
+
+  test("sampleToMixture: under-represented domain capped at 100%, rates data-derived") {
+    // A has 80 rows, B has 20; targets 50/50 of a 50%-of-corpus output
+    // → target_n = 25 each → B's rate caps at 100% (keep all 20), A keeps
+    // roughly 25/80 ≈ 31%
+    val df = ((1L to 80L).map(i => (i, "A")) ++ (81L to 100L).map(i => (i, "B")))
+      .toDF("id", "dom")
+    val kept = Sampling.sampleToMixture(df, "dom", "id",
+      Map("A" -> 50, "B" -> 50), outPct = 50)
+      .select("id", "dom").as[(Long, String)].collect()
+    val byDom = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byDom("B") == (81L to 100L).toSet) // capped: every B row kept
+    val nA = byDom.getOrElse("A", Set.empty).size
+    assert(nA > 10 && nA < 45, s"A kept $nA") // ≈25 expected, hash-gated
+    // deterministic + repartition-invariant
+    val again = Sampling.sampleToMixture(df.repartition(7), "dom", "id",
+      Map("A" -> 50, "B" -> 50), outPct = 50)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+    // a domain absent from the share map is dropped entirely
+    val withC = df.union(Seq((200L, "C")).toDF("id", "dom"))
+    val keptC = Sampling.sampleToMixture(withC, "dom", "id",
+      Map("A" -> 50, "B" -> 50), outPct = 50)
+      .filter(col("dom") === "C").count()
+    assert(keptC == 0)
+  }
+
+  test("budgetTrim keeps best-score buckets whole until the budget is crossed") {
+    // dom X: three buckets (score 30/20/10 → buckets 3/2/1), 5 tokens per
+    // doc. Budget 8: bucket 3 (cumBefore 0) and bucket 2 (cumBefore 5)
+    // kept, bucket 1 (cumBefore 10 ≥ 8) dropped — at most one
+    // boundary-crossing bucket is kept whole
+    val df = Seq(
+      (1L, "X", 30L), (2L, "X", 20L), (3L, "X", 10L),
+      (4L, "Y", 30L)
+    ).toDF("id", "dom", "score")
+    val kept = Sampling.budgetTrim(df, "dom", "score", bucketWidth = 10L,
+      tokenCount = lit(5L), budgetTokens = 8L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L))
+    // schema passes through untouched (internal columns dropped)
+    assert(Sampling.budgetTrim(df, "dom", "score", 10L, lit(5L), 8L)
+      .columns.toSeq == Seq("id", "dom", "score"))
+  }
 }

@@ -177,6 +177,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(10L -> 1, 11L -> 0, 12L -> 0))
   }
 
+  test("repetitionStats: degenerate repeats flag, empty/1-token docs don't throw") {
+    val docs = Seq(
+      (1L, "a a a b"),        // dup = 1 - 2/4 = .5; bigrams: "a a"×2,"a b" → top 2/3
+      (2L, "w x y z"),        // all distinct → dup 0, top bigram 1/3
+      (3L, "solo"),           // 1 token → no bigrams → top 0
+      (4L, "")                // empty → 0 tokens, both fracs 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs,
+      dupTokenMax = 0.45, topBigramMax = 0.5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getInt(1) == 4 &&
+      got(1L).getDouble(2) == 0.5 && got(1L).getDouble(3) == 0.666667 &&
+      got(1L).getInt(4) == 1)
+    assert(got(2L).getDouble(2) == 0.0 && got(2L).getDouble(3) == 0.333333 &&
+      got(2L).getInt(4) == 0)
+    assert(got(3L).getInt(1) == 1 && got(3L).getDouble(3) == 0.0 &&
+      got(3L).getInt(4) == 0)
+    assert(got(4L).getInt(1) == 0 && got(4L).getDouble(2) == 0.0 &&
+      got(4L).getDouble(3) == 0.0 && got(4L).getInt(4) == 0)
+  }
+
   test("ensureContaminationIndex builds once per session, probe matches inline") {
     val docs = Tables.documents(spark, sf0001)
     val corpus = docs.filter(col("doc_id") < 50)
