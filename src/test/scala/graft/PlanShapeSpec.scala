@@ -239,6 +239,66 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q107 repetition flags: no corpus Window, bigram agg is partial+final") {
+    // the metrics must come from (doc,bigram)-keyed aggregates (every key
+    // contains the doc id — no corpus-wide hot key), never a count-window
+    val s = planString(SparkEntry.queries("q107_repetition_flags")(spark, sf0001))
+    assert(!s.contains("Window ["), s"q107 plans a Window:\n$s")
+    assert(s.contains("partial_count"), s)
+  }
+
+  private def withoutAqe[A](body: => A): A = {
+    // AQE hides the operator tree behind query stages; plan-structure
+    // gates inspect the static plan (same pattern as the contamination
+    // index gate below)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try { spark.conf.set("spark.sql.adaptive.enabled", "false"); body }
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q108 mixture sampling: rate gate is map-only on the corpus side") {
+    // rates derive from a domain-count aggregate broadcast back; the
+    // corpus itself must reach its gate join un-shuffled and un-sorted
+    val p = withoutAqe {
+      plan(SparkEntry.queries("q108_mixture_sample")(spark, sf0001))
+    }
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, p.toString)
+    // the streamed (corpus) side of the rates join: no exchange below it
+    val streamed = joins.map(j =>
+      if (j.buildSide.toString.contains("Right")) j.left else j.right)
+    streamed.foreach { side =>
+      val ex = side.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(ex.isEmpty, s"corpus side shuffles before the rate gate:\n$p")
+    }
+  }
+
+  test("q109 budget trim: the only Window runs over the histogram, inside the broadcast") {
+    val p = withoutAqe {
+      plan(SparkEntry.queries("q109_token_budget_trim")(spark, sf0001))
+    }
+    val semis = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType.toString.contains("Semi") => j
+    }
+    assert(semis.nonEmpty, p.toString)
+    semis.foreach { j =>
+      val corpus = if (j.buildSide.toString.contains("Right")) j.left else j.right
+      // the corpus probe side must be sort- and window-free: the budget
+      // cutoff was computed on the (domain, bucket) histogram only
+      assert(corpus.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"corpus side windows:\n$p")
+      assert(corpus.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, s"corpus side shuffles before the semi-join:\n$p")
+    }
+  }
+
   test("q100 dedup shuffles the content hash, never the cleaned text") {
     val s = planString(SparkEntry.queries("q100_training_pipeline")(spark, sf0001))
     val exchanges = s.linesIterator.filter(_.contains("Exchange")).toSeq
