@@ -1363,7 +1363,19 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs_kept"),
           sum(tokenCount(col("text"))).as("tokens_kept"),
-          expr("bit_xor(doc_id)").as("id_checksum"))))
+          expr("bit_xor(doc_id)").as("id_checksum"))),
+    "q110_semantic_dedup" -> ((s, d) => {
+      // SemDeDup: cluster-confined cosine dedup — the quadratic pair
+      // scan runs within cells only (equi-join on cell_id). Same
+      // centroid scheme as q37/q77; τ=0.35 sits between the within-cell
+      // cosine p99 (~0.32) and max (~0.51), so the flag set is
+      // non-trivial at every SF
+      val emb = T(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      Similarity.semanticDedupFlags(emb, centroids, tau = 0.35)
+    }))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -2082,6 +2094,24 @@ object SparkEntry {
          |  CAST(sum(ntok) AS BIGINT) AS tokens_kept,
          |  bit_xor(doc_id) AS id_checksum
          |FROM kept GROUP BY lang""".stripMargin,
+    "q110_semantic_dedup" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
+         |  FROM v WHERE vec_id % 97 = 0),
+         |scored AS (SELECT v.vec_id, cent.cell_id,
+         |    ${cosSql("v.e", "cent.c")} AS sim
+         |  FROM v CROSS JOIN cent),
+         |assign AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |av AS (SELECT v.vec_id, e, cell_id FROM v JOIN assign USING (vec_id)),
+         |dup AS (SELECT DISTINCT a.vec_id
+         |  FROM av a JOIN av b ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+         |  WHERE round(${cosSql("a.e", "b.e")}, 6) >= 0.35)
+         |SELECT av.vec_id, cell_id,
+         |  CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS is_semdup
+         |FROM av LEFT JOIN dup USING (vec_id)""".stripMargin,
     "q96_unigram_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
          |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),

@@ -440,6 +440,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    * every embedding to its nearest centroid ([[assignCells]]), then flag
+    * a vector as a semantic duplicate iff some SMALLER-id vector in the
+    * SAME cell has cosine ≥ tau with it (keep-first rule — the kept
+    * representative of a duplicate group is its lowest id, so the kept
+    * set is deterministic and stable under repartitioning).
+    *
+    * Shape at corpus scale — this is exactly why SemDeDup clusters
+    * first: the quadratic pair comparison is confined WITHIN cells (an
+    * equi-join on cell_id, no nested loop, no corpus broadcast), so cost
+    * is Σ|cell|² instead of N². Centroid count controls the cell-size
+    * bound; a skewed cell is a centroid-quality problem, fixable by
+    * splitting cells, not a join-shape problem. Cosines are rounded to 6
+    * decimals BEFORE the threshold compare so an independent engine
+    * flags identical rows.
+    */
+  def semanticDedupFlags(emb: DataFrame, centroids: DataFrame, tau: Double,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val cells = assignCells(emb, centroids, vecCol, idCol)
+    val a = cells.select(col(idCol), col(vecCol).as("__va"), col("cell_id"))
+    val b = cells.select(col(idCol).as("__bid"), col(vecCol).as("__vb"),
+      col("cell_id").as("__cb"))
+    val dups = a.join(b, col("cell_id") === col("__cb") &&
+        col("__bid") < col(idCol))
+      .filter(round(cosineSimilarity(col("__va"), col("__vb")), 6) >= tau)
+      .select(col(idCol)).distinct()
+    cells.select(col(idCol), col("cell_id"))
+      .join(dups.withColumn("__d", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cell_id"),
+        coalesce(col("__d"), lit(0)).as("is_semdup"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * vector-store compression (4-8× smaller than float32/64, SIMD-friendly
     * integer dot products downstream): scale = max|x|/127, q_i =

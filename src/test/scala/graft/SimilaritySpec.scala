@@ -189,6 +189,31 @@ class SimilaritySpec extends SparkSpec {
       s"sq8 recall $sq8VsExact dropped below IVF's $ivfVsExact")
   }
 
+  test("semanticDedupFlags: keep-first within cell, cross-cell twins unflagged") {
+    // centroids along +x and +y; ids 1,2 are near-identical +x vectors
+    // (same cell → 2 flagged, 1 kept), id 3 is +y (own cell, unflagged),
+    // id 4 is +x-ish but NUDGED into the +y cell? no — keep it clean:
+    // id 4 duplicates id 3's direction in the OTHER cell: flagged there
+    val emb = Seq(
+      (1L, Seq(1.0, 0.01)), (2L, Seq(1.0, 0.02)),   // cell x: dup pair
+      (3L, Seq(0.01, 1.0)), (4L, Seq(0.02, 1.0))    // cell y: dup pair
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cell_id", "centroid")
+    val got = Similarity.semanticDedupFlags(emb, centroids, tau = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1L)._2 == 0 && got(2L)._2 == 1) // lowest id is the keeper
+    assert(got(3L)._2 == 0 && got(4L)._2 == 1)
+    assert(got(1L)._1 == 0 && got(3L)._1 == 1)  // assigned to nearest centroid
+    // cluster confinement: drop centroid y → everyone lands in cell x;
+    // 3 and 4 (cosine ≈ 0 to the x pair) stay unflagged vs 1/2 but flag
+    // against each other
+    val oneCell = Similarity.semanticDedupFlags(emb,
+      centroids.filter(col("cell_id") === 0), tau = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(oneCell == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1))
+  }
+
   test("ensureIvfIndex builds once per session, probe works off the ensured index") {
     val emb = Tables.embeddings(spark, sf0001)
     val centroids = emb.filter(col("vec_id") % 97 === 0)
