@@ -36,12 +36,22 @@ object Sampling {
     * full stratum. NULL rates pass through (NULL < gate is NULL → row
     * filtered), matching SQL comparison semantics.
     */
+  /** THE portable hash gate — the single definition every deterministic
+    * sampler (flat, stratified, mixture) routes through, at whatever
+    * modulus its rate granularity needs, so the hash/bucket math cannot
+    * drift between operators or their SQL oracles: keep a row iff
+    * md5Hash31(key) mod `modulus` < `bound`.
+    */
+  private def portableGate(keyCol: Column, bound: Column,
+                           modulus: Long): Column =
+    graft.functions.md5Hash31(keyCol.cast("string")) % modulus < bound
+
   def hashSamplePortable(df: DataFrame, keyCol: String, percent: Column): DataFrame = {
     val checked = when(percent.isNull || (percent >= 0 && percent <= 100), percent)
       .otherwise(raise_error(concat(
         lit("hashSamplePortable: percent must be in [0, 100], got "),
         percent.cast("string"))).cast("int"))
-    df.filter(graft.functions.md5Hash31(col(keyCol).cast("string")) % 100 < checked)
+    df.filter(portableGate(col(keyCol), checked, 100L))
   }
 
   def hashSamplePortable(df: DataFrame, keyCol: String, percent: Int): DataFrame = {
@@ -119,8 +129,7 @@ object Sampling {
           expr("(1000000 * (((__total * " + outPct +
             ") DIV 100) * __share DIV 100)) DIV __nd")).as("__ppm"))
     df.join(broadcast(ratesResolved), domainCol)
-      .filter(graft.functions.md5Hash31(col(idCol).cast("string"))
-        % 1000000 < col("__ppm"))
+      .filter(portableGate(col(idCol), col("__ppm"), 1000000L))
       // the join hoists its key to the front — restore the input schema
       .select(df.columns.map(col).toIndexedSeq: _*)
   }

@@ -330,28 +330,30 @@ object Similarity {
     graft.io.IO.writeDir(assignCells(emb, centroids, vecCol, idCol), path,
       partitionBy = Seq("cell_id"))
 
-  /** Session-scoped paths already built by [[ensureIvfIndex]]. The IVF
-    * index is a plain partitioned directory (no catalog entry to key the
-    * skip on, unlike the bucketed indexes), so the build-once registry is
-    * this JVM-local set — it dies with the session for the same
-    * stale-index-safety reason [[graft.io.IO.ensureBucketed]] scopes its
-    * skip to the session catalog.
-    */
-  private val ivfBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** [[buildIvfIndex]] unless this session already built `path`; repeated
-    * probes in one session pay the cell-assignment write once. Returns
-    * true iff the build ran.
+  /** [[buildIvfIndex]] unless THIS SparkSession already built `path`;
+    * repeated probes in one session pay the cell-assignment write once.
+    * The IVF index is a plain partitioned directory (no catalog entry to
+    * key the skip on, unlike the bucketed indexes), so the build-once
+    * marker lives in the session's RuntimeConfig — genuinely
+    * session-scoped (a second session in the same JVM rebuilds), for the
+    * same stale-index-safety reason [[graft.io.IO.ensureBucketed]]
+    * scopes its skip to the session catalog. The check-then-build is
+    * synchronized per JVM; concurrent sessions racing on the same path
+    * at worst both run the idempotent Overwrite build. Returns true iff
+    * the build ran.
     */
   def ensureIvfIndex(emb: DataFrame, centroids: DataFrame, path: String,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
-    if (ivfBuilt.contains(path)) false
-    else {
-      buildIvfIndex(emb, centroids, path, idCol, vecCol)
-      ivfBuilt.add(path)
-      true
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Boolean =
+    Similarity.synchronized {
+      val conf = emb.sparkSession.conf
+      val key = s"graft.internal.ivfBuilt.$path"
+      if (conf.getOption(key).isDefined) false
+      else {
+        buildIvfIndex(emb, centroids, path, idCol, vecCol)
+        conf.set(key, "true")
+        true
+      }
     }
-  }
 
   /** [[ivfTopK]] against the PERSISTED index: identical semantics, but the
     * cell assignment is read back pruned to the query's `nProbe` cells —
@@ -459,7 +461,12 @@ object Similarity {
   def semanticDedupFlags(emb: DataFrame, centroids: DataFrame, tau: Double,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
-    val cells = assignCells(emb, centroids, vecCol, idCol)
+    // the assignment (crossJoin + argmax aggregate) is consumed THREE
+    // times below (both self-join sides + the output spine) — checkpoint
+    // it once rather than trusting exchange reuse to dedupe all three
+    // subtrees (same CacheManager-free materialization rationale and
+    // elastic-cluster caveat as TextAnalysis.termFrequencies)
+    val cells = assignCells(emb, centroids, vecCol, idCol).localCheckpoint()
     val a = cells.select(col(idCol), col(vecCol).as("__va"), col("cell_id"))
     val b = cells.select(col(idCol).as("__bid"), col(vecCol).as("__vb"),
       col("cell_id").as("__cb"))

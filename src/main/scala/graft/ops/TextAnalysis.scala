@@ -409,10 +409,13 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", k: Int = 3): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)
-    // one row; derives from the checkpointed tf, so no extra text scan.
+    // one row, derived from DOCS (id column only — a slim parquet read),
+    // NOT from tf: token-free documents (null/empty/whitespace text)
+    // vanish from the term relation but still count toward N in the
+    // standard idf = ln(N/df) definition (and in the q81 oracle).
     // Cast to double HERE so log(N/df) divides double/bigint exactly as
     // the previous lit(nDocs).cast("double") formulation did.
-    val nRow = tf.agg(countDistinct(col(idCol)).cast("double").as("__n"))
+    val nRow = docs.agg(countDistinct(col(idCol)).cast("double").as("__n"))
     // (idCol, term) is unique after the groupBy, so df = rows per term
     val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfRel, "term")

@@ -35,6 +35,18 @@ class NullTextSpec extends SparkSpec {
     assert(tf.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("tf-idf N counts ALL docs, including token-free ones (idf = ln(N/df))") {
+    // 3 docs, one null text: every term here has df = 1, so
+    // idf = ln(3/1) — a tf-derived N would give ln(2/1) and diverge from
+    // the standard definition (and the q81 oracle, whose n CTE counts
+    // documents, not token-bearing documents)
+    val tf = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 1: top term "hello" tf=2 → 2·ln(3)
+    assert(tf(1L) == math.round(2 * math.log(3.0) * 1e6) / 1e6)
+    assert(tf(3L) == math.round(math.log(3.0) * 1e6) / 1e6)
+  }
+
   test("normalized dedup groups all null texts into one survivor") {
     val withNulls = docs.unionByName(Seq((4L, Option.empty[String])).toDF("doc_id", "text"))
     val kept = Dedup.exact(
