@@ -1375,6 +1375,31 @@ object SparkEntry {
         .select((col("vec_id") / 97).cast("int").as("cell_id"),
           col("embedding").as("centroid"))
       Similarity.semanticDedupFlags(emb, centroids, tau = 0.35)
+    }),
+    "q111_perplexity_buckets" -> ((s, d) => {
+      // CCNet-style perplexity-bucketed sampling: score docs with the
+      // corpus unigram LM, bucket by EXACT interpolated quartiles of the
+      // (rounded) score, keep 100/50/25/10% per bucket through the
+      // portable gate. The quartile thresholds are a 1-row aggregate
+      // broadcast back — no global sort/ntile of the corpus, bucketing
+      // is a map-only compare. Scores and thresholds are both rounded
+      // to 6 decimals before the compare (cross-engine bucket parity).
+      val scored = TextAnalysis.unigramCrossEntropy(T(s, d, "documents"))
+      val th = scored.agg(expr(
+        "transform(percentile(cross_entropy, array(0.25D, 0.5D, 0.75D))," +
+          " x -> round(x, 6))").as("__th"))
+      val bucketed = scored.crossJoin(broadcast(th))
+        .withColumn("bucket",
+          when(col("cross_entropy") <= element_at(col("__th"), 1), 1)
+            .when(col("cross_entropy") <= element_at(col("__th"), 2), 2)
+            .when(col("cross_entropy") <= element_at(col("__th"), 3), 3)
+            .otherwise(4))
+      Sampling.hashSamplePortable(bucketed, "doc_id",
+        when(col("bucket") === 1, 100).when(col("bucket") === 2, 50)
+          .when(col("bucket") === 3, 25).otherwise(10))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("bit_xor(doc_id)").as("id_checksum"))
     }))
 
   // ---------------------------------------------------------- oracle SQL
@@ -2112,6 +2137,27 @@ object SparkEntry {
          |SELECT av.vec_id, cell_id,
          |  CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS is_semdup
          |FROM av LEFT JOIN dup USING (vec_id)""".stripMargin,
+    "q111_perplexity_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+         |total AS (SELECT count(*) AS total FROM toks),
+         |scored AS (SELECT doc_id,
+         |    round(-avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS ce
+         |  FROM toks JOIN counts USING (token) CROSS JOIN total
+         |  GROUP BY doc_id),
+         |th AS (SELECT round(quantile_cont(ce, 0.25), 6) AS t1,
+         |    round(quantile_cont(ce, 0.5), 6) AS t2,
+         |    round(quantile_cont(ce, 0.75), 6) AS t3 FROM scored),
+         |b AS (SELECT doc_id,
+         |    CASE WHEN ce <= t1 THEN 1 WHEN ce <= t2 THEN 2
+         |         WHEN ce <= t3 THEN 3 ELSE 4 END AS bucket
+         |  FROM scored CROSS JOIN th),
+         |kept AS (SELECT bucket, doc_id FROM b
+         |  WHERE (${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 100 <
+         |    CASE bucket WHEN 1 THEN 100 WHEN 2 THEN 50
+         |                WHEN 3 THEN 25 ELSE 10 END)
+         |SELECT bucket, count(*) AS n_kept, bit_xor(doc_id) AS id_checksum
+         |FROM kept GROUP BY bucket""".stripMargin,
     "q96_unigram_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
          |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),

@@ -55,6 +55,21 @@ def kind(series):
 
 failures = 0
 warnings = 0
+
+# A query that CRASHED in graft.Verify leaves no result dir at all — it
+# must count as a failure here, not silently vanish from the report
+# (found the hard way: a [verify] error on stderr plus "0 failures" from
+# this tool reads as green). When GRAFT_VERIFY_ONLY subset-filtered the
+# dump, scope the check to that subset.
+_oracle_keys = set(json.load(open(f"{out_dir}/oracle_sql.json")))
+_only = os.environ.get("GRAFT_VERIFY_ONLY")
+if _only:
+    _oracle_keys &= set(_only.split(","))
+for name in sorted(_oracle_keys):
+    if not os.path.isdir(os.path.join(out_dir, name)):
+        print(f"{name:28s} MISSING RESULT (query failed in Verify?)")
+        failures += 1
+
 for name in sorted(os.listdir(out_dir)):
     qdir = os.path.join(out_dir, name)
     if not os.path.isdir(qdir):
