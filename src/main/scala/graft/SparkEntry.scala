@@ -1400,7 +1400,55 @@ object SparkEntry {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_kept"),
           expr("bit_xor(doc_id)").as("id_checksum"))
-    }))
+    }),
+    "q112_pii_redaction" -> ((s, d) => {
+      // the word-soup corpus carries no organic PII, so inject a
+      // deterministic synthetic layer first (q102's injected-NULL trick,
+      // applied to strings): both engines build the identical text, the
+      // scrub genuinely fires, and the FULL redacted text participates
+      // in the hash compare
+      val withPii = T(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit("-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+      Redact.scrub(withPii, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          col("n_phones"), col("redacted"))
+    }),
+    "q113_bigram_lm_score" -> ((s, d) =>
+      // conditional bigram LM quality score (KenLM-filter shape, one
+      // rung above q96's unigram): single tokenize, array-side bigrams,
+      // map-side-combinable counts — no corpus-hot-key window
+      TextAnalysis.bigramCrossEntropy(T(s, d, "documents"))),
+    "q114_corpus_melt" -> ((s, d) =>
+      // relational melt (wide → long) of the per-language rollup via the
+      // native unpivot operator — Expand-based, map-only, no shuffle
+      // beyond the rollup's own aggregate
+      TextAnalysis.corpusSummary(T(s, d, "documents"))
+        .select(col("lang"),
+          col("n_docs").cast("double").as("n_docs"),
+          col("total_tokens").cast("double").as("total_tokens"),
+          round(col("avg_tokens"), 6).as("avg_tokens"),
+          round(col("avg_chars"), 6).as("avg_chars"))
+        .unpivot(Array(col("lang")),
+          Array(col("n_docs"), col("total_tokens"),
+            col("avg_tokens"), col("avg_chars")),
+          "metric", "value")),
+    "q115_quality_model_score" -> ((s, d) =>
+      // frozen-weight logistic quality classifier — model inference as a
+      // codegen'd column expression (no UDF); score rounded to 6 BEFORE
+      // the keep compare so both engines flag identical rows
+      TextAnalysis.qualityLogistic(T(s, d, "documents"))))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -2353,20 +2401,93 @@ object SparkEntry {
         |  round(sum(day_value) OVER (PARTITION BY event_type ORDER BY day_epoch
         |    RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW), 4) AS value_7d
         |FROM daily""".stripMargin,
-    "q24_quality_score" ->
-      s"""SELECT doc_id,
-         |  CAST(len($toksSql) AS DOUBLE) AS n_tokens,
-         |  CASE WHEN len($toksSql) = 0 THEN 0.0
-         |       ELSE len(regexp_replace(text, '\\s', '', 'g')) / CAST(len($toksSql) AS DOUBLE)
-         |  END AS mean_token_len,
-         |  CASE WHEN len($toksSql) = 0 THEN 0.0
-         |       ELSE CAST(len(list_filter(list_distinct($toksSql),
-         |                 x -> list_contains([${TextAnalysis.stopwords.map("'" + _ + "'").mkString(",")}], x))) AS DOUBLE)
-         |            / len($toksSql)
-         |  END AS stopword_ratio,
-         |  CASE WHEN len(text) = 0 THEN 0.0
-         |       ELSE (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))
-         |            / CAST(len(text) AS DOUBLE)
-         |  END AS punct_ratio
-         |FROM documents""".stripMargin)
+    "q24_quality_score" -> qualityFeaturesSql,
+    "q112_pii_redaction" ->
+      // patterns rendered from the SAME Redact constants the Spark side
+      // compiles (single source of truth — the boxesValuesSql pattern);
+      // counts are taken on the same intermediate string each replace
+      // runs on, mirroring Redact.scrub's email → IP → phone order
+      s"""WITH pii AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         ELSE '' END AS t
+         |  FROM documents),
+         |s1 AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '${graft.ops.Redact.emailPattern}')) AS INTEGER) AS n_emails,
+         |    regexp_replace(t, '${graft.ops.Redact.emailPattern}', '<EMAIL>', 'g') AS t1
+         |  FROM pii),
+         |s2 AS (SELECT doc_id, n_emails,
+         |    CAST(len(regexp_extract_all(t1, '${graft.ops.Redact.ipv4Pattern}')) AS INTEGER) AS n_ips,
+         |    regexp_replace(t1, '${graft.ops.Redact.ipv4Pattern}', '<IP>', 'g') AS t2
+         |  FROM s1)
+         |SELECT doc_id, n_emails, n_ips,
+         |  CAST(len(regexp_extract_all(t2, '${graft.ops.Redact.phonePattern}')) AS INTEGER) AS n_phones,
+         |  regexp_replace(t2, '${graft.ops.Redact.phonePattern}', '<PHONE>', 'g') AS redacted
+         |FROM s2""".stripMargin,
+    "q113_bigram_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(t), 1)),
+         |      i -> t[i] || ' ' || t[i + 1])) AS b
+         |  FROM toks),
+         |tf AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY 1, 2),
+         |c2 AS (SELECT b, split_part(b, ' ', 1) AS w1,
+         |    CAST(sum(tf) AS BIGINT) AS c2
+         |  FROM tf GROUP BY b),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  round(sum(tf * (ln(c1) - ln(c2))) / CAST(sum(tf) AS DOUBLE), 6)
+         |    AS bigram_cross_entropy
+         |FROM tf JOIN c2 USING (b) JOIN c1 USING (w1)
+         |GROUP BY doc_id""".stripMargin,
+    "q114_corpus_melt" ->
+      s"""WITH t AS (SELECT lang, len($toksSql) AS n_tokens, n_chars FROM documents),
+         |cs AS (SELECT lang,
+         |    CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(n_tokens) AS DOUBLE) AS total_tokens,
+         |    round(avg(n_tokens), 6) AS avg_tokens,
+         |    round(avg(n_chars), 6) AS avg_chars
+         |  FROM t GROUP BY lang)
+         |SELECT lang, 'n_docs' AS metric, n_docs AS value FROM cs
+         |UNION ALL SELECT lang, 'total_tokens' AS metric, total_tokens AS value FROM cs
+         |UNION ALL SELECT lang, 'avg_tokens' AS metric, avg_tokens AS value FROM cs
+         |UNION ALL SELECT lang, 'avg_chars' AS metric, avg_chars AS value FROM cs""".stripMargin,
+    "q115_quality_model_score" ->
+      s"""WITH f AS ($qualityFeaturesSql),
+         |s AS (SELECT doc_id,
+         |    round(1.0 / (1.0 + exp(-(-2.0 + 0.45 * ln(1.0 + n_tokens)
+         |      + 3.0 * stopword_ratio + 0.15 * mean_token_len
+         |      - 8.0 * punct_ratio))), 6) AS quality_prob
+         |  FROM f)
+         |SELECT doc_id, quality_prob,
+         |  CAST(quality_prob >= 0.5 AS INTEGER) AS keep
+         |FROM s""".stripMargin)
+
+  /** q24's feature relation — shared verbatim by q115's logistic scorer so
+    * the feature formulas cannot drift between the two oracles (they both
+    * mirror TextAnalysis.qualityScore).
+    */
+  private lazy val qualityFeaturesSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len($toksSql) AS DOUBLE) AS n_tokens,
+       |  CASE WHEN len($toksSql) = 0 THEN 0.0
+       |       ELSE len(regexp_replace(text, '\\s', '', 'g')) / CAST(len($toksSql) AS DOUBLE)
+       |  END AS mean_token_len,
+       |  CASE WHEN len($toksSql) = 0 THEN 0.0
+       |       ELSE CAST(len(list_filter(list_distinct($toksSql),
+       |                 x -> list_contains([${TextAnalysis.stopwords.map("'" + _ + "'").mkString(",")}], x))) AS DOUBLE)
+       |            / len($toksSql)
+       |  END AS stopword_ratio,
+       |  CASE WHEN len(text) = 0 THEN 0.0
+       |       ELSE (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))
+       |            / CAST(len(text) AS DOUBLE)
+       |  END AS punct_ratio
+       |FROM documents""".stripMargin
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction over a text column — the scrubbing pass a
+  * training-data pipeline runs before anything else sees the raw text
+  * (emails, phone numbers, IP addresses → typed placeholder tokens).
+  *
+  * Design notes:
+  *  - Pure `regexp_count` / `regexp_replace` column expressions: the whole
+  *    operator is a map-only projection inside whole-stage codegen — no
+  *    UDF, no shuffle, no state. At 100 TB it runs at scan speed and
+  *    composes with any downstream operator without a stage break.
+  *  - Every pattern stays inside the regex subset Java (Spark) and RE2
+  *    (DuckDB, the oracle engine) evaluate identically: character
+  *    classes, bounded repetition, `\b` word boundaries — no lookaround,
+  *    no backreferences (NOTES_r2 landmine: RE2 rejects those outright).
+  *  - Counts are taken on the SAME intermediate string the corresponding
+  *    replace runs on (original → emails removed → IPs removed), so a
+  *    substring can never be double-counted by two categories: whatever
+  *    the email pass consumed is invisible to the IP pass, exactly like
+  *    the sequential redaction itself.
+  *
+  * Reference scope: the reference (csv2parquet.py / agg.py) has no PII
+  * pass — this is part of the §2.11 LLM-pipeline extension surface.
+  */
+object Redact {
+
+  /** Conservative email shape; `{2,24}` TLD bound keeps RE2 and Java in
+    * lockstep on pathological inputs.
+    */
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,24}"
+
+  /** Dotted-quad IPv4 (syntactic — no 0-255 range check, which would need
+    * alternations both engines still share, but adds nothing to the
+    * redaction demo).
+    */
+  val ipv4Pattern: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** NANP-style 555-867-5309 phone shape. */
+  val phonePattern: String =
+    "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Adds `n_emails`, `n_ips`, `n_phones` and the fully-redacted text
+    * (`outCol`) to `df`. Redaction order: emails → IPs → phones (an email
+    * local-part may embed digits-and-dots an IP/phone pattern would
+    * otherwise claim).
+    */
+  def scrub(df: DataFrame, textCol: String = "text",
+            outCol: String = "redacted"): DataFrame = {
+    val noEmail = regexp_replace(col(textCol), emailPattern, "<EMAIL>")
+    df
+      .withColumn("n_emails", regexp_count(col(textCol), lit(emailPattern)))
+      .withColumn("__no_email", noEmail)
+      .withColumn("n_ips", regexp_count(col("__no_email"), lit(ipv4Pattern)))
+      .withColumn("__no_ip",
+        regexp_replace(col("__no_email"), ipv4Pattern, "<IP>"))
+      .withColumn("n_phones", regexp_count(col("__no_ip"), lit(phonePattern)))
+      .withColumn(outCol,
+        regexp_replace(col("__no_ip"), phonePattern, "<PHONE>"))
+      .drop("__no_email", "__no_ip")
+  }
+
+  /** Corpus-level PII incidence rollup: documents containing each PII
+    * class, total hits, and the redacted-corpus size — the summary a
+    * pipeline reports after a scrubbing pass.
+    */
+  def piiSummary(df: DataFrame, textCol: String = "text"): DataFrame =
+    scrub(df, textCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_emails") > 0).cast("long")).as("docs_with_email"),
+        sum((col("n_ips") > 0).cast("long")).as("docs_with_ip"),
+        sum((col("n_phones") > 0).cast("long")).as("docs_with_phone"),
+        sum(col("n_emails") + col("n_ips") + col("n_phones")).as("total_hits"),
+        sum(length(col("redacted"))).as("redacted_chars"))
+}

@@ -61,6 +61,34 @@ object TextAnalysis {
       charClassRatio(col(textCol), "[.,!?;:]").as("punct_ratio"))
   }
 
+  /** Model-based quality scoring: a frozen LINEAR classifier (logistic
+    * over the [[qualityScore]] features) evaluated as a pure column
+    * expression — the fastText-classifier-style quality filter of the
+    * LLaMA/CCNet pipelines, with inference folded into the scan. No UDF,
+    * no model server, no shuffle: at 100 TB the "model" is four
+    * multiplies and an exp() inside whole-stage codegen, and the keep
+    * decision composes with partition pruning and any downstream
+    * operator.
+    *
+    * Weights are frozen constants (a real pipeline would train them
+    * offline and bake them in exactly like this). The score is rounded
+    * to 6 decimals BEFORE the keep-threshold compare so an independent
+    * engine recomputing exp() flags identical rows (NOTES_r3 item 15);
+    * ln(1 + n_tokens) keeps the length feature bounded.
+    */
+  def qualityLogistic(docs: DataFrame, textCol: String = "text",
+                      threshold: Double = 0.5): DataFrame = {
+    val f = qualityScore(docs, textCol)
+    val z = lit(-2.0) +
+      lit(0.45) * log(lit(1.0) + col("n_tokens")) +
+      lit(3.0) * col("stopword_ratio") +
+      lit(0.15) * col("mean_token_len") -
+      lit(8.0) * col("punct_ratio")
+    f.select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_prob"))
+      .withColumn("keep", (col("quality_prob") >= threshold).cast("int"))
+  }
+
   /** N-gram-profile language ID heuristic: score text against small
     * per-language marker-token lists, pick the argmax; ties and zero scores
     * → "und" (undetermined). Markers chosen for the latin-script languages
@@ -467,6 +495,72 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"),
         round(log(col("__total")) - col("__mean_log_cnt"), 6)
           .as("cross_entropy"))
+  }
+
+  /** Bigram language-model scoring — the next rung above
+    * [[unigramCrossEntropy]] on the KenLM-style quality-filter ladder
+    * (CCNet filters on a 5-gram LM; the bigram form demonstrates the
+    * conditional-probability shape with the same distributed skeleton).
+    * Learns p(w2 | w1) = c(w1 w2) / c(w1 ·) over the corpus, where
+    * c(w1 ·) is the bigram-PREFIX count (sum of c(w1 w2) over w2 — the
+    * consistent ML estimate: probabilities given each prefix sum to 1),
+    * then scores each document by the tf-weighted conditional
+    * cross-entropy −avg(ln p) = avg(ln c1 − ln c2). Docs with < 2 tokens
+    * have no bigrams and produce no row.
+    *
+    * Shape at corpus scale — tokenize ONCE per row, build positional
+    * bigrams array-side (transform over sequence — no per-doc window, no
+    * second scan), then collapse to a (doc, bigram, tf) relation whose
+    * key always includes the doc id (no corpus-wide hot key). Corpus
+    * bigram counts and prefix counts are both map-side-combinable
+    * groupBy aggregates over that relation — a hot bigram collapses to
+    * one partial per task before the shuffle — and join back at
+    * vocabulary granularity (AQE broadcasts the build sides). The w1
+    * prefix is recovered with split_part-style string surgery on the
+    * bigram key (tokens are \s+-split so the first space is an
+    * unambiguous delimiter), keeping the relation narrow. The
+    * reassociation drift of the tf-weighted double sum is the same
+    * ~1e-13 class as q96's, absorbed by the 6-decimal rounding
+    * (NOTES_r3 item 15).
+    */
+  /** Per-(doc, bigram) frequency relation — the single-tokenize core of
+    * [[bigramCrossEntropy]], mirroring [[termFrequencies]]: one scan +
+    * explode, materialized (localCheckpoint, same trade-offs documented
+    * there) because three consumers read it. `materialize = false`
+    * exposes the raw plan for the PlanShapeSpec single-tokenize gate.
+    */
+  private[graft] def bigramFrequencies(docs: DataFrame, idCol: String,
+                                       textCol: String,
+                                       materialize: Boolean = true): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"), size(col("__t")).as("__n"))
+    // sequence(1, 0) counts DOWN in Spark — guard < 2 tokens to empty
+    // (same landmine as repetitionStats)
+    val bigrams = base.select(col(idCol),
+      explode(when(col("__n") < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), col("__n") - 1),
+          i => concat_ws(" ", element_at(col("__t"), i),
+            element_at(col("__t"), i + 1))))).as("__bg"))
+    val tf = bigrams.groupBy(col(idCol), col("__bg"))
+      .agg(count(lit(1)).as("__tf"))
+    if (materialize) tf.localCheckpoint() else tf
+  }
+
+  def bigramCrossEntropy(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val tf = bigramFrequencies(docs, idCol, textCol)
+    val c2 = tf.groupBy(col("__bg")).agg(sum(col("__tf")).as("__c2"))
+      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
+    val c1 = c2.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
+    tf.join(c2, "__bg").join(c1, "__w1")
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_bigrams"),
+        round(
+          sum(col("__tf").cast("double") *
+            (log(col("__c1").cast("double")) -
+              log(col("__c2").cast("double")))) /
+            sum(col("__tf")).cast("double"), 6)
+          .as("bigram_cross_entropy"))
   }
 
   /** Corpus-level language/quality rollup. */

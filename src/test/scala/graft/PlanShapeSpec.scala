@@ -385,6 +385,46 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q112 PII scrub is a map-only projection (no exchange, no UDF)") {
+    // the whole scrub — counts + three sequential regexp_replaces — must
+    // stay a single codegen'd projection over the scan: any Exchange or
+    // BatchEvalPython here would mean the operator broke out of the
+    // scan-speed tier it is documented to run in at 100 TB
+    val s = planString(graft.ops.Redact.scrub(
+      Tables.documents(spark, sf0001), "text"))
+    assert(!s.contains("Exchange"), s"q112 scrub shuffles:\n$s")
+    assert(!s.contains("Eval"), s"q112 scrub leaves codegen:\n$s")
+    // executedPlan.toString renders codegen stages as "*(n)" prefixes
+    assert(s.contains("*(1) Project"), s)
+  }
+
+  test("q113 bigram LM: single tokenize, no Window, counts are partial+final") {
+    // same contract as the q81/q96 gates: the un-materialized
+    // (doc, bigram, tf) relation reads+explodes the text exactly once...
+    val tfPlan = graft.ops.TextAnalysis.bigramFrequencies(
+      Tables.documents(spark, sf0001), "doc_id", "text", materialize = false)
+    val ts = planString(tfPlan)
+    assert("Generate".r.findAllIn(ts).length == 1, ts)
+    assert("FileScan".r.findAllIn(ts).length == 1, ts)
+    assert(ts.contains("partial_count"), ts)
+    // ...and downstream of the materialized relation nothing re-explodes
+    // and no corpus count comes from a window partitioned by bigram
+    // (hot-bigram partition = one sort-buffering task at 100 TB)
+    val s = planString(SparkEntry.queries("q113_bigram_lm_score")(spark, sf0001))
+    assert(!s.contains("Window ["), s"q113 plans a Window:\n$s")
+    assert(!s.contains("Generate"), s"q113 re-tokenizes:\n$s")
+    assert(s.contains("partial_sum"), s)
+  }
+
+  test("q115 logistic quality scorer is a map-only projection") {
+    // "model inference" must compile to arithmetic inside the scan's
+    // codegen stage — no shuffle, no UDF eval node
+    val s = planString(graft.ops.TextAnalysis.qualityLogistic(
+      Tables.documents(spark, sf0001)))
+    assert(!s.contains("Exchange"), s"q115 shuffles:\n$s")
+    assert(!s.contains("Eval"), s"q115 leaves codegen:\n$s")
+  }
+
   test("metadata-only multimodal scan does not read the blob column") {
     val media = graft.ops.Multimodal.synthesize(
       spark, Tables.documents(spark, sf0001).select("doc_id"), "doc_id")

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Redact
+
+class RedactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scrubOne(text: String): (Int, Int, Int, String) = {
+    val r = Redact.scrub(Seq((1L, text)).toDF("doc_id", "text"), "text")
+      .select("n_emails", "n_ips", "n_phones", "redacted").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3))
+  }
+
+  test("scrub redacts and counts each PII class") {
+    val (e, i, p, red) = scrubOne(
+      "mail a.b-c%d@ex-ample.co.uk ip 192.168.0.1 call 555-123-4567 done")
+    assert((e, i, p) == (1, 1, 1))
+    assert(red == "mail <EMAIL> ip <IP> call <PHONE> done")
+  }
+
+  test("clean text passes through unchanged with zero counts") {
+    val (e, i, p, red) = scrubOne("just plain words 12 34")
+    assert((e, i, p) == (0, 0, 0))
+    assert(red == "just plain words 12 34")
+  }
+
+  test("sequential order: an email consuming a dotted-quad is not recounted as IP") {
+    // the local part 1.2.3.4 is legal email syntax; the email pass claims
+    // the whole token, so the IP pass must see nothing
+    val (e, i, _, red) = scrubOne("from 1.2.3.4@host.org sent")
+    assert(e == 1 && i == 0)
+    assert(red == "from <EMAIL> sent")
+  }
+
+  test("word boundaries: digit runs inside longer tokens do not match") {
+    val (_, i, p, red) = scrubOne("v1.2.3.4567 build 555-123-45678x")
+    // 1.2.3.4567 fails the \b..{1,3}\b quad; 555-123-45678 exceeds \d{4}\b
+    assert(i == 0 && p == 0)
+    assert(red == "v1.2.3.4567 build 555-123-45678x")
+  }
+
+  test("multiple hits of one class all count and all redact") {
+    val (e, _, _, red) = scrubOne("a@b.co then c@d.org")
+    assert(e == 2)
+    assert(red == "<EMAIL> then <EMAIL>")
+  }
+
+  test("piiSummary rolls up incidence and redacted size") {
+    val df = Seq(
+      (1L, "x a@b.co y"),
+      (2L, "no pii here"),
+      (3L, "ip 10.0.0.1 and 10.0.0.2")).toDF("doc_id", "text")
+    val r = Redact.piiSummary(df).head()
+    assert(r.getLong(0) == 3)           // n_docs
+    assert(r.getLong(1) == 1)           // docs_with_email
+    assert(r.getLong(2) == 1)           // docs_with_ip
+    assert(r.getLong(3) == 0)           // docs_with_phone
+    assert(r.getLong(4) == 3)           // total_hits
+  }
+
+  test("null text yields null counts, not a crash") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "a@b.co"))
+      .toDF("doc_id", "text")
+    val out = Redact.scrub(df, "text").orderBy("doc_id").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("n_emails")))
+    assert(out(1).getInt(out(1).fieldIndex("n_emails")) == 1)
+  }
+}

@@ -245,4 +245,31 @@ class TextAnalysisSpec extends SparkSpec {
     TextAnalysis.unigramCrossEntropy(docs).collect()
     assert(org.apache.spark.sql.graftbridge.ColumnBridge.cacheManagerIsEmpty(spark))
   }
+
+  test("bigram LM: hand-computed conditional cross-entropy; <2-token docs drop") {
+    // corpus: d1="a b c", d2="a b b", d3="z" (no bigrams → no row)
+    //   c2: "a b"→2, "b c"→1, "b b"→1;  prefix c1: a→2, b→2
+    //   d1 = [ (ln2−ln2) + (ln2−ln1) ] / 2 = ln2/2;  d2 identical
+    val docs = Seq((1L, "a b c"), (2L, "a b b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCrossEntropy(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val expected = math.rint(math.log(2.0) / 2 * 1e6) / 1e6
+    assert(out(1L) == ((2L, expected)))
+    assert(out(2L) == ((2L, expected)))
+    // checkpoint-based materialization must not leak cache entries either
+    assert(org.apache.spark.sql.graftbridge.ColumnBridge.cacheManagerIsEmpty(spark))
+  }
+
+  test("qualityLogistic: probabilities in (0,1), keep consistent with threshold") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = TextAnalysis.qualityLogistic(docs).as[(Long, Double, Int)].collect()
+    assert(out.length == docs.count())
+    assert(out.forall { case (_, p, _) => p > 0.0 && p < 1.0 })
+    assert(out.forall { case (_, p, k) => k == (if (p >= 0.5) 1 else 0) })
+    // frozen weights must separate the corpus non-trivially at this SF
+    val kept = out.count(_._3 == 1)
+    assert(kept > 0 && kept < out.length)
+  }
 }
