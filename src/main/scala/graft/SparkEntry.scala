@@ -1448,7 +1448,18 @@ object SparkEntry {
       // frozen-weight logistic quality classifier — model inference as a
       // codegen'd column expression (no UDF); score rounded to 6 BEFORE
       // the keep compare so both engines flag identical rows
-      TextAnalysis.qualityLogistic(T(s, d, "documents"))))
+      TextAnalysis.qualityLogistic(T(s, d, "documents"))),
+    "q116_ewma_daily" -> ((s, d) =>
+      // per-type EWMA over the daily rollup — the sequential stateful
+      // fold family: one pass over event volume, then a bounded per-key
+      // array fold (day totals rounded to 4 BEFORE the fold so both
+      // engines fold bit-identical inputs)
+      Resample.ewmaSmooth(Tables.events(s, d), "event_type", "ts",
+        "value", alpha = 0.3)),
+    "q117_fuzzy_name_pairs" -> ((s, d) =>
+      // deletion-neighborhood (FastSS) blocking join: every supplier-name
+      // pair within one edit, without the quadratic all-pairs compare
+      Dedup.editDistancePairs(T(s, d, "supplier"), "s_name")))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -2468,7 +2479,35 @@ object SparkEntry {
          |  FROM f)
          |SELECT doc_id, quality_prob,
          |  CAST(quality_prob >= 0.5 AS INTEGER) AS keep
-         |FROM s""".stripMargin)
+         |FROM s""".stripMargin,
+    "q116_ewma_daily" ->
+      // list_reduce over the growing prefix recomputes the identical
+      // left-to-right α-fold Spark's aggregate() runs incrementally —
+      // same IEEE operation sequence, so bit-exact before the rounding
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type,
+        |    list(CAST(epoch(day) AS BIGINT) ORDER BY day) AS ds,
+        |    list(v ORDER BY day) AS vs
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, unnest(ds) AS day_epoch, unnest(vs) AS day_total,
+        |  unnest(list_transform(range(1, len(vs) + 1),
+        |    t -> round(list_reduce(list_slice(vs, 1, t),
+        |           (a, b) -> 0.3 * b + 0.7 * a), 6))) AS ewma
+        |FROM ser""".stripMargin,
+    "q117_fuzzy_name_pairs" ->
+      """WITH names AS (SELECT DISTINCT s_name AS s FROM supplier),
+        |keyed AS (SELECT s,
+        |    unnest(list_distinct(list_append(
+        |      list_transform(range(1, len(s) + 1),
+        |        i -> substr(s, 1, i - 1) || substr(s, i + 1, len(s))),
+        |      s))) AS k
+        |  FROM names)
+        |SELECT DISTINCT a.s AS name_a, b.s AS name_b
+        |FROM keyed a JOIN keyed b ON a.k = b.k AND a.s < b.s
+        |WHERE levenshtein(a.s, b.s) = 1""".stripMargin)
 
   /** q24's feature relation — shared verbatim by q115's logistic scorer so
     * the feature formulas cannot drift between the two oracles (they both

@@ -521,4 +521,40 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }
+
+  // ----------------------------------------- fuzzy (edit-distance) matching
+
+  /** All distinct string pairs within edit distance 1 — the spelling-variant
+    * / entity-resolution primitive (OCR noise, typo'd hostnames, serial-ID
+    * drift). Candidate generation is DELETION-NEIGHBORHOOD BLOCKING (the
+    * FastSS scheme): each string s emits {s} ∪ {s with one char deleted},
+    * and two strings are within one edit (insert / delete / substitute) iff
+    * they share a blocking key — substitutions meet at the common deletion,
+    * insert/delete pairs meet at the shorter string itself. An equi-join on
+    * the key therefore finds EVERY candidate (no recall loss), and an exact
+    * `levenshtein` confirms, so the quadratic all-pairs compare never runs:
+    * work is Σ len(s) keys shuffled on well-spread short strings, bucket
+    * sizes bounded by how many strings actually collide at one key.
+    *
+    * The self-join dedups pairs via `<` ordering; key multiplicity is
+    * collapsed with distinct() BEFORE the verify so each candidate pair is
+    * levenshtein'd once.
+    */
+  def editDistancePairs(df: DataFrame, strCol: String): DataFrame = {
+    val names = df.select(col(strCol).cast("string").as("s"))
+      .filter(col("s").isNotNull).distinct()
+    // sequence(1, 0) counts DOWN in Spark — guard the empty string
+    val deletions = when(length(col("s")) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(col("s"))),
+        i => concat(substr(col("s"), lit(1), i - 1),
+          substr(col("s"), i + 1, length(col("s"))))))
+    val keyed = names.select(col("s"),
+      explode(array_union(array(col("s")), deletions)).as("__k"))
+    keyed.select(col("__k"), col("s").as("name_a"))
+      .join(keyed.select(col("__k"), col("s").as("name_b")), "__k")
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"))
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+  }
 }

@@ -552,13 +552,19 @@ object TextAnalysis {
     val c2 = tf.groupBy(col("__bg")).agg(sum(col("__tf")).as("__c2"))
       .withColumn("__w1", substring_index(col("__bg"), " ", 1))
     val c1 = c2.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
-    tf.join(c2, "__bg").join(c1, "__w1")
+    // fold both counts into ONE vocabulary-sized per-bigram score table
+    // before touching the (doc, bigram)-granular relation: the big side
+    // is joined once, not once per count level (both small joins happen
+    // vocab×prefix-vocab, which AQE broadcasts)
+    val lnP = c2.join(c1, "__w1")
+      .select(col("__bg"),
+        (log(col("__c1").cast("double")) -
+          log(col("__c2").cast("double"))).as("__lnp"))
+    tf.join(lnP, "__bg")
       .groupBy(col(idCol))
       .agg(sum(col("__tf")).as("n_bigrams"),
         round(
-          sum(col("__tf").cast("double") *
-            (log(col("__c1").cast("double")) -
-              log(col("__c2").cast("double")))) /
+          sum(col("__tf").cast("double") * col("__lnp")) /
             sum(col("__tf")).cast("double"), 6)
           .as("bigram_cross_entropy"))
   }

@@ -191,6 +191,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs finds exactly the ED-1 pairs (sub/ins/del), no ED-2") {
+    val df = Seq("cat", "bat", "cart", "ca", "dog", "dig", "zebra", "cat")
+      .toDF("s")
+    val got = Dedup.editDistancePairs(df, "s")
+      .as[(String, String)].collect().toSet
+    // cat~bat substitution; cat~cart insertion; cat~ca deletion;
+    // dog~dig substitution; bat~cart is ED-3; ca~bat ED-2; duplicate
+    // "cat" collapses (no self-pair)
+    assert(got == Set(("bat", "cat"), ("cart", "cat"), ("ca", "cat"),
+      ("dig", "dog")))
+  }
+
+  test("editDistancePairs: empty and null strings don't blow up the key gen") {
+    val df = Seq(Some(""), Some("a"), Some("ab"), None).toDF("s")
+    val got = Dedup.editDistancePairs(df, "s")
+      .as[(String, String)].collect().toSet
+    // ""~"a" insertion, "a"~"ab" insertion; ""~"ab" is ED-2
+    assert(got == Set(("", "a"), ("a", "ab")))
+  }
+
   implicit class Tuple3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }

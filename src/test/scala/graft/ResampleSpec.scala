@@ -27,4 +27,24 @@ class ResampleSpec extends SparkSpec {
       ("a", 3 * day, 4.0, 1L, false),
       ("b", 7 * day, 9.0, 1L, false)))
   }
+
+  test("ewmaSmooth: hand-computed fold, first day seeds, keys independent") {
+    val day = 86400L
+    val df = Seq(
+      ("a", 0L, 10.0), ("a", 1L, 10.0),   // day 0 total 20
+      ("a", day, 10.0),                    // day 1 total 10
+      ("a", 2 * day, 40.0),                // day 2 total 40
+      ("b", 5 * day, 7.0))                 // singleton series
+      .toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val got = Resample.ewmaSmooth(df, "k", "ts", "v", alpha = 0.3)
+      .orderBy("k", "day_epoch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // s0 = 20; s1 = .3*10 + .7*20 = 17; s2 = .3*40 + .7*17 = 23.9
+    assert(got.toSeq == Seq(
+      ("a", 0L, 20.0, 20.0),
+      ("a", day, 10.0, 17.0),
+      ("a", 2 * day, 40.0, 23.9),
+      ("b", 5 * day, 7.0, 7.0)))
+  }
 }
