@@ -1459,7 +1459,16 @@ object SparkEntry {
     "q117_fuzzy_name_pairs" -> ((s, d) =>
       // deletion-neighborhood (FastSS) blocking join: every supplier-name
       // pair within one edit, without the quadratic all-pairs compare
-      Dedup.editDistancePairs(T(s, d, "supplier"), "s_name")))
+      Dedup.editDistancePairs(T(s, d, "supplier"), "s_name")),
+    "q118_priority_rollup" -> ((s, d) =>
+      // hierarchical subtotals via native rollup — grouping-set sugar on
+      // top of q74's machinery: one Expand + one partial+final aggregate,
+      // grouping_id() disambiguates subtotal NULLs from data NULLs
+      T(s, d, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("revenue"),
+          grouping_id().as("gid"))))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -2507,7 +2516,14 @@ object SparkEntry {
         |  FROM names)
         |SELECT DISTINCT a.s AS name_a, b.s AS name_b
         |FROM keyed a JOIN keyed b ON a.k = b.k AND a.s < b.s
-        |WHERE levenshtein(a.s, b.s) = 1""".stripMargin)
+        |WHERE levenshtein(a.s, b.s) = 1""".stripMargin,
+    "q118_priority_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS revenue,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin)
 
   /** q24's feature relation — shared verbatim by q115's logistic scorer so
     * the feature formulas cannot drift between the two oracles (they both

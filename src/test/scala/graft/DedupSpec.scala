@@ -211,6 +211,32 @@ class DedupSpec extends SparkSpec {
     assert(got == Set(("", "a"), ("a", "ab")))
   }
 
+  test("editDistancePairs property: equals naive all-pairs levenshtein on random vocab") {
+    // the FastSS recall claim (every sub/ins/del pair meets at a shared
+    // deletion key) proven against the quadratic reference on a seeded
+    // random vocabulary over a tiny alphabet (dense ED-1 neighborhoods)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq.fill(120)(
+      (0 until 1 + rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString).distinct
+    val expected = (for {
+      i <- vocab.indices; j <- vocab.indices if vocab(i) < vocab(j)
+      if lev(vocab(i), vocab(j)) == 1
+    } yield (vocab(i), vocab(j))).toSet
+    val got = Dedup.editDistancePairs(vocab.toDF("s"), "s")
+      .as[(String, String)].collect().toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.nonEmpty) // the harness actually exercised something
+  }
+
   implicit class Tuple3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }

@@ -47,4 +47,35 @@ class ResampleSpec extends SparkSpec {
       ("a", 2 * day, 40.0, 23.9),
       ("b", 5 * day, 7.0, 7.0)))
   }
+
+  test("ewmaSmooth property: matches the scalar reference fold on random series") {
+    val day = 86400L
+    val rnd = new scala.util.Random(7)
+    val raw = for {
+      k <- Seq("x", "y", "z"); d <- 0 until 40
+      if rnd.nextDouble() < 0.8 // gaps: EWMA runs over PRESENT days only
+    } yield (k, d * day + rnd.nextInt(86400), math.rint(rnd.nextDouble() * 1e6) / 100)
+    val df = raw.toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val got = Resample.ewmaSmooth(df, "k", "ts", "v", alpha = 0.3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // scalar reference: same rounding discipline (4-decimal daily totals,
+    // 6-decimal output), explicit left fold
+    val expected = raw.groupBy { case (k, s, _) => (k, s / day) }
+      .map { case ((k, d), vs) =>
+        (k, d * day) -> math.rint(vs.map(_._3).sum * 1e4) / 1e4 }
+      .groupBy(_._1._1)
+      .flatMap { case (_, days) =>
+        val ordered = days.toSeq.sortBy(_._1._2)
+        ordered.zipWithIndex.scanLeft(Option.empty[((String, Long), Double)]) {
+          case (prev, ((key, v), _)) =>
+            Some(key -> (prev match {
+              case None => v
+              case Some((_, s)) => 0.3 * v + 0.7 * s
+            }))
+        }.flatten
+      }
+      .map { case (key, s) => key -> math.rint(s * 1e6) / 1e6 }
+    assert(got == expected)
+  }
 }
