@@ -1468,7 +1468,20 @@ object SparkEntry {
         .rollup(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 4).as("revenue"),
-          grouping_id().as("gid"))))
+          grouping_id().as("gid"))),
+    "q119_pq_codes" -> ((s, d) => {
+      // product-quantization tier: deterministic 16-centroid codebook
+      // (every 37th vector, same derivation family as q37/q110's cells),
+      // m=4 subspaces, ADC distance to probe vec 1 — encode is a map-only
+      // broadcast projection, the full code table participates in the
+      // hash
+      val emb = T(s, d, "embeddings")
+      val centroids = emb
+        .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+        .select((col("vec_id") / 37).cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      Similarity.pqEncodeAdc(emb, centroids, probeId = 1L, m = 4)
+    }))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -2523,7 +2536,29 @@ object SparkEntry {
         |  round(sum(o_totalprice), 4) AS revenue,
         |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid
         |FROM orders
-        |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin)
+        |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+    "q119_pq_codes" ->
+      // sub-distances are rounded to 6 before the [d, cid] lexicographic
+      // argmin, mirroring pqEncodeAdc's struct array_min exactly
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |cents AS (SELECT CAST(vec_id // 37 AS INTEGER) AS cid, e AS c
+        |  FROM v WHERE vec_id % 37 = 0 AND vec_id // 37 < 16),
+        |cl AS (SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents,
+        |       CAST(len(min(c)) // 4 AS INTEGER) AS sub FROM cents),
+        |q AS (SELECT e AS p FROM v WHERE vec_id = 1),
+        |enc AS (SELECT vec_id, cents, sub, p,
+        |  list_transform(range(0, 4), j ->
+        |    CAST(list_sort(list_transform(cents, cc ->
+        |      [round(list_sum(list_transform(range(1, sub + 1),
+        |         i -> (v.e[j*sub+i] - cc.c[j*sub+i]) * (v.e[j*sub+i] - cc.c[j*sub+i]))), 6),
+        |       CAST(cc.cid AS DOUBLE)]))[1][2] AS INTEGER)) AS codes
+        |  FROM v, cl, q)
+        |SELECT vec_id, codes[1] AS c0, codes[2] AS c1, codes[3] AS c2, codes[4] AS c3,
+        |  round(list_sum(list_transform(range(0, 4), j ->
+        |    list_sum(list_transform(range(1, sub + 1),
+        |      i -> (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i])
+        |         * (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i]))))), 6) AS adc_dist
+        |FROM enc""".stripMargin)
 
   /** q24's feature relation — shared verbatim by q115's logistic scorer so
     * the feature formulas cannot drift between the two oracles (they both

@@ -246,4 +246,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r2.getDouble(1) == 0.0 && r2.getLong(2) == 0L &&
       r2.getLong(3) == 0L && r2.getInt(4) == 0 && r2.getDouble(5) == 0.0)
   }
+
+  test("PQ encode: hand-computed codes and ADC on a 4-dim m=2 toy codebook") {
+    // codebook per subspace (2 dims each): cid 0 = [0,0|0,0], cid 1 = [1,1|2,2]
+    val centroids = Seq(
+      (0, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1, Seq(1.0, 1.0, 2.0, 2.0))).toDF("cid", "centroid")
+    val emb = Seq(
+      (1L, Seq(0.1, 0.1, 1.9, 1.9)),  // sub0 → cid 0 (0.02 < 1.62); sub1 → cid 1 (0.02 < 7.22)
+      (2L, Seq(1.0, 1.0, 0.0, 0.0)),  // sub0 → cid 1 (exact); sub1 → cid 0 (exact)
+      (3L, Seq(0.5, 0.5, 1.0, 1.0))   // equidistant in BOTH subspaces → cid 0 via tiebreak
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqEncodeAdc(emb, centroids, probeId = 1L, m = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got(1L)._1 == 0 && got(1L)._2 == 1)
+    assert(got(2L)._1 == 1 && got(2L)._2 == 0)
+    assert(got(3L)._1 == 0 && got(3L)._2 == 0) // [d, cid] min tiebreak
+    // ADC(probe=vec1, codes of vec2) = dist(probe_sub0, c1) + dist(probe_sub1, c0)
+    //   = (0.9²+0.9²) + (1.9²+1.9²) = 1.62 + 7.22 = 8.84
+    assert(math.abs(got(2L)._3 - 8.84) < 1e-9)
+    // ADC of the probe against its own codes = its reconstruction error
+    assert(math.abs(got(1L)._3 - (0.02 + 0.02)) < 1e-9)
+  }
 }
