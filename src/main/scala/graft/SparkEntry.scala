@@ -1481,7 +1481,15 @@ object SparkEntry {
         .select((col("vec_id") / 37).cast("int").as("cid"),
           col("embedding").as("centroid"))
       Similarity.pqEncodeAdc(emb, centroids, probeId = 1L, m = 4)
-    }))
+    }),
+    "q120_zorder_key" -> ((s, d) =>
+      // Morton clustering key for 2-D data skipping (the OPTIMIZE ZORDER
+      // layout primitive): statically-unrolled bit interleave, one
+      // codegen'd projection; writeZOrdered uses it to range-partition
+      // files into compact (x, y) rectangles (ZOrderSpec pins locality)
+      T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Layout.zorder2(col("l_partkey"), col("l_orderkey")).as("zkey"))))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -2558,7 +2566,11 @@ object SparkEntry {
         |    list_sum(list_transform(range(1, sub + 1),
         |      i -> (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i])
         |         * (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i]))))), 6) AS adc_dist
-        |FROM enc""".stripMargin)
+        |FROM enc""".stripMargin,
+    "q120_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${graft.ops.Layout.zorder2Sql("l_partkey", "l_orderkey")} AS zkey
+         |FROM lineitem""".stripMargin)
 
   /** q24's feature relation — shared verbatim by q115's logistic scorer so
     * the feature formulas cannot drift between the two oracles (they both
