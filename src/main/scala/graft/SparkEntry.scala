@@ -1489,7 +1489,46 @@ object SparkEntry {
       // files into compact (x, y) rectangles (ZOrderSpec pins locality)
       T(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        Layout.zorder2(col("l_partkey"), col("l_orderkey")).as("zkey"))))
+        Layout.zorder2(col("l_partkey"), col("l_orderkey")).as("zkey"))),
+    "q121_jl_projection" -> ((s, d) => {
+      // Johnson-Lindenstrauss random projection 64 → 24 dims with the
+      // SAME seeded plane family as SRP (plan-build-time constants — the
+      // whole projection is one codegen'd projection, no shuffle). The
+      // norm-preservation ratio is E[1] with ~chi2_24/24 spread; both
+      // engines compute the identical deterministic value, so the bounds
+      // flag compares exactly whatever its value
+      val planes = Similarity.srpPlanes(64, 24)
+      val v = col("embedding").cast("array<double>")
+      val projSq = planes.map { p =>
+        val dp = dotProduct(v, array(p.map(lit): _*)); dp * dp
+      }.reduce(_ + _)
+      T(s, d, "embeddings")
+        .select(col("vec_id"),
+          round(dotProduct(v, v), 6).as("orig_norm2"),
+          round(projSq * lit(3.0 / 24), 6).as("proj_norm2_scaled"))
+        .withColumn("ratio",
+          when(col("orig_norm2") === 0, lit(0.0))
+            .otherwise(round(col("proj_norm2_scaled") / col("orig_norm2"), 6)))
+        .withColumn("in_bounds",
+          (col("ratio") >= 0.15 && col("ratio") <= 3.0).cast("int"))
+    }),
+    "q122_snapshot_diff" -> ((s, d) => {
+      // corpus version diff: v2 drops doc_id % 17, rewrites text for
+      // doc_id % 10, and appends shifted copies of doc_id % 50 — both
+      // engines construct the identical snapshots, the operator reduces
+      // each side to (key, portable hash) before the full-outer join so
+      // text never shuffles
+      val docs = T(s, d, "documents")
+      val v2 = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .union(docs.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id") + 100000, col("text")))
+      Diff.snapshotDiff(docs.select("doc_id", "text"), v2,
+        Seq("doc_id"), Seq("text"),
+        hashFn = cols => graft.functions.md5Hash31(cols.head))
+    }))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -2570,7 +2609,43 @@ object SparkEntry {
     "q120_zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  ${graft.ops.Layout.zorder2Sql("l_partkey", "l_orderkey")} AS zkey
-         |FROM lineitem""".stripMargin)
+         |FROM lineitem""".stripMargin,
+    "q121_jl_projection" ->
+      s"""WITH planes(i, p) AS (VALUES
+         |  ${planesValuesSql(64, 24)}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |d AS (SELECT vec_id,
+         |    list_sum(list_transform(range(1, 65), j -> e[j] * p[j])) AS dp
+         |  FROM v CROSS JOIN planes),
+         |pn AS (SELECT vec_id, sum(dp * dp) AS pn2 FROM d GROUP BY vec_id),
+         |o AS (SELECT vec_id,
+         |    round(list_sum(list_transform(range(1, 65), j -> e[j] * e[j])), 6)
+         |      AS orig_norm2
+         |  FROM v),
+         |r AS (SELECT vec_id, orig_norm2,
+         |    round(pn2 * 3.0 / 24, 6) AS proj_norm2_scaled,
+         |    CASE WHEN orig_norm2 = 0 THEN 0.0
+         |         ELSE round(round(pn2 * 3.0 / 24, 6) / orig_norm2, 6) END AS ratio
+         |  FROM pn JOIN o USING (vec_id))
+         |SELECT vec_id, orig_norm2, proj_norm2_scaled, ratio,
+         |  CAST(ratio >= 0.15 AND ratio <= 3.0 AS INTEGER) AS in_bounds
+         |FROM r""".stripMargin,
+    "q122_snapshot_diff" ->
+      s"""WITH old AS (SELECT doc_id, text FROM documents),
+         |new AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 17 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+         |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |         WHEN n.doc_id IS NULL THEN 'removed'
+         |         WHEN (${hash31Sql("o.text")}) <> (${hash31Sql("n.text")})
+         |           THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+         |SELECT doc_id, status FROM j WHERE status <> 'unchanged'""".stripMargin)
 
   /** q24's feature relation — shared verbatim by q115's logistic scorer so
     * the feature formulas cannot drift between the two oracles (they both

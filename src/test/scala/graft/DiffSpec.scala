@@ -1,0 +1,30 @@
+package graft
+
+import graft.ops.Diff
+
+class DiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed; unchanged filtered by default") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+    val nw = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("id", "t")
+    val got = Diff.snapshotDiff(old, nw, Seq("id"), Seq("t"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    val all = Diff.snapshotDiff(old, nw, Seq("id"), Seq("t"),
+      includeUnchanged = true).as[(Long, String)].collect().toMap
+    assert(all(2L) == "unchanged" && all.size == 4)
+  }
+
+  test("snapshotDiff: null content rows classify via null-safe compare, multi-col keys work") {
+    val old = Seq((1L, "x", Option("v")), (1L, "y", None), (2L, "x", Option("w")))
+      .toDF("id", "part", "t")
+    val nw = Seq((1L, "x", Option("v")), (1L, "y", Option("now")), (2L, "x", None))
+      .toDF("id", "part", "t")
+    val got = Diff.snapshotDiff(old, nw, Seq("id", "part"), Seq("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    // xxhash64(null) is the seed (non-null), so null→value and value→null
+    // both surface as changed, not dropped
+    assert(got == Map((1L, "y") -> "changed", (2L, "x") -> "changed"))
+  }
+}
