@@ -1494,9 +1494,11 @@ object SparkEntry {
       // Johnson-Lindenstrauss random projection 64 → 24 dims with the
       // SAME seeded plane family as SRP (plan-build-time constants — the
       // whole projection is one codegen'd projection, no shuffle). The
-      // norm-preservation ratio is E[1] with ~chi2_24/24 spread; both
-      // engines compute the identical deterministic value, so the bounds
-      // flag compares exactly whatever its value
+      // norm-preservation ratio is E[1] with ~chi2_24/24 spread; the
+      // oracle mirrors the plane-ordered fold and the exact 0.125 scale,
+      // so the rounded ratio (and with it the bounds flag) agrees
+      // cross-engine to the same last-ulp class as every rounded float
+      // here
       val planes = Similarity.srpPlanes(64, 24)
       val v = col("embedding").cast("array<double>")
       val projSq = planes.map { p =>
@@ -2614,18 +2616,24 @@ object SparkEntry {
       s"""WITH planes(i, p) AS (VALUES
          |  ${planesValuesSql(64, 24)}),
          |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |d AS (SELECT vec_id,
+         |d AS (SELECT vec_id, i,
          |    list_sum(list_transform(range(1, 65), j -> e[j] * p[j])) AS dp
          |  FROM v CROSS JOIN planes),
-         |pn AS (SELECT vec_id, sum(dp * dp) AS pn2 FROM d GROUP BY vec_id),
+         |-- plane-ORDERED fold (list(... ORDER BY i)) mirroring the Spark
+         |-- side's fixed reduce order; * 0.125 is the exact power-of-two
+         |-- scale lit(3.0/24) compiles to — NOT * 3.0 / 24, whose extra
+         |-- IEEE rounding can differ by 1 ulp
+         |pn AS (SELECT vec_id,
+         |    list_sum(list_transform(list(dp ORDER BY i), x -> x * x)) AS pn2
+         |  FROM d GROUP BY vec_id),
          |o AS (SELECT vec_id,
          |    round(list_sum(list_transform(range(1, 65), j -> e[j] * e[j])), 6)
          |      AS orig_norm2
          |  FROM v),
          |r AS (SELECT vec_id, orig_norm2,
-         |    round(pn2 * 3.0 / 24, 6) AS proj_norm2_scaled,
+         |    round(pn2 * 0.125, 6) AS proj_norm2_scaled,
          |    CASE WHEN orig_norm2 = 0 THEN 0.0
-         |         ELSE round(round(pn2 * 3.0 / 24, 6) / orig_norm2, 6) END AS ratio
+         |         ELSE round(round(pn2 * 0.125, 6) / orig_norm2, 6) END AS ratio
          |  FROM pn JOIN o USING (vec_id))
          |SELECT vec_id, orig_norm2, proj_norm2_scaled, ratio,
          |  CAST(ratio >= 0.15 AND ratio <= 3.0 AS INTEGER) AS in_bounds

@@ -536,9 +536,13 @@ object Dedup {
     * work is Σ len(s) keys shuffled on well-spread short strings, bucket
     * sizes bounded by how many strings actually collide at one key.
     *
-    * The self-join dedups pairs via `<` ordering; key multiplicity is
-    * collapsed with distinct() BEFORE the verify so each candidate pair is
-    * levenshtein'd once.
+    * The self-join dedups pairs via `<` ordering. The levenshtein verify
+    * runs per candidate ROW (Catalyst pushes a deterministic filter below
+    * the pair-dedup aggregate regardless of call order, so a pair meeting
+    * at several shared keys is verified once per key) — that is the right
+    * trade: the filter shrinks the pair set BEFORE the distinct's
+    * shuffle, and levenshtein on short keys is cheaper than shuffling the
+    * unverified candidate multiset.
     */
   def editDistancePairs(df: DataFrame, strCol: String): DataFrame = {
     val names = df.select(col(strCol).cast("string").as("s"))
@@ -552,9 +556,9 @@ object Dedup {
       explode(array_union(array(col("s")), deletions)).as("__k"))
     keyed.select(col("__k"), col("s").as("name_a"))
       .join(keyed.select(col("__k"), col("s").as("name_b")), "__k")
-      .filter(col("name_a") < col("name_b"))
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) === 1)
       .select(col("name_a"), col("name_b"))
       .distinct()
-      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
   }
 }

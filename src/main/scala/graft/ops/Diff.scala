@@ -29,15 +29,17 @@ object Diff {
                    hashFn: Seq[Column] => Column = defaultHash,
                    includeUnchanged: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty && compareCols.nonEmpty)
-    val o = oldDf.select(keyCols.map(col) :+
-      hashFn(compareCols.map(col)).as("__oh"): _*)
-    val n = newDf.select(keyCols.map(col) :+
-      hashFn(compareCols.map(col)).as("__nh"): _*)
-    val status = when(col("__oh").isNull, "added")
-      .when(col("__nh").isNull, "removed")
-      // null-safe: hashFn output is non-null when the row exists, but a
-      // pluggable hash over null columns may be null — <=> keeps those
-      // rows classified instead of silently dropped
+    // existence is tracked by a dedicated marker, NOT by hash nullness: a
+    // pluggable hashFn may legitimately return NULL (md5 of a NULL text
+    // column), and inferring absence from that would misreport a
+    // present-on-both-sides key as added/removed
+    val o = oldDf.select(keyCols.map(col) ++ Seq(
+      hashFn(compareCols.map(col)).as("__oh"), lit(true).as("__oex")): _*)
+    val n = newDf.select(keyCols.map(col) ++ Seq(
+      hashFn(compareCols.map(col)).as("__nh"), lit(true).as("__nex")): _*)
+    val status = when(col("__oex").isNull, "added")
+      .when(col("__nex").isNull, "removed")
+      // null-safe content compare: NULL hash vs NULL hash = unchanged
       .when(!(col("__oh") <=> col("__nh")), "changed")
       .otherwise("unchanged")
     val res = o.join(n, keyCols, "full_outer")

@@ -569,7 +569,14 @@ object Similarity {
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .crossJoin(broadcast(cents))
       .crossJoin(broadcast(probe))
-      .withColumn("__sub", (size(col("__v")) / m).cast("int"))
+      // dimension must split evenly: a silent floor would drop the last
+      // size % m dims from BOTH encode and ADC (quietly wrong distances)
+      .withColumn("__sub",
+        when(pmod(size(col("__v")), lit(m)) === 0,
+          (size(col("__v")) / m).cast("int"))
+          .otherwise(raise_error(concat(
+            lit(s"pqEncodeAdc: vector dim not divisible by m=$m, got "),
+            size(col("__v")).cast("string"))).cast("int")))
       .withColumn("__codes",
         transform(sequence(lit(0), lit(m - 1)), j =>
           array_min(transform(col("__cents"), cc =>

@@ -27,4 +27,21 @@ class DiffSpec extends SparkSpec {
     // both surface as changed, not dropped
     assert(got == Map((1L, "y") -> "changed", (2L, "x") -> "changed"))
   }
+
+  test("snapshotDiff: a hashFn returning NULL (md5 of null text) still classifies correctly") {
+    // existence comes from the per-side marker, not hash nullness — the
+    // review-caught failure mode was NULL-hash rows misreported as
+    // added/removed
+    import org.apache.spark.sql.functions.md5
+    val old = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Option("c"))).toDF("id", "t")
+    val nw = Seq((1L, Option("x")), (2L, Option.empty[String]),
+      (3L, Option("c"))).toDF("id", "t")
+    val got = Diff.snapshotDiff(old, nw, Seq("id"), Seq("t"),
+      hashFn = cols => md5(cols.head), includeUnchanged = true)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "changed",   // null → value, not "added"
+      2L -> "unchanged",                 // null hash on both sides
+      3L -> "unchanged"))
+  }
 }
