@@ -1530,6 +1530,36 @@ object SparkEntry {
       Diff.snapshotDiff(docs.select("doc_id", "text"), v2,
         Seq("doc_id"), Seq("text"),
         hashFn = cols => graft.functions.md5Hash31(cols.head))
+    }),
+    "q123_training_pipeline_v2" -> ((s, d) => {
+      // capstone #2 — this round's operators composed in ONE plan:
+      // inject PII → scrub (q112) → frozen-weight logistic quality gate
+      // (q115) → bigram-LM p75 filter (q113, threshold via 1-row
+      // broadcast like q111) → hash dedup (text never shuffles) →
+      // per-lang rollup. Every stage's determinism discipline is the one
+      // its standalone query proved
+      val docs = T(s, d, "documents")
+      val withPii = docs.select(col("doc_id"), col("lang"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit(""))).as("text"))
+      val red = Redact.scrub(withPii, "text")
+        .select(col("doc_id"), col("lang"), col("redacted").as("text"))
+      val keepQ = TextAnalysis.qualityLogistic(red)
+        .filter(col("keep") === 1).select("doc_id")
+      val lm = TextAnalysis.bigramCrossEntropy(red)
+      val th = lm.agg(
+        round(expr("percentile(bigram_cross_entropy, 0.75D)"), 6).as("__th"))
+      val gated = red.join(keepQ, "doc_id")
+        .join(lm.select(col("doc_id"), col("bigram_cross_entropy")), "doc_id")
+        .crossJoin(broadcast(th))
+        .filter(col("bigram_cross_entropy") <= col("__th"))
+      Dedup.exactByHash(gated, "text", "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(tokenCount(col("text"))).as("tokens_kept"),
+          expr("bit_xor(doc_id)").as("id_checksum"))
     }))
 
   // ---------------------------------------------------------- oracle SQL
@@ -2653,13 +2683,58 @@ object SparkEntry {
          |           THEN 'changed'
          |         ELSE 'unchanged' END AS status
          |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
-         |SELECT doc_id, status FROM j WHERE status <> 'unchanged'""".stripMargin)
+         |SELECT doc_id, status FROM j WHERE status <> 'unchanged'""".stripMargin,
+    "q123_training_pipeline_v2" ->
+      // the same proven fragments chained: q112's scrub, q115's logistic
+      // (via qualityFeaturesSqlFrom), q113's bigram CTEs, q111's rounded
+      // quantile threshold, min-id dedup on the scrubbed text
+      s"""WITH pii AS (SELECT doc_id, lang, text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |         ELSE '' END AS t
+         |  FROM documents),
+         |red AS (SELECT doc_id, lang,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '${graft.ops.Redact.emailPattern}', '<EMAIL>', 'g'),
+         |      '${graft.ops.Redact.ipv4Pattern}', '<IP>', 'g'),
+         |      '${graft.ops.Redact.phonePattern}', '<PHONE>', 'g') AS text
+         |  FROM pii),
+         |f AS (${qualityFeaturesSqlFrom("red")}),
+         |keepq AS (SELECT doc_id FROM f
+         |  WHERE round(1.0 / (1.0 + exp(-(-2.0 + 0.45 * ln(1.0 + n_tokens)
+         |    + 3.0 * stopword_ratio + 0.15 * mean_token_len
+         |    - 8.0 * punct_ratio))), 6) >= 0.5),
+         |toks AS (SELECT doc_id, $toksSql AS tk FROM red),
+         |bg AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(tk), 1)),
+         |      i -> tk[i] || ' ' || tk[i + 1])) AS b
+         |  FROM toks),
+         |tf AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY 1, 2),
+         |c2 AS (SELECT b, split_part(b, ' ', 1) AS w1,
+         |    CAST(sum(tf) AS BIGINT) AS c2
+         |  FROM tf GROUP BY b),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+         |lm AS (SELECT doc_id,
+         |    round(sum(tf * (ln(c1) - ln(c2))) / CAST(sum(tf) AS DOUBLE), 6) AS ce
+         |  FROM tf JOIN c2 USING (b) JOIN c1 USING (w1)
+         |  GROUP BY doc_id),
+         |th AS (SELECT round(quantile_cont(ce, 0.75), 6) AS th FROM lm),
+         |gated AS (SELECT r.doc_id, r.lang, r.text
+         |  FROM red r JOIN keepq USING (doc_id) JOIN lm USING (doc_id)
+         |  CROSS JOIN th WHERE lm.ce <= th.th),
+         |dedup AS (SELECT * FROM gated
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY text))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS tokens_kept,
+         |  bit_xor(doc_id) AS id_checksum
+         |FROM dedup GROUP BY lang""".stripMargin)
 
-  /** q24's feature relation — shared verbatim by q115's logistic scorer so
-    * the feature formulas cannot drift between the two oracles (they both
-    * mirror TextAnalysis.qualityScore).
+  /** q24's feature relation — shared verbatim by q115's logistic scorer
+    * and (via the `src` parameter) the q123 capstone, so the feature
+    * formulas cannot drift between oracles (they all mirror
+    * TextAnalysis.qualityScore). `src` must expose (doc_id, text).
     */
-  private lazy val qualityFeaturesSql: String =
+  private def qualityFeaturesSqlFrom(src: String): String =
     s"""SELECT doc_id,
        |  CAST(len($toksSql) AS DOUBLE) AS n_tokens,
        |  CASE WHEN len($toksSql) = 0 THEN 0.0
@@ -2674,5 +2749,7 @@ object SparkEntry {
        |       ELSE (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))
        |            / CAST(len(text) AS DOUBLE)
        |  END AS punct_ratio
-       |FROM documents""".stripMargin
+       |FROM $src""".stripMargin
+
+  private lazy val qualityFeaturesSql: String = qualityFeaturesSqlFrom("documents")
 }
