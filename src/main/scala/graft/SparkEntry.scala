@@ -1560,6 +1560,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs_kept"),
           sum(tokenCount(col("text"))).as("tokens_kept"),
           expr("bit_xor(doc_id)").as("id_checksum"))
+    }),
+    "q124_ivfpq_topk" -> ((s, d) => {
+      // the production FAISS composition: IVF cell pruning (q37's cell
+      // scheme) routes the query, PQ codes (q119's codebook) score the
+      // candidates by ADC — raw vectors never leave their executors
+      val emb = T(s, d, "embeddings")
+      val cellCentroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      val codebook = emb
+        .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+        .select((col("vec_id") / 37).cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      Similarity.ivfPqTopK(emb, cellCentroids, codebook,
+        queryId = 1L, k = 10, nProbe = 2, m = 4)
     }))
 
   // ---------------------------------------------------------- oracle SQL
@@ -2727,7 +2742,41 @@ object SparkEntry {
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept,
          |  CAST(sum(len($toksSql)) AS BIGINT) AS tokens_kept,
          |  bit_xor(doc_id) AS id_checksum
-         |FROM dedup GROUP BY lang""".stripMargin)
+         |FROM dedup GROUP BY lang""".stripMargin,
+    "q124_ivfpq_topk" ->
+      // q37's assign/probe CTEs + q119's codebook/encode CTEs, ADC-ranked
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
+         |  FROM v WHERE vec_id % 97 = 0),
+         |scored AS (SELECT v.vec_id, cent.cell_id,
+         |    ${cosSql("v.e", "cent.c")} AS sim
+         |  FROM v CROSS JOIN cent),
+         |assign AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |q AS (SELECT e AS p FROM v WHERE vec_id = 1),
+         |qc AS (SELECT cell_id FROM cent, q
+         |  ORDER BY ${cosSql("c", "p")} DESC, cell_id LIMIT 2),
+         |cents AS (SELECT CAST(vec_id // 37 AS INTEGER) AS cid, e AS c
+         |  FROM v WHERE vec_id % 37 = 0 AND vec_id // 37 < 16),
+         |cl AS (SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents,
+         |       CAST(len(min(c)) // 4 AS INTEGER) AS sub FROM cents),
+         |cand AS (SELECT v.vec_id, v.e FROM v
+         |  JOIN assign USING (vec_id) JOIN qc USING (cell_id)
+         |  WHERE v.vec_id <> 1),
+         |enc AS (SELECT vec_id, cents, sub, p,
+         |  list_transform(range(0, 4), j ->
+         |    CAST(list_sort(list_transform(cents, cc ->
+         |      [round(list_sum(list_transform(range(1, sub + 1),
+         |         i -> (cand.e[j*sub+i] - cc.c[j*sub+i]) * (cand.e[j*sub+i] - cc.c[j*sub+i]))), 6),
+         |       CAST(cc.cid AS DOUBLE)]))[1][2] AS INTEGER)) AS codes
+         |  FROM cand, cl, q)
+         |SELECT vec_id, round(list_sum(list_transform(range(0, 4), j ->
+         |    list_sum(list_transform(range(1, sub + 1),
+         |      i -> (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i])
+         |         * (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i]))))), 6) AS adc_dist
+         |FROM enc ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)
 
   /** q24's feature relation — shared verbatim by q115's logistic scorer
     * and (via the `src` parameter) the q123 capstone, so the feature

@@ -558,42 +558,103 @@ object Similarity {
         .as("__cents"))
     val probe = emb.filter(col(idCol) === probeId)
       .select(col(vecCol).cast("array<double>").as("__p"))
-    // squared L2 between subspace j (0-based) of two double arrays; a
-    // left-to-right aggregate fold so both engines sum in element order
-    def subDist(a: Column, b: Column, j: Column, sub: Column): Column =
-      aggregate(
-        zip_with(slice(a, j * sub + 1, sub), slice(b, j * sub + 1, sub),
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
     val enc = emb
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .crossJoin(broadcast(cents))
       .crossJoin(broadcast(probe))
-      // dimension must split evenly: a silent floor would drop the last
-      // size % m dims from BOTH encode and ADC (quietly wrong distances)
-      .withColumn("__sub",
-        when(pmod(size(col("__v")), lit(m)) === 0,
-          (size(col("__v")) / m).cast("int"))
-          .otherwise(raise_error(concat(
-            lit(s"pqEncodeAdc: vector dim not divisible by m=$m, got "),
-            size(col("__v")).cast("string"))).cast("int")))
-      .withColumn("__codes",
-        transform(sequence(lit(0), lit(m - 1)), j =>
-          array_min(transform(col("__cents"), cc =>
-            struct(
-              round(subDist(col("__v"), cc.getField("c"), j, col("__sub")), 6)
-                .as("d"),
-              cc.getField("cid").as("cid"))))
-            .getField("cid")))
+      .withColumn("__sub", pqSubLen(col("__v"), m, "pqEncodeAdc"))
+      .withColumn("__codes", pqCodes(col("__v"), col("__cents"), m, col("__sub")))
     enc.select(
       (Seq(col(idCol)) ++
         (0 until m).map(j => element_at(col("__codes"), j + 1).as(s"c$j")) :+
-        round(
-          aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
-            acc + subDist(col("__p"),
-              element_at(col("__cents"),
-                element_at(col("__codes"), j + 1) + 1).getField("c"),
-              j, col("__sub"))), 6).as("adc_dist")): _*)
+        round(pqAdc(col("__p"), col("__cents"), col("__codes"), m,
+          col("__sub")), 6).as("adc_dist")): _*)
   }
+
+  /** IVF-PQ search — the production FAISS composition: the coarse IVF
+    * layer prunes the corpus to the query's nProbe nearest cells (same
+    * cosine routing + assignment as [[ivfTopK]]), and candidates are
+    * scored by PQ asymmetric distance against their m-subspace codes
+    * instead of their raw floats. At corpus scale the searched state is
+    * cells × codes: the cell join prunes partitions, the codebook is a
+    * one-row broadcast, and ADC reads m small ints per candidate — the
+    * raw vectors never leave their executors. (This tier encodes RAW
+    * vectors; classic IVF-PQ encodes residuals v − cell_centroid for
+    * tighter quantization — same machinery, one extra subtraction, left
+    * as the documented refinement.) ADC distances are rounded to 6
+    * BEFORE the (distance, id) ranking so the selected top-k is
+    * cross-engine deterministic.
+    */
+  def ivfPqTopK(emb: DataFrame, cellCentroids: DataFrame, codebook: DataFrame,
+                queryId: Long, k: Int, nProbe: Int = 2, m: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = assignCells(emb, cellCentroids, vecCol, idCol)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qraw"),
+        col(vecCol).cast("array<double>").as("__p"))
+    val qCells = cellCentroids.crossJoin(broadcast(q.select(col("__qraw"))))
+      .select(col("cell_id"),
+        cosineSimilarity(col("centroid"), col("__qraw")).as("__sim"))
+      .orderBy(desc("__sim"), col("cell_id"))
+      .limit(nProbe)
+      .select("cell_id")
+    val cb = codebook
+      .select(col("cid").cast("int").as("cid"),
+        col("centroid").cast("array<double>").as("c"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("c"))))
+        .as("__cents"))
+    cells.join(broadcast(qCells), "cell_id")
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(broadcast(cb))
+      .crossJoin(broadcast(q.select(col("__p"))))
+      .withColumn("__sub", pqSubLen(col("__v"), m, "ivfPqTopK"))
+      .withColumn("__codes", pqCodes(col("__v"), col("__cents"), m, col("__sub")))
+      .select(col(idCol),
+        round(pqAdc(col("__p"), col("__cents"), col("__codes"), m,
+          col("__sub")), 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Subspace length with the divisibility guard: a silent floor would
+    * drop the last size % m dims from BOTH encode and ADC (quietly wrong
+    * distances).
+    */
+  private def pqSubLen(v: Column, m: Int, who: String): Column =
+    when(pmod(size(v), lit(m)) === 0, (size(v) / m).cast("int"))
+      .otherwise(raise_error(concat(
+        lit(s"$who: vector dim not divisible by m=$m, got "),
+        size(v).cast("string"))).cast("int"))
+
+  /** Per-subspace argmin codes: [distance-rounded-to-6, cid] struct min —
+    * lexicographic, so the cid tiebreak is cross-engine deterministic.
+    */
+  private def pqCodes(v: Column, cents: Column, m: Int, sub: Column): Column =
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      array_min(transform(cents, cc =>
+        struct(
+          round(subDist(v, cc.getField("c"), j, sub), 6).as("d"),
+          cc.getField("cid").as("cid"))))
+        .getField("cid"))
+
+  /** ADC: exact query-to-centroid sub-distances summed over the coded
+    * subspaces.
+    */
+  private def pqAdc(p: Column, cents: Column, codes: Column, m: Int,
+                    sub: Column): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      acc + subDist(p,
+        element_at(cents, element_at(codes, j + 1) + 1).getField("c"),
+        j, sub))
+
+  /** Squared L2 between subspace j (0-based) of two double arrays; a
+    * left-to-right aggregate fold so both engines sum in element order.
+    */
+  private def subDist(a: Column, b: Column, j: Column, sub: Column): Column =
+    aggregate(
+      zip_with(slice(a, j * sub + 1, sub), slice(b, j * sub + 1, sub),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
 
 }
