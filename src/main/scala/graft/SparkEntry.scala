@@ -1544,8 +1544,13 @@ object SparkEntry {
           when(col("doc_id") % 3 === 0,
             concat(lit(" contact user"), col("doc_id").cast("string"),
               lit("@example.com"))).otherwise(lit(""))).as("text"))
+      // three consumers (quality gate, LM scoring, the final join) —
+      // materialize the scrubbed relation once instead of re-running the
+      // regex chain per branch (same localCheckpoint discipline as
+      // termFrequencies; CacheManager-free)
       val red = Redact.scrub(withPii, "text")
         .select(col("doc_id"), col("lang"), col("redacted").as("text"))
+        .localCheckpoint()
       val keepQ = TextAnalysis.qualityLogistic(red)
         .filter(col("keep") === 1).select("doc_id")
       val lm = TextAnalysis.bigramCrossEntropy(red)
