@@ -366,11 +366,8 @@ object Similarity {
     val index = spark.read.parquet(indexPath)
     val q = index.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
-    val probeCells: Seq[Int] = centroids.crossJoin(broadcast(q))
-      .select(col("cell_id"), cosineSimilarity(col("centroid"), col("__qvec")).as("__sim"))
-      .orderBy(desc("__sim"), col("cell_id"))
-      .limit(nProbe)
-      .select("cell_id").collect().toSeq.map(_.getInt(0))
+    val probeCells: Seq[Int] = nearestCells(centroids, q, nProbe)
+      .collect().toSeq.map(_.getInt(0))
     index
       .filter(col("cell_id").isin(probeCells: _*)) // static partition pruning
       .filter(col(idCol) =!= queryId)
@@ -393,11 +390,7 @@ object Similarity {
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
     // the query's nProbe nearest cells
-    val qCells = centroids.crossJoin(broadcast(q))
-      .select(col("cell_id"), cosineSimilarity(col("centroid"), col("__qvec")).as("__sim"))
-      .orderBy(desc("__sim"), col("cell_id"))
-      .limit(nProbe)
-      .select("cell_id")
+    val qCells = nearestCells(centroids, q, nProbe)
     cells
       .join(broadcast(qCells), "cell_id")
       .filter(col(idCol) =!= queryId)
@@ -426,12 +419,7 @@ object Similarity {
       .withColumn("__codes", int8Codes(col(vecCol)).cast("array<double>"))
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
-    val qCells = centroids.crossJoin(broadcast(q))
-      .select(col("cell_id"),
-        cosineSimilarity(col("centroid"), col("__qvec")).as("__sim"))
-      .orderBy(desc("__sim"), col("cell_id"))
-      .limit(nProbe)
-      .select("cell_id")
+    val qCells = nearestCells(centroids, q, nProbe)
     coded
       .join(broadcast(qCells), "cell_id")
       .filter(col(idCol) =!= queryId)
@@ -551,11 +539,7 @@ object Similarity {
                   m: Int = 4, idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
     require(m > 0, "m must be positive")
-    val cents = centroids
-      .select(col("cid").cast("int").as("cid"),
-        col("centroid").cast("array<double>").as("c"))
-      .agg(sort_array(collect_list(struct(col("cid"), col("c"))))
-        .as("__cents"))
+    val cents = pqCodebook(centroids)
     val probe = emb.filter(col(idCol) === probeId)
       .select(col(vecCol).cast("array<double>").as("__p"))
     val enc = emb
@@ -588,21 +572,13 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, cellCentroids: DataFrame, codebook: DataFrame,
                 queryId: Long, k: Int, nProbe: Int = 2, m: Int = 4,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m > 0, "m must be positive")
     val cells = assignCells(emb, cellCentroids, vecCol, idCol)
     val q = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qraw"),
+      .select(col(vecCol).as("__qvec"),
         col(vecCol).cast("array<double>").as("__p"))
-    val qCells = cellCentroids.crossJoin(broadcast(q.select(col("__qraw"))))
-      .select(col("cell_id"),
-        cosineSimilarity(col("centroid"), col("__qraw")).as("__sim"))
-      .orderBy(desc("__sim"), col("cell_id"))
-      .limit(nProbe)
-      .select("cell_id")
-    val cb = codebook
-      .select(col("cid").cast("int").as("cid"),
-        col("centroid").cast("array<double>").as("c"))
-      .agg(sort_array(collect_list(struct(col("cid"), col("c"))))
-        .as("__cents"))
+    val qCells = nearestCells(cellCentroids, q.select(col("__qvec")), nProbe)
+    val cb = pqCodebook(codebook)
     cells.join(broadcast(qCells), "cell_id")
       .filter(col(idCol) =!= queryId)
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
@@ -616,6 +592,46 @@ object Similarity {
       .orderBy(col("adc_dist"), col(idCol))
       .limit(k)
   }
+
+  /** The query's nProbe nearest cells by cosine, id tiebreak — the ONE
+    * routing definition every IVF tier (flat, SQ8, indexed, PQ) goes
+    * through so the probe rule cannot drift between tiers. `q` must be a
+    * 1-row frame whose single column is the query vector.
+    */
+  private def nearestCells(cellCentroids: DataFrame, q: DataFrame,
+                           nProbe: Int): DataFrame = {
+    val qv = q.select(col(q.columns.head).as("__qv"))
+    cellCentroids.crossJoin(broadcast(qv))
+      .select(col("cell_id"),
+        cosineSimilarity(col("centroid"), col("__qv")).as("__sim"))
+      .orderBy(desc("__sim"), col("cell_id"))
+      .limit(nProbe)
+      .select("cell_id")
+  }
+
+  /** Codebook → one-row sorted struct array, VALIDATED: positional lookup
+    * (element_at(cents, cid + 1) in [[pqAdc]]) silently scores against the
+    * wrong centroid — or null, which ascending sort ranks FIRST — if cids
+    * are gapped or duplicated, so a codebook whose cids are not exactly
+    * distinct 0..k−1 fails the query loudly instead.
+    */
+  private def pqCodebook(codebook: DataFrame): DataFrame =
+    codebook
+      .select(col("cid").cast("int").as("cid"),
+        col("centroid").cast("array<double>").as("c"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("c")))).as("__raw"),
+        min(col("cid")).as("__mn"), max(col("cid")).as("__mx"),
+        count(lit(1)).as("__k"), countDistinct(col("cid")).as("__kd"))
+      .select(
+        when(col("__mn") === 0 && col("__mx") === col("__k") - 1 &&
+            col("__kd") === col("__k"), col("__raw"))
+          .otherwise(raise_error(concat(
+            lit("PQ codebook cids must be distinct and contiguous 0..k-1, got k="),
+            col("__k").cast("string"), lit(" range ["),
+            col("__mn").cast("string"), lit(", "),
+            col("__mx").cast("string"), lit("]")))
+            .cast("array<struct<cid:int,c:array<double>>>"))
+          .as("__cents"))
 
   /** Subspace length with the divisibility guard: a silent floor would
     * drop the last size % m dims from BOTH encode and ADC (quietly wrong

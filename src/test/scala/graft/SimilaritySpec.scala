@@ -269,4 +269,20 @@ class SimilaritySpec extends SparkSpec {
     // ADC of the probe against its own codes = its reconstruction error
     assert(math.abs(got(1L)._3 - (0.02 + 0.02)) < 1e-9)
   }
+
+  test("PQ codebook validation: gapped or duplicate cids fail loudly") {
+    // positional centroid lookup silently mis-scores (or null-ranks-first)
+    // on a non-0..k-1 codebook — the guard must throw instead
+    val emb = Seq((1L, Seq(0.1, 0.1, 1.9, 1.9))).toDF("vec_id", "embedding")
+    for (badCids <- Seq(Seq(0, 2), Seq(1, 2), Seq(0, 0))) {
+      val cb = badCids.map(c => (c, Seq(0.0, 0.0, 0.0, 0.0)))
+        .toDF("cid", "centroid")
+      val ex = intercept[Exception] {
+        Similarity.pqEncodeAdc(emb, cb, probeId = 1L, m = 2).collect()
+      }
+      assert(ex.getMessage.contains("contiguous") ||
+        Option(ex.getCause).exists(_.getMessage.contains("contiguous")),
+        s"cids=$badCids threw the wrong error: ${ex.getMessage}")
+    }
+  }
 }
