@@ -87,6 +87,44 @@ object EventStream {
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
                         n_events: Long, session_value: Double)
+  case class TypedEvent(event_type: String, ts: java.sql.Timestamp, value: Double)
+  case class EwmaState(s: Double, lastMs: Long, n: Long)
+  case class EwmaOut(event_type: String, ewma: Double, last_ts: Long, n_events: Long)
+
+  /** Streaming EWMA per key — the stateful-streaming twin of
+    * `Resample.ewmaSmooth`: one small (smoothed value, last-ts, count)
+    * struct per key, refreshed every micro-batch via mapGroupsWithState
+    * (Update output mode — the sink upserts the latest smoothed metric per
+    * key, the live-dashboard contract). Within a batch this key's slice is
+    * folded in (ts, value) order so the result does not depend on shuffle
+    * arrival order; across batches the state carries the running value, so
+    * the stream converges to the same left-to-right fold the batch
+    * operator computes. NoTimeout: metric keys are a small fixed set
+    * (event types), so state never needs eviction — keyed-by-user variants
+    * should add an event-time timeout like sessionizeStateful.
+    */
+  def ewmaStateful(events: DataFrame, alpha: Double = 0.3): Dataset[EwmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_type", "ts", "value").as[TypedEvent]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var cur = state.getOption
+          for (e <- sorted) {
+            cur = Some(cur match {
+              case None => EwmaState(e.value, e.ts.getTime, 1L)
+              case Some(st) =>
+                EwmaState(alpha * e.value + (1 - alpha) * st.s,
+                  math.max(st.lastMs, e.ts.getTime), st.n + 1)
+            })
+          }
+          val st = cur.get // rows is non-empty for an invoked group
+          state.update(st)
+          EwmaOut(key, st.s, st.lastMs / 1000, st.n)
+      }
+  }
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * explicit-state twin of `userSessions` (session_window), shown because

@@ -194,4 +194,28 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("stateful EWMA (mapGroupsWithState) matches the scalar fold per event type") {
+    val streamed = EventStream.ewmaStateful(
+      EventStream.read(spark, sf0001), alpha = 0.3).toDF()
+    val got = EventStream.runToMemory(spark, streamed, "ewma_stateful_test",
+      outputMode = "update")
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("ewma"), r.getAs[Long]("n_events"))).toMap
+    // reference: same (ts, value)-ordered left fold over the batch read
+    val ref = Tables.events(spark, sf0001)
+      .selectExpr("event_type", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (k, rows) =>
+        val sorted = rows.sortBy(e => (e._2, e._3))
+        k -> (sorted.tail.foldLeft(sorted.head._3)((s, e) => 0.3 * e._3 + 0.7 * s),
+          sorted.length.toLong)
+      }
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, (ewma, n)) =>
+      assert(n == ref(k)._2, s"$k count")
+      assert(math.abs(ewma - ref(k)._1) < 1e-9, s"$k ewma $ewma vs ${ref(k)._1}")
+    }
+  }
 }
