@@ -1580,6 +1580,22 @@ object SparkEntry {
           col("embedding").as("centroid"))
       Similarity.ivfPqTopK(emb, cellCentroids, codebook,
         queryId = 1L, k = 10, nProbe = 2, m = 4)
+    }),
+    "q125_ivfpq_residual_topk" -> ((s, d) => {
+      // classic residual IVF-PQ (q124 codes raw vectors): the codebook
+      // quantizes cell residuals, and ADC scores against the query's
+      // residual in each candidate's cell — exact decomposition of
+      // ||q - (cell_centroid + code_centroid)||²
+      val emb = T(s, d, "embeddings")
+      val cellCentroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      val codebook = Similarity.cellResiduals(emb, cellCentroids)
+        .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+        .select((col("vec_id") / 37).cast("int").as("cid"),
+          col("residual").as("centroid"))
+      Similarity.ivfPqResidualTopK(emb, cellCentroids, codebook,
+        queryId = 1L, k = 10, nProbe = 2, m = 4)
     }))
 
   // ---------------------------------------------------------- oracle SQL
@@ -2781,6 +2797,48 @@ object SparkEntry {
          |    list_sum(list_transform(range(1, sub + 1),
          |      i -> (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i])
          |         * (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i]))))), 6) AS adc_dist
+         |FROM enc ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+    "q125_ivfpq_residual_topk" ->
+      // q124's routing CTEs + residual construction; codes/ADC run in
+      // residual space against the per-probed-cell query residual
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
+         |  FROM v WHERE vec_id % 97 = 0),
+         |scored AS (SELECT v.vec_id, cent.cell_id,
+         |    ${cosSql("v.e", "cent.c")} AS sim
+         |  FROM v CROSS JOIN cent),
+         |assign AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |rv AS (SELECT v.vec_id, a.cell_id,
+         |    list_transform(range(1, 65), i -> v.e[i] - cent.c[i]) AS r
+         |  FROM v JOIN assign a USING (vec_id)
+         |  JOIN cent ON a.cell_id = cent.cell_id),
+         |q AS (SELECT e AS p FROM v WHERE vec_id = 1),
+         |qc AS (SELECT cell_id FROM cent, q
+         |  ORDER BY ${cosSql("c", "p")} DESC, cell_id LIMIT 2),
+         |cents AS (SELECT CAST(vec_id // 37 AS INTEGER) AS cid, r AS c
+         |  FROM rv WHERE vec_id % 37 = 0 AND vec_id // 37 < 16),
+         |cl AS (SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents,
+         |       CAST(len(min(c)) // 4 AS INTEGER) AS sub FROM cents),
+         |qr AS (SELECT cent.cell_id,
+         |    list_transform(range(1, 65), i -> q.p[i] - cent.c[i]) AS qr
+         |  FROM cent JOIN qc USING (cell_id), q),
+         |cand AS (SELECT rv.vec_id, rv.r, qr.qr FROM rv
+         |  JOIN qc USING (cell_id) JOIN qr USING (cell_id)
+         |  WHERE rv.vec_id <> 1),
+         |enc AS (SELECT vec_id, qr, cents, sub,
+         |  list_transform(range(0, 4), j ->
+         |    CAST(list_sort(list_transform(cents, cc ->
+         |      [round(list_sum(list_transform(range(1, sub + 1),
+         |         i -> (cand.r[j*sub+i] - cc.c[j*sub+i]) * (cand.r[j*sub+i] - cc.c[j*sub+i]))), 6),
+         |       CAST(cc.cid AS DOUBLE)]))[1][2] AS INTEGER)) AS codes
+         |  FROM cand, cl)
+         |SELECT vec_id, round(list_sum(list_transform(range(0, 4), j ->
+         |    list_sum(list_transform(range(1, sub + 1),
+         |      i -> (qr[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i])
+         |         * (qr[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i]))))), 6) AS adc_dist
          |FROM enc ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)
 
   /** q24's feature relation — shared verbatim by q115's logistic scorer

@@ -593,6 +593,63 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-vector IVF residual: r = v − centroid(assignedCell(v)) — the
+    * quantity classic IVF-PQ encodes (residuals cluster tightly around
+    * zero, so a fixed-size codebook quantizes them with far less error
+    * than raw vectors). One equi-join on cell_id against the k-row
+    * centroid table (AQE broadcasts it); the subtraction is elementwise
+    * IEEE double, bit-identical cross-engine.
+    */
+  def cellResiduals(emb: DataFrame, cellCentroids: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    assignCells(emb, cellCentroids, vecCol, idCol)
+      .join(cellCentroids.select(col("cell_id"),
+        col("centroid").cast("array<double>").as("__cc")), "cell_id")
+      .select(col(idCol), col("cell_id"),
+        zip_with(col(vecCol).cast("array<double>"), col("__cc"),
+          (a, b) => a - b).as("residual"))
+
+  /** Residual IVF-PQ search — the classic FAISS encoding ([[ivfPqTopK]]
+    * codes raw vectors; this tier codes [[cellResiduals]]): candidates'
+    * residual codes are ADC-scored against the QUERY'S RESIDUAL IN THE
+    * CANDIDATE'S CELL (r_q = q − cell_centroid), so
+    * ‖q − (cell_centroid + code_centroid)‖² = ‖r_q − code_centroid‖²
+    * decomposes exactly. The per-probed-cell query residuals are an
+    * nProbe-row broadcast; everything else is the shared PQ machinery.
+    * `codebook` must hold RESIDUAL-space centroids (cid 0..k−1, validated
+    * by [[pqCodebook]]).
+    */
+  def ivfPqResidualTopK(emb: DataFrame, cellCentroids: DataFrame,
+                        codebook: DataFrame, queryId: Long, k: Int,
+                        nProbe: Int = 2, m: Int = 4,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(m > 0, "m must be positive")
+    val resid = cellResiduals(emb, cellCentroids, idCol, vecCol)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    val qCells = nearestCells(cellCentroids, q, nProbe)
+    val qRes = cellCentroids.join(qCells, "cell_id")
+      .crossJoin(broadcast(q))
+      .select(col("cell_id"),
+        zip_with(col("__qvec").cast("array<double>"),
+          col("centroid").cast("array<double>"), (a, b) => a - b).as("__qr"))
+    val cb = pqCodebook(codebook)
+    resid.join(broadcast(qCells), "cell_id")
+      .filter(col(idCol) =!= queryId)
+      .join(broadcast(qRes), "cell_id")
+      .crossJoin(broadcast(cb))
+      .withColumn("__sub", pqSubLen(col("residual"), m, "ivfPqResidualTopK"))
+      .withColumn("__codes",
+        pqCodes(col("residual"), col("__cents"), m, col("__sub")))
+      .select(col(idCol),
+        round(pqAdc(col("__qr"), col("__cents"), col("__codes"), m,
+          col("__sub")), 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
   /** The query's nProbe nearest cells by cosine, id tiebreak — the ONE
     * routing definition every IVF tier (flat, SQ8, indexed, PQ) goes
     * through so the probe rule cannot drift between tiers. `q` must be a

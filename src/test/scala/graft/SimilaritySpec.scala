@@ -270,6 +270,31 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(1L)._3 - (0.02 + 0.02)) < 1e-9)
   }
 
+  test("residual IVF-PQ: hand-computed residual codes and per-cell ADC") {
+    // one cell at c=[1,0,0,0]; query q=[1,0,2,0] → r_q=[0,0,2,0];
+    // residual codebook cid0=[0,0,0,0], cid1=[0,1,1,1] (m=2, sub=2)
+    //   vec2=[1,0,1,1] → r=[0,0,1,1] → codes (0,1) → ADC = 0 + ((2-1)²+(0-1)²) = 2
+    //   vec3=c         → r=[0,0,0,0] → codes (0,0) → ADC = 0 + (2²+0²)        = 4
+    val cellCentroids = Seq((0, Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("cell_id", "centroid")
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 2.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 1.0, 1.0)),
+      (3L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val codebook = Seq(
+      (0, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1, Seq(0.0, 1.0, 1.0, 1.0))).toDF("cid", "centroid")
+    val got = Similarity.ivfPqResidualTopK(emb, cellCentroids, codebook,
+      queryId = 1L, k = 10, nProbe = 1, m = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 2.0), (3L, 4.0)))
+    // and the residual of the vector equal to its centroid is exactly zero
+    val r3 = Similarity.cellResiduals(emb, cellCentroids)
+      .filter(col("vec_id") === 3L).select("residual")
+      .head().getSeq[Double](0)
+    assert(r3 == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
   test("PQ codebook validation: gapped or duplicate cids fail loudly") {
     // positional centroid lookup silently mis-scores (or null-ranks-first)
     // on a non-0..k-1 codebook — the guard must throw instead
