@@ -1590,12 +1590,19 @@ object SparkEntry {
       val cellCentroids = emb.filter(col("vec_id") % 97 === 0)
         .select((col("vec_id") / 97).cast("int").as("cell_id"),
           col("embedding").as("centroid"))
-      val codebook = Similarity.cellResiduals(emb, cellCentroids)
+      // materialize the residual relation ONCE — the codebook derives from
+      // it AND the search scores it, and without the checkpoint the
+      // corpus-wide assign+subtract subtree would be built twice in one
+      // plan (same localCheckpoint discipline as termFrequencies/q123)
+      val resid = Similarity.cellResiduals(emb, cellCentroids)
+        .localCheckpoint()
+      val codebook = resid
         .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
         .select((col("vec_id") / 37).cast("int").as("cid"),
           col("residual").as("centroid"))
       Similarity.ivfPqResidualTopK(emb, cellCentroids, codebook,
-        queryId = 1L, k = 10, nProbe = 2, m = 4)
+        queryId = 1L, k = 10, nProbe = 2, m = 4,
+        residuals = Some(resid))
     }))
 
   // ---------------------------------------------------------- oracle SQL

@@ -578,34 +578,45 @@ object Similarity {
       .select(col(vecCol).as("__qvec"),
         col(vecCol).cast("array<double>").as("__p"))
     val qCells = nearestCells(cellCentroids, q.select(col("__qvec")), nProbe)
-    val cb = pqCodebook(codebook)
-    cells.join(broadcast(qCells), "cell_id")
+    val cands = cells.join(broadcast(qCells), "cell_id")
       .filter(col(idCol) =!= queryId)
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      .crossJoin(broadcast(cb))
       .crossJoin(broadcast(q.select(col("__p"))))
-      .withColumn("__sub", pqSubLen(col("__v"), m, "ivfPqTopK"))
-      .withColumn("__codes", pqCodes(col("__v"), col("__cents"), m, col("__sub")))
+    pqAdcRank(cands, "__v", "__p", codebook, m, k, idCol, "ivfPqTopK")
+  }
+
+  /** The shared PQ score-and-rank tail — encode the candidate's vector
+    * column, ADC against its reference column, round BEFORE the
+    * (distance, id) ranking — ONE definition for both PQ search tiers so
+    * the scoring/rounding/tiebreak rules cannot drift (the nearestCells
+    * discipline, applied to scoring).
+    */
+  private def pqAdcRank(cands: DataFrame, vecCol: String, refCol: String,
+                        codebook: DataFrame, m: Int, k: Int, idCol: String,
+                        who: String): DataFrame =
+    cands.crossJoin(broadcast(pqCodebook(codebook)))
+      .withColumn("__sub", pqSubLen(col(vecCol), m, who))
+      .withColumn("__codes",
+        pqCodes(col(vecCol), col("__cents"), m, col("__sub")))
       .select(col(idCol),
-        round(pqAdc(col("__p"), col("__cents"), col("__codes"), m,
+        round(pqAdc(col(refCol), col("__cents"), col("__codes"), m,
           col("__sub")), 6).as("adc_dist"))
       .orderBy(col("adc_dist"), col(idCol))
       .limit(k)
-  }
 
   /** Per-vector IVF residual: r = v − centroid(assignedCell(v)) — the
     * quantity classic IVF-PQ encodes (residuals cluster tightly around
     * zero, so a fixed-size codebook quantizes them with far less error
-    * than raw vectors). One equi-join on cell_id against the k-row
-    * centroid table (AQE broadcasts it); the subtraction is elementwise
+    * than raw vectors). One explicitly-broadcast equi-join on cell_id
+    * against the k-row centroid table; the subtraction is elementwise
     * IEEE double, bit-identical cross-engine.
     */
   def cellResiduals(emb: DataFrame, cellCentroids: DataFrame,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame =
     assignCells(emb, cellCentroids, vecCol, idCol)
-      .join(cellCentroids.select(col("cell_id"),
-        col("centroid").cast("array<double>").as("__cc")), "cell_id")
+      .join(broadcast(cellCentroids.select(col("cell_id"),
+        col("centroid").cast("array<double>").as("__cc"))), "cell_id")
       .select(col(idCol), col("cell_id"),
         zip_with(col(vecCol).cast("array<double>"), col("__cc"),
           (a, b) => a - b).as("residual"))
@@ -624,9 +635,14 @@ object Similarity {
                         codebook: DataFrame, queryId: Long, k: Int,
                         nProbe: Int = 2, m: Int = 4,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
+                        vecCol: String = "embedding",
+                        residuals: Option[DataFrame] = None): DataFrame = {
     require(m > 0, "m must be positive")
-    val resid = cellResiduals(emb, cellCentroids, idCol, vecCol)
+    // callers that already materialized cellResiduals (e.g. to derive the
+    // codebook from the same relation) pass it in — otherwise the corpus
+    // residual subtree would be built twice in one plan
+    val resid = residuals.getOrElse(
+      cellResiduals(emb, cellCentroids, idCol, vecCol))
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
     val qCells = nearestCells(cellCentroids, q, nProbe)
@@ -635,19 +651,11 @@ object Similarity {
       .select(col("cell_id"),
         zip_with(col("__qvec").cast("array<double>"),
           col("centroid").cast("array<double>"), (a, b) => a - b).as("__qr"))
-    val cb = pqCodebook(codebook)
-    resid.join(broadcast(qCells), "cell_id")
+    val cands = resid.join(broadcast(qCells), "cell_id")
       .filter(col(idCol) =!= queryId)
       .join(broadcast(qRes), "cell_id")
-      .crossJoin(broadcast(cb))
-      .withColumn("__sub", pqSubLen(col("residual"), m, "ivfPqResidualTopK"))
-      .withColumn("__codes",
-        pqCodes(col("residual"), col("__cents"), m, col("__sub")))
-      .select(col(idCol),
-        round(pqAdc(col("__qr"), col("__cents"), col("__codes"), m,
-          col("__sub")), 6).as("adc_dist"))
-      .orderBy(col("adc_dist"), col(idCol))
-      .limit(k)
+    pqAdcRank(cands, "residual", "__qr", codebook, m, k, idCol,
+      "ivfPqResidualTopK")
   }
 
   /** The query's nProbe nearest cells by cosine, id tiebreak — the ONE
