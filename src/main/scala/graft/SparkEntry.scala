@@ -202,7 +202,7 @@ object SparkEntry {
        |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
        |  FROM v WHERE vec_id % 97 = 0),
        |scored AS (SELECT v.vec_id, cent.cell_id,
-       |    ${cosSql("v.e", "cent.c")} AS sim
+       |    round(${cosSql("v.e", "cent.c")}, 6) AS sim
        |  FROM v CROSS JOIN cent),
        |assign AS (SELECT vec_id, cell_id FROM (
        |    SELECT vec_id, cell_id,
@@ -210,7 +210,7 @@ object SparkEntry {
        |    FROM scored) WHERE rn = 1),
        |q AS (SELECT e AS qe FROM v WHERE vec_id = 1),
        |qc AS (SELECT cell_id FROM cent, q
-       |  ORDER BY ${cosSql("c", "qe")} DESC, cell_id LIMIT 2)
+       |  ORDER BY round(${cosSql("c", "qe")}, 6) DESC, cell_id LIMIT 2)
        |SELECT v.vec_id,
        |  ${cosSql("v.e", "qe")} AS sim
        |FROM v JOIN assign USING (vec_id) JOIN qc USING (cell_id), q
@@ -1516,17 +1516,20 @@ object SparkEntry {
     }),
     "q122_snapshot_diff" -> ((s, d) => {
       // corpus version diff: v2 drops doc_id % 17, rewrites text for
-      // doc_id % 10, and appends shifted copies of doc_id % 50 — both
+      // doc_id % 10, and appends negated-id copies of doc_id % 50 — both
       // engines construct the identical snapshots, the operator reduces
       // each side to (key, portable hash) before the full-outer join so
-      // text never shuffles
+      // text never shuffles. Appended rows use -doc_id - 1: provably
+      // disjoint from genuine non-negative ids at ANY scale factor (a
+      // fixed +100000 offset would collide once documents exceeds 100k
+      // rows, silently violating snapshotDiff's keyed-table contract)
       val docs = T(s, d, "documents")
       val v2 = docs.filter(col("doc_id") % 17 =!= 0)
         .select(col("doc_id"),
           when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
         .union(docs.filter(col("doc_id") % 50 === 0)
-          .select(col("doc_id") + 100000, col("text")))
+          .select((-col("doc_id") - 1).as("doc_id"), col("text")))
       Diff.snapshotDiff(docs.select("doc_id", "text"), v2,
         Seq("doc_id"), Seq("text"),
         hashFn = cols => graft.functions.md5Hash31(cols.head))
@@ -1603,6 +1606,45 @@ object SparkEntry {
       Similarity.ivfPqResidualTopK(emb, cellCentroids, codebook,
         queryId = 1L, k = 10, nProbe = 2, m = 4,
         residuals = Some(resid))
+    }),
+    "q126_ivfpq_indexed" -> ((s, d) => {
+      // q124's semantics through the PERSISTED PQ-codes index: cell
+      // assignment + PQ encode paid once at build (codes written
+      // partitioned by cell_id), search reads nProbe pruned directories
+      // and ADC-scores STORED codes — no assignCells, no codebook
+      // recompute, no raw corpus vectors touched. Same oracle as q124.
+      val emb = T(s, d, "embeddings")
+      val cellCentroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      val codebook = emb
+        .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+        .select((col("vec_id") / 37).cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val path = s"/tmp/graft_ivfpq/raw_${tagFor(d)}"
+      Similarity.ensureIvfPqIndex(emb, cellCentroids, codebook, path, m = 4)
+      Similarity.ivfPqTopKIndexed(s, path, emb, queryId = 1L, k = 10,
+        nProbe = 2)
+    }),
+    "q127_ivfpq_residual_indexed" -> ((s, d) => {
+      // q125's semantics through the persisted index: the residual
+      // derivation (assign + subtract) AND the residual-space codebook
+      // cost land at build time only — the per-query residual subtree
+      // that made q125 the slowest steady query is gone from the search
+      // path entirely. Same oracle as q125.
+      val emb = T(s, d, "embeddings")
+      val cellCentroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      val codebook = Similarity.cellResiduals(emb, cellCentroids)
+        .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+        .select((col("vec_id") / 37).cast("int").as("cid"),
+          col("residual").as("centroid"))
+      val path = s"/tmp/graft_ivfpq/res_${tagFor(d)}"
+      Similarity.ensureIvfPqIndex(emb, cellCentroids, codebook, path,
+        m = 4, residual = true)
+      Similarity.ivfPqTopKIndexed(s, path, emb, queryId = 1L, k = 10,
+        nProbe = 2)
     }))
 
   // ---------------------------------------------------------- oracle SQL
@@ -2327,7 +2369,7 @@ object SparkEntry {
          |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
          |  FROM v WHERE vec_id % 97 = 0),
          |scored AS (SELECT v.vec_id, cent.cell_id,
-         |    ${cosSql("v.e", "cent.c")} AS sim
+         |    round(${cosSql("v.e", "cent.c")}, 6) AS sim
          |  FROM v CROSS JOIN cent),
          |assign AS (SELECT vec_id, cell_id FROM (
          |    SELECT vec_id, cell_id,
@@ -2718,7 +2760,7 @@ object SparkEntry {
          |    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
          |  FROM documents WHERE doc_id % 17 <> 0
          |  UNION ALL
-         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+         |  SELECT -doc_id - 1, text FROM documents WHERE doc_id % 50 = 0),
          |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
          |    CASE WHEN o.doc_id IS NULL THEN 'added'
          |         WHEN n.doc_id IS NULL THEN 'removed'
@@ -2771,13 +2813,21 @@ object SparkEntry {
          |  CAST(sum(len($toksSql)) AS BIGINT) AS tokens_kept,
          |  bit_xor(doc_id) AS id_checksum
          |FROM dedup GROUP BY lang""".stripMargin,
-    "q124_ivfpq_topk" ->
-      // q37's assign/probe CTEs + q119's codebook/encode CTEs, ADC-ranked
+    "q124_ivfpq_topk" -> ivfPqOracleSql,
+    "q126_ivfpq_indexed" -> ivfPqOracleSql, // tier-equivalence: same semantics
+    "q125_ivfpq_residual_topk" -> ivfPqResidualOracleSql,
+    "q127_ivfpq_residual_indexed" -> ivfPqResidualOracleSql) // tier-equivalence
+
+  /** Shared by q124 (inline encode) and q126 (persisted PQ-codes index) —
+    * both raw-vector IVF-PQ tiers must return identical neighbors:
+    * q37's assign/probe CTEs + q119's codebook/encode CTEs, ADC-ranked.
+    */
+  private lazy val ivfPqOracleSql =
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
          |  FROM v WHERE vec_id % 97 = 0),
          |scored AS (SELECT v.vec_id, cent.cell_id,
-         |    ${cosSql("v.e", "cent.c")} AS sim
+         |    round(${cosSql("v.e", "cent.c")}, 6) AS sim
          |  FROM v CROSS JOIN cent),
          |assign AS (SELECT vec_id, cell_id FROM (
          |    SELECT vec_id, cell_id,
@@ -2785,7 +2835,7 @@ object SparkEntry {
          |    FROM scored) WHERE rn = 1),
          |q AS (SELECT e AS p FROM v WHERE vec_id = 1),
          |qc AS (SELECT cell_id FROM cent, q
-         |  ORDER BY ${cosSql("c", "p")} DESC, cell_id LIMIT 2),
+         |  ORDER BY round(${cosSql("c", "p")}, 6) DESC, cell_id LIMIT 2),
          |cents AS (SELECT CAST(vec_id // 37 AS INTEGER) AS cid, e AS c
          |  FROM v WHERE vec_id % 37 = 0 AND vec_id // 37 < 16),
          |cl AS (SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents,
@@ -2804,15 +2854,18 @@ object SparkEntry {
          |    list_sum(list_transform(range(1, sub + 1),
          |      i -> (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i])
          |         * (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i]))))), 6) AS adc_dist
-         |FROM enc ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
-    "q125_ivfpq_residual_topk" ->
-      // q124's routing CTEs + residual construction; codes/ADC run in
-      // residual space against the per-probed-cell query residual
+         |FROM enc ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+
+  /** Shared by q125 (inline) and q127 (persisted index) — q124's routing
+    * CTEs + residual construction; codes/ADC run in residual space against
+    * the per-probed-cell query residual.
+    */
+  private lazy val ivfPqResidualOracleSql =
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
          |  FROM v WHERE vec_id % 97 = 0),
          |scored AS (SELECT v.vec_id, cent.cell_id,
-         |    ${cosSql("v.e", "cent.c")} AS sim
+         |    round(${cosSql("v.e", "cent.c")}, 6) AS sim
          |  FROM v CROSS JOIN cent),
          |assign AS (SELECT vec_id, cell_id FROM (
          |    SELECT vec_id, cell_id,
@@ -2824,7 +2877,7 @@ object SparkEntry {
          |  JOIN cent ON a.cell_id = cent.cell_id),
          |q AS (SELECT e AS p FROM v WHERE vec_id = 1),
          |qc AS (SELECT cell_id FROM cent, q
-         |  ORDER BY ${cosSql("c", "p")} DESC, cell_id LIMIT 2),
+         |  ORDER BY round(${cosSql("c", "p")}, 6) DESC, cell_id LIMIT 2),
          |cents AS (SELECT CAST(vec_id // 37 AS INTEGER) AS cid, r AS c
          |  FROM rv WHERE vec_id % 37 = 0 AND vec_id // 37 < 16),
          |cl AS (SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents,
@@ -2846,7 +2899,7 @@ object SparkEntry {
          |    list_sum(list_transform(range(1, sub + 1),
          |      i -> (qr[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i])
          |         * (qr[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i]))))), 6) AS adc_dist
-         |FROM enc ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)
+         |FROM enc ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
 
   /** q24's feature relation — shared verbatim by q115's logistic scorer
     * and (via the `src` parameter) the q123 capstone, so the feature

@@ -245,8 +245,10 @@ object Similarity {
   def assignCells(emb: DataFrame, centroids: DataFrame,
                   vecCol: String = "embedding", idCol: String = "vec_id",
                   centIdCol: String = "cell_id", centVecCol: String = "centroid"): DataFrame = {
+    // round-before-rank (the pqAdcRank discipline): a 1-ulp Spark/DuckDB
+    // divergence in the cosine must not flip a vector's assigned cell
     val scored = emb.crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosineSimilarity(col(vecCol), col(centVecCol)))
+      .withColumn("__sim", round(cosineSimilarity(col(vecCol), col(centVecCol)), 6))
     scored
       .groupBy(col(idCol))
       .agg(
@@ -607,9 +609,16 @@ object Similarity {
   /** Per-vector IVF residual: r = v − centroid(assignedCell(v)) — the
     * quantity classic IVF-PQ encodes (residuals cluster tightly around
     * zero, so a fixed-size codebook quantizes them with far less error
-    * than raw vectors). One explicitly-broadcast equi-join on cell_id
-    * against the k-row centroid table; the subtraction is elementwise
-    * IEEE double, bit-identical cross-engine.
+    * than raw vectors). That premise holds iff the centroids actually
+    * approximate the data: with representative (k-means-style) centroids
+    * on clustered data, E‖r‖² ≪ E‖v‖² and residual codes rank measurably
+    * closer to exact search (SimilaritySpec pins both); with arbitrary
+    * centroids on uniform unit-sphere data the subtraction GROWS the
+    * vector (random unit vectors are near-orthogonal — measured
+    * E‖r‖² ≈ 1.67 vs E‖v‖² = 1.0 on the test corpus) and the refinement
+    * buys nothing. One explicitly-broadcast equi-join on cell_id against
+    * the k-row centroid table; the subtraction is elementwise IEEE
+    * double, bit-identical cross-engine.
     */
   def cellResiduals(emb: DataFrame, cellCentroids: DataFrame,
                     idCol: String = "vec_id",
@@ -658,6 +667,135 @@ object Similarity {
       "ivfPqResidualTopK")
   }
 
+  // --------------------------------------------- persisted IVF-PQ index
+
+  /** Persist the IVF-PQ index — the missing lifecycle tier that made
+    * [[ivfPqTopK]]/[[ivfPqResidualTopK]] recompute cell assignment and
+    * codebook per query. A production ANN deployment searches a PREBUILT
+    * coded index: this writes, under `path`,
+    *
+    *   - `codes/`     — (id, codes) PARTITIONED BY cell_id: the m
+    *                    subspace codes per vector (the only corpus-sized
+    *                    relation; ~25× smaller than the raw floats), laid
+    *                    out so a probe reads only its nProbe cells'
+    *                    directories;
+    *   - `centroids/` — the k-row coarse-cell table (routing + residual
+    *                    reconstruction);
+    *   - `codebook/`  — the PQ codebook the codes were quantized with
+    *                    (validated 0..k−1 at build; storing it makes the
+    *                    index self-contained — search can never score
+    *                    against a drifted codebook);
+    *   - `meta/`      — one row (m, residual): the index is
+    *                    self-describing, so the search tier cannot be
+    *                    called with mismatched encode parameters.
+    *
+    * `residual = true` encodes [[cellResiduals]] (v − cell_centroid) —
+    * classic FAISS IVF-PQ — in which case `codebook` must hold
+    * residual-space centroids. Encode cost (corpus assign + codegen'd
+    * argmin projection) is paid ONCE here, never at query time.
+    */
+  def buildIvfPqIndex(emb: DataFrame, cellCentroids: DataFrame,
+                      codebook: DataFrame, path: String, m: Int = 4,
+                      residual: Boolean = false,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    require(m > 0, "m must be positive")
+    val assigned = assignCells(emb, cellCentroids, vecCol, idCol)
+    val encSide =
+      if (residual)
+        assigned
+          .join(broadcast(cellCentroids.select(col("cell_id"),
+            col("centroid").cast("array<double>").as("__cc"))), "cell_id")
+          .select(col(idCol), col("cell_id"),
+            zip_with(col(vecCol).cast("array<double>"), col("__cc"),
+              (a, b) => a - b).as("__ev"))
+      else
+        assigned.select(col(idCol), col("cell_id"),
+          col(vecCol).cast("array<double>").as("__ev"))
+    val codes = encSide
+      .crossJoin(broadcast(pqCodebook(codebook)))
+      .withColumn("__sub", pqSubLen(col("__ev"), m, "buildIvfPqIndex"))
+      .select(col(idCol), col("cell_id"),
+        pqCodes(col("__ev"), col("__cents"), m, col("__sub")).as("codes"))
+    graft.io.IO.writeDir(codes, s"$path/codes", partitionBy = Seq("cell_id"))
+    graft.io.IO.writeDir(cellCentroids.select(col("cell_id"),
+      col("centroid").cast("array<double>").as("centroid")), s"$path/centroids")
+    graft.io.IO.writeDir(codebook.select(col("cid").cast("int").as("cid"),
+      col("centroid").cast("array<double>").as("centroid")), s"$path/codebook")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.io.IO.writeDir(Seq((m, residual)).toDF("m", "residual"), s"$path/meta")
+  }
+
+  /** [[buildIvfPqIndex]] unless THIS SparkSession already built `path` —
+    * the same session-scoped RuntimeConfig skip (and the same staleness /
+    * race rationale) as [[ensureIvfIndex]]. Returns true iff the build ran.
+    */
+  def ensureIvfPqIndex(emb: DataFrame, cellCentroids: DataFrame,
+                       codebook: DataFrame, path: String, m: Int = 4,
+                       residual: Boolean = false,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Boolean =
+    Similarity.synchronized {
+      val conf = emb.sparkSession.conf
+      val key = s"graft.internal.ivfPqBuilt.$path"
+      if (conf.getOption(key).isDefined) false
+      else {
+        buildIvfPqIndex(emb, cellCentroids, codebook, path, m, residual,
+          idCol, vecCol)
+        conf.set(key, "true")
+        true
+      }
+    }
+
+  /** [[ivfPqTopK]]/[[ivfPqResidualTopK]] against the PERSISTED index:
+    * identical semantics (same routing, same ADC, same round-before-rank),
+    * but NOTHING corpus-sized is recomputed — the query's nProbe cells are
+    * collected first (nProbe ints), so the codes scan is statically
+    * partition-pruned to those directories, the codebook/centroids are
+    * tiny index-side reads, and ADC scores the STORED codes (no
+    * re-encode). The only touch of `emb` is the 1-row query lookup.
+    * m and the raw-vs-residual encoding come from the index's own meta.
+    */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, emb: DataFrame, queryId: Long,
+                       k: Int, nProbe: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val m = meta.getAs[Int]("m")
+    val residual = meta.getAs[Boolean]("residual")
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("__p"))
+    val probeCells: Seq[Int] = nearestCells(centroids, q, nProbe)
+      .collect().toSeq.map(_.getInt(0))
+    val codes = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("cell_id").isin(probeCells: _*)) // static partition pruning
+      .filter(col(idCol) =!= queryId)
+    val cb = pqCodebook(spark.read.parquet(s"$indexPath/codebook"))
+    // the ADC reference: the query itself (raw codes), or the query's
+    // residual in each probed cell (residual codes) — an nProbe-row
+    // broadcast, exactly ivfPqResidualTopK's decomposition
+    val ref =
+      if (residual)
+        codes.join(broadcast(
+          centroids.filter(col("cell_id").isin(probeCells: _*))
+            .crossJoin(broadcast(q))
+            .select(col("cell_id"),
+              zip_with(col("__p"), col("centroid"), (a, b) => a - b)
+                .as("__ref"))), "cell_id")
+      else
+        codes.crossJoin(broadcast(q.select(col("__p").as("__ref"))))
+    ref.crossJoin(broadcast(cb))
+      .withColumn("__sub", pqSubLen(col("__ref"), m, "ivfPqTopKIndexed"))
+      .select(col(idCol),
+        round(pqAdc(col("__ref"), col("__cents"), col("codes"), m,
+          col("__sub")), 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
   /** The query's nProbe nearest cells by cosine, id tiebreak — the ONE
     * routing definition every IVF tier (flat, SQ8, indexed, PQ) goes
     * through so the probe rule cannot drift between tiers. `q` must be a
@@ -666,9 +804,10 @@ object Similarity {
   private def nearestCells(cellCentroids: DataFrame, q: DataFrame,
                            nProbe: Int): DataFrame = {
     val qv = q.select(col(q.columns.head).as("__qv"))
+    // round-before-rank: the probed cell set must be cross-engine stable
     cellCentroids.crossJoin(broadcast(qv))
       .select(col("cell_id"),
-        cosineSimilarity(col("centroid"), col("__qv")).as("__sim"))
+        round(cosineSimilarity(col("centroid"), col("__qv")), 6).as("__sim"))
       .orderBy(desc("__sim"), col("cell_id"))
       .limit(nProbe)
       .select("cell_id")

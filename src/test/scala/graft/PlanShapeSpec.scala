@@ -216,6 +216,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(pruned.contains("cell_id"), s) // static pruning reached the scan
   }
 
+  test("persisted IVF-PQ index: search prunes to nProbe cells, recomputes nothing") {
+    // the round-6 'weak' fix: the search plan must read the STORED codes
+    // (partition-pruned), never re-run cell assignment (assignCells'
+    // argmax aggregate) or re-encode the corpus — the only touch of the
+    // raw embeddings table is the 1-row query lookup
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val cellCentroids = emb.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") / 97).cast("int").as("cell_id"),
+        col("embedding").as("centroid"))
+    val codebook = emb
+      .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+      .select((col("vec_id") / 37).cast("int").as("cid"),
+        col("embedding").as("centroid"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    graft.ops.Similarity.buildIvfPqIndex(emb, cellCentroids, codebook,
+      s"$dir/pq", m = 4)
+    val probe = graft.ops.Similarity.ivfPqTopKIndexed(
+      spark, s"$dir/pq", emb, queryId = 1L, k = 10, nProbe = 2)
+    assert(probe.count() == 10)
+    val s = planString(probe)
+    val pruned = s.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pruned.contains("cell_id"), s) // static pruning reached the codes scan
+    // no assignCells in the search path (its argmax internals would appear)
+    assert(!s.contains("negcell"), s)
+    // the raw corpus is scanned exactly once — the pushed-down query lookup
+    val embScans = s.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("embeddings")).toSeq
+    assert(embScans.size == 1, s)
+    assert(s.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,1)"), s)
+  }
+
   test("termFrequencies tokenizes once: one Generate over one file scan") {
     // the round-4/5 single-tokenize contract, plan-gated: the shared
     // (doc, term, tf) relation reads the text column exactly once — a

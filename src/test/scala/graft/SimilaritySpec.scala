@@ -310,4 +310,133 @@ class SimilaritySpec extends SparkSpec {
         s"cids=$badCids threw the wrong error: ${ex.getMessage}")
     }
   }
+
+  // ------------------------------------------------ persisted IVF-PQ index
+
+  /** q124/q126's deterministic demo centroids + codebook derivations. */
+  private def ivfPqFixtures() = {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cellCentroids = emb.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") / 97).cast("int").as("cell_id"),
+        col("embedding").as("centroid"))
+    val rawCodebook = emb
+      .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+      .select((col("vec_id") / 37).cast("int").as("cid"),
+        col("embedding").as("centroid"))
+    (emb, cellCentroids, rawCodebook)
+  }
+
+  test("persisted IVF-PQ index: indexed search equals inline search, builds once") {
+    val (emb, cellCentroids, rawCodebook) = ivfPqFixtures()
+    val resid = Similarity.cellResiduals(emb, cellCentroids).localCheckpoint()
+    val resCodebook = resid
+      .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+      .select((col("vec_id") / 37).cast("int").as("cid"),
+        col("residual").as("centroid"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    // raw-coded tier ≡ ivfPqTopK
+    assert(Similarity.ensureIvfPqIndex(emb, cellCentroids, rawCodebook,
+      s"$base/raw", m = 4))
+    assert(!Similarity.ensureIvfPqIndex(emb, cellCentroids, rawCodebook,
+      s"$base/raw", m = 4)) // session skip
+    val rawIndexed = Similarity.ivfPqTopKIndexed(spark, s"$base/raw", emb,
+      queryId = 1L, k = 10, nProbe = 2).as[(Long, Double)].collect().toSeq
+    val rawInline = Similarity.ivfPqTopK(emb, cellCentroids, rawCodebook,
+      queryId = 1L, k = 10, nProbe = 2, m = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(rawIndexed == rawInline)
+    assert(rawIndexed.size == 10)
+    // residual-coded tier ≡ ivfPqResidualTopK (meta carries residual=true,
+    // so the same search entry point scores against per-cell query residuals)
+    assert(Similarity.ensureIvfPqIndex(emb, cellCentroids, resCodebook,
+      s"$base/res", m = 4, residual = true))
+    val resIndexed = Similarity.ivfPqTopKIndexed(spark, s"$base/res", emb,
+      queryId = 1L, k = 10, nProbe = 2).as[(Long, Double)].collect().toSeq
+    val resInline = Similarity.ivfPqResidualTopK(emb, cellCentroids,
+      resCodebook, queryId = 1L, k = 10, nProbe = 2, m = 4,
+      residuals = Some(resid)).as[(Long, Double)].collect().toSeq
+    assert(resIndexed == resInline)
+    assert(resIndexed.size == 10)
+    // the two encodings rank differently (the residual refinement is not a
+    // no-op on real data)
+    assert(rawIndexed != resIndexed)
+  }
+
+  test("residual PQ recall: residual codes recover exact neighbors at least as well as raw codes") {
+    // the residual encoding's reason to exist (Similarity.cellResiduals
+    // doc): WHEN the coarse centroids approximate the data, residuals
+    // cluster around zero, so the same-size codebook quantizes them with
+    // less error → ADC ranking closer to exact. That premise is a property
+    // of the DATA: on the uniform unit-sphere embeddings fixture with
+    // arbitrary sampled centroids it measurably fails (mean ‖v‖² = 1.0 but
+    // mean ‖v − nearest centroid‖² ≈ 1.67 — random unit vectors are
+    // near-orthogonal, so subtracting a non-representative centroid GROWS
+    // the vector), and residual recall ties/loses there. So the gate runs
+    // where the encoding is for — clustered data with centroids at the
+    // cluster centers — and pins BOTH the premise (residual norms shrink)
+    // and the payoff (recall@k vs exact L2, same cells probed, same (m, k)
+    // budget, so any difference is quantization alone). Deterministic
+    // trig-generated fixture; summed over one query per cluster.
+    val dim = 16
+    val groups = 8
+    val n = 200
+    def center(g: Int): Seq[Double] =
+      (0 until dim).map(d => math.sin(g * 31.0 + d * 7.0))
+    def vec(i: Int): Seq[Double] = {
+      val c = center(i % groups)
+      (0 until dim).map(d => c(d) + 0.15 * math.sin(i * 17.3 + d * 2.9))
+    }
+    val emb = (0 until n).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val cellCentroids = (0 until groups).map(g => (g, center(g)))
+      .toDF("cell_id", "centroid")
+    // same derivation family as q124/q125: 16 sampled rows as codewords
+    val rawCodebook = (0 until 16).map(i => (i, vec(i * 11)))
+      .toDF("cid", "centroid")
+    val resid = Similarity.cellResiduals(emb, cellCentroids).localCheckpoint()
+    val resCodebook = resid.filter(col("vec_id") % 11 === 0 &&
+        col("vec_id") / 11 < 16)
+      .select((col("vec_id") / 11).cast("int").as("cid"),
+        col("residual").as("centroid"))
+    // the premise: with representative centroids the residuals SHRINK
+    val meanV = emb.select(avg(aggregate(col("embedding"),
+      lit(0.0), (a, x) => a + x * x))).head.getDouble(0)
+    val meanR = resid.select(avg(aggregate(col("residual"),
+      lit(0.0), (a, x) => a + x * x))).head.getDouble(0)
+    assert(meanR < meanV / 10,
+      s"residuals did not shrink: mean‖r‖²=$meanR vs mean‖v‖²=$meanV")
+    val k = 10
+    def exactL2TopK(qid: Long): Set[Long] = {
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").as("__p"))
+      emb.filter(col("vec_id") =!= qid)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          aggregate(zip_with(col("embedding"), col("__p"),
+            (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(k)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    var rawHits = 0
+    var resHits = 0
+    for (qid <- 1L to groups.toLong) {
+      val exact = exactL2TopK(qid)
+      val raw = Similarity.ivfPqTopK(emb, cellCentroids, rawCodebook,
+        queryId = qid, k = k, nProbe = 2, m = 4)
+        .select("vec_id").as[Long].collect().toSet
+      val res = Similarity.ivfPqResidualTopK(emb, cellCentroids, resCodebook,
+        queryId = qid, k = k, nProbe = 2, m = 4, residuals = Some(resid))
+        .select("vec_id").as[Long].collect().toSet
+      rawHits += (raw intersect exact).size
+      resHits += (res intersect exact).size
+    }
+    val total = groups * k
+    assert(resHits >= rawHits,
+      s"residual recall $resHits/$total fell below raw $rawHits/$total")
+    // the refinement must be a real improvement here, not a tie of noise
+    assert(resHits > rawHits,
+      s"residual recall $resHits/$total did not beat raw $rawHits/$total " +
+        "on clustered data — the refinement is ornamental")
+    assert(resHits > total / 2, s"residual tier weak: $resHits/$total")
+  }
 }

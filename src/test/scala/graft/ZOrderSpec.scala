@@ -64,7 +64,13 @@ class ZOrderSpec extends SparkSpec {
     Layout.writeZOrdered(pts, "x", "y", s"$dir/t", numFiles = 16, bits = 6)
     val files = new java.io.File(s"$dir/t").listFiles()
       .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
-    assert(files.length == 16)
+    // repartitionByRange samples its boundaries, so an unlucky sample can
+    // leave a range empty (an empty partition writes no part file) —
+    // assert a band, not exactly 16, consistent with the slack on the
+    // span-pruning bound below
+    assert(files.length >= 8 && files.length <= 16,
+      s"expected 8..16 part files, got ${files.length}")
+    assert(spark.read.parquet(s"$dir/t").count() == 64L * 64L)
     val spans = files.map { f =>
       val r = spark.read.parquet(f.getAbsolutePath)
         .agg(min("x"), max("x"), min("y"), max("y")).head()
