@@ -1645,6 +1645,37 @@ object SparkEntry {
         m = 4, residual = true)
       Similarity.ivfPqTopKIndexed(s, path, emb, queryId = 1L, k = 10,
         nProbe = 2)
+    }),
+    "q128_ivf_batch_topk" -> ((s, d) => {
+      // batch ANN: 50 probes' top-3 in ONE pass — one corpus cell
+      // assignment, distributed probe routing (no per-query driver
+      // collect), one equi-join for candidates, GroupedTopK finish.
+      // The single-query tiers would run 50 separate jobs for this.
+      val emb = T(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      Similarity.ivfTopKBatch(emb, centroids, col("vec_id") < 50,
+        k = 3, nProbe = 2)
+    }),
+    "q129_ivfpq_batch_topk" -> ((s, d) => {
+      // batch probes over the PERSISTED residual PQ index — the full
+      // composition: q127's index built once (shared path — ensure
+      // makes the two queries cost one build), then 50 probes routed,
+      // residual-decomposed, and ADC-scored in one plan over stored codes
+      val emb = T(s, d, "embeddings")
+      val cellCentroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      val codebook = Similarity.cellResiduals(emb, cellCentroids)
+        .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+        .select((col("vec_id") / 37).cast("int").as("cid"),
+          col("residual").as("centroid"))
+      val path = s"/tmp/graft_ivfpq/res_${tagFor(d)}"
+      Similarity.ensureIvfPqIndex(emb, cellCentroids, codebook, path,
+        m = 4, residual = true)
+      Similarity.ivfPqTopKBatch(s, path, emb, col("vec_id") < 50,
+        k = 3, nProbe = 2)
     }))
 
   // ---------------------------------------------------------- oracle SQL
@@ -2816,7 +2847,84 @@ object SparkEntry {
     "q124_ivfpq_topk" -> ivfPqOracleSql,
     "q126_ivfpq_indexed" -> ivfPqOracleSql, // tier-equivalence: same semantics
     "q125_ivfpq_residual_topk" -> ivfPqResidualOracleSql,
-    "q127_ivfpq_residual_indexed" -> ivfPqResidualOracleSql) // tier-equivalence
+    "q127_ivfpq_residual_indexed" -> ivfPqResidualOracleSql, // tier-equivalence
+    "q128_ivf_batch_topk" ->
+      // q37's assign CTEs + per-probe routing (rounded rank, cell_id
+      // tiebreak — the nearestCells discipline) + per-probe top-3
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
+         |  FROM v WHERE vec_id % 97 = 0),
+         |scored AS (SELECT v.vec_id, cent.cell_id,
+         |    round(${cosSql("v.e", "cent.c")}, 6) AS sim
+         |  FROM v CROSS JOIN cent),
+         |assign AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 50),
+         |proute AS (SELECT probe_id, cell_id, pe FROM (
+         |    SELECT p.probe_id, cent.cell_id, p.pe,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(${cosSql("cent.c", "p.pe")}, 6) DESC, cent.cell_id) AS rn
+         |    FROM probes p CROSS JOIN cent) WHERE rn <= 2),
+         |cand AS (SELECT pr.probe_id, v.vec_id,
+         |    ${cosSql("v.e", "pr.pe")} AS sim
+         |  FROM v JOIN assign a USING (vec_id)
+         |  JOIN proute pr ON a.cell_id = pr.cell_id
+         |  WHERE v.vec_id <> pr.probe_id)
+         |SELECT probe_id, vec_id, sim FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM cand) WHERE rn <= 3""".stripMargin,
+    "q129_ivfpq_batch_topk" ->
+      // q125's residual/encode CTEs (every vector coded ONCE, as the
+      // index stores them) + q128's per-probe routing; ADC runs against
+      // the probe's residual in the candidate's cell
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
+         |  FROM v WHERE vec_id % 97 = 0),
+         |scored AS (SELECT v.vec_id, cent.cell_id,
+         |    round(${cosSql("v.e", "cent.c")}, 6) AS sim
+         |  FROM v CROSS JOIN cent),
+         |assign AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |rv AS (SELECT v.vec_id, a.cell_id,
+         |    list_transform(range(1, 65), i -> v.e[i] - cent.c[i]) AS r
+         |  FROM v JOIN assign a USING (vec_id)
+         |  JOIN cent ON a.cell_id = cent.cell_id),
+         |cents AS (SELECT CAST(vec_id // 37 AS INTEGER) AS cid, r AS c
+         |  FROM rv WHERE vec_id % 37 = 0 AND vec_id // 37 < 16),
+         |cl AS (SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents,
+         |       CAST(len(min(c)) // 4 AS INTEGER) AS sub FROM cents),
+         |enc AS (SELECT vec_id, cell_id, cents, sub,
+         |  list_transform(range(0, 4), j ->
+         |    CAST(list_sort(list_transform(cents, cc ->
+         |      [round(list_sum(list_transform(range(1, sub + 1),
+         |         i -> (rv.r[j*sub+i] - cc.c[j*sub+i]) * (rv.r[j*sub+i] - cc.c[j*sub+i]))), 6),
+         |       CAST(cc.cid AS DOUBLE)]))[1][2] AS INTEGER)) AS codes
+         |  FROM rv, cl),
+         |probes AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 50),
+         |proute AS (SELECT probe_id, cell_id, pe FROM (
+         |    SELECT p.probe_id, cent.cell_id, p.pe,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY round(${cosSql("cent.c", "p.pe")}, 6) DESC, cent.cell_id) AS rn
+         |    FROM probes p CROSS JOIN cent) WHERE rn <= 2),
+         |qr AS (SELECT pr.probe_id, pr.cell_id,
+         |    list_transform(range(1, 65), i -> pr.pe[i] - cent.c[i]) AS qr
+         |  FROM proute pr JOIN cent USING (cell_id)),
+         |adc AS (SELECT qr.probe_id, enc.vec_id,
+         |    round(list_sum(list_transform(range(0, 4), j ->
+         |      list_sum(list_transform(range(1, sub + 1),
+         |        i -> (qr.qr[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i])
+         |           * (qr.qr[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i]))))), 6) AS adc_dist
+         |  FROM enc JOIN qr USING (cell_id)
+         |  WHERE enc.vec_id <> qr.probe_id)
+         |SELECT probe_id, vec_id, adc_dist FROM (
+         |  SELECT probe_id, vec_id, adc_dist,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_dist, vec_id) AS rn
+         |  FROM adc) WHERE rn <= 3""".stripMargin)
 
   /** Shared by q124 (inline encode) and q126 (persisted PQ-codes index) —
     * both raw-vector IVF-PQ tiers must return identical neighbors:

@@ -402,6 +402,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch IVF top-k: every probe's k nearest neighbors in ONE pass — the
+    * shape a real retrieval pipeline needs (thousands of probes per batch),
+    * where the single-query tiers ([[ivfTopK]] etc.) would run one Spark
+    * job per probe. No per-query work anywhere:
+    *
+    *   - the corpus is cell-assigned ONCE ([[assignCells]] — one scan);
+    *   - ALL probes route together: probes × k-row broadcast centroids,
+    *     top-nProbe cells per probe via the bounded-buffer
+    *     [[graft.plans.TopK.perGroup]] (no per-probe driver collect — the
+    *     routing that [[ivfTopKIndexed]] does driver-side for one query
+    *     stays distributed here);
+    *   - candidates come from ONE equi-join of the cell table against the
+    *     broadcast (probe_id, cell_id, vec) routing table — the corpus
+    *     never shuffles, and each candidate row is scored with exactly one
+    *     cosine;
+    *   - per-probe top-k is GroupedTopK partial/final — no window sort.
+    *
+    * Same routing/rounding discipline as [[nearestCells]] (round to 6
+    * before the (sim, cell) rank). The probe set must be broadcast-sized
+    * (Q·nProbe routing rows); for probe sets beyond broadcast, block the
+    * probes like [[nearestNeighborBlocked]] does. At scale, point `cells`
+    * work at a persisted index ([[buildIvfIndex]]) instead of the inline
+    * assignment by reading it before calling — the search body is
+    * identical.
+    */
+  def ivfTopKBatch(emb: DataFrame, centroids: DataFrame, probeFilter: Column,
+                   k: Int, nProbe: Int = 2,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = assignCells(emb, centroids, vecCol, idCol)
+    val probes = emb.filter(probeFilter)
+      .select(col(idCol).as("probe_id"),
+        col(vecCol).cast("array<double>").as("__pv"))
+    val routed = probes
+      .crossJoin(broadcast(centroids.select(col("cell_id"), col("centroid"))))
+      .select(col("probe_id"), col("__pv"), col("cell_id"),
+        round(cosineSimilarity(col("centroid"), col("__pv")), 6).as("__csim"))
+    val probeCells = graft.plans.TopK.perGroup(routed, Seq("probe_id"),
+      Seq(("__csim", true), ("cell_id", false)), nProbe)
+      .select("probe_id", "__pv", "cell_id")
+    val cands = cells.join(broadcast(probeCells), Seq("cell_id"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol),
+        cosineSimilarity(col(vecCol), col("__pv")).as("sim"))
+    graft.plans.TopK.perGroup(cands, Seq("probe_id"),
+      Seq(("sim", true), (idCol, false)), k)
+  }
+
   /** IVF-SQ8: IVF probing over int8-quantized vectors — the memory tier
     * production ANN systems ship (corpus held as int8 codes + a per-vector
     * scale: 8× smaller than float64, so 8× more corpus per executor and
@@ -794,6 +841,50 @@ object Similarity {
           col("__sub")), 6).as("adc_dist"))
       .orderBy(col("adc_dist"), col(idCol))
       .limit(k)
+  }
+
+  /** Batch PQ search over the PERSISTED index ([[buildIvfPqIndex]]):
+    * [[ivfTopKBatch]]'s one-pass shape applied to stored codes. All
+    * probes route together (distributed — no driver collect of probe
+    * cells, so no static partition pruning; instead the cell_id equi-join
+    * against the broadcast routing table prunes dynamically), and the ADC
+    * reference per (probe, cell) — the probe vector raw, or the probe's
+    * residual in that cell — is carried ON the routing table, so the
+    * residual decomposition costs one zip_with over Q·nProbe broadcast
+    * rows. One scan of the codes, one equi-join, GroupedTopK finish.
+    */
+  def ivfPqTopKBatch(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, emb: DataFrame, probeFilter: Column,
+                     k: Int, nProbe: Int = 2,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val m = meta.getAs[Int]("m")
+    val residual = meta.getAs[Boolean]("residual")
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val probes = emb.filter(probeFilter)
+      .select(col(idCol).as("probe_id"),
+        col(vecCol).cast("array<double>").as("__pv"))
+    val routed = probes
+      .crossJoin(broadcast(centroids.select(col("cell_id"), col("centroid"))))
+      .select(col("probe_id"), col("__pv"), col("cell_id"), col("centroid"),
+        round(cosineSimilarity(col("centroid"), col("__pv")), 6).as("__csim"))
+    val probeCells = graft.plans.TopK.perGroup(routed, Seq("probe_id"),
+      Seq(("__csim", true), ("cell_id", false)), nProbe)
+      .select(col("probe_id"), col("cell_id"),
+        (if (residual) zip_with(col("__pv"), col("centroid"), (a, b) => a - b)
+         else col("__pv")).as("__ref"))
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val cb = pqCodebook(spark.read.parquet(s"$indexPath/codebook"))
+    val scored = codes.join(broadcast(probeCells), Seq("cell_id"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .crossJoin(broadcast(cb))
+      .withColumn("__sub", pqSubLen(col("__ref"), m, "ivfPqTopKBatch"))
+      .select(col("probe_id"), col(idCol),
+        round(pqAdc(col("__ref"), col("__cents"), col("codes"), m,
+          col("__sub")), 6).as("adc_dist"))
+    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+      Seq(("adc_dist", false), (idCol, false)), k)
   }
 
   /** The query's nProbe nearest cells by cosine, id tiebreak — the ONE

@@ -249,6 +249,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,1)"), s)
   }
 
+  test("batch ANN probes: one plan whose scan count is probe-count-independent") {
+    // 50 probes must not mean 50 jobs or 50 scans: the batch tier is ONE
+    // declarative plan; growing the probe set changes only a pushed-down
+    // filter constant, never the plan shape. Candidates come from a
+    // BROADCAST of the routing table — the corpus side never shuffles
+    // for the join.
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val centroids = emb.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") / 97).cast("int").as("cell_id"),
+        col("embedding").as("centroid"))
+    def scans(n: Int): Int = planString(
+      graft.ops.Similarity.ivfTopKBatch(emb, centroids,
+        col("vec_id") < n, k = 3, nProbe = 2))
+      .linesIterator.count(_.contains("FileScan"))
+    assert(scans(10) == scans(50))
+    val s = planString(graft.ops.Similarity.ivfTopKBatch(emb, centroids,
+      col("vec_id") < 50, k = 3, nProbe = 2))
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(s.contains("GroupedTopK"), s) // bounded-buffer finish, no window sort
+    assert(!s.contains("Window"), s)
+  }
+
   test("termFrequencies tokenizes once: one Generate over one file scan") {
     // the round-4/5 single-tokenize contract, plan-gated: the shared
     // (doc, term, tf) relation reads the text column exactly once — a

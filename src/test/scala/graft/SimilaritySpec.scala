@@ -362,6 +362,45 @@ class SimilaritySpec extends SparkSpec {
     assert(rawIndexed != resIndexed)
   }
 
+  test("batch ANN: one-pass batch tiers match the single-query tiers per probe") {
+    val (emb, cellCentroids, rawCodebook) = ivfPqFixtures()
+    // flat IVF: ivfTopKBatch ≡ ivfTopK for every probe
+    val batch = Similarity.ivfTopKBatch(emb, cellCentroids,
+      col("vec_id") < 5, k = 5, nProbe = 2)
+      .select("probe_id", "vec_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (-t._3, t._2)).map(t => (t._2, t._3)).toSeq)
+      .toMap
+    assert(batch.keySet == (0L until 5L).toSet)
+    for (qid <- 0L until 5L) {
+      val single = Similarity.ivfTopK(emb, cellCentroids, qid, k = 5,
+        nProbe = 2).as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == single, s"probe $qid diverged")
+    }
+    // PQ-over-index: ivfPqTopKBatch ≡ ivfPqTopKIndexed for every probe
+    val resCodebook = Similarity.cellResiduals(emb, cellCentroids)
+      .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+      .select((col("vec_id") / 37).cast("int").as("cid"),
+        col("residual").as("centroid"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_batch")
+      .toString + "/res"
+    Similarity.buildIvfPqIndex(emb, cellCentroids, resCodebook, path,
+      m = 4, residual = true)
+    val pqBatch = Similarity.ivfPqTopKBatch(spark, path, emb,
+      col("vec_id") < 5, k = 5, nProbe = 2)
+      .select("probe_id", "vec_id", "adc_dist")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._3, t._2)).map(t => (t._2, t._3)).toSeq)
+      .toMap
+    for (qid <- 0L until 5L) {
+      val single = Similarity.ivfPqTopKIndexed(spark, path, emb, qid,
+        k = 5, nProbe = 2).as[(Long, Double)].collect().toSeq
+      assert(pqBatch(qid) == single, s"PQ probe $qid diverged")
+    }
+  }
+
   test("residual PQ recall: residual codes recover exact neighbors at least as well as raw codes") {
     // the residual encoding's reason to exist (Similarity.cellResiduals
     // doc): WHEN the coarse centroids approximate the data, residuals
