@@ -460,11 +460,20 @@ object Dedup {
       // (decimal(38) accumulator: 10^11 nodes × 10^11 max id overflows long)
       val nextSum = next.agg(sum(col("label").cast("decimal(38,0)")))
         .head().getDecimal(0)
+      // `next` is materialized (eager checkpoint) — this round's
+      // intermediate and the superseded labels blocks are dead; release
+      // them now rather than accumulating 2·rounds checkpoints until
+      // driver GC (the long-session memory-pressure source)
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(viaNeighbors)
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(labels)
       labels = next
       converged = nextSum.compareTo(labelSum) == 0
       labelSum = nextSum
       iter += 1
     }
+    // the returned labels checkpoint is self-contained — the edge
+    // materialization's blocks are dead once the loop ends
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(edges)
     // callers cannot distinguish converged from truncated labels from the
     // output alone — be loud when maxIter ran out (pointer doubling makes
     // this O(log diameter), so hitting the cap means a pathological graph

@@ -271,10 +271,29 @@ object Similarity {
     * scale-killer at real k (1024+). Hash sampling can seed near-duplicate
     * centroids, but Lloyd iterations + the kept-centroid rule for emptied
     * cells recover cluster spread (ClusterSpec pins separation recall).
+    *
+    * Two long-session disciplines: (1) EARLY EXIT — Lloyd stops when the
+    * total squared centroid movement falls below `tol` (one k-row scalar
+    * agg per round, the CC-convergence pattern), so a generous iteration
+    * budget doesn't pay full price after convergence; (2) BLOCK RELEASE —
+    * each round's superseded centroid checkpoint (and the input
+    * materialization, at exit) is explicitly unpersisted once its
+    * successor is materialized, so only the RETURNED centroids' blocks
+    * outlive the call instead of `iterations + 1` dead ones waiting for
+    * driver GC.
     */
   def kmeansCentroids(emb: DataFrame, k: Int, iterations: Int = 5,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      seed: Long = 42L): DataFrame = {
+                      seed: Long = 42L, tol: Double = 1e-9): DataFrame =
+    kmeansCentroidsWithRounds(emb, k, iterations, idCol, vecCol, seed, tol)._1
+
+  /** [[kmeansCentroids]] + the number of Lloyd rounds actually run —
+    * separated so ClusterSpec can pin the early exit.
+    */
+  private[graft] def kmeansCentroidsWithRounds(
+      emb: DataFrame, k: Int, iterations: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, tol: Double = 1e-9): (DataFrame, Int) = {
     val spark = emb.sparkSession
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .localCheckpoint(true)
@@ -294,7 +313,9 @@ object Similarity {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType)))))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    var rounds = 0
+    var moved = Double.MaxValue
+    while (rounds < iterations && moved > tol) {
       val assigned = assignCells(v, centroids, "__v", idCol)
       val means = assigned
         .select(col("cell_id"), posexplode(col("__v")).as(Seq("__dim", "__x")))
@@ -312,13 +333,27 @@ object Similarity {
           when(col("__n") > 0, zip_with(col("centroid"),
             array_repeat(col("__n"), size(col("centroid"))), (x, n) => x / n))
             .otherwise(col("centroid")).as("centroid"))
-      centroids = centroids.alias("o")
+      val next = centroids.alias("o")
         .join(normalized.alias("m"), Seq("cell_id"), "left")
         .select(col("cell_id"),
           coalesce(col("m.centroid"), col("o.centroid")).as("centroid"))
         .localCheckpoint(true)
+      // early exit: total squared centroid movement (k-row join, one
+      // scalar to the driver — the Dedup.clusterNearDups convergence
+      // pattern). Runs BEFORE the release so both checkpoints are live.
+      moved = centroids.alias("a").join(next.alias("b"), Seq("cell_id"))
+        .select(aggregate(zip_with(col("a.centroid"), col("b.centroid"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x).as("__d2"))
+        .agg(coalesce(sum(col("__d2")), lit(0.0))).head().getDouble(0)
+      // the superseded round's centroid blocks are dead — release them now
+      // instead of leaving `iterations` checkpoints for driver GC
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(centroids)
+      centroids = next
+      rounds += 1
     }
-    centroids
+    // only the returned centroids' blocks outlive the call
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(v)
+    (centroids, rounds)
   }
 
   /** Persist the IVF index: the assigned cell table written PARTITIONED by

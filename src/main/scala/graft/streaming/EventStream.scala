@@ -273,6 +273,33 @@ object EventStream {
       .foreachBatch((batch: Dataset[Row], _: Long) =>
         upsertDailyTotals(batch.toDF(), dest))
 
+  /** File-source stream over the `documents` table (same directory-glob
+    * contract as [[read]]) — the corpus-side input for streaming text
+    * hygiene twins.
+    */
+  def readDocuments(spark: SparkSession, dir: String,
+                    glob: String = "documents.parquet"): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+
+  /** Streaming PII scrub — the streaming twin of q112:
+    * [[graft.ops.Redact.scrub]] is a stateless map-only projection
+    * (codegen'd regex chain), so it applies to an unbounded stream
+    * unchanged: no watermark, no state store, per-row cost identical to
+    * batch. StreamingSpec pins the output to the batch scrub exactly.
+    */
+  def scrubbedDocuments(docs: DataFrame): DataFrame =
+    graft.ops.Redact.scrub(docs, "text")
+      .select(col("doc_id"), col("lang"), col("redacted"),
+        col("n_emails"), col("n_ips"), col("n_phones"))
+
   /** Run a streaming DataFrame to completion against a bounded file source
     * via the memory sink; returns the materialized result. Used by tests
     * and demos ("batch drives the stream", spark_guide.md).

@@ -28,4 +28,26 @@ object ColumnBridge {
   def cacheManagerIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.isEmpty
+
+  /** Unpersist the BlockManager blocks backing a `localCheckpoint`ed
+    * frame — the explicit release path for iterative operators whose
+    * per-round checkpoints would otherwise pile up until driver GC
+    * triggers the ContextCleaner (a real memory-pressure source in
+    * long-running sessions: hundreds of dead checkpoint blocks compete
+    * with shuffle/execution memory). Walks the analyzed plan for its
+    * LogicalRDD leaves and unpersists their RDDs; precise (only THIS
+    * frame's blocks — no get-persistent-RDDs diffing that could race
+    * with concurrent queries) and a no-op on non-checkpointed frames.
+    *
+    * ONLY call on frames whose blocks nothing will read again:
+    * localCheckpoint truncates lineage, so a released block cannot be
+    * recomputed — a consumer that still needs it fails with a missing-
+    * block error rather than silently recomputing.
+    */
+  def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }

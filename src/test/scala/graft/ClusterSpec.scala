@@ -89,6 +89,41 @@ class ClusterSpec extends SparkSpec {
     assert(evenCells.size == 1 && oddCells.size == 1 && evenCells != oddCells)
   }
 
+  test("kmeansCentroids exits early on a converged fixture and releases superseded blocks") {
+    // two tight, well-separated clusters: assignment is stable after the
+    // first mean update, so the movement delta hits zero long before a
+    // generous iteration budget — the early exit must fire
+    val vecs = (0 until 30).map { i =>
+      if (i % 2 == 0) (i.toLong, Array(1.0f, 0.0f, 0.0f))
+      else (i.toLong, Array(0.0f, 1.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val (centroids, rounds) =
+      Similarity.kmeansCentroidsWithRounds(vecs, k = 2, iterations = 50)
+    assert(rounds < 50, s"ran all $rounds rounds — early exit never fired")
+    assert(rounds >= 1)
+    assert(centroids.count() == 2) // result unchanged by the exit/release
+    // block hygiene: only the RETURNED centroids' checkpoint survives the
+    // call — every superseded round (and the input materialization) is gone
+    val added = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(added.size == 1,
+      s"${added.size} persistent RDDs outlive the call (expected 1: the result)")
+    // cleanup so later tests see a quiet BlockManager
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(centroids)
+  }
+
+  test("clusterNearDups releases all per-round checkpoint blocks except the result") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val labels = Dedup.clusterNearDups(pairs)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val added = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(added.size == 1,
+      s"${added.size} persistent RDDs outlive the call (expected 1: the result)")
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(labels)
+  }
+
   test("ivfTopK: probing the right cells finds the brute-force neighbors") {
     val emb = Tables.embeddings(spark, sf0001)
     val centroids = emb.filter(col("vec_id") % 97 === 0)

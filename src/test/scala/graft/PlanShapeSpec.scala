@@ -272,6 +272,56 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("Window"), s)
   }
 
+  test("AQE skew join splits the hot partition at runtime (skew marker in final plan)") {
+    // the runtime half of the skew-tool story (ops/Salting is the static
+    // half): with adaptive skew-join on, a sort-merge join whose build of
+    // one shuffle partition dwarfs the rest must be re-planned with the
+    // hot partition split — visible as the skew marker on the final
+    // adaptive plan. Thresholds are lowered so the fixture-sized hot key
+    // (one key carrying ~40k padded rows vs ~20 for the rest) trips the
+    // same detection that fires at 100 TB defaults.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit, md5}
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+      // payload must be INCOMPRESSIBLE-ish: skew detection reads compressed
+      // map-output sizes, and a constant pad deflates the hot partition
+      // right back under the byte threshold (md5 hex ≈ random → ~1 B/char)
+      val left = ((1 to 40000).map(i => (0L, i.toLong)) ++
+          (1L to 200L).flatMap(k => (0 until 20).map(i => (k, i.toLong))))
+        .toDF("k", "rid")
+        .withColumn("payload", concat(
+          md5(concat(col("k").cast("string"), lit("_"), col("rid").cast("string"))),
+          md5(concat(col("rid").cast("string"), lit("_"), col("k").cast("string")))))
+        .drop("rid")
+      val right = (0L to 200L).toDF("k")
+        .withColumn("dim", concat(lit("d"), col("k").cast("string")))
+      val joined = left.join(right, "k")
+      // execute THIS dataframe's own QueryExecution (count()/agg() build a
+      // different one — the join's plan would never finalize)
+      assert(joined.collect().length == 40000 + 200 * 20)
+      val s = joined.queryExecution.executedPlan.toString
+      assert(s.contains("skew=true") || s.contains("skewed"),
+        s"no skew split in the final adaptive plan:\n$s")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("termFrequencies tokenizes once: one Generate over one file scan") {
     // the round-4/5 single-tokenize contract, plan-gated: the shared
     // (doc, term, tf) relation reads the text column exactly once — a

@@ -218,4 +218,21 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(ewma - ref(k)._1) < 1e-9, s"$k ewma $ewma vs ${ref(k)._1}")
     }
   }
+
+  test("streaming PII scrub matches the batch scrub row for row") {
+    // Redact.scrub is stateless map-only, so the stream twin must equal
+    // the batch output EXACTLY (same regex chain, same counts) — append
+    // mode, no watermark, no state store
+    val streamed = EventStream.scrubbedDocuments(
+      EventStream.readDocuments(spark, sf0001))
+    val got = EventStream.runToMemory(spark, streamed, "scrub_stream_test")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    val ref = graft.ops.Redact.scrub(Tables.documents(spark, sf0001), "text")
+      .select("doc_id", "redacted", "n_emails", "n_ips", "n_phones")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got.size == ref.size && got.nonEmpty)
+    assert(got == ref)
+  }
 }
