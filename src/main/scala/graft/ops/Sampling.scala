@@ -114,6 +114,22 @@ object Sampling {
   def sampleToMixture(df: DataFrame, domainCol: String, idCol: String,
                       sharesPct: Map[String, Int],
                       outPct: Int = 60): DataFrame = {
+    df.join(broadcast(mixtureRatesFrame(df, domainCol, sharesPct, outPct)),
+        domainCol)
+      .filter(portableGate(col(idCol), col("__ppm"), 1000000L))
+      // the join hoists its key to the front — restore the input schema
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** The (domain → parts-per-million keep rate) relation
+    * [[sampleToMixture]] gates with — ONE derivation for the inline batch
+    * sampler, the collected rate table ([[mixtureRatesPpm]]), and through
+    * it the streaming gate, so the integer rate math cannot drift between
+    * deployment shapes.
+    */
+  private def mixtureRatesFrame(df: DataFrame, domainCol: String,
+                                sharesPct: Map[String, Int],
+                                outPct: Int): DataFrame = {
     require(outPct >= 0 && outPct <= 100, "outPct must be in [0, 100]")
     require(sharesPct.values.forall(s => s >= 0 && s <= 100),
       "each share must be in [0, 100]")
@@ -122,16 +138,43 @@ object Sampling {
     val share = sharesPct.foldLeft(lit(0)) { case (acc, (k, v)) =>
       when(col(domainCol) === k, v).otherwise(acc)
     }
-    val ratesResolved = counts.crossJoin(broadcast(total))
+    counts.crossJoin(broadcast(total))
       .withColumn("__share", share)
       .select(col(domainCol),
         least(lit(1000000L),
           expr("(1000000 * (((__total * " + outPct +
             ") DIV 100) * __share DIV 100)) DIV __nd")).as("__ppm"))
-    df.join(broadcast(ratesResolved), domainCol)
-      .filter(portableGate(col(idCol), col("__ppm"), 1000000L))
-      // the join hoists its key to the front — restore the input schema
-      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Collect the mixture rate table to a driver map (#domains rows — tiny
+    * by construction): the "periodic rate refresh" producer for the
+    * streaming mixture gate. The rates a stream applies are necessarily a
+    * SNAPSHOT — the batch derivation needs global counts, which an
+    * unbounded stream cannot see — so production recomputes this from the
+    * latest corpus snapshot on a schedule and restarts the gate with it.
+    */
+  def mixtureRatesPpm(df: DataFrame, domainCol: String,
+                      sharesPct: Map[String, Int],
+                      outPct: Int = 60): Map[String, Long] =
+    mixtureRatesFrame(df, domainCol, sharesPct, outPct)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Stateless mixture gate against FROZEN parts-per-million rates — the
+    * streaming twin of [[sampleToMixture]]'s gate stage: a map-only
+    * filter (same [[portableGate]] hash, same integer ppm bound), so it
+    * applies to an unbounded stream with no watermark or state store and
+    * selects bit-identical row sets to the batch sampler when given
+    * [[mixtureRatesPpm]] of the same corpus. Domains absent from `rates`
+    * are dropped, like the batch inner join drops them.
+    */
+  def mixtureGate(df: DataFrame, rates: Map[String, Long],
+                  domainCol: String, idCol: String): DataFrame = {
+    require(rates.values.forall(r => r >= 0L && r <= 1000000L),
+      "each rate must be in [0, 1000000] ppm")
+    val ppm = rates.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(domainCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(portableGate(col(idCol), ppm, 1000000L))
   }
 
   /** Token-budget trimming per domain (data-budget enforcement): keep the

@@ -219,6 +219,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming mixture gate with frozen rates matches the batch sampler row set") {
+    // the deployable streaming shape: rates snapshotted from the corpus
+    // (mixtureRatesPpm — the periodic-refresh producer), then a stateless
+    // map-only gate over the stream. Given the SAME snapshot, the stream
+    // must select the bit-identical row set the batch sampler selects.
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, sf0001)
+    val shares = Map("en" -> 70, "de" -> 30)
+    val rates = Sampling.mixtureRatesPpm(docs, "lang", shares, outPct = 40)
+    // unlisted domains carry rate 0 (the batch inner join + zero gate drop
+    // them identically); the shared domains must carry a real rate
+    assert(rates("en") > 0L && rates("de") > 0L)
+    assert(rates.filterNot(kv => shares.contains(kv._1)).values.forall(_ == 0L))
+    val streamed = Sampling.mixtureGate(
+      EventStream.readDocuments(spark, sf0001), rates, "lang", "doc_id")
+      .select("doc_id", "lang")
+    val got = EventStream.runToMemory(spark, streamed, "mixture_gate_test")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Sampling.sampleToMixture(docs, "lang", "doc_id", shares,
+      outPct = 40)
+      .select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
+
   test("streaming PII scrub matches the batch scrub row for row") {
     // Redact.scrub is stateless map-only, so the stream twin must equal
     // the batch output EXACTLY (same regex chain, same counts) — append
