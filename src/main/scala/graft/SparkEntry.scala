@@ -1676,6 +1676,49 @@ object SparkEntry {
         m = 4, residual = true)
       Similarity.ivfPqTopKBatch(s, path, emb, col("vec_id") < 50,
         k = 3, nProbe = 2)
+    }),
+    "q130_ivfpq_incremental" -> ((s, d) => {
+      // index MAINTENANCE: build the PQ index on the first 400 vectors,
+      // upsert the rest incrementally (encoded against the STORED
+      // codebook, touched cell partitions dynamically overwritten) —
+      // the result must be indistinguishable from a full build, so the
+      // search shares q124/q126's oracle. Centroids/codebook derive from
+      // the FULL corpus (the fixed %97/%37 rules) in both phases, exactly
+      // as a production ingest encodes against the trained, frozen model.
+      val emb = T(s, d, "embeddings")
+      val cellCentroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      val codebook = emb
+        .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+        .select((col("vec_id") / 37).cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val path = s"/tmp/graft_ivfpq/incr_${tagFor(d)}"
+      val key = s"graft.internal.ivfPqIncrBuilt.$path"
+      // build+append once per session (the ensure lifecycle, spanning
+      // both maintenance steps); append alone is an idempotent upsert
+      if (s.conf.getOption(key).isEmpty) {
+        Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 400),
+          cellCentroids, codebook, path, m = 4)
+        Similarity.appendToIvfPqIndex(s, path,
+          emb.filter(col("vec_id") >= 400))
+        s.conf.set(key, "true")
+      }
+      Similarity.ivfPqTopKIndexed(s, path, emb, queryId = 1L, k = 10,
+        nProbe = 2)
+    }),
+    "q131_ivf_batch_indexed" -> ((s, d) => {
+      // q128's batch search over the PERSISTED flat index (q77's index —
+      // ensure makes the pair cost one build): no per-batch corpus
+      // assignment, candidates read from the stored cell partitions
+      val emb = T(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      val path = s"/tmp/graft_ivf/${tagFor(d)}"
+      Similarity.ensureIvfIndex(emb, centroids, path)
+      Similarity.ivfTopKBatchIndexed(s, path, centroids,
+        col("vec_id") < 50, k = 3, nProbe = 2)
     }))
 
   // ---------------------------------------------------------- oracle SQL
@@ -2846,11 +2889,18 @@ object SparkEntry {
          |FROM dedup GROUP BY lang""".stripMargin,
     "q124_ivfpq_topk" -> ivfPqOracleSql,
     "q126_ivfpq_indexed" -> ivfPqOracleSql, // tier-equivalence: same semantics
+    "q130_ivfpq_incremental" -> ivfPqOracleSql, // build+append ≡ full build
     "q125_ivfpq_residual_topk" -> ivfPqResidualOracleSql,
     "q127_ivfpq_residual_indexed" -> ivfPqResidualOracleSql, // tier-equivalence
-    "q128_ivf_batch_topk" ->
-      // q37's assign CTEs + per-probe routing (rounded rank, cell_id
-      // tiebreak — the nearestCells discipline) + per-probe top-3
+    "q128_ivf_batch_topk" -> ivfBatchOracleSql,
+    "q131_ivf_batch_indexed" -> ivfBatchOracleSql, // tier-equivalence
+    "q129_ivfpq_batch_topk" -> ivfPqBatchOracleSql)
+
+  /** Shared by q128 (inline assignment) and q131 (persisted flat index) —
+    * q37's assign CTEs + per-probe routing (rounded rank, cell_id
+    * tiebreak — the nearestCells discipline) + per-probe top-3.
+    */
+  private lazy val ivfBatchOracleSql =
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
          |  FROM v WHERE vec_id % 97 = 0),
@@ -2875,11 +2925,13 @@ object SparkEntry {
          |SELECT probe_id, vec_id, sim FROM (
          |  SELECT probe_id, vec_id, sim,
          |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
-         |  FROM cand) WHERE rn <= 3""".stripMargin,
-    "q129_ivfpq_batch_topk" ->
-      // q125's residual/encode CTEs (every vector coded ONCE, as the
-      // index stores them) + q128's per-probe routing; ADC runs against
-      // the probe's residual in the candidate's cell
+         |  FROM cand) WHERE rn <= 3""".stripMargin
+
+  /** q129: q125's residual/encode CTEs (every vector coded ONCE, as the
+    * index stores them) + q128's per-probe routing; ADC runs against the
+    * probe's residual in the candidate's cell.
+    */
+  private lazy val ivfPqBatchOracleSql =
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
          |  FROM v WHERE vec_id % 97 = 0),
@@ -2924,7 +2976,7 @@ object SparkEntry {
          |SELECT probe_id, vec_id, adc_dist FROM (
          |  SELECT probe_id, vec_id, adc_dist,
          |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_dist, vec_id) AS rn
-         |  FROM adc) WHERE rn <= 3""".stripMargin)
+         |  FROM adc) WHERE rn <= 3""".stripMargin
 
   /** Shared by q124 (inline encode) and q126 (persisted PQ-codes index) —
     * both raw-vector IVF-PQ tiers must return identical neighbors:

@@ -464,9 +464,37 @@ object Similarity {
     */
   def ivfTopKBatch(emb: DataFrame, centroids: DataFrame, probeFilter: Column,
                    k: Int, nProbe: Int = 2,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cells = assignCells(emb, centroids, vecCol, idCol)
-    val probes = emb.filter(probeFilter)
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfBatchBody(assignCells(emb, centroids, vecCol, idCol), emb, centroids,
+      probeFilter, k, nProbe, idCol, vecCol)
+
+  /** [[ivfTopKBatch]] against the PERSISTED flat index
+    * ([[buildIvfIndex]]): identical semantics, but the cell table is the
+    * stored one — no per-batch corpus assignment. Probes come from the
+    * index itself (it carries the vectors); the candidate equi-join on
+    * cell_id prunes the index scan dynamically against the broadcast
+    * routing table. Completes the tier grid: every search (flat/PQ ×
+    * single/batch) now has an indexed form.
+    */
+  def ivfTopKBatchIndexed(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, centroids: DataFrame,
+                          probeFilter: Column, k: Int, nProbe: Int = 2,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val index = spark.read.parquet(indexPath)
+    ivfBatchBody(index, index, centroids, probeFilter, k, nProbe,
+      idCol, vecCol)
+  }
+
+  /** The ONE batch flat-IVF search body (inline and indexed tiers):
+    * distributed probe routing, candidate equi-join against the broadcast
+    * routing table, GroupedTopK finish.
+    */
+  private def ivfBatchBody(cells: DataFrame, probeSrc: DataFrame,
+                           centroids: DataFrame, probeFilter: Column,
+                           k: Int, nProbe: Int,
+                           idCol: String, vecCol: String): DataFrame = {
+    val probes = probeSrc.filter(probeFilter)
       .select(col(idCol).as("probe_id"),
         col(vecCol).cast("array<double>").as("__pv"))
     val routed = probes
@@ -782,6 +810,26 @@ object Similarity {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): Unit = {
     require(m > 0, "m must be positive")
+    val codes = encodeCodes(emb, cellCentroids, codebook, m, residual,
+      idCol, vecCol, "buildIvfPqIndex")
+    graft.io.IO.writeDir(codes, s"$path/codes", partitionBy = Seq("cell_id"))
+    graft.io.IO.writeDir(cellCentroids.select(col("cell_id"),
+      col("centroid").cast("array<double>").as("centroid")), s"$path/centroids")
+    graft.io.IO.writeDir(codebook.select(col("cid").cast("int").as("cid"),
+      col("centroid").cast("array<double>").as("centroid")), s"$path/codebook")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.io.IO.writeDir(Seq((m, residual)).toDF("m", "residual"), s"$path/meta")
+  }
+
+  /** assign → (optionally residual-ize) → PQ-encode: the ONE encode
+    * definition for the index build and the incremental append, so stored
+    * codes cannot drift between the two write paths.
+    */
+  private def encodeCodes(emb: DataFrame, cellCentroids: DataFrame,
+                          codebook: DataFrame, m: Int, residual: Boolean,
+                          idCol: String, vecCol: String,
+                          who: String): DataFrame = {
     val assigned = assignCells(emb, cellCentroids, vecCol, idCol)
     val encSide =
       if (residual)
@@ -794,19 +842,58 @@ object Similarity {
       else
         assigned.select(col(idCol), col("cell_id"),
           col(vecCol).cast("array<double>").as("__ev"))
-    val codes = encSide
+    encSide
       .crossJoin(broadcast(pqCodebook(codebook)))
-      .withColumn("__sub", pqSubLen(col("__ev"), m, "buildIvfPqIndex"))
+      .withColumn("__sub", pqSubLen(col("__ev"), m, who))
       .select(col(idCol), col("cell_id"),
         pqCodes(col("__ev"), col("__cents"), m, col("__sub")).as("codes"))
-    graft.io.IO.writeDir(codes, s"$path/codes", partitionBy = Seq("cell_id"))
-    graft.io.IO.writeDir(cellCentroids.select(col("cell_id"),
-      col("centroid").cast("array<double>").as("centroid")), s"$path/centroids")
-    graft.io.IO.writeDir(codebook.select(col("cid").cast("int").as("cid"),
-      col("centroid").cast("array<double>").as("centroid")), s"$path/codebook")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    graft.io.IO.writeDir(Seq((m, residual)).toDF("m", "residual"), s"$path/meta")
+  }
+
+  /** Incremental index maintenance: upsert a NEW batch of vectors into a
+    * persisted IVF-PQ index without rebuilding it. The batch is encoded
+    * against the STORED centroids and codebook (the only valid encode
+    * basis — a re-derived codebook would silently mis-score every old
+    * code), merged with the existing codes of the TOUCHED cells only
+    * (batch ids replace their old rows — upsert, so re-appending is
+    * idempotent), and those cell partitions are dynamically overwritten
+    * in place. Cost ∝ batch size + touched-cell sizes, never the corpus —
+    * the operational shape of a daily embedding-ingest at 100 TB
+    * (same read-merge-overwrite discipline as
+    * [[graft.streaming.EventStream.upsertDailyTotals]]).
+    *
+    * Staleness note: appending does NOT retrain centroids/codebook; as the
+    * distribution drifts the quantization degrades — production pairs this
+    * with a rebuild trigger on cell-size skew. That rebuild is
+    * [[buildIvfPqIndex]].
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, newEmb: DataFrame,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val m = meta.getAs[Int]("m")
+    val residual = meta.getAs[Boolean]("residual")
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val codebook = spark.read.parquet(s"$indexPath/codebook")
+    // materialized: consumed by the touched-cell collect, the anti-join,
+    // and the overwrite — and it must be computed BEFORE the write starts
+    // rewriting the directory it logically derives nothing from (the new
+    // codes never read the codes dir, but the merge below does)
+    val newCodes = encodeCodes(newEmb, centroids, codebook, m, residual,
+      idCol, vecCol, "appendToIvfPqIndex").localCheckpoint()
+    val touched: Seq[Int] = newCodes.select("cell_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      val existing = spark.read.parquet(s"$indexPath/codes")
+        .filter(col("cell_id").isin(touched: _*)) // partition-pruned read
+        .join(newCodes.select(col(idCol)), Seq(idCol), "left_anti") // upsert
+        .select(col(idCol), col("cell_id"), col("codes"))
+      graft.io.IO.overwritePartitions(
+        existing.unionByName(
+          newCodes.select(col(idCol), col("cell_id"), col("codes"))),
+        s"$indexPath/codes", Seq("cell_id"))
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(newCodes)
   }
 
   /** [[buildIvfPqIndex]] unless THIS SparkSession already built `path` —

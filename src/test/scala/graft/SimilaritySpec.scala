@@ -362,6 +362,40 @@ class SimilaritySpec extends SparkSpec {
     assert(rawIndexed != resIndexed)
   }
 
+  test("appendToIvfPqIndex: build+append equals full build, upsert is idempotent") {
+    val (emb, cellCentroids, rawCodebook) = ivfPqFixtures()
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_incr").toString
+    def codesOf(path: String): Map[Long, (Int, Seq[Int])] =
+      spark.read.parquet(s"$path/codes")
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Int]("cell_id"), r.getAs[Seq[Int]]("codes"))).toMap
+    // full build = the reference state
+    Similarity.buildIvfPqIndex(emb, cellCentroids, rawCodebook,
+      s"$base/full", m = 4)
+    val full = codesOf(s"$base/full")
+    // subset build + incremental append must reproduce it exactly
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 300),
+      cellCentroids, rawCodebook, s"$base/incr", m = 4)
+    Similarity.appendToIvfPqIndex(spark, s"$base/incr",
+      emb.filter(col("vec_id") >= 300))
+    assert(codesOf(s"$base/incr") == full)
+    // re-appending the same batch is an upsert no-op
+    Similarity.appendToIvfPqIndex(spark, s"$base/incr",
+      emb.filter(col("vec_id") >= 300))
+    assert(codesOf(s"$base/incr") == full)
+    // upserting a MODIFIED vector replaces its codes (and possibly its
+    // cell) rather than duplicating the id
+    val moved = emb.filter(col("vec_id") === 7L)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => -x)
+          .as("embedding"))
+    Similarity.appendToIvfPqIndex(spark, s"$base/incr", moved)
+    val after = codesOf(s"$base/incr")
+    assert(after.size == full.size)
+    assert(after(7L) != full(7L), "modified vector kept its old codes")
+    assert((after - 7L) == (full - 7L), "untouched ids changed")
+  }
+
   test("batch ANN: one-pass batch tiers match the single-query tiers per probe") {
     val (emb, cellCentroids, rawCodebook) = ivfPqFixtures()
     // flat IVF: ivfTopKBatch ≡ ivfTopK for every probe
