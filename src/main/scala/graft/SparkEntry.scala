@@ -1719,6 +1719,17 @@ object SparkEntry {
       Similarity.ensureIvfIndex(emb, centroids, path)
       Similarity.ivfTopKBatchIndexed(s, path, centroids,
         col("vec_id") < 50, k = 3, nProbe = 2)
+    }),
+    "q132_distribution_drift" -> ((s, d) => {
+      // post-ingest monitoring: language-mix drift between the corpus and
+      // its q122-style next snapshot (drops %17, appends %50) — per-lang
+      // counts/probabilities + Jensen-Shannon contribution; sum(js_term)
+      // is the alertable JSD. Snapshots are scanned once each, never
+      // shuffled (two map-side counts + a categories-sized join).
+      val docs = T(s, d, "documents")
+      val v2 = docs.filter(col("doc_id") % 17 =!= 0).select("lang")
+        .union(docs.filter(col("doc_id") % 50 === 0).select("lang"))
+      Diff.distributionDrift(docs.select("lang"), v2, "lang")
     }))
 
   // ---------------------------------------------------------- oracle SQL
@@ -2894,7 +2905,31 @@ object SparkEntry {
     "q127_ivfpq_residual_indexed" -> ivfPqResidualOracleSql, // tier-equivalence
     "q128_ivf_batch_topk" -> ivfBatchOracleSql,
     "q131_ivf_batch_indexed" -> ivfBatchOracleSql, // tier-equivalence
-    "q129_ivfpq_batch_topk" -> ivfPqBatchOracleSql)
+    "q129_ivfpq_batch_topk" -> ivfPqBatchOracleSql,
+    "q132_distribution_drift" ->
+      // probabilities rounded to 6 BEFORE the JS math, term after —
+      // mirrors Diff.distributionDrift's round-before-derive exactly
+      """WITH old AS (SELECT lang FROM documents),
+        |new AS (SELECT lang FROM documents WHERE doc_id % 17 <> 0
+        |        UNION ALL SELECT lang FROM documents WHERE doc_id % 50 = 0),
+        |c1 AS (SELECT lang, count(*) AS n_v1 FROM old GROUP BY lang),
+        |c2 AS (SELECT lang, count(*) AS n_v2 FROM new GROUP BY lang),
+        |j AS (SELECT coalesce(c1.lang, c2.lang) AS lang,
+        |        coalesce(n_v1, 0) AS n_v1, coalesce(n_v2, 0) AS n_v2
+        |      FROM c1 FULL OUTER JOIN c2 USING (lang)),
+        |t AS (SELECT sum(n_v1) AS t1, sum(n_v2) AS t2 FROM j),
+        |p AS (SELECT lang, n_v1, n_v2,
+        |        round(n_v1 / CAST(t1 AS DOUBLE), 6) AS p_v1,
+        |        round(n_v2 / CAST(t2 AS DOUBLE), 6) AS p_v2
+        |      FROM j, t)
+        |SELECT lang, CAST(n_v1 AS BIGINT) AS n_v1, CAST(n_v2 AS BIGINT) AS n_v2,
+        |  p_v1, p_v2,
+        |  round(CASE WHEN p_v1 = 0 THEN 0
+        |             ELSE 0.5 * p_v1 * ln(p_v1 / ((p_v1 + p_v2) / 2)) END
+        |      + CASE WHEN p_v2 = 0 THEN 0
+        |             ELSE 0.5 * p_v2 * ln(p_v2 / ((p_v1 + p_v2) / 2)) END, 6)
+        |    AS js_term
+        |FROM p""".stripMargin)
 
   /** Shared by q128 (inline assignment) and q131 (persisted flat index) —
     * q37's assign CTEs + per-probe routing (rounded rank, cell_id

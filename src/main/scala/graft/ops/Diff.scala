@@ -46,4 +46,42 @@ object Diff {
       .select(keyCols.map(col) :+ status.as("status"): _*)
     if (includeUnchanged) res else res.filter(col("status") =!= "unchanged")
   }
+
+  /** Categorical distribution drift between two corpus snapshots — the
+    * monitoring primitive a training-data pipeline runs after every
+    * ingest: per-category counts and probabilities on each side plus the
+    * category's Jensen-Shannon divergence contribution (JS rather than
+    * KL: symmetric, and finite when a category exists on only one side).
+    * `sum(js_term)` over the output is JSD(v1 ‖ v2) in nats, bounded by
+    * ln 2 — alert when it crosses a threshold. For NUMERIC drift, pass a
+    * bucketed derivation as `catCol` (e.g. `floor(col/width)` aliased) —
+    * the categorical machinery is the histogram comparison.
+    *
+    * Scale shape: one map-side-combinable count per side (#categories
+    * rows each), a categories-sized full-outer join, totals as a 1-row
+    * broadcast — the snapshots themselves are never shuffled, only
+    * scanned. Probabilities are rounded to 6 BEFORE the JS math and the
+    * term after (the round-before-derive discipline), so an independent
+    * engine reproduces every row bit-for-bit.
+    */
+  def distributionDrift(v1: DataFrame, v2: DataFrame,
+                        catCol: String): DataFrame = {
+    val c1 = v1.groupBy(col(catCol)).agg(count(lit(1)).as("n_v1"))
+    val c2 = v2.groupBy(col(catCol)).agg(count(lit(1)).as("n_v2"))
+    val joined = c1.join(c2, Seq(catCol), "full_outer")
+      .select(col(catCol),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+    val totals = joined.agg(sum(col("n_v1")).as("__t1"),
+      sum(col("n_v2")).as("__t2"))
+    def jsHalf(p: Column, m: Column): Column =
+      when(p === 0.0, lit(0.0)).otherwise(lit(0.5) * p * log(p / m))
+    val m = (col("p_v1") + col("p_v2")) / 2.0
+    joined.crossJoin(broadcast(totals))
+      .select(col(catCol), col("n_v1"), col("n_v2"),
+        round(col("n_v1") / col("__t1").cast("double"), 6).as("p_v1"),
+        round(col("n_v2") / col("__t2").cast("double"), 6).as("p_v2"))
+      .withColumn("js_term", round(
+        jsHalf(col("p_v1"), m) + jsHalf(col("p_v2"), m), 6))
+  }
 }

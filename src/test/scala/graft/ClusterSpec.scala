@@ -124,6 +124,29 @@ class ClusterSpec extends SparkSpec {
     org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(labels)
   }
 
+  test("kmeans → persisted IVF end-to-end: trained centroids route an indexed probe") {
+    // the full production composition: train centroids on the corpus,
+    // persist the partitioned index, probe it — no DuckDB oracle exists
+    // for iterative float state, so the pins are tier equality (indexed
+    // == inline on the same centroids) and recall against exact search
+    val emb = Tables.embeddings(spark, sf0001)
+    val centroids = Similarity.kmeansCentroids(emb, k = 8, iterations = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmeans_ivf").toString
+    Similarity.buildIvfIndex(emb, centroids, s"$dir/ivf")
+    val indexed = Similarity.ivfTopKIndexed(spark, s"$dir/ivf", centroids,
+      queryId = 1L, k = 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val inline = Similarity.ivfTopK(emb, centroids, queryId = 1L, k = 10,
+      nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(indexed == inline) // tier equivalence under trained centroids
+    val exact = Similarity.cosineTopK(emb, queryId = 1L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert((indexed.toSet intersect exact).size >= 3,
+      s"recall too low: indexed=$indexed exact=$exact")
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(centroids)
+  }
+
   test("ivfTopK: probing the right cells finds the brute-force neighbors") {
     val emb = Tables.embeddings(spark, sf0001)
     val centroids = emb.filter(col("vec_id") % 97 === 0)

@@ -44,4 +44,27 @@ class DiffSpec extends SparkSpec {
       2L -> "unchanged",                 // null hash on both sides
       3L -> "unchanged"))
   }
+
+  test("distributionDrift: identical snapshots drift zero, one-sided categories stay finite") {
+    val v1 = Seq("a", "a", "a", "b").toDF("c")
+    // identical distributions → every js_term is exactly 0
+    val same = Diff.distributionDrift(v1, v1, "c")
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(same == Map("a" -> 0.0, "b" -> 0.0))
+    // category 'b' vanishes, 'c' appears: both one-sided terms are finite
+    // (JS, not KL) and total JSD stays within the ln 2 bound
+    val v2 = Seq("a", "a", "c", "c").toDF("c")
+    val drift = Diff.distributionDrift(v1, v2, "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    assert(drift("b")._1 == 1L && drift("b")._2 == 0L)
+    assert(drift("c")._1 == 0L && drift("c")._2 == 2L)
+    assert(drift.values.forall(t => !t._3.isNaN && !t._3.isInfinite))
+    val jsd = drift.values.map(_._3).sum
+    assert(jsd > 0.0 && jsd <= math.log(2.0) + 1e-9, s"jsd=$jsd")
+    // hand-check one term: category 'a' has p=0.75, q=0.5, m=0.625
+    val expectedA = 0.5 * 0.75 * math.log(0.75 / 0.625) +
+      0.5 * 0.5 * math.log(0.5 / 0.625)
+    assert(math.abs(drift("a")._3 - expectedA) < 1e-6)
+  }
 }
