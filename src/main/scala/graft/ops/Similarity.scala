@@ -896,6 +896,41 @@ object Similarity {
     org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(newCodes)
   }
 
+  /** Compact a persisted IVF-PQ index's codes back to one file per cell.
+    * Every [[appendToIvfPqIndex]] rewrites its touched cell partitions
+    * with as many files as tasks produced rows for the cell, so a
+    * long-running ingest fragments the very directories the probe's
+    * partition pruning is meant to make cheap (the classic small-files
+    * tax: open/footer cost per file, tiny row groups, dead columnar
+    * compression). One shuffle keyed on the partition column → each cell
+    * lands in exactly one task → one file per cell directory.
+    *
+    * Written to a sibling staging dir and swapped in with two FS renames,
+    * NOT overwritten in place — a static overwrite would delete the input
+    * mid-read, and at 100 TB staging+swap is also what keeps concurrent
+    * readers on a consistent snapshot (they hold the old file listing).
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): Unit = {
+    val src = s"$indexPath/codes"
+    val staging = s"$indexPath/codes_compacting"
+    val retired = s"$indexPath/codes_retired"
+    graft.io.IO.writeDir(
+      spark.read.parquet(src).repartition(col("cell_id")),
+      staging, partitionBy = Seq("cell_id"))
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val stagingP = new org.apache.hadoop.fs.Path(staging)
+    val retiredP = new org.apache.hadoop.fs.Path(retired)
+    fs.delete(retiredP, true)
+    if (!fs.rename(srcP, retiredP) || !fs.rename(stagingP, srcP))
+      throw new java.io.IOException(
+        s"compactIvfPqIndex: swap failed for $indexPath — codes may be at " +
+          s"$retired (old) / $staging (new); resolve manually")
+    fs.delete(retiredP, true)
+  }
+
   /** [[buildIvfPqIndex]] unless THIS SparkSession already built `path` —
     * the same session-scoped RuntimeConfig skip (and the same staleness /
     * race rationale) as [[ensureIvfIndex]]. Returns true iff the build ran.

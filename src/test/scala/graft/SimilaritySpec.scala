@@ -396,6 +396,42 @@ class SimilaritySpec extends SparkSpec {
     assert((after - 7L) == (full - 7L), "untouched ids changed")
   }
 
+  test("compactIvfPqIndex: one file per cell after fragmenting appends, codes unchanged") {
+    val (emb, cellCentroids, rawCodebook) = ivfPqFixtures()
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_compact").toString
+    def codesOf(path: String): Map[Long, (Int, Seq[Int])] =
+      spark.read.parquet(s"$path/codes")
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Int]("cell_id"), r.getAs[Seq[Int]]("codes"))).toMap
+    def filesPerCell(path: String): Map[String, Int] =
+      new java.io.File(s"$path/codes").listFiles()
+        .filter(_.getName.startsWith("cell_id="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet") && f.length > 0))
+        .toMap
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 200),
+      cellCentroids, rawCodebook, s"$base/idx", m = 4)
+    Similarity.appendToIvfPqIndex(spark, s"$base/idx",
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 350))
+    Similarity.appendToIvfPqIndex(spark, s"$base/idx",
+      emb.filter(col("vec_id") >= 350))
+    val before = codesOf(s"$base/idx")
+    assert(filesPerCell(s"$base/idx").values.exists(_ > 1),
+      "appends did not fragment — the fixture no longer exercises compaction")
+    Similarity.compactIvfPqIndex(spark, s"$base/idx")
+    assert(filesPerCell(s"$base/idx").values.forall(_ == 1),
+      s"cells still fragmented: ${filesPerCell(s"$base/idx")}")
+    assert(codesOf(s"$base/idx") == before)
+    // and the index still searches identically to a full one-shot build
+    Similarity.buildIvfPqIndex(emb, cellCentroids, rawCodebook,
+      s"$base/full", m = 4)
+    val a = Similarity.ivfPqTopKIndexed(spark, s"$base/idx", emb, 1L, 10, 2)
+      .as[(Long, Double)].collect().toSeq
+    val b = Similarity.ivfPqTopKIndexed(spark, s"$base/full", emb, 1L, 10, 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(a == b)
+  }
+
   test("batch ANN: one-pass batch tiers match the single-query tiers per probe") {
     val (emb, cellCentroids, rawCodebook) = ivfPqFixtures()
     // flat IVF: ivfTopKBatch ≡ ivfTopK for every probe
