@@ -1044,6 +1044,73 @@ object Similarity {
       Seq(("adc_dist", false), (idCol, false)), k)
   }
 
+  /** Cell-size statistics for a persisted index's codes — the staleness
+    * diagnostic [[appendToIvfPqIndex]]'s drift caveat calls for: appends
+    * never retrain centroids, so distribution drift shows up as cell-size
+    * skew. One scan of the codes (map-side-combinable count per cell), a
+    * 1-row median broadcast back; alert/rebuild when max ratio_to_median
+    * crosses a policy threshold. Works on flat ([[buildIvfIndex]]) and PQ
+    * ([[buildIvfPqIndex]] — pass `path/codes`) indexes alike.
+    */
+  def indexCellStats(spark: org.apache.spark.sql.SparkSession,
+                     codesPath: String): DataFrame = {
+    val counts = spark.read.parquet(codesPath)
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+    val med = counts.agg(
+      expr("percentile(n, 0.5D)").as("__med"))
+    counts.crossJoin(broadcast(med))
+      .select(col("cell_id"), col("n"),
+        round(col("n") / col("__med"), 4).as("ratio_to_median"))
+  }
+
+  /** Streaming-capable 1-NN against a STATIC cell-partitioned index — the
+    * online-retrieval shape (an embedding service answering probes as
+    * they arrive), expressed so every stage is legal on an unbounded
+    * stream:
+    *
+    *   - the k-row centroid table arrives driver-side (broadcast-sized by
+    *     construction) and compiles to a LITERAL codegen'd argmax, so
+    *     probe routing is a map-only projection on the stream — no
+    *     distributed top-k on the stream side;
+    *   - candidates come from a stream-static equi-join on cell_id
+    *     (stateless; the static index side is partition-pruned by the
+    *     join per micro-batch);
+    *   - the per-probe argmax is one aggregation (max over
+    *     (sim, -id) structs — [[nearestNeighbor]]'s trick), which
+    *     streaming runs in update mode.
+    *
+    * nProbe=1 / k=1 is deliberate: it keeps the streaming tier fully
+    * stateless-shuffle shaped. Larger k/nProbe belong to the batch tiers.
+    * Same round-to-6 routing discipline as [[nearestCells]]. Works
+    * identically on batch frames (StreamingSpec pins stream == batch).
+    */
+  def nearest1NNRouted(probes: DataFrame, index: DataFrame,
+                       centroids: Seq[(Int, Seq[Double])],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val pv = col(vecCol).cast("array<double>")
+    // literal argmax: greatest over (rounded sim, -cell_id) structs ==
+    // sim desc, cell_id asc — nearestCells' exact ordering
+    val best = greatest(centroids.map { case (cid, c) =>
+      struct(
+        round(cosineSimilarity(pv, array(c.map(lit): _*)), 6).as("s"),
+        lit(-cid.toLong).as("negc"))
+    }: _*)
+    val routed = probes.select(col(idCol).as("probe_id"), pv.as("__pv"),
+      (-best.getField("negc")).cast("int").as("cell_id"))
+    val scored = routed.join(index, Seq("cell_id"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"),
+        col(idCol).as("neighbor_id"),
+        cosineSimilarity(col(vecCol).cast("array<double>"), col("__pv"))
+          .as("sim"))
+    scored.groupBy(col("probe_id"))
+      .agg(max(struct(col("sim"), (-col("neighbor_id")).as("negid"))).as("__b"))
+      .select(col("probe_id"), (-col("__b.negid")).as("neighbor_id"),
+        col("__b.sim").as("sim"))
+  }
+
   /** The query's nProbe nearest cells by cosine, id tiebreak — the ONE
     * routing definition every IVF tier (flat, SQ8, indexed, PQ) goes
     * through so the probe rule cannot drift between tiers. `q` must be a

@@ -289,6 +289,18 @@ object EventStream {
       .option("pathGlobFilter", glob)
       .parquet(dir)
 
+  /** File-source stream over the `embeddings` table — probe input for the
+    * streaming ANN tier ([[graft.ops.Similarity.nearest1NNRouted]]).
+    */
+  def readEmbeddings(spark: SparkSession, dir: String,
+                     glob: String = "embeddings.parquet"): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+
   /** Streaming PII scrub — the streaming twin of q112:
     * [[graft.ops.Redact.scrub]] is a stateless map-only projection
     * (codegen'd regex chain), so it applies to an unbounded stream

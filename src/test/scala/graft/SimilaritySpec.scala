@@ -396,6 +396,28 @@ class SimilaritySpec extends SparkSpec {
     assert((after - 7L) == (full - 7L), "untouched ids changed")
   }
 
+  test("indexCellStats: drifting appends surface as cell-size skew") {
+    val (emb, cellCentroids, rawCodebook) = ivfPqFixtures()
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_skew").toString
+    Similarity.buildIvfPqIndex(emb, cellCentroids, rawCodebook,
+      s"$base/idx", m = 4)
+    val before = Similarity.indexCellStats(spark, s"$base/idx/codes")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    // uniform corpus, sampled centroids: no cell dwarfs the median
+    assert(before.values.max < 3.0, s"unexpected initial skew: $before")
+    // a drifted ingest: 300 new vectors identical to cell 0's centroid all
+    // land in one cell — the staleness signature appends can't fix
+    val c0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val drifted = spark.range(10000, 10300).toDF("vec_id")
+      .withColumn("embedding", array(c0.map(lit): _*))
+    Similarity.appendToIvfPqIndex(spark, s"$base/idx", drifted)
+    val after = Similarity.indexCellStats(spark, s"$base/idx/codes")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(after(0) > 3.0, s"drift not flagged: $after")
+    assert(after(0) > before(0) * 2)
+  }
+
   test("compactIvfPqIndex: one file per cell after fragmenting appends, codes unchanged") {
     val (emb, cellCentroids, rawCodebook) = ivfPqFixtures()
     val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_compact").toString

@@ -219,6 +219,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming 1-NN probes against the static IVF index match the batch path") {
+    // online retrieval: probes stream in, route map-only through a
+    // literal centroid argmax, stream-static join the persisted index,
+    // per-probe argmax in update mode — and the answers must equal the
+    // same function run over the probes as a batch
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf0001)
+    val centroidsDf = emb.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") / 97).cast("int").as("cell_id"),
+        col("embedding").as("centroid"))
+    val cents: Seq[(Int, Seq[Double])] = centroidsDf
+      .select(col("cell_id"), col("centroid").cast("array<double>"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ivf").toString
+    Similarity.buildIvfIndex(emb, centroidsDf, s"$dir/ivf")
+    val index = spark.read.parquet(s"$dir/ivf")
+    val streamed = Similarity.nearest1NNRouted(
+      EventStream.readEmbeddings(spark, sf0001).filter(col("vec_id") < 20),
+      index, cents)
+    val got = EventStream.runToMemory(spark, streamed, "ann_stream_test",
+      outputMode = "update")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = Similarity.nearest1NNRouted(
+      emb.filter(col("vec_id") < 20), index, cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.size == 20)
+    assert(got == batch)
+  }
+
   test("streaming mixture gate with frozen rates matches the batch sampler row set") {
     // the deployable streaming shape: rates snapshotted from the corpus
     // (mixtureRatesPpm — the periodic-refresh producer), then a stateless
