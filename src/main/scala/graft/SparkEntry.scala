@@ -1730,6 +1730,22 @@ object SparkEntry {
       val v2 = docs.filter(col("doc_id") % 17 =!= 0).select("lang")
         .union(docs.filter(col("doc_id") % 50 === 0).select("lang"))
       Diff.distributionDrift(docs.select("lang"), v2, "lang")
+    }),
+    "q133_index_cell_stats" -> ((s, d) => {
+      // index health monitoring: per-cell population vs the median cell
+      // over q126's persisted PQ index (ensure shares the build) — the
+      // staleness trigger a production append-only ingest watches
+      val emb = T(s, d, "embeddings")
+      val cellCentroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      val codebook = emb
+        .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+        .select((col("vec_id") / 37).cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val path = s"/tmp/graft_ivfpq/raw_${tagFor(d)}"
+      Similarity.ensureIvfPqIndex(emb, cellCentroids, codebook, path, m = 4)
+      Similarity.indexCellStats(s, s"$path/codes")
     }))
 
   // ---------------------------------------------------------- oracle SQL
@@ -2929,7 +2945,26 @@ object SparkEntry {
         |      + CASE WHEN p_v2 = 0 THEN 0
         |             ELSE 0.5 * p_v2 * ln(p_v2 / ((p_v1 + p_v2) / 2)) END, 6)
         |    AS js_term
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin,
+    "q133_index_cell_stats" ->
+      // the index's codes relation reconstructs from the q37/q124 assign
+      // CTEs (q126 proved codes ≡ that reconstruction); median via
+      // quantile_cont = Spark's exact interpolated percentile
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
+         |  FROM v WHERE vec_id % 97 = 0),
+         |scored AS (SELECT v.vec_id, cent.cell_id,
+         |    round(${cosSql("v.e", "cent.c")}, 6) AS sim
+         |  FROM v CROSS JOIN cent),
+         |assign AS (SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |counts AS (SELECT cell_id, count(*) AS n FROM assign GROUP BY cell_id),
+         |med AS (SELECT quantile_cont(n, 0.5) AS m FROM counts)
+         |SELECT cell_id, CAST(n AS BIGINT) AS n,
+         |  round(n / m, 4) AS ratio_to_median
+         |FROM counts, med""".stripMargin)
 
   /** Shared by q128 (inline assignment) and q131 (persisted flat index) —
     * q37's assign CTEs + per-probe routing (rounded rank, cell_id
