@@ -166,6 +166,12 @@ object Sampling {
     * selects bit-identical row sets to the batch sampler when given
     * [[mixtureRatesPpm]] of the same corpus. Domains absent from `rates`
     * are dropped, like the batch inner join drops them.
+    *
+    * The rate table compiles to a when-chain — right for the mixture
+    * use case (domains are a curated handful). A HUGE domain vocabulary
+    * would bloat codegen; at that scale express the rates as a table and
+    * use a (stream-static) broadcast join instead, which is exactly
+    * [[sampleToMixture]]'s join shape.
     */
   def mixtureGate(df: DataFrame, rates: Map[String, Long],
                   domainCol: String, idCol: String): DataFrame = {

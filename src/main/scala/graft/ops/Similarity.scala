@@ -364,8 +364,15 @@ object Similarity {
     */
   def buildIvfIndex(emb: DataFrame, centroids: DataFrame, path: String,
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    graft.io.IO.writeDir(assignCells(emb, centroids, vecCol, idCol), path,
-      partitionBy = Seq("cell_id"))
+    // repartition on the partition column before the partitioned write:
+    // assignCells leaves the corpus hash-partitioned by id, so every task
+    // holds rows of every cell and partitionBy would write tasks×cells
+    // files — the small-files explosion at 100 TB. One shuffle keyed on
+    // cell_id makes it one file per cell (a monster cell serializing into
+    // one task is a centroid-quality problem — see indexCellStats)
+    graft.io.IO.writeDir(
+      assignCells(emb, centroids, vecCol, idCol).repartition(col("cell_id")),
+      path, partitionBy = Seq("cell_id"))
 
   /** [[buildIvfIndex]] unless THIS SparkSession already built `path`;
     * repeated probes in one session pay the cell-assignment write once.
@@ -812,7 +819,9 @@ object Similarity {
     require(m > 0, "m must be positive")
     val codes = encodeCodes(emb, cellCentroids, codebook, m, residual,
       idCol, vecCol, "buildIvfPqIndex")
-    graft.io.IO.writeDir(codes, s"$path/codes", partitionBy = Seq("cell_id"))
+    // one file per cell, not tasks×cells — same rationale as buildIvfIndex
+    graft.io.IO.writeDir(codes.repartition(col("cell_id")), s"$path/codes",
+      partitionBy = Seq("cell_id"))
     graft.io.IO.writeDir(cellCentroids.select(col("cell_id"),
       col("centroid").cast("array<double>").as("centroid")), s"$path/centroids")
     graft.io.IO.writeDir(codebook.select(col("cid").cast("int").as("cid"),
