@@ -57,6 +57,30 @@ object SparkEntry {
   private val toksSql =
     """list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)"""
 
+  /** q135's injected boilerplate: 9 tokens = exactly three 3-token chunks,
+    * one constant shared by the Spark query and the oracle.
+    */
+  private val boilerplateHeader =
+    "free newsletter subscribe now click here unsubscribe anytime today"
+
+  /** 3-token non-overlapping chunk CTE chain over a `docs`-shaped relation
+    * (doc_id, text) — the q95 chunking oracle specialized to size = stride
+    * = 3, shared by q134/q135. Emits `ch(doc_id, chunk_idx, chunk_text)`.
+    */
+  private def chunk3CtesSql(source: String): String =
+    s"""t AS (SELECT doc_id, $toksSql AS tk FROM $source),
+       |n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+       |c AS (SELECT doc_id, tk,
+       |    CASE WHEN n = 0 THEN []::BIGINT[]
+       |         ELSE range(0, 1 + CASE WHEN n > 3 THEN (n - 3 + 2) // 3 ELSE 0 END)
+       |    END AS idxs
+       |  FROM n),
+       |e AS (SELECT doc_id, tk, unnest(idxs) AS chunk_idx FROM c),
+       |ch AS (SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       |    array_to_string(list_slice(tk, chunk_idx * 3 + 1, chunk_idx * 3 + 3), ' ')
+       |      AS chunk_text
+       |  FROM e)""".stripMargin
+
   /** Bbox dimension rendered as a SQL VALUES list from the same Scala data
     * AddCountry uses — one source of truth for both engines.
     */
@@ -1746,6 +1770,30 @@ object SparkEntry {
       val path = s"/tmp/graft_ivfpq/raw_${tagFor(d)}"
       Similarity.ensureIvfPqIndex(emb, cellCentroids, codebook, path, m = 4)
       Similarity.indexCellStats(s, s"$path/codes")
+    }),
+    "q134_chunk_dedup" -> ((s, d) =>
+      // RefinedWeb-style paragraph dedup over 3-token chunks (the small
+      // window is what makes the word-soup corpus actually collide;
+      // real corpora use paragraph-sized chunks — the operator is
+      // window-size-generic). Keeper = lowest (doc_id, chunk_idx);
+      // reassembled text pinned through the portable hash
+      Dedup.chunkDedup(T(s, d, "documents"), chunkTokens = 3)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5Hash31(col("kept_text")).as("kept_hash"))),
+    "q135_boilerplate_removal" -> ((s, d) => {
+      // CCNet/RefinedWeb boilerplate-line filter: a deterministic synthetic
+      // header (9 tokens = exactly three 3-token chunks) is prepended to
+      // every 4th document — the q112-injection trick, since the corpus has
+      // no organic boilerplate — then every chunk seen in >= 3 distinct
+      // docs is deleted from ALL of them (natural word-soup collisions
+      // crossing the threshold are removed identically in both engines)
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(boilerplateHeader + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.boilerplateRemove(docs, chunkTokens = 3, minDocFreq = 3)
+        .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+          md5Hash31(col("clean_text")).as("clean_hash"))
     }))
 
   // ---------------------------------------------------------- oracle SQL
@@ -2964,7 +3012,42 @@ object SparkEntry {
          |med AS (SELECT quantile_cont(n, 0.5) AS m FROM counts)
          |SELECT cell_id, CAST(n AS BIGINT) AS n,
          |  round(n / m, 4) AS ratio_to_median
-         |FROM counts, med""".stripMargin)
+         |FROM counts, med""".stripMargin,
+    "q134_chunk_dedup" ->
+      // keeper = row_number 1 over (doc_id, chunk_idx) per chunk text —
+      // the oracle keys on text where Spark keys on the 128-bit hash
+      // (the q18 relationship); FILTER-with-no-rows yields NULL, hence
+      // the coalesce to '' matching Spark's empty array_join
+      s"""WITH ${chunk3CtesSql("documents")},
+         |k AS (SELECT doc_id, chunk_idx, chunk_text,
+         |    row_number() OVER (PARTITION BY chunk_text
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM ch)
+         |SELECT doc_id,
+         |  CAST(count(*) AS INTEGER) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+         |  ${hash31Sql("coalesce(array_to_string(" +
+            "list(chunk_text ORDER BY chunk_idx) FILTER (WHERE rn = 1), ' '), '')")}
+         |    AS kept_hash
+         |FROM k GROUP BY doc_id""".stripMargin,
+    "q135_boilerplate_removal" ->
+      s"""WITH docs AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN '$boilerplateHeader ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |${chunk3CtesSql("docs")},
+         |f AS (SELECT chunk_text, 1 AS b FROM ch
+         |  GROUP BY chunk_text HAVING count(DISTINCT doc_id) >= 3),
+         |m AS (SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text,
+         |    CASE WHEN f.b IS NULL THEN 0 ELSE 1 END AS boiler
+         |  FROM ch LEFT JOIN f USING (chunk_text))
+         |SELECT doc_id,
+         |  CAST(count(*) AS INTEGER) AS n_chunks,
+         |  CAST(sum(boiler) AS INTEGER) AS n_boiler,
+         |  ${hash31Sql("coalesce(array_to_string(" +
+            "list(chunk_text ORDER BY chunk_idx) FILTER (WHERE boiler = 0), ' '), '')")}
+         |    AS clean_hash
+         |FROM m GROUP BY doc_id""".stripMargin)
 
   /** Shared by q128 (inline assignment) and q131 (persisted flat index) —
     * q37's assign CTEs + per-probe routing (rounded rank, cell_id

@@ -531,6 +531,97 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  // ------------------------------------------------------ chunk-level dedup
+
+  /** Chunk-level exact dedup — the RefinedWeb "paragraph dedup" shape
+    * (Penedo et al. 2023) generalized to non-overlapping token-window
+    * chunks, since real paragraph delimiters are corpus-specific: chunk
+    * every document into windows of `chunkTokens` tokens, keep only the
+    * corpus-wide FIRST occurrence of each distinct chunk (lowest
+    * (id, chunk_idx), the same deterministic-keeper rule as [[exact]]),
+    * and reassemble each document from its surviving chunks in order.
+    * Returns one row per input document with at least one chunk:
+    * (idCol, n_chunks, n_kept, kept_text). Empty documents chunk to
+    * nothing and drop out, mirroring [[TextAnalysis.chunkDocuments]].
+    *
+    * Scale shape: the keep decision shuffles only (128-bit hash, id,
+    * chunk_idx) — partial-aggregated map-side, so a boilerplate chunk
+    * repeated 10^9 times collapses before the exchange (a window over the
+    * chunk hash would sort the hot key in one task). Chunk text crosses
+    * the wire exactly twice — into the keeper join and into the per-doc
+    * reassembly — which is the floor for any reassembling dedup; the
+    * keeper relation itself stays narrow.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", chunkTokens: Int = 3): DataFrame = {
+    val chunked = chunkedHashed(docs, idCol, textCol, chunkTokens)
+    val keepers = chunked
+      .groupBy("__h1", "__h2")
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__k"))
+      .select(col("__h1"), col("__h2"),
+        col(s"__k.$idCol").as(idCol), col("__k.chunk_idx").as("chunk_idx"))
+      .withColumn("__keep", lit(1))
+    chunked.join(keepers, Seq("__h1", "__h2", idCol, "chunk_idx"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(coalesce(col("__keep"), lit(0))).cast("int").as("n_kept"),
+        reassemble(col("__keep") === 1).as("kept_text"))
+  }
+
+  /** Boilerplate removal — the CCNet/RefinedWeb line-dedup filter shape:
+    * a chunk whose text occurs in at least `minDocFreq` DISTINCT documents
+    * is boilerplate (headers, footers, cookie banners) and is removed from
+    * EVERY document, including the first. Complements [[chunkDedup]]
+    * (which keeps one copy): dedup preserves content once, boilerplate
+    * removal deletes it everywhere. Returns
+    * (idCol, n_chunks, n_boiler, clean_text).
+    *
+    * Same scale shape as [[chunkDedup]]: the document-frequency count
+    * shuffles (hash, id) pairs only; the distinct-inside-count collapses
+    * a document's repeated chunk map-side.
+    */
+  def boilerplateRemove(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", chunkTokens: Int = 3,
+                        minDocFreq: Int = 3): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq ($minDocFreq) must be >= 2")
+    val chunked = chunkedHashed(docs, idCol, textCol, chunkTokens)
+    val boiler = chunked
+      .groupBy("__h1", "__h2")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__h1"), col("__h2"))
+      .withColumn("__boiler", lit(1))
+    chunked.join(boiler, Seq("__h1", "__h2"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(coalesce(col("__boiler"), lit(0))).cast("int").as("n_boiler"),
+        reassemble(col("__boiler").isNull).as("clean_text"))
+  }
+
+  /** Shared chunk → 128-bit-hash relation for the chunk-granular dedup
+    * pair. localCheckpoint: the relation feeds both the decision aggregate
+    * and the reassembly join — one tokenize pass, not two (the
+    * termFrequencies discipline; the caller's consume-then-release hygiene
+    * applies).
+    */
+  private def chunkedHashed(docs: DataFrame, idCol: String, textCol: String,
+                            chunkTokens: Int): DataFrame =
+    TextAnalysis.chunkDocuments(docs, idCol, textCol,
+        size = chunkTokens, stride = chunkTokens)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"),
+        xxhash64(col("chunk_text")).as("__h1"),
+        xxhash64(lit(1L), col("chunk_text")).as("__h2"))
+      .localCheckpoint()
+
+  /** In-order rejoin of the chunks satisfying `keep`: array_sort on
+    * (chunk_idx, text) structs is ordinal, so chunks re-concatenate in
+    * document order; a document losing every chunk yields ''.
+    */
+  private def reassemble(keep: Column): Column =
+    array_join(transform(array_sort(collect_list(
+      when(keep, struct(col("chunk_idx"), col("chunk_text"))))),
+      s => s.getField("chunk_text")), " ")
+
   // ----------------------------------------- fuzzy (edit-distance) matching
 
   /** All distinct string pairs within edit distance 1 — the spelling-variant

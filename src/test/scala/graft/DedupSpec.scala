@@ -237,6 +237,60 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty) // the harness actually exercised something
   }
 
+  test("chunkDedup keeps the first occurrence of a repeated chunk, drops the rest") {
+    // 4-token docs, 2-token chunks: "a b" appears in docs 1, 2, 3 — only
+    // doc 1 (lowest (id, idx)) keeps it; within-doc repeats also dedup
+    val d = Seq(
+      (1L, "a b c d"),      // chunks: "a b", "c d" — both first occurrences
+      (2L, "a b e f"),      // "a b" dup'd away, "e f" kept
+      (3L, "g h a b"),      // "a b" dup'd away, "g h" kept
+      (4L, "c d c d")       // both chunks dup: "c d" first seen in doc 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(d, chunkTokens = 2)
+      .select("doc_id", "n_chunks", "n_kept", "kept_text")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((2, 2, "a b c d")))
+    assert(out(2L) == ((2, 1, "e f")))
+    assert(out(3L) == ((2, 1, "g h")))
+    assert(out(4L) == ((2, 0, ""))) // loses every chunk → empty text
+  }
+
+  test("chunkDedup: short tail chunk participates; empty doc drops out") {
+    val d = Seq((1L, "a b c"), (2L, "c"), (3L, "  ")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(d, chunkTokens = 2)
+      .select("doc_id", "n_chunks", "n_kept", "kept_text")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((2, 2, "a b c"))) // tail chunk "c" is its own chunk
+    assert(out(2L) == ((1, 0, "")))      // "c" already claimed by doc 1's tail
+    assert(!out.contains(3L))            // blank doc chunks to nothing
+  }
+
+  test("boilerplateRemove deletes a >=minDocFreq chunk from EVERY doc, first included") {
+    val d = Seq(
+      (1L, "x y a b"), (2L, "x y c d"), (3L, "x y e f"), // "x y" in 3 docs
+      (4L, "a b g h")                                    // "a b" in only 2
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateRemove(d, chunkTokens = 2, minDocFreq = 3)
+      .select("doc_id", "n_chunks", "n_boiler", "clean_text")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((2, 1, "a b")))   // boilerplate gone from doc 1 too
+    assert(out(2L) == ((2, 1, "c d")))
+    assert(out(3L) == ((2, 1, "e f")))
+    assert(out(4L) == ((2, 0, "a b g h"))) // below threshold → untouched
+  }
+
+  test("boilerplateRemove: within-doc repeats count once toward doc frequency") {
+    // "x y" repeats inside doc 1 but that is ONE document — countDistinct
+    // must not let a single spammy doc promote its own content
+    val d = Seq((1L, "x y x y"), (2L, "x y a b")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateRemove(d, chunkTokens = 2, minDocFreq = 3)
+      .select("doc_id", "n_boiler").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 0 && out(2L) == 0)
+  }
+
   implicit class Tuple3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
