@@ -1794,7 +1794,15 @@ object SparkEntry {
       Dedup.boilerplateRemove(docs, chunkTokens = 3, minDocFreq = 3)
         .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
           md5Hash31(col("clean_text")).as("clean_hash"))
-    }))
+    }),
+    "q136_event_pagerank" -> ((s, d) =>
+      // link analysis over the event-type transition graph (which event
+      // kinds funnel into which): lag-window edge derivation, then 10
+      // fixed damped PageRank rounds — the oracle unrolls the identical
+      // iteration to 10 SQL layers via Graph.pageRankOracleSql, one
+      // source of truth for the arithmetic
+      Graph.pageRank(Graph.transitionEdges(T(s, d, "events")),
+        iterations = 10)))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -3047,7 +3055,15 @@ object SparkEntry {
          |  ${hash31Sql("coalesce(array_to_string(" +
             "list(chunk_text ORDER BY chunk_idx) FILTER (WHERE boiler = 0), ' '), '')")}
          |    AS clean_hash
-         |FROM m GROUP BY doc_id""".stripMargin)
+         |FROM m GROUP BY doc_id""".stripMargin,
+    "q136_event_pagerank" ->
+      s"""WITH lagd AS (SELECT event_type AS dst,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS src
+         |  FROM events),
+         |edges AS (SELECT src, dst, count(*) AS w FROM lagd
+         |  WHERE src IS NOT NULL GROUP BY src, dst),
+         |${graft.ops.Graph.pageRankOracleSql("edges", 10)}""".stripMargin)
 
   /** Shared by q128 (inline assignment) and q131 (persisted flat index) —
     * q37's assign CTEs + per-probe routing (rounded rank, cell_id

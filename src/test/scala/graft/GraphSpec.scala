@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transitionEdges counts consecutive type pairs per user, ts then id order") {
+    // user 1: a→b→a (ties on ts broken by event_id); user 2: a→b
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "b"), (3L, 1L, 20L, "a"),
+      (4L, 2L, 5L, "a"), (5L, 2L, 6L, "b")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val edges = Graph.transitionEdges(ev)
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(edges == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
+
+  test("pageRank: symmetric 2-cycle stays uniform; total mass is 1") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "weight")
+    val r = Graph.pageRank(edges, iterations = 5).as[(String, Double)]
+      .collect().toMap
+    assert(r("a") == 0.5 && r("b") == 0.5)
+    assert(math.abs(r.values.sum - 1.0) < 1e-5)
+  }
+
+  test("pageRank: dangling node redistributes mass, sum stays 1") {
+    // a→b, b has no out-edges: b's mass returns uniformly each round
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "weight")
+    val r = Graph.pageRank(edges, iterations = 20).as[(String, Double)]
+      .collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-4)
+    assert(r("b") > r("a")) // b receives a's full flow plus its share
+  }
+
+  test("pageRank: heavier-weighted target outranks the lighter one") {
+    // c splits 3:1 toward a over b; a and b both return to c
+    val edges = Seq(("c", "a", 3L), ("c", "b", 1L),
+      ("a", "c", 1L), ("b", "c", 1L)).toDF("src", "dst", "weight")
+    val r = Graph.pageRank(edges, iterations = 15).as[(String, Double)]
+      .collect().toMap
+    assert(r("a") > r("b"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-4)
+  }
+
+  test("pageRank matches a driver-side reference implementation exactly") {
+    val es = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 1L),
+      ("a", "c", 1L), ("c", "d", 2L)) // d dangles
+    val iters = 7; val damping = 0.85
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val outdeg = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var rank = nodes.map(_ -> rnd(1.0 / n)).toMap
+    val base = (1.0 - damping) / n
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(outdeg.contains).map(rank).sum
+      val contrib = es.groupBy(_._2).view.mapValues(
+        _.map(e => rank(e._1) * (e._3.toDouble / outdeg(e._1))).sum).toMap
+      rank = nodes.map(v =>
+        v -> rnd(base + damping * (contrib.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    val got = Graph.pageRank(es.toDF("src", "dst", "weight"),
+      iterations = iters, damping = damping)
+      .as[(String, Double)].collect().toMap
+    assert(got == rank, s"got=$got expected=$rank")
+  }
+
+  test("pageRank releases its per-round checkpoint blocks") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "weight")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Graph.pageRank(edges, iterations = 4)
+    out.collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the returned frame's own checkpoint may remain
+    assert(after <= before + 1, s"before=$before after=$after")
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(out)
+  }
+}
