@@ -1802,7 +1802,14 @@ object SparkEntry {
       // iteration to 10 SQL layers via Graph.pageRankOracleSql, one
       // source of truth for the arithmetic
       Graph.pageRank(Graph.transitionEdges(T(s, d, "events")),
-        iterations = 10)))
+        iterations = 10)),
+    "q137_mmr_diverse" -> ((s, d) =>
+      // diversified retrieval: MMR-greedy 5 picks from the 40-vector
+      // query-similarity pool, redundancy penalized at 1−λ = 0.3 — the
+      // oracle unrolls the same greedy selection to 5 materialized SQL
+      // layers (every sim rounded to 6 before max/argmax, id tiebreak)
+      Similarity.mmrSelect(T(s, d, "embeddings"), queryId = 2L, k = 5,
+        lambda = 0.7, poolSize = 40)))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -3063,7 +3070,50 @@ object SparkEntry {
          |  FROM events),
          |edges AS (SELECT src, dst, count(*) AS w FROM lagd
          |  WHERE src IS NOT NULL GROUP BY src, dst),
-         |${graft.ops.Graph.pageRankOracleSql("edges", 10)}""".stripMargin)
+         |${graft.ops.Graph.pageRankOracleSql("edges", 10)}""".stripMargin,
+    "q137_mmr_diverse" -> mmrOracleSql(queryId = 2L, k = 5,
+      lambda = 0.7, poolSize = 40))
+
+  /** q137's oracle: the MMR greedy unrolled to k materialized layers —
+    * layer i cross-joins the (1-row) previous selections, recomputes the
+    * penalty as the max of round-6 pairwise cosines, and takes the
+    * round-6-score argmax with id tiebreak, exactly as
+    * `Similarity.mmrSelect` does distributed. λ and 1−λ are rendered from
+    * the same Scala doubles the Spark side puts in `lit(...)`.
+    */
+  private def mmrOracleSql(queryId: Long, k: Int, lambda: Double,
+                           poolSize: Int): String = {
+    val l = s"(${lambda.toString})::DOUBLE"
+    val om = s"(${(1.0 - lambda).toString})::DOUBLE"
+    val header =
+      s"""v AS MATERIALIZED (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |q AS MATERIALIZED (SELECT e AS qe FROM v WHERE vec_id = $queryId),
+         |pool AS MATERIALIZED (
+         |  SELECT vec_id, e, round(${cosSql("e", "qe")}, 6) AS simq
+         |  FROM v, q WHERE vec_id <> $queryId
+         |  ORDER BY simq DESC, vec_id LIMIT $poolSize)""".stripMargin
+    val layers = (1 to k).map { i =>
+      val froms = (1 until i).map(j => s", sel$j s$j").mkString
+      val excl = (1 until i).map(j => s"p.vec_id <> s$j.vec_id")
+        .mkString(" AND ")
+      val pens = (1 until i).map(j => s"round(${cosSql("p.e", s"s$j.e")}, 6)")
+      val pen =
+        if (pens.isEmpty) "(0.0)::DOUBLE"
+        else if (pens.size == 1) pens.head
+        else s"greatest(${pens.mkString(", ")})"
+      s"""sel$i AS MATERIALIZED (
+         |  SELECT p.vec_id, p.e,
+         |    round($l * p.simq - $om * $pen, 6) AS score
+         |  FROM pool p$froms
+         |  ${if (excl.nonEmpty) s"WHERE $excl" else ""}
+         |  ORDER BY score DESC, p.vec_id LIMIT 1)""".stripMargin
+    }
+    val unions = (1 to k)
+      .map(i => s"SELECT $i AS pick, vec_id, score AS mmr_score FROM sel$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${(header +: layers).mkString(",\n")}\n$unions"
+  }
 
   /** Shared by q128 (inline assignment) and q131 (persisted flat index) —
     * q37's assign CTEs + per-probe routing (rounded rank, cell_id

@@ -1120,6 +1120,72 @@ object Similarity {
         col("__b.sim").as("sim"))
   }
 
+  /** Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein
+    * 1998): greedily select `k` results maximizing
+    * λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s) — the standard
+    * retrieval-diversification primitive (λ = 1 is plain top-k; lower λ
+    * penalizes redundancy with what is already picked). Returns
+    * (pick, idCol, mmr_score) with pick = 1..k in selection order.
+    *
+    * Scale shape: the candidate pool is the `poolSize` most query-similar
+    * vectors — one distributed TakeOrderedAndProject over the corpus, the
+    * only pass that sees corpus-scale data. MMR itself is inherently
+    * sequential (pick i depends on picks 1..i−1), so the k rounds run as
+    * k tiny jobs over the checkpointed pool, each collecting exactly ONE
+    * row (the argmax); selected vectors re-enter as literal arrays. Keep
+    * poolSize modest (10²–10⁵) — it bounds every per-round job.
+    *
+    * Determinism: the pool ranks on round-6 cosine with id tiebreak (the
+    * nearestCells discipline), every pairwise penalty sim is rounded to 6
+    * before the max, and the final score is rounded to 6 before the
+    * argmax — the oracle ([[SparkEntry]] q137) replays the identical
+    * greedy unrolled.
+    */
+  def mmrSelect(emb: DataFrame, queryId: Long, k: Int, lambda: Double = 0.7,
+                poolSize: Int = 40, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need 1 <= k ($k) <= poolSize ($poolSize)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda ($lambda) must be in [0,1]")
+    val spark = emb.sparkSession
+    val release = org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("__qvec"))
+    val pool = emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"),
+        round(cosineSimilarity(col(vecCol), col("__qvec")), 6).as("__simq"))
+      .orderBy(desc("__simq"), col(idCol))
+      .limit(poolSize)
+      .localCheckpoint()
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double], Double)]
+    for (_ <- 1 to k) {
+      val penalty =
+        if (selected.isEmpty) lit(0.0)
+        else {
+          val sims = selected.map { case (_, v, _) =>
+            round(cosineSimilarity(col("__v"), array(v.map(lit).toSeq: _*)), 6)
+          }.toSeq
+          if (sims.length == 1) sims.head else greatest(sims: _*)
+        }
+      val notPicked = selected.map(_._1).foldLeft(lit(true).as("c")) {
+        (acc, id) => acc && col(idCol) =!= id
+      }
+      val row = pool.filter(notPicked)
+        .select(col(idCol), col("__v"),
+          round(lit(lambda) * col("__simq") - lit(1.0 - lambda) * penalty, 6)
+            .as("__score"))
+        .orderBy(desc("__score"), col(idCol))
+        .limit(1)
+        .collect()(0)
+      selected += ((row.getLong(0), row.getSeq[Double](1), row.getDouble(2)))
+    }
+    release(pool)
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, s), i) => (i + 1, id, s) }.toSeq
+      .toDF("pick", idCol, "mmr_score")
+  }
+
   /** The query's nProbe nearest cells by cosine, id tiebreak — the ONE
     * routing definition every IVF tier (flat, SQ8, indexed, PQ) goes
     * through so the probe rule cannot drift between tiers. `q` must be a

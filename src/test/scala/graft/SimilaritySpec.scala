@@ -570,4 +570,41 @@ class SimilaritySpec extends SparkSpec {
         "on clustered data — the refinement is ornamental")
     assert(resHits > total / 2, s"residual tier weak: $resHits/$total")
   }
+
+  test("mmrSelect with lambda=1 degenerates to plain cosine top-k") {
+    val topk = Similarity.cosineTopK(vecs, queryId = 0L, k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    val mmr = Similarity.mmrSelect(vecs, queryId = 0L, k = 3, lambda = 1.0,
+      poolSize = 4)
+      .orderBy("pick").select("vec_id").as[Long].collect().toSeq
+    assert(mmr == topk)
+  }
+
+  test("mmrSelect penalizes redundancy: near-dup of pick 1 loses to a diverse pick") {
+    // 1 and 2 are near-identical and most query-similar; 3 is distinct.
+    // Plain top-2 takes (1, 2); MMR at lambda=0.5 must take (1, 3).
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.14f, 0.0f)),
+      (2L, Array(0.99f, 0.141f, 0.0f)), // near-dup of 1
+      (3L, Array(0.7f, 0.0f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val plain = Similarity.cosineTopK(d, queryId = 0L, k = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(plain == Set(1L, 2L))
+    val mmr = Similarity.mmrSelect(d, queryId = 0L, k = 2, lambda = 0.5,
+      poolSize = 3)
+      .orderBy("pick").select("vec_id").as[Long].collect().toSeq
+    assert(mmr == Seq(1L, 3L), s"got $mmr")
+  }
+
+  test("mmrSelect output is (pick, id, score) in selection order, pool released") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Similarity.mmrSelect(vecs, queryId = 0L, k = 2, lambda = 0.7,
+      poolSize = 4).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2))
+    // scores are non-increasing only under lambda=1; here just finite
+    assert(out.forall(r => !r.getDouble(2).isNaN))
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
 }
