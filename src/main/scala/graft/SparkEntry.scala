@@ -257,6 +257,15 @@ object SparkEntry {
       .map { case (p, i) => s"($i, [${p.mkString(",")}]::DOUBLE[])" }
       .mkString(",\n  ")
 
+  /** Same seeded orthonormal rotation as `Similarity.randomRotation`, as a
+    * VALUES list (row i = output dimension i) — the planesValuesSql
+    * pattern; Double.toString round-trips bit-identically.
+    */
+  private def rotationValuesSql(dim: Int, seed: Long = 42L): String =
+    Similarity.randomRotation(dim, seed).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(",")}]::DOUBLE[])" }
+      .mkString(",\n  ")
+
   /** Distinct word-k-shingle CTEs over `documents` (toks → shingle sets),
     * mirroring `wordShingles`: k-grams of whitespace tokens joined by ' '.
     */
@@ -1809,7 +1818,23 @@ object SparkEntry {
       // oracle unrolls the same greedy selection to 5 materialized SQL
       // layers (every sim rounded to 6 before max/argmax, id tiebreak)
       Similarity.mmrSelect(T(s, d, "embeddings"), queryId = 2L, k = 5,
-        lambda = 0.7, poolSize = 40)))
+        lambda = 0.7, poolSize = 40)),
+    "q138_rotated_pq" -> ((s, d) => {
+      // OPQ's random-rotation baseline: rotate with a seeded orthonormal
+      // matrix (plan-time literals, one codegen'd dot per output dim),
+      // THEN q119's sampled-codebook PQ encode + ADC — rotation spreads
+      // anisotropic variance across the 4 subspaces (SimilaritySpec pins
+      // the recall win on decaying-spectrum data; the oracle replays the
+      // rotation from rendered constants)
+      val rot = Similarity.randomRotation(64)
+      val rotated = T(s, d, "embeddings").select(col("vec_id"),
+        Similarity.rotate(col("embedding"), rot).as("embedding"))
+      val centroids = rotated
+        .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+        .select((col("vec_id") / 37).cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      Similarity.pqEncodeAdc(rotated, centroids, probeId = 1L, m = 4)
+    }))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -3072,7 +3097,37 @@ object SparkEntry {
          |  WHERE src IS NOT NULL GROUP BY src, dst),
          |${graft.ops.Graph.pageRankOracleSql("edges", 10)}""".stripMargin,
     "q137_mmr_diverse" -> mmrOracleSql(queryId = 2L, k = 5,
-      lambda = 0.7, poolSize = 40))
+      lambda = 0.7, poolSize = 40),
+    "q138_rotated_pq" ->
+      // q119's encode chain over ROTATED vectors: the rotation matrix is
+      // rendered from the same Scala constants the Spark plan ships, and
+      // the rotated coordinates are the q121 plane-ordered fold
+      s"""WITH rot(i, p) AS (VALUES
+         |  ${rotationValuesSql(64)}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |dp AS (SELECT vec_id, i,
+         |    list_sum(list_transform(range(1, 65), j -> e[j] * p[j])) AS dp
+         |  FROM v CROSS JOIN rot),
+         |rv AS MATERIALIZED (
+         |  SELECT vec_id, list(dp ORDER BY i) AS e FROM dp GROUP BY vec_id),
+         |cents AS (SELECT CAST(vec_id // 37 AS INTEGER) AS cid, e AS c
+         |  FROM rv WHERE vec_id % 37 = 0 AND vec_id // 37 < 16),
+         |cl AS (SELECT list(struct_pack(cid := cid, c := c) ORDER BY cid) AS cents,
+         |       CAST(len(min(c)) // 4 AS INTEGER) AS sub FROM cents),
+         |q AS (SELECT e AS p FROM rv WHERE vec_id = 1),
+         |enc AS (SELECT vec_id, cents, sub, p,
+         |  list_transform(range(0, 4), j ->
+         |    CAST(list_sort(list_transform(cents, cc ->
+         |      [round(list_sum(list_transform(range(1, sub + 1),
+         |         i -> (rv.e[j*sub+i] - cc.c[j*sub+i]) * (rv.e[j*sub+i] - cc.c[j*sub+i]))), 6),
+         |       CAST(cc.cid AS DOUBLE)]))[1][2] AS INTEGER)) AS codes
+         |  FROM rv, cl, q)
+         |SELECT vec_id, codes[1] AS c0, codes[2] AS c1, codes[3] AS c2, codes[4] AS c3,
+         |  round(list_sum(list_transform(range(0, 4), j ->
+         |    list_sum(list_transform(range(1, sub + 1),
+         |      i -> (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i])
+         |         * (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i]))))), 6) AS adc_dist
+         |FROM enc""".stripMargin)
 
   /** q137's oracle: the MMR greedy unrolled to k materialized layers —
     * layer i cross-joins the (1-row) previous selections, recomputes the

@@ -571,6 +571,93 @@ class SimilaritySpec extends SparkSpec {
     assert(resHits > total / 2, s"residual tier weak: $resHits/$total")
   }
 
+  test("randomRotation is orthonormal and preserves exact distances") {
+    val dim = 8
+    val r = Similarity.randomRotation(dim, seed = 42L)
+    // R · Rᵀ = I
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val d = (0 until dim).map(t => r(i)(t) * r(j)(t)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-9, s"R·Rᵀ[$i][$j] = $d")
+    }
+    // pairwise distance invariance through the Column path
+    val d2 = Seq((0L, Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
+      (1L, Array(8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val rotated = d2.select(col("vec_id"),
+      Similarity.rotate(col("embedding"), r).as("embedding"))
+    def pairDist(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = df.orderBy("vec_id").collect()
+        .map(_.getSeq[Double](1))
+      math.sqrt(rows(0).zip(rows(1)).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    assert(math.abs(pairDist(d2.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))) -
+      pairDist(rotated)) < 1e-9)
+  }
+
+  test("rotated PQ: variance balances across subspaces and recall beats raw " +
+    "on decaying-spectrum data") {
+    // the OPQ setting (Ge et al. 2013): PCA-ordered anisotropic data —
+    // variance halves every two dims, so contiguous subspace 0 dominates
+    // and raw PQ wastes three of four codebooks; the seeded rotation
+    // spreads the spectrum. Premise AND payoff pinned, like the residual
+    // recall gate above.
+    val dim = 16; val m = 4; val n = 600; val k = 10
+    val rnd = new scala.util.Random(123)
+    val sd = (0 until dim).map(i => math.sqrt(16.0 * math.pow(2.0, -i / 2.0)))
+    val emb = (0 until n).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => rnd.nextGaussian() * sd(j))))
+      .toDF("vec_id", "embedding")
+      .localCheckpoint()
+    val rot = Similarity.randomRotation(dim, seed = 42L)
+    val rotated = emb.select(col("vec_id"),
+      Similarity.rotate(col("embedding"), rot).as("embedding"))
+      .localCheckpoint()
+    def subVarRatio(df: org.apache.spark.sql.DataFrame): Double = {
+      val sub = dim / m
+      val vars = df.select((0 until dim).map(j =>
+        variance(element_at(col("embedding").cast("array<double>"), j + 1))
+          .as(s"v$j")): _*).collect()(0)
+      val sv = (0 until m).map(g => (0 until sub).map(t =>
+        vars.getDouble(g * sub + t)).sum)
+      sv.max / sv.min
+    }
+    assert(subVarRatio(emb) > 5.0, "fixture lost its anisotropy")
+    assert(subVarRatio(rotated) < 3.0, "rotation failed to balance variance")
+    def codebook(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+      .select((col("vec_id") / 37).cast("int").as("cid"),
+        col("embedding").as("centroid"))
+    def exactTopK(qid: Long): Set[Long] = {
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").as("__p"))
+      emb.filter(col("vec_id") =!= qid).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          aggregate(zip_with(col("embedding"), col("__p"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+            .as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(k)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    def pqTopK(df: org.apache.spark.sql.DataFrame, qid: Long): Set[Long] =
+      Similarity.pqEncodeAdc(df, codebook(df), probeId = qid, m = m)
+        .filter(col("vec_id") =!= qid)
+        .orderBy(col("adc_dist"), col("vec_id")).limit(k)
+        .select("vec_id").as[Long].collect().toSet
+    var rawHits = 0; var rotHits = 0; val probes = 0L until 24L
+    for (q <- probes) {
+      val exact = exactTopK(q) // rotation-invariant ground truth
+      rawHits += (pqTopK(emb, q) intersect exact).size
+      rotHits += (pqTopK(rotated, q) intersect exact).size
+    }
+    val total = probes.size * k
+    assert(rotHits > rawHits,
+      s"rotated recall $rotHits/$total did not beat raw $rawHits/$total")
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(emb)
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(rotated)
+  }
+
   test("mmrSelect with lambda=1 degenerates to plain cosine top-k") {
     val topk = Similarity.cosineTopK(vecs, queryId = 0L, k = 3)
       .select("vec_id").as[Long].collect().toSeq
