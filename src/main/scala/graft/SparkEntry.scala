@@ -1834,6 +1834,24 @@ object SparkEntry {
         .select((col("vec_id") / 37).cast("int").as("cid"),
           col("embedding").as("centroid"))
       Similarity.pqEncodeAdc(rotated, centroids, probeId = 1L, m = 4)
+    }),
+    "q139_ivfpq_refined" -> ((s, d) => {
+      // two-stage retrieval over q126's shared persisted index: PQ-rank
+      // a 50-candidate shortlist from stored codes, then exact-cosine
+      // re-rank the shortlist's raw vectors to the final 10 — compressed-
+      // domain scoring at corpus scale, floats only for 50 keyed rows
+      val emb = T(s, d, "embeddings")
+      val cellCentroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      val codebook = emb
+        .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+        .select((col("vec_id") / 37).cast("int").as("cid"),
+          col("embedding").as("centroid"))
+      val path = s"/tmp/graft_ivfpq/raw_${tagFor(d)}"
+      Similarity.ensureIvfPqIndex(emb, cellCentroids, codebook, path, m = 4)
+      Similarity.ivfPqTopKRefined(s, path, emb, queryId = 1L, k = 10,
+        rerank = 50, nProbe = 2)
     }))
 
   // ---------------------------------------------------------- oracle SQL
@@ -3127,7 +3145,8 @@ object SparkEntry {
          |    list_sum(list_transform(range(1, sub + 1),
          |      i -> (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i])
          |         * (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i]))))), 6) AS adc_dist
-         |FROM enc""".stripMargin)
+         |FROM enc""".stripMargin,
+    "q139_ivfpq_refined" -> ivfPqRefineOracleSql)
 
   /** q137's oracle: the MMR greedy unrolled to k materialized layers —
     * layer i cross-joins the (1-row) previous selections, recomputes the
@@ -3256,8 +3275,12 @@ object SparkEntry {
     * both raw-vector IVF-PQ tiers must return identical neighbors:
     * q37's assign/probe CTEs + q119's codebook/encode CTEs, ADC-ranked.
     */
-  private lazy val ivfPqOracleSql =
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  /** The q124 family's assign → route → encode → ADC CTE chain, ending in
+    * `adc(vec_id, adc_dist)` — shared by the plain top-k tail
+    * (q124/q126/q130) and q139's re-rank tail.
+    */
+  private lazy val ivfPqAdcCtesSql =
+      s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
          |  FROM v WHERE vec_id % 97 = 0),
          |scored AS (SELECT v.vec_id, cent.cell_id,
@@ -3283,12 +3306,27 @@ object SparkEntry {
          |      [round(list_sum(list_transform(range(1, sub + 1),
          |         i -> (cand.e[j*sub+i] - cc.c[j*sub+i]) * (cand.e[j*sub+i] - cc.c[j*sub+i]))), 6),
          |       CAST(cc.cid AS DOUBLE)]))[1][2] AS INTEGER)) AS codes
-         |  FROM cand, cl, q)
-         |SELECT vec_id, round(list_sum(list_transform(range(0, 4), j ->
+         |  FROM cand, cl, q),
+         |adc AS (SELECT vec_id, round(list_sum(list_transform(range(0, 4), j ->
          |    list_sum(list_transform(range(1, sub + 1),
          |      i -> (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i])
          |         * (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i]))))), 6) AS adc_dist
-         |FROM enc ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+         |  FROM enc)""".stripMargin
+
+  private lazy val ivfPqOracleSql =
+    s"""WITH $ivfPqAdcCtesSql
+       |SELECT vec_id, adc_dist FROM adc
+       |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+
+  /** q139: the same ADC chain, LIMIT 50 shortlist, exact-cosine re-rank
+    * to 10 — `Similarity.ivfPqTopKRefined`'s two stages verbatim.
+    */
+  private lazy val ivfPqRefineOracleSql =
+    s"""WITH $ivfPqAdcCtesSql,
+       |short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 50)
+       |SELECT v.vec_id, round(${cosSql("v.e", "q.p")}, 6) AS sim
+       |FROM v JOIN short USING (vec_id) CROSS JOIN q
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
   /** Shared by q125 (inline) and q127 (persisted index) — q124's routing
     * CTEs + residual construction; codes/ADC run in residual space against

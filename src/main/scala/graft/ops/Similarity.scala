@@ -945,6 +945,54 @@ object Similarity {
     org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(newCodes)
   }
 
+  /** Delete ids from a persisted IVF-PQ index — the lifecycle's remove
+    * operation next to build/append/compact (GDPR erasure, retracted
+    * documents, hard-deleted rows). The ids' cells are found by a
+    * partition-pruning-free scan of codes joined against the (small,
+    * broadcast) delete set, the touched cells are collected (k ints), and
+    * ONLY those cell partitions are dynamically overwritten minus the
+    * deleted rows — [[appendToIvfPqIndex]]'s read-merge-overwrite with a
+    * subtraction instead of a union. Centroids/codebook/meta are
+    * untouched: deletion never re-encodes. Ids absent from the index are
+    * a no-op (idempotent — safe to retry).
+    *
+    * A cell whose LAST row is deleted needs explicit handling: dynamic
+    * partition overwrite only replaces partitions present in the written
+    * data, so an emptied cell would silently keep its stale files — those
+    * directories are FS-deleted instead.
+    */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, deleteIds: DataFrame,
+                           idCol: String = "vec_id"): Unit = {
+    val ids = deleteIds.select(col(idCol)).distinct().localCheckpoint()
+    val touched: Seq[Int] = spark.read.parquet(s"$indexPath/codes")
+      .join(broadcast(ids), Seq(idCol), "left_semi")
+      .select("cell_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      val remaining = spark.read.parquet(s"$indexPath/codes")
+        .filter(col("cell_id").isin(touched: _*)) // partition-pruned read
+        .join(broadcast(ids), Seq(idCol), "left_anti")
+        .select(col(idCol), col("cell_id"), col("codes"))
+        .localCheckpoint() // consumed twice: emptied-cell check + write
+      val nonEmpty: Set[Int] = remaining.select("cell_id").distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (nonEmpty.nonEmpty)
+        graft.io.IO.overwritePartitions(
+          remaining.filter(col("cell_id").isin(nonEmpty.toSeq: _*)),
+          s"$indexPath/codes", Seq("cell_id"))
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (touched.toSet -- nonEmpty).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexPath/codes/cell_id=$c"), true)
+      }
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .releaseLocalCheckpoint(remaining)
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(ids)
+  }
+
   /** Compact a persisted IVF-PQ index's codes back to one file per cell.
     * Every [[appendToIvfPqIndex]] rewrites its touched cell partitions
     * with as many files as tasks produced rows for the cell, so a
@@ -1046,6 +1094,41 @@ object Similarity {
         round(pqAdc(col("__ref"), col("__cents"), col("codes"), m,
           col("__sub")), 6).as("adc_dist"))
       .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Two-stage refined search (FAISS's refine wrapper): PQ-rank the
+    * probed cells' STORED codes to a `rerank`-sized shortlist
+    * ([[ivfPqTopKIndexed]]), fetch only the shortlist's raw vectors, and
+    * exact-cosine re-rank to the final k. ADC over 4-byte codes is a
+    * lossy surrogate; re-ranking a small shortlist against raw floats
+    * recovers near-exact recall while corpus-scale scoring stays in the
+    * compressed domain.
+    *
+    * The raw-vector fetch is a broadcast semi-join on id — a
+    * column-pruned scan of the raw relation with no shuffle; with the raw
+    * table bucketed/partitioned by id it becomes a pruned point fetch.
+    * Either way only `rerank` rows' vectors reach the re-rank, and the
+    * re-rank itself is a rerank-row TakeOrdered. Rank discipline is the
+    * house rule end-to-end: shortlist by (round-6 adc, id), final by
+    * (round-6 cosine desc, id).
+    */
+  def ivfPqTopKRefined(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, emb: DataFrame, queryId: Long,
+                       k: Int, rerank: Int = 50, nProbe: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val shortlist = ivfPqTopKIndexed(spark, indexPath, emb, queryId,
+      k = rerank, nProbe = nProbe, idCol = idCol, vecCol = vecCol)
+      .select(col(idCol))
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("__p"))
+    emb.join(broadcast(shortlist), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosineSimilarity(col(vecCol), col("__p")), 6).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
       .limit(k)
   }
 

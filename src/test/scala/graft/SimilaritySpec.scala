@@ -658,6 +658,73 @@ class SimilaritySpec extends SparkSpec {
     org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(rotated)
   }
 
+  test("ivfPqTopKRefined: exact re-rank of the shortlist; recall >= plain PQ") {
+    val (emb, cellCentroids, rawCodebook) = ivfPqFixtures()
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_ref").toString
+    Similarity.buildIvfPqIndex(emb, cellCentroids, rawCodebook,
+      s"$base/raw", m = 4)
+    val k = 10
+    val refined = Similarity.ivfPqTopKRefined(spark, s"$base/raw", emb,
+      queryId = 1L, k = k, rerank = 50, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(refined.size == k)
+    // ground truth: exact cosine top-k over the SAME candidate scope (the
+    // probed cells) — with rerank >= scope the re-rank IS exact there
+    val pq = Similarity.ivfPqTopKIndexed(spark, s"$base/raw", emb,
+      queryId = 1L, k = k, nProbe = 2).select("vec_id").as[Long].collect().toSet
+    val exactAll = Similarity.cosineTopK(emb, queryId = 1L, k = k)
+      .select("vec_id").as[Long].collect().toSet
+    val refinedHits = (refined.toSet intersect exactAll).size
+    val pqHits = (pq intersect exactAll).size
+    assert(refinedHits >= pqHits,
+      s"refined recall $refinedHits fell below plain PQ $pqHits")
+    // the big-rerank limit: refined == exact restricted to probed cells
+    val all = Similarity.ivfPqTopKRefined(spark, s"$base/raw", emb,
+      queryId = 1L, k = k, rerank = 100000, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    val probedExact = {
+      val cells = Similarity.ivfPqTopKRefined(spark, s"$base/raw", emb,
+        queryId = 1L, k = 100000, rerank = 100000, nProbe = 2)
+        .select("vec_id").as[Long].collect().toSet
+      Similarity.cosineTopK(emb, queryId = 1L, k = 100000)
+        .filter(col("vec_id").isin(cells.toSeq: _*))
+        .limit(k).select("vec_id").as[Long].collect().toSeq
+    }
+    assert(all == probedExact)
+  }
+
+  test("deleteFromIvfPqIndex: removal equals filtered rebuild; idempotent; empties cells") {
+    val (emb, cellCentroids, rawCodebook) = ivfPqFixtures()
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_del").toString
+    def codesOf(path: String): Map[Long, (Int, Seq[Int])] =
+      spark.read.parquet(s"$path/codes")
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Int]("cell_id"), r.getAs[Seq[Int]]("codes"))).toMap
+    Similarity.buildIvfPqIndex(emb, cellCentroids, rawCodebook,
+      s"$base/idx", m = 4)
+    val full = codesOf(s"$base/idx")
+    // reference: a fresh build over the filtered corpus with the SAME
+    // centroids/codebook (deletion must never re-encode survivors)
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+      cellCentroids, rawCodebook, s"$base/ref", m = 4)
+    import spark.implicits._
+    Similarity.deleteFromIvfPqIndex(spark, s"$base/idx",
+      emb.filter(col("vec_id") % 5 === 0).select("vec_id"))
+    assert(codesOf(s"$base/idx") == codesOf(s"$base/ref"))
+    // deleting ids not in the index is a no-op
+    Similarity.deleteFromIvfPqIndex(spark, s"$base/idx",
+      Seq(999999L, -5L).toDF("vec_id"))
+    assert(codesOf(s"$base/idx") == codesOf(s"$base/ref"))
+    // emptying a whole cell removes its partition directory
+    val someCell = full.values.head._1
+    val cellIds = full.collect { case (id, (c, _)) if c == someCell => id }.toSeq
+    Similarity.deleteFromIvfPqIndex(spark, s"$base/idx", cellIds.toDF("vec_id"))
+    val dirs = new java.io.File(s"$base/idx/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!dirs.contains(s"cell_id=$someCell"), s"stale dir for $someCell")
+    assert(!codesOf(s"$base/idx").values.exists(_._1 == someCell))
+  }
+
   test("mmrSelect with lambda=1 degenerates to plain cosine top-k") {
     val topk = Similarity.cosineTopK(vecs, queryId = 0L, k = 3)
       .select("vec_id").as[Long].collect().toSeq
