@@ -1852,7 +1852,35 @@ object SparkEntry {
       Similarity.ensureIvfPqIndex(emb, cellCentroids, codebook, path, m = 4)
       Similarity.ivfPqTopKRefined(s, path, emb, queryId = 1L, k = 10,
         rerank = 50, nProbe = 2)
-    }))
+    }),
+    "q140_ivfpq_batch_refined" -> ((s, d) => {
+      // q139's two-stage refinement, batched: 50 probes shortlist from
+      // q129's shared residual index in one pass, ONE semi-joined raw
+      // fetch re-ranks all Q·20 shortlist pairs, GroupedTopK finishes
+      val emb = T(s, d, "embeddings")
+      val cellCentroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      val codebook = Similarity.cellResiduals(emb, cellCentroids)
+        .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+        .select((col("vec_id") / 37).cast("int").as("cid"),
+          col("residual").as("centroid"))
+      val path = s"/tmp/graft_ivfpq/res_${tagFor(d)}"
+      Similarity.ensureIvfPqIndex(emb, cellCentroids, codebook, path,
+        m = 4, residual = true)
+      Similarity.ivfPqTopKBatchRefined(s, path, emb, col("vec_id") < 50,
+        k = 3, rerank = 20, nProbe = 2)
+    }),
+    "q141_event_funnel" -> ((s, d) =>
+      // ordered-funnel conversion: per-user depth through HIGH-VALUE
+      // view → click → purchase (value > 150 makes qualifying events
+      // sparse enough that depths actually spread; unfiltered, every
+      // user trivially completes) with the strict-after first-touch
+      // rule, rolled up to users-per-depth — each step is one
+      // pushed-down scan + a narrow frontier join, never an
+      // event-volume shuffle
+      Funnel.funnelCounts(T(s, d, "events").filter(col("value") > 150),
+        steps = Seq("view", "click", "purchase"))))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -3146,7 +3174,40 @@ object SparkEntry {
          |      i -> (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i])
          |         * (p[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i]))))), 6) AS adc_dist
          |FROM enc""".stripMargin,
-    "q139_ivfpq_refined" -> ivfPqRefineOracleSql)
+    "q139_ivfpq_refined" -> ivfPqRefineOracleSql,
+    "q140_ivfpq_batch_refined" -> ivfPqBatchRefineOracleSql,
+    "q141_event_funnel" ->
+      // first-touch per step via row_number over (ts, event_id); step i
+      // qualifies only strictly after step i-1's chosen event
+      """WITH ev AS (SELECT * FROM events WHERE value > 150),
+        |f1 AS (SELECT user_id, ts, event_id FROM (
+        |    SELECT user_id, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM ev WHERE event_type = 'view') WHERE rn = 1),
+        |f2 AS (SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM ev e JOIN f1 ON e.user_id = f1.user_id
+        |    WHERE e.event_type = 'click'
+        |      AND (e.ts > f1.ts OR (e.ts = f1.ts AND e.event_id > f1.event_id)))
+        |  WHERE rn = 1),
+        |f3 AS (SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM ev e JOIN f2 ON e.user_id = f2.user_id
+        |    WHERE e.event_type = 'purchase'
+        |      AND (e.ts > f2.ts OR (e.ts = f2.ts AND e.event_id > f2.event_id)))
+        |  WHERE rn = 1),
+        |d AS (SELECT u.user_id,
+        |    CASE WHEN f3.user_id IS NOT NULL THEN 3
+        |         WHEN f2.user_id IS NOT NULL THEN 2
+        |         WHEN f1.user_id IS NOT NULL THEN 1
+        |         ELSE 0 END AS depth
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  LEFT JOIN f1 ON u.user_id = f1.user_id
+        |  LEFT JOIN f2 ON u.user_id = f2.user_id
+        |  LEFT JOIN f3 ON u.user_id = f3.user_id)
+        |SELECT depth, count(*) AS n_users FROM d GROUP BY depth""".stripMargin)
 
   /** q137's oracle: the MMR greedy unrolled to k materialized layers —
     * layer i cross-joins the (1-row) previous selections, recomputes the
@@ -3224,8 +3285,11 @@ object SparkEntry {
     * index stores them) + q128's per-probe routing; ADC runs against the
     * probe's residual in the candidate's cell.
     */
-  private lazy val ivfPqBatchOracleSql =
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  /** The residual batch chain through `adc(probe_id, vec_id, adc_dist)` —
+    * shared by q129's plain top-3 tail and q140's re-rank tail.
+    */
+  private lazy val ivfPqBatchAdcCtesSql =
+      s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
          |  FROM v WHERE vec_id % 97 = 0),
          |scored AS (SELECT v.vec_id, cent.cell_id,
@@ -3265,11 +3329,32 @@ object SparkEntry {
          |        i -> (qr.qr[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i])
          |           * (qr.qr[j*sub+i] - cents[codes[j+1] + 1].c[j*sub+i]))))), 6) AS adc_dist
          |  FROM enc JOIN qr USING (cell_id)
-         |  WHERE enc.vec_id <> qr.probe_id)
-         |SELECT probe_id, vec_id, adc_dist FROM (
-         |  SELECT probe_id, vec_id, adc_dist,
-         |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_dist, vec_id) AS rn
-         |  FROM adc) WHERE rn <= 3""".stripMargin
+         |  WHERE enc.vec_id <> qr.probe_id)""".stripMargin
+
+  private lazy val ivfPqBatchOracleSql =
+    s"""WITH $ivfPqBatchAdcCtesSql
+       |SELECT probe_id, vec_id, adc_dist FROM (
+       |  SELECT probe_id, vec_id, adc_dist,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_dist, vec_id) AS rn
+       |  FROM adc) WHERE rn <= 3""".stripMargin
+
+  /** q140: the batch ADC chain, per-probe top-20 shortlist, exact-cosine
+    * re-rank to 3 — `Similarity.ivfPqTopKBatchRefined` verbatim.
+    */
+  private lazy val ivfPqBatchRefineOracleSql =
+    s"""WITH $ivfPqBatchAdcCtesSql,
+       |short AS (SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY adc_dist, vec_id) AS rn
+       |    FROM adc) WHERE rn <= 20),
+       |rr AS (SELECT s.probe_id, s.vec_id,
+       |    round(${cosSql("cv.e", "p.pe")}, 6) AS sim
+       |  FROM short s JOIN v cv ON s.vec_id = cv.vec_id
+       |  JOIN probes p ON s.probe_id = p.probe_id)
+       |SELECT probe_id, vec_id, sim FROM (
+       |  SELECT probe_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM rr) WHERE rn <= 3""".stripMargin
 
   /** Shared by q124 (inline encode) and q126 (persisted PQ-codes index) —
     * both raw-vector IVF-PQ tiers must return identical neighbors:

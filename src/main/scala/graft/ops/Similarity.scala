@@ -1176,6 +1176,40 @@ object Similarity {
       Seq(("adc_dist", false), (idCol, false)), k)
   }
 
+  /** Batch two-stage refined search: [[ivfPqTopKBatch]] shortlists every
+    * probe from stored codes in ONE pass, then a single exact-cosine
+    * re-rank joins the shortlists' raw vectors — Q·rerank pairs, never
+    * Q·corpus — and GroupedTopK finishes per probe. The raw relation is
+    * touched once, semi-joined to the distinct shortlist ids (the
+    * [[ivfPqTopKRefined]] fetch discipline, batched). This completes the
+    * tier grid: (flat | PQ) × (single | batch) × (inline | indexed), each
+    * PQ tier optionally refined.
+    */
+  def ivfPqTopKBatchRefined(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, emb: DataFrame,
+                            probeFilter: Column, k: Int, rerank: Int = 20,
+                            nProbe: Int = 2, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val shortlist = ivfPqTopKBatch(spark, indexPath, emb, probeFilter,
+      k = rerank, nProbe = nProbe, idCol = idCol, vecCol = vecCol)
+      .select(col("probe_id"), col(idCol))
+    val candVecs = emb
+      .join(broadcast(shortlist.select(col(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+    val probes = emb.filter(probeFilter)
+      .select(col(idCol).as("probe_id"),
+        col(vecCol).cast("array<double>").as("__pv"))
+    val rr = shortlist
+      .join(candVecs, Seq(idCol))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col(idCol),
+        round(cosineSimilarity(col("__cv"), col("__pv")), 6).as("sim"))
+    graft.plans.TopK.perGroup(rr, Seq("probe_id"),
+      Seq(("sim", true), (idCol, false)), k)
+  }
+
   /** Cell-size statistics for a persisted index's codes — the staleness
     * diagnostic [[appendToIvfPqIndex]]'s drift caveat calls for: appends
     * never retrain centroids, so distribution drift shows up as cell-size

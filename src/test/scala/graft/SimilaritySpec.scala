@@ -693,6 +693,24 @@ class SimilaritySpec extends SparkSpec {
     assert(all == probedExact)
   }
 
+  test("ivfPqTopKBatchRefined per-probe equals the single-probe refined tier") {
+    val (emb, cellCentroids, rawCodebook) = ivfPqFixtures()
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_bref").toString
+    Similarity.buildIvfPqIndex(emb, cellCentroids, rawCodebook,
+      s"$base/raw", m = 4)
+    val batch = Similarity.ivfPqTopKBatchRefined(spark, s"$base/raw", emb,
+      col("vec_id") < 4, k = 3, rerank = 15, nProbe = 2)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2))
+        .map(r => (r._2, r._3)).toSeq).toMap
+    for (q <- 0L until 4L) {
+      val single = Similarity.ivfPqTopKRefined(spark, s"$base/raw", emb,
+        queryId = q, k = 3, rerank = 15, nProbe = 2)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(q) == single, s"probe $q: batch=${batch(q)} single=$single")
+    }
+  }
+
   test("deleteFromIvfPqIndex: removal equals filtered rebuild; idempotent; empties cells") {
     val (emb, cellCentroids, rawCodebook) = ivfPqFixtures()
     val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_del").toString
