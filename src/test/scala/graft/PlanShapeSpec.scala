@@ -531,6 +531,61 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("Eval"), s"q115 leaves codegen:\n$s")
   }
 
+  test("q134 chunk dedup: keep decision is partial+final on the hash; no re-tokenize") {
+    // the chunked relation is checkpointed once — both the keeper
+    // aggregate and the reassembly must read the checkpoint (no parquet
+    // FileScan, no second Generate/explode), and the min-keeper aggregate
+    // must partial-combine map-side so a hot boilerplate chunk collapses
+    // before its exchange
+    val q = SparkEntry.queries("q134_chunk_dedup")(spark, sf0001)
+    val s = planString(q)
+    assert(!s.contains("FileScan"), s"chunk dedup re-scanned parquet:\n$s")
+    assert(!s.contains("Generate"), s"chunk dedup re-tokenized:\n$s")
+    assert("partial_min".r.findAllIn(s).nonEmpty ||
+      "HashAggregate".r.findAllIn(s).length >= 4, s)
+  }
+
+  test("q138 rotated PQ encode never shuffles the corpus (broadcast-only plan)") {
+    val s = planString(SparkEntry.queries("q138_rotated_pq")(spark, sf0001))
+    // the ONLY permitted shuffle is the 16-row codebook assembly (keyed
+    // on cid, inside a broadcast subtree); the corpus side (vec_id) must
+    // stay map-only
+    assert(!s.contains("hashpartitioning(vec_id"), s)
+    assert(!s.contains("Exchange rangepartitioning"), s)
+    assert(s.contains("dot_product"), s) // rotation stayed native/codegen'd
+  }
+
+  test("q139 refined search: shortlist from the index, floats only for the fetch") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val cellCentroids = emb.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") / 97).cast("int").as("cell_id"),
+        col("embedding").as("centroid"))
+    val codebook = emb
+      .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+      .select((col("vec_id") / 37).cast("int").as("cid"),
+        col("embedding").as("centroid"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_ref2").toString
+    graft.ops.Similarity.buildIvfPqIndex(emb, cellCentroids, codebook,
+      s"$dir/pq", m = 4)
+    val refined = graft.ops.Similarity.ivfPqTopKRefined(
+      spark, s"$dir/pq", emb, queryId = 1L, k = 10, rerank = 50, nProbe = 2)
+    val s = planString(refined)
+    // no assignCells argmax; every embeddings scan except the semi-join
+    // fetch is a pushed-down 1-row query lookup (each stage keeps its own)
+    assert(!s.contains("negcell"), s)
+    val embScans = s.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("embeddings")).toSeq
+    // a point lookup pushes EqualTo(vec_id,1); the fetch side pushes
+    // Not(EqualTo(...)), which contains the same substring — strip it first
+    val nonPoint = embScans.filterNot(
+      _.replace("Not(EqualTo(vec_id,1))", "").contains("EqualTo(vec_id,1)"))
+    assert(nonPoint.size == 1, s"expected 1 non-lookup embeddings scan:\n$s")
+    assert(s.contains("LeftSemi, BuildRight") || s.contains("BroadcastHashJoin"),
+      s"fetch is not a broadcast semi-join:\n$s")
+    assert(s.contains("TakeOrderedAndProject"), s) // re-rank is top-k, no sort
+  }
+
   test("metadata-only multimodal scan does not read the blob column") {
     val media = graft.ops.Multimodal.synthesize(
       spark, Tables.documents(spark, sf0001).select("doc_id"), "doc_id")
