@@ -24,6 +24,16 @@ package object functions {
 
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
+  /** Constant-matrix × vector product via the native codegen'd MatVec
+    * expression (see MatVecProduct scaladoc — the `array(dot, dot, …)`
+    * composition at 64×64 exceeds the codegen budget and interprets).
+    */
+  def matVec(v: Column, matrix: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(MatVecProduct(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+        v.cast("array<double>")),
+      matrix.map(_.toArray).toArray))
+
   /** Cosine similarity of two embedding columns (any numeric element type;
     * computed in double).
     */

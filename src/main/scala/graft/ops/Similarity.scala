@@ -161,13 +161,15 @@ object Similarity {
   }
 
   /** Apply a [[randomRotation]] (or any literal matrix) to a vector
-    * column: one codegen'd dot product per output dimension, in row
-    * order — the q121 JL-projection shape, square instead of wide.
+    * column through the native MatVec expression — one codegen'd
+    * two-loop kernel, matrix shipped once as a reference object.
+    * Arithmetic is identical to `array(dotProduct(v, row_i), …)` (same
+    * per-row left-to-right accumulation), which the oracle replays as
+    * the q121 plane-ordered fold; the composed form at 64×64 would blow
+    * the codegen method budget and interpret (see MatVecProduct).
     */
-  def rotate(vec: Column, rotation: Seq[Seq[Double]]): Column = {
-    val v = vec.cast("array<double>")
-    array(rotation.map(row => dotProduct(v, array(row.map(lit): _*))): _*)
-  }
+  def rotate(vec: Column, rotation: Seq[Seq[Double]]): Column =
+    graft.functions.matVec(vec, rotation)
 
   /** SRP bucket id: one sign bit per hyperplane, packed into a long.
     * Vectors with the same bucket id are near-duplicates in angle with

@@ -73,4 +73,35 @@ class DotProductSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("array<double>") || e.getMessage.contains("DATATYPE_MISMATCH"))
   }
+
+  test("matVec equals the composed array-of-dotProducts bit for bit") {
+    val rnd = new scala.util.Random(7)
+    val m = Seq.fill(5)(Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    val data = Seq.fill(20)(Array.fill(8)(rnd.nextDouble() * 10 - 5))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val composed = data.select(col("id"),
+      array(m.map(row => graft.functions.dotProduct(col("v"),
+        array(row.map(lit): _*))): _*).as("out"))
+      .orderBy("id").collect().map(_.getSeq[Double](1))
+    val native = data.select(col("id"),
+      graft.functions.matVec(col("v"), m).as("out"))
+      .orderBy("id").collect().map(_.getSeq[Double](1))
+    // bit-identical, not approximately equal: same fold order per row
+    assert(native.zip(composed).forall { case (a, b) => a == b })
+  }
+
+  test("matVec: short input zero-extends; null elements contribute 0; null array → null") {
+    val m = Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0), Some(1.0)))),            // short: third term 0
+      (2L, Some(Seq(Some(1.0), None, Some(1.0)))),      // null elem skipped
+      (3L, None: Option[Seq[Option[Double]]])           // null array
+    ).toDF("id", "v")
+    val got = df.select(col("id"), graft.functions.matVec(col("v"), m).as("o"))
+      .orderBy("id").collect()
+    assert(got(0).getSeq[Double](1) == Seq(3.0, 9.0))
+    assert(got(1).getSeq[Double](1) == Seq(4.0, 10.0))
+    assert(got(2).isNullAt(1))
+  }
 }

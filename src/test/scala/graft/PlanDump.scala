@@ -48,7 +48,11 @@ object PlanDump {
     "q126_ivfpq_indexed" -> "persisted IVF-PQ: partition-pruned stored-codes scan, no assign/encode recompute — only the 1-row query lookup touches the corpus",
     "q127_ivfpq_residual_indexed" -> "persisted residual IVF-PQ: the per-query residual subtree is gone — build-time cost, search reads pruned codes",
     "q128_ivf_batch_topk" -> "batch ANN: one corpus assignment, distributed probe routing, single candidate equi-join, GroupedTopK per probe",
-    "q129_ivfpq_batch_topk" -> "batch PQ over the persisted index: routing table carries per-(probe,cell) ADC references, one codes scan")
+    "q129_ivfpq_batch_topk" -> "batch PQ over the persisted index: routing table carries per-(probe,cell) ADC references, one codes scan",
+    "q134_chunk_dedup" -> "chunk dedup: checkpointed single-tokenize chunks, hash-keyed partial+final keeper aggregate, in-order reassembly",
+    "q138_rotated_pq" -> "rotated PQ: 64 codegen'd dot products rotate in the scan projection, corpus side map-only",
+    "q139_ivfpq_refined" -> "refined search: pruned stored-codes shortlist, broadcast semi-join raw fetch, exact re-rank as TakeOrdered",
+    "q141_event_funnel" -> "funnel: per-step pushed-down scans, narrow frontier joins, partial-aggregated first-touch minima")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -552,7 +552,7 @@ class PlanShapeSpec extends SparkSpec {
     // stay map-only
     assert(!s.contains("hashpartitioning(vec_id"), s)
     assert(!s.contains("Exchange rangepartitioning"), s)
-    assert(s.contains("dot_product"), s) // rotation stayed native/codegen'd
+    assert(s.contains("mat_vec"), s) // rotation is ONE native expression
   }
 
   test("q139 refined search: shortlist from the index, floats only for the fetch") {
