@@ -1880,7 +1880,18 @@ object SparkEntry {
       // pushed-down scan + a narrow frontier join, never an
       // event-volume shuffle
       Funnel.funnelCounts(T(s, d, "events").filter(col("value") > 150),
-        steps = Seq("view", "click", "purchase"))))
+        steps = Seq("view", "click", "purchase"))),
+    "q142_frequent_paths" -> ((s, d) =>
+      // sequence mining: global top-10 3-step event-type paths across
+      // per-user ordered histories; (ts, event_id) sort inside the
+      // collected array, count-desc/path tiebreak ranking
+      Funnel.frequentPaths(T(s, d, "events"), n = 3, k = 10)),
+    "q143_cohort_retention" -> ((s, d) =>
+      // weekly retention triangle: cohort = ISO week of first activity,
+      // cells count users active at each week offset; epoch-encoded
+      // weeks. Tables.events (not T): date_trunc needs the normalized
+      // TimestampType column, not the raw nanos long
+      Funnel.cohortRetention(Tables.events(s, d))))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -3207,7 +3218,27 @@ object SparkEntry {
         |  LEFT JOIN f1 ON u.user_id = f1.user_id
         |  LEFT JOIN f2 ON u.user_id = f2.user_id
         |  LEFT JOIN f3 ON u.user_id = f3.user_id)
-        |SELECT depth, count(*) AS n_users FROM d GROUP BY depth""".stripMargin)
+        |SELECT depth, count(*) AS n_users FROM d GROUP BY depth""".stripMargin,
+    "q142_frequent_paths" ->
+      """WITH s AS (SELECT user_id,
+        |    list(event_type ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT unnest(CASE WHEN len(seq) < 3 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, len(seq) - 1),
+        |      i -> array_to_string(list_slice(seq, i, i + 2), ' > '))
+        |    END) AS path
+        |  FROM s)
+        |SELECT path, count(*) AS n_occurrences FROM g
+        |GROUP BY path ORDER BY n_occurrences DESC, path LIMIT 10""".stripMargin,
+    "q143_cohort_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id)
+        |SELECT CAST(epoch(cw) AS BIGINT) AS cohort_week_epoch,
+        |  CAST(date_diff('day', cw, wk) // 7 AS INTEGER) AS week_offset,
+        |  count(*) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin)
 
   /** q137's oracle: the MMR greedy unrolled to k materialized layers —
     * layer i cross-joins the (1-row) previous selections, recomputes the

@@ -71,4 +71,56 @@ object Funnel {
                    typeCol: String = "event_type"): DataFrame =
     funnelDepths(events, steps, userCol, tsCol, idCol, typeCol)
       .groupBy("depth").agg(count(lit(1)).as("n_users"))
+
+  /** Top-k most frequent length-`n` event-type paths ("what do users
+    * actually do, in order") — sequence mining's workhorse n-gram cut:
+    * each user's events collapse to one ordered type sequence ((ts, id)
+    * sort inside the collected array — deterministic), sliding n-grams
+    * explode, and a global count ranks them. Returns
+    * (path, n_occurrences) with ' > '-joined steps, ties broken by path.
+    *
+    * Scale caveat (stated, not hidden): the per-user sequence is a
+    * collect_list, so one group's memory is one user's full history —
+    * bounded by per-user activity, not corpus size. A pipeline with
+    * unbounded per-user histories should sessionize first (q51) and mine
+    * per-session sequences; the operator is agnostic to what the
+    * `userCol` key means.
+    */
+  def frequentPaths(events: DataFrame, n: Int = 3, k: Int = 10,
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    idCol: String = "event_id",
+                    typeCol: String = "event_type"): DataFrame = {
+    require(n >= 2 && k >= 1, s"need n >= 2 (got $n), k >= 1 (got $k)")
+    val seqs = events.groupBy(col(userCol)).agg(
+      transform(
+        array_sort(collect_list(struct(col(tsCol), col(idCol), col(typeCol)))),
+        s => s.getField(typeCol)).as("__seq"))
+    val grams = seqs.select(
+      explode(when(size(col("__seq")) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(col("__seq")) - n),
+          i => array_join(slice(col("__seq"), i + 1, lit(n)), " > ")))).as("path"))
+    grams.groupBy("path").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), col("path"))
+      .limit(k)
+  }
+
+  /** Weekly cohort retention: users are cohorted by the ISO week of
+    * their first event; each (cohort, offset) cell counts the cohort's
+    * users active `offset` weeks later — the classic retention triangle.
+    * Weeks epoch-encoded for cross-engine dtype stability (the q92
+    * convention). Two narrow aggregates + one keyed join; the event log
+    * is scanned once and reduced to distinct (user, week) immediately.
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val weeks = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("__w"))
+      .distinct()
+    val cohorts = weeks.groupBy(col(userCol)).agg(min(col("__w")).as("__cw"))
+    weeks.join(cohorts, Seq(userCol))
+      .select(unix_timestamp(col("__cw")).as("cohort_week_epoch"),
+        (datediff(col("__w"), col("__cw")) / 7).cast("int").as("week_offset"))
+      .groupBy("cohort_week_epoch", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

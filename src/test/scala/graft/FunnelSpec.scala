@@ -32,6 +32,45 @@ class FunnelSpec extends SparkSpec {
       6L -> 1, 7L -> 2))
   }
 
+  test("frequentPaths: ordered n-grams per user, count-desc path-tiebreak ranking") {
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "b"), (3L, 1L, 30L, "c"), // a>b>c
+      (4L, 2L, 10L, "a"), (5L, 2L, 20L, "b"), (6L, 2L, 30L, "c"), // a>b>c
+      (7L, 3L, 10L, "b"), (8L, 3L, 20L, "c"), (9L, 3L, 30L, "a"), // b>c>a
+      (10L, 4L, 10L, "x"), (11L, 4L, 20L, "y")                     // too short
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.ops.Funnel.frequentPaths(ev, n = 3, k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a > b > c", 2L), ("b > c > a", 1L)))
+  }
+
+  test("frequentPaths: same-ts events order by event_id inside the sequence") {
+    val ev = Seq(
+      (2L, 1L, 10L, "b"), (1L, 1L, 10L, "a"), (3L, 1L, 10L, "c")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.ops.Funnel.frequentPaths(ev, n = 3, k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a > b > c", 1L)))
+  }
+
+  test("cohortRetention: first-week cohorts, week offsets, one count per user-week") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // weeks: Mon 2024-01-01, Mon 2024-01-08, Mon 2024-01-15
+    val ev = Seq(
+      (1L, ts(2)), (1L, ts(3)),   // user 1 cohort w0, active w0 (twice → once)
+      (1L, ts(9)),                // user 1 active w1
+      (2L, ts(10)),               // user 2 cohort w1
+      (2L, ts(16))                // user 2 active w2 (offset 1)
+    ).toDF("user_id", "ts")
+    val w0 = java.time.LocalDate.parse("2024-01-01")
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val w1 = w0 + 7 * 86400
+    val got = graft.ops.Funnel.cohortRetention(ev)
+      .as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map((w0, 0) -> 1L, (w0, 1) -> 1L, (w1, 0) -> 1L, (w1, 1) -> 1L))
+  }
+
   test("funnelCounts sums depths; every user appears exactly once") {
     val ev = Seq(
       (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"),
