@@ -65,6 +65,8 @@ object Graph {
       .union(edges.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val n = nodes.count()
+    require(n > 0, "pageRank: edge relation is empty — no nodes to rank " +
+      "(an empty graph would silently divide by zero)")
     val outdeg = edges.groupBy("src").agg(sum(col("weight")).as("__od"))
     val norm = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), (col("weight") / col("__od")).as("__norm"))

@@ -1329,13 +1329,18 @@ object Similarity {
       val notPicked = selected.map(_._1).foldLeft(lit(true).as("c")) {
         (acc, id) => acc && col(idCol) =!= id
       }
-      val row = pool.filter(notPicked)
+      val rows = pool.filter(notPicked)
         .select(col(idCol), col("__v"),
           round(lit(lambda) * col("__simq") - lit(1.0 - lambda) * penalty, 6)
             .as("__score"))
         .orderBy(desc("__score"), col(idCol))
         .limit(1)
-        .collect()(0)
+        .collect()
+      // the pool can hold fewer than poolSize rows on a small corpus —
+      // running dry mid-selection must fail loudly, not IndexOutOfBounds
+      require(rows.nonEmpty, s"mmrSelect: candidate pool exhausted after " +
+        s"${selected.size} of $k picks (corpus smaller than poolSize?)")
+      val row = rows(0)
       selected += ((row.getLong(0), row.getSeq[Double](1), row.getDouble(2)))
     }
     release(pool)
