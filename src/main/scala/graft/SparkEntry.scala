@@ -1891,7 +1891,15 @@ object SparkEntry {
       // cells count users active at each week offset; epoch-encoded
       // weeks. Tables.events (not T): date_trunc needs the normalized
       // TimestampType column, not the raw nanos long
-      Funnel.cohortRetention(Tables.events(s, d))))
+      Funnel.cohortRetention(Tables.events(s, d))),
+    "q144_personalized_pagerank" -> ((s, d) => {
+      // random-walk proximity to the 'signup' seed: teleport mass
+      // restricted to the source set — q136's shared implementation and
+      // unrolled oracle with a sources CTE
+      import s.implicits._
+      Graph.personalizedPageRank(Graph.transitionEdges(T(s, d, "events")),
+        Seq("signup").toDF("node"), iterations = 10)
+    }))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -3238,7 +3246,17 @@ object SparkEntry {
         |  CAST(date_diff('day', cw, wk) // 7 AS INTEGER) AS week_offset,
         |  count(*) AS n_users
         |FROM w JOIN c USING (user_id)
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    "q144_personalized_pagerank" ->
+      s"""WITH lagd AS (SELECT event_type AS dst,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS src
+         |  FROM events),
+         |edges AS (SELECT src, dst, count(*) AS w FROM lagd
+         |  WHERE src IS NOT NULL GROUP BY src, dst),
+         |seeds AS (SELECT 'signup' AS node),
+         |${graft.ops.Graph.pageRankOracleSql("edges", 10,
+            sourcesCte = Some("seeds"))}""".stripMargin)
 
   /** q137's oracle: the MMR greedy unrolled to k materialized layers —
     * layer i cross-joins the (1-row) previous selections, recomputes the

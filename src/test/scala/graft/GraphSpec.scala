@@ -69,6 +69,36 @@ class GraphSpec extends SparkSpec {
     assert(got == rank, s"got=$got expected=$rank")
   }
 
+  test("personalizedPageRank: seed holds the most mass; off-seed teleport is zero") {
+    // star: s → a, b, c; nothing returns, so all flow re-teleports to s
+    val edges = Seq(("s", "a", 1L), ("s", "b", 1L), ("s", "c", 1L))
+      .toDF("src", "dst", "weight")
+    val r = Graph.personalizedPageRank(edges, Seq("s").toDF("node"),
+      iterations = 20).as[(String, Double)].collect().toMap
+    assert(r("s") > r("a"))
+    assert(r("a") == r("b") && r("b") == r("c")) // symmetric targets
+    assert(math.abs(r.values.sum - 1.0) < 1e-4)  // mass conserved
+  }
+
+  test("personalizedPageRank with all nodes as sources equals plain pageRank") {
+    val edges = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 1L),
+      ("a", "c", 1L), ("c", "d", 2L)).toDF("src", "dst", "weight")
+    val all = Seq("a", "b", "c", "d").toDF("node")
+    val plain = Graph.pageRank(edges, iterations = 7)
+      .as[(String, Double)].collect().toMap
+    val ppr = Graph.personalizedPageRank(edges, all, iterations = 7)
+      .as[(String, Double)].collect().toMap
+    assert(plain == ppr)
+  }
+
+  test("personalizedPageRank rejects a teleport set disjoint from the graph") {
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "weight")
+    val e = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, Seq("zz").toDF("node"))
+    }
+    assert(e.getMessage.contains("teleport set is empty"))
+  }
+
   test("pageRank releases its per-round checkpoint blocks") {
     val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "weight")
     val before = spark.sparkContext.getPersistentRDDs.size
