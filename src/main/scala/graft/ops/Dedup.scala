@@ -598,6 +598,58 @@ object Dedup {
         reassemble(col("__boiler").isNull).as("clean_text"))
   }
 
+  /** The boilerplate decision set of [[boilerplateRemove]] as collected
+    * 128-bit hash pairs — the frozen-snapshot producer for the STREAMING
+    * scrub ([[removeBoilerplateColumn]]): boilerplate sets are small by
+    * construction (chunks repeated across many documents), so the collect
+    * is k-rows-by-design, the `Sampling.mixtureRatesPpm` pattern. Refresh
+    * periodically from the batch corpus; the stream applies the last
+    * snapshot.
+    */
+  def boilerplateChunkHashes(docs: DataFrame, idCol: String = "doc_id",
+                             textCol: String = "text", chunkTokens: Int = 3,
+                             minDocFreq: Int = 3): Array[(Long, Long)] = {
+    require(minDocFreq >= 2, s"minDocFreq ($minDocFreq) must be >= 2")
+    chunkedHashed(docs, idCol, textCol, chunkTokens)
+      .groupBy("__h1", "__h2")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("__h1", "__h2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  /** Map-only boilerplate scrub against a FROZEN hash-pair set — the
+    * streaming form of [[boilerplateRemove]] (which needs a corpus-wide
+    * aggregate and therefore cannot run per-row): chunk the text with the
+    * identical tokenize/window rule, drop chunks whose two-lane hash is in
+    * the snapshot, rejoin in order. Pure column expression — applies to a
+    * stream with no watermark or state store; StreamingSpec pins it
+    * text-for-text to the batch operator given the same snapshot.
+    */
+  def removeBoilerplateColumn(text: Column, frozen: Seq[(Long, Long)],
+                              chunkTokens: Int = 3): Column = {
+    val ct = chunkTokens
+    val toks = graft.functions.tokens(text)
+    val n = size(toks)
+    val nChunks = when(n === 0, lit(0)).otherwise(
+      lit(1) + greatest(lit(0),
+        floor((n - ct + (ct - 1)).cast("double") / ct).cast("int")))
+    val idxs = when(nChunks === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nChunks - 1))
+    val chunks = transform(idxs,
+      i => array_join(slice(toks, i * ct + 1, lit(ct)), " "))
+    // two-lane keys as strings: array_contains over a literal array —
+    // single-lane would admit a 2^-64 false-drop, and the batch pin test
+    // compares text exactly
+    val keys = frozen.map { case (a, b) => s"$a:$b" }
+    val kept =
+      if (keys.isEmpty) chunks
+      else filter(chunks, c => !array_contains(lit(keys.toArray),
+        concat(xxhash64(c).cast("string"), lit(":"),
+          xxhash64(lit(1L), c).cast("string"))))
+    array_join(kept, " ")
+  }
+
   /** Shared chunk → 128-bit-hash relation for the chunk-granular dedup
     * pair. localCheckpoint: the relation feeds both the decision aggregate
     * and the reassembly join — one tokenize pass, not two (the

@@ -312,6 +312,21 @@ object EventStream {
       .select(col("doc_id"), col("lang"), col("redacted"),
         col("n_emails"), col("n_ips"), col("n_phones"))
 
+  /** Streaming boilerplate scrub — the streaming twin of q135: the
+    * corpus-wide document-frequency decision cannot run per-row, so the
+    * stream applies a FROZEN hash-pair snapshot
+    * ([[graft.ops.Dedup.boilerplateChunkHashes]], refreshed periodically
+    * batch-side — the mixtureGate snapshot discipline) through the
+    * map-only [[graft.ops.Dedup.removeBoilerplateColumn]] expression: no
+    * watermark, no state store. StreamingSpec pins the cleaned text to
+    * the batch operator given the same snapshot.
+    */
+  def cleanedDocuments(docs: DataFrame, boilerHashes: Seq[(Long, Long)],
+                       chunkTokens: Int = 3): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      graft.ops.Dedup.removeBoilerplateColumn(col("text"), boilerHashes,
+        chunkTokens).as("clean_text"))
+
   /** Run a streaming DataFrame to completion against a bounded file source
     * via the memory sink; returns the materialized result. Used by tests
     * and demos ("batch drives the stream", spark_guide.md).

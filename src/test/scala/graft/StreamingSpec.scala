@@ -275,6 +275,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming boilerplate scrub matches batch removal text for text") {
+    // frozen snapshot from the batch corpus; 2-token chunks at minDocFreq 2
+    // so the word-soup fixture actually yields a non-empty boiler set
+    val docs = Tables.documents(spark, sf0001)
+    val frozen = graft.ops.Dedup.boilerplateChunkHashes(docs,
+      chunkTokens = 2, minDocFreq = 2)
+    assert(frozen.nonEmpty, "fixture produced no boilerplate — test is vacuous")
+    val streamed = EventStream.cleanedDocuments(
+      EventStream.readDocuments(spark, sf0001), frozen.toSeq, chunkTokens = 2)
+    val got = EventStream.runToMemory(spark, streamed, "boiler_stream_test")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val ref = graft.ops.Dedup.boilerplateRemove(docs, chunkTokens = 2,
+      minDocFreq = 2)
+      .select("doc_id", "clean_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == ref.size && got.nonEmpty)
+    assert(got == ref)
+    // the scrub actually removed something on this fixture
+    val original = docs.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.exists { case (id, t) => t != original(id) })
+  }
+
   test("streaming PII scrub matches the batch scrub row for row") {
     // Redact.scrub is stateless map-only, so the stream twin must equal
     // the batch output EXACTLY (same regex chain, same counts) — append
