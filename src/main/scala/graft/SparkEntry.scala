@@ -65,21 +65,22 @@ object SparkEntry {
 
   /** 3-token non-overlapping chunk CTE chain over a `docs`-shaped relation
     * (doc_id, text) — the q95 chunking oracle specialized to size = stride
-    * = 3, shared by q134/q135. Emits `ch(doc_id, chunk_idx, chunk_text)`.
+    * = 3, shared by q134/q135/q145. Emits `ch$sfx(doc_id, chunk_idx,
+    * chunk_text)`; pass a suffix when the chain appears twice in one query.
     */
-  private def chunk3CtesSql(source: String): String =
-    s"""t AS (SELECT doc_id, $toksSql AS tk FROM $source),
-       |n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
-       |c AS (SELECT doc_id, tk,
+  private def chunk3CtesSql(source: String, sfx: String = ""): String =
+    s"""t$sfx AS (SELECT doc_id, $toksSql AS tk FROM $source),
+       |n$sfx AS (SELECT doc_id, tk, len(tk) AS n FROM t$sfx),
+       |c$sfx AS (SELECT doc_id, tk,
        |    CASE WHEN n = 0 THEN []::BIGINT[]
        |         ELSE range(0, 1 + CASE WHEN n > 3 THEN (n - 3 + 2) // 3 ELSE 0 END)
        |    END AS idxs
-       |  FROM n),
-       |e AS (SELECT doc_id, tk, unnest(idxs) AS chunk_idx FROM c),
-       |ch AS (SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       |  FROM n$sfx),
+       |e$sfx AS (SELECT doc_id, tk, unnest(idxs) AS chunk_idx FROM c$sfx),
+       |ch$sfx AS (SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
        |    array_to_string(list_slice(tk, chunk_idx * 3 + 1, chunk_idx * 3 + 3), ' ')
        |      AS chunk_text
-       |  FROM e)""".stripMargin
+       |  FROM e$sfx)""".stripMargin
 
   /** Bbox dimension rendered as a SQL VALUES list from the same Scala data
     * AddCountry uses — one source of truth for both engines.
@@ -1899,6 +1900,31 @@ object SparkEntry {
       import s.implicits._
       Graph.personalizedPageRank(Graph.transitionEdges(T(s, d, "events")),
         Seq("signup").toDF("node"), iterations = 10)
+    }),
+    "q145_training_pipeline_v3" -> ((s, d) => {
+      // round capstone: inject boilerplate → corpus-frequency boilerplate
+      // removal (q135) → chunk-level dedup on the CLEANED text (q134) →
+      // frozen-weight logistic gate on the deduped text (q115) →
+      // per-lang rollup. Each stage's determinism rule is the one its
+      // standalone query proved; text hashes sum per lang so the full
+      // surviving content participates in the check
+      val docs = T(s, d, "documents")
+      val injected = docs.select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(boilerplateHeader + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val cleaned = Dedup.boilerplateRemove(injected, chunkTokens = 3,
+          minDocFreq = 3)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val deduped = Dedup.chunkDedup(cleaned, chunkTokens = 3)
+        .select(col("doc_id"), col("kept_text").as("text"))
+      val keepers = TextAnalysis.qualityLogistic(deduped)
+        .filter(col("keep") === 1).select("doc_id")
+      deduped.join(keepers, Seq("doc_id"), "left_semi")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(md5Hash31(col("text"))).as("content_sum"))
     }))
 
   // ---------------------------------------------------------- oracle SQL
@@ -3256,7 +3282,49 @@ object SparkEntry {
          |  WHERE src IS NOT NULL GROUP BY src, dst),
          |seeds AS (SELECT 'signup' AS node),
          |${graft.ops.Graph.pageRankOracleSql("edges", 10,
-            sourcesCte = Some("seeds"))}""".stripMargin)
+            sourcesCte = Some("seeds"))}""".stripMargin,
+    "q145_training_pipeline_v3" ->
+      // q135's chain → q134's chain over the cleaned text → q115's
+      // logistic → rollup; a doc whose cleaned text is empty chunks to
+      // nothing and drops, exactly as chunkDedup drops chunkless docs
+      s"""WITH docs AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN '$boilerplateHeader ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |${chunk3CtesSql("docs")},
+         |fb AS (SELECT chunk_text, 1 AS b FROM ch
+         |  GROUP BY chunk_text HAVING count(DISTINCT doc_id) >= 3),
+         |m AS (SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text,
+         |    CASE WHEN fb.b IS NULL THEN 0 ELSE 1 END AS boiler
+         |  FROM ch LEFT JOIN fb USING (chunk_text)),
+         |clean AS (SELECT doc_id,
+         |    coalesce(array_to_string(
+         |      list(chunk_text ORDER BY chunk_idx) FILTER (WHERE boiler = 0),
+         |      ' '), '') AS text
+         |  FROM m GROUP BY doc_id),
+         |${chunk3CtesSql("clean", "2")},
+         |k AS (SELECT doc_id, chunk_idx, chunk_text,
+         |    row_number() OVER (PARTITION BY chunk_text
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM ch2),
+         |kept AS (SELECT doc_id,
+         |    coalesce(array_to_string(
+         |      list(chunk_text ORDER BY chunk_idx) FILTER (WHERE rn = 1),
+         |      ' '), '') AS text
+         |  FROM k GROUP BY doc_id),
+         |f AS (${qualityFeaturesSqlFrom("kept")}),
+         |sc AS (SELECT doc_id,
+         |    round(1.0 / (1.0 + exp(-(-2.0 + 0.45 * ln(1.0 + n_tokens)
+         |      + 3.0 * stopword_ratio + 0.15 * mean_token_len
+         |      - 8.0 * punct_ratio))), 6) AS quality_prob
+         |  FROM f)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(${hash31Sql("kept.text")}) AS BIGINT) AS content_sum
+         |FROM kept
+         |JOIN sc USING (doc_id)
+         |JOIN documents d USING (doc_id)
+         |WHERE sc.quality_prob >= 0.5
+         |GROUP BY d.lang""".stripMargin)
 
   /** q137's oracle: the MMR greedy unrolled to k materialized layers —
     * layer i cross-joins the (1-row) previous selections, recomputes the
