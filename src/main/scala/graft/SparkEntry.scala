@@ -1925,7 +1925,18 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(md5Hash31(col("text"))).as("content_sum"))
-    }))
+    }),
+    "q146_label_propagation" -> ((s, d) =>
+      // community detection on the transition graph: 5 semi-synchronous
+      // rounds of heaviest-incoming-vote label adoption (integer votes —
+      // exact; smallest-label tiebreak); unrolled materialized oracle
+      Graph.labelPropagation(Graph.transitionEdges(T(s, d, "events")),
+        iterations = 5)),
+    "q147_cheapest_paths" -> ((s, d) =>
+      // most-probable transition paths from 'signup': Bellman-Ford over
+      // -ln(transition probability) edge costs, 6 relaxation rounds
+      Graph.cheapestPaths(Graph.transitionEdges(T(s, d, "events")),
+        source = "signup", iterations = 6)))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -3324,7 +3335,23 @@ object SparkEntry {
          |JOIN sc USING (doc_id)
          |JOIN documents d USING (doc_id)
          |WHERE sc.quality_prob >= 0.5
-         |GROUP BY d.lang""".stripMargin)
+         |GROUP BY d.lang""".stripMargin,
+    "q146_label_propagation" ->
+      s"""WITH lagd AS (SELECT event_type AS dst,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS src
+         |  FROM events),
+         |edges AS (SELECT src, dst, count(*) AS w FROM lagd
+         |  WHERE src IS NOT NULL GROUP BY src, dst),
+         |${graft.ops.Graph.labelPropagationOracleSql("edges", 5)}""".stripMargin,
+    "q147_cheapest_paths" ->
+      s"""WITH lagd AS (SELECT event_type AS dst,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS src
+         |  FROM events),
+         |edges AS (SELECT src, dst, count(*) AS w FROM lagd
+         |  WHERE src IS NOT NULL GROUP BY src, dst),
+         |${graft.ops.Graph.cheapestPathsOracleSql("edges", "signup", 6)}""".stripMargin)
 
   /** q137's oracle: the MMR greedy unrolled to k materialized layers —
     * layer i cross-joins the (1-row) previous selections, recomputes the

@@ -130,6 +130,167 @@ object Graph {
     ranks.select("node", "rank")
   }
 
+  /** Deterministic label propagation (Raghavan et al. 2007, public) —
+    * community detection on the weighted digraph: every node starts as
+    * its own community; a node adopts the label with the heaviest
+    * incoming weighted vote (tie → lexicographically smallest label; no
+    * in-edges → keep). The update is SEMI-SYNCHRONOUS in two phases per
+    * round, colored by the portable hash's parity: phase-0 nodes update
+    * from the previous state, then phase-1 nodes update seeing phase-0's
+    * NEW labels — fully synchronous LPA oscillates forever on symmetric
+    * pairs (the classic bipartite 2-cycle), and the two-phase coloring is
+    * the standard deterministic stabilization (a mutual pair in the SAME
+    * phase can still trade labels; the fixed round count keeps the result
+    * well-defined regardless). Runs EXACTLY `iterations` rounds for the
+    * unrolled-oracle contract; votes are integer weight sums — exact, no
+    * rounding discipline needed.
+    *
+    * Per-phase plan: labels ⋈ edges on src (narrow), two-level aggregate
+    * (sum votes per (dst, label), then an exact min-struct argmax — no
+    * window over a potentially hot node), left join back. Checkpoint +
+    * release per round.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations ($iterations) must be >= 1")
+    val release = org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    def phase(labels: DataFrame, parity: Int): DataFrame = {
+      val votes = labels.join(edges, col("node") === col("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(sum(col("weight")).as("__votes"))
+      // argmax with smallest-label tiebreak: min(struct(-votes, label))
+      val winners = votes.groupBy(col("dst"))
+        .agg(min(struct((-col("__votes")).as("nv"), col("label"))).as("__w"))
+        .select(col("dst"), col("__w.label").as("__newLabel"))
+      labels.join(winners, col("node") === col("dst"), "left")
+        .select(col("node"),
+          when(graft.functions.md5Hash31(col("node")) % 2 === parity,
+            coalesce(col("__newLabel"), col("label")))
+            .otherwise(col("label")).as("label"))
+    }
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val mixed = phase(labels, 0).localCheckpoint()
+      val next = phase(mixed, 1).localCheckpoint()
+      release(labels); release(mixed)
+      labels = next
+    }
+    release(nodes)
+    labels
+  }
+
+  /** Oracle for [[labelPropagation]]: the two-phase vote/argmax/keep
+    * round unrolled to materialized layers (same 2^N-inlining hazard as
+    * the PageRank oracle — each layer reads its predecessor twice).
+    * Parity mirrors `md5Hash31(node) % 2` via the portable md5 prefix.
+    */
+  def labelPropagationOracleSql(edgesCte: String, iterations: Int): String = {
+    def paritySql(e: String): String =
+      s"((('0x' || substring(md5($e), 1, 8))::BIGINT % 2147483647) % 2)"
+    val header =
+      s"""nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM $edgesCte
+         |  UNION SELECT DISTINCT dst AS node FROM $edgesCte),
+         |l0b AS MATERIALIZED (SELECT node, node AS label FROM nodes)""".stripMargin
+    def phaseSql(i: Int, tag: String, prev: String, parity: Int): String =
+      s"""v$tag$i AS MATERIALIZED (
+         |  SELECT e.dst, p.label, sum(e.w) AS votes
+         |  FROM $prev p JOIN $edgesCte e ON p.node = e.src
+         |  GROUP BY e.dst, p.label),
+         |w$tag$i AS MATERIALIZED (SELECT dst, label AS new_label FROM (
+         |    SELECT dst, label,
+         |      row_number() OVER (PARTITION BY dst
+         |        ORDER BY votes DESC, label) AS rn
+         |    FROM v$tag$i) WHERE rn = 1),
+         |l$i$tag AS MATERIALIZED (
+         |  SELECT p.node,
+         |    CASE WHEN ${paritySql("p.node")} = $parity
+         |         THEN coalesce(w.new_label, p.label)
+         |         ELSE p.label END AS label
+         |  FROM $prev p LEFT JOIN w$tag$i w ON p.node = w.dst)""".stripMargin
+    val layers = (1 to iterations).map { i =>
+      phaseSql(i, "a", s"l${i - 1}b", 0) + ",\n" +
+        phaseSql(i, "b", s"l${i}a", 1)
+    }
+    (header +: layers).mkString(",\n") +
+      s"\nSELECT node, label FROM l${iterations}b"
+  }
+
+  /** Bellman-Ford cheapest paths from `source` over edge cost
+    * −ln(weight / outdeg(src)) rounded to `roundTo` — the cost of the
+    * MOST PROBABLE transition path (minimizing summed negative log
+    * transition probabilities), always ≥ 0 so no negative cycles exist.
+    * Runs exactly `iterations` relaxation rounds (unrolled-oracle
+    * contract); distances use an INFINITY sentinel of 1e18 internally —
+    * IEEE-stable under `1e18 + cost` in both engines — and unreached
+    * nodes drop from the output. Each round is one keyed join + a
+    * partial-aggregated min.
+    */
+  def cheapestPaths(edges: DataFrame, source: String, iterations: Int = 6,
+                    roundTo: Int = 6): DataFrame = {
+    require(iterations >= 1, s"iterations ($iterations) must be >= 1")
+    val release = org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    val INF = 1e18
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val outdeg = edges.groupBy("src").agg(sum(col("weight")).as("__od"))
+    val costs = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"),
+        round(-log(col("weight") / col("__od")), roundTo).as("__c"))
+      .localCheckpoint()
+    var dist = nodes.select(col("node"),
+      when(col("node") === source, lit(0.0)).otherwise(lit(INF)).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val relaxed = dist.join(costs, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("__c")).as("dist"))
+      val next = dist.select(col("node"), col("dist"))
+        .unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      release(dist)
+      dist = next
+    }
+    release(nodes); release(costs)
+    dist.filter(col("dist") < lit(1e17))
+      .select(col("node"), round(col("dist"), roundTo).as("cost"))
+  }
+
+  /** Oracle for [[cheapestPaths]]: relaxation unrolled to materialized
+    * layers; the same sentinel/rounding/ordering rules as the Spark side.
+    */
+  def cheapestPathsOracleSql(edgesCte: String, source: String,
+                             iterations: Int, roundTo: Int = 6): String = {
+    val header =
+      s"""nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM $edgesCte
+         |  UNION SELECT DISTINCT dst AS node FROM $edgesCte),
+         |costs AS MATERIALIZED (SELECT e.src, e.dst,
+         |    round(-ln(e.w / o.od), $roundTo) AS c
+         |  FROM $edgesCte e
+         |  JOIN (SELECT src, sum(w) AS od FROM $edgesCte GROUP BY src) o
+         |    USING (src)),
+         |d0 AS MATERIALIZED (SELECT node,
+         |    CASE WHEN node = '$source' THEN (0.0)::DOUBLE
+         |         ELSE (1e18)::DOUBLE END AS dist
+         |  FROM nodes)""".stripMargin
+    val layers = (1 to iterations).map { i =>
+      val prev = s"d${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM $prev
+         |    UNION ALL
+         |    SELECT c.dst AS node, p.dist + c.c AS dist
+         |    FROM $prev p JOIN costs c ON p.node = c.src)
+         |  GROUP BY node)""".stripMargin
+    }
+    (header +: layers).mkString(",\n") +
+      s"""\nSELECT node, round(dist, $roundTo) AS cost
+         |FROM d$iterations WHERE dist < 1e17""".stripMargin
+  }
+
   /** DuckDB oracle for [[pageRank]] over an `edges(src, dst, w)` CTE:
     * the SAME iteration structure unrolled to `iterations` SQL layers, so
     * both engines execute identical arithmetic round by round (the

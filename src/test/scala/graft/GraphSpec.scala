@@ -99,6 +99,47 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("teleport set is empty"))
   }
 
+  test("labelPropagation: two weighted cliques converge to two communities") {
+    // a1<->a2 heavy, b1<->b2 heavy, one light bridge a2->b1
+    val edges = Seq(
+      ("a1", "a2", 10L), ("a2", "a1", 10L),
+      ("b1", "b2", 10L), ("b2", "b1", 10L),
+      ("a2", "b1", 1L)
+    ).toDF("src", "dst", "weight")
+    val got = Graph.labelPropagation(edges, iterations = 5)
+      .as[(String, String)].collect().toMap
+    assert(got("a1") == got("a2"))
+    assert(got("b1") == got("b2"))
+    assert(got("a1") != got("b1"))
+  }
+
+  test("labelPropagation: vote ties resolve to the lexicographically smallest label") {
+    // c receives equal weight from a and b → adopts min(label) = a's
+    val edges = Seq(("a", "c", 5L), ("b", "c", 5L))
+      .toDF("src", "dst", "weight")
+    val got = Graph.labelPropagation(edges, iterations = 1)
+      .as[(String, String)].collect().toMap
+    assert(got("c") == "a")
+    assert(got("a") == "a" && got("b") == "b") // no in-edges → keep
+  }
+
+  test("cheapestPaths: hand-checked -ln probability costs, unreached dropped") {
+    // s -> a (2/3), s -> b (1/3), a -> b (1); z is disconnected from s
+    val edges = Seq(("s", "a", 2L), ("s", "b", 1L), ("a", "b", 1L),
+      ("z", "s", 1L)).toDF("src", "dst", "weight")
+    val got = Graph.cheapestPaths(edges, source = "s", iterations = 4)
+      .as[(String, Double)].collect().toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ca = r6(-math.log(2.0 / 3.0))
+    val cbDirect = r6(-math.log(1.0 / 3.0))
+    val cbViaA = ca + r6(-math.log(1.0)) // = ca: a->b is certain
+    assert(got("s") == 0.0)
+    assert(got("a") == ca)
+    assert(got("b") == r6(math.min(cbDirect, cbViaA)))
+    assert(!got.contains("z"), "unreachable node must drop from the output")
+  }
+
   test("pageRank releases its per-round checkpoint blocks") {
     val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "weight")
     val before = spark.sparkContext.getPersistentRDDs.size
