@@ -1936,7 +1936,15 @@ object SparkEntry {
       // most-probable transition paths from 'signup': Bellman-Ford over
       // -ln(transition probability) edge costs, 6 relaxation rounds
       Graph.cheapestPaths(Graph.transitionEdges(T(s, d, "events")),
-        source = "signup", iterations = 6)))
+        source = "signup", iterations = 6)),
+    "q148_timed_funnel" -> ((s, d) =>
+      // q141's funnel with a CONVERSION WINDOW: later steps count only
+      // within 48 hours of the chosen first-step event (the anchor rides
+      // the frontier's min-struct). Needs real timestamps for the
+      // interval arithmetic → Tables.events
+      Funnel.funnelCounts(Tables.events(s, d).filter(col("value") > 100),
+        steps = Seq("view", "click", "purchase"),
+        withinOfFirst = Some("48 HOURS"))))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -3351,7 +3359,39 @@ object SparkEntry {
          |  FROM events),
          |edges AS (SELECT src, dst, count(*) AS w FROM lagd
          |  WHERE src IS NOT NULL GROUP BY src, dst),
-         |${graft.ops.Graph.cheapestPathsOracleSql("edges", "signup", 6)}""".stripMargin)
+         |${graft.ops.Graph.cheapestPathsOracleSql("edges", "signup", 6)}""".stripMargin,
+    "q148_timed_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE value > 100),
+        |f1 AS (SELECT user_id, ts, event_id FROM (
+        |    SELECT user_id, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM ev WHERE event_type = 'view') WHERE rn = 1),
+        |f2 AS (SELECT user_id, ts, event_id, t1 FROM (
+        |    SELECT e.user_id, e.ts, e.event_id, f1.ts AS t1,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM ev e JOIN f1 ON e.user_id = f1.user_id
+        |    WHERE e.event_type = 'click'
+        |      AND (e.ts > f1.ts OR (e.ts = f1.ts AND e.event_id > f1.event_id))
+        |      AND e.ts <= f1.ts + INTERVAL 48 HOURS)
+        |  WHERE rn = 1),
+        |f3 AS (SELECT user_id FROM (
+        |    SELECT e.user_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM ev e JOIN f2 ON e.user_id = f2.user_id
+        |    WHERE e.event_type = 'purchase'
+        |      AND (e.ts > f2.ts OR (e.ts = f2.ts AND e.event_id > f2.event_id))
+        |      AND e.ts <= f2.t1 + INTERVAL 48 HOURS)
+        |  WHERE rn = 1),
+        |d AS (SELECT u.user_id,
+        |    CASE WHEN f3.user_id IS NOT NULL THEN 3
+        |         WHEN f2.user_id IS NOT NULL THEN 2
+        |         WHEN f1.user_id IS NOT NULL THEN 1
+        |         ELSE 0 END AS depth
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  LEFT JOIN f1 ON u.user_id = f1.user_id
+        |  LEFT JOIN f2 ON u.user_id = f2.user_id
+        |  LEFT JOIN f3 ON u.user_id = f3.user_id)
+        |SELECT depth, count(*) AS n_users FROM d GROUP BY depth""".stripMargin)
 
   /** q137's oracle: the MMR greedy unrolled to k materialized layers —
     * layer i cross-joins the (1-row) previous selections, recomputes the

@@ -29,24 +29,37 @@ object Funnel {
   def funnelDepths(events: DataFrame, steps: Seq[String],
                    userCol: String = "user_id", tsCol: String = "ts",
                    idCol: String = "event_id",
-                   typeCol: String = "event_type"): DataFrame = {
+                   typeCol: String = "event_type",
+                   withinOfFirst: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
     val after: (Column, Column, Column, Column) => Column =
       (ts, id, fts, fid) => ts > fts || (ts === fts && id > fid)
+    // conversion window: steps beyond the first must land within this
+    // INTERVAL of the chosen FIRST-step event ("convert within 48 hours
+    // of first view"); requires a TimestampType tsCol
+    val bound: (Column, Column) => Column = withinOfFirst match {
+      case None => (_, _) => lit(true)
+      case Some(interval) =>
+        (ets, t1) => ets <= t1 + expr(s"INTERVAL $interval")
+    }
     var frontier: DataFrame = null
     val frontiers = steps.map { step =>
       val cand = events.filter(col(typeCol) === step)
         .select(col(userCol), col(tsCol).as("__ets"), col(idCol).as("__eid"))
       val qualified =
-        if (frontier == null) cand
+        if (frontier == null) cand.withColumn("__t1c", col("__ets"))
         else cand.join(frontier, Seq(userCol))
           .filter(after(col("__ets"), col("__eid"),
-            col("__fts"), col("__fid")))
-          .select(col(userCol), col("__ets"), col("__eid"))
+            col("__fts"), col("__fid")) &&
+            bound(col("__ets"), col("__t1")))
+          .select(col(userCol), col("__ets"), col("__eid"),
+            col("__t1").as("__t1c"))
+      // the min-struct carries the first-step anchor of the CHOSEN event:
+      // for step 1 the anchor IS the event; later steps inherit it
       frontier = qualified.groupBy(userCol)
-        .agg(min(struct(col("__ets"), col("__eid"))).as("__m"))
+        .agg(min(struct(col("__ets"), col("__eid"), col("__t1c"))).as("__m"))
         .select(col(userCol), col("__m.__ets").as("__fts"),
-          col("__m.__eid").as("__fid"))
+          col("__m.__eid").as("__fid"), col("__m.__t1c").as("__t1"))
         .localCheckpoint()
       frontier
     }
@@ -68,8 +81,9 @@ object Funnel {
   def funnelCounts(events: DataFrame, steps: Seq[String],
                    userCol: String = "user_id", tsCol: String = "ts",
                    idCol: String = "event_id",
-                   typeCol: String = "event_type"): DataFrame =
-    funnelDepths(events, steps, userCol, tsCol, idCol, typeCol)
+                   typeCol: String = "event_type",
+                   withinOfFirst: Option[String] = None): DataFrame =
+    funnelDepths(events, steps, userCol, tsCol, idCol, typeCol, withinOfFirst)
       .groupBy("depth").agg(count(lit(1)).as("n_users"))
 
   /** Top-k most frequent length-`n` event-type paths ("what do users

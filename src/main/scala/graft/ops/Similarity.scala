@@ -1010,14 +1010,29 @@ object Similarity {
     * readers on a consistent snapshot (they hold the old file listing).
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-                        indexPath: String): Unit = {
-    val src = s"$indexPath/codes"
-    val staging = s"$indexPath/codes_compacting"
-    val retired = s"$indexPath/codes_retired"
+                        indexPath: String): Unit =
+    compactPartitionedDir(spark, s"$indexPath/codes")
+
+  /** [[compactIvfPqIndex]] for the FLAT index ([[buildIvfIndex]], whose
+    * partitioned directory is the index path itself) — same fragmenting
+    * appends, same one-file-per-cell remedy.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): Unit =
+    compactPartitionedDir(spark, indexPath)
+
+  /** The shared staging + rename-swap compaction over any
+    * cell_id-partitioned directory (see [[compactIvfPqIndex]]'s scaladoc
+    * for why never overwrite-in-place).
+    */
+  private def compactPartitionedDir(spark: org.apache.spark.sql.SparkSession,
+                                    src: String): Unit = {
+    val staging = s"${src}_compacting"
+    val retired = s"${src}_retired"
     graft.io.IO.writeDir(
       spark.read.parquet(src).repartition(col("cell_id")),
       staging, partitionBy = Seq("cell_id"))
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = new org.apache.hadoop.fs.Path(src)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val srcP = new org.apache.hadoop.fs.Path(src)
     val stagingP = new org.apache.hadoop.fs.Path(staging)
@@ -1025,7 +1040,7 @@ object Similarity {
     fs.delete(retiredP, true)
     if (!fs.rename(srcP, retiredP) || !fs.rename(stagingP, srcP))
       throw new java.io.IOException(
-        s"compactIvfPqIndex: swap failed for $indexPath — codes may be at " +
+        s"compactPartitionedDir: swap failed for $src — data may be at " +
           s"$retired (old) / $staging (new); resolve manually")
     fs.delete(retiredP, true)
   }

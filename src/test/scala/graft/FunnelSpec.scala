@@ -71,6 +71,25 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map((w0, 0) -> 1L, (w0, 1) -> 1L, (w1, 0) -> 1L, (w1, 1) -> 1L))
   }
 
+  test("funnelDepths conversion window: late steps expire relative to the FIRST step") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = Seq(
+      // user 1: view@1h, click@2h, purchase@3h — all inside 4 hours → 3
+      (1L, 1L, ts(1), "view"), (2L, 1L, ts(2), "click"), (3L, 1L, ts(3), "purchase"),
+      // user 2: click 5h after the view → outside the window → 1
+      (4L, 2L, ts(1), "view"), (5L, 2L, ts(6), "click"),
+      // user 3: click inside, purchase 6h after the VIEW (not the click!)
+      // → window anchors on step 1 → 2
+      (6L, 3L, ts(1), "view"), (7L, 3L, ts(4), "click"), (8L, 3L, ts(7), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Funnel.funnelDepths(ev, steps,
+      withinOfFirst = Some("4 HOURS")).as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2))
+    // without the window, users 2 and 3 complete further
+    val open = Funnel.funnelDepths(ev, steps).as[(Long, Int)].collect().toMap
+    assert(open == Map(1L -> 3, 2L -> 2, 3L -> 3))
+  }
+
   test("funnelCounts sums depths; every user appears exactly once") {
     val ev = Seq(
       (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"),

@@ -743,6 +743,34 @@ class SimilaritySpec extends SparkSpec {
     assert(!codesOf(s"$base/idx").values.exists(_._1 == someCell))
   }
 
+  test("compactIvfIndex: flat index compacts to one file per cell, rows unchanged") {
+    val (emb, cellCentroids, _) = ivfPqFixtures()
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
+    // fragment deliberately: two append writes leave >= 2 files per cell
+    // (the external-ingest fragmentation this compaction exists for)
+    val assigned = Similarity.assignCells(emb, cellCentroids,
+      "embedding", "vec_id").localCheckpoint()
+    assigned.filter(col("vec_id") < 250).write
+      .partitionBy("cell_id").mode("overwrite").parquet(s"$base/flat")
+    assigned.filter(col("vec_id") >= 250).write
+      .partitionBy("cell_id").mode("append").parquet(s"$base/flat")
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(assigned)
+    def cellFiles(): Map[String, Int] =
+      new java.io.File(s"$base/flat").listFiles().filter(_.isDirectory)
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(cellFiles().values.exists(_ > 1), "fixture failed to fragment")
+    val before = spark.read.parquet(s"$base/flat")
+      .select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    Similarity.compactIvfIndex(spark, s"$base/flat")
+    assert(cellFiles().values.forall(_ == 1), cellFiles().toString)
+    val after = spark.read.parquet(s"$base/flat")
+      .select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after == before)
+  }
+
   test("mmrSelect with lambda=1 degenerates to plain cosine top-k") {
     val topk = Similarity.cosineTopK(vecs, queryId = 0L, k = 3)
       .select("vec_id").as[Long].collect().toSeq
