@@ -171,6 +171,238 @@ object Similarity {
   def rotate(vec: Column, rotation: Seq[Seq[Double]]): Column =
     graft.functions.matVec(vec, rotation)
 
+  /** OPQ — learned rotation for product quantization (Ge et al., CVPR
+    * 2013, public; the non-parametric alternation): starting from
+    * [[randomRotation]], alternate (a) train per-subspace L2 k-means
+    * codebooks on the rotated sample and encode it, with (b) an
+    * orthogonal-Procrustes rotation update R = V·Uᵀ from the SVD of
+    * Xᵀ·X̂ — each step cannot increase the quantization error, so MSE
+    * descends monotonically (gate-tested). Returns (R, codebooks[m][k][sub],
+    * mse-per-round) with the codebooks trained for the RETURNED rotation.
+    *
+    * Scale design: training is SAMPLE-BOUNDED by design (the FAISS
+    * discipline — pass a pre-sampled frame; every per-round job is over
+    * the sample): rotation/encode are map-only literal-expression
+    * projections, Lloyd statistics are (m·k·sub)-group aggregates, and
+    * the d×d correlation accumulates via treeAggregate with a primitive
+    * double[d²] accumulator — nothing larger than d² ever reaches the
+    * driver. Applying the result at corpus scale is [[rotate]] (one
+    * codegen'd MatVec) + PQ encode. No SQL oracle: the learned rotation
+    * is data-dependent and cannot render into a static oracle — the unit
+    * gate pins the value claim instead (the residual-tier precedent).
+    */
+  def opqTrain(sample: DataFrame, m: Int, k: Int = 16, rounds: Int = 5,
+               lloydRounds: Int = 8, seed: Long = 42L,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Seq[Double]) = {
+    require(m > 0 && k > 1 && rounds >= 1 && lloydRounds >= 1,
+      s"bad OPQ config (m=$m k=$k rounds=$rounds lloydRounds=$lloydRounds)")
+    val release = org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    val v = sample
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__x"))
+      .localCheckpoint()
+    val dims = v.select(size(col("__x"))).limit(1).collect()
+    require(dims.nonEmpty, "empty OPQ training sample")
+    val d = dims(0).getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val sub = d / m
+    var rot = randomRotation(d, seed)
+    var codebooks: Seq[Seq[Seq[Double]]] = null
+    val mses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val n = v.count().toDouble
+    for (round <- 1 to rounds) {
+      val rotated = v
+        .select(col("__id"), col("__x"), rotate(col("__x"), rot).as("__z"))
+        .localCheckpoint()
+      // warm-start each round from the previous round's codebooks: after
+      // the Procrustes step the old codes remain a FEASIBLE encoding under
+      // the new rotation, so assignment+Lloyd can only descend from the
+      // previous MSE — the monotonicity claim needs this (a cold re-init
+      // may land in a worse local optimum).
+      codebooks = (0 until m).map(j =>
+        lloydL2(rotated, j, sub, k, lloydRounds,
+          Option(codebooks).map(_(j))))
+      // encode against literal codebooks; decode to x̂ for MSE + Procrustes
+      val xhat = concat((0 until m).map { j =>
+        val cbLit = array(codebooks(j).map(c => array(c.map(lit): _*)): _*)
+        element_at(cbLit, subCode(col("__z"), j, sub, codebooks(j)) + 1)
+      }: _*)
+      val scored = rotated.select(col("__x"), col("__z"), xhat.as("__xh"))
+      val mse = scored.select(
+        aggregate(zip_with(col("__z"), col("__xh"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (s, x) => s + x).as("__e"))
+        .agg(coalesce(sum(col("__e")), lit(0.0))).head().getDouble(0) / n
+      mses += mse
+      if (round < rounds) {
+        // M = Xᵀ·X̂ via a primitive-accumulator treeAggregate (d² doubles)
+        val mFlat = scored.select(col("__x"), col("__xh")).rdd
+          .treeAggregate(new Array[Double](d * d))(
+            seqOp = (acc, row) => {
+              val x = row.getSeq[Double](0)
+              val xh = row.getSeq[Double](1)
+              var i = 0
+              while (i < d) {
+                val xi = x(i); var j = 0
+                while (j < d) { acc(i * d + j) += xi * xh(j); j += 1 }
+                i += 1
+              }
+              acc
+            },
+            combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+        rot = procrustesRotation(mFlat, d)
+      }
+      release(rotated)
+    }
+    release(v)
+    (rot, codebooks, mses.toSeq)
+  }
+
+  /** Per-subspace argmin code against literal centroids: exact min-struct
+    * (no rounding — OPQ has no cross-engine oracle to pin).
+    */
+  private def subCode(z: Column, j: Int, sub: Int,
+                      cb: Seq[Seq[Double]]): Column = {
+    val seg = slice(z, lit(j * sub + 1), lit(sub))
+    least(cb.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit): _*)
+      struct((dotProduct(seg, seg) - lit(2.0) * dotProduct(seg, cl) +
+        lit(c.map(x => x * x).sum)).as("d"), lit(i).as("i"))
+    }: _*).getField("i")
+  }
+
+  /** Distributed Lloyd in L2 over subspace `j` of the rotated sample:
+    * assignment is a literal-centroid argmin projection, the update is
+    * one (cid, dim)-grouped mean — only k·sub scalars return per round.
+    * Init = `init` when given (OPQ warm-start), else the k lowest-id
+    * rows' sub-vectors (deterministic); a cell that loses every member
+    * keeps its previous centroid.
+    */
+  private def lloydL2(rotated: DataFrame, j: Int, sub: Int, k: Int,
+                      iters: Int,
+                      init: Option[Seq[Seq[Double]]] = None): Seq[Seq[Double]] = {
+    val seg = rotated.select(col("__id"),
+      slice(col("__z"), lit(j * sub + 1), lit(sub)).as("__s"))
+    var cb: Seq[Seq[Double]] = init.getOrElse(
+      seg.orderBy(col("__id")).limit(k)
+        .select(col("__s")).collect().map(_.getSeq[Double](0).toSeq).toSeq)
+    require(cb.size == k, s"sample smaller than k=$k")
+    for (_ <- 1 to iters) {
+      val assigned = seg.select(
+        least(cb.zipWithIndex.map { case (c, i) =>
+          val cl = array(c.map(lit): _*)
+          struct((dotProduct(col("__s"), col("__s")) -
+            lit(2.0) * dotProduct(col("__s"), cl) +
+            lit(c.map(x => x * x).sum)).as("d"), lit(i).as("i"))
+        }: _*).getField("i").as("__c"), col("__s"))
+      val stats = assigned
+        .select(col("__c"), posexplode(col("__s")).as(Seq("__d", "__v")))
+        .groupBy(col("__c"), col("__d"))
+        .agg(avg(col("__v")).as("__m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cb = cb.indices.map(i => stats.getOrElse(i, cb(i)))
+    }
+    cb
+  }
+
+  /** Orthogonal-Procrustes polar factor from the flat d×d correlation M:
+    * eigen-decompose MᵀM (cyclic Jacobi — symmetric PSD), recover the
+    * singular bases, return R = V·Uᵀ. Near-zero singular directions are
+    * completed by Gram-Schmidt so R stays exactly orthonormal.
+    */
+  private def procrustesRotation(mFlat: Array[Double], d: Int): Seq[Seq[Double]] = {
+    def at(a: Array[Double], i: Int, j: Int) = a(i * d + j)
+    // A = MᵀM
+    val a = new Array[Double](d * d)
+    for (i <- 0 until d; j <- 0 until d) {
+      var s = 0.0
+      var t = 0
+      while (t < d) { s += at(mFlat, t, i) * at(mFlat, t, j); t += 1 }
+      a(i * d + j) = s
+    }
+    // cyclic Jacobi on the symmetric A: A := JᵀAJ, V accumulates J
+    val vMat = Array.tabulate(d * d)(idx => if (idx / d == idx % d) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-22) {
+      off = 0.0
+      for (p <- 0 until d - 1; q <- p + 1 until d) {
+        val apq = a(p * d + q)
+        off += apq * apq
+        if (math.abs(apq) > 1e-18) {
+          val app = a(p * d + p); val aqq = a(q * d + q)
+          val theta = 0.5 * math.atan2(2.0 * apq, aqq - app)
+          val c = math.cos(theta); val s = math.sin(theta)
+          var t = 0
+          while (t < d) {
+            val atp = a(t * d + p); val atq = a(t * d + q)
+            a(t * d + p) = c * atp - s * atq
+            a(t * d + q) = s * atp + c * atq
+            t += 1
+          }
+          t = 0
+          while (t < d) {
+            val apt = a(p * d + t); val aqt = a(q * d + t)
+            a(p * d + t) = c * apt - s * aqt
+            a(q * d + t) = s * apt + c * aqt
+            t += 1
+          }
+          t = 0
+          while (t < d) {
+            val vtp = vMat(t * d + p); val vtq = vMat(t * d + q)
+            vMat(t * d + p) = c * vtp - s * vtq
+            vMat(t * d + q) = s * vtp + c * vtq
+            t += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    // U columns: M·v_i / σ_i, Gram-Schmidt completion for tiny σ
+    val sigma = (0 until d).map(i => math.sqrt(math.max(0.0, a(i * d + i))))
+    val u = Array.fill(d, d)(0.0) // u(col)(row)
+    val eps = 1e-9 * (sigma.max + 1e-300)
+    for (i <- 0 until d if sigma(i) > eps) {
+      for (r <- 0 until d) {
+        var s = 0.0
+        var t = 0
+        while (t < d) { s += at(mFlat, r, t) * vMat(t * d + i); t += 1 }
+        u(i)(r) = s / sigma(i)
+      }
+    }
+    val rnd = new scala.util.Random(17)
+    for (i <- 0 until d if sigma(i) <= eps) {
+      var ok = false
+      while (!ok) {
+        val cand = Array.fill(d)(rnd.nextGaussian())
+        for (jj <- 0 until d if jj != i) {
+          var dp = 0.0
+          var t = 0
+          while (t < d) { dp += cand(t) * u(jj)(t); t += 1 }
+          t = 0
+          while (t < d) { cand(t) -= dp * u(jj)(t); t += 1 }
+        }
+        val nn = math.sqrt(cand.map(x => x * x).sum)
+        if (nn > 1e-6) {
+          for (t <- 0 until d) u(i)(t) = cand(t) / nn
+          ok = true
+        }
+      }
+    }
+    // R = V·Uᵀ: R[r][c] = Σ_t V[r][t]·U[c][t]  (u(col)(row) layout)
+    (0 until d).map { r =>
+      (0 until d).map { cix =>
+        var s = 0.0
+        var t = 0
+        while (t < d) { s += vMat(r * d + t) * u(t)(cix); t += 1 }
+        s
+      }
+    }
+  }
+
   /** SRP bucket id: one sign bit per hyperplane, packed into a long.
     * Vectors with the same bucket id are near-duplicates in angle with
     * high probability as numPlanes grows.

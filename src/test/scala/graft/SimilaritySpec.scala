@@ -807,4 +807,51 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => !r.getDouble(2).isNaN))
     assert(spark.sparkContext.getPersistentRDDs.size <= before)
   }
+
+  test("opqTrain: MSE descends monotonically, beats the random-rotation " +
+    "round-1 baseline, and the learned R stays orthonormal") {
+    // same decaying-spectrum fixture as the rotated-PQ recall gate: the
+    // setting where a LEARNED rotation has something to learn. Round 1 of
+    // the alternation IS the random-rotation baseline (rot starts at
+    // randomRotation, codebooks trained for it), so mses.head is the RR
+    // training MSE and mses.last < mses.head pins OPQ's value claim
+    // without a second training run.
+    val dim = 16; val m = 4; val n = 600
+    val rnd = new scala.util.Random(123)
+    val sd = (0 until dim).map(i => math.sqrt(16.0 * math.pow(2.0, -i / 2.0)))
+    val emb = (0 until n).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => rnd.nextGaussian() * sd(j))))
+      .toDF("vec_id", "embedding")
+      .localCheckpoint()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (rot, codebooks, mses) =
+      Similarity.opqTrain(emb, m = m, k = 16, rounds = 4, lloydRounds = 6)
+    assert(mses.size == 4)
+    mses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"MSE rose between rounds: $mses")
+    }
+    assert(mses.last < mses.head,
+      s"OPQ did not improve on the random-rotation baseline: $mses")
+    // R·Rᵀ = I (rows orthonormal) — Procrustes + Gram-Schmidt completion
+    for (i <- 0 until dim; j <- i until dim) {
+      val dot = (0 until dim).map(t => rot(i)(t) * rot(j)(t)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-6, s"RRt[$i][$j] = $dot")
+    }
+    assert(codebooks.size == m &&
+      codebooks.forall(cb => cb.size == 16 && cb.forall(_.size == dim / m)))
+    // training checkpoints all released; only the caller's fixture remains
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(emb)
+  }
+
+  test("opqTrain rejects bad config and empty samples") {
+    val emb = Seq((0L, Array.fill(8)(0.5))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.opqTrain(emb, m = 3) // 8 % 3 != 0
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.opqTrain(emb.limit(0), m = 2)
+    }
+  }
 }
