@@ -1944,7 +1944,12 @@ object SparkEntry {
       // interval arithmetic → Tables.events
       Funnel.funnelCounts(Tables.events(s, d).filter(col("value") > 100),
         steps = Seq("view", "click", "purchase"),
-        withinOfFirst = Some("48 HOURS"))))
+        withinOfFirst = Some("48 HOURS"))),
+    "q149_bm25_search" -> ((s, d) =>
+      // BM25 keyword retrieval: rare term 'dup' (df≈25/500) dominates
+      // the idf mix against two near-stop-words
+      TextAnalysis.bm25Rank(T(s, d, "documents"),
+        queryTerms = Seq("dup", "vector", "scan"), topK = 20)))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -3391,7 +3396,28 @@ object SparkEntry {
         |  LEFT JOIN f1 ON u.user_id = f1.user_id
         |  LEFT JOIN f2 ON u.user_id = f2.user_id
         |  LEFT JOIN f3 ON u.user_id = f3.user_id)
-        |SELECT depth, count(*) AS n_users FROM d GROUP BY depth""".stripMargin)
+        |SELECT depth, count(*) AS n_users FROM d GROUP BY depth""".stripMargin,
+    "q149_bm25_search" ->
+      // numeric literals carry e0 so DuckDB parses DOUBLE, not DECIMAL
+      // (the q136 IEEE-divergence landmine); k1=1.2, b=0.75
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY doc_id),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+         |  FROM documents),
+         |tot AS (SELECT CAST(coalesce(sum(tf), 0) AS DOUBLE) AS tot FROM tfc),
+         |qtf AS (SELECT * FROM tfc WHERE term IN ('dup', 'vector', 'scan')),
+         |dfc AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+         |scored AS (
+         |  SELECT qtf.doc_id,
+         |    ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)) *
+         |      (tf * 2.2e0) /
+         |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / (tot / n_docs))) AS s
+         |  FROM qtf JOIN dl USING (doc_id) JOIN dfc USING (term)
+         |  CROSS JOIN n CROSS JOIN tot)
+         |SELECT doc_id, round(sum(s), 6) AS bm25 FROM scored
+         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)
 
   /** q137's oracle: the MMR greedy unrolled to k materialized layers —
     * layer i cross-joins the (1-row) previous selections, recomputes the

@@ -455,6 +455,55 @@ object TextAnalysis {
       Seq(("tfidf", true), ("term", false)), k)
   }
 
+  /** BM25 keyword retrieval (Robertson/Sparck Jones, public): rank
+    * documents against a bag of query terms with
+    * score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Lucene-style
+    * always-positive form). dl = document length in tokens; avgdl =
+    * total tokens / N with token-free documents counting toward N at
+    * length 0. Scores round to 6 decimals BEFORE the rank (the oracle
+    * recomputes ln/÷ independently), ties break on the id ascending.
+    *
+    * Shape at corpus scale — one tokenize pass ([[termFrequencies]]);
+    * dl is a map-side-combinable groupBy over the materialized (doc,
+    * term, tf) relation, never the raw token stream; the query-term
+    * filter prunes that relation BEFORE any join, so the scoring join's
+    * probe side holds only documents containing at least one query
+    * term; df over the filtered relation and the two one-row corpus
+    * aggregates (N, total tokens) broadcast into the plan rather than
+    * collecting to the driver. The final top-k is a
+    * TakeOrderedAndProject, not a global sort.
+    */
+  def bm25Rank(docs: DataFrame, queryTerms: Seq[String], topK: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(queryTerms.nonEmpty, "empty BM25 query")
+    require(queryTerms.distinct == queryTerms,
+      s"duplicate query terms: $queryTerms")
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__dl"))
+    val nRow = docs.agg(countDistinct(col(idCol)).cast("double").as("__n"))
+    val totRow = tf.agg(coalesce(sum(col("tf")), lit(0L)).cast("double")
+      .as("__tot"))
+    val qtf = tf.filter(col("term").isin(queryTerms: _*))
+    val dfRel = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = qtf
+      .join(dl, idCol)
+      .join(broadcast(dfRel), "term")
+      .crossJoin(broadcast(nRow))
+      .crossJoin(broadcast(totRow))
+      .select(col(idCol),
+        (log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("__dl") / (col("__tot") / col("__n"))))).as("__s"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 6).as("bm25"))
+    scored.orderBy(col("bm25").desc, col(idCol)).limit(topK)
+  }
+
   /** Unigram language-model scoring (the CCNet-style quality filter):
     * learn p(token) = count/total over the corpus, then score each
     * document by its cross-entropy −avg(ln p(t_i)) — high scores mean

@@ -272,4 +272,36 @@ class TextAnalysisSpec extends SparkSpec {
     val kept = out.count(_._3 == 1)
     assert(kept > 0 && kept < out.length)
   }
+
+  test("bm25Rank: hand-computed scores on a 3-doc fixture; tf saturation " +
+    "and length normalization behave") {
+    // N=3, avgdl=(2+4+0)/3=2; term 'cat': df=2
+    val docs = Seq(
+      (1L, "cat cat"), // tf=2, dl=2
+      (2L, "cat dog dog dog"), // tf=1, dl=4
+      (3L, "   ") // token-free: counts toward N, never scores
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Rank(docs, Seq("cat"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val k1 = 1.2; val b = 0.75
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    def s(tf: Double, dl: Double) =
+      BigDecimal(idf * (tf * (k1 + 1)) /
+        (tf + k1 * (1 - b + b * dl / 2.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq((1L, s(2, 2)), (2L, s(1, 4))),
+      s"got ${out.toSeq}")
+    // doc 1 wins: higher tf AND equal-to-shorter length
+    assert(out.head._1 == 1L && out.head._2 > out(1)._2)
+  }
+
+  test("bm25Rank rejects empty and duplicate queries") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Rank(docs, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Rank(docs, Seq("a", "a"))
+    }
+  }
 }
