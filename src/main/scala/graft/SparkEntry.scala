@@ -1949,7 +1949,12 @@ object SparkEntry {
       // BM25 keyword retrieval: rare term 'dup' (df≈25/500) dominates
       // the idf mix against two near-stop-words
       TextAnalysis.bm25Rank(T(s, d, "documents"),
-        queryTerms = Seq("dup", "vector", "scan"), topK = 20)))
+        queryTerms = Seq("dup", "vector", "scan"), topK = 20)),
+    "q150_session_funnel" -> ((s, d) =>
+      // q141's funnel scoped to q51's 30-minute sessions: the step chain
+      // cannot cross a session boundary. Real timestamps → Tables.events
+      Funnel.sessionFunnelCounts(Tables.events(s, d),
+        steps = Seq("view", "click", "purchase"))))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -3417,7 +3422,51 @@ object SparkEntry {
          |  FROM qtf JOIN dl USING (doc_id) JOIN dfc USING (term)
          |  CROSS JOIN n CROSS JOIN tot)
          |SELECT doc_id, round(sum(s), 6) AS bm25 FROM scored
-         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)
+         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q150_session_funnel" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ev AS (
+        |  SELECT CAST(user_id AS VARCHAR) || ':' ||
+        |      CAST(CAST(sum(is_new) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS VARCHAR) AS sk,
+        |    ts, event_id, event_type
+        |  FROM flagged),
+        |f1 AS (SELECT sk, ts, event_id FROM (
+        |    SELECT sk, ts, event_id,
+        |      row_number() OVER (PARTITION BY sk ORDER BY ts, event_id) AS rn
+        |    FROM ev WHERE event_type = 'view') WHERE rn = 1),
+        |f2 AS (SELECT sk, ts, event_id FROM (
+        |    SELECT e.sk, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.sk ORDER BY e.ts, e.event_id) AS rn
+        |    FROM ev e JOIN f1 ON e.sk = f1.sk
+        |    WHERE e.event_type = 'click'
+        |      AND (e.ts > f1.ts OR (e.ts = f1.ts AND e.event_id > f1.event_id)))
+        |  WHERE rn = 1),
+        |f3 AS (SELECT sk FROM (
+        |    SELECT e.sk,
+        |      row_number() OVER (PARTITION BY e.sk ORDER BY e.ts, e.event_id) AS rn
+        |    FROM ev e JOIN f2 ON e.sk = f2.sk
+        |    WHERE e.event_type = 'purchase'
+        |      AND (e.ts > f2.ts OR (e.ts = f2.ts AND e.event_id > f2.event_id)))
+        |  WHERE rn = 1),
+        |d AS (SELECT u.sk,
+        |    CASE WHEN f3.sk IS NOT NULL THEN 3
+        |         WHEN f2.sk IS NOT NULL THEN 2
+        |         WHEN f1.sk IS NOT NULL THEN 1
+        |         ELSE 0 END AS depth
+        |  FROM (SELECT DISTINCT sk FROM ev) u
+        |  LEFT JOIN f1 ON u.sk = f1.sk
+        |  LEFT JOIN f2 ON u.sk = f2.sk
+        |  LEFT JOIN f3 ON u.sk = f3.sk)
+        |SELECT depth, count(*) AS n_sessions FROM d GROUP BY depth""".stripMargin)
 
   /** q137's oracle: the MMR greedy unrolled to k materialized layers —
     * layer i cross-joins the (1-row) previous selections, recomputes the

@@ -86,6 +86,55 @@ object Funnel {
     funnelDepths(events, steps, userCol, tsCol, idCol, typeCol, withinOfFirst)
       .groupBy("depth").agg(count(lit(1)).as("n_users"))
 
+  /** Session-scoped funnel: sessionize first (30-minute-default
+    * inactivity gap, the q51 gaps-and-islands pass — exact in
+    * microseconds), then run the ordered funnel with the SESSION as the
+    * progressing unit, so step chains cannot span a session boundary.
+    * Returns (depth, n_sessions).
+    *
+    * Scale shape: sessionization is one (user) shuffle+sort window pass
+    * over the log; the narrow (session_key, ts, id, type) projection of
+    * that pass is localCheckpointed so the funnel's per-step filters and
+    * the distinct-session base read the materialized relation instead of
+    * re-running the window per consumer (k+1 consumers for a k-step
+    * funnel). The checkpoint is released before returning — the returned
+    * counts frame is depth-cardinality-sized and already collected into
+    * the caller's plan via the final aggregate.
+    */
+  def sessionFunnelCounts(events: DataFrame, steps: Seq[String],
+                          gapMinutes: Long = 30,
+                          userCol: String = "user_id", tsCol: String = "ts",
+                          idCol: String = "event_id",
+                          typeCol: String = "event_type"): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive: $gapMinutes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(
+      prev.isNull ||
+        unix_micros(col(tsCol)) - unix_micros(prev) >
+          gapMinutes * 60L * 1000000L, 1L)
+      .otherwise(0L)
+    val sess = events
+      .withColumn("__new", newSession)
+      .withColumn("__seq", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .select(
+        concat_ws(":", col(userCol).cast("string"),
+          col("__seq").cast("string")).as("__session_key"),
+        col(tsCol), col(idCol), col(typeCol))
+      .localCheckpoint()
+    val out = funnelDepths(sess, steps, userCol = "__session_key",
+      tsCol = tsCol, idCol = idCol, typeCol = typeCol)
+      .groupBy("depth").agg(count(lit(1)).as("n_sessions"))
+      // the result is ≤ steps.size+1 rows: materialize it so the
+      // checkpointed session relation can release before returning
+      .localCheckpoint()
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(sess)
+    out
+  }
+
   /** Top-k most frequent length-`n` event-type paths ("what do users
     * actually do, in order") — sequence mining's workhorse n-gram cut:
     * each user's events collapse to one ordered type sequence ((ts, id)

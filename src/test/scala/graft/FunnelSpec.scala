@@ -100,4 +100,25 @@ class FunnelSpec extends SparkSpec {
       .as[(Int, Long)].collect().toMap
     assert(got == Map(2 -> 1L, 1 -> 1L, 0 -> 1L))
   }
+
+  test("sessionFunnelCounts: a step chain cannot cross the inactivity gap") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      // user 1: view→click→purchase inside one session → depth 3
+      (1L, 1L, 0L, "view"), (2L, 1L, 60L, "click"), (3L, 1L, 120L, "purchase"),
+      // user 2: view, then a >30-min gap, then click+purchase — the
+      // second session has no view, so its chain never starts:
+      // session A depth 1, session B depth 0
+      (4L, 2L, 0L, "view"), (5L, 2L, 3600L, "click"), (6L, 2L, 3700L, "purchase")
+    ).toDF("event_id", "user_id", "secs", "event_type")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+      .drop("secs")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val got = Funnel.sessionFunnelCounts(ev, steps)
+      .as[(Int, Long)].collect().toMap
+    assert(got == Map(3 -> 1L, 1 -> 1L, 0 -> 1L), s"got $got")
+    // the plain funnel WOULD chain across the gap: user 2 reaches 3
+    val plain = Funnel.funnelCounts(ev, steps).as[(Int, Long)].collect().toMap
+    assert(plain == Map(3 -> 2L), s"got $plain")
+  }
 }
