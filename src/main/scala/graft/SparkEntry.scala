@@ -1954,7 +1954,20 @@ object SparkEntry {
       // q141's funnel scoped to q51's 30-minute sessions: the step chain
       // cannot cross a session boundary. Real timestamps → Tables.events
       Funnel.sessionFunnelCounts(Tables.events(s, d),
-        steps = Seq("view", "click", "purchase"))))
+        steps = Seq("view", "click", "purchase"))),
+    "q151_frame_sample" -> ((s, d) => {
+      val fr = Multimodal.frameSample(
+        Multimodal.synthesize(s, T(s, d, "documents").select("doc_id"),
+          "doc_id"), fps = 30.0, featureDims = 4)
+      val fcols = (0 until 4).map(i =>
+        element_at(col("frame_features"), i + 1).as(s"f$i"))
+      fr.select(Seq(col("media_id"), col("frame_no"),
+        col("ts_ms")) ++ fcols: _*)
+    }),
+    "q152_resize_plan" -> ((s, d) =>
+      Multimodal.resizePlan(
+        Multimodal.synthesize(s, T(s, d, "documents").select("doc_id"),
+          "doc_id"), maxSide = 256)))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -3466,7 +3479,46 @@ object SparkEntry {
         |  LEFT JOIN f1 ON u.sk = f1.sk
         |  LEFT JOIN f2 ON u.sk = f2.sk
         |  LEFT JOIN f3 ON u.sk = f3.sk)
-        |SELECT depth, count(*) AS n_sessions FROM d GROUP BY depth""".stripMargin)
+        |SELECT depth, count(*) AS n_sessions FROM d GROUP BY depth""".stripMargin,
+    "q151_frame_sample" -> {
+      val fcols = (0 until 4).map(i =>
+        s"((${hash31Sql("hx || '#' || CAST(frame_no AS VARCHAR) || ':' || " + i)}) " +
+          s"% 1000003)::DOUBLE / 1000003 AS f$i").mkString(",\n  ")
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+         |    sha256(CAST(doc_id AS VARCHAR)) AS hx,
+         |    doc_id % 60000 AS duration_ms
+         |  FROM documents),
+         |fr AS (SELECT media_id, hx,
+         |    unnest(range(0, CAST(ceil(duration_ms * 30e0 / 1000e0) AS BIGINT)))
+         |      AS frame_no
+         |  FROM m WHERE kind = 'video')
+         |SELECT media_id, CAST(frame_no AS INTEGER) AS frame_no,
+         |  CAST(floor(frame_no * 1000e0 / 30e0) AS BIGINT) AS ts_ms,
+         |  $fcols
+         |FROM fr""".stripMargin
+    },
+    "q152_resize_plan" ->
+      // scale rounds to 6 for display; the floor/compare arithmetic uses
+      // the UNROUNDED scale on both sides (identical IEEE division)
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |    CAST(doc_id % 640 + 32 AS INTEGER) AS width,
+        |    CAST(doc_id % 480 + 32 AS INTEGER) AS height
+        |  FROM documents),
+        |s AS (SELECT *,
+        |    least(1e0, 256e0 / CAST(greatest(width, height) AS DOUBLE)) AS sc
+        |  FROM m)
+        |SELECT media_id, kind, width, height,
+        |  round(CASE WHEN kind = 'image' THEN sc ELSE 1e0 END, 6) AS scale,
+        |  CASE WHEN kind = 'image'
+        |       THEN greatest(CAST(floor(width * sc) AS INTEGER), 1)
+        |       ELSE width END AS target_width,
+        |  CASE WHEN kind = 'image'
+        |       THEN greatest(CAST(floor(height * sc) AS INTEGER), 1)
+        |       ELSE height END AS target_height,
+        |  (kind = 'image' AND sc < 1e0) AS needs_resize
+        |FROM s""".stripMargin)
 
   /** q137's oracle: the MMR greedy unrolled to k materialized layers —
     * layer i cross-joins the (1-row) previous selections, recomputes the

@@ -78,6 +78,70 @@ object Multimodal {
       col("meta.width").as("width"), col("meta.height").as("height"),
       col("meta.duration_ms").as("duration_ms"))
 
+  /** Frame sampling STUB — the real implementation seeks and decodes one
+    * frame per sampled timestamp inside `mapPartitions` (one codec
+    * context per partition, [[decodePartitionwise]]'s tier). The
+    * Spark-side plumbing here is real and total: video rows explode to
+    * one row per sampled frame — frame k at ts_ms = floor(k·1000/fps)
+    * for every k with ts_ms < duration_ms — and each frame carries a
+    * deterministic fake `featureDims`-dim feature hashed from
+    * (blob-hex ‖ '#' ‖ frame_no ‖ ':' ‖ i), the md5Hash31 portable
+    * construction, so a SQL oracle recomputes frames AND features
+    * exactly. Non-video rows drop before the explode (the kind filter
+    * prunes the blob read to videos only).
+    *
+    * The dynamic frame count guards n < 1 (zero-duration videos):
+    * `sequence(0, n-1)` would otherwise COUNT DOWN and fabricate frames.
+    */
+  def frameSample(media: DataFrame, fps: Double = 1.0,
+                  featureDims: Int = 4): DataFrame = {
+    require(fps > 0, s"fps must be positive: $fps")
+    require(featureDims >= 1, s"featureDims must be >= 1: $featureDims")
+    val n = ceil(col("duration_ms") * lit(fps) / lit(1000.0)).cast("int")
+    val featureAt = (i: Int) =>
+      ((graft.functions.md5Hash31(concat(col("__hx"), lit("#"),
+        col("frame_no"), lit(":"), lit(i))) % 1000003L)
+        .cast("double") / 1000003.0)
+    media
+      .filter(col("kind") === "video")
+      .select(col("media_id"), lower(hex(col("content"))).as("__hx"),
+        col("meta.duration_ms").as("duration_ms"))
+      .select(col("media_id"), col("__hx"), col("duration_ms"),
+        explode(when(n < 1, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), n - 1))).as("frame_no"))
+      .select(col("media_id"), col("frame_no"),
+        floor(col("frame_no") * lit(1000.0) / lit(fps)).cast("bigint")
+          .as("ts_ms"),
+        array((0 until featureDims).map(featureAt): _*).as("frame_features"))
+  }
+
+  /** Resize planning STUB — the real implementation rescales pixels in
+    * the codec tier; everything a distributed pipeline needs BEFORE the
+    * pixel work is exact and map-only here: the target geometry (longest
+    * side capped at `maxSide`, aspect preserved, floor semantics, never
+    * below 1 px, only-shrink), the scale factor, and whether the blob
+    * needs decoding at all (`needs_resize` — a pipeline skips the codec
+    * for in-budget media). Audio/video rows pass through with their
+    * geometry untouched (resize is an image concern; width/height of a
+    * video frame would go through the same arithmetic per frame).
+    */
+  def resizePlan(media: DataFrame, maxSide: Int = 256): DataFrame = {
+    require(maxSide >= 1, s"maxSide must be >= 1: $maxSide")
+    val w = col("meta.width"); val h = col("meta.height")
+    val isImage = col("kind") === "image"
+    val scale = least(lit(1.0), lit(maxSide).cast("double") /
+      greatest(w, h).cast("double"))
+    media.select(
+      col("media_id"), col("kind"),
+      w.as("width"), h.as("height"),
+      round(when(isImage, scale).otherwise(lit(1.0)), 6).as("scale"),
+      when(isImage, greatest(floor(w * scale).cast("int"), lit(1)))
+        .otherwise(w).as("target_width"),
+      when(isImage, greatest(floor(h * scale).cast("int"), lit(1)))
+        .otherwise(h).as("target_height"),
+      (isImage && scale < 1.0).as("needs_resize"))
+  }
+
   case class MediaFeature(media_id: Long, kind: String, n_bytes: Int,
                           features: Array[Double])
 

@@ -30,4 +30,62 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b) // partitioning must not change per-row results
     assert(a.values.forall(_.length == 8))
   }
+
+  import org.apache.spark.sql.functions._
+
+  // hand-built media with controlled durations/geometry (synthesize can't
+  // produce a zero-duration video: 60000 ≡ 0 mod 3 forces kind=image)
+  private def mediaRow(id: Long, kind: String, w: Int, h: Int, dur: Long) =
+    (id, kind, w, h, dur)
+  private def handMedia(rows: (Long, String, Int, Int, Long)*) =
+    rows.toDF("media_id", "kind", "w", "h", "dur").select(
+      col("media_id"), col("kind"),
+      to_binary(sha2(col("media_id").cast("string"), 256), lit("hex"))
+        .as("content"),
+      struct(col("w").as("width"), col("h").as("height"),
+        lit(16000).as("sample_rate"), col("dur").as("duration_ms")).as("meta"))
+
+  test("frameSample emits ceil(dur·fps/1000) frames, videos only, ts<dur") {
+    val fr = Multimodal.frameSample(media, fps = 30.0, featureDims = 4)
+    val durs = Multimodal.metadataScan(media)
+      .filter(col("kind") === "video")
+      .select("media_id", "duration_ms").as[(Long, Long)].collect().toMap
+    val counts = fr.groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    // every video with dur>0 appears with exactly ceil(dur*30/1000) frames
+    assert(counts.keySet == durs.filter(_._2 > 0).keySet)
+    counts.foreach { case (id, n) =>
+      assert(n == math.ceil(durs(id) * 30.0 / 1000.0).toLong)
+    }
+    val bad = fr.join(Multimodal.metadataScan(media), Seq("media_id"))
+      .filter(col("ts_ms") >= col("duration_ms")).count()
+    assert(bad == 0L) // no sampled frame past end-of-stream
+    val feats = fr.select("frame_features").as[Seq[Double]].collect()
+    assert(feats.forall(f => f.length == 4 && f.forall(v => v >= 0.0 && v < 1.0)))
+  }
+
+  test("frameSample guards zero-duration videos (no fabricated frames)") {
+    val m = handMedia(
+      mediaRow(1L, "video", 64, 64, 0L),   // zero-length stream
+      mediaRow(2L, "video", 64, 64, 1L),   // 1 ms → exactly 1 frame at ts 0
+      mediaRow(3L, "image", 64, 64, 0L))   // non-video never explodes
+    val fr = Multimodal.frameSample(m, fps = 30.0, featureDims = 2)
+      .select("media_id", "frame_no", "ts_ms").as[(Long, Int, Long)].collect()
+    assert(fr.toSeq == Seq((2L, 0, 0L)))
+  }
+
+  test("resizePlan caps the long side, preserves aspect, floors, min 1px") {
+    val m = handMedia(
+      mediaRow(1L, "image", 640, 480, 0L), // shrink: 256/640 → 256×192
+      mediaRow(2L, "image", 100, 50, 0L),  // in budget: untouched
+      mediaRow(3L, "image", 3000, 2, 0L),  // extreme aspect: floor→0 clamps to 1
+      mediaRow(4L, "audio", 640, 480, 0L)) // non-image passes through
+    val out = Multimodal.resizePlan(m, maxSide = 256)
+      .select("media_id", "target_width", "target_height", "needs_resize")
+      .as[(Long, Int, Int, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 256, 192, true),
+      (2L, 100, 50, false),
+      (3L, 256, 1, true),   // floor(2·256/3000)=0 → clamped to 1
+      (4L, 640, 480, false)))
+  }
 }
