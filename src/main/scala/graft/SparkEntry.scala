@@ -1967,7 +1967,22 @@ object SparkEntry {
     "q152_resize_plan" -> ((s, d) =>
       Multimodal.resizePlan(
         Multimodal.synthesize(s, T(s, d, "documents").select("doc_id"),
-          "doc_id"), maxSide = 256)))
+          "doc_id"), maxSide = 256)),
+    "q153_duplicate_spans" -> ((s, d) => {
+      // Lee-et-al-style verbatim span mining. The word-soup corpus has no
+      // natural multi-token cross-doc runs, so (like q135's header
+      // injection) each doc pair (2g, 2g+1) gets a shared 5-token preamble
+      // keyed by g = doc_id div 2 — a guaranteed 3-gram diagonal per pair,
+      // rare enough (occ=2) to survive the hot-gram cap. Exact duplicate
+      // documents in the corpus surface as full-length runs identically in
+      // both engines (or are cap-dropped identically when over-copied).
+      val g = floor(col("doc_id") / lit(2)).cast("long")
+      val injected = T(s, d, "documents").select(col("doc_id"),
+        concat(lit("px"), g, lit(" qx"), g, lit(" rx"), g,
+          lit(" sx"), g, lit(" tx"), g, lit(" "), col("text")).as("text"))
+      Dedup.duplicateSpans(injected, k = 3, minRun = 2, maxOcc = 20,
+        shingleHash = graft.functions.md5Hash31(_))
+    }))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -3518,7 +3533,38 @@ object SparkEntry {
         |       THEN greatest(CAST(floor(height * sc) AS INTEGER), 1)
         |       ELSE height END AS target_height,
         |  (kind = 'image' AND sc < 1e0) AS needs_resize
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin,
+    "q153_duplicate_spans" -> {
+      val shingle = "t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]"
+      s"""WITH base AS (SELECT doc_id,
+         |    'px' || CAST(doc_id // 2 AS VARCHAR) || ' qx' ||
+         |    CAST(doc_id // 2 AS VARCHAR) || ' rx' ||
+         |    CAST(doc_id // 2 AS VARCHAR) || ' sx' ||
+         |    CAST(doc_id // 2 AS VARCHAR) || ' tx' ||
+         |    CAST(doc_id // 2 AS VARCHAR) || ' ' || text AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+         |  FROM base),
+         |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+         |  FROM toks WHERE len(t) >= 3),
+         |gr AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |    ${hash31Sql(shingle)} AS h
+         |  FROM pos),
+         |hot AS (SELECT h FROM gr GROUP BY h HAVING count(*) > 20),
+         |m AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+         |    b.doc_id AS doc_b, b.pos AS pos_b
+         |  FROM gr a JOIN gr b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  WHERE a.h NOT IN (SELECT h FROM hot)),
+         |d AS (SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         |    pos_a - row_number() OVER (
+         |      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+         |  FROM m)
+         |SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+         |  count(*) AS n_grams, count(*) + 2 AS run_tokens
+         |FROM d GROUP BY doc_a, doc_b, diag, grp
+         |HAVING count(*) >= 2""".stripMargin
+    })
 
   /** q137's oracle: the MMR greedy unrolled to k materialized layers —
     * layer i cross-joins the (1-row) previous selections, recomputes the

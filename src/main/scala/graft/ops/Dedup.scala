@@ -674,6 +674,85 @@ object Dedup {
       when(keep, struct(col("chunk_idx"), col("chunk_text"))))),
       s => s.getField("chunk_text")), " ")
 
+  // ------------------------------------------------- duplicate span mining
+
+  /** Cross-document duplicate-SPAN detection — the exact-substring-dedup
+    * shape of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), which finds verbatim token runs shared between
+    * documents (quotation, mirroring, memorized passages) that whole-doc
+    * ([[exactByHash]]) and chunk ([[chunkDedup]]) granularities both miss
+    * (a run straddling chunk boundaries collides in neither). The
+    * reference pipeline builds a suffix array — inherently sequential; the
+    * distributed re-expression is positional k-gram fingerprints +
+    * diagonal run-merging:
+    *
+    *  1. every document emits (pos, hash of tokens[pos..pos+k-1]) — one
+    *     tokenize, map-only, the winnowing shingle construction WITHOUT
+    *     the min-window (runs need every position);
+    *  2. grams occurring more than `maxOcc` times corpus-wide are dropped
+    *     via a broadcast ANTI-join — the droplist (boilerplate grams) is
+    *     small by construction, so the cap costs one hash-only aggregate
+    *     and no extra shuffle of the gram relation, and it bounds the
+    *     self-join fanout at `maxOcc²` per surviving hash (the same
+    *     quadratic-expansion cap as LSH's `maxBucket`);
+    *  3. the hash self-join yields match points (doc_a, pos_a, doc_b,
+    *     pos_b); consecutive matches of one shared run all fall on one
+    *     DIAGONAL (pos_a − pos_b constant), so grouping by (pair,
+    *     diagonal) and splitting islands with the pos−row_number trick
+    *     merges them into maximal spans — the window sorts only matched
+    *     points of one document pair, never the corpus.
+    *
+    * Returns (doc_a, doc_b, start_a, start_b, n_grams, run_tokens): a
+    * maximal shared run of `n_grams` consecutive k-grams = `n_grams+k−1`
+    * verbatim shared tokens starting at 1-based token positions
+    * (start_a, start_b). Spans shorter than `minRun` grams are noise
+    * (single-gram collisions) and dropped. `shingleHash` is pluggable:
+    * xxhash64 in production, [[graft.functions.md5Hash31]] when an
+    * independent engine must recompute the exact spans (q153).
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", k: Int = 3,
+                     minRun: Int = 2, maxOcc: Int = 20,
+                     shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(minRun >= 1, s"minRun ($minRun) must be >= 1")
+    require(maxOcc >= 2, s"maxOcc ($maxOcc) must be >= 2: a gram must be " +
+      "allowed to occur in two documents for any span to surface")
+    // positional k-gram hashes (1-based pos): let-bound token vector →
+    // per-position shingle hash, exploded. localCheckpoint: the relation
+    // feeds the droplist aggregate AND both self-join sides — one tokenize
+    // (the chunkedHashed discipline).
+    val hs = element_at(
+      transform(array(tokens(col(textCol))), tsv =>
+        when(size(tsv) < k, array().cast("array<bigint>"))
+          .otherwise(
+            transform(sequence(lit(1), size(tsv) - lit(k - 1)),
+              i => shingleHash(array_join(slice(tsv, i, lit(k)), " "))))),
+      1)
+    val grams = docs
+      .select(col(idCol), posexplode(hs).as(Seq("__p0", "h")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"), col("h"))
+      .localCheckpoint()
+    val hot = grams.groupBy("h")
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > maxOcc)
+      .select("h")
+    val g = grams.join(broadcast(hot), Seq("h"), "left_anti")
+    val m = g.select(col(idCol).as("doc_a"), col("pos").as("pos_a"), col("h"))
+      .join(g.select(col(idCol).as("doc_b"), col("pos").as("pos_b"), col("h")),
+        Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+    val w = Window.partitionBy("doc_a", "doc_b", "__diag").orderBy("pos_a")
+    m.withColumn("__diag", col("pos_a") - col("pos_b"))
+      .withColumn("__grp", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "__diag", "__grp")
+      .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+        count(lit(1)).as("n_grams"))
+      .filter(col("n_grams") >= minRun)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("n_grams"), (col("n_grams") + lit(k - 1)).as("run_tokens"))
+  }
+
   // ----------------------------------------- fuzzy (edit-distance) matching
 
   /** All distinct string pairs within edit distance 1 — the spelling-variant

@@ -291,6 +291,58 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == 0 && out(2L) == 0)
   }
 
+  test("duplicateSpans finds the maximal shared run with correct positions") {
+    // docs 10/20 share "alpha beta gamma delta" at different offsets:
+    // 4 shared tokens, k=3 → 2 consecutive grams on one diagonal
+    val d = Seq(
+      (10L, "alpha beta gamma delta unique1 unique2 unique3"),
+      (20L, "pre1 pre2 alpha beta gamma delta post1"),
+      (30L, "no overlap with anything else at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, k = 3, minRun = 2, maxOcc = 20)
+      .select("doc_a", "doc_b", "start_a", "start_b", "n_grams", "run_tokens")
+      .as[(Long, Long, Int, Int, Long, Long)].collect().toSeq
+    assert(spans == Seq((10L, 20L, 1, 3, 2L, 4L)))
+  }
+
+  test("duplicateSpans splits disjoint shared runs into separate islands") {
+    // same pair shares two runs separated by non-matching middles; the
+    // second run sits on a DIFFERENT diagonal (offsets drift by one)
+    val d = Seq(
+      (1L, "r1a r1b r1c r1d x1 x2 r2a r2b r2c r2d y1"),
+      (2L, "r1a r1b r1c r1d z1 r2a r2b r2c r2d z2 z3")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, k = 3, minRun = 2, maxOcc = 20)
+      .select("start_a", "start_b", "n_grams")
+      .as[(Int, Int, Long)].collect().toSeq.sorted
+    assert(spans == Seq((1, 1, 2L), (7, 6, 2L)))
+  }
+
+  test("duplicateSpans drops grams over the occurrence cap (boilerplate)") {
+    // "h1 h2 h3 h4" appears in 5 docs -> every gram occurs 5 times; with
+    // maxOcc=4 the whole span family is capped out, with maxOcc=10 the
+    // C(5,2)=10 pairs all surface
+    val d = (1L to 5L).map(i => (i, s"h1 h2 h3 h4 tail$i")).toDF("doc_id", "text")
+    val capped = Dedup.duplicateSpans(d, k = 3, minRun = 2, maxOcc = 4)
+    assert(capped.count() == 0L)
+    val full = Dedup.duplicateSpans(d, k = 3, minRun = 2, maxOcc = 10)
+    assert(full.count() == 10L)
+  }
+
+  test("duplicateSpans is repartition-invariant and ignores short docs") {
+    val d = Seq(
+      (1L, "s1 s2 s3 s4 s5 a b c"),
+      (2L, "s1 s2 s3 s4 s5 d e f"),
+      (3L, "ab cd") // shorter than k: no grams, must not blow up
+    ).toDF("doc_id", "text")
+    val a = Dedup.duplicateSpans(d, k = 3, minRun = 2, maxOcc = 20)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.duplicateSpans(d.repartition(7), k = 3, minRun = 2, maxOcc = 20)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.map(r => (r.head, r(1))) == Set((1L, 2L)))
+  }
+
   implicit class Tuple3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }

@@ -545,6 +545,20 @@ class PlanShapeSpec extends SparkSpec {
       "HashAggregate".r.findAllIn(s).length >= 4, s)
   }
 
+  test("q153 duplicate spans: single tokenize, broadcast-anti hot-gram cap") {
+    // the positional-gram relation is checkpointed once — the droplist
+    // aggregate and both self-join sides must read the checkpoint (no
+    // parquet FileScan, no second Generate), and the hot-gram cap must be
+    // a broadcast ANTI join (the droplist is small by construction; a
+    // shuffle here would re-exchange the whole gram relation a third time)
+    val q = SparkEntry.queries("q153_duplicate_spans")(spark, sf0001)
+    val s = planString(q)
+    assert(!s.contains("FileScan"), s"duplicate spans re-scanned parquet:\n$s")
+    assert(!s.contains("Generate"), s"duplicate spans re-tokenized:\n$s")
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"),
+      s"hot-gram cap is not a broadcast anti join:\n$s")
+  }
+
   test("q138 rotated PQ encode never shuffles the corpus (broadcast-only plan)") {
     val s = planString(SparkEntry.queries("q138_rotated_pq")(spark, sf0001))
     // the ONLY permitted shuffle is the 16-row codebook assembly (keyed
