@@ -1968,21 +1968,30 @@ object SparkEntry {
       Multimodal.resizePlan(
         Multimodal.synthesize(s, T(s, d, "documents").select("doc_id"),
           "doc_id"), maxSide = 256)),
-    "q153_duplicate_spans" -> ((s, d) => {
-      // Lee-et-al-style verbatim span mining. The word-soup corpus has no
-      // natural multi-token cross-doc runs, so (like q135's header
-      // injection) each doc pair (2g, 2g+1) gets a shared 5-token preamble
-      // keyed by g = doc_id div 2 — a guaranteed 3-gram diagonal per pair,
-      // rare enough (occ=2) to survive the hot-gram cap. Exact duplicate
-      // documents in the corpus surface as full-length runs identically in
-      // both engines (or are cap-dropped identically when over-copied).
-      val g = floor(col("doc_id") / lit(2)).cast("long")
-      val injected = T(s, d, "documents").select(col("doc_id"),
-        concat(lit("px"), g, lit(" qx"), g, lit(" rx"), g,
-          lit(" sx"), g, lit(" tx"), g, lit(" "), col("text")).as("text"))
-      Dedup.duplicateSpans(injected, k = 3, minRun = 2, maxOcc = 20,
-        shingleHash = graft.functions.md5Hash31(_))
-    }))
+    "q153_duplicate_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(pairInjectedDocs(s, d), k = 3, minRun = 2,
+        maxOcc = 20, shingleHash = graft.functions.md5Hash31(_))),
+    "q154_span_dedup" -> ((s, d) =>
+      // the ACTION for q153's mined spans: the lowest-id partner keeps its
+      // text, every doc_b loses the shared tokens (merged across partners)
+      Dedup.removeDuplicateSpans(pairInjectedDocs(s, d), k = 3, minRun = 2,
+        maxOcc = 20, shingleHash = graft.functions.md5Hash31(_))))
+
+  /** q153/q154 input — Lee-et-al-style verbatim span mining over the
+    * word-soup corpus, which has no natural multi-token cross-doc runs; so
+    * (like q135's header injection) each doc pair (2g, 2g+1) gets a shared
+    * 5-token preamble keyed by g = doc_id div 2 — a guaranteed 3-gram
+    * diagonal per pair, rare enough (occ=2) to survive the hot-gram cap.
+    * Exact duplicate documents in the corpus surface as full-length runs
+    * identically in both engines (or are cap-dropped identically when
+    * over-copied).
+    */
+  private def pairInjectedDocs(s: SparkSession, d: String): DataFrame = {
+    val g = floor(col("doc_id") / lit(2)).cast("long")
+    T(s, d, "documents").select(col("doc_id"),
+      concat(lit("px"), g, lit(" qx"), g, lit(" rx"), g,
+        lit(" sx"), g, lit(" tx"), g, lit(" "), col("text")).as("text"))
+  }
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -3534,37 +3543,76 @@ object SparkEntry {
         |       ELSE height END AS target_height,
         |  (kind = 'image' AND sc < 1e0) AS needs_resize
         |FROM s""".stripMargin,
-    "q153_duplicate_spans" -> {
-      val shingle = "t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]"
-      s"""WITH base AS (SELECT doc_id,
-         |    'px' || CAST(doc_id // 2 AS VARCHAR) || ' qx' ||
-         |    CAST(doc_id // 2 AS VARCHAR) || ' rx' ||
-         |    CAST(doc_id // 2 AS VARCHAR) || ' sx' ||
-         |    CAST(doc_id // 2 AS VARCHAR) || ' tx' ||
-         |    CAST(doc_id // 2 AS VARCHAR) || ' ' || text AS text
-         |  FROM documents),
-         |toks AS (SELECT doc_id,
-         |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
-         |  FROM base),
-         |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
-         |  FROM toks WHERE len(t) >= 3),
-         |gr AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
-         |    ${hash31Sql(shingle)} AS h
-         |  FROM pos),
-         |hot AS (SELECT h FROM gr GROUP BY h HAVING count(*) > 20),
-         |m AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
-         |    b.doc_id AS doc_b, b.pos AS pos_b
-         |  FROM gr a JOIN gr b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  WHERE a.h NOT IN (SELECT h FROM hot)),
-         |d AS (SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
-         |    pos_a - row_number() OVER (
-         |      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
-         |  FROM m)
+    "q153_duplicate_spans" ->
+      s"""WITH $dupSpanCtesSql
          |SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
          |  count(*) AS n_grams, count(*) + 2 AS run_tokens
          |FROM d GROUP BY doc_a, doc_b, diag, grp
-         |HAVING count(*) >= 2""".stripMargin
-    })
+         |HAVING count(*) >= 2""".stripMargin,
+    "q154_span_dedup" ->
+      // islands → doc_b token ranges [s, e] → per-doc overlap merge (the
+      // running-max-end gaps-and-islands) → positional token drop. Spark's
+      // indexed array filter is 0-based, DuckDB's p is the 1-based range
+      // value — both compare 1-based positions.
+      s"""WITH $dupSpanCtesSql,
+         |r AS (SELECT DISTINCT doc_b AS doc_id, min(pos_b) AS s,
+         |    min(pos_b) + count(*) + 1 AS e
+         |  FROM d GROUP BY doc_a, doc_b, diag, grp HAVING count(*) >= 2),
+         |mr AS (SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER (
+         |      PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM r),
+         |mi AS (SELECT doc_id, s, e, sum(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM mr),
+         |mg AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM mi
+         |  GROUP BY doc_id, isl),
+         |tp AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p
+         |  FROM toks WHERE len(t) > 0),
+         |cv AS (SELECT tp.doc_id, tp.p, tp.t[tp.p] AS tok,
+         |    CASE WHEN mg.doc_id IS NULL THEN 0 ELSE 1 END AS covered
+         |  FROM tp LEFT JOIN mg
+         |    ON tp.doc_id = mg.doc_id AND tp.p BETWEEN mg.s AND mg.e)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         |  CAST(sum(covered) AS INTEGER) AS n_removed,
+         |  coalesce(array_to_string(
+         |    list(tok ORDER BY p) FILTER (WHERE covered = 0), ' '), '')
+         |    AS clean_text
+         |FROM cv GROUP BY doc_id""".stripMargin)
+
+  /** Shared CTE chain for q153/q154 — positional 3-gram md5 fingerprints
+    * over [[pairInjectedDocs]], hot-gram cap at 20 occurrences, hash
+    * self-join to diagonal match points, island split (final CTE `d`:
+    * doc_a, doc_b, pos_a, pos_b, diag, grp).
+    */
+  private lazy val dupSpanCtesSql: String = {
+    val shingle = "t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]"
+    s"""base AS (SELECT doc_id,
+       |    'px' || CAST(doc_id // 2 AS VARCHAR) || ' qx' ||
+       |    CAST(doc_id // 2 AS VARCHAR) || ' rx' ||
+       |    CAST(doc_id // 2 AS VARCHAR) || ' sx' ||
+       |    CAST(doc_id // 2 AS VARCHAR) || ' tx' ||
+       |    CAST(doc_id // 2 AS VARCHAR) || ' ' || text AS text
+       |  FROM documents),
+       |toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM base),
+       |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+       |  FROM toks WHERE len(t) >= 3),
+       |gr AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |    ${hash31Sql(shingle)} AS h
+       |  FROM pos),
+       |hot AS (SELECT h FROM gr GROUP BY h HAVING count(*) > 20),
+       |m AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+       |    b.doc_id AS doc_b, b.pos AS pos_b
+       |  FROM gr a JOIN gr b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  WHERE a.h NOT IN (SELECT h FROM hot)),
+       |d AS (SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+       |    pos_a - row_number() OVER (
+       |      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+       |  FROM m)""".stripMargin
+  }
 
   /** q137's oracle: the MMR greedy unrolled to k materialized layers —
     * layer i cross-joins the (1-row) previous selections, recomputes the

@@ -753,6 +753,65 @@ object Dedup {
         col("n_grams"), (col("n_grams") + lit(k - 1)).as("run_tokens"))
   }
 
+  /** The ACTION for [[duplicateSpans]] — Lee et al. 2022 remove one copy
+    * of every duplicated substring; the deterministic keeper rule here is
+    * the same as [[exact]]'s: the LOWEST-id document keeps its text, every
+    * higher-id partner loses the shared tokens (`doc_b` of each mined
+    * span). Per-document token ranges from different partners may overlap,
+    * so ranges are first merged (sort by start, split islands where a
+    * start clears the running max end — the window sorts one document's
+    * few ranges, never tokens), then tokens are dropped by POSITION with
+    * an indexed array filter — map-only over the rejoined corpus, no
+    * explode. Returns (idCol, n_tokens, n_removed, clean_text), one row
+    * per document with ≥ 1 token (empty documents drop, the
+    * [[chunkDedup]] convention).
+    *
+    * Scale shape: the span relation is already hot-gram-capped and tiny
+    * next to the corpus; merging windows over per-doc range lists; the
+    * final equi-join on id puts a small struct array next to each text
+    * row. Text crosses the wire once (into the rewrite join) — the floor.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", k: Int = 3,
+                           minRun: Int = 2, maxOcc: Int = 20,
+                           shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, k, minRun, maxOcc,
+      shingleHash)
+    // distinct FIRST: partners can contribute byte-identical ranges, and
+    // a tie in (s, e) would make the merge windows' sort order ambiguous
+    // (an independent engine may order ties differently between two
+    // window passes and split them into overlapping islands); distinct
+    // ranges make ORDER BY (s, e) a total order per document
+    val ranges = spans.select(col("doc_b").as(idCol),
+      col("start_b").cast("long").as("s"),
+      (col("start_b") + col("run_tokens") - 1).as("e"))
+      .distinct()
+    val wPrev = Window.partitionBy(idCol).orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(idCol).orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val merged = ranges
+      .withColumn("__brk",
+        when(col("s") > coalesce(max("e").over(wPrev), lit(-1L)), 1)
+          .otherwise(0))
+      .withColumn("__isl", sum("__brk").over(wRun))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min("s").as("s"), max("e").as("e"))
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("s"), col("e"))).as("__rs"))
+    docs.join(merged, Seq(idCol), "left")
+      .select(col(idCol), tokens(col(textCol)).as("__t"),
+        coalesce(col("__rs"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("__rs"))
+      .filter(size(col("__t")) > 0)
+      .withColumn("__kept", filter(col("__t"), (x, i) =>
+        !exists(col("__rs"), r =>
+          r.getField("s") <= i + 1 && i + 1 <= r.getField("e"))))
+      .select(col(idCol), size(col("__t")).as("n_tokens"),
+        (size(col("__t")) - size(col("__kept"))).as("n_removed"),
+        array_join(col("__kept"), " ").as("clean_text"))
+  }
+
   // ----------------------------------------- fuzzy (edit-distance) matching
 
   /** All distinct string pairs within edit distance 1 — the spelling-variant

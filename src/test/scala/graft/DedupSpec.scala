@@ -343,7 +343,53 @@ class DedupSpec extends SparkSpec {
     assert(a.map(r => (r.head, r(1))) == Set((1L, 2L)))
   }
 
+  test("removeDuplicateSpans: lowest id keeps text, doc_b loses the span") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta tail1 tail2"),
+      (2L, "head1 alpha beta gamma delta tail3")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, k = 3, minRun = 2, maxOcc = 20)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Int, Int, String)].collect().toMap2Plus
+    assert(out(1L) == (6, 0, "alpha beta gamma delta tail1 tail2"))
+    assert(out(2L) == (6, 4, "head1 tail3"))
+  }
+
+  test("removeDuplicateSpans merges overlapping ranges from two partners") {
+    // doc 3 shares [a b c d] with doc 1 and [c d e f] with doc 2 — its
+    // covered ranges overlap on "c d" and must merge, removing 6 tokens
+    // once, not 8 with a double-claimed middle
+    val d = Seq(
+      (1L, "a b c d x1 x2 x3"),
+      (2L, "c d e f y1 y2 y3"),
+      (3L, "a b c d e f z1")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, k = 3, minRun = 2, maxOcc = 20)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Int, Int, String)].collect().toMap2Plus
+    assert(out(1L)._2 == 0 && out(2L)._2 == 0)
+    assert(out(3L) == (7, 6, "z1"))
+  }
+
+  test("removeDuplicateSpans: identical docs scrub every copy but the first") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 w5"),
+      (3L, "w1 w2 w3 w4 w5")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, k = 3, minRun = 2, maxOcc = 20)
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Int, String)].collect().toMap2
+    assert(out(1L) == (0, "w1 w2 w3 w4 w5"))
+    assert(out(2L) == (5, ""))
+    assert(out(3L) == (5, ""))
+  }
+
   implicit class Tuple3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+  implicit class Tuple4Ops[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2Plus: Map[A, (B, C, D)] =
+      rows.map(r => r._1 -> (r._2, r._3, r._4)).toMap
   }
 }
