@@ -1975,7 +1975,21 @@ object SparkEntry {
       // the ACTION for q153's mined spans: the lowest-id partner keeps its
       // text, every doc_b loses the shared tokens (merged across partners)
       Dedup.removeDuplicateSpans(pairInjectedDocs(s, d), k = 3, minRun = 2,
-        maxOcc = 20, shingleHash = graft.functions.md5Hash31(_))))
+        maxOcc = 20, shingleHash = graft.functions.md5Hash31(_))),
+    "q155_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: BM25 keyword leg (q149) ⊕ dense cosine leg
+      // (q22, vec_id ≡ doc_id) fused by reciprocal rank — RRF never
+      // compares raw scores across legs, so the two scales coexist
+      val sparse = Similarity.ranked(
+        TextAnalysis.bm25Rank(T(s, d, "documents"),
+          queryTerms = Seq("dup", "vector", "scan"), topK = 20),
+        "bm25", "doc_id")
+      val dense = Similarity.ranked(
+        Similarity.cosineTopK(T(s, d, "embeddings"), queryId = 0L, k = 20)
+          .select(col("vec_id").as("doc_id"), round(col("sim"), 6).as("sim")),
+        "sim", "doc_id")
+      Similarity.rrfFuse(Seq(sparse, dense), "doc_id", k0 = 60, topK = 10)
+    }))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
@@ -3439,27 +3453,7 @@ object SparkEntry {
         |  LEFT JOIN f2 ON u.user_id = f2.user_id
         |  LEFT JOIN f3 ON u.user_id = f3.user_id)
         |SELECT depth, count(*) AS n_users FROM d GROUP BY depth""".stripMargin,
-    "q149_bm25_search" ->
-      // numeric literals carry e0 so DuckDB parses DOUBLE, not DECIMAL
-      // (the q136 IEEE-divergence landmine); k1=1.2, b=0.75
-      s"""WITH terms AS (
-         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
-         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY doc_id),
-         |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
-         |  FROM documents),
-         |tot AS (SELECT CAST(coalesce(sum(tf), 0) AS DOUBLE) AS tot FROM tfc),
-         |qtf AS (SELECT * FROM tfc WHERE term IN ('dup', 'vector', 'scan')),
-         |dfc AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
-         |scored AS (
-         |  SELECT qtf.doc_id,
-         |    ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)) *
-         |      (tf * 2.2e0) /
-         |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / (tot / n_docs))) AS s
-         |  FROM qtf JOIN dl USING (doc_id) JOIN dfc USING (term)
-         |  CROSS JOIN n CROSS JOIN tot)
-         |SELECT doc_id, round(sum(s), 6) AS bm25 FROM scored
-         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q149_bm25_search" -> bm25TopSql,
     "q150_session_funnel" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, event_type,
@@ -3579,7 +3573,53 @@ object SparkEntry {
          |  coalesce(array_to_string(
          |    list(tok ORDER BY p) FILTER (WHERE covered = 0), ' '), '')
          |    AS clean_text
-         |FROM cv GROUP BY doc_id""".stripMargin)
+         |FROM cv GROUP BY doc_id""".stripMargin,
+    "q155_hybrid_rrf" ->
+      // the dense top-20 selection orders by the UNROUNDED sim (bit-equal
+      // across engines, the q22 contract); ranks inside each leg order by
+      // the ROUNDED score (round-before-rank)
+      s"""WITH sp AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+         |  FROM ($bm25TopSql)),
+         |dtop AS (
+         |  SELECT vec_id, round(${cosSql("ae", "qe")}, 6) AS sim,
+         |    ${cosSql("ae", "qe")} AS rawsim
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ae FROM embeddings
+         |        WHERE vec_id <> 0),
+         |    (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+         |  ORDER BY rawsim DESC, vec_id LIMIT 20),
+         |de AS (SELECT vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM dtop),
+         |u AS (SELECT doc_id, rnk FROM sp UNION ALL SELECT doc_id, rnk FROM de)
+         |SELECT doc_id, round(sum(1e0 / (60e0 + rnk)), 9) AS rrf_score,
+         |  CAST(count(*) AS INTEGER) AS n_lists
+         |FROM u GROUP BY doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin)
+
+  /** q149's BM25 top-20 (also the sparse leg of q155's hybrid fusion).
+    * Numeric literals carry e0 so DuckDB parses DOUBLE, not DECIMAL (the
+    * q136 IEEE-divergence landmine); k1=1.2, b=0.75.
+    */
+  private lazy val bm25TopSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |tfc AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfc GROUP BY doc_id),
+       |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+       |  FROM documents),
+       |tot AS (SELECT CAST(coalesce(sum(tf), 0) AS DOUBLE) AS tot FROM tfc),
+       |qtf AS (SELECT * FROM tfc WHERE term IN ('dup', 'vector', 'scan')),
+       |dfc AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+       |scored AS (
+       |  SELECT qtf.doc_id,
+       |    ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)) *
+       |      (tf * 2.2e0) /
+       |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / (tot / n_docs))) AS s
+       |  FROM qtf JOIN dl USING (doc_id) JOIN dfc USING (term)
+       |  CROSS JOIN n CROSS JOIN tot)
+       |SELECT doc_id, round(sum(s), 6) AS bm25 FROM scored
+       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
   /** Shared CTE chain for q153/q154 — positional 3-gram md5 fingerprints
     * over [[pairInjectedDocs]], hot-gram cap at 20 occurrences, hash

@@ -1678,4 +1678,48 @@ object Similarity {
         (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
+  // ------------------------------------------------- hybrid rank fusion
+
+  /** Attach a deterministic 1-based rank to an ALREADY-TOP-K result list:
+    * row_number over (score desc, id asc). The single-partition window is
+    * intentional and scale-free — inputs are post-limit lists (tens of
+    * rows), never a corpus relation; ranking upstream of the limit is the
+    * producer's job ([[cosineTopK]], `bm25Rank`). Round the score before
+    * calling if it isn't already rounded — rank order must be
+    * cross-engine stable.
+    */
+  def ranked(list: DataFrame, scoreCol: String, idCol: String): DataFrame = {
+    val w = Window.orderBy(desc(scoreCol), col(idCol))
+    list.select(col(idCol), row_number().over(w).cast("long").as("rnk"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * retrieval merge: each input ranking contributes 1/(k0 + rank) per id,
+    * ids are scored by the sum, ties broken by id. Lists need not agree
+    * on membership (an id missing from a list simply contributes
+    * nothing); `n_lists` reports how many legs retrieved each id. RRF is
+    * scale-invariant — it never compares raw scores across legs, which is
+    * what makes fusing BM25 with cosine similarity sound.
+    *
+    * Scale shape: inputs are top-k lists, so everything here is
+    * driver-free arithmetic over a few dozen rows; the heavy lifting
+    * (corpus scans, index probes) happened in the legs. The sum is
+    * rounded to 9 decimals before the final ordering (round-before-rank).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String = "doc_id",
+              k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k0 >= 1, s"k0 ($k0) must be >= 1")
+    val u = rankings
+      .map(_.select(col(idCol), col("rnk").cast("long").as("rnk")))
+      .reduce(_ unionByName _)
+    u.select(col(idCol),
+        (lit(1.0) / (lit(k0.toDouble) + col("rnk"))).as("__c"))
+      .groupBy(col(idCol))
+      .agg(round(sum("__c"), 9).as("rrf_score"),
+        count(lit(1)).cast("int").as("n_lists"))
+      .orderBy(desc("rrf_score"), col(idCol))
+      .limit(topK)
+  }
+
 }

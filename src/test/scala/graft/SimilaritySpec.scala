@@ -854,4 +854,36 @@ class SimilaritySpec extends SparkSpec {
       Similarity.opqTrain(emb.limit(0), m = 2)
     }
   }
+
+  test("rrfFuse: both-list ids beat single-list ids; exact contributions") {
+    import spark.implicits._
+    // leg A ranks 1,2,3 ; leg B ranks 2,3,4 — doc 2 (ranks 2+1) must win
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rnk")
+    val b = Seq((2L, 1L), (3L, 2L), (4L, 3L)).toDF("doc_id", "rnk")
+    val out = Similarity.rrfFuse(Seq(a, b), "doc_id", k0 = 60, topK = 10)
+      .select("doc_id", "rrf_score", "n_lists")
+      .as[(Long, Double, Int)].collect()
+    assert(out.map(_._1).toSeq == Seq(2L, 3L, 1L, 4L)) // fused order
+    val byId = out.map(r => r._1 -> r).toMap
+    def c(r: Long) = 1.0 / (60.0 + r)
+    assert(byId(2L)._2 == math.rint((c(2) + c(1)) * 1e9) / 1e9)
+    assert(byId(1L) == ((1L, math.rint(c(1) * 1e9) / 1e9, 1)))
+    assert(byId(2L)._3 == 2 && byId(4L)._3 == 1)
+  }
+
+  test("rrfFuse tie-breaks equal scores by id and honors topK") {
+    import spark.implicits._
+    val a = Seq((7L, 1L), (5L, 1L)).toDF("doc_id", "rnk") // same rank, 2 "legs"
+    val out = Similarity.rrfFuse(Seq(a), "doc_id", k0 = 60, topK = 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(5L)) // equal 1/(60+1) → lower id first, topK trims
+  }
+
+  test("ranked attaches 1-based ranks by (score desc, id asc)") {
+    import spark.implicits._
+    val l = Seq((10L, 0.5), (11L, 0.9), (12L, 0.5)).toDF("doc_id", "s")
+    val out = Similarity.ranked(l, "s", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(11L -> 1L, 10L -> 2L, 12L -> 3L))
+  }
 }
