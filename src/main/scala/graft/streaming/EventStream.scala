@@ -327,6 +327,29 @@ object EventStream {
       graft.ops.Dedup.removeBoilerplateColumn(col("text"), boilerHashes,
         chunkTokens).as("clean_text"))
 
+  /** Streaming frame sampling — the streaming twin of q151: synthesize →
+    * [[graft.ops.Multimodal.frameSample]] is a stateless projection plus
+    * per-row explode (flatMap), so it applies to an unbounded media
+    * stream in append mode with no watermark and no state store — the
+    * shape of a video-ingest pipeline emitting frame features as files
+    * land. StreamingSpec pins frames and features to the batch operator.
+    */
+  def mediaFrames(docs: DataFrame, fps: Double = 30.0,
+                  featureDims: Int = 4): DataFrame =
+    graft.ops.Multimodal.frameSample(
+      graft.ops.Multimodal.synthesize(docs.sparkSession,
+        docs.select("doc_id"), "doc_id"), fps, featureDims)
+
+  /** Streaming resize planning — the streaming twin of q152: a pure
+    * per-row projection (target geometry + needs_resize gate), the
+    * decode-skip decision a streaming media pipeline makes before its
+    * codec stage.
+    */
+  def mediaResizePlans(docs: DataFrame, maxSide: Int = 256): DataFrame =
+    graft.ops.Multimodal.resizePlan(
+      graft.ops.Multimodal.synthesize(docs.sparkSession,
+        docs.select("doc_id"), "doc_id"), maxSide)
+
   /** Run a streaming DataFrame to completion against a bounded file source
     * via the memory sink; returns the materialized result. Used by tests
     * and demos ("batch drives the stream", spark_guide.md).

@@ -298,6 +298,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists { case (id, t) => t != original(id) })
   }
 
+  test("streaming frame sampling and resize plans match the batch twins") {
+    val mediaBatch = graft.ops.Multimodal.synthesize(spark,
+      Tables.documents(spark, sf0001).select("doc_id"), "doc_id")
+    val gotFrames = EventStream.runToMemory(spark,
+      EventStream.mediaFrames(EventStream.readDocuments(spark, sf0001)),
+      "frames_stream_test")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getSeq[Double](3))).toMap
+    val refFrames = graft.ops.Multimodal.frameSample(mediaBatch, 30.0, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getSeq[Double](3))).toMap
+    assert(gotFrames.size == refFrames.size && gotFrames.nonEmpty)
+    assert(gotFrames == refFrames)
+    val gotPlans = EventStream.runToMemory(spark,
+      EventStream.mediaResizePlans(EventStream.readDocuments(spark, sf0001)),
+      "resize_stream_test")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val refPlans = graft.ops.Multimodal.resizePlan(mediaBatch, 256)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(gotPlans == refPlans && gotPlans.nonEmpty)
+  }
+
   test("streaming PII scrub matches the batch scrub row for row") {
     // Redact.scrub is stateless map-only, so the stream twin must equal
     // the batch output EXACTLY (same regex chain, same counts) — append
