@@ -1989,7 +1989,12 @@ object SparkEntry {
           .select(col("vec_id").as("doc_id"), round(col("sim"), 6).as("sim")),
         "sim", "doc_id")
       Similarity.rrfFuse(Seq(sparse, dense), "doc_id", k0 = 60, topK = 10)
-    }))
+    }),
+    "q156_triangle_counts" -> ((s, d) =>
+      // clustering-coefficient precursor over the event-type transition
+      // graph: canonical a<b<c enumeration, each triangle credits its
+      // three corners
+      Graph.triangleCounts(Graph.transitionEdges(T(s, d, "events")))))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
@@ -3595,7 +3600,20 @@ object SparkEntry {
          |SELECT doc_id, round(sum(1e0 / (60e0 + rnk)), 9) AS rrf_score,
          |  CAST(count(*) AS INTEGER) AS n_lists
          |FROM u GROUP BY doc_id
-         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin)
+         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+    "q156_triangle_counts" ->
+      """WITH lagd AS (SELECT event_type AS dst,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS src
+        |  FROM events),
+        |ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM lagd WHERE src IS NOT NULL AND src <> dst),
+        |tr AS (SELECT ab.a AS a, ab.b AS b, bc.b AS c
+        |  FROM ed ab JOIN ed bc ON ab.b = bc.a
+        |  WHERE EXISTS (SELECT 1 FROM ed ac
+        |                WHERE ac.a = ab.a AND ac.b = bc.b)),
+        |nd AS (SELECT unnest([a, b, c]) AS node FROM tr)
+        |SELECT node, count(*) AS n_triangles FROM nd GROUP BY node""".stripMargin)
 
   /** q149's BM25 top-20 (also the sparse leg of q155's hybrid fusion).
     * Numeric literals carry e0 so DuckDB parses DOUBLE, not DECIMAL (the

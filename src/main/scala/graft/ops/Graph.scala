@@ -259,6 +259,38 @@ object Graph {
       .select(col("node"), round(col("dist"), roundTo).as("cost"))
   }
 
+  /** Per-node triangle participation over the UNDIRECTED simple graph
+    * induced by `edges(src, dst, ...)`: direction and weight are
+    * discarded, self-loops dropped, parallel edges collapsed, and each
+    * triangle is enumerated exactly once in canonical a<b<c orientation —
+    * two canonical edges (a,b),(b,c) chained on the middle node, closed by
+    * a semi-join on (a,c). Each triangle then credits its three corners.
+    * Returns (node, n_triangles) for nodes in at least one triangle.
+    *
+    * Scale shape: the classic two-path join — both joins are equi-joins
+    * on node keys, the two-path relation is bounded by Σ deg(v)² over the
+    * canonicalized (degree-halved) edge set, and the closing check is a
+    * semi-join, so no row ever fans out past its triangle count. For
+    * skew-heavy graphs the canonical orientation itself is the standard
+    * mitigation (high-degree nodes sort last and join on their smaller
+    * neighborhoods).
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val twoPath = und.as("ab")
+      .join(und.as("bc"), col("ab.b") === col("bc.a"))
+      .select(col("ab.a").as("a"), col("ab.b").as("b"), col("bc.b").as("c"))
+      .as("tp")
+    val tri = twoPath.join(und.as("ac"),
+      col("tp.a") === col("ac.a") && col("tp.c") === col("ac.b"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Oracle for [[cheapestPaths]]: relaxation unrolled to materialized
     * layers; the same sentinel/rounding/ordering rules as the Spark side.
     */

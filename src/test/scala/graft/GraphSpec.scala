@@ -140,6 +140,21 @@ class GraphSpec extends SparkSpec {
     assert(!got.contains("z"), "unreachable node must drop from the output")
   }
 
+  test("triangleCounts: canonical enumeration, direction/weight/loops ignored") {
+    // triangles {a,b,c} and {b,c,d} share edge b-c; e hangs off a (no
+    // triangle); a self-loop and a reversed duplicate edge must not count
+    val edges = Seq(
+      ("a", "b", 3L), ("b", "c", 1L), ("c", "a", 2L), // triangle 1
+      ("c", "b", 9L),                    // reverse duplicate of b-c
+      ("b", "d", 1L), ("d", "c", 1L),    // triangle 2 via shared b-c
+      ("a", "e", 1L),                    // dangling edge
+      ("d", "d", 5L)                     // self-loop
+    ).toDF("src", "dst", "weight")
+    val got = Graph.triangleCounts(edges)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+  }
+
   test("pageRank releases its per-round checkpoint blocks") {
     val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "weight")
     val before = spark.sparkContext.getPersistentRDDs.size
