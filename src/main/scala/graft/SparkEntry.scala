@@ -1994,7 +1994,19 @@ object SparkEntry {
       // clustering-coefficient precursor over the event-type transition
       // graph: canonical a<b<c enumeration, each triangle credits its
       // three corners
-      Graph.triangleCounts(Graph.transitionEdges(T(s, d, "events")))))
+      Graph.triangleCounts(Graph.transitionEdges(T(s, d, "events")))),
+    "q157_incremental_span_scrub" -> ((s, d) => {
+      // incremental decontamination: the odd-id half is the NEW batch,
+      // the even-id half the immutable corpus — each batch doc loses the
+      // preamble it shares with its even corpus partner (plus any natural
+      // duplicate-text runs), and batch-batch pairs are NOT scrubbed
+      val all = pairInjectedDocs(s, d)
+      Dedup.removeCorpusSpans(
+        all.filter(col("doc_id") % 2 === 1),
+        all.filter(col("doc_id") % 2 === 0),
+        k = 3, minRun = 2, maxOcc = 20,
+        shingleHash = graft.functions.md5Hash31(_))
+    }))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
@@ -3613,7 +3625,48 @@ object SparkEntry {
         |  WHERE EXISTS (SELECT 1 FROM ed ac
         |                WHERE ac.a = ab.a AND ac.b = bc.b)),
         |nd AS (SELECT unnest([a, b, c]) AS node FROM tr)
-        |SELECT node, count(*) AS n_triangles FROM nd GROUP BY node""".stripMargin)
+        |SELECT node, count(*) AS n_triangles FROM nd GROUP BY node""".stripMargin,
+    "q157_incremental_span_scrub" ->
+      // reuses the q153 gram chain (base/toks/pos/gr); the batch/corpus
+      // split is on doc_id parity, the droplist is CORPUS-side only, and
+      // the scrub tail is q154's with batch-only token streams
+      s"""WITH $dupSpanCtesSql,
+         |gb AS (SELECT * FROM gr WHERE doc_id % 2 = 1),
+         |gc AS (SELECT * FROM gr WHERE doc_id % 2 = 0),
+         |hot2 AS (SELECT h FROM gc GROUP BY h HAVING count(*) > 20),
+         |m2 AS (SELECT c.doc_id AS doc_a, c.pos AS pos_a,
+         |    b.doc_id AS doc_b, b.pos AS pos_b
+         |  FROM gc c JOIN gb b ON c.h = b.h
+         |  WHERE c.h NOT IN (SELECT h FROM hot2)),
+         |d2 AS (SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         |    pos_a - row_number() OVER (
+         |      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+         |  FROM m2),
+         |r2 AS (SELECT DISTINCT doc_b AS doc_id, min(pos_b) AS s,
+         |    min(pos_b) + count(*) + 1 AS e
+         |  FROM d2 GROUP BY doc_a, doc_b, diag, grp HAVING count(*) >= 2),
+         |mr2 AS (SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER (
+         |      PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM r2),
+         |mi2 AS (SELECT doc_id, s, e, sum(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM mr2),
+         |mg2 AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM mi2
+         |  GROUP BY doc_id, isl),
+         |tp2 AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p
+         |  FROM toks WHERE doc_id % 2 = 1 AND len(t) > 0),
+         |cv2 AS (SELECT tp2.doc_id, tp2.p, tp2.t[tp2.p] AS tok,
+         |    CASE WHEN mg2.doc_id IS NULL THEN 0 ELSE 1 END AS covered
+         |  FROM tp2 LEFT JOIN mg2
+         |    ON tp2.doc_id = mg2.doc_id AND tp2.p BETWEEN mg2.s AND mg2.e)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+         |  CAST(sum(covered) AS INTEGER) AS n_removed,
+         |  coalesce(array_to_string(
+         |    list(tok ORDER BY p) FILTER (WHERE covered = 0), ' '), '')
+         |    AS clean_text
+         |FROM cv2 GROUP BY doc_id""".stripMargin)
 
   /** q149's BM25 top-20 (also the sparse leg of q155's hybrid fusion).
     * Numeric literals carry e0 so DuckDB parses DOUBLE, not DECIMAL (the

@@ -718,21 +718,7 @@ object Dedup {
     require(minRun >= 1, s"minRun ($minRun) must be >= 1")
     require(maxOcc >= 2, s"maxOcc ($maxOcc) must be >= 2: a gram must be " +
       "allowed to occur in two documents for any span to surface")
-    // positional k-gram hashes (1-based pos): let-bound token vector →
-    // per-position shingle hash, exploded. localCheckpoint: the relation
-    // feeds the droplist aggregate AND both self-join sides — one tokenize
-    // (the chunkedHashed discipline).
-    val hs = element_at(
-      transform(array(tokens(col(textCol))), tsv =>
-        when(size(tsv) < k, array().cast("array<bigint>"))
-          .otherwise(
-            transform(sequence(lit(1), size(tsv) - lit(k - 1)),
-              i => shingleHash(array_join(slice(tsv, i, lit(k)), " "))))),
-      1)
-    val grams = docs
-      .select(col(idCol), posexplode(hs).as(Seq("__p0", "h")))
-      .select(col(idCol), (col("__p0") + 1).as("pos"), col("h"))
-      .localCheckpoint()
+    val grams = positionalGrams(docs, idCol, textCol, k, shingleHash)
     val hot = grams.groupBy("h")
       .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") > maxOcc)
@@ -742,6 +728,36 @@ object Dedup {
       .join(g.select(col(idCol).as("doc_b"), col("pos").as("pos_b"), col("h")),
         Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
+    diagonalIslands(m, k, minRun)
+  }
+
+  /** Positional k-gram hashes (1-based pos): let-bound token vector →
+    * per-position shingle hash, exploded. localCheckpoint: the relation
+    * feeds a droplist aggregate AND join sides — one tokenize (the
+    * chunkedHashed discipline).
+    */
+  private def positionalGrams(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int,
+                              shingleHash: Column => Column): DataFrame = {
+    val hs = element_at(
+      transform(array(tokens(col(textCol))), tsv =>
+        when(size(tsv) < k, array().cast("array<bigint>"))
+          .otherwise(
+            transform(sequence(lit(1), size(tsv) - lit(k - 1)),
+              i => shingleHash(array_join(slice(tsv, i, lit(k)), " "))))),
+      1)
+    docs
+      .select(col(idCol), posexplode(hs).as(Seq("__p0", "h")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"), col("h"))
+      .localCheckpoint()
+  }
+
+  /** Match points (doc_a, pos_a, doc_b, pos_b) → maximal diagonal runs:
+    * group by (pair, diagonal), split islands with the pos−row_number
+    * trick, keep runs of ≥ minRun grams. The window sorts only matched
+    * points of one document pair.
+    */
+  private def diagonalIslands(m: DataFrame, k: Int, minRun: Int): DataFrame = {
     val w = Window.partitionBy("doc_a", "doc_b", "__diag").orderBy("pos_a")
     m.withColumn("__diag", col("pos_a") - col("pos_b"))
       .withColumn("__grp", col("pos_a") - row_number().over(w))
@@ -751,6 +767,36 @@ object Dedup {
       .filter(col("n_grams") >= minRun)
       .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
         col("n_grams"), (col("n_grams") + lit(k - 1)).as("run_tokens"))
+  }
+
+  /** INCREMENTAL [[duplicateSpans]] — the q59-shape: a new batch probes an
+    * existing corpus for verbatim runs it shares with ANY corpus document
+    * (doc_a = corpus id, doc_b = batch id; the batch always loses, the
+    * corpus is immutable). The hot-gram droplist comes from the CORPUS
+    * side only — that is the relation a production pipeline fingerprints
+    * ONCE and persists (the contamination-index lifecycle; the corpus gram
+    * relation bucketed by h is exactly what `buildContaminationIndex`
+    * would store for this operator), while each batch pays only its own
+    * tokenize + an equi-join on h. No batch-batch pairs are reported —
+    * in-batch dedup is [[duplicateSpans]]'s job.
+    */
+  def duplicateSpansAgainst(batch: DataFrame, corpus: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text", k: Int = 3,
+                            minRun: Int = 2, maxOcc: Int = 20,
+                            shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxOcc >= 1, s"maxOcc ($maxOcc) must be >= 1")
+    val cg = positionalGrams(corpus, idCol, textCol, k, shingleHash)
+    val bg = positionalGrams(batch, idCol, textCol, k, shingleHash)
+    val hot = cg.groupBy("h")
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > maxOcc)
+      .select("h")
+    val m = cg.join(broadcast(hot), Seq("h"), "left_anti")
+      .select(col(idCol).as("doc_a"), col("pos").as("pos_a"), col("h"))
+      .join(bg.select(col(idCol).as("doc_b"), col("pos").as("pos_b"),
+        col("h")), Seq("h"))
+    diagonalIslands(m, k, minRun)
   }
 
   /** The ACTION for [[duplicateSpans]] — Lee et al. 2022 remove one copy
@@ -782,6 +828,32 @@ object Dedup {
     // (an independent engine may order ties differently between two
     // window passes and split them into overlapping islands); distinct
     // ranges make ORDER BY (s, e) a total order per document
+    scrubSpans(docs, spans, idCol, textCol)
+  }
+
+  /** INCREMENTAL span scrub — [[duplicateSpansAgainst]]'s ACTION: every
+    * batch document loses the token runs it shares with the immutable
+    * corpus (decontamination against an already-published training set,
+    * or dedup of a new crawl against the accumulated corpus). Returns the
+    * batch as (idCol, n_tokens, n_removed, clean_text).
+    */
+  def removeCorpusSpans(batch: DataFrame, corpus: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        k: Int = 3, minRun: Int = 2, maxOcc: Int = 20,
+                        shingleHash: Column => Column = xxhash64(_)): DataFrame =
+    scrubSpans(batch,
+      duplicateSpansAgainst(batch, corpus, idCol, textCol, k, minRun,
+        maxOcc, shingleHash),
+      idCol, textCol)
+
+  /** Shared rewrite tail: mined spans → per-doc_b merged cover ranges →
+    * positional token drop over `docs`. Ranges are DISTINCTed first (see
+    * the tie-order note in [[removeDuplicateSpans]]); the merge windows
+    * sort one document's few ranges; the token drop is a map-only indexed
+    * array filter after one equi-join on id.
+    */
+  private def scrubSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
     val ranges = spans.select(col("doc_b").as(idCol),
       col("start_b").cast("long").as("s"),
       (col("start_b") + col("run_tokens") - 1).as("e"))

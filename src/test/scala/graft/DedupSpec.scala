@@ -385,6 +385,25 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == (5, ""))
   }
 
+  test("removeCorpusSpans scrubs batch-vs-corpus runs, never batch-batch") {
+    val corpus = Seq(
+      (100L, "c1 c2 c3 c4 cx cy")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "c1 c2 c3 c4 b1 b2"), // shares 4 tokens with corpus → scrubbed
+      (2L, "s1 s2 s3 s4 q1 q2"), // shares with batch doc 3 ONLY → kept
+      (3L, "s1 s2 s3 s4 r1 r2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeCorpusSpans(batch, corpus, k = 3, minRun = 2,
+      maxOcc = 20)
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Int, String)].collect().toMap2
+    assert(out(1L) == (4, "b1 b2"))
+    assert(out(2L) == (0, "s1 s2 s3 s4 q1 q2"))
+    assert(out(3L) == (0, "s1 s2 s3 s4 r1 r2"))
+    assert(!out.contains(100L), "corpus docs must not appear in the output")
+  }
+
   implicit class Tuple3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
