@@ -2006,7 +2006,13 @@ object SparkEntry {
         all.filter(col("doc_id") % 2 === 0),
         k = 3, minRun = 2, maxOcc = 20,
         shingleHash = graft.functions.md5Hash31(_))
-    }))
+    }),
+    "q158_source_quality_gate" -> ((s, d) =>
+      // C4-style domain filter: drop every document of sources whose MEAN
+      // logistic quality misses 0.625 — one scan, group verdict applied
+      // by broadcast semi-join
+      TextAnalysis.sourceQualityGate(T(s, d, "documents"),
+        groupCol = "source", minMean = 0.625)))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
@@ -3666,7 +3672,18 @@ object SparkEntry {
          |  coalesce(array_to_string(
          |    list(tok ORDER BY p) FILTER (WHERE covered = 0), ' '), '')
          |    AS clean_text
-         |FROM cv2 GROUP BY doc_id""".stripMargin)
+         |FROM cv2 GROUP BY doc_id""".stripMargin,
+    "q158_source_quality_gate" ->
+      s"""WITH f AS ($qualityFeaturesSql),
+         |sc AS (SELECT f.doc_id, d.source,
+         |    round(1.0 / (1.0 + exp(-(-2.0 + 0.45 * ln(1.0 + n_tokens)
+         |      + 3.0 * stopword_ratio + 0.15 * mean_token_len
+         |      - 8.0 * punct_ratio))), 6) AS quality_prob
+         |  FROM f JOIN documents d USING (doc_id)),
+         |good AS (SELECT source FROM sc GROUP BY source
+         |  HAVING round(avg(quality_prob), 6) >= 0.625e0)
+         |SELECT doc_id, source, quality_prob FROM sc
+         |WHERE source IN (SELECT source FROM good)""".stripMargin)
 
   /** q149's BM25 top-20 (also the sparse leg of q155's hybrid fusion).
     * Numeric literals carry e0 so DuckDB parses DOUBLE, not DECIMAL (the

@@ -45,20 +45,21 @@ object TextAnalysis {
     * length, stopword ratio and punctuation density. Deterministic and
     * SQL-expressible; thresholds are the usual C4-style heuristics.
     */
-  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def qualityScore(docs: DataFrame, textCol: String = "text",
+                   carryCols: Seq[String] = Nil): DataFrame = {
     val ts = tokens(col(textCol))
     val nTok = size(ts).cast("double")
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(array_intersect(array_distinct(ts), stopArr)).cast("double")
     docs.select(
-      col("doc_id"),
+      (col("doc_id") +: carryCols.map(col)) ++ Seq(
       nTok.as("n_tokens"),
       when(nTok === 0, lit(0.0))
         .otherwise(length(regexp_replace(col(textCol), "[ \\t\\n\\f\\r]", ""))
           .cast("double") / nTok)
         .as("mean_token_len"),
       when(nTok === 0, lit(0.0)).otherwise(nStop / nTok).as("stopword_ratio"),
-      charClassRatio(col(textCol), "[.,!?;:]").as("punct_ratio"))
+      charClassRatio(col(textCol), "[.,!?;:]").as("punct_ratio")): _*)
   }
 
   /** Model-based quality scoring: a frozen LINEAR classifier (logistic
@@ -77,16 +78,46 @@ object TextAnalysis {
     * ln(1 + n_tokens) keeps the length feature bounded.
     */
   def qualityLogistic(docs: DataFrame, textCol: String = "text",
-                      threshold: Double = 0.5): DataFrame = {
-    val f = qualityScore(docs, textCol)
+                      threshold: Double = 0.5,
+                      carryCols: Seq[String] = Nil): DataFrame = {
+    val f = qualityScore(docs, textCol, carryCols)
     val z = lit(-2.0) +
       lit(0.45) * log(lit(1.0) + col("n_tokens")) +
       lit(3.0) * col("stopword_ratio") +
       lit(0.15) * col("mean_token_len") -
       lit(8.0) * col("punct_ratio")
-    f.select(col("doc_id"),
-        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_prob"))
+    f.select((col("doc_id") +: carryCols.map(col)) :+
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_prob"): _*)
       .withColumn("keep", (col("quality_prob") >= threshold).cast("int"))
+  }
+
+  /** Source-level quality gate — the C4/CCNet DOMAIN-filter shape: score
+    * every document with the frozen logistic, average per `groupCol`
+    * (rounded to 6 before the threshold compare, round-before-compare),
+    * and keep only documents of groups whose mean clears `minMean` — a
+    * data-derived domain blocklist, dropping consistently-bad sources
+    * wholesale rather than doc by doc. Returns the kept documents as
+    * (doc_id, groupCol, quality_prob).
+    *
+    * Scale shape: ONE corpus scan — the scored relation (4 narrow
+    * columns) is localCheckpointed and feeds both the per-group mean (a
+    * partial-aggregated groupBy over #groups rows) and the keep filter; a
+    * broadcast semi-join applies the group verdict map-side, so the
+    * corpus never shuffles. The group-stats relation is #domains-sized —
+    * broadcastable by construction.
+    */
+  def sourceQualityGate(docs: DataFrame, groupCol: String = "source",
+                        minMean: Double = 0.55,
+                        textCol: String = "text"): DataFrame = {
+    val scored = qualityLogistic(docs, textCol, carryCols = Seq(groupCol))
+      .select(col("doc_id"), col(groupCol), col("quality_prob"))
+      .localCheckpoint()
+    val good = scored.groupBy(groupCol)
+      .agg(round(avg(col("quality_prob")), 6).as("__mq"))
+      .filter(col("__mq") >= minMean)
+      .select(col(groupCol))
+    scored.join(broadcast(good), Seq(groupCol), "left_semi")
+      .select(col("doc_id"), col(groupCol), col("quality_prob"))
   }
 
   /** N-gram-profile language ID heuristic: score text against small

@@ -559,6 +559,20 @@ class PlanShapeSpec extends SparkSpec {
       s"hot-gram cap is not a broadcast anti join:\n$s")
   }
 
+  test("q158 source gate: corpus never shuffles, verdict applies by broadcast semi") {
+    // the scored relation is checkpointed (one tokenize); the per-source
+    // mean shuffles #sources-sized partials only, and the keep decision
+    // must come back as a broadcast LEFT SEMI — any hashpartitioning on
+    // doc_id would mean the corpus itself got exchanged
+    val q = SparkEntry.queries("q158_source_quality_gate")(spark, sf0001)
+    val s = planString(q)
+    assert(!s.contains("FileScan"), s"source gate re-scanned parquet:\n$s")
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
+      s"source verdict is not a broadcast semi join:\n$s")
+    assert(!s.contains("hashpartitioning(doc_id"),
+      s"corpus rows were shuffled by doc_id:\n$s")
+  }
+
   test("q138 rotated PQ encode never shuffles the corpus (broadcast-only plan)") {
     val s = planString(SparkEntry.queries("q138_rotated_pq")(spark, sf0001))
     // the ONLY permitted shuffle is the 16-row codebook assembly (keyed

@@ -304,4 +304,23 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bm25Rank(docs, Seq("a", "a"))
     }
   }
+
+  test("sourceQualityGate keeps whole good sources, drops whole bad ones") {
+    // srcA: stopword-rich prose (high prob); srcB: punctuation soup (low)
+    val docs = Seq(
+      (1L, "the cat and the dog went to the house in the garden", "srcA"),
+      (2L, "it is a fine day and the sun is out in the sky", "srcA"),
+      (3L, ".,;: !!! ,,, ... ;;; !!! ??? ., ., .,", "srcB"),
+      (4L, ":::: !!!! ???? ;;;; ,,,, .... :::: !!!!", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val kept = TextAnalysis.sourceQualityGate(docs, "source", minMean = 0.5)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(kept == Set((1L, "srcA"), (2L, "srcA")))
+    // per-doc probs survive into the output and match qualityLogistic
+    val probs = TextAnalysis.sourceQualityGate(docs, "source", minMean = 0.5)
+      .select("doc_id", "quality_prob").as[(Long, Double)].collect().toMap
+    val ref = TextAnalysis.qualityLogistic(docs)
+      .select("doc_id", "quality_prob").as[(Long, Double)].collect().toMap
+    assert(probs == ref.view.filterKeys(Set(1L, 2L)).toMap)
+  }
 }
