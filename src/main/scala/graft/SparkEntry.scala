@@ -2012,7 +2012,10 @@ object SparkEntry {
       // logistic quality misses 0.625 — one scan, group verdict applied
       // by broadcast semi-join
       TextAnalysis.sourceQualityGate(T(s, d, "documents"),
-        groupCol = "source", minMean = 0.625)))
+        groupCol = "source", minMean = 0.625)),
+    "q159_clustering_coeff" -> ((s, d) =>
+      Graph.clusteringCoefficients(
+        Graph.transitionEdges(T(s, d, "events")))))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
@@ -3683,7 +3686,28 @@ object SparkEntry {
          |good AS (SELECT source FROM sc GROUP BY source
          |  HAVING round(avg(quality_prob), 6) >= 0.625e0)
          |SELECT doc_id, source, quality_prob FROM sc
-         |WHERE source IN (SELECT source FROM good)""".stripMargin)
+         |WHERE source IN (SELECT source FROM good)""".stripMargin,
+    "q159_clustering_coeff" ->
+      """WITH lagd AS (SELECT event_type AS dst,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS src
+        |  FROM events),
+        |ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM lagd WHERE src IS NOT NULL AND src <> dst),
+        |tr AS (SELECT ab.a AS a, ab.b AS b, bc.b AS c
+        |  FROM ed ab JOIN ed bc ON ab.b = bc.a
+        |  WHERE EXISTS (SELECT 1 FROM ed ac
+        |                WHERE ac.a = ab.a AND ac.b = bc.b)),
+        |tc AS (SELECT node, count(*) AS n_triangles
+        |  FROM (SELECT unnest([a, b, c]) AS node FROM tr) GROUP BY node),
+        |dg AS (SELECT node, count(*) AS degree
+        |  FROM (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)
+        |  GROUP BY node)
+        |SELECT dg.node, dg.degree, coalesce(tc.n_triangles, 0) AS n_triangles,
+        |  round(CASE WHEN dg.degree < 2 THEN (0.0)::DOUBLE
+        |    ELSE 2e0 * coalesce(tc.n_triangles, 0) /
+        |      (dg.degree * (dg.degree - 1)) END, 6) AS clustering_coeff
+        |FROM dg LEFT JOIN tc USING (node)""".stripMargin)
 
   /** q149's BM25 top-20 (also the sparse leg of q155's hybrid fusion).
     * Numeric literals carry e0 so DuckDB parses DOUBLE, not DECIMAL (the

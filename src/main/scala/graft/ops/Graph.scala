@@ -276,11 +276,7 @@ object Graph {
     * neighborhoods).
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    val und = canonicalUndirected(edges)
     val twoPath = und.as("ab")
       .join(und.as("bc"), col("ab.b") === col("bc.a"))
       .select(col("ab.a").as("a"), col("ab.b").as("b"), col("bc.b").as("c"))
@@ -290,6 +286,38 @@ object Graph {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Local clustering coefficient per node — 2·tri(v) / (deg(v)·(deg(v)−1))
+    * over the same canonical undirected simple graph as
+    * [[triangleCounts]]; degree-<2 nodes score 0. Returns every node as
+    * (node, degree, n_triangles, clustering_coeff), coefficient rounded
+    * to `roundTo` (round-before-compare discipline for downstream
+    * thresholds). Same scale shape as the triangle count plus one
+    * node-keyed aggregate and a left join.
+    */
+  def clusteringCoefficients(edges: DataFrame, roundTo: Int = 6): DataFrame = {
+    val und = canonicalUndirected(edges)
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(when(col("degree") < 2, lit(0.0))
+          .otherwise(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1))), roundTo)
+          .as("clustering_coeff"))
+  }
+
+  /** Direction/weight dropped, self-loops removed, parallel edges
+    * collapsed: the canonical a<b simple undirected edge set.
+    */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
 
   /** Oracle for [[cheapestPaths]]: relaxation unrolled to materialized
     * layers; the same sentinel/rounding/ordering rules as the Spark side.

@@ -155,6 +155,21 @@ class GraphSpec extends SparkSpec {
     assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
   }
 
+  test("clusteringCoefficients: exact fractions, degree-<2 nodes score 0") {
+    // a-b-c triangle with d hanging off c: cc(a)=cc(b)=1 (deg 2, 1 tri),
+    // cc(c)=2·1/(3·2)=1/3, cc(d)=0 (deg 1)
+    val edges = Seq(
+      ("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L), ("c", "d", 1L)
+    ).toDF("src", "dst", "weight")
+    val got = Graph.clusteringCoefficients(edges)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      "a" -> (2L, 1L, 1.0), "b" -> (2L, 1L, 1.0),
+      "c" -> (3L, 1L, math.rint(1.0 / 3.0 * 1e6) / 1e6),
+      "d" -> (1L, 0L, 0.0)))
+  }
+
   test("pageRank releases its per-round checkpoint blocks") {
     val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "weight")
     val before = spark.sparkContext.getPersistentRDDs.size
