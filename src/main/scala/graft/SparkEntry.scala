@@ -2015,7 +2015,16 @@ object SparkEntry {
         groupCol = "source", minMean = 0.625)),
     "q159_clustering_coeff" -> ((s, d) =>
       Graph.clusteringCoefficients(
-        Graph.transitionEdges(T(s, d, "events")))))
+        Graph.transitionEdges(T(s, d, "events")))),
+    "q160_cluster_best_keeper" -> ((s, d) =>
+      // SemDeDup keep-best: q38's near-dup clusters, but the keeper is
+      // the highest-quality member (ties to lower id), not the lowest id
+      Dedup.keepBestPerCluster(
+        Dedup.clusterNearDups(
+          Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
+            shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)),
+        TextAnalysis.qualityLogistic(T(s, d, "documents"))
+          .select(col("doc_id"), col("quality_prob")))))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
@@ -3707,7 +3716,29 @@ object SparkEntry {
         |  round(CASE WHEN dg.degree < 2 THEN (0.0)::DOUBLE
         |    ELSE 2e0 * coalesce(tc.n_triangles, 0) /
         |      (dg.degree * (dg.degree - 1)) END, 6) AS clustering_coeff
-        |FROM dg LEFT JOIN tc USING (node)""".stripMargin)
+        |FROM dg LEFT JOIN tc USING (node)""".stripMargin,
+    "q160_cluster_best_keeper" ->
+      s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(src, dst) AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+         |  FROM reach GROUP BY src),
+         |f AS ($qualityFeaturesSql),
+         |sc AS (SELECT doc_id,
+         |    round(1.0 / (1.0 + exp(-(-2.0 + 0.45 * ln(1.0 + n_tokens)
+         |      + 3.0 * stopword_ratio + 0.15 * mean_token_len
+         |      - 8.0 * punct_ratio))), 6) AS quality_prob
+         |  FROM f),
+         |rk AS (SELECT cl.cluster_rep, cl.doc_id, sc.quality_prob,
+         |    row_number() OVER (PARTITION BY cl.cluster_rep
+         |      ORDER BY sc.quality_prob DESC, cl.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cl.cluster_rep) AS cluster_size
+         |  FROM cl JOIN sc USING (doc_id))
+         |SELECT cluster_rep, doc_id AS keeper_id,
+         |  quality_prob AS keeper_quality, cluster_size
+         |FROM rk WHERE rn = 1""".stripMargin)
 
   /** q149's BM25 top-20 (also the sparse leg of q155's hybrid fusion).
     * Numeric literals carry e0 so DuckDB parses DOUBLE, not DECIMAL (the

@@ -531,6 +531,30 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  /** Quality-aware keeper selection — the SemDeDup-paper refinement of
+    * [[clusterNearDups]]'s lowest-id keeper convention: within each
+    * near-dup cluster keep the HIGHEST-quality member (ties to the lower
+    * id), so dedup removes redundancy without discarding the best copy.
+    * `clusters` is (idCol, clusterCol) from [[clusterNearDups]]; `scored`
+    * is (idCol, scoreCol) with the score already rounded
+    * (round-before-rank). Returns one row per cluster:
+    * (clusterCol, keeper_id, keeper_quality, cluster_size).
+    *
+    * The argmax is a single hash aggregation — max(struct(score, −id)) —
+    * not a window sort: ~#clusters groups of partial aggregation, the
+    * [[graft.ops.Similarity.nearestNeighbor]] discipline.
+    */
+  def keepBestPerCluster(clusters: DataFrame, scored: DataFrame,
+                         idCol: String = "doc_id",
+                         scoreCol: String = "quality_prob",
+                         clusterCol: String = "cluster_rep"): DataFrame =
+    clusters.join(scored, Seq(idCol))
+      .groupBy(col(clusterCol))
+      .agg(max(struct(col(scoreCol), (-col(idCol)).as("__negid"))).as("__k"),
+        count(lit(1)).as("cluster_size"))
+      .select(col(clusterCol), (-col("__k.__negid")).as("keeper_id"),
+        col(s"__k.$scoreCol").as("keeper_quality"), col("cluster_size"))
+
   // ------------------------------------------------------ chunk-level dedup
 
   /** Chunk-level exact dedup — the RefinedWeb "paragraph dedup" shape

@@ -67,6 +67,26 @@ class ClusterSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("keepBestPerCluster picks the max-score member, ties to the lower id") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // cluster 1: best score on 2
+      (10L, 10L), (11L, 10L),          // cluster 10: tie → lower id 10
+      (20L, 20L)                       // singleton
+    ).toDF("doc_id", "cluster_rep")
+    val scored = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.9 - 1e-6),
+      (10L, 0.5), (11L, 0.5),
+      (20L, 0.1)
+    ).toDF("doc_id", "quality_prob")
+    val got = Dedup.keepBestPerCluster(clusters, scored)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 0.9, 3L)),
+      10L -> ((10L, 0.5, 2L)),
+      20L -> ((20L, 0.1, 1L))))
+  }
+
   test("kmeansCentroids separates well-separated clusters") {
     val vecs = (0 until 30).map { i =>
       if (i % 2 == 0) (i.toLong, Array(1.0f + i * 0.001f, 0.0f, 0.0f))
