@@ -2024,7 +2024,50 @@ object SparkEntry {
           Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
             shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)),
         TextAnalysis.qualityLogistic(T(s, d, "documents"))
-          .select(col("doc_id"), col("quality_prob")))))
+          .select(col("doc_id"), col("quality_prob")))),
+    "q161_scd2_merge" -> ((s, d) => {
+      // SCD Type-2 merge: fold an update batch into a versioned dimension.
+      // Batch exercises all four outcomes — changed attrs (%7: close +
+      // open), no-op update (%11 minus the %7 overlap: pass through),
+      // brand-new keys (negated-id namespace, the q122 disjointness
+      // discipline), and untouched keys. Validity stamps are epoch longs
+      // (0 = initial load, 100 = this batch) — any ordered type works
+      val c = T(s, d, "customer")
+      val dim = c.select(col("c_custkey"),
+          col("c_mktsegment").as("segment"),
+          round(col("c_acctbal"), 2).as("acctbal"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+          lit(true).as("is_current"))
+      val changed = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          round(col("c_acctbal") + 100, 2).as("acctbal"))
+      val noop = c.filter(col("c_custkey") % 11 === 0 &&
+          col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+      val fresh = c.filter(col("c_custkey") % 13 === 0)
+        .select((-col("c_custkey") - 1).as("c_custkey"),
+          col("c_mktsegment").as("segment"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+      val updates = changed.unionByName(noop).unionByName(fresh)
+        .withColumn("eff", lit(100L))
+      Scd.scd2Merge(dim, updates, Seq("c_custkey"),
+        Seq("segment", "acctbal"))
+    }),
+    "q162_scd2_changelog" -> ((s, d) => {
+      // backfill path: compress the raw event log into per-user status
+      // intervals (consecutive repeats collapse into one run). event_id
+      // makes the in-key ordering total — a ts tie that ordered
+      // differently across engines would flip which row heads a run
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type").as("status"), col("ts"), col("event_id"))
+      Scd.scd2FromChangeLog(ev, Seq("user_id"), Seq("status"), "ts",
+          tieCols = Seq("event_id"))
+        .select(col("user_id"), col("status"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+    }))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
@@ -3738,7 +3781,53 @@ object SparkEntry {
          |  FROM cl JOIN sc USING (doc_id))
          |SELECT cluster_rep, doc_id AS keeper_id,
          |  quality_prob AS keeper_quality, cluster_size
-         |FROM rk WHERE rn = 1""".stripMargin)
+         |FROM rk WHERE rn = 1""".stripMargin,
+    "q161_scd2_merge" ->
+      """WITH dim AS (SELECT c_custkey, c_mktsegment AS segment,
+        |    round(c_acctbal, 2) AS acctbal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |      round(c_acctbal + 100, 2) AS acctbal
+        |    FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2)
+        |    FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT -c_custkey - 1, c_mktsegment, round(c_acctbal, 2)
+        |    FROM customer WHERE c_custkey % 13 = 0),
+        |j AS (SELECT coalesce(c.c_custkey, u.c_custkey) AS k,
+        |    c.c_custkey IS NOT NULL AS cex, u.c_custkey IS NOT NULL AS uex,
+        |    c.segment AS cs, c.acctbal AS cb, u.segment AS us,
+        |    u.acctbal AS ub,
+        |    (c.segment IS NOT DISTINCT FROM u.segment AND
+        |     c.acctbal IS NOT DISTINCT FROM u.acctbal) AS eq
+        |  FROM dim c FULL OUTER JOIN upd u ON c.c_custkey = u.c_custkey)
+        |SELECT k AS c_custkey, cs AS segment, cb AS acctbal,
+        |    CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+        |    true AS is_current
+        |  FROM j WHERE cex AND (NOT uex OR eq)
+        |UNION ALL
+        |SELECT k, cs, cb, CAST(0 AS BIGINT), CAST(100 AS BIGINT), false
+        |  FROM j WHERE cex AND uex AND NOT eq
+        |UNION ALL
+        |SELECT k, us, ub, CAST(100 AS BIGINT), CAST(NULL AS BIGINT), true
+        |  FROM j WHERE uex AND (NOT cex OR NOT eq)""".stripMargin,
+    "q162_scd2_changelog" ->
+      """WITH o AS (SELECT user_id, event_type AS status, ts, event_id
+        |  FROM events),
+        |m AS (SELECT user_id, status, ts, event_id,
+        |    row_number() OVER w AS rn, lag(status) OVER w AS prev
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |h AS (SELECT user_id, status, ts, event_id FROM m
+        |  WHERE rn = 1 OR status IS DISTINCT FROM prev),
+        |f AS (SELECT user_id, status, ts, lead(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+        |  FROM h)
+        |SELECT user_id, status,
+        |  CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+        |  CAST(epoch_us(nts) AS BIGINT) AS valid_to_us,
+        |  nts IS NULL AS is_current
+        |FROM f""".stripMargin)
 
   /** q149's BM25 top-20 (also the sparse leg of q155's hybrid fusion).
     * Numeric literals carry e0 so DuckDB parses DOUBLE, not DECIMAL (the
