@@ -2067,6 +2067,52 @@ object SparkEntry {
           unix_micros(col("valid_from")).as("valid_from_us"),
           unix_micros(col("valid_to")).as("valid_to_us"),
           col("is_current"))
+    }),
+    "q163_group_trend" -> ((s, d) => {
+      // per-event-type drift monitor: regress the daily total on the day
+      // number. Inputs are integer-valued doubles (rounded totals, small
+      // rebased day index) so every moment sum is EXACT in IEEE double on
+      // both engines; the closed-form solve is shared formula text
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum(col("value"))).as("y"))
+        .select(col("event_type"),
+          ((col("day").cast("long") / lit(86400)).cast("long") - 20000L)
+            .cast("double").as("x"),
+          col("y"))
+      Regression.groupTrend(daily, Seq("event_type"), "x", "y")
+    }),
+    "q164_ols_fit" -> ((s, d) => {
+      // multiple OLS over 4 moment sums' worth of lineitem: price (whole
+      // dollars) on quantity, discount- and tax-basis-points. ONE
+      // map-side-combinable aggregate pass + a Cramer solve evaluated
+      // from identical SQL text on both engines → bit-identical fit
+      val li = T(s, d, "lineitem").select(
+        round(col("l_extendedprice")).as("y"), col("l_quantity").as("q"),
+        round(col("l_discount") * 100).as("disc100"),
+        round(col("l_tax") * 100).as("tax100"))
+      Regression.olsFit(li, "y", Seq("q", "disc100", "tax100"))
+    }),
+    "q165_ols_outliers" -> ((s, d) => {
+      // score with the q164 model: broadcast the 1-row coefficient frame,
+      // predict map-side, top-20 |residual| with a total tiebreak order.
+      // Residuals round to 6 BEFORE the ranking (round-before-rank)
+      val li = T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice")).as("y"), col("l_quantity").as("q"),
+        round(col("l_discount") * 100).as("disc100"),
+        round(col("l_tax") * 100).as("tax100"))
+      val coef = Regression.olsCoefficients(li, "y",
+          Seq("q", "disc100", "tax100"))
+        .select(col("b_0"), col("b_1"), col("b_2"), col("b_3"))
+      li.crossJoin(broadcast(coef))
+        .withColumn("resid", round(col("y") - (col("b_0") +
+          col("b_1") * col("q") + col("b_2") * col("disc100") +
+          col("b_3") * col("tax100")), 6))
+        .orderBy(abs(col("resid")).desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", "y", "resid")
     }))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
@@ -3827,7 +3873,39 @@ object SparkEntry {
         |  CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
         |  CAST(epoch_us(nts) AS BIGINT) AS valid_to_us,
         |  nts IS NULL AS is_current
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+    "q163_group_trend" ->
+      s"""WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |    round(sum(value)) AS y
+         |  FROM events GROUP BY 1, 2),
+         |pts AS (SELECT event_type,
+         |    CAST(CAST(epoch(day) AS BIGINT) // 86400 - 20000 AS DOUBLE) AS x,
+         |    y FROM daily),
+         |tr AS (SELECT event_type, count(*) AS n_rows,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM pts GROUP BY 1)
+         |SELECT event_type, n_rows,
+         |  ${Regression.groupTrendExprsSql(6).mkString(",\n  ")}
+         |FROM tr""".stripMargin,
+    "q164_ols_fit" -> Regression.olsFitSql(
+      """(SELECT round(l_extendedprice) AS y, l_quantity AS q,
+        |  round(l_discount * 100) AS disc100,
+        |  round(l_tax * 100) AS tax100 FROM lineitem)""".stripMargin,
+      "y", Seq("q", "disc100", "tax100"), Seq("q", "disc100", "tax100")),
+    "q165_ols_outliers" ->
+      s"""WITH li AS (SELECT l_orderkey, l_linenumber,
+         |    round(l_extendedprice) AS y, l_quantity AS q,
+         |    round(l_discount * 100) AS disc100,
+         |    round(l_tax * 100) AS tax100 FROM lineitem),
+         |${Regression.olsCoefSqlCtes("li", "y",
+              Seq("q", "disc100", "tax100"))},
+         |scored AS (SELECT l_orderkey, l_linenumber, y,
+         |    round(y - (b_0 + b_1 * q + b_2 * disc100 + b_3 * tax100), 6)
+         |      AS resid
+         |  FROM li CROSS JOIN ols_coef)
+         |SELECT l_orderkey, l_linenumber, y, resid FROM scored
+         |ORDER BY abs(resid) DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin)
 
   /** q149's BM25 top-20 (also the sparse leg of q155's hybrid fusion).
     * Numeric literals carry e0 so DuckDB parses DOUBLE, not DECIMAL (the

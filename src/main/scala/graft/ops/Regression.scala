@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed linear-model fitting — the "small-d, huge-n" pattern: all
+  * model state is a handful of moment sums, so a fit over 100 TB is ONE
+  * map-side-combinable aggregate (d² + d + 2 numbers cross the wire per
+  * partition) followed by a closed-form solve on the 1-row result. No
+  * iteration, no driver-side data movement, no ML runtime.
+  *
+  *   - [[groupTrend]]: per-group simple regression (slope / intercept /
+  *     r²) — the monitoring primitive for "is this metric drifting";
+  *   - [[olsCoefficients]] / [[olsFit]]: multiple OLS via the normal
+  *     equations, solved by Cramer's rule on the (d+1)×(d+1) moment
+  *     matrix. d is tiny (a handful of features), so determinant
+  *     expansion is cheap and — crucially for the oracle contract —
+  *     expressible as a pure arithmetic formula over the sums.
+  *
+  * Cross-engine determinism: callers feed INTEGER-VALUED columns (scale
+  * fixed-decimal features up: cents, basis points). Integer products below
+  * 2^53 sum EXACTLY in IEEE double regardless of partition order, and the
+  * solve is generated ONCE as SQL text ([[olsSolveSqlChain]]) that both
+  * Spark (`selectExpr`) and an independent SQL engine evaluate — identical
+  * inputs through an identical expression tree is bit-identical output,
+  * no tolerance needed.
+  */
+object Regression {
+
+  /** Per-group simple linear regression of `yCol` on `xCol`.
+    *
+    * Output: group cols + `n_rows`, `slope`, `intercept`, `r2` (rounded
+    * to `scale`; NULL when degenerate — a single point or zero x/y
+    * variance). One shuffle (the groupBy), partial-aggregated map-side.
+    *
+    * Determinism contract: integer-valued x and y (see object doc); the
+    * closed-form arithmetic below mirrors [[groupTrendFormulaSql]]
+    * term-for-term.
+    */
+  def groupTrend(df: DataFrame, groupCols: Seq[String],
+                 xCol: String, yCol: String, scale: Int = 6): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    val agg0 = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_rows"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    // identical formula text on both engines (see groupTrendExprsSql)
+    agg0.selectExpr(groupCols ++ ("n_rows" +: groupTrendExprsSql(scale)): _*)
+  }
+
+  /** The slope/intercept/r² solve as three SQL expressions over columns
+    * `n_rows, sx, sy, sxy, sxx, syy` — shared verbatim with the oracle.
+    */
+  def groupTrendExprsSql(scale: Int = 6): Seq[String] = {
+    val n = "CAST(n_rows AS DOUBLE)"
+    val dx = s"($n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val dy = s"($n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val cov = s"($n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val slope = s"($cov / $dx)"
+    Seq(
+      s"CASE WHEN $dx = 0e0 THEN NULL ELSE round($slope, $scale) END AS slope",
+      s"CASE WHEN $dx = 0e0 THEN NULL ELSE round((CAST(sy AS DOUBLE) - $slope * CAST(sx AS DOUBLE)) / $n, $scale) END AS intercept",
+      s"CASE WHEN $dx = 0e0 OR $dy = 0e0 THEN NULL ELSE round(($cov * $cov) / ($dx * $dy), $scale) END AS r2")
+  }
+
+  // ----------------------------------------------------- multiple OLS
+
+  /** Cofactor-expansion determinant over a matrix of SQL sub-expressions.
+    * Recursion depth = matrix size (≤ 5 in practice) — the generated text
+    * is identical for both engines, which is the whole point.
+    */
+  private def detSql(m: Vector[Vector[String]]): String =
+    if (m.size == 1) m(0)(0)
+    else m(0).indices.map { j =>
+      val minor = m.tail.map(row =>
+        row.indices.collect { case i if i != j => row(i) }.toVector)
+      val t = s"(${m(0)(j)}) * (${detSql(minor)})"
+      if (j == 0) t else if (j % 2 == 1) s" - $t" else s" + $t"
+    }.mkString
+
+  /** Canonical column names for the moment sums of a d-predictor fit with
+    * intercept: x_0 ≡ 1, so `s_i_j` (i ≤ j) covers n (= s_0_0), the
+    * plain sums (s_0_j) and the cross-products; `t_i` = Σ x_i·y;
+    * `syy` = Σ y².
+    */
+  private def sName(i: Int, j: Int): String =
+    if (i <= j) s"s_${i}_$j" else s"s_${j}_$i"
+
+  /** Stage 1 — the single corpus pass: all moment sums as exact BIGINTs.
+    * Requires integer-valued inputs with pairwise products < 2^53.
+    */
+  def normalEquationSums(df: DataFrame, yCol: String,
+                         xCols: Seq[String]): DataFrame = {
+    require(xCols.nonEmpty)
+    val xs = lit(1L).cast("double") +: xCols.map(col)
+    val aggs =
+      (for (i <- xs.indices; j <- xs.indices if i <= j)
+        yield sum((xs(i) * xs(j)).cast("long")).as(sName(i, j))) ++
+      xs.indices.map(i => sum((xs(i) * col(yCol)).cast("long")).as(s"t_$i")) :+
+      sum((col(yCol) * col(yCol)).cast("long")).as("syy")
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The matching oracle text for [[normalEquationSums]] (DuckDB sums
+    * BIGINT into HUGEINT — cast back down).
+    */
+  def normalEquationSumsSql(source: String, yExpr: String,
+                            xExprs: Seq[String]): String = {
+    val xs = "CAST(1 AS BIGINT)" +: xExprs
+    val items =
+      (for (i <- xs.indices; j <- xs.indices if i <= j)
+        yield s"CAST(sum((${xs(i)}) * (${xs(j)})) AS BIGINT) AS ${sName(i, j)}") ++
+      xs.indices.map(i =>
+        s"CAST(sum((${xs(i)}) * ($yExpr)) AS BIGINT) AS t_$i") :+
+      s"CAST(sum(($yExpr) * ($yExpr)) AS BIGINT) AS syy"
+    s"SELECT ${items.mkString(",\n  ")} FROM $source"
+  }
+
+  /** Stage 2 — the Cramer solve as two chained projections over the sums
+    * row: first the determinants, then the coefficients `b_0 … b_d`
+    * (b_0 = intercept). Returned as SQL expression lists so Spark
+    * (`selectExpr("*", …)`) and the oracle (nested CTE SELECTs) evaluate
+    * the IDENTICAL text.
+    */
+  def olsSolveSqlChain(d: Int): (Seq[String], Seq[String]) = {
+    val dim = d + 1
+    val a = Vector.tabulate(dim, dim)((i, j) =>
+      s"CAST(${sName(i, j)} AS DOUBLE)")
+    val dets = s"(${detSql(a)}) AS det" +: (0 until dim).map { i =>
+      val ai = a.map(_.toVector).zipWithIndex.map { case (row, r) =>
+        row.updated(i, s"CAST(t_$r AS DOUBLE)")
+      }
+      s"(${detSql(ai)}) AS det_$i"
+    }
+    val coefs = (0 until dim).map(i => s"(det_$i / det) AS b_$i")
+    (dets, coefs)
+  }
+
+  /** Unrounded coefficients (1 row: the sums + det + b_0 … b_d) — reuse
+    * for model SCORING (broadcast this row, predict map-side). Degenerate
+    * design (det = 0) yields NULL/Inf coefficients; callers that can see
+    * rank-deficient inputs should gate on `det`.
+    */
+  def olsCoefficients(df: DataFrame, yCol: String,
+                      xCols: Seq[String]): DataFrame = {
+    val (dets, coefs) = olsSolveSqlChain(xCols.size)
+    normalEquationSums(df, yCol, xCols)
+      .selectExpr("*" +: dets: _*)
+      .selectExpr("*" +: coefs: _*)
+  }
+
+  /** R² text over the coefficient row (shared with the oracle): SSE/SST
+    * from the same sums, `1 - SSE/SST` guarded against zero variance.
+    */
+  def olsR2Sql(d: Int, scale: Int = 6): String = {
+    val n = "CAST(s_0_0 AS DOUBLE)"
+    val sst = s"(CAST(syy AS DOUBLE) - CAST(t_0 AS DOUBLE) * CAST(t_0 AS DOUBLE) / $n)"
+    val sse = s"(CAST(syy AS DOUBLE) - (${
+      (0 to d).map(i => s"b_$i * CAST(t_$i AS DOUBLE)").mkString(" + ")}))"
+    s"CASE WHEN $sst = 0e0 THEN NULL ELSE round(1e0 - $sse / $sst, $scale) END AS r2"
+  }
+
+  /** The full fit: one row — `n_rows`, rounded `b_*` (named after the
+    * predictor columns, `intercept` for b_0) and `r2`.
+    */
+  def olsFit(df: DataFrame, yCol: String, xCols: Seq[String],
+             scale: Int = 6): DataFrame = {
+    val named = "intercept" +: xCols.map(x => s"b_$x")
+    val finals = Seq("CAST(s_0_0 AS BIGINT) AS n_rows") ++
+      named.zipWithIndex.map { case (nm, i) =>
+        s"round(b_$i, $scale) AS $nm"
+      } :+ olsR2Sql(xCols.size, scale)
+    olsCoefficients(df, yCol, xCols).selectExpr(finals: _*)
+  }
+
+  /** The matching oracle: sums CTE → dets CTE → coefs CTE → final select,
+    * every expression string shared with the Spark path above.
+    */
+  def olsFitSql(source: String, yExpr: String, xExprs: Seq[String],
+                names: Seq[String], scale: Int = 6): String = {
+    require(names.size == xExprs.size)
+    val (dets, coefs) = olsSolveSqlChain(xExprs.size)
+    val named = "intercept" +: names.map(n => s"b_$n")
+    val finals = Seq("CAST(s_0_0 AS BIGINT) AS n_rows") ++
+      named.zipWithIndex.map { case (nm, i) =>
+        s"round(b_$i, $scale) AS $nm"
+      } :+ olsR2Sql(xExprs.size, scale)
+    s"""WITH ols_sums AS (${normalEquationSumsSql(source, yExpr, xExprs)}),
+       |ols_dets AS (SELECT *, ${dets.mkString(",\n  ")} FROM ols_sums),
+       |ols_coef AS (SELECT *, ${coefs.mkString(",\n  ")} FROM ols_dets)
+       |SELECT ${finals.mkString(",\n  ")} FROM ols_coef""".stripMargin
+  }
+
+  /** Oracle CTE chain ending in `ols_coef` (unrounded b_i) — for queries
+    * that SCORE with the model instead of reporting it (see q165).
+    */
+  def olsCoefSqlCtes(source: String, yExpr: String,
+                     xExprs: Seq[String]): String = {
+    val (dets, coefs) = olsSolveSqlChain(xExprs.size)
+    s"""ols_sums AS (${normalEquationSumsSql(source, yExpr, xExprs)}),
+       |ols_dets AS (SELECT *, ${dets.mkString(",\n  ")} FROM ols_sums),
+       |ols_coef AS (SELECT *, ${coefs.mkString(",\n  ")} FROM ols_dets)""".stripMargin
+  }
+}
