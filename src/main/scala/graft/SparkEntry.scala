@@ -2113,7 +2113,34 @@ object SparkEntry {
           col("l_linenumber"))
         .limit(20)
         .select("l_orderkey", "l_linenumber", "y", "resid")
-    }))
+    }),
+    "q166_event_type_pivot" -> ((s, d) => {
+      // long→wide reshape (melt q114's inverse): native relational pivot
+      // with EXPLICIT pivot values — deterministic schema, single
+      // partial/final count aggregate, no per-value scans; absent cells
+      // coalesce to 0 to match SQL's filtered-count semantics
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val p = Tables.events(s, d)
+        .groupBy(unix_timestamp(date_trunc("day", col("ts")))
+          .as("day_epoch"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("day_epoch") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+    "q167_rolling_active_users" -> ((s, d) =>
+      // rolling 7-day distinct users (WAU): dedup to (day, user) FIRST,
+      // then a static ≤7-day fan-out + two-phase distinct count — no
+      // range join, no corpus window
+      Resample.rollingDistinctUsers(Tables.events(s, d), "ts", "user_id",
+        windowDays = 7)),
+    "q168_holt_trend" -> ((s, d) =>
+      // Holt double-exponential smoothing (level + trend + forecast) —
+      // q116's stateful-fold family with a 2-component state; day totals
+      // round to 4 BEFORE the fold, both engines replay the identical
+      // IEEE op sequence
+      Resample.holtSmooth(Tables.events(s, d), "event_type", "ts",
+        "value")))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
@@ -3905,7 +3932,53 @@ object SparkEntry {
          |      AS resid
          |  FROM li CROSS JOIN ols_coef)
          |SELECT l_orderkey, l_linenumber, y, resid FROM scored
-         |ORDER BY abs(resid) DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin)
+         |ORDER BY abs(resid) DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "q166_event_type_pivot" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+    "q167_rolling_active_users" ->
+      """WITH du AS (SELECT DISTINCT
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d,
+        |    user_id
+        |  FROM events),
+        |mx AS (SELECT max(d) AS mxd FROM du),
+        |one AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS users_1d
+        |  FROM du GROUP BY 1),
+        |ex AS (SELECT unnest(range(d, d + 7)) AS td, user_id FROM du),
+        |roll AS (SELECT td, CAST(count(DISTINCT user_id) AS BIGINT) AS users_7d
+        |  FROM ex CROSS JOIN mx WHERE td <= mxd GROUP BY td)
+        |SELECT one.d * 86400 AS day_epoch, users_1d, users_7d
+        |FROM one JOIN roll ON one.d = roll.td""".stripMargin,
+    "q168_holt_trend" ->
+      // the level expression appears verbatim inside the trend update —
+      // mirroring holtSmooth's doubled expression so list_reduce replays
+      // the identical IEEE operation sequence (q116's fold discipline,
+      // state lifted to [level, trend] pairs)
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(sum(value), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type,
+        |    list(CAST(epoch(day) AS BIGINT) ORDER BY day) AS ds,
+        |    list(v ORDER BY day) AS vs
+        |  FROM daily GROUP BY 1),
+        |st AS (SELECT event_type, ds, vs,
+        |    list_transform(range(1, len(vs) + 1), t ->
+        |      list_reduce(list_transform(list_slice(vs, 1, t), x -> [x, 0e0]),
+        |        (a, b) -> [0.5e0 * b[1] + 0.5e0 * (a[1] + a[2]),
+        |                   0.25e0 * ((0.5e0 * b[1] + 0.5e0 * (a[1] + a[2]))
+        |                     - a[1]) + 0.75e0 * a[2]])) AS sts
+        |  FROM ser)
+        |SELECT event_type, unnest(ds) AS day_epoch, unnest(vs) AS day_total,
+        |  unnest(list_transform(sts, p -> round(p[1], 6))) AS level,
+        |  unnest(list_transform(sts, p -> round(p[2], 6))) AS trend,
+        |  unnest(list_transform(sts, p -> round(p[1] + p[2], 6))) AS forecast
+        |FROM st""".stripMargin)
 
   /** q149's BM25 top-20 (also the sparse leg of q155's hybrid fusion).
     * Numeric literals carry e0 so DuckDB parses DOUBLE, not DECIMAL (the

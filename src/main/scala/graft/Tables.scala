@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.LongType
 
 /** Accessors for the driver-generated testdata tables (TESTDATA.md).
@@ -22,17 +22,26 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
-  /** events.ts is Parquet INT64 TIMESTAMP(NANOS) which Spark 4 only reads
-    * with `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session
-    * we build). Normalize the long back to a real TimestampType via exact
-    * integer division to micros — the generated data is µs-precision, so
-    * this matches DuckDB's ns view of the same column.
+  /** Normalize events.ts to TimestampType whatever the testdata vintage
+    * physically stores:
+    *   - INT64 TIMESTAMP(NANOS), readable only under
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session
+    *     we build) → exact integer division to micros;
+    *   - TIMESTAMP(MICROS) without UTC adjustment → TIMESTAMP_NTZ, cast to
+    *     TimestampType (sessions run in UTC, so the wall-clock reading is
+    *     identical to DuckDB's naive view of the same column);
+    *   - already TimestampType → untouched.
+    * The generated data is µs-precision in all vintages.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -89,4 +89,105 @@ object Resample {
         col("__s.__v").as("day_total"),
         round(element_at(col("__ew"), col("__i") + 1), 6).as("ewma"))
   }
+
+  /** Rolling W-day distinct-user counts (the classic WAU/MAU rollup) for
+    * every day in the data's span: for day d, the number of distinct
+    * users active in [d−W+1, d], alongside that day's own distinct count.
+    *
+    * Scale shape: the stream reduces FIRST to distinct (day, user) pairs
+    * (map-side-combinable — this is the only pass over event volume; at
+    * most days × users rows survive). Each pair then fans out to the ≤ W
+    * window-end days it contributes to via a static `sequence` explode —
+    * an equi-shuffle on the day key — and a two-phase distinct-count
+    * finishes. No range join, no window over the corpus, no sketch: the
+    * W-fold fan-out of the ALREADY-DEDUPED relation is the scalable
+    * substitute for a per-day range probe (for approximate variants at
+    * extreme cardinality, per-day HLL partials merged over the window is
+    * the drop-in — the day grain here is exact by design so the oracle
+    * can replay it). Days are integer epoch-day numbers end to end;
+    * window ends past the data's max day are cut by a broadcast 1-row
+    * max aggregate, so every emitted day is a real data day.
+    */
+  def rollingDistinctUsers(df: DataFrame, tsCol: String, userCol: String,
+                           windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val dayUser = df
+      .select((unix_timestamp(date_trunc("day", col(tsCol))) / 86400L)
+        .cast("long").as("__day"), col(userCol).as("__u"))
+      .distinct()
+    val mx = dayUser.agg(max(col("__day")).as("__mxd"))
+    val perDay = dayUser.groupBy(col("__day"))
+      .agg(countDistinct(col("__u")).as("users_1d"))
+    val rolled = dayUser
+      .select(explode(sequence(col("__day"),
+        col("__day") + lit(windowDays - 1L))).as("__td"), col("__u"))
+      .crossJoin(broadcast(mx))
+      .filter(col("__td") <= col("__mxd"))
+      .groupBy(col("__td"))
+      .agg(countDistinct(col("__u")).as(s"users_${windowDays}d"))
+    perDay.join(rolled, col("__day") === col("__td"))
+      .select((col("__day") * 86400L).as("day_epoch"), col("users_1d"),
+        col(s"users_${windowDays}d"))
+  }
+
+  /** Holt double-exponential smoothing per key over the daily series —
+    * EWMA's big sibling for trending series: a level AND a trend state,
+    *   level_t = α·x_t + (1−α)·(level_{t−1} + trend_{t−1})
+    *   trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+    * seeded level_1 = x_1, trend_1 = 0. Emits per day the smoothed level,
+    * trend, and one-step-ahead forecast (level + trend).
+    *
+    * Scale shape: identical to [[ewmaSmooth]] — the raw stream is reduced
+    * to the (key, day) grain once (map-side-combinable sum), then each
+    * key's bounded daily series folds left-to-right inside one
+    * `aggregate()` projection; state is a [level, trend] pair per step,
+    * nothing leaves the executor.
+    *
+    * Portability: α = 0.5 and β = 0.25 are exactly representable, day
+    * totals round to 4 BEFORE the fold, and the level expression is
+    * written out twice inside the trend update (no let-binding) so an
+    * oracle engine can replay the identical IEEE operation sequence;
+    * outputs round to 6.
+    */
+  def holtSmooth(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, alpha: Double = 0.5,
+                 beta: Double = 0.25): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("__day"))
+      .agg(round(sum(col(valueCol)), 4).as("__v"))
+    val series = daily
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__day"), col("__v"))))
+        .as("__ser"))
+    // running [level, trend] pairs: append one 2-element array per step
+    val st = aggregate(
+      transform(col("__ser"), s => s.getField("__v")),
+      array().cast("array<array<double>>"),
+      (acc, x) => concat(acc, array(
+        when(size(acc) === 0, array(x, lit(0.0)))
+          .otherwise {
+            val prev = element_at(acc, -1)
+            val l = element_at(prev, 1)
+            val t = element_at(prev, 2)
+            // level' appears verbatim again inside trend' — the oracle
+            // mirrors this exact doubled expression
+            array(
+              lit(alpha) * x + lit(1 - alpha) * (l + t),
+              lit(beta) * ((lit(alpha) * x + lit(1 - alpha) * (l + t)) - l) +
+                lit(1 - beta) * t)
+          })))
+    series.withColumn("__st", st)
+      .select(col(keyCol), posexplode(col("__ser")).as(Seq("__i", "__s")),
+        col("__st"))
+      .select(col(keyCol),
+        unix_timestamp(col("__s.__day")).as("day_epoch"),
+        col("__s.__v").as("day_total"),
+        round(element_at(element_at(col("__st"), col("__i") + 1), 1), 6)
+          .as("level"),
+        round(element_at(element_at(col("__st"), col("__i") + 1), 2), 6)
+          .as("trend"),
+        round(element_at(element_at(col("__st"), col("__i") + 1), 1) +
+          element_at(element_at(col("__st"), col("__i") + 1), 2), 6)
+          .as("forecast"))
+  }
 }

@@ -15,7 +15,10 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet physical schema under nanosAsLong (ts: long nanos). */
+  /** events.parquet physical schema under nanosAsLong (ts: long nanos) —
+    * the oldest testdata vintage; newer vintages store TIMESTAMP(MICROS)
+    * (→ TIMESTAMP_NTZ). [[read]] adapts to whichever is on disk.
+    */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -26,17 +29,29 @@ object EventStream {
 
   /** File-source stream of events with `ts` normalized to TimestampType.
     * `dir` is the sf directory — the file source requires a directory, so
-    * we glob-filter to the events table inside it.
+    * we glob-filter to the events table inside it. A streaming source
+    * needs its schema declared up front, and the physical ts type varies
+    * by testdata vintage (long nanos vs TIMESTAMP_NTZ micros), so we read
+    * the footer schema via a one-off batch read of the same glob and
+    * normalize accordingly — same dispatch as `Tables.events`.
     */
   def read(spark: SparkSession, dir: String,
            glob: String = "events.parquet",
            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val physical = spark.read
+      .option("pathGlobFilter", glob).parquet(dir).schema
     val r0 = spark.readStream
-      .schema(rawSchema)
+      .schema(physical)
       .option("pathGlobFilter", glob)
     val r1 = maxFilesPerTrigger.fold(r0)(n => r0.option("maxFilesPerTrigger", n))
-    r1.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = r1.parquet(dir)
+    physical("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour windowed rollup with a 10-minute watermark — the

@@ -78,4 +78,78 @@ class ResampleSpec extends SparkSpec {
       .map { case (key, s) => key -> math.rint(s * 1e6) / 1e6 }
     assert(got == expected)
   }
+
+  test("holtSmooth: hand-computed level/trend, singleton seeds trend 0") {
+    val day = 86400L
+    val df = Seq(
+      ("a", 0L, 10.0),                     // day 0 total 10
+      ("a", day, 20.0),                    // day 1 total 20
+      ("a", 2 * day, 30.0),                // day 2 total 30
+      ("b", 5 * day, 7.0))                 // singleton series
+      .toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val got = Resample.holtSmooth(df, "k", "ts", "v")
+      .orderBy("k", "day_epoch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // α=.5 β=.25: l1=10 t1=0; l2=.5·20+.5·10=15, t2=.25·5+.75·0=1.25;
+    // l3=.5·30+.5·16.25=23.125, t3=.25·8.125+.75·1.25=2.96875
+    assert(got.toSeq == Seq(
+      ("a", 0L, 10.0, 10.0, 0.0, 10.0),
+      ("a", day, 20.0, 15.0, 1.25, 16.25),
+      ("a", 2 * day, 30.0, 23.125, 2.96875, 26.09375),
+      ("b", 5 * day, 7.0, 7.0, 0.0, 7.0)))
+  }
+
+  test("holtSmooth property: matches the scalar two-state fold") {
+    val day = 86400L
+    val rnd = new scala.util.Random(13)
+    val raw = for {
+      k <- Seq("x", "y"); d <- 0 until 30
+      if rnd.nextDouble() < 0.8
+    } yield (k, d * day + rnd.nextInt(86400), math.rint(rnd.nextDouble() * 1e6) / 100)
+    val df = raw.toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val got = Resample.holtSmooth(df, "k", "ts", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val expected = raw.groupBy { case (k, s, _) => (k, s / day) }
+      .map { case ((k, d), vs) =>
+        (k, d * day) -> math.rint(vs.map(_._3).sum * 1e4) / 1e4 }
+      .groupBy(_._1._1)
+      .flatMap { case (_, days) =>
+        val ordered = days.toSeq.sortBy(_._1._2)
+        ordered.scanLeft(Option.empty[((String, Long), (Double, Double))]) {
+          case (prev, (key, v)) =>
+            Some(key -> (prev match {
+              case None => (v, 0.0)
+              case Some((_, (l, t))) =>
+                val lvl = 0.5 * v + 0.5 * (l + t)
+                (lvl, 0.25 * (lvl - l) + 0.75 * t)
+            }))
+        }.flatten
+      }
+      .map { case (key, (l, t)) =>
+        key -> (math.rint(l * 1e6) / 1e6, math.rint(t * 1e6) / 1e6,
+          math.rint((l + t) * 1e6) / 1e6) }
+    assert(got == expected)
+  }
+
+  test("rollingDistinctUsers: window unions users, trailing days cut") {
+    val day = 86400L
+    // users 1,2 on day 0; user 3 on day 2; user 1 again on day 9
+    val df = Seq(
+      (0L, 1L), (10L, 2L), (20L, 1L),
+      (2 * day, 3L),
+      (9 * day, 1L))
+      .toDF("sec", "u")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("u"))
+    val got = Resample.rollingDistinctUsers(df, "ts", "u", windowDays = 7)
+      .orderBy("day_epoch").collect()
+      .map(r => (r.getLong(0) / day, r.getLong(1), r.getLong(2)))
+    // day 0: {1,2}; day 2: {3} 1d, window [-4,2] = {1,2,3}; day 9: {1} 1d,
+    // window [3,9] covers only day 9 → {1}
+    assert(got.toSeq == Seq((0L, 2L, 2L), (2L, 1L, 3L), (9L, 1L, 1L)))
+  }
 }
