@@ -2140,7 +2140,30 @@ object SparkEntry {
       // round to 4 BEFORE the fold, both engines replay the identical
       // IEEE op sequence
       Resample.holtSmooth(Tables.events(s, d), "event_type", "ts",
-        "value")))
+        "value")),
+    "q169_dsir_weights" -> ((s, d) =>
+      // DSIR hashed-n-gram importance weights (target = src1-3): λ table
+      // snapped to ppm BIGINTs right after the ln, per-doc weights are
+      // exact integer sums — reproducible under any partitioning/engine
+      Sampling.dsirWeights(T(s, d, "documents"),
+        col("source").isin("src1", "src2", "src3"))),
+    "q170_dsir_select" -> ((s, d) => {
+      // importance SELECTION on the q169 weights: keep docs above the
+      // corpus p75 (1-row broadcast threshold, q111's pattern — no global
+      // sort), report per-source kept counts + integer checksums
+      val w = Sampling.dsirWeights(T(s, d, "documents"),
+        col("source").isin("src1", "src2", "src3"))
+      val thr = w.agg(round(expr("percentile(dsir_ppm, 0.75D)"), 6)
+        .as("__thr"))
+      val src = T(s, d, "documents").select(col("doc_id"), col("source"))
+      w.crossJoin(broadcast(thr))
+        .filter(col("dsir_ppm") > col("__thr"))
+        .join(src, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("dsir_ppm")).as("sum_dsir_ppm"),
+          expr("bit_xor(doc_id)").as("id_checksum"))
+    }))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
@@ -3978,7 +4001,56 @@ object SparkEntry {
         |  unnest(list_transform(sts, p -> round(p[1], 6))) AS level,
         |  unnest(list_transform(sts, p -> round(p[2], 6))) AS trend,
         |  unnest(list_transform(sts, p -> round(p[1] + p[2], 6))) AS forecast
-        |FROM st""".stripMargin)
+        |FROM st""".stripMargin,
+    "q169_dsir_weights" ->
+      s"""WITH $dsirCtesSql
+         |SELECT doc_id, n_feats, dsir_ppm, dsir_avg FROM dw""".stripMargin,
+    "q170_dsir_select" ->
+      s"""WITH $dsirCtesSql,
+         |thr AS (SELECT round(quantile_cont(dsir_ppm, 0.75), 6) AS thr
+         |  FROM dw)
+         |SELECT source, count(*) AS n_kept,
+         |  CAST(sum(dsir_ppm) AS BIGINT) AS sum_dsir_ppm,
+         |  bit_xor(doc_id) AS id_checksum
+         |FROM dw JOIN documents USING (doc_id) CROSS JOIN thr
+         |WHERE dsir_ppm > thr GROUP BY source""".stripMargin)
+
+  /** Shared DSIR CTE chain (q169/q170), mirroring `Sampling.dsirWeights`
+    * over the documents table with target = source ∈ {src1, src2, src3}
+    * and B = 1024 buckets: hashed unigram+bigram buckets → per-(doc,
+    * bucket) counts → ppm-snapped λ table → exact-integer per-doc
+    * weights. Final CTE: `dw(doc_id, n_feats, dsir_ppm, dsir_avg)`.
+    */
+  private lazy val dsirCtesSql: String = {
+    val b = 1024
+    s"""dt AS (SELECT doc_id, source IN ('src1', 'src2', 'src3') AS tgt,
+       |    $toksSql AS tk FROM documents),
+       |feat AS (SELECT doc_id, tgt, unnest(list_concat(
+       |    list_transform(tk, t -> (${hash31Sql("t")}) % $b),
+       |    CASE WHEN len(tk) < 2 THEN []::BIGINT[]
+       |         ELSE list_transform(range(1, len(tk)),
+       |           i -> (${hash31Sql("tk[i] || ' ' || tk[i + 1]")}) % $b)
+       |    END)) AS fb
+       |  FROM dt),
+       |bc AS (SELECT doc_id, tgt, fb, CAST(count(*) AS BIGINT) AS c
+       |  FROM feat GROUP BY 1, 2, 3),
+       |tot AS (SELECT
+       |    CAST(sum(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS tt,
+       |    CAST(sum(c) AS BIGINT) AS rr FROM bc),
+       |rawb AS (SELECT fb, CAST(sum(c) AS BIGINT) AS rn FROM bc GROUP BY 1),
+       |tgtb AS (SELECT fb, CAST(sum(c) AS BIGINT) AS tn FROM bc
+       |  WHERE tgt GROUP BY 1),
+       |lam AS (SELECT fb, CAST(round((
+       |      ln(CAST(coalesce(tn, 0) + 1 AS DOUBLE) / CAST(tt + $b AS DOUBLE))
+       |      - ln(CAST(rn + 1 AS DOUBLE) / CAST(rr + $b AS DOUBLE))
+       |    ) * 1000000e0) AS BIGINT) AS lam_ppm
+       |  FROM rawb LEFT JOIN tgtb USING (fb) CROSS JOIN tot),
+       |dw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+       |    CAST(sum(c * lam_ppm) AS BIGINT) AS dsir_ppm,
+       |    round(CAST(sum(c * lam_ppm) AS DOUBLE) /
+       |      CAST(sum(c) * 1000000 AS DOUBLE), 6) AS dsir_avg
+       |  FROM bc JOIN lam USING (fb) GROUP BY doc_id)""".stripMargin
+  }
 
   /** q149's BM25 top-20 (also the sparse leg of q155's hybrid fusion).
     * Numeric literals carry e0 so DuckDB parses DOUBLE, not DECIMAL (the

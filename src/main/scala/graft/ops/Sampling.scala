@@ -183,6 +183,81 @@ object Sampling {
     df.filter(portableGate(col(idCol), ppm, 1000000L))
   }
 
+  /** Hashed n-gram buckets of a text column — unigrams plus space-joined
+    * bigrams, each mapped to `md5Hash31(ngram) % buckets` (the portable
+    * hash, so an independent engine derives identical features). One
+    * occurrence per n-gram occurrence: DSIR features are counts, NOT the
+    * distinct shingle sets the dedup family uses. The token array is
+    * let-bound via the 1-element transform wrapper (wordShingles pattern)
+    * so the text is tokenized once, not once per n-gram.
+    */
+  private[graft] def hashedNgramBuckets(text: Column, buckets: Int): Column =
+    element_at(transform(array(graft.functions.tokens(text)), tsv => {
+      val unis = transform(tsv, t => graft.functions.md5Hash31(t) % buckets)
+      val bis = when(size(tsv) < 2, array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(1), size(tsv) - 1), i =>
+          graft.functions.md5Hash31(concat(element_at(tsv, i), lit(" "),
+            element_at(tsv, i + 1))) % buckets))
+      concat(unis, bis)
+    }), 1)
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public): score every
+    * document by how much its hashed-n-gram distribution looks like a
+    * TARGET subset rather than the raw corpus. Per bucket b,
+    *   λ(b) = ln((tgt_b + 1)/(T + B)) − ln((raw_b + 1)/(R + B))
+    * (add-1 smoothed log-likelihood ratio over B buckets; T/R = total
+    * target/raw feature counts), and a document's weight is
+    * Σ_b c_b · λ(b) over its own bucket counts.
+    *
+    * Portability/determinism: λ is snapped to parts-per-million (BIGINT)
+    * immediately after the ln — per-document weights are then exact
+    * integer sums, so `dsir_ppm` is reproducible under any partitioning
+    * and engine (a double Σ c_b·λ_b would be addition-order-dependent).
+    * The only float op is the final single division for `dsir_avg`.
+    *
+    * Scale shape: one tokenize pass; the (doc, bucket, count) relation is
+    * localCheckpointed (it feeds totals, per-bucket counts, and scoring);
+    * both distribution tables are ≤ B rows and broadcast back; scoring is
+    * a map-side join + integer aggregate. Token-free documents have no
+    * features and are absent from the output (as in the paper — nothing
+    * to score). At petabyte scale swap the per-bucket BIGINT sums for
+    * per-shard partials; the ppm snapping already keeps the weight math
+    * integral.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val bc = docs
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(hashedNgramBuckets(col(textCol), buckets)).as("__b"))
+      .groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val tot = bc.agg(
+      sum(when(col("__tgt"), col("__c")).otherwise(lit(0L))).as("__tt"),
+      sum(col("__c")).as("__rr"))
+    val rawB = bc.groupBy(col("__b")).agg(sum(col("__c")).as("__rn"))
+    val tgtB = bc.filter(col("__tgt")).groupBy(col("__b"))
+      .agg(sum(col("__c")).as("__tn"))
+    val lam = rawB.join(tgtB, Seq("__b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__b"),
+        round((log((coalesce(col("__tn"), lit(0L)) + lit(1L)).cast("double") /
+            (col("__tt") + lit(buckets.toLong)).cast("double")) -
+          log((col("__rn") + lit(1L)).cast("double") /
+            (col("__rr") + lit(buckets.toLong)).cast("double"))) * lit(1e6))
+          .cast("long").as("__lam_ppm"))
+    bc.join(broadcast(lam), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_feats"),
+        sum(col("__c") * col("__lam_ppm")).as("dsir_ppm"))
+      .select(col(idCol), col("n_feats"), col("dsir_ppm"),
+        round(col("dsir_ppm").cast("double") /
+          (col("n_feats") * lit(1000000L)).cast("double"), 6).as("dsir_avg"))
+  }
+
   /** Token-budget trimming per domain (data-budget enforcement): keep the
     * highest-`scoreCol` documents of each domain until the domain's token
     * budget is exhausted. NOT a per-domain sort: documents are bucketed

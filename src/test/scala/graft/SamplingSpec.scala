@@ -113,4 +113,27 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.budgetTrim(df, "dom", "score", 10L, lit(5L), 8L)
       .columns.toSeq == Seq("id", "dom", "score"))
   }
+
+  test("dsirWeights: target-distinctive n-grams score high, weights are exact integer sums") {
+    // target docs speak "alpha beta", raw-only docs speak "gamma delta";
+    // doc 20 mixes both, doc 21 is token-free (absent from output)
+    val docs = (
+      (0L until 5L).map(i => (i, "alpha beta alpha", true)) ++
+      (5L until 10L).map(i => (i, "gamma delta gamma", false)) :+
+      (20L, "alpha beta gamma delta", false) :+ (21L, "   ", false))
+      .toDF("doc_id", "text", "tgt")
+    val w = Sampling.dsirWeights(docs, col("tgt"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!w.contains(21L))
+    // n_feats = tokens + bigrams (3 + 2 per pure doc, 4 + 3 for doc 20)
+    assert(w(0L)._1 == 5L && w(5L)._1 == 5L && w(20L)._1 == 7L)
+    // target-speak outranks raw-only speak; the mixed doc lands between
+    assert(w(0L)._3 > w(20L)._3 && w(20L)._3 > w(5L)._3)
+    // weight is an exact integer invariant: identical under repartition
+    val again = Sampling.dsirWeights(docs.repartition(7), col("tgt"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(again == w)
+  }
 }
