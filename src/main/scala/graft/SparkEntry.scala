@@ -2163,7 +2163,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("dsir_ppm")).as("sum_dsir_ppm"),
           expr("bit_xor(doc_id)").as("id_checksum"))
-    }))
+    }),
+    "q171_bpe_merges" -> ((s, d) =>
+      // distributed BPE tokenizer induction: 6 merge rounds over the
+      // VOCAB relation (never the corpus after the first aggregate);
+      // delimiter-encoded sequences make each merge one greedy replace
+      TextAnalysis.bpeTrainMerges(T(s, d, "documents"), rounds = 6)))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
@@ -4013,7 +4018,8 @@ object SparkEntry {
          |  CAST(sum(dsir_ppm) AS BIGINT) AS sum_dsir_ppm,
          |  bit_xor(doc_id) AS id_checksum
          |FROM dw JOIN documents USING (doc_id) CROSS JOIN thr
-         |WHERE dsir_ppm > thr GROUP BY source""".stripMargin)
+         |WHERE dsir_ppm > thr GROUP BY source""".stripMargin,
+    "q171_bpe_merges" -> bpeOracleSql(6))
 
   /** Shared DSIR CTE chain (q169/q170), mirroring `Sampling.dsirWeights`
     * over the documents table with target = source ∈ {src1, src2, src3}
@@ -4050,6 +4056,44 @@ object SparkEntry {
        |    round(CAST(sum(c * lam_ppm) AS DOUBLE) /
        |      CAST(sum(c) * 1000000 AS DOUBLE), 6) AS dsir_avg
        |  FROM bc JOIN lam USING (fb) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** q171's unrolled-BPE oracle, GENERATED per round from one Scala loop
+    * (q120's zorder2Sql discipline — zero drift surface vs
+    * `TextAnalysis.bpeTrainMerges`). AS MATERIALIZED on every layer: each
+    * references its predecessor more than once (the q136 2^N landmine).
+    * `s[2:-2]` strips the outer delimiters; `replace` scans left-to-right
+    * non-overlapping — identical greedy-merge semantics to Spark's.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val layers = (1 to rounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT tk[i] AS l, tk[i + 1] AS r, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, tk, unnest(range(1, len(tk))) AS i
+         |        FROM (SELECT n, string_split(s[2:-2], '||') AS tk
+         |              FROM w${k - 1}))
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT replace(s, '|' || l || '||' || r || '|',
+         |    '|' || l || r || '|') AS s, n
+         |  FROM w${k - 1} CROSS JOIN m$k)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map(k =>
+      s"SELECT CAST($k AS INTEGER) AS merge_round, l AS lhs, r AS rhs, " +
+        s"cnt AS pair_count FROM m$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT '|' || array_to_string(
+       |      list_filter(string_split(w, ''), c -> len(c) > 0), '||')
+       |      || '|' AS s, n
+       |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS n
+       |        FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |        WHERE NOT contains(w, '|') GROUP BY w)),
+       |$layers
+       |SELECT * FROM (
+       |  $unions)""".stripMargin
   }
 
   /** q149's BM25 top-20 (also the sparse leg of q155's hybrid fusion).

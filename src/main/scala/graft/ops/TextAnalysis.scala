@@ -713,4 +713,80 @@ object TextAnalysis {
         (col("dup_token_frac") > dupTokenMax ||
           col("top_bigram_frac") > topBigramMax).cast("int"))
   }
+
+  /** Distributed BPE merge training (Sennrich et al. 2016, public):
+    * learn the first `rounds` byte-pair merges of the corpus and return
+    * the merge table — (merge_round, lhs, rhs, pair_count), the artifact
+    * a BPE trainer produces. Each round counts adjacent symbol pairs
+    * over the vocabulary (weighted by word frequency), takes the most
+    * frequent pair (ties: (lhs, rhs) ascending), and rewrites every
+    * word's symbol sequence with the pair merged.
+    *
+    * Symbol sequences are kept as delimiter-encoded STRINGS —
+    * `|c1||c2||…|` — so the merge rewrite is a single `replace` of
+    * `|l||r|` with `|lr|`: built-in replace scans left-to-right
+    * non-overlapping, which is exactly BPE's greedy merge semantics
+    * (a run `aaaa` under pair (a,a) becomes `aa aa`, and the newly
+    * merged symbol cannot re-merge within the same round because the
+    * match consumes the shared delimiter). Words containing the
+    * delimiter character are excluded up front (mirrored by the oracle).
+    *
+    * Scale shape — the reason real BPE trainers scale: after the first
+    * aggregate, ALL per-round work runs over the VOCABULARY relation
+    * (distinct words × counts), not the corpus; pair counting is a
+    * map-side-combinable aggregate, the winning pair is the only
+    * per-round driver traffic (one row — it IS the output), and the
+    * rewrite is map-only. Per-round state is localCheckpointed and the
+    * superseded round's blocks are released immediately (pageRank's
+    * loop discipline).
+    *
+    * Throws if a round finds no adjacent pairs left to merge (rounds
+    * must be chosen ≤ the corpus's merge capacity — a static-shape
+    * contract like pageRank's fixed iteration count, so an oracle can
+    * unroll exactly `rounds` layers).
+    */
+  def bpeTrainMerges(docs: DataFrame, textCol: String = "text",
+                     rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = docs.sparkSession
+    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    val words = docs
+      .select(explode(graft.functions.tokens(col(textCol))).as("__w"))
+      .filter(!col("__w").contains("|"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+    var state = words.select(
+      concat(lit("|"),
+        array_join(filter(split(col("__w"), ""), c => length(c) > 0), "||"),
+        lit("|")).as("__s"),
+      col("__n")).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val tk = split(expr("substr(__s, 2, length(__s) - 2)"), "\\|\\|")
+      val top = state
+        .select(col("__n"), tk.as("__tk"))
+        .select(col("__n"), explode(
+          when(size(col("__tk")) < 2, array().cast("array<struct<l:string,r:string>>"))
+            .otherwise(transform(sequence(lit(1), size(col("__tk")) - 1),
+              i => struct(element_at(col("__tk"), i).as("l"),
+                element_at(col("__tk"), i + 1).as("r"))))).as("__p"))
+        .groupBy(col("__p.l"), col("__p.r"))
+        .agg(sum(col("__n")).as("__cnt"))
+        .orderBy(desc("__cnt"), col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) throw new IllegalStateException(
+        s"bpeTrainMerges: no pairs left at round $r (corpus fully merged)")
+      val (l, rr, cnt) = (top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2))
+      merges += ((r, l, rr, cnt))
+      val next = state.withColumn("__s",
+        replace(col("__s"), lit(s"|$l||$rr|"), lit(s"|$l$rr|")))
+        .localCheckpoint()
+      bridge.releaseLocalCheckpoint(state)
+      state = next
+    }
+    bridge.releaseLocalCheckpoint(state)
+    import spark.implicits._
+    merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+  }
 }

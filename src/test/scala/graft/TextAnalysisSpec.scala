@@ -323,4 +323,34 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id", "quality_prob").as[(Long, Double)].collect().toMap
     assert(probs == ref.view.filterKeys(Set(1L, 2L)).toMap)
   }
+
+  test("bpeTrainMerges: frequency-weighted merges, learned symbols chain") {
+    // "abab" ×3, "abc" ×2 → pairs: (a,b) 3·2+2=8, (b,a) 3, (b,c) 2.
+    // Round 1 merges (a,b) → sequences ab ab / ab c.
+    // Round 2 pairs: (ab,ab) 3, (ab,c) 2 → merges (ab,ab) — a LEARNED
+    // symbol on both sides.
+    val docs = Seq((1L, "abab abab abab abc abc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainMerges(docs, rounds = 2)
+      .orderBy("merge_round")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L)))
+  }
+
+  test("bpeTrainMerges: greedy run semantics — aaaa merges to two aa, aaa to one") {
+    // "aaaa": pairs (a,a)×3; "aaa": ×2 → round 1 pair count 5, merge
+    // (a,a). Round 2: "aaaa"→(aa,aa) count 1; "aaa"→(aa,a) count 1 —
+    // greedy left-to-right, no overlap: tie breaks (aa,a) < (aa,aa)
+    val docs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainMerges(docs, rounds = 2)
+      .orderBy("merge_round")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "a", 5L), (2, "aa", "a", 1L)))
+  }
+
+  test("bpeTrainMerges throws when rounds exceed merge capacity") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    intercept[IllegalStateException] {
+      TextAnalysis.bpeTrainMerges(docs, rounds = 3)
+    }
+  }
 }
