@@ -2168,7 +2168,13 @@ object SparkEntry {
       // distributed BPE tokenizer induction: 6 merge rounds over the
       // VOCAB relation (never the corpus after the first aggregate);
       // delimiter-encoded sequences make each merge one greedy replace
-      TextAnalysis.bpeTrainMerges(T(s, d, "documents"), rounds = 6)))
+      TextAnalysis.bpeTrainMerges(T(s, d, "documents"), rounds = 6)),
+    "q172_fuzzy_part_pairs" -> ((s, d) =>
+      // entity resolution over part names: first-token equality blocking
+      // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
+      // exact semantics), rounded to 6 before the threshold
+      Dedup.jaroWinklerPairs(T(s, d, "part"), "p_name",
+        threshold = 0.85)))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
@@ -4019,7 +4025,19 @@ object SparkEntry {
          |  bit_xor(doc_id) AS id_checksum
          |FROM dw JOIN documents USING (doc_id) CROSS JOIN thr
          |WHERE dsir_ppm > thr GROUP BY source""".stripMargin,
-    "q171_bpe_merges" -> bpeOracleSql(6))
+    "q171_bpe_merges" -> bpeOracleSql(6),
+    "q172_fuzzy_part_pairs" ->
+      """WITH names AS (SELECT DISTINCT p_name AS s FROM part
+        |  WHERE p_name IS NOT NULL),
+        |keyed AS (SELECT s,
+        |    list_filter(string_split_regex(trim(s), '[ \t\n\f\r]+'),
+        |      x -> len(x) > 0)[1] AS blk
+        |  FROM names),
+        |blocked AS (SELECT * FROM keyed WHERE blk IS NOT NULL)
+        |SELECT a.s AS name_a, b.s AS name_b,
+        |  round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
+        |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.s < b.s
+        |WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= 0.85""".stripMargin)
 
   /** Shared DSIR CTE chain (q169/q170), mirroring `Sampling.dsirWeights`
     * over the documents table with target = source ∈ {src1, src2, src3}

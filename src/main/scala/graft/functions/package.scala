@@ -24,6 +24,14 @@ package object functions {
 
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
+  /** Jaro–Winkler similarity of two string columns (codegen'd; DuckDB
+    * `jaro_winkler_similarity` semantics — see JaroWinklerImpl).
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(JaroWinklerSimilarity(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
   /** Constant-matrix × vector product via the native codegen'd MatVec
     * expression (see MatVecProduct scaladoc — the `array(dot, dot, …)`
     * composition at 64×64 exceeds the codegen budget and interprets).
