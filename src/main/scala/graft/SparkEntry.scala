@@ -2174,7 +2174,16 @@ object SparkEntry {
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
       // exact semantics), rounded to 6 before the threshold
       Dedup.jaroWinklerPairs(T(s, d, "part"), "p_name",
-        threshold = 0.85)))
+        threshold = 0.85)),
+    "q173_temperature_mixture" -> ((s, d) =>
+      // α=1/2 temperature flattening of the per-source mixture: rates
+      // derived via engine-exact ⌊√(n·10^6)⌋ integer math, map-only
+      // portable hash gate — corpus never shuffles
+      Sampling.sampleToTemperature(T(s, d, "documents"), "source",
+          "doc_id", outPct = 60)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("bit_xor(doc_id)").as("id_checksum"))))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
@@ -4037,7 +4046,24 @@ object SparkEntry {
         |SELECT a.s AS name_a, b.s AS name_b,
         |  round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
         |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.s < b.s
-        |WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= 0.85""".stripMargin)
+        |WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= 0.85""".stripMargin,
+    "q173_temperature_mixture" ->
+      s"""WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+         |s AS (SELECT source, nd,
+         |    CAST(floor(sqrt(CAST(nd AS DOUBLE) * 1000000)) AS BIGINT) AS sd
+         |  FROM counts),
+         |ss AS (SELECT CAST(sum(sd) AS BIGINT) AS ssum FROM s),
+         |rates AS (SELECT source,
+         |    LEAST(1000000, (1000000 * ((total * 60) // 100) * sd) //
+         |      (ssum * nd)) AS ppm
+         |  FROM s CROSS JOIN tot CROSS JOIN ss),
+         |kept AS (SELECT d.source, d.doc_id
+         |  FROM documents d JOIN rates USING (source)
+         |  WHERE (${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 1000000 < ppm)
+         |SELECT source, count(*) AS n_kept, bit_xor(doc_id) AS id_checksum
+         |FROM kept GROUP BY 1""".stripMargin)
 
   /** Shared DSIR CTE chain (q169/q170), mirroring `Sampling.dsirWeights`
     * over the documents table with target = source ∈ {src1, src2, src3}

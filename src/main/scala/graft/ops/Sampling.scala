@@ -146,6 +146,43 @@ object Sampling {
             ") DIV 100) * __share DIV 100)) DIV __nd")).as("__ppm"))
   }
 
+  /** Temperature-flattened mixture sampling (the multilingual-corpus
+    * rebalancing rule — XLM-R/mT5 style, public: sample domain d with
+    * probability ∝ n_d^α, α = 1/2, so small domains are up-weighted and
+    * head domains flattened). Unlike [[sampleToMixture]] the target
+    * shares are DERIVED from the data, not supplied.
+    *
+    * All boundary math is engine-exact: s_d = ⌊√(n_d·10^6)⌋ as BIGINT
+    * (IEEE-754 sqrt is CORRECTLY ROUNDED, so both engines compute the
+    * identical double from the identical integer, and the floor/cast is
+    * then exact), every subsequent step is integer multiply/divide, and
+    * the keep gate is the shared parts-per-million [[portableGate]].
+    * Σs_d and the products stay far under 2^63 at any realistic domain
+    * count; at extreme corpus sizes widen to DECIMAL on both engines.
+    *
+    * Scale shape: one map-side-combinable count per domain, the
+    * #domains-row rate table broadcasts back, the corpus sees one
+    * map-only hash gate — never shuffled (sampleToMixture's shape).
+    */
+  def sampleToTemperature(df: DataFrame, domainCol: String, idCol: String,
+                          outPct: Int = 60): DataFrame = {
+    require(outPct >= 0 && outPct <= 100, "outPct must be in [0, 100]")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__nd"))
+      .withColumn("__sd",
+        floor(sqrt(col("__nd").cast("double") * lit(1000000.0)))
+          .cast("long"))
+    val ssum = counts.agg(sum(col("__sd")).as("__ssum"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    val rates = counts.crossJoin(broadcast(ssum)).crossJoin(broadcast(total))
+      .select(col(domainCol),
+        least(lit(1000000L),
+          expr(s"(1000000 * ((__total * $outPct) DIV 100) * __sd) DIV " +
+            "(__ssum * __nd)")).as("__ppm"))
+    df.join(broadcast(rates), domainCol)
+      .filter(portableGate(col(idCol), col("__ppm"), 1000000L))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Collect the mixture rate table to a driver map (#domains rows — tiny
     * by construction): the "periodic rate refresh" producer for the
     * streaming mixture gate. The rates a stream applies are necessarily a

@@ -114,6 +114,26 @@ class SamplingSpec extends SparkSpec {
       .columns.toSeq == Seq("id", "dom", "score"))
   }
 
+  test("sampleToTemperature flattens the head domain, keeps tails whole") {
+    // A: 900 rows, B: 100. α=1/2 shares: 30000/40000 vs 10000/40000 →
+    // A's rate = (600k·0.75)/900 = 50%, B's = (600·0.25)/100 capped at
+    // 100% — the tail domain survives whole, the head is flattened
+    val df = ((0L until 900L).map(i => (i, "A")) ++
+      (1000L until 1100L).map(i => (i, "B"))).toDF("id", "dom")
+    val kept = Sampling.sampleToTemperature(df, "dom", "id", outPct = 60)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(kept("B") == 100L)
+    // head keep-rate strictly below its plain-mixture 60% and nontrivial
+    assert(kept("A") > 300L && kept("A") < 540L)
+    // deterministic under repartitioning (hash-gated, not sampled)
+    val again = Sampling.sampleToTemperature(df.repartition(7), "dom", "id",
+      outPct = 60).groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+    // schema passes through untouched
+    assert(Sampling.sampleToTemperature(df, "dom", "id").columns.toSeq ==
+      Seq("id", "dom"))
+  }
+
   test("dsirWeights: target-distinctive n-grams score high, weights are exact integer sums") {
     // target docs speak "alpha beta", raw-only docs speak "gamma delta";
     // doc 20 mixes both, doc 21 is token-free (absent from output)
