@@ -2183,7 +2183,28 @@ object SparkEntry {
           "doc_id", outPct = 60)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
-          expr("bit_xor(doc_id)").as("id_checksum"))))
+          expr("bit_xor(doc_id)").as("id_checksum"))),
+    "q174_fuzzy_name_clusters" -> ((s, d) => {
+      // entity-resolution CLUSTERS: q172's blocked fuzzy pairs →
+      // label-propagation connected components (the shared q38 core) on
+      // portable-hashed name ids → names joined back. The rep is the
+      // min-hash member — engine-identical because both hash identically
+      val names = Dedup.jaroWinklerPairs(T(s, d, "part"), "p_name",
+        threshold = 0.85)
+      val pairs = names.select(
+        graft.functions.md5Hash31(col("name_a")).as("id_a"),
+        graft.functions.md5Hash31(col("name_b")).as("id_b"))
+      val clusters = Dedup.clusterNearDups(pairs)
+      val nameHash = T(s, d, "part")
+        .select(col("p_name").as("s")).filter(col("s").isNotNull).distinct()
+        .select(col("s"), graft.functions.md5Hash31(col("s")).as("h"))
+      clusters
+        .join(nameHash, col("doc_id") === col("h"))
+        .select(col("s").as("p_name"), col("cluster_rep"))
+        .join(nameHash.select(col("s").as("rep_name"),
+          col("h").as("__rh")), col("cluster_rep") === col("__rh"))
+        .select(col("p_name"), col("rep_name"))
+    }))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
@@ -4036,17 +4057,24 @@ object SparkEntry {
          |WHERE dsir_ppm > thr GROUP BY source""".stripMargin,
     "q171_bpe_merges" -> bpeOracleSql(6),
     "q172_fuzzy_part_pairs" ->
-      """WITH names AS (SELECT DISTINCT p_name AS s FROM part
-        |  WHERE p_name IS NOT NULL),
-        |keyed AS (SELECT s,
-        |    list_filter(string_split_regex(trim(s), '[ \t\n\f\r]+'),
-        |      x -> len(x) > 0)[1] AS blk
-        |  FROM names),
-        |blocked AS (SELECT * FROM keyed WHERE blk IS NOT NULL)
-        |SELECT a.s AS name_a, b.s AS name_b,
-        |  round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
-        |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.s < b.s
-        |WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= 0.85""".stripMargin,
+      s"""WITH $jwPairCtesSql
+         |SELECT name_a, name_b, jw FROM jwp""".stripMargin,
+    "q174_fuzzy_name_clusters" ->
+      // q38's recursive-closure clustering over the q172 fuzzy pairs,
+      // on portable-hashed name ids (min-hash rep; both engines hash
+      // identically so even a collision would agree)
+      s"""WITH RECURSIVE $jwPairCtesSql,
+         |hp AS (SELECT (${hash31Sql("name_a")}) AS ha,
+         |    (${hash31Sql("name_b")}) AS hb FROM jwp),
+         |edges AS (SELECT ha AS src, hb AS dst FROM hp
+         |          UNION ALL SELECT hb, ha FROM hp),
+         |reach(src, dst) AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS h, least(src, min(dst)) AS rep
+         |  FROM reach GROUP BY src),
+         |nm AS (SELECT s, (${hash31Sql("s")}) AS h FROM blocked)
+         |SELECT nm.s AS p_name, rn.s AS rep_name
+         |FROM cl JOIN nm ON cl.h = nm.h JOIN nm rn ON cl.rep = rn.h""".stripMargin,
     "q173_temperature_mixture" ->
       s"""WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
          |  FROM documents GROUP BY 1),
@@ -4101,6 +4129,24 @@ object SparkEntry {
        |      CAST(sum(c) * 1000000 AS DOUBLE), 6) AS dsir_avg
        |  FROM bc JOIN lam USING (fb) GROUP BY doc_id)""".stripMargin
   }
+
+  /** Shared q172/q174 CTE chain: distinct part names, first-token
+    * equality blocking, Jaro-Winkler-verified pairs (rounded to 6 BEFORE
+    * the threshold). Emits `blocked(s, blk)` and
+    * `jwp(name_a, name_b, jw)`.
+    */
+  private lazy val jwPairCtesSql: String =
+    """names AS (SELECT DISTINCT p_name AS s FROM part
+      |  WHERE p_name IS NOT NULL),
+      |keyed AS (SELECT s,
+      |    list_filter(string_split_regex(trim(s), '[ \t\n\f\r]+'),
+      |      x -> len(x) > 0)[1] AS blk
+      |  FROM names),
+      |blocked AS (SELECT * FROM keyed WHERE blk IS NOT NULL),
+      |jwp AS (SELECT a.s AS name_a, b.s AS name_b,
+      |    round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
+      |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.s < b.s
+      |  WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= 0.85)""".stripMargin
 
   /** q171's unrolled-BPE oracle, GENERATED per round from one Scala loop
     * (q120's zorder2Sql discipline — zero drift surface vs
