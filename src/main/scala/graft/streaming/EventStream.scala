@@ -141,6 +141,44 @@ object EventStream {
       }
   }
 
+  case class HoltState(level: Double, trend: Double, lastMs: Long, n: Long)
+  case class HoltOut(event_type: String, level: Double, trend: Double,
+                     forecast: Double, last_ts: Long, n_events: Long)
+
+  /** Stateful Holt double-exponential smoother — `Resample.holtSmooth`'s
+    * streaming twin, extending [[ewmaStateful]]'s pattern to a
+    * two-component (level, trend) state: level' = α·x + (1−α)·(l + t),
+    * trend' = β·(level' − l) + (1−β)·t, seeded (x₁, 0). Update-mode
+    * per-key upsert; each batch's slice folds in (ts, value) order, so
+    * the final state equals the scalar left fold over the full ordered
+    * series (unit-pinned in StreamingSpec).
+    */
+  def holtStateful(events: DataFrame, alpha: Double = 0.5,
+                   beta: Double = 0.25): Dataset[HoltOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_type", "ts", "value").as[TypedEvent]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[HoltState, HoltOut](GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[HoltState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var cur = state.getOption
+          for (e <- sorted) {
+            cur = Some(cur match {
+              case None => HoltState(e.value, 0.0, e.ts.getTime, 1L)
+              case Some(st) =>
+                val lvl = alpha * e.value + (1 - alpha) * (st.level + st.trend)
+                HoltState(lvl, beta * (lvl - st.level) + (1 - beta) * st.trend,
+                  math.max(st.lastMs, e.ts.getTime), st.n + 1)
+            })
+          }
+          val st = cur.get // rows is non-empty for an invoked group
+          state.update(st)
+          HoltOut(key, st.level, st.trend, st.level + st.trend,
+            st.lastMs / 1000, st.n)
+      }
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * explicit-state twin of `userSessions` (session_window), shown because
     * real pipelines need custom per-session logic (caps, early emission,

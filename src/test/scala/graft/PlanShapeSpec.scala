@@ -614,6 +614,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s) // re-rank is top-k, no sort
   }
 
+  test("q167 rolling distinct users: fan-out over the DEDUPED relation, no Window") {
+    // the ≤7× explode must sit above the (day, user) dedup aggregate,
+    // never above raw events; and the rolling count is an aggregate, not
+    // a window over the corpus
+    val s = planString(
+      SparkEntry.queries("q167_rolling_active_users")(spark, sf0001))
+    assert(!s.contains("Window"), s"rolling count planned as a Window:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    // the Generate's immediate child must be the (day, user) dedup
+    // aggregate — exploding raw events would fan out the full log
+    val lines = s.linesIterator.toIndexedSeq
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    assert(genIdx >= 0 && genIdx + 1 < lines.size &&
+      lines(genIdx + 1).contains("HashAggregate(keys=[__day"),
+      s"explode is not directly above the (day, user) dedup aggregate:\n$s")
+  }
+
+  test("q169 DSIR scoring: lambda table applies by broadcast, corpus side map-only") {
+    // after the checkpointed (doc, bucket, count) relation, the λ join
+    // must be a BroadcastHashJoin (≤ buckets rows) — a sort-merge join
+    // would mean the feature relation got re-sorted/shuffled per query
+    val q = SparkEntry.queries("q169_dsir_weights")(spark, sf0001)
+    val s = planString(q)
+    assert(s.contains("BroadcastHashJoin"),
+      s"λ table did not broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"feature relation shuffled:\n$s")
+    assert(!s.contains("Window"), s)
+  }
+
+  test("q173 temperature mixture: rate table broadcasts, corpus never shuffles pre-gate") {
+    val q = SparkEntry.queries("q173_temperature_mixture")(spark, sf0001)
+    val s = planString(q)
+    assert(s.contains("BroadcastHashJoin"), s"rates did not broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(!s.contains("hashpartitioning(doc_id"),
+      s"corpus rows were shuffled by doc_id before the gate:\n$s")
+  }
+
   test("metadata-only multimodal scan does not read the blob column") {
     val media = graft.ops.Multimodal.synthesize(
       spark, Tables.documents(spark, sf0001).select("doc_id"), "doc_id")

@@ -219,6 +219,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful Holt smoother (mapGroupsWithState) matches the scalar two-state fold") {
+    val streamed = EventStream.holtStateful(
+      EventStream.read(spark, sf0001)).toDF()
+    val got = EventStream.runToMemory(spark, streamed, "holt_stateful_test",
+      outputMode = "update")
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Long]("n_events"))).toMap
+    val ref = Tables.events(spark, sf0001)
+      .selectExpr("event_type", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (k, rows) =>
+        val sorted = rows.sortBy(e => (e._2, e._3))
+        val (l, t) = sorted.tail.foldLeft((sorted.head._3, 0.0)) {
+          case ((l0, t0), e) =>
+            val lvl = 0.5 * e._3 + 0.5 * (l0 + t0)
+            (lvl, 0.25 * (lvl - l0) + 0.75 * t0)
+        }
+        k -> (l, t, sorted.length.toLong)
+      }
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, (l, t, n)) =>
+      assert(n == ref(k)._3, s"$k count")
+      assert(math.abs(l - ref(k)._1) < 1e-9, s"$k level $l vs ${ref(k)._1}")
+      assert(math.abs(t - ref(k)._2) < 1e-9, s"$k trend $t vs ${ref(k)._2}")
+    }
+  }
+
   test("streaming 1-NN probes against the static IVF index match the batch path") {
     // online retrieval: probes stream in, route map-only through a
     // literal centroid argmax, stream-static join the persisted index,
