@@ -2204,6 +2204,32 @@ object SparkEntry {
         .join(nameHash.select(col("s").as("rep_name"),
           col("h").as("__rh")), col("cluster_rep") === col("__rh"))
         .select(col("p_name"), col("rep_name"))
+    }),
+    "q175_stratified_ksample" -> ((s, d) => {
+      // deterministic k-per-stratum sample: portable-hash order makes the
+      // selection stable under re-runs/appends, and the bounded-buffer
+      // GroupedTopK operator picks k per source with NO per-group sort
+      val scored = T(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.md5Hash31(col("doc_id").cast("string"))
+            .as("rank_key"))
+      graft.plans.TopK.perGroup(scored, Seq("source"),
+        Seq(("rank_key", false), ("doc_id", false)), k = 5)
+    }),
+    "q176_containment_pairs" -> ((s, d) => {
+      // doc-inside-doc detection: the corpus unioned with first-half
+      // truncations (ids offset by 1e6 — every half is genuinely
+      // contained in its original, the prefix property guarantees its
+      // shingles are a subset); min-shingle anchoring + sorted-hash
+      // intersect verify
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val toks = graft.functions.tokens(col("text"))
+      val halves = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          greatest((size(toks) / 2).cast("int"), lit(1))), " ").as("text"))
+      Dedup.containmentPairs(docs.unionByName(halves), "doc_id", "text",
+        k = 3, threshold = 0.9)
     }))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
@@ -4075,6 +4101,40 @@ object SparkEntry {
          |nm AS (SELECT s, (${hash31Sql("s")}) AS h FROM blocked)
          |SELECT nm.s AS p_name, rn.s AS rep_name
          |FROM cl JOIN nm ON cl.h = nm.h JOIN nm rn ON cl.rep = rn.h""".stripMargin,
+    "q175_stratified_ksample" ->
+      s"""WITH scored AS (SELECT doc_id, source,
+         |    (${hash31Sql("CAST(doc_id AS VARCHAR)")}) AS rank_key
+         |  FROM documents),
+         |ranked AS (SELECT doc_id, source, rank_key,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY rank_key, doc_id) AS rn
+         |  FROM scored)
+         |SELECT doc_id, source, rank_key FROM ranked WHERE rn <= 5""".stripMargin,
+    "q176_containment_pairs" ->
+      s"""WITH tdocs AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |rel AS (SELECT doc_id, tk FROM tdocs
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    list_slice(tk, 1, greatest(len(tk) // 2, 1)) AS tk
+         |  FROM tdocs),
+         |shd AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+         |    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) END AS s
+         |  FROM rel),
+         |hh AS (SELECT doc_id,
+         |    list_sort(list_distinct(list_transform(s,
+         |      x -> (${hash31Sql("x")})))) AS h
+         |  FROM shd WHERE len(s) > 0),
+         |anchors AS (SELECT doc_id AS id_a, h AS ha, h[1] AS key FROM hh),
+         |probes AS (SELECT doc_id AS id_b, h AS hb, unnest(h) AS key FROM hh),
+         |cand AS (SELECT id_a, id_b, ha, hb
+         |  FROM anchors JOIN probes USING (key) WHERE id_a != id_b),
+         |res AS (SELECT id_a, id_b,
+         |    round(CAST(len(list_filter(ha, x -> list_contains(hb, x)))
+         |      AS DOUBLE) / len(ha), 6) AS containment
+         |  FROM cand)
+         |SELECT id_a, id_b, containment FROM res
+         |WHERE containment >= 0.9""".stripMargin,
     "q173_temperature_mixture" ->
       s"""WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
          |  FROM documents GROUP BY 1),

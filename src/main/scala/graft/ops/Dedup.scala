@@ -948,6 +948,50 @@ object Dedup {
       .distinct()
   }
 
+  /** ASYMMETRIC containment pairs — |shingles(a) ∩ shingles(b)| /
+    * |shingles(a)| ≥ threshold, the doc-inside-doc relation Jaccard
+    * misses when the container is much larger (a quote, a mirrored
+    * article with boilerplate, a prefix crawl of the same page).
+    *
+    * Candidates come from MIN-SHINGLE anchoring: each doc anchors on the
+    * minimum of its sorted portable-hash shingle set, the probe side
+    * explodes every shingle (the contamination-index fan-out shape), and
+    * an anchor joins every doc whose set contains it. A fully-contained
+    * doc is ALWAYS found (its min is in the container); at threshold
+    * t < 1 recall depends on the min surviving into the intersection —
+    * anchor on the j smallest shingles (j ≈ ⌈(1−t)·|set|⌉ + 1) to make
+    * the guarantee exact, at j× candidate cost. The oracle replays the
+    * SAME anchoring, so the two engines agree by construction.
+    *
+    * Everything compares over the portable 31-bit hashes (identical in
+    * both engines even under collision); containment rounds to 6 BEFORE
+    * the threshold. Scale: the probe explode is corpus-shingle-sized —
+    * partition by the shingle key and cap degenerate hot shingles like
+    * the LSH maxBucket guard.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val sh = array_sort(array_distinct(transform(
+      graft.functions.wordShingles(col(textCol), k),
+      s => graft.functions.md5Hash31(s))))
+    val base = df
+      .select(col(idCol).as("__id"), sh.as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .localCheckpoint()
+    val anchors = base.select(col("__id").as("id_a"),
+      col("__sh").as("__sha"), element_at(col("__sh"), 1).as("__key"))
+    val probes = base.select(col("__id").as("id_b"),
+      col("__sh").as("__shb"), explode(col("__sh")).as("__key"))
+    anchors.join(probes, "__key")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.sortedIntersectCount(col("__sha"), col("__shb"))
+          .cast("double") / size(col("__sha")), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Blocked fuzzy-name matching (the classic entity-resolution /
     * record-linkage shape, Winkler 1990): candidate pairs come from
     * EQUALITY blocking — here the name's first token — and only blocked

@@ -404,6 +404,31 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(100L), "corpus docs must not appear in the output")
   }
 
+  test("containmentPairs: prefix doc found inside its container, asymmetric") {
+    // doc 2 = first half of doc 1 → containment(2 in 1) = 1.0; the
+    // reverse direction is well below threshold; doc 3 shares nothing
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e"),
+      (3L, "x y z w v u t s r q")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", k = 3,
+      threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((2L, 1L, 1.0)))
+    // the documented recall property of single-min anchoring: at loose
+    // thresholds a PARTIAL containment (1-in-2 is 3/8 = 0.375) is only
+    // found if the anchor's min shingle survives into the intersection —
+    // here doc 1's min hashes outside the shared prefix, so the pair is
+    // (correctly, per the contract) absent while the FULL containment
+    // (2-in-1, min guaranteed present) is always found
+    val loose = Dedup.containmentPairs(docs, "doc_id", "text", k = 3,
+      threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(loose.contains((2L, 1L, 1.0)))
+    assert(!loose.contains((1L, 2L, 0.375)))
+  }
+
   implicit class Tuple3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
