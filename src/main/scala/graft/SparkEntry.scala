@@ -2230,7 +2230,13 @@ object SparkEntry {
           greatest((size(toks) / 2).cast("int"), lit(1))), " ").as("text"))
       Dedup.containmentPairs(docs.unionByName(halves), "doc_id", "text",
         k = 3, threshold = 0.9)
-    }))
+    }),
+    "q177_ngram_novelty" -> ((s, d) =>
+      // diversity scoring: fraction of each doc's distinct 3-grams
+      // unseen in the src1-3 reference slice; gram-keyed join over
+      // portable hashes, integer counts, one rounded division
+      TextAnalysis.ngramNovelty(T(s, d, "documents"),
+        col("source").isin("src1", "src2", "src3"))))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
@@ -4135,6 +4141,26 @@ object SparkEntry {
          |  FROM cand)
          |SELECT id_a, id_b, containment FROM res
          |WHERE containment >= 0.9""".stripMargin,
+    "q177_ngram_novelty" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    source IN ('src1', 'src2', 'src3') AS ref, $toksSql AS tk
+         |  FROM documents),
+         |shd AS (SELECT doc_id, ref, CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+         |    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) END AS s
+         |  FROM toks),
+         |g AS (SELECT DISTINCT doc_id, ref, g FROM
+         |  (SELECT doc_id, ref,
+         |     unnest(list_transform(s, x -> (${hash31Sql("x")}))) AS g
+         |   FROM shd)),
+         |rg AS (SELECT DISTINCT g FROM g WHERE ref),
+         |j AS (SELECT doc_id, g.g,
+         |    CASE WHEN rg.g IS NULL THEN 1 ELSE 0 END AS novel
+         |  FROM g LEFT JOIN rg ON g.g = rg.g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(novel) AS BIGINT) AS n_novel,
+         |  round(CAST(sum(novel) AS DOUBLE) / count(*), 6) AS novelty
+         |FROM j GROUP BY doc_id""".stripMargin,
     "q173_temperature_mixture" ->
       s"""WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
          |  FROM documents GROUP BY 1),

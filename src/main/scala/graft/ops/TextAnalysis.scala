@@ -714,6 +714,48 @@ object TextAnalysis {
           col("top_bigram_frac") > topBigramMax).cast("int"))
   }
 
+  /** N-gram novelty against a reference subset — the curation-side
+    * complement of the contamination check: instead of FLAGGING overlap
+    * with a benchmark, it SCORES how much of each document's k-gram
+    * vocabulary is unseen in a reference corpus (novelty = fraction of
+    * the doc's distinct k-gram hashes absent from the reference's
+    * distinct k-gram set). High novelty = content the reference slice
+    * doesn't cover — the diversity signal data-mixing pipelines buy with
+    * dedup + selection.
+    *
+    * Portability: grams compare as portable 31-bit hashes (identical
+    * cross-engine even under collision); counts are integers, the single
+    * novelty division rounds to 6.
+    *
+    * Scale shape: one tokenize into a (doc, gram) relation (distinct
+    * per doc); the reference's distinct-gram relation reduces map-side
+    * and joins gram-keyed (left join + max marker — partial-aggregated,
+    * no broadcast assumption: reference gram sets are corpus-sized);
+    * per-doc aggregate finishes. Nothing corpus-scale crosses the
+    * driver.
+    */
+  def ngramNovelty(docs: DataFrame, isReference: Column,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   k: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col(idCol), isReference.as("__ref"),
+        explode(transform(graft.functions.wordShingles(col(textCol), k),
+          s => graft.functions.md5Hash31(s))).as("__g"))
+      .select(col(idCol), col("__ref"), col("__g"))
+      .distinct()
+      .localCheckpoint()
+    val refGrams = grams.filter(col("__ref"))
+      .select(col("__g")).distinct()
+      .withColumn("__seen", lit(1))
+    grams.join(refGrams, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+  }
+
   /** Distributed BPE merge training (Sennrich et al. 2016, public):
     * learn the first `rounds` byte-pair merges of the corpus and return
     * the merge table — (merge_round, lhs, rhs, pair_count), the artifact
