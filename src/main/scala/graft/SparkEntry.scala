@@ -2236,7 +2236,26 @@ object SparkEntry {
       // unseen in the src1-3 reference slice; gram-keyed join over
       // portable hashes, integer counts, one rounded division
       TextAnalysis.ngramNovelty(T(s, d, "documents"),
-        col("source").isin("src1", "src2", "src3"))))
+        col("source").isin("src1", "src2", "src3"))),
+    "q178_curation_pipeline" -> ((s, d) => {
+      // capstone v4 — the round's data-mixing ops composed in ONE plan:
+      // DSIR importance selection (keep > corpus p75) feeding α=1/2
+      // temperature flattening whose rates derive from the SELECTED
+      // counts, finished with a per-source rollup + integer checksums
+      val docs = T(s, d, "documents")
+      val w = Sampling.dsirWeights(docs,
+        col("source").isin("src1", "src2", "src3"))
+      val thr = w.agg(round(expr("percentile(dsir_ppm, 0.75D)"), 6)
+        .as("__thr"))
+      val sel = w.crossJoin(broadcast(thr))
+        .filter(col("dsir_ppm") > col("__thr"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"))
+      Sampling.sampleToTemperature(sel, "source", "doc_id", outPct = 60)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("bit_xor(doc_id)").as("id_checksum"))
+    }))
 
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
@@ -4161,6 +4180,29 @@ object SparkEntry {
          |  CAST(sum(novel) AS BIGINT) AS n_novel,
          |  round(CAST(sum(novel) AS DOUBLE) / count(*), 6) AS novelty
          |FROM j GROUP BY doc_id""".stripMargin,
+    "q178_curation_pipeline" ->
+      s"""WITH $dsirCtesSql,
+         |thr AS (SELECT round(quantile_cont(dsir_ppm, 0.75), 6) AS thr
+         |  FROM dw),
+         |sel AS (SELECT d.doc_id, d.source
+         |  FROM dw JOIN documents d USING (doc_id) CROSS JOIN thr
+         |  WHERE dsir_ppm > thr),
+         |counts AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
+         |  FROM sel GROUP BY 1),
+         |tot2 AS (SELECT CAST(count(*) AS BIGINT) AS total FROM sel),
+         |s2 AS (SELECT source, nd,
+         |    CAST(floor(sqrt(CAST(nd AS DOUBLE) * 1000000)) AS BIGINT) AS sd
+         |  FROM counts),
+         |ss2 AS (SELECT CAST(sum(sd) AS BIGINT) AS ssum FROM s2),
+         |rates AS (SELECT source,
+         |    LEAST(1000000, (1000000 * ((total * 60) // 100) * sd) //
+         |      (ssum * nd)) AS ppm
+         |  FROM s2 CROSS JOIN tot2 CROSS JOIN ss2),
+         |kept AS (SELECT sel.source, sel.doc_id
+         |  FROM sel JOIN rates USING (source)
+         |  WHERE (${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 1000000 < ppm)
+         |SELECT source, count(*) AS n_kept, bit_xor(doc_id) AS id_checksum
+         |FROM kept GROUP BY 1""".stripMargin,
     "q173_temperature_mixture" ->
       s"""WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
          |  FROM documents GROUP BY 1),
