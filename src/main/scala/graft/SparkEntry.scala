@@ -2169,6 +2169,11 @@ object SparkEntry {
       // VOCAB relation (never the corpus after the first aggregate);
       // delimiter-encoded sequences make each merge one greedy replace
       TextAnalysis.bpeTrainMerges(T(s, d, "documents"), rounds = 6)),
+    "q179_bpe_encode" -> ((s, d) =>
+      // the inference half of q171: encode every doc with the trained
+      // merges (vocab-granular — the corpus pays one more tokenize and a
+      // vocab-sized join) and report symbols/chars compression
+      TextAnalysis.bpeEncodedLengths(T(s, d, "documents"), rounds = 6)),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4107,6 +4112,7 @@ object SparkEntry {
          |FROM dw JOIN documents USING (doc_id) CROSS JOIN thr
          |WHERE dsir_ppm > thr GROUP BY source""".stripMargin,
     "q171_bpe_merges" -> bpeOracleSql(6),
+    "q179_bpe_encode" -> bpeEncodeOracleSql(6),
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,
@@ -4283,7 +4289,7 @@ object SparkEntry {
     * `s[2:-2]` strips the outer delimiters; `replace` scans left-to-right
     * non-overlapping — identical greedy-merge semantics to Spark's.
     */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeCtesSql(rounds: Int): String = {
     val layers = (1 to rounds).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT tk[i] AS l, tk[i + 1] AS r, CAST(sum(n) AS BIGINT) AS cnt
@@ -4294,25 +4300,52 @@ object SparkEntry {
          |m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k
          |  ORDER BY cnt DESC, l, r LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT replace(s, '|' || l || '||' || r || '|',
+         |  SELECT w, replace(s, '|' || l || '||' || r || '|',
          |    '|' || l || r || '|') AS s, n
          |  FROM w${k - 1} CROSS JOIN m$k)""".stripMargin
     }.mkString(",\n")
+    // NOTE: this pre-stripped string is re-embedded in stripMargin
+    // callers — no line here may START with '|' after stripping, or the
+    // caller's stripMargin eats it (hence '||' stays at end of line)
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, '|' || array_to_string(
+       |      list_filter(string_split(w, ''), c -> len(c) > 0), '||') ||
+       |      '|' AS s, n
+       |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS n
+       |        FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |        WHERE NOT contains(w, '|') GROUP BY w)),
+       |$layers""".stripMargin
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
     val unions = (1 to rounds).map(k =>
       s"SELECT CAST($k AS INTEGER) AS merge_round, l AS lhs, r AS rhs, " +
         s"cnt AS pair_count FROM m$k")
       .mkString("\n  UNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
-       |  SELECT '|' || array_to_string(
-       |      list_filter(string_split(w, ''), c -> len(c) > 0), '||')
-       |      || '|' AS s, n
-       |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS n
-       |        FROM (SELECT unnest($toksSql) AS w FROM documents)
-       |        WHERE NOT contains(w, '|') GROUP BY w)),
-       |$layers
+    s"""WITH ${bpeCtesSql(rounds)}
        |SELECT * FROM (
        |  $unions)""".stripMargin
   }
+
+  /** q179: encode the corpus with the just-trained merge table (w$rounds
+    * IS the encoded vocabulary) and roll up per-document segmentation
+    * stats.
+    */
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    s"""WITH ${bpeCtesSql(rounds)},
+       |docw AS (SELECT doc_id, w FROM
+       |  (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+       |  WHERE NOT contains(w, '|')),
+       |enc AS (SELECT w,
+       |    CAST(len(string_split(s[2:-2], '||')) AS BIGINT) AS nsym,
+       |    CAST(len(w) AS BIGINT) AS nch
+       |  FROM w$rounds)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(nsym) AS BIGINT) AS n_symbols,
+       |  CAST(sum(nch) AS BIGINT) AS n_chars,
+       |  round(CAST(sum(nsym) AS DOUBLE) / CAST(sum(nch) AS DOUBLE), 6)
+       |    AS symbols_per_char
+       |FROM docw JOIN enc USING (w) GROUP BY doc_id""".stripMargin
 
   /** q149's BM25 top-20 (also the sparse leg of q155's hybrid fusion).
     * Numeric literals carry e0 so DuckDB parses DOUBLE, not DECIMAL (the

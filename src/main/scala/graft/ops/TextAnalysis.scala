@@ -787,16 +787,21 @@ object TextAnalysis {
     * contract like pageRank's fixed iteration count, so an oracle can
     * unroll exactly `rounds` layers).
     */
-  def bpeTrainMerges(docs: DataFrame, textCol: String = "text",
-                     rounds: Int = 6): DataFrame = {
+  /** Shared BPE training loop: returns the merge table AND the final
+    * per-word state `(__w, __s, __n)` (word, delimiter-encoded symbol
+    * sequence after `rounds` merges, corpus frequency). The final state
+    * frame is checkpointed and NOT released — callers either release it
+    * ([[bpeTrainMerges]]) or build on it ([[bpeEncodedLengths]]).
+    */
+  private def bpeCore(docs: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    val spark = docs.sparkSession
     val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
     val words = docs
       .select(explode(graft.functions.tokens(col(textCol))).as("__w"))
       .filter(!col("__w").contains("|"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
-    var state = words.select(
+    var state = words.select(col("__w"),
       concat(lit("|"),
         array_join(filter(split(col("__w"), ""), c => length(c) > 0), "||"),
         lit("|")).as("__s"),
@@ -827,8 +832,49 @@ object TextAnalysis {
       bridge.releaseLocalCheckpoint(state)
       state = next
     }
-    bridge.releaseLocalCheckpoint(state)
+    (merges.toSeq, state)
+  }
+
+  def bpeTrainMerges(docs: DataFrame, textCol: String = "text",
+                     rounds: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    val (merges, state) = bpeCore(docs, textCol, rounds)
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(state)
     import spark.implicits._
-    merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+    merges.toDF("merge_round", "lhs", "rhs", "pair_count")
+  }
+
+  /** The inference half of BPE: encode every document with the merge
+    * table [[bpeCore]] just trained and report per-document segmentation
+    * stats — symbol count after `rounds` merges, character count, and the
+    * symbols-per-character compression ratio (the metric tokenizer
+    * training monitors).
+    *
+    * Scale shape: encoding joins the corpus word stream against the
+    * VOCAB-sized (word → symbol count) relation — the corpus is touched
+    * once more (the tokenize), carries only (doc, word), and the encode
+    * itself was already paid at vocab granularity during training.
+    * Words containing the delimiter are excluded (training's contract).
+    */
+  def bpeEncodedLengths(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        rounds: Int = 6): DataFrame = {
+    val (_, state) = bpeCore(docs, textCol, rounds)
+    val enc = state.select(col("__w"),
+      size(split(expr("substr(__s, 2, length(__s) - 2)"), "\\|\\|"))
+        .cast("long").as("__nsym"),
+      length(col("__w")).cast("long").as("__nch"))
+    docs
+      .select(col(idCol), explode(graft.functions.tokens(col(textCol)))
+        .as("__w"))
+      .filter(!col("__w").contains("|"))
+      .join(enc, "__w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__nsym")).as("n_symbols"),
+        sum(col("__nch")).as("n_chars"))
+      .select(col(idCol), col("n_words"), col("n_symbols"), col("n_chars"),
+        round(col("n_symbols").cast("double") / col("n_chars"), 6)
+          .as("symbols_per_char"))
   }
 }
