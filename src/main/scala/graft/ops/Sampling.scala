@@ -265,6 +265,23 @@ object Sampling {
   def dsirWeights(docs: DataFrame, isTarget: Column,
                   idCol: String = "doc_id", textCol: String = "text",
                   buckets: Int = 1024): DataFrame = {
+    val (bc, lam) = dsirLambdaFrame(docs, isTarget, idCol, textCol, buckets)
+    bc.join(broadcast(lam), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_feats"),
+        sum(col("__c") * col("__lam_ppm")).as("dsir_ppm"))
+      .select(col(idCol), col("n_feats"), col("dsir_ppm"),
+        round(col("dsir_ppm").cast("double") /
+          (col("n_feats") * lit(1000000L)).cast("double"), 6).as("dsir_avg"))
+  }
+
+  /** Shared λ derivation: the checkpointed (doc, target-flag, bucket,
+    * count) relation plus the ≤B-row ppm-snapped λ table — one
+    * definition for the batch scorer and the frozen-snapshot producer.
+    */
+  private def dsirLambdaFrame(docs: DataFrame, isTarget: Column,
+                              idCol: String, textCol: String,
+                              buckets: Int): (DataFrame, DataFrame) = {
     require(buckets > 0, "buckets must be positive")
     val bc = docs
       .select(col(idCol), isTarget.as("__tgt"),
@@ -286,13 +303,34 @@ object Sampling {
           log((col("__rn") + lit(1L)).cast("double") /
             (col("__rr") + lit(buckets.toLong)).cast("double"))) * lit(1e6))
           .cast("long").as("__lam_ppm"))
-    bc.join(broadcast(lam), Seq("__b"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__c")).as("n_feats"),
-        sum(col("__c") * col("__lam_ppm")).as("dsir_ppm"))
-      .select(col(idCol), col("n_feats"), col("dsir_ppm"),
-        round(col("dsir_ppm").cast("double") /
-          (col("n_feats") * lit(1000000L)).cast("double"), 6).as("dsir_avg"))
+    (bc, lam)
+  }
+
+  /** Collect the λ table to a driver map (≤ B rows by construction) —
+    * the periodic-refresh producer for the STREAMING DSIR scorer, same
+    * snapshot discipline as [[mixtureRatesPpm]]: a stream cannot see the
+    * global target/raw distributions, so it applies the latest
+    * batch-derived table.
+    */
+  def dsirLambdaPpm(docs: DataFrame, isTarget: Column,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    buckets: Int = 1024): Map[Long, Long] =
+    dsirLambdaFrame(docs, isTarget, idCol, textCol, buckets)._2
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Map-only DSIR score against FROZEN λ (ppm BIGINT sum over the
+    * doc's n-gram bucket occurrences — Σ_occurrences λ(bucket) equals
+    * Σ_b c_b·λ_b exactly, integer and order-independent, so the
+    * streaming score is bit-identical to [[dsirWeights]]'s `dsir_ppm`
+    * given λ of the same corpus). λ ships as ONE map literal; buckets
+    * absent from it contribute 0 (they scored ~0 in the snapshot).
+    */
+  def dsirScorePpm(text: Column, lamPpm: Map[Long, Long],
+                   buckets: Int = 1024): Column = {
+    require(buckets > 0, "buckets must be positive")
+    val m = typedlit(lamPpm)
+    aggregate(hashedNgramBuckets(text, buckets), lit(0L),
+      (acc, b) => acc + coalesce(element_at(m, b), lit(0L)))
   }
 
   /** Token-budget trimming per domain (data-budget enforcement): keep the

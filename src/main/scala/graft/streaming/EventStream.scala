@@ -365,6 +365,20 @@ object EventStream {
       .select(col("doc_id"), col("lang"), col("redacted"),
         col("n_emails"), col("n_ips"), col("n_phones"))
 
+  /** Streaming DSIR scorer — the streaming twin of q169's weights: the
+    * corpus-global λ table cannot derive per-row, so the stream applies
+    * a FROZEN snapshot ([[graft.ops.Sampling.dsirLambdaPpm]], refreshed
+    * periodically batch-side — the mixtureGate discipline) through the
+    * map-only [[graft.ops.Sampling.dsirScorePpm]] fold: no watermark, no
+    * state store, and the score is bit-identical to the batch
+    * `dsir_ppm` given the same snapshot (integer sum, order-free).
+    */
+  def dsirScoredDocuments(docs: DataFrame, lamPpm: Map[Long, Long],
+                          buckets: Int = 1024): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      graft.ops.Sampling.dsirScorePpm(col("text"), lamPpm, buckets)
+        .as("dsir_ppm"))
+
   /** Streaming boilerplate scrub — the streaming twin of q135: the
     * corpus-wide document-frequency decision cannot run per-row, so the
     * stream applies a FROZEN hash-pair snapshot

@@ -248,6 +248,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming DSIR scorer matches batch dsir_ppm bit-for-bit under a frozen lambda") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Sampling
+    val docs = Tables.documents(spark, sf0001)
+    val tgt = col("source").isin("src1", "src2", "src3")
+    val lam = Sampling.dsirLambdaPpm(docs, tgt)
+    val streamed = EventStream.dsirScoredDocuments(
+      EventStream.readDocuments(spark, sf0001), lam)
+    val got = EventStream.runToMemory(spark, streamed, "dsir_stream_test")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("dsir_ppm")).toMap
+    val batch = Sampling.dsirWeights(docs, tgt)
+      .select("doc_id", "dsir_ppm")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // token-free docs score 0 in the stream (no features) and are absent
+    // from the batch output — every batch-scored doc must match exactly
+    batch.foreach { case (id, w) =>
+      assert(got(id) == w, s"doc $id: stream ${got(id)} vs batch $w")
+    }
+  }
+
   test("streaming 1-NN probes against the static IVF index match the batch path") {
     // online retrieval: probes stream in, route map-only through a
     // literal centroid argmax, stream-static join the persisted index,
