@@ -970,9 +970,11 @@ object Dedup {
     * the LSH maxBucket guard.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       k: Int = 3, threshold: Double = 0.9): DataFrame = {
+                       k: Int = 3, threshold: Double = 0.9,
+                       anchorCount: Int = 1): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
+    require(anchorCount >= 1, s"anchorCount must be >= 1: $anchorCount")
     val sh = array_sort(array_distinct(transform(
       graft.functions.wordShingles(col(textCol), k),
       s => graft.functions.md5Hash31(s))))
@@ -981,16 +983,33 @@ object Dedup {
       .filter(size(col("__sh")) > 0)
       .localCheckpoint()
     val anchors = base.select(col("__id").as("id_a"),
-      col("__sh").as("__sha"), element_at(col("__sh"), 1).as("__key"))
+      col("__sh").as("__sha"),
+      explode(slice(col("__sh"), 1, anchorCount)).as("__key"))
     val probes = base.select(col("__id").as("id_b"),
       col("__sh").as("__shb"), explode(col("__sh")).as("__key"))
     anchors.join(probes, "__key")
       .filter(col("id_a") =!= col("id_b"))
+      // j > 1 anchors can produce the same (a, b) via several shared
+      // keys — dedup BEFORE the verify so each pair scores once (the
+      // carried arrays are functionally determined by the id pair, so
+      // dropDuplicates' arbitrary row pick is content-stable)
+      .select(col("id_a"), col("id_b"), col("__sha"), col("__shb"))
+      .dropDuplicates(Seq("id_a", "id_b"))
       .select(col("id_a"), col("id_b"),
         round(graft.functions.sortedIntersectCount(col("__sha"), col("__shb"))
           .cast("double") / size(col("__sha")), 6).as("containment"))
       .filter(col("containment") >= threshold)
   }
+
+  /** The anchor count that makes [[containmentPairs]]'s recall EXACT at
+    * threshold t for a doc with n distinct shingles: a pair at
+    * containment ≥ t misses at most ⌊(1−t)·n⌋ of a's shingles, so among
+    * the ⌊(1−t)·n⌋ + 1 smallest at least one survives into the
+    * intersection (pigeonhole) and anchors the candidate. Callers pass
+    * the corpus-max n (or a cap) for a uniform anchor count.
+    */
+  def exactRecallAnchors(threshold: Double, maxShingles: Int): Int =
+    math.max(1, ((1.0 - threshold) * maxShingles).toInt + 1)
 
   /** Blocked fuzzy-name matching (the classic entity-resolution /
     * record-linkage shape, Winkler 1990): candidate pairs come from

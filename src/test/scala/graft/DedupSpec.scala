@@ -429,6 +429,41 @@ class DedupSpec extends SparkSpec {
     assert(!loose.contains((1L, 2L, 0.375)))
   }
 
+  test("containmentPairs property: exactRecallAnchors finds EVERY pair above threshold") {
+    // random word-soup docs with engineered overlaps; brute-force
+    // containment is the ground truth, and with j = exactRecallAnchors
+    // every pair >= t must surface (pigeonhole guarantee)
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (1L to 20L).map { id =>
+      val n = 8 + rnd.nextInt(12)
+      val base = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      // every third doc embeds doc-1's word sequence → high containment
+      val tks = if (id % 3 == 0 && id > 3)
+        base.take(3) ++ Seq.fill(10)(vocab((id % 7).toInt)) else base
+      (id, tks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val t = 0.7
+    def shingles(s: String): Set[String] =
+      s.split(" ").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = docs.as[(Long, String)].collect().toMap.view
+      .mapValues(shingles).filter(_._2.nonEmpty).toMap
+    val truth = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+      c = sa.count(sb.contains).toDouble / sa.size
+      if math.rint(c * 1e6) / 1e6 >= t
+    } yield (a, b)).toSet
+    val maxN = sets.values.map(_.size).max
+    val j = Dedup.exactRecallAnchors(t, maxN)
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", k = 3,
+      threshold = t, anchorCount = j)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(got),
+      s"missing pairs: ${truth -- got} (j=$j, maxN=$maxN)")
+    assert(got == truth, s"extra pairs: ${got -- truth}")
+  }
+
   implicit class Tuple3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
