@@ -2174,6 +2174,12 @@ object SparkEntry {
       // merges (vocab-granular — the corpus pays one more tokenize and a
       // vocab-sized join) and report symbols/chars compression
       TextAnalysis.bpeEncodedLengths(T(s, d, "documents"), rounds = 6)),
+    "q180_pmi_collocations" -> ((s, d) =>
+      // Church-Hanks document-co-presence PMI collocations: doc-keyed
+      // self-join over the shared single-tokenize distinct-term relation,
+      // vocab-sized df joins, 1-row N broadcast, round-6-before-rank
+      TextAnalysis.termCooccurrencePmi(T(s, d, "documents"),
+        minCount = 5, k = 50)),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4113,6 +4119,22 @@ object SparkEntry {
          |WHERE dsir_ppm > thr GROUP BY source""".stripMargin,
     "q171_bpe_merges" -> bpeOracleSql(6),
     "q179_bpe_encode" -> bpeEncodeOracleSql(6),
+    "q180_pmi_collocations" ->
+      s"""WITH tf AS (SELECT DISTINCT doc_id, term FROM
+         |  (SELECT doc_id, unnest($toksSql) AS term FROM documents)),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+         |  FROM documents),
+         |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1),
+         |pairs AS (SELECT a.term AS term_a, b.term AS term_b,
+         |    CAST(count(*) AS BIGINT) AS n_docs_both
+         |  FROM tf a JOIN tf b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT term_a, term_b, n_docs_both,
+         |  round(ln(n_docs_both * n / (dfa.df * dfb.df)), 6) AS pmi
+         |FROM pairs JOIN dfr dfa ON pairs.term_a = dfa.term
+         |JOIN dfr dfb ON pairs.term_b = dfb.term CROSS JOIN n
+         |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin,
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,

@@ -714,6 +714,60 @@ object TextAnalysis {
           col("top_bigram_frac") > topBigramMax).cast("int"))
   }
 
+  /** Top-k term co-occurrence collocations by pointwise mutual
+    * information over DOCUMENT co-presence (the classic corpus-mining
+    * statistic — Church & Hanks 1990, public):
+    * PMI(a,b) = ln(c_ab · N / (df_a · df_b)), counting each pair of
+    * distinct terms sharing a document once per document.
+    *
+    * Scale shape: the distinct (doc, term) relation comes from the
+    * shared single-tokenize [[termFrequencies]] checkpoint; pair
+    * enumeration is a doc-keyed self-join whose cost is Σ d_i² over
+    * per-doc DISTINCT vocab sizes — bounded for natural documents, and
+    * the `maxDocTerms` guard raises loudly on degenerate docs instead
+    * of silently exploding (cap or pre-filter to a topical vocabulary
+    * at petabyte scale). df tables are vocabulary-sized joins; N is a
+    * 1-row broadcast. PMI rounds to 6 BEFORE the rank (ln differs in
+    * the last ulp across engines); ties break on the term pair.
+    */
+  def termCooccurrencePmi(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", minCount: Long = 5,
+                          k: Int = 50,
+                          maxDocTerms: Int = 1000): DataFrame = {
+    val dt = termFrequencies(docs, idCol, textCol)
+      .select(col(idCol), col("term"))
+    val guarded = dt.groupBy(col(idCol))
+      .agg(collect_list(col("term")).as("__ts"))
+      .withColumn("__n", size(col("__ts")))
+      .withColumn("__ok",
+        when(col("__n") <= maxDocTerms, true)
+          .otherwise(raise_error(concat(
+            lit(s"termCooccurrencePmi: document exceeds $maxDocTerms " +
+              "distinct terms: "), col(idCol).cast("string")))
+            .cast("boolean")))
+      .filter(col("__ok"))
+      .select(col(idCol), explode(col("__ts")).as("term"))
+    val nRow = docs.agg(countDistinct(col(idCol)).cast("double").as("__n"))
+    val dfRel = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val pairs = guarded.select(col(idCol), col("term").as("term_a"))
+      .join(guarded.select(col(idCol), col("term").as("term_b")), idCol)
+      .filter(col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n_docs_both"))
+      .filter(col("n_docs_both") >= minCount)
+    pairs
+      .join(dfRel.select(col("term").as("term_a"), col("df").as("__dfa")),
+        "term_a")
+      .join(dfRel.select(col("term").as("term_b"), col("df").as("__dfb")),
+        "term_b")
+      .crossJoin(broadcast(nRow))
+      .select(col("term_a"), col("term_b"), col("n_docs_both"),
+        round(log(col("n_docs_both") * col("__n") /
+          (col("__dfa") * col("__dfb"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("term_a"), col("term_b"))
+      .limit(k)
+  }
+
   /** N-gram novelty against a reference subset — the curation-side
     * complement of the contamination check: instead of FLAGGING overlap
     * with a benchmark, it SCORES how much of each document's k-gram
