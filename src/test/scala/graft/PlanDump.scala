@@ -52,7 +52,12 @@ object PlanDump {
     "q134_chunk_dedup" -> "chunk dedup: checkpointed single-tokenize chunks, hash-keyed partial+final keeper aggregate, in-order reassembly",
     "q138_rotated_pq" -> "rotated PQ: 64 codegen'd dot products rotate in the scan projection, corpus side map-only",
     "q139_ivfpq_refined" -> "refined search: pruned stored-codes shortlist, broadcast semi-join raw fetch, exact re-rank as TakeOrdered",
-    "q141_event_funnel" -> "funnel: per-step pushed-down scans, narrow frontier joins, partial-aggregated first-touch minima")
+    "q141_event_funnel" -> "funnel: per-step pushed-down scans, narrow frontier joins, partial-aggregated first-touch minima",
+    "q167_rolling_active_users" -> "rolling WAU: explode sits ABOVE the (day,user) dedup aggregate, rolling count is an aggregate not a window",
+    "q169_dsir_weights" -> "DSIR: checkpointed (doc,bucket,count) core, bucket-sized lambda table broadcast back, integer scoring aggregate",
+    "q172_fuzzy_part_pairs" -> "Jaro-Winkler ER: first-token block equi-join bounds candidates, codegen'd similarity in the verify filter",
+    "q173_temperature_mixture" -> "temperature mixture: domain-rate aggregate broadcasts back, corpus gate map-only pre-shuffle",
+    "q176_containment_pairs" -> "containment: min-shingle anchor equi-join, sorted-hash intersect verify, no all-pairs scan")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
