@@ -2180,6 +2180,18 @@ object SparkEntry {
       // vocab-sized df joins, 1-row N broadcast, round-6-before-rank
       TextAnalysis.termCooccurrencePmi(T(s, d, "documents"),
         minCount = 5, k = 50)),
+    "q181_conversion_latency" -> ((s, d) =>
+      // time-to-convert distribution through the view→click→purchase
+      // funnel: exact integer-µs latencies per completer, interpolated
+      // quartiles (percentile ≡ quantile_cont on BIGINT µs)
+      Funnel.conversionLatencies(Tables.events(s, d),
+          Seq("view", "click", "purchase"))
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("latency_us")).as("min_us"),
+          round(expr("percentile(latency_us, 0.25D)"), 6).as("p25_us"),
+          round(expr("percentile(latency_us, 0.5D)"), 6).as("p50_us"),
+          round(expr("percentile(latency_us, 0.75D)"), 6).as("p75_us"),
+          max(col("latency_us")).as("max_us"))),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4135,6 +4147,34 @@ object SparkEntry {
          |FROM pairs JOIN dfr dfa ON pairs.term_a = dfa.term
          |JOIN dfr dfb ON pairs.term_b = dfb.term CROSS JOIN n
          |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin,
+    "q181_conversion_latency" ->
+      """WITH f1 AS (SELECT user_id, ts, event_id FROM (
+        |    SELECT user_id, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE event_type = 'view') WHERE rn = 1),
+        |f2 AS (SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM events e JOIN f1 ON e.user_id = f1.user_id
+        |    WHERE e.event_type = 'click'
+        |      AND (e.ts > f1.ts OR (e.ts = f1.ts AND e.event_id > f1.event_id)))
+        |  WHERE rn = 1),
+        |f3 AS (SELECT user_id, ts, event_id FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM events e JOIN f2 ON e.user_id = f2.user_id
+        |    WHERE e.event_type = 'purchase'
+        |      AND (e.ts > f2.ts OR (e.ts = f2.ts AND e.event_id > f2.event_id)))
+        |  WHERE rn = 1),
+        |lat AS (SELECT epoch_us(f3.ts) - epoch_us(f1.ts) AS latency_us
+        |  FROM f3 JOIN f1 ON f3.user_id = f1.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  CAST(min(latency_us) AS BIGINT) AS min_us,
+        |  round(quantile_cont(latency_us, 0.25), 6) AS p25_us,
+        |  round(quantile_cont(latency_us, 0.5), 6) AS p50_us,
+        |  round(quantile_cont(latency_us, 0.75), 6) AS p75_us,
+        |  CAST(max(latency_us) AS BIGINT) AS max_us
+        |FROM lat""".stripMargin,
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,

@@ -186,4 +186,46 @@ object Funnel {
       .groupBy("cohort_week_epoch", "week_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Per-user conversion latency through the whole funnel — time from the
+    * chosen FIRST-step event to the chosen LAST-step event, for users who
+    * complete every step ([[funnelDepths]]'s first-touch/strict-after
+    * chain, same (ts, id) tie rule). Returns one row per completer:
+    * (user, first_us, last_us, latency_us) in exact integer microseconds,
+    * so downstream percentiles are engine-portable.
+    *
+    * Scale shape: identical to [[funnelDepths]] — per-step pushed-down
+    * scans, narrow frontier joins, partial-aggregated minima; the anchor
+    * timestamp rides the frontier structs, so no extra pass recovers it.
+    */
+  def conversionLatencies(events: DataFrame, steps: Seq[String],
+                          userCol: String = "user_id", tsCol: String = "ts",
+                          idCol: String = "event_id",
+                          typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, "conversionLatencies needs >= 2 steps")
+    val after: (Column, Column, Column, Column) => Column =
+      (ts, id, fts, fid) => ts > fts || (ts === fts && id > fid)
+    var frontier: DataFrame = null
+    for (step <- steps) {
+      val cand = events.filter(col(typeCol) === step)
+        .select(col(userCol), col(tsCol).as("__ets"), col(idCol).as("__eid"))
+      val qualified =
+        if (frontier == null) cand.withColumn("__t1c", col("__ets"))
+        else cand.join(frontier, Seq(userCol))
+          .filter(after(col("__ets"), col("__eid"),
+            col("__fts"), col("__fid")))
+          .select(col(userCol), col("__ets"), col("__eid"),
+            col("__t1").as("__t1c"))
+      frontier = qualified.groupBy(userCol)
+        .agg(min(struct(col("__ets"), col("__eid"), col("__t1c"))).as("__m"))
+        .select(col(userCol), col("__m.__ets").as("__fts"),
+          col("__m.__eid").as("__fid"), col("__m.__t1c").as("__t1"))
+        .localCheckpoint()
+    }
+    frontier.select(col(userCol),
+      unix_micros(col("__t1")).as("first_us"),
+      unix_micros(col("__fts")).as("last_us"),
+      (unix_micros(col("__fts")) - unix_micros(col("__t1")))
+        .as("latency_us"))
+  }
 }

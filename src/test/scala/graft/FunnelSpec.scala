@@ -121,4 +121,22 @@ class FunnelSpec extends SparkSpec {
     val plain = Funnel.funnelCounts(ev, steps).as[(Int, Long)].collect().toMap
     assert(plain == Map(3 -> 2L), s"got $plain")
   }
+
+  test("conversionLatencies: first-touch anchor to chosen last step, completers only") {
+    import org.apache.spark.sql.functions._
+    // user 1: view@10, click@20, purchase@50 → latency 40s; a LATER
+    // view@15 must not move the anchor (first-touch), and an EARLIER
+    // purchase@5 must not count (strict-after). user 2 never clicks.
+    val ev = Seq(
+      (1L, 1L, 10L, "view"), (2L, 1L, 15L, "view"),
+      (3L, 1L, 20L, "click"), (4L, 1L, 5L, "purchase"),
+      (5L, 1L, 50L, "purchase"),
+      (6L, 2L, 10L, "view"), (7L, 2L, 50L, "purchase")
+    ).toDF("event_id", "user_id", "secs", "event_type")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+      .drop("secs")
+    val got = Funnel.conversionLatencies(ev, Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10000000L, 50000000L, 40000000L)), s"got $got")
+  }
 }
