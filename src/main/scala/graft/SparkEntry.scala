@@ -2182,16 +2182,26 @@ object SparkEntry {
         minCount = 5, k = 50)),
     "q181_conversion_latency" -> ((s, d) =>
       // time-to-convert distribution through the view→click→purchase
-      // funnel: exact integer-µs latencies per completer, interpolated
-      // quartiles (percentile ≡ quantile_cont on BIGINT µs)
+      // funnel: exact integer-µs latencies per completer; quartiles
+      // reported in SECONDS at 4 decimals — at 1e11-µs magnitudes the
+      // engines' interpolation arithmetic differs in the last ulp
+      // (~6e-5 µs), far above a 6-decimal µs rounding but 9 orders
+      // below the 4-decimal second grid
       Funnel.conversionLatencies(Tables.events(s, d),
           Seq("view", "click", "purchase"))
         .agg(count(lit(1)).as("n_converted"),
           min(col("latency_us")).as("min_us"),
-          round(expr("percentile(latency_us, 0.25D)"), 6).as("p25_us"),
-          round(expr("percentile(latency_us, 0.5D)"), 6).as("p50_us"),
-          round(expr("percentile(latency_us, 0.75D)"), 6).as("p75_us"),
+          round(expr("percentile(latency_us, 0.25D)") / 1e6, 4).as("p25_s"),
+          round(expr("percentile(latency_us, 0.5D)") / 1e6, 4).as("p50_s"),
+          round(expr("percentile(latency_us, 0.75D)") / 1e6, 4).as("p75_s"),
           max(col("latency_us")).as("max_us"))),
+    "q182_rolling_users_sketched" -> ((s, d) =>
+      // q167's scale tier: per-day mergeable HLL sketches unioned over
+      // the window (the fan-out is per-day SKETCHES, not day×user);
+      // exact lane oracle-checked, estimate gated within 5% (q71
+      // checked-twin discipline)
+      Resample.rollingDistinctUsersChecked(Tables.events(s, d), "ts",
+        "user_id", windowDays = 7)),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4170,11 +4180,25 @@ object SparkEntry {
         |  FROM f3 JOIN f1 ON f3.user_id = f1.user_id)
         |SELECT CAST(count(*) AS BIGINT) AS n_converted,
         |  CAST(min(latency_us) AS BIGINT) AS min_us,
-        |  round(quantile_cont(latency_us, 0.25), 6) AS p25_us,
-        |  round(quantile_cont(latency_us, 0.5), 6) AS p50_us,
-        |  round(quantile_cont(latency_us, 0.75), 6) AS p75_us,
+        |  round(quantile_cont(latency_us, 0.25) / 1000000e0, 4) AS p25_s,
+        |  round(quantile_cont(latency_us, 0.5) / 1000000e0, 4) AS p50_s,
+        |  round(quantile_cont(latency_us, 0.75) / 1000000e0, 4) AS p75_s,
         |  CAST(max(latency_us) AS BIGINT) AS max_us
         |FROM lat""".stripMargin,
+    "q182_rolling_users_sketched" ->
+      """WITH du AS (SELECT DISTINCT
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d,
+        |    user_id
+        |  FROM events),
+        |mx AS (SELECT max(d) AS mxd FROM du),
+        |one AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS users_1d
+        |  FROM du GROUP BY 1),
+        |ex AS (SELECT unnest(range(d, d + 7)) AS td, user_id FROM du),
+        |roll AS (SELECT td, CAST(count(DISTINCT user_id) AS BIGINT) AS users_7d
+        |  FROM ex CROSS JOIN mx WHERE td <= mxd GROUP BY td)
+        |SELECT one.d * 86400 AS day_epoch, users_1d, users_7d,
+        |  true AS approx_ok
+        |FROM one JOIN roll ON one.d = roll.td""".stripMargin,
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,

@@ -130,6 +130,45 @@ object Resample {
         col(s"users_${windowDays}d"))
   }
 
+  /** The sketch tier of [[rollingDistinctUsers]] — the shape that
+    * actually scales to extreme cardinality: users collapse into ONE
+    * HLL sketch per day (mergeable DataSketches state, ~KB), and the
+    * ≤W-day fan-out then explodes per-day SKETCHES (365 rows/year),
+    * not (day, user) pairs; the rolling count is a register-max union +
+    * estimate. Emitted next to the exact rolling count with an
+    * `approx_ok` gate (|est − exact| within max(relErr·exact, slack) —
+    * the q71 checked-twin discipline, so the DuckDB oracle can check
+    * the exact lane and pin the gate as `true`).
+    */
+  def rollingDistinctUsersChecked(df: DataFrame, tsCol: String,
+                                  userCol: String, windowDays: Int = 7,
+                                  lgK: Int = 12, relErr: Double = 0.05,
+                                  slack: Long = 2L): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val dayUser = df
+      .select((unix_timestamp(date_trunc("day", col(tsCol))) / 86400L)
+        .cast("long").as("__day"), col(userCol).as("__u"))
+      .distinct()
+    val mx = dayUser.agg(max(col("__day")).as("__mxd"))
+    val daily = dayUser.groupBy(col("__day"))
+      .agg(expr(s"hll_sketch_agg(__u, $lgK)").as("__sk"))
+    val est = daily
+      .select(explode(sequence(col("__day"),
+        col("__day") + lit(windowDays - 1L))).as("__td"), col("__sk"))
+      .crossJoin(broadcast(mx))
+      .filter(col("__td") <= col("__mxd"))
+      .groupBy(col("__td"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))")
+        .as("__est"))
+    rollingDistinctUsers(df, tsCol, userCol, windowDays)
+      .join(est, (col("day_epoch") / 86400L).cast("long") === col("__td"))
+      .select(col("day_epoch"), col("users_1d"),
+        col(s"users_${windowDays}d"),
+        (abs(col("__est") - col(s"users_${windowDays}d")) <=
+          greatest(lit(relErr) * col(s"users_${windowDays}d"),
+            lit(slack.toDouble))).as("approx_ok"))
+  }
+
   /** Holt double-exponential smoothing per key over the daily series —
     * EWMA's big sibling for trending series: a level AND a trend state,
     *   level_t = α·x_t + (1−α)·(level_{t−1} + trend_{t−1})
