@@ -2202,6 +2202,27 @@ object SparkEntry {
       // checked-twin discipline)
       Resample.rollingDistinctUsersChecked(Tables.events(s, d), "ts",
         "user_id", windowDays = 7)),
+    "q183_containment_indexed" -> ((s, d) => {
+      // q176's batch-anchored direction through the PERSISTED containment
+      // index: the corpus's capped shingle-key surface is built and
+      // __key-bucketed ONCE, each batch (here: the half-truncations,
+      // genuinely contained by the prefix property) probes with anchors
+      // that read the index in place — zero exchange on the index side
+      // (PlanShapeSpec gates it); verification arrays come from the
+      // id-bucketed shingle table
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val toks = graft.functions.tokens(col("text"))
+      val halves = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          greatest((size(toks) / 2).cast("int"), lit(1))), " ").as("text"))
+      val tag = tagFor(d)
+      val name = s"cont_idx_$tag"
+      Dedup.ensureContainmentIndex(docs, name, s"/tmp/graft_contpidx/$tag",
+        "doc_id", "text", k = 3)
+      Dedup.containmentPairsIndexed(halves, name, "doc_id", "text",
+        k = 3, threshold = 0.9)
+    }),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4199,6 +4220,40 @@ object SparkEntry {
         |SELECT one.d * 86400 AS day_epoch, users_1d, users_7d,
         |  true AS approx_ok
         |FROM one JOIN roll ON one.d = roll.td""".stripMargin,
+    "q183_containment_indexed" ->
+      s"""WITH tdocs AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |rel AS (SELECT doc_id, tk FROM tdocs
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    list_slice(tk, 1, greatest(len(tk) // 2, 1)) AS tk
+         |  FROM tdocs),
+         |shd AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+         |    ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) END AS s
+         |  FROM rel),
+         |hh AS (SELECT doc_id,
+         |    list_sort(list_distinct(list_transform(s,
+         |      x -> (${hash31Sql("x")})))) AS h
+         |  FROM shd WHERE len(s) > 0),
+         |anchors AS (SELECT id_a, key FROM (
+         |    SELECT doc_id AS id_a, h[1] AS key,
+         |      row_number() OVER (PARTITION BY h[1] ORDER BY doc_id) AS rn
+         |    FROM hh WHERE doc_id >= 1000000) WHERE rn <= 10000),
+         |keys AS (SELECT id_b, key FROM (
+         |    SELECT doc_id AS id_b, key,
+         |      row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
+         |    FROM (SELECT doc_id, unnest(h) AS key FROM hh
+         |          WHERE doc_id < 1000000))
+         |  WHERE rn <= 10000),
+         |cand AS (SELECT DISTINCT id_a, id_b
+         |  FROM anchors JOIN keys USING (key) WHERE id_a != id_b),
+         |res AS (SELECT id_a, id_b,
+         |    round(CAST(len(list_filter(a.h, x -> list_contains(b.h, x)))
+         |      AS DOUBLE) / len(a.h), 6) AS containment
+         |  FROM cand JOIN hh a ON cand.id_a = a.doc_id
+         |    JOIN hh b ON cand.id_b = b.doc_id)
+         |SELECT id_a, id_b, containment FROM res
+         |WHERE containment >= 0.9""".stripMargin,
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,
@@ -4242,14 +4297,22 @@ object SparkEntry {
          |    list_sort(list_distinct(list_transform(s,
          |      x -> (${hash31Sql("x")})))) AS h
          |  FROM shd WHERE len(s) > 0),
-         |anchors AS (SELECT doc_id AS id_a, h AS ha, h[1] AS key FROM hh),
-         |probes AS (SELECT doc_id AS id_b, h AS hb, unnest(h) AS key FROM hh),
-         |cand AS (SELECT id_a, id_b, ha, hb
+         |anchors AS (SELECT id_a, key FROM (
+         |    SELECT doc_id AS id_a, h[1] AS key,
+         |      row_number() OVER (PARTITION BY h[1] ORDER BY doc_id) AS rn
+         |    FROM hh) WHERE rn <= 10000),
+         |probes AS (SELECT id_b, key FROM (
+         |    SELECT doc_id AS id_b, key,
+         |      row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
+         |    FROM (SELECT doc_id, unnest(h) AS key FROM hh))
+         |  WHERE rn <= 10000),
+         |cand AS (SELECT DISTINCT id_a, id_b
          |  FROM anchors JOIN probes USING (key) WHERE id_a != id_b),
          |res AS (SELECT id_a, id_b,
-         |    round(CAST(len(list_filter(ha, x -> list_contains(hb, x)))
-         |      AS DOUBLE) / len(ha), 6) AS containment
-         |  FROM cand)
+         |    round(CAST(len(list_filter(a.h, x -> list_contains(b.h, x)))
+         |      AS DOUBLE) / len(a.h), 6) AS containment
+         |  FROM cand JOIN hh a ON cand.id_a = a.doc_id
+         |    JOIN hh b ON cand.id_b = b.doc_id)
          |SELECT id_a, id_b, containment FROM res
          |WHERE containment >= 0.9""".stripMargin,
     "q177_ngram_novelty" ->

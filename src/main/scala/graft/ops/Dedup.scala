@@ -965,40 +965,190 @@ object Dedup {
     *
     * Everything compares over the portable 31-bit hashes (identical in
     * both engines even under collision); containment rounds to 6 BEFORE
-    * the threshold. Scale: the probe explode is corpus-shingle-sized —
-    * partition by the shingle key and cap degenerate hot shingles like
-    * the LSH maxBucket guard.
+    * the threshold.
+    *
+    * SCALE SHAPE: candidate generation shuffles (key, id) SCALARS only —
+    * the shingle arrays never ride the corpus-shingle-sized explode.
+    * Both sides of the anchor join are capped per key at `maxBucket` ids
+    * (deterministic sorted prefix via a row_number window, the LSH
+    * `bucketPairs` discipline), so a degenerate hot shingle shared by M
+    * docs produces at most maxBucket² candidate pairs instead of
+    * O(M·anchors); ids past the cap lose candidacy only THROUGH that
+    * key, not membership in others. The surviving (id_a, id_b) pairs —
+    * candidate-set-sized, not corpus-shingle-sized — then fetch the two
+    * sorted-hash arrays ONCE each by id equi-join against the
+    * checkpointed base, so total array shuffle volume is Σ|set| per
+    * joined side, not Σ|shingles|·|set|. The oracle replays the same
+    * anchoring AND the same row_number caps, so the engines agree by
+    * construction even when a cap binds.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, threshold: Double = 0.9,
-                       anchorCount: Int = 1): DataFrame = {
+                       anchorCount: Int = 1, maxBucket: Int = 10000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
     require(anchorCount >= 1, s"anchorCount must be >= 1: $anchorCount")
+    val base = containmentBase(df, idCol, textCol, k).localCheckpoint()
+    val cands = containmentCandidates(base, anchorCount, maxBucket)
+    containmentVerify(cands, base, base, threshold)
+  }
+
+  /** (__id, __sh) relation shared by the inline and indexed containment
+    * tiers: sorted distinct portable-hash k-shingle sets, empty docs
+    * dropped.
+    */
+  private[graft] def containmentBase(df: DataFrame, idCol: String,
+                                   textCol: String, k: Int): DataFrame = {
     val sh = array_sort(array_distinct(transform(
       graft.functions.wordShingles(col(textCol), k),
       s => graft.functions.md5Hash31(s))))
-    val base = df
-      .select(col(idCol).as("__id"), sh.as("__sh"))
+    df.select(col(idCol).as("__id"), sh.as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .localCheckpoint()
-    val anchors = base.select(col("__id").as("id_a"),
-      col("__sh").as("__sha"),
-      explode(slice(col("__sh"), 1, anchorCount)).as("__key"))
-    val probes = base.select(col("__id").as("id_b"),
-      col("__sh").as("__shb"), explode(col("__sh")).as("__key"))
+  }
+
+  /** Capped candidate pairs for [[containmentPairs]]: distinct
+    * (id_a, id_b) whose docs share an anchor key. EVERY Exchange in this
+    * sub-plan carries scalar columns only (plan-gated) — the per-key cap
+    * is a row_number window, not a collect_list, precisely so no
+    * array-typed aggregation buffer crosses a shuffle.
+    */
+  private[graft] def containmentCandidates(base: DataFrame, anchorCount: Int,
+                                         maxBucket: Int): DataFrame = {
+    val anchors = containmentAnchors(base, anchorCount, maxBucket)
+    val probes = capPerKey(base.select(col("__id").as("id_b"),
+      explode(col("__sh")).as("__key")), "id_b", maxBucket)
     anchors.join(probes, "__key")
       .filter(col("id_a") =!= col("id_b"))
-      // j > 1 anchors can produce the same (a, b) via several shared
-      // keys — dedup BEFORE the verify so each pair scores once (the
-      // carried arrays are functionally determined by the id pair, so
-      // dropDuplicates' arbitrary row pick is content-stable)
-      .select(col("id_a"), col("id_b"), col("__sha"), col("__shb"))
-      .dropDuplicates(Seq("id_a", "id_b"))
+      // j > 1 anchors (and the probe fan-out) can produce the same
+      // (a, b) via several shared keys — dedup the SCALAR pair list
+      // before the array fetch so each pair is fetched and scored once
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Deterministic per-key cap (the LSH `bucketPairs` discipline as a
+    * row_number window): keep the `maxBucket` smallest ids at each
+    * `__key`. A window, not a collect_list, so the Exchange it induces
+    * carries (key, id) scalars only.
+    */
+  private def capPerKey(df: DataFrame, idName: String,
+                        maxBucket: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__key")).orderBy(col(idName))))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+
+  /** Capped (id_a, __key) anchor rows — ONE definition shared by the
+    * inline candidate join and the persisted-index probe, so a batch's
+    * anchor keys land exactly on the values an index stored earlier.
+    */
+  private def containmentAnchors(base: DataFrame, anchorCount: Int,
+                                 maxBucket: Int): DataFrame =
+    capPerKey(base.select(col("__id").as("id_a"),
+      explode(slice(col("__sh"), 1, anchorCount)).as("__key")), "id_a",
+      maxBucket)
+
+  /** Fetch-and-score stage shared by the inline and indexed containment
+    * tiers: join the scalar candidate pairs back to the (__id, __sh)
+    * relation of each side — arrays move once per surviving pair side —
+    * then one allocation-free two-pointer intersect per pair.
+    */
+  private[graft] def containmentVerify(cands: DataFrame, baseA: DataFrame,
+                                     baseB: DataFrame,
+                                     threshold: Double): DataFrame =
+    cands
+      .join(baseA.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(baseB.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(graft.functions.sortedIntersectCount(col("__sha"), col("__shb"))
           .cast("double") / size(col("__sha")), 6).as("containment"))
       .filter(col("containment") >= threshold)
+
+  // ------------------------------------- persisted containment index
+
+  /** Build-once / probe-many lifecycle for containment detection: the
+    * corpus's probe surface is persisted as two bucketed tables so
+    * incremental batches ask "is this new doc contained in any corpus
+    * doc?" without re-sharding the corpus (the
+    * [[graft.ops.TextAnalysis.buildContaminationIndex]] pattern):
+    *
+    *   - `<name>_keys` (id_b, __key): the corpus's exploded shingle keys,
+    *     CAPPED per key at build time (same row_number discipline as the
+    *     inline tier) and bucketed by `__key` — the anchor-probe join
+    *     key, so the index side of the probe is read in place with ZERO
+    *     exchange (plan-gated in PlanShapeSpec).
+    *   - `<name>_shingles` (__id, __sh): the sorted-hash sets, bucketed
+    *     by id — the verification side-input, joined per surviving pair
+    *     without shuffling stored arrays.
+    *
+    * Probe-time (k, maxBucket) MUST match the build call — they
+    * parameterize the shingle family and the stored cap.
+    */
+  def buildContainmentIndex(corpus: DataFrame, name: String, path: String,
+                            idCol: String, textCol: String, k: Int = 3,
+                            maxBucket: Int = 10000,
+                            numBuckets: Int = 32): Unit = {
+    val base = containmentBase(corpus, idCol, textCol, k)
+    val keys = capPerKey(base.select(col("__id").as("id_b"),
+      explode(col("__sh")).as("__key")), "id_b", maxBucket)
+    graft.io.IO.writeBucketed(keys, s"${name}_keys", s"$path/keys",
+      Seq("__key"), numBuckets, Seq("__key"))
+    graft.io.IO.writeBucketed(base, s"${name}_shingles", s"$path/shingles",
+      Seq("__id"), numBuckets)
+  }
+
+  /** [[buildContainmentIndex]] unless BOTH index tables are already
+    * registered in this session's catalog; a missing half rebuilds the
+    * pair (keys and shingles must describe the same corpus snapshot).
+    * Returns true iff the build ran.
+    */
+  def ensureContainmentIndex(corpus: DataFrame, name: String, path: String,
+                             idCol: String, textCol: String, k: Int = 3,
+                             maxBucket: Int = 10000,
+                             numBuckets: Int = 32): Boolean = {
+    val cat = corpus.sparkSession.catalog
+    val present = cat.tableExists(s"${name}_keys") &&
+      cat.tableExists(s"${name}_shingles")
+    if (!present)
+      buildContainmentIndex(corpus, name, path, idCol, textCol, k,
+        maxBucket, numBuckets)
+    !present
+  }
+
+  /** Candidate (batch id_a, corpus id_b) pairs from probing the persisted
+    * index: the batch's capped anchor keys equi-join the `__key`-bucketed
+    * `<name>_keys` table in place. Exposed separately so the
+    * zero-exchange property of the index side is plan-testable.
+    */
+  private[graft] def containmentCandidatesIndexed(batchBase: DataFrame,
+                                                  name: String,
+                                                  anchorCount: Int,
+                                                  maxBucket: Int): DataFrame =
+    containmentAnchors(batchBase, anchorCount, maxBucket)
+      .join(batchBase.sparkSession.table(s"${name}_keys"), "__key")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+  /** [[containmentPairs]] of a batch AGAINST the persisted corpus index:
+    * (batch id_a, corpus id_b, containment of a in b ≥ threshold) —
+    * identical semantics to running the inline tier over batch ∪ corpus
+    * and keeping the batch-anchored/corpus-probed direction, but the
+    * corpus is never rescanned: candidates come from the bucketed key
+    * table, verification arrays from the bucketed shingle table.
+    */
+  def containmentPairsIndexed(batch: DataFrame, name: String,
+                              idCol: String, textCol: String,
+                              k: Int = 3, threshold: Double = 0.9,
+                              anchorCount: Int = 1,
+                              maxBucket: Int = 10000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val batchBase = containmentBase(batch, idCol, textCol, k).localCheckpoint()
+    val cands = containmentCandidatesIndexed(batchBase, name, anchorCount,
+      maxBucket)
+    containmentVerify(cands, batchBase,
+      batch.sparkSession.table(s"${name}_shingles"), threshold)
   }
 
   /** The anchor count that makes [[containmentPairs]]'s recall EXACT at

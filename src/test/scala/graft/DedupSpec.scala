@@ -429,6 +429,61 @@ class DedupSpec extends SparkSpec {
     assert(!loose.contains((1L, 2L, 0.375)))
   }
 
+  test("containmentCandidates: hot-shingle cap bounds the candidate set deterministically") {
+    // 20 docs all sharing ONE degenerate shingle ("h h h") plus unique
+    // tails: uncapped, that key alone yields 20×19 = 380 ordered
+    // candidate pairs; with maxBucket = 3 both sides keep only the 3
+    // smallest ids at the key, so candidates are exactly the ordered
+    // pairs among ids 1..3 (anchorCount=4 anchors every shingle, and
+    // the unique-tail keys only ever self-join)
+    val docs = (1L to 20L)
+      .map(i => (i, s"h h h u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+    val base = Dedup.containmentBase(docs, "doc_id", "text", k = 3)
+    val capped = Dedup.containmentCandidates(base, anchorCount = 4,
+      maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    val expected = (for { a <- 1L to 3L; b <- 1L to 3L if a != b }
+      yield (a, b)).toSet
+    assert(capped == expected, s"got $capped")
+    val uncapped = Dedup.containmentCandidates(base, anchorCount = 4,
+      maxBucket = 10000)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 380, s"got ${uncapped.size}")
+  }
+
+  test("containmentPairsIndexed equals the inline tier's batch-anchored direction") {
+    // index over the corpus, probe with prefix-truncation batch docs:
+    // the persisted tier must return exactly the (batch → corpus) pairs
+    // the inline tier finds over the union
+    val all = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val corpus = all.filter(col("doc_id") < 60)
+    val toks = graft.functions.tokens(col("text"))
+    val batch = corpus.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      array_join(slice(toks, lit(1),
+        greatest((size(toks) / 2).cast("int"), lit(1))), " ").as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_contidx_eq").toString
+    val name = "cont_idx_eq_test"
+    assert(Dedup.ensureContainmentIndex(corpus, name, dir, "doc_id", "text", k = 3))
+    assert(!Dedup.ensureContainmentIndex(corpus, name, dir, "doc_id", "text", k = 3))
+    try {
+      val indexed = Dedup.containmentPairsIndexed(batch, name, "doc_id", "text",
+        k = 3, threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      val inline = Dedup.containmentPairs(corpus.unionByName(batch),
+        "doc_id", "text", k = 3, threshold = 0.5)
+        .as[(Long, Long, Double)].collect()
+        .filter { case (a, b, _) => a >= 1000000L && b < 1000000L }.toSet
+      assert(indexed.nonEmpty)
+      assert(indexed == inline,
+        s"indexed-only: ${indexed -- inline}; inline-only: ${inline -- indexed}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_keys")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_shingles")
+    }
+  }
+
   test("containmentPairs property: exactRecallAnchors finds EVERY pair above threshold") {
     // random word-soup docs with engineered overlaps; brute-force
     // containment is the ground truth, and with j = exactRecallAnchors

@@ -405,6 +405,89 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q176 containment candidates: no array column crosses any Exchange") {
+    // the scale contract for containmentPairs' candidate stage: shingle
+    // arrays must NOT ride the corpus-shingle-sized explode — every
+    // shuffle in the candidate sub-plan carries (key, id) scalars only;
+    // arrays are fetched per surviving pair afterwards
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val base = graft.ops.Dedup.containmentBase(docs, "doc_id", "text", k = 3)
+    val p = withoutAqe {
+      val cands = graft.ops.Dedup.containmentCandidates(base,
+        anchorCount = 1, maxBucket = 10000)
+      cands.collect()
+      plan(cands)
+    }
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty, p.toString)
+    shuffles.foreach { e =>
+      val arrayCols = e.output.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrayCols.isEmpty,
+        s"array-typed column(s) ${arrayCols.map(_.name).mkString(",")} cross an Exchange:\n$p")
+    }
+  }
+
+  test("q183 persisted containment index: probe reads the key table in place") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_contidx_gate").toString
+    val name = "t_cont_idx_gate"
+    graft.ops.Dedup.buildContainmentIndex(docs.filter(col("doc_id") < 250),
+      name, dir, "doc_id", "text", k = 3)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val batchBase = graft.ops.Dedup.containmentBase(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", k = 3)
+      val cands = graft.ops.Dedup.containmentCandidatesIndexed(batchBase,
+        name, anchorCount = 1, maxBucket = 10000)
+      cands.collect()
+      val p = cands.queryExecution.executedPlan
+      // the index side is bucketed by the join key: read in place
+      val scans = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.exists(_.bucketedScan), p.toString)
+      // every shuffle is on the batch side: the probe join's index-scan
+      // subtree must be exchange-free (the bucket layout IS the join
+      // partitioning)
+      val joins = p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, p.toString)
+      val indexSides = joins.flatMap(j => Seq(j.children.head, j.children(1)))
+        .filter(_.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.bucketedScan => f
+        }.nonEmpty)
+      assert(indexSides.nonEmpty, p.toString)
+      indexSides.foreach { side =>
+        assert(side.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.isEmpty, s"index side shuffles:\n$p")
+      }
+      // and no shuffle anywhere in the probe carries an array column
+      p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.foreach { e =>
+        assert(!e.output.exists(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+          s"array crosses an Exchange:\n$p")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_keys")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_shingles")
+    }
+  }
+
   test("q100 dedup shuffles the content hash, never the cleaned text") {
     val s = planString(SparkEntry.queries("q100_training_pipeline")(spark, sf0001))
     val exchanges = s.linesIterator.filter(_.contains("Exchange")).toSeq
