@@ -4270,7 +4270,7 @@ object SparkEntry {
          |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
          |cl AS (SELECT src AS h, least(src, min(dst)) AS rep
          |  FROM reach GROUP BY src),
-         |nm AS (SELECT s, (${hash31Sql("s")}) AS h FROM blocked)
+         |nm AS (SELECT s, (${hash31Sql("s")}) AS h FROM names)
          |SELECT nm.s AS p_name, rn.s AS rep_name
          |FROM cl JOIN nm ON cl.h = nm.h JOIN nm rn ON cl.rep = rn.h""".stripMargin,
     "q175_stratified_ksample" ->
@@ -4421,15 +4421,26 @@ object SparkEntry {
   private lazy val jwPairCtesSql: String =
     """names AS (SELECT DISTINCT p_name AS s FROM part
       |  WHERE p_name IS NOT NULL),
-      |keyed AS (SELECT s,
-      |    list_filter(string_split_regex(trim(s), '[ \t\n\f\r]+'),
-      |      x -> len(x) > 0)[1] AS blk
-      |  FROM names),
-      |blocked AS (SELECT * FROM keyed WHERE blk IS NOT NULL),
-      |jwp AS (SELECT a.s AS name_a, b.s AS name_b,
-      |    round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
-      |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.s < b.s
-      |  WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= 0.85)""".stripMargin
+      |keyed AS (SELECT s, blk FROM (
+      |    SELECT s, 't:' ||
+      |      list_filter(string_split_regex(trim(s), '[ \t\n\f\r]+'),
+      |        x -> len(x) > 0)[1] AS blk
+      |    FROM names
+      |    UNION ALL
+      |    SELECT s, CASE WHEN len(trim(s)) > 0 THEN
+      |        'p' || ':' || substr(trim(s), 1, 2) || ':' ||
+      |        CAST(len(trim(s)) // 4 AS VARCHAR) END AS blk
+      |    FROM names)
+      |  WHERE blk IS NOT NULL),
+      |blocked AS (SELECT s, blk FROM (SELECT s, blk,
+      |    row_number() OVER (PARTITION BY blk ORDER BY s) AS rn
+      |  FROM keyed) WHERE rn <= 10000),
+      |cand AS (SELECT DISTINCT a.s AS name_a, b.s AS name_b
+      |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.s < b.s),
+      |jwp AS (SELECT name_a, name_b,
+      |    round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+      |  FROM cand
+      |  WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.85)""".stripMargin
 
   /** q171's unrolled-BPE oracle, GENERATED per round from one Scala loop
     * (q120's zorder2Sql discipline — zero drift surface vs

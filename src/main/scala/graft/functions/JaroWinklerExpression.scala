@@ -24,17 +24,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - Winkler boost only when jaro > 0.7 (strict): + p·0.1·(1 − jaro)
   *     with p = common prefix capped at 4.
   *
-  * Comparison is per Java char (UTF-16 code unit) vs DuckDB's per byte
-  * (UTF-8); identical on ASCII, which the oracle fixtures are. Rounding
-  * to 6 decimals before any threshold/rank compare is still required —
-  * the engines' double `/` sequences can differ in the last ulp.
+  * Comparison is per UTF-8 BYTE, exactly as DuckDB compares — the
+  * UTF8String operands' backing bytes are walked directly, so accented
+  * or CJK names agree with the oracle too, not just ASCII (on ASCII a
+  * byte and a code unit coincide). Rounding to 6 decimals before any
+  * threshold/rank compare is still required — the engines' double `/`
+  * sequences can differ in the last ulp.
   */
 object JaroWinklerImpl {
 
   def similarity(a: UTF8String, b: UTF8String): Double =
-    sim(a.toString, b.toString)
+    simBytes(a.getBytes, b.getBytes)
 
-  def sim(s1: String, s2: String): Double = {
+  /** Test/probe entry point over JVM strings; delegates to the one
+    * byte-level core so the semantics cannot drift.
+    */
+  def sim(s1: String, s2: String): Double =
+    simBytes(s1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def simBytes(s1: Array[Byte], s2: Array[Byte]): Double = {
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -49,7 +58,7 @@ object JaroWinklerImpl {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!matched2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!matched2(j) && s1(i) == s2(j)) {
           matched1(i) = true
           matched2(j) = true
           m += 1
@@ -67,7 +76,7 @@ object JaroWinklerImpl {
     while (i < l1) {
       if (matched1(i)) {
         while (!matched2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) mism += 1
+        if (s1(i) != s2(k)) mism += 1
         k += 1
       }
       i += 1
@@ -78,7 +87,7 @@ object JaroWinklerImpl {
     if (jaro > 0.7) {
       val cap = math.min(4, math.min(l1, l2))
       var p = 0
-      while (p < cap && s1.charAt(p) == s2.charAt(p)) p += 1
+      while (p < cap && s1(p) == s2(p)) p += 1
       jaro + p * 0.1 * (1.0 - jaro)
     } else jaro
   }

@@ -1170,15 +1170,22 @@ object Dedup {
     * Similarity rounds to 6 BEFORE the threshold compare (the oracle
     * engine's double division can differ in the last ulp).
     *
-    * At 100 TB the block key is the scale lever: a single first-token
-    * key keeps the demo simple, production stacks several cheap keys
-    * (prefix n-grams, soundex, length bands) and unions the candidate
-    * sets — the verify stage and its cost shape are unchanged. A
-    * pathological hot block (every name sharing one first token) is the
-    * LSH `maxBucket` situation; cap or salt it the same way.
+    * At 100 TB the block key is the scale lever: TWO cheap keys are
+    * stacked and their candidate sets unioned — (a) the first token,
+    * which catches edits anywhere past it, and (b) prefix-2-gram ×
+    * length band (⌊len/4⌋), which catches first-token edits past
+    * position 2 that key (a) blocks apart. A pathological hot block
+    * (every name sharing one first token, or one prefix) is the LSH
+    * `maxBucket` situation: each block keeps its `maxBlock` smallest
+    * names (deterministic row_number prefix), bounding the pair
+    * expansion at maxBlock² per block; names past the cap lose
+    * candidacy only through that key, not membership in the other.
+    * Pairs found via both keys dedup BEFORE the Jaro–Winkler verify so
+    * each pair is scored once. The oracle replays the same keys and
+    * caps, so the engines agree by construction.
     */
   def jaroWinklerPairs(df: DataFrame, strCol: String,
-                       threshold: Double): DataFrame = {
+                       threshold: Double, maxBlock: Int = 10000): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0,
       s"threshold must be in [0, 1]: $threshold")
     // ANSI mode: element_at on an empty array throws, so guard the
@@ -1186,12 +1193,22 @@ object Dedup {
     val toks = graft.functions.tokens(col("s"))
     val names = df.select(col(strCol).cast("string").as("s"))
       .filter(col("s").isNotNull).distinct()
-      .select(col("s"),
-        when(size(toks) > 0, element_at(toks, 1)).as("__blk"))
+    val t = trim(col("s"))
+    val k1 = when(size(toks) > 0, concat(lit("t:"), element_at(toks, 1)))
+    val k2 = when(length(t) > 0, concat_ws(":", lit("p"),
+      substring(t, 1, 2), floor(length(t) / 4).cast("string")))
+    val keyed = names
+      .select(col("s"), explode(array(k1, k2)).as("__blk"))
       .filter(col("__blk").isNotNull)
-    names.select(col("__blk"), col("s").as("name_a"))
-      .join(names.select(col("__blk"), col("s").as("name_b")), "__blk")
+    val blocked = keyed.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__blk")).orderBy(col("s"))))
+      .filter(col("__rn") <= maxBlock)
+      .drop("__rn")
+    blocked.select(col("__blk"), col("s").as("name_a"))
+      .join(blocked.select(col("__blk"), col("s").as("name_b")), "__blk")
       .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"))
+      .distinct()
       .select(col("name_a"), col("name_b"),
         round(graft.functions.jaroWinkler(col("name_a"), col("name_b")), 6)
           .as("jw"))

@@ -65,17 +65,59 @@ class JaroWinklerSpec extends SparkSpec {
     assert(n(0).isNullAt(0))
   }
 
-  test("jaroWinklerPairs: first-token blocking bounds candidates, threshold filters") {
+  test("jaroWinklerPairs: blocking bounds candidates, threshold filters") {
     val df = Seq(
       "red plate", "red ring", "red plates",
       "blue plate", "   ", null.asInstanceOf[String])
       .toDF("nm")
     val got = Dedup.jaroWinklerPairs(df, "nm", threshold = 0.9)
       .as[(String, String, Double)].collect().toSet
-    // only same-block (first token "red") candidates are compared:
-    // red plate/red plates is the single >= 0.9 survivor; blue plate
-    // never pairs with red plate despite high similarity (blocked out)
+    // only same-block candidates are compared: red plate/red plates
+    // share both the first-token and the prefix-2×len-band key and are
+    // the single >= 0.9 survivor; blue plate never pairs with red plate
+    // despite high similarity (prefix "bl" ≠ "re", token "blue" ≠ "red")
     assert(got.map(p => (p._1, p._2)) == Set(("red plate", "red plates")))
     assert(got.forall(_._3 >= 0.9))
+  }
+
+  test("jaroWinklerPairs: prefix-2×len-band key recovers first-token edits") {
+    // the single first-token key would block these apart (tokens
+    // "johnson" vs "jonhson"); the stacked prefix-2 ("jo") × length-band
+    // key unions them back into candidacy
+    val df = Seq("johnson smith", "jonhson smith", "zzz unrelated").toDF("nm")
+    val got = Dedup.jaroWinklerPairs(df, "nm", threshold = 0.9)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    assert(got == Set(("johnson smith", "jonhson smith")), s"got $got")
+  }
+
+  test("jaroWinklerPairs: hot-block cap binds deterministically") {
+    // 20 names all sharing first token, prefix-2, and length band: both
+    // keys produce the same hot block. With maxBlock = 3 each block
+    // keeps the 3 lexicographically-smallest names, so the only pairs
+    // are among those 3 (cap = the bucketPairs sorted-prefix discipline)
+    val df = (10 to 29).map(i => s"aa b$i").toDF("nm")
+    val capped = Dedup.jaroWinklerPairs(df, "nm", threshold = 0.0,
+      maxBlock = 3)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    assert(capped == Set(
+      ("aa b10", "aa b11"), ("aa b10", "aa b12"), ("aa b11", "aa b12")),
+      s"got $capped")
+    val uncapped = Dedup.jaroWinklerPairs(df, "nm", threshold = 0.0)
+    assert(uncapped.count() == 20L * 19 / 2)
+  }
+
+  test("byte-level core matches DuckDB on non-ASCII (multi-byte) strings") {
+    // é is 2 bytes in UTF-8: DuckDB's per-byte walk sees 'caf<c3><a9>'
+    // (5 symbols) — probed: jaro_winkler_similarity('café', 'cafe') =
+    // 0.8483333333333334, NOT the per-UTF-16-char value 0.8833…; the
+    // byte core must reproduce the probed values exactly
+    assert(JaroWinklerImpl.sim("café", "cafe") == 0.8483333333333334,
+      s"got ${JaroWinklerImpl.sim("café", "cafe")}")
+    assert(JaroWinklerImpl.sim("über", "uber") == 0.7833333333333333,
+      s"got ${JaroWinklerImpl.sim("über", "uber")}")
+    assert(JaroWinklerImpl.sim("naïve", "naive") == 0.8577777777777779,
+      s"got ${JaroWinklerImpl.sim("naïve", "naive")}")
+    // identical multi-byte strings are still exact 1.0
+    assert(JaroWinklerImpl.sim("café", "café") == 1.0)
   }
 }
