@@ -2223,6 +2223,12 @@ object SparkEntry {
       Dedup.containmentPairsIndexed(halves, name, "doc_id", "text",
         k = 3, threshold = 0.9)
     }),
+    "q184_session_paths" -> ((s, d) =>
+      // session-scoped sequence mining: q142's top-k n-gram cut keyed
+      // on q150's gap-bounded session keys, so a path cannot span an
+      // inactivity gap and per-group mining state is bounded by session
+      // length, not user lifetime
+      Funnel.frequentSessionPaths(Tables.events(s, d), n = 3, k = 10)),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4254,6 +4260,32 @@ object SparkEntry {
          |    JOIN hh b ON cand.id_b = b.doc_id)
          |SELECT id_a, id_b, containment FROM res
          |WHERE containment >= 0.9""".stripMargin,
+    "q184_session_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ev AS (
+        |  SELECT CAST(user_id AS VARCHAR) || ':' ||
+        |      CAST(CAST(sum(is_new) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS VARCHAR) AS sk,
+        |    ts, event_id, event_type
+        |  FROM flagged),
+        |s AS (SELECT sk,
+        |    list(event_type ORDER BY ts, event_id) AS seq
+        |  FROM ev GROUP BY sk),
+        |g AS (SELECT unnest(CASE WHEN len(seq) < 3 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, len(seq) - 1),
+        |      i -> array_to_string(list_slice(seq, i, i + 2), ' > '))
+        |    END) AS path
+        |  FROM s)
+        |SELECT path, count(*) AS n_occurrences FROM g
+        |GROUP BY path ORDER BY n_occurrences DESC, path LIMIT 10""".stripMargin,
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,

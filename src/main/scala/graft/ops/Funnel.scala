@@ -106,25 +106,8 @@ object Funnel {
                           userCol: String = "user_id", tsCol: String = "ts",
                           idCol: String = "event_id",
                           typeCol: String = "event_type"): DataFrame = {
-    require(gapMinutes > 0, s"gapMinutes must be positive: $gapMinutes")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    val prev = lag(col(tsCol), 1).over(w)
-    val newSession = when(
-      prev.isNull ||
-        unix_micros(col(tsCol)) - unix_micros(prev) >
-          gapMinutes * 60L * 1000000L, 1L)
-      .otherwise(0L)
-    val sess = events
-      .withColumn("__new", newSession)
-      .withColumn("__seq", sum(col("__new")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
-      .select(
-        concat_ws(":", col(userCol).cast("string"),
-          col("__seq").cast("string")).as("__session_key"),
-        col(tsCol), col(idCol), col(typeCol))
-      .localCheckpoint()
+    val sess = sessionKeyed(events, gapMinutes, userCol, tsCol, idCol,
+      typeCol).localCheckpoint()
     val out = funnelDepths(sess, steps, userCol = "__session_key",
       tsCol = tsCol, idCol = idCol, typeCol = typeCol)
       .groupBy("depth").agg(count(lit(1)).as("n_sessions"))
@@ -135,6 +118,36 @@ object Funnel {
     out
   }
 
+  /** Gap-based sessionization projection shared by the session funnel
+    * and session-scoped path mining: one (user) shuffle+sort window pass
+    * flags inactivity gaps > `gapMinutes` (exact integer microseconds),
+    * a running sum numbers each user's sessions, and the narrow
+    * (__session_key, ts, id, type) relation comes back — the q51
+    * gaps-and-islands discipline as a reusable building block.
+    */
+  private def sessionKeyed(events: DataFrame, gapMinutes: Long,
+                           userCol: String, tsCol: String,
+                           idCol: String, typeCol: String): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive: $gapMinutes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(
+      prev.isNull ||
+        unix_micros(col(tsCol)) - unix_micros(prev) >
+          gapMinutes * 60L * 1000000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("__new", newSession)
+      .withColumn("__seq", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .select(
+        concat_ws(":", col(userCol).cast("string"),
+          col("__seq").cast("string")).as("__session_key"),
+        col(tsCol), col(idCol), col(typeCol))
+  }
+
   /** Top-k most frequent length-`n` event-type paths ("what do users
     * actually do, in order") — sequence mining's workhorse n-gram cut:
     * each user's events collapse to one ordered type sequence ((ts, id)
@@ -142,12 +155,11 @@ object Funnel {
     * explode, and a global count ranks them. Returns
     * (path, n_occurrences) with ' > '-joined steps, ties broken by path.
     *
-    * Scale caveat (stated, not hidden): the per-user sequence is a
-    * collect_list, so one group's memory is one user's full history —
-    * bounded by per-user activity, not corpus size. A pipeline with
-    * unbounded per-user histories should sessionize first (q51) and mine
-    * per-session sequences; the operator is agnostic to what the
-    * `userCol` key means.
+    * The per-group sequence is a collect_list, so one group's memory is
+    * one key's full history. With unbounded per-user histories use
+    * [[frequentSessionPaths]], which keys the mining on gap-bounded
+    * sessions; this operator is agnostic to what the `userCol` key
+    * means, so the composition is a key swap.
     */
   def frequentPaths(events: DataFrame, n: Int = 3, k: Int = 10,
                     userCol: String = "user_id", tsCol: String = "ts",
@@ -165,6 +177,29 @@ object Funnel {
     grams.groupBy("path").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(desc("n_occurrences"), col("path"))
       .limit(k)
+  }
+
+  /** [[frequentPaths]] scoped to gap-based SESSIONS: sessionize first
+    * (the shared [[sessionKeyed]] pass), then mine n-grams within each
+    * session's ordered type sequence — a path cannot span an inactivity
+    * gap, and per-group state is bounded by SESSION length (gap-capped
+    * by construction), not user lifetime. This is the form that
+    * survives unbounded per-user histories at 100 TB; the composition
+    * is exactly the q150 session-funnel shape applied to path mining.
+    */
+  def frequentSessionPaths(events: DataFrame, n: Int = 3, k: Int = 10,
+                           gapMinutes: Long = 30,
+                           userCol: String = "user_id", tsCol: String = "ts",
+                           idCol: String = "event_id",
+                           typeCol: String = "event_type"): DataFrame = {
+    val sess = sessionKeyed(events, gapMinutes, userCol, tsCol, idCol,
+      typeCol).localCheckpoint()
+    val out = frequentPaths(sess, n, k, userCol = "__session_key",
+      tsCol = tsCol, idCol = idCol, typeCol = typeCol)
+      // k-row result: materialize so the session relation can release
+      .localCheckpoint()
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(sess)
+    out
   }
 
   /** Weekly cohort retention: users are cohorted by the ISO week of

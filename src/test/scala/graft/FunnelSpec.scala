@@ -122,6 +122,27 @@ class FunnelSpec extends SparkSpec {
     assert(plain == Map(3 -> 2L), s"got $plain")
   }
 
+  test("frequentSessionPaths: a path cannot span the inactivity gap") {
+    import org.apache.spark.sql.functions._
+    // one user, two sessions split by a >30-min gap: the only 3-grams
+    // are the within-session ones; the cross-gap grams (b>c>d, c>d>e)
+    // that plain frequentPaths WOULD mine must not appear
+    val ev = Seq(
+      (1L, 1L, 0L, "a"), (2L, 1L, 60L, "b"), (3L, 1L, 120L, "c"),
+      (4L, 1L, 3600L, "d"), (5L, 1L, 3660L, "e"), (6L, 1L, 3720L, "f")
+    ).toDF("event_id", "user_id", "secs", "event_type")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+      .drop("secs")
+    val sessioned = Funnel.frequentSessionPaths(ev, n = 3, k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(sessioned == Map("a > b > c" -> 1L, "d > e > f" -> 1L),
+      s"got $sessioned")
+    val plain = Funnel.frequentPaths(ev, n = 3, k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(plain.keySet == Set("a > b > c", "b > c > d", "c > d > e",
+      "d > e > f"), s"got $plain")
+  }
+
   test("conversionLatencies: first-touch anchor to chosen last step, completers only") {
     import org.apache.spark.sql.functions._
     // user 1: view@10, click@20, purchase@50 → latency 40s; a LATER
