@@ -149,17 +149,9 @@ object Resample {
       .select((unix_timestamp(date_trunc("day", col(tsCol))) / 86400L)
         .cast("long").as("__day"), col(userCol).as("__u"))
       .distinct()
-    val mx = dayUser.agg(max(col("__day")).as("__mxd"))
     val daily = dayUser.groupBy(col("__day"))
       .agg(expr(s"hll_sketch_agg(__u, $lgK)").as("__sk"))
-    val est = daily
-      .select(explode(sequence(col("__day"),
-        col("__day") + lit(windowDays - 1L))).as("__td"), col("__sk"))
-      .crossJoin(broadcast(mx))
-      .filter(col("__td") <= col("__mxd"))
-      .groupBy(col("__td"))
-      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))")
-        .as("__est"))
+    val est = rollingSketchEstimates(daily, windowDays)
     rollingDistinctUsers(df, tsCol, userCol, windowDays)
       .join(est, (col("day_epoch") / 86400L).cast("long") === col("__td"))
       .select(col("day_epoch"), col("users_1d"),
@@ -167,6 +159,28 @@ object Resample {
         (abs(col("__est") - col(s"users_${windowDays}d")) <=
           greatest(lit(relErr) * col(s"users_${windowDays}d"),
             lit(slack.toDouble))).as("approx_ok"))
+  }
+
+  /** Rolling-window estimate finish over per-day HLL sketches
+    * (__day, __sk): each day's sketch explodes to the `windowDays`
+    * trailing-window target days it participates in, per-target-day
+    * `hll_union_agg` merges (sketches are mergeable by construction —
+    * the entire point of the sketched lane), and the estimate comes out
+    * as (__td, __est). Trailing incomplete days are cut by a broadcast
+    * 1-row max. ONE definition shared by the batch checked twin and the
+    * streaming per-day-sketch lane, so the two cannot drift.
+    */
+  private[graft] def rollingSketchEstimates(daily: DataFrame,
+                                            windowDays: Int): DataFrame = {
+    val mx = daily.agg(max(col("__day")).as("__mxd"))
+    daily
+      .select(explode(sequence(col("__day"),
+        col("__day") + lit(windowDays - 1L))).as("__td"), col("__sk"))
+      .crossJoin(broadcast(mx))
+      .filter(col("__td") <= col("__mxd"))
+      .groupBy(col("__td"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))")
+        .as("__est"))
   }
 
   /** Holt double-exponential smoothing per key over the daily series —

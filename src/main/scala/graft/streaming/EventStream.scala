@@ -87,6 +87,36 @@ object EventStream {
         unix_timestamp(col("session_window.end")).as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Per-day HLL user sketches over the event stream — the streaming
+    * half of q182's sketched rolling-WAU lane: a tumbling 1-day window
+    * maintains one bounded-size sketch per day (HLL insertion is
+    * idempotent, so raw events need no pre-dedup), emitting
+    * (__day, __sk) rows a sink can store. The rolling union is NOT a
+    * second stateful aggregation in the stream — sketches are mergeable
+    * by construction, so the windowed merge runs over the STORED per-day
+    * sketches ([[rollingWauFromSketches]]), which is exactly why the
+    * sketched lane scales: per-day state is lgK-bounded and the 7-day
+    * fan-out touches sketches, not day×user rows.
+    */
+  def dailyUserSketches(events: DataFrame, lgK: Int = 12): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("__sk"))
+      .select((unix_timestamp(col("window.start")) / 86400L).cast("long")
+        .as("__day"), col("__sk"))
+
+  /** Rolling-WAU finish over per-day sketches a stream (or batch)
+    * maintained — delegates to the ONE shared
+    * `Resample.rollingSketchEstimates` definition, so the streaming twin
+    * is pinned to q182's batch estimate lane by construction. Returns
+    * (day_epoch, users_<w>d_est).
+    */
+  def rollingWauFromSketches(daily: DataFrame, windowDays: Int = 7): DataFrame =
+    graft.ops.Resample.rollingSketchEstimates(daily, windowDays)
+      .select((col("__td") * 86400L).as("day_epoch"),
+        col("__est").as(s"users_${windowDays}d_est"))
+
   /** Streaming exact dedup: duplicates of `idCols` arriving within the
     * watermark horizon are dropped; state for a key is evicted once the
     * watermark passes it (bounded state — the batch `dropDuplicates` has

@@ -20,6 +20,33 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("streaming per-day HLL sketches reproduce q182's batch rolling-WAU estimates") {
+    import org.apache.spark.sql.functions._
+    // stream maintains one lgK-bounded sketch per day; the rolling 7-day
+    // union runs over the STORED sketches through the same shared finish
+    // the batch checked twin uses — estimates must agree EXACTLY (HLL
+    // insertion is idempotent and order-insensitive, so the raw event
+    // stream and the deduped batch lane converge to one register state)
+    val streamed = EventStream.dailyUserSketches(
+      EventStream.read(spark, sf0001))
+    val stored = EventStream.runToMemory(spark, streamed,
+      "wau_sketch_test", "complete")
+    val fromStream = EventStream.rollingWauFromSketches(stored, 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchDaily = Tables.events(spark, sf0001)
+      .select((unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
+        .cast("long").as("__day"), col("user_id").as("__u"))
+      .distinct()
+      .groupBy(col("__day"))
+      .agg(expr("hll_sketch_agg(__u, 12)").as("__sk"))
+    val fromBatch = EventStream.rollingWauFromSketches(batchDaily, 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromStream.nonEmpty)
+    assert(fromStream == fromBatch,
+      s"stream-only: ${fromStream.toSet -- fromBatch.toSet}; " +
+        s"batch-only: ${fromBatch.toSet -- fromStream.toSet}")
+  }
+
   test("streaming heavy hitters matches exact batch counts (under-capacity regime)") {
     // 5 distinct event types < capacity 64 → the sketch is exact even as
     // micro-batches merge into the running state
