@@ -2229,6 +2229,17 @@ object SparkEntry {
       // inactivity gap and per-group mining state is bounded by session
       // length, not user lifetime
       Funnel.frequentSessionPaths(Tables.events(s, d), n = 3, k = 10)),
+    "q185_wcc_census" -> ((s, d) => {
+      // WCC census over the SIGNIFICANT-transition graph: keep edges at
+      // weight >= max/2 (integer floor — portable), label components via
+      // the pointer-doubling CC core on portable-hashed type nodes, and
+      // histogram the component sizes — the graph-health snapshot
+      val edges = Graph.transitionEdges(T(s, d, "events"))
+      val mx = edges.agg(max(col("weight")).as("__mw"))
+      val kept = edges.crossJoin(broadcast(mx))
+        .filter(col("weight") >= expr("__mw div 2"))
+      Graph.wccCensus(kept)
+    }),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4286,6 +4297,27 @@ object SparkEntry {
         |  FROM s)
         |SELECT path, count(*) AS n_occurrences FROM g
         |GROUP BY path ORDER BY n_occurrences DESC, path LIMIT 10""".stripMargin,
+    "q185_wcc_census" ->
+      s"""WITH RECURSIVE lagd AS (SELECT event_type AS dst,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS src
+         |  FROM events),
+         |edges AS (SELECT src, dst, count(*) AS w FROM lagd
+         |  WHERE src IS NOT NULL GROUP BY src, dst),
+         |mx AS (SELECT max(w) AS mw FROM edges),
+         |kept AS (SELECT src, dst FROM edges CROSS JOIN mx
+         |  WHERE w >= mw // 2),
+         |hp AS (SELECT (${hash31Sql("src")}) AS ha,
+         |    (${hash31Sql("dst")}) AS hb FROM kept),
+         |e2 AS (SELECT ha AS src, hb AS dst FROM hp
+         |       UNION ALL SELECT hb, ha FROM hp),
+         |reach(src, dst) AS (SELECT src, dst FROM e2
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src),
+         |cl AS (SELECT src AS node, least(src, min(dst)) AS rep
+         |  FROM reach GROUP BY src),
+         |sz AS (SELECT rep, count(*) AS component_size FROM cl GROUP BY rep)
+         |SELECT component_size, count(*) AS n_components FROM sz
+         |GROUP BY component_size""".stripMargin,
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,

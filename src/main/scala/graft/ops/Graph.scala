@@ -404,4 +404,32 @@ object Graph {
     (header +: layers).mkString(",\n") +
       s"\nSELECT node, rank FROM r$iterations"
   }
+
+  /** Weakly-connected-component CENSUS over edges(src, dst): component
+    * count by size — the graph-health snapshot (is the interaction graph
+    * one blob, a few islands, or dust?) that decides whether
+    * partition-by-component processing is even possible. Nodes are
+    * portable-hashed to ids (the q174 discipline — both engines hash
+    * identically, so even a collision agrees cross-engine) and the
+    * pointer-doubling CC core ([[Dedup.clusterNearDups]], O(log diameter)
+    * rounds) labels every node with its component min; two keyed
+    * aggregations fold labels → sizes → histogram. Self-loops register
+    * their node as a size-1 component unless other edges merge it.
+    * Returns (component_size, n_components).
+    *
+    * Scale shape: inherits the CC core's discipline — per-round keyed
+    * join + partial agg on (id, id) pairs, scalar-only driver traffic —
+    * and the census aggregations shuffle (label, count) pairs only.
+    */
+  def wccCensus(edges: DataFrame, srcCol: String = "src",
+                dstCol: String = "dst"): DataFrame = {
+    val pairs = edges.select(
+      graft.functions.md5Hash31(col(srcCol).cast("string")).as("id_a"),
+      graft.functions.md5Hash31(col(dstCol).cast("string")).as("id_b"))
+    val labels = Dedup.clusterNearDups(pairs, idCol = "node")
+    labels.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("component_size"))
+      .groupBy(col("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+  }
 }

@@ -180,4 +180,16 @@ class GraphSpec extends SparkSpec {
     assert(after <= before + 1, s"before=$before after=$after")
     org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(out)
   }
+
+  test("wccCensus: multi-component graph histograms sizes correctly") {
+    // three weak components: {a,b,c} (chain), {d,e} (pair), {f} (pure
+    // self-loop) → histogram {3→1, 2→1, 1→1}; direction must not matter
+    // (c→b covers the reversed-edge case)
+    val edges = Seq(
+      ("a", "b"), ("c", "b"), ("d", "e"), ("f", "f")
+    ).toDF("src", "dst")
+    val got = Graph.wccCensus(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 1L, 2L -> 1L, 1L -> 1L), s"got $got")
+  }
 }
