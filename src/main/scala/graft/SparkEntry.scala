@@ -4414,8 +4414,8 @@ object SparkEntry {
          |  FROM counts),
          |ss2 AS (SELECT CAST(sum(sd) AS BIGINT) AS ssum FROM s2),
          |rates AS (SELECT source,
-         |    LEAST(1000000, (1000000 * ((total * 60) // 100) * sd) //
-         |      (ssum * nd)) AS ppm
+         |    LEAST(1000000, (((total * 60) // 100) *
+         |      ((1000000 * sd) // ssum)) // nd) AS ppm
          |  FROM s2 CROSS JOIN tot2 CROSS JOIN ss2),
          |kept AS (SELECT sel.source, sel.doc_id
          |  FROM sel JOIN rates USING (source)
@@ -4431,8 +4431,8 @@ object SparkEntry {
          |  FROM counts),
          |ss AS (SELECT CAST(sum(sd) AS BIGINT) AS ssum FROM s),
          |rates AS (SELECT source,
-         |    LEAST(1000000, (1000000 * ((total * 60) // 100) * sd) //
-         |      (ssum * nd)) AS ppm
+         |    LEAST(1000000, (((total * 60) // 100) *
+         |      ((1000000 * sd) // ssum)) // nd) AS ppm
          |  FROM s CROSS JOIN tot CROSS JOIN ss),
          |kept AS (SELECT d.source, d.doc_id
          |  FROM documents d JOIN rates USING (source)

@@ -157,8 +157,14 @@ object Sampling {
     * identical double from the identical integer, and the floor/cast is
     * then exact), every subsequent step is integer multiply/divide, and
     * the keep gate is the shared parts-per-million [[portableGate]].
-    * Σs_d and the products stay far under 2^63 at any realistic domain
-    * count; at extreme corpus sizes widen to DECIMAL on both engines.
+    * OVERFLOW DISCIPLINE: the per-domain share s_d/Σs_d is reduced to
+    * ppm FIRST ((10^6·s_d) DIV Σs_d ≤ 10^6), THEN multiplied by the
+    * output budget — the naive single product 10^6·budget·s_d grows as
+    * ~6·10^8·n^1.5 and overflows int64 (ANSI ARITHMETIC_OVERFLOW) at
+    * only ~6M rows in a dominant domain, while the reduced form's worst
+    * factor pair budget·share_ppm ≤ n·10^6 holds to n ≈ 9·10^12 rows;
+    * past that widen to DECIMAL on both engines. The oracle replays the
+    * identical reduction order.
     *
     * Scale shape: one map-side-combinable count per domain, the
     * #domains-row rate table broadcasts back, the corpus sees one
@@ -176,8 +182,8 @@ object Sampling {
     val rates = counts.crossJoin(broadcast(ssum)).crossJoin(broadcast(total))
       .select(col(domainCol),
         least(lit(1000000L),
-          expr(s"(1000000 * ((__total * $outPct) DIV 100) * __sd) DIV " +
-            "(__ssum * __nd)")).as("__ppm"))
+          expr(s"(((__total * $outPct) DIV 100) * " +
+            "((1000000 * __sd) DIV __ssum)) DIV __nd")).as("__ppm"))
     df.join(broadcast(rates), domainCol)
       .filter(portableGate(col(idCol), col("__ppm"), 1000000L))
       .select(df.columns.map(col).toIndexedSeq: _*)

@@ -33,13 +33,25 @@ object EventStream {
     * needs its schema declared up front, and the physical ts type varies
     * by testdata vintage (long nanos vs TIMESTAMP_NTZ micros), so we read
     * the footer schema via a one-off batch read of the same glob and
-    * normalize accordingly — same dispatch as `Tables.events`.
+    * normalize accordingly — same dispatch as `Tables.events`. When the
+    * directory has no matching files YET (the normal file-source start
+    * state: files arrive later), the probe cannot infer anything — fall
+    * back to [[rawSchema]] (long-nanos vintage) rather than refusing to
+    * start; pre-create at least one file to pin a different vintage.
     */
   def read(spark: SparkSession, dir: String,
            glob: String = "events.parquet",
            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val physical = spark.read
-      .option("pathGlobFilter", glob).parquet(dir).schema
+    val physical =
+      try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null &&
+            (e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+              e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("unable to infer schema")) =>
+          rawSchema
+      }
     val r0 = spark.readStream
       .schema(physical)
       .option("pathGlobFilter", glob)

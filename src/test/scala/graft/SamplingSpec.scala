@@ -134,6 +134,19 @@ class SamplingSpec extends SparkSpec {
       Seq("id", "dom"))
   }
 
+  test("sampleToTemperature: dominant-domain corpus does not overflow int64") {
+    // 7M rows in one domain: the naive rate product 10^6·budget·s_d
+    // ≈ 1.1e19 exceeds int64 (ANSI ARITHMETIC_OVERFLOW); the
+    // share-in-ppm-first reduction keeps every factor pair ≤ n·10^6.
+    // Single domain → share_ppm = 10^6 → rate = budget/n = 60% exactly
+    import org.apache.spark.sql.functions._
+    val df = spark.range(7000000L)
+      .select(col("id"), lit("head").as("dom"))
+    val n = Sampling.sampleToTemperature(df, "dom", "id", outPct = 60).count()
+    // hash gate at exactly 600000 ppm: binomial around 0.6·7M, ±0.5%
+    assert(math.abs(n - 4200000L) < 35000L, s"kept $n")
+  }
+
   test("dsirWeights: target-distinctive n-grams score high, weights are exact integer sums") {
     // target docs speak "alpha beta", raw-only docs speak "gamma delta";
     // doc 20 mixes both, doc 21 is token-free (absent from output)

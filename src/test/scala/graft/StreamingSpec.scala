@@ -20,6 +20,21 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("EventStream.read starts against an empty directory (schema fallback)") {
+    // the normal file-source pattern: the stream starts BEFORE files
+    // arrive — the schema probe finds nothing and must fall back to the
+    // long-nanos rawSchema instead of throwing
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_src").toString
+    val df = EventStream.read(spark, dir)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // and it runs: zero rows, but the query starts and stops cleanly
+    val got = EventStream.runToMemory(spark,
+      EventStream.hourlyRollup(df), "empty_src_test", "complete")
+    assert(got.count() == 0)
+  }
+
   test("streaming per-day HLL sketches reproduce q182's batch rolling-WAU estimates") {
     import org.apache.spark.sql.functions._
     // stream maintains one lgK-bounded sketch per day; the rolling 7-day
