@@ -17,44 +17,27 @@ object Bench {
       expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`${c.replace("`", "``")}`").mkString(", ")}))"))
       .collect()
 
-  /** Time one query `reps` times and report the MEDIAN — one-rep timings
-    * cannot distinguish a real regression from shared-session noise (the
-    * round-6 steady>fresh anomaly was unattributable for exactly that
-    * reason). After EVERY rep, blocks persisted by the query (eager
-    * localCheckpoints inside iterative/multi-consumer operators) are
-    * explicitly unpersisted: without the release, ~250 query executions
-    * accumulate dead checkpoint blocks that compete with execution memory
-    * and bleed into later queries' times. Bench runs queries one at a
-    * time, so the persistent-id diff cannot race with another query.
+  /** Time ONE execution of one query. After the run, blocks persisted by
+    * the query (eager localCheckpoints inside iterative/multi-consumer
+    * operators) are explicitly unpersisted: without the release, ~750
+    * query executions accumulate dead checkpoint blocks that compete with
+    * execution memory and bleed into later queries' times. Bench runs
+    * queries one at a time, so the persistent-id diff cannot race with
+    * another query.
     */
-  private def timeOne(spark: SparkSession, sfDir: String,
-                      fn: (SparkSession, String) => DataFrame,
-                      reps: Int): Double = {
-    val times = (1 to reps).map { _ =>
-      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-      val t0 = System.nanoTime()
-      // no swallowed exceptions: a failing query must fail the bench run
-      // loudly rather than record a partial-execution time
-      consume(fn(spark, sfDir))
-      val t = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => before.contains(id) }
-        .values.foreach(_.unpersist(blocking = false))
-      t
-    }.sorted
-    times(times.size / 2)
+  private def timeOnce(spark: SparkSession, sfDir: String,
+                       fn: (SparkSession, String) => DataFrame): Double = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val t0 = System.nanoTime()
+    // no swallowed exceptions: a failing query must fail the bench run
+    // loudly rather than record a partial-execution time
+    consume(fn(spark, sfDir))
+    val t = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
+    t
   }
-
-  private def timeAll(spark: SparkSession, sfDir: String,
-                      reps: Int): Map[String, Double] =
-    // sorted-name order, NOT HashMap order: q104 installs the top-k rewrite
-    // into the shared session mid-run, so which queries execute pre- vs
-    // post-install must stay stable round over round — hash order would
-    // reshuffle it whenever the key set changes and turn plan-shape
-    // differences into phantom per-query regressions in BENCH_DETAIL.json
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timeOne(spark, sfDir, fn, reps)
-    }.toMap
 
   /** Storage snapshot: (persistent RDD count, their total memory bytes) —
     * recorded between passes so a steady-pass regression is attributable
@@ -66,6 +49,34 @@ object Bench {
     (rdds.size, bytes)
   }
 
+  /** SELF-ADJUDICATING measurement protocol (the round-7 lesson: a
+    * machine-contention window during back-to-back reps of one query
+    * masqueraded as a 55× per-query regression, and proving it required
+    * diffing two whole runs):
+    *
+    *   - pass 1 = FRESH, one rep per query in stable sorted-name order
+    *     (q104 installs the top-k rewrite session-wide mid-run; its
+    *     install point must stay fixed round over round or plan-shape
+    *     differences become phantom regressions). Fresh includes
+    *     per-plan analysis/codegen — by definition unrepeatable.
+    *   - passes 2..(steadyReps+1) = STEADY: each is a FULL-SUITE pass in
+    *     a per-rep deterministic rotation (MurmurHash3(name, rep) order —
+    *     same orders every round). A query's reps are therefore
+    *     temporally separated and differently ordered, so a sustained
+    *     contention window inflates one PASS (visible in
+    *     steady_pass_totals and as one outlier in the per-query rep
+    *     array), never all reps of one query. All steady passes run
+    *     post-rewrite-install, so order rotation cannot change plans.
+    *
+    * Lanes in BENCH_DETAIL.json: `steady` = per-query MEDIAN of reps
+    * (the round-over-round comparison lane — keep comparing THIS one),
+    * `steady_min` = per-query MIN (the contention-immune floor: compare
+    * it when median moved but min didn't — that's noise, not
+    * regression), `steady_rep_times` = the raw per-rep arrays,
+    * `steady_pass_totals` = per-pass wall totals (a contention window
+    * shows here as one inflated pass). `fresh` stays the headline for
+    * cross-round comparability.
+    */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -82,18 +93,28 @@ object Bench {
     // warm the session (codegen, parquet reader, broadcast machinery) so the
     // first timed query doesn't absorb ~4s of one-time JVM/session startup
     SparkEntry.entry(spark).count()
-    // pass 1 = fresh (includes per-plan codegen/analysis, single rep — the
-    // first execution of a plan is by definition unrepeatable); pass 2 =
-    // steady state (plan+codegen caches warm), MEDIAN of `steadyReps` — the
-    // number that tracks actual execution cost. Headline metric stays the
-    // fresh total for cross-round comparability.
-    val fresh = timeAll(spark, sfDir, reps = 1)
+    val order = SparkEntry.queries.toSeq.sortBy(_._1)
+    val fresh = order.map { case (n, fn) =>
+      n -> timeOnce(spark, sfDir, fn) }.toMap
     val (rddsAfterFresh, bytesAfterFresh) = storageSnapshot(spark)
-    val steady = timeAll(spark, sfDir, reps = steadyReps)
+    // steady passes, each full-suite in its own deterministic rotation
+    val passes: Seq[Seq[(String, Double)]] = (1 to steadyReps).map { rep =>
+      order.sortBy { case (n, _) =>
+        scala.util.hashing.MurmurHash3.stringHash(n, rep)
+      }.map { case (n, fn) => n -> timeOnce(spark, sfDir, fn) }
+    }
+    val passTotals = passes.map(_.map(_._2).sum)
+    // per-query rep vectors in REP order (pass 1..N), not execution order
+    val repTimes: Map[String, Seq[Double]] =
+      order.map { case (n, _) => n -> passes.map(_.toMap.apply(n)) }.toMap
+    val steady = repTimes.map { case (n, ts) =>
+      n -> ts.sorted.apply(ts.size / 2) }
+    val steadyMin = repTimes.map { case (n, ts) => n -> ts.min }
     def js(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (fresh.nonEmpty) fresh.values.sum else 0.0
     val steadyTotal = if (steady.nonEmpty) steady.values.sum else 0.0
+    val steadyMinTotal = if (steadyMin.nonEmpty) steadyMin.values.sum else 0.0
     // the driver's log capture truncates the one-line JSON tail, losing
     // ~half the per-query times — ALSO write the complete artifact to a
     // committed file so round-over-round regressions stay adjudicable
@@ -101,7 +122,10 @@ object Bench {
     val detailJson = new StringBuilder()
       .append(s"""{"sf":"$sfDir","n_queries":${fresh.size},""")
       .append(s""""fresh_total":$total,"steady_total":$steadyTotal,""")
+      .append(s""""steady_min_total":$steadyMinTotal,""")
       .append(s""""steady_reps":$steadyReps,""")
+      .append(s""""steady_pass_totals":[${passTotals.mkString(",")}],""")
+      .append(s""""compare_lane":"steady (median); if it moved but steady_min did not, adjudicate as contention noise",""")
       .append(s""""persistent_rdds_after_fresh":$rddsAfterFresh,""")
       .append(s""""persisted_bytes_after_fresh":$bytesAfterFresh,""")
       .append("\"fresh\":{")
@@ -110,6 +134,13 @@ object Bench {
       .append("},\n\"steady\":{")
       .append(steady.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"$k\":$v" }.mkString(",\n"))
+      .append("},\n\"steady_min\":{")
+      .append(steadyMin.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"$k\":$v" }.mkString(",\n"))
+      .append("},\n\"steady_rep_times\":{")
+      .append(repTimes.toSeq.sortBy(_._1)
+        .map { case (k, ts) => s"\"$k\":[${ts.mkString(",")}]" }
+        .mkString(",\n"))
       .append("}}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(detail),
       detailJson.toString)

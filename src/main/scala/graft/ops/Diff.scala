@@ -65,9 +65,20 @@ object Diff {
     * engine reproduces every row bit-for-bit.
     */
   def distributionDrift(v1: DataFrame, v2: DataFrame,
-                        catCol: String): DataFrame = {
-    val c1 = v1.groupBy(col(catCol)).agg(count(lit(1)).as("n_v1"))
-    val c2 = v2.groupBy(col(catCol)).agg(count(lit(1)).as("n_v2"))
+                        catCol: String): DataFrame =
+    distributionDriftFromCounts(
+      v1.groupBy(col(catCol)).agg(count(lit(1)).as("n_v1")),
+      v2.groupBy(col(catCol)).agg(count(lit(1)).as("n_v2")), catCol)
+
+  /** [[distributionDrift]] from PRE-AGGREGATED per-category counts —
+    * the form a streaming monitor stores and re-scores after each
+    * micro-batch (category counts are additive across batches, so an
+    * upserted snapshot equals the batch aggregation of everything seen;
+    * the probability/JS math here is the ONE shared definition). Expects
+    * (catCol, n_v1) and (catCol, n_v2).
+    */
+  def distributionDriftFromCounts(c1: DataFrame, c2: DataFrame,
+                                  catCol: String): DataFrame = {
     val joined = c1.join(c2, Seq(catCol), "full_outer")
       .select(col(catCol),
         coalesce(col("n_v1"), lit(0L)).as("n_v1"),

@@ -931,4 +931,56 @@ object TextAnalysis {
         round(col("n_symbols").cast("double") / col("n_chars"), 6)
           .as("symbols_per_char"))
   }
+
+  /** Encode one word with a FROZEN merge table: the delimiter-encoded
+    * character form folds through the merges as sequential greedy
+    * replaces — built-in `replace` is greedy left-to-right
+    * non-overlapping, which IS BPE's merge rule, and exactly what
+    * training ([[bpeTrainMerges]]) applied per round. The merge list
+    * compiles to a fixed replace chain, so the expression is pure
+    * per-row compute: no state, no joins — the [[graft.ops.Sampling]]
+    * frozen-snapshot (dsirScorePpm/mixtureGate) discipline applied to
+    * tokenization.
+    */
+  def bpeEncodeWord(word: Column, merges: Seq[(String, String)]): Column = {
+    val seed = concat(lit("|"),
+      array_join(filter(split(word, ""), c => length(c) > 0), "||"),
+      lit("|"))
+    merges.foldLeft(seed) { case (acc, (l, r)) =>
+      replace(acc, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+    }
+  }
+
+  /** [[bpeEncodedLengths]] with a FROZEN merge table instead of inline
+    * training: per-document segmentation stats computed entirely
+    * MAP-ONLY — each row tokenizes, encodes its own words through the
+    * compiled replace chain, and folds symbol/char counts, so the
+    * operator applies unchanged to an unbounded stream (no vocabulary
+    * join, no shuffle; that is the point of freezing the merges).
+    * Matches [[bpeEncodedLengths]] exactly when given the merge table
+    * its training run produced (StreamingSpec pins this). Docs with no
+    * encodable word are absent, like the inline tier's inner join.
+    */
+  def bpeEncodedLengthsFrozen(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text",
+                              merges: Seq[(String, String)]): DataFrame = {
+    val tks = filter(graft.functions.tokens(col(textCol)),
+      w => !w.contains("|"))
+    val nsym = (w: Column) => {
+      val enc = bpeEncodeWord(w, merges)
+      size(split(enc.substr(lit(2), length(enc) - 2), "\\|\\|")).cast("long")
+    }
+    docs
+      .select(col(idCol), tks.as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("n_words"),
+        aggregate(transform(col("__tk"), nsym), lit(0L),
+          (acc, x) => acc + x).as("n_symbols"),
+        aggregate(transform(col("__tk"), w => length(w).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_chars"))
+      .select(col(idCol), col("n_words"), col("n_symbols"), col("n_chars"),
+        round(col("n_symbols").cast("double") / col("n_chars"), 6)
+          .as("symbols_per_char"))
+  }
 }

@@ -436,6 +436,61 @@ object EventStream {
       graft.ops.Dedup.removeBoilerplateColumn(col("text"), boilerHashes,
         chunkTokens).as("clean_text"))
 
+  /** Streaming BPE encoder — the streaming twin of q179's inference
+    * half: training needs corpus-global pair counts, so the stream
+    * applies a FROZEN merge table ([[graft.ops.TextAnalysis
+    * .bpeTrainMerges]] collected batch-side, refreshed when the
+    * tokenizer retrains — the dsirScorePpm snapshot discipline) through
+    * the map-only compiled replace chain: no watermark, no state store,
+    * no vocabulary join, and the per-doc stats are identical to the
+    * batch encoder given the same merges (StreamingSpec pins it).
+    */
+  def bpeEncodedDocuments(docs: DataFrame,
+                          merges: Seq[(String, String)]): DataFrame =
+    graft.ops.TextAnalysis.bpeEncodedLengthsFrozen(docs, "doc_id", "text",
+      merges)
+
+  /** Per-micro-batch upsert of per-category counts into a stored
+    * snapshot table — the maintenance half of the streaming drift
+    * monitor. Counts are ADDITIVE, so merging each batch's aggregate
+    * into the store converges to exactly the batch aggregation of
+    * everything seen (the upsertDailyTotals merge discipline; same
+    * at-least-once caveat). The store is categories-sized by
+    * construction, so the localCheckpoint-then-overwrite is a tiny
+    * bounded relation, never the stream.
+    */
+  def upsertCategoryCounts(batch: DataFrame, catCol: String,
+                           dest: String): Unit = {
+    val spark = batch.sparkSession
+    val bc = batch.groupBy(col(catCol)).agg(count(lit(1)).as("n"))
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val destExists = destPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(destPath)
+    val existing =
+      if (destExists) spark.read.parquet(dest) else bc.limit(0)
+    val merged = existing.unionByName(bc)
+      .groupBy(col(catCol)).agg(sum(col("n")).as("n"))
+      // materialize before overwriting the path being read
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(dest)
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(merged)
+  }
+
+  /** Streaming drift monitor — the streaming twin of q132: every
+    * micro-batch folds its category counts into the stored snapshot via
+    * [[upsertCategoryCounts]]; scoring reads the snapshot against a
+    * frozen reference count table through the ONE shared
+    * [[graft.ops.Diff.distributionDriftFromCounts]] definition, so the
+    * monitor's drift rows equal the batch q132 relation over everything
+    * the stream has seen (StreamingSpec pins it).
+    */
+  def categoryCountMonitor(docs: DataFrame, catCol: String,
+                           dest: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch((batch: Dataset[Row], _: Long) =>
+        upsertCategoryCounts(batch.toDF(), catCol, dest))
+
   /** Streaming frame sampling — the streaming twin of q151: synthesize →
     * [[graft.ops.Multimodal.frameSample]] is a stateless projection plus
     * per-row explode (flatMap), so it applies to an unbounded media

@@ -366,6 +366,67 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("streaming BPE encoder with frozen merges matches the batch encoder") {
+    import org.apache.spark.sql.functions._
+    // train batch-side, freeze the merge table, encode the same docs as
+    // a stream through the compiled replace chain — per-doc stats must
+    // be identical to the inline train-then-encode tier
+    val docs = Tables.documents(spark, sf0001)
+    val merges = graft.ops.TextAnalysis.bpeTrainMerges(docs, rounds = 4)
+      .orderBy("merge_round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size == 4)
+    val streamed = EventStream.bpeEncodedDocuments(
+      EventStream.readDocuments(spark, sf0001), merges)
+    val got = EventStream.runToMemory(spark, streamed, "bpe_stream_test")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val batch = graft.ops.TextAnalysis.bpeEncodedLengths(docs, rounds = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.nonEmpty)
+    assert(got == batch,
+      s"first diff: ${(got.toSet -- batch.toSet).take(2)} vs ${(batch.toSet -- got.toSet).take(2)}")
+  }
+
+  test("streaming drift monitor: upserted counts reproduce the batch q132 relation") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    // 4 files → 4 micro-batches whose category counts merge incrementally
+    val docs = Tables.documents(spark, sf0001)
+    docs.select("doc_id", "lang").repartition(4)
+      .write.parquet(s"$dir/src")
+    val streamed = spark.readStream
+      .schema("doc_id LONG, lang STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/src")
+    val q = EventStream.categoryCountMonitor(streamed, "lang",
+      s"$dir/counts").start()
+    q.processAllAvailable(); q.stop()
+    assert(q.recentProgress.length >= 4)
+    // stored snapshot == batch counts of everything seen
+    val stored = spark.read.parquet(s"$dir/counts")
+    val storedMap = stored.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(storedMap == exact)
+    // drift scored from the stored counts == the inline batch drift
+    val ref = docs.filter(col("doc_id") % 2 === 0).select("lang")
+    val refCounts = ref.groupBy(col("lang")).agg(count(lit(1)).as("n_v1"))
+    val fromStore = graft.ops.Diff.distributionDriftFromCounts(refCounts,
+      stored.select(col("lang"), col("n").as("n_v2")), "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val inline = graft.ops.Diff.distributionDrift(ref, docs.select("lang"),
+      "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(fromStore == inline)
+  }
+
   test("streaming boilerplate scrub matches batch removal text for text") {
     // frozen snapshot from the batch corpus; 2-token chunks at minDocFreq 2
     // so the word-soup fixture actually yields a non-empty boiler set
