@@ -2240,6 +2240,22 @@ object SparkEntry {
         .filter(col("weight") >= expr("__mw div 2"))
       Graph.wccCensus(kept)
     }),
+    "q186_lexical_diversity" -> ((s, d) =>
+      // vocabulary-richness quality profile: type-token ratio, hapax
+      // share, per-doc word entropy — one tokenize, one doc-keyed
+      // aggregate, round-6 after the only division
+      TextAnalysis.lexicalDiversity(T(s, d, "documents"))),
+    "q187_zipf_fit" -> ((s, d) =>
+      // corpus-health OLS: ln(freq) on ln(rank) over the frequency head;
+      // bounded-buffer TopK head cut, window only over <=500 rows,
+      // scalar moment arithmetic rounded to 6
+      TextAnalysis.zipfFit(T(s, d, "documents"), topRanks = 500)),
+    "q188_repeat_epochs" -> ((s, d) =>
+      // data-constrained repeat scheduling (Muennighoff 2023): equal
+      // budget shares, small sources repeat up to 8 epochs — exact
+      // integer DIV math end-to-end, 1-row broadcast scalars
+      Sampling.repeatEpochs(T(s, d, "documents"), budgetFactor = 4,
+        maxEpochs = 8)),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4318,6 +4334,57 @@ object SparkEntry {
          |sz AS (SELECT rep, count(*) AS component_size FROM cl GROUP BY rep)
          |SELECT component_size, count(*) AS n_components FROM sz
          |GROUP BY component_size""".stripMargin,
+    "q186_lexical_diversity" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |  GROUP BY doc_id, term),
+         |a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_types,
+         |    CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hapax,
+         |    sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) AS sclnc
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_types, n_hapax,
+         |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |    AS ttr,
+         |  round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+         |    AS hapax_ratio,
+         |  round(ln(CAST(n_tokens AS DOUBLE)) -
+         |    sclnc / CAST(n_tokens AS DOUBLE), 6) AS word_entropy
+         |FROM a""".stripMargin,
+    "q187_zipf_fit" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+         |hd AS (SELECT cnt, term FROM c ORDER BY cnt DESC, term LIMIT 500),
+         |r AS (SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rnk,
+         |    cnt FROM hd),
+         |xy AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x,
+         |    ln(CAST(cnt AS DOUBLE)) AS y FROM r),
+         |m AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+         |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+         |    sum(y * y) AS syy FROM xy)
+         |SELECT CAST(n AS BIGINT) AS n_ranks,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         |    AS zipf_slope,
+         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+         |    / n, 6) AS zipf_intercept,
+         |  round(pow(n * sxy - sx * sy, 2) /
+         |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         |FROM m""".stripMargin,
+    "q188_repeat_epochs" ->
+      s"""WITH ps AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+         |    count(*) AS ns FROM ps),
+         |j AS (SELECT source, n_docs, n_tokens, tt,
+         |    (4 * tt) // ns AS share FROM ps CROSS JOIN tot),
+         |e AS (SELECT source, n_docs, n_tokens, tt,
+         |    least(8, greatest(1, share // n_tokens)) AS epochs FROM j)
+         |SELECT source, n_docs, n_tokens, epochs,
+         |  epochs * n_tokens AS contributed_tokens,
+         |  250000 * epochs * n_tokens // tt AS budget_share_ppm
+         |FROM e""".stripMargin,
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,

@@ -375,4 +375,53 @@ object Sampling {
       // the join hoists its keys to the front — restore the input schema
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Epoch-repetition schedule for data-constrained training (the
+    * repeat-scaling recipe of Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models" — public arXiv:2305.16264): given
+    * a total token budget of `budgetFactor` × the corpus, give each
+    * source an equal share of the budget and let a small source repeat
+    * (up to `maxEpochs`, past which repeated data stops helping per the
+    * paper) to fill its share, while a large source caps at one epoch.
+    * Output: per-source token mass, the epoch count, the contributed
+    * (repeated) token mass, and its realised budget share in ppm.
+    *
+    * Everything is exact integer arithmetic (ppm-gate discipline): the
+    * per-source token sums are BIGINTs, the fair share is an integer
+    * DIV, the epoch count is a clamped integer DIV, so the schedule is
+    * reproducible under any partitioning and any engine. The corpus is
+    * touched once (map-side-combinable token-count aggregate); the
+    * budget scalars ride a broadcast 1-row crossJoin — nothing
+    * corpus-scale moves. The ppm share is computed as
+    * `(10^6/budgetFactor)·epochs·n_tokens DIV total` — magnitude is
+    * reduced BEFORE multiplying (the q173 overflow lesson), so with
+    * budgetFactor 4 / maxEpochs 8 the int64 product bound holds to
+    * ~4.6e12 tokens PER SOURCE (≈ 18 TB of text); past that, swap the
+    * ppm product for DECIMAL. `budgetFactor` must divide 10^6 so the
+    * reduction is exact.
+    */
+  def repeatEpochs(docs: DataFrame, srcCol: String = "source",
+                   textCol: String = "text", budgetFactor: Int = 4,
+                   maxEpochs: Int = 8): DataFrame = {
+    require(budgetFactor > 0 && 1000000 % budgetFactor == 0,
+      "budgetFactor must be positive and divide 10^6")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val perSrc = docs
+      .select(col(srcCol),
+        graft.functions.tokenCount(col(textCol)).cast("long").as("__tok"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("__tt"),
+      count(lit(1)).as("__ns"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col(srcCol), col("n_docs"), col("n_tokens"), col("__tt"),
+        expr(s"${budgetFactor.toLong} * __tt DIV __ns").as("__share"))
+      .select(col(srcCol), col("n_docs"), col("n_tokens"), col("__tt"),
+        least(lit(maxEpochs.toLong),
+          greatest(lit(1L), expr("__share DIV n_tokens"))).as("epochs"))
+      .select(col(srcCol), col("n_docs"), col("n_tokens"), col("epochs"),
+        (col("epochs") * col("n_tokens")).as("contributed_tokens"),
+        expr(s"${1000000L / budgetFactor} * epochs * n_tokens DIV __tt")
+          .as("budget_share_ppm"))
+  }
 }

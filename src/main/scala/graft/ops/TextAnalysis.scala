@@ -983,4 +983,94 @@ object TextAnalysis {
         round(col("n_symbols").cast("double") / col("n_chars"), 6)
           .as("symbols_per_char"))
   }
+
+  /** Per-document lexical-diversity profile — the vocabulary-richness
+    * rung of the quality ladder next to [[repetitionStats]] (Gopher's
+    * duplicate-fraction flags) and [[unigramCrossEntropy]] (corpus-LM
+    * fit): type-token ratio, hapax-legomenon share, and the Shannon
+    * entropy of the document's OWN word distribution
+    * H = ln(n) − Σ c·ln(c)/n. Machine-generated or template text scores
+    * low on all three; natural prose sits near the top of the entropy
+    * range for its length.
+    *
+    * Shape at corpus scale: one tokenize pass ([[termFrequencies]],
+    * un-materialized — single consumer), then ONE doc-keyed aggregate;
+    * partial aggregation collapses per-task duplicates before the
+    * shuffle and no corpus-wide key exists. The double Σ c·ln(c) is
+    * per-document (bounded by doc length) and rounded to 6 decimals
+    * after the final division (NOTES_r3 item 15 drift class). Token-free
+    * docs have no term rows and are absent, matching the other per-doc
+    * text profiles.
+    */
+  def lexicalDiversity(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol, materialize = false)
+    tf.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1L, lit(1L)).otherwise(lit(0L)))
+          .as("n_hapax"),
+        sum(col("tf").cast("double") * log(col("tf").cast("double")))
+          .as("__sclnc"))
+      .select(col(idCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") /
+          col("n_types").cast("double"), 6).as("hapax_ratio"),
+        round(log(col("n_tokens").cast("double")) -
+          col("__sclnc") / col("n_tokens").cast("double"), 6)
+          .as("word_entropy"))
+  }
+
+  /** Zipf's-law fit over the corpus head: rank terms by frequency
+    * (count desc, term asc — a total order) and regress ln(count) on
+    * ln(rank) by ordinary least squares over the top `topRanks` terms.
+    * The slope is the Zipf exponent (−1 for ideal natural text; near 0
+    * for uniform/synthetic vocabularies) — a one-row corpus-health
+    * indicator used to spot template-dominated or truncated-vocabulary
+    * slices before training.
+    *
+    * Shape at corpus scale: the corpus is touched once (tokenize +
+    * map-side-combinable count); the head cut is the bounded-buffer
+    * [[graft.plans.TopK]] operator (no global sort of the vocabulary),
+    * and the ONLY window (row_number for ranks) runs over the ≤topRanks
+    * surviving rows. Moment sums (Σx, Σy, Σxy, Σx²) are one tiny
+    * aggregate; slope/intercept/r² are scalar arithmetic on them,
+    * rounded to 6 decimals (ln's sub-ulp engine drift is ~1e-15 relative
+    * through these sums — NOTES_r3 item 15).
+    */
+  def zipfFit(docs: DataFrame, textCol: String = "text",
+              topRanks: Int = 500): DataFrame = {
+    require(topRanks > 1, "topRanks must be > 1")
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__g", lit(1))
+    val head = graft.plans.TopK.perGroup(counts, Seq("__g"),
+      Seq(("cnt", true), ("term", false)), topRanks)
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(desc("cnt"), asc("term"))
+    val xy = head
+      .withColumn("__rank", row_number().over(w))
+      .select(log(col("__rank").cast("double")).as("__x"),
+        log(col("cnt").cast("double")).as("__y"))
+    val m = xy.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    m.select(col("__n").cast("long").as("n_ranks"),
+      round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 6)
+        .as("zipf_slope"),
+      round((col("__sy") - ((col("__n") * col("__sxy") -
+          col("__sx") * col("__sy")) /
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx"))) *
+          col("__sx")) / col("__n"), 6).as("zipf_intercept"),
+      round(pow(col("__n") * col("__sxy") - col("__sx") * col("__sy"), 2) /
+        ((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+          (col("__n") * col("__syy") - col("__sy") * col("__sy"))), 6)
+        .as("r2"))
+  }
 }

@@ -169,4 +169,39 @@ class SamplingSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(again == w)
   }
+
+  test("repeatEpochs: small source repeats up to the clamp, big source " +
+    "caps at 1 epoch, shares are exact integer ppm") {
+    // big = 100 tokens across 2 docs, small = 4 tokens in 1 doc
+    // total = 104, budget = 4·104 = 416, share = 416 DIV 2 = 208
+    // big: 208 DIV 100 = 2 epochs; small: 208 DIV 4 = 52 → clamp 8
+    val df = Seq(
+      ("big", ("t " * 50).trim), ("big", ("t " * 50).trim),
+      ("small", "a b c d")
+    ).toDF("source", "text")
+    val rows = Sampling.repeatEpochs(df, budgetFactor = 4, maxEpochs = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val big = rows("big")
+    assert(big.getAs[Long]("n_docs") == 2L)
+    assert(big.getAs[Long]("n_tokens") == 100L)
+    assert(big.getAs[Long]("epochs") == 2L)
+    assert(big.getAs[Long]("contributed_tokens") == 200L)
+    // 250000·2·100 DIV 104 = 480769 ppm
+    assert(big.getAs[Long]("budget_share_ppm") == 480769L)
+    val small = rows("small")
+    assert(small.getAs[Long]("epochs") == 8L) // clamp binds (52 → 8)
+    assert(small.getAs[Long]("contributed_tokens") == 32L)
+    // 250000·8·4 DIV 104 = 76923 ppm
+    assert(small.getAs[Long]("budget_share_ppm") == 76923L)
+    // realized shares can never exceed the budget
+    val totPpm = rows.values.map(_.getAs[Long]("budget_share_ppm")).sum
+    assert(totPpm <= 1000000L)
+  }
+
+  test("repeatEpochs rejects a budgetFactor that does not divide 10^6") {
+    val df = Seq(("s", "a")).toDF("source", "text")
+    intercept[IllegalArgumentException] {
+      Sampling.repeatEpochs(df, budgetFactor = 3)
+    }
+  }
 }

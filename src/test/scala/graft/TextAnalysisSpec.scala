@@ -353,4 +353,45 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bpeTrainMerges(docs, rounds = 3)
     }
   }
+
+  test("lexicalDiversity: hand-computed TTR/hapax/entropy; token-free docs drop") {
+    val df = Seq(
+      (1L, "a a b c"),      // 4 tokens, 3 types, hapax {b, c}
+      (2L, "x x x x"),      // degenerate: 1 type, 0 hapax, entropy 0
+      (3L, "   ")           // token-free → absent
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.lexicalDiversity(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    val r1 = rows(1L)
+    assert(r1.getAs[Long]("n_tokens") == 4L)
+    assert(r1.getAs[Long]("n_types") == 3L)
+    assert(r1.getAs[Long]("n_hapax") == 2L)
+    assert(r1.getAs[Double]("ttr") == 0.75)
+    assert(r1.getAs[Double]("hapax_ratio") == 0.666667)
+    // H = ln 4 − (2·ln 2)/4 = 1.0397207708399179 → round 6
+    assert(r1.getAs[Double]("word_entropy") == 1.039721)
+    val r2 = rows(2L)
+    assert(r2.getAs[Double]("ttr") == 0.25)
+    assert(r2.getAs[Double]("hapax_ratio") == 0.0)
+    assert(r2.getAs[Double]("word_entropy") == 0.0)
+  }
+
+  test("zipfFit: exact power-law fixture recovers slope −1; head cut binds") {
+    // counts c(r) = 1200/r for ranks 1..6: ln c = ln 1200 − 1·ln r, an
+    // EXACT linear relation → slope −1, r² 1 up to rounding
+    val words = (1 to 6).flatMap { r =>
+      Seq.fill(1200 / r)(s"w$r")
+    }
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val fit = TextAnalysis.zipfFit(df, topRanks = 500).collect().head
+    assert(fit.getAs[Long]("n_ranks") == 6L)
+    assert(fit.getAs[Double]("zipf_slope") == -1.0)
+    assert(fit.getAs[Double]("r2") == 1.0)
+    // intercept = ln 1200 = 7.0900768… → round 6
+    assert(fit.getAs[Double]("zipf_intercept") == 7.090077)
+    // the head cut bounds the regression to the requested top ranks
+    val cut = TextAnalysis.zipfFit(df, topRanks = 3).collect().head
+    assert(cut.getAs[Long]("n_ranks") == 3L)
+  }
 }
