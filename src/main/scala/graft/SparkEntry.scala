@@ -2256,6 +2256,18 @@ object SparkEntry {
       // integer DIV math end-to-end, 1-row broadcast scalars
       Sampling.repeatEpochs(T(s, d, "documents"), budgetFactor = 4,
         maxEpochs = 8)),
+    "q189_data_card" -> ((s, d) =>
+      // per-source release datasheet: doc/token mass, portable-hash
+      // exact-dup rate, mean lexical quality, dominant language — text
+      // never shuffles (md5-31 hashes), language mode over a tiny
+      // histogram window
+      TextAnalysis.dataCard(T(s, d, "documents"))),
+    "q190_winsorized_value" -> ((s, d) =>
+      // tail-robust numeric cleaning: p01/p99 fences rounded BEFORE the
+      // clamp (round-before-compare), group-keyed broadcast join back,
+      // means before/after + clamp counts
+      Quantiles.winsorizedStats(T(s, d, "events"), Seq("event_type"),
+        "value")),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4385,6 +4397,59 @@ object SparkEntry {
          |  epochs * n_tokens AS contributed_tokens,
          |  250000 * epochs * n_tokens // tt AS budget_share_ppm
          |FROM e""".stripMargin,
+    "q189_data_card" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |  GROUP BY doc_id, term),
+         |a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_types,
+         |    sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) AS sclnc
+         |  FROM tf GROUP BY doc_id),
+         |dv AS (SELECT doc_id, n_tokens,
+         |    CAST(round(round(CAST(n_types AS DOUBLE) /
+         |      CAST(n_tokens AS DOUBLE), 6) * 1e6) AS BIGINT) AS ttr_ppm,
+         |    CAST(round(round(ln(CAST(n_tokens AS DOUBLE)) -
+         |      sclnc / CAST(n_tokens AS DOUBLE), 6) * 1e6) AS BIGINT)
+         |      AS went_ppm
+         |  FROM a),
+         |b AS (SELECT doc_id, source, lang, (${hash31Sql("text")}) AS th
+         |  FROM documents),
+         |ag AS (SELECT source, count(*) AS n_docs,
+         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total_tokens,
+         |    count(DISTINCT th) AS ndt,
+         |    round(CAST(sum(went_ppm) AS DOUBLE) /
+         |      (count(n_tokens) * 1000000), 6) AS mean_entropy,
+         |    round(CAST(sum(ttr_ppm) AS DOUBLE) /
+         |      (count(n_tokens) * 1000000), 6) AS mean_ttr
+         |  FROM b LEFT JOIN dv USING (doc_id) GROUP BY source),
+         |lc AS (SELECT source, lang, count(*) AS c FROM documents
+         |  GROUP BY source, lang),
+         |tl AS (SELECT source, lang AS top_lang FROM (
+         |    SELECT source, lang, row_number() OVER (PARTITION BY source
+         |      ORDER BY c DESC, lang) AS rn FROM lc)
+         |  WHERE rn = 1)
+         |SELECT ag.source, n_docs, total_tokens,
+         |  round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    AS avg_doc_tokens,
+         |  (1000000 * (n_docs - ndt)) // n_docs AS dup_ppm,
+         |  mean_entropy, mean_ttr, top_lang
+         |FROM ag JOIN tl ON ag.source = tl.source""".stripMargin,
+    "q190_winsorized_value" ->
+      s"""WITH f AS (SELECT event_type,
+         |    round(quantile_cont(value, 0.01), 6) AS plo,
+         |    round(quantile_cont(value, 0.99), 6) AS phi
+         |  FROM events GROUP BY event_type)
+         |SELECT e.event_type, count(*) AS n,
+         |  round(avg(value), 6) AS mean_raw,
+         |  any_value(plo) AS p_lo, any_value(phi) AS p_hi,
+         |  round(avg(greatest(plo, least(phi, value))), 6)
+         |    AS mean_winsorized,
+         |  CAST(sum(CASE WHEN value < plo THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clamped_low,
+         |  CAST(sum(CASE WHEN value > phi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clamped_high
+         |FROM events e JOIN f ON e.event_type = f.event_type
+         |GROUP BY e.event_type""".stripMargin,
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,

@@ -175,4 +175,39 @@ object Quantiles {
           ceil(lit(2.0) * (lit(2.0) * col("__n") / accuracy + lit(2.0))).cast("double"))
           .as("approx_band_ok"))
   }
+
+  /** Winsorized (clamped) statistics per group — tail-robust numeric
+    * cleaning for feature columns: values below the `lo` quantile or
+    * above the `hi` quantile are clamped to the boundary, and the mean
+    * is reported before and after. The fences are rounded to 6 decimals
+    * BEFORE clamping (NOTES_r3 round-before-compare discipline: both
+    * engines' interpolated percentiles agree only to the last ulp, and
+    * the clamp is a threshold compare), so the clamped multiset is
+    * engine-identical.
+    *
+    * Shape at corpus scale: one exact-percentile aggregate per group
+    * (groups-sized relation), broadcast back onto the fact rows, then
+    * one map-side-combinable mean pass — the fact table is scanned
+    * twice but never shuffled on anything but the group key.
+    */
+  def winsorizedStats(df: DataFrame, groupCols: Seq[String],
+                      valueCol: String, lo: Double = 0.01,
+                      hi: Double = 0.99): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val fences = df.groupBy(groupCols.map(col).toIndexedSeq: _*)
+      .agg(round(expr(s"percentile($valueCol, ${lo}D)"), 6).as("__plo"),
+        round(expr(s"percentile($valueCol, ${hi}D)"), 6).as("__phi"))
+    df.join(broadcast(fences), groupCols)
+      .groupBy(groupCols.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 6).as("mean_raw"),
+        first(col("__plo")).as("p_lo"),
+        first(col("__phi")).as("p_hi"),
+        round(avg(greatest(col("__plo"),
+          least(col("__phi"), col(valueCol)))), 6).as("mean_winsorized"),
+        sum(when(col(valueCol) < col("__plo"), lit(1L))
+          .otherwise(lit(0L))).as("n_clamped_low"),
+        sum(when(col(valueCol) > col("__phi"), lit(1L))
+          .otherwise(lit(0L))).as("n_clamped_high"))
+  }
 }

@@ -1073,4 +1073,61 @@ object TextAnalysis {
           (col("__n") * col("__syy") - col("__sy") * col("__sy"))), 6)
         .as("r2"))
   }
+
+  /** Per-source corpus data card — the one-page summary a dataset release
+    * ships (datasheets-for-datasets shape): doc/token mass, exact-dup
+    * rate, mean lexical quality ([[lexicalDiversity]] signals), and the
+    * dominant language, one row per source.
+    *
+    * Shape at corpus scale: the per-doc diversity profile is one
+    * tokenize + doc-keyed aggregate; the dup rate counts DISTINCT
+    * portable text HASHES (md5-31 — the text itself never shuffles, and
+    * a hash collision collapses identically in any engine); the language
+    * mode runs a window over the (source, lang) count histogram (tiny).
+    * Per-doc diversity doubles are snapped to ppm BIGINTs before the
+    * per-source mean (the DSIR λ discipline): a round-6 of a double AVG
+    * proved to sit ON a rounding boundary at sf0.1 and flip with sum
+    * order, while Σ of exact integers divided once is engine-identical
+    * under any partitioning. Token-free docs count toward n_docs and
+    * the dup rate but drop out of the token/diversity means (left join
+    * + non-null count — same contract both engines).
+    */
+  def dataCard(docs: DataFrame, srcCol: String = "source",
+               idCol: String = "doc_id", textCol: String = "text",
+               langCol: String = "lang"): DataFrame = {
+    val div = lexicalDiversity(docs, idCol, textCol)
+      .select(col(idCol), col("n_tokens"),
+        round(col("ttr") * 1e6).cast("long").as("__ttr_ppm"),
+        round(col("word_entropy") * 1e6).cast("long").as("__went_ppm"))
+    val base = docs.select(col(idCol), col(srcCol), col(langCol),
+      graft.functions.md5Hash31(col(textCol)).as("__th"))
+    val agg = base.join(div, Seq(idCol), "left")
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"),
+        countDistinct(col("__th")).as("__ndt"),
+        count(col("n_tokens")).as("__ndiv"),
+        sum(col("__went_ppm")).as("__swent"),
+        sum(col("__ttr_ppm")).as("__sttr"))
+      .select(col(srcCol), col("n_docs"), col("total_tokens"), col("__ndt"),
+        round(col("__swent").cast("double") /
+          (col("__ndiv") * lit(1000000L)).cast("double"), 6)
+          .as("mean_entropy"),
+        round(col("__sttr").cast("double") /
+          (col("__ndiv") * lit(1000000L)).cast("double"), 6).as("mean_ttr"))
+    val langCounts = base.groupBy(col(srcCol), col(langCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(desc("__c"), asc(langCol))
+    val topLang = langCounts
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(srcCol), col(langCol).as("top_lang"))
+    agg.join(topLang, srcCol)
+      .select(col(srcCol), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") /
+          col("n_docs").cast("double"), 6).as("avg_doc_tokens"),
+        expr("1000000 * (n_docs - __ndt) DIV n_docs").as("dup_ppm"),
+        col("mean_entropy"), col("mean_ttr"), col("top_lang"))
+  }
 }

@@ -87,4 +87,22 @@ class QuantilesSpec extends SparkSpec {
     val sd = math.sqrt(vs.map(x => (x - mean) * (x - mean)).sum / (vs.size - 1))
     assert((1000.0 - mean) / sd < 2.6)
   }
+
+  test("winsorizedStats: hand-computed fences, clamp counts, robust mean") {
+    import spark.implicits._
+    // 12 sorted values 0,10,…,100,1000: p10 = 11 (interp), p90 = 99
+    val vals = (0 to 10).map(_ * 10.0) :+ 1000.0
+    val df = vals.map(("g", _)).toDF("k", "v")
+    val r = graft.ops.Quantiles
+      .winsorizedStats(df, Seq("k"), "v", lo = 0.1, hi = 0.9)
+      .collect().head
+    assert(r.getAs[Long]("n") == 12L)
+    assert(r.getAs[Double]("p_lo") == 11.0)
+    assert(r.getAs[Double]("p_hi") == 99.0)
+    assert(r.getAs[Long]("n_clamped_low") == 2L)  // 0, 10 → 11
+    assert(r.getAs[Long]("n_clamped_high") == 2L) // 100, 1000 → 99
+    // raw mean (550+1000)/12; winsorized (2·11 + 20+…+90 + 2·99)/12 = 55
+    assert(r.getAs[Double]("mean_raw") == 129.166667)
+    assert(r.getAs[Double]("mean_winsorized") == 55.0)
+  }
 }

@@ -394,4 +394,27 @@ class TextAnalysisSpec extends SparkSpec {
     val cut = TextAnalysis.zipfFit(df, topRanks = 3).collect().head
     assert(cut.getAs[Long]("n_ranks") == 3L)
   }
+
+  test("dataCard: dup rate, integer-exact means, lang mode, token-free docs") {
+    val df = Seq(
+      (1L, "a a b c", "en", "A"),  // entropy 1.039721, ttr 0.75
+      (2L, "a a b c", "en", "A"),  // exact duplicate text
+      (3L, "   ", "fr", "A"),      // token-free: counts, no diversity
+      (4L, "x y", "de", "B")
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = TextAnalysis.dataCard(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("A")
+    assert(a.getAs[Long]("n_docs") == 3L)
+    assert(a.getAs[Long]("total_tokens") == 8L)
+    // 3 docs, 2 distinct texts → 10^6·1 DIV 3
+    assert(a.getAs[Long]("dup_ppm") == 333333L)
+    // means over the 2 token-bearing docs only (identical docs)
+    assert(a.getAs[Double]("mean_entropy") == 1.039721)
+    assert(a.getAs[Double]("mean_ttr") == 0.75)
+    assert(a.getAs[String]("top_lang") == "en") // 2×en beats 1×fr
+    val b = rows("B")
+    assert(b.getAs[Long]("dup_ppm") == 0L)
+    assert(b.getAs[Double]("mean_ttr") == 1.0)
+  }
 }
