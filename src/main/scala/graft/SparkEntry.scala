@@ -2268,6 +2268,17 @@ object SparkEntry {
       // means before/after + clamp counts
       Quantiles.winsorizedStats(T(s, d, "events"), Seq("event_type"),
         "value")),
+    "q191_audience_overlap" -> ((s, d) =>
+      // segment-pair distinct-user overlap: one reduction to (type,
+      // user), per-USER self-join (≤ types² rows each — no hot key),
+      // exact Jaccard ppm + HLL union estimate gated vs exact
+      Quantiles.audienceOverlap(T(s, d, "events"))),
+    "q192_daily_correlation" -> ((s, d) =>
+      // do views and purchases move together day over day? counts are
+      // integers → exact BIGINT moments under any partitioning;
+      // full-outer 0-fill makes absence part of the signal
+      Regression.dailyCountCorrelation(Tables.events(s, d), "ts",
+        "event_type", "view", "purchase")),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4450,6 +4461,40 @@ object SparkEntry {
          |    AS n_clamped_high
          |FROM events e JOIN f ON e.event_type = f.event_type
          |GROUP BY e.event_type""".stripMargin,
+    "q191_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type AS t, user_id AS u
+        |  FROM events),
+        |per AS (SELECT t, count(*) AS n FROM ut GROUP BY t),
+        |bo AS (SELECT x.t AS type_a, y.t AS type_b, count(*) AS n_both
+        |  FROM ut x JOIN ut y ON x.u = y.u AND x.t < y.t
+        |  GROUP BY x.t, y.t),
+        |j AS (SELECT type_a, type_b, pa.n AS n_a, pb.n AS n_b, n_both
+        |  FROM bo JOIN per pa ON type_a = pa.t
+        |    JOIN per pb ON type_b = pb.t)
+        |SELECT type_a, type_b, n_a, n_b, n_both,
+        |  n_a + n_b - n_both AS n_union,
+        |  (1000000 * n_both) // (n_a + n_b - n_both) AS jaccard_ppm,
+        |  true AS approx_ok
+        |FROM j""".stripMargin,
+    "q192_daily_correlation" ->
+      """WITH daily AS (SELECT epoch(date_trunc('day', ts)) // 86400 AS d,
+        |    event_type AS t, count(*) AS c
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY d, t),
+        |a AS (SELECT d, c FROM daily WHERE t = 'view'),
+        |b AS (SELECT d, c FROM daily WHERE t = 'purchase'),
+        |j AS (SELECT coalesce(a.c, 0) AS x, coalesce(b.c, 0) AS y
+        |  FROM a FULL OUTER JOIN b ON a.d = b.d),
+        |m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy FROM j)
+        |SELECT n AS n_days, sx AS n_a, sy AS n_b,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |      CAST(n * syy - sy * sy AS DOUBLE)), 6) AS pearson_r
+        |FROM m""".stripMargin,
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,

@@ -210,4 +210,52 @@ object Quantiles {
         sum(when(col(valueCol) > col("__phi"), lit(1L))
           .otherwise(lit(0L))).as("n_clamped_high"))
   }
+
+  /** Distinct-audience overlap between every pair of segments (event
+    * types): exact Jaccard in ppm plus an HLL-sketch union estimate
+    * gated against the exact union (the q71/q182 checked-twin
+    * discipline — a red gate means broken sketch algebra, not bad
+    * statistical luck).
+    *
+    * Scale shape: event volume reduces ONCE to distinct (type, user)
+    * pairs (map-side combinable). Pairwise co-presence is a per-USER
+    * keyed self-join — each user contributes at most |types|² rows, so
+    * no hot key and no types×users blow-up in any single task. Per-type
+    * sketches and exact counts live on a types-sized relation; the
+    * pair join is broadcast-sized. At petabyte scale, set relTol from
+    * the sketch's lgK rather than trusting defaults — and when only the
+    * ESTIMATE is needed, the exact lanes (the countDistinct and the
+    * co-presence join) drop out entirely and sketches alone survive.
+    */
+  def audienceOverlap(df: DataFrame, typeCol: String = "event_type",
+                      userCol: String = "user_id", lgK: Int = 12,
+                      relTol: Double = 0.15): DataFrame = {
+    val ut = df.select(col(typeCol).as("__t"), col(userCol).as("__u"))
+      .distinct()
+    val per = ut.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__n"),
+        expr(s"hll_sketch_agg(__u, $lgK)").as("__sk"))
+    val both = ut.as("x").join(ut.as("y"), col("x.__u") === col("y.__u"))
+      .filter(col("x.__t") < col("y.__t"))
+      .groupBy(col("x.__t").as("type_a"), col("y.__t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(per.select(col("__t"), col("__n").as("n_a"),
+        col("__sk").as("__ska"))), col("type_a") === col("__t"))
+      .drop("__t")
+      .join(broadcast(per.select(col("__t"), col("__n").as("n_b"),
+        col("__sk").as("__skb"))), col("type_b") === col("__t"))
+      .drop("__t")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (col("n_a") + col("n_b") - col("n_both")).as("n_union"),
+        expr("1000000 * n_both DIV (n_a + n_b - n_both)")
+          .as("jaccard_ppm"),
+        expr("hll_sketch_estimate(hll_union(__ska, __skb))").as("__est"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"), col("n_union"), col("jaccard_ppm"),
+        (abs(col("__est") - col("n_union")).cast("double") <=
+          greatest(lit(1.0), col("n_union").cast("double") * relTol))
+          .as("approx_ok"))
+  }
 }

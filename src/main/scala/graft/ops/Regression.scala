@@ -202,4 +202,47 @@ object Regression {
        |ols_dets AS (SELECT *, ${dets.mkString(",\n  ")} FROM ols_sums),
        |ols_coef AS (SELECT *, ${coefs.mkString(",\n  ")} FROM ols_dets)""".stripMargin
   }
+
+  /** Pearson correlation between the daily event-count series of two
+    * segment values — the "do these signals move together" health check
+    * (e.g. views vs purchases). Days where only one side fires count as
+    * 0 on the other (full-outer join + 0-fill) — absence is signal for a
+    * correlation, not a gap to skip.
+    *
+    * Determinism: counts are integers, so all five moment sums are
+    * EXACT BIGINTs under any partitioning; r's numerator/denominator
+    * factors are exact-integer-valued doubles (each < 2^53 for any
+    * realistic day grain), and IEEE multiply/sqrt/divide on identical
+    * inputs is engine-identical — round-6 is belt and braces. Scale: the
+    * corpus collapses to a days×2 relation in one map-side-combinable
+    * pass; everything after is day-grain.
+    */
+  def dailyCountCorrelation(df: DataFrame, tsCol: String, typeCol: String,
+                            typeA: String, typeB: String): DataFrame = {
+    require(typeA != typeB, "need two distinct segment values")
+    val daily = df.filter(col(typeCol).isin(typeA, typeB))
+      .groupBy((unix_timestamp(date_trunc("day", col(tsCol))) / 86400L)
+        .cast("long").as("__day"), col(typeCol).as("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val a = daily.filter(col("__t") === typeA)
+      .select(col("__day"), col("__c").as("__ca"))
+    val b = daily.filter(col("__t") === typeB)
+      .select(col("__day"), col("__c").as("__cb"))
+    val j = a.join(b, Seq("__day"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__x"),
+        coalesce(col("__cb"), lit(0L)).as("__y"))
+    j.agg(count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .select(col("__n").as("n_days"), col("__sx").as("n_a"),
+        col("__sy").as("n_b"),
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+          sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+              .cast("double") *
+            (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+              .cast("double")), 6).as("pearson_r"))
+  }
 }

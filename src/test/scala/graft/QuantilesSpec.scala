@@ -105,4 +105,25 @@ class QuantilesSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_raw") == 129.166667)
     assert(r.getAs[Double]("mean_winsorized") == 55.0)
   }
+
+  test("audienceOverlap: hand-computed pair counts, Jaccard ppm, HLL gate") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L), ("A", 3L), // dup event collapses
+      ("B", 2L), ("B", 3L), ("B", 4L),
+      ("C", 9L)
+    ).toDF("event_type", "user_id")
+    val rows = graft.ops.Quantiles.audienceOverlap(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = rows(("A", "B"))
+    assert(ab.getAs[Long]("n_a") == 3L)
+    assert(ab.getAs[Long]("n_b") == 3L)
+    assert(ab.getAs[Long]("n_both") == 2L)
+    assert(ab.getAs[Long]("n_union") == 4L)
+    assert(ab.getAs[Long]("jaccard_ppm") == 500000L)
+    // disjoint pairs never appear (inner co-presence join) — C pairs absent
+    assert(!rows.contains(("A", "C")) && !rows.contains(("B", "C")))
+    // the sketch estimate must sit inside the gate on every emitted row
+    assert(rows.values.forall(_.getAs[Boolean]("approx_ok")))
+  }
 }

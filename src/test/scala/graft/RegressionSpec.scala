@@ -77,4 +77,28 @@ class RegressionSpec extends SparkSpec {
     assert(fit.getAs[Double]("intercept") == 1.0)
     assert(fit.getAs[Double]("b_x") == 2.0)
   }
+
+  test("dailyCountCorrelation: 0-fill makes one-sided days kill a perfect r") {
+    import spark.implicits._
+    def ev(day: Int, t: String, n: Int) =
+      Seq.fill(n)((s"2024-01-0$day 12:00:00", t))
+    // days 1-2 are perfectly proportional; day 3 fires view only
+    val df = (ev(1, "view", 1) ++ ev(1, "purchase", 1) ++
+      ev(2, "view", 2) ++ ev(2, "purchase", 2) ++
+      ev(3, "view", 2))
+      .toDF("s", "event_type")
+      .select(to_timestamp(col("s")).as("ts"), col("event_type"))
+    val r3 = Regression.dailyCountCorrelation(df, "ts", "event_type",
+      "view", "purchase").collect().head
+    assert(r3.getAs[Long]("n_days") == 3L)
+    assert(r3.getAs[Long]("n_a") == 5L)
+    assert(r3.getAs[Long]("n_b") == 3L)
+    // x=[1,2,2], y=[1,2,0]: numerator 3·5 − 5·3 = 0 → r = 0 exactly
+    assert(r3.getAs[Double]("pearson_r") == 0.0)
+    // drop day 3 → perfectly correlated
+    val r2 = Regression.dailyCountCorrelation(
+      df.filter(dayofmonth(col("ts")) < 3), "ts", "event_type",
+      "view", "purchase").collect().head
+    assert(r2.getAs[Double]("pearson_r") == 1.0)
+  }
 }
