@@ -211,6 +211,22 @@ object Quantiles {
           .otherwise(lit(0L))).as("n_clamped_high"))
   }
 
+  /** Frozen-fences snapshot producer for the STREAMING winsorizer (the
+    * mixtureGate snapshot discipline): per-group rounded p-lo/p-hi
+    * fences collected to a driver map — a groups-sized relation by
+    * construction. Refresh periodically batch-side; the stream applies
+    * the latest snapshot map-only.
+    */
+  def winsorFences(df: DataFrame, typeCol: String, valueCol: String,
+                   lo: Double = 0.01, hi: Double = 0.99): Map[String, (Double, Double)] = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    df.groupBy(col(typeCol))
+      .agg(round(expr(s"percentile($valueCol, ${lo}D)"), 6).as("__plo"),
+        round(expr(s"percentile($valueCol, ${hi}D)"), 6).as("__phi"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+  }
+
   /** Distinct-audience overlap between every pair of segments (event
     * types): exact Jaccard in ppm plus an HLL-sketch union estimate
     * gated against the exact union (the q71/q182 checked-twin

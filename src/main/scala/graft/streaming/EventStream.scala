@@ -450,6 +450,30 @@ object EventStream {
     graft.ops.TextAnalysis.bpeEncodedLengthsFrozen(docs, "doc_id", "text",
       merges)
 
+  /** Streaming winsorizer — the streaming twin of q190's clamp: the
+    * per-group fences need a global quantile pass, so the stream
+    * applies a FROZEN snapshot ([[graft.ops.Quantiles.winsorFences]],
+    * refreshed periodically batch-side — the mixtureGate discipline) as
+    * two map literals: no watermark, no state store. A group absent
+    * from the snapshot passes through unclamped (a NEW segment should
+    * surface raw, not be clamped by another segment's fences).
+    * StreamingSpec pins the clamped values to the batch clamp given the
+    * same snapshot.
+    */
+  def winsorizedValues(events: DataFrame,
+                       fences: Map[String, (Double, Double)],
+                       typeCol: String = "event_type",
+                       valueCol: String = "value"): DataFrame = {
+    val loM = typedlit(fences.map { case (k, v) => k -> v._1 })
+    val hiM = typedlit(fences.map { case (k, v) => k -> v._2 })
+    val lo = element_at(loM, col(typeCol))
+    val hi = element_at(hiM, col(typeCol))
+    events.select(col("event_id"), col(typeCol), col(valueCol),
+      when(lo.isNull, col(valueCol))
+        .otherwise(greatest(lo, least(hi, col(valueCol))))
+        .as("value_winsorized"))
+  }
+
   /** Per-micro-batch upsert of per-category counts into a stored
     * snapshot table — the maintenance half of the streaming drift
     * monitor. Counts are ADDITIVE, so merging each batch's aggregate

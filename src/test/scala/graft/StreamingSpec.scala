@@ -488,4 +488,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == ref.size && got.nonEmpty)
     assert(got == ref)
   }
+
+  test("streaming winsorizer matches the batch clamp under frozen fences; " +
+    "unknown segments pass through") {
+    import org.apache.spark.sql.functions.{col, greatest, least, when, lit, typedlit}
+    val events = Tables.events(spark, sf0001)
+    val fences = graft.ops.Quantiles
+      .winsorFences(events, "event_type", "value")
+    val streamed = EventStream.winsorizedValues(
+      EventStream.read(spark, sf0001), fences)
+    val got = EventStream.runToMemory(spark, streamed, "winsor_stream_test")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("value_winsorized"))
+      .toMap
+    // batch reference: same frozen snapshot, same clamp expression
+    val loM = typedlit(fences.map { case (k, v) => k -> v._1 })
+    val hiM = typedlit(fences.map { case (k, v) => k -> v._2 })
+    val ref = events.select(col("event_id"),
+        greatest(loM(col("event_type")),
+          least(hiM(col("event_type")), col("value"))).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == ref.size && got.nonEmpty)
+    assert(got == ref)
+    // a segment missing from the snapshot is left unclamped
+    val loose = EventStream.winsorizedValues(events.limit(5),
+      Map("nonexistent" -> (0.0, 1.0)))
+    loose.collect().foreach { r =>
+      assert(r.getAs[Double]("value_winsorized") == r.getAs[Double]("value"))
+    }
+  }
 }
