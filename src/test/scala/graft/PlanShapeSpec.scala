@@ -745,4 +745,40 @@ class PlanShapeSpec extends SparkSpec {
       .find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("content"), readSchema)
   }
+
+  test("q189 data card: the text column never crosses an Exchange") {
+    // the dup-rate lane hashes text to md5-31 BEFORE any shuffle — the
+    // corpus-heavy string must stay inside its scan stage; only hashes,
+    // ids, and the tiny (source, lang) strings may ride a shuffle
+    withoutAqe {
+      val q = SparkEntry.queries("q189_data_card")(spark, sf0001)
+      val shuffles = plan(q).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { e =>
+        val textCols = e.output.filter(_.name == "text")
+        assert(textCols.isEmpty,
+          s"text crossed an Exchange:\n${plan(q)}")
+      }
+    }
+  }
+
+  test("q191 audience overlap: per-type tables broadcast, no cartesian pair join") {
+    val q = SparkEntry.queries("q191_audience_overlap")(spark, sf0001)
+    val s = planString(q)
+    // the co-presence join is a keyed equi-join on user, never a product
+    assert(!s.contains("CartesianProduct"), s)
+    // types-sized count/sketch relations ride broadcast joins
+    assert(s.contains("BroadcastHashJoin"), s"per-type tables did not broadcast:\n$s")
+  }
+
+  test("q186 lexical diversity: single tokenize (one Generate, one scan)") {
+    val q = SparkEntry.queries("q186_lexical_diversity")(spark, sf0001)
+    val s = planString(q)
+    assert("Generate".r.findAllIn(s).length == 1, s"re-tokenized:\n$s")
+    assert("Scan parquet".r.findAllIn(s).length == 1, s)
+    // the doc-keyed aggregate is map-side combinable
+    assert("HashAggregate".r.findAllIn(s).length >= 2, s)
+  }
 }
