@@ -2279,6 +2279,11 @@ object SparkEntry {
       // full-outer 0-fill makes absence part of the signal
       Regression.dailyCountCorrelation(Tables.events(s, d), "ts",
         "event_type", "view", "purchase")),
+    "q193_bpe_fertility" -> ((s, d) =>
+      // multilingual tokenizer fairness: per-lang symbols/word and
+      // symbols/char under ONE trained BPE vocabulary — exact integer
+      // rollup, one division per language
+      TextAnalysis.bpeFertilityByLang(T(s, d, "documents"), rounds = 6)),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4495,6 +4500,28 @@ object SparkEntry {
         |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
         |      CAST(n * syy - sy * sy AS DOUBLE)), 6) AS pearson_r
         |FROM m""".stripMargin,
+    "q193_bpe_fertility" ->
+      s"""WITH ${bpeCtesSql(6)},
+         |docw AS (SELECT doc_id, w FROM
+         |  (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+         |  WHERE NOT contains(w, '|')),
+         |enc AS (SELECT w,
+         |    CAST(len(string_split(s[2:-2], '||')) AS BIGINT) AS nsym,
+         |    CAST(len(w) AS BIGINT) AS nch
+         |  FROM w6),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+         |    CAST(sum(nsym) AS BIGINT) AS ns,
+         |    CAST(sum(nch) AS BIGINT) AS nc
+         |  FROM docw JOIN enc USING (w) GROUP BY doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(ns) AS BIGINT) AS n_symbols,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(ns) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
+         |    AS fertility,
+         |  round(CAST(sum(ns) AS DOUBLE) / CAST(sum(nc) AS DOUBLE), 6)
+         |    AS symbols_per_char
+         |FROM documents JOIN pd USING (doc_id) GROUP BY lang""".stripMargin,
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,

@@ -21,6 +21,7 @@ object IO {
   val ParquetExt = "parquet"
   val JsonExt = "json"
   val JsonlExt = "jsonl"
+  val OrcExt = "orc"
 
   /** Lower-cased extension without the dot, "" if none. */
   def extensionOf(path: String): String = {
@@ -58,6 +59,13 @@ object IO {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC read (columnar sibling of Parquet — common in Hive-era lakes;
+    * an extension beyond the reference's csv/parquet surface). Spark's
+    * native reader gives the same pushdown/pruning behavior as Parquet.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JSON-lines read (one object per line — the interchange format of
     * web-scale text corpora; an extension beyond the reference's csv/
     * parquet surface). Schema inference costs a full sampling pass, so at
@@ -78,9 +86,10 @@ object IO {
       case CsvExt => readCsv(spark, path)
       case ParquetExt => readParquet(spark, path)
       case JsonExt | JsonlExt => readJson(spark, path)
+      case OrcExt => readOrc(spark, path)
       case other =>
         throw new IllegalArgumentException(
-          s"unsupported file type '.$other' for $path (expected .csv, .parquet, or .json(l))")
+          s"unsupported file type '.$other' for $path (expected .csv, .parquet, .orc, or .json(l))")
     }
     if (cols.isEmpty) df else df.select(cols.head, cols.tail: _*)
   }
@@ -93,9 +102,10 @@ object IO {
     case CsvExt => writeSingleFile(df, path, CsvExt)
     case ParquetExt => writeSingleFile(df, path, ParquetExt)
     case JsonExt | JsonlExt => writeSingleFile(df, path, JsonExt)
+    case OrcExt => writeSingleFile(df, path, OrcExt)
     case other =>
       throw new IllegalArgumentException(
-        s"unsupported file type '.$other' for $path (expected .csv, .parquet, or .json(l))")
+        s"unsupported file type '.$other' for $path (expected .csv, .parquet, .orc, or .json(l))")
   }
 
   /** The reference emits ONE file per input file (`to_parquet(dest)`);
@@ -117,6 +127,7 @@ object IO {
       case CsvExt => writer.option("header", "true").format("csv")
       case JsonExt | JsonlExt => writer.format("json")
       case ParquetExt => writer.format("parquet")
+      case OrcExt => writer.format("orc")
     }).save(tmp.toString)
     val part = fs.listStatus(tmp)
       .map(_.getPath)

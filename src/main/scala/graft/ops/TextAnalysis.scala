@@ -1074,6 +1074,35 @@ object TextAnalysis {
         .as("r2"))
   }
 
+  /** Tokenizer fertility by language — symbols per word and per char
+    * for each language slice under one trained BPE vocabulary: the
+    * standard multilingual-tokenizer fairness diagnostic (a language
+    * whose fertility is far above the corpus mean pays more sequence
+    * positions per sentence). Composes [[bpeEncodedLengths]] (per-doc
+    * symbol counts under `rounds` trained merges) with a doc-keyed lang
+    * join and one integer-sum rollup — the division happens once per
+    * LANGUAGE on exact BIGINTs, so the output is partitioning- and
+    * engine-independent. Docs with no encodable word are absent from
+    * the per-doc relation and therefore from n_docs here too (inner
+    * join — same contract as q179).
+    */
+  def bpeFertilityByLang(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", langCol: String = "lang",
+                         rounds: Int = 6): DataFrame =
+    bpeEncodedLengths(docs, idCol, textCol, rounds)
+      .join(docs.select(col(idCol), col(langCol)), idCol)
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_symbols")).as("n_symbols"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col(langCol), col("n_docs"), col("n_words"),
+        col("n_symbols"), col("n_chars"),
+        round(col("n_symbols").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"),
+        round(col("n_symbols").cast("double") /
+          col("n_chars").cast("double"), 6).as("symbols_per_char"))
+
   /** Per-source corpus data card — the one-page summary a dataset release
     * ships (datasheets-for-datasets shape): doc/token mass, exact-dup
     * rate, mean lexical quality ([[lexicalDiversity]] signals), and the

@@ -125,4 +125,22 @@ class IOSpec extends SparkSpec {
     val found = IO.globFiles(spark, s"$dir/*.csv")
     assert(found == found.sorted && found.size == 2)
   }
+
+  test("orc roundtrip through the extension dispatch, types intact") {
+    val dir = tmpDir()
+    import spark.implicits._
+    val df = Seq((1L, "hello", 2.5), (2L, "world", -0.5))
+      .toDF("id", "s", "v")
+    IO.writeFile(df, s"$dir/t.orc")
+    assert(Files.isRegularFile(Paths.get(s"$dir/t.orc")))
+    val back = IO.readFile(spark, s"$dir/t.orc").orderBy("id")
+    // files round-trip as nullable — compare names and types
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "hello", 2.5), (2L, "world", -0.5)))
+    // projection pushes into the ORC scan like Parquet
+    val one = IO.readFile(spark, s"$dir/t.orc", Seq("s"))
+    assert(one.columns.toSeq == Seq("s"))
+  }
 }
