@@ -2284,6 +2284,18 @@ object SparkEntry {
       // symbols/char under ONE trained BPE vocabulary — exact integer
       // rollup, one division per language
       TextAnalysis.bpeFertilityByLang(T(s, d, "documents"), rounds = 6)),
+    "q194_centroid_drift" -> ((s, d) =>
+      // semantic drift: per-label centroid cosine between the even- and
+      // odd-id corpus slices — one posexplode pass, raw vectors never
+      // shuffle, cosine over the tiny centroid relation
+      Similarity.labelCentroidDrift(T(s, d, "embeddings"),
+        col("vec_id") % 2 === 0, col("vec_id") % 2 =!= 0)),
+    "q195_hard_negatives" -> ((s, d) =>
+      // contrastive-training mining: top-3 closest DIFFERENT-label
+      // vectors per probe; label filter fused into the broadcast-probe
+      // scoring join, GroupedTopK finish, round-6 before rank
+      Similarity.hardNegatives(T(s, d, "embeddings"),
+        col("vec_id") < 10, k = 3)),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4522,6 +4534,44 @@ object SparkEntry {
          |  round(CAST(sum(ns) AS DOUBLE) / CAST(sum(nc) AS DOUBLE), 6)
          |    AS symbols_per_char
          |FROM documents JOIN pd USING (doc_id) GROUP BY lang""".stripMargin,
+    "q194_centroid_drift" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS s,
+        |    embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |x AS (SELECT label, s, i, avg(v[i]) AS c
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        |  GROUP BY label, s, i),
+        |j AS (SELECT a.label, sum(a.c * b.c) AS ab,
+        |    sum(a.c * a.c) AS aa, sum(b.c * b.c) AS bb
+        |  FROM x a JOIN x b ON a.label = b.label AND a.i = b.i
+        |    AND a.s = 'a' AND b.s = 'b'
+        |  GROUP BY a.label),
+        |n AS (SELECT label,
+        |    CAST(sum(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM e GROUP BY label)
+        |SELECT j.label, n_a, n_b,
+        |  round(ab / (sqrt(aa) * sqrt(bb)), 6) AS drift_cos
+        |FROM j JOIN n ON j.label = n.label""".stripMargin,
+    "q195_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    c.label AS neighbor_label,
+        |    round(list_sum(list_transform(range(1, 65), i -> c.e[i] * p.e[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i] * c.e[i])))
+        |         * sqrt(list_sum(list_transform(range(1, 65), i -> p.e[i] * p.e[i])))), 6)
+        |      AS sim
+        |  FROM v p JOIN v c ON c.label != p.label
+        |  WHERE p.vec_id < 10)
+        |SELECT probe_id, neighbor_id, neighbor_label, sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+        |WHERE rn <= 3""".stripMargin,
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,

@@ -1722,4 +1722,82 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Hard-negative mining for contrastive training: for each probe, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * "closest wrong answers" a metric-learning batch wants. Same
+    * broadcast-probe scoring shape as [[nearestNeighbor]] (one corpus
+    * scan, per-pair work = one codegen'd dot product) with the label
+    * inequality fused into the scored join, finished by the
+    * bounded-buffer GroupedTopK operator (no per-probe sort).
+    * Similarities are rounded to 6 BEFORE ranking so an independent
+    * engine ranks identically (NOTES_r3 discipline). For probe sets past
+    * broadcast size, the [[nearestNeighborBlocked]] grid applies
+    * unchanged — the label filter rides the scoring join either way.
+    */
+  def hardNegatives(emb: DataFrame, probeFilter: Column, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val withNorm = emb.select(col(idCol), col(labelCol),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+    val probes = withNorm.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(labelCol).as("probe_label"),
+        col("__v").as("__pv"), col("__n").as("__pn"))
+    val scored = withNorm
+      .crossJoin(broadcast(probes))
+      .filter(col(labelCol) =!= col("probe_label"))
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        col(labelCol).as("neighbor_label"),
+        round(dotProduct(col("__v"), col("__pv")) /
+          (col("__n") * col("__pn")), 6).as("sim"))
+    graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+      Seq(("sim", true), ("neighbor_id", false)), k)
+  }
+
+  /** Per-label centroid drift between two corpus slices (e.g. last
+    * month's embeddings vs this month's): the cosine between each
+    * label's slice centroids — the semantic-drift complement of q132's
+    * categorical drift monitor (a label whose centroid rotated is a
+    * label whose meaning, or whose upstream encoder, changed).
+    *
+    * Scale shape: ONE pass over the vectors (posexplode to (label,
+    * slice, dim) — map-side-combinable avg, 2·|labels|·dim rows out);
+    * the cosine then runs on the label-keyed centroid relation (tiny).
+    * Raw vectors never shuffle — only per-dimension partial sums do.
+    * Component averages are doubles; the final cosine is rounded to 6
+    * (the reassociation drift class the suite's rounding absorbs).
+    */
+  def labelCentroidDrift(emb: DataFrame, sliceA: Column, sliceB: Column,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         labelCol: String = "label"): DataFrame = {
+    val sliced = emb.select(col(labelCol),
+        when(sliceA, lit("a")).when(sliceB, lit("b")).as("__s"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__s").isNotNull)
+    val comps = sliced
+      .select(col(labelCol), col("__s"),
+        posexplode(col("__v")).as(Seq("__p", "__x")))
+      .groupBy(col(labelCol), col("__s"), col("__p"))
+      .agg(avg(col("__x")).as("__c"))
+    val a = comps.filter(col("__s") === "a")
+      .select(col(labelCol), col("__p"), col("__c").as("__ca"))
+    val b = comps.filter(col("__s") === "b")
+      .select(col(labelCol), col("__p"), col("__c").as("__cb"))
+    val cos = a.join(b, Seq(labelCol, "__p"))
+      .groupBy(col(labelCol))
+      .agg(sum(col("__ca") * col("__cb")).as("__ab"),
+        sum(col("__ca") * col("__ca")).as("__aa"),
+        sum(col("__cb") * col("__cb")).as("__bb"))
+    val counts = sliced.groupBy(col(labelCol))
+      .agg(sum(when(col("__s") === "a", lit(1L)).otherwise(lit(0L)))
+        .as("n_a"),
+        sum(when(col("__s") === "b", lit(1L)).otherwise(lit(0L)))
+          .as("n_b"))
+    cos.join(counts, labelCol)
+      .select(col(labelCol), col("n_a"), col("n_b"),
+        round(col("__ab") / (sqrt(col("__aa")) * sqrt(col("__bb"))), 6)
+          .as("drift_cos"))
+  }
 }

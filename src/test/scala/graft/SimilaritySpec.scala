@@ -886,4 +886,35 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(11L -> 1L, 10L -> 2L, 12L -> 3L))
   }
+
+  test("hardNegatives: same-label vectors excluded, wrong-label ranked by sim") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.1f), 0),  // same label as probe — must not appear
+      (3L, Seq(0.8f, 0.2f), 1),
+      (4L, Seq(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, col("vec_id") === 1, k = 2)
+      .orderBy(desc("sim")).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 4L))
+    assert(out.forall(_.getAs[Int]("neighbor_label") == 1))
+    assert(out.head.getAs[Double]("sim") > 0.9)
+    assert(out.last.getAs[Double]("sim") == 0.0)
+  }
+
+  test("labelCentroidDrift: identical slices cos 1, opposed slices cos −1") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(1.0f, 0.0f), 0),   // a == b
+      (2L, Seq(1.0f, 0.0f), 1), (3L, Seq(-1.0f, 0.0f), 1)   // a == −b
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidDrift(emb,
+        col("vec_id") % 2 === 0, col("vec_id") % 2 =!= 0)
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("drift_cos"))).toMap
+    assert(out(0) == ((1L, 1L, 1.0)))
+    assert(out(1) == ((1L, 1L, -1.0)))
+  }
 }
