@@ -296,6 +296,44 @@ object SparkEntry {
        |  FROM inter WHERE na + nb > 0 AND
        |    CAST(ninter AS DOUBLE) / (na + nb - ninter) >= $threshold)""".stripMargin
 
+  /** CTE chain mirroring `TextAnalysis.languageIdDf` over documents
+    * (final CTE: `lpred(doc_id, lang, lang_pred)`) — shared by q25, q199
+    * and q200. Mirrors languageIdScored: distinct lowercase tokens scored
+    * against marker lists; argmax with greatest(struct) semantics = on
+    * score ties the lexicographically-last language wins, hence the
+    * reversed CASE order; zh short-circuits on any CJK char.
+    */
+  private lazy val langPredCtesSql: String = {
+    val marker = TextAnalysis.langMarkers.map { case (lc, ms) =>
+      lc -> s"len(list_filter(dtoks, x -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], x)))"
+    }
+    s"""lscored AS (
+       |  SELECT doc_id, lang, text,
+       |    ${marker("de")} AS s_de, ${marker("en")} AS s_en,
+       |    ${marker("es")} AS s_es, ${marker("fr")} AS s_fr
+       |  FROM (SELECT doc_id, lang, text,
+       |          list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS dtoks
+       |        FROM documents)),
+       |lpred AS (
+       |  SELECT doc_id, lang, CASE
+       |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |    WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       |    WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+       |    WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+       |    WHEN s_de > 0 THEN 'de'
+       |    ELSE 'und' END AS lang_pred
+       |  FROM lscored)""".stripMargin
+  }
+
+  /** Three-way split CASE from the portable hash — the oracle mirror of
+    * `Sampling.threeWaySplit` (shared by q196/q197).
+    */
+  private def splitCaseSql(keyExpr: String, trainPct: Int,
+                           valPct: Int): String =
+    s"""CASE WHEN (${hash31Sql(keyExpr)}) % 100 < $trainPct THEN 'train'
+       |    WHEN (${hash31Sql(keyExpr)}) % 100 < ${trainPct + valPct}
+       |      THEN 'val' ELSE 'test' END""".stripMargin
+
   // ------------------------------------------------------------ flagship
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Regional
@@ -2296,6 +2334,74 @@ object SparkEntry {
       // scoring join, GroupedTopK finish, round-6 before rank
       Similarity.hardNegatives(T(s, d, "embeddings"),
         col("vec_id") < 10, k = 3)),
+    "q196_leakage_safe_split" -> ((s, d) =>
+      // cluster-safe train/val/test: near-dup clusters land whole in one
+      // split (hash the CC representative, not the doc) — id-only
+      // shuffles end-to-end
+      Sampling.leakageSafeSplit(T(s, d, "documents"),
+        Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
+          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))),
+    "q197_split_leakage" -> ((s, d) =>
+      // the audit that motivates q196: near-dup pairs straddling a NAIVE
+      // per-doc hash split, counted per unordered split pair
+      Sampling.splitLeakage(
+        Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
+          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))),
+    "q198_cross_source_dups" -> ((s, d) => {
+      // provenance-overlap matrix over a corpus with an injected 'mirror'
+      // slice (every 7th doc re-tagged — the raw corpus has no
+      // cross-source dups, q135's injection trick); distinct (source,
+      // hash) first, so only 60-bit hashes shuffle
+      val docs = T(s, d, "documents")
+      val aug = docs.unionAll(docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("source", lit("mirror")))
+      Dedup.crossSourceDuplicates(aug)
+    }),
+    "q199_langid_eval" -> ((s, d) =>
+      // classifier report card for the langid heuristic vs the labeled
+      // lang column: per-class precision/recall/F1, every metric one
+      // rounded division of integer confusion counts
+      TextAnalysis.langIdEvaluation(T(s, d, "documents"))),
+    "q200_curation_funnel" -> ((s, d) => {
+      // capstone v5 — the retention report a curation run ships with:
+      // raw → language-known → normalized-exact unique → near-dup
+      // unique, each stage feeding the next; counts + ppm-of-raw via
+      // exact integer DIV off a broadcast 1-row scalar
+      val docs = T(s, d, "documents")
+      val lang = TextAnalysis.languageIdDf(docs)
+        .filter(col("lang_pred") =!= "und").drop("lang_pred")
+      val exact = Dedup.exactNormalized(lang, "text", "doc_id")
+      val clusters = Dedup.clusterNearDups(
+        Dedup.minhashNearDupPairs(exact, "doc_id", "text",
+          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))
+      val near = exact.join(clusters, Seq("doc_id"), "left")
+        .filter(col("cluster_rep").isNull ||
+          col("cluster_rep") === col("doc_id"))
+      def st(n: Int, name: String, frame: DataFrame) =
+        frame.agg(count(lit(1)).as("n_docs"))
+          .select(lit(n).as("stage_no"), lit(name).as("stage"),
+            col("n_docs"))
+      val stages = st(0, "raw", docs)
+        .unionAll(st(1, "lang_known", lang))
+        .unionAll(st(2, "exact_unique", exact))
+        .unionAll(st(3, "near_unique", near))
+      val raw = docs.agg(count(lit(1)).as("__raw"))
+      stages.crossJoin(broadcast(raw))
+        .select(col("stage_no"), col("stage"), col("n_docs"),
+          expr("1000000 * n_docs DIV __raw").as("retained_ppm"))
+    }),
+    "q201_mutual_knn_census" -> ((s, d) => {
+      // semantic-cluster census: exact blocked kNN → reciprocal filter
+      // (hubs can't absorb everything) → CC size histogram via the
+      // shared pointer-doubling core
+      val pairs = Similarity.mutualKnnPairs(T(s, d, "embeddings"), k = 5)
+      Dedup.clusterNearDups(pairs.select(col("id_a"), col("id_b")),
+          idCol = "vec_id")
+        .groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("component_size"))
+        .groupBy(col("component_size"))
+        .agg(count(lit(1)).as("n_components"))
+    }),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -2508,32 +2614,10 @@ object SparkEntry {
          |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q23_knn" -> knnOracleSql,
     "q75_knn_blocked" -> knnOracleSql, // tier-equivalence: same semantics
-    "q25_langid_counts" -> {
-      // mirrors languageIdScored: distinct lowercase tokens scored against
-      // marker lists; argmax with greatest(struct) semantics = on score
-      // ties the lexicographically-last language wins, hence the reversed
-      // CASE order; zh short-circuits on any CJK char
-      val marker = TextAnalysis.langMarkers.map { case (lc, ms) =>
-        lc -> s"len(list_filter(dtoks, x -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], x)))"
-      }
-      s"""WITH scored AS (
-         |  SELECT text,
-         |    ${marker("de")} AS s_de, ${marker("en")} AS s_en,
-         |    ${marker("es")} AS s_es, ${marker("fr")} AS s_fr
-         |  FROM (SELECT text,
-         |          list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS dtoks
-         |        FROM documents)),
-         |pred AS (
-         |  SELECT CASE
-         |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-         |    WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-         |    WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
-         |    WHEN s_en > 0 AND s_en >= s_de THEN 'en'
-         |    WHEN s_de > 0 THEN 'de'
-         |    ELSE 'und' END AS lang_pred
-         |  FROM scored)
-         |SELECT lang_pred, count(*) AS n_docs FROM pred GROUP BY lang_pred""".stripMargin
-    },
+    "q25_langid_counts" ->
+      s"""WITH $langPredCtesSql
+         |SELECT lang_pred, count(*) AS n_docs FROM lpred
+         |GROUP BY lang_pred""".stripMargin,
     "q31_blocked_jaccard_neardup" ->
       s"""WITH capped AS (SELECT doc_id, lang, source, text FROM (
          |    SELECT doc_id, lang, source, text,
@@ -4572,6 +4656,119 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
         |        ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
         |WHERE rn <= 3""".stripMargin,
+    "q196_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(src, dst) AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+         |  FROM reach GROUP BY src),
+         |dr AS (SELECT d.doc_id, coalesce(cl.rep, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         |sp AS (SELECT rep,
+         |    ${splitCaseSql("CAST(rep AS VARCHAR)", 80, 10)} AS split
+         |  FROM dr)
+         |SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_clusters
+         |FROM sp GROUP BY split""".stripMargin,
+    "q197_split_leakage" ->
+      s"""WITH ${jaccardPairCtesSql(2, 0.8)},
+         |lab AS (SELECT
+         |    ${splitCaseSql("CAST(id_a AS VARCHAR)", 80, 10)} AS sa,
+         |    ${splitCaseSql("CAST(id_b AS VARCHAR)", 80, 10)} AS sb
+         |  FROM jp)
+         |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+         |  count(*) AS n_pairs
+         |FROM lab GROUP BY least(sa, sb), greatest(sa, sb)""".stripMargin,
+    "q198_cross_source_dups" ->
+      s"""WITH aug AS (SELECT source, text FROM documents
+         |  UNION ALL SELECT 'mirror', text FROM documents WHERE doc_id % 7 = 0),
+         |h AS (SELECT DISTINCT source, (${hash60Sql("text")}) AS hh FROM aug)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*) AS n_shared
+         |FROM h a JOIN h b ON a.hh = b.hh AND a.source < b.source
+         |GROUP BY a.source, b.source""".stripMargin,
+    "q199_langid_eval" ->
+      s"""WITH $langPredCtesSql,
+         |conf AS (SELECT lang AS lab, lang_pred AS pred, count(*) AS n
+         |  FROM lpred GROUP BY lab, pred),
+         |cls AS (SELECT lab AS lang FROM conf
+         |        UNION SELECT pred FROM conf),
+         |tn AS (SELECT lab AS lang, CAST(sum(n) AS BIGINT) AS nt
+         |  FROM conf GROUP BY lab),
+         |pn AS (SELECT pred AS lang, CAST(sum(n) AS BIGINT) AS np
+         |  FROM conf GROUP BY pred),
+         |ht AS (SELECT lab AS lang, CAST(n AS BIGINT) AS nc FROM conf
+         |  WHERE lab = pred)
+         |SELECT c.lang, coalesce(nt, 0) AS n_true, coalesce(np, 0) AS n_pred,
+         |  coalesce(nc, 0) AS n_correct,
+         |  CASE WHEN coalesce(np, 0) > 0
+         |    THEN round(CAST(coalesce(nc, 0) AS DOUBLE) / np, 6)
+         |    ELSE 0e0 END AS "precision",
+         |  CASE WHEN coalesce(nt, 0) > 0
+         |    THEN round(CAST(coalesce(nc, 0) AS DOUBLE) / nt, 6)
+         |    ELSE 0e0 END AS recall,
+         |  CASE WHEN coalesce(nt, 0) + coalesce(np, 0) > 0
+         |    THEN round((2e0) * CAST(coalesce(nc, 0) AS DOUBLE)
+         |      / (coalesce(nt, 0) + coalesce(np, 0)), 6)
+         |    ELSE 0e0 END AS f1
+         |FROM cls c LEFT JOIN tn USING (lang) LEFT JOIN pn USING (lang)
+         |  LEFT JOIN ht USING (lang)""".stripMargin,
+    "q200_curation_funnel" ->
+      s"""WITH RECURSIVE $langPredCtesSql,
+         |lk AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN lpred p ON d.doc_id = p.doc_id AND p.lang_pred <> 'und'),
+         |nrm AS (SELECT doc_id,
+         |    trim(regexp_replace(
+         |      regexp_replace(lower(text), '[.,!?;:''"()\\[\\]{}]', '', 'g'),
+         |      '\\s+', ' ', 'g')) AS norm
+         |  FROM lk),
+         |ex AS (SELECT doc_id FROM nrm
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM nrm GROUP BY norm)),
+         |${jaccardPairCtesSql(2, 0.8)},
+         |jpf AS (SELECT id_a, id_b FROM jp
+         |  WHERE id_a IN (SELECT doc_id FROM ex)
+         |    AND id_b IN (SELECT doc_id FROM ex)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jpf
+         |          UNION ALL SELECT id_b, id_a FROM jpf),
+         |reach(src, dst) AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+         |  FROM reach GROUP BY src),
+         |nu AS (SELECT e.doc_id FROM ex e LEFT JOIN cl ON e.doc_id = cl.doc_id
+         |  WHERE cl.rep IS NULL OR cl.rep = e.doc_id),
+         |rawn AS (SELECT count(*) AS n FROM documents),
+         |stages AS (
+         |  SELECT 0 AS stage_no, 'raw' AS stage,
+         |    (SELECT n FROM rawn) AS n_docs
+         |  UNION ALL SELECT 1, 'lang_known', (SELECT count(*) FROM lk)
+         |  UNION ALL SELECT 2, 'exact_unique', (SELECT count(*) FROM ex)
+         |  UNION ALL SELECT 3, 'near_unique', (SELECT count(*) FROM nu))
+         |SELECT stage_no, stage, n_docs,
+         |  CAST(1000000 * n_docs // (SELECT n FROM rawn) AS BIGINT)
+         |    AS retained_ppm
+         |FROM stages""".stripMargin,
+    "q201_mutual_knn_census" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+         |  FROM embeddings),
+         |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(${cosSql("a.e", "b.e")}, 6) AS sim
+         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+         |rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+         |    ORDER BY sim DESC, dst) AS rn FROM p),
+         |e AS (SELECT src, dst FROM rk WHERE rn <= 5),
+         |m AS (SELECT x.src AS ida, x.dst AS idb FROM e x
+         |  JOIN e y ON x.src = y.dst AND x.dst = y.src
+         |  WHERE x.src < x.dst),
+         |e2 AS (SELECT ida AS src, idb AS dst FROM m
+         |       UNION ALL SELECT idb, ida FROM m),
+         |reach(src, dst) AS (SELECT src, dst FROM e2
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src),
+         |cl AS (SELECT src AS node, least(src, min(dst)) AS rep
+         |  FROM reach GROUP BY src),
+         |sz AS (SELECT rep, count(*) AS component_size FROM cl GROUP BY rep)
+         |SELECT component_size, count(*) AS n_components FROM sz
+         |GROUP BY component_size""".stripMargin,
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,

@@ -129,6 +129,16 @@ package object functions {
   def md5Hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** Driver/test-side twin of [[md5Hash31]] — same md5-hex-prefix math on
+    * the JVM, for asserting hash-gated behavior without a Spark job.
+    */
+  def md5Hash31Local(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 2147483647L
+  }
+
   /** |A ∩ B| of two SORTED array<bigint> columns (see SortedIntersectCount). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(SortedIntersectCount(

@@ -1214,4 +1214,26 @@ object Dedup {
           .as("jw"))
       .filter(col("jw") >= threshold)
   }
+
+  /** Cross-source duplicate matrix: for each unordered source pair, how
+    * many distinct document texts appear in BOTH — the provenance-overlap
+    * diagnostic that decides which source to drop (or dedup against which)
+    * before mixing a corpus. Reduces to DISTINCT (source, text-hash)
+    * first, so the self-join and everything after it shuffle 60-bit
+    * hashes only — text never moves, and the join's per-hash fan-out is
+    * bounded by the source count, not the corpus (a hash duplicated a
+    * million times within one source is still ONE row per source here).
+    */
+  def crossSourceDuplicates(docs: DataFrame, srcCol: String = "source",
+                            textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(srcCol).as("__src"),
+        graft.functions.md5Hash60(col(textCol)).as("__h"))
+      .distinct()
+    sh.select(col("__src").as("source_a"), col("__h"))
+      .join(sh.select(col("__src").as("source_b"), col("__h")), "__h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

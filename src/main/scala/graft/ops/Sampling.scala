@@ -424,4 +424,64 @@ object Sampling {
         expr(s"${1000000L / budgetFactor} * epochs * n_tokens DIV __tt")
           .as("budget_share_ppm"))
   }
+
+  // ------------------------------------------- leakage-safe train splits
+
+  /** Per-split label from the portable hash: first `trainPct` buckets →
+    * train, next `valPct` → val, rest → test. Shared by the naive and the
+    * cluster-safe splitters so the two q-entries disagree ONLY in what
+    * they hash (doc id vs cluster rep), never in bucket math.
+    */
+  private def threeWaySplit(key: Column, trainPct: Int, valPct: Int): Column = {
+    val h = graft.functions.md5Hash31(key.cast("string")) % 100
+    when(h < trainPct, "train")
+      .when(h < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Cluster-safe train/val/test census: every near-dup CLUSTER lands
+    * whole in one split (hash the component representative, not the doc),
+    * so evaluation never sees a near-copy of a training document — the
+    * leakage guarantee a naive per-doc hash split cannot give (measured by
+    * [[splitLeakage]]). `pairs` is any (id_a, id_b) near-dup relation
+    * (LSH, SimHash, embedding); docs absent from it are their own
+    * singleton cluster.
+    *
+    * Scale shape: the pair pipeline and the CC label loop shuffle ids
+    * only; the census is a hash aggregate over (id, rep) — text and
+    * vectors never move, and nothing corpus-scale crosses the driver.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id",
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
+    val clusters = Dedup.clusterNearDups(pairs, idCol = idCol)
+    docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(coalesce(col("cluster_rep"), col(idCol)).as("__rep"))
+      .withColumn("split", threeWaySplit(col("__rep"), trainPct, valPct))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__rep")).as("n_clusters"))
+  }
+
+  /** Leakage audit of the NAIVE per-doc hash split: how many near-dup
+    * pairs straddle split boundaries. The (train, val)/(train, test) rows
+    * are exactly the eval-contamination a cluster-safe split eliminates;
+    * the diagonal rows are harmless. Pair labels are canonicalized
+    * (least/greatest) so each unordered split pair is one row.
+    */
+  def splitLeakage(pairs: DataFrame, trainPct: Int = 80,
+                   valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
+    pairs
+      .select(threeWaySplit(col("id_a"), trainPct, valPct).as("__sa"),
+        threeWaySplit(col("id_b"), trainPct, valPct).as("__sb"))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

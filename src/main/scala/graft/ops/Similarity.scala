@@ -1800,4 +1800,58 @@ object Similarity {
         round(col("__ab") / (sqrt(col("__aa")) * sqrt(col("__bb"))), 6)
           .as("drift_cos"))
   }
+
+  /** Mutual-kNN edges: (a, b) is kept iff b is in a's top-k cosine
+    * neighbors AND a is in b's — the reciprocal filter that turns a kNN
+    * graph into the high-precision edge set semantic clustering wants
+    * (hub vectors stop absorbing everything: a hub may be in thousands of
+    * top-k lists, but its OWN list only reciprocates k of them).
+    *
+    * Scale shape: scoring is the exact block-partitioned tier (each of
+    * the blocks·(blocks+1)/2 block pairs scores independently — Σ|work|
+    * spreads over the cluster and each undirected pair is computed ONCE,
+    * then emitted in both directions). Per-vector top-k runs on the
+    * bounded-heap GroupedTopK operator, and the reciprocal check is a
+    * self-join of two (N·k)-row id/sim relations — vectors never shuffle
+    * past the scoring stage. At corpus scale the drop-in upgrade is IVF
+    * candidate generation (assignCells → score within probed cells, the
+    * q124 shape) feeding the SAME top-k + reciprocal tail; the exact tier
+    * here is also the recall oracle for that upgrade.
+    * Round-before-rank: sims round to 6 before the top-k cut so a 1-ulp
+    * engine divergence cannot flip the k-th neighbor.
+    */
+  def mutualKnnPairs(emb: DataFrame, k: Int, blocks: Int = 32,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+      .withColumn("__blk", pmod(xxhash64(col(idCol)), lit(blocks)).cast("int"))
+    val bp = (for (i <- 0 until blocks; j <- i until blocks) yield (i, j))
+      .toDF("__ba", "__bb")
+    val a = v.select(col(idCol).as("__ida"), col("__v").as("__va"),
+      col("__n").as("__na"), col("__blk").as("__ba"))
+    val b = v.select(col(idCol).as("__idb"), col("__v").as("__vb"),
+      col("__n").as("__nb"), col("__blk").as("__bb"))
+    val undirected = a.join(broadcast(bp), "__ba")
+      .join(b, "__bb")
+      .filter(col("__ba") < col("__bb") || col("__ida") < col("__idb"))
+      .select(col("__ida"), col("__idb"),
+        round(dotProduct(col("__va"), col("__vb")) /
+          (col("__na") * col("__nb")), 6).as("sim"))
+    val directed = undirected
+      .select(col("__ida").as("src"), col("__idb").as("dst"), col("sim"))
+      .union(undirected
+        .select(col("__idb").as("src"), col("__ida").as("dst"), col("sim")))
+    val topk = graft.plans.TopK.perGroup(directed, Seq("src"),
+      Seq(("sim", true), ("dst", false)), k)
+    topk.alias("x")
+      .join(topk.alias("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .filter(col("x.src") < col("x.dst"))
+      .select(col("x.src").as("id_a"), col("x.dst").as("id_b"),
+        col("x.sim").as("sim"))
+  }
 }

@@ -1159,4 +1159,49 @@ object TextAnalysis {
         expr("1000000 * (n_docs - __ndt) DIV n_docs").as("dup_ppm"),
         col("mean_entropy"), col("mean_ttr"), col("top_lang"))
   }
+
+  /** Classifier report card for the language-ID heuristic against the
+    * corpus's labeled `lang` column: per-class support, prediction count,
+    * hits, and precision/recall/F1. Every metric derives from the INTEGER
+    * confusion counts in one rounded division — in particular F1 uses the
+    * identity 2·TP/(n_true + n_pred), never the already-rounded p and r —
+    * so both engines compute identical doubles. Classes are the UNION of
+    * observed labels and predictions (a class that is only ever predicted,
+    * like "und", still gets its precision-0 row). One corpus scan; the
+    * report runs on the |classes|²-bounded confusion relation.
+    */
+  def langIdEvaluation(docs: DataFrame, textCol: String = "text",
+                       labelCol: String = "lang"): DataFrame = {
+    val conf = languageIdDf(docs, textCol)
+      .groupBy(col(labelCol).as("__lab"), col("lang_pred").as("__pred"))
+      .agg(count(lit(1)).as("__n"))
+    val classes = conf.select(col("__lab").as("lang"))
+      .union(conf.select(col("__pred")))
+      .distinct()
+    val trueN = conf.groupBy(col("__lab").as("lang"))
+      .agg(sum(col("__n")).as("__nt"))
+    val predN = conf.groupBy(col("__pred").as("lang"))
+      .agg(sum(col("__n")).as("__np"))
+    val hits = conf.filter(col("__lab") === col("__pred"))
+      .select(col("__lab").as("lang"), col("__n").as("__nc"))
+    classes
+      .join(trueN, Seq("lang"), "left")
+      .join(predN, Seq("lang"), "left")
+      .join(hits, Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("__nt"), lit(0L)).as("n_true"),
+        coalesce(col("__np"), lit(0L)).as("n_pred"),
+        coalesce(col("__nc"), lit(0L)).as("n_correct"))
+      .select(col("lang"), col("n_true"), col("n_pred"), col("n_correct"),
+        when(col("n_pred") > 0, round(col("n_correct").cast("double") /
+          col("n_pred").cast("double"), 6)).otherwise(lit(0.0))
+          .as("precision"),
+        when(col("n_true") > 0, round(col("n_correct").cast("double") /
+          col("n_true").cast("double"), 6)).otherwise(lit(0.0))
+          .as("recall"),
+        when(col("n_true") + col("n_pred") > 0,
+          round(lit(2.0) * col("n_correct").cast("double") /
+            (col("n_true") + col("n_pred")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("f1"))
+  }
 }

@@ -519,6 +519,22 @@ class DedupSpec extends SparkSpec {
     assert(got == truth, s"extra pairs: ${got -- truth}")
   }
 
+  test("crossSourceDuplicates counts distinct shared texts per source pair") {
+    val df = Seq(
+      ("web", "alpha"), ("web", "beta"), ("web", "beta"), // within-src dup
+      ("books", "alpha"), ("books", "gamma"),
+      ("code", "alpha"), ("code", "beta"),
+      ("code", "delta")).toDF("source", "text")
+    val got = Dedup.crossSourceDuplicates(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // alpha in all three; beta in web+code; within-source repeats don't
+    // inflate, and pairs are canonical (source_a < source_b)
+    assert(got == Map(
+      ("books", "web") -> 1L,
+      ("books", "code") -> 1L,
+      ("code", "web") -> 2L))
+  }
+
   implicit class Tuple3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Sampling
+import graft.ops.{Dedup, Sampling}
 
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
@@ -202,6 +202,60 @@ class SamplingSpec extends SparkSpec {
     val df = Seq(("s", "a")).toDF("source", "text")
     intercept[IllegalArgumentException] {
       Sampling.repeatEpochs(df, budgetFactor = 3)
+    }
+  }
+
+  test("leakageSafeSplit keeps every cluster whole and counts every doc") {
+    // pairs chain 1-2-3 into one cluster and 10-11 into another; 20 is a
+    // singleton — 6 docs, 3 clusters
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val census = Sampling.leakageSafeSplit(docs, pairs)
+    assert(census.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head().getLong(0) == 6L)
+    assert(census.agg(org.apache.spark.sql.functions.sum("n_clusters"))
+      .head().getLong(0) == 3L)
+    // the leakage guarantee itself: re-derive each doc's split through the
+    // SAME census math and check both endpoints of every pair agree
+    val clusters = Dedup.clusterNearDups(pairs)
+    val rep = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def splitOf(id: Long): String = {
+      val r = rep.getOrElse(id, id)
+      val h = graft.functions.md5Hash31Local(r.toString) % 100
+      if (h < 80) "train" else if (h < 90) "val" else "test"
+    }
+    Seq((1L, 2L), (2L, 3L), (10L, 11L)).foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"pair ($a,$b) straddles splits")
+    }
+  }
+
+  test("splitLeakage counts exactly the pairs whose NAIVE splits differ") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    def naive(id: Long): String = {
+      val h = graft.functions.md5Hash31Local(id.toString) % 100
+      if (h < 80) "train" else if (h < 90) "val" else "test"
+    }
+    val expected = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .map { case (a, b) =>
+        val (sa, sb) = (naive(a), naive(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Sampling.splitLeakage(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  test("split functions reject degenerate percent layouts") {
+    val docs = Seq(1L).toDF("doc_id")
+    val pairs = Seq((1L, 1L)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(docs, pairs, trainPct = 90, valPct = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitLeakage(pairs, trainPct = 0, valPct = 10)
     }
   }
 }

@@ -917,4 +917,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0) == ((1L, 1L, 1.0)))
     assert(out(1) == ((1L, 1L, -1.0)))
   }
+
+  test("mutualKnnPairs keeps exactly the reciprocal top-k edges") {
+    def unit(deg: Double): Array[Double] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r), math.sin(r))
+    }
+    // two tight pairs and one far singleton; k=1 keeps only reciprocals
+    val emb = Seq(
+      (1L, unit(0)), (2L, unit(5)), // mutual nearest of each other
+      (3L, unit(40)), // nearest is the 'hub' at 20°...
+      (4L, unit(20))) // ...whose own nearest is 2 — (3,4) NOT mutual
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mutualKnnPairs(emb, k = 1, blocks = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+    // k=3 on 4 vectors = complete top-k lists → every pair reciprocates
+    val all = Similarity.mutualKnnPairs(emb, k = 3, blocks = 4).count()
+    assert(all == 6L)
+  }
 }

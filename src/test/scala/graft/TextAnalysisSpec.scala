@@ -417,4 +417,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(b.getAs[Long]("dup_ppm") == 0L)
     assert(b.getAs[Double]("mean_ttr") == 1.0)
   }
+
+  test("langIdEvaluation derives p/r/F1 from integer confusion counts") {
+    val docs = Seq(
+      ("the cat and the dog", "en"), // pred en — hit
+      ("le chat et la maison est", "fr"), // pred fr — hit
+      ("der hund ist mit heute", "de"), // pred de — hit
+      ("xyz qwerty asdf", "en")) // no markers → pred und; en recall drops
+      .toDF("text", "lang")
+    val rows = TextAnalysis.langIdEvaluation(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // 'und' is prediction-only: still gets a row, with zero-filled metrics
+    assert(rows.keySet == Set("en", "fr", "de", "und"))
+    val en = rows("en")
+    assert(en.getAs[Long]("n_true") == 2L)
+    assert(en.getAs[Long]("n_pred") == 1L)
+    assert(en.getAs[Long]("n_correct") == 1L)
+    assert(en.getAs[Double]("precision") == 1.0)
+    assert(en.getAs[Double]("recall") == 0.5)
+    assert(en.getAs[Double]("f1") == 0.666667) // 2·1/(2+1), rounded 6
+    val und = rows("und")
+    assert(und.getAs[Long]("n_true") == 0L)
+    assert(und.getAs[Long]("n_pred") == 1L)
+    assert(und.getAs[Double]("precision") == 0.0)
+    assert(und.getAs[Double]("recall") == 0.0)
+    assert(und.getAs[Double]("f1") == 0.0)
+    assert(rows("fr").getAs[Double]("f1") == 1.0)
+    assert(rows("de").getAs[Double]("f1") == 1.0)
+  }
 }
