@@ -2402,6 +2402,17 @@ object SparkEntry {
         .groupBy(col("component_size"))
         .agg(count(lit(1)).as("n_components"))
     }),
+    "q202_label_outliers" -> ((s, d) =>
+      // label-noise audit: the 3 vectors least similar to their own
+      // label's centroid — one posexplode pass for centroids, broadcast
+      // rejoin, in-order cosine fold, bottom-k via GroupedTopK
+      Similarity.labelOutliers(T(s, d, "embeddings"), k = 3)),
+    "q203_quantile_normalize" -> ((s, d) =>
+      // cross-source score equalization: mid-rank uniformization of doc
+      // length within each source — integer rank/count window, one
+      // rounded division
+      Quantiles.rankUniformScores(T(s, d, "documents"), "source",
+        "n_chars", "doc_id")),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4769,6 +4780,29 @@ object SparkEntry {
          |sz AS (SELECT rep, count(*) AS component_size FROM cl GROUP BY rep)
          |SELECT component_size, count(*) AS n_components FROM sz
          |GROUP BY component_size""".stripMargin,
+    "q202_label_outliers" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+         |  FROM embeddings),
+         |x AS (SELECT label, i, avg(e[i]) AS c
+         |  FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+         |  GROUP BY label, i),
+         |cen AS (SELECT label, list(c ORDER BY i) AS cv FROM x
+         |  GROUP BY label),
+         |sc AS (SELECT vec_id, v.label,
+         |    round(${cosSql("v.e", "cen.cv")}, 6) AS centroid_cos
+         |  FROM v JOIN cen ON v.label = cen.label)
+         |SELECT vec_id, label, centroid_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY label
+         |      ORDER BY centroid_cos, vec_id) AS rn FROM sc)
+         |WHERE rn <= 3""".stripMargin,
+    "q203_quantile_normalize" ->
+      """SELECT doc_id, source, n_chars,
+        |  round(CAST(2 * rn - 1 AS DOUBLE) / (2 * n), 6) AS uniform_score
+        |FROM (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)""".stripMargin,
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,

@@ -274,4 +274,32 @@ object Quantiles {
           greatest(lit(1.0), col("n_union").cast("double") * relTol))
           .as("approx_ok"))
   }
+
+  /** Quantile normalization to uniform [0, 1]: each row's value is
+    * replaced by its mid-rank fraction (2·rank − 1) / (2·n) WITHIN its
+    * group — after it, every group's score distribution is identical
+    * (uniform), which is how a per-source quality/length score becomes
+    * comparable across sources with different score scales (source A's
+    * "good" and source B's "good" both land at 0.9). Deterministic and
+    * engine-exact: rank and n are integers (ties broken by `idCol`), the
+    * one division rounds to 6.
+    *
+    * Scale note: one hash-partitioned window per group — the standard
+    * rank shuffle. A group hot enough to bottleneck a window at 100 TB
+    * should pre-aggregate to (value, count) histograms first (the q108
+    * discipline); for typical per-source corpora the plain window holds.
+    */
+  def rankUniformScores(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.select(col(idCol), col(groupCol), col(valueCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        round((lit(2L) * col("__rn") - lit(1L)).cast("double") /
+          (lit(2L) * col("__n")).cast("double"), 6).as("uniform_score"))
+  }
 }

@@ -1820,6 +1820,42 @@ object Similarity {
     * Round-before-rank: sims round to 6 before the top-k cut so a 1-ulp
     * engine divergence cannot flip the k-th neighbor.
     */
+  /** Per-label mislabel candidates: the k vectors LEAST similar to their
+    * own label's centroid — the label-noise audit run before training a
+    * classifier on weak labels (a vector far from its label centroid is
+    * either mislabeled or an genuine outlier; both deserve review).
+    *
+    * Scale shape: centroids come from ONE posexplode pass (map-side-
+    * combinable per-(label, dim) avg — raw vectors never shuffle), are
+    * reassembled into per-label arrays on a |labels|-sized relation, and
+    * re-enter as a broadcast join; per-vector cosines are then a map-only
+    * in-order fold (dotProduct — the q22-proven bit-exact order), and the
+    * bottom-k finish is the bounded-heap GroupedTopK. Round-before-rank
+    * on the cosine.
+    */
+  def labelOutliers(emb: DataFrame, k: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val v = emb.select(col(idCol), col(labelCol),
+      col(vecCol).cast("array<double>").as("__v"))
+    val cents = v
+      .select(col(labelCol), posexplode(col("__v")).as(Seq("__p", "__x")))
+      .groupBy(col(labelCol), col("__p"))
+      .agg(avg(col("__x")).as("__c"))
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__c"))))
+        .as("__pc"))
+      .select(col(labelCol),
+        transform(col("__pc"), x => x.getField("__c")).as("__cv"))
+    val scored = v.join(broadcast(cents), labelCol)
+      .select(col(idCol), col(labelCol),
+        round(dotProduct(col("__v"), col("__cv")) /
+          (l2Norm(col("__v")) * l2Norm(col("__cv"))), 6).as("centroid_cos"))
+    graft.plans.TopK.perGroup(scored, Seq(labelCol),
+      Seq(("centroid_cos", false), (idCol, false)), k)
+  }
+
   def mutualKnnPairs(emb: DataFrame, k: Int, blocks: Int = 32,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
@@ -1845,6 +1881,62 @@ object Similarity {
       .select(col("__ida").as("src"), col("__idb").as("dst"), col("sim"))
       .union(undirected
         .select(col("__idb").as("src"), col("__ida").as("dst"), col("sim")))
+    val topk = graft.plans.TopK.perGroup(directed, Seq("src"),
+      Seq(("sim", true), ("dst", false)), k)
+    topk.alias("x")
+      .join(topk.alias("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .filter(col("x.src") < col("x.dst"))
+      .select(col("x.src").as("id_a"), col("x.dst").as("id_b"),
+        col("x.sim").as("sim"))
+  }
+
+  /** The corpus-scale tier of [[mutualKnnPairs]]: candidate generation by
+    * IVF cells instead of all block pairs. Every vector probes its
+    * `nProbe` nearest cells and scores only the vectors ASSIGNED there,
+    * so per-vector work is Σ|probed cells|, not N — the same
+    * candidate-bounding contract as q124's search, applied to graph
+    * construction. Tail (per-vector GroupedTopK → reciprocal self-join)
+    * is IDENTICAL to the exact tier, which doubles as this tier's recall
+    * oracle (SimilaritySpec gates pair recall on a clustered fixture).
+    * Missed edges are vectors whose true neighbor lives in an un-probed
+    * cell — raise `nProbe` (or centroid count) to trade cost for recall,
+    * exactly the IVF search dial.
+    */
+  def mutualKnnPairsIvf(emb: DataFrame, centroids: DataFrame, k: Int,
+                        nProbe: Int, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        centIdCol: String = "cell_id",
+                        centVecCol: String = "centroid"): DataFrame = {
+    require(k > 0 && nProbe > 0, "k and nProbe must be positive")
+    val corpus = assignCells(emb, centroids, vecCol, idCol, centIdCol,
+        centVecCol)
+      .select(col(idCol).as("__cid"),
+        col(vecCol).cast("array<double>").as("__cv"), col(centIdCol))
+      .withColumn("__cn", l2Norm(col("__cv")))
+    val probes = emb
+      .select(col(idCol).as("__pid"),
+        col(vecCol).cast("array<double>").as("__pv"))
+      .withColumn("__pn", l2Norm(col("__pv")))
+    // cell routing shuffles (id, cell, score) triples only; the probe
+    // vectors re-attach AFTER the top-nProbe cut (one N-row join) instead
+    // of riding the N×|cells| scoring relation through the TopK exchange
+    val probeScored = probes
+      .crossJoin(broadcast(centroids.select(col(centIdCol),
+        col(centVecCol).cast("array<double>").as("__ce"))))
+      .select(col("__pid"), col(centIdCol),
+        round(dotProduct(col("__pv"), col("__ce")) /
+          (col("__pn") * l2Norm(col("__ce"))), 6).as("__cs"))
+    val probed = graft.plans.TopK.perGroup(probeScored, Seq("__pid"),
+      Seq(("__cs", true), (centIdCol, false)), nProbe)
+      .select(col("__pid"), col(centIdCol))
+    val directed = probed
+      .join(probes, "__pid")
+      .join(corpus, centIdCol)
+      .filter(col("__cid") =!= col("__pid"))
+      .select(col("__pid").as("src"), col("__cid").as("dst"),
+        round(dotProduct(col("__pv"), col("__cv")) /
+          (col("__pn") * col("__cn")), 6).as("sim"))
     val topk = graft.plans.TopK.perGroup(directed, Seq("src"),
       Seq(("sim", true), ("dst", false)), k)
     topk.alias("x")

@@ -126,4 +126,25 @@ class QuantilesSpec extends SparkSpec {
     // the sketch estimate must sit inside the gate on every emitted row
     assert(rows.values.forall(_.getAs[Boolean]("approx_ok")))
   }
+
+  test("rankUniformScores uniformizes each group to the same mid-rank grid") {
+    // two sources with wildly different scales; same group size → the
+    // multiset of uniform scores must be IDENTICAL across groups
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 500L), (3L, "a", 70L), (4L, "a", 2L),
+      (5L, "b", 1L), (6L, "b", 3L), (7L, "b", 2L), (8L, "b", 4L)
+    ).toDF("doc_id", "source", "n_chars")
+    val out = graft.ops.Quantiles
+      .rankUniformScores(df, "source", "n_chars", "doc_id")
+      .collect()
+    val byGroup = out.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getAs[Double]("uniform_score")).sorted.toSeq)
+    // mid-rank grid for n=4: (2k-1)/8
+    assert(byGroup("a") == Seq(0.125, 0.375, 0.625, 0.875))
+    assert(byGroup("a") == byGroup("b"))
+    // rank follows the value within the group: doc 4 (n_chars=2) lowest
+    val aScores = out.filter(_.getString(1) == "a")
+      .map(r => r.getLong(0) -> r.getAs[Double]("uniform_score")).toMap
+    assert(aScores(4L) == 0.125 && aScores(2L) == 0.875)
+  }
 }

@@ -936,4 +936,58 @@ class SimilaritySpec extends SparkSpec {
     val all = Similarity.mutualKnnPairs(emb, k = 3, blocks = 4).count()
     assert(all == 6L)
   }
+
+  test("mutualKnnPairsIvf: probing every cell reproduces the exact tier; " +
+    "clustered probing keeps high pair recall") {
+    // four tight clusters around orthogonal axes — 10 vectors each, with
+    // a deterministic per-vector jitter so in-cluster neighbors differ
+    val vecs = for {
+      c <- 0 until 4
+      i <- 0 until 10
+    } yield {
+      val base = Array.fill(4)(0.02 * ((c * 10 + i) % 5))
+      base(c) += 1.0
+      base(3 - c) += 0.01 * i
+      ((c * 10 + i).toLong, base)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0, Array(1.0, 0.0, 0.0, 0.0)), (1, Array(0.0, 1.0, 0.0, 0.0)),
+      (2, Array(0.0, 0.0, 1.0, 0.0)), (3, Array(0.0, 0.0, 0.0, 1.0))
+    ).toDF("cell_id", "centroid")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.mutualKnnPairs(emb, k = 3, blocks = 4))
+    // all cells probed = complete candidate set = identical edges
+    val full = pairSet(Similarity.mutualKnnPairsIvf(emb, centroids,
+      k = 3, nProbe = 4))
+    assert(full == exact)
+    // nProbe=1 on well-separated clusters: candidates are in-cluster only,
+    // and on this fixture the true top-3 neighbors ARE in-cluster
+    val ivf1 = pairSet(Similarity.mutualKnnPairsIvf(emb, centroids,
+      k = 3, nProbe = 1))
+    val recall = (ivf1 intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"pair recall $recall (|exact|=${exact.size})")
+    // the IVF tier can only MISS edges, never invent them
+    assert((ivf1 -- exact).isEmpty)
+  }
+
+  test("labelOutliers surfaces the vector farthest from its label centroid") {
+    // label A: three +x vectors and one MISLABELED +y vector; label B: +y
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0), "A"), (2L, Seq(0.99, 0.1), "A"),
+      (3L, Seq(0.98, -0.1), "A"),
+      (4L, Seq(0.0, 1.0), "A"), // the mislabel
+      (5L, Seq(0.1, 1.0), "B"), (6L, Seq(-0.1, 1.0), "B")
+    ).toDF("vec_id", "embedding", "label")
+    val top1 = Similarity.labelOutliers(emb, k = 1).collect()
+      .map(r => r.getAs[String]("label") -> r.getAs[Long]("vec_id")).toMap
+    assert(top1("A") == 4L)
+    val a = Similarity.labelOutliers(emb, k = 4)
+      .filter(col("label") === "A").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("centroid_cos"))
+      .toMap
+    // the mislabel's centroid cosine is far below the in-cluster three
+    assert(a(4L) < a(1L) && a(4L) < a(2L) && a(4L) < a(3L))
+  }
 }
