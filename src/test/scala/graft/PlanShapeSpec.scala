@@ -781,4 +781,65 @@ class PlanShapeSpec extends SparkSpec {
     // the doc-keyed aggregate is map-side combinable
     assert("HashAggregate".r.findAllIn(s).length >= 2, s)
   }
+
+  test("q198 cross-source dups: text reduces to hashes before any Exchange") {
+    withoutAqe {
+      val q = SparkEntry.queries("q198_cross_source_dups")(spark, sf0001)
+      val shuffles = plan(q).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"text crossed an Exchange:\n${plan(q)}")
+      }
+    }
+  }
+
+  test("q203 quantile normalization: ONE shuffle serves both windows") {
+    // rank and count windows share the same partitioning — a second
+    // Exchange would mean the window specs drifted apart
+    withoutAqe {
+      val q = SparkEntry.queries("q203_quantile_normalize")(spark, sf0001)
+      val shuffles = plan(q).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.length == 1, s"expected 1 Exchange:\n${plan(q)}")
+      assert(planString(q).contains("Window"), planString(q))
+    }
+  }
+
+  test("q201 mutual kNN: block pairs broadcast; top-k is the bounded-heap operator") {
+    // gate the PAIR pipeline (the census side is behind clusterNearDups'
+    // checkpoint, which cuts the visible plan at an ExistingRDD scan)
+    val pairs = graft.ops.Similarity.mutualKnnPairs(
+      Tables.embeddings(spark, sf0001), k = 5)
+    val s = planString(pairs)
+    // the block-pair frame rides a broadcast join, never a shuffle
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    // per-vector top-k runs on GroupedTopK (partial heap + final), not a
+    // Window sort over the full pair relation
+    assert(s.contains("GroupedTopKPartial"), s)
+    assert(s.contains("GroupedTopKFinal"), s)
+  }
+
+  test("q196 leakage-safe split: the doc text never crosses an Exchange") {
+    // the LSH pair pipeline, CC loop, and census all shuffle ids/hashes
+    // only; localCheckpoint inside clusterNearDups cuts the plan, so the
+    // gate runs on the pair pipeline itself
+    withoutAqe {
+      val pairs = graft.ops.Dedup.minhashNearDupPairs(
+        Tables.documents(spark, sf0001), "doc_id", "text",
+        shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)
+      val shuffles = plan(pairs).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"text crossed an Exchange:\n${plan(pairs)}")
+      }
+    }
+  }
 }
