@@ -528,6 +528,20 @@ object EventStream {
       graft.ops.Multimodal.synthesize(docs.sparkSession,
         docs.select("doc_id"), "doc_id"), fps, featureDims)
 
+  /** Streaming language-ID confusion counts — the streaming twin of
+    * q199's evaluation core: the prediction is a stateless codegen'd
+    * projection ([[graft.ops.TextAnalysis.languageIdDf]]), and the
+    * (lang, lang_pred) cells are a mergeable running count (complete
+    * mode, |langs|²-bounded state) — per-class precision/recall/F1
+    * derive from this tiny relation at read time with q199's integer
+    * identities. StreamingSpec pins the cells to the batch confusion
+    * exactly.
+    */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.languageIdDf(docs)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Streaming resize planning — the streaming twin of q152: a pure
     * per-row projection (target geometry + needs_resize gate), the
     * decode-skip decision a streaming media pipeline makes before its

@@ -489,6 +489,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("streaming langid confusion cells equal the batch confusion") {
+    // prediction is stateless; the confusion count is a mergeable
+    // aggregate — complete mode over the bounded doc fixture must land on
+    // exactly the batch (lang, lang_pred, n) relation
+    val streamed = EventStream.langIdConfusion(
+      EventStream.readDocuments(spark, sf0001))
+    val got = EventStream
+      .runToMemory(spark, streamed, "langid_conf_stream", "complete")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ref = graft.ops.TextAnalysis
+      .languageIdDf(Tables.documents(spark, sf0001))
+      .groupBy("lang", "lang_pred")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got == ref)
+  }
+
   test("streaming winsorizer matches the batch clamp under frozen fences; " +
     "unknown segments pass through") {
     import org.apache.spark.sql.functions.{col, greatest, least, when, lit, typedlit}
