@@ -2413,6 +2413,12 @@ object SparkEntry {
       // rounded division
       Quantiles.rankUniformScores(T(s, d, "documents"), "source",
         "n_chars", "doc_id")),
+    "q204_source_divergence" -> ((s, d) =>
+      // which sources are near-redundant vs additive: pairwise JS
+      // divergence between unigram distributions — one tokenize,
+      // vocab-sized pair fan-out, per-term ln snapped to nano BIGINTs
+      // (the DSIR discipline at a finer unit) so the sum is order-free
+      TextAnalysis.sourceDivergence(T(s, d, "documents"))),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4803,6 +4809,43 @@ object SparkEntry {
         |      ORDER BY n_chars, doc_id) AS rn,
         |    count(*) OVER (PARTITION BY source) AS n
         |  FROM documents)""".stripMargin,
+    "q204_source_divergence" -> {
+      // expression TREES mirror the Spark side exactly so the IEEE
+      // ÷/×/+ chain is bit-identical up to the ln, which snaps to nano
+      val pa = "(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+      val qb = "(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+      val mm = s"(($pa + $qb) / 2e0)"
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS term
+         |  FROM documents),
+         |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+         |  FROM t GROUP BY source, term),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tf
+         |  GROUP BY source),
+         |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    a.n AS na, b.n AS nb
+         |  FROM tot a JOIN tot b ON a.source < b.source),
+         |va AS (SELECT source_a, source_b, term, c AS ca FROM pr
+         |  JOIN tf ON tf.source = pr.source_a),
+         |vb AS (SELECT source_a, source_b, term, c AS cb FROM pr
+         |  JOIN tf ON tf.source = pr.source_b),
+         |mg AS (SELECT coalesce(va.source_a, vb.source_a) AS source_a,
+         |    coalesce(va.source_b, vb.source_b) AS source_b,
+         |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+         |  FROM va FULL OUTER JOIN vb ON va.source_a = vb.source_a
+         |    AND va.source_b = vb.source_b AND va.term = vb.term),
+         |mj AS (SELECT mg.source_a, mg.source_b, ca, cb, na, nb FROM mg
+         |  JOIN pr ON mg.source_a = pr.source_a
+         |    AND mg.source_b = pr.source_b),
+         |ct AS (SELECT source_a, source_b, CAST(round(((
+         |      CASE WHEN ca > 0 THEN $pa * ln($pa / $mm) ELSE 0e0 END +
+         |      CASE WHEN cb > 0 THEN $qb * ln($qb / $mm) ELSE 0e0 END
+         |    ) * 0.5e0) * 1000000000e0) AS BIGINT) AS nano
+         |  FROM mj)
+         |SELECT source_a, source_b, count(*) AS n_terms,
+         |  round(CAST(sum(nano) AS DOUBLE) / 1000000000e0, 6)
+         |    AS js_divergence
+         |FROM ct GROUP BY source_a, source_b""".stripMargin
+    },
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,

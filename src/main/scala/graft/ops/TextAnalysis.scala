@@ -1160,6 +1160,68 @@ object TextAnalysis {
         col("mean_entropy"), col("mean_ttr"), col("top_lang"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions — the corpus-similarity matrix that tells a mixture
+    * designer which sources are near-redundant (low JS) and which add
+    * coverage (high JS). JS is symmetric and finite without smoothing
+    * (terms absent from one side meet the mixture M = (P+Q)/2), bounded
+    * by ln 2.
+    *
+    * Engine-exact by the DSIR snap discipline: every per-term
+    * contribution is computed as one fixed double expression (IEEE
+    * ÷/×/+ are correctly rounded, so both engines produce identical
+    * bits up to the ln), snapped to an integer NANO unit immediately
+    * after the ln, and summed as BIGINT — order-free. ppm is too coarse
+    * here: per-term contributions are O(1/vocab), so the snap unit is
+    * 1e-9 (sums stay ≤ ln2·1e9 ≪ 2^63).
+    *
+    * Scale shape: one tokenize; everything after the (source, term)
+    * count reduction is vocabulary-sized — the pair fan-out multiplies
+    * vocab by |sources|−1, never by the corpus.
+    */
+  def sourceDivergence(docs: DataFrame, srcCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(srcCol).as("__src"),
+        explode(tokens(col(textCol))).as("__term"))
+      .groupBy(col("__src"), col("__term"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val totals = tf.groupBy(col("__src")).agg(sum(col("__c")).as("__n"))
+    val pairs = totals
+      .select(col("__src").as("source_a"), col("__n").as("__na"))
+      .crossJoin(broadcast(totals
+        .select(col("__src").as("source_b"), col("__n").as("__nb"))))
+      .filter(col("source_a") < col("source_b"))
+    val va = pairs.select("source_a", "source_b")
+      .join(tf.select(col("__src").as("source_a"), col("__term"),
+        col("__c").as("__ca")), "source_a")
+    val vb = pairs.select("source_a", "source_b")
+      .join(tf.select(col("__src").as("source_b"), col("__term"),
+        col("__c").as("__cb")), "source_b")
+    val merged = va.join(vb, Seq("source_a", "source_b", "__term"),
+        "full_outer")
+      .select(col("source_a"), col("source_b"), col("__term"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .join(broadcast(pairs), Seq("source_a", "source_b"))
+    val p = col("__ca").cast("double") / col("__na").cast("double")
+    val q = col("__cb").cast("double") / col("__nb").cast("double")
+    val m = (p + q) / lit(2.0)
+    val contrib = (when(col("__ca") > 0, p * log(p / m))
+      .otherwise(lit(0.0)) +
+      when(col("__cb") > 0, q * log(q / m)).otherwise(lit(0.0))) *
+      lit(0.5)
+    merged
+      .select(col("source_a"), col("source_b"),
+        round(contrib * lit(1e9)).cast("long").as("__nano"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__nano")).as("__s"))
+      .select(col("source_a"), col("source_b"), col("n_terms"),
+        round(col("__s").cast("double") / lit(1e9), 6)
+          .as("js_divergence"))
+  }
+
   /** Classifier report card for the language-ID heuristic against the
     * corpus's labeled `lang` column: per-class support, prediction count,
     * hits, and precision/recall/F1. Every metric derives from the INTEGER

@@ -445,4 +445,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows("fr").getAs[Double]("f1") == 1.0)
     assert(rows("de").getAs[Double]("f1") == 1.0)
   }
+
+  test("sourceDivergence: zero for identical sources, ln2 for disjoint") {
+    val docs = Seq(
+      ("a", "x y z x"), ("b", "x y z x"), // identical distributions
+      ("c", "p q r s")) // disjoint vocabulary
+      .toDF("source", "text")
+    val rows = TextAnalysis.sourceDivergence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("js_divergence"))).toMap
+    assert(rows(("a", "b")) == ((3L, 0.0)))
+    // fully disjoint supports: JS = ln 2 (within the nano snap)
+    assert(math.abs(rows(("a", "c"))._2 - math.log(2.0)) < 1e-5)
+    assert(rows(("a", "c"))._1 == 7L) // 3 + 4 distinct terms
+    // symmetric by construction: only canonical (a < b) pairs emitted
+    assert(rows.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
 }
