@@ -57,7 +57,10 @@ object PlanDump {
     "q169_dsir_weights" -> "DSIR: checkpointed (doc,bucket,count) core, bucket-sized lambda table broadcast back, integer scoring aggregate",
     "q172_fuzzy_part_pairs" -> "Jaro-Winkler ER: first-token block equi-join bounds candidates, codegen'd similarity in the verify filter",
     "q173_temperature_mixture" -> "temperature mixture: domain-rate aggregate broadcasts back, corpus gate map-only pre-shuffle",
-    "q176_containment_pairs" -> "containment: min-shingle anchor equi-join, sorted-hash intersect verify, no all-pairs scan")
+    "q176_containment_pairs" -> "containment: min-shingle anchor equi-join, sorted-hash intersect verify, no all-pairs scan",
+    "q198_cross_source_dups" -> "cross-source dups: text hashes to 60-bit in the scan stage, distinct + pair join shuffle hashes only",
+    "q203_quantile_normalize" -> "quantile normalization: ONE source-partitioned exchange serves both the rank and count windows",
+    "q204_source_divergence" -> "source JS divergence: single tokenize, vocab-sized pair fan-out, nano-snapped integer sum aggregate")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
