@@ -453,17 +453,31 @@ object Sampling {
     */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
                        idCol: String = "doc_id",
-                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
-      "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
-    val clusters = Dedup.clusterNearDups(pairs, idCol = idCol)
-    docs.select(col(idCol))
-      .join(clusters, Seq(idCol), "left")
-      .select(coalesce(col("cluster_rep"), col(idCol)).as("__rep"))
-      .withColumn("split", threeWaySplit(col("__rep"), trainPct, valPct))
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    assignSplits(docs, Dedup.clusterNearDups(pairs, idCol = idCol), idCol,
+      trainPct, valPct)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("__rep")).as("n_clusters"))
+        countDistinct(col("split_key")).as("n_clusters"))
+
+  /** Per-doc split assignment against a (id, cluster_rep) relation —
+    * the row-level core [[leakageSafeSplit]] aggregates, exposed
+    * separately because it is also the STREAMING shape: a doc stream
+    * assigns splits via a stream-static left join against the frozen
+    * rep table (no driver-side map — the rep relation is corpus-sized,
+    * so it stays a joinable side input, never a collected literal).
+    * Docs absent from the rep table hash as their own singleton.
+    */
+  def assignSplits(docs: DataFrame, clusterReps: DataFrame,
+                   idCol: String = "doc_id",
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
+    docs.select(col(idCol))
+      .join(clusterReps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_rep"), col(idCol)).as("split_key"))
+      .withColumn("split", threeWaySplit(col("split_key"), trainPct, valPct))
   }
 
   /** Leakage audit of the NAIVE per-doc hash split: how many near-dup

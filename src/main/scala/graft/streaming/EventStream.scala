@@ -542,6 +542,22 @@ object EventStream {
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Streaming leakage-safe split assigner — the streaming twin of
+    * q196's row-level core: new documents take their train/val/test
+    * split from a FROZEN cluster-rep relation via a stream-static left
+    * join (the rep table is corpus-sized, so it stays a joinable side
+    * input — never a collected driver map), unseen docs hash as their
+    * own singleton. Deterministic: a doc's split never changes across
+    * micro-batches or re-runs, the property eval-set hygiene needs.
+    * StreamingSpec pins assignments to the batch
+    * [[graft.ops.Sampling.assignSplits]] row for row.
+    */
+  def splitAssignedDocuments(docs: DataFrame, clusterReps: DataFrame,
+                             trainPct: Int = 80,
+                             valPct: Int = 10): DataFrame =
+    graft.ops.Sampling.assignSplits(docs, clusterReps, "doc_id",
+      trainPct, valPct)
+
   /** Streaming resize planning — the streaming twin of q152: a pure
     * per-row projection (target geometry + needs_resize gate), the
     * decode-skip decision a streaming media pipeline makes before its

@@ -509,6 +509,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == ref)
   }
 
+  test("streaming split assigner matches batch assignment under a frozen rep table") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+    val reps = graft.ops.Dedup.clusterNearDups(
+      graft.ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))
+    val streamed = EventStream.splitAssignedDocuments(
+      EventStream.readDocuments(spark, sf0001), reps)
+    val got = EventStream.runToMemory(spark, streamed, "split_stream_test")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val ref = graft.ops.Sampling.assignSplits(docs, reps)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.nonEmpty && got == ref)
+    // near-dup pair endpoints agree — the leakage guarantee, on-stream
+    val somePair = graft.ops.Dedup.minhashNearDupPairs(docs, "doc_id",
+      "text", shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)
+      .select(col("id_a"), col("id_b")).head()
+    assert(got(somePair.getLong(0)) == got(somePair.getLong(1)))
+  }
+
   test("streaming winsorizer matches the batch clamp under frozen fences; " +
     "unknown segments pass through") {
     import org.apache.spark.sql.functions.{col, greatest, least, when, lit, typedlit}
