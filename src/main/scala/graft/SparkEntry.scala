@@ -2419,6 +2419,30 @@ object SparkEntry {
       // vocab-sized pair fan-out, per-term ln snapped to nano BIGINTs
       // (the DSIR discipline at a finer unit) so the sum is order-free
       TextAnalysis.sourceDivergence(T(s, d, "documents"))),
+    "q205_cross_source_neardups" -> ((s, d) => {
+      // q198's exact matrix at NEAR-dup granularity: LSH pairs carry ids
+      // only; sources attach by two id-keyed joins against a 2-column
+      // projection — the canonical pair fold happens on (src, src)
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("__sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("__sb")), "id_b")
+        .select(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+    "q206_cube_summary" -> ((s, d) =>
+      // CUBE over (lang, source): all four grouping levels in one pass —
+      // the OLAP summary grid, partial+final aggregated like any groupBy
+      T(s, d, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_sum"))),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4846,6 +4870,18 @@ object SparkEntry {
          |    AS js_divergence
          |FROM ct GROUP BY source_a, source_b""".stripMargin
     },
+    "q205_cross_source_neardups" ->
+      s"""WITH ${jaccardPairCtesSql(2, 0.8)},
+         |lab AS (SELECT da.source AS sa, db.source AS sb FROM jp
+         |  JOIN documents da ON jp.id_a = da.doc_id
+         |  JOIN documents db ON jp.id_b = db.doc_id)
+         |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+         |  count(*) AS n_pairs
+         |FROM lab GROUP BY least(sa, sb), greatest(sa, sb)""".stripMargin,
+    "q206_cube_summary" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
     "q172_fuzzy_part_pairs" ->
       s"""WITH $jwPairCtesSql
          |SELECT name_a, name_b, jw FROM jwp""".stripMargin,
