@@ -334,6 +334,73 @@ object SparkEntry {
        |    WHEN (${hash31Sql(keyExpr)}) % 100 < ${trainPct + valPct}
        |      THEN 'val' ELSE 'test' END""".stripMargin
 
+  /** Shared by q201 (exact blocked tier) and q210 (IVF tier with every
+    * cell probed — complete candidates, hence tier-equivalent census).
+    */
+  private lazy val mutualKnnCensusOracleSql: String =
+    s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    round(${cosSql("a.e", "b.e")}, 6) AS sim
+       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+       |rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+       |    ORDER BY sim DESC, dst) AS rn FROM p),
+       |e AS (SELECT src, dst FROM rk WHERE rn <= 5),
+       |m AS (SELECT x.src AS ida, x.dst AS idb FROM e x
+       |  JOIN e y ON x.src = y.dst AND x.dst = y.src
+       |  WHERE x.src < x.dst),
+       |e2 AS (SELECT ida AS src, idb AS dst FROM m
+       |       UNION ALL SELECT idb, ida FROM m),
+       |reach(src, dst) AS (SELECT src, dst FROM e2
+       |  UNION SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src),
+       |cl AS (SELECT src AS node, least(src, min(dst)) AS rep
+       |  FROM reach GROUP BY src),
+       |sz AS (SELECT rep, count(*) AS component_size FROM cl GROUP BY rep)
+       |SELECT component_size, count(*) AS n_components FROM sz
+       |GROUP BY component_size""".stripMargin
+
+  /** JS-divergence oracle chain, parametric in the distribution unit
+    * (`unitSql` maps the token expr `tok` → raw term or hash bucket) —
+    * shared by q204 (raw vocabulary) and q209 (256-bucket sketch tier).
+    * Expression TREES mirror the Spark side exactly so the IEEE ÷/×/+
+    * chain is bit-identical up to the ln, which snaps to nano.
+    */
+  private def sourceDivergenceOracleSql(unitSql: String): String = {
+    val pa = "(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+    val qb = "(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    val mm = s"(($pa + $qb) / 2e0)"
+    s"""WITH t AS (SELECT source, $unitSql AS term
+       |  FROM (SELECT source, unnest($toksSql) AS tok FROM documents)),
+       |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       |  FROM t GROUP BY source, term),
+       |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tf
+       |  GROUP BY source),
+       |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    a.n AS na, b.n AS nb
+       |  FROM tot a JOIN tot b ON a.source < b.source),
+       |va AS (SELECT source_a, source_b, term, c AS ca FROM pr
+       |  JOIN tf ON tf.source = pr.source_a),
+       |vb AS (SELECT source_a, source_b, term, c AS cb FROM pr
+       |  JOIN tf ON tf.source = pr.source_b),
+       |mg AS (SELECT coalesce(va.source_a, vb.source_a) AS source_a,
+       |    coalesce(va.source_b, vb.source_b) AS source_b,
+       |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+       |  FROM va FULL OUTER JOIN vb ON va.source_a = vb.source_a
+       |    AND va.source_b = vb.source_b AND va.term = vb.term),
+       |mj AS (SELECT mg.source_a, mg.source_b, ca, cb, na, nb FROM mg
+       |  JOIN pr ON mg.source_a = pr.source_a
+       |    AND mg.source_b = pr.source_b),
+       |ct AS (SELECT source_a, source_b, CAST(round(((
+       |      CASE WHEN ca > 0 THEN $pa * ln($pa / $mm) ELSE 0e0 END +
+       |      CASE WHEN cb > 0 THEN $qb * ln($qb / $mm) ELSE 0e0 END
+       |    ) * 0.5e0) * 1000000000e0) AS BIGINT) AS nano
+       |  FROM mj)
+       |SELECT source_a, source_b, count(*) AS n_terms,
+       |  round(CAST(sum(nano) AS DOUBLE) / 1000000000e0, 6)
+       |    AS js_divergence
+       |FROM ct GROUP BY source_a, source_b""".stripMargin
+  }
+
   // ------------------------------------------------------------ flagship
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Regional
@@ -2443,6 +2510,69 @@ object SparkEntry {
       T(s, d, "documents")
         .cube(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_sum"))),
+    "q207_funnel_by_source" -> ((s, d) => {
+      // q200 per provenance: which source loses most to each curation
+      // stage — same stage frames, source-keyed censuses, per-source
+      // raw counts broadcast back for the ppm
+      val docs = T(s, d, "documents")
+      val lang = TextAnalysis.languageIdDf(docs)
+        .filter(col("lang_pred") =!= "und").drop("lang_pred")
+      val exact = Dedup.exactNormalized(lang, "text", "doc_id")
+      val clusters = Dedup.clusterNearDups(
+        Dedup.minhashNearDupPairs(exact, "doc_id", "text",
+          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))
+      val near = exact.join(clusters, Seq("doc_id"), "left")
+        .filter(col("cluster_rep").isNull ||
+          col("cluster_rep") === col("doc_id"))
+      def st(n: Int, name: String, frame: DataFrame) =
+        frame.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .select(lit(n).as("stage_no"), lit(name).as("stage"),
+            col("source"), col("n_docs"))
+      val stages = st(0, "raw", docs)
+        .unionAll(st(1, "lang_known", lang))
+        .unionAll(st(2, "exact_unique", exact))
+        .unionAll(st(3, "near_unique", near))
+      val raw = docs.groupBy(col("source")).agg(count(lit(1)).as("__raw"))
+      stages.join(broadcast(raw), "source")
+        .select(col("stage_no"), col("stage"), col("source"),
+          col("n_docs"), expr("1000000 * n_docs DIV __raw")
+            .as("retained_ppm"))
+    }),
+    "q208_incremental_split" -> ((s, d) => {
+      // eval hygiene under corpus growth: the q60 corpus/batch fixture
+      // (doc_id < 250 standing, >= 250 new); batch docs inherit the
+      // matched corpus cluster's split from the STANDING rep table,
+      // unmatched hash as singletons
+      val docs = T(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val reps = Dedup.clusterNearDups(
+        Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))
+      Sampling.incrementalSplitAssign(corpus,
+        docs.filter(col("doc_id") >= 250), reps)
+    }),
+    "q209_source_divergence_bucketed" -> ((s, d) =>
+      // q204's sketch tier: terms fold to 256 portable-hash buckets —
+      // bounded per-source state for open vocabularies; JS can only
+      // shrink under bucketing (gated in the spec)
+      TextAnalysis.sourceDivergence(T(s, d, "documents"), buckets = 256)),
+    "q210_mutual_knn_ivf" -> ((s, d) => {
+      // the IVF kNN-graph tier end-to-end: with every cell probed the
+      // candidate set is complete, so the census is tier-equivalent to
+      // q201 (same oracle — the q37/q77 discipline)
+      val emb = T(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      val pairs = Similarity.mutualKnnPairsIvf(emb, centroids, k = 5,
+        nProbe = 64)
+      Dedup.clusterNearDups(pairs.select(col("id_a"), col("id_b")),
+          idCol = "vec_id")
+        .groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("component_size"))
+        .groupBy(col("component_size"))
+        .agg(count(lit(1)).as("n_components"))
+    }),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4789,27 +4919,10 @@ object SparkEntry {
          |  CAST(1000000 * n_docs // (SELECT n FROM rawn) AS BIGINT)
          |    AS retained_ppm
          |FROM stages""".stripMargin,
-    "q201_mutual_knn_census" ->
-      s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e
-         |  FROM embeddings),
-         |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-         |    round(${cosSql("a.e", "b.e")}, 6) AS sim
-         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
-         |rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src
-         |    ORDER BY sim DESC, dst) AS rn FROM p),
-         |e AS (SELECT src, dst FROM rk WHERE rn <= 5),
-         |m AS (SELECT x.src AS ida, x.dst AS idb FROM e x
-         |  JOIN e y ON x.src = y.dst AND x.dst = y.src
-         |  WHERE x.src < x.dst),
-         |e2 AS (SELECT ida AS src, idb AS dst FROM m
-         |       UNION ALL SELECT idb, ida FROM m),
-         |reach(src, dst) AS (SELECT src, dst FROM e2
-         |  UNION SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src),
-         |cl AS (SELECT src AS node, least(src, min(dst)) AS rep
-         |  FROM reach GROUP BY src),
-         |sz AS (SELECT rep, count(*) AS component_size FROM cl GROUP BY rep)
-         |SELECT component_size, count(*) AS n_components FROM sz
-         |GROUP BY component_size""".stripMargin,
+    "q201_mutual_knn_census" -> mutualKnnCensusOracleSql,
+    // tier-equivalence (the q37/q77 discipline): all cells probed =
+    // complete candidates = the exact tier's census
+    "q210_mutual_knn_ivf" -> mutualKnnCensusOracleSql,
     "q202_label_outliers" ->
       s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
          |  FROM embeddings),
@@ -4833,43 +4946,75 @@ object SparkEntry {
         |      ORDER BY n_chars, doc_id) AS rn,
         |    count(*) OVER (PARTITION BY source) AS n
         |  FROM documents)""".stripMargin,
-    "q204_source_divergence" -> {
-      // expression TREES mirror the Spark side exactly so the IEEE
-      // ÷/×/+ chain is bit-identical up to the ln, which snaps to nano
-      val pa = "(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
-      val qb = "(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
-      val mm = s"(($pa + $qb) / 2e0)"
-      s"""WITH t AS (SELECT source, unnest($toksSql) AS term
-         |  FROM documents),
-         |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
-         |  FROM t GROUP BY source, term),
-         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tf
-         |  GROUP BY source),
-         |pr AS (SELECT a.source AS source_a, b.source AS source_b,
-         |    a.n AS na, b.n AS nb
-         |  FROM tot a JOIN tot b ON a.source < b.source),
-         |va AS (SELECT source_a, source_b, term, c AS ca FROM pr
-         |  JOIN tf ON tf.source = pr.source_a),
-         |vb AS (SELECT source_a, source_b, term, c AS cb FROM pr
-         |  JOIN tf ON tf.source = pr.source_b),
-         |mg AS (SELECT coalesce(va.source_a, vb.source_a) AS source_a,
-         |    coalesce(va.source_b, vb.source_b) AS source_b,
-         |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-         |  FROM va FULL OUTER JOIN vb ON va.source_a = vb.source_a
-         |    AND va.source_b = vb.source_b AND va.term = vb.term),
-         |mj AS (SELECT mg.source_a, mg.source_b, ca, cb, na, nb FROM mg
-         |  JOIN pr ON mg.source_a = pr.source_a
-         |    AND mg.source_b = pr.source_b),
-         |ct AS (SELECT source_a, source_b, CAST(round(((
-         |      CASE WHEN ca > 0 THEN $pa * ln($pa / $mm) ELSE 0e0 END +
-         |      CASE WHEN cb > 0 THEN $qb * ln($qb / $mm) ELSE 0e0 END
-         |    ) * 0.5e0) * 1000000000e0) AS BIGINT) AS nano
-         |  FROM mj)
-         |SELECT source_a, source_b, count(*) AS n_terms,
-         |  round(CAST(sum(nano) AS DOUBLE) / 1000000000e0, 6)
-         |    AS js_divergence
-         |FROM ct GROUP BY source_a, source_b""".stripMargin
-    },
+    "q204_source_divergence" -> sourceDivergenceOracleSql("tok"),
+    "q209_source_divergence_bucketed" ->
+      sourceDivergenceOracleSql(s"(${hash31Sql("tok")}) % 256"),
+    "q207_funnel_by_source" ->
+      s"""WITH RECURSIVE $langPredCtesSql,
+         |lk AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN lpred p ON d.doc_id = p.doc_id AND p.lang_pred <> 'und'),
+         |nrm AS (SELECT doc_id,
+         |    trim(regexp_replace(
+         |      regexp_replace(lower(text), '[.,!?;:''"()\\[\\]{}]', '', 'g'),
+         |      '\\s+', ' ', 'g')) AS norm
+         |  FROM lk),
+         |ex AS (SELECT doc_id FROM nrm
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM nrm GROUP BY norm)),
+         |${jaccardPairCtesSql(2, 0.8)},
+         |jpf AS (SELECT id_a, id_b FROM jp
+         |  WHERE id_a IN (SELECT doc_id FROM ex)
+         |    AND id_b IN (SELECT doc_id FROM ex)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jpf
+         |          UNION ALL SELECT id_b, id_a FROM jpf),
+         |reach(src, dst) AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+         |  FROM reach GROUP BY src),
+         |nu AS (SELECT e.doc_id FROM ex e LEFT JOIN cl ON e.doc_id = cl.doc_id
+         |  WHERE cl.rep IS NULL OR cl.rep = e.doc_id),
+         |stages AS (
+         |  SELECT 0 AS stage_no, 'raw' AS stage, source,
+         |    count(*) AS n_docs FROM documents GROUP BY source
+         |  UNION ALL SELECT 1, 'lang_known', d.source, count(*)
+         |    FROM lk JOIN documents d USING (doc_id) GROUP BY d.source
+         |  UNION ALL SELECT 2, 'exact_unique', d.source, count(*)
+         |    FROM ex JOIN documents d USING (doc_id) GROUP BY d.source
+         |  UNION ALL SELECT 3, 'near_unique', d.source, count(*)
+         |    FROM nu JOIN documents d USING (doc_id) GROUP BY d.source),
+         |rawn AS (SELECT source, count(*) AS n FROM documents
+         |  GROUP BY source)
+         |SELECT stage_no, stage, s.source, n_docs,
+         |  CAST(1000000 * n_docs // r.n AS BIGINT) AS retained_ppm
+         |FROM stages s JOIN rawn r ON s.source = r.source""".stripMargin,
+    "q208_incremental_split" ->
+      s"""WITH RECURSIVE ${shingleCtesSql(2)},
+         |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id < 250),
+         |batch AS (SELECT doc_id, s FROM sh WHERE doc_id >= 250),
+         |cinter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_filter(a.s, x -> list_contains(b.s, x))) AS ninter,
+         |    len(a.s) AS na, len(b.s) AS nb
+         |  FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id),
+         |cjp AS (SELECT id_a, id_b FROM cinter WHERE na + nb > 0 AND
+         |  CAST(ninter AS DOUBLE) / (na + nb - ninter) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM cjp
+         |          UNION ALL SELECT id_b, id_a FROM cjp),
+         |reach(src, dst) AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+         |  FROM reach GROUP BY src),
+         |bm AS (SELECT b.doc_id AS bid, c.doc_id AS cid
+         |  FROM batch b JOIN corpus c ON len(b.s) + len(c.s) > 0 AND
+         |    CAST(len(list_filter(b.s, x -> list_contains(c.s, x))) AS DOUBLE)
+         |      / (len(b.s) + len(c.s)
+         |         - len(list_filter(b.s, x -> list_contains(c.s, x))))
+         |      >= 0.8),
+         |br AS (SELECT bid, min(coalesce(cl.rep, bm.cid)) AS rep
+         |  FROM bm LEFT JOIN cl ON bm.cid = cl.doc_id GROUP BY bid)
+         |SELECT d.doc_id, coalesce(br.rep, d.doc_id) AS split_key,
+         |  ${splitCaseSql("CAST(coalesce(br.rep, d.doc_id) AS VARCHAR)", 80, 10)}
+         |    AS split
+         |FROM documents d LEFT JOIN br ON d.doc_id = br.bid
+         |WHERE d.doc_id >= 250""".stripMargin,
     "q205_cross_source_neardups" ->
       s"""WITH ${jaccardPairCtesSql(2, 0.8)},
          |lab AS (SELECT da.source AS sa, db.source AS sb FROM jp

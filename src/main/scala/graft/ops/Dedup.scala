@@ -113,6 +113,23 @@ object Dedup {
                      idCol: String, textCol: String,
                      shingleK: Int = 3, numPerm: Int = 128,
                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val dupBatchIds = nearDupMatches(batch, corpus, idCol, textCol,
+      shingleK, numPerm, bands, threshold)
+      .select(col("__bid").as(idCol)).distinct()
+    batch.join(dupBatchIds, Seq(idCol), "left_anti")
+  }
+
+  /** Verified batch↔corpus near-dup PAIRS (`__bid`, `__cid`): LSH band
+    * candidates, exact jaccard on true shingle sets. The row-level core
+    * behind [[nearDupNewOnly]] (which drops any matched batch doc) and
+    * the incremental split assigner (which INHERITS the matched corpus
+    * doc's cluster/split). Ids-only through the candidate join; shingle
+    * arrays attach per side once.
+    */
+  def nearDupMatches(batch: DataFrame, corpus: DataFrame,
+                     idCol: String, textCol: String,
+                     shingleK: Int = 3, numPerm: Int = 128,
+                     bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val rowsPerBand = numPerm / bands
     def banded(docs: DataFrame, side: String) =
@@ -123,19 +140,18 @@ object Dedup {
     val cands = banded(batch, "__bid")
       .join(banded(corpus, "__cid"), Seq("__band", "__bucket"))
       .select("__bid", "__cid").distinct()
-    // verify on true shingle sets; batch ids with any verified match drop
+    // verify on true shingle sets
     def shingled(docs: DataFrame, side: String) =
       docs.select(col(idCol).as(side),
         sort_array(shingleHashes(col(textCol), shingleK)).as(s"__sh_$side"))
         .withColumn(s"__n_$side", size(col(s"__sh_$side")))
     val inter = sortedIntersectCount(col("__sh___bid"), col("__sh___cid")).cast("double")
     val unionSize = (col("__n___bid") + col("__n___cid")).cast("double") - inter
-    val dupBatchIds = cands
+    cands
       .join(shingled(batch, "__bid"), "__bid")
       .join(shingled(corpus, "__cid"), "__cid")
       .filter(when(unionSize === 0, lit(0.0)).otherwise(inter / unionSize) >= threshold)
-      .select(col("__bid").as(idCol)).distinct()
-    batch.join(dupBatchIds, Seq(idCol), "left_anti")
+      .select(col("__bid"), col("__cid"))
   }
 
   // ------------------------------------------- persisted signature index

@@ -480,6 +480,42 @@ object Sampling {
       .withColumn("split", threeWaySplit(col("split_key"), trainPct, valPct))
   }
 
+  /** Incremental leakage-safe split: assign splits to a NEW batch
+    * against an EXISTING corpus without re-clustering the corpus — the
+    * operational shape at 100 TB (the q59/q60 incremental-dedup
+    * discipline applied to eval hygiene). A batch doc that near-dups a
+    * corpus doc INHERITS that doc's cluster split (smallest matched rep
+    * for determinism when matches span clusters); unmatched docs hash
+    * as their own singleton, which is exactly what the full re-split
+    * would assign them. Matching is LSH candidates + exact-jaccard
+    * verify batch↔corpus only — corpus-internal pairs come from the
+    * corpus's standing rep table, never recomputed per batch.
+    */
+  def incrementalSplitAssign(corpus: DataFrame, batch: DataFrame,
+                             corpusReps: DataFrame,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             trainPct: Int = 80, valPct: Int = 10,
+                             shingleK: Int = 2, numPerm: Int = 64,
+                             bands: Int = 16,
+                             threshold: Double = 0.8): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
+    val matches = Dedup.nearDupMatches(batch, corpus, idCol, textCol,
+      shingleK, numPerm, bands, threshold)
+    val inherited = matches
+      .join(corpusReps.select(col(idCol).as("__cid"),
+        col("cluster_rep")), Seq("__cid"), "left")
+      .select(col("__bid"),
+        coalesce(col("cluster_rep"), col("__cid")).as("__rep"))
+      .groupBy(col("__bid"))
+      .agg(min(col("__rep")).as("__rep"))
+    batch.select(col(idCol))
+      .join(inherited.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__rep"), col(idCol)).as("split_key"))
+      .withColumn("split", threeWaySplit(col("split_key"), trainPct, valPct))
+  }
+
   /** Leakage audit of the NAIVE per-doc hash split: how many near-dup
     * pairs straddle split boundaries. The (train, val)/(train, test) rows
     * are exactly the eval-contamination a cluster-safe split eliminates;

@@ -1179,11 +1179,24 @@ object TextAnalysis {
     * count reduction is vocabulary-sized — the pair fan-out multiplies
     * vocab by |sources|−1, never by the corpus.
     */
+  /** `buckets` = 0 keeps raw terms (exact JS over the vocabulary);
+    * `buckets` > 0 folds terms into `md5Hash31(term) % buckets` first —
+    * the SKETCH tier for vocabularies too large to pair-join, with
+    * bounded |buckets|-sized state per source. Bucketing can only
+    * UNDERSTATE divergence (data-processing inequality: merging support
+    * cells never increases JS) — SpecText gates the ordering survives.
+    */
   def sourceDivergence(docs: DataFrame, srcCol: String = "source",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       buckets: Int = 0): DataFrame = {
+    require(buckets >= 0, "buckets must be >= 0 (0 = raw terms)")
+    val unit =
+      if (buckets == 0) col("__t0")
+      else graft.functions.md5Hash31(col("__t0")) % lit(buckets.toLong)
     val tf = docs
       .select(col(srcCol).as("__src"),
-        explode(tokens(col(textCol))).as("__term"))
+        explode(tokens(col(textCol))).as("__t0"))
+      .select(col("__src"), unit.as("__term"))
       .groupBy(col("__src"), col("__term"))
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint()

@@ -248,6 +248,36 @@ class SamplingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("incrementalSplitAssign inherits the matched corpus cluster's split") {
+    // corpus: 1,2 near-dups (rep 1), 3 distinct; batch: 10 matches the
+    // 1-2 cluster (via 1), 11 matches nothing
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text about distributed query engines"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today ok"),
+      (11L, "unrelated fresh content nothing matches this at all"))
+      .toDF("doc_id", "text")
+    val reps = Dedup.clusterNearDups(Dedup.minhashNearDupPairs(corpus,
+      "doc_id", "text", shingleK = 2, numPerm = 64, bands = 16,
+      threshold = 0.8))
+    val out = Sampling.incrementalSplitAssign(corpus, batch, reps)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(10L)._1 == 1L) // inherited the cluster rep, not its own id
+    assert(out(11L)._1 == 11L) // singleton hashes as itself
+    // the inherited split is EXACTLY what the full re-split gives docs of
+    // that cluster — no drift between incremental and batch assignment
+    def splitOf(key: Long): String = {
+      val h = graft.functions.md5Hash31Local(key.toString) % 100
+      if (h < 80) "train" else if (h < 90) "val" else "test"
+    }
+    assert(out(10L)._2 == splitOf(1L))
+    assert(out(11L)._2 == splitOf(11L))
+  }
+
   test("split functions reject degenerate percent layouts") {
     val docs = Seq(1L).toDF("doc_id")
     val pairs = Seq((1L, 1L)).toDF("id_a", "id_b")

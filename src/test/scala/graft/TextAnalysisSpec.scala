@@ -461,4 +461,26 @@ class TextAnalysisSpec extends SparkSpec {
     // symmetric by construction: only canonical (a < b) pairs emitted
     assert(rows.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
+
+  test("bucketed sourceDivergence only understates and keeps the ordering") {
+    val docs = Seq(
+      ("a", "x y z x w v u t"), ("b", "x y z x w v u t"), // identical
+      ("c", "p q r s pp qq rr ss")) // disjoint vocabulary
+      .toDF("source", "text")
+    def js(buckets: Int) = TextAnalysis.sourceDivergence(docs,
+        buckets = buckets).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("js_divergence")).toMap
+    val exact = js(0)
+    val sketch = js(16)
+    // identical distributions stay identical under ANY support folding
+    assert(sketch(("a", "b")) == 0.0)
+    // data-processing inequality: merging support cells never raises JS
+    // (nano-snap slack only)
+    Seq(("a", "c"), ("b", "c")).foreach { k =>
+      assert(sketch(k) <= exact(k) + 1e-6, s"$k: ${sketch(k)} > ${exact(k)}")
+    }
+    // the redundant pair still ranks strictly below the additive pairs
+    assert(sketch(("a", "c")) > sketch(("a", "b")))
+  }
 }
