@@ -2435,9 +2435,14 @@ object SparkEntry {
       // unique, each stage feeding the next; counts + ppm-of-raw via
       // exact integer DIV off a broadcast 1-row scalar
       val docs = T(s, d, "documents")
+      // checkpoint the shared stage frames: the 4-way stage union would
+      // otherwise re-run langid up to 3× and the dedup semi-join 2×
+      // (each union branch re-executes shared lineage)
       val lang = TextAnalysis.languageIdDf(docs)
         .filter(col("lang_pred") =!= "und").drop("lang_pred")
+        .localCheckpoint()
       val exact = Dedup.exactNormalized(lang, "text", "doc_id")
+        .localCheckpoint()
       val clusters = Dedup.clusterNearDups(
         Dedup.minhashNearDupPairs(exact, "doc_id", "text",
           shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))
@@ -2515,9 +2520,13 @@ object SparkEntry {
       // stage — same stage frames, source-keyed censuses, per-source
       // raw counts broadcast back for the ppm
       val docs = T(s, d, "documents")
+      // the q200 checkpoint discipline: stage frames are shared by the
+      // union branches AND the pair pipeline
       val lang = TextAnalysis.languageIdDf(docs)
         .filter(col("lang_pred") =!= "und").drop("lang_pred")
+        .localCheckpoint()
       val exact = Dedup.exactNormalized(lang, "text", "doc_id")
+        .localCheckpoint()
       val clusters = Dedup.clusterNearDups(
         Dedup.minhashNearDupPairs(exact, "doc_id", "text",
           shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))
