@@ -2565,6 +2565,31 @@ object SparkEntry {
       // bounded per-source state for open vocabularies; JS can only
       // shrink under bucketing (gated in the spec)
       TextAnalysis.sourceDivergence(T(s, d, "documents"), buckets = 256)),
+    "q211_cluster_kfold" -> ((s, d) =>
+      // cross-validation hygiene: q196's cluster-whole guarantee at k=5
+      // folds — hash the CC rep mod folds, id-only shuffles
+      Sampling.clusterKFold(T(s, d, "documents"),
+        Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
+          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8),
+        folds = 5)),
+    "q212_epoch_shuffle" -> ((s, d) =>
+      // reproducible per-epoch data order: portable-hash shard + in-shard
+      // position for epochs 1 and 2 — different orders, both exact;
+      // windows keyed by shard (no global sort)
+      Sampling.epochShuffle(T(s, d, "documents"), "doc_id", epoch = 1,
+          shards = 8)
+        .select(lit(1).as("epoch"), col("doc_id"), col("shard"), col("pos"))
+        .unionAll(
+          Sampling.epochShuffle(T(s, d, "documents"), "doc_id", epoch = 2,
+              shards = 8)
+            .select(lit(2).as("epoch"), col("doc_id"), col("shard"),
+              col("pos")))),
+    "q213_curriculum_interleave" -> ((s, d) =>
+      // source-balanced curriculum: every source's best-by-length doc
+      // before any source's second best; (round, slot) is the consuming
+      // order, both windows keyed — no single-partition sort
+      Sampling.curriculumInterleave(T(s, d, "documents"), "source",
+        "n_chars", "doc_id")),
     "q210_mutual_knn_ivf" -> ((s, d) => {
       // the IVF kNN-graph tier end-to-end: with every cell probed the
       // candidate set is complete, so the census is tier-equivalent to
@@ -4932,6 +4957,43 @@ object SparkEntry {
     // tier-equivalence (the q37/q77 discipline): all cells probed =
     // complete candidates = the exact tier's census
     "q210_mutual_knn_ivf" -> mutualKnnCensusOracleSql,
+    "q211_cluster_kfold" ->
+      s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(src, dst) AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+         |  FROM reach GROUP BY src),
+         |dr AS (SELECT d.doc_id, coalesce(cl.rep, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+         |SELECT CAST((${hash31Sql("CAST(rep AS VARCHAR)")}) % 5 AS INTEGER)
+         |    AS fold,
+         |  count(*) AS n_docs, count(DISTINCT rep) AS n_clusters
+         |FROM dr GROUP BY 1""".stripMargin,
+    "q212_epoch_shuffle" -> {
+      def epoch(e: Int) =
+        s"""SELECT $e AS epoch, doc_id, shard,
+           |  CAST(row_number() OVER (PARTITION BY shard
+           |    ORDER BY h, doc_id) AS BIGINT) AS pos
+           |FROM (SELECT doc_id,
+           |    (${hash31Sql(s"'$e:' || CAST(doc_id AS VARCHAR)")}) AS h,
+           |    CAST((${hash31Sql(s"'$e:' || CAST(doc_id AS VARCHAR)")}) % 8
+           |      AS INTEGER) AS shard
+           |  FROM documents)""".stripMargin
+      s"""${epoch(1)}
+         |UNION ALL
+         |${epoch(2)}""".stripMargin
+    },
+    "q213_curriculum_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS round
+        |  FROM documents)
+        |SELECT doc_id, source, round,
+        |  CAST(row_number() OVER (PARTITION BY round
+        |    ORDER BY source, doc_id) AS BIGINT) AS slot
+        |FROM r""".stripMargin,
     "q202_label_outliers" ->
       s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
          |  FROM embeddings),

@@ -516,6 +516,70 @@ object Sampling {
       .withColumn("split", threeWaySplit(col("split_key"), trainPct, valPct))
   }
 
+  /** Cluster-safe k-fold census: [[leakageSafeSplit]]'s guarantee for
+    * cross-validation — every near-dup cluster lands whole in ONE fold
+    * (hash the CC rep mod `folds`), so no fold's held-out slice contains
+    * a near-copy of another fold's training data.
+    */
+  def clusterKFold(docs: DataFrame, pairs: DataFrame, folds: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(folds > 1, "folds must be > 1")
+    val clusters = Dedup.clusterNearDups(pairs, idCol = idCol)
+    docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(coalesce(col("cluster_rep"), col(idCol)).as("__rep"))
+      .withColumn("fold",
+        (graft.functions.md5Hash31(col("__rep").cast("string")) %
+          folds.toLong).cast("int"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__rep")).as("n_clusters"))
+  }
+
+  /** Deterministic epoch shuffle: shard + in-shard position from the
+    * portable hash of (epoch, id) — a different but REPRODUCIBLE order
+    * every epoch, the property training-data loaders need (re-runs,
+    * resumes, and an independent engine derive the identical order).
+    * Scale shape: the per-shard position window distributes across
+    * shards; there is deliberately NO global row number (a single-
+    * partition sort) — consumers read shards in shard order, positions
+    * within.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = graft.functions.md5Hash31(
+      concat(lit(s"$epoch:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol))
+      .withColumn("__h", h)
+      .withColumn("shard", (col("__h") % shards.toLong).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Source-balanced curriculum interleave: rank docs within each source
+    * by a quality proxy (descending), then emit (round, slot) so that
+    * consuming in (round, slot) order reads every source's best doc
+    * before any source's second-best — round-robin interleaving without
+    * a global sort. `round` = the doc's within-source rank; `slot` = its
+    * position among the sources still present in that round. Both
+    * windows are keyed (source, round) — fully distributed; the total
+    * order is the WRITER's range partitioning over (round, slot), never
+    * a single-partition window here.
+    */
+  def curriculumInterleave(df: DataFrame, srcCol: String,
+                           qualityCol: String, idCol: String): DataFrame = {
+    val perSrc = Window.partitionBy(col(srcCol))
+      .orderBy(desc(qualityCol), col(idCol).asc)
+    val perRound = Window.partitionBy(col("round"))
+      .orderBy(col(srcCol).asc, col(idCol).asc)
+    df.select(col(idCol), col(srcCol), col(qualityCol))
+      .withColumn("round", row_number().over(perSrc).cast("long"))
+      .withColumn("slot", row_number().over(perRound).cast("long"))
+      .select(col(idCol), col(srcCol), col("round"), col("slot"))
+  }
+
   /** Leakage audit of the NAIVE per-doc hash split: how many near-dup
     * pairs straddle split boundaries. The (train, val)/(train, test) rows
     * are exactly the eval-contamination a cluster-safe split eliminates;

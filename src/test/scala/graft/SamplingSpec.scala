@@ -278,6 +278,54 @@ class SamplingSpec extends SparkSpec {
     assert(out(11L)._2 == splitOf(11L))
   }
 
+  test("clusterKFold keeps clusters whole and partitions all docs") {
+    val docs6 = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val census = Sampling.clusterKFold(docs6, pairs, folds = 3)
+    assert(census.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head().getLong(0) == 6L)
+    assert(census.agg(org.apache.spark.sql.functions.sum("n_clusters"))
+      .head().getLong(0) == 3L)
+    val folds = census.select("fold").collect().map(_.getInt(0)).toSet
+    assert(folds.subsetOf(Set(0, 1, 2)))
+  }
+
+  test("epochShuffle: reproducible, epoch-distinct, contiguous per shard") {
+    val a1 = Sampling.epochShuffle(docs, "doc_id", epoch = 1, shards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val a2 = Sampling.epochShuffle(docs.repartition(7), "doc_id",
+        epoch = 1, shards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(a1 == a2) // repartition-invariant
+    val b = Sampling.epochShuffle(docs, "doc_id", epoch = 2, shards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(a1 != b) // a different epoch is a different order
+    assert(a1.keySet == b.keySet) // ...over the same rows
+    // positions are 1..n within every shard (contiguous, no gaps)
+    a1.values.groupBy(_._1).foreach { case (_, g) =>
+      val ps = g.map(_._2).toSeq.sorted
+      assert(ps == (1L to ps.size))
+    }
+  }
+
+  test("curriculumInterleave: every round-1 doc precedes every round-2 doc") {
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 90L), ("a", 3L, 80L),
+      ("b", 4L, 5L), ("b", 5L, 3L),
+      ("c", 6L, 1L)).toDF("source", "doc_id", "n_chars")
+    val out = Sampling.curriculumInterleave(df, "source", "n_chars",
+        "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // round 1 = each source's best by n_chars: 1 (a), 4 (b), 6 (c)
+    assert(Seq(1L, 4L, 6L).forall(out(_)._1 == 1L))
+    // slots within round 1 follow source order a, b, c
+    assert(out(1L) == ((1L, 1L)) && out(4L) == ((1L, 2L)) &&
+      out(6L) == ((1L, 3L)))
+    // source c is exhausted after round 1; round 2 slots re-pack to a, b
+    assert(out(2L) == ((2L, 1L)) && out(5L) == ((2L, 2L)))
+    assert(out(3L) == ((3L, 1L)))
+  }
+
   test("split functions reject degenerate percent layouts") {
     val docs = Seq(1L).toDF("doc_id")
     val pairs = Seq((1L, 1L)).toDF("id_a", "id_b")
