@@ -2565,6 +2565,17 @@ object SparkEntry {
       // bounded per-source state for open vocabularies; JS can only
       // shrink under bucketing (gated in the spec)
       TextAnalysis.sourceDivergence(T(s, d, "documents"), buckets = 256)),
+    "q214_bm25_indexed" -> ((s, d) => {
+      // q149's semantics through the PERSISTED inverted index: tokenize,
+      // tf aggregation, and global moments paid once at build; search
+      // reads the query terms' pruned postings buckets + stored doc
+      // lengths — no corpus scan. Same oracle as q149.
+      val docs = T(s, d, "documents")
+      TextAnalysis.ensureBm25Index(docs, s"bm25_${tagFor(d)}",
+        s"/tmp/graft_bm25/${tagFor(d)}")
+      TextAnalysis.bm25SearchIndexed(s, s"bm25_${tagFor(d)}",
+        queryTerms = Seq("dup", "vector", "scan"), topK = 20)
+    }),
     "q211_cluster_kfold" -> ((s, d) =>
       // cross-validation hygiene: q196's cluster-whole guarantee at k=5
       // folds — hash the CC rep mod folds, id-only shuffles
@@ -4136,6 +4147,8 @@ object SparkEntry {
         |  LEFT JOIN f3 ON u.user_id = f3.user_id)
         |SELECT depth, count(*) AS n_users FROM d GROUP BY depth""".stripMargin,
     "q149_bm25_search" -> bm25TopSql,
+    // tier-equivalence: persisted-index search shares the scoring tail
+    "q214_bm25_indexed" -> bm25TopSql,
     "q150_session_funnel" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, event_type,

@@ -518,6 +518,18 @@ object TextAnalysis {
     val totRow = tf.agg(coalesce(sum(col("tf")), lit(0L)).cast("double")
       .as("__tot"))
     val qtf = tf.filter(col("term").isin(queryTerms: _*))
+    bm25ScoreTail(qtf, dl, nRow, totRow, topK, k1, b, idCol)
+  }
+
+  /** The BM25 scoring tail shared by the inline ranker and the persisted
+    * index search — ONE definition of the score expression, so the two
+    * tiers cannot drift (the tier-equivalence oracle depends on it).
+    * `qtf` = (idCol, term, tf) restricted to the query terms; `dl` =
+    * (idCol, __dl); `nRow`/`totRow` = broadcastable 1-row doubles.
+    */
+  private def bm25ScoreTail(qtf: DataFrame, dl: DataFrame, nRow: DataFrame,
+                            totRow: DataFrame, topK: Int, k1: Double,
+                            b: Double, idCol: String): DataFrame = {
     val dfRel = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = qtf
       .join(dl, idCol)
@@ -533,6 +545,72 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(round(sum(col("__s")), 6).as("bm25"))
     scored.orderBy(col("bm25").desc, col(idCol)).limit(topK)
+  }
+
+  /** Persisted BM25 inverted index — the text-retrieval sibling of the
+    * IVF-PQ index lifecycle (build/ensure/search):
+    *   - `<name>_postings` (term, idCol, tf), bucketed AND sorted by
+    *     term: a query's `isin(terms)` filter prunes the scan to the
+    *     terms' buckets (`SelectedBucketsCount` — plan-gated), so search
+    *     reads |query| buckets of postings, never the corpus;
+    *   - `<name>_docstats` (idCol, __dl), bucketed by idCol — the
+    *     length normalizer, joined by id without re-tokenizing anything;
+    *   - `<name>_meta` (n_docs, total_tf) — one row.
+    * Tokenization, tf aggregation, and both global moments are paid ONCE
+    * at build; a search touches only pruned postings + docstats. Search
+    * results are tier-equivalent to [[bm25Rank]] by construction (shared
+    * [[bm25ScoreTail]]; same oracle — the q85/q101 discipline).
+    */
+  def buildBm25Index(docs: DataFrame, name: String, path: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     numBuckets: Int = 32): Unit = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    graft.io.IO.writeBucketed(tf, s"${name}_postings", s"$path/postings",
+      Seq("term"), numBuckets, sortCols = Seq("term"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__dl"))
+    graft.io.IO.writeBucketed(dl, s"${name}_docstats", s"$path/docstats",
+      Seq(idCol), numBuckets)
+    val meta = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+      .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("total_tf")))
+    meta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$path/meta").saveAsTable(s"${name}_meta")
+  }
+
+  /** [[buildBm25Index]] unless all three tables are registered in THIS
+    * session's catalog (session-scoped skip — see
+    * [[graft.io.IO.ensureBucketed]] for why). Returns true iff built.
+    */
+  def ensureBm25Index(docs: DataFrame, name: String, path: String,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      numBuckets: Int = 32): Boolean = {
+    val cat = docs.sparkSession.catalog
+    val present = cat.tableExists(s"${name}_postings") &&
+      cat.tableExists(s"${name}_docstats") &&
+      cat.tableExists(s"${name}_meta")
+    if (!present) buildBm25Index(docs, name, path, idCol, textCol,
+      numBuckets)
+    !present
+  }
+
+  /** BM25 search over the persisted index: postings pruned to the query
+    * terms' buckets, stored doc lengths, stored global moments — no
+    * tokenize, no corpus scan on the search path.
+    */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                        name: String, queryTerms: Seq[String],
+                        topK: Int = 20, k1: Double = 1.2,
+                        b: Double = 0.75,
+                        idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "empty BM25 query")
+    require(queryTerms.distinct == queryTerms,
+      s"duplicate query terms: $queryTerms")
+    val qtf = spark.table(s"${name}_postings")
+      .filter(col("term").isin(queryTerms: _*))
+    val dl = spark.table(s"${name}_docstats")
+    val meta = spark.table(s"${name}_meta")
+    val nRow = meta.select(col("n_docs").cast("double").as("__n"))
+    val totRow = meta.select(col("total_tf").cast("double").as("__tot"))
+    bm25ScoreTail(qtf, dl, nRow, totRow, topK, k1, b, idCol)
   }
 
   /** Unigram language-model scoring (the CCNet-style quality filter):

@@ -824,6 +824,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("GroupedTopKFinal"), s)
   }
 
+  test("q214 indexed BM25: postings scan prunes to the query terms' buckets") {
+    val docs = Tables.documents(spark, sf0001)
+    graft.ops.TextAnalysis.ensureBm25Index(docs, "bm25_plangate",
+      "/tmp/graft_bm25/plangate")
+    val q = graft.ops.TextAnalysis.bm25SearchIndexed(spark,
+      "bm25_plangate", Seq("dup", "vector", "scan"), topK = 20)
+    val s = planString(q)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(s)
+    assert(sel.isDefined, s"no bucket pruning on the postings scan:\n$s")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"bucket pruning selected everything: ${sel.get.matched}")
+    // the search path never re-reads the documents table
+    assert(!s.contains("documents.parquet"), s)
+  }
+
   test("q196 leakage-safe split: the doc text never crosses an Exchange") {
     // the LSH pair pipeline, CC loop, and census all shuffle ids/hashes
     // only; localCheckpoint inside clusterNearDups cuts the plan, so the

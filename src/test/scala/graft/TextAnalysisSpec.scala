@@ -483,4 +483,20 @@ class TextAnalysisSpec extends SparkSpec {
     // the redundant pair still ranks strictly below the additive pairs
     assert(sketch(("a", "c")) > sketch(("a", "b")))
   }
+
+  test("persisted BM25 index: tier-equivalent to inline, ensure skips rebuild") {
+    val docs = Tables.documents(spark, sf0001)
+    val built = TextAnalysis.ensureBm25Index(docs, "bm25_spec",
+      "/tmp/graft_bm25/spec")
+    // second ensure in the same session is a no-op
+    assert(!TextAnalysis.ensureBm25Index(docs, "bm25_spec",
+      "/tmp/graft_bm25/spec"))
+    val inline = TextAnalysis.bm25Rank(docs,
+        Seq("dup", "vector", "scan"), topK = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val indexed = TextAnalysis.bm25SearchIndexed(spark, "bm25_spec",
+        Seq("dup", "vector", "scan"), topK = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(indexed.nonEmpty && indexed == inline) // order AND scores
+  }
 }
