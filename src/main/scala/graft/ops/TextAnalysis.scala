@@ -567,13 +567,80 @@ object TextAnalysis {
     val tf = termFrequencies(docs, idCol, textCol)
     graft.io.IO.writeBucketed(tf, s"${name}_postings", s"$path/postings",
       Seq("term"), numBuckets, sortCols = Seq("term"))
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__dl"))
+    // one docstats row per doc INCLUDING zero-token docs (__dl = 0): the
+    // doc count must survive append/delete exactly, and a zero-token doc
+    // never matches a query term, so the inline tier is unaffected
+    val dl = docs.select(col(idCol)).distinct()
+      .join(tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__tf")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__tf"), lit(0L)).as("__dl"))
     graft.io.IO.writeBucketed(dl, s"${name}_docstats", s"$path/docstats",
       Seq(idCol), numBuckets)
-    val meta = docs.agg(countDistinct(col(idCol)).as("n_docs"))
-      .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("total_tf")))
+    writeBm25Meta(docs.sparkSession, name, path,
+      docs.agg(countDistinct(col(idCol)).as("n_docs"))
+        .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L))
+          .as("total_tf"))))
+  }
+
+  private def writeBm25Meta(spark: org.apache.spark.sql.SparkSession,
+                            name: String, path: String,
+                            meta: DataFrame): Unit =
     meta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("path", s"$path/meta").saveAsTable(s"${name}_meta")
+
+  /** Incremental index maintenance: append a NEW batch's postings and
+    * doc stats (tokenized once, batch-sized work only — the standing
+    * corpus is never re-read), then advance the 1-row meta by the
+    * batch's deltas (driver scalars). Cost ∝ batch, the
+    * appendToIvfPqIndex contract. Caller guarantees batch ids are new.
+    */
+  def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
+                        name: String, path: String, newDocs: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text",
+                        numBuckets: Int = 32): Unit = {
+    val tf = termFrequencies(newDocs, idCol, textCol)
+    tf.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${name}_postings")
+    val dl = newDocs.select(col(idCol)).distinct()
+      .join(tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__tf")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__tf"), lit(0L)).as("__dl"))
+    dl.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(numBuckets, idCol)
+      .format("parquet").saveAsTable(s"${name}_docstats")
+    val old = spark.table(s"${name}_meta").head()
+    val delta = newDocs.agg(countDistinct(col(idCol)).as("nd"))
+      .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("tt"))).head()
+    writeBm25Meta(spark, name, path,
+      spark.range(1).select(
+        lit(old.getLong(0) + delta.getLong(0)).as("n_docs"),
+        lit(old.getLong(1) + delta.getLong(1)).as("total_tf")))
+  }
+
+  /** GDPR path: drop documents from the index in place — both stored
+    * relations rewrite through an id anti-join (materialized BEFORE the
+    * overwrite so the read never races its own rewrite), and the meta
+    * recomputes from the REWRITTEN relations (no tokenize, no corpus).
+    */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+                          name: String, path: String, deleteIds: Seq[Long],
+                          idCol: String = "doc_id",
+                          numBuckets: Int = 32): Unit = {
+    require(deleteIds.nonEmpty, "empty delete set")
+    val keepP = spark.table(s"${name}_postings")
+      .filter(!col(idCol).isin(deleteIds: _*)).localCheckpoint()
+    val keepD = spark.table(s"${name}_docstats")
+      .filter(!col(idCol).isin(deleteIds: _*)).localCheckpoint()
+    graft.io.IO.writeBucketed(keepP, s"${name}_postings",
+      s"$path/postings", Seq("term"), numBuckets, sortCols = Seq("term"))
+    graft.io.IO.writeBucketed(keepD, s"${name}_docstats",
+      s"$path/docstats", Seq(idCol), numBuckets)
+    writeBm25Meta(spark, name, path,
+      keepD.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(keepP.agg(coalesce(sum(col("tf")), lit(0L))
+          .as("total_tf"))))
   }
 
   /** [[buildBm25Index]] unless all three tables are registered in THIS

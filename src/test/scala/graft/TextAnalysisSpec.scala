@@ -499,4 +499,27 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
     assert(indexed.nonEmpty && indexed == inline) // order AND scores
   }
+
+  test("BM25 index append and delete converge to the fresh-build search") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+    val half = docs.filter(col("doc_id") < 250)
+    val rest = docs.filter(col("doc_id") >= 250)
+    val terms = Seq("dup", "vector", "scan")
+    def search(name: String) = TextAnalysis
+      .bm25SearchIndexed(spark, name, terms, topK = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    // build on half, append the rest → identical to a full fresh build
+    TextAnalysis.buildBm25Index(half, "bm25_inc", "/tmp/graft_bm25/inc")
+    TextAnalysis.appendToBm25Index(spark, "bm25_inc",
+      "/tmp/graft_bm25/inc", rest)
+    TextAnalysis.buildBm25Index(docs, "bm25_full", "/tmp/graft_bm25/full")
+    assert(search("bm25_inc") == search("bm25_full"))
+    // delete the appended half again → identical to the half-only build
+    TextAnalysis.deleteFromBm25Index(spark, "bm25_inc",
+      "/tmp/graft_bm25/inc",
+      rest.select("doc_id").collect().map(_.getLong(0)).toSeq)
+    TextAnalysis.buildBm25Index(half, "bm25_half", "/tmp/graft_bm25/half")
+    assert(search("bm25_inc") == search("bm25_half"))
+  }
 }
