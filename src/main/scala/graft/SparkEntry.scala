@@ -2565,6 +2565,29 @@ object SparkEntry {
       // bounded per-source state for open vocabularies; JS can only
       // shrink under bucketing (gated in the spec)
       TextAnalysis.sourceDivergence(T(s, d, "documents"), buckets = 256)),
+    "q215_retrieval_metrics" -> ((s, d) => {
+      // search-stack eval loop: MRR/P@10/recall/nDCG@10 of the BM25
+      // top-20 against a deterministic relevance rule; the only
+      // transcendental (1/log2) snaps to nano BIGINTs
+      val docs = T(s, d, "documents")
+      val ranking = TextAnalysis.bm25Rank(docs,
+        Seq("dup", "vector", "scan"), topK = 20)
+      TextAnalysis.retrievalMetrics(ranking,
+        docs.filter(col("text").contains("dup")), k = 10)
+    }),
+    "q216_spearman_by_source" -> ((s, d) =>
+      // monotone-association audit: does length ordering predict token
+      // ordering per source — keyed rank windows, exact integer Σd²,
+      // one rounded division
+      Regression.spearmanByGroup(
+        T(s, d, "documents").withColumn("n_tokens",
+          graft.functions.tokenCount(col("text")).cast("long")),
+        "source", "n_chars", "n_tokens", "doc_id")),
+    "q217_length_gini" -> ((s, d) =>
+      // concentration audit: how unequally doc-length mass concentrates
+      // within each source — sorted-rank identity, integers end-to-end
+      Quantiles.giniByGroup(T(s, d, "documents"), "source", "n_chars",
+        "doc_id")),
     "q214_bm25_indexed" -> ((s, d) => {
       // q149's semantics through the PERSISTED inverted index: tokenize,
       // tf aggregation, and global moments paid once at build; search
@@ -4149,6 +4172,65 @@ object SparkEntry {
     "q149_bm25_search" -> bm25TopSql,
     // tier-equivalence: persisted-index search shares the scoring tail
     "q214_bm25_indexed" -> bm25TopSql,
+    "q215_retrieval_metrics" ->
+      s"""WITH ranked AS (SELECT doc_id, bm25,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+         |      AS rank
+         |  FROM ($bm25TopSql)),
+         |rel AS (SELECT DISTINCT doc_id FROM documents
+         |  WHERE contains(text, 'dup')),
+         |hits AS (SELECT rank FROM ranked JOIN rel USING (doc_id)),
+         |nrel AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM rel),
+         |ag AS (SELECT
+         |    coalesce(round(1e0 / min(rank), 6), 0e0) AS mrr,
+         |    CAST(coalesce(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS hk,
+         |    CAST(count(*) AS BIGINT) AS ht,
+         |    CAST(coalesce(sum(CASE WHEN rank <= 10
+         |      THEN CAST(round(1000000000e0 /
+         |        (ln(CAST(rank AS DOUBLE) + 1e0) / ln(2e0))) AS BIGINT)
+         |      ELSE 0 END), 0) AS BIGINT) AS dg
+         |  FROM hits),
+         |ig AS (SELECT CAST(sum(CAST(round(1000000000e0 /
+         |      (ln(CAST(rank AS DOUBLE) + 1e0) / ln(2e0))) AS BIGINT))
+         |    AS BIGINT) AS ig
+         |  FROM (SELECT unnest(range(1,
+         |    1 + least(10, greatest((SELECT nr FROM nrel), 1)))) AS rank))
+         |SELECT (SELECT nr FROM nrel) AS n_relevant, mrr,
+         |  round(CAST(hk AS DOUBLE) / 10, 6) AS precision_at_k,
+         |  CASE WHEN (SELECT nr FROM nrel) > 0
+         |    THEN round(CAST(ht AS DOUBLE) / (SELECT nr FROM nrel), 6)
+         |    ELSE 0e0 END AS recall,
+         |  CASE WHEN (SELECT nr FROM nrel) > 0
+         |    THEN round(CAST(dg AS DOUBLE) / (SELECT ig FROM ig), 6)
+         |    ELSE 0e0 END AS ndcg_at_k
+         |FROM ag""".stripMargin,
+    "q216_spearman_by_source" ->
+      s"""WITH t AS (SELECT doc_id, source, n_chars,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |r AS (SELECT source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS ra,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rb
+         |  FROM t)
+         |SELECT source, count(*) AS n,
+         |  CASE WHEN count(*) > 1
+         |    THEN round(1e0 - CAST(6 * sum((ra - rb) * (ra - rb)) AS DOUBLE)
+         |      / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE), 6)
+         |    ELSE 0e0 END AS spearman_rho
+         |FROM r GROUP BY source""".stripMargin,
+    "q217_length_gini" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS i
+        |  FROM documents)
+        |SELECT source, count(*) AS n,
+        |  CASE WHEN sum(n_chars) > 0 THEN
+        |    round(CAST(2 * sum(i * n_chars) - (count(*) + 1) * sum(n_chars)
+        |        AS DOUBLE) / CAST(count(*) * sum(n_chars) AS DOUBLE), 6)
+        |  ELSE 0e0 END AS gini
+        |FROM r GROUP BY source""".stripMargin,
     "q150_session_funnel" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, event_type,

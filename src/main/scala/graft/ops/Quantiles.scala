@@ -289,6 +289,34 @@ object Quantiles {
     * should pre-aggregate to (value, count) histograms first (the q108
     * discipline); for typical per-source corpora the plain window holds.
     */
+  /** Per-group Gini coefficient of a nonnegative value — how unequally
+    * the mass (doc lengths, token counts, event values) concentrates
+    * within each group; 0 = perfectly even, →1 = one row holds
+    * everything. The sorted-rank identity
+    * G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) is EXACT integer arithmetic
+    * from a group-keyed rank window until the one rounded division
+    * (ties ranked by `idCol`; any tie order yields the same Σ i·x_i
+    * within a tie class — the statistic is still deterministic). An
+    * all-zero group emits 0.
+    */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                  idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__x").asc, col(idCol).asc)
+    df.select(col(groupCol), col(idCol),
+        col(valueCol).cast("long").as("__x"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s0"),
+        sum(col("__i") * col("__x")).as("__s1"))
+      .select(col(groupCol), col("n"),
+        when(col("__s0") > 0,
+          round((lit(2L) * col("__s1") - (col("n") + lit(1L)) * col("__s0"))
+              .cast("double") /
+            (col("n") * col("__s0")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("gini"))
+  }
+
   def rankUniformScores(df: DataFrame, groupCol: String, valueCol: String,
                         idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -245,4 +245,35 @@ object Regression {
             (col("__n") * col("__syy") - col("__sy") * col("__sy"))
               .cast("double")), 6).as("pearson_r"))
   }
+
+  /** Per-group Spearman rank correlation between two value columns —
+    * does metric A's ordering predict metric B's? (e.g. doc length vs
+    * lexical richness per source: a monotone relationship survives any
+    * nonlinear rescaling that breaks Pearson). Ranks come from
+    * GROUP-KEYED windows (ties broken by `idCol` in BOTH rankings, so
+    * the statistic is deterministic and engine-identical), and the
+    * classic 1 − 6·Σd²/(n·(n²−1)) is EXACT integer arithmetic until
+    * the single rounded division. Groups of size 1 emit rho = 0 (the
+    * n³−n denominator would be 0; corr of a single point is undefined
+    * and 0 is the portable sentinel).
+    */
+  def spearmanByGroup(df: DataFrame, groupCol: String, colA: String,
+                      colB: String, idCol: String): DataFrame = {
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(desc(colA), col(idCol).asc)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(desc(colB), col(idCol).asc)
+    df.select(col(groupCol), col(idCol), col(colA), col(colB))
+      .withColumn("__ra", row_number().over(wa).cast("long"))
+      .withColumn("__rb", row_number().over(wb).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum((col("__ra") - col("__rb")) * (col("__ra") - col("__rb")))
+          .as("__sd2"))
+      .select(col(groupCol), col("n"),
+        when(col("n") > 1,
+          round(lit(1.0) - (lit(6L) * col("__sd2")).cast("double") /
+            (col("n") * (col("n") * col("n") - lit(1L))).cast("double"),
+            6)).otherwise(lit(0.0)).as("spearman_rho"))
+  }
 }

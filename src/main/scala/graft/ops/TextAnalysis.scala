@@ -680,6 +680,52 @@ object TextAnalysis {
     bm25ScoreTail(qtf, dl, nRow, totRow, topK, k1, b, idCol)
   }
 
+  /** Retrieval report card: MRR, precision@k, recall, nDCG@k of a
+    * ranking against a relevance set — the eval loop a search/RAG stack
+    * runs on every index or scorer change. All metrics derive from the
+    * integer rank relation; the only transcendental (1/log2(rank+1))
+    * snaps to nano BIGINTs immediately (the q204 discipline), so DCG
+    * and IDCG are order-free integer sums and nDCG is one rounded
+    * division of two snapped sums. The global rank window runs over the
+    * ranking's top-k rows only (bounded by construction — the ranking
+    * IS a top-k), never the corpus.
+    */
+  def retrievalMetrics(ranking: DataFrame, relevant: DataFrame,
+                       k: Int = 10, idCol: String = "doc_id",
+                       scoreCol: String = "bm25"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc(scoreCol), col(idCol))
+    val gain = (lit(1000000000e0) /
+      (log(col("rank").cast("double") + lit(1.0)) / log(lit(2.0))))
+    val rk = ranking
+      .withColumn("rank", row_number().over(w).cast("long"))
+    val rel = relevant.select(col(idCol)).distinct()
+    val hits = rk.join(rel, Seq(idCol), "left_semi")
+    val nrel = rel.agg(count(lit(1)).as("__nr"))
+    val aggs = hits.agg(
+      coalesce(round(lit(1.0) / min(col("rank")), 6), lit(0.0)).as("mrr"),
+      coalesce(sum(when(col("rank") <= k, lit(1L)).otherwise(lit(0L))),
+        lit(0L)).as("__hk"),
+      count(lit(1)).as("__ht"),
+      coalesce(sum(when(col("rank") <= k,
+        round(gain).cast("long")).otherwise(lit(0L))), lit(0L)).as("__dg"))
+    val idcg = nrel
+      .select(col("__nr"), explode(sequence(lit(1L),
+        least(lit(k.toLong), greatest(col("__nr"), lit(1L))))).as("rank"))
+      .agg(first(col("__nr")).as("__nr"),
+        sum(round(gain).cast("long")).as("__ig"))
+    aggs.crossJoin(broadcast(idcg))
+      .select(col("__nr").as("n_relevant"), col("mrr"),
+        round(col("__hk").cast("double") / k, 6).as("precision_at_k"),
+        when(col("__nr") > 0,
+          round(col("__ht").cast("double") / col("__nr"), 6))
+          .otherwise(lit(0.0)).as("recall"),
+        when(col("__nr") > 0,
+          round(col("__dg").cast("double") / col("__ig"), 6))
+          .otherwise(lit(0.0)).as("ndcg_at_k"))
+  }
+
   /** Unigram language-model scoring (the CCNet-style quality filter):
     * learn p(token) = count/total over the corpus, then score each
     * document by its cross-entropy −avg(ln p(t_i)) — high scores mean

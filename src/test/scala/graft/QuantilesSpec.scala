@@ -127,6 +127,20 @@ class QuantilesSpec extends SparkSpec {
     assert(rows.values.forall(_.getAs[Boolean]("approx_ok")))
   }
 
+  test("giniByGroup: 0 for uniform mass, (n-1)/n for one-hot") {
+    val df = Seq(
+      ("even", 1L, 50L), ("even", 2L, 50L), ("even", 3L, 50L),
+      ("even", 4L, 50L),
+      ("hot", 5L, 0L), ("hot", 6L, 0L), ("hot", 7L, 0L), ("hot", 8L, 90L),
+      ("zero", 9L, 0L)).toDF("source", "doc_id", "n_chars")
+    val g = graft.ops.Quantiles
+      .giniByGroup(df, "source", "n_chars", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    assert(g("even") == 0.0)
+    assert(g("hot") == 0.75) // (n-1)/n with n=4
+    assert(g("zero") == 0.0) // all-zero sentinel, no division error
+  }
+
   test("rankUniformScores uniformizes each group to the same mid-rank grid") {
     // two sources with wildly different scales; same group size → the
     // multiset of uniform scores must be IDENTICAL across groups

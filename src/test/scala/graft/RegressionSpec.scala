@@ -101,4 +101,22 @@ class RegressionSpec extends SparkSpec {
       "view", "purchase").collect().head
     assert(r2.getAs[Double]("pearson_r") == 1.0)
   }
+
+  test("spearmanByGroup: +1 on concordant, -1 on reversed, 0 sentinel for n=1") {
+    import spark.implicits._
+    val df = Seq(
+      // group "up": b ordering identical to a ordering
+      ("up", 1L, 10L, 100L), ("up", 2L, 20L, 200L), ("up", 3L, 30L, 300L),
+      // group "down": b ordering exactly reversed
+      ("down", 4L, 10L, 300L), ("down", 5L, 20L, 200L),
+      ("down", 6L, 30L, 100L),
+      ("one", 7L, 5L, 5L))
+      .toDF("source", "doc_id", "a", "b")
+    val rho = Regression.spearmanByGroup(df, "source", "a", "b", "doc_id")
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("spearman_rho")).toMap
+    assert(rho("up") == 1.0)
+    assert(rho("down") == -1.0)
+    assert(rho("one") == 0.0)
+  }
 }

@@ -500,6 +500,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(indexed.nonEmpty && indexed == inline) // order AND scores
   }
 
+  test("retrievalMetrics: hand-checked MRR, P@k, recall, nDCG") {
+    // ranking: ids 1..4 by score; relevant = {2, 4, 99} (99 unranked)
+    val ranking = Seq((1L, 4.0), (2L, 3.0), (3L, 2.0), (4L, 1.0))
+      .toDF("doc_id", "bm25")
+    val relevant = Seq(2L, 4L, 99L).toDF("doc_id")
+    val m = TextAnalysis.retrievalMetrics(ranking, relevant, k = 3)
+      .collect().head
+    assert(m.getAs[Long]("n_relevant") == 3L)
+    assert(m.getAs[Double]("mrr") == 0.5) // first relevant at rank 2
+    // top-3 holds ONE relevant (rank 2) → P@3 = 1/3
+    assert(m.getAs[Double]("precision_at_k") == 0.333333)
+    // both ranked relevants found out of 3 → recall 2/3
+    assert(m.getAs[Double]("recall") == 0.666667)
+    // DCG = 1/log2(3); IDCG = 1/log2(2) + 1/log2(3) + 1/log2(4)
+    val dcg = 1.0 / (math.log(3.0) / math.log(2.0))
+    val idcg = 1.0 + 1.0 / (math.log(3.0) / math.log(2.0)) + 0.5
+    assert(math.abs(m.getAs[Double]("ndcg_at_k") - dcg / idcg) < 1e-5)
+  }
+
   test("BM25 index append and delete converge to the fresh-build search") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf0001)
