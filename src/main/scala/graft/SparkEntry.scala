@@ -2565,6 +2565,22 @@ object SparkEntry {
       // bounded per-source state for open vocabularies; JS can only
       // shrink under bucketing (gated in the spec)
       TextAnalysis.sourceDivergence(T(s, d, "documents"), buckets = 256)),
+    "q218_ks_pairs" -> ((s, d) =>
+      // distribution-shift matrix: two-sample KS distance between every
+      // source pair's length distributions — integer ECDF cross-products,
+      // pair-keyed cumulative windows over the support, ppm via DIV
+      Quantiles.ksStatisticPairs(T(s, d, "documents"), "source",
+        "n_chars")),
+    "q219_embargo_split" -> ((s, d) => {
+      // time-series eval hygiene: train / 2-day embargo / test census
+      // around a data-derived boundary (max day − 3); map-only gate off
+      // a broadcast 1-row scalar, exact integer day math
+      val ev = Tables.events(s, d)
+      val split = ev.agg(
+        ((max(unix_timestamp(date_trunc("day", col("ts")))) / 86400L)
+          .cast("long") - lit(3L)).as("__split"))
+      Sampling.embargoSplit(ev, "ts", "user_id", split, embargoDays = 2)
+    }),
     "q215_retrieval_metrics" -> ((s, d) => {
       // search-stack eval loop: MRR/P@10/recall/nDCG@10 of the BM25
       // top-20 against a deterministic relevance rule; the only
@@ -4172,6 +4188,46 @@ object SparkEntry {
     "q149_bm25_search" -> bm25TopSql,
     // tier-equivalence: persisted-index search shares the scoring tail
     "q214_bm25_indexed" -> bm25TopSql,
+    "q218_ks_pairs" ->
+      """WITH c AS (SELECT source AS g, n_chars AS v,
+        |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY g, v),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY g),
+        |pr AS (SELECT a.g AS source_a, b.g AS source_b, a.n AS na,
+        |    b.n AS nb
+        |  FROM tot a JOIN tot b ON a.g < b.g),
+        |va AS (SELECT source_a, source_b, v, c AS ca FROM pr
+        |  JOIN c ON c.g = pr.source_a),
+        |vb AS (SELECT source_a, source_b, v, c AS cb FROM pr
+        |  JOIN c ON c.g = pr.source_b),
+        |mg AS (SELECT coalesce(va.source_a, vb.source_a) AS source_a,
+        |    coalesce(va.source_b, vb.source_b) AS source_b,
+        |    coalesce(va.v, vb.v) AS v,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM va FULL OUTER JOIN vb ON va.source_a = vb.source_a
+        |    AND va.source_b = vb.source_b AND va.v = vb.v),
+        |cum AS (SELECT source_a, source_b,
+        |    sum(ca) OVER (PARTITION BY source_a, source_b ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(cb) OVER (PARTITION BY source_a, source_b ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cumb
+        |  FROM mg),
+        |d AS (SELECT c2.source_a, c2.source_b, na, nb,
+        |    abs(cuma * nb - cumb * na) AS dd
+        |  FROM cum c2 JOIN pr ON c2.source_a = pr.source_a
+        |    AND c2.source_b = pr.source_b)
+        |SELECT source_a, source_b, na AS n_a, nb AS n_b,
+        |  CAST(1000000 * max(dd) // (na * nb) AS BIGINT) AS ks_ppm
+        |FROM d GROUP BY source_a, source_b, na, nb""".stripMargin,
+    "q219_embargo_split" ->
+      """WITH e AS (SELECT
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+        |    user_id AS u FROM events),
+        |sp AS (SELECT max(day) - 3 AS s FROM e)
+        |SELECT CASE WHEN day < s - 2 THEN 'train'
+        |    WHEN day < s THEN 'embargo' ELSE 'test' END AS segment,
+        |  count(*) AS n_events, count(DISTINCT u) AS n_users,
+        |  min(day) AS first_day, max(day) AS last_day
+        |FROM e CROSS JOIN sp GROUP BY 1""".stripMargin,
     "q215_retrieval_metrics" ->
       s"""WITH ranked AS (SELECT doc_id, bm25,
          |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)

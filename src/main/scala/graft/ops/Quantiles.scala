@@ -317,6 +317,59 @@ object Quantiles {
           .otherwise(lit(0.0)).as("gini"))
   }
 
+  /** Pairwise two-sample Kolmogorov–Smirnov distance between every two
+    * groups' value distributions — the distribution-shift test behind
+    * "did source X's length profile drift from source Y's" (and the
+    * pre-mixing check that two providers' corpora are actually
+    * different). ENTIRELY integer: per-(group, value) counts fan out per
+    * pair, the ECDF difference at value v is |cumA·nB − cumB·nA| (a
+    * BIGINT — no floating ECDFs), D = max over the merged support, and
+    * the output is D ppm via integer DIV. One count reduction, pair-keyed
+    * cumulative windows over the |support|-sized relation — the corpus
+    * never rides the pair fan-out.
+    */
+  def ksStatisticPairs(df: DataFrame, groupCol: String,
+                       valueCol: String): DataFrame = {
+    val counts = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+      .groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val totals = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val pairs = totals
+      .select(col("__g").as("source_a"), col("__n").as("__na"))
+      .crossJoin(broadcast(totals
+        .select(col("__g").as("source_b"), col("__n").as("__nb"))))
+      .filter(col("source_a") < col("source_b"))
+    val va = pairs.select("source_a", "source_b")
+      .join(counts.select(col("__g").as("source_a"), col("__v"),
+        col("__c").as("__ca")), "source_a")
+    val vb = pairs.select("source_a", "source_b")
+      .join(counts.select(col("__g").as("source_b"), col("__v"),
+        col("__c").as("__cb")), "source_b")
+    val merged = va.join(vb, Seq("source_a", "source_b", "__v"),
+        "full_outer")
+      .select(col("source_a"), col("source_b"), col("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source_a"), col("source_b"))
+      .orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    merged
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .join(broadcast(pairs), Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("__na"), col("__nb"),
+        abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na"))
+          .as("__d"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+        max(col("__d")).as("__dmax"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        expr("1000000 * __dmax DIV (n_a * n_b)").as("ks_ppm"))
+  }
+
   def rankUniformScores(df: DataFrame, groupCol: String, valueCol: String,
                         idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

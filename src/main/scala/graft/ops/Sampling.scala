@@ -516,6 +516,33 @@ object Sampling {
       .withColumn("split", threeWaySplit(col("split_key"), trainPct, valPct))
   }
 
+  /** Temporal train/test split with an EMBARGO band: train strictly
+    * before (split − gap), test at/after split, and the gap rows held
+    * out of BOTH — the time-series leakage guard (autocorrelated
+    * features straddling the boundary leak future information into
+    * training; the embargo absorbs the correlation length). `split` is
+    * a 1-row (__split) epoch-day frame — typically data-derived — that
+    * broadcasts into a map-only segment gate; the census is one
+    * aggregate. All day math is exact integers.
+    */
+  def embargoSplit(events: DataFrame, tsCol: String, userCol: String,
+                   split: DataFrame, embargoDays: Int): DataFrame = {
+    require(embargoDays >= 0, "embargoDays must be >= 0")
+    val day = (unix_timestamp(date_trunc("day", col(tsCol))) / 86400L)
+      .cast("long")
+    events.select(day.as("__day"), col(userCol).as("__u"))
+      .crossJoin(broadcast(split))
+      .select(
+        when(col("__day") < col("__split") - embargoDays, "train")
+          .when(col("__day") < col("__split"), "embargo")
+          .otherwise("test").as("segment"),
+        col("__day"), col("__u"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("__u")).as("n_users"),
+        min(col("__day")).as("first_day"), max(col("__day")).as("last_day"))
+  }
+
   /** Cluster-safe k-fold census: [[leakageSafeSplit]]'s guarantee for
     * cross-validation — every near-dup cluster lands whole in ONE fold
     * (hash the CC rep mod `folds`), so no fold's held-out slice contains

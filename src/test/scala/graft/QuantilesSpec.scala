@@ -127,6 +127,22 @@ class QuantilesSpec extends SparkSpec {
     assert(rows.values.forall(_.getAs[Boolean]("approx_ok")))
   }
 
+  test("ksStatisticPairs: 0 for identical distributions, 1e6 for disjoint") {
+    val df = Seq(
+      ("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 10L), ("b", 20L), ("b", 30L), // identical to a
+      ("c", 100L), ("c", 110L)) // fully above both
+      .flatMap { case (g, v) => Seq((g, v)) }
+      .toDF("source", "n_chars")
+    val ks = graft.ops.Quantiles
+      .ksStatisticPairs(df, "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("ks_ppm")).toMap
+    assert(ks(("a", "b")) == 0L)
+    assert(ks(("a", "c")) == 1000000L) // complete separation
+    assert(ks(("b", "c")) == 1000000L)
+  }
+
   test("giniByGroup: 0 for uniform mass, (n-1)/n for one-hot") {
     val df = Seq(
       ("even", 1L, 50L), ("even", 2L, 50L), ("even", 3L, 50L),

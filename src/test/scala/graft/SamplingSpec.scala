@@ -326,6 +326,30 @@ class SamplingSpec extends SparkSpec {
     assert(out(3L) == ((3L, 1L)))
   }
 
+  test("embargoSplit holds the gap out of both train and test") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-${day}%02d 10:00:00")
+    // days 1..10, one event/user per day; split at day 8, embargo 2
+    val ev = (1 to 10).map(d => (ts(d), d.toLong)).toDF("ts", "user_id")
+    val split = ev.agg(
+      ((max(unix_timestamp(date_trunc("day", col("ts")))) / 86400L)
+        .cast("long") - lit(2L)).as("__split")) // max day - 2 = day 8
+    val rows = Sampling.embargoSplit(ev, "ts", "user_id", split,
+        embargoDays = 2).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4) - r.getLong(3))).toMap
+    // train days 1-5, embargo 6-7, test 8-10
+    assert(rows("train") == ((5L, 5L, 4L)))
+    assert(rows("embargo") == ((2L, 2L, 1L)))
+    assert(rows("test") == ((3L, 3L, 2L)))
+    // zero embargo → the band vanishes, nothing is dropped
+    val noGap = Sampling.embargoSplit(ev, "ts", "user_id", split,
+        embargoDays = 0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!noGap.contains("embargo"))
+    assert(noGap("train") == 7L && noGap("test") == 3L)
+  }
+
   test("split functions reject degenerate percent layouts") {
     val docs = Seq(1L).toDF("doc_id")
     val pairs = Seq((1L, 1L)).toDF("id_a", "id_b")
