@@ -370,6 +370,38 @@ object Quantiles {
         expr("1000000 * __dmax DIV (n_a * n_b)").as("ks_ppm"))
   }
 
+  /** Two-relation KS from PRE-AGGREGATED (value, count) histograms — the
+    * monitor form of [[ksStatisticPairs]] (a streaming count snapshot vs
+    * a frozen reference). Same integer ECDF cross-product math; a unit
+    * test pins this form equal to the pairwise form on the same data.
+    * Returns one row (n_a, n_b, ks_ppm).
+    */
+  def ksFromCounts(a: DataFrame, b: DataFrame, valueCol: String,
+                   countCol: String): DataFrame = {
+    val av = a.select(col(valueCol).cast("long").as("__v"),
+      col(countCol).cast("long").as("__ca"))
+    val bv = b.select(col(valueCol).cast("long").as("__v"),
+      col(countCol).cast("long").as("__cb"))
+    val merged = av.join(bv, Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val tot = merged.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    merged
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na"))
+        .as("__d"), col("__na"), col("__nb"))
+      .groupBy()
+      .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+        max(col("__d")).as("__dmax"))
+      .select(col("n_a"), col("n_b"),
+        expr("1000000 * __dmax DIV (n_a * n_b)").as("ks_ppm"))
+  }
+
   def rankUniformScores(df: DataFrame, groupCol: String, valueCol: String,
                         idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

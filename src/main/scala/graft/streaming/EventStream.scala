@@ -515,6 +515,32 @@ object EventStream {
       .foreachBatch((batch: Dataset[Row], _: Long) =>
         upsertCategoryCounts(batch.toDF(), catCol, dest))
 
+  /** Streaming NUMERIC drift monitor — the ECDF sibling of
+    * [[categoryCountMonitor]]: every micro-batch folds its (value →
+    * count) histogram into the stored snapshot (same upsert — the
+    * value column is just the key), and [[lengthDriftFromStore]] scores
+    * the snapshot against a FROZEN reference histogram through the ONE
+    * shared [[graft.ops.Quantiles.ksFromCounts]] definition — KS ppm
+    * over everything the stream has seen, pinned to the batch statistic
+    * (StreamingSpec).
+    */
+  def valueCountMonitor(docs: DataFrame, valueCol: String,
+                        dest: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch((batch: Dataset[Row], _: Long) =>
+        upsertCategoryCounts(batch.toDF(), valueCol, dest))
+
+  /** KS ppm of the streamed snapshot at `dest` vs a frozen reference
+    * (value, n) histogram.
+    */
+  def lengthDriftFromStore(spark: SparkSession, dest: String,
+                           reference: DataFrame, valueCol: String)
+      : DataFrame =
+    graft.ops.Quantiles.ksFromCounts(
+      spark.read.parquet(dest)
+        .select(col(valueCol), col("n")),
+      reference, valueCol, "n")
+
   /** Streaming frame sampling — the streaming twin of q151: synthesize →
     * [[graft.ops.Multimodal.frameSample]] is a stateless projection plus
     * per-row explode (flatMap), so it applies to an unbounded media

@@ -143,6 +143,21 @@ class QuantilesSpec extends SparkSpec {
     assert(ks(("b", "c")) == 1000000L)
   }
 
+  test("ksFromCounts equals the pairwise form on the same two groups") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 20L), ("a", 35L),
+      ("b", 10L), ("b", 25L), ("b", 40L)).toDF("source", "n_chars")
+    val pairwise = graft.ops.Quantiles
+      .ksStatisticPairs(df, "source", "n_chars").collect().head
+    val ha = df.filter(col("source") === "a")
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("n"))
+    val hb = df.filter(col("source") === "b")
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("n"))
+    val twoRel = graft.ops.Quantiles
+      .ksFromCounts(ha, hb, "n_chars", "n").collect().head
+    assert(twoRel.getAs[Long]("ks_ppm") == pairwise.getAs[Long]("ks_ppm"))
+    assert(twoRel.getAs[Long]("n_a") == pairwise.getAs[Long]("n_a"))
+  }
+
   test("giniByGroup: 0 for uniform mass, (n-1)/n for one-hot") {
     val df = Seq(
       ("even", 1L, 50L), ("even", 2L, 50L), ("even", 3L, 50L),

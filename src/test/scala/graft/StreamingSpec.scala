@@ -529,6 +529,26 @@ class StreamingSpec extends SparkSpec {
     assert(got(somePair.getLong(0)) == got(somePair.getLong(1)))
   }
 
+  test("streaming length-drift monitor equals the batch KS vs the frozen reference") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val docs = Tables.documents(spark, sf0001)
+    val dest = "/tmp/graft_drift/lengths_" + System.nanoTime()
+    val q = EventStream.valueCountMonitor(
+        EventStream.readDocuments(spark, sf0001), "n_chars", dest)
+      .start()
+    q.processAllAvailable(); q.stop()
+    // reference = the even-doc slice's histogram (frozen batch-side)
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("n"))
+    val streamed = EventStream.lengthDriftFromStore(spark, dest, ref,
+      "n_chars").collect().head
+    val batch = graft.ops.Quantiles.ksFromCounts(
+      docs.groupBy(col("n_chars")).agg(count(lit(1)).as("n")),
+      ref, "n_chars", "n").collect().head
+    assert(streamed.getLong(2) == batch.getLong(2))
+    assert(streamed.getLong(0) == batch.getLong(0)) // full corpus seen
+  }
+
   test("streaming winsorizer matches the batch clamp under frozen fences; " +
     "unknown segments pass through") {
     import org.apache.spark.sql.functions.{col, greatest, least, when, lit, typedlit}
