@@ -60,7 +60,9 @@ object PlanDump {
     "q176_containment_pairs" -> "containment: min-shingle anchor equi-join, sorted-hash intersect verify, no all-pairs scan",
     "q198_cross_source_dups" -> "cross-source dups: text hashes to 60-bit in the scan stage, distinct + pair join shuffle hashes only",
     "q203_quantile_normalize" -> "quantile normalization: ONE source-partitioned exchange serves both the rank and count windows",
-    "q204_source_divergence" -> "source JS divergence: single tokenize, vocab-sized pair fan-out, nano-snapped integer sum aggregate")
+    "q204_source_divergence" -> "source JS divergence: single tokenize, vocab-sized pair fan-out, nano-snapped integer sum aggregate",
+    "q214_bm25_indexed" -> "persisted BM25: postings scan pruned to the query terms' buckets (SelectedBucketsCount), no corpus re-read",
+    "q218_ks_pairs" -> "pairwise KS: count reduction first, pair-keyed cumulative windows over the support, integer cross-products")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
