@@ -2565,6 +2565,44 @@ object SparkEntry {
       // bounded per-source state for open vocabularies; JS can only
       // shrink under bucketing (gated in the spec)
       TextAnalysis.sourceDivergence(T(s, d, "documents"), buckets = 256)),
+    "q220_split_contamination" -> ((s, d) => {
+      // capstone v6 — the leakage story end-to-end, quantified: near-dup
+      // pairs straddling the train/eval boundary under the NAIVE per-doc
+      // split vs the CLUSTER-SAFE split; the cluster-safe row is ZERO by
+      // construction, and this query PROVES it through the oracle. The
+      // naive assignment reuses assignSplits with an empty rep table
+      // (every doc a singleton) — one definition of the split math for
+      // both modes
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)
+        .localCheckpoint()
+      val reps = Dedup.clusterNearDups(pairs)
+      def crossPairs(assign: DataFrame, mode: String) = {
+        val a = assign.select(col("doc_id").as("id_a"),
+          col("split").as("__sa"))
+        val b = assign.select(col("doc_id").as("id_b"),
+          col("split").as("__sb"))
+        pairs.join(a, "id_a").join(b, "id_b")
+          .filter((col("__sa") === "train") =!= (col("__sb") === "train"))
+          .select(lit(mode).as("split_mode"),
+            when(col("__sa") === "train", col("id_b"))
+              .otherwise(col("id_a")).as("__eval_doc"))
+      }
+      import s.implicits._
+      val counts = crossPairs(Sampling.assignSplits(docs, reps.limit(0)),
+          "naive")
+        .unionAll(crossPairs(Sampling.assignSplits(docs, reps),
+          "cluster_safe"))
+        .groupBy(col("split_mode"))
+        .agg(count(lit(1)).as("__np"), countDistinct(col("__eval_doc"))
+          .as("__nd"))
+      Seq("naive", "cluster_safe").toDF("split_mode")
+        .join(counts, Seq("split_mode"), "left")
+        .select(col("split_mode"),
+          coalesce(col("__np"), lit(0L)).as("n_cross_pairs"),
+          coalesce(col("__nd"), lit(0L)).as("n_contaminated_eval_docs"))
+    }),
     "q218_ks_pairs" -> ((s, d) =>
       // distribution-shift matrix: two-sample KS distance between every
       // source pair's length distributions — integer ECDF cross-products,
@@ -4188,6 +4226,41 @@ object SparkEntry {
     "q149_bm25_search" -> bm25TopSql,
     // tier-equivalence: persisted-index search shares the scoring tail
     "q214_bm25_indexed" -> bm25TopSql,
+    "q220_split_contamination" ->
+      s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(src, dst) AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+         |  FROM reach GROUP BY src),
+         |an AS (SELECT doc_id,
+         |    ${splitCaseSql("CAST(doc_id AS VARCHAR)", 80, 10)} AS split
+         |  FROM documents),
+         |asf AS (SELECT d.doc_id,
+         |    ${splitCaseSql("CAST(coalesce(cl.rep, d.doc_id) AS VARCHAR)", 80, 10)}
+         |      AS split
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         |cn AS (SELECT 'naive' AS split_mode,
+         |    CASE WHEN a.split = 'train' THEN jp.id_b ELSE jp.id_a END
+         |      AS ev
+         |  FROM jp JOIN an a ON jp.id_a = a.doc_id
+         |    JOIN an b ON jp.id_b = b.doc_id
+         |  WHERE (a.split = 'train') <> (b.split = 'train')),
+         |cs AS (SELECT 'cluster_safe' AS split_mode,
+         |    CASE WHEN a.split = 'train' THEN jp.id_b ELSE jp.id_a END
+         |      AS ev
+         |  FROM jp JOIN asf a ON jp.id_a = a.doc_id
+         |    JOIN asf b ON jp.id_b = b.doc_id
+         |  WHERE (a.split = 'train') <> (b.split = 'train')),
+         |uni AS (SELECT * FROM cn UNION ALL SELECT * FROM cs),
+         |agg AS (SELECT split_mode, count(*) AS np,
+         |    count(DISTINCT ev) AS nd FROM uni GROUP BY split_mode)
+         |SELECT m.split_mode,
+         |  CAST(coalesce(np, 0) AS BIGINT) AS n_cross_pairs,
+         |  CAST(coalesce(nd, 0) AS BIGINT) AS n_contaminated_eval_docs
+         |FROM (VALUES ('naive'), ('cluster_safe')) AS m(split_mode)
+         |LEFT JOIN agg ON m.split_mode = agg.split_mode""".stripMargin,
     "q218_ks_pairs" ->
       """WITH c AS (SELECT source AS g, n_chars AS v,
         |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY g, v),
