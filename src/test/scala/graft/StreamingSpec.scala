@@ -489,6 +489,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("checkpointed file-sink stream resumes exactly-once across restarts") {
+    import org.apache.spark.sql.functions.col
+    // two source files landing in two waves; the SAME checkpoint dir
+    // across restarts must yield every row exactly once — the
+    // fault-tolerance contract a 100 TB ingest pipeline leans on
+    val base = "/tmp/graft_restart_" + System.nanoTime()
+    val src = s"$base/src"; val dest = s"$base/dest"; val chk = s"$base/chk"
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+    docs.filter(col("doc_id") < 250).coalesce(1).write.parquet(src)
+    def run() = spark.readStream
+      .schema("doc_id LONG, n_chars LONG").parquet(src)
+      .writeStream.format("parquet")
+      .option("path", dest).option("checkpointLocation", chk)
+      .start()
+    val q1 = run(); q1.processAllAvailable(); q1.stop()
+    val firstWave = spark.read.parquet(dest).count()
+    docs.filter(col("doc_id") >= 250).coalesce(1).write
+      .mode("append").parquet(src)
+    val q2 = run(); q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(dest)
+    assert(firstWave == 250L)
+    assert(out.count() == docs.count()) // nothing lost, nothing doubled
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    // a third restart with NO new files appends nothing (offsets held)
+    val q3 = run(); q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(dest).count() == docs.count())
+  }
+
   test("streaming langid confusion cells equal the batch confusion") {
     // prediction is stateless; the confusion count is a mergeable
     // aggregate — complete mode over the bounded doc fixture must land on
