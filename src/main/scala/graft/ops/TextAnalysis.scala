@@ -329,6 +329,29 @@ object TextAnalysis {
     flagAgainst(batch, batch.sparkSession.table(name), idCol, textCol, k, w,
       shingleHash)
 
+  /** Benchmark suites grow: append a NEW benchmark slice's fingerprints
+    * to the standing index without re-fingerprinting the old corpus —
+    * batch-cost only (the q214-append contract). Fingerprints already in
+    * the index are anti-joined away before the bucketed append, so the
+    * stored relation stays a DISTINCT set and repeated appends of the
+    * same slice are idempotent. Probe-time (k, w, shingleHash) must
+    * still match the ORIGINAL build.
+    */
+  def appendToContaminationIndex(spark: org.apache.spark.sql.SparkSession,
+                                 name: String, newBench: DataFrame,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text",
+                                 k: Int = 3, w: Int = 4,
+                                 shingleHash: Column => Column,
+                                 numBuckets: Int = 32): Unit = {
+    val fresh = winnowFps(newBench, idCol, textCol, k, w, shingleHash)
+      .select("fp").distinct()
+      .join(spark.table(name), Seq("fp"), "left_anti")
+    fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(numBuckets, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(name)
+  }
+
   /** Overlapping token-window chunking (retrieval/context-window prep):
     * split each document into chunks of `size` tokens starting every
     * `stride` tokens (overlap = size − stride), the standard shape for

@@ -219,6 +219,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ensure()) // a fresh catalog (new session) would rebuild
   }
 
+  test("appendToContaminationIndex converges to the full build and is idempotent") {
+    val docs = Tables.documents(spark, sf0001)
+    val benchA = docs.filter(col("doc_id") < 30)
+    val benchB = docs.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+    val batch = docs.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+    def flags(name: String) = TextAnalysis
+      .contaminationFlagsIndexed(batch, name, "doc_id", "text",
+        k = 5, w = 8, shingleHash = md5Hash31)
+      .as[(Long, Int)].collect().toMap
+    val dirI = java.nio.file.Files.createTempDirectory("graft_ci_inc").toString
+    TextAnalysis.buildContaminationIndex(benchA, "contam_inc", dirI,
+      "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
+    TextAnalysis.appendToContaminationIndex(spark, "contam_inc", benchB,
+      "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
+    val dirF = java.nio.file.Files.createTempDirectory("graft_ci_full").toString
+    TextAnalysis.buildContaminationIndex(benchA.unionAll(benchB),
+      "contam_full", dirF, "doc_id", "text", k = 5, w = 8,
+      shingleHash = md5Hash31)
+    assert(flags("contam_inc") == flags("contam_full"))
+    // re-appending the same slice adds nothing (anti-join dedup)
+    val before = spark.table("contam_inc").count()
+    TextAnalysis.appendToContaminationIndex(spark, "contam_inc", benchB,
+      "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
+    assert(spark.table("contam_inc").count() == before)
+    spark.sql("DROP TABLE contam_inc"); spark.sql("DROP TABLE contam_full")
+  }
+
   test("tf-idf top terms: corpus-wide terms score 0, rare terms rank first") {
     // "common" is in every doc → idf = ln(1) = 0; each doc's distinctive
     // term must outrank it despite lower tf
