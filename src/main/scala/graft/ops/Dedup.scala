@@ -193,6 +193,34 @@ object Dedup {
       Seq(idCol), numBuckets)
   }
 
+  /** Grow the standing index with a NEW corpus slice — batch-cost only
+    * (signatures and shingles computed for the slice, bucketed appends
+    * with the IDENTICAL bucket specs, nothing re-read). After an accepted
+    * batch dedups against the index ([[nearDupNewOnlyIndexed]]), its
+    * KEPT rows append here so the next batch dedups against them too —
+    * the incremental loop closed. Caller guarantees ids are new.
+    */
+  def appendToNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                           name: String, newDocs: DataFrame,
+                           idCol: String, textCol: String,
+                           shingleK: Int = 3, numPerm: Int = 128,
+                           bands: Int = 16, numBuckets: Int = 32): Unit = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val banded = bandBuckets(
+      minhashSignatures(newDocs, idCol, textCol, shingleK, numPerm),
+      idCol, bands, numPerm / bands)
+    banded.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(numBuckets, "__band", "__bucket")
+      .sortBy("__band", "__bucket")
+      .format("parquet").saveAsTable(s"${name}_sig")
+    val sh = newDocs.select(col(idCol),
+      sort_array(shingleHashes(col(textCol), shingleK)).as("__sh"))
+      .withColumn("__n", size(col("__sh")))
+    sh.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(numBuckets, idCol)
+      .format("parquet").saveAsTable(s"${name}_shingles")
+  }
+
   /** [[buildNearDupIndex]] unless BOTH of the index's tables are already
     * registered in this session's catalog (see
     * [[graft.io.IO.ensureBucketed]] for why the skip is session-scoped).

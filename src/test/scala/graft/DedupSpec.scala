@@ -166,6 +166,27 @@ class DedupSpec extends SparkSpec {
     assert(probe.count() > 0)
   }
 
+  test("appendToNearDupIndex converges to the full build") {
+    val docs = Tables.documents(spark, sf0001)
+    val sliceA = docs.filter(col("doc_id") < 60)
+    val sliceB = docs.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+    val batch = docs.filter(col("doc_id") >= 120 && col("doc_id") < 180)
+    def probe(name: String) = Dedup.nearDupNewOnlyIndexed(batch, name,
+      "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8)
+      .select("doc_id").as[Long].collect().toSet
+    val dirI = java.nio.file.Files.createTempDirectory("graft_ndi_inc").toString
+    Dedup.buildNearDupIndex(sliceA, "ndi_inc", dirI, "doc_id", "text",
+      shingleK = 2, numPerm = 32, bands = 8)
+    Dedup.appendToNearDupIndex(spark, "ndi_inc", sliceB, "doc_id", "text",
+      shingleK = 2, numPerm = 32, bands = 8)
+    val dirF = java.nio.file.Files.createTempDirectory("graft_ndi_full").toString
+    Dedup.buildNearDupIndex(sliceA.unionAll(sliceB), "ndi_full", dirF,
+      "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8)
+    assert(probe("ndi_inc") == probe("ndi_full"))
+    spark.sql("DROP TABLE ndi_inc_sig"); spark.sql("DROP TABLE ndi_inc_shingles")
+    spark.sql("DROP TABLE ndi_full_sig"); spark.sql("DROP TABLE ndi_full_shingles")
+  }
+
   test("skewSafeDistinctCount: NULLs skipped but all-NULL keys keep their group") {
     val df = Seq(
       ("a", Some(1L)), ("a", Some(1L)), ("a", Some(2L)), ("a", None),
