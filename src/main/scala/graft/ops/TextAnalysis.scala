@@ -749,6 +749,24 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("ndcg_at_k"))
   }
 
+  /** Small-file hygiene after many appends: rewrite both bucketed
+    * relations in place (each append stacks `numBuckets` new files per
+    * table; search-side bucket pruning then opens every generation).
+    * Same read-materialize-overwrite discipline as the delete path;
+    * results are bit-identical, only the file layout changes.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       name: String, path: String,
+                       idCol: String = "doc_id",
+                       numBuckets: Int = 32): Unit = {
+    val p = spark.table(s"${name}_postings").localCheckpoint()
+    val d = spark.table(s"${name}_docstats").localCheckpoint()
+    graft.io.IO.writeBucketed(p, s"${name}_postings", s"$path/postings",
+      Seq("term"), numBuckets, sortCols = Seq("term"))
+    graft.io.IO.writeBucketed(d, s"${name}_docstats", s"$path/docstats",
+      Seq(idCol), numBuckets)
+  }
+
   /** Unigram language-model scoring (the CCNet-style quality filter):
     * learn p(token) = count/total over the corpus, then score each
     * document by its cross-entropy −avg(ln p(t_i)) — high scores mean

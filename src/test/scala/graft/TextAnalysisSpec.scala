@@ -561,6 +561,13 @@ class TextAnalysisSpec extends SparkSpec {
       "/tmp/graft_bm25/inc", rest)
     TextAnalysis.buildBm25Index(docs, "bm25_full", "/tmp/graft_bm25/full")
     assert(search("bm25_inc") == search("bm25_full"))
+    // compaction collapses the append generations; results untouched
+    def nFiles = new java.io.File("/tmp/graft_bm25/inc/postings")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val filesBefore = nFiles
+    TextAnalysis.compactBm25Index(spark, "bm25_inc", "/tmp/graft_bm25/inc")
+    assert(nFiles < filesBefore, s"$nFiles !< $filesBefore")
+    assert(search("bm25_inc") == search("bm25_full"))
     // delete the appended half again → identical to the half-only build
     TextAnalysis.deleteFromBm25Index(spark, "bm25_inc",
       "/tmp/graft_bm25/inc",
