@@ -664,6 +664,10 @@ object TextAnalysis {
       keepD.agg(count(lit(1)).as("n_docs"))
         .crossJoin(keepP.agg(coalesce(sum(col("tf")), lit(0L))
           .as("total_tf"))))
+    // block-release hygiene: the rewrite checkpoints die with the call,
+    // not with driver GC
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(keepP)
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(keepD)
   }
 
   /** [[buildBm25Index]] unless all three tables are registered in THIS
@@ -765,6 +769,8 @@ object TextAnalysis {
       Seq("term"), numBuckets, sortCols = Seq("term"))
     graft.io.IO.writeBucketed(d, s"${name}_docstats", s"$path/docstats",
       Seq(idCol), numBuckets)
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(p)
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(d)
   }
 
   /** Unigram language-model scoring (the CCNet-style quality filter):
