@@ -2565,6 +2565,29 @@ object SparkEntry {
       // bounded per-source state for open vocabularies; JS can only
       // shrink under bucketing (gated in the spec)
       TextAnalysis.sourceDivergence(T(s, d, "documents"), buckets = 256)),
+    "q221_cluster_purity" -> ((s, d) => {
+      // external clustering validation: do the mutual-kNN components
+      // agree with the labels? purity = Σ per-cluster majority-label
+      // count / Σ clustered — exact integer counts, one rounded
+      // division; covers vectors with ≥1 reciprocal edge (singletons
+      // carry no clustering signal to validate)
+      val emb = T(s, d, "embeddings")
+      val pairs = Similarity.mutualKnnPairs(emb, k = 5)
+      val clusters = Dedup.clusterNearDups(
+        pairs.select(col("id_a"), col("id_b")), idCol = "vec_id")
+      val labeled = clusters.join(emb.select(col("vec_id"), col("label")),
+        "vec_id")
+      val perLabel = labeled.groupBy(col("cluster_rep"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val perCluster = perLabel.groupBy(col("cluster_rep"))
+        .agg(max(col("__c")).as("__maj"), sum(col("__c")).as("__tot"))
+      perCluster.agg(count(lit(1)).as("n_clusters"),
+          sum(col("__tot")).as("n_clustered"),
+          sum(col("__maj")).as("__summaj"))
+        .select(col("n_clusters"), col("n_clustered"),
+          round(col("__summaj").cast("double") /
+            col("n_clustered").cast("double"), 6).as("purity"))
+    }),
     "q220_split_contamination" -> ((s, d) => {
       // capstone v6 — the leakage story end-to-end, quantified: near-dup
       // pairs straddling the train/eval boundary under the NAIVE per-doc
@@ -4226,6 +4249,33 @@ object SparkEntry {
     "q149_bm25_search" -> bm25TopSql,
     // tier-equivalence: persisted-index search shares the scoring tail
     "q214_bm25_indexed" -> bm25TopSql,
+    "q221_cluster_purity" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, label,
+         |    embedding::DOUBLE[] AS e FROM embeddings),
+         |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(${cosSql("a.e", "b.e")}, 6) AS sim
+         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+         |rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+         |    ORDER BY sim DESC, dst) AS rn FROM p),
+         |e AS (SELECT src, dst FROM rk WHERE rn <= 5),
+         |m AS (SELECT x.src AS ida, x.dst AS idb FROM e x
+         |  JOIN e y ON x.src = y.dst AND x.dst = y.src
+         |  WHERE x.src < x.dst),
+         |e2 AS (SELECT ida AS src, idb AS dst FROM m
+         |       UNION ALL SELECT idb, ida FROM m),
+         |reach(src, dst) AS (SELECT src, dst FROM e2
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src),
+         |cl AS (SELECT src AS vec_id, least(src, min(dst)) AS rep
+         |  FROM reach GROUP BY src),
+         |pl AS (SELECT rep, v.label, CAST(count(*) AS BIGINT) AS c
+         |  FROM cl JOIN v ON cl.vec_id = v.vec_id GROUP BY rep, v.label),
+         |pc AS (SELECT rep, CAST(max(c) AS BIGINT) AS maj,
+         |    CAST(sum(c) AS BIGINT) AS tot FROM pl GROUP BY rep)
+         |SELECT count(*) AS n_clusters,
+         |  CAST(sum(tot) AS BIGINT) AS n_clustered,
+         |  round(CAST(sum(maj) AS DOUBLE) / CAST(sum(tot) AS DOUBLE), 6)
+         |    AS purity
+         |FROM pc""".stripMargin,
     "q220_split_contamination" ->
       s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
          |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
