@@ -334,11 +334,12 @@ object SparkEntry {
        |    WHEN (${hash31Sql(keyExpr)}) % 100 < ${trainPct + valPct}
        |      THEN 'val' ELSE 'test' END""".stripMargin
 
-  /** Shared by q201 (exact blocked tier) and q210 (IVF tier with every
-    * cell probed — complete candidates, hence tier-equivalent census).
+  /** The mutual-kNN clustering CTE chain through `cl(node, rep)` —
+    * shared by the census (q201/q210), purity (q221), and ARI (q222)
+    * oracles. `v(vec_id, label, e)` stays available downstream.
     */
-  private lazy val mutualKnnCensusOracleSql: String =
-    s"""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+  private lazy val mutualKnnClusterCtesSql: String =
+    s"""v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
        |  FROM embeddings),
        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
        |    round(${cosSql("a.e", "b.e")}, 6) AS sim
@@ -354,7 +355,13 @@ object SparkEntry {
        |reach(src, dst) AS (SELECT src, dst FROM e2
        |  UNION SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src),
        |cl AS (SELECT src AS node, least(src, min(dst)) AS rep
-       |  FROM reach GROUP BY src),
+       |  FROM reach GROUP BY src)""".stripMargin
+
+  /** Shared by q201 (exact blocked tier) and q210 (IVF tier with every
+    * cell probed — complete candidates, hence tier-equivalent census).
+    */
+  private lazy val mutualKnnCensusOracleSql: String =
+    s"""WITH RECURSIVE $mutualKnnClusterCtesSql,
        |sz AS (SELECT rep, count(*) AS component_size FROM cl GROUP BY rep)
        |SELECT component_size, count(*) AS n_components FROM sz
        |GROUP BY component_size""".stripMargin
@@ -2588,6 +2595,38 @@ object SparkEntry {
           round(col("__summaj").cast("double") /
             col("n_clustered").cast("double"), 6).as("purity"))
     }),
+    "q222_adjusted_rand" -> ((s, d) => {
+      // chance-corrected clustering agreement (Hubert–Arabia ARI): all
+      // pair-counting terms are exact integer C(n,2) sums off the
+      // contingency relation; the index itself is one fixed double
+      // expression tree (IEEE ×/÷/− correctly rounded), rounded to 6
+      val emb = T(s, d, "embeddings")
+      val pairs = Similarity.mutualKnnPairs(emb, k = 5)
+      val clusters = Dedup.clusterNearDups(
+        pairs.select(col("id_a"), col("id_b")), idCol = "vec_id")
+      val nij = clusters
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cluster_rep"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .localCheckpoint()
+      def c2(frame: DataFrame, out: String) =
+        frame.agg(expr("sum(__c * (__c - 1) DIV 2)").as(out))
+      val sij = c2(nij, "__sij")
+      val sa = c2(nij.groupBy(col("cluster_rep"))
+        .agg(sum(col("__c")).as("__c")), "__sa")
+      val sb = c2(nij.groupBy(col("label"))
+        .agg(sum(col("__c")).as("__c")), "__sb")
+      val nn = nij.agg(sum(col("__c")).as("n"))
+      val cn2d = expr("CAST(n * (n - 1) DIV 2 AS DOUBLE)")
+      val t2 = (col("__sa").cast("double") * col("__sb").cast("double")) /
+        cn2d
+      sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .crossJoin(broadcast(nn))
+        .select(col("n").as("n_clustered"),
+          round((col("__sij").cast("double") - t2) /
+            (((col("__sa").cast("double") + col("__sb").cast("double")) /
+              lit(2.0)) - t2), 6).as("ari"))
+    }),
     "q220_split_contamination" -> ((s, d) => {
       // capstone v6 — the leakage story end-to-end, quantified: near-dup
       // pairs straddling the train/eval boundary under the NAIVE per-doc
@@ -4250,25 +4289,9 @@ object SparkEntry {
     // tier-equivalence: persisted-index search shares the scoring tail
     "q214_bm25_indexed" -> bm25TopSql,
     "q221_cluster_purity" ->
-      s"""WITH RECURSIVE v AS (SELECT vec_id, label,
-         |    embedding::DOUBLE[] AS e FROM embeddings),
-         |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-         |    round(${cosSql("a.e", "b.e")}, 6) AS sim
-         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
-         |rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src
-         |    ORDER BY sim DESC, dst) AS rn FROM p),
-         |e AS (SELECT src, dst FROM rk WHERE rn <= 5),
-         |m AS (SELECT x.src AS ida, x.dst AS idb FROM e x
-         |  JOIN e y ON x.src = y.dst AND x.dst = y.src
-         |  WHERE x.src < x.dst),
-         |e2 AS (SELECT ida AS src, idb AS dst FROM m
-         |       UNION ALL SELECT idb, ida FROM m),
-         |reach(src, dst) AS (SELECT src, dst FROM e2
-         |  UNION SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src),
-         |cl AS (SELECT src AS vec_id, least(src, min(dst)) AS rep
-         |  FROM reach GROUP BY src),
+      s"""WITH RECURSIVE $mutualKnnClusterCtesSql,
          |pl AS (SELECT rep, v.label, CAST(count(*) AS BIGINT) AS c
-         |  FROM cl JOIN v ON cl.vec_id = v.vec_id GROUP BY rep, v.label),
+         |  FROM cl JOIN v ON cl.node = v.vec_id GROUP BY rep, v.label),
          |pc AS (SELECT rep, CAST(max(c) AS BIGINT) AS maj,
          |    CAST(sum(c) AS BIGINT) AS tot FROM pl GROUP BY rep)
          |SELECT count(*) AS n_clusters,
@@ -4276,6 +4299,27 @@ object SparkEntry {
          |  round(CAST(sum(maj) AS DOUBLE) / CAST(sum(tot) AS DOUBLE), 6)
          |    AS purity
          |FROM pc""".stripMargin,
+    "q222_adjusted_rand" ->
+      s"""WITH RECURSIVE $mutualKnnClusterCtesSql,
+         |lab AS (SELECT rep, v.label FROM cl
+         |  JOIN v ON cl.node = v.vec_id),
+         |nij AS (SELECT rep, label, CAST(count(*) AS BIGINT) AS c
+         |  FROM lab GROUP BY rep, label),
+         |sij AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS s
+         |  FROM nij),
+         |sa AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS s FROM
+         |  (SELECT CAST(sum(c) AS BIGINT) AS c FROM nij GROUP BY rep)),
+         |sb AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS s FROM
+         |  (SELECT CAST(sum(c) AS BIGINT) AS c FROM nij GROUP BY label)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab)
+         |SELECT n AS n_clustered,
+         |  round((CAST(sij.s AS DOUBLE) -
+         |      (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE))
+         |        / (CAST(n * (n - 1) // 2 AS DOUBLE))) /
+         |    (((CAST(sa.s AS DOUBLE) + CAST(sb.s AS DOUBLE)) / 2e0) -
+         |      (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE))
+         |        / (CAST(n * (n - 1) // 2 AS DOUBLE))), 6) AS ari
+         |FROM sij, sa, sb, nn""".stripMargin,
     "q220_split_contamination" ->
       s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
          |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
