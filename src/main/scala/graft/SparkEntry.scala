@@ -2627,6 +2627,51 @@ object SparkEntry {
             (((col("__sa").cast("double") + col("__sb").cast("double")) /
               lit(2.0)) - t2), 6).as("ari"))
     }),
+    "q223_cluster_nmi" -> ((s, d) => {
+      // the information-theoretic member of the clustering-eval trio
+      // (purity q221 / ARI q222 / NMI here): every entropy and MI term
+      // is ONE fixed double expression over integer contingency counts,
+      // nano-snapped immediately after its ln (the q204 discipline), so
+      // the sums are order-free BIGINTs; NMI = I / ((Hc + Hl) / 2) is a
+      // ratio of snapped sums, rounded to 6
+      val emb = T(s, d, "embeddings")
+      val pairs = Similarity.mutualKnnPairs(emb, k = 5)
+      val clusters = Dedup.clusterNearDups(
+        pairs.select(col("id_a"), col("id_b")), idCol = "vec_id")
+      val nij = clusters
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cluster_rep"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .localCheckpoint()
+      val nn = nij.agg(sum(col("__c")).as("n"))
+      val ai = nij.groupBy(col("cluster_rep")).agg(sum(col("__c")).as("__a"))
+      val bj = nij.groupBy(col("label")).agg(sum(col("__c")).as("__b"))
+      def entNano(frame: DataFrame, cnt: String, out: String) = frame
+        .crossJoin(broadcast(nn))
+        .select(round((lit(-1.0) * (col(cnt).cast("double") /
+            col("n").cast("double")) *
+          log(col(cnt).cast("double") / col("n").cast("double"))) *
+          lit(1e9)).cast("long").as("__nano"))
+        .agg(coalesce(sum(col("__nano")), lit(0L)).as(out))
+      val hc = entNano(ai, "__a", "__hc")
+      val hl = entNano(bj, "__b", "__hl")
+      val mi = nij
+        .join(ai, "cluster_rep").join(bj, "label")
+        .crossJoin(broadcast(nn))
+        .select(round(((col("__c").cast("double") /
+            col("n").cast("double")) *
+          log((col("n").cast("double") * col("__c").cast("double")) /
+            (col("__a").cast("double") * col("__b").cast("double")))) *
+          lit(1e9)).cast("long").as("__nano"))
+        .agg(coalesce(sum(col("__nano")), lit(0L)).as("__mi"))
+      mi.crossJoin(broadcast(hc)).crossJoin(broadcast(hl))
+        .crossJoin(broadcast(nn))
+        .select(col("n").as("n_clustered"),
+          when(col("__hc") + col("__hl") > 0,
+            round(col("__mi").cast("double") /
+              ((col("__hc").cast("double") + col("__hl").cast("double")) /
+                lit(2.0)), 6)).otherwise(lit(0.0)).as("nmi"))
+    }),
     "q220_split_contamination" -> ((s, d) => {
       // capstone v6 — the leakage story end-to-end, quantified: near-dup
       // pairs straddling the train/eval boundary under the NAIVE per-doc
@@ -4299,6 +4344,38 @@ object SparkEntry {
          |  round(CAST(sum(maj) AS DOUBLE) / CAST(sum(tot) AS DOUBLE), 6)
          |    AS purity
          |FROM pc""".stripMargin,
+    "q223_cluster_nmi" ->
+      s"""WITH RECURSIVE $mutualKnnClusterCtesSql,
+         |lab AS (SELECT rep, v.label FROM cl
+         |  JOIN v ON cl.node = v.vec_id),
+         |nij AS (SELECT rep, label, CAST(count(*) AS BIGINT) AS c
+         |  FROM lab GROUP BY rep, label),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM nij),
+         |ai AS (SELECT rep, CAST(sum(c) AS BIGINT) AS a FROM nij
+         |  GROUP BY rep),
+         |bj AS (SELECT label, CAST(sum(c) AS BIGINT) AS b FROM nij
+         |  GROUP BY label),
+         |hc AS (SELECT CAST(coalesce(sum(CAST(round(((-1e0) *
+         |      (CAST(a AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |      ln(CAST(a AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000000e0)
+         |    AS BIGINT)), 0) AS BIGINT) AS hc FROM ai CROSS JOIN nn),
+         |hl AS (SELECT CAST(coalesce(sum(CAST(round(((-1e0) *
+         |      (CAST(b AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |      ln(CAST(b AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000000e0)
+         |    AS BIGINT)), 0) AS BIGINT) AS hl FROM bj CROSS JOIN nn),
+         |mi AS (SELECT CAST(coalesce(sum(CAST(round((
+         |      (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |      ln((CAST(n AS DOUBLE) * CAST(c AS DOUBLE)) /
+         |        (CAST(a AS DOUBLE) * CAST(b AS DOUBLE)))) * 1000000000e0)
+         |    AS BIGINT)), 0) AS BIGINT) AS mi
+         |  FROM nij JOIN ai USING (rep) JOIN bj USING (label)
+         |    CROSS JOIN nn)
+         |SELECT n AS n_clustered,
+         |  CASE WHEN hc + hl > 0
+         |    THEN round(CAST(mi AS DOUBLE) /
+         |      ((CAST(hc AS DOUBLE) + CAST(hl AS DOUBLE)) / 2e0), 6)
+         |    ELSE 0e0 END AS nmi
+         |FROM mi CROSS JOIN hc CROSS JOIN hl CROSS JOIN nn""".stripMargin,
     "q222_adjusted_rand" ->
       s"""WITH RECURSIVE $mutualKnnClusterCtesSql,
          |lab AS (SELECT rep, v.label FROM cl
