@@ -100,6 +100,52 @@ object SparkEntry {
   private def tagFor(d: String): String = java.lang.Long.toHexString(
     java.util.UUID.nameUUIDFromBytes(d.getBytes).getMostSignificantBits)
 
+  /** Session-cached near-dup pair + cluster relations over the FULL
+    * documents corpus at the suite's standard LSH parameters — the one
+    * relation ~10 queries (q38/q160/q196/q197/q205/q211/q220) previously
+    * re-derived from scratch. First caller pays one LSH + CC run and two
+    * parquet writes; everyone after reads the stored relations
+    * ([[graft.ops.Dedup.ensurePairClusters]] — bit-identical by the
+    * portable-hash/CC determinism, DedupSpec-pinned). Returns the cache
+    * path for [[graft.ops.Dedup.cachedPairs]]/`cachedClusters`.
+    */
+  private def docClustersPath(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_clusters/docs_${tagFor(d)}"
+    Dedup.ensurePairClusters(s, path, "doc_id")(
+      Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
+        shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))
+    path
+  }
+
+  /** Session-cached mutual-kNN (k=5) pair + cluster relations over the
+    * embeddings corpus, exact blocked tier — shared by the census (q201)
+    * and the clustering-eval trio (q221/q222/q223), which previously each
+    * re-ran the all-pairs graph.
+    */
+  private def knnClustersPath(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_clusters/knn_${tagFor(d)}"
+    Dedup.ensurePairClusters(s, path, "vec_id")(
+      Similarity.mutualKnnPairs(T(s, d, "embeddings"), k = 5))
+    path
+  }
+
+  /** The IVF tier of [[knnClustersPath]] (q210's discipline: every cell
+    * probed ⇒ complete candidates ⇒ tier-equivalent graph) — shared by
+    * the IVF census (q210) and the IVF clustering-eval trio
+    * (q224/q225/q226).
+    */
+  private def knnIvfClustersPath(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_clusters/knnivf_${tagFor(d)}"
+    Dedup.ensurePairClusters(s, path, "vec_id") {
+      val emb = T(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      Similarity.mutualKnnPairsIvf(emb, centroids, k = 5, nProbe = 64)
+    }
+    path
+  }
+
   // ---------------------------------------------- oracle SQL helper pieces
 
   /** Shared by q14 (broadcast bbox tier) and q69 (grid equi-join tier) —
@@ -366,6 +412,79 @@ object SparkEntry {
        |SELECT component_size, count(*) AS n_components FROM sz
        |GROUP BY component_size""".stripMargin
 
+  /** Clustering-eval trio oracles over the mutual-kNN cluster chain —
+    * each shared by the exact tier (q221/q222/q223) and the IVF tier
+    * (q224/q225/q226): with every cell probed the IVF graph is
+    * tier-equivalent (the q201/q210 discipline), so one oracle per
+    * metric covers both.
+    */
+  private lazy val clusterPurityOracleSql: String =
+    s"""WITH RECURSIVE $mutualKnnClusterCtesSql,
+       |pl AS (SELECT rep, v.label, CAST(count(*) AS BIGINT) AS c
+       |  FROM cl JOIN v ON cl.node = v.vec_id GROUP BY rep, v.label),
+       |pc AS (SELECT rep, CAST(max(c) AS BIGINT) AS maj,
+       |    CAST(sum(c) AS BIGINT) AS tot FROM pl GROUP BY rep)
+       |SELECT count(*) AS n_clusters,
+       |  CAST(sum(tot) AS BIGINT) AS n_clustered,
+       |  round(CAST(sum(maj) AS DOUBLE) / CAST(sum(tot) AS DOUBLE), 6)
+       |    AS purity
+       |FROM pc""".stripMargin
+
+  private lazy val clusterNmiOracleSql: String =
+    s"""WITH RECURSIVE $mutualKnnClusterCtesSql,
+       |lab AS (SELECT rep, v.label FROM cl
+       |  JOIN v ON cl.node = v.vec_id),
+       |nij AS (SELECT rep, label, CAST(count(*) AS BIGINT) AS c
+       |  FROM lab GROUP BY rep, label),
+       |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM nij),
+       |ai AS (SELECT rep, CAST(sum(c) AS BIGINT) AS a FROM nij
+       |  GROUP BY rep),
+       |bj AS (SELECT label, CAST(sum(c) AS BIGINT) AS b FROM nij
+       |  GROUP BY label),
+       |hc AS (SELECT CAST(coalesce(sum(CAST(round(((-1e0) *
+       |      (CAST(a AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      ln(CAST(a AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000000e0)
+       |    AS BIGINT)), 0) AS BIGINT) AS hc FROM ai CROSS JOIN nn),
+       |hl AS (SELECT CAST(coalesce(sum(CAST(round(((-1e0) *
+       |      (CAST(b AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      ln(CAST(b AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000000e0)
+       |    AS BIGINT)), 0) AS BIGINT) AS hl FROM bj CROSS JOIN nn),
+       |mi AS (SELECT CAST(coalesce(sum(CAST(round((
+       |      (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      ln((CAST(n AS DOUBLE) * CAST(c AS DOUBLE)) /
+       |        (CAST(a AS DOUBLE) * CAST(b AS DOUBLE)))) * 1000000000e0)
+       |    AS BIGINT)), 0) AS BIGINT) AS mi
+       |  FROM nij JOIN ai USING (rep) JOIN bj USING (label)
+       |    CROSS JOIN nn)
+       |SELECT n AS n_clustered,
+       |  CASE WHEN hc + hl > 0
+       |    THEN round(CAST(mi AS DOUBLE) /
+       |      ((CAST(hc AS DOUBLE) + CAST(hl AS DOUBLE)) / 2e0), 6)
+       |    ELSE 0e0 END AS nmi
+       |FROM mi CROSS JOIN hc CROSS JOIN hl CROSS JOIN nn""".stripMargin
+
+  private lazy val adjustedRandOracleSql: String =
+    s"""WITH RECURSIVE $mutualKnnClusterCtesSql,
+       |lab AS (SELECT rep, v.label FROM cl
+       |  JOIN v ON cl.node = v.vec_id),
+       |nij AS (SELECT rep, label, CAST(count(*) AS BIGINT) AS c
+       |  FROM lab GROUP BY rep, label),
+       |sij AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS s
+       |  FROM nij),
+       |sa AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS s FROM
+       |  (SELECT CAST(sum(c) AS BIGINT) AS c FROM nij GROUP BY rep)),
+       |sb AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS s FROM
+       |  (SELECT CAST(sum(c) AS BIGINT) AS c FROM nij GROUP BY label)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab)
+       |SELECT n AS n_clustered,
+       |  round((CAST(sij.s AS DOUBLE) -
+       |      (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE))
+       |        / (CAST(n * (n - 1) // 2 AS DOUBLE))) /
+       |    (((CAST(sa.s AS DOUBLE) + CAST(sb.s AS DOUBLE)) / 2e0) -
+       |      (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE))
+       |        / (CAST(n * (n - 1) // 2 AS DOUBLE))), 6) AS ari
+       |FROM sij, sa, sb, nn""".stripMargin
+
   /** JS-divergence oracle chain, parametric in the distribution unit
     * (`unitSql` maps the token expr `tok` → raw term or hash bucket) —
     * shared by q204 (raw vocabulary) and q209 (256-bucket sketch tier).
@@ -426,6 +545,111 @@ object SparkEntry {
       .agg(
         sum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
+
+  // ----------------------------------------- clustering-eval shared cores
+
+  /** Component-size census over a cached (vec_id, cluster_rep) relation —
+    * shared by the exact (q201) and IVF (q210) graph tiers.
+    */
+  private def knnCensus(clusters: DataFrame): DataFrame =
+    clusters
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("component_size"))
+      .groupBy(col("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+
+  /** Purity of a cluster relation against the labels: Σ per-cluster
+    * majority-label count / Σ clustered — exact integer counts, one
+    * rounded division. Shared by q221 (exact graph) and q224 (IVF graph,
+    * tier-equivalent with every cell probed).
+    */
+  private def clusterPurity(emb: DataFrame, clusters: DataFrame): DataFrame = {
+    val labeled = clusters.join(emb.select(col("vec_id"), col("label")),
+      "vec_id")
+    val perLabel = labeled.groupBy(col("cluster_rep"), col("label"))
+      .agg(count(lit(1)).as("__c"))
+    val perCluster = perLabel.groupBy(col("cluster_rep"))
+      .agg(max(col("__c")).as("__maj"), sum(col("__c")).as("__tot"))
+    perCluster.agg(count(lit(1)).as("n_clusters"),
+        sum(col("__tot")).as("n_clustered"),
+        sum(col("__maj")).as("__summaj"))
+      .select(col("n_clusters"), col("n_clustered"),
+        round(col("__summaj").cast("double") /
+          col("n_clustered").cast("double"), 6).as("purity"))
+  }
+
+  /** Adjusted Rand index (Hubert–Arabie) of a cluster relation against
+    * the labels: all pair-counting terms exact integer C(n,2) sums off
+    * the contingency relation; the index one fixed double expression
+    * tree rounded to 6. Shared by q222 / q225.
+    */
+  private def adjustedRandIndex(emb: DataFrame,
+                                clusters: DataFrame): DataFrame = {
+    val nij = clusters
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cluster_rep"), col("label"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    def c2(frame: DataFrame, out: String) =
+      frame.agg(expr("sum(__c * (__c - 1) DIV 2)").as(out))
+    val sij = c2(nij, "__sij")
+    val sa = c2(nij.groupBy(col("cluster_rep"))
+      .agg(sum(col("__c")).as("__c")), "__sa")
+    val sb = c2(nij.groupBy(col("label"))
+      .agg(sum(col("__c")).as("__c")), "__sb")
+    val nn = nij.agg(sum(col("__c")).as("n"))
+    val cn2d = expr("CAST(n * (n - 1) DIV 2 AS DOUBLE)")
+    val t2 = (col("__sa").cast("double") * col("__sb").cast("double")) /
+      cn2d
+    sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .crossJoin(broadcast(nn))
+      .select(col("n").as("n_clustered"),
+        round((col("__sij").cast("double") - t2) /
+          (((col("__sa").cast("double") + col("__sb").cast("double")) /
+            lit(2.0)) - t2), 6).as("ari"))
+  }
+
+  /** Normalized mutual information of a cluster relation against the
+    * labels: every entropy/MI term one fixed double expression over
+    * integer contingency counts, nano-snapped immediately after its ln
+    * (the q204 discipline) so the sums are order-free BIGINTs;
+    * NMI = I / ((Hc + Hl) / 2). Shared by q223 / q226.
+    */
+  private def clusterNmi(emb: DataFrame, clusters: DataFrame): DataFrame = {
+    val nij = clusters
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cluster_rep"), col("label"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val nn = nij.agg(sum(col("__c")).as("n"))
+    val ai = nij.groupBy(col("cluster_rep")).agg(sum(col("__c")).as("__a"))
+    val bj = nij.groupBy(col("label")).agg(sum(col("__c")).as("__b"))
+    def entNano(frame: DataFrame, cnt: String, out: String) = frame
+      .crossJoin(broadcast(nn))
+      .select(round((lit(-1.0) * (col(cnt).cast("double") /
+          col("n").cast("double")) *
+        log(col(cnt).cast("double") / col("n").cast("double"))) *
+        lit(1e9)).cast("long").as("__nano"))
+      .agg(coalesce(sum(col("__nano")), lit(0L)).as(out))
+    val hc = entNano(ai, "__a", "__hc")
+    val hl = entNano(bj, "__b", "__hl")
+    val mi = nij
+      .join(ai, "cluster_rep").join(bj, "label")
+      .crossJoin(broadcast(nn))
+      .select(round(((col("__c").cast("double") /
+          col("n").cast("double")) *
+        log((col("n").cast("double") * col("__c").cast("double")) /
+          (col("__a").cast("double") * col("__b").cast("double")))) *
+        lit(1e9)).cast("long").as("__nano"))
+      .agg(coalesce(sum(col("__nano")), lit(0L)).as("__mi"))
+    mi.crossJoin(broadcast(hc)).crossJoin(broadcast(hl))
+      .crossJoin(broadcast(nn))
+      .select(col("n").as("n_clustered"),
+        when(col("__hc") + col("__hl") > 0,
+          round(col("__mi").cast("double") /
+            ((col("__hc").cast("double") + col("__hl").cast("double")) /
+              lit(2.0)), 6)).otherwise(lit(0.0)).as("nmi"))
+  }
 
   // ------------------------------------------------------------- queries
 
@@ -678,9 +902,9 @@ object SparkEntry {
       Similarity.ivfTopK(emb, centroids, queryId = 1L, k = 10, nProbe = 2)
     }),
     "q38_neardup_clusters" -> ((s, d) =>
-      Dedup.clusterNearDups(
-        Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
-          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))),
+      // served from the session-cached rep relation (ensurePairClusters);
+      // the LSH + CC pipeline this used to inline runs once per session
+      Dedup.cachedClusters(s, docClustersPath(s, d))),
 
     // --- scalar/json/date function coverage (SURVEY §2.6) ---
     "q39_props_stats" -> ((s, d) =>
@@ -2132,9 +2356,7 @@ object SparkEntry {
       // SemDeDup keep-best: q38's near-dup clusters, but the keeper is
       // the highest-quality member (ties to lower id), not the lowest id
       Dedup.keepBestPerCluster(
-        Dedup.clusterNearDups(
-          Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
-            shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)),
+        Dedup.cachedClusters(s, docClustersPath(s, d)),
         TextAnalysis.qualityLogistic(T(s, d, "documents"))
           .select(col("doc_id"), col("quality_prob")))),
     "q161_scd2_merge" -> ((s, d) => {
@@ -2412,15 +2634,13 @@ object SparkEntry {
       // cluster-safe train/val/test: near-dup clusters land whole in one
       // split (hash the CC representative, not the doc) — id-only
       // shuffles end-to-end
-      Sampling.leakageSafeSplit(T(s, d, "documents"),
-        Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
-          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))),
+      Sampling.leakageSafeSplitFromReps(T(s, d, "documents"),
+        Dedup.cachedClusters(s, docClustersPath(s, d)))),
     "q197_split_leakage" -> ((s, d) =>
       // the audit that motivates q196: near-dup pairs straddling a NAIVE
       // per-doc hash split, counted per unordered split pair
       Sampling.splitLeakage(
-        Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
-          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))),
+        Dedup.cachedPairs(s, docClustersPath(s, d)))),
     "q198_cross_source_dups" -> ((s, d) => {
       // provenance-overlap matrix over a corpus with an injected 'mirror'
       // slice (every 7th doc re-tagged — the raw corpus has no
@@ -2469,18 +2689,12 @@ object SparkEntry {
         .select(col("stage_no"), col("stage"), col("n_docs"),
           expr("1000000 * n_docs DIV __raw").as("retained_ppm"))
     }),
-    "q201_mutual_knn_census" -> ((s, d) => {
+    "q201_mutual_knn_census" -> ((s, d) =>
       // semantic-cluster census: exact blocked kNN → reciprocal filter
-      // (hubs can't absorb everything) → CC size histogram via the
-      // shared pointer-doubling core
-      val pairs = Similarity.mutualKnnPairs(T(s, d, "embeddings"), k = 5)
-      Dedup.clusterNearDups(pairs.select(col("id_a"), col("id_b")),
-          idCol = "vec_id")
-        .groupBy(col("cluster_rep"))
-        .agg(count(lit(1)).as("component_size"))
-        .groupBy(col("component_size"))
-        .agg(count(lit(1)).as("n_components"))
-    }),
+      // (hubs can't absorb everything) → CC size histogram; the graph +
+      // CC relation is session-cached (ensurePairClusters) and shared
+      // with the clustering-eval trio q221–q223
+      knnCensus(Dedup.cachedClusters(s, knnClustersPath(s, d)))),
     "q202_label_outliers" -> ((s, d) =>
       // label-noise audit: the 3 vectors least similar to their own
       // label's centroid — one posexplode pass for centroids, broadcast
@@ -2503,8 +2717,7 @@ object SparkEntry {
       // only; sources attach by two id-keyed joins against a 2-column
       // projection — the canonical pair fold happens on (src, src)
       val docs = T(s, d, "documents")
-      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
-        shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)
+      val pairs = Dedup.cachedPairs(s, docClustersPath(s, d))
       val src = docs.select(col("doc_id"), col("source"))
       pairs
         .join(src.select(col("doc_id").as("id_a"),
@@ -2572,106 +2785,42 @@ object SparkEntry {
       // bounded per-source state for open vocabularies; JS can only
       // shrink under bucketing (gated in the spec)
       TextAnalysis.sourceDivergence(T(s, d, "documents"), buckets = 256)),
-    "q221_cluster_purity" -> ((s, d) => {
+    "q221_cluster_purity" -> ((s, d) =>
       // external clustering validation: do the mutual-kNN components
-      // agree with the labels? purity = Σ per-cluster majority-label
-      // count / Σ clustered — exact integer counts, one rounded
-      // division; covers vectors with ≥1 reciprocal edge (singletons
-      // carry no clustering signal to validate)
-      val emb = T(s, d, "embeddings")
-      val pairs = Similarity.mutualKnnPairs(emb, k = 5)
-      val clusters = Dedup.clusterNearDups(
-        pairs.select(col("id_a"), col("id_b")), idCol = "vec_id")
-      val labeled = clusters.join(emb.select(col("vec_id"), col("label")),
-        "vec_id")
-      val perLabel = labeled.groupBy(col("cluster_rep"), col("label"))
-        .agg(count(lit(1)).as("__c"))
-      val perCluster = perLabel.groupBy(col("cluster_rep"))
-        .agg(max(col("__c")).as("__maj"), sum(col("__c")).as("__tot"))
-      perCluster.agg(count(lit(1)).as("n_clusters"),
-          sum(col("__tot")).as("n_clustered"),
-          sum(col("__maj")).as("__summaj"))
-        .select(col("n_clusters"), col("n_clustered"),
-          round(col("__summaj").cast("double") /
-            col("n_clustered").cast("double"), 6).as("purity"))
-    }),
-    "q222_adjusted_rand" -> ((s, d) => {
-      // chance-corrected clustering agreement (Hubert–Arabia ARI): all
-      // pair-counting terms are exact integer C(n,2) sums off the
-      // contingency relation; the index itself is one fixed double
-      // expression tree (IEEE ×/÷/− correctly rounded), rounded to 6
-      val emb = T(s, d, "embeddings")
-      val pairs = Similarity.mutualKnnPairs(emb, k = 5)
-      val clusters = Dedup.clusterNearDups(
-        pairs.select(col("id_a"), col("id_b")), idCol = "vec_id")
-      val nij = clusters
-        .join(emb.select(col("vec_id"), col("label")), "vec_id")
-        .groupBy(col("cluster_rep"), col("label"))
-        .agg(count(lit(1)).as("__c"))
-        .localCheckpoint()
-      def c2(frame: DataFrame, out: String) =
-        frame.agg(expr("sum(__c * (__c - 1) DIV 2)").as(out))
-      val sij = c2(nij, "__sij")
-      val sa = c2(nij.groupBy(col("cluster_rep"))
-        .agg(sum(col("__c")).as("__c")), "__sa")
-      val sb = c2(nij.groupBy(col("label"))
-        .agg(sum(col("__c")).as("__c")), "__sb")
-      val nn = nij.agg(sum(col("__c")).as("n"))
-      val cn2d = expr("CAST(n * (n - 1) DIV 2 AS DOUBLE)")
-      val t2 = (col("__sa").cast("double") * col("__sb").cast("double")) /
-        cn2d
-      sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
-        .crossJoin(broadcast(nn))
-        .select(col("n").as("n_clustered"),
-          round((col("__sij").cast("double") - t2) /
-            (((col("__sa").cast("double") + col("__sb").cast("double")) /
-              lit(2.0)) - t2), 6).as("ari"))
-    }),
-    "q223_cluster_nmi" -> ((s, d) => {
+      // agree with the labels? (shared core `clusterPurity`; covers
+      // vectors with ≥1 reciprocal edge — singletons carry no clustering
+      // signal to validate). Graph + CC served from the session cache.
+      clusterPurity(T(s, d, "embeddings"),
+        Dedup.cachedClusters(s, knnClustersPath(s, d)))),
+    "q222_adjusted_rand" -> ((s, d) =>
+      // chance-corrected clustering agreement (Hubert–Arabie ARI) —
+      // shared core `adjustedRandIndex` over the session-cached graph
+      adjustedRandIndex(T(s, d, "embeddings"),
+        Dedup.cachedClusters(s, knnClustersPath(s, d)))),
+    "q223_cluster_nmi" -> ((s, d) =>
       // the information-theoretic member of the clustering-eval trio
-      // (purity q221 / ARI q222 / NMI here): every entropy and MI term
-      // is ONE fixed double expression over integer contingency counts,
-      // nano-snapped immediately after its ln (the q204 discipline), so
-      // the sums are order-free BIGINTs; NMI = I / ((Hc + Hl) / 2) is a
-      // ratio of snapped sums, rounded to 6
-      val emb = T(s, d, "embeddings")
-      val pairs = Similarity.mutualKnnPairs(emb, k = 5)
-      val clusters = Dedup.clusterNearDups(
-        pairs.select(col("id_a"), col("id_b")), idCol = "vec_id")
-      val nij = clusters
-        .join(emb.select(col("vec_id"), col("label")), "vec_id")
-        .groupBy(col("cluster_rep"), col("label"))
-        .agg(count(lit(1)).as("__c"))
-        .localCheckpoint()
-      val nn = nij.agg(sum(col("__c")).as("n"))
-      val ai = nij.groupBy(col("cluster_rep")).agg(sum(col("__c")).as("__a"))
-      val bj = nij.groupBy(col("label")).agg(sum(col("__c")).as("__b"))
-      def entNano(frame: DataFrame, cnt: String, out: String) = frame
-        .crossJoin(broadcast(nn))
-        .select(round((lit(-1.0) * (col(cnt).cast("double") /
-            col("n").cast("double")) *
-          log(col(cnt).cast("double") / col("n").cast("double"))) *
-          lit(1e9)).cast("long").as("__nano"))
-        .agg(coalesce(sum(col("__nano")), lit(0L)).as(out))
-      val hc = entNano(ai, "__a", "__hc")
-      val hl = entNano(bj, "__b", "__hl")
-      val mi = nij
-        .join(ai, "cluster_rep").join(bj, "label")
-        .crossJoin(broadcast(nn))
-        .select(round(((col("__c").cast("double") /
-            col("n").cast("double")) *
-          log((col("n").cast("double") * col("__c").cast("double")) /
-            (col("__a").cast("double") * col("__b").cast("double")))) *
-          lit(1e9)).cast("long").as("__nano"))
-        .agg(coalesce(sum(col("__nano")), lit(0L)).as("__mi"))
-      mi.crossJoin(broadcast(hc)).crossJoin(broadcast(hl))
-        .crossJoin(broadcast(nn))
-        .select(col("n").as("n_clustered"),
-          when(col("__hc") + col("__hl") > 0,
-            round(col("__mi").cast("double") /
-              ((col("__hc").cast("double") + col("__hl").cast("double")) /
-                lit(2.0)), 6)).otherwise(lit(0.0)).as("nmi"))
-    }),
+      // (purity q221 / ARI q222 / NMI here) — shared core `clusterNmi`
+      // over the session-cached graph
+      clusterNmi(T(s, d, "embeddings"),
+        Dedup.cachedClusters(s, knnClustersPath(s, d)))),
+    "q224_cluster_purity_ivf" -> ((s, d) =>
+      // the clustering-eval loop at the CORPUS-SCALE graph tier: purity
+      // over the IVF mutual-kNN graph (q210's discipline — every cell
+      // probed ⇒ complete candidates ⇒ tier-equivalent clusters, so the
+      // q221 oracle applies verbatim); candidate cost is Σ|probed
+      // cells|, never all-pairs
+      clusterPurity(T(s, d, "embeddings"),
+        Dedup.cachedClusters(s, knnIvfClustersPath(s, d)))),
+    "q225_adjusted_rand_ivf" -> ((s, d) =>
+      // ARI over the IVF graph tier — same tier-equivalence argument as
+      // q224, same oracle as q222
+      adjustedRandIndex(T(s, d, "embeddings"),
+        Dedup.cachedClusters(s, knnIvfClustersPath(s, d)))),
+    "q226_cluster_nmi_ivf" -> ((s, d) =>
+      // NMI over the IVF graph tier — completes the corpus-scale
+      // clustering-eval trio, same oracle as q223
+      clusterNmi(T(s, d, "embeddings"),
+        Dedup.cachedClusters(s, knnIvfClustersPath(s, d)))),
     "q220_split_contamination" -> ((s, d) => {
       // capstone v6 — the leakage story end-to-end, quantified: near-dup
       // pairs straddling the train/eval boundary under the NAIVE per-doc
@@ -2680,11 +2829,12 @@ object SparkEntry {
       // naive assignment reuses assignSplits with an empty rep table
       // (every doc a singleton) — one definition of the split math for
       // both modes
+      // cached relations are parquet-backed — already materialized, so
+      // the old pairs localCheckpoint (guarding double LSH execution
+      // across the two crossPairs branches) is obsolete
       val docs = T(s, d, "documents")
-      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
-        shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)
-        .localCheckpoint()
-      val reps = Dedup.clusterNearDups(pairs)
+      val pairs = Dedup.cachedPairs(s, docClustersPath(s, d))
+      val reps = Dedup.cachedClusters(s, docClustersPath(s, d))
       def crossPairs(assign: DataFrame, mode: String) = {
         val a = assign.select(col("doc_id").as("id_a"),
           col("split").as("__sa"))
@@ -2763,10 +2913,8 @@ object SparkEntry {
     "q211_cluster_kfold" -> ((s, d) =>
       // cross-validation hygiene: q196's cluster-whole guarantee at k=5
       // folds — hash the CC rep mod folds, id-only shuffles
-      Sampling.clusterKFold(T(s, d, "documents"),
-        Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
-          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8),
-        folds = 5)),
+      Sampling.clusterKFoldFromReps(T(s, d, "documents"),
+        Dedup.cachedClusters(s, docClustersPath(s, d)), folds = 5)),
     "q212_epoch_shuffle" -> ((s, d) =>
       // reproducible per-epoch data order: portable-hash shard + in-shard
       // position for epochs 1 and 2 — different orders, both exact;
@@ -2785,23 +2933,12 @@ object SparkEntry {
       // order, both windows keyed — no single-partition sort
       Sampling.curriculumInterleave(T(s, d, "documents"), "source",
         "n_chars", "doc_id")),
-    "q210_mutual_knn_ivf" -> ((s, d) => {
+    "q210_mutual_knn_ivf" -> ((s, d) =>
       // the IVF kNN-graph tier end-to-end: with every cell probed the
       // candidate set is complete, so the census is tier-equivalent to
-      // q201 (same oracle — the q37/q77 discipline)
-      val emb = T(s, d, "embeddings")
-      val centroids = emb.filter(col("vec_id") % 97 === 0)
-        .select((col("vec_id") / 97).cast("int").as("cell_id"),
-          col("embedding").as("centroid"))
-      val pairs = Similarity.mutualKnnPairsIvf(emb, centroids, k = 5,
-        nProbe = 64)
-      Dedup.clusterNearDups(pairs.select(col("id_a"), col("id_b")),
-          idCol = "vec_id")
-        .groupBy(col("cluster_rep"))
-        .agg(count(lit(1)).as("component_size"))
-        .groupBy(col("component_size"))
-        .agg(count(lit(1)).as("n_components"))
-    }),
+      // q201 (same oracle — the q37/q77 discipline); graph + CC cached
+      // per session, shared with the IVF eval trio q224–q226
+      knnCensus(Dedup.cachedClusters(s, knnIvfClustersPath(s, d)))),
     "q172_fuzzy_part_pairs" -> ((s, d) =>
       // entity resolution over part names: first-token equality blocking
       // → Jaro-Winkler verify (codegen'd expression pinned to DuckDB's
@@ -4333,70 +4470,14 @@ object SparkEntry {
     "q149_bm25_search" -> bm25TopSql,
     // tier-equivalence: persisted-index search shares the scoring tail
     "q214_bm25_indexed" -> bm25TopSql,
-    "q221_cluster_purity" ->
-      s"""WITH RECURSIVE $mutualKnnClusterCtesSql,
-         |pl AS (SELECT rep, v.label, CAST(count(*) AS BIGINT) AS c
-         |  FROM cl JOIN v ON cl.node = v.vec_id GROUP BY rep, v.label),
-         |pc AS (SELECT rep, CAST(max(c) AS BIGINT) AS maj,
-         |    CAST(sum(c) AS BIGINT) AS tot FROM pl GROUP BY rep)
-         |SELECT count(*) AS n_clusters,
-         |  CAST(sum(tot) AS BIGINT) AS n_clustered,
-         |  round(CAST(sum(maj) AS DOUBLE) / CAST(sum(tot) AS DOUBLE), 6)
-         |    AS purity
-         |FROM pc""".stripMargin,
-    "q223_cluster_nmi" ->
-      s"""WITH RECURSIVE $mutualKnnClusterCtesSql,
-         |lab AS (SELECT rep, v.label FROM cl
-         |  JOIN v ON cl.node = v.vec_id),
-         |nij AS (SELECT rep, label, CAST(count(*) AS BIGINT) AS c
-         |  FROM lab GROUP BY rep, label),
-         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM nij),
-         |ai AS (SELECT rep, CAST(sum(c) AS BIGINT) AS a FROM nij
-         |  GROUP BY rep),
-         |bj AS (SELECT label, CAST(sum(c) AS BIGINT) AS b FROM nij
-         |  GROUP BY label),
-         |hc AS (SELECT CAST(coalesce(sum(CAST(round(((-1e0) *
-         |      (CAST(a AS DOUBLE) / CAST(n AS DOUBLE)) *
-         |      ln(CAST(a AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000000e0)
-         |    AS BIGINT)), 0) AS BIGINT) AS hc FROM ai CROSS JOIN nn),
-         |hl AS (SELECT CAST(coalesce(sum(CAST(round(((-1e0) *
-         |      (CAST(b AS DOUBLE) / CAST(n AS DOUBLE)) *
-         |      ln(CAST(b AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000000e0)
-         |    AS BIGINT)), 0) AS BIGINT) AS hl FROM bj CROSS JOIN nn),
-         |mi AS (SELECT CAST(coalesce(sum(CAST(round((
-         |      (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
-         |      ln((CAST(n AS DOUBLE) * CAST(c AS DOUBLE)) /
-         |        (CAST(a AS DOUBLE) * CAST(b AS DOUBLE)))) * 1000000000e0)
-         |    AS BIGINT)), 0) AS BIGINT) AS mi
-         |  FROM nij JOIN ai USING (rep) JOIN bj USING (label)
-         |    CROSS JOIN nn)
-         |SELECT n AS n_clustered,
-         |  CASE WHEN hc + hl > 0
-         |    THEN round(CAST(mi AS DOUBLE) /
-         |      ((CAST(hc AS DOUBLE) + CAST(hl AS DOUBLE)) / 2e0), 6)
-         |    ELSE 0e0 END AS nmi
-         |FROM mi CROSS JOIN hc CROSS JOIN hl CROSS JOIN nn""".stripMargin,
-    "q222_adjusted_rand" ->
-      s"""WITH RECURSIVE $mutualKnnClusterCtesSql,
-         |lab AS (SELECT rep, v.label FROM cl
-         |  JOIN v ON cl.node = v.vec_id),
-         |nij AS (SELECT rep, label, CAST(count(*) AS BIGINT) AS c
-         |  FROM lab GROUP BY rep, label),
-         |sij AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS s
-         |  FROM nij),
-         |sa AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS s FROM
-         |  (SELECT CAST(sum(c) AS BIGINT) AS c FROM nij GROUP BY rep)),
-         |sb AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS s FROM
-         |  (SELECT CAST(sum(c) AS BIGINT) AS c FROM nij GROUP BY label)),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab)
-         |SELECT n AS n_clustered,
-         |  round((CAST(sij.s AS DOUBLE) -
-         |      (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE))
-         |        / (CAST(n * (n - 1) // 2 AS DOUBLE))) /
-         |    (((CAST(sa.s AS DOUBLE) + CAST(sb.s AS DOUBLE)) / 2e0) -
-         |      (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE))
-         |        / (CAST(n * (n - 1) // 2 AS DOUBLE))), 6) AS ari
-         |FROM sij, sa, sb, nn""".stripMargin,
+    "q221_cluster_purity" -> clusterPurityOracleSql,
+    // tier-equivalence: the IVF graph probes every cell, so the trio's
+    // exact-tier oracles apply verbatim (the q201/q210 discipline)
+    "q224_cluster_purity_ivf" -> clusterPurityOracleSql,
+    "q225_adjusted_rand_ivf" -> adjustedRandOracleSql,
+    "q226_cluster_nmi_ivf" -> clusterNmiOracleSql,
+    "q223_cluster_nmi" -> clusterNmiOracleSql,
+    "q222_adjusted_rand" -> adjustedRandOracleSql,
     "q220_split_contamination" ->
       s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
          |edges AS (SELECT id_a AS src, id_b AS dst FROM jp

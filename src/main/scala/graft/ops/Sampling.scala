@@ -454,8 +454,19 @@ object Sampling {
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
                        idCol: String = "doc_id",
                        trainPct: Int = 80, valPct: Int = 10): DataFrame =
-    assignSplits(docs, Dedup.clusterNearDups(pairs, idCol = idCol), idCol,
-      trainPct, valPct)
+    leakageSafeSplitFromReps(docs,
+      Dedup.clusterNearDups(pairs, idCol = idCol), idCol, trainPct, valPct)
+
+  /** [[leakageSafeSplit]] against an ALREADY-DERIVED (id, cluster_rep)
+    * relation — the composition shape when the rep table is computed once
+    * and shared (e.g. [[Dedup.ensurePairClusters]]) instead of re-running
+    * the pair pipeline + CC loop per consumer.
+    */
+  def leakageSafeSplitFromReps(docs: DataFrame, clusterReps: DataFrame,
+                               idCol: String = "doc_id",
+                               trainPct: Int = 80,
+                               valPct: Int = 10): DataFrame =
+    assignSplits(docs, clusterReps, idCol, trainPct, valPct)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("split_key")).as("n_clusters"))
@@ -549,9 +560,17 @@ object Sampling {
     * a near-copy of another fold's training data.
     */
   def clusterKFold(docs: DataFrame, pairs: DataFrame, folds: Int,
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id"): DataFrame =
+    clusterKFoldFromReps(docs,
+      Dedup.clusterNearDups(pairs, idCol = idCol), folds, idCol)
+
+  /** [[clusterKFold]] against an already-derived (id, cluster_rep)
+    * relation — the [[Dedup.ensurePairClusters]] composition shape, same
+    * rationale as [[leakageSafeSplitFromReps]].
+    */
+  def clusterKFoldFromReps(docs: DataFrame, clusters: DataFrame, folds: Int,
+                           idCol: String = "doc_id"): DataFrame = {
     require(folds > 1, "folds must be > 1")
-    val clusters = Dedup.clusterNearDups(pairs, idCol = idCol)
     docs.select(col(idCol))
       .join(clusters, Seq(idCol), "left")
       .select(coalesce(col("cluster_rep"), col(idCol)).as("__rep"))

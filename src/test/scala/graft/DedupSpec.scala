@@ -166,6 +166,29 @@ class DedupSpec extends SparkSpec {
     assert(probe.count() > 0)
   }
 
+  test("ensurePairClusters: cached relations are row-identical to a fresh compute, built once") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 150)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ens_pc").toString
+    def freshPairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleK = 2, numPerm = 32, bands = 8, threshold = 0.8)
+    assert(Dedup.ensurePairClusters(spark, dir, "doc_id")(freshPairs))
+    // by-name contract: the second call must NOT evaluate the pair
+    // pipeline (a thunk that throws proves it) and must report no build
+    assert(!Dedup.ensurePairClusters(spark, dir, "doc_id")(
+      throw new IllegalStateException("pairs re-evaluated on cached call")))
+    // cached ≡ fresh, bit-for-bit: deterministic hash/CC math + parquet
+    // round-trip of longs/doubles
+    val cachedP = Dedup.cachedPairs(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    val freshP = freshPairs.as[(Long, Long, Double)].collect().toSet
+    assert(cachedP == freshP && cachedP.nonEmpty)
+    val cachedC = Dedup.cachedClusters(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val freshC = Dedup.clusterNearDups(freshPairs)
+      .as[(Long, Long)].collect().toSet
+    assert(cachedC == freshC && cachedC.nonEmpty)
+  }
+
   test("appendToNearDupIndex converges to the full build") {
     val docs = Tables.documents(spark, sf0001)
     val sliceA = docs.filter(col("doc_id") < 60)

@@ -970,6 +970,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"pair recall $recall (|exact|=${exact.size})")
     // the IVF tier can only MISS edges, never invent them
     assert((ivf1 -- exact).isEmpty)
+    // ...and therefore, at the CLUSTER level (the eval-trio composition
+    // q224–q226), a reduced-probe graph can only SPLIT components, never
+    // merge them: every nProbe=1 cluster maps whole into ONE full-probe
+    // cluster — the clustering eval over an under-probed graph degrades
+    // toward finer clusters, it never invents cross-cluster agreement
+    def repMap(pairs: Set[(Long, Long)]) = graft.ops.Dedup.clusterNearDups(
+      pairs.toSeq.toDF("id_a", "id_b"), idCol = "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullReps = repMap(full)
+    val subReps = repMap(ivf1)
+    val image = subReps.groupBy(_._2).view
+      .mapValues(_.keys.map(fullReps).toSet).toMap
+    assert(image.values.forall(_.size == 1),
+      s"an under-probed cluster straddles full-probe clusters: $image")
   }
 
   test("labelOutliers surfaces the vector farthest from its label centroid") {
