@@ -2877,7 +2877,7 @@ object SparkEntry {
       Sampling.embargoSplit(ev, "ts", "user_id", split, embargoDays = 2)
     }),
     "q215_retrieval_metrics" -> ((s, d) => {
-      // search-stack eval loop: MRR/P@10/recall/nDCG@10 of the BM25
+      // search-stack eval loop: MRR/P@10/recall@10/nDCG@10 of the BM25
       // top-20 against a deterministic relevance rule; the only
       // transcendental (1/log2) snaps to nano BIGINTs
       val docs = T(s, d, "documents")
@@ -4566,7 +4566,6 @@ object SparkEntry {
          |    coalesce(round(1e0 / min(rank), 6), 0e0) AS mrr,
          |    CAST(coalesce(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END), 0)
          |      AS BIGINT) AS hk,
-         |    CAST(count(*) AS BIGINT) AS ht,
          |    CAST(coalesce(sum(CASE WHEN rank <= 10
          |      THEN CAST(round(1000000000e0 /
          |        (ln(CAST(rank AS DOUBLE) + 1e0) / ln(2e0))) AS BIGINT)
@@ -4580,8 +4579,8 @@ object SparkEntry {
          |SELECT (SELECT nr FROM nrel) AS n_relevant, mrr,
          |  round(CAST(hk AS DOUBLE) / 10, 6) AS precision_at_k,
          |  CASE WHEN (SELECT nr FROM nrel) > 0
-         |    THEN round(CAST(ht AS DOUBLE) / (SELECT nr FROM nrel), 6)
-         |    ELSE 0e0 END AS recall,
+         |    THEN round(CAST(hk AS DOUBLE) / (SELECT nr FROM nrel), 6)
+         |    ELSE 0e0 END AS recall_at_k,
          |  CASE WHEN (SELECT nr FROM nrel) > 0
          |    THEN round(CAST(dg AS DOUBLE) / (SELECT ig FROM ig), 6)
          |    ELSE 0e0 END AS ndcg_at_k

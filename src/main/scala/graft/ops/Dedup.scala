@@ -195,10 +195,19 @@ object Dedup {
 
   /** Grow the standing index with a NEW corpus slice — batch-cost only
     * (signatures and shingles computed for the slice, bucketed appends
-    * with the IDENTICAL bucket specs, nothing re-read). After an accepted
+    * with the IDENTICAL bucket specs, nothing re-read beyond an id
+    * anti-join probe of the stored shingle table). After an accepted
     * batch dedups against the index ([[nearDupNewOnlyIndexed]]), its
     * KEPT rows append here so the next batch dedups against them too —
-    * the incremental loop closed. Caller guarantees ids are new.
+    * the incremental loop closed.
+    *
+    * IDEMPOTENT under batch replay: ids already present in
+    * `<name>_shingles` are anti-joined away first, so a retried or
+    * re-delivered micro-batch (the streaming foreachBatch reality)
+    * appends nothing instead of silently inflating the signature and
+    * shingle tables — duplicate index rows would emit duplicate
+    * candidate pairs for every later probe (DedupSpec pins append-twice
+    * ≡ append-once).
     */
   def appendToNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                            name: String, newDocs: DataFrame,
@@ -206,14 +215,19 @@ object Dedup {
                            shingleK: Int = 3, numPerm: Int = 128,
                            bands: Int = 16, numBuckets: Int = 32): Unit = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    // both appends derive from one filtered frame, so the sig and shingle
+    // halves stay in lockstep even under replay
+    val fresh = newDocs.join(
+      spark.table(s"${name}_shingles").select(col(idCol)),
+      Seq(idCol), "left_anti")
     val banded = bandBuckets(
-      minhashSignatures(newDocs, idCol, textCol, shingleK, numPerm),
+      minhashSignatures(fresh, idCol, textCol, shingleK, numPerm),
       idCol, bands, numPerm / bands)
     banded.write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(numBuckets, "__band", "__bucket")
       .sortBy("__band", "__bucket")
       .format("parquet").saveAsTable(s"${name}_sig")
-    val sh = newDocs.select(col(idCol),
+    val sh = fresh.select(col(idCol),
       sort_array(shingleHashes(col(textCol), shingleK)).as("__sh"))
       .withColumn("__n", size(col("__sh")))
     sh.write.mode(org.apache.spark.sql.SaveMode.Append)

@@ -256,6 +256,17 @@ object Regression {
     * the single rounded division. Groups of size 1 emit rho = 0 (the
     * n³−n denominator would be 0; corr of a single point is undefined
     * and 0 is the portable sentinel).
+    *
+    * ⚠ TIE SEMANTICS — deliberately NOT the textbook statistic on tied
+    * data: tied values get DISTINCT consecutive ranks (tie-broken by
+    * `idCol`), not the average fractional rank scipy/pandas assign, so
+    * on data with ties this deviates from `scipy.stats.spearmanr` /
+    * `DataFrame.corr(method="spearman")` (tie-free data is identical).
+    * The trade is intentional: integer ranks keep Σd² exact,
+    * order-free, and reproducible by any engine with the same
+    * tie-break, where fractional average ranks reintroduce float
+    * summation order into the statistic. Comparing against a
+    * pandas/scipy result? Expect drift proportional to the tie mass.
     */
   def spearmanByGroup(df: DataFrame, groupCol: String, colA: String,
                       colB: String, idCol: String): DataFrame = {

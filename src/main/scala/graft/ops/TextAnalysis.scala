@@ -614,48 +614,88 @@ object TextAnalysis {
   /** Incremental index maintenance: append a NEW batch's postings and
     * doc stats (tokenized once, batch-sized work only — the standing
     * corpus is never re-read), then advance the 1-row meta by the
-    * batch's deltas (driver scalars). Cost ∝ batch, the
-    * appendToIvfPqIndex contract. Caller guarantees batch ids are new.
+    * batch's deltas (driver scalars). Cost ∝ batch + an id anti-join
+    * probe of the stored docstats, the appendToIvfPqIndex contract.
+    *
+    * IDEMPOTENT under batch replay: incoming ids are anti-joined against
+    * `<name>_docstats` first, so re-appending an already-ingested batch
+    * (retry, micro-batch re-delivery — the streaming foreachBatch
+    * reality) writes nothing and leaves the meta untouched
+    * (TextAnalysisSpec pins append-twice ≡ append-once). The guard makes
+    * whole-batch replays safe; the three writes are still not one atomic
+    * transaction — a failure BETWEEN the postings and docstats appends
+    * leaves the batch's postings orphaned (replay would then skip only
+    * docstats-present ids), and the recovery is [[deleteFromBm25Index]]
+    * on the batch's ids followed by a clean re-append, or a rebuild.
     */
   def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
                         name: String, path: String, newDocs: DataFrame,
                         idCol: String = "doc_id",
                         textCol: String = "text",
                         numBuckets: Int = 32): Unit = {
-    val tf = termFrequencies(newDocs, idCol, textCol)
-    tf.write.mode(org.apache.spark.sql.SaveMode.Append)
-      .bucketBy(numBuckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(s"${name}_postings")
-    val dl = newDocs.select(col(idCol)).distinct()
-      .join(tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__tf")),
-        Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("__tf"), lit(0L)).as("__dl"))
-    dl.write.mode(org.apache.spark.sql.SaveMode.Append)
-      .bucketBy(numBuckets, idCol)
-      .format("parquet").saveAsTable(s"${name}_docstats")
-    val old = spark.table(s"${name}_meta").head()
-    val delta = newDocs.agg(countDistinct(col(idCol)).as("nd"))
-      .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("tt"))).head()
-    writeBm25Meta(spark, name, path,
-      spark.range(1).select(
-        lit(old.getLong(0) + delta.getLong(0)).as("n_docs"),
-        lit(old.getLong(1) + delta.getLong(1)).as("total_tf")))
+    // checkpoint the filtered batch: its lineage (anti-join against the
+    // stored docstats) feeds three consumers below, and the docstats
+    // table it probes is itself appended to mid-sequence
+    val fresh = newDocs.join(spark.table(s"${name}_docstats")
+        .select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    try if (!fresh.isEmpty) { // full replay: nothing new, nothing written
+      val tf = termFrequencies(fresh, idCol, textCol)
+      tf.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(numBuckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(s"${name}_postings")
+      val dl = fresh.select(col(idCol)).distinct()
+        .join(tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__tf")),
+          Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("__tf"), lit(0L)).as("__dl"))
+      dl.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(numBuckets, idCol)
+        .format("parquet").saveAsTable(s"${name}_docstats")
+      val old = spark.table(s"${name}_meta").head()
+      val delta = fresh.agg(countDistinct(col(idCol)).as("nd"))
+        .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("tt"))).head()
+      writeBm25Meta(spark, name, path,
+        spark.range(1).select(
+          lit(old.getLong(0) + delta.getLong(0)).as("n_docs"),
+          lit(old.getLong(1) + delta.getLong(1)).as("total_tf")))
+    } finally
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .releaseLocalCheckpoint(fresh)
   }
 
   /** GDPR path: drop documents from the index in place — both stored
     * relations rewrite through an id anti-join (materialized BEFORE the
     * overwrite so the read never races its own rewrite), and the meta
     * recomputes from the REWRITTEN relations (no tokenize, no corpus).
+    * Convenience overload for small driver-side id lists; the scale path
+    * is the DataFrame overload below.
     */
   def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
                           name: String, path: String, deleteIds: Seq[Long],
                           idCol: String = "doc_id",
                           numBuckets: Int = 32): Unit = {
     require(deleteIds.nonEmpty, "empty delete set")
+    import spark.implicits._
+    deleteFromBm25Index(spark, name, path,
+      deleteIds.toDF(idCol), idCol, numBuckets)
+  }
+
+  /** [[deleteFromBm25Index]] with the delete set as a DataFrame of ids —
+    * the 100 TB-corpus shape: a large GDPR/takedown set stays a LEFT ANTI
+    * join side input (distributed, broadcastable when small) instead of
+    * an `isin(...)` literal whose expression tree grows with the set
+    * (slow analysis, codegen limits). Same materialize-before-overwrite
+    * and meta-from-rewritten-relations discipline.
+    */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+                          name: String, path: String,
+                          deleteIds: DataFrame, idCol: String,
+                          numBuckets: Int): Unit = {
+    val del = deleteIds.select(col(idCol)).distinct()
     val keepP = spark.table(s"${name}_postings")
-      .filter(!col(idCol).isin(deleteIds: _*)).localCheckpoint()
+      .join(del, Seq(idCol), "left_anti").localCheckpoint()
     val keepD = spark.table(s"${name}_docstats")
-      .filter(!col(idCol).isin(deleteIds: _*)).localCheckpoint()
+      .join(del, Seq(idCol), "left_anti").localCheckpoint()
     graft.io.IO.writeBucketed(keepP, s"${name}_postings",
       s"$path/postings", Seq("term"), numBuckets, sortCols = Seq("term"))
     graft.io.IO.writeBucketed(keepD, s"${name}_docstats",
@@ -707,15 +747,19 @@ object TextAnalysis {
     bm25ScoreTail(qtf, dl, nRow, totRow, topK, k1, b, idCol)
   }
 
-  /** Retrieval report card: MRR, precision@k, recall, nDCG@k of a
+  /** Retrieval report card: MRR, precision@k, recall@k, nDCG@k of a
     * ranking against a relevance set — the eval loop a search/RAG stack
-    * runs on every index or scorer change. All metrics derive from the
-    * integer rank relation; the only transcendental (1/log2(rank+1))
-    * snaps to nano BIGINTs immediately (the q204 discipline), so DCG
-    * and IDCG are order-free integer sums and nDCG is one rounded
-    * division of two snapped sums. The global rank window runs over the
-    * ranking's top-k rows only (bounded by construction — the ranking
-    * IS a top-k), never the corpus.
+    * runs on every index or scorer change. Every @k metric uses the SAME
+    * cutoff: precision, recall, and DCG all count relevant docs at rank
+    * ≤ k only (a relevant doc at rank k+1 counts toward none of them),
+    * so the columns read as the textbook metrics; MRR alone is
+    * cutoff-free by definition. All metrics derive from the integer rank
+    * relation; the only transcendental (1/log2(rank+1)) snaps to nano
+    * BIGINTs immediately (the q204 discipline), so DCG and IDCG are
+    * order-free integer sums and nDCG is one rounded division of two
+    * snapped sums. The global rank window runs over the ranking's top-k
+    * rows only (bounded by construction — the ranking IS a top-k),
+    * never the corpus.
     */
   def retrievalMetrics(ranking: DataFrame, relevant: DataFrame,
                        k: Int = 10, idCol: String = "doc_id",
@@ -734,7 +778,6 @@ object TextAnalysis {
       coalesce(round(lit(1.0) / min(col("rank")), 6), lit(0.0)).as("mrr"),
       coalesce(sum(when(col("rank") <= k, lit(1L)).otherwise(lit(0L))),
         lit(0L)).as("__hk"),
-      count(lit(1)).as("__ht"),
       coalesce(sum(when(col("rank") <= k,
         round(gain).cast("long")).otherwise(lit(0L))), lit(0L)).as("__dg"))
     val idcg = nrel
@@ -746,8 +789,8 @@ object TextAnalysis {
       .select(col("__nr").as("n_relevant"), col("mrr"),
         round(col("__hk").cast("double") / k, 6).as("precision_at_k"),
         when(col("__nr") > 0,
-          round(col("__ht").cast("double") / col("__nr"), 6))
-          .otherwise(lit(0.0)).as("recall"),
+          round(col("__hk").cast("double") / col("__nr"), 6))
+          .otherwise(lit(0.0)).as("recall_at_k"),
         when(col("__nr") > 0,
           round(col("__dg").cast("double") / col("__ig"), 6))
           .otherwise(lit(0.0)).as("ndcg_at_k"))

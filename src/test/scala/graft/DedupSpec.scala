@@ -206,6 +206,16 @@ class DedupSpec extends SparkSpec {
     Dedup.buildNearDupIndex(sliceA.unionAll(sliceB), "ndi_full", dirF,
       "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8)
     assert(probe("ndi_inc") == probe("ndi_full"))
+    // replay idempotence: re-appending an already-ingested slice (retry /
+    // micro-batch re-delivery) must write NOTHING — same row counts, same
+    // probe (duplicate index rows would duplicate candidates forever)
+    val sizesBefore = (spark.table("ndi_inc_sig").count(),
+      spark.table("ndi_inc_shingles").count())
+    Dedup.appendToNearDupIndex(spark, "ndi_inc", sliceB, "doc_id", "text",
+      shingleK = 2, numPerm = 32, bands = 8)
+    assert((spark.table("ndi_inc_sig").count(),
+      spark.table("ndi_inc_shingles").count()) == sizesBefore)
+    assert(probe("ndi_inc") == probe("ndi_full"))
     spark.sql("DROP TABLE ndi_inc_sig"); spark.sql("DROP TABLE ndi_inc_shingles")
     spark.sql("DROP TABLE ndi_full_sig"); spark.sql("DROP TABLE ndi_full_shingles")
   }

@@ -538,8 +538,9 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m.getAs[Double]("mrr") == 0.5) // first relevant at rank 2
     // top-3 holds ONE relevant (rank 2) → P@3 = 1/3
     assert(m.getAs[Double]("precision_at_k") == 0.333333)
-    // both ranked relevants found out of 3 → recall 2/3
-    assert(m.getAs[Double]("recall") == 0.666667)
+    // same cutoff for recall: one of 3 relevants inside the top-3 (the
+    // relevant at rank 4 counts toward NEITHER precision nor recall)
+    assert(m.getAs[Double]("recall_at_k") == 0.333333)
     // DCG = 1/log2(3); IDCG = 1/log2(2) + 1/log2(3) + 1/log2(4)
     val dcg = 1.0 / (math.log(3.0) / math.log(2.0))
     val idcg = 1.0 + 1.0 / (math.log(3.0) / math.log(2.0)) + 0.5
@@ -560,6 +561,16 @@ class TextAnalysisSpec extends SparkSpec {
     TextAnalysis.appendToBm25Index(spark, "bm25_inc",
       "/tmp/graft_bm25/inc", rest)
     TextAnalysis.buildBm25Index(docs, "bm25_full", "/tmp/graft_bm25/full")
+    assert(search("bm25_inc") == search("bm25_full"))
+    // replay idempotence: re-appending the ingested slice writes nothing
+    // — postings/docstats row counts, the meta row, and search all hold
+    def state() = (spark.table("bm25_inc_postings").count(),
+      spark.table("bm25_inc_docstats").count(),
+      spark.table("bm25_inc_meta").collect().toSeq)
+    val before = state()
+    TextAnalysis.appendToBm25Index(spark, "bm25_inc",
+      "/tmp/graft_bm25/inc", rest)
+    assert(state() == before)
     assert(search("bm25_inc") == search("bm25_full"))
     // compaction collapses the append generations; results untouched
     def nFiles = new java.io.File("/tmp/graft_bm25/inc/postings")
