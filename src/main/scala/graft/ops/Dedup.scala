@@ -719,14 +719,44 @@ object Dedup {
     */
   def boilerplateRemove(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", chunkTokens: Int = 3,
-                        minDocFreq: Int = 3): DataFrame = {
+                        minDocFreq: Int = 3): DataFrame =
+    scrubBoilerplate(docs,
+      boilerplateChunkSet(docs, idCol, textCol, chunkTokens, minDocFreq),
+      idCol, textCol, chunkTokens)
+
+  /** The ≥minDocFreq boilerplate decision set as a RELATION (__h1, __h2)
+    * — the join-side form that scales: at web scale the boilerplate
+    * vocabulary GROWS with the crawl (every shared header/footer/banner
+    * across billions of pages), so the decision set must stay a joinable
+    * side input (persist it, refresh it batch-side), never a collected
+    * driver literal. [[boilerplateRemove]] composes it with
+    * [[scrubBoilerplate]]; a streaming scrub joins a frozen copy per
+    * micro-batch ([[graft.streaming.EventStream.scrubbedDocuments]]).
+    */
+  def boilerplateChunkSet(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", chunkTokens: Int = 3,
+                          minDocFreq: Int = 3): DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq ($minDocFreq) must be >= 2")
-    val chunked = chunkedHashed(docs, idCol, textCol, chunkTokens)
-    val boiler = chunked
+    chunkedHashed(docs, idCol, textCol, chunkTokens)
       .groupBy("__h1", "__h2")
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDocFreq)
       .select(col("__h1"), col("__h2"))
+  }
+
+  /** Scrub documents against a PRE-DERIVED boilerplate decision relation
+    * — the reusable tail of [[boilerplateRemove]], exposed so the
+    * decision set can be computed once (or loaded from a standing
+    * snapshot) and applied to any frame, batch or micro-batch, via a
+    * plain equi-join on the two hash lanes. Output is
+    * (idCol, n_chunks, n_boiler, clean_text), identical to
+    * [[boilerplateRemove]] given the same set.
+    */
+  def scrubBoilerplate(docs: DataFrame, boilerSet: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       chunkTokens: Int = 3): DataFrame = {
+    val chunked = chunkedHashed(docs, idCol, textCol, chunkTokens)
+    val boiler = boilerSet.select(col("__h1"), col("__h2"))
       .withColumn("__boiler", lit(1))
     chunked.join(boiler, Seq("__h1", "__h2"), "left")
       .groupBy(idCol)
@@ -735,24 +765,26 @@ object Dedup {
         reassemble(col("__boiler").isNull).as("clean_text"))
   }
 
-  /** The boilerplate decision set of [[boilerplateRemove]] as collected
-    * 128-bit hash pairs — the frozen-snapshot producer for the STREAMING
-    * scrub ([[removeBoilerplateColumn]]): boilerplate sets are small by
-    * construction (chunks repeated across many documents), so the collect
-    * is k-rows-by-design, the `Sampling.mixtureRatesPpm` pattern. Refresh
-    * periodically from the batch corpus; the stream applies the last
-    * snapshot.
+  /** [[boilerplateChunkSet]] COLLECTED as 128-bit hash pairs — the
+    * frozen-literal producer for the map-only column scrub
+    * ([[removeBoilerplateColumn]]). ⚠ The set is small on curated
+    * corpora but NOT bounded by construction — it grows with crawl
+    * breadth — so the collect is guarded: more than `maxRows` decision
+    * pairs fails loudly (use the relation form + [[scrubBoilerplate]] /
+    * the stream-static join path instead of a bigger literal).
     */
   def boilerplateChunkHashes(docs: DataFrame, idCol: String = "doc_id",
                              textCol: String = "text", chunkTokens: Int = 3,
-                             minDocFreq: Int = 3): Array[(Long, Long)] = {
-    require(minDocFreq >= 2, s"minDocFreq ($minDocFreq) must be >= 2")
-    chunkedHashed(docs, idCol, textCol, chunkTokens)
-      .groupBy("__h1", "__h2")
-      .agg(countDistinct(col(idCol)).as("__df"))
-      .filter(col("__df") >= minDocFreq)
-      .select("__h1", "__h2")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+                             minDocFreq: Int = 3,
+                             maxRows: Int = 100000): Array[(Long, Long)] = {
+    val rows = boilerplateChunkSet(docs, idCol, textCol, chunkTokens,
+      minDocFreq).limit(maxRows + 1).collect()
+    if (rows.length > maxRows)
+      throw new IllegalStateException(
+        s"boilerplateChunkHashes: decision set exceeds maxRows=$maxRows — " +
+          "a snapshot this large must stay distributed; join against " +
+          "boilerplateChunkSet (scrubBoilerplate) instead of collecting")
+    rows.map(r => (r.getLong(0), r.getLong(1)))
   }
 
   /** Map-only boilerplate scrub against a FROZEN hash-pair set — the

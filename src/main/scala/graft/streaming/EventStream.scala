@@ -436,6 +436,28 @@ object EventStream {
       graft.ops.Dedup.removeBoilerplateColumn(col("text"), boilerHashes,
         chunkTokens).as("clean_text"))
 
+  /** Streaming boilerplate scrub via the JOIN path — the web-scale twin
+    * of [[cleanedDocuments]]: the decision set stays a DataFrame side
+    * input ([[graft.ops.Dedup.boilerplateChunkSet]], typically a
+    * persisted snapshot) joined per micro-batch through
+    * [[graft.ops.Dedup.scrubBoilerplate]] under `foreachBatch` (the
+    * [[upsertDailyTotals]] discipline), never a collected driver
+    * literal — at crawl scale the boilerplate vocabulary grows without
+    * bound (every shared header/footer across billions of pages), which
+    * is exactly the snapshot the frozen-literal tier must not hold.
+    * Each batch's scrubbed rows append to `dest`; re-running a replayed
+    * batch re-appends (at-least-once, the upsert caveat). StreamingSpec
+    * pins the join path text-for-text to the batch operator.
+    */
+  def scrubbedDocuments(docs: DataFrame, boilerSet: DataFrame,
+                        dest: String,
+                        chunkTokens: Int = 3): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch((batch: Dataset[Row], _: Long) =>
+        graft.ops.Dedup.scrubBoilerplate(batch.toDF(), boilerSet,
+            chunkTokens = chunkTokens)
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dest))
+
   /** Streaming BPE encoder — the streaming twin of q179's inference
     * half: training needs corpus-global pair counts, so the stream
     * applies a FROZEN merge table ([[graft.ops.TextAnalysis

@@ -336,6 +336,22 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((2, 0, "a b g h"))) // below threshold → untouched
   }
 
+  test("boilerplateChunkHashes: over-maxRows decision sets refuse to collect") {
+    // 3 distinct chunks each shared by 2 docs → 3 decision pairs; a
+    // 2-row cap must fail loudly (the unbounded-snapshot guard) while
+    // the default cap returns all three
+    val d = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "c d"), (4L, "c d"),
+      (5L, "e f"), (6L, "e f")).toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      Dedup.boilerplateChunkHashes(d, chunkTokens = 2, minDocFreq = 2,
+        maxRows = 2)
+    }
+    assert(ex.getMessage.contains("scrubBoilerplate"))
+    assert(Dedup.boilerplateChunkHashes(d, chunkTokens = 2,
+      minDocFreq = 2).length == 3)
+  }
+
   test("boilerplateRemove: within-doc repeats count once toward doc frequency") {
     // "x y" repeats inside doc 1 but that is ONE document — countDistinct
     // must not let a single spammy doc promote its own content

@@ -448,6 +448,21 @@ class StreamingSpec extends SparkSpec {
     val original = docs.select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got.exists { case (id, t) => t != original(id) })
+    // the JOIN path (decision set stays a DataFrame side input — the
+    // web-scale shape, no driver literal): foreachBatch scrub against
+    // boilerplateChunkSet matches the batch operator text for text
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft_scrub_stream").toString + "/out"
+    val boilerSet = graft.ops.Dedup.boilerplateChunkSet(docs,
+      chunkTokens = 2, minDocFreq = 2)
+    val q = EventStream.scrubbedDocuments(
+      EventStream.readDocuments(spark, sf0001), boilerSet, dest,
+      chunkTokens = 2).start()
+    q.processAllAvailable(); q.stop()
+    val joined = spark.read.parquet(dest)
+      .select("doc_id", "clean_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(joined == ref)
   }
 
   test("streaming frame sampling and resize plans match the batch twins") {
