@@ -235,6 +235,26 @@ object Dedup {
       .format("parquet").saveAsTable(s"${name}_shingles")
   }
 
+  /** Small-file hygiene after many appends: rewrite both bucketed halves
+    * of the signature index in place (each append stacks `numBuckets` new
+    * files per table, and the probe's in-place bucket read then opens
+    * every generation). Same read-materialize-overwrite discipline as
+    * [[TextAnalysis.compactBm25Index]]; contents are bit-identical, only
+    * the file layout changes.
+    */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                          name: String, path: String, idCol: String,
+                          numBuckets: Int = 32): Unit = {
+    val sig = spark.table(s"${name}_sig").localCheckpoint()
+    val sh = spark.table(s"${name}_shingles").localCheckpoint()
+    graft.io.IO.writeBucketed(sig, s"${name}_sig", s"$path/sig",
+      Seq("__band", "__bucket"), numBuckets, Seq("__band", "__bucket"))
+    graft.io.IO.writeBucketed(sh, s"${name}_shingles", s"$path/shingles",
+      Seq(idCol), numBuckets)
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(sig)
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(sh)
+  }
+
   /** [[buildNearDupIndex]] unless BOTH of the index's tables are already
     * registered in this session's catalog (see
     * [[graft.io.IO.ensureBucketed]] for why the skip is session-scoped).

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Auto-maintenance policy for the persisted index families — the glue
+  * between the diagnostics ([[Similarity.indexCellStats]], file-count
+  * fragmentation) and the remedies (the per-family compactors, and the
+  * rebuild the caller owns). Every long-running ingest loop
+  * ([[graft.streaming.EventStream.ingestBatch]]) degrades its indexes in
+  * two distinct ways with two distinct fixes:
+  *
+  *   - FRAGMENTATION — each batch-cost append stacks a new generation of
+  *     files (bucketed tables: `numBuckets` files per append; partitioned
+  *     code dirs: one file per task per touched cell). Probes then pay
+  *     open/footer cost per generation. Remedy: compaction, contents
+  *     bit-identical — this object RUNS it when the measured
+  *     files-per-bucket/cell generation count crosses the threshold.
+  *   - DRIFT (vector indexes only) — appends assign new vectors to FROZEN
+  *     centroids; as the distribution moves, mass piles into few cells
+  *     and probe cost/recall degrade. Remedy: retrain + rebuild, which
+  *     needs the RAW corpus (the index alone cannot retrain itself), so
+  *     this object only RECOMMENDS it (`rebuildRecommended`) when the
+  *     max cell-to-median ratio crosses the skew threshold; the caller
+  *     runs [[Similarity.buildIvfPqIndex]]/[[Similarity.buildIvfIndex]]
+  *     with fresh centroids.
+  *
+  * All measurements are cheap relative to what they guard: one recursive
+  * file listing (driver-side, proportional to file count — the very
+  * quantity being bounded) and, for vector indexes, one
+  * map-side-combinable count-per-cell scan.
+  */
+object Maintenance {
+
+  /** One maintenance decision: what was measured, what ran, what's left
+    * for the caller. `files`/`fileThreshold` are the fragmentation
+    * measurement; `maxCellRatio` is 0 for the text families (no cell
+    * geometry to skew).
+    */
+  final case class Report(family: String, files: Long, fileThreshold: Long,
+                          compacted: Boolean, maxCellRatio: Double,
+                          rebuildRecommended: Boolean)
+
+  private def parquetFileCount(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+  }
+
+  private def maxCellRatio(spark: SparkSession, codesPath: String): Double =
+    Similarity.indexCellStats(spark, codesPath)
+      .agg(coalesce(max(col("ratio_to_median")), lit(0.0)))
+      .head().getDouble(0)
+
+  /** IVF-PQ codes: compact when the codes dir carries more than
+    * `maxFilesPerCell` files per populated cell; recommend a rebuild when
+    * the biggest cell exceeds `maxSkewRatio`× the median.
+    */
+  def maintainIvfPqIndex(spark: SparkSession, indexPath: String,
+                         maxFilesPerCell: Int = 4,
+                         maxSkewRatio: Double = 8.0): Report =
+    maintainCellDir(spark, "ivf_pq", s"$indexPath/codes", maxFilesPerCell,
+      maxSkewRatio, () => Similarity.compactIvfPqIndex(spark, indexPath))
+
+  /** [[maintainIvfPqIndex]] for the flat IVF index (the partitioned dir
+    * IS the index path).
+    */
+  def maintainIvfIndex(spark: SparkSession, indexPath: String,
+                       maxFilesPerCell: Int = 4,
+                       maxSkewRatio: Double = 8.0): Report =
+    maintainCellDir(spark, "ivf", indexPath, maxFilesPerCell,
+      maxSkewRatio, () => Similarity.compactIvfIndex(spark, indexPath))
+
+  private def maintainCellDir(spark: SparkSession, family: String,
+                              codesPath: String, maxFilesPerCell: Int,
+                              maxSkewRatio: Double,
+                              compact: () => Unit): Report = {
+    require(maxFilesPerCell > 0 && maxSkewRatio > 1.0,
+      "need maxFilesPerCell > 0, maxSkewRatio > 1")
+    val nCells = math.max(1L,
+      spark.read.parquet(codesPath).select("cell_id").distinct().count())
+    val files = parquetFileCount(spark, codesPath)
+    val threshold = maxFilesPerCell.toLong * nCells
+    val doCompact = files > threshold
+    if (doCompact) compact()
+    val ratio = maxCellRatio(spark, codesPath)
+    Report(family, files, threshold, doCompact, ratio,
+      ratio > maxSkewRatio)
+  }
+
+  /** BM25: compact when either bucketed table has stacked more than
+    * `maxGenerations` append generations (`numBuckets` files each).
+    */
+  def maintainBm25Index(spark: SparkSession, name: String, path: String,
+                        idCol: String = "doc_id", numBuckets: Int = 32,
+                        maxGenerations: Int = 3): Report = {
+    require(maxGenerations > 0, "maxGenerations must be > 0")
+    val files = math.max(parquetFileCount(spark, s"$path/postings"),
+      parquetFileCount(spark, s"$path/docstats"))
+    val threshold = numBuckets.toLong * maxGenerations
+    val doCompact = files > threshold
+    if (doCompact)
+      TextAnalysis.compactBm25Index(spark, name, path, idCol, numBuckets)
+    Report("bm25", files, threshold, doCompact, 0.0,
+      rebuildRecommended = false)
+  }
+
+  /** Near-dup signature index: same generation rule over its two
+    * bucketed halves.
+    */
+  def maintainNearDupIndex(spark: SparkSession, name: String, path: String,
+                           idCol: String = "doc_id", numBuckets: Int = 32,
+                           maxGenerations: Int = 3): Report = {
+    require(maxGenerations > 0, "maxGenerations must be > 0")
+    val files = math.max(parquetFileCount(spark, s"$path/sig"),
+      parquetFileCount(spark, s"$path/shingles"))
+    val threshold = numBuckets.toLong * maxGenerations
+    val doCompact = files > threshold
+    if (doCompact)
+      Dedup.compactNearDupIndex(spark, name, path, idCol, numBuckets)
+    Report("near_dup", files, threshold, doCompact, 0.0,
+      rebuildRecommended = false)
+  }
+
+  /** Contamination fingerprint index: one bucketed table, same rule. */
+  def maintainContaminationIndex(spark: SparkSession, name: String,
+                                 path: String, numBuckets: Int = 32,
+                                 maxGenerations: Int = 3): Report = {
+    require(maxGenerations > 0, "maxGenerations must be > 0")
+    val files = parquetFileCount(spark, path)
+    val threshold = numBuckets.toLong * maxGenerations
+    val doCompact = files > threshold
+    if (doCompact)
+      TextAnalysis.compactContaminationIndex(spark, name, path, numBuckets)
+    Report("contamination", files, threshold, doCompact, 0.0,
+      rebuildRecommended = false)
+  }
+}

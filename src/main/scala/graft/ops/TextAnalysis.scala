@@ -816,6 +816,21 @@ object TextAnalysis {
     org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(d)
   }
 
+  /** Small-file hygiene for the contamination fingerprint index — the
+    * one-table sibling of [[compactBm25Index]]: every
+    * [[appendToContaminationIndex]] stacks `numBuckets` new files, and
+    * the probe's in-place bucket read opens every generation. Same
+    * read-materialize-overwrite discipline; the fp set is unchanged.
+    */
+  def compactContaminationIndex(spark: org.apache.spark.sql.SparkSession,
+                                name: String, path: String,
+                                numBuckets: Int = 32): Unit = {
+    val fp = spark.table(name).localCheckpoint()
+    graft.io.IO.writeBucketed(fp, name, path, Seq("fp"), numBuckets,
+      Seq("fp"))
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(fp)
+  }
+
   /** Unigram language-model scoring (the CCNet-style quality filter):
     * learn p(token) = count/total over the corpus, then score each
     * document by its cross-entropy −avg(ln p(t_i)) — high scores mean

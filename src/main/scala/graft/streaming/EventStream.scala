@@ -616,6 +616,114 @@ object EventStream {
       graft.ops.Multimodal.synthesize(docs.sparkSession,
         docs.select("doc_id"), "doc_id"), maxSide)
 
+  // ------------------------------------- ingest-to-index capstone (v7)
+
+  /** Names/paths/parameters of the standing indexes the ingest loop
+    * maintains. All four index families must already EXIST (built over a
+    * seed corpus, [[graft.ops.Dedup.ensureNearDupIndex]] etc.) before the
+    * loop starts; `ivfPath = None` skips the vector index (batches with
+    * no embedding column). The LSH and fingerprint parameters MUST match
+    * the builds — they parameterize the hash families.
+    */
+  final case class IngestIndexes(
+      ndName: String, contamName: String,
+      bm25Name: String, bm25Path: String,
+      ivfPath: Option[String] = None,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecCol: String = "embedding",
+      shingleK: Int = 2, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8,
+      contamK: Int = 5, contamW: Int = 8,
+      contamHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.functions.md5Hash31(_))
+
+  /** One micro-batch of the continuous-curation loop — the composition a
+    * real training-data pipeline runs on every arriving slice:
+    *
+    *   1. DEDUP against the standing corpus: drop batch docs with a
+    *      near-duplicate in the persisted LSH index
+    *      ([[graft.ops.Dedup.nearDupNewOnlyIndexed]] — bucket-probe cost)
+    *      or a span overlap with already-ingested fingerprints
+    *      ([[graft.ops.TextAnalysis.contaminationFlagsIndexed]]);
+    *   2. DEDUP within the batch: LSH pairs + CC, keep cluster reps
+    *      (the [[graft.ops.Dedup.nearDupNewOnly]] docstring's "two
+    *      concerns compose");
+    *   3. APPEND the kept docs to all standing indexes — near-dup
+    *      signatures, contamination fingerprints, BM25 postings, and
+    *      (when embeddings ride the batch) IVF-PQ codes — so the NEXT
+    *      batch dedups against them too;
+    *   4. EMIT the kept docs to `dest`.
+    *
+    * Batch-cost throughout: every probe is index-bucket-pruned, every
+    * append is batch-sized, the corpus is never rescanned. Idempotent
+    * under micro-batch re-delivery: every append anti-joins (or upserts)
+    * against its stored relation, and a fully-replayed batch dedups to
+    * nothing against the index rows it wrote the first time — the
+    * StreamingSpec capstone pin replays a batch and checks every index
+    * and the emitted set hold (the emit itself re-appends under replay —
+    * at-least-once, the [[upsertDailyTotals]] caveat; dedup downstream
+    * by id or ledger batch ids for exactly-once).
+    */
+  def ingestBatch(batch: DataFrame, ix: IngestIndexes, dest: String): Unit = {
+    val spark = batch.sparkSession
+    // 1. corpus-level: near-dup index probe, then span-contamination probe
+    val ndSurvivors = graft.ops.Dedup.nearDupNewOnlyIndexed(batch,
+      ix.ndName, ix.idCol, ix.textCol, ix.shingleK, ix.numPerm, ix.bands,
+      ix.threshold)
+    val contamFlags = graft.ops.TextAnalysis.contaminationFlagsIndexed(
+      ndSurvivors, ix.contamName, ix.idCol, ix.textCol, ix.contamK,
+      ix.contamW, ix.contamHash)
+    val clean = ndSurvivors.join(
+      contamFlags.filter(col("contaminated") === 0).select(col(ix.idCol)),
+      Seq(ix.idCol), "left_semi")
+    // 2. batch-level: keep one rep per within-batch near-dup cluster.
+    // checkpoint first: `clean`'s lineage (two index probes) feeds the
+    // pair pipeline AND the final semi-join, and the indexes it probes
+    // are appended to in step 3
+    val cleanMat = clean.localCheckpoint()
+    try {
+      val reps = graft.ops.Dedup.clusterNearDups(
+        graft.ops.Dedup.minhashNearDupPairs(cleanMat, ix.idCol, ix.textCol,
+          ix.shingleK, ix.numPerm, ix.bands, ix.threshold),
+        idCol = ix.idCol)
+      val kept = cleanMat.join(reps, Seq(ix.idCol), "left")
+        .filter(col("cluster_rep").isNull ||
+          col("cluster_rep") === col(ix.idCol))
+        .drop("cluster_rep")
+        .localCheckpoint() // consumed by 4 appends + the emit
+      try {
+        // 3. the appends — each one replay-idempotent on its own
+        graft.ops.Dedup.appendToNearDupIndex(spark, ix.ndName, kept,
+          ix.idCol, ix.textCol, ix.shingleK, ix.numPerm, ix.bands)
+        graft.ops.TextAnalysis.appendToContaminationIndex(spark,
+          ix.contamName, kept, ix.idCol, ix.textCol, ix.contamK,
+          ix.contamW, ix.contamHash)
+        graft.ops.TextAnalysis.appendToBm25Index(spark, ix.bm25Name,
+          ix.bm25Path, kept, ix.idCol, ix.textCol)
+        ix.ivfPath.foreach { p =>
+          graft.ops.Similarity.appendToIvfPqIndex(spark, p,
+            kept.select(col(ix.idCol), col(ix.vecCol)), ix.idCol, ix.vecCol)
+        }
+        // 4. emit the survivors
+        kept.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dest)
+      } finally
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .releaseLocalCheckpoint(kept)
+    } finally
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .releaseLocalCheckpoint(cleanMat)
+  }
+
+  /** The capstone wired to a stream: every micro-batch runs
+    * [[ingestBatch]] under `foreachBatch` — continuous curation against
+    * standing indexes, the operational loop of a 100 TB pipeline.
+    */
+  def ingestToIndexes(docs: DataFrame, ix: IngestIndexes,
+                      dest: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch((batch: Dataset[Row], _: Long) =>
+        ingestBatch(batch.toDF(), ix, dest))
+
   /** Run a streaming DataFrame to completion against a bounded file source
     * via the memory sink; returns the materialized result. Used by tests
     * and demos ("batch drives the stream", spark_guide.md).

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Maintenance, Similarity, TextAnalysis}
+
+/** The auto-maintenance policy: fragmentation triggers run the compactor
+  * (search/probe results bit-identical), quiet indexes are left alone,
+  * and vector-index drift flags a rebuild instead of silently degrading.
+  */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft_maint_$tag").toString
+
+  test("IVF-PQ: fragmented appends trigger compaction, search unchanged; drifted cell flags rebuild") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val seed = emb.filter(col("vec_id") < 300)
+    val cents = seed.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") / 97).cast("int").as("cell_id"),
+        col("embedding").as("centroid"))
+    val codebook = seed
+      .filter(col("vec_id") % 37 === 0 && col("vec_id") / 37 < 16)
+      .select((col("vec_id") / 37).cast("int").as("cid"),
+        col("embedding").as("centroid"))
+    val path = tmp("ivfpq")
+    Similarity.buildIvfPqIndex(seed, cents, codebook, path, m = 4)
+    // three appends fragment the touched cells
+    Seq((300, 360), (360, 430), (430, 500)).foreach { case (lo, hi) =>
+      Similarity.appendToIvfPqIndex(spark, path,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi))
+    }
+    def search() = Similarity
+      .ivfPqTopKIndexed(spark, path, emb, queryId = 1L, k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = search()
+    val r1 = Maintenance.maintainIvfPqIndex(spark, path,
+      maxFilesPerCell = 1)
+    assert(r1.compacted, s"expected compaction: $r1")
+    assert(search() == before)
+    // compacted layout is back under threshold → second pass is a no-op
+    val r2 = Maintenance.maintainIvfPqIndex(spark, path,
+      maxFilesPerCell = 1)
+    assert(!r2.compacted && r2.files <= r2.fileThreshold, s"$r2")
+    assert(!r2.rebuildRecommended)
+    // drift: a pile of near-identical vectors all routing to one cell —
+    // the frozen centroids can't rebalance, only a rebuild can
+    val drifted = spark.range(10000L, 10600L)
+      .select(col("id").as("vec_id"))
+      .crossJoin(emb.filter(col("vec_id") === 1L).select(col("embedding")))
+    Similarity.appendToIvfPqIndex(spark, path, drifted)
+    val r3 = Maintenance.maintainIvfPqIndex(spark, path,
+      maxFilesPerCell = 100, maxSkewRatio = 2.0)
+    assert(r3.rebuildRecommended && r3.maxCellRatio > 2.0, s"$r3")
+  }
+
+  test("BM25: over-threshold generations compact, quiet index untouched, search unchanged") {
+    val docs = Tables.documents(spark, sf0001)
+    val path = tmp("bm25")
+    TextAnalysis.buildBm25Index(docs.filter(col("doc_id") < 250),
+      "maint_bm25", path, numBuckets = 8)
+    Seq((250, 380), (380, 500)).foreach { case (lo, hi) =>
+      TextAnalysis.appendToBm25Index(spark, "maint_bm25", path,
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        numBuckets = 8)
+    }
+    def search() = TextAnalysis.bm25SearchIndexed(spark, "maint_bm25",
+      Seq("dup", "vector"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = search()
+    val quiet = Maintenance.maintainBm25Index(spark, "maint_bm25", path,
+      numBuckets = 8, maxGenerations = 5)
+    assert(!quiet.compacted) // 3 generations < 5 → leave it alone
+    val r = Maintenance.maintainBm25Index(spark, "maint_bm25", path,
+      numBuckets = 8, maxGenerations = 2)
+    assert(r.compacted && r.files > r.fileThreshold, s"$r")
+    assert(search() == before)
+    spark.sql("DROP TABLE IF EXISTS maint_bm25_postings")
+    spark.sql("DROP TABLE IF EXISTS maint_bm25_docstats")
+    spark.sql("DROP TABLE IF EXISTS maint_bm25_meta")
+  }
+
+  test("near-dup + contamination: append generations compact, probes unchanged") {
+    val docs = Tables.documents(spark, sf0001)
+    val ndPath = tmp("nd")
+    Dedup.buildNearDupIndex(docs.filter(col("doc_id") < 200), "maint_nd",
+      ndPath, "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8,
+      numBuckets = 8)
+    Seq((200, 300), (300, 400)).foreach { case (lo, hi) =>
+      Dedup.appendToNearDupIndex(spark, "maint_nd",
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8,
+        numBuckets = 8)
+    }
+    def probe() = Dedup.nearDupNewOnlyIndexed(
+      docs.filter(col("doc_id") >= 400), "maint_nd", "doc_id", "text",
+      shingleK = 2, numPerm = 32, bands = 8)
+      .select("doc_id").as[Long].collect().toSet
+    val ndBefore = probe()
+    val nd = Maintenance.maintainNearDupIndex(spark, "maint_nd", ndPath,
+      numBuckets = 8, maxGenerations = 2)
+    assert(nd.compacted, s"$nd")
+    assert(probe() == ndBefore)
+
+    val ctPath = tmp("ct") + "/fps"
+    TextAnalysis.buildContaminationIndex(docs.filter(col("doc_id") < 200),
+      "maint_ct", ctPath, k = 5, w = 8,
+      shingleHash = graft.functions.md5Hash31(_), numBuckets = 8)
+    Seq((200, 300), (300, 400)).foreach { case (lo, hi) =>
+      TextAnalysis.appendToContaminationIndex(spark, "maint_ct",
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        k = 5, w = 8, shingleHash = graft.functions.md5Hash31(_),
+        numBuckets = 8)
+    }
+    def flags() = TextAnalysis.contaminationFlagsIndexed(
+      docs.filter(col("doc_id") >= 400), "maint_ct", k = 5, w = 8,
+      shingleHash = graft.functions.md5Hash31(_))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ctBefore = flags()
+    val ct = Maintenance.maintainContaminationIndex(spark, "maint_ct",
+      ctPath, numBuckets = 8, maxGenerations = 2)
+    assert(ct.compacted, s"$ct")
+    assert(flags() == ctBefore)
+    Seq("maint_nd_sig", "maint_nd_shingles", "maint_ct")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}

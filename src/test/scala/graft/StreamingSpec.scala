@@ -619,4 +619,81 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Double]("value_winsorized") == r.getAs[Double]("value"))
     }
   }
+
+  test("ingest-to-index capstone: multi-batch ingest converges to one-shot; batch replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // corpus with embeddings riding each doc (doc_id aligns with vec_id
+    // at every sf); seed = standing corpus the indexes are built over,
+    // the rest arrives as micro-batches
+    val docs = Tables.documents(spark, sf0001)
+      .join(spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+    val seed = docs.filter(col("doc_id") < 200)
+    val seedEmb = seed.select(col("doc_id"), col("embedding"))
+    val cellCentroids = seedEmb.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") / 97).cast("int").as("cell_id"),
+        col("embedding").as("centroid"))
+    val codebook = seedEmb
+      .filter(col("doc_id") % 37 === 0 && col("doc_id") / 37 < 16)
+      .select((col("doc_id") / 37).cast("int").as("cid"),
+        col("embedding").as("centroid"))
+    def setup(tag: String): (EventStream.IngestIndexes, String) = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_capstone_$tag").toString
+      graft.ops.Dedup.buildNearDupIndex(seed, s"cap_nd_$tag", s"$root/nd",
+        "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8)
+      graft.ops.TextAnalysis.buildContaminationIndex(seed,
+        s"cap_ct_$tag", s"$root/ct", "doc_id", "text", k = 5, w = 8,
+        shingleHash = graft.functions.md5Hash31(_))
+      graft.ops.TextAnalysis.buildBm25Index(seed, s"cap_bm_$tag",
+        s"$root/bm")
+      graft.ops.Similarity.buildIvfPqIndex(seedEmb, cellCentroids,
+        codebook, s"$root/ivf", m = 4, idCol = "doc_id")
+      (EventStream.IngestIndexes(s"cap_nd_$tag", s"cap_ct_$tag",
+        s"cap_bm_$tag", s"$root/bm", ivfPath = Some(s"$root/ivf"),
+        shingleK = 2, numPerm = 32, bands = 8), s"$root/kept")
+    }
+    def indexState(ix: EventStream.IngestIndexes) = (
+      spark.table(s"${ix.ndName}_sig").collect().toSet,
+      spark.table(s"${ix.ndName}_shingles")
+        .select("doc_id", "__n").collect().toSet,
+      spark.table(ix.contamName).collect().toSet,
+      spark.table(s"${ix.bm25Name}_postings").collect().toSet,
+      spark.table(s"${ix.bm25Name}_meta").collect().toSeq,
+      spark.read.parquet(s"${ix.ivfPath.get}/codes")
+        .select("doc_id", "cell_id").collect().toSet)
+    def keptIds(dest: String) = spark.read.parquet(dest)
+      .select("doc_id").as[Long].collect().toSet
+    // A: two micro-batches through the loop
+    val (ixA, destA) = setup("inc")
+    EventStream.ingestBatch(docs.filter(col("doc_id") >= 200 &&
+      col("doc_id") < 350), ixA, destA)
+    EventStream.ingestBatch(docs.filter(col("doc_id") >= 350), ixA, destA)
+    // B: the same slice as ONE batch
+    val (ixB, destB) = setup("one")
+    EventStream.ingestBatch(docs.filter(col("doc_id") >= 200), ixB, destB)
+    // convergence: identical emitted survivors, identical index contents
+    assert(keptIds(destA).nonEmpty)
+    assert(keptIds(destA) == keptIds(destB))
+    assert(indexState(ixA) == indexState(ixB))
+    // the composed loop searches identically through both histories
+    def bm25(ix: EventStream.IngestIndexes) = graft.ops.TextAnalysis
+      .bm25SearchIndexed(spark, ix.bm25Name, Seq("dup", "vector"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bm25(ixA) == bm25(ixB) && bm25(ixA).nonEmpty)
+    // replay idempotence (micro-batch re-delivery): every standing index
+    // holds, and the emitted DISTINCT set holds (the emit append itself
+    // is at-least-once by contract)
+    val before = indexState(ixA)
+    EventStream.ingestBatch(docs.filter(col("doc_id") >= 350), ixA, destA)
+    assert(indexState(ixA) == before)
+    assert(keptIds(destA) == keptIds(destB))
+    Seq("cap_nd_inc_sig", "cap_nd_inc_shingles", "cap_ct_inc",
+      "cap_bm_inc_postings", "cap_bm_inc_docstats", "cap_bm_inc_meta",
+      "cap_nd_one_sig", "cap_nd_one_shingles", "cap_ct_one",
+      "cap_bm_one_postings", "cap_bm_one_docstats", "cap_bm_one_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
