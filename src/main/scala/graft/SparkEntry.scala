@@ -412,6 +412,71 @@ object SparkEntry {
        |SELECT component_size, count(*) AS n_components FROM sz
        |GROUP BY component_size""".stripMargin
 
+  /** The q155 hybrid-RRF ranking — shared by q155 and the q227 eval over
+    * it. The dense top-20 selection orders by the UNROUNDED sim
+    * (bit-equal across engines, the q22 contract); ranks inside each leg
+    * order by the ROUNDED score (round-before-rank).
+    */
+  private lazy val hybridRrfOracleSql: String =
+    s"""WITH sp AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+       |  FROM ($bm25TopSql)),
+       |dtop AS (
+       |  SELECT vec_id, round(${cosSql("ae", "qe")}, 6) AS sim,
+       |    ${cosSql("ae", "qe")} AS rawsim
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ae FROM embeddings
+       |        WHERE vec_id <> 0),
+       |    (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+       |  ORDER BY rawsim DESC, vec_id LIMIT 20),
+       |de AS (SELECT vec_id AS doc_id,
+       |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM dtop),
+       |u AS (SELECT doc_id, rnk FROM sp UNION ALL SELECT doc_id, rnk FROM de)
+       |SELECT doc_id, round(sum(1e0 / (60e0 + rnk)), 9) AS rrf_score,
+       |  CAST(count(*) AS INTEGER) AS n_lists
+       |FROM u GROUP BY doc_id
+       |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** The q215 retrieval-metrics chain, parametric in the ranking subquery
+    * / score column / cutoff — shared by q215 (BM25 top-20, k=10) and
+    * q227 (hybrid RRF top-10, k=5). Relevance rule: documents containing
+    * 'dup'.
+    */
+  private def retrievalMetricsOracleSql(rankingSql: String,
+                                        scoreCol: String,
+                                        k: Int): String =
+    s"""WITH ranked AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY $scoreCol DESC, doc_id)
+       |      AS BIGINT) AS rank
+       |  FROM ($rankingSql)),
+       |rel AS (SELECT DISTINCT doc_id FROM documents
+       |  WHERE contains(text, 'dup')),
+       |hits AS (SELECT rank FROM ranked JOIN rel USING (doc_id)),
+       |nrel AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM rel),
+       |ag AS (SELECT
+       |    coalesce(round(1e0 / min(rank), 6), 0e0) AS mrr,
+       |    CAST(coalesce(sum(CASE WHEN rank <= $k THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS hk,
+       |    CAST(coalesce(sum(CASE WHEN rank <= $k
+       |      THEN CAST(round(1000000000e0 /
+       |        (ln(CAST(rank AS DOUBLE) + 1e0) / ln(2e0))) AS BIGINT)
+       |      ELSE 0 END), 0) AS BIGINT) AS dg
+       |  FROM hits),
+       |ig AS (SELECT CAST(sum(CAST(round(1000000000e0 /
+       |      (ln(CAST(rank AS DOUBLE) + 1e0) / ln(2e0))) AS BIGINT))
+       |    AS BIGINT) AS ig
+       |  FROM (SELECT unnest(range(1,
+       |    1 + least($k, greatest((SELECT nr FROM nrel), 1)))) AS rank))
+       |SELECT (SELECT nr FROM nrel) AS n_relevant, mrr,
+       |  round(CAST(hk AS DOUBLE) / $k, 6) AS precision_at_k,
+       |  CASE WHEN (SELECT nr FROM nrel) > 0
+       |    THEN round(CAST(hk AS DOUBLE) / (SELECT nr FROM nrel), 6)
+       |    ELSE 0e0 END AS recall_at_k,
+       |  CASE WHEN (SELECT nr FROM nrel) > 0
+       |    THEN round(CAST(dg AS DOUBLE) / (SELECT ig FROM ig), 6)
+       |    ELSE 0e0 END AS ndcg_at_k
+       |FROM ag""".stripMargin
+
   /** Clustering-eval trio oracles over the mutual-kNN cluster chain —
     * each shared by the exact tier (q221/q222/q223) and the IVF tier
     * (q224/q225/q226): with every cell probed the IVF graph is
@@ -545,6 +610,23 @@ object SparkEntry {
       .agg(
         sum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
+
+  /** Hybrid retrieval (q155): BM25 keyword leg (q149) ⊕ dense cosine leg
+    * (q22, vec_id ≡ doc_id) fused by reciprocal rank — RRF never
+    * compares raw scores across legs, so the two scales coexist. Shared
+    * by q155 (the ranking) and q227 (the eval over it).
+    */
+  private def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val sparse = Similarity.ranked(
+      TextAnalysis.bm25Rank(T(s, d, "documents"),
+        queryTerms = Seq("dup", "vector", "scan"), topK = 20),
+      "bm25", "doc_id")
+    val dense = Similarity.ranked(
+      Similarity.cosineTopK(T(s, d, "embeddings"), queryId = 0L, k = 20)
+        .select(col("vec_id").as("doc_id"), round(col("sim"), 6).as("sim")),
+      "sim", "doc_id")
+    Similarity.rrfFuse(Seq(sparse, dense), "doc_id", k0 = 60, topK = 10)
+  }
 
   // ----------------------------------------- clustering-eval shared cores
 
@@ -2312,19 +2394,25 @@ object SparkEntry {
       // text, every doc_b loses the shared tokens (merged across partners)
       Dedup.removeDuplicateSpans(pairInjectedDocs(s, d), k = 3, minRun = 2,
         maxOcc = 20, shingleHash = graft.functions.md5Hash31(_))),
-    "q155_hybrid_rrf" -> ((s, d) => {
-      // hybrid retrieval: BM25 keyword leg (q149) ⊕ dense cosine leg
-      // (q22, vec_id ≡ doc_id) fused by reciprocal rank — RRF never
-      // compares raw scores across legs, so the two scales coexist
-      val sparse = Similarity.ranked(
-        TextAnalysis.bm25Rank(T(s, d, "documents"),
-          queryTerms = Seq("dup", "vector", "scan"), topK = 20),
-        "bm25", "doc_id")
-      val dense = Similarity.ranked(
-        Similarity.cosineTopK(T(s, d, "embeddings"), queryId = 0L, k = 20)
-          .select(col("vec_id").as("doc_id"), round(col("sim"), 6).as("sim")),
-        "sim", "doc_id")
-      Similarity.rrfFuse(Seq(sparse, dense), "doc_id", k0 = 60, topK = 10)
+    "q155_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
+    "q227_hybrid_retrieval_eval" -> ((s, d) =>
+      // closes the retrieval loop index → hybrid search → eval in one
+      // row: q215's metric suite over q155's RRF fusion (rank by the
+      // rounded rrf_score — round-before-rank), k=5 on the fused top-10
+      TextAnalysis.retrievalMetrics(hybridRrf(s, d),
+        T(s, d, "documents").filter(col("text").contains("dup")), k = 5,
+        scoreCol = "rrf_score")),
+    "q228_embargo_by_type" -> ((s, d) => {
+      // q219's embargo discipline per provenance group: same global
+      // data-derived boundary, censused per (event_type, segment) so a
+      // source that goes quiet before the boundary is visible instead of
+      // averaged away
+      val ev = Tables.events(s, d)
+      val split = ev.agg(
+        ((max(unix_timestamp(date_trunc("day", col("ts")))) / 86400L)
+          .cast("long") - lit(3L)).as("__split"))
+      Sampling.embargoSplitByGroup(ev, "ts", "user_id", "event_type",
+        split, embargoDays = 2)
     }),
     "q156_triangle_counts" -> ((s, d) =>
       // clustering-coefficient precursor over the event-type transition
@@ -4554,37 +4642,7 @@ object SparkEntry {
         |  min(day) AS first_day, max(day) AS last_day
         |FROM e CROSS JOIN sp GROUP BY 1""".stripMargin,
     "q215_retrieval_metrics" ->
-      s"""WITH ranked AS (SELECT doc_id, bm25,
-         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
-         |      AS rank
-         |  FROM ($bm25TopSql)),
-         |rel AS (SELECT DISTINCT doc_id FROM documents
-         |  WHERE contains(text, 'dup')),
-         |hits AS (SELECT rank FROM ranked JOIN rel USING (doc_id)),
-         |nrel AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM rel),
-         |ag AS (SELECT
-         |    coalesce(round(1e0 / min(rank), 6), 0e0) AS mrr,
-         |    CAST(coalesce(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END), 0)
-         |      AS BIGINT) AS hk,
-         |    CAST(coalesce(sum(CASE WHEN rank <= 10
-         |      THEN CAST(round(1000000000e0 /
-         |        (ln(CAST(rank AS DOUBLE) + 1e0) / ln(2e0))) AS BIGINT)
-         |      ELSE 0 END), 0) AS BIGINT) AS dg
-         |  FROM hits),
-         |ig AS (SELECT CAST(sum(CAST(round(1000000000e0 /
-         |      (ln(CAST(rank AS DOUBLE) + 1e0) / ln(2e0))) AS BIGINT))
-         |    AS BIGINT) AS ig
-         |  FROM (SELECT unnest(range(1,
-         |    1 + least(10, greatest((SELECT nr FROM nrel), 1)))) AS rank))
-         |SELECT (SELECT nr FROM nrel) AS n_relevant, mrr,
-         |  round(CAST(hk AS DOUBLE) / 10, 6) AS precision_at_k,
-         |  CASE WHEN (SELECT nr FROM nrel) > 0
-         |    THEN round(CAST(hk AS DOUBLE) / (SELECT nr FROM nrel), 6)
-         |    ELSE 0e0 END AS recall_at_k,
-         |  CASE WHEN (SELECT nr FROM nrel) > 0
-         |    THEN round(CAST(dg AS DOUBLE) / (SELECT ig FROM ig), 6)
-         |    ELSE 0e0 END AS ndcg_at_k
-         |FROM ag""".stripMargin,
+      retrievalMetricsOracleSql(bm25TopSql, "bm25", 10),
     "q216_spearman_by_source" ->
       s"""WITH t AS (SELECT doc_id, source, n_chars,
          |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
@@ -4731,28 +4789,21 @@ object SparkEntry {
          |    list(tok ORDER BY p) FILTER (WHERE covered = 0), ' '), '')
          |    AS clean_text
          |FROM cv GROUP BY doc_id""".stripMargin,
-    "q155_hybrid_rrf" ->
-      // the dense top-20 selection orders by the UNROUNDED sim (bit-equal
-      // across engines, the q22 contract); ranks inside each leg order by
-      // the ROUNDED score (round-before-rank)
-      s"""WITH sp AS (SELECT doc_id,
-         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
-         |  FROM ($bm25TopSql)),
-         |dtop AS (
-         |  SELECT vec_id, round(${cosSql("ae", "qe")}, 6) AS sim,
-         |    ${cosSql("ae", "qe")} AS rawsim
-         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ae FROM embeddings
-         |        WHERE vec_id <> 0),
-         |    (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
-         |  ORDER BY rawsim DESC, vec_id LIMIT 20),
-         |de AS (SELECT vec_id AS doc_id,
-         |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
-         |  FROM dtop),
-         |u AS (SELECT doc_id, rnk FROM sp UNION ALL SELECT doc_id, rnk FROM de)
-         |SELECT doc_id, round(sum(1e0 / (60e0 + rnk)), 9) AS rrf_score,
-         |  CAST(count(*) AS INTEGER) AS n_lists
-         |FROM u GROUP BY doc_id
-         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+    "q155_hybrid_rrf" -> hybridRrfOracleSql,
+    // the eval over the fused ranking — same relevance rule as q215,
+    // k=5 on the fused top-10
+    "q227_hybrid_retrieval_eval" ->
+      retrievalMetricsOracleSql(hybridRrfOracleSql, "rrf_score", 5),
+    "q228_embargo_by_type" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+        |    user_id AS u FROM events),
+        |sp AS (SELECT max(day) - 3 AS s FROM e)
+        |SELECT event_type, CASE WHEN day < s - 2 THEN 'train'
+        |    WHEN day < s THEN 'embargo' ELSE 'test' END AS segment,
+        |  count(*) AS n_events, count(DISTINCT u) AS n_users,
+        |  min(day) AS first_day, max(day) AS last_day
+        |FROM e CROSS JOIN sp GROUP BY 1, 2""".stripMargin,
     "q156_triangle_counts" ->
       """WITH lagd AS (SELECT event_type AS dst,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -554,6 +554,32 @@ object Sampling {
         min(col("__day")).as("first_day"), max(col("__day")).as("last_day"))
   }
 
+  /** [[embargoSplit]] PER PROVENANCE GROUP — time-series eval hygiene
+    * for multi-source corpora: the same global data-derived boundary and
+    * embargo band, censused per (group, segment), so a source that goes
+    * quiet before the boundary (its test slice would be empty) or spikes
+    * inside the embargo is visible per source instead of averaged away.
+    * Same map-only gate off the broadcast 1-row boundary; one aggregate.
+    */
+  def embargoSplitByGroup(events: DataFrame, tsCol: String,
+                          userCol: String, groupCol: String,
+                          split: DataFrame, embargoDays: Int): DataFrame = {
+    require(embargoDays >= 0, "embargoDays must be >= 0")
+    val day = (unix_timestamp(date_trunc("day", col(tsCol))) / 86400L)
+      .cast("long")
+    events.select(col(groupCol), day.as("__day"), col(userCol).as("__u"))
+      .crossJoin(broadcast(split))
+      .select(col(groupCol),
+        when(col("__day") < col("__split") - embargoDays, "train")
+          .when(col("__day") < col("__split"), "embargo")
+          .otherwise("test").as("segment"),
+        col("__day"), col("__u"))
+      .groupBy(col(groupCol), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("__u")).as("n_users"),
+        min(col("__day")).as("first_day"), max(col("__day")).as("last_day"))
+  }
+
   /** Cluster-safe k-fold census: [[leakageSafeSplit]]'s guarantee for
     * cross-validation — every near-dup cluster lands whole in ONE fold
     * (hash the CC rep mod `folds`), so no fold's held-out slice contains
