@@ -611,6 +611,81 @@ object SparkEntry {
         sum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
 
+  /** Session-cached curation STAGE-MEMBERSHIP relation
+    * (doc_id, source, lang_known, exact_unique, near_unique) — q200 and
+    * q207 walk the identical raw → lang-known → exact-unique →
+    * near-unique pipeline (the most expensive composition left after the
+    * cluster caches); computing the flags once and aggregating per
+    * consumer gives bit-identical stage counts. The pipeline's shared
+    * frames are checkpointed for the single build (the q200 discipline)
+    * and released after the write.
+    */
+  private def curationStagesPath(s: SparkSession, d: String): String =
+    SparkEntry.synchronized {
+      val path = s"/tmp/graft_clusters/stages_${tagFor(d)}"
+      val key = s"graft.internal.curationStagesBuilt.$path"
+      if (s.conf.getOption(key).isEmpty) {
+        val docs = T(s, d, "documents")
+        val lang = TextAnalysis.languageIdDf(docs)
+          .filter(col("lang_pred") =!= "und").drop("lang_pred")
+          .localCheckpoint()
+        val exact = Dedup.exactNormalized(lang, "text", "doc_id")
+          .localCheckpoint()
+        try {
+          val clusters = Dedup.clusterNearDups(
+            Dedup.minhashNearDupPairs(exact, "doc_id", "text",
+              shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))
+          val near = exact.join(clusters, Seq("doc_id"), "left")
+            .filter(col("cluster_rep").isNull ||
+              col("cluster_rep") === col("doc_id"))
+          graft.io.IO.writeDir(
+            docs.select(col("doc_id"), col("source"))
+              .join(lang.select(col("doc_id"), lit(1).as("__l")),
+                Seq("doc_id"), "left")
+              .join(exact.select(col("doc_id"), lit(1).as("__e")),
+                Seq("doc_id"), "left")
+              .join(near.select(col("doc_id"), lit(1).as("__n")),
+                Seq("doc_id"), "left")
+              .select(col("doc_id"), col("source"),
+                coalesce(col("__l"), lit(0)).as("lang_known"),
+                coalesce(col("__e"), lit(0)).as("exact_unique"),
+                coalesce(col("__n"), lit(0)).as("near_unique")),
+            path)
+          s.conf.set(key, "true")
+        } finally {
+          org.apache.spark.sql.graftbridge.ColumnBridge
+            .releaseLocalCheckpoint(lang)
+          org.apache.spark.sql.graftbridge.ColumnBridge
+            .releaseLocalCheckpoint(exact)
+        }
+      }
+      path
+    }
+
+  /** Session-cached mined-span relation over the pair-injected corpus —
+    * q153 reports it, q154 scrubs with it; one mining run per session
+    * ([[graft.io.IO.ensureWritten]]).
+    */
+  private def dupSpansPath(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_clusters/spans_${tagFor(d)}"
+    graft.io.IO.ensureWritten(s, path)(
+      Dedup.duplicateSpans(pairInjectedDocs(s, d), k = 3, minRun = 2,
+        maxOcc = 20, shingleHash = graft.functions.md5Hash31(_)))
+    path
+  }
+
+  /** Session-cached DSIR weight relation (target = src1-3) — q169
+    * reports it, q170 selects on it; integer-ppm weights round-trip
+    * parquet exactly.
+    */
+  private def dsirWeightsPath(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_clusters/dsir_${tagFor(d)}"
+    graft.io.IO.ensureWritten(s, path)(
+      Sampling.dsirWeights(T(s, d, "documents"),
+        col("source").isin("src1", "src2", "src3")))
+    path
+  }
+
   /** Hybrid retrieval (q155): BM25 keyword leg (q149) ⊕ dense cosine leg
     * (q22, vec_id ≡ doc_id) fused by reciprocal rank — RRF never
     * compares raw scores across legs, so the two scales coexist. Shared
@@ -2387,13 +2462,15 @@ object SparkEntry {
         Multimodal.synthesize(s, T(s, d, "documents").select("doc_id"),
           "doc_id"), maxSide = 256)),
     "q153_duplicate_spans" -> ((s, d) =>
-      Dedup.duplicateSpans(pairInjectedDocs(s, d), k = 3, minRun = 2,
-        maxOcc = 20, shingleHash = graft.functions.md5Hash31(_))),
+      // the mined span relation is session-cached (dupSpansPath) — the
+      // report (here) and the scrub (q154) consume ONE mining run
+      s.read.parquet(dupSpansPath(s, d))),
     "q154_span_dedup" -> ((s, d) =>
       // the ACTION for q153's mined spans: the lowest-id partner keeps its
-      // text, every doc_b loses the shared tokens (merged across partners)
-      Dedup.removeDuplicateSpans(pairInjectedDocs(s, d), k = 3, minRun = 2,
-        maxOcc = 20, shingleHash = graft.functions.md5Hash31(_))),
+      // text, every doc_b loses the shared tokens (merged across
+      // partners); spans come from the shared cache, only the scrub runs
+      Dedup.removeSpans(pairInjectedDocs(s, d),
+        s.read.parquet(dupSpansPath(s, d)))),
     "q155_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "q227_hybrid_retrieval_eval" -> ((s, d) =>
       // closes the retrieval loop index → hybrid search → eval in one
@@ -2566,15 +2643,15 @@ object SparkEntry {
     "q169_dsir_weights" -> ((s, d) =>
       // DSIR hashed-n-gram importance weights (target = src1-3): λ table
       // snapped to ppm BIGINTs right after the ln, per-doc weights are
-      // exact integer sums — reproducible under any partitioning/engine
-      Sampling.dsirWeights(T(s, d, "documents"),
-        col("source").isin("src1", "src2", "src3"))),
+      // exact integer sums — reproducible under any partitioning/engine;
+      // session-cached (dsirWeightsPath), shared with the q170 selection
+      s.read.parquet(dsirWeightsPath(s, d))),
     "q170_dsir_select" -> ((s, d) => {
-      // importance SELECTION on the q169 weights: keep docs above the
-      // corpus p75 (1-row broadcast threshold, q111's pattern — no global
-      // sort), report per-source kept counts + integer checksums
-      val w = Sampling.dsirWeights(T(s, d, "documents"),
-        col("source").isin("src1", "src2", "src3"))
+      // importance SELECTION on the q169 weights (read from the shared
+      // cache): keep docs above the corpus p75 (1-row broadcast
+      // threshold, q111's pattern — no global sort), report per-source
+      // kept counts + integer checksums
+      val w = s.read.parquet(dsirWeightsPath(s, d))
       val thr = w.agg(round(expr("percentile(dsir_ppm, 0.75D)"), 6)
         .as("__thr"))
       val src = T(s, d, "documents").select(col("doc_id"), col("source"))
@@ -2747,35 +2824,23 @@ object SparkEntry {
     "q200_curation_funnel" -> ((s, d) => {
       // capstone v5 — the retention report a curation run ships with:
       // raw → language-known → normalized-exact unique → near-dup
-      // unique, each stage feeding the next; counts + ppm-of-raw via
-      // exact integer DIV off a broadcast 1-row scalar
-      val docs = T(s, d, "documents")
-      // checkpoint the shared stage frames: the 4-way stage union would
-      // otherwise re-run langid up to 3× and the dedup semi-join 2×
-      // (each union branch re-executes shared lineage)
-      val lang = TextAnalysis.languageIdDf(docs)
-        .filter(col("lang_pred") =!= "und").drop("lang_pred")
-        .localCheckpoint()
-      val exact = Dedup.exactNormalized(lang, "text", "doc_id")
-        .localCheckpoint()
-      val clusters = Dedup.clusterNearDups(
-        Dedup.minhashNearDupPairs(exact, "doc_id", "text",
-          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))
-      val near = exact.join(clusters, Seq("doc_id"), "left")
-        .filter(col("cluster_rep").isNull ||
-          col("cluster_rep") === col("doc_id"))
-      def st(n: Int, name: String, frame: DataFrame) =
-        frame.agg(count(lit(1)).as("n_docs"))
-          .select(lit(n).as("stage_no"), lit(name).as("stage"),
-            col("n_docs"))
-      val stages = st(0, "raw", docs)
-        .unionAll(st(1, "lang_known", lang))
-        .unionAll(st(2, "exact_unique", exact))
-        .unionAll(st(3, "near_unique", near))
-      val raw = docs.agg(count(lit(1)).as("__raw"))
-      stages.crossJoin(broadcast(raw))
-        .select(col("stage_no"), col("stage"), col("n_docs"),
-          expr("1000000 * n_docs DIV __raw").as("retained_ppm"))
+      // unique; the stage pipeline is session-cached as a flags relation
+      // (curationStagesPath, shared with q207), so this is one aggregate
+      // over it; ppm-of-raw via exact integer DIV
+      val agg = s.read.parquet(curationStagesPath(s, d))
+        .agg(count(lit(1)).as("__raw"),
+          sum(col("lang_known")).as("__lang"),
+          sum(col("exact_unique")).as("__exact"),
+          sum(col("near_unique")).as("__near"))
+        .localCheckpoint() // 1 row, consumed by the 4 stage branches
+      def st(n: Int, name: String, cnt: String) =
+        agg.select(lit(n).as("stage_no"), lit(name).as("stage"),
+          col(cnt).as("n_docs"),
+          expr(s"1000000 * $cnt DIV __raw").as("retained_ppm"))
+      st(0, "raw", "__raw")
+        .unionAll(st(1, "lang_known", "__lang"))
+        .unionAll(st(2, "exact_unique", "__exact"))
+        .unionAll(st(3, "near_unique", "__near"))
     }),
     "q201_mutual_knn_census" -> ((s, d) =>
       // semantic-cluster census: exact blocked kNN → reciprocal filter
@@ -2825,35 +2890,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_sum"))),
     "q207_funnel_by_source" -> ((s, d) => {
       // q200 per provenance: which source loses most to each curation
-      // stage — same stage frames, source-keyed censuses, per-source
-      // raw counts broadcast back for the ppm
-      val docs = T(s, d, "documents")
-      // the q200 checkpoint discipline: stage frames are shared by the
-      // union branches AND the pair pipeline
-      val lang = TextAnalysis.languageIdDf(docs)
-        .filter(col("lang_pred") =!= "und").drop("lang_pred")
-        .localCheckpoint()
-      val exact = Dedup.exactNormalized(lang, "text", "doc_id")
-        .localCheckpoint()
-      val clusters = Dedup.clusterNearDups(
-        Dedup.minhashNearDupPairs(exact, "doc_id", "text",
-          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))
-      val near = exact.join(clusters, Seq("doc_id"), "left")
-        .filter(col("cluster_rep").isNull ||
-          col("cluster_rep") === col("doc_id"))
-      def st(n: Int, name: String, frame: DataFrame) =
-        frame.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      // stage — one source-keyed aggregate over the session-cached
+      // stage-flags relation; a (stage, source) pair with zero docs gets
+      // no row (the frame-census contract the oracle mirrors)
+      val perSrc = s.read.parquet(curationStagesPath(s, d))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("__raw"),
+          sum(col("lang_known")).as("__lang"),
+          sum(col("exact_unique")).as("__exact"),
+          sum(col("near_unique")).as("__near"))
+        .localCheckpoint() // |sources| rows, consumed by 4 stage branches
+      def st(n: Int, name: String, cnt: String) =
+        perSrc.filter(col(cnt) > 0)
           .select(lit(n).as("stage_no"), lit(name).as("stage"),
-            col("source"), col("n_docs"))
-      val stages = st(0, "raw", docs)
-        .unionAll(st(1, "lang_known", lang))
-        .unionAll(st(2, "exact_unique", exact))
-        .unionAll(st(3, "near_unique", near))
-      val raw = docs.groupBy(col("source")).agg(count(lit(1)).as("__raw"))
-      stages.join(broadcast(raw), "source")
-        .select(col("stage_no"), col("stage"), col("source"),
-          col("n_docs"), expr("1000000 * n_docs DIV __raw")
-            .as("retained_ppm"))
+            col("source"), col(cnt).as("n_docs"),
+            expr(s"1000000 * $cnt DIV __raw").as("retained_ppm"))
+      st(0, "raw", "__raw")
+        .unionAll(st(1, "lang_known", "__lang"))
+        .unionAll(st(2, "exact_unique", "__exact"))
+        .unionAll(st(3, "near_unique", "__near"))
     }),
     "q208_incremental_split" -> ((s, d) => {
       // eval hygiene under corpus growth: the q60 corpus/batch fixture

@@ -196,6 +196,24 @@ object IO {
     w1.format("parquet").saveAsTable(table)
   }
 
+  /** Write `df` to `dest` (a parquet directory) once per (session, dest)
+    * — the parquet-backed session-cache primitive behind the shared
+    * relations several queries would otherwise re-derive (cluster reps,
+    * mined spans, DSIR weights): the first caller computes and persists,
+    * every later caller reads the stored copy — bit-identical when the
+    * producer is deterministic, because parquet round-trips the types
+    * exactly. `df` is BY-NAME: never evaluated on a cached call. Same
+    * staleness rationale as [[ensureBucketed]]: the skip is
+    * session-scoped (RuntimeConfig), so a fresh process always rebuilds
+    * over a stale on-disk copy. Returns true iff the write ran.
+    */
+  def ensureWritten(spark: SparkSession, dest: String)
+                   (df: => DataFrame): Boolean = IO.synchronized {
+    val key = s"graft.internal.dirWritten.$dest"
+    if (spark.conf.getOption(key).isDefined) false
+    else { writeDir(df, dest); spark.conf.set(key, "true"); true }
+  }
+
   /** [[writeBucketed]] unless `table` is already registered in THIS
     * session's catalog — the build-once/probe-many lifecycle without
     * paying the build on every call. Scoping the skip to the session

@@ -1035,6 +1035,18 @@ object Dedup {
         maxOcc, shingleHash),
       idCol, textCol)
 
+  /** [[removeDuplicateSpans]] against PRE-MINED spans — the
+    * compute-once composition shape: a curation run mines the span
+    * relation once ([[duplicateSpans]], typically persisted) and both
+    * the report and the scrub consume it, instead of each re-running
+    * the mining join. `spans` is any (doc_b, start_b, run_tokens)
+    * relation with [[duplicateSpans]]'s semantics.
+    */
+  def removeSpans(docs: DataFrame, spans: DataFrame,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    scrubSpans(docs, spans, idCol, textCol)
+
   /** Shared rewrite tail: mined spans → per-doc_b merged cover ranges →
     * positional token drop over `docs`. Ranges are DISTINCTed first (see
     * the tie-order note in [[removeDuplicateSpans]]); the merge windows

@@ -633,8 +633,12 @@ class PlanShapeSpec extends SparkSpec {
     // aggregate and both self-join sides must read the checkpoint (no
     // parquet FileScan, no second Generate), and the hot-gram cap must be
     // a broadcast ANTI join (the droplist is small by construction; a
-    // shuffle here would re-exchange the whole gram relation a third time)
-    val q = SparkEntry.queries("q153_duplicate_spans")(spark, sf0001)
+    // shuffle here would re-exchange the whole gram relation a third time).
+    // Gate the PRODUCER directly: the q153 entry now reads the
+    // session-cached span relation, so its own plan is just a scan
+    val q = graft.ops.Dedup.duplicateSpans(
+      Tables.documents(spark, sf0001), k = 3, minRun = 2, maxOcc = 20,
+      shingleHash = graft.functions.md5Hash31(_))
     val s = planString(q)
     assert(!s.contains("FileScan"), s"duplicate spans re-scanned parquet:\n$s")
     assert(!s.contains("Generate"), s"duplicate spans re-tokenized:\n$s")
@@ -717,8 +721,13 @@ class PlanShapeSpec extends SparkSpec {
   test("q169 DSIR scoring: lambda table applies by broadcast, corpus side map-only") {
     // after the checkpointed (doc, bucket, count) relation, the λ join
     // must be a BroadcastHashJoin (≤ buckets rows) — a sort-merge join
-    // would mean the feature relation got re-sorted/shuffled per query
-    val q = SparkEntry.queries("q169_dsir_weights")(spark, sf0001)
+    // would mean the feature relation got re-sorted/shuffled per query.
+    // Gate the PRODUCER directly: the q169 entry now reads the
+    // session-cached weight relation, so its own plan is just a scan
+    val q = graft.ops.Sampling.dsirWeights(
+      Tables.documents(spark, sf0001),
+      org.apache.spark.sql.functions.col("source")
+        .isin("src1", "src2", "src3"))
     val s = planString(q)
     assert(s.contains("BroadcastHashJoin"),
       s"λ table did not broadcast:\n$s")
