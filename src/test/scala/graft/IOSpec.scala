@@ -143,4 +143,17 @@ class IOSpec extends SparkSpec {
     val one = IO.readFile(spark, s"$dir/t.orc", Seq("s"))
     assert(one.columns.toSeq == Seq("s"))
   }
+
+  test("ensureWritten writes once per session and never re-evaluates the producer") {
+    import spark.implicits._
+    val dest = java.nio.file.Files.createTempDirectory("graft_ensw")
+      .toString + "/rel"
+    assert(IO.ensureWritten(spark, dest)(Seq((1L, "a"), (2L, "b"))
+      .toDF("id", "v")))
+    // by-name contract: the cached call must not evaluate the thunk
+    assert(!IO.ensureWritten(spark, dest)(
+      throw new IllegalStateException("producer re-evaluated")))
+    val got = spark.read.parquet(dest).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+  }
 }

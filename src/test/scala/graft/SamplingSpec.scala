@@ -350,6 +350,34 @@ class SamplingSpec extends SparkSpec {
     assert(noGap("train") == 7L && noGap("test") == 3L)
   }
 
+  test("embargoSplitByGroup partitions the global embargo census exactly") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-${day}%02d 10:00:00")
+    // two groups with different day coverage: g1 spans 1..10, g2 only
+    // 1..6 (g2 contributes no test rows — visible per group, invisible
+    // in the global census)
+    val ev = ((1 to 10).map(d => (ts(d), d.toLong, "g1")) ++
+      (1 to 6).map(d => (ts(d), 100L + d, "g2")))
+      .toDF("ts", "user_id", "grp")
+    val split = ev.agg(
+      ((max(unix_timestamp(date_trunc("day", col("ts")))) / 86400L)
+        .cast("long") - lit(2L)).as("__split"))
+    val byGroup = Sampling.embargoSplitByGroup(ev, "ts", "user_id", "grp",
+        split, embargoDays = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // same gate as the global census: per-segment sums must agree
+    val global = Sampling.embargoSplit(ev, "ts", "user_id", split,
+        embargoDays = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val summed = byGroup.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    assert(summed == global)
+    // g2 went quiet before the boundary: it has NO test row, while g1
+    // does — exactly the per-source visibility the operator exists for
+    assert(!byGroup.contains(("g2", "test")))
+    assert(byGroup(("g1", "test")) == 3L)
+    assert(byGroup(("g2", "train")) == 5L && byGroup(("g2", "embargo")) == 1L)
+  }
+
   test("split functions reject degenerate percent layouts") {
     val docs = Seq(1L).toDF("doc_id")
     val pairs = Seq((1L, 1L)).toDF("id_a", "id_b")
