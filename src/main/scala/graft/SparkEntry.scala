@@ -3076,6 +3076,17 @@ object SparkEntry {
       // order, both windows keyed — no single-partition sort
       Sampling.curriculumInterleave(T(s, d, "documents"), "source",
         "n_chars", "doc_id")),
+    "q229_mutual_knn_graph_indexed" -> ((s, d) => {
+      // the PERSISTED graph tier: directed top-k built once (vectors +
+      // state self-contained, batch-cost appendToKnnGraphIndex), census
+      // from the stored relation — same oracle as q201/q210 (the stored
+      // top-k IS the exact tier's, so mutual pairs are tier-equivalent)
+      val path = s"/tmp/graft_knn/${tagFor(d)}"
+      Similarity.ensureKnnGraphIndex(T(s, d, "embeddings"), k = 5, path)
+      knnCensus(Dedup.clusterNearDups(
+        Similarity.mutualKnnPairsIndexed(s, path)
+          .select(col("id_a"), col("id_b")), idCol = "vec_id"))
+    }),
     "q210_mutual_knn_ivf" -> ((s, d) =>
       // the IVF kNN-graph tier end-to-end: with every cell probed the
       // candidate set is complete, so the census is tier-equivalent to
@@ -5538,6 +5549,7 @@ object SparkEntry {
     // tier-equivalence (the q37/q77 discipline): all cells probed =
     // complete candidates = the exact tier's census
     "q210_mutual_knn_ivf" -> mutualKnnCensusOracleSql,
+    "q229_mutual_knn_graph_indexed" -> mutualKnnCensusOracleSql,
     "q211_cluster_kfold" ->
       s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
          |edges AS (SELECT id_a AS src, id_b AS dst FROM jp

@@ -1858,7 +1858,19 @@ object Similarity {
 
   def mutualKnnPairs(emb: DataFrame, k: Int, blocks: Int = 32,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding"): DataFrame =
+    mutualFromTopK(directedKnnTopK(emb, k, blocks, idCol, vecCol))
+
+  /** The DIRECTED per-vector top-k half of [[mutualKnnPairs]] —
+    * (src, dst, sim) with k rows per src, sims round-6 before the
+    * (sim desc, dst asc) cut. Exposed separately because it is the
+    * MERGEABLE state of the graph: the true top-k over corpus ∪ batch
+    * is the re-cut of stored-top-k ∪ (src → batch) scores, which is
+    * what [[appendToKnnGraphIndex]] exploits.
+    */
+  private[ops] def directedKnnTopK(emb: DataFrame, k: Int, blocks: Int,
+                                   idCol: String,
+                                   vecCol: String): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = emb.sparkSession
     import spark.implicits._
@@ -1881,15 +1893,21 @@ object Similarity {
       .select(col("__ida").as("src"), col("__idb").as("dst"), col("sim"))
       .union(undirected
         .select(col("__idb").as("src"), col("__ida").as("dst"), col("sim")))
-    val topk = graft.plans.TopK.perGroup(directed, Seq("src"),
+    graft.plans.TopK.perGroup(directed, Seq("src"),
       Seq(("sim", true), ("dst", false)), k)
+  }
+
+  /** Reciprocal filter over a directed top-k relation — the shared tail
+    * of the inline ([[mutualKnnPairs]]) and persisted
+    * ([[mutualKnnPairsIndexed]]) graph tiers.
+    */
+  private def mutualFromTopK(topk: DataFrame): DataFrame =
     topk.alias("x")
       .join(topk.alias("y"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
       .filter(col("x.src") < col("x.dst"))
       .select(col("x.src").as("id_a"), col("x.dst").as("id_b"),
         col("x.sim").as("sim"))
-  }
 
   /** The corpus-scale tier of [[mutualKnnPairs]]: candidate generation by
     * IVF cells instead of all block pairs. Every vector probes its
@@ -1946,4 +1964,140 @@ object Similarity {
       .select(col("x.src").as("id_a"), col("x.dst").as("id_b"),
         col("x.sim").as("sim"))
   }
+
+  // -------------------------------------------- persisted kNN-graph index
+
+  /** Persisted mutual-kNN GRAPH lifecycle — the graph family's sibling of
+    * the near-dup / BM25 / IVF-PQ build-once indexes, closing the one
+    * index family that had no incremental path:
+    *
+    *   - `<path>/vectors` (idCol, vecCol as array<double>) — the scoring
+    *     corpus, self-contained so appends never touch the source table;
+    *   - `<path>/topk` (src, dst, sim) — the DIRECTED per-vector top-k,
+    *     the graph's mergeable state ([[directedKnnTopK]]);
+    *   - `<path>/meta` (k, blocks) — the build parameters.
+    *
+    * The payoff is [[appendToKnnGraphIndex]]: a batch of B new vectors
+    * against an N-vector corpus costs O(B·(N+B)) scoring instead of the
+    * O((N+B)²) full rebuild — because the true top-k of a grown corpus
+    * is the re-cut of {stored top-k} ∪ {src → new-batch scores} (any
+    * neighbor of the grown corpus is either an old top-k member or a new
+    * vector), the classic top-k mergeability argument. Convergence is
+    * pinned bit-for-bit: build(seed) + append(rest) ≡ build(all)
+    * (round-6 sims + (sim desc, dst) cuts are deterministic, so merge
+    * re-cuts reproduce the full compute exactly).
+    */
+  def buildKnnGraphIndex(emb: DataFrame, k: Int, path: String,
+                         blocks: Int = 32, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    require(k > 0 && blocks > 0, "k and blocks must be positive")
+    val spark = emb.sparkSession
+    graft.io.IO.writeDir(
+      emb.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol)),
+      s"$path/vectors")
+    graft.io.IO.writeDir(
+      directedKnnTopK(spark.read.parquet(s"$path/vectors"), k, blocks,
+        idCol, vecCol),
+      s"$path/topk")
+    spark.range(1)
+      .select(lit(k).as("k"), lit(blocks).as("blocks"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/meta")
+  }
+
+  /** [[buildKnnGraphIndex]] once per (session, path) — the
+    * [[ensureIvfPqIndex]] RuntimeConfig discipline.
+    */
+  def ensureKnnGraphIndex(emb: DataFrame, k: Int, path: String,
+                          blocks: Int = 32, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Boolean =
+    Similarity.synchronized {
+      val conf = emb.sparkSession.conf
+      val key = s"graft.internal.knnGraphBuilt.$path"
+      if (conf.getOption(key).isDefined) false
+      else {
+        buildKnnGraphIndex(emb, k, path, blocks, idCol, vecCol)
+        conf.set(key, "true")
+        true
+      }
+    }
+
+  /** Grow the standing graph with a batch of NEW vectors — batch-cost
+    * (see [[buildKnnGraphIndex]]): one scoring pass batch × (stored ∪
+    * batch) with the batch broadcast, then (a) the batch vectors' own
+    * top-k from their side of the scores, (b) every stored vector's list
+    * re-cut from {its stored top-k} ∪ {its scores to the batch}. Both
+    * stored relations rewrite via the materialize-before-overwrite
+    * discipline; the vectors table just appends. IDEMPOTENT under batch
+    * replay: ids already indexed are anti-joined away first, and an
+    * all-replayed batch writes nothing.
+    *
+    * The broadcast of the batch is the stated scale contract: appends
+    * are micro-batch-sized (the ingest-loop shape), not corpus-sized —
+    * a corpus-sized "append" is a rebuild and should use
+    * [[buildKnnGraphIndex]].
+    */
+  def appendToKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, newEmb: DataFrame,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val k = meta.getAs[Int]("k")
+    val stored = spark.read.parquet(s"$path/vectors")
+    val fresh = newEmb
+      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .join(stored.select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    try if (!fresh.isEmpty) {
+      def normed(df: DataFrame, side: String) = df.select(
+        col(idCol).as(s"__id$side"),
+        col(vecCol).cast("array<double>").as(s"__v$side"))
+        .withColumn(s"__n$side", l2Norm(col(s"__v$side")))
+      // one scoring pass: every (corpus ∪ batch) row × the broadcast
+      // batch — covers batch→all (take a-side = batch rows' transpose)
+      // and old→batch (a-side = stored rows) in the same relation
+      val scored = normed(stored.unionByName(fresh), "a")
+        .crossJoin(broadcast(normed(fresh, "b")))
+        .filter(col("__ida") =!= col("__idb"))
+        .select(col("__ida"), col("__idb"),
+          round(dotProduct(col("__va"), col("__vb")) /
+            (col("__na") * col("__nb")), 6).as("sim"))
+        .localCheckpoint()
+      try {
+        val freshIds = fresh.select(col(idCol).as("__fid"))
+        // batch-src lists: all of a batch vector's candidates are in the
+        // scored relation (b-side transposed = batch → stored∪batch)
+        val batchSrc = scored
+          .select(col("__idb").as("src"), col("__ida").as("dst"), col("sim"))
+        val batchTopk = graft.plans.TopK.perGroup(batchSrc, Seq("src"),
+          Seq(("sim", true), ("dst", false)), k)
+        // stored-src lists: stored top-k ∪ scores-to-batch, re-cut
+        val oldAdd = scored
+          .join(broadcast(freshIds), col("__ida") === col("__fid"),
+            "left_anti") // a-side = stored rows only
+          .select(col("__ida").as("src"), col("__idb").as("dst"), col("sim"))
+        val mergedOld = graft.plans.TopK.perGroup(
+          spark.read.parquet(s"$path/topk").unionByName(oldAdd),
+          Seq("src"), Seq(("sim", true), ("dst", false)), k)
+        val out = mergedOld.unionByName(batchTopk).localCheckpoint()
+        try graft.io.IO.writeDir(out, s"$path/topk")
+        finally org.apache.spark.sql.graftbridge.ColumnBridge
+          .releaseLocalCheckpoint(out)
+        fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$path/vectors")
+      } finally org.apache.spark.sql.graftbridge.ColumnBridge
+        .releaseLocalCheckpoint(scored)
+    } finally
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .releaseLocalCheckpoint(fresh)
+  }
+
+  /** Mutual pairs from the PERSISTED graph: the reciprocal tail over the
+    * stored directed top-k — nothing corpus-sized recomputed; same
+    * semantics as [[mutualKnnPairs]] over the same corpus
+    * (tier-equivalence, the q37/q77 discipline).
+    */
+  def mutualKnnPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame =
+    mutualFromTopK(spark.read.parquet(s"$path/topk"))
 }

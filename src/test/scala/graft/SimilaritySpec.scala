@@ -986,6 +986,37 @@ class SimilaritySpec extends SparkSpec {
       s"an under-probed cluster straddles full-probe clusters: $image")
   }
 
+  test("knn-graph index: build+append converges bit-for-bit to the full build; replay is a no-op") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val seed = emb.filter(col("vec_id") < 300)
+    val batch = emb.filter(col("vec_id") >= 300)
+    def tmp() = java.nio.file.Files
+      .createTempDirectory("graft_knng").toString
+    def topk(path: String) = spark.read.parquet(s"$path/topk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val inc = tmp()
+    Similarity.buildKnnGraphIndex(seed, k = 5, inc)
+    Similarity.appendToKnnGraphIndex(spark, inc, batch)
+    val full = tmp()
+    Similarity.buildKnnGraphIndex(emb, k = 5, full)
+    // the merge re-cut reproduces the full compute exactly (round-6 sims
+    // + deterministic (sim desc, dst) cuts) — directed state AND the
+    // derived mutual pairs
+    assert(topk(inc) == topk(full) && topk(inc).nonEmpty)
+    def pairs(path: String) = Similarity.mutualKnnPairsIndexed(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(inc) == pairs(full))
+    // ...and equals the inline tier over the same corpus (tier-equivalence)
+    val inline = Similarity.mutualKnnPairs(emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(inc) == inline)
+    // replay: re-appending the ingested batch rewrites nothing
+    val before = (topk(inc), spark.read.parquet(s"$inc/vectors").count())
+    Similarity.appendToKnnGraphIndex(spark, inc, batch)
+    assert((topk(inc), spark.read.parquet(s"$inc/vectors").count()) == before)
+  }
+
   test("labelOutliers surfaces the vector farthest from its label centroid") {
     // label A: three +x vectors and one MISLABELED +y vector; label B: +y
     val emb = Seq(
