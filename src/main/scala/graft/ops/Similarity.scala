@@ -2100,4 +2100,77 @@ object Similarity {
   def mutualKnnPairsIndexed(spark: org.apache.spark.sql.SparkSession,
                             path: String): DataFrame =
     mutualFromTopK(spark.read.parquet(s"$path/topk"))
+
+  /** GDPR-erasure tier completing the graph lifecycle
+    * (build/ensure/append/delete): remove vectors from the persisted
+    * graph at BOUNDED cost. Deleting an id invalidates exactly the lists
+    * that contained it as a neighbor (their k-th-best may now be a
+    * vector the stored top-k dropped), so only those AFFECTED sources
+    * rescore — against the remaining stored vectors, O(affected ·
+    * corpus) — while every untouched list is kept verbatim. Deleted
+    * sources' own lists just drop. Ids absent from the index are a no-op
+    * (idempotent, safe to retry). Same materialize-before-overwrite
+    * discipline as the other rewrites; pinned bit-for-bit equal to a
+    * fresh build over the surviving corpus.
+    */
+  def deleteFromKnnGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String, deleteIds: DataFrame,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val k = meta.getAs[Int]("k")
+    val del = deleteIds.select(col(idCol)).distinct().localCheckpoint()
+    try {
+      val vectors = spark.read.parquet(s"$path/vectors")
+      // ids absent from the index are a no-op — bail before any rewrite
+      if (!vectors.join(broadcast(del), Seq(idCol), "left_semi").isEmpty) {
+        val topk = spark.read.parquet(s"$path/topk")
+        val remaining = vectors.join(broadcast(del), Seq(idCol), "left_anti")
+        // sources whose stored list referenced a deleted neighbor —
+        // excluding deleted sources themselves (their lists just drop)
+        val affected = topk
+          .join(broadcast(del.withColumnRenamed(idCol, "dst")), Seq("dst"),
+            "left_semi")
+          .select(col("src")).distinct()
+          .join(broadcast(del.withColumnRenamed(idCol, "src")), Seq("src"),
+            "left_anti")
+          .localCheckpoint()
+        try {
+          def normed(df: DataFrame, side: String) = df.select(
+            col(idCol).as(s"__id$side"),
+            col(vecCol).cast("array<double>").as(s"__v$side"))
+            .withColumn(s"__n$side", l2Norm(col(s"__v$side")))
+          // one scan of the survivors × the broadcast affected vectors —
+          // O(affected · corpus), the bounded-cost contract
+          val affVecs = remaining.join(
+            broadcast(affected.withColumnRenamed("src", idCol)),
+            Seq(idCol), "left_semi")
+          val rescored = normed(remaining, "a")
+            .crossJoin(broadcast(normed(affVecs, "b")))
+            .filter(col("__ida") =!= col("__idb"))
+            .select(col("__idb").as("src"), col("__ida").as("dst"),
+              round(dotProduct(col("__va"), col("__vb")) /
+                (col("__na") * col("__nb")), 6).as("sim"))
+          val affTopk = graft.plans.TopK.perGroup(rescored, Seq("src"),
+            Seq(("sim", true), ("dst", false)), k)
+          val kept = topk
+            .join(broadcast(del.withColumnRenamed(idCol, "src")),
+              Seq("src"), "left_anti")
+            .join(broadcast(affected), Seq("src"), "left_anti")
+          val out = kept.unionByName(affTopk).localCheckpoint()
+          try graft.io.IO.writeDir(out, s"$path/topk")
+          finally org.apache.spark.sql.graftbridge.ColumnBridge
+            .releaseLocalCheckpoint(out)
+          val remMat = remaining.localCheckpoint()
+          try graft.io.IO.writeDir(remMat, s"$path/vectors")
+          finally org.apache.spark.sql.graftbridge.ColumnBridge
+            .releaseLocalCheckpoint(remMat)
+        } finally
+          org.apache.spark.sql.graftbridge.ColumnBridge
+            .releaseLocalCheckpoint(affected)
+      }
+    } finally
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .releaseLocalCheckpoint(del)
+  }
 }

@@ -1015,6 +1015,19 @@ class SimilaritySpec extends SparkSpec {
     val before = (topk(inc), spark.read.parquet(s"$inc/vectors").count())
     Similarity.appendToKnnGraphIndex(spark, inc, batch)
     assert((topk(inc), spark.read.parquet(s"$inc/vectors").count()) == before)
+    // GDPR delete: erase a slice → bit-for-bit the fresh build over the
+    // survivors (affected lists rescore, untouched lists keep verbatim)
+    val delIds = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+    Similarity.deleteFromKnnGraphIndex(spark, inc, delIds)
+    val rebuilt = tmp()
+    Similarity.buildKnnGraphIndex(
+      emb.join(delIds, Seq("vec_id"), "left_anti"), k = 5, rebuilt)
+    assert(topk(inc) == topk(rebuilt) && topk(inc).nonEmpty)
+    assert(pairs(inc) == pairs(rebuilt))
+    // deleting already-absent ids is a no-op
+    val afterDel = (topk(inc), spark.read.parquet(s"$inc/vectors").count())
+    Similarity.deleteFromKnnGraphIndex(spark, inc, delIds)
+    assert((topk(inc), spark.read.parquet(s"$inc/vectors").count()) == afterDel)
   }
 
   test("labelOutliers surfaces the vector farthest from its label centroid") {
