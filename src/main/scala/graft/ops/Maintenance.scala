@@ -131,6 +131,27 @@ object Maintenance {
       rebuildRecommended = false)
   }
 
+  /** Persisted kNN-graph index: the topk relation is rewritten wholesale
+    * by every append/delete (fresh layout — never fragments), but the
+    * vectors directory APPENDS a generation of files per batch; compact
+    * it past `maxFiles` (contents unchanged — one materialize +
+    * overwrite). No skew dimension: the graph has no cell geometry.
+    */
+  def maintainKnnGraphIndex(spark: SparkSession, indexPath: String,
+                            maxFiles: Int = 64): Report = {
+    require(maxFiles > 0, "maxFiles must be > 0")
+    val files = parquetFileCount(spark, s"$indexPath/vectors")
+    val doCompact = files > maxFiles
+    if (doCompact) {
+      val v = spark.read.parquet(s"$indexPath/vectors").localCheckpoint()
+      try graft.io.IO.writeDir(v, s"$indexPath/vectors")
+      finally org.apache.spark.sql.graftbridge.ColumnBridge
+        .releaseLocalCheckpoint(v)
+    }
+    Report("knn_graph", files, maxFiles.toLong, doCompact, 0.0,
+      rebuildRecommended = false)
+  }
+
   /** Contamination fingerprint index: one bucketed table, same rule. */
   def maintainContaminationIndex(spark: SparkSession, name: String,
                                  path: String, numBuckets: Int = 32,

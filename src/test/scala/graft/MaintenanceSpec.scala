@@ -54,6 +54,26 @@ class MaintenanceSpec extends SparkSpec {
     assert(r3.rebuildRecommended && r3.maxCellRatio > 2.0, s"$r3")
   }
 
+  test("kNN graph: fragmented vectors dir compacts, pairs unchanged") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val path = tmp("knng")
+    Similarity.buildKnnGraphIndex(emb.filter(col("vec_id") < 300),
+      k = 5, path)
+    Seq((300, 400), (400, 500)).foreach { case (lo, hi) =>
+      Similarity.appendToKnnGraphIndex(spark, path,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi))
+    }
+    def pairs() = Similarity.mutualKnnPairsIndexed(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairs()
+    val quiet = Maintenance.maintainKnnGraphIndex(spark, path,
+      maxFiles = 10000)
+    assert(!quiet.compacted)
+    val r = Maintenance.maintainKnnGraphIndex(spark, path, maxFiles = 2)
+    assert(r.compacted && r.files > r.fileThreshold, s"$r")
+    assert(pairs() == before && before.nonEmpty)
+  }
+
   test("BM25: over-threshold generations compact, quiet index untouched, search unchanged") {
     val docs = Tables.documents(spark, sf0001)
     val path = tmp("bm25")
