@@ -201,13 +201,15 @@ object Dedup {
     * KEPT rows append here so the next batch dedups against them too —
     * the incremental loop closed.
     *
-    * IDEMPOTENT under batch replay: ids already present in
-    * `<name>_shingles` are anti-joined away first, so a retried or
+    * IDEMPOTENT under batch replay: EACH half is independently guarded —
+    * the sig append anti-joins ids already in `<name>_sig`, the shingle
+    * append ids already in `<name>_shingles` — so a retried or
     * re-delivered micro-batch (the streaming foreachBatch reality)
-    * appends nothing instead of silently inflating the signature and
-    * shingle tables — duplicate index rows would emit duplicate
-    * candidate pairs for every later probe (DedupSpec pins append-twice
-    * ≡ append-once).
+    * appends nothing, and a crash in the window BETWEEN the two appends
+    * (sig written, shingles not yet) replays cleanly: the sig half skips
+    * its already-written rows instead of duplicating them forever, the
+    * shingle half fills in its missing rows (DedupSpec pins append-twice
+    * ≡ append-once and the mid-sequence-crash replay).
     */
   def appendToNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                            name: String, newDocs: DataFrame,
@@ -215,13 +217,16 @@ object Dedup {
                            shingleK: Int = 3, numPerm: Int = 128,
                            bands: Int = 16, numBuckets: Int = 32): Unit = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
-    // both appends derive from one filtered frame, so the sig and shingle
-    // halves stay in lockstep even under replay
+    // per-half replay guards: each append probes ITS OWN table's ids, so
+    // the halves re-converge independently after a crash between them
     val fresh = newDocs.join(
       spark.table(s"${name}_shingles").select(col(idCol)),
       Seq(idCol), "left_anti")
+    val sigFresh = newDocs.join(
+      spark.table(s"${name}_sig").select(col(idCol)),
+      Seq(idCol), "left_anti")
     val banded = bandBuckets(
-      minhashSignatures(fresh, idCol, textCol, shingleK, numPerm),
+      minhashSignatures(sigFresh, idCol, textCol, shingleK, numPerm),
       idCol, bands, numPerm / bands)
     banded.write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(numBuckets, "__band", "__bucket")
@@ -776,7 +781,12 @@ object Dedup {
                        idCol: String = "doc_id", textCol: String = "text",
                        chunkTokens: Int = 3): DataFrame = {
     val chunked = chunkedHashed(docs, idCol, textCol, chunkTokens)
-    val boiler = boilerSet.select(col("__h1"), col("__h2"))
+    // distinct: the decision set is a SET — a caller-supplied relation
+    // with duplicate (__h1, __h2) rows (e.g. a snapshot unioned across
+    // refreshes) must not multiply chunk rows through the join, which
+    // would inflate n_chunks/n_boiler and repeat tokens in clean_text.
+    // The set is tiny next to the chunk relation; the dedup is free.
+    val boiler = boilerSet.select(col("__h1"), col("__h2")).distinct()
       .withColumn("__boiler", lit(1))
     chunked.join(boiler, Seq("__h1", "__h2"), "left")
       .groupBy(idCol)

@@ -86,9 +86,15 @@ object Maintenance {
                               compact: () => Unit): Report = {
     require(maxFilesPerCell > 0 && maxSkewRatio > 1.0,
       "need maxFilesPerCell > 0, maxSkewRatio > 1")
+    val files = parquetFileCount(spark, codesPath)
+    // missing / not-yet-built index: degrade to a no-op Report instead of
+    // letting spark.read throw — a maintenance sweep over a partially
+    // built index set must skip the absent members gracefully
+    if (files == 0L)
+      return Report(family, 0L, maxFilesPerCell.toLong, compacted = false,
+        maxCellRatio = 0.0, rebuildRecommended = false)
     val nCells = math.max(1L,
       spark.read.parquet(codesPath).select("cell_id").distinct().count())
-    val files = parquetFileCount(spark, codesPath)
     val threshold = maxFilesPerCell.toLong * nCells
     val doCompact = files > threshold
     if (doCompact) compact()

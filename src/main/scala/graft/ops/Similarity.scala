@@ -2030,7 +2030,13 @@ object Similarity {
     * stored relations rewrite via the materialize-before-overwrite
     * discipline; the vectors table just appends. IDEMPOTENT under batch
     * replay: ids already indexed are anti-joined away first, and an
-    * all-replayed batch writes nothing.
+    * all-replayed batch writes nothing. The replay guard probes the
+    * VECTORS table (appended last), and the stored top-k is additionally
+    * anti-joined on src ∈ fresh ids before the merge re-cut — so a crash
+    * in the window between the topk rewrite and the vectors append
+    * (stored topk already carries the batch lists, vectors doesn't)
+    * self-heals on replay: the batch src lists come solely from the
+    * recomputed batch side, never doubled from the stored copy.
     *
     * The broadcast of the batch is the stated scale contract: appends
     * are micro-batch-sized (the ingest-loop shape), not corpus-sized —
@@ -2076,8 +2082,19 @@ object Similarity {
           .join(broadcast(freshIds), col("__ida") === col("__fid"),
             "left_anti") // a-side = stored rows only
           .select(col("__ida").as("src"), col("__idb").as("dst"), col("sim"))
+        // crash-window self-heal: if a prior attempt wrote topk but died
+        // before the vectors append, the stored topk already holds this
+        // batch's src lists — drop them so they come solely from batchTopk
+        // (a no-op in the clean path: topk srcs ⊆ stored vector ids)
+        val storedTopk = spark.read.parquet(s"$path/topk")
+          .join(broadcast(freshIds), col("src") === col("__fid"), "left_anti")
+        // distinct before the cut: in the crash-replay state the surviving
+        // stored lists were ALREADY re-cut against this batch in attempt 1,
+        // so they overlap oldAdd row-for-row (sims are round-6
+        // deterministic) — without it a duplicated dst could double inside
+        // a k-cut. Clean path: zero overlap, distinct is a no-op.
         val mergedOld = graft.plans.TopK.perGroup(
-          spark.read.parquet(s"$path/topk").unionByName(oldAdd),
+          storedTopk.unionByName(oldAdd).distinct(),
           Seq("src"), Seq(("sim", true), ("dst", false)), k)
         val out = mergedOld.unionByName(batchTopk).localCheckpoint()
         try graft.io.IO.writeDir(out, s"$path/topk")

@@ -216,6 +216,20 @@ class DedupSpec extends SparkSpec {
     assert((spark.table("ndi_inc_sig").count(),
       spark.table("ndi_inc_shingles").count()) == sizesBefore)
     assert(probe("ndi_inc") == probe("ndi_full"))
+    // mid-sequence crash window: sig appended, shingles NOT (the operator
+    // writes sig first) — recreate that state by rewriting the shingle
+    // table without sliceB, then replay. The per-half guards must skip
+    // the already-written sig rows and fill in the missing shingle rows.
+    val shSansB = spark.table("ndi_inc_shingles")
+      .join(sliceB.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    graft.io.IO.writeBucketed(shSansB, "ndi_inc_shingles",
+      s"$dirI/shingles", Seq("doc_id"), 32)
+    Dedup.appendToNearDupIndex(spark, "ndi_inc", sliceB, "doc_id", "text",
+      shingleK = 2, numPerm = 32, bands = 8)
+    assert((spark.table("ndi_inc_sig").count(),
+      spark.table("ndi_inc_shingles").count()) == sizesBefore)
+    assert(probe("ndi_inc") == probe("ndi_full"))
     spark.sql("DROP TABLE ndi_inc_sig"); spark.sql("DROP TABLE ndi_inc_shingles")
     spark.sql("DROP TABLE ndi_full_sig"); spark.sql("DROP TABLE ndi_full_shingles")
   }
@@ -334,6 +348,25 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == ((2, 1, "c d")))
     assert(out(3L) == ((2, 1, "e f")))
     assert(out(4L) == ((2, 0, "a b g h"))) // below threshold → untouched
+  }
+
+  test("scrubBoilerplate: a non-distinct decision set does not multiply chunks") {
+    // a snapshot unioned across refreshes carries duplicate (__h1,__h2)
+    // rows — the join must treat the relation as a SET, not inflate
+    // n_chunks/n_boiler or repeat tokens in clean_text
+    val d = Seq(
+      (1L, "x y a b"), (2L, "x y c d"), (3L, "x y e f")
+    ).toDF("doc_id", "text")
+    val set = Dedup.boilerplateChunkSet(d, chunkTokens = 2, minDocFreq = 3)
+    val clean = Dedup.scrubBoilerplate(d, set, chunkTokens = 2)
+      .select("doc_id", "n_chunks", "n_boiler", "clean_text")
+      .as[(Long, Int, Int, String)].collect().toSet
+    val dup = Dedup.scrubBoilerplate(d, set.unionAll(set).unionAll(set),
+      chunkTokens = 2)
+      .select("doc_id", "n_chunks", "n_boiler", "clean_text")
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(dup == clean && clean.nonEmpty)
+    assert(clean.map(r => r._1 -> r._2).toMap.apply(1L) == 2) // not tripled
   }
 
   test("boilerplateChunkHashes: over-maxRows decision sets refuse to collect") {

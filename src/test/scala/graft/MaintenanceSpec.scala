@@ -144,4 +144,16 @@ class MaintenanceSpec extends SparkSpec {
     Seq("maint_nd_sig", "maint_nd_shingles", "maint_ct")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("missing / not-yet-built index: maintenance is a graceful no-op") {
+    // a sweep over a partially-built index set must skip absent members
+    // instead of throwing from spark.read on the missing dir
+    val ghost = tmp("ghost") + "/never_built"
+    val pq = Maintenance.maintainIvfPqIndex(spark, ghost)
+    assert(!pq.compacted && !pq.rebuildRecommended && pq.files == 0L, s"$pq")
+    val ivf = Maintenance.maintainIvfIndex(spark, ghost)
+    assert(!ivf.compacted && !ivf.rebuildRecommended && ivf.files == 0L, s"$ivf")
+    val kg = Maintenance.maintainKnnGraphIndex(spark, ghost)
+    assert(!kg.compacted && kg.files == 0L, s"$kg")
+  }
 }

@@ -1015,6 +1015,18 @@ class SimilaritySpec extends SparkSpec {
     val before = (topk(inc), spark.read.parquet(s"$inc/vectors").count())
     Similarity.appendToKnnGraphIndex(spark, inc, batch)
     assert((topk(inc), spark.read.parquet(s"$inc/vectors").count()) == before)
+    // mid-sequence crash window: topk rewritten with the batch lists,
+    // vectors append DIDN'T land — recreate that state by rewriting the
+    // vectors dir back to the seed, then replay. The stored-topk
+    // anti-join on fresh srcs + the distinct-before-cut must reproduce
+    // the clean state exactly (no doubled batch lists, no doubled dsts)
+    val seedVecs = spark.read.parquet(s"$inc/vectors")
+      .join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    graft.io.IO.writeDir(seedVecs, s"$inc/vectors")
+    Similarity.appendToKnnGraphIndex(spark, inc, batch)
+    assert((topk(inc), spark.read.parquet(s"$inc/vectors").count()) == before)
+    assert(pairs(inc) == pairs(full))
     // GDPR delete: erase a slice → bit-for-bit the fresh build over the
     // survivors (affected lists rescore, untouched lists keep verbatim)
     val delIds = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
