@@ -3087,6 +3087,33 @@ object SparkEntry {
         Similarity.mutualKnnPairsIndexed(s, path)
           .select(col("id_a"), col("id_b")), idCol = "vec_id"))
     }),
+    "q230_matryoshka_recall" -> ((s, d) => {
+      // matryoshka truncation eval: does the first-16-dim prefix of the
+      // embedding retrieve what the full 64 dims retrieve? ONE scoring
+      // pass computes both lanes, round-6 before rank, ties by id;
+      // recall@10 per query over the sampled query set
+      val emb = T(s, d, "embeddings")
+      Similarity.matryoshkaRecall(emb,
+        emb.filter(col("vec_id") % 101 === 0), prefixDim = 16, k = 10)
+    }),
+    "q231_quality_calibration" -> ((s, d) =>
+      // reliability diagram for the frozen quality logistic against the
+      // is-English proxy label (its stopword features are English
+      // markers, so the probability SHOULD track this label): 10
+      // equal-width bins, per-bin ECE term; means round-6 before the gap
+      TextAnalysis.calibrationBins(
+        TextAnalysis.qualityLogistic(T(s, d, "documents"),
+            carryCols = Seq("lang"))
+          .withColumn("is_en", (col("lang") === "en").cast("int")),
+        "quality_prob", "is_en")),
+    "q232_dedup_threshold_sweep" -> ((s, d) =>
+      // curation-tuning sweep over the session-cached scored pair
+      // relation (LSH + exact-jaccard verify built ONCE at >=0.8):
+      // pairs / clusters / docs-removed at each candidate cut — every
+      // threshold pays a filter + CC over the output-sized pair list,
+      // the corpus-sized pipeline never re-runs
+      Dedup.thresholdSweep(Dedup.cachedPairs(s, docClustersPath(s, d)),
+        Seq(0.90, 0.95, 0.98))),
     "q210_mutual_knn_ivf" -> ((s, d) =>
       // the IVF kNN-graph tier end-to-end: with every cell probed the
       // candidate set is complete, so the census is tier-equivalent to
@@ -5550,6 +5577,68 @@ object SparkEntry {
     // complete candidates = the exact tier's census
     "q210_mutual_knn_ivf" -> mutualKnnCensusOracleSql,
     "q229_mutual_knn_graph_indexed" -> mutualKnnCensusOracleSql,
+    "q230_matryoshka_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |    FROM embeddings WHERE vec_id % 101 = 0),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS ae FROM embeddings),
+        |scored AS (
+        |  SELECT qid, vec_id,
+        |    round(list_sum(list_transform(range(1, 65), i -> ae[i] * qe[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> ae[i] * ae[i])))
+        |         * sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))), 6) AS sf,
+        |    round(list_sum(list_transform(range(1, 17), i -> ae[i] * qe[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 17), i -> ae[i] * ae[i])))
+        |         * sqrt(list_sum(list_transform(range(1, 17), i -> qe[i] * qe[i])))), 6) AS sp
+        |  FROM v, q WHERE v.vec_id <> qid),
+        |r AS (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sf DESC, vec_id) AS rf,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sp DESC, vec_id) AS rp
+        |  FROM scored)
+        |SELECT qid AS query_id,
+        |  CAST(count(*) FILTER (WHERE rp <= 10) AS INTEGER) AS n_overlap,
+        |  10 AS k,
+        |  round(CAST(count(*) FILTER (WHERE rp <= 10) AS DOUBLE) / 10.0, 6) AS recall_at_k
+        |FROM r WHERE rf <= 10 GROUP BY qid""".stripMargin,
+    "q231_quality_calibration" ->
+      s"""WITH f AS ($qualityFeaturesSql),
+         |s AS (SELECT doc_id,
+         |    round(1.0 / (1.0 + exp(-(-2.0 + 0.45 * ln(1.0 + n_tokens)
+         |      + 3.0 * stopword_ratio + 0.15 * mean_token_len
+         |      - 8.0 * punct_ratio))), 6) AS p
+         |  FROM f),
+         |j AS (SELECT s.doc_id, p, CAST(d.lang = 'en' AS INTEGER) AS y
+         |  FROM s JOIN documents d ON s.doc_id = d.doc_id),
+         |g AS (SELECT LEAST(CAST(floor(p * 10) AS INTEGER), 9) AS bucket,
+         |    count(*) AS n_docs, round(avg(p), 6) AS mean_prob,
+         |    round(avg(CAST(y AS DOUBLE)), 6) AS pos_rate
+         |  FROM j GROUP BY 1)
+         |SELECT bucket, n_docs, mean_prob, pos_rate,
+         |  round(abs(mean_prob - pos_rate), 6) AS calib_gap
+         |FROM g""".stripMargin,
+    "q232_dedup_threshold_sweep" -> {
+      def lane(tag: String, t: String) =
+        s"""jp$tag AS (SELECT id_a, id_b FROM jp WHERE jaccard_sim >= $t),
+           |e$tag AS (SELECT id_a AS s, id_b AS t FROM jp$tag
+           |          UNION ALL SELECT id_b, id_a FROM jp$tag),
+           |r$tag(s, t) AS (SELECT s, t FROM e$tag
+           |  UNION SELECT r.s, e.t FROM r$tag r JOIN e$tag e ON r.t = e.s),
+           |l$tag AS (SELECT s AS id, least(s, min(t)) AS rep
+           |  FROM r$tag GROUP BY s)""".stripMargin
+      def row(tag: String, t: String) =
+        s"""SELECT CAST($t AS DOUBLE) AS threshold,
+           |  (SELECT count(*) FROM jp$tag) AS n_pairs,
+           |  (SELECT count(DISTINCT rep) FROM l$tag) AS n_clusters,
+           |  (SELECT count(*) FROM l$tag WHERE id <> rep) AS n_removed""".stripMargin
+      s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.90)},
+         |${lane("90", "0.90")},
+         |${lane("95", "0.95")},
+         |${lane("98", "0.98")}
+         |${row("90", "0.90")}
+         |UNION ALL
+         |${row("95", "0.95")}
+         |UNION ALL
+         |${row("98", "0.98")}""".stripMargin
+    },
     "q211_cluster_kfold" ->
       s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
          |edges AS (SELECT id_a AS src, id_b AS dst FROM jp

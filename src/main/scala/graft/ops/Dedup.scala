@@ -494,6 +494,34 @@ object Dedup {
     * ever collects) is exactly per-component min. Returns
     * (idCol, cluster_rep) for every node in `pairs`.
     */
+  /** Threshold-sensitivity report over a SCORED near-dup pair relation —
+    * the curation-tuning question "how aggressive should the dedup cut
+    * be?" answered as data: for each candidate threshold, the surviving
+    * pair count, the connected-component count, and the docs a
+    * keep-the-rep policy would remove. The pair pipeline runs ONCE
+    * (callers pass a materialized/cached relation scored at or below the
+    * lowest threshold — e.g. [[cachedPairs]]); each threshold pays only
+    * a filter over the output-sized pair list plus a CC run over the
+    * filtered edges, so the sweep's cost is bounded by the candidate
+    * set, never the corpus.
+    */
+  def thresholdSweep(pairs: DataFrame, thresholds: Seq[Double],
+                     scoreCol: String = "jaccard_sim",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    thresholds.map { t =>
+      val p = pairs.filter(col(scoreCol) >= t).select("id_a", "id_b")
+      val cl = clusterNearDups(p, idCol = idCol)
+      val ps = p.agg(count(lit(1)).as("n_pairs"))
+      val cs = cl.agg(
+        countDistinct(col("cluster_rep")).as("n_clusters"),
+        coalesce(sum((col(idCol) =!= col("cluster_rep")).cast("int")),
+          lit(0)).cast("bigint").as("n_removed"))
+      ps.crossJoin(cs).select(lit(t).as("threshold"), col("n_pairs"),
+        col("n_clusters"), col("n_removed"))
+    }.reduce(_ unionAll _)
+  }
+
   def clusterNearDups(pairs: DataFrame, maxIter: Int = 20,
                       idCol: String = "doc_id"): DataFrame = {
     // materialize the pair list once — `pairs` is typically a full LSH

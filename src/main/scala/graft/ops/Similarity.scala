@@ -1856,6 +1856,56 @@ object Similarity {
       Seq(("centroid_cos", false), (idCol, false)), k)
   }
 
+  /** Matryoshka / truncated-dimension retrieval eval: recall@k of the
+    * prefix-`prefixDim` cosine top-k against the full-dimension exact
+    * top-k, per query — the operational question behind
+    * matryoshka-representation embeddings (Kusupati et al. 2022, public):
+    * how many trailing dimensions can an index drop before retrieval
+    * quality degrades? Both lanes' sims come from ONE scoring pass
+    * (full + prefix dot products per pair, each round-6 BEFORE ranking,
+    * ties by id ascending), the two rank windows share one Exchange
+    * (same query partitioning), and the overlap aggregates per query:
+    * recall = |topk_full ∩ topk_prefix| / k.
+    *
+    * Scale shape: the query set is an eval SAMPLE and broadcasts; the
+    * corpus is scanned once and its arrays never cross an Exchange —
+    * the rank windows move only (query, id, sim, sim) scalar rows. The
+    * per-query rank partition is corpus-sized, acceptable for tens of
+    * eval queries; a production-sized query sweep should compare the
+    * IVF tier per lane at census level instead.
+    */
+  def matryoshkaRecall(emb: DataFrame, queries: DataFrame, prefixDim: Int,
+                       k: Int, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(prefixDim > 0 && k > 0, "prefixDim and k must be positive")
+    def prep(df: DataFrame, side: String) = {
+      val v = col(vecCol).cast("array<double>")
+      val p = slice(v, 1, prefixDim)
+      df.select(col(idCol).as(s"__id$side"), v.as(s"__v$side"),
+        p.as(s"__p$side"), l2Norm(v).as(s"__n$side"),
+        l2Norm(p).as(s"__m$side"))
+    }
+    val scored = prep(emb, "c").crossJoin(broadcast(prep(queries, "q")))
+      .filter(col("__idc") =!= col("__idq"))
+      .select(col("__idq"), col("__idc"),
+        round(dotProduct(col("__vc"), col("__vq")) /
+          (col("__nc") * col("__nq")), 6).as("__sf"),
+        round(dotProduct(col("__pc"), col("__pq")) /
+          (col("__mc") * col("__mq")), 6).as("__sp"))
+    val w = Window.partitionBy(col("__idq"))
+    scored
+      .withColumn("__rf", row_number().over(
+        w.orderBy(col("__sf").desc, col("__idc"))))
+      .withColumn("__rp", row_number().over(
+        w.orderBy(col("__sp").desc, col("__idc"))))
+      .filter(col("__rf") <= k)
+      .groupBy(col("__idq").as("query_id"))
+      .agg(sum(when(col("__rp") <= k, 1).otherwise(0)).cast("int")
+        .as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"), lit(k).as("k"),
+        round(col("n_overlap") / lit(k.toDouble), 6).as("recall_at_k"))
+  }
+
   def mutualKnnPairs(emb: DataFrame, k: Int, blocks: Int = 32,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame =

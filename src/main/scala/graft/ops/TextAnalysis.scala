@@ -761,6 +761,32 @@ object TextAnalysis {
     * rows only (bounded by construction — the ranking IS a top-k),
     * never the corpus.
     */
+  /** Reliability-diagram bins for a probabilistic classifier — the
+    * calibration eval that belongs next to every learned quality filter
+    * (is a predicted 0.8 actually right 80% of the time?): bucket the
+    * predicted probability into `bins` equal-width bins (the top
+    * boundary folds into the last bin so p=1.0 is representable), and
+    * per bin report support, mean predicted probability, empirical
+    * positive rate, and their absolute gap — the per-bin term of
+    * expected calibration error (Guo et al. 2017, public). One scan,
+    * one `bins`-sized aggregate; means round-6 BEFORE the gap subtract
+    * so the gap is exact arithmetic over already-portable values.
+    */
+  def calibrationBins(scored: DataFrame, probCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins > 1, s"bins must be > 1: $bins")
+    scored.select(
+        least(floor(col(probCol) * bins).cast("int"), lit(bins - 1))
+          .as("bucket"),
+        col(probCol).as("__p"), col(labelCol).cast("double").as("__y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("__p")), 6).as("mean_prob"),
+        round(avg(col("__y")), 6).as("pos_rate"))
+      .withColumn("calib_gap",
+        round(abs(col("mean_prob") - col("pos_rate")), 6))
+  }
+
   def retrievalMetrics(ranking: DataFrame, relevant: DataFrame,
                        k: Int = 10, idCol: String = "doc_id",
                        scoreCol: String = "bm25"): DataFrame = {

@@ -638,6 +638,19 @@ class DedupSpec extends SparkSpec {
       ("code", "web") -> 2L))
   }
 
+  test("thresholdSweep: per-cut pair/cluster/removal counts; empty cut is a zero row") {
+    val pairs = Seq(
+      (1L, 2L, 0.95), (2L, 3L, 0.92), (4L, 5L, 0.99)
+    ).toDF("id_a", "id_b", "jaccard_sim")
+    val got = Dedup.thresholdSweep(pairs, Seq(0.90, 0.94, 0.97, 1.0))
+      .as[(Double, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0.90, 3L, 2L, 3L), // {1,2,3} + {4,5}
+      (0.94, 2L, 2L, 2L), // {1,2} + {4,5}
+      (0.97, 1L, 1L, 1L), // {4,5}
+      (1.0, 0L, 0L, 0L))) // nothing clears the cut
+  }
+
   implicit class Tuple3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }

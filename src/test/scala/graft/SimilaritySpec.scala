@@ -1042,6 +1042,24 @@ class SimilaritySpec extends SparkSpec {
     assert((topk(inc), spark.read.parquet(s"$inc/vectors").count()) == afterDel)
   }
 
+  test("matryoshkaRecall counts prefix-lane overlap with the full-dim top-k") {
+    // query 0 = +x. Full-dim top-2 = {1 (identical), 2 (near)} — vector 3
+    // diverges in the TAIL dims so its full cos is only 1/sqrt(2). Prefix-2
+    // top-2 = {1, 3} (both prefixes are exactly [1,0]; tie broken by id
+    // keeps 1 then 3 over 2's 0.9939). Overlap = {1} → recall 0.5.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.1, 0.0)),
+      (3L, Seq(1.0, 0.0, 1.0, 0.0)),
+      (4L, Seq(0.0, 1.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaRecall(emb,
+      emb.filter(col("vec_id") === 0L), prefixDim = 2, k = 2)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(got.toSeq == Seq((0L, 1, 2, 0.5)))
+  }
+
   test("labelOutliers surfaces the vector farthest from its label centroid") {
     // label A: three +x vectors and one MISLABELED +y vector; label B: +y
     val emb = Seq(

@@ -586,4 +586,19 @@ class TextAnalysisSpec extends SparkSpec {
     TextAnalysis.buildBm25Index(half, "bm25_half", "/tmp/graft_bm25/half")
     assert(search("bm25_inc") == search("bm25_half"))
   }
+
+  test("calibrationBins: equal-width bins, top edge folds into the last bin") {
+    val scored = Seq(
+      (1L, 0.05, 0), (2L, 0.15, 0),
+      (3L, 0.95, 1), (4L, 1.0, 1), (5L, 0.98, 0) // p=1.0 must land in bin 9
+    ).toDF("doc_id", "p", "y")
+    val got = TextAnalysis.calibrationBins(scored, "p", "y")
+      .select("bucket", "n_docs", "mean_prob", "pos_rate", "calib_gap")
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == Set(0, 1, 9))
+    assert(got(0) == ((1L, 0.05, 0.0, 0.05)))
+    assert(got(1) == ((1L, 0.15, 0.0, 0.15)))
+    assert(got(9) == ((3L, 0.976667, 0.666667, 0.31)))
+  }
 }
