@@ -590,6 +590,22 @@ object EventStream {
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Streaming calibration monitor — the streaming twin of q231's
+    * reliability bins: score each arriving document with the frozen
+    * quality logistic (stateless projection) and maintain the per-bin
+    * support / mean predicted / positive-rate / gap as a streaming
+    * aggregation (complete/update output — at most `bins` groups of
+    * state, the same bounded-state argument as [[langIdConfusion]]).
+    * A drifting corpus shows up as the gap column walking away from
+    * zero long before a downstream quality filter visibly misbehaves.
+    * StreamingSpec pins the bins to the batch operator exactly.
+    */
+  def calibrationMonitor(docs: DataFrame, bins: Int = 10): DataFrame =
+    graft.ops.TextAnalysis.calibrationBins(
+      graft.ops.TextAnalysis.qualityLogistic(docs, carryCols = Seq("lang"))
+        .withColumn("is_en", (col("lang") === "en").cast("int")),
+      "quality_prob", "is_en", bins)
+
   /** Streaming leakage-safe split assigner — the streaming twin of
     * q196's row-level core: new documents take their train/val/test
     * split from a FROZEN cluster-rep relation via a stream-static left

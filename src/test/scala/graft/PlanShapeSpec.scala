@@ -430,6 +430,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q230 matryoshka eval: query side broadcasts, embedding arrays never cross a shuffle") {
+    val p = withoutAqe {
+      val df = SparkEntry.queries("q230_matryoshka_recall")(spark, sf0001)
+      df.collect()
+      plan(df)
+    }
+    // the query sample rides a broadcast; the corpus is scanned in place
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.nonEmpty, p.toString)
+    // the rank/aggregate shuffles carry (query, id, sim, sim) scalars only
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty, p.toString)
+    shuffles.foreach { e =>
+      val arrayCols = e.output.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrayCols.isEmpty,
+        s"array-typed column(s) ${arrayCols.map(_.name).mkString(",")} cross an Exchange:\n$p")
+    }
+  }
+
   test("q183 persisted containment index: probe reads the key table in place") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")

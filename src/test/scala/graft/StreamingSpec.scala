@@ -552,6 +552,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == ref)
   }
 
+  test("streaming calibration monitor matches the batch reliability bins") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val streamed = EventStream.calibrationMonitor(
+      EventStream.readDocuments(spark, sf0001))
+    val got = EventStream
+      .runToMemory(spark, streamed, "calib_stream", "complete")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val ref = graft.ops.TextAnalysis.calibrationBins(
+      graft.ops.TextAnalysis.qualityLogistic(
+          Tables.documents(spark, sf0001), carryCols = Seq("lang"))
+        .withColumn("is_en", (col("lang") === "en").cast("int")),
+      "quality_prob", "is_en")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.nonEmpty && got == ref)
+  }
+
   test("streaming split assigner matches batch assignment under a frozen rep table") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf0001)
