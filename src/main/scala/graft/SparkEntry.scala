@@ -3114,6 +3114,26 @@ object SparkEntry {
       // the corpus-sized pipeline never re-runs
       Dedup.thresholdSweep(Dedup.cachedPairs(s, docClustersPath(s, d)),
         Seq(0.90, 0.95, 0.98))),
+    "q233_sequence_packing" -> ((s, d) =>
+      // concat-and-chop packing into 256-token context windows: every
+      // doc's global token offset via the two-level distributed prefix
+      // sum (bucketed cumsum + tiny bucket-base window — never a
+      // single-partition corpus sort, plan-gated)
+      Packing.packConcatChop(
+        T(s, d, "documents").select(col("doc_id"),
+          graft.functions.tokenCount(col("text")).cast("long").as("n_toks")),
+        "n_toks", capacity = 256)),
+    "q234_packing_census" -> ((s, d) =>
+      // per-window packing census: docs touching each window, carryover
+      // from the previous window, fill ratio (the padding/waste metric a
+      // loader tuning capacity actually reads); docs explode to exactly
+      // the windows they occupy — output-sized, no corpus re-scan
+      Packing.packingCensus(
+        Packing.packConcatChop(
+          T(s, d, "documents").select(col("doc_id"),
+            graft.functions.tokenCount(col("text")).cast("long").as("n_toks")),
+          "n_toks", capacity = 256),
+        capacity = 256)),
     "q210_mutual_knn_ivf" -> ((s, d) =>
       // the IVF kNN-graph tier end-to-end: with every cell probed the
       // candidate set is complete, so the census is tier-equivalent to
@@ -5639,6 +5659,42 @@ object SparkEntry {
          |UNION ALL
          |${row("98", "0.98")}""".stripMargin
     },
+    "q233_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n,
+        |    CAST(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS st
+        |  FROM t)
+        |SELECT doc_id, n AS n_tokens, st AS start_offset,
+        |  CAST(st // 256 AS BIGINT) AS first_seq,
+        |  CAST((st + n - 1) // 256 - st // 256 + 1 AS BIGINT) AS n_seqs,
+        |  CAST(st % 256 AS BIGINT) AS offset_in_seq
+        |FROM c""".stripMargin,
+    "q234_packing_census" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n,
+        |    CAST(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS st
+        |  FROM t),
+        |p AS (SELECT doc_id, n, st,
+        |    CAST(st // 256 AS BIGINT) AS fs,
+        |    CAST((st + n - 1) // 256 AS BIGINT) AS ls
+        |  FROM c WHERE n > 0),
+        |x AS (SELECT p.*, unnest(generate_series(fs, ls)) AS seq_id FROM p)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE fs < seq_id) AS BIGINT) AS n_carried,
+        |  CAST(sum(least((seq_id + 1) * 256, st + n)
+        |    - greatest(seq_id * 256, st)) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(least((seq_id + 1) * 256, st + n)
+        |    - greatest(seq_id * 256, st)) AS DOUBLE) / 256.0, 6) AS fill_ratio
+        |FROM x GROUP BY 1""".stripMargin,
     "q211_cluster_kfold" ->
       s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
          |edges AS (SELECT id_a AS src, id_b AS dst FROM jp

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining batches (north-star extension):
+  * documents are concatenated in id order and chopped into fixed-capacity
+  * context windows ("concat-and-chop", the packing used by GPT-style
+  * pretraining loaders — every window is exactly `capacity` tokens, docs
+  * may straddle a boundary). The alternative, bin packing without
+  * splitting, needs a sequential capacity-reset scan that neither
+  * distributes nor SQL-expresses; concat-and-chop is both the industry
+  * default and embarrassingly parallel once each doc knows its global
+  * token offset.
+  *
+  * The offset is a global prefix sum. A naive `sum over (order by id)`
+  * window is a SINGLE-partition sort — the whole corpus through one task,
+  * a scale-killer at 100 TB. Instead the classic two-level scan:
+  * monotonically bucket the id range, cumsum WITHIN each bucket (parallel
+  * windows), then window only the per-bucket subtotals (≤ `buckets` rows,
+  * trivially single-partition) and broadcast the bucket base offsets back.
+  * Wall-clock is one scan + one tiny agg regardless of corpus size.
+  */
+object Packing {
+
+  /** Per-document packing assignment: global token offset, first/last
+    * context window touched, windows spanned, offset within the first
+    * window. `tokCol` must be a non-negative token count; docs are packed
+    * in ascending `idCol` order (deterministic, append-friendly — new ids
+    * pack after old ones, see the streaming twin). `base` shifts every
+    * offset (the streaming twin passes the running total of prior
+    * batches). A 0-token doc is degenerate (never occurs after
+    * tokenization): it sits AT its offset without shifting later docs,
+    * and [[packingCensus]] excludes it.
+    */
+  def packConcatChop(docs: DataFrame, tokCol: String, capacity: Int,
+                     idCol: String = "doc_id", buckets: Int = 256,
+                     base: Long = 0L): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val t = docs.select(col(idCol), col(tokCol).cast("long").as("n_tokens"))
+    // id range as a 1-row broadcast scalar ride (no driver collect): the
+    // bucket of an id is monotone in the id, so within-bucket order +
+    // bucket order = global order
+    val bounds = t.agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+    val span = (col("__hi") - col("__lo")) / lit(buckets.toLong)
+    val bucketed = t.crossJoin(broadcast(bounds))
+      .withColumn("__b", floor((col(idCol) - col("__lo")) /
+        (floor(span) + lit(1L))).cast("int"))
+      .drop("__lo", "__hi")
+    // parallel lane: inclusive cumsum within each bucket
+    val wIn = Window.partitionBy(col("__b")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("__cum", sum(col("n_tokens")).over(wIn))
+    // tiny lane: base offset of each bucket = sum of all PRIOR buckets'
+    // totals — an unpartitioned window, but over ≤ `buckets` rows by
+    // construction, never the corpus
+    val wB = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = bucketed.groupBy(col("__b"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wB), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val cap = lit(capacity.toLong)
+    local.join(broadcast(bases), Seq("__b"))
+      .withColumn("start_offset",
+        lit(base) + col("__off") + col("__cum") - col("n_tokens"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("start_offset"),
+        floor(col("start_offset") / cap).as("first_seq"),
+        (floor((col("start_offset") + col("n_tokens") - 1) / cap) -
+          floor(col("start_offset") / cap) + 1).as("n_seqs"),
+        pmod(col("start_offset"), cap).as("offset_in_seq"))
+  }
+
+  /** Per-window census over a [[packConcatChop]] assignment: how many docs
+    * touch each window, how many carried over from the previous one, how
+    * full it is. Each doc explodes to exactly the windows it occupies
+    * (`sequence(first, last)` — output-sized, ≤ n_seqs rows per doc), so
+    * the census is a plain hash aggregation; the final window of the
+    * corpus reports its true partial fill.
+    */
+  def packingCensus(packed: DataFrame, capacity: Int): DataFrame = {
+    val cap = lit(capacity.toLong)
+    packed
+      .filter(col("n_tokens") > 0)
+      .select(col("start_offset"), col("n_tokens"), col("first_seq"),
+        explode(sequence(col("first_seq"),
+          col("first_seq") + col("n_seqs") - 1)).as("seq_id"))
+      .withColumn("__tok_here",
+        least((col("seq_id") + 1) * cap, col("start_offset") + col("n_tokens"))
+          - greatest(col("seq_id") * cap, col("start_offset")))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("first_seq") < col("seq_id"), 1L).otherwise(0L))
+          .as("n_carried"),
+        sum(col("__tok_here")).as("n_tokens"))
+      .withColumn("fill_ratio",
+        round(col("n_tokens").cast("double") / cap, 6))
+  }
+}

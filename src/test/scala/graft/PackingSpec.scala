@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.Packing
+
+/** Concat-and-chop sequence packing: hand-computed offsets, bucket-count
+  * invariance of the two-level prefix sum, base-offset shift (the
+  * streaming-append hook), and census conservation laws.
+  */
+class PackingSpec extends SparkSpec {
+
+  private def docs(rows: (Long, Long)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "n")
+  }
+
+  test("pack offsets match a hand-computed concat-and-chop") {
+    // capacity 10: doc 1 [0,7), doc 2 [7,19) spans windows 0..1,
+    // doc 3 [19,20) window 1, doc 4 [20,35) windows 2..3
+    val got = Packing.packConcatChop(
+        docs(1L -> 7L, 2L -> 12L, 3L -> 1L, 4L -> 15L), "n", capacity = 10)
+      .orderBy("doc_id").collect().toSeq
+    assert(got == Seq(
+      Row(1L, 7L, 0L, 0L, 1L, 0L),
+      Row(2L, 12L, 7L, 0L, 2L, 7L),
+      Row(3L, 1L, 19L, 1L, 1L, 9L),
+      Row(4L, 15L, 20L, 2L, 2L, 0L)))
+  }
+
+  test("prefix sum is bucket-count invariant") {
+    val d = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), functions.tokenCount(col("text"))
+        .cast("long").as("n"))
+    val a = Packing.packConcatChop(d, "n", 256, buckets = 1)
+      .orderBy("doc_id").collect().toSeq
+    val b = Packing.packConcatChop(d, "n", 256, buckets = 7)
+      .orderBy("doc_id").collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("base shifts every offset (the streaming append hook)") {
+    val a = Packing.packConcatChop(docs(1L -> 7L, 2L -> 12L), "n", 10)
+      .orderBy("doc_id").collect().toSeq
+    val b = Packing.packConcatChop(docs(1L -> 7L, 2L -> 12L), "n", 10,
+        base = 25L)
+      .orderBy("doc_id").collect().toSeq
+    assert(b.map(r => r.getLong(2)) == a.map(r => r.getLong(2) + 25L))
+    assert(b.head == Row(1L, 7L, 25L, 2L, 2L, 5L)) // [25,32) straddles w2|w3
+  }
+
+  test("a zero-token doc shifts nothing and the census drops it") {
+    val got = Packing.packConcatChop(docs(1L -> 5L, 2L -> 0L, 3L -> 5L),
+        "n", 10)
+      .orderBy("doc_id").collect().toSeq
+    assert(got(1) == Row(2L, 0L, 5L, 0L, 1L, 5L))
+    assert(got(2).getLong(2) == 5L) // doc 3 starts where doc 1 ended
+    val census = Packing.packingCensus(
+      Packing.packConcatChop(docs(1L -> 5L, 2L -> 0L, 3L -> 5L), "n", 10), 10)
+    assert(census.agg(sum(col("n_docs"))).head().getLong(0) == 2L)
+  }
+
+  test("census conserves tokens and fills every non-final window exactly") {
+    val cap = 256
+    val d = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), functions.tokenCount(col("text"))
+        .cast("long").as("n"))
+    val packed = Packing.packConcatChop(d, "n", cap)
+    val census = Packing.packingCensus(packed, cap)
+      .orderBy("seq_id").collect().toSeq
+    val total = d.agg(sum(col("n"))).head().getLong(0)
+    assert(census.map(_.getLong(3)).sum == total)
+    // contiguous window ids from 0; all but the last exactly full
+    assert(census.map(_.getLong(0)) == census.indices.map(_.toLong))
+    assert(census.dropRight(1).forall(_.getLong(3) == cap.toLong))
+    assert(census.last.getLong(3) <= cap.toLong)
+    // at most ONE doc can carry into a window: only the doc cut by the
+    // window's left boundary
+    assert(census.forall(_.getLong(2) <= 1L))
+  }
+}

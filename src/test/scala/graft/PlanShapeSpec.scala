@@ -430,6 +430,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q233 packing: the corpus cumsum window is bucket-partitioned; only the bucket-total frame windows unpartitioned") {
+    val p = withoutAqe {
+      val df = SparkEntry.queries("q233_sequence_packing")(spark, sf0001)
+      df.collect()
+      plan(df)
+    }
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, p.toString)
+    // a global single-partition window over the corpus is the scale-killer
+    // this operator exists to avoid: any unpartitioned window must be the
+    // bucket-base frame (<= `buckets` rows, identified by the __t
+    // bucket-total column it windows over)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.output.exists(_.name == "__t"),
+        s"unpartitioned window over a non-bucket frame:\n$p")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty), p.toString)
+  }
+
   test("q230 matryoshka eval: query side broadcasts, embedding arrays never cross a shuffle") {
     val p = withoutAqe {
       val df = SparkEntry.queries("q230_matryoshka_recall")(spark, sf0001)
