@@ -3134,6 +3134,15 @@ object SparkEntry {
             graft.functions.tokenCount(col("text")).cast("long").as("n_toks")),
           "n_toks", capacity = 256),
         capacity = 256)),
+    "q235_binary_quant_topk" -> ((s, d) => {
+      // sign-bit binary-quantization ANN: 64 dims → two 32-bit codes
+      // (24 bytes/vector on the wire, ~20× under the float64 array),
+      // integer-exact Hamming shortlist cut by the native GroupedTopK,
+      // exact cosine re-rank of the 40 survivors fetched once
+      val emb = T(s, d, "embeddings")
+      Similarity.binaryQuantTopK(emb,
+        emb.filter(col("vec_id") % 101 === 0), shortlist = 40, k = 10)
+    }),
     "q210_mutual_knn_ivf" -> ((s, d) =>
       // the IVF kNN-graph tier end-to-end: with every cell probed the
       // candidate set is complete, so the census is tier-equivalent to
@@ -5695,6 +5704,39 @@ object SparkEntry {
         |  round(CAST(sum(least((seq_id + 1) * 256, st + n)
         |    - greatest(seq_id * 256, st)) AS DOUBLE) / 256.0, 6) AS fill_ratio
         |FROM x GROUP BY 1""".stripMargin,
+    "q235_binary_quant_topk" ->
+      """WITH q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |    FROM embeddings WHERE vec_id % 101 = 0),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS ae FROM embeddings),
+        |cc AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, 33), i ->
+        |      CASE WHEN ae[i] >= 0 THEN 1::BIGINT << CAST(i - 1 AS INTEGER)
+        |           ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(33, 65), i ->
+        |      CASE WHEN ae[i] >= 0 THEN 1::BIGINT << CAST(i - 33 AS INTEGER)
+        |           ELSE 0::BIGINT END)) AS BIGINT) AS hi
+        |  FROM v),
+        |qc AS (SELECT qid, lo AS qlo, hi AS qhi
+        |  FROM cc JOIN q0 ON cc.vec_id = q0.qid),
+        |ham AS (SELECT qid, cc.vec_id,
+        |    CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS INTEGER)
+        |      AS hamming
+        |  FROM cc, qc WHERE cc.vec_id <> qid),
+        |short AS (SELECT qid, vec_id, hamming,
+        |    row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS hr
+        |  FROM ham),
+        |rr AS (SELECT s.qid, s.vec_id, s.hamming,
+        |    round(list_sum(list_transform(range(1, 65), i -> ae[i] * qe[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> ae[i] * ae[i])))
+        |         * sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))),
+        |      6) AS sim
+        |  FROM short s JOIN v ON v.vec_id = s.vec_id JOIN q0 ON q0.qid = s.qid
+        |  WHERE s.hr <= 40),
+        |rk AS (SELECT qid, vec_id, hamming, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM rr)
+        |SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank, vec_id, hamming, sim
+        |FROM rk WHERE rnk <= 10""".stripMargin,
     "q211_cluster_kfold" ->
       s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
          |edges AS (SELECT id_a AS src, id_b AS dst FROM jp

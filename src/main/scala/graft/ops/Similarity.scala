@@ -1906,6 +1906,67 @@ object Similarity {
         round(col("n_overlap") / lit(k.toDouble), 6).as("recall_at_k"))
   }
 
+  /** Sign-bit binary quantization ANN: each 64-dim embedding compresses
+    * to TWO 32-bit codes (dims 1–32 / 33–64, bit i−1 set iff the dim is
+    * ≥ 0) carried as BIGINTs that stay inside [0, 2³²) — deliberately
+    * split so no engine's checked integer SQL has to produce the int64
+    * sign bit. Search = Hamming-distance shortlist over the codes
+    * (XOR + popcount — INTEGER-exact, the one ANN scoring pass that
+    * needs no round-before-rank discipline) → exact cosine re-rank of
+    * the `shortlist` survivors.
+    *
+    * Scale shape: the corpus lane scans/shuffles (id, lo, hi) only —
+    * 24 bytes a vector, ~20× smaller than the float64 array — with the
+    * query codes broadcast and the per-query cut a GroupedTopK (partial
+    * per-partition top-k, never a corpus-per-query window sort). Raw
+    * arrays are fetched once, for |queries|·shortlist survivors, by
+    * broadcasting the shortlist against the corpus scan (the
+    * containment-pairs fetch-once discipline): embeddings never cross
+    * an Exchange. Recall follows the sign-bit agreement between Hamming
+    * and cosine ordering (Charikar's SRP bound with the identity basis);
+    * `shortlist` is the recall dial.
+    */
+  def binaryQuantTopK(emb: DataFrame, queries: DataFrame, shortlist: Int,
+                      k: Int, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k && k > 0, "need shortlist >= k > 0")
+    def codes(df: DataFrame, side: String) = {
+      val v = col(vecCol).cast("array<double>")
+      def half(off: Int) =
+        aggregate(sequence(lit(1), lit(32)), lit(0L), (acc, i) =>
+          acc + when(element_at(v, (i + lit(off)).cast("int")) >= 0d,
+            call_function("shiftleft", lit(1L), (i - lit(1)).cast("int")))
+            .otherwise(lit(0L)))
+      df.select(col(idCol).as(s"__id$side"),
+        half(0).as(s"__lo$side"), half(32).as(s"__hi$side"))
+    }
+    val ham = codes(emb, "c").crossJoin(broadcast(codes(queries, "q")))
+      .filter(col("__idc") =!= col("__idq"))
+      .select(col("__idq"), col("__idc"),
+        (bit_count(col("__loc").bitwiseXOR(col("__loq"))) +
+          bit_count(col("__hic").bitwiseXOR(col("__hiq"))))
+          .cast("int").as("hamming"))
+    val short = graft.plans.TopK.perGroup(ham, Seq("__idq"),
+      Seq(("hamming", false), ("__idc", false)), shortlist)
+    // fetch-once re-rank: arrays appear only against the broadcast
+    // shortlist, and are projected away before the final (tiny) rank cut
+    val vc = emb.select(col(idCol).as("__idc"),
+      col(vecCol).cast("array<double>").as("__vc"))
+    val vq = queries.select(col(idCol).as("__idq"),
+      col(vecCol).cast("array<double>").as("__vq"))
+    val reranked = vc.join(broadcast(short), Seq("__idc"))
+      .join(broadcast(vq), Seq("__idq"))
+      .select(col("__idq"), col("__idc"), col("hamming"),
+        round(cosineSimilarity(col("__vc"), col("__vq")), 6).as("sim"))
+    reranked
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("__idq"))
+          .orderBy(col("sim").desc, col("__idc"))))
+      .filter(col("rank") <= k)
+      .select(col("__idq").as("query_id"), col("rank"),
+        col("__idc").as("vec_id"), col("hamming"), col("sim"))
+  }
+
   def mutualKnnPairs(emb: DataFrame, k: Int, blocks: Int = 32,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame =

@@ -430,6 +430,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q235 binary-quant ANN: no array column crosses any ShuffleExchange") {
+    // the scale contract: the corpus lane shuffles (id, lo, hi) codes —
+    // 24 bytes/vector — and the re-rank fetches raw arrays against a
+    // BROADCAST shortlist; embeddings never ride a shuffle Exchange
+    val p = withoutAqe {
+      val df = SparkEntry.queries("q235_binary_quant_topk")(spark, sf0001)
+      df.collect()
+      plan(df)
+    }
+    p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      val arrayCols = e.output.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrayCols.isEmpty,
+        s"array-typed column(s) ${arrayCols.map(_.name).mkString(",")} cross an Exchange:\n$p")
+    }
+  }
+
   test("q233 packing: the corpus cumsum window is bucket-partitioned; only the bucket-total frame windows unpartitioned") {
     val p = withoutAqe {
       val df = SparkEntry.queries("q233_sequence_packing")(spark, sf0001)

@@ -1060,6 +1060,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1, 2, 0.5)))
   }
 
+  test("binaryQuantTopK with a full shortlist equals the exact cosine top-k") {
+    // shortlist >= corpus-1 admits every candidate, so the Hamming stage
+    // prunes nothing and the re-rank IS the exact brute-force ranking
+    // (tier-equivalence, the q37/q77 discipline)
+    val emb = (0L until 12L).map { i =>
+      (i, (1 to 64).map(j => ((i * 31 + j * 17) % 13 - 6).toDouble).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 2)
+    val got = Similarity.binaryQuantTopK(emb, queries, shortlist = 11, k = 3)
+      .select("query_id", "rank", "vec_id", "sim")
+    val exact = emb.select(col("vec_id").as("__idc"), col("embedding").as("__vc"))
+      .crossJoin(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("__vq")))
+      .filter(col("__idc") =!= col("query_id"))
+      .select(col("query_id"), col("__idc").as("vec_id"),
+        round(graft.functions.cosineSimilarity(col("__vc"), col("__vq")), 6)
+          .as("sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "vec_id", "sim")
+    val g = got.as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val e = exact.as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(g.toSeq == e.toSeq)
+  }
+
+  test("binaryQuantTopK Hamming counts sign disagreements in both halves") {
+    // query 0 = all-positive. Vector 1 flips dims 1,2 (lo half → hamming
+    // 2); vector 2 flips dim 40 (hi half → hamming 1); vector 3 agrees
+    // everywhere (hamming 0, and it ranks first on cosine too).
+    def vec(flip: Set[Int]) =
+      (1 to 64).map(j => if (flip(j)) -1.0 else 1.0).toSeq
+    val emb = Seq(
+      (0L, vec(Set.empty)), (1L, vec(Set(1, 2))),
+      (2L, vec(Set(40))), (3L, vec(Set.empty))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.binaryQuantTopK(emb,
+        emb.filter(col("vec_id") === 0L), shortlist = 3, k = 3)
+      .select("vec_id", "hamming").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 2, 2L -> 1, 3L -> 0))
+  }
+
   test("labelOutliers surfaces the vector farthest from its label centroid") {
     // label A: three +x vectors and one MISLABELED +y vector; label B: +y
     val emb = Seq(
