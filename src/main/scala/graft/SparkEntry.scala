@@ -3134,6 +3134,16 @@ object SparkEntry {
             graft.functions.tokenCount(col("text")).cast("long").as("n_toks")),
           "n_toks", capacity = 256),
         capacity = 256)),
+    "q236_balanced_shards" -> ((s, d) =>
+      // LPT-ish balanced training shards: snake deal over the descending
+      // token-count rank (two-level distributed rank, never a corpus-wide
+      // single-partition sort — plan-gated); census = the balance report
+      // a loader reads before declaring shards usable
+      Packing.shardCensus(
+        Packing.snakeShardAssign(
+          T(s, d, "documents").select(col("doc_id"),
+            graft.functions.tokenCount(col("text")).cast("long").as("n_toks")),
+          "n_toks", nShards = 8), nShards = 8)),
     "q235_binary_quant_topk" -> ((s, d) => {
       // sign-bit binary-quantization ANN: 64 dims → two 32-bit codes
       // (24 bytes/vector on the wire, ~20× under the float64 array),
@@ -5704,6 +5714,23 @@ object SparkEntry {
         |  round(CAST(sum(least((seq_id + 1) * 256, st + n)
         |    - greatest(seq_id * 256, st)) AS DOUBLE) / 256.0, 6) AS fill_ratio
         |FROM x GROUP BY 1""".stripMargin,
+    "q236_balanced_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |r AS (SELECT doc_id, n,
+        |    row_number() OVER (ORDER BY n DESC, doc_id) - 1 AS rk
+        |  FROM t),
+        |a AS (SELECT n,
+        |    CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - (rk % 8) END AS shard
+        |  FROM r)
+        |SELECT CAST(shard AS INTEGER) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n) AS DOUBLE) * 8.0
+        |    / (SELECT CAST(sum(n) AS DOUBLE) FROM t), 6) AS balance_ratio
+        |FROM a GROUP BY 1""".stripMargin,
     "q235_binary_quant_topk" ->
       """WITH q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
         |    FROM embeddings WHERE vec_id % 101 = 0),

@@ -75,6 +75,70 @@ object Packing {
         pmod(col("start_offset"), cap).as("offset_in_seq"))
   }
 
+  /** Balanced training-shard assignment by snake (boustrophedon) order:
+    * docs ranked by descending token count (ties by id), then dealt to
+    * `nShards` shards alternating direction each round — the standard
+    * parallel approximation of greedy LPT bin-balancing (LPT itself is a
+    * sequential loop that neither distributes nor SQL-expresses; snake's
+    * imbalance is bounded by one max-minus-min doc per round pair).
+    * Per-shard doc counts differ by at most 1 by construction.
+    *
+    * The global rank is the same two-level scan as [[packConcatChop]],
+    * bucketed on the SORT key instead of the id: token-count value ranges
+    * are monotone in the rank order (bucket 0 = the largest counts), equal
+    * counts always land in one bucket so cross-bucket ties cannot occur,
+    * ranks within a bucket are a parallel partitioned window, and only the
+    * per-bucket ROW COUNTS (≤ `buckets` rows) ride an unpartitioned
+    * window. Value-range buckets skew if the count distribution is lumpy —
+    * raise `buckets` (cheap: the tiny lane stays tiny) rather than ever
+    * falling back to a corpus-wide sort.
+    */
+  def snakeShardAssign(docs: DataFrame, tokCol: String, nShards: Int,
+                       idCol: String = "doc_id",
+                       buckets: Int = 256): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val t = docs.select(col(idCol), col(tokCol).cast("long").as("n_tokens"))
+    val bounds = t.agg(min(col("n_tokens")).as("__lo"),
+      max(col("n_tokens")).as("__hi"))
+    val span = (col("__hi") - col("__lo")) / lit(buckets.toLong)
+    val bucketed = t.crossJoin(broadcast(bounds))
+      .withColumn("__b", floor((col("__hi") - col("n_tokens")) /
+        (floor(span) + lit(1L))).cast("int"))
+      .drop("__lo", "__hi")
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(col("n_tokens").desc, col(idCol))
+    val local = bucketed.withColumn("__r", row_number().over(wIn).cast("long"))
+    val wB = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = bucketed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wB), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val n = lit(nShards.toLong)
+    local.join(broadcast(bases), Seq("__b"))
+      .withColumn("rank", col("__off") + col("__r") - lit(1L))
+      .withColumn("shard",
+        when(pmod(floor(col("rank") / n), lit(2L)) === 0, pmod(col("rank"), n))
+          .otherwise(n - lit(1L) - pmod(col("rank"), n)).cast("int"))
+      .select(col(idCol), col("n_tokens"), col("rank"), col("shard"))
+  }
+
+  /** Per-shard census over a [[snakeShardAssign]] output: docs, tokens,
+    * and the balance ratio (shard tokens ÷ the ideal equal share — the
+    * number a loader watches before declaring shards usable). The corpus
+    * total rides a 1-row broadcast scalar, never a driver collect.
+    */
+  def shardCensus(assigned: DataFrame, nShards: Int): DataFrame = {
+    val tot = assigned.agg(sum(col("n_tokens")).as("__tot"))
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("balance_ratio",
+        round(col("n_tokens").cast("double") * lit(nShards.toDouble) /
+          col("__tot").cast("double"), 6))
+      .drop("__tot")
+  }
+
   /** Per-window census over a [[packConcatChop]] assignment: how many docs
     * touch each window, how many carried over from the previous one, how
     * full it is. Each doc explodes to exactly the windows it occupies

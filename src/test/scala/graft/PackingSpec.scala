@@ -61,6 +61,38 @@ class PackingSpec extends SparkSpec {
     assert(census.agg(sum(col("n_docs"))).head().getLong(0) == 2L)
   }
 
+  test("snake shards match the hand-dealt boustrophedon and count-balance") {
+    // ranks by n desc, id asc over 7 docs, 3 shards:
+    //   rank 0..2 → shards 0,1,2 (round 0, forward)
+    //   rank 3..5 → shards 2,1,0 (round 1, reversed)
+    //   rank 6    → shard 0      (round 2, forward)
+    // ties (20L twice) break by doc_id
+    val d = docs(1L -> 20L, 2L -> 20L, 3L -> 50L, 4L -> 5L, 5L -> 30L,
+      6L -> 10L, 7L -> 1L)
+    val got = Packing.snakeShardAssign(d, "n", nShards = 3)
+      .orderBy("rank").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(got == Seq((3L, 0L, 0), (5L, 1L, 1), (1L, 2L, 2),
+      (2L, 3L, 2), (6L, 4L, 1), (4L, 5L, 0), (7L, 6L, 0)))
+    val census = Packing.shardCensus(
+        Packing.snakeShardAssign(d, "n", nShards = 3), nShards = 3)
+      .orderBy("shard").collect().toSeq
+    // per-shard doc counts differ by at most 1; tokens conserved
+    assert(census.map(_.getLong(1)) == Seq(3L, 2L, 2L))
+    assert(census.map(_.getLong(2)).sum == 136L)
+  }
+
+  test("snake shard rank is bucket-count invariant (incl. cross-bucket ties)") {
+    val d = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), functions.tokenCount(col("text"))
+        .cast("long").as("n"))
+    val a = Packing.snakeShardAssign(d, "n", nShards = 8, buckets = 1)
+      .orderBy("doc_id").collect().toSeq
+    val b = Packing.snakeShardAssign(d, "n", nShards = 8, buckets = 13)
+      .orderBy("doc_id").collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("census conserves tokens and fills every non-final window exactly") {
     val cap = 256
     val d = Tables.documents(spark, sf0001)

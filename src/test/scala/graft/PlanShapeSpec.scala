@@ -449,6 +449,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q236 snake shards: the corpus rank window is bucket-partitioned; only the bucket-count frame windows unpartitioned") {
+    val p = withoutAqe {
+      val df = SparkEntry.queries("q236_balanced_shards")(spark, sf0001)
+      df.collect()
+      plan(df)
+    }
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, p.toString)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.output.exists(_.name == "__t"),
+        s"unpartitioned window over a non-bucket frame:\n$p")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty), p.toString)
+  }
+
   test("q233 packing: the corpus cumsum window is bucket-partitioned; only the bucket-total frame windows unpartitioned") {
     val p = withoutAqe {
       val df = SparkEntry.queries("q233_sequence_packing")(spark, sf0001)
