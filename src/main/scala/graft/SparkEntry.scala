@@ -3134,6 +3134,13 @@ object SparkEntry {
             graft.functions.tokenCount(col("text")).cast("long").as("n_toks")),
           "n_toks", capacity = 256),
         capacity = 256)),
+    "q237_unimax_allocation" -> ((s, d) =>
+      // UniMax waterfill (Chung et al. 2023): equal budget share per
+      // source capped at 2 epochs, capped leftovers recycle into the
+      // still-open shares; exact integer recurrence over the k-row
+      // frozen census (k = #sources), mirrored by a recursive-CTE oracle
+      Sampling.unimaxAllocation(T(s, d, "documents"),
+        budgetFactorPct = 200, maxEpochs = 2)),
     "q236_balanced_shards" -> ((s, d) =>
       // LPT-ish balanced training shards: snake deal over the descending
       // token-count rank (two-level distributed rank, never a corpus-wide
@@ -5714,6 +5721,30 @@ object SparkEntry {
         |  round(CAST(sum(least((seq_id + 1) * 256, st + n)
         |    - greatest(seq_id * 256, st)) AS DOUBLE) / 256.0, 6) AS fill_ratio
         |FROM x GROUP BY 1""".stripMargin,
+    "q237_unimax_allocation" ->
+      """WITH RECURSIVE t AS (SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+        |      x -> len(x) > 0))) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |o AS (SELECT source, n,
+        |    CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS i FROM t),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) * 200 // 100 AS budget FROM t),
+        |w(i, k, budget, rem, source, n, alloc) AS (
+        |  SELECT CAST(0 AS BIGINT), k, budget, budget, CAST(NULL AS VARCHAR),
+        |      CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT o.i, w.k, w.budget,
+        |    w.rem - least(o.n * 2, w.rem // (w.k - w.i)),
+        |    o.source, o.n,
+        |    least(o.n * 2, w.rem // (w.k - w.i))
+        |  FROM w JOIN o ON o.i = w.i + 1)
+        |SELECT source, n AS n_tokens, alloc AS alloc_tokens,
+        |  CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE 1000000 * alloc // n END AS epochs_ppm,
+        |  CASE WHEN budget = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE 1000000 * alloc // budget END AS weight_ppm
+        |FROM w WHERE i > 0""".stripMargin,
     "q236_balanced_shards" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),

@@ -425,6 +425,58 @@ object Sampling {
           .as("budget_share_ppm"))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151): give
+    * every source an equal share of the token budget, capped at
+    * `maxEpochs` passes over what the source actually has, and recycle
+    * the unused remainder of capped sources into the fair share of the
+    * ones still open. The waterfill visits sources in ascending token
+    * count (ties by name): at each step the open fair share is
+    * `remaining DIV sourcesLeft`; a source takes
+    * `min(n_tokens · maxEpochs, fairShare)`. Smallest-first makes the
+    * fair share only ever GROW as capped leftovers recycle, which is what
+    * yields the unique waterfill fixpoint.
+    *
+    * All arithmetic is integer (tokens and ppm, the repeatEpochs
+    * discipline) so the sequential recurrence is bit-reproducible across
+    * engines — no float drift across iterations. Overflow bound: the ppm
+    * products cap usable tokens at ~9.2e12 per source / budget (≈ 35 TB
+    * of text); past that swap the ppm scale for DECIMAL.
+    *
+    * The per-source census is #sources rows — a documented frozen
+    * snapshot (the mixtureRatesPpm discipline); the waterfill recurrence
+    * is sequential by nature (each fair share depends on every prior
+    * allocation), so it runs on the driver over those k rows, never over
+    * the corpus.
+    */
+  def unimaxAllocation(docs: DataFrame, srcCol: String = "source",
+                       textCol: String = "text",
+                       budgetFactorPct: Int = 200,
+                       maxEpochs: Int = 2): DataFrame = {
+    require(budgetFactorPct > 0, "budgetFactorPct must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val census = docs
+      .select(col(srcCol).cast("string").as("source"),
+        graft.functions.tokenCount(col(textCol)).cast("long").as("__tok"))
+      .groupBy(col("source")).agg(sum(col("__tok")).as("n_tokens"))
+      .as[(String, Long)].collect()
+      .sortBy { case (s, n) => (n, s) }
+    val total = census.map(_._2).sum
+    val budget = total * budgetFactorPct / 100L
+    var rem = budget
+    var left = census.length
+    val out = census.map { case (s, n) =>
+      val alloc = math.min(n * maxEpochs, rem / left)
+      rem -= alloc; left -= 1
+      (s, n, alloc,
+        if (n == 0L) 0L else 1000000L * alloc / n,
+        if (budget == 0L) 0L else 1000000L * alloc / budget)
+    }
+    out.toSeq.toDF("source", "n_tokens", "alloc_tokens",
+      "epochs_ppm", "weight_ppm")
+  }
+
   // ------------------------------------------- leakage-safe train splits
 
   /** Per-split label from the portable hash: first `trainPct` buckets →

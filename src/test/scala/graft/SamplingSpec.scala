@@ -9,6 +9,24 @@ class SamplingSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sf0001)
 
+  test("unimax waterfill caps small sources and recycles their leftover") {
+    // tokens a=10, b=10, c=100; budget = 100% of 120; cap = 2 epochs.
+    // Ascending visit: a takes min(20, 120/3)=20; b min(20, 100/2)=20;
+    // c min(200, 80/1)=80 — the capped leftovers recycled into c's share.
+    def doc(id: Long, src: String, n: Int) = (id, src, ("x " * n).trim)
+    val d = Seq(doc(1, "a", 10), doc(2, "b", 10), doc(3, "c", 100))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.unimaxAllocation(d, budgetFactorPct = 100,
+        maxEpochs = 2)
+      .orderBy("source").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 10L, 20L, 2000000L, 166666L),
+      ("b", 10L, 20L, 2000000L, 166666L),
+      ("c", 100L, 80L, 800000L, 666666L)))
+    // allocation exhausts the budget when caps allow it
+    assert(got.map(_._3).sum == 120L)
+  }
+
   test("hash sample is deterministic and invariant under repartitioning") {
     val a = Sampling.hashSample(docs, "doc_id", 10).select("doc_id")
       .as[Long].collect().toSet
