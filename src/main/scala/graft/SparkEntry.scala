@@ -406,6 +406,45 @@ object SparkEntry {
   /** Shared by q201 (exact blocked tier) and q210 (IVF tier with every
     * cell probed — complete candidates, hence tier-equivalent census).
     */
+  /** Shared by q235 (inline) and q238 (persisted index): the stored codes
+    * table is signCodes64's own output, so the two tiers are bit-equal
+    * over the same corpus and share this oracle verbatim (the q37/q77
+    * tier-equivalence discipline).
+    */
+  private lazy val binaryQuantOracleSql: String =
+    """WITH q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      |    FROM embeddings WHERE vec_id % 101 = 0),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS ae FROM embeddings),
+      |cc AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(1, 33), i ->
+      |      CASE WHEN ae[i] >= 0 THEN 1::BIGINT << CAST(i - 1 AS INTEGER)
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(range(33, 65), i ->
+      |      CASE WHEN ae[i] >= 0 THEN 1::BIGINT << CAST(i - 33 AS INTEGER)
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS hi
+      |  FROM v),
+      |qc AS (SELECT qid, lo AS qlo, hi AS qhi
+      |  FROM cc JOIN q0 ON cc.vec_id = q0.qid),
+      |ham AS (SELECT qid, cc.vec_id,
+      |    CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS INTEGER)
+      |      AS hamming
+      |  FROM cc, qc WHERE cc.vec_id <> qid),
+      |short AS (SELECT qid, vec_id, hamming,
+      |    row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS hr
+      |  FROM ham),
+      |rr AS (SELECT s.qid, s.vec_id, s.hamming,
+      |    round(list_sum(list_transform(range(1, 65), i -> ae[i] * qe[i]))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> ae[i] * ae[i])))
+      |         * sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))),
+      |      6) AS sim
+      |  FROM short s JOIN v ON v.vec_id = s.vec_id JOIN q0 ON q0.qid = s.qid
+      |  WHERE s.hr <= 40),
+      |rk AS (SELECT qid, vec_id, hamming, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      |  FROM rr)
+      |SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank, vec_id, hamming, sim
+      |FROM rk WHERE rnk <= 10""".stripMargin
+
   private lazy val mutualKnnCensusOracleSql: String =
     s"""WITH RECURSIVE $mutualKnnClusterCtesSql,
        |sz AS (SELECT rep, count(*) AS component_size FROM cl GROUP BY rep)
@@ -3134,6 +3173,17 @@ object SparkEntry {
             graft.functions.tokenCount(col("text")).cast("long").as("n_toks")),
           "n_toks", capacity = 256),
         capacity = 256)),
+    "q238_binary_quant_indexed" -> ((s, d) => {
+      // the PERSISTED binary-quant tier: the Hamming lane scans the
+      // stored 24-byte/vector codes table in place; per-row codes have no
+      // trained state, so the tier is bit-equal to q235's inline compute
+      // (same oracle — the q37/q77 discipline)
+      val path = s"/tmp/graft_binq/${tagFor(d)}"
+      val emb = T(s, d, "embeddings")
+      Similarity.ensureBinaryQuantIndex(emb, path)
+      Similarity.binaryQuantTopKIndexed(s, path,
+        emb.filter(col("vec_id") % 101 === 0), shortlist = 40, k = 10)
+    }),
     "q237_unimax_allocation" -> ((s, d) =>
       // UniMax waterfill (Chung et al. 2023): equal budget share per
       // source capped at 2 epochs, capped leftovers recycle into the
@@ -5762,39 +5812,8 @@ object SparkEntry {
         |  round(CAST(sum(n) AS DOUBLE) * 8.0
         |    / (SELECT CAST(sum(n) AS DOUBLE) FROM t), 6) AS balance_ratio
         |FROM a GROUP BY 1""".stripMargin,
-    "q235_binary_quant_topk" ->
-      """WITH q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-        |    FROM embeddings WHERE vec_id % 101 = 0),
-        |v AS (SELECT vec_id, embedding::DOUBLE[] AS ae FROM embeddings),
-        |cc AS (SELECT vec_id,
-        |    CAST(list_sum(list_transform(range(1, 33), i ->
-        |      CASE WHEN ae[i] >= 0 THEN 1::BIGINT << CAST(i - 1 AS INTEGER)
-        |           ELSE 0::BIGINT END)) AS BIGINT) AS lo,
-        |    CAST(list_sum(list_transform(range(33, 65), i ->
-        |      CASE WHEN ae[i] >= 0 THEN 1::BIGINT << CAST(i - 33 AS INTEGER)
-        |           ELSE 0::BIGINT END)) AS BIGINT) AS hi
-        |  FROM v),
-        |qc AS (SELECT qid, lo AS qlo, hi AS qhi
-        |  FROM cc JOIN q0 ON cc.vec_id = q0.qid),
-        |ham AS (SELECT qid, cc.vec_id,
-        |    CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS INTEGER)
-        |      AS hamming
-        |  FROM cc, qc WHERE cc.vec_id <> qid),
-        |short AS (SELECT qid, vec_id, hamming,
-        |    row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS hr
-        |  FROM ham),
-        |rr AS (SELECT s.qid, s.vec_id, s.hamming,
-        |    round(list_sum(list_transform(range(1, 65), i -> ae[i] * qe[i]))
-        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> ae[i] * ae[i])))
-        |         * sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))),
-        |      6) AS sim
-        |  FROM short s JOIN v ON v.vec_id = s.vec_id JOIN q0 ON q0.qid = s.qid
-        |  WHERE s.hr <= 40),
-        |rk AS (SELECT qid, vec_id, hamming, sim,
-        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
-        |  FROM rr)
-        |SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank, vec_id, hamming, sim
-        |FROM rk WHERE rnk <= 10""".stripMargin,
+    "q235_binary_quant_topk" -> binaryQuantOracleSql,
+    "q238_binary_quant_indexed" -> binaryQuantOracleSql,
     "q211_cluster_kfold" ->
       s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
          |edges AS (SELECT id_a AS src, id_b AS dst FROM jp

@@ -158,6 +158,28 @@ object Maintenance {
       rebuildRecommended = false)
   }
 
+  /** Binary-quant index: per-row state never skews (no cells, no trained
+    * codebook), so the only remedy is append-fragmentation compaction —
+    * both flat tables rewrite wholesale past the file threshold; search
+    * results are unchanged by construction (same rows, fewer files).
+    * Missing/not-yet-built index degrades to a no-op Report.
+    */
+  def maintainBinaryQuantIndex(spark: SparkSession, indexPath: String,
+                               maxFiles: Int = 64): Report = {
+    require(maxFiles > 0, "maxFiles must be > 0")
+    val files = math.max(parquetFileCount(spark, s"$indexPath/vectors"),
+      parquetFileCount(spark, s"$indexPath/codes"))
+    val doCompact = files > maxFiles
+    if (doCompact) Seq("vectors", "codes").foreach { sub =>
+      val t = spark.read.parquet(s"$indexPath/$sub").localCheckpoint()
+      try graft.io.IO.writeDir(t, s"$indexPath/$sub")
+      finally org.apache.spark.sql.graftbridge.ColumnBridge
+        .releaseLocalCheckpoint(t)
+    }
+    Report("binary_quant", files, maxFiles.toLong, doCompact, 0.0,
+      rebuildRecommended = false)
+  }
+
   /** Contamination fingerprint index: one bucketed table, same rule. */
   def maintainContaminationIndex(spark: SparkSession, name: String,
                                  path: String, numBuckets: Int = 32,

@@ -1926,21 +1926,34 @@ object Similarity {
     * and cosine ordering (Charikar's SRP bound with the identity basis);
     * `shortlist` is the recall dial.
     */
-  def binaryQuantTopK(emb: DataFrame, queries: DataFrame, shortlist: Int,
-                      k: Int, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+  /** Sign-bit codes for a 64-dim embedding relation: (id, lo, hi) — see
+    * [[binaryQuantTopK]] for the bit layout. Shared by the inline tier
+    * and the persisted index (the stored codes are exactly this relation,
+    * so the indexed tier is bit-equivalent by construction).
+    */
+  private def signCodes64(df: DataFrame, side: String, idCol: String,
+                          vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    def half(off: Int) =
+      aggregate(sequence(lit(1), lit(32)), lit(0L), (acc, i) =>
+        acc + when(element_at(v, (i + lit(off)).cast("int")) >= 0d,
+          call_function("shiftleft", lit(1L), (i - lit(1)).cast("int")))
+          .otherwise(lit(0L)))
+    df.select(col(idCol).as(s"__id$side"),
+      half(0).as(s"__lo$side"), half(32).as(s"__hi$side"))
+  }
+
+  /** Hamming-shortlist + cosine-re-rank core over an explicit codes
+    * relation (`__idc`, `__loc`, `__hic`) and its raw-vector relation —
+    * the shared engine of [[binaryQuantTopK]] (codes computed inline) and
+    * [[binaryQuantTopKIndexed]] (codes scanned from the stored index).
+    */
+  private def binaryQuantSearch(codes: DataFrame, vectors: DataFrame,
+                                queries: DataFrame, shortlist: Int, k: Int,
+                                idCol: String, vecCol: String): DataFrame = {
     require(shortlist >= k && k > 0, "need shortlist >= k > 0")
-    def codes(df: DataFrame, side: String) = {
-      val v = col(vecCol).cast("array<double>")
-      def half(off: Int) =
-        aggregate(sequence(lit(1), lit(32)), lit(0L), (acc, i) =>
-          acc + when(element_at(v, (i + lit(off)).cast("int")) >= 0d,
-            call_function("shiftleft", lit(1L), (i - lit(1)).cast("int")))
-            .otherwise(lit(0L)))
-      df.select(col(idCol).as(s"__id$side"),
-        half(0).as(s"__lo$side"), half(32).as(s"__hi$side"))
-    }
-    val ham = codes(emb, "c").crossJoin(broadcast(codes(queries, "q")))
+    val ham = codes
+      .crossJoin(broadcast(signCodes64(queries, "q", idCol, vecCol)))
       .filter(col("__idc") =!= col("__idq"))
       .select(col("__idq"), col("__idc"),
         (bit_count(col("__loc").bitwiseXOR(col("__loq"))) +
@@ -1950,7 +1963,7 @@ object Similarity {
       Seq(("hamming", false), ("__idc", false)), shortlist)
     // fetch-once re-rank: arrays appear only against the broadcast
     // shortlist, and are projected away before the final (tiny) rank cut
-    val vc = emb.select(col(idCol).as("__idc"),
+    val vc = vectors.select(col(idCol).as("__idc"),
       col(vecCol).cast("array<double>").as("__vc"))
     val vq = queries.select(col(idCol).as("__idq"),
       col(vecCol).cast("array<double>").as("__vq"))
@@ -1966,6 +1979,140 @@ object Similarity {
       .select(col("__idq").as("query_id"), col("rank"),
         col("__idc").as("vec_id"), col("hamming"), col("sim"))
   }
+
+  def binaryQuantTopK(emb: DataFrame, queries: DataFrame, shortlist: Int,
+                      k: Int, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame =
+    binaryQuantSearch(signCodes64(emb, "c", idCol, vecCol), emb, queries,
+      shortlist, k, idCol, vecCol)
+
+  // ------------------------------------------ persisted binary-quant index
+
+  /** Persisted binary-quantization index — the ANN family whose stored
+    * state is the 24-byte/vector sign-bit codes (what a 100 TB search
+    * actually scans) plus the raw vectors for the re-rank fetch:
+    *
+    *   - `<path>/codes` (idCol, lo, hi) — the Hamming scan lane;
+    *   - `<path>/vectors` (idCol, vecCol array<double>) — re-rank side,
+    *     self-contained so appends never touch the source table;
+    *   - `<path>/meta` (dim) — the code layout (64 dims → 2×32 bits).
+    *
+    * Codes are PER-ROW state (no trained codebook), so append is exact by
+    * construction — no recall drift, no retrain trigger; searches over
+    * build+append are bit-equal to a fresh build (pinned). Each append
+    * half is independently replay-guarded: vectors and codes both
+    * anti-join their own stored ids, so a crash between the two appends
+    * self-heals on replay (the missing half completes, the present half
+    * no-ops) — the guard structure ADVICE-r9 asked of the near-dup twin.
+    */
+  def buildBinaryQuantIndex(emb: DataFrame, path: String,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    graft.io.IO.writeDir(
+      emb.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol)),
+      s"$path/vectors")
+    graft.io.IO.writeDir(
+      signCodes64(spark.read.parquet(s"$path/vectors"), "c", idCol, vecCol)
+        .select(col("__idc").as(idCol), col("__loc").as("lo"),
+          col("__hic").as("hi")),
+      s"$path/codes")
+    spark.range(1).select(lit(64).as("dim"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/meta")
+  }
+
+  /** [[buildBinaryQuantIndex]] once per (session, path) — the
+    * [[ensureIvfPqIndex]] RuntimeConfig discipline.
+    */
+  def ensureBinaryQuantIndex(emb: DataFrame, path: String,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): Boolean =
+    Similarity.synchronized {
+      val conf = emb.sparkSession.conf
+      val key = s"graft.internal.binQuantBuilt.$path"
+      if (conf.getOption(key).isDefined) false
+      else {
+        buildBinaryQuantIndex(emb, path, idCol, vecCol)
+        conf.set(key, "true")
+        true
+      }
+    }
+
+  /** Append new vectors to the standing index — batch-cost (one code
+    * computation over the batch, two appends), exact by construction
+    * (per-row codes have no trained state to drift). Idempotent and
+    * crash-window self-healing: EACH half anti-joins its own stored ids,
+    * so replay completes whichever half is missing and no-ops the other.
+    */
+  def appendToBinaryQuantIndex(spark: org.apache.spark.sql.SparkSession,
+                               path: String, newEmb: DataFrame,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): Unit = {
+    val batch = newEmb
+      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .localCheckpoint()
+    try {
+      val freshV = batch.join(
+        spark.read.parquet(s"$path/vectors").select(col(idCol)),
+        Seq(idCol), "left_anti")
+      if (!freshV.isEmpty)
+        freshV.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$path/vectors")
+      val freshC = signCodes64(batch, "c", idCol, vecCol)
+        .select(col("__idc").as(idCol), col("__loc").as("lo"),
+          col("__hic").as("hi"))
+        .join(spark.read.parquet(s"$path/codes").select(col(idCol)),
+          Seq(idCol), "left_anti")
+      if (!freshC.isEmpty)
+        freshC.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$path/codes")
+    } finally org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(batch)
+  }
+
+  /** GDPR delete for the binary-quant index: per-row state erases
+    * EXACTLY — both tables rewrite without the ids (materialize-before-
+    * overwrite), searches over the survivors are bit-equal to a fresh
+    * build over them by construction. Absent ids are a no-op (no
+    * rewrite churn).
+    */
+  def deleteFromBinaryQuantIndex(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, deleteIds: DataFrame,
+                                 idCol: String = "vec_id"): Unit = {
+    val del = deleteIds.select(col(idCol)).distinct().localCheckpoint()
+    try {
+      val present = !spark.read.parquet(s"$path/vectors")
+        .join(broadcast(del), Seq(idCol), "left_semi").isEmpty
+      if (present) Seq("vectors", "codes").foreach { sub =>
+        val kept = spark.read.parquet(s"$path/$sub")
+          .join(broadcast(del), Seq(idCol), "left_anti")
+          .localCheckpoint()
+        try graft.io.IO.writeDir(kept, s"$path/$sub")
+        finally org.apache.spark.sql.graftbridge.ColumnBridge
+          .releaseLocalCheckpoint(kept)
+      }
+    } finally org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(del)
+  }
+
+  /** [[binaryQuantTopK]] over the STORED state: the Hamming lane scans
+    * the 24-byte/vector codes table in place (the raw corpus is touched
+    * only for the shortlist-sized re-rank fetch). Tier-equivalent to the
+    * inline tier over the same corpus — stored codes are
+    * [[signCodes64]]'s own output, so results are bit-equal (pinned).
+    */
+  def binaryQuantTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queries: DataFrame,
+                             shortlist: Int, k: Int,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame =
+    binaryQuantSearch(
+      spark.read.parquet(s"$path/codes")
+        .select(col(idCol).as("__idc"), col("lo").as("__loc"),
+          col("hi").as("__hic")),
+      spark.read.parquet(s"$path/vectors"), queries, shortlist, k,
+      idCol, vecCol)
 
   def mutualKnnPairs(emb: DataFrame, k: Int, blocks: Int = 32,
                      idCol: String = "vec_id",

@@ -145,6 +145,26 @@ class MaintenanceSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("binary-quant: fragmented tables compact, search unchanged, quiet untouched") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val path = tmp("binq")
+    Similarity.buildBinaryQuantIndex(emb.filter(col("vec_id") < 300), path)
+    Seq((300, 400), (400, 500)).foreach { case (lo, hi) =>
+      Similarity.appendToBinaryQuantIndex(spark, path,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi))
+    }
+    def search() = Similarity.binaryQuantTopKIndexed(spark, path,
+        emb.filter(col("vec_id") % 101 === 0), shortlist = 40, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val before = search()
+    val quiet = Maintenance.maintainBinaryQuantIndex(spark, path,
+      maxFiles = 10000)
+    assert(!quiet.compacted)
+    val r = Maintenance.maintainBinaryQuantIndex(spark, path, maxFiles = 2)
+    assert(r.compacted && r.files > r.fileThreshold, s"$r")
+    assert(search() == before && before.nonEmpty)
+  }
+
   test("missing / not-yet-built index: maintenance is a graceful no-op") {
     // a sweep over a partially-built index set must skip absent members
     // instead of throwing from spark.read on the missing dir
@@ -155,5 +175,7 @@ class MaintenanceSpec extends SparkSpec {
     assert(!ivf.compacted && !ivf.rebuildRecommended && ivf.files == 0L, s"$ivf")
     val kg = Maintenance.maintainKnnGraphIndex(spark, ghost)
     assert(!kg.compacted && kg.files == 0L, s"$kg")
+    val bq = Maintenance.maintainBinaryQuantIndex(spark, ghost)
+    assert(!bq.compacted && bq.files == 0L, s"$bq")
   }
 }

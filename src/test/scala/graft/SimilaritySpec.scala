@@ -1087,6 +1087,58 @@ class SimilaritySpec extends SparkSpec {
     assert(g.toSeq == e.toSeq)
   }
 
+  test("binary-quant index: build+append ≡ inline tier; replay and crash-window self-heal; delete exact") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val seed = emb.filter(col("vec_id") < 300)
+    val batch = emb.filter(col("vec_id") >= 300)
+    val queries = emb.filter(col("vec_id") % 101 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_binq").toString
+    def search() = Similarity
+      .binaryQuantTopKIndexed(spark, path, queries, shortlist = 40, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4))).toSet
+    Similarity.buildBinaryQuantIndex(seed, path)
+    Similarity.appendToBinaryQuantIndex(spark, path, batch)
+    // per-row codes: the grown index is bit-equal to the inline tier
+    val inline = Similarity.binaryQuantTopK(emb, queries, 40, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4))).toSet
+    val grown = search()
+    assert(grown == inline && grown.nonEmpty)
+    def counts() = (spark.read.parquet(s"$path/vectors").count(),
+      spark.read.parquet(s"$path/codes").count())
+    val before = counts()
+    // replay: both halves anti-join their own stored ids — no growth
+    Similarity.appendToBinaryQuantIndex(spark, path, batch)
+    assert(counts() == before && search() == inline)
+    // crash window: vectors landed, codes didn't — recreate by scrubbing
+    // the batch's code rows, then replay: the missing half completes,
+    // the present half no-ops
+    val seedCodes = spark.read.parquet(s"$path/codes")
+      .join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    graft.io.IO.writeDir(seedCodes, s"$path/codes")
+    Similarity.appendToBinaryQuantIndex(spark, path, batch)
+    assert(counts() == before && search() == inline)
+    // GDPR delete ≡ fresh build over the survivors; absent-id no-op
+    val delIds = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+    Similarity.deleteFromBinaryQuantIndex(spark, path, delIds)
+    val survivors = emb.join(delIds, Seq("vec_id"), "left_anti")
+    val q2 = queries.join(delIds, Seq("vec_id"), "left_anti")
+    val fresh2 = Similarity.binaryQuantTopK(survivors, q2, 40, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4))).toSet
+    val afterDel = Similarity
+      .binaryQuantTopKIndexed(spark, path, q2, shortlist = 40, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4))).toSet
+    assert(afterDel == fresh2 && afterDel.nonEmpty)
+    val cBefore = counts()
+    Similarity.deleteFromBinaryQuantIndex(spark, path, delIds)
+    assert(counts() == cBefore)
+  }
+
   test("binaryQuantTopK Hamming counts sign disagreements in both halves") {
     // query 0 = all-positive. Vector 1 flips dims 1,2 (lo half → hamming
     // 2); vector 2 flips dim 40 (hi half → hamming 1); vector 3 agrees
