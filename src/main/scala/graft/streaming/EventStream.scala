@@ -645,6 +645,7 @@ object EventStream {
       ndName: String, contamName: String,
       bm25Name: String, bm25Path: String,
       ivfPath: Option[String] = None,
+      binQuantPath: Option[String] = None,
       idCol: String = "doc_id", textCol: String = "text",
       vecCol: String = "embedding",
       shingleK: Int = 2, numPerm: Int = 64, bands: Int = 16,
@@ -666,8 +667,8 @@ object EventStream {
     *      concerns compose");
     *   3. APPEND the kept docs to all standing indexes — near-dup
     *      signatures, contamination fingerprints, BM25 postings, and
-    *      (when embeddings ride the batch) IVF-PQ codes — so the NEXT
-    *      batch dedups against them too;
+    *      (when embeddings ride the batch) IVF-PQ and binary-quant
+    *      codes — so the NEXT batch dedups against them too;
     *   4. EMIT the kept docs to `dest`.
     *
     * Batch-cost throughout: every probe is index-bucket-pruned, every
@@ -718,6 +719,10 @@ object EventStream {
           ix.bm25Path, kept, ix.idCol, ix.textCol)
         ix.ivfPath.foreach { p =>
           graft.ops.Similarity.appendToIvfPqIndex(spark, p,
+            kept.select(col(ix.idCol), col(ix.vecCol)), ix.idCol, ix.vecCol)
+        }
+        ix.binQuantPath.foreach { p =>
+          graft.ops.Similarity.appendToBinaryQuantIndex(spark, p,
             kept.select(col(ix.idCol), col(ix.vecCol)), ix.idCol, ix.vecCol)
         }
         // 4. emit the survivors

@@ -671,8 +671,11 @@ class StreamingSpec extends SparkSpec {
         s"$root/bm")
       graft.ops.Similarity.buildIvfPqIndex(seedEmb, cellCentroids,
         codebook, s"$root/ivf", m = 4, idCol = "doc_id")
+      graft.ops.Similarity.buildBinaryQuantIndex(seedEmb, s"$root/bq",
+        idCol = "doc_id")
       (EventStream.IngestIndexes(s"cap_nd_$tag", s"cap_ct_$tag",
         s"cap_bm_$tag", s"$root/bm", ivfPath = Some(s"$root/ivf"),
+        binQuantPath = Some(s"$root/bq"),
         shingleK = 2, numPerm = 32, bands = 8), s"$root/kept")
     }
     def indexState(ix: EventStream.IngestIndexes) = (
@@ -683,7 +686,8 @@ class StreamingSpec extends SparkSpec {
       spark.table(s"${ix.bm25Name}_postings").collect().toSet,
       spark.table(s"${ix.bm25Name}_meta").collect().toSeq,
       spark.read.parquet(s"${ix.ivfPath.get}/codes")
-        .select("doc_id", "cell_id").collect().toSet)
+        .select("doc_id", "cell_id").collect().toSet,
+      spark.read.parquet(s"${ix.binQuantPath.get}/codes").collect().toSet)
     def keptIds(dest: String) = spark.read.parquet(dest)
       .select("doc_id").as[Long].collect().toSet
     // A: two micro-batches through the loop
