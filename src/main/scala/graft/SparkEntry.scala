@@ -3173,6 +3173,20 @@ object SparkEntry {
             graft.functions.tokenCount(col("text")).cast("long").as("n_toks")),
           "n_toks", capacity = 256),
         capacity = 256)),
+    "q239_batch_assembly" -> ((s, d) =>
+      // capstone v8 — pretraining batch assembly end-to-end from the
+      // round's ops: UniMax waterfill (90% budget, 1-epoch cap) → per-
+      // source keep_ppm gate on the portable hash → snake-shard the
+      // survivors by token count → per-shard balance census. ONE oracle
+      // row chains recursive-CTE waterfill + gate + distributed rank.
+      Packing.shardCensus(
+        Packing.snakeShardAssign(
+          Sampling.unimaxSample(T(s, d, "documents"),
+            budgetFactorPct = 90, maxEpochs = 1)
+            .select(col("doc_id"),
+              graft.functions.tokenCount(col("text")).cast("long")
+                .as("n_toks")),
+          "n_toks", nShards = 8), nShards = 8)),
     "q238_binary_quant_indexed" -> ((s, d) => {
       // the PERSISTED binary-quant tier: the Hamming lane scans the
       // stored 24-byte/vector codes table in place; per-row codes have no
@@ -5771,6 +5785,45 @@ object SparkEntry {
         |  round(CAST(sum(least((seq_id + 1) * 256, st + n)
         |    - greatest(seq_id * 256, st)) AS DOUBLE) / 256.0, 6) AS fill_ratio
         |FROM x GROUP BY 1""".stripMargin,
+    "q239_batch_assembly" ->
+      s"""WITH RECURSIVE t AS (SELECT source,
+         |    CAST(sum(len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'),
+         |      x -> len(x) > 0))) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |o AS (SELECT source, n,
+         |    CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS i FROM t),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(n) AS BIGINT) * 90 // 100 AS budget FROM t),
+         |w(i, k, budget, rem, source, n, alloc) AS (
+         |  SELECT CAST(0 AS BIGINT), k, budget, budget, CAST(NULL AS VARCHAR),
+         |      CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM c
+         |  UNION ALL
+         |  SELECT o.i, w.k, w.budget,
+         |    w.rem - least(o.n * 1, w.rem // (w.k - w.i)),
+         |    o.source, o.n,
+         |    least(o.n * 1, w.rem // (w.k - w.i))
+         |  FROM w JOIN o ON o.i = w.i + 1),
+         |rates AS (SELECT source,
+         |    least(1000000, CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE 1000000 * alloc // n END) AS ppm
+         |  FROM w WHERE i > 0),
+         |dd AS (SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'),
+         |      x -> len(x) > 0)) AS BIGINT) AS n
+         |  FROM documents),
+         |kept AS (SELECT doc_id, dd.n FROM dd JOIN rates USING (source)
+         |  WHERE (${hash31Sql("CAST(doc_id AS VARCHAR)")}) % 1000000 < ppm),
+         |r AS (SELECT doc_id, n,
+         |    row_number() OVER (ORDER BY n DESC, doc_id) - 1 AS rk FROM kept),
+         |a AS (SELECT n,
+         |    CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - (rk % 8) END AS shard
+         |  FROM r)
+         |SELECT CAST(shard AS INTEGER) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(n) AS DOUBLE) * 8.0
+         |    / (SELECT CAST(sum(n) AS DOUBLE) FROM kept), 6) AS balance_ratio
+         |FROM a GROUP BY 1""".stripMargin,
     "q237_unimax_allocation" ->
       """WITH RECURSIVE t AS (SELECT source,
         |    CAST(sum(len(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),

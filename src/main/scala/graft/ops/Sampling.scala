@@ -477,6 +477,25 @@ object Sampling {
       "epochs_ppm", "weight_ppm")
   }
 
+  /** UniMax-gated corpus selection: each source keeps
+    * `min(epochs_ppm, 10^6)` of its docs — the [[unimaxAllocation]]
+    * waterfill turned into a per-source keep rate on the portable doc-id
+    * hash ([[mixtureGate]], so an independent engine draws the identical
+    * row set). The gate SELECTS rather than repeats, so rates cap at one
+    * pass; allocations above 1 epoch are [[repeatEpochs]]' territory.
+    */
+  def unimaxSample(docs: DataFrame, srcCol: String = "source",
+                   textCol: String = "text", idCol: String = "doc_id",
+                   budgetFactorPct: Int = 90,
+                   maxEpochs: Int = 1): DataFrame = {
+    val rates = unimaxAllocation(docs, srcCol, textCol, budgetFactorPct,
+        maxEpochs)
+      .select(col("source"),
+        least(col("epochs_ppm"), lit(1000000L)).as("__ppm"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    mixtureGate(docs, rates, srcCol, idCol)
+  }
+
   // ------------------------------------------- leakage-safe train splits
 
   /** Per-split label from the portable hash: first `trainPct` buckets →
