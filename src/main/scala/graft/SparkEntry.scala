@@ -3173,6 +3173,15 @@ object SparkEntry {
             graft.functions.tokenCount(col("text")).cast("long").as("n_toks")),
           "n_toks", capacity = 256),
         capacity = 256)),
+    "q240_cdc_chunks" -> ((s, d) =>
+      // content-defined chunking: boundaries where the portable token
+      // hash ≡ 0 mod 16, so chunk hashes survive head insertions (the
+      // shift-robustness fixed-stride q95 cannot give — pinned in
+      // TextAnalysisSpec); the chunker is a map-only codegen'd fold,
+      // nothing corpus-sized shuffles before this output-sized projection
+      TextAnalysis.cdcChunks(T(s, d, "documents"), divisor = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5Hash31(col("chunk_text")).as("chunk_hash"))),
     "q239_batch_assembly" -> ((s, d) =>
       // capstone v8 — pretraining batch assembly end-to-end from the
       // round's ops: UniMax waterfill (90% budget, 1-epoch cap) → per-
@@ -5785,6 +5794,26 @@ object SparkEntry {
         |  round(CAST(sum(least((seq_id + 1) * 256, st + n)
         |    - greatest(seq_id * 256, st)) AS DOUBLE) / 256.0, 6) AS fill_ratio
         |FROM x GROUP BY 1""".stripMargin,
+    "q240_cdc_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |p AS (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+         |      i -> struct_pack(pos := i, tok := t[i]))) AS s
+         |  FROM toks WHERE len(t) > 0),
+         |e AS (SELECT doc_id, s.pos AS pos, s.tok AS tok,
+         |    CASE WHEN (${hash31Sql("s.tok")}) % 16 = 0 THEN 1 ELSE 0 END AS b
+         |  FROM p),
+         |cid AS (SELECT doc_id, pos, tok,
+         |    CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS chunk_idx
+         |  FROM e),
+         |ch AS (SELECT doc_id, chunk_idx,
+         |    CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+         |    string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+         |  FROM cid GROUP BY 1, 2)
+         |SELECT doc_id, chunk_idx, n_chunk_tokens,
+         |  (${hash31Sql("chunk_text")}) AS chunk_hash
+         |FROM ch""".stripMargin,
     "q239_batch_assembly" ->
       s"""WITH RECURSIVE t AS (SELECT source,
          |    CAST(sum(len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'),

@@ -382,6 +382,48 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Content-defined chunking (the Rabin/FastCDC family, applied at token
+    * granularity): a chunk ends AT every token whose portable hash is
+    * ≡ 0 mod `divisor` — boundaries depend on content, not position, so
+    * an insertion near the head of a document perturbs only the chunk it
+    * lands in and every later chunk hash survives verbatim (the
+    * shift-robustness fixed-stride [[chunkDocuments]] cannot give, and
+    * the reason storage and dedup systems pay for CDC). Expected chunk
+    * length ≈ `divisor` tokens.
+    *
+    * Scale shape: the chunker is a single codegen'd `aggregate` fold over
+    * each doc's token array — MAP-ONLY, no explode of the corpus to token
+    * rows, no per-doc window, nothing shuffles until the caller
+    * aggregates chunks. Output matches [[chunkDocuments]]'s schema so the
+    * two tier into the same downstream dedup.
+    */
+  def cdcChunks(docs: DataFrame, divisor: Int = 16,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(divisor > 0, "divisor must be positive")
+    def done(acc: Column) = acc.getField("done")
+    def cur(acc: Column) = acc.getField("cur")
+    val folded = aggregate(
+      tokens(col(textCol)),
+      struct(array().cast("array<string>").as("done"), lit("").as("cur")),
+      (acc, tok) => {
+        val grown = when(cur(acc) === "", tok)
+          .otherwise(concat(cur(acc), lit(" "), tok))
+        when(graft.functions.md5Hash31(tok) % divisor === 0,
+          struct(array_append(done(acc), grown).as("done"),
+            lit("").as("cur")))
+          .otherwise(struct(done(acc).as("done"), grown.as("cur")))
+      },
+      acc => when(cur(acc) === "", done(acc))
+        .otherwise(array_append(done(acc), cur(acc))))
+    docs
+      .select(col(idCol), posexplode(folded).as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        size_(split(col("chunk_text"), " ")).cast("long")
+          .as("n_chunk_tokens"),
+        col("chunk_text"))
+  }
+
   // alias: `size` the function vs `size` the parameter name above
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 

@@ -123,6 +123,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got((3L, 0)) == ((4, "a b c d")))
   }
 
+  test("cdcChunks: content-defined boundaries are shift-robust; chunks partition the tokens") {
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    def chunks(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.cdcChunks(d, divisor = 16)
+    // chunks partition the token stream: counts conserve, indexes dense
+    val base = chunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tokTotals = docs
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val perDoc = base.groupBy(_._1)
+    perDoc.foreach { case (id, cs) =>
+      assert(cs.map(_._3).sum == tokTotals(id), s"doc $id token conservation")
+      assert(cs.map(_._2).sorted.toSeq == cs.indices.map(_.toLong), s"doc $id dense idx")
+    }
+    // the CDC property: prepend one token → only chunk 0 changes; every
+    // chunk AFTER the first boundary keeps its text (and hash) verbatim.
+    // (Fixed-stride chunking shifts every window — that's q95's tier.)
+    val shifted = chunks(docs.withColumn("text",
+      concat(lit("zzprefix "), col("text")))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val shiftedByDoc = shifted.groupBy(_._1)
+    perDoc.foreach { case (id, cs) =>
+      if (cs.length > 1) { // docs with at least one boundary
+        val origTail = cs.filter(_._2 >= 1L).map(c => (c._2, c._4)).toSet
+        val newTail = shiftedByDoc(id).filter(_._2 >= 1L)
+          .map(c => (c._2, c._3)).toSet
+        assert(newTail == origTail, s"doc $id tail chunks not shift-stable")
+      }
+    }
+    assert(perDoc.exists(_._2.length > 1), "fixture never hit a boundary")
+  }
+
   test("text cleaning: html stripped, email/url redacted, whitespace collapsed") {
     val got = Seq(
       "Contact <b>us</b> at  bob.smith+x@example.co.uk   today",
