@@ -3173,6 +3173,19 @@ object SparkEntry {
             graft.functions.tokenCount(col("text")).cast("long").as("n_toks")),
           "n_toks", capacity = 256),
         capacity = 256)),
+    "q241_cdc_dup_chunks" -> ((s, d) =>
+      // the CDC payoff query: duplicated content found at content-defined
+      // boundaries — a chunk shared by ≥2 docs is a real cross-doc
+      // repeat even when surrounding edits shifted its position (q134's
+      // fixed-grid tier misses shifted repeats); id-only aggregate over
+      // the map-only chunker, text never shuffles
+      TextAnalysis.cdcChunks(T(s, d, "documents"), divisor = 16)
+        .groupBy(md5Hash31(col("chunk_text")).as("chunk_hash"),
+          col("n_chunk_tokens"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)),
     "q240_cdc_chunks" -> ((s, d) =>
       // content-defined chunking: boundaries where the portable token
       // hash ≡ 0 mod 16, so chunk hashes survive head insertions (the
@@ -5794,6 +5807,29 @@ object SparkEntry {
         |  round(CAST(sum(least((seq_id + 1) * 256, st + n)
         |    - greatest(seq_id * 256, st)) AS DOUBLE) / 256.0, 6) AS fill_ratio
         |FROM x GROUP BY 1""".stripMargin,
+    "q241_cdc_dup_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |p AS (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+         |      i -> struct_pack(pos := i, tok := t[i]))) AS s
+         |  FROM toks WHERE len(t) > 0),
+         |e AS (SELECT doc_id, s.pos AS pos, s.tok AS tok,
+         |    CASE WHEN (${hash31Sql("s.tok")}) % 16 = 0 THEN 1 ELSE 0 END AS b
+         |  FROM p),
+         |cid AS (SELECT doc_id, pos, tok,
+         |    CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS chunk_idx
+         |  FROM e),
+         |ch AS (SELECT doc_id, chunk_idx,
+         |    CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+         |    string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+         |  FROM cid GROUP BY 1, 2)
+         |SELECT (${hash31Sql("chunk_text")}) AS chunk_hash, n_chunk_tokens,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  min(doc_id) AS first_doc
+         |FROM ch GROUP BY 1, 2
+         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "q240_cdc_chunks" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |p AS (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
