@@ -3237,6 +3237,27 @@ object SparkEntry {
           T(s, d, "documents").select(col("doc_id"),
             graft.functions.tokenCount(col("text")).cast("long").as("n_toks")),
           "n_toks", nShards = 8), nShards = 8)),
+    "q242_quality_roc_report" -> ((s, d) =>
+      // threshold-free report card for the frozen quality logistic vs the
+      // is-English proxy label: tie-corrected rank-sum AUC (integer 2U
+      // until one final division), Gini from the same integer numerator,
+      // tie-block average precision (nano-snapped terms), best-F1
+      // operating point — all off ONE bounded distinct-score relation
+      TextAnalysis.rocPrReport(
+        TextAnalysis.qualityLogistic(T(s, d, "documents"),
+            carryCols = Seq("lang"))
+          .withColumn("is_en", (col("lang") === "en").cast("int")),
+        "quality_prob", "is_en")),
+    "q243_quality_pr_curve" -> ((s, d) =>
+      // every achievable operating point of the quality filter: one row
+      // per distinct round-6 score (bounded domain, never corpus-sized)
+      // with confusion counts + precision/recall/F1 — the table the
+      // curation team reads to pick the keep threshold
+      TextAnalysis.prCurve(
+        TextAnalysis.qualityLogistic(T(s, d, "documents"),
+            carryCols = Seq("lang"))
+          .withColumn("is_en", (col("lang") === "en").cast("int")),
+        "quality_prob", "is_en")),
     "q235_binary_quant_topk" -> ((s, d) => {
       // sign-bit binary-quantization ANN: 64 dims → two 32-bit codes
       // (24 bytes/vector on the wire, ~20× under the float64 array),
@@ -5747,6 +5768,35 @@ object SparkEntry {
          |SELECT bucket, n_docs, mean_prob, pos_rate,
          |  round(abs(mean_prob - pos_rate), 6) AS calib_gap
          |FROM g""".stripMargin,
+    "q242_quality_roc_report" ->
+      s"""WITH $qualityScoreCurveSql,
+         |a AS (SELECT
+         |    CAST(sum(np * (2 * (t.neg - fp) + nn)) AS BIGINT) AS u2,
+         |    CAST(sum(CAST(round(1e9 * np * tp / (tp + fp)) AS BIGINT))
+         |      AS BIGINT) AS apn
+         |  FROM c CROSS JOIN t),
+         |b AS (SELECT round(2.0 * tp / (tp + fp + t.pos), 6) AS f1,
+         |    threshold
+         |  FROM c CROSS JOIN t ORDER BY f1 DESC, threshold DESC LIMIT 1)
+         |SELECT t.pos AS n_pos, t.neg AS n_neg,
+         |  CASE WHEN t.pos > 0 AND t.neg > 0
+         |    THEN round(u2 / (2.0 * t.pos * t.neg), 6) END AS auc,
+         |  CASE WHEN t.pos > 0 AND t.neg > 0
+         |    THEN round(CAST(u2 - t.pos * t.neg AS DOUBLE) /
+         |               CAST(t.pos * t.neg AS DOUBLE), 6) END AS gini,
+         |  CASE WHEN t.pos > 0
+         |    THEN round(apn / (1e9 * t.pos), 6) END AS avg_precision,
+         |  b.f1 AS best_f1, b.threshold AS best_f1_threshold
+         |FROM t CROSS JOIN a CROSS JOIN b""".stripMargin,
+    "q243_quality_pr_curve" ->
+      s"""WITH $qualityScoreCurveSql
+         |SELECT threshold, np AS n_pos, nn AS n_neg,
+         |  tp + fp AS n_pred, tp,
+         |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS "precision",
+         |  CASE WHEN t.pos > 0
+         |    THEN round(CAST(tp AS DOUBLE) / t.pos, 6) END AS recall,
+         |  round(2.0 * tp / (tp + fp + t.pos), 6) AS f1
+         |FROM c CROSS JOIN t""".stripMargin,
     "q232_dedup_threshold_sweep" -> {
       def lane(tag: String, t: String) =
         s"""jp$tag AS (SELECT id_a, id_b FROM jp WHERE jaccard_sim >= $t),
@@ -6655,4 +6705,30 @@ object SparkEntry {
        |FROM $src""".stripMargin
 
   private lazy val qualityFeaturesSql: String = qualityFeaturesSqlFrom("documents")
+
+  /** Shared CTE chain for q242/q243 mirroring TextAnalysis.scoreCurve over
+    * the frozen quality logistic: distinct round-6 score groups (g) with
+    * descending-cumulative confusion counts (c) and class totals (t). The
+    * cumulative window runs over the bounded distinct-score relation only.
+    */
+  private lazy val qualityScoreCurveSql: String =
+    s"""f AS ($qualityFeaturesSql),
+       |s AS (SELECT doc_id,
+       |    round(1.0 / (1.0 + exp(-(-2.0 + 0.45 * ln(1.0 + n_tokens)
+       |      + 3.0 * stopword_ratio + 0.15 * mean_token_len
+       |      - 8.0 * punct_ratio))), 6) AS p
+       |  FROM f),
+       |j AS (SELECT p, CAST(d.lang = 'en' AS BIGINT) AS y
+       |  FROM s JOIN documents d ON s.doc_id = d.doc_id),
+       |g AS (SELECT p AS threshold, CAST(sum(y) AS BIGINT) AS np,
+       |    CAST(count(*) - sum(y) AS BIGINT) AS nn
+       |  FROM j GROUP BY p),
+       |c AS (SELECT threshold, np, nn,
+       |    CAST(sum(np) OVER (ORDER BY threshold DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+       |    CAST(sum(nn) OVER (ORDER BY threshold DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+       |  FROM g),
+       |t AS (SELECT CAST(sum(np) AS BIGINT) AS pos,
+       |    CAST(sum(nn) AS BIGINT) AS neg FROM g)""".stripMargin
 }

@@ -1643,4 +1643,110 @@ object TextAnalysis {
             (col("n_true") + col("n_pred")).cast("double"), 6))
           .otherwise(lit(0.0)).as("f1"))
   }
+
+  /** Distinct-score cumulative relation shared by [[rocPrReport]] and
+    * [[prCurve]] — per distinct predicted score (already rounded to 6 by
+    * [[qualityLogistic]], so the domain is ≤ 10⁶+1 values by
+    * construction): positive/negative support at that exact score, plus
+    * cumulative TP/FP counting every row scored AT OR ABOVE it (the
+    * "predict positive at threshold = score" confusion counts). The
+    * per-score aggregate is partial-combined and corpus-sized work stops
+    * there; the unpartitioned cumulative window runs over the BOUNDED
+    * distinct-score relation only (the q233 `__t` discipline — never the
+    * corpus). Ties share one row, so every downstream metric is
+    * tie-block deterministic with no per-row ordering ambiguity.
+    */
+  private[graft] def scoreCurve(scored: DataFrame, probCol: String,
+                                labelCol: String): DataFrame = {
+    val g = scored
+      .select(col(probCol).as("threshold"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("threshold"))
+      .agg(sum(col("__y")).as("n_pos"),
+        (count(lit(1)) - sum(col("__y"))).as("n_neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    g.withColumn("tp", sum(col("n_pos")).over(w))
+      .withColumn("fp", sum(col("n_neg")).over(w))
+  }
+
+  /** Threshold-free classifier report card — ROC-AUC, Gini, average
+    * precision, and the best-F1 operating point for a probabilistic
+    * scorer against a binary label, in ONE row: the eval that belongs
+    * next to [[calibrationBins]] whenever the frozen quality logistic
+    * (or any learned filter) is retrained. All metrics derive from the
+    * distinct-score cumulative relation ([[scoreCurve]]):
+    *
+    *  - AUC via the tie-corrected rank-sum identity (Mann–Whitney U,
+    *    Hanley–McNeil 1982, public): 2U = Σ_s n_pos(s)·(2·neg_below(s)
+    *    + n_neg(s)) — an exact INTEGER until the single final division,
+    *    so both engines agree bit-for-bit. Gini = (2U − P·N)/(P·N) from
+    *    the same integer numerator, never from the already-rounded AUC.
+    *  - Average precision with tie-BLOCK semantics (every positive in a
+    *    tied score block contributes that block's precision): each
+    *    block's n_pos·precision term snaps to a nano BIGINT immediately
+    *    (the [[sourceDivergence]] discipline) so the sum is order-free.
+    *  - Best F1 over thresholds via the integer identity 2·TP/(TP+FP+P);
+    *    rounded to 6 BEFORE the argmax, ties broken toward the LARGER
+    *    threshold (max-struct in both engines).
+    *
+    * Degenerate single-class inputs yield NULL metrics rather than an
+    * ANSI divide-by-zero. Integer exactness holds to ~3·10⁹ per class
+    * (P·N and the nano products stay in int64); past that swap the
+    * accumulators for DECIMAL, as [[graft.ops.Sampling.unimaxAllocation]]
+    * documents for its ppm products.
+    */
+  def rocPrReport(scored: DataFrame, probCol: String,
+                  labelCol: String): DataFrame = {
+    val curve = scoreCurve(scored, probCol, labelCol)
+    val tot = curve.agg(sum(col("n_pos")).as("__P"),
+      sum(col("n_neg")).as("__N"))
+    val f1 = round(lit(2.0) * col("tp").cast("double") /
+      (col("tp") + col("fp") + col("__P")).cast("double"), 6)
+    curve.crossJoin(broadcast(tot))
+      .agg(first(col("__P")).as("n_pos"), first(col("__N")).as("n_neg"),
+        sum(col("n_pos") * (lit(2L) * (col("__N") - col("fp")) +
+          col("n_neg"))).as("__u2"),
+        sum(round(lit(1e9) * col("n_pos").cast("double") *
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .cast("long")).as("__apn"),
+        max(struct(f1.as("__f1"), col("threshold"))).as("__bf"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("__u2") - col("n_pos") * col("n_neg")).cast("double") /
+            (col("n_pos") * col("n_neg")).cast("double"), 6)).as("gini"),
+        when(col("n_pos") > 0,
+          round(col("__apn").cast("double") / (lit(1e9) * col("n_pos")), 6))
+          .as("avg_precision"),
+        col("__bf.__f1").as("best_f1"),
+        col("__bf.threshold").as("best_f1_threshold"))
+  }
+
+  /** Precision–recall curve at every achievable operating point: one row
+    * per DISTINCT predicted score (threshold = "predict positive at
+    * score ≥ this"), with the confusion counts and round-6
+    * precision/recall/F1 — the table a curation team reads to pick the
+    * quality-filter cut, and the row-level view [[rocPrReport]] folds to
+    * one line. Output is bounded by the 6-decimal score domain, never
+    * corpus-sized; F1 uses the integer identity 2·TP/(TP+FP+P) so no
+    * already-rounded metric feeds another.
+    */
+  def prCurve(scored: DataFrame, probCol: String,
+              labelCol: String): DataFrame = {
+    val curve = scoreCurve(scored, probCol, labelCol)
+    val tot = curve.agg(sum(col("n_pos")).as("__P"))
+    curve.crossJoin(broadcast(tot))
+      .select(col("threshold"), col("n_pos"), col("n_neg"),
+        (col("tp") + col("fp")).as("n_pred"), col("tp"),
+        round(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"), 6).as("precision"),
+        when(col("__P") > 0, round(col("tp").cast("double") /
+          col("__P").cast("double"), 6)).as("recall"),
+        round(lit(2.0) * col("tp").cast("double") /
+          (col("tp") + col("fp") + col("__P")).cast("double"), 6).as("f1"))
+  }
 }

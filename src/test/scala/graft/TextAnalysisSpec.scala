@@ -634,4 +634,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1) == ((1L, 0.15, 0.0, 0.15)))
     assert(got(9) == ((3L, 0.976667, 0.666667, 0.31)))
   }
+
+  test("rocPrReport: hand-computed AUC/Gini/AP/best-F1 with tied scores") {
+    // P=3, N=4; U (pairwise, ties=0.5) = 8.5 -> AUC 17/24, Gini 5/12;
+    // tie-block AP = (1/2 + 2/3 + 1/2)/3; best F1 ties at 0.8 and 0.5 ->
+    // larger threshold wins
+    val scored = Seq(
+      (0.9, 1), (0.9, 0), (0.8, 1), (0.5, 0), (0.5, 1), (0.5, 0), (0.2, 0)
+    ).toDF("p", "y")
+    val r = TextAnalysis.rocPrReport(scored, "p", "y")
+      .select("n_pos", "n_neg", "auc", "gini", "avg_precision",
+        "best_f1", "best_f1_threshold")
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(r == ((3L, 4L, 0.708333, 0.416667, 0.555556, 0.666667, 0.8)))
+  }
+
+  test("rocPrReport: single-class input yields NULL rank metrics") {
+    val scored = Seq((0.9, 1), (0.2, 1)).toDF("p", "y")
+    val r = TextAnalysis.rocPrReport(scored, "p", "y").collect().head
+    assert(r.getAs[Long]("n_neg") == 0L)
+    assert(r.isNullAt(r.fieldIndex("auc")))
+    assert(r.isNullAt(r.fieldIndex("gini")))
+    assert(r.getAs[Double]("avg_precision") == 1.0)
+  }
+
+  test("prCurve: per-threshold confusion counts over tie blocks") {
+    val scored = Seq(
+      (0.9, 1), (0.9, 0), (0.8, 1), (0.5, 0), (0.5, 1), (0.5, 0), (0.2, 0)
+    ).toDF("p", "y")
+    val got = TextAnalysis.prCurve(scored, "p", "y")
+      .select("threshold", "n_pred", "tp", "precision", "recall", "f1")
+      .as[(Double, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.size == 4)
+    assert(got(0.9) == ((0.9, 2L, 1L, 0.5, 0.333333, 0.4)))
+    assert(got(0.8) == ((0.8, 3L, 2L, 0.666667, 0.666667, 0.666667)))
+    assert(got(0.5) == ((0.5, 6L, 3L, 0.5, 1.0, 0.666667)))
+    assert(got(0.2) == ((0.2, 7L, 3L, 0.428571, 1.0, 0.6)))
+  }
 }
