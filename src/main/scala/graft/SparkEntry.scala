@@ -3237,6 +3237,24 @@ object SparkEntry {
           T(s, d, "documents").select(col("doc_id"),
             graft.functions.tokenCount(col("text")).cast("long").as("n_toks")),
           "n_toks", nShards = 8), nShards = 8)),
+    "q244_ranksum_pairs" -> ((s, d) =>
+      // directional drift matrix: Mann–Whitney 2U between every source
+      // pair's length distributions — which side is stochastically
+      // larger, as an integer effect-size ppm (500000 = no shift); shares
+      // the KS matrix's pair-support core, corpus never rides the fan-out
+      Quantiles.rankSumPairs(T(s, d, "documents"), "source", "n_chars")),
+    "q245_psi_drift" -> ((s, d) => {
+      // scorecard-style drift monitor: per-event-type PSI of value-cents
+      // between the first days (reference) and the last 3 days (current)
+      // — ref-anchored integer bins, +1 smoothing over all 10 bins,
+      // nano-snapped log terms so the sum is order-free
+      val ev = Tables.events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        expr("unix_timestamp(date_trunc('DAY', ts)) DIV 86400").as("day"))
+      val split = ev.agg((max(col("day")) - lit(3L)).as("__split"))
+      Quantiles.psiByGroup(ev.crossJoin(broadcast(split)),
+        "event_type", "value_cents", col("day") < col("__split"))
+    }),
     "q242_quality_roc_report" -> ((s, d) =>
       // threshold-free report card for the frozen quality logistic vs the
       // is-English proxy label: tie-corrected rank-sum AUC (integer 2U
@@ -5768,6 +5786,70 @@ object SparkEntry {
          |SELECT bucket, n_docs, mean_prob, pos_rate,
          |  round(abs(mean_prob - pos_rate), 6) AS calib_gap
          |FROM g""".stripMargin,
+    "q244_ranksum_pairs" ->
+      """WITH c AS (SELECT source AS g, n_chars AS v,
+        |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY g, v),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY g),
+        |pr AS (SELECT a.g AS source_a, b.g AS source_b, a.n AS na,
+        |    b.n AS nb
+        |  FROM tot a JOIN tot b ON a.g < b.g),
+        |va AS (SELECT source_a, source_b, v, c AS ca FROM pr
+        |  JOIN c ON c.g = pr.source_a),
+        |vb AS (SELECT source_a, source_b, v, c AS cb FROM pr
+        |  JOIN c ON c.g = pr.source_b),
+        |mg AS (SELECT coalesce(va.source_a, vb.source_a) AS source_a,
+        |    coalesce(va.source_b, vb.source_b) AS source_b,
+        |    coalesce(va.v, vb.v) AS v,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM va FULL OUTER JOIN vb ON va.source_a = vb.source_a
+        |    AND va.source_b = vb.source_b AND va.v = vb.v),
+        |cum AS (SELECT source_a, source_b, ca, cb,
+        |    sum(cb) OVER (PARTITION BY source_a, source_b ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cumb
+        |  FROM mg),
+        |d AS (SELECT c2.source_a, c2.source_b, na, nb,
+        |    ca * (2 * cumb - cb) AS t
+        |  FROM cum c2 JOIN pr ON c2.source_a = pr.source_a
+        |    AND c2.source_b = pr.source_b)
+        |SELECT source_a, source_b, na AS n_a, nb AS n_b,
+        |  CAST(sum(t) AS BIGINT) AS u2,
+        |  CAST(1000000 * sum(t) // (2 * na * nb) AS BIGINT) AS auc_ppm
+        |FROM d GROUP BY source_a, source_b, na, nb""".stripMargin,
+    "q245_psi_drift" ->
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |sp AS (SELECT max(day) - 3 AS s FROM e),
+        |b AS (SELECT g, v, day < s AS r FROM e CROSS JOIN sp),
+        |ed AS (SELECT g, min(v) AS lo, max(v) AS hi FROM b WHERE r
+        |  GROUP BY g),
+        |bn AS (SELECT b.g, r,
+        |    CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+        |         ELSE (least(greatest(v, lo), hi) - lo) * 10
+        |              // (hi - lo + 1)
+        |    END AS bin
+        |  FROM b JOIN ed ON b.g = ed.g),
+        |c AS (SELECT g, bin,
+        |    CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        |  FROM bn GROUP BY g, bin),
+        |t AS (SELECT g, CAST(sum(cr) AS BIGINT) AS nr,
+        |    CAST(sum(cc) AS BIGINT) AS nc FROM c GROUP BY g),
+        |f AS (SELECT t.g, nr, nc, gs.bin,
+        |    coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+        |  FROM t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) gs
+        |  LEFT JOIN c ON c.g = t.g AND c.bin = gs.bin),
+        |n AS (SELECT g, nr, nc,
+        |    CAST(round((CAST(cc + 1 AS DOUBLE) / (nc + 10)
+        |        - CAST(cr + 1 AS DOUBLE) / (nr + 10))
+        |      * ln((CAST(cc + 1 AS DOUBLE) / (nc + 10))
+        |          / (CAST(cr + 1 AS DOUBLE) / (nr + 10)))
+        |      * 1e9) AS BIGINT) AS nano
+        |  FROM f)
+        |SELECT g AS event_type, nr AS n_ref, nc AS n_cur,
+        |  round(CAST(sum(nano) AS BIGINT) / 1e9, 6) AS psi
+        |FROM n GROUP BY g, nr, nc""".stripMargin,
     "q242_quality_roc_report" ->
       s"""WITH $qualityScoreCurveSql,
          |a AS (SELECT

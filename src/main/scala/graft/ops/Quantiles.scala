@@ -330,6 +330,29 @@ object Quantiles {
     */
   def ksStatisticPairs(df: DataFrame, groupCol: String,
                        valueCol: String): DataFrame = {
+    val (pairs, cum) = pairSupportCum(df, groupCol, valueCol)
+    cum
+      .join(broadcast(pairs), Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("__na"), col("__nb"),
+        abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na"))
+          .as("__d"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+        max(col("__d")).as("__dmax"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        expr("1000000 * __dmax DIV (n_a * n_b)").as("ks_ppm"))
+  }
+
+  /** Shared pair fan-out for the two-sample tests ([[ksStatisticPairs]],
+    * [[rankSumPairs]]): per-(group, value) counts joined onto every
+    * unordered group pair's merged support, with pair-keyed cumulative
+    * sums over the value order. Returns (pairs-with-totals, cum) where
+    * cum carries (source_a, source_b, __v, __ca, __cb, __cuma, __cumb).
+    * The corpus collapses to |support| rows per group BEFORE the pair
+    * fan-out; the windows run per pair over the merged support only.
+    */
+  private def pairSupportCum(df: DataFrame, groupCol: String,
+                             valueCol: String): (DataFrame, DataFrame) = {
     val counts = df
       .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
       .groupBy(col("__g"), col("__v"))
@@ -356,18 +379,100 @@ object Quantiles {
       .partitionBy(col("source_a"), col("source_b"))
       .orderBy(col("__v").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    merged
+    (pairs, merged
       .withColumn("__cuma", sum(col("__ca")).over(w))
-      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w)))
+  }
+
+  /** Pairwise Mann–Whitney rank-sum statistic between every two groups'
+    * value distributions — the DIRECTIONAL companion to the KS matrix:
+    * where KS reports the largest ECDF gap anywhere, the rank-sum
+    * reports which side is stochastically LARGER and by how much
+    * (Mann & Whitney 1947; the "probability of superiority" /
+    * common-language effect size). ENTIRELY integer: over each pair's
+    * merged support, 2U_a = Σ_v ca(v)·(2·cumb(v) − cb(v)) counts every
+    * (a, b) value pair twice for a > b and once for a tie — exact in
+    * BIGINT, no average-rank floats — and the effect size is
+    * auc_ppm = 10⁶·2U DIV (2·n_a·n_b): 500000 = no shift, 10⁶ = every
+    * a-value above every b-value. Same scale shape as
+    * [[ksStatisticPairs]] (shared [[pairSupportCum]] core): one count
+    * reduction, pair-keyed windows over the support, the corpus never
+    * rides the pair fan-out. Integer-exact while 10⁶·2U fits int64
+    * (n_a·n_b ≲ 4.6·10¹²); past that swap the accumulator for DECIMAL.
+    */
+  def rankSumPairs(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
+    val (pairs, cum) = pairSupportCum(df, groupCol, valueCol)
+    cum
       .join(broadcast(pairs), Seq("source_a", "source_b"))
       .select(col("source_a"), col("source_b"), col("__na"), col("__nb"),
-        abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na"))
-          .as("__d"))
+        (col("__ca") * (lit(2L) * col("__cumb") - col("__cb"))).as("__t"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
-        max(col("__d")).as("__dmax"))
+        sum(col("__t")).as("u2"))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
-        expr("1000000 * __dmax DIV (n_a * n_b)").as("ks_ppm"))
+        col("u2"), expr("1000000 * u2 DIV (2 * n_a * n_b)").as("auc_ppm"))
+  }
+
+  /** Population-Stability-Index drift per group — the scorecard-monitoring
+    * classic (banking model governance; same family as the KS monitor but
+    * mass-weighted over the WHOLE distribution, not the worst point):
+    * PSI = Σ_bins (q_i − p_i)·ln(q_i/p_i) between each group's reference
+    * rows (isRef true) and current rows. Bins are `bins` equal-width
+    * integer bins anchored on the REFERENCE min/max (current-side
+    * outliers clamp into the edge bins — integer clamp BEFORE the DIV so
+    * both engines bin identically); +1 Laplace smoothing over all `bins`
+    * bins (empty ones included) keeps every log finite. Each bin's term
+    * snaps to a nano BIGINT immediately (the sourceDivergence
+    * discipline) so the sum is order-free; PSI ≥ 0 always (each term's
+    * factors share sign). Groups with no reference rows have no bin
+    * edges and are dropped — a monitor needs a baseline.
+    *
+    * Scale shape: one scan → per-group min/max on the reference
+    * (#groups rows, broadcast back) → map-side binning → one
+    * (group × bins)-sized count aggregate; nothing corpus-sized
+    * shuffles after the first reduction. Rule of thumb: PSI < 0.1
+    * stable, 0.1–0.25 drifting, > 0.25 act.
+    */
+  def psiByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                 isRef: Column, bins: Int = 10): DataFrame = {
+    require(bins > 1, s"bins must be > 1: $bins")
+    val base = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("long").as("__v"), isRef.as("__r"))
+    val edges = base.filter(col("__r")).groupBy(col("__g"))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val binned = base.join(broadcast(edges), Seq("__g"))
+      .select(col("__g"), col("__r"),
+        least(greatest(col("__v"), col("__lo")), col("__hi")).as("__vc"),
+        col("__lo"), col("__hi"))
+      .select(col("__g"), col("__r"),
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(expr(s"(__vc - __lo) * $bins DIV (__hi - __lo + 1)"))
+          .as("__b"))
+    val counts = binned.groupBy(col("__g"), col("__b"))
+      .agg(sum(when(col("__r"), lit(1L)).otherwise(lit(0L))).as("__cr"),
+        sum(when(!col("__r"), lit(1L)).otherwise(lit(0L))).as("__cc"))
+    val totals = counts.groupBy(col("__g"))
+      .agg(sum(col("__cr")).as("__nr"), sum(col("__cc")).as("__nc"))
+    val full = totals
+      .select(col("__g"), col("__nr"), col("__nc"),
+        explode(sequence(lit(0L), lit((bins - 1).toLong))).as("__b"))
+      .join(counts, Seq("__g", "__b"), "left")
+      .select(col("__g"), col("__nr"), col("__nc"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+    val p = (col("__cr") + lit(1L)).cast("double") /
+      (col("__nr") + lit(bins.toLong)).cast("double")
+    val q = (col("__cc") + lit(1L)).cast("double") /
+      (col("__nc") + lit(bins.toLong)).cast("double")
+    full
+      .select(col("__g"), col("__nr"), col("__nc"),
+        round((q - p) * log(q / p) * lit(1e9)).cast("long").as("__nano"))
+      .groupBy(col("__g"))
+      .agg(first(col("__nr")).as("n_ref"), first(col("__nc")).as("n_cur"),
+        round(sum(col("__nano")).cast("double") / lit(1e9), 6).as("psi"))
+      .select(col("__g").as(groupCol), col("n_ref"), col("n_cur"),
+        col("psi"))
   }
 
   /** Two-relation KS from PRE-AGGREGATED (value, count) histograms — the

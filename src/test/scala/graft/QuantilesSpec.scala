@@ -192,4 +192,45 @@ class QuantilesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Double]("uniform_score")).toMap
     assert(aScores(4L) == 0.125 && aScores(2L) == 0.875)
   }
+
+  test("rankSumPairs: hand-computed 2U with ties; identical dists = 500000") {
+    // a = {5,5,3}, b = {5,2,2,1}: U_a = 2*3.5 + 3 = 10 -> u2 = 20,
+    // auc_ppm = 1e6*20 DIV 24 = 833333
+    val df = Seq(
+      ("a", 5L), ("a", 5L), ("a", 3L),
+      ("b", 5L), ("b", 2L), ("b", 2L), ("b", 1L),
+      ("c", 1L), ("c", 2L), ("c", 3L), ("d", 1L), ("d", 2L), ("d", 3L)
+    ).toDF("source", "n_chars")
+    val got = graft.ops.Quantiles.rankSumPairs(df, "source", "n_chars")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("u2"), r.getAs[Long]("auc_ppm")))).toMap
+    assert(got(("a", "b")) == ((3L, 4L, 20L, 833333L)))
+    // identical distributions: exactly the no-shift midpoint
+    assert(got(("c", "d")) == ((3L, 3L, 9L, 500000L)))
+    // every unordered pair appears exactly once, a < b
+    assert(got.keySet.forall { case (a, b) => a < b } && got.size == 6)
+  }
+
+  test("psiByGroup: 0 for identical dists, hand-computed clamp-shift; " +
+    "no-reference group dropped") {
+    val rows =
+      (0 to 9).map(v => ("same", v.toLong, true)) ++
+      (0 to 9).map(v => ("same", v.toLong, false)) ++
+      (0 to 9).map(v => ("shift", v.toLong, true)) ++
+      (0 to 9).map(v => ("shift", v.toLong + 100L, false)) ++ // clamp to bin 9
+      Seq(("norf", 1L, false))
+    val df = rows.toDF("source", "n_chars", "is_ref")
+    val got = graft.ops.Quantiles
+      .psiByGroup(df, "source", "n_chars", col("is_ref"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Double]("psi")))).toMap
+    assert(got.keySet == Set("same", "shift")) // no baseline -> no row
+    assert(got("same") == ((10L, 10L, 0.0)))
+    // bins 0..8: (1/20 - 2/20)*ln(0.5) each; bin 9: (11/20 - 2/20)*ln(5.5)
+    assert(got("shift") == ((10L, 10L, 1.079053)))
+  }
 }
