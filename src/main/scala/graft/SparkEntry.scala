@@ -3237,6 +3237,25 @@ object SparkEntry {
           T(s, d, "documents").select(col("doc_id"),
             graft.functions.tokenCount(col("text")).cast("long").as("n_toks")),
           "n_toks", nShards = 8), nShards = 8)),
+    "q246_kcore_customers" -> ((s, d) =>
+      // dense-subgraph mining: bounded-round k-core peel (k=16) over the
+      // customer–part purchase bipartite graph — who buys broadly from
+      // the broadly-bought; integer degree math, (id, id)-only shuffles,
+      // unrolled-layer oracle (the fixed-iterate pageRank contract)
+      Graph.kCore(
+        T(s, d, "lineitem")
+          .join(T(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("src"),
+            concat(lit("p:"), col("l_partkey")).as("dst")),
+        k = 16, rounds = 6)),
+    "q247_event_hits" -> ((s, d) =>
+      // hubs & authorities over the event-type transition graph: which
+      // event kinds FEED engagement (hubs) vs RECEIVE it (authorities) —
+      // 10 weighted HITS rounds, L1-normalized, round-6 every step, the
+      // oracle unrolls the identical iteration (q136's discipline)
+      Graph.hits(Graph.transitionEdges(T(s, d, "events")),
+        iterations = 10)),
     "q244_ranksum_pairs" -> ((s, d) =>
       // directional drift matrix: Mann–Whitney 2U between every source
       // pair's length distributions — which side is stochastically
@@ -5786,6 +5805,22 @@ object SparkEntry {
          |SELECT bucket, n_docs, mean_prob, pos_rate,
          |  round(abs(mean_prob - pos_rate), 6) AS calib_gap
          |FROM g""".stripMargin,
+    "q246_kcore_customers" ->
+      s"""WITH cp AS MATERIALIZED (SELECT DISTINCT
+         |    'c:' || o_custkey AS a, 'p:' || l_partkey AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e0 AS MATERIALIZED (SELECT a, b FROM cp
+         |  UNION SELECT b, a FROM cp),
+         |${graft.ops.Graph.kCoreOracleSql("e0", k = 16, rounds = 6)}"""
+        .stripMargin,
+    "q247_event_hits" ->
+      s"""WITH lagd AS (SELECT event_type AS dst,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS src
+         |  FROM events),
+         |edges AS (SELECT src, dst, count(*) AS w FROM lagd
+         |  WHERE src IS NOT NULL GROUP BY src, dst),
+         |${graft.ops.Graph.hitsOracleSql("edges", 10)}""".stripMargin,
     "q244_ranksum_pairs" ->
       """WITH c AS (SELECT source AS g, n_chars AS v,
         |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY g, v),

@@ -421,6 +421,179 @@ object Graph {
     * join + partial agg on (id, id) pairs, scalar-only driver traffic —
     * and the census aggregations shuffle (label, count) pairs only.
     */
+  /** Bounded-round k-core peel (Seidman 1983, public) — the standard
+    * dense-subgraph primitive: repeatedly drop nodes with degree < k,
+    * keeping only edges between survivors; what remains after
+    * convergence is the k-core (every surviving node has ≥ k surviving
+    * neighbors). Runs EXACTLY `rounds` peel rounds — the
+    * [[pageRank]] fixed-iterate contract, so an unrolled SQL oracle
+    * ([[kCoreOracleSql]]) replays it layer for layer; once the peel
+    * reaches its fixpoint the extra rounds are no-ops in both engines.
+    * The peel drops at least one node per round until stable, so
+    * `rounds` ≥ the observed convergence depth makes the output the
+    * true k-core; a data-dependent exit would make the unroll depth
+    * unknowable. Returns surviving (node, degree).
+    *
+    * Input edges are symmetrized and deduped internally (undirected
+    * semantics; self-loops count once toward their node's degree).
+    * Per-round plan: a partial-aggregated degree count on (node) +
+    * two semi-joins of the edge relation against the ≥ k node set —
+    * all shuffles carry (id, id) pairs only; checkpoint + release per
+    * round (the [[pageRankImpl]] block hygiene). INTEGER throughout —
+    * no rounding discipline needed.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 6,
+            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val release = org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    var adj = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = adj.groupBy(col("a")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k).select(col("a"))
+      val next = adj
+        .join(keep, Seq("a"), "left_semi")
+        .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      release(adj)
+      adj = next
+    }
+    // the final iterate stays checkpointed (the [[pageRankImpl]] `ranks`
+    // precedent) — releasing it here would unpin the blocks before the
+    // caller's lazy aggregate runs
+    adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** Unrolled-layer DuckDB mirror of [[kCore]]. `symCte` must name a CTE
+    * exposing the SYMMETRIZED distinct edge relation as (a, b) — both
+    * directions present, exactly like the Scala side's internal `adj`.
+    */
+  def kCoreOracleSql(symCte: String, k: Int, rounds: Int): String = {
+    val layers = (1 to rounds).map { i =>
+      val prev = if (i == 1) symCte else s"e${i - 1}"
+      s"""n$i AS MATERIALIZED (SELECT a FROM $prev
+         |  GROUP BY a HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+         |  JOIN n$i x ON e.a = x.a JOIN n$i y ON e.b = y.a)""".stripMargin
+    }
+    layers.mkString(",\n") +
+      s"""\nSELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+         |FROM e$rounds GROUP BY a""".stripMargin
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999, public) over the weighted
+    * digraph — the link-analysis complement to [[pageRank]]: a good hub
+    * points at good authorities, a good authority is pointed at by good
+    * hubs. Runs EXACTLY `iterations` rounds of the weighted power
+    * iteration with L1 normalization; every intermediate (the raw
+    * mutual-reinforcement sums AND the normalized scores) is rounded to
+    * `roundTo` decimals so both engines feed identical inputs into every
+    * next step ([[pageRank]]'s determinism discipline), and the two
+    * normalizer sums per round are scalar aggregates — the only driver
+    * traffic, mirroring pageRank's dangling-mass scalar. The oracle
+    * ([[hitsOracleSql]]) unrolls the identical iteration. Nodes with no
+    * in-edges (resp. out-edges) hold authority (resp. hub) 0.
+    *
+    * Per-round plan: scores ⋈ edges on the flowing key (narrow,
+    * id+double), partial-aggregated sum per receiving node, left join
+    * back to nodes; checkpoint + release per round. Returns
+    * (node, hub, authority).
+    */
+  def hits(edges: DataFrame, iterations: Int = 10,
+           roundTo: Int = 6): DataFrame = {
+    require(iterations >= 1, s"iterations ($iterations) must be >= 1")
+    val release = org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "hits: empty graph")
+    var hubs = nodes.select(col("node"),
+      round(lit(1.0 / n), roundTo).as("hub")).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val araw = nodes
+        .join(hubs.join(edges, col("node") === col("src"))
+          .groupBy(col("dst"))
+          .agg(round(sum(col("hub") * col("weight")), roundTo).as("__r")),
+          col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("__r"), lit(0.0)).as("__r"))
+        .localCheckpoint()
+      val sa = araw.agg(sum(col("__r"))).collect()(0).getDouble(0)
+      val nextAuth = araw
+        .select(col("node"), round(col("__r") / sa, roundTo).as("authority"))
+        .localCheckpoint()
+      release(araw)
+      if (auth != null) release(auth)
+      auth = nextAuth
+      val hraw = nodes
+        .join(auth.join(edges, col("node") === col("dst"))
+          .groupBy(col("src"))
+          .agg(round(sum(col("authority") * col("weight")), roundTo)
+            .as("__r")),
+          col("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("__r"), lit(0.0)).as("__r"))
+        .localCheckpoint()
+      val sh = hraw.agg(sum(col("__r"))).collect()(0).getDouble(0)
+      val nextHubs = hraw
+        .select(col("node"), round(col("__r") / sh, roundTo).as("hub"))
+        .localCheckpoint()
+      release(hraw)
+      release(hubs)
+      hubs = nextHubs
+    }
+    val out = hubs.join(auth, Seq("node"))
+      .select(col("node"), col("hub"), col("authority"))
+    release(nodes)
+    out
+  }
+
+  /** Unrolled-layer DuckDB mirror of [[hits]]. `edgesCte` must expose
+    * (src, dst, w).
+    */
+  def hitsOracleSql(edgesCte: String, iterations: Int,
+                    roundTo: Int = 6): String = {
+    val header =
+      s"""nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM $edgesCte
+         |  UNION SELECT DISTINCT dst AS node FROM $edgesCte),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |h0 AS MATERIALIZED (SELECT node, round((1.0)::DOUBLE / nn.n,
+         |    $roundTo) AS hub
+         |  FROM nodes CROSS JOIN nn)""".stripMargin
+    val layers = (1 to iterations).map { i =>
+      val prev = s"h${i - 1}"
+      s"""ar$i AS MATERIALIZED (SELECT nodes.node,
+         |    coalesce(x.r, (0.0)::DOUBLE) AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, round(sum(h.hub * e.w), $roundTo) AS r
+         |    FROM $prev h JOIN $edgesCte e ON h.node = e.src
+         |    GROUP BY e.dst) x ON nodes.node = x.node),
+         |sa$i AS (SELECT sum(r) AS s FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT node, round(r / s, $roundTo)
+         |    AS authority
+         |  FROM ar$i CROSS JOIN sa$i),
+         |hr$i AS MATERIALIZED (SELECT nodes.node,
+         |    coalesce(x.r, (0.0)::DOUBLE) AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.src AS node, round(sum(a.authority * e.w), $roundTo)
+         |      AS r
+         |    FROM a$i a JOIN $edgesCte e ON a.node = e.dst
+         |    GROUP BY e.src) x ON nodes.node = x.node),
+         |sh$i AS (SELECT sum(r) AS s FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT node, round(r / s, $roundTo) AS hub
+         |  FROM hr$i CROSS JOIN sh$i)""".stripMargin
+    }
+    (header +: layers).mkString(",\n") +
+      s"""\nSELECT h.node, h.hub, a.authority
+         |FROM h$iterations h JOIN a$iterations a ON h.node = a.node"""
+        .stripMargin
+  }
+
   def wccCensus(edges: DataFrame, srcCol: String = "src",
                 dstCol: String = "dst"): DataFrame = {
     val pairs = edges.select(

@@ -192,4 +192,43 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(3L -> 1L, 2L -> 1L, 1L -> 1L), s"got $got")
   }
+
+  test("kCore: path graph peels one layer per round (fixed-round contract)") {
+    // path 1-2-...-7, k=2: each round strips the current endpoints
+    val edges = (1 to 6).map(i => (s"n$i", s"n${i + 1}"))
+      .toDF("src", "dst")
+    def run(rounds: Int): Map[String, Long] =
+      Graph.kCore(edges, k = 2, rounds = rounds)
+        .as[(String, Long)].collect().toMap
+    assert(run(1) == Map("n2" -> 1L, "n3" -> 2L, "n4" -> 2L,
+      "n5" -> 2L, "n6" -> 1L))
+    assert(run(2) == Map("n3" -> 1L, "n4" -> 2L, "n5" -> 1L))
+    assert(run(3) == Map.empty[String, Long]) // fully peeled
+  }
+
+  test("kCore: a 2-core (triangle) survives any number of rounds; " +
+    "tail and duplicate/reversed edges handled") {
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"), // triangle = the 2-core
+      ("c", "d"),                         // tail, peels round 1
+      ("b", "a")                          // reversed duplicate must not double-count
+    ).toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 2, rounds = 5)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("hits: star graph fixpoint — center is the pure hub, " +
+    "leaves split authority; both scores L1-normalize") {
+    val edges = Seq(
+      ("hub", "a", 1L), ("hub", "b", 1L), ("hub", "c", 1L)
+    ).toDF("src", "dst", "weight")
+    val got = Graph.hits(edges, iterations = 10)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("hub") == ((1.0, 0.0)))
+    assert(got("a") == ((0.0, 0.333333)))
+    assert(got("b") == ((0.0, 0.333333)))
+    assert(got("c") == ((0.0, 0.333333)))
+  }
 }
