@@ -452,6 +452,21 @@ object Quantiles {
     val counts = binned.groupBy(col("__g"), col("__b"))
       .agg(sum(when(col("__r"), lit(1L)).otherwise(lit(0L))).as("__cr"),
         sum(when(!col("__r"), lit(1L)).otherwise(lit(0L))).as("__cc"))
+    psiFromGroupBinCounts(counts, bins)
+      .select(col("__g").as(groupCol), col("n_ref"), col("n_cur"),
+        col("psi"))
+  }
+
+  /** Shared PSI tail over per-(__g, __b) bin counts (__cr reference,
+    * __cc current): completes the bin grid to all `bins` bins per group
+    * (empty bins get the same +1 smoothing mass), nano-snaps every
+    * (q−p)·ln(q/p) term, and integer-sums per group. Both the row-level
+    * [[psiByGroup]] and the histogram-form [[psiFromCounts]] end here —
+    * one definition, so the monitor form cannot drift from the batch
+    * statistic.
+    */
+  private def psiFromGroupBinCounts(counts: DataFrame,
+                                    bins: Int): DataFrame = {
     val totals = counts.groupBy(col("__g"))
       .agg(sum(col("__cr")).as("__nr"), sum(col("__cc")).as("__nc"))
     val full = totals
@@ -471,8 +486,38 @@ object Quantiles {
       .groupBy(col("__g"))
       .agg(first(col("__nr")).as("n_ref"), first(col("__nc")).as("n_cur"),
         round(sum(col("__nano")).cast("double") / lit(1e9), 6).as("psi"))
-      .select(col("__g").as(groupCol), col("n_ref"), col("n_cur"),
-        col("psi"))
+  }
+
+  /** PSI from PRE-AGGREGATED (value, count) histograms — the monitor
+    * form of [[psiByGroup]] (a streaming count snapshot vs a frozen
+    * reference histogram, the [[ksFromCounts]] pairing). Bin edges come
+    * from the reference histogram's min/max support — identical
+    * arithmetic to the row form, and a unit test pins the two forms
+    * equal on the same data. Returns one row (n_ref, n_cur, psi).
+    */
+  def psiFromCounts(cur: DataFrame, ref: DataFrame, valueCol: String,
+                    countCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 1, s"bins must be > 1: $bins")
+    val rv = ref.select(col(valueCol).cast("long").as("__v"),
+      col(countCol).cast("long").as("__c"))
+    val cv = cur.select(col(valueCol).cast("long").as("__v"),
+      col(countCol).cast("long").as("__c"))
+    val edges = rv.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    def binned(df: DataFrame, cname: String): DataFrame =
+      df.crossJoin(broadcast(edges))
+        .select(when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(expr(
+            s"(least(greatest(__v, __lo), __hi) - __lo) * $bins" +
+              " DIV (__hi - __lo + 1)")).as("__b"),
+          col("__c").as(cname))
+        .groupBy(col("__b")).agg(sum(col(cname)).as(cname))
+    val counts = binned(rv, "__cr")
+      .join(binned(cv, "__cc"), Seq("__b"), "full_outer")
+      .select(lit("__all").as("__g"), col("__b"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+    psiFromGroupBinCounts(counts, bins)
+      .select(col("n_ref"), col("n_cur"), col("psi"))
   }
 
   /** Two-relation KS from PRE-AGGREGATED (value, count) histograms — the

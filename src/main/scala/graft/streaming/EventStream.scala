@@ -563,6 +563,22 @@ object EventStream {
         .select(col(valueCol), col("n")),
       reference, valueCol, "n")
 
+  /** PSI of the streamed snapshot at `dest` vs a frozen reference
+    * (value, n) histogram — the mass-weighted companion to
+    * [[lengthDriftFromStore]], reading the SAME [[valueCountMonitor]]
+    * snapshot (one ingest loop feeds both drift statistics) and scoring
+    * it through the one shared [[graft.ops.Quantiles.psiFromCounts]]
+    * definition, so the live monitor equals the batch statistic over
+    * everything the stream has seen (StreamingSpec pins it).
+    */
+  def psiDriftFromStore(spark: SparkSession, dest: String,
+                        reference: DataFrame, valueCol: String,
+                        bins: Int = 10): DataFrame =
+    graft.ops.Quantiles.psiFromCounts(
+      spark.read.parquet(dest)
+        .select(col(valueCol), col("n")),
+      reference, valueCol, "n", bins)
+
   /** Streaming frame sampling — the streaming twin of q151: synthesize →
     * [[graft.ops.Multimodal.frameSample]] is a stateless projection plus
     * per-row explode (flatMap), so it applies to an unbounded media

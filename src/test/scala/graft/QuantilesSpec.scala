@@ -233,4 +233,21 @@ class QuantilesSpec extends SparkSpec {
     // bins 0..8: (1/20 - 2/20)*ln(0.5) each; bin 9: (11/20 - 2/20)*ln(5.5)
     assert(got("shift") == ((10L, 10L, 1.079053)))
   }
+
+  test("psiFromCounts (histogram form) equals psiByGroup (row form)") {
+    val rows =
+      (0 to 9).flatMap(v => Seq.fill(v + 1)(("g", v.toLong, true))) ++
+      (0 to 9).flatMap(v => Seq.fill(10 - v)(("g", v.toLong * 3, false)))
+    val df = rows.toDF("source", "n_chars", "is_ref")
+    val rowForm = graft.ops.Quantiles
+      .psiByGroup(df, "source", "n_chars", col("is_ref"))
+      .select("n_ref", "n_cur", "psi")
+      .as[(Long, Long, Double)].collect().head
+    val hist = (side: Boolean) => df.filter(col("is_ref") === side)
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("n"))
+    val histForm = graft.ops.Quantiles
+      .psiFromCounts(hist(false), hist(true), "n_chars", "n")
+      .as[(Long, Long, Double)].collect().head
+    assert(rowForm == histForm && rowForm._3 > 0.0)
+  }
 }

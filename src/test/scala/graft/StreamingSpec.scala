@@ -612,6 +612,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.getLong(0) == batch.getLong(0)) // full corpus seen
   }
 
+  test("streaming PSI monitor equals the batch statistic vs the frozen reference") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val docs = Tables.documents(spark, sf0001)
+    val dest = "/tmp/graft_drift/psi_" + System.nanoTime()
+    // same ingest loop as the KS monitor — one snapshot, two statistics
+    val q = EventStream.valueCountMonitor(
+        EventStream.readDocuments(spark, sf0001), "n_chars", dest)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("n"))
+    val streamed = EventStream.psiDriftFromStore(spark, dest, ref,
+      "n_chars").collect().head
+    val batch = graft.ops.Quantiles.psiFromCounts(
+      docs.groupBy(col("n_chars")).agg(count(lit(1)).as("n")),
+      ref, "n_chars", "n").collect().head
+    assert(streamed.getAs[Double]("psi") == batch.getAs[Double]("psi"))
+    assert(streamed.getLong(1) == docs.count()) // full corpus seen
+    // the even-doc reference vs the full corpus are near-identical
+    // distributions — PSI must sit near 0 (sanity that the statistic
+    // is scaled sensibly, not that it is exactly 0)
+    assert(streamed.getAs[Double]("psi") < 0.1)
+  }
+
   test("streaming winsorizer matches the batch clamp under frozen fences; " +
     "unknown segments pass through") {
     import org.apache.spark.sql.functions.{col, greatest, least, when, lit, typedlit}
