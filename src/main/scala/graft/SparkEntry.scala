@@ -3295,6 +3295,17 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q248_feature_mi" -> ((s, d) =>
+      // feature-selection scorecard: mutual information (nats) of each
+      // heuristic quality feature with the is-English label — decile
+      // bins over each feature's own range, integer joint/marginal
+      // products inside the log, nano-snapped order-free sum
+      TextAnalysis.featureMutualInfo(
+        TextAnalysis.qualityScore(T(s, d, "documents"),
+            carryCols = Seq("lang"))
+          .withColumn("is_en", (col("lang") === "en").cast("int")),
+        Seq("n_tokens", "mean_token_len", "stopword_ratio",
+          "punct_ratio"), "is_en")),
     "q235_binary_quant_topk" -> ((s, d) => {
       // sign-bit binary-quantization ANN: 64 dims → two 32-bit codes
       // (24 bytes/vector on the wire, ~20× under the float64 array),
@@ -5885,6 +5896,41 @@ object SparkEntry {
         |SELECT g AS event_type, nr AS n_ref, nc AS n_cur,
         |  round(CAST(sum(nano) AS BIGINT) / 1e9, 6) AS psi
         |FROM n GROUP BY g, nr, nc""".stripMargin,
+    "q248_feature_mi" ->
+      s"""WITH f AS ($qualityFeaturesSql),
+         |j AS (SELECT f.*, CAST(d.lang = 'en' AS BIGINT) AS y
+         |  FROM f JOIN documents d ON f.doc_id = d.doc_id),
+         |m AS (SELECT 'n_tokens' AS feature, n_tokens AS v, y FROM j
+         |  UNION ALL SELECT 'mean_token_len', mean_token_len, y FROM j
+         |  UNION ALL SELECT 'stopword_ratio', stopword_ratio, y FROM j
+         |  UNION ALL SELECT 'punct_ratio', punct_ratio, y FROM j),
+         |ed AS (SELECT feature, min(v) AS lo, max(v) AS hi FROM m
+         |  GROUP BY feature),
+         |b AS (SELECT m.feature, y,
+         |    CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+         |         ELSE least(CAST(floor((v - lo) * 10 / (hi - lo))
+         |                AS BIGINT), 9)
+         |    END AS bin
+         |  FROM m JOIN ed ON m.feature = ed.feature),
+         |c AS (SELECT feature, bin, y, CAST(count(*) AS BIGINT) AS nby
+         |  FROM b GROUP BY feature, bin, y),
+         |nb AS (SELECT feature, bin, CAST(sum(nby) AS BIGINT) AS nb
+         |  FROM c GROUP BY feature, bin),
+         |ny AS (SELECT feature, y, CAST(sum(nby) AS BIGINT) AS ny
+         |  FROM c GROUP BY feature, y),
+         |nt AS (SELECT feature, CAST(sum(nby) AS BIGINT) AS n
+         |  FROM c GROUP BY feature),
+         |t AS (SELECT c.feature,
+         |    CAST(round((CAST(nby AS DOUBLE) / n)
+         |      * ln(CAST(nby * n AS DOUBLE) / CAST(nb.nb * ny.ny AS DOUBLE))
+         |      * 1e9) AS BIGINT) AS nano
+         |  FROM c JOIN nb ON c.feature = nb.feature AND c.bin = nb.bin
+         |  JOIN ny ON c.feature = ny.feature AND c.y = ny.y
+         |  JOIN nt ON c.feature = nt.feature)
+         |SELECT t.feature, nt.n AS n_docs,
+         |  round(CAST(sum(nano) AS BIGINT) / 1e9, 6) AS mi_nats
+         |FROM t JOIN nt ON t.feature = nt.feature
+         |GROUP BY t.feature, nt.n""".stripMargin,
     "q242_quality_roc_report" ->
       s"""WITH $qualityScoreCurveSql,
          |a AS (SELECT

@@ -1726,6 +1726,67 @@ object TextAnalysis {
         col("__bf.threshold").as("best_f1_threshold"))
   }
 
+  /** Mutual information of each numeric feature with a discrete label —
+    * the feature-selection scorecard for a learned quality filter
+    * (which of the heuristic features actually carries signal about the
+    * label, in nats): every feature is binned into `bins` equal-width
+    * bins over its own observed [min, max] (hi folds into the last bin;
+    * a constant feature collapses to one bin and scores 0), and
+    * MI = Σ_{b,y} (n_by/n)·ln(n_by·n / (n_b·n_y)) over the joint bin ×
+    * label counts. The log's argument is a ratio of two exact INTEGER
+    * products (no pre-divided marginals), each term nano-snaps to a
+    * BIGINT immediately (the [[sourceDivergence]] discipline) so the
+    * sum is order-free; empty cells contribute nothing, exactly as the
+    * definition's 0·ln(0) limit. Integer products stay exact to
+    * n ≈ 3·10⁹ rows; past that swap for DECIMAL.
+    *
+    * Scale shape: one melt scan (|features| rows per input row, a
+    * map-side explode), per-feature min/max (|features| rows, broadcast
+    * back), then everything runs on the (features × bins × labels)-
+    * bounded count relation. Returns (feature, n_docs, mi_nats).
+    */
+  def featureMutualInfo(df: DataFrame, featureCols: Seq[String],
+                        labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 1, s"bins must be > 1: $bins")
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    val melted = df
+      .select(explode(array(featureCols.map(f =>
+          struct(lit(f).as("feature"), col(f).cast("double").as("__v")))
+          : _*)).as("__m"),
+        col(labelCol).cast("long").as("__y"))
+      .select(col("__m.feature").as("feature"), col("__m.__v").as("__v"),
+        col("__y"))
+    val edges = melted.groupBy(col("feature"))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val binned = melted.join(broadcast(edges), Seq("feature"))
+      .select(col("feature"), col("__y"),
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col("__v") - col("__lo")) * bins /
+              (col("__hi") - col("__lo"))).cast("long"),
+            lit((bins - 1).toLong))).as("__b"))
+    val c = binned.groupBy(col("feature"), col("__b"), col("__y"))
+      .agg(count(lit(1)).as("__nby"))
+      .localCheckpoint()
+    val nb = c.groupBy(col("feature"), col("__b"))
+      .agg(sum(col("__nby")).as("__nb"))
+    val ny = c.groupBy(col("feature"), col("__y"))
+      .agg(sum(col("__nby")).as("__ny"))
+    val nt = c.groupBy(col("feature")).agg(sum(col("__nby")).as("__n"))
+    c.join(nb, Seq("feature", "__b"))
+      .join(ny, Seq("feature", "__y"))
+      .join(broadcast(nt), Seq("feature"))
+      .select(col("feature"), col("__n"),
+        round((col("__nby").cast("double") / col("__n")) *
+          log((col("__nby") * col("__n")).cast("double") /
+            (col("__nb") * col("__ny")).cast("double")) * lit(1e9))
+          .cast("long").as("__nano"))
+      .groupBy(col("feature"))
+      .agg(first(col("__n")).as("n_docs"),
+        round(sum(col("__nano")).cast("double") / lit(1e9), 6)
+          .as("mi_nats"))
+  }
+
   /** Precision–recall curve at every achievable operating point: one row
     * per DISTINCT predicted score (threshold = "predict positive at
     * score ≥ this"), with the confusion counts and round-6

@@ -659,6 +659,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_precision") == 1.0)
   }
 
+  test("featureMutualInfo: perfectly-informative feature scores ln 2, " +
+    "constant feature scores 0") {
+    // f1 = 0..9 with y = (f1 >= 5): bins are singletons, MI = ln 2;
+    // f2 constant: hi == lo collapses to one bin, MI = 0
+    val df = (0 to 9).map(i => (i.toDouble, 7.0, if (i >= 5) 1 else 0))
+      .toDF("f1", "f2", "y")
+    val got = TextAnalysis.featureMutualInfo(df, Seq("f1", "f2"), "y")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("f1") == ((10L, 0.693147)))
+    assert(got("f2") == ((10L, 0.0)))
+  }
+
   test("prCurve: per-threshold confusion counts over tie blocks") {
     val scored = Seq(
       (0.9, 1), (0.9, 0), (0.8, 1), (0.5, 0), (0.5, 1), (0.5, 0), (0.2, 0)
