@@ -3295,6 +3295,12 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q249_lang_source_assoc" -> ((s, d) =>
+      // corpus-composition audit: chi-square independence of language ×
+      // source with Cramér's V effect size — integer cell identities
+      // inside the nano-snapped sum, one sqrt at the end; runs on the
+      // r×c contingency grid, never the corpus
+      Quantiles.catAssociation(T(s, d, "documents"), "lang", "source")),
     "q248_feature_mi" -> ((s, d) =>
       // feature-selection scorecard: mutual information (nats) of each
       // heuristic quality feature with the is-English label — decile
@@ -5896,6 +5902,33 @@ object SparkEntry {
         |SELECT g AS event_type, nr AS n_ref, nc AS n_cur,
         |  round(CAST(sum(nano) AS BIGINT) / 1e9, 6) AS psi
         |FROM n GROUP BY g, nr, nc""".stripMargin,
+    "q249_lang_source_assoc" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY a, b),
+        |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells
+        |  GROUP BY a),
+        |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells
+        |  GROUP BY b),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS c FROM cells),
+        |grid AS (SELECT ra.ra, cb.cb, coalesce(o, 0) AS o
+        |  FROM ra CROSS JOIN cb
+        |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+        |t AS (SELECT n, r, c, CAST(round(
+        |    CAST(o * n - ra * cb AS DOUBLE)
+        |      * CAST(o * n - ra * cb AS DOUBLE)
+        |      / CAST(n * ra * cb AS DOUBLE) * 1e9) AS BIGINT) AS nano
+        |  FROM grid CROSS JOIN nt)
+        |SELECT n, r AS n_a_classes, c AS n_b_classes,
+        |  (r - 1) * (c - 1) AS dof,
+        |  round(CAST(sum(nano) AS BIGINT) / 1e9, 6) AS chi2,
+        |  CASE WHEN least(r, c) > 1 THEN
+        |    round(sqrt((CAST(sum(nano) AS BIGINT) / 1e9)
+        |      / CAST(n * (least(r, c) - 1) AS DOUBLE)), 6)
+        |  ELSE 0.0 END AS cramers_v
+        |FROM t GROUP BY n, r, c""".stripMargin,
     "q248_feature_mi" ->
       s"""WITH f AS ($qualityFeaturesSql),
          |j AS (SELECT f.*, CAST(d.lang = 'en' AS BIGINT) AS y

@@ -552,6 +552,64 @@ object Quantiles {
         expr("1000000 * __dmax DIV (n_a * n_b)").as("ks_ppm"))
   }
 
+  /** Chi-square association between two categorical columns with
+    * Cramér's V effect size (Cramér 1946, public) — "are language and
+    * source independent, and how far from it": the contingency-table
+    * companion to the numeric [[ksStatisticPairs]]/[[psiByGroup]] drift
+    * tests. Every cell term uses the integer identity
+    * (o−e)²/e = (o·n − rₐ·c_b)² / (n·rₐ·c_b) — numerator and denominator
+    * are exact INTEGER products cast once to double, no pre-divided
+    * expected counts — and nano-snaps before the order-free sum; zero
+    * cells of the full r×c grid contribute their expected mass like the
+    * textbook statistic. V = √(χ²/(n·(min(r,c)−1))), rounded to 6 after
+    * the one sqrt (correctly-rounded IEEE in both engines); a 1-class
+    * side yields V = 0. Integer products stay exact while n·rₐ·c_b
+    * fits 2⁵³ (n ≲ 10⁵ with full-rank margins; far more when categories
+    * concentrate); past that swap for DECIMAL.
+    *
+    * Scale shape: one count reduction to the |A×B| observed-cell
+    * relation, margins from it, then everything runs on the r×c grid —
+    * bounded by category cardinalities, never corpus-sized. Returns one
+    * row (n, n_a_classes, n_b_classes, dof, chi2, cramers_v).
+    */
+  def catAssociation(df: DataFrame, colA: String,
+                     colB: String): DataFrame = {
+    val cells = df
+      .select(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__o"))
+      .localCheckpoint()
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val nt = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__r"),
+      countDistinct(col("__b")).as("__c"))
+    val grid = ra.crossJoin(broadcast(cb))
+      .join(cells, Seq("__a", "__b"), "left")
+      .select(col("__ra"), col("__cb"),
+        coalesce(col("__o"), lit(0L)).as("__o"))
+    val dd = (col("__o") * col("__n") - col("__ra") * col("__cb"))
+      .cast("double")
+    grid.crossJoin(broadcast(nt))
+      .select(col("__n"), col("__r"), col("__c"),
+        round(dd * dd /
+          (col("__n") * col("__ra") * col("__cb")).cast("double") *
+          lit(1e9)).cast("long").as("__nano"))
+      .groupBy()
+      .agg(first(col("__n")).as("n"), first(col("__r")).as("n_a_classes"),
+        first(col("__c")).as("n_b_classes"), sum(col("__nano")).as("__s"))
+      .select(col("n"), col("n_a_classes"), col("n_b_classes"),
+        ((col("n_a_classes") - lit(1L)) * (col("n_b_classes") - lit(1L)))
+          .as("dof"),
+        round(col("__s").cast("double") / lit(1e9), 6).as("chi2"),
+        when(least(col("n_a_classes"), col("n_b_classes")) > 1,
+          round(sqrt((col("__s").cast("double") / lit(1e9)) /
+            (col("n") *
+              (least(col("n_a_classes"), col("n_b_classes")) - lit(1L)))
+              .cast("double")), 6))
+          .otherwise(lit(0.0)).as("cramers_v"))
+  }
+
   def rankUniformScores(df: DataFrame, groupCol: String, valueCol: String,
                         idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -234,6 +234,30 @@ class QuantilesSpec extends SparkSpec {
     assert(got("shift") == ((10L, 10L, 1.079053)))
   }
 
+  test("catAssociation: hand-computed 2x2 chi-square and Cramér's V; " +
+    "independent and one-class inputs score 0") {
+    def rows(spec: (String, String, Int)*) =
+      spec.flatMap { case (a, b, k) => Seq.fill(k)((a, b)) }
+        .toDF("lang", "source")
+    // 30/10/10/30 over equal margins: every e = 20, chi2 = 4*(10^2/20),
+    // V = sqrt(20 / (80*1)) = 0.5
+    val skew = graft.ops.Quantiles.catAssociation(
+      rows(("x", "u", 30), ("x", "v", 10), ("y", "u", 10), ("y", "v", 30)),
+      "lang", "source").as[(Long, Long, Long, Long, Double, Double)]
+      .collect().head
+    assert(skew == ((80L, 2L, 2L, 1L, 20.0, 0.5)))
+    val indep = graft.ops.Quantiles.catAssociation(
+      rows(("x", "u", 10), ("x", "v", 10), ("y", "u", 10), ("y", "v", 10)),
+      "lang", "source").as[(Long, Long, Long, Long, Double, Double)]
+      .collect().head
+    assert(indep == ((40L, 2L, 2L, 1L, 0.0, 0.0)))
+    val oneClass = graft.ops.Quantiles.catAssociation(
+      rows(("x", "u", 5), ("y", "u", 5)),
+      "lang", "source").as[(Long, Long, Long, Long, Double, Double)]
+      .collect().head
+    assert(oneClass == ((10L, 2L, 1L, 0L, 0.0, 0.0)))
+  }
+
   test("psiFromCounts (histogram form) equals psiByGroup (row form)") {
     val rows =
       (0 to 9).flatMap(v => Seq.fill(v + 1)(("g", v.toLong, true))) ++
