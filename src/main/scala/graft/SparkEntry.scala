@@ -3295,6 +3295,17 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q250_quality_governance" -> ((s, d) =>
+      // capstone v9 — the model-review page for the frozen quality
+      // filter in ONE oracle row: rank-sum AUC/Gini, tie-block AP,
+      // best-F1 operating point, and expected calibration error, all
+      // off one scored scan (q242 + q231 composed, shared j relation
+      // in the oracle)
+      TextAnalysis.classifierGovernanceReport(
+        TextAnalysis.qualityLogistic(T(s, d, "documents"),
+            carryCols = Seq("lang"))
+          .withColumn("is_en", (col("lang") === "en").cast("int")),
+        "quality_prob", "is_en")),
     "q249_lang_source_assoc" -> ((s, d) =>
       // corpus-composition audit: chi-square independence of language ×
       // source with Cramér's V effect size — integer cell identities
@@ -5902,6 +5913,38 @@ object SparkEntry {
         |SELECT g AS event_type, nr AS n_ref, nc AS n_cur,
         |  round(CAST(sum(nano) AS BIGINT) / 1e9, 6) AS psi
         |FROM n GROUP BY g, nr, nc""".stripMargin,
+    "q250_quality_governance" ->
+      s"""WITH $qualityScoreCurveSql,
+         |a AS (SELECT
+         |    CAST(sum(np * (2 * (t.neg - fp) + nn)) AS BIGINT) AS u2,
+         |    CAST(sum(CAST(round(1e9 * np * tp / (tp + fp)) AS BIGINT))
+         |      AS BIGINT) AS apn
+         |  FROM c CROSS JOIN t),
+         |b AS (SELECT round(2.0 * tp / (tp + fp + t.pos), 6) AS f1,
+         |    threshold
+         |  FROM c CROSS JOIN t ORDER BY f1 DESC, threshold DESC LIMIT 1),
+         |roc AS (SELECT t.pos AS n_pos, t.neg AS n_neg,
+         |  CASE WHEN t.pos > 0 AND t.neg > 0
+         |    THEN round(u2 / (2.0 * t.pos * t.neg), 6) END AS auc,
+         |  CASE WHEN t.pos > 0 AND t.neg > 0
+         |    THEN round(CAST(u2 - t.pos * t.neg AS DOUBLE) /
+         |               CAST(t.pos * t.neg AS DOUBLE), 6) END AS gini,
+         |  CASE WHEN t.pos > 0
+         |    THEN round(apn / (1e9 * t.pos), 6) END AS avg_precision,
+         |  b.f1 AS best_f1, b.threshold AS best_f1_threshold
+         |  FROM t CROSS JOIN a CROSS JOIN b),
+         |gcal AS (SELECT LEAST(CAST(floor(p * 10) AS INTEGER), 9)
+         |      AS bucket,
+         |    count(*) AS n_docs, round(avg(p), 6) AS mean_prob,
+         |    round(avg(CAST(y AS DOUBLE)), 6) AS pos_rate
+         |  FROM j GROUP BY 1),
+         |e AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nd,
+         |    CAST(sum(CAST(round(n_docs *
+         |        round(abs(mean_prob - pos_rate), 6) * 1e9) AS BIGINT))
+         |      AS BIGINT) AS en
+         |  FROM gcal)
+         |SELECT nd AS n_docs, round(en / (1e9 * nd), 6) AS ece,
+         |  roc.* FROM e CROSS JOIN roc""".stripMargin,
     "q249_lang_source_assoc" ->
       """WITH cells AS (SELECT lang AS a, source AS b,
         |    CAST(count(*) AS BIGINT) AS o

@@ -1787,6 +1787,33 @@ object TextAnalysis {
           .as("mi_nats"))
   }
 
+  /** One-row classifier governance report — the page a model-review
+    * board reads before a learned quality filter ships: discrimination
+    * ([[rocPrReport]]'s AUC/Gini/AP/best-F1) and calibration (expected
+    * calibration error, the support-weighted mean of
+    * [[calibrationBins]]' per-bin gaps) side by side, from ONE scored
+    * scan (the narrow (prob, label) projection is localCheckpointed and
+    * feeds both branches). Each bin's n·gap term nano-snaps before the
+    * order-free sum; both branches fold to 1-row frames before the
+    * final broadcast cross-ride, so nothing corpus-sized crosses a
+    * second Exchange.
+    */
+  def classifierGovernanceReport(scored: DataFrame, probCol: String,
+                                 labelCol: String,
+                                 bins: Int = 10): DataFrame = {
+    val sc = scored.select(col(probCol).as("__p"),
+      col(labelCol).cast("long").as("__y")).localCheckpoint()
+    val roc = rocPrReport(sc, "__p", "__y")
+    val ece = calibrationBins(sc, "__p", "__y", bins)
+      .agg(sum(col("n_docs")).as("__nd"),
+        sum(round(col("n_docs") * col("calib_gap") * lit(1e9))
+          .cast("long")).as("__en"))
+      .select(col("__nd").as("n_docs"),
+        round(col("__en").cast("double") / (lit(1e9) * col("__nd")), 6)
+          .as("ece"))
+    ece.crossJoin(broadcast(roc))
+  }
+
   /** Precision–recall curve at every achievable operating point: one row
     * per DISTINCT predicted score (threshold = "predict positive at
     * score ≥ this"), with the confusion counts and round-6

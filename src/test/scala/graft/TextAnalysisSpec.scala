@@ -672,6 +672,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("f2") == ((10L, 0.0)))
   }
 
+  test("classifierGovernanceReport: composes ROC metrics with " +
+    "hand-computed ECE in one row") {
+    val scored = Seq(
+      (0.9, 1), (0.9, 0), (0.8, 1), (0.5, 0), (0.5, 1), (0.5, 0), (0.2, 0)
+    ).toDF("p", "y")
+    val r = TextAnalysis.classifierGovernanceReport(scored, "p", "y")
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 7L)
+    // bins: b9 gap 0.4 (n2), b8 gap 0.2 (n1), b5 gap 0.166667 (n3),
+    // b2 gap 0.2 (n1) -> (0.8+0.2+0.500001+0.2)/7
+    assert(r.getAs[Double]("ece") == 0.242857)
+    assert(r.getAs[Double]("auc") == 0.708333) // same input as the roc test
+    assert(r.getAs[Double]("best_f1_threshold") == 0.8)
+  }
+
   test("prCurve: per-threshold confusion counts over tie blocks") {
     val scored = Seq(
       (0.9, 1), (0.9, 0), (0.8, 1), (0.5, 0), (0.5, 1), (0.5, 0), (0.2, 0)
