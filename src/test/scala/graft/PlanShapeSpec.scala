@@ -487,6 +487,54 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows.exists(_.partitionSpec.nonEmpty), p.toString)
   }
 
+  test("q242 roc report: the cumulative window runs over the bounded " +
+    "distinct-score aggregate, never corpus rows") {
+    val p = withoutAqe {
+      val df = SparkEntry.queries("q242_quality_roc_report")(spark, sf0001)
+      df.collect()
+      plan(df)
+    }
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, p.toString)
+    // every (necessarily unpartitioned) cumulative window must sit above
+    // the per-distinct-score aggregate — its input carries the aggregate's
+    // n_pos/n_neg columns, not raw corpus rows; the score domain bounds it
+    windows.foreach { w =>
+      assert(w.child.output.exists(_.name == "n_pos") &&
+        w.child.output.exists(_.name == "n_neg"),
+        s"cumulative window not over the distinct-score aggregate:\n$p")
+    }
+  }
+
+  test("q244 rank-sum matrix: every support window is pair-partitioned") {
+    val p = withoutAqe {
+      val df = SparkEntry.queries("q244_ranksum_pairs")(spark, sf0001)
+      df.collect()
+      plan(df)
+    }
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, p.toString)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global window in the pair fan-out:\n$p"))
+  }
+
+  test("q245 PSI: bin edges broadcast back, no window anywhere") {
+    val p = withoutAqe {
+      val df = SparkEntry.queries("q245_psi_drift")(spark, sf0001)
+      df.collect()
+      plan(df)
+    }
+    assert(p.toString.contains("BroadcastHashJoin"), p.toString)
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"PSI should be window-free:\n$p")
+  }
+
   test("q230 matryoshka eval: query side broadcasts, embedding arrays never cross a shuffle") {
     val p = withoutAqe {
       val df = SparkEntry.queries("q230_matryoshka_recall")(spark, sf0001)
