@@ -3295,6 +3295,17 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q251_degree_assortativity" -> ((s, d) =>
+      // graph-topology audit: Newman degree assortativity of the
+      // customer–part purchase graph (bipartite wiring → expect it
+      // negative) — exact integer moment sums, two separately-rooted
+      // variances, one rounded division; no windows, nothing collects
+      Graph.degreeAssortativity(
+        T(s, d, "lineitem")
+          .join(T(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("src"),
+            concat(lit("p:"), col("l_partkey")).as("dst")))),
     "q250_quality_governance" -> ((s, d) =>
       // capstone v9 — the model-review page for the frozen quality
       // filter in ONE oracle row: rank-sum AUC/Gini, tie-block AP,
@@ -5913,6 +5924,30 @@ object SparkEntry {
         |SELECT g AS event_type, nr AS n_ref, nc AS n_cur,
         |  round(CAST(sum(nano) AS BIGINT) / 1e9, 6) AS psi
         |FROM n GROUP BY g, nr, nc""".stripMargin,
+    "q251_degree_assortativity" ->
+      """WITH cp AS MATERIALIZED (SELECT DISTINCT
+        |    'c:' || o_custkey AS a, 'p:' || l_partkey AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |adj AS MATERIALIZED (SELECT a, b FROM cp
+        |  UNION SELECT b, a FROM cp),
+        |deg AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS d
+        |  FROM adj GROUP BY a),
+        |xy AS (SELECT dx.d AS x, dy.d AS y FROM adj
+        |  JOIN deg dx ON adj.a = dx.a JOIN deg dy ON adj.b = dy.a),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM xy),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT n_nodes, m AS m_adj,
+        |  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN
+        |    round(CAST(m * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS assortativity
+        |FROM nn CROSS JOIN s""".stripMargin,
     "q250_quality_governance" ->
       s"""WITH $qualityScoreCurveSql,
          |a AS (SELECT

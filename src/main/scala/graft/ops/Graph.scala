@@ -486,6 +486,52 @@ object Graph {
          |FROM e$rounds GROUP BY a""".stripMargin
   }
 
+  /** Degree assortativity (Newman 2002, public) — does the graph wire
+    * high-degree nodes to high-degree nodes (social cores) or to
+    * low-degree ones (hub-and-spoke, bipartite)? Pearson correlation of
+    * the endpoint degrees over the symmetrized adjacency: ENTIRELY
+    * integer — r = (m·Σxy − Σx·Σy) / (√(m·Σx² − (Σx)²)·√(m·Σy² − (Σy)²))
+    * with every sum an exact BIGINT over integer degrees; the two
+    * square roots are taken separately (one defined IEEE op order in
+    * both engines) and only the final division rounds. Returns one row
+    * (n_nodes, m_adj, assortativity) — m_adj counts directed adjacency
+    * rows (2× undirected edges). A degree-regular graph has zero
+    * variance → NULL. Integer-exact while m·Σx² fits int64
+    * (m·deg²max ≲ 9·10¹⁸); past that swap for DECIMAL.
+    *
+    * Scale shape: one distinct + one degree aggregate, degrees joined
+    * back onto the adjacency by node key (narrow (id, long) shuffles),
+    * then a scalar aggregate — no windows, nothing collects.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst"): DataFrame = {
+    val adj = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .localCheckpoint()
+    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+    val xy = adj
+      .join(deg.select(col("a"), col("__d").as("__x")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("__d").as("__y")), Seq("b"))
+    val s = xy.agg(count(lit(1)).as("m"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__y") * col("__y")).as("syy"),
+      sum(col("__x") * col("__y")).as("sxy"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    nNodes.crossJoin(broadcast(s))
+      .select(col("n_nodes"), col("m").as("m_adj"),
+        when((col("m") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("m") * col("syy") - col("sy") * col("sy")) > 0,
+          round((col("m") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+            (sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("m") * col("syy") - col("sy") * col("sy"))
+               .cast("double"))), 6)).as("assortativity"))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999, public) over the weighted
     * digraph — the link-analysis complement to [[pageRank]]: a good hub
     * points at good authorities, a good authority is pointed at by good

@@ -218,6 +218,19 @@ class GraphSpec extends SparkSpec {
     assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
   }
 
+  test("degreeAssortativity: star is -1, 4-path is -0.5, " +
+    "regular graph has no variance (NULL)") {
+    def r(edges: Seq[(String, String)]): Option[Double] = {
+      val row = Graph.degreeAssortativity(edges.toDF("src", "dst"))
+        .collect().head
+      if (row.isNullAt(row.fieldIndex("assortativity"))) None
+      else Some(row.getAs[Double]("assortativity"))
+    }
+    assert(r(Seq(("h", "a"), ("h", "b"), ("h", "c"))).contains(-1.0))
+    assert(r(Seq(("1", "2"), ("2", "3"), ("3", "4"))).contains(-0.5))
+    assert(r(Seq(("a", "b"), ("b", "c"), ("c", "a"))).isEmpty) // triangle
+  }
+
   test("hits: star graph fixpoint — center is the pure hub, " +
     "leaves split authority; both scores L1-normalize") {
     val edges = Seq(
