@@ -3295,6 +3295,17 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q252_complement_packing" -> ((s, d) =>
+      // no-split packing plan (SPFHP-family, <=2 docs/pack): bulk
+      // complement greedy over the <=256-row length histogram — corpus
+      // reduces map-side to the histogram, the driver loop touches only
+      // that (the UniMax frozen-snapshot discipline); the oracle replays
+      // the identical integer recurrence as a recursive CTE
+      Packing.complementPackingPlan(
+        T(s, d, "documents").select(
+          graft.functions.tokenCount(col("text")).cast("long")
+            .as("n_toks")),
+        "n_toks", capacity = 256)),
     "q251_degree_assortativity" -> ((s, d) =>
       // graph-topology audit: Newman degree assortativity of the
       // customer–part purchase graph (bipartite wiring → expect it
@@ -5924,6 +5935,46 @@ object SparkEntry {
         |SELECT g AS event_type, nr AS n_ref, nc AS n_cur,
         |  round(CAST(sum(nano) AS BIGINT) / 1e9, 6) AS psi
         |FROM n GROUP BY g, nr, nc""".stripMargin,
+    "q252_complement_packing" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT CAST(len($toksSql) AS BIGINT) AS l0 FROM documents),
+         |h AS (SELECT least(l0, 256) AS l, CAST(count(*) AS BIGINT) AS n
+         |  FROM t WHERE l0 >= 1 GROUP BY 1),
+         |grid AS (SELECT gs.i, coalesce(h.n, 0) AS n
+         |  FROM (SELECT unnest(range(1, 257)) AS i) gs
+         |  LEFT JOIN h ON h.l = gs.i),
+         |init AS (SELECT list(n ORDER BY i) AS cnts FROM grid),
+         |rec(step, cnts, la, lb, k) AS (
+         |  SELECT 0, cnts, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |    CAST(NULL AS BIGINT) FROM init
+         |  UNION ALL
+         |  SELECT step + 1,
+         |    list_transform(range(1, 257), i -> cnts[i] -
+         |      CASE WHEN mm = ll AND i = ll THEN 2 * kk
+         |           WHEN i = ll OR i = mm THEN kk ELSE 0 END),
+         |    ll, CASE WHEN mm = 0 THEN NULL ELSE mm END, kk
+         |  FROM (
+         |    SELECT step, cnts, ll, mm,
+         |      CASE WHEN mm = 0 THEN cnts[ll]
+         |           WHEN mm = ll THEN cnts[ll] // 2
+         |           ELSE least(cnts[ll], cnts[mm]) END AS kk
+         |    FROM (
+         |      SELECT step, cnts, ll,
+         |        list_max(list_transform(range(1, 257), i ->
+         |          CASE WHEN i <= 256 - ll AND
+         |            cnts[i] - (CASE WHEN i = ll THEN 1 ELSE 0 END) > 0
+         |          THEN i ELSE 0 END)) AS mm
+         |      FROM (
+         |        SELECT step, cnts,
+         |          list_max(list_transform(range(1, 257), i ->
+         |            CASE WHEN cnts[i] > 0 THEN i ELSE 0 END)) AS ll
+         |        FROM rec) s1
+         |      WHERE ll > 0) s2) s3)
+         |SELECT la AS len_a, lb AS len_b, k AS n_packs,
+         |  la + coalesce(lb, 0) AS fill_tokens,
+         |  round(CAST(la + coalesce(lb, 0) AS DOUBLE) / 256, 6)
+         |    AS fill_ratio
+         |FROM rec WHERE la IS NOT NULL""".stripMargin,
     "q251_degree_assortativity" ->
       """WITH cp AS MATERIALIZED (SELECT DISTINCT
         |    'c:' || o_custkey AS a, 'p:' || l_partkey AS b

@@ -165,4 +165,81 @@ object Packing {
       .withColumn("fill_ratio",
         round(col("n_tokens").cast("double") / cap, 6))
   }
+
+  /** Histogram-based complement packing plan — the no-split alternative
+    * to [[packConcatChop]] (the SPFHP family of Krell et al. 2021,
+    * arXiv:2107.02027, public; simplified to ≤ 2 docs per pack): pair
+    * each longest remaining length with the longest length that still
+    * fits the capacity, in BULK off the length histogram, so attention
+    * never crosses a document boundary and padding is what the plan
+    * says it is. The greedy runs on the ≤ `capacity`-row (length →
+    * count) histogram — a documented frozen snapshot (the
+    * [[graft.ops.Sampling.unimaxAllocation]] discipline: the corpus
+    * reduces map-side to the histogram; the driver loop touches only
+    * that) — and each step zeroes or near-zeroes a length, so it takes
+    * O(capacity) iterations regardless of corpus size (hard-guarded).
+    * Over-long docs clamp to `capacity` (they pack solo); non-positive
+    * lengths are excluded.
+    *
+    * Step semantics (mirrored EXACTLY by the recursive-CTE oracle —
+    * all-integer, zero float risk): L = longest length with count > 0;
+    * M = longest length ≤ capacity − L with a count left after
+    * reserving one L (so an L can pair with its own kind only when two
+    * exist); if no M, all L's go solo; if M = L, ⌊count/2⌋ self-pairs
+    * form; else min(count_L, count_M) (L, M) pairs form. One strategy
+    * row per step — (L, M) pairs never repeat because every step
+    * exhausts one side and counts never grow.
+    *
+    * Returns (len_a, len_b ∅ for solo, n_packs, fill_tokens,
+    * fill_ratio).
+    */
+  def complementPackingPlan(docs: DataFrame, tokCol: String,
+                            capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity ($capacity) must be >= 1")
+    val spark = docs.sparkSession
+    val hist = docs
+      .select(least(col(tokCol).cast("long"), lit(capacity.toLong))
+        .as("__l"))
+      .filter(col("__l") >= 1)
+      .groupBy(col("__l")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val c = Array.fill(capacity + 1)(0L)
+    hist.foreach { case (l, n) => c(l) = n }
+    def maxIdx(pred: Int => Boolean): Int = {
+      var i = capacity
+      while (i >= 1 && !pred(i)) i -= 1
+      if (i >= 1) i else 0
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[Long], Long)]
+    var guard = 0
+    var big = maxIdx(c(_) > 0)
+    while (big > 0) {
+      guard += 1
+      require(guard <= 4 * capacity + 4,
+        "complementPackingPlan: loop guard tripped — step semantics broken")
+      val lim = capacity - big
+      val m =
+        if (lim >= 1)
+          maxIdx(i => i <= lim &&
+            c(i) - (if (i == big) 1L else 0L) > 0)
+        else 0
+      if (m == 0) { out += ((big.toLong, None, c(big))); c(big) = 0 }
+      else if (m == big) {
+        val k = c(big) / 2
+        out += ((big.toLong, Some(big.toLong), k)); c(big) -= 2 * k
+      } else {
+        val k = math.min(c(big), c(m))
+        out += ((big.toLong, Some(m.toLong), k)); c(big) -= k; c(m) -= k
+      }
+      big = maxIdx(c(_) > 0)
+    }
+    import spark.implicits._
+    out.toSeq.toDF("len_a", "len_b", "n_packs")
+      .select(col("len_a"), col("len_b"), col("n_packs"),
+        (col("len_a") + coalesce(col("len_b"), lit(0L)))
+          .as("fill_tokens"),
+        round((col("len_a") + coalesce(col("len_b"), lit(0L)))
+          .cast("double") / capacity, 6).as("fill_ratio"))
+  }
 }

@@ -111,4 +111,25 @@ class PackingSpec extends SparkSpec {
     // window's left boundary
     assert(census.forall(_.getLong(2) <= 1L))
   }
+
+  test("complementPackingPlan: hand-traced bulk greedy, self-pair, solo, clamp") {
+    import spark.implicits._
+    def plan(lens: Seq[Long], cap: Int) =
+      Packing.complementPackingPlan(lens.toDF("n_toks"), "n_toks", cap)
+        .select("len_a", "len_b", "n_packs")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getLong(2))).toSet
+    // 8+2 bulk pair, 7+3, then the odd 3s self-pair with one left... no:
+    // 3:3 -> one (3,3) pair + the leftover 3 has no partner? trace:
+    // step1 (8,2,k=2); step2 (7,3,1) leaves 3:2; step3 (3,3,1) leaves 3:0
+    assert(plan(Seq(8, 8, 7, 3, 3, 3, 2, 2), 10) ==
+      Set((8L, Some(2L), 2L), (7L, Some(3L), 1L), (3L, Some(3L), 1L)))
+    // nothing fits beside a 9; the lone 5 cannot self-pair
+    assert(plan(Seq(9, 9, 5), 10) ==
+      Set((9L, None, 2L), (5L, None, 1L)))
+    // over-long docs clamp to capacity and go solo
+    assert(plan(Seq(300), 10) == Set((10L, None, 1L)))
+  }
 }
