@@ -3295,6 +3295,16 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q253_pack_partners" -> ((s, d) =>
+      // q252's plan realized at doc level: per-length id-ordered ranks
+      // map into the trace's consumption intervals (broadcast range
+      // filter on an equi-join), partners meet on (step, slot) —
+      // a pack is addressable without any further shuffle
+      Packing.complementPackAssign(
+        T(s, d, "documents").select(col("doc_id"),
+          graft.functions.tokenCount(col("text")).cast("long")
+            .as("n_toks")),
+        "doc_id", "n_toks", capacity = 256)),
     "q252_complement_packing" -> ((s, d) =>
       // no-split packing plan (SPFHP-family, <=2 docs/pack): bulk
       // complement greedy over the <=256-row length histogram — corpus
@@ -5937,44 +5947,42 @@ object SparkEntry {
         |FROM n GROUP BY g, nr, nc""".stripMargin,
     "q252_complement_packing" ->
       s"""WITH RECURSIVE
-         |t AS (SELECT CAST(len($toksSql) AS BIGINT) AS l0 FROM documents),
-         |h AS (SELECT least(l0, 256) AS l, CAST(count(*) AS BIGINT) AS n
-         |  FROM t WHERE l0 >= 1 GROUP BY 1),
-         |grid AS (SELECT gs.i, coalesce(h.n, 0) AS n
-         |  FROM (SELECT unnest(range(1, 257)) AS i) gs
-         |  LEFT JOIN h ON h.l = gs.i),
-         |init AS (SELECT list(n ORDER BY i) AS cnts FROM grid),
-         |rec(step, cnts, la, lb, k) AS (
-         |  SELECT 0, cnts, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-         |    CAST(NULL AS BIGINT) FROM init
-         |  UNION ALL
-         |  SELECT step + 1,
-         |    list_transform(range(1, 257), i -> cnts[i] -
-         |      CASE WHEN mm = ll AND i = ll THEN 2 * kk
-         |           WHEN i = ll OR i = mm THEN kk ELSE 0 END),
-         |    ll, CASE WHEN mm = 0 THEN NULL ELSE mm END, kk
-         |  FROM (
-         |    SELECT step, cnts, ll, mm,
-         |      CASE WHEN mm = 0 THEN cnts[ll]
-         |           WHEN mm = ll THEN cnts[ll] // 2
-         |           ELSE least(cnts[ll], cnts[mm]) END AS kk
-         |    FROM (
-         |      SELECT step, cnts, ll,
-         |        list_max(list_transform(range(1, 257), i ->
-         |          CASE WHEN i <= 256 - ll AND
-         |            cnts[i] - (CASE WHEN i = ll THEN 1 ELSE 0 END) > 0
-         |          THEN i ELSE 0 END)) AS mm
-         |      FROM (
-         |        SELECT step, cnts,
-         |          list_max(list_transform(range(1, 257), i ->
-         |            CASE WHEN cnts[i] > 0 THEN i ELSE 0 END)) AS ll
-         |        FROM rec) s1
-         |      WHERE ll > 0) s2) s3)
+         |$complementTraceCtesSql
          |SELECT la AS len_a, lb AS len_b, k AS n_packs,
          |  la + coalesce(lb, 0) AS fill_tokens,
          |  round(CAST(la + coalesce(lb, 0) AS DOUBLE) / 256, 6)
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
+    "q253_pack_partners" ->
+      s"""WITH RECURSIVE
+         |$complementTraceCtesSql,
+         |ev AS (SELECT la AS l, step,
+         |    CASE WHEN lb IS NULL THEN 'solo' ELSE 'a' END AS role, k
+         |  FROM rec WHERE la IS NOT NULL
+         |  UNION ALL
+         |  SELECT lb, step, 'b', k FROM rec WHERE lb IS NOT NULL),
+         |iv AS (SELECT l, step, role, k,
+         |    CAST(sum(k) OVER (PARTITION BY l ORDER BY step, role
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+         |  FROM ev),
+         |iv2 AS (SELECT l, step, role, hi - k AS lo, hi FROM iv),
+         |rk AS (SELECT doc_id, least(CAST(len($toksSql) AS BIGINT), 256)
+         |    AS l
+         |  FROM documents WHERE CAST(len($toksSql) AS BIGINT) >= 1),
+         |rk2 AS (SELECT doc_id, l, CAST(row_number() OVER
+         |    (PARTITION BY l ORDER BY doc_id) AS BIGINT) AS r FROM rk),
+         |asg AS (SELECT doc_id, rk2.l AS len, step, role, r - lo AS slot
+         |  FROM rk2 JOIN iv2 ON rk2.l = iv2.l AND r > lo AND r <= hi),
+         |pr AS (SELECT a.doc_id AS aid, b.doc_id AS bid,
+         |    a.len AS alen, b.len AS blen, a.step AS step, a.slot AS slot
+         |  FROM asg a JOIN asg b ON a.step = b.step AND a.slot = b.slot
+         |    AND a.role = 'a' AND b.role = 'b'),
+         |pm AS (SELECT aid AS doc_id, bid AS partner_id, blen AS plen
+         |  FROM pr
+         |  UNION ALL SELECT bid, aid, alen FROM pr)
+         |SELECT asg.doc_id, len, step, role, slot, pm.partner_id,
+         |  len + coalesce(pm.plen, 0) AS pack_tokens
+         |FROM asg LEFT JOIN pm ON asg.doc_id = pm.doc_id""".stripMargin,
     "q251_degree_assortativity" ->
       """WITH cp AS MATERIALIZED (SELECT DISTINCT
         |    'c:' || o_custkey AS a, 'p:' || l_partkey AS b
@@ -7030,6 +7038,48 @@ object SparkEntry {
        |FROM $src""".stripMargin
 
   private lazy val qualityFeaturesSql: String = qualityFeaturesSqlFrom("documents")
+
+  /** Shared recursive-trace CTE chain for q252/q253 — the DuckDB replay
+    * of Packing.complementPlanTrace's integer greedy at capacity 256:
+    * builds the clamped length histogram as a 256-slot list and iterates
+    * (largest length → largest complement → bulk consume), emitting one
+    * (step, la, lb, k) strategy row per recursion step. Must stay inside
+    * a WITH RECURSIVE introduced by the caller.
+    */
+  private lazy val complementTraceCtesSql: String =
+    s"""t AS (SELECT CAST(len($toksSql) AS BIGINT) AS l0 FROM documents),
+       |h AS (SELECT least(l0, 256) AS l, CAST(count(*) AS BIGINT) AS n
+       |  FROM t WHERE l0 >= 1 GROUP BY 1),
+       |grid AS (SELECT gs.i, coalesce(h.n, 0) AS n
+       |  FROM (SELECT unnest(range(1, 257)) AS i) gs
+       |  LEFT JOIN h ON h.l = gs.i),
+       |init AS (SELECT list(n ORDER BY i) AS cnts FROM grid),
+       |rec(step, cnts, la, lb, k) AS (
+       |  SELECT 0, cnts, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |    CAST(NULL AS BIGINT) FROM init
+       |  UNION ALL
+       |  SELECT step + 1,
+       |    list_transform(range(1, 257), i -> cnts[i] -
+       |      CASE WHEN mm = ll AND i = ll THEN 2 * kk
+       |           WHEN i = ll OR i = mm THEN kk ELSE 0 END),
+       |    ll, CASE WHEN mm = 0 THEN NULL ELSE mm END, kk
+       |  FROM (
+       |    SELECT step, cnts, ll, mm,
+       |      CASE WHEN mm = 0 THEN cnts[ll]
+       |           WHEN mm = ll THEN cnts[ll] // 2
+       |           ELSE least(cnts[ll], cnts[mm]) END AS kk
+       |    FROM (
+       |      SELECT step, cnts, ll,
+       |        list_max(list_transform(range(1, 257), i ->
+       |          CASE WHEN i <= 256 - ll AND
+       |            cnts[i] - (CASE WHEN i = ll THEN 1 ELSE 0 END) > 0
+       |          THEN i ELSE 0 END)) AS mm
+       |      FROM (
+       |        SELECT step, cnts,
+       |          list_max(list_transform(range(1, 257), i ->
+       |            CASE WHEN cnts[i] > 0 THEN i ELSE 0 END)) AS ll
+       |        FROM rec) s1
+       |      WHERE ll > 0) s2) s3)""".stripMargin
 
   /** Shared CTE chain for q242/q243 mirroring TextAnalysis.scoreCurve over
     * the frozen quality logistic: distinct round-6 score groups (g) with

@@ -195,8 +195,28 @@ object Packing {
     */
   def complementPackingPlan(docs: DataFrame, tokCol: String,
                             capacity: Int): DataFrame = {
-    require(capacity >= 1, s"capacity ($capacity) must be >= 1")
     val spark = docs.sparkSession
+    import spark.implicits._
+    complementPlanTrace(docs, tokCol, capacity)
+      .map { case (_, la, lb, k) => (la, lb, k) }
+      .toDF("len_a", "len_b", "n_packs")
+      .select(col("len_a"), col("len_b"), col("n_packs"),
+        (col("len_a") + coalesce(col("len_b"), lit(0L)))
+          .as("fill_tokens"),
+        round((col("len_a") + coalesce(col("len_b"), lit(0L)))
+          .cast("double") / capacity, 6).as("fill_ratio"))
+  }
+
+  /** The greedy's step trace (1-based step, len_a, len_b, n_packs) —
+    * shared by [[complementPackingPlan]] and [[complementPackAssign]] so
+    * the plan census and the doc-level assignment can never disagree.
+    * Corpus work is the map-side histogram reduction; the loop runs on
+    * the collected ≤ `capacity`-row histogram (documented frozen
+    * snapshot, hard-guarded at O(capacity) iterations).
+    */
+  private def complementPlanTrace(docs: DataFrame, tokCol: String,
+      capacity: Int): Seq[(Int, Long, Option[Long], Long)] = {
+    require(capacity >= 1, s"capacity ($capacity) must be >= 1")
     val hist = docs
       .select(least(col(tokCol).cast("long"), lit(capacity.toLong))
         .as("__l"))
@@ -211,35 +231,89 @@ object Packing {
       if (i >= 1) i else 0
     }
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Option[Long], Long)]
-    var guard = 0
+      .empty[(Int, Long, Option[Long], Long)]
+    var step = 0
     var big = maxIdx(c(_) > 0)
     while (big > 0) {
-      guard += 1
-      require(guard <= 4 * capacity + 4,
-        "complementPackingPlan: loop guard tripped — step semantics broken")
+      step += 1
+      require(step <= 4 * capacity + 4,
+        "complementPlanTrace: loop guard tripped — step semantics broken")
       val lim = capacity - big
       val m =
         if (lim >= 1)
           maxIdx(i => i <= lim &&
             c(i) - (if (i == big) 1L else 0L) > 0)
         else 0
-      if (m == 0) { out += ((big.toLong, None, c(big))); c(big) = 0 }
+      if (m == 0) { out += ((step, big.toLong, None, c(big))); c(big) = 0 }
       else if (m == big) {
         val k = c(big) / 2
-        out += ((big.toLong, Some(big.toLong), k)); c(big) -= 2 * k
+        out += ((step, big.toLong, Some(big.toLong), k)); c(big) -= 2 * k
       } else {
         val k = math.min(c(big), c(m))
-        out += ((big.toLong, Some(m.toLong), k)); c(big) -= k; c(m) -= k
+        out += ((step, big.toLong, Some(m.toLong), k))
+        c(big) -= k; c(m) -= k
       }
       big = maxIdx(c(_) > 0)
     }
+    out.toSeq
+  }
+
+  /** Doc-level realization of [[complementPackingPlan]]: which pack does
+    * each document land in, and with whom? Documents take a per-length
+    * rank (ordered by id — deterministic and append-stable), the trace
+    * expands to per-length CONSUMPTION INTERVALS (each step consumes a
+    * contiguous rank range of its lengths; within a self-pair step the
+    * a-side ranks precede the b-side), and a broadcast equi-join on
+    * length with the range as join filter maps every doc to its (step,
+    * role, slot). Partners are the a↔b rows sharing (step, slot) — an
+    * (id, id)-keyed join, so a pack is addressable as (step, slot) and
+    * a loader can materialize it without any further shuffle.
+    *
+    * Scale shape: the trace/interval table is ≤ 2·O(capacity) rows and
+    * broadcasts; the per-length rank window spreads over ≤ capacity
+    * partitions (the length IS the partition key); the partner map
+    * shuffles (id, id) pairs only. Returns (doc_id, len, step, role,
+    * slot, partner_id ∅ for solo, pack_tokens).
+    */
+  def complementPackAssign(docs: DataFrame, idCol: String,
+                           tokCol: String, capacity: Int): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    out.toSeq.toDF("len_a", "len_b", "n_packs")
-      .select(col("len_a"), col("len_b"), col("n_packs"),
-        (col("len_a") + coalesce(col("len_b"), lit(0L)))
-          .as("fill_tokens"),
-        round((col("len_a") + coalesce(col("len_b"), lit(0L)))
-          .cast("double") / capacity, 6).as("fill_ratio"))
+    val evs = complementPlanTrace(docs, tokCol, capacity)
+      .flatMap { case (st, la, lbO, k) =>
+        lbO match {
+          case None     => Seq((la, st, "solo", k))
+          case Some(lb) => Seq((la, st, "a", k), (lb, st, "b", k))
+        }
+      }
+    val w = Window.partitionBy(col("__l")).orderBy(col("step"), col("role"))
+    val iv = evs.toDF("__l", "step", "role", "__k")
+      .withColumn("__hi", sum(col("__k")).over(w))
+      .withColumn("__lo", col("__hi") - col("__k"))
+    val ranked = docs
+      .select(col(idCol).as("doc_id"),
+        least(col(tokCol).cast("long"), lit(capacity.toLong)).as("__l"))
+      .filter(col("__l") >= 1)
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__l")).orderBy(col("doc_id")))
+        .cast("long"))
+    val asg = ranked.join(broadcast(iv), Seq("__l"))
+      .filter(col("__r") > col("__lo") && col("__r") <= col("__hi"))
+      .select(col("doc_id"), col("__l").as("len"), col("step"),
+        col("role"), (col("__r") - col("__lo")).as("slot"))
+      .localCheckpoint()
+    val pr = asg.filter(col("role") === "a")
+      .select(col("step"), col("slot"), col("doc_id").as("__aid"),
+        col("len").as("__alen"))
+      .join(asg.filter(col("role") === "b")
+        .select(col("step"), col("slot"), col("doc_id").as("__bid"),
+          col("len").as("__blen")), Seq("step", "slot"))
+    val pm = pr.select(col("__aid").as("doc_id"),
+        col("__bid").as("partner_id"), col("__blen").as("__plen"))
+      .union(pr.select(col("__bid"), col("__aid"), col("__alen")))
+    asg.join(pm, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len"), col("step"), col("role"),
+        col("slot"), col("partner_id"),
+        (col("len") + coalesce(col("__plen"), lit(0L))).as("pack_tokens"))
   }
 }

@@ -132,4 +132,33 @@ class PackingSpec extends SparkSpec {
     // over-long docs clamp to capacity and go solo
     assert(plan(Seq(300), 10) == Set((10L, None, 1L)))
   }
+
+  test("complementPackAssign: hand-traced partners, symmetric, " +
+    "capacity-respecting, every doc assigned once") {
+    import spark.implicits._
+    val docs = Seq((1L, 8L), (2L, 8L), (3L, 7L), (4L, 3L), (5L, 3L),
+      (6L, 3L), (7L, 2L), (8L, 2L)).toDF("doc_id", "n_toks")
+    val rows = Packing.complementPackAssign(docs, "doc_id", "n_toks", 10)
+      .collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (1L to 8L)) // once each
+    val partner = rows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    // id-ordered per-length ranks: 8s (1,2) pair the 2s (7,8) in step 1,
+    // the 7 (3) takes the first 3 (4), the remaining 3s self-pair (5,6)
+    assert(partner == Map(1L -> Some(7L), 7L -> Some(1L),
+      2L -> Some(8L), 8L -> Some(2L), 3L -> Some(4L), 4L -> Some(3L),
+      5L -> Some(6L), 6L -> Some(5L)))
+    // partner symmetry + pack token arithmetic + capacity bound
+    rows.foreach { r =>
+      val pt = r.getLong(6)
+      assert(pt <= 10L)
+      partner(r.getLong(0)).foreach(p =>
+        assert(partner(p).contains(r.getLong(0))))
+    }
+    // a solo survives with null partner and its own length as fill
+    val solo = Packing.complementPackAssign(
+      Seq((9L, 9L), (10L, 9L)).toDF("doc_id", "n_toks"),
+      "doc_id", "n_toks", 10).collect()
+    assert(solo.forall(r => r.isNullAt(5) && r.getLong(6) == 9L))
+  }
 }
