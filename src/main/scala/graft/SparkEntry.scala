@@ -3295,6 +3295,12 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q254_distinctive_terms" -> ((s, d) =>
+      // corpus curation lens: "Fightin' Words" log-odds z-scores with
+      // the corpus as informative Dirichlet prior — top-5 over-
+      // represented terms per source; integer counts inside every
+      // ln/sqrt, round-6 before the bounded-heap top-k, term tiebreak
+      TextAnalysis.distinctiveTerms(T(s, d, "documents"), k = 5)),
     "q253_pack_partners" -> ((s, d) =>
       // q252's plan realized at doc level: per-length id-ordered ranks
       // map into the trace's consumption intervals (broadcast range
@@ -5953,6 +5959,33 @@ object SparkEntry {
          |  round(CAST(la + coalesce(lb, 0) AS DOUBLE) / 256, 6)
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
+    "q254_distinctive_terms" ->
+      s"""WITH tf AS (SELECT source, tok AS term,
+         |    CAST(count(*) AS BIGINT) AS ysw
+         |  FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY source, tok),
+         |yw AS (SELECT term, CAST(sum(ysw) AS BIGINT) AS yw FROM tf
+         |  GROUP BY term),
+         |ns AS (SELECT source, CAST(sum(ysw) AS BIGINT) AS ns FROM tf
+         |  GROUP BY source),
+         |nt AS (SELECT CAST(sum(ysw) AS BIGINT) AS n FROM tf),
+         |sc AS (SELECT tf.source, tf.term, ysw AS n_occurrences,
+         |    round((ln(CAST(ysw + yw AS DOUBLE)
+         |              / CAST(ns + n - ysw - yw AS DOUBLE))
+         |         - ln(CAST((yw - ysw) + yw AS DOUBLE)
+         |              / CAST(n - ns + n - (yw - ysw) - yw AS DOUBLE)))
+         |      / sqrt(1.0 / CAST(ysw + yw AS DOUBLE)
+         |           + 1.0 / CAST((yw - ysw) + yw AS DOUBLE)), 6)
+         |      AS z_score
+         |  FROM tf JOIN yw ON tf.term = yw.term
+         |  JOIN ns ON tf.source = ns.source
+         |  CROSS JOIN nt),
+         |rk AS (SELECT source, term, n_occurrences, z_score,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY z_score DESC, term) AS rn
+         |  FROM sc)
+         |SELECT source, term, n_occurrences, z_score FROM rk
+         |WHERE rn <= 5""".stripMargin,
     "q253_pack_partners" ->
       s"""WITH RECURSIVE
          |$complementTraceCtesSql,

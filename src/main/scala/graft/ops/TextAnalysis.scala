@@ -1726,6 +1726,58 @@ object TextAnalysis {
         col("__bf.threshold").as("best_f1_threshold"))
   }
 
+  /** Distinctive terms per source — the "Fightin' Words" log-odds ratio
+    * with an informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    * public): for each source, which terms are OVER-represented vs the
+    * rest of the corpus, scored as z = δ/√var with
+    * δ = ln-odds(term | source+prior) − ln-odds(term | rest+prior) and
+    * var ≈ 1/(y_sw+a_w) + 1/(y_rw+a_w). The prior is the corpus term
+    * distribution at full strength (a_w = y_w, a₀ = N — the standard
+    * informative instantiation with zero float arithmetic in the prior),
+    * so rare-term noise shrinks toward the corpus rate instead of
+    * dominating the tails the way raw log-odds or PMI do. Every
+    * ln/√ argument is a ratio/sum of exact INTEGER counts; z rounds to
+    * 6 BEFORE the ranking (round-before-rank) with the term string as
+    * tiebreak. Candidates are the OBSERVED (source, term) pairs — an
+    * absent term's z is deeply negative and cannot make a top-k.
+    *
+    * Scale shape: one tokenize + (source, term) count reduction; the
+    * corpus-wide term totals join term-keyed, source totals and the
+    * corpus scalar broadcast; the final cut is the bounded-heap
+    * [[graft.plans.TopK]] operator — no per-source sort, no window.
+    */
+  def distinctiveTerms(docs: DataFrame, srcCol: String = "source",
+                       textCol: String = "text", k: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("__ysw"))
+      .localCheckpoint()
+    val yw = tf.groupBy(col("term")).agg(sum(col("__ysw")).as("__yw"))
+    val ns = tf.groupBy(col("source")).agg(sum(col("__ysw")).as("__ns"))
+    val ntot = tf.agg(sum(col("__ysw")).as("__N"))
+    val yrw = col("__yw") - col("__ysw")
+    val oddsS = (col("__ysw") + col("__yw")).cast("double") /
+      (col("__ns") + col("__N") - col("__ysw") - col("__yw"))
+        .cast("double")
+    val oddsR = (yrw + col("__yw")).cast("double") /
+      (col("__N") - col("__ns") + col("__N") - yrw - col("__yw"))
+        .cast("double")
+    val variance = lit(1.0) / (col("__ysw") + col("__yw")).cast("double") +
+      lit(1.0) / (yrw + col("__yw")).cast("double")
+    val scored = tf
+      .join(yw, Seq("term"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(ntot))
+      .select(col("source"), col("term"),
+        col("__ysw").as("n_occurrences"),
+        round((log(oddsS) - log(oddsR)) / sqrt(variance), 6)
+          .as("z_score"))
+    graft.plans.TopK.perGroup(scored, Seq("source"),
+      Seq(("z_score", true), ("term", false)), k)
+  }
+
   /** Mutual information of each numeric feature with a discrete label —
     * the feature-selection scorecard for a learned quality filter
     * (which of the heuristic features actually carries signal about the

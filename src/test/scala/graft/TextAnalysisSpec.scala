@@ -659,6 +659,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_precision") == 1.0)
   }
 
+  test("distinctiveTerms: a source's marker token tops its list with " +
+    "positive z; shared filler does not") {
+    val docs = Seq(
+      ("a", "zebra zebra zebra common common"),
+      ("a", "zebra common common"),
+      ("b", "common common common filler filler"),
+      ("b", "filler common filler")
+    ).toDF("source", "text")
+    val got = TextAnalysis.distinctiveTerms(docs, k = 2)
+      .collect()
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.sortBy(-_.getAs[Double]("z_score"))
+        .map(r => r.getAs[String]("term") -> r.getAs[Double]("z_score")))
+      .toMap
+    assert(got("a").head._1 == "zebra" && got("a").head._2 > 0.0)
+    assert(got("b").head._1 == "filler" && got("b").head._2 > 0.0)
+    // the shared token is nobody's most-distinctive term
+    assert(got.values.forall(_.head._1 != "common"))
+  }
+
   test("featureMutualInfo: perfectly-informative feature scores ln 2, " +
     "constant feature scores 0") {
     // f1 = 0..9 with y = (f1 >= 5): bins are singletons, MI = ln 2;
