@@ -3295,6 +3295,13 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q255_cusum_alarm" -> ((s, d) =>
+      // control-chart changepoint monitor: one-sided CUSUM of the daily
+      // micro-cent mean per event type — all-integer recurrence folded
+      // map-only over the bounded day array, replayed by a recursive-CTE
+      // oracle; catches sustained shifts no single-day z-score sees
+      Resample.cusumAlarm(Tables.events(s, d), "event_type", "ts",
+        "value")),
     "q254_distinctive_terms" -> ((s, d) =>
       // corpus curation lens: "Fightin' Words" log-odds z-scores with
       // the corpus as informative Dirichlet prior — top-5 over-
@@ -5959,6 +5966,31 @@ object SparkEntry {
          |  round(CAST(la + coalesce(lb, 0) AS DOUBLE) / 256, 6)
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
+    "q255_cusum_alarm" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS g,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |d AS (SELECT g, day, CAST(sum(c) AS BIGINT) AS sc,
+        |    CAST(count(*) AS BIGINT) AS n FROM e GROUP BY g, day),
+        |x AS (SELECT g, day, sc * 1000000 // n AS xv,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY day)
+        |      AS BIGINT) AS i
+        |  FROM d),
+        |p AS (SELECT g, CAST(sum(xv) AS BIGINT) // count(*) AS mu FROM x
+        |  GROUP BY g),
+        |p2 AS (SELECT g, mu, mu // 20 AS k, mu // 2 AS h FROM p),
+        |rec(g, i, s) AS (
+        |  SELECT g, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM p2
+        |  UNION ALL
+        |  SELECT r.g, r.i + 1,
+        |    greatest(CAST(0 AS BIGINT), r.s + x.xv - p2.mu - p2.k)
+        |  FROM rec r JOIN x ON x.g = r.g AND x.i = r.i + 1
+        |  JOIN p2 ON p2.g = r.g)
+        |SELECT x.g AS event_type, x.day, x.xv AS day_stat, rec.s AS cusum,
+        |  p2.mu AS target, CAST(rec.s > p2.h AS INTEGER) AS alarm
+        |FROM rec JOIN x ON x.g = rec.g AND x.i = rec.i
+        |JOIN p2 ON p2.g = rec.g""".stripMargin,
     "q254_distinctive_terms" ->
       s"""WITH tf AS (SELECT source, tok AS term,
          |    CAST(count(*) AS BIGINT) AS ysw

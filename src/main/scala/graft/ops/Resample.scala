@@ -243,4 +243,63 @@ object Resample {
           element_at(element_at(col("__st"), col("__i") + 1), 2), 6)
           .as("forecast"))
   }
+
+  /** One-sided CUSUM changepoint monitor (Page 1954, public) per key —
+    * the control-chart classic that catches a sustained upward SHIFT in
+    * a daily statistic long before any single day looks anomalous:
+    * S_d = max(0, S_{d−1} + x_d − target − slack), alarm when S_d
+    * crosses the threshold. ENTIRELY integer: the day stat is the
+    * micro-cent day mean (sum_cents·10⁶ DIV n — deterministic integer
+    * division, inputs are non-negative by contract), target is the
+    * integer mean of day stats, slack = target DIV `slackDiv`,
+    * threshold = target DIV `thresholdDiv` — zero float risk, and the
+    * recurrence is replayed exactly by a recursive-CTE oracle.
+    *
+    * Scale shape: event volume reduces map-side to (key, day) stats —
+    * the only pass over the corpus; the sequential recurrence then runs
+    * as one codegen'd `aggregate()` fold over the per-key day array
+    * (the [[ewmaSmooth]]/[[holtSmooth]] discipline — state is
+    * days-sized, bounded by the calendar, never event-sized). Returns
+    * (key, day, day_stat, cusum, target, alarm).
+    */
+  def cusumAlarm(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, slackDiv: Long = 20L,
+                 thresholdDiv: Long = 2L): DataFrame = {
+    require(slackDiv >= 1 && thresholdDiv >= 1,
+      s"divisors must be >= 1: $slackDiv, $thresholdDiv")
+    val daily = df
+      .groupBy(col(keyCol),
+        expr(s"unix_timestamp(date_trunc('DAY', $tsCol)) DIV 86400")
+          .as("__day"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("__sc"),
+        count(lit(1)).as("__n"))
+      .select(col(keyCol), col("__day"),
+        expr("__sc * 1000000 DIV __n").as("__x"))
+      .localCheckpoint()
+    val params = daily.groupBy(col(keyCol))
+      .agg(expr("sum(__x) DIV count(1)").as("__mu"))
+      .select(col(keyCol), col("__mu"),
+        expr(s"__mu DIV $slackDiv").as("__k"),
+        expr(s"__mu DIV $thresholdDiv").as("__h"))
+    val series = daily.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__day"), col("__x"))))
+        .as("__ser"))
+      .join(broadcast(params), Seq(keyCol))
+    val cu = aggregate(
+      transform(col("__ser"), s => s.getField("__x")),
+      array().cast("array<bigint>"),
+      (acc, x) => concat(acc, array(
+        greatest(lit(0L),
+          when(size(acc) === 0, lit(0L)).otherwise(element_at(acc, -1))
+            + x - col("__mu") - col("__k")))))
+    series.withColumn("__cu", cu)
+      .select(col(keyCol), col("__mu"), col("__h"),
+        posexplode(col("__ser")).as(Seq("__i", "__s")), col("__cu"))
+      .select(col(keyCol), col("__s.__day").as("day"),
+        col("__s.__x").as("day_stat"),
+        element_at(col("__cu"), col("__i") + 1).as("cusum"),
+        col("__mu").as("target"),
+        (element_at(col("__cu"), col("__i") + 1) > col("__h"))
+          .cast("int").as("alarm"))
+  }
 }

@@ -152,4 +152,22 @@ class ResampleSpec extends SparkSpec {
     // window [3,9] covers only day 9 → {1}
     assert(got.toSeq == Seq((0L, 2L, 2L), (2L, 1L, 3L), (9L, 1L, 1L)))
   }
+
+  test("cusumAlarm: hand-computed integer recurrence fires after the shift") {
+    // one $1 event/day for 3 days then $5/day: day stat = v·1e8 µ¢,
+    // mu = 18e8 DIV 6 = 3e8, slack = 15e6, threshold = 1.5e8;
+    // S = [0,0,0,1.85e8,3.7e8,5.55e8] -> alarms from the first shifted day
+    val day = 86400L
+    val df = (0 to 5).map(i =>
+        ("g", i * day + 1, if (i < 3) 1.0 else 5.0))
+      .toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val got = Resample.cusumAlarm(df, "k", "ts", "v")
+      .orderBy("day").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getInt(5)))
+    assert(got.toSeq == Seq(
+      (100000000L, 0L, 0), (100000000L, 0L, 0), (100000000L, 0L, 0),
+      (500000000L, 185000000L, 1), (500000000L, 370000000L, 1),
+      (500000000L, 555000000L, 1)))
+  }
 }
