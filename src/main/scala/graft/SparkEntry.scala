@@ -3295,6 +3295,15 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q256_benford_audit" -> ((s, d) =>
+      // forensic data-quality audit: first-digit distribution of price
+      // cents vs Benford's law — integer ppm shares, per-digit chi²
+      // contribution in one shared IEEE op order; all 9 digit rows
+      // always present
+      Profile.benfordAudit(
+        T(s, d, "lineitem").select(
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "cents")),
     "q255_cusum_alarm" -> ((s, d) =>
       // control-chart changepoint monitor: one-sided CUSUM of the daily
       // micro-cent mean per event type — all-integer recurrence folded
@@ -5966,6 +5975,24 @@ object SparkEntry {
          |  round(CAST(la + coalesce(lb, 0) AS DOUBLE) / 256, 6)
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
+    "q256_benford_audit" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    AS v FROM lineitem),
+        |c AS (SELECT CAST(left(CAST(v AS VARCHAR), 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM v WHERE v >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c),
+        |g AS (SELECT unnest(range(1, 10)) AS digit),
+        |j AS (SELECT g.digit, coalesce(n_obs, 0) AS n_obs, n,
+        |    ln((g.digit + 1.0) / g.digit) / ln(10.0) AS pexp
+        |  FROM g LEFT JOIN c ON g.digit = c.digit CROSS JOIN t)
+        |SELECT digit, n_obs,
+        |  CAST(1000000 * n_obs // n AS BIGINT) AS obs_ppm,
+        |  CAST(round(1e6 * pexp) AS BIGINT) AS expected_ppm,
+        |  round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * pexp)
+        |      * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * pexp)
+        |      / (CAST(n AS DOUBLE) * pexp), 6) AS chi2_term
+        |FROM j""".stripMargin,
     "q255_cusum_alarm" ->
       """WITH RECURSIVE e AS (SELECT event_type AS g,
         |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,

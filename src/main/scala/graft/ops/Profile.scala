@@ -92,4 +92,40 @@ object Profile {
           greatest(lit(1.0), nd.cast("double") * (3.0 * rsd)))
           .as("nd_ok"))
   }
+
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938, public) —
+    * the forensic data-quality check: naturally-occurring multiplicative
+    * quantities put digit d first with probability log₁₀(1 + 1/d);
+    * fabricated, truncated, or unit-mangled columns don't. Per digit
+    * 1–9 (all nine rows always present): observed count, observed share
+    * in integer ppm (DIV), the Benford expectation in ppm, and the
+    * chi-square contribution (o − e)²/e rounded to 6 — one IEEE op
+    * order shared with the oracle. Non-positive values are excluded
+    * (they have no leading digit). One scan → 9-row aggregate; the
+    * digit extraction is a codegen'd string head on the integer
+    * rendering, exact for any BIGINT.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val counts = df
+      .select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v") >= 1)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(sum(col("n_obs")).as("__n"))
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").as("digit"))
+    val pexp = log((col("digit") + lit(1.0)) / col("digit")) /
+      log(lit(10.0))
+    val ne = col("__n").cast("double") * pexp
+    val dd = col("n_obs").cast("double") - ne
+    digits.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("__n"))
+      .select(col("digit"), col("n_obs"),
+        expr("1000000 * n_obs DIV __n").as("obs_ppm"),
+        round(lit(1e6) * pexp).cast("long").as("expected_ppm"),
+        round(dd * dd / ne, 6).as("chi2_term"))
+  }
 }

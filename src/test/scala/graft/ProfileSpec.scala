@@ -63,4 +63,20 @@ class ProfileSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 scan, got $scans")
     assert(prof.count() == 3)
   }
+
+  test("benfordAudit: all 9 digit rows, integer shares, Benford ppm " +
+    "constants, non-positives excluded") {
+    val df = Seq(1L, 19L, 200L, 2L, 35L, 9L, 0L, -7L).toDF("v")
+    val got = Profile.benfordAudit(df, "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got.keySet == (1L to 9L).toSet)
+    // digits: 1->{1,19}, 2->{200,2}, 3->{35}, 9->{9}; 0 and -7 excluded
+    assert(got(1L)._1 == 2L && got(2L)._1 == 2L &&
+      got(3L)._1 == 1L && got(9L)._1 == 1L && got(5L)._1 == 0L)
+    assert(got(1L)._2 == 333333L) // 2e6 DIV 6
+    // the Benford expectations are fixed constants of the law
+    assert((1L to 9L).map(got(_)._3) == Seq(301030L, 176091L, 124939L,
+      96910L, 79181L, 66947L, 57992L, 51153L, 45757L))
+  }
 }
