@@ -194,11 +194,38 @@ object Packing {
     * fill_ratio).
     */
   def complementPackingPlan(docs: DataFrame, tokCol: String,
-                            capacity: Int): DataFrame = {
-    val spark = docs.sparkSession
+                            capacity: Int): DataFrame =
+    planFromTrace(docs.sparkSession,
+      complementPlanTrace(docs, tokCol, capacity), capacity)
+
+  /** [[complementPackingPlan]] from a PRE-AGGREGATED (value, count)
+    * histogram — the monitor form (a [[graft.streaming.EventStream]]
+    * token-count snapshot instead of the docs themselves): over-capacity
+    * lengths clamp into the capacity bucket, non-positives drop, then
+    * the identical greedy runs. A unit test pins this form equal to the
+    * row form on the same corpus, and the streaming twin reads the SAME
+    * `valueCountMonitor` snapshot the drift monitors use — one ingest
+    * loop feeds drift scoring AND loader planning.
+    */
+  def complementPackingPlanFromCounts(counts: DataFrame, valueCol: String,
+                                      countCol: String,
+                                      capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity ($capacity) must be >= 1")
+    val hist = counts
+      .select(least(col(valueCol).cast("long"), lit(capacity.toLong))
+        .as("__l"), col(countCol).cast("long").as("__c"))
+      .filter(col("__l") >= 1)
+      .groupBy(col("__l")).agg(sum(col("__c")).as("__c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    planFromTrace(counts.sparkSession, traceFromHistogram(hist, capacity),
+      capacity)
+  }
+
+  private def planFromTrace(spark: org.apache.spark.sql.SparkSession,
+      trace: Seq[(Int, Long, Option[Long], Long)],
+      capacity: Int): DataFrame = {
     import spark.implicits._
-    complementPlanTrace(docs, tokCol, capacity)
-      .map { case (_, la, lb, k) => (la, lb, k) }
+    trace.map { case (_, la, lb, k) => (la, lb, k) }
       .toDF("len_a", "len_b", "n_packs")
       .select(col("len_a"), col("len_b"), col("n_packs"),
         (col("len_a") + coalesce(col("len_b"), lit(0L)))
@@ -223,6 +250,11 @@ object Packing {
       .filter(col("__l") >= 1)
       .groupBy(col("__l")).agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    traceFromHistogram(hist, capacity)
+  }
+
+  private def traceFromHistogram(hist: Map[Int, Long],
+      capacity: Int): Seq[(Int, Long, Option[Long], Long)] = {
     val c = Array.fill(capacity + 1)(0L)
     hist.foreach { case (l, n) => c(l) = n }
     def maxIdx(pred: Int => Boolean): Int = {

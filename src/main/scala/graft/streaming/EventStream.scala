@@ -579,6 +579,20 @@ object EventStream {
         .select(col(valueCol), col("n")),
       reference, valueCol, "n", bins)
 
+  /** Packing plan off the streamed token-count snapshot at `dest` — the
+    * loader-planning twin of the drift monitors: the SAME
+    * [[valueCountMonitor]] histogram that feeds KS/PSI scoring also
+    * feeds [[graft.ops.Packing.complementPackingPlanFromCounts]], so a
+    * curation stream continuously knows what its next training batch
+    * layout looks like. StreamingSpec pins the streamed plan equal to
+    * the batch plan over the same corpus.
+    */
+  def packingPlanFromStore(spark: SparkSession, dest: String,
+                           valueCol: String, capacity: Int): DataFrame =
+    graft.ops.Packing.complementPackingPlanFromCounts(
+      spark.read.parquet(dest).select(col(valueCol), col("n")),
+      valueCol, "n", capacity)
+
   /** Streaming frame sampling — the streaming twin of q151: synthesize →
     * [[graft.ops.Multimodal.frameSample]] is a stateless projection plus
     * per-row explode (flatMap), so it applies to an unbounded media

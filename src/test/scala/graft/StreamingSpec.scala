@@ -612,6 +612,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.getLong(0) == batch.getLong(0)) // full corpus seen
   }
 
+  test("streaming packing plan from the token-count snapshot equals the batch plan") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+    val dest = "/tmp/graft_drift/toks_" + System.nanoTime()
+    val q = EventStream.valueCountMonitor(
+        EventStream.readDocuments(spark, sf0001)
+          .select(graft.functions.tokenCount(col("text")).cast("long")
+            .as("n_toks")),
+        "n_toks", dest)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = EventStream
+      .packingPlanFromStore(spark, dest, "n_toks", 256)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Packing.complementPackingPlan(
+      docs.select(graft.functions.tokenCount(col("text")).cast("long")
+        .as("n_toks")),
+      "n_toks", 256).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming PSI monitor equals the batch statistic vs the frozen reference") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val docs = Tables.documents(spark, sf0001)
