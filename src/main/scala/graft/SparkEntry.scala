@@ -3295,6 +3295,12 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q257_source_coverage" -> ((s, d) =>
+      // mixture-design evidence: facility-location greedy over sources —
+      // each round picks the source adding the most unseen 3-shingles;
+      // the diminishing-returns curve that prices the next crawl; corpus
+      // reduces once to (source, hash), rounds are anti-join + argmax
+      Sampling.greedySourceCoverage(T(s, d, "documents"), rounds = 5)),
     "q256_benford_audit" -> ((s, d) =>
       // forensic data-quality audit: first-digit distribution of price
       // cents vs Benford's law — integer ppm shares, per-digit chi²
@@ -5975,6 +5981,7 @@ object SparkEntry {
          |  round(CAST(la + coalesce(lb, 0) AS DOUBLE) / 256, 6)
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
+    "q257_source_coverage" -> greedyCoverageOracleSql(3, 5),
     "q256_benford_audit" ->
       """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
         |    AS v FROM lineitem),
@@ -7130,6 +7137,50 @@ object SparkEntry {
        |FROM $src""".stripMargin
 
   private lazy val qualityFeaturesSql: String = qualityFeaturesSqlFrom("documents")
+
+  /** Unrolled DuckDB mirror of Sampling.greedySourceCoverage: `rounds`
+    * greedy layers, each picking the argmax-marginal source (m DESC,
+    * source tiebreak) against the union of previously covered shingle
+    * hashes, then folding its hashes into the covered set.
+    */
+  private def greedyCoverageOracleSql(k: Int, rounds: Int): String = {
+    val layers = (1 to rounds).map { r =>
+      val where =
+        if (r == 1) ""
+        else {
+          val np = (1 until r).map(i => s"SELECT source FROM p$i")
+            .mkString(" UNION ALL ")
+          s"""  WHERE source NOT IN ($np)
+             |    AND h NOT IN (SELECT h FROM c${r - 1})
+             |""".stripMargin
+        }
+      val cov =
+        if (r == 1)
+          "SELECT DISTINCT h FROM ssh WHERE source IN (SELECT source FROM p1)"
+        else
+          s"SELECT h FROM c${r - 1} UNION " +
+            s"SELECT h FROM ssh WHERE source IN (SELECT source FROM p$r)"
+      s"""m$r AS (SELECT source, CAST(count(*) AS BIGINT) AS m FROM ssh
+         |$where  GROUP BY source),
+         |p$r AS MATERIALIZED (SELECT source, m FROM m$r
+         |  ORDER BY m DESC, source LIMIT 1),
+         |c$r AS MATERIALIZED ($cov)""".stripMargin
+    }
+    val sel = (1 to rounds)
+      .map(r => s"SELECT $r AS round, source, m FROM p$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${shingleCtesSql(k)},
+       |sfx AS (SELECT d.source, unnest(s) AS sg FROM sh
+       |  JOIN documents d ON sh.doc_id = d.doc_id),
+       |ssh AS MATERIALIZED (SELECT DISTINCT source, ${hash31Sql("sg")}
+       |    AS h FROM sfx),
+       |${layers.mkString(",\n")},
+       |sel AS ($sel)
+       |SELECT round, source, m AS new_shingles,
+       |  CAST(sum(m) OVER (ORDER BY round ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS cumulative_shingles
+       |FROM sel""".stripMargin
+  }
 
   /** Shared recursive-trace CTE chain for q252/q253 — the DuckDB replay
     * of Packing.complementPlanTrace's integer greedy at capacity 256:

@@ -741,4 +741,80 @@ object Sampling {
       .groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Greedy max-coverage source selection — "which data providers
+    * actually add content?": pick sources one at a time, each round
+    * taking the source whose shingle set adds the most UNSEEN k-shingles
+    * over everything already picked (the facility-location greedy;
+    * Nemhauser–Wolsey–Fisher 1978's (1−1/e) guarantee for submodular
+    * coverage, public). The marginal-value curve this emits is the
+    * diminishing-returns evidence a mixture designer reads before
+    * paying for another crawl of provider N.
+    *
+    * Determinism: marginal ties break toward the lexicographically
+    * smallest source in BOTH engines; shingles are portable-hashed
+    * (md5Hash31 — the oracle hashes identically, so even a collision
+    * agrees cross-engine). Runs at most `rounds` rounds, fewer if
+    * sources run out — the fixed-unroll oracle contract.
+    *
+    * Scale shape: the corpus reduces ONCE to the distinct (source,
+    * shingle-hash) relation (localCheckpointed, reused every round);
+    * each round is one hash-keyed anti-join + a #sources-row aggregate,
+    * and only the 1-row argmax reaches the driver (the pageRank scalar
+    * discipline). Covered-set checkpoints release round over round.
+    * Returns (round, source, new_shingles, cumulative_shingles).
+    */
+  def greedySourceCoverage(docs: DataFrame, srcCol: String = "source",
+                           textCol: String = "text", shingleK: Int = 3,
+                           rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val release = org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    val spark = docs.sparkSession
+    val sh = docs
+      .select(col(srcCol).as("source"),
+        explode(graft.functions.wordShingles(col(textCol), shingleK))
+          .as("__s"))
+      .select(col("source"), graft.functions.md5Hash31(col("__s")).as("__h"))
+      .distinct()
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, Long)]
+    var picked = List.empty[String]
+    var covered: DataFrame = null
+    var cum = 0L
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val remaining =
+        if (picked.isEmpty) sh
+        else sh.filter(!col("source").isin(picked: _*))
+      val freshRel =
+        if (covered == null) remaining
+        else remaining.join(covered, Seq("__h"), "left_anti")
+      // sh is distinct per (source, h): count(*) IS the distinct marginal
+      val best = freshRel.groupBy(col("source"))
+        .agg(count(lit(1)).as("__m"))
+        .orderBy(desc("__m"), col("source"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val src = best(0).getString(0)
+        val m = best(0).getLong(1)
+        cum += m
+        out += ((r, src, m, cum))
+        picked = picked :+ src
+        val nextCov = (if (covered == null)
+            sh.filter(col("source") === src).select(col("__h"))
+          else covered.union(
+            sh.filter(col("source") === src).select(col("__h"))).distinct())
+          .localCheckpoint()
+        if (covered != null) release(covered)
+        covered = nextCov
+      }
+    }
+    if (covered != null) release(covered)
+    release(sh)
+    import spark.implicits._
+    out.toSeq
+      .toDF("round", "source", "new_shingles", "cumulative_shingles")
+  }
 }

@@ -406,4 +406,21 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitLeakage(pairs, trainPct = 0, valPct = 10)
     }
   }
+
+  test("greedySourceCoverage: marginal-max order, lexicographic ties, " +
+    "zero-marginal sources never picked") {
+    // shingleK=1 -> shingles are distinct tokens. A covers 4, C adds 2,
+    // B would add 0 after A (subset) -> the greedy stops at 2 rounds
+    val docs = Seq(
+      ("A", "x1 x2 x3 x4"), ("B", "x3 x4"), ("C", "x5 x6")
+    ).toDF("source", "text")
+    val got = Sampling.greedySourceCoverage(docs, shingleK = 1, rounds = 5)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1, "A", 4L, 4L), (2, "C", 2L, 6L)))
+    // equal marginals: the lexicographically smaller source wins
+    val tied = Seq(("b", "t1 t2"), ("a", "t3 t4")).toDF("source", "text")
+    val t = Sampling.greedySourceCoverage(tied, shingleK = 1, rounds = 2)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(t == Seq((1, "a", 2L, 2L), (2, "b", 2L, 4L)))
+  }
 }
