@@ -3295,6 +3295,12 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q258_novelty_curve" -> ((s, d) =>
+      // crawl-health monitor: per ingest batch (50 id-ordered docs),
+      // distinct 3-shingles present vs never-before-seen — first-seen is
+      // ONE hash-keyed min aggregate, never a per-batch rescan; novelty
+      // share in integer ppm; the time-axis twin of q257's source curve
+      TextAnalysis.noveltyCurve(T(s, d, "documents"))),
     "q257_source_coverage" -> ((s, d) =>
       // mixture-design evidence: facility-location greedy over sources —
       // each round picks the source adding the most unseen 3-shingles;
@@ -5982,6 +5988,22 @@ object SparkEntry {
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
     "q257_source_coverage" -> greedyCoverageOracleSql(3, 5),
+    "q258_novelty_curve" ->
+      s"""WITH ${shingleCtesSql(3)},
+         |sb AS (SELECT DISTINCT doc_id // 50 AS batch,
+         |    ${hash31Sql("sg")} AS h
+         |  FROM (SELECT doc_id, unnest(s) AS sg FROM sh)),
+         |fs AS (SELECT h, min(batch) AS fb FROM sb GROUP BY h),
+         |pr AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_shingles
+         |  FROM sb GROUP BY batch),
+         |fr AS (SELECT fb AS batch, CAST(count(*) AS BIGINT) AS n_new
+         |  FROM fs GROUP BY fb)
+         |SELECT pr.batch, n_shingles, coalesce(n_new, 0) AS n_new,
+         |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY pr.batch
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_new,
+         |  CAST(1000000 * coalesce(n_new, 0) // n_shingles AS BIGINT)
+         |    AS novelty_ppm
+         |FROM pr LEFT JOIN fr ON pr.batch = fr.batch""".stripMargin,
     "q256_benford_audit" ->
       """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
         |    AS v FROM lineitem),

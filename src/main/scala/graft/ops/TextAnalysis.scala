@@ -1726,6 +1726,51 @@ object TextAnalysis {
         col("__bf.threshold").as("best_f1_threshold"))
   }
 
+  /** Content-novelty curve over ingest batches — "is the crawl still
+    * finding new content, or re-fetching the web it already has?": docs
+    * bucket into id-ordered batches (the append-ordered ingest-snapshot
+    * grain), each batch reports its distinct k-shingles, how many were
+    * NEVER seen in any earlier batch (first-seen = min batch per
+    * portable shingle hash — one hash-keyed aggregate, no per-batch
+    * scan), the running total, and the novelty share in integer ppm.
+    * A flattening curve is the spend-no-more signal the coverage greedy
+    * ([[graft.ops.Sampling.greedySourceCoverage]]) gives across sources,
+    * here across TIME.
+    *
+    * Scale shape: one reduction to distinct (batch, hash), two keyed
+    * aggregates, a left join on the batch key; the cumulative window
+    * runs over the #batches-sized relation — `batchSize` sets that
+    * grain, so pick it like a calendar grain (snapshots, not rows):
+    * the window input is snapshot-count-bounded, never corpus-sized.
+    */
+  def noveltyCurve(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", shingleK: Int = 3,
+                   batchSize: Long = 50L): DataFrame = {
+    require(batchSize >= 1, s"batchSize ($batchSize) must be >= 1")
+    val shingled = docs
+      .select(expr(s"$idCol DIV $batchSize").as("batch"),
+        explode(graft.functions.wordShingles(col(textCol), shingleK))
+          .as("__s"))
+      .select(col("batch"), graft.functions.md5Hash31(col("__s")).as("__h"))
+      .distinct()
+      .localCheckpoint()
+    val firstSeen = shingled.groupBy(col("__h"))
+      .agg(min(col("batch")).as("__fb"))
+    val present = shingled.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val fresh = firstSeen.groupBy(col("__fb").as("batch"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("batch"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    present.join(fresh, Seq("batch"), "left")
+      .select(col("batch"), col("n_shingles"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cumulative_new", sum(col("n_new")).over(w))
+      .withColumn("novelty_ppm",
+        expr("1000000 * n_new DIV n_shingles"))
+  }
+
   /** Distinctive terms per source — the "Fightin' Words" log-odds ratio
     * with an informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
     * public): for each source, which terms are OVER-represented vs the

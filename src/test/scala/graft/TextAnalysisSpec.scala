@@ -659,6 +659,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_precision") == 1.0)
   }
 
+  test("noveltyCurve: first batch all-new, repeats don't recount, " +
+    "batch math and ppm exact") {
+    // shingleK=1, batchSize=2: batch 0 = docs 0,1 tokens {a,b,c};
+    // batch 1 = docs 2,3 tokens {b,c,d} -> new {d}: 1 of 3 present
+    val docs = Seq(
+      (0L, "a b"), (1L, "b c"), (2L, "b c"), (3L, "c d")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyCurve(docs, shingleK = 1, batchSize = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 3L, 3L, 3L, 1000000L),
+      (1L, 3L, 1L, 4L, 333333L)))
+  }
+
   test("distinctiveTerms: a source's marker token tops its list with " +
     "positive z; shared filler does not") {
     val docs = Seq(
