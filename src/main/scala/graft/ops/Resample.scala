@@ -264,15 +264,31 @@ object Resample {
     */
   def cusumAlarm(df: DataFrame, keyCol: String, tsCol: String,
                  valueCol: String, slackDiv: Long = 20L,
-                 thresholdDiv: Long = 2L): DataFrame = {
+                 thresholdDiv: Long = 2L): DataFrame =
+    cusumFromDayCents(
+      df.groupBy(col(keyCol),
+          expr(s"unix_timestamp(date_trunc('DAY', $tsCol)) DIV 86400")
+            .as("day"))
+        .agg(sum(round(col(valueCol) * 100).cast("long")).as("sum_cents"),
+          count(lit(1)).as("n_events")),
+      keyCol, slackDiv, thresholdDiv)
+
+  /** [[cusumAlarm]] from a PRE-AGGREGATED (key, day, sum_cents,
+    * n_events) relation — the monitor form: a streaming upsert keeps
+    * exactly this snapshot ([[graft.streaming.EventStream]]
+    * `upsertDayCents`), and because day sums and counts are mergeable
+    * integers, the snapshot-scored CUSUM equals the batch statistic
+    * over everything the stream has seen (StreamingSpec pins it).
+    */
+  def cusumFromDayCents(daily0: DataFrame, keyCol: String,
+                        slackDiv: Long = 20L,
+                        thresholdDiv: Long = 2L): DataFrame = {
     require(slackDiv >= 1 && thresholdDiv >= 1,
       s"divisors must be >= 1: $slackDiv, $thresholdDiv")
-    val daily = df
-      .groupBy(col(keyCol),
-        expr(s"unix_timestamp(date_trunc('DAY', $tsCol)) DIV 86400")
-          .as("__day"))
-      .agg(sum(round(col(valueCol) * 100).cast("long")).as("__sc"),
-        count(lit(1)).as("__n"))
+    val daily = daily0
+      .select(col(keyCol), col("day").cast("long").as("__day"),
+        col("sum_cents").cast("long").as("__sc"),
+        col("n_events").cast("long").as("__n"))
       .select(col(keyCol), col("__day"),
         expr("__sc * 1000000 DIV __n").as("__x"))
       .localCheckpoint()

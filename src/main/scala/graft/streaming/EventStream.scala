@@ -359,6 +359,54 @@ object EventStream {
     }
   }
 
+  /** Integer day-cents upsert — the [[upsertDailyTotals]] discipline
+    * with EXACT mergeable state (sum of cents + event count per
+    * (event_type, epoch-day)), so a snapshot-scored statistic like
+    * [[graft.ops.Resample.cusumFromDayCents]] is bit-equal to its batch
+    * twin no matter how deliveries were batched. Same
+    * partition-overwrite idempotence shape: only the touched days
+    * rewrite.
+    */
+  def upsertDayCents(batch: DataFrame, dest: String): Unit = {
+    val spark = batch.sparkSession
+    val daily = batch
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('DAY', ts)) DIV 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        count(lit(1)).as("n_events"))
+    val days = daily.select("day").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (days.nonEmpty) {
+      val destPath = new org.apache.hadoop.fs.Path(dest)
+      val destExists = destPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(destPath)
+      val existing =
+        if (destExists)
+          spark.read.parquet(dest)
+            .withColumn("day", col("day").cast("long"))
+            .filter(col("day").isin(days: _*))
+            .select("event_type", "day", "sum_cents", "n_events")
+        else daily.limit(0)
+      val merged = existing.unionByName(daily)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("sum_cents")).as("sum_cents"),
+          sum(col("n_events")).as("n_events"))
+      graft.io.IO.overwritePartitions(merged, dest, Seq("day"))
+    }
+  }
+
+  /** Live CUSUM changepoint monitor: score the streamed day-cents
+    * snapshot at `dest` through the ONE shared
+    * [[graft.ops.Resample.cusumFromDayCents]] definition.
+    */
+  def cusumFromStore(spark: SparkSession, dest: String): DataFrame =
+    graft.ops.Resample.cusumFromDayCents(
+      spark.read.parquet(dest)
+        .select(col("event_type"), col("day").cast("long").as("day"),
+          col("sum_cents"), col("n_events")),
+      "event_type")
+
   /** End-to-end incremental ETL: every micro-batch upserts the
     * day-partitioned totals table via [[upsertDailyTotals]] — the
     * streaming half of the dynamic-partition-overwrite maintenance shape.

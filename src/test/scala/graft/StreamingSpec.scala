@@ -633,6 +633,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming CUSUM monitor equals the batch statistic after batched upserts") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, sf0001)
+    val dest = "/tmp/graft_drift/cusum_" + System.nanoTime()
+    // two arbitrary delivery halves — mergeable integer day state must
+    // make the split invisible
+    EventStream.upsertDayCents(events.filter(col("event_id") % 2 === 0), dest)
+    EventStream.upsertDayCents(events.filter(col("event_id") % 2 =!= 0), dest)
+    val streamed = EventStream.cusumFromStore(spark, dest)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    val batch = graft.ops.Resample
+      .cusumAlarm(events, "event_type", "ts", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming PSI monitor equals the batch statistic vs the frozen reference") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val docs = Tables.documents(spark, sf0001)
