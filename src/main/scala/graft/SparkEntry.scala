@@ -3295,6 +3295,15 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q259_last_touch_attribution" -> ((s, d) =>
+      // marketing attribution: each purchase credits its cents to the
+      // k-decile channel of the user's most recent preceding view —
+      // one per-user carry-forward window (the as-of discipline, no
+      // self-join), channels-sized rollup, -1 = unattributed
+      Funnel.lastTouchAttribution(Tables.events(s, d),
+        touchType = "view", convType = "purchase",
+        channelCol = expr(
+          "CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10"))),
     "q258_novelty_curve" -> ((s, d) =>
       // crawl-health monitor: per ingest batch (50 id-ordered docs),
       // distinct 3-shingles present vs never-before-seen — first-seen is
@@ -5988,6 +5997,22 @@ object SparkEntry {
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
     "q257_source_coverage" -> greedyCoverageOracleSql(3, 5),
+    "q259_last_touch_attribution" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)
+        |      // 10 AS kb
+        |  FROM events),
+        |a AS (SELECT event_type, cents,
+        |    last_value(CASE WHEN event_type = 'view' THEN kb END
+        |      IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+        |  FROM e)
+        |SELECT coalesce(ch, -1) AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(sum(cents) AS BIGINT) AS attributed_cents
+        |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
     "q258_novelty_curve" ->
       s"""WITH ${shingleCtesSql(3)},
          |sb AS (SELECT DISTINCT doc_id // 50 AS batch,

@@ -263,4 +263,38 @@ object Funnel {
       (unix_micros(col("__fts")) - unix_micros(col("__t1")))
         .as("latency_us"))
   }
+
+  /** Last-touch conversion attribution — the marketing-analytics
+    * classic: every conversion credits its revenue to the channel of
+    * the most recent PRECEDING touch event by the same user (strictly
+    * before, ordered by (ts, event_id) — the id breaks timestamp ties
+    * deterministically); conversions with no prior touch land in the
+    * −1 "unattributed" bucket. Channel is the touch's integer
+    * `channelCol` bucket; revenue is exact integer cents.
+    *
+    * Scale shape: ONE per-user window (the carry-forward `last(...,
+    * ignoreNulls)` over an unbounded-preceding-to-−1 frame — the as-of
+    * discipline without a join), then a channels-sized aggregate;
+    * nothing collects, no self-join over the event volume.
+    */
+  def lastTouchAttribution(events: DataFrame, touchType: String,
+                           convType: String,
+                           channelCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("__cents"),
+        channelCol.cast("long").as("__kb"))
+      .withColumn("__ch",
+        last(when(col("event_type") === touchType, col("__kb")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === convType)
+      .groupBy(coalesce(col("__ch"), lit(-1L)).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("__cents")).as("attributed_cents"))
+  }
 }

@@ -160,4 +160,30 @@ class FunnelSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 10000000L, 50000000L, 40000000L)), s"got $got")
   }
+
+  test("lastTouchAttribution: strictly-preceding touch, carry across " +
+    "later non-touch events, unattributed bucket") {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_seconds}
+    val ev = Seq(
+      // user 1: view(ch 2) -> click -> purchase 3.00 -> view(ch 4) ->
+      // purchase 5.00: first purchase credits ch 2, second ch 4
+      (1L, 1L, 10L, "view", 0.0, 25L), (2L, 1L, 20L, "click", 0.0, 99L),
+      (3L, 1L, 30L, "purchase", 3.0, 0L), (4L, 1L, 40L, "view", 0.0, 41L),
+      (5L, 1L, 50L, "purchase", 5.0, 0L),
+      // user 2: purchase with NO prior view -> channel -1
+      (6L, 2L, 10L, "purchase", 7.0, 0L),
+      // user 3: view at the SAME ts as the purchase but larger id ->
+      // not strictly preceding -> -1
+      (8L, 3L, 10L, "purchase", 1.0, 0L), (9L, 3L, 10L, "view", 0.0, 33L)
+    ).toDF("event_id", "user_id", "sec", "event_type", "value", "k")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("sec")).as("ts"), col("event_type"),
+        col("value"), col("k"))
+    val got = Funnel.lastTouchAttribution(ev, "view", "purchase",
+        expr("k DIV 10"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, n, cents) => c -> ((n, cents)) }.toMap
+    assert(got == Map(2L -> ((1L, 300L)), 4L -> ((1L, 500L)),
+      -1L -> ((2L, 800L))))
+  }
 }
