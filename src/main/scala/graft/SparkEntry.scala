@@ -3295,6 +3295,14 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q260_community_modularity" -> ((s, d) => {
+      // closes the community-detection loop: Newman modularity of
+      // q146's LPA communities on the same transition graph — exact
+      // integer numerator Σ(w_in·m₂ − deg²), one final division
+      val edges = Graph.transitionEdges(T(s, d, "events"))
+      Graph.modularity(edges, Graph.labelPropagation(edges,
+        iterations = 5))
+    }),
     "q259_last_touch_attribution" -> ((s, d) =>
       // marketing attribution: each purchase credits its cents to the
       // k-decile channel of the user's most recent preceding view —
@@ -5997,6 +6005,31 @@ object SparkEntry {
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
     "q257_source_coverage" -> greedyCoverageOracleSql(3, 5),
+    "q260_community_modularity" ->
+      s"""WITH lagd AS (SELECT event_type AS dst,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS src
+         |  FROM events),
+         |edges AS (SELECT src, dst, count(*) AS w FROM lagd
+         |  WHERE src IS NOT NULL GROUP BY src, dst),
+         |${graft.ops.Graph.labelPropagationCtesSql("edges", 5)},
+         |lab AS (SELECT node, label FROM l5b),
+         |adj AS (SELECT src AS a, dst AS b, w FROM edges
+         |  UNION ALL SELECT dst, src, w FROM edges),
+         |wl AS (SELECT w, la.label AS la, lb.label AS lb
+         |  FROM adj JOIN lab la ON adj.a = la.node
+         |  JOIN lab lb ON adj.b = lb.node),
+         |mm AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM wl),
+         |dc AS (SELECT la AS label, CAST(sum(w) AS BIGINT) AS deg
+         |  FROM wl GROUP BY la),
+         |wc AS (SELECT la AS label, CAST(sum(w) AS BIGINT) AS win
+         |  FROM wl WHERE la = lb GROUP BY la),
+         |g AS (SELECT dc.label, deg, coalesce(win, 0) AS win
+         |  FROM dc LEFT JOIN wc ON dc.label = wc.label)
+         |SELECT CAST(count(*) AS BIGINT) AS n_communities, m2,
+         |  round(CAST(sum(win * m2 - deg * deg) AS DOUBLE)
+         |    / CAST(m2 * m2 AS DOUBLE), 6) AS modularity
+         |FROM g CROSS JOIN mm GROUP BY m2""".stripMargin,
     "q259_last_touch_attribution" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents,

@@ -187,7 +187,22 @@ object Graph {
     * the PageRank oracle — each layer reads its predecessor twice).
     * Parity mirrors `md5Hash31(node) % 2` via the portable md5 prefix.
     */
-  def labelPropagationOracleSql(edgesCte: String, iterations: Int): String = {
+  /** The [[labelPropagationOracleSql]] CTE chain WITHOUT the final
+    * select — for oracles composing further relations over the label
+    * assignment (final labeled relation: `l<iterations>b(node, label)`).
+    */
+  def labelPropagationCtesSql(edgesCte: String, iterations: Int): String =
+    labelPropagationOracleSqlParts(edgesCte, iterations)._1
+
+  def labelPropagationOracleSql(edgesCte: String,
+                                iterations: Int): String = {
+    val (ctes, finalRel) =
+      labelPropagationOracleSqlParts(edgesCte, iterations)
+    ctes + s"\nSELECT node, label FROM $finalRel"
+  }
+
+  private def labelPropagationOracleSqlParts(
+      edgesCte: String, iterations: Int): (String, String) = {
     def paritySql(e: String): String =
       s"((('0x' || substring(md5($e), 1, 8))::BIGINT % 2147483647) % 2)"
     val header =
@@ -214,8 +229,54 @@ object Graph {
       phaseSql(i, "a", s"l${i - 1}b", 0) + ",\n" +
         phaseSql(i, "b", s"l${i}a", 1)
     }
-    (header +: layers).mkString(",\n") +
-      s"\nSELECT node, label FROM l${iterations}b"
+    ((header +: layers).mkString(",\n"), s"l${iterations}b")
+  }
+
+  /** Newman–Girvan modularity of a community assignment (Newman 2004,
+    * public) — the one-number quality score for what
+    * [[labelPropagation]] found: Q = Σ_c (w_in(c)/2m − (deg(c)/2m)²)
+    * over the SYMMETRIZED weighted adjacency (A + Aᵀ — the standard
+    * undirected reading of a directed multigraph; 2m = total symmetric
+    * weight). ENTIRELY integer until the single final division:
+    * Q = Σ_c (w_in·m₂ − deg²) / m₂² with every sum an exact BIGINT —
+    * order-free, zero float risk. Exact while m₂² fits int64
+    * (total weight ≲ 3·10⁹); past that swap for DECIMAL. Returns one
+    * row (n_communities, m2, modularity).
+    *
+    * Scale shape: adjacency ⋈ labels on each endpoint (node-keyed,
+    * narrow), then community-sized aggregates and a scalar fold —
+    * nothing corpus-sized after the two joins, nothing collects.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val adj = edges
+      .select(col("src").as("a"), col("dst").as("b"),
+        col("weight").as("w"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b"),
+        col("weight").as("w")))
+    val lab = labels.select(col("node"), col("label"))
+    val wl = adj
+      .join(lab.select(col("node").as("a"), col("label").as("__la")),
+        Seq("a"))
+      .join(lab.select(col("node").as("b"), col("label").as("__lb")),
+        Seq("b"))
+      .localCheckpoint()
+    val m2 = wl.agg(sum(col("w")).as("__m2"))
+    val degC = wl.groupBy(col("__la").as("label"))
+      .agg(sum(col("w")).as("__deg"))
+    val winC = wl.filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label"))
+      .agg(sum(col("w")).as("__win"))
+    degC.join(winC, Seq("label"), "left")
+      .select(col("label"), col("__deg"),
+        coalesce(col("__win"), lit(0L)).as("__win"))
+      .crossJoin(broadcast(m2))
+      .agg(count(lit(1)).as("n_communities"),
+        first(col("__m2")).as("m2"),
+        sum(col("__win") * col("__m2") - col("__deg") * col("__deg"))
+          .as("__num"))
+      .select(col("n_communities"), col("m2"),
+        round(col("__num").cast("double") /
+          (col("m2") * col("m2")).cast("double"), 6).as("modularity"))
   }
 
   /** Bellman-Ford cheapest paths from `source` over edge cost

@@ -218,6 +218,24 @@ class GraphSpec extends SparkSpec {
     assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
   }
 
+  test("modularity: barbell communities score 70/196, " +
+    "the everything-community scores 0") {
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "f"), ("f", "d"),
+      ("c", "d")
+    ).toDF("src", "dst").withColumn("weight", lit(1L))
+    val twoComms = Seq(("a", 1L), ("b", 1L), ("c", 1L),
+      ("d", 2L), ("e", 2L), ("f", 2L)).toDF("node", "label")
+    val r = Graph.modularity(edges, twoComms)
+      .as[(Long, Long, Double)].collect().head
+    assert(r == ((2L, 14L, 0.357143)))
+    val oneComm = twoComms.withColumn("label", lit(1L))
+    val r1 = Graph.modularity(edges, oneComm)
+      .as[(Long, Long, Double)].collect().head
+    assert(r1 == ((1L, 14L, 0.0)))
+  }
+
   test("degreeAssortativity: star is -1, 4-path is -0.5, " +
     "regular graph has no variance (NULL)") {
     def r(edges: Seq[(String, String)]): Option[Double] = {
