@@ -3295,6 +3295,11 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q261_readability" -> ((s, d) =>
+      // classic readability feature for the quality stack: Flesch
+      // reading ease from exact integer word/sentence/vowel-group
+      // counts — one map-side codegen'd fold per doc, nothing shuffles
+      TextAnalysis.readability(T(s, d, "documents"))),
     "q260_community_modularity" -> ((s, d) => {
       // closes the community-detection loop: Newman modularity of
       // q146's LPA communities on the same transition graph — exact
@@ -6005,6 +6010,23 @@ object SparkEntry {
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
     "q257_source_coverage" -> greedyCoverageOracleSql(3, 5),
+    "q261_readability" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks, text FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS w,
+         |    greatest(CAST(1 AS BIGINT),
+         |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+         |      AS s,
+         |    CAST(coalesce(list_sum(list_transform(toks, x ->
+         |      greatest(1, len(regexp_extract_all(lower(x),
+         |        '[aeiouy]+'))))), 0) AS BIGINT) AS sy
+         |  FROM t)
+         |SELECT doc_id, w AS n_words, s AS n_sentences,
+         |  sy AS n_syllables,
+         |  CASE WHEN w > 0 THEN round(206.835
+         |    - 1.015 * (CAST(w AS DOUBLE) / s)
+         |    - 84.6 * (CAST(sy AS DOUBLE) / w), 6) END AS flesch
+         |FROM c""".stripMargin,
     "q260_community_modularity" ->
       s"""WITH lagd AS (SELECT event_type AS dst,
          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

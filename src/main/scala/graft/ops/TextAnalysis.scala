@@ -1726,6 +1726,37 @@ object TextAnalysis {
         col("__bf.threshold").as("best_f1_threshold"))
   }
 
+  /** Flesch reading-ease per document (Flesch 1948, public) — the
+    * classic readability feature a curation pipeline files next to the
+    * quality logistic: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with sentences = runs of [.!?] (min 1 —
+    * fragment text is one sentence) and syllables = per-word vowel-group
+    * count clamped to ≥ 1 (the standard heuristic). Entirely map-side
+    * codegen — the syllable fold is one `aggregate()` over the token
+    * array, no explode, nothing shuffles; the three counts are exact
+    * integers and the score is one shared-op-order expression rounded
+    * to 6. Zero-word docs yield NULL.
+    */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val words = size(toks).cast("long")
+    val sentences = greatest(lit(1L),
+      regexp_count(col(textCol), lit("[.!?]+")).cast("long"))
+    val syllables = aggregate(toks, lit(0L), (acc, t) =>
+      acc + greatest(lit(1L),
+        regexp_count(lower(t), lit("[aeiouy]+")).cast("long")))
+    docs.select(col(idCol), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          round(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")), 6)))
+  }
+
   /** Content-novelty curve over ingest batches — "is the crawl still
     * finding new content, or re-fetching the web it already has?": docs
     * bucket into id-ordered batches (the append-ordered ingest-snapshot

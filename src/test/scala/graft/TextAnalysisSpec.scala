@@ -659,6 +659,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_precision") == 1.0)
   }
 
+  test("readability: hand-computed Flesch, fragment counts one sentence, " +
+    "vowelless tokens still get one syllable") {
+    val docs = Seq(
+      // 4 words, 2 sentences, syllables: the=1, cat=1, sat=1, here=2 -> 5
+      (1L, "The cat sat. Here?"),
+      // no sentence punctuation -> 1 sentence; "xyz" clamps to 1 syllable
+      (2L, "xyz ok"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((4L, 2L, 5L)))
+    // 206.835 - 1.015*(4/2) - 84.6*(5/4) = 99.055
+    assert(r1.getAs[Double]("flesch") == 99.055)
+    val r2 = got(2L)
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == ((2L, 1L, 2L)))
+    val r3 = got(3L)
+    assert(r3.getLong(1) == 0L && r3.isNullAt(r3.fieldIndex("flesch")))
+  }
+
   test("noveltyCurve: first batch all-new, repeats don't recount, " +
     "batch math and ppm exact") {
     // shingleK=1, batchSize=2: batch 0 = docs 0,1 tokens {a,b,c};
