@@ -62,7 +62,11 @@ object PlanDump {
     "q203_quantile_normalize" -> "quantile normalization: ONE source-partitioned exchange serves both the rank and count windows",
     "q204_source_divergence" -> "source JS divergence: single tokenize, vocab-sized pair fan-out, nano-snapped integer sum aggregate",
     "q214_bm25_indexed" -> "persisted BM25: postings scan pruned to the query terms' buckets (SelectedBucketsCount), no corpus re-read",
-    "q218_ks_pairs" -> "pairwise KS: count reduction first, pair-keyed cumulative windows over the support, integer cross-products")
+    "q218_ks_pairs" -> "pairwise KS: count reduction first, pair-keyed cumulative windows over the support, integer cross-products",
+    "q242_quality_roc_report" -> "rank-sum AUC: corpus-sized work stops at the distinct-score aggregate; the cumulative window input is the bounded score domain",
+    "q245_psi_drift" -> "PSI: reference bin edges broadcast back, map-side binning, window-free — one (groups × bins)-sized aggregate",
+    "q253_pack_partners" -> "pack assignment: interval table broadcasts onto the per-length rank, partner map is an (id, id)-keyed join",
+    "q259_last_touch_attribution" -> "attribution: ONE per-user carry-forward window (no self-join), channels-sized rollup")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
