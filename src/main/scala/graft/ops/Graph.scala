@@ -513,16 +513,23 @@ object Graph {
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var lastCkpt = adj
+    for (r <- 1 to rounds) {
       val keep = adj.groupBy(col("a")).agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k).select(col("a"))
       val next = adj
         .join(keep, Seq("a"), "left_semi")
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint()
-      release(adj)
-      adj = next
+      // lineage here is LINEAR (two joins + one agg per round), so a
+      // materialization every round is pure overhead — checkpoint every
+      // third round (and at the end), releasing the superseded block
+      adj = if (r % 3 == 0 || r == rounds) {
+        val c = next.localCheckpoint()
+        release(lastCkpt)
+        lastCkpt = c
+        c
+      } else next
     }
     // the final iterate stays checkpointed (the [[pageRankImpl]] `ranks`
     // precedent) — releasing it here would unpin the blocks before the
@@ -601,8 +608,8 @@ object Graph {
     * mutual-reinforcement sums AND the normalized scores) is rounded to
     * `roundTo` decimals so both engines feed identical inputs into every
     * next step ([[pageRank]]'s determinism discipline), and the two
-    * normalizer sums per round are scalar aggregates — the only driver
-    * traffic, mirroring pageRank's dangling-mass scalar. The oracle
+    * normalizer sums per round ride the plan as broadcast 1-row scalars
+    * — ZERO driver traffic and one job per half-step. The oracle
     * ([[hitsOracleSql]]) unrolls the identical iteration. Nodes with no
     * in-edges (resp. out-edges) hold authority (resp. hub) 0.
     *
@@ -624,18 +631,21 @@ object Graph {
       round(lit(1.0 / n), roundTo).as("hub")).localCheckpoint()
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
+      // the L1 normalizer rides the plan as a broadcast 1-row scalar
+      // (same aggregate the oracle computes — no driver round-trip, so
+      // each half-step is ONE job: the checkpoint of the normalized
+      // scores)
       val araw = nodes
         .join(hubs.join(edges, col("node") === col("src"))
           .groupBy(col("dst"))
           .agg(round(sum(col("hub") * col("weight")), roundTo).as("__r")),
           col("node") === col("dst"), "left")
         .select(col("node"), coalesce(col("__r"), lit(0.0)).as("__r"))
-        .localCheckpoint()
-      val sa = araw.agg(sum(col("__r"))).collect()(0).getDouble(0)
       val nextAuth = araw
-        .select(col("node"), round(col("__r") / sa, roundTo).as("authority"))
+        .crossJoin(broadcast(araw.agg(sum(col("__r")).as("__s"))))
+        .select(col("node"),
+          round(col("__r") / col("__s"), roundTo).as("authority"))
         .localCheckpoint()
-      release(araw)
       if (auth != null) release(auth)
       auth = nextAuth
       val hraw = nodes
@@ -645,12 +655,10 @@ object Graph {
             .as("__r")),
           col("node") === col("src"), "left")
         .select(col("node"), coalesce(col("__r"), lit(0.0)).as("__r"))
-        .localCheckpoint()
-      val sh = hraw.agg(sum(col("__r"))).collect()(0).getDouble(0)
       val nextHubs = hraw
-        .select(col("node"), round(col("__r") / sh, roundTo).as("hub"))
+        .crossJoin(broadcast(hraw.agg(sum(col("__r")).as("__s"))))
+        .select(col("node"), round(col("__r") / col("__s"), roundTo).as("hub"))
         .localCheckpoint()
-      release(hraw)
       release(hubs)
       hubs = nextHubs
     }
