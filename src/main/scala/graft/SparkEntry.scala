@@ -3295,6 +3295,15 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q262_quality_influence" -> ((s, d) =>
+      // governance diagnostic: leave-one-source-out jackknife of the
+      // corpus quality mean — which provider drags the average, with a
+      // jackknife SE from integer micro-moments; one scan, totals-only
+      // arithmetic, no per-group rescan
+      Quantiles.jackknifeGroupInfluence(
+        TextAnalysis.qualityLogistic(T(s, d, "documents"),
+          carryCols = Seq("source")),
+        "source", round(col("quality_prob") * 1e6))),
     "q261_readability" -> ((s, d) =>
       // classic readability feature for the quality stack: Flesch
       // reading ease from exact integer word/sentence/vowel-group
@@ -6010,6 +6019,36 @@ object SparkEntry {
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
     "q257_source_coverage" -> greedyCoverageOracleSql(3, 5),
+    "q262_quality_influence" ->
+      s"""WITH f AS ($qualityFeaturesSql),
+         |sc AS (SELECT doc_id,
+         |    round(1.0 / (1.0 + exp(-(-2.0 + 0.45 * ln(1.0 + n_tokens)
+         |      + 3.0 * stopword_ratio + 0.15 * mean_token_len
+         |      - 8.0 * punct_ratio))), 6) AS p
+         |  FROM f),
+         |j AS (SELECT d.source, CAST(round(p * 1e6) AS BIGINT) AS v
+         |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS s FROM j GROUP BY source),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    CAST(sum(s) AS BIGINT) AS ss,
+         |    CAST(count(*) AS BIGINT) AS k FROM per),
+         |b AS (SELECT source, n, k,
+         |    CASE WHEN nn > n THEN round(CAST(ss - s AS DOUBLE)
+         |      / CAST((nn - n) * 1000000 AS DOUBLE), 6) END AS loo,
+         |    round(CAST(ss AS DOUBLE) / CAST(nn * 1000000 AS DOUBLE), 6)
+         |      AS ov
+         |  FROM per CROSS JOIN tot),
+         |sej AS (SELECT round(sqrt(CAST((k - 1) * (k * st2 - st * st)
+         |      AS DOUBLE) / CAST(k * k AS DOUBLE)) / 1e6, 6)
+         |    AS jackknife_se
+         |  FROM (SELECT k, CAST(sum(tm) AS BIGINT) AS st,
+         |      CAST(sum(tm * tm) AS BIGINT) AS st2
+         |    FROM (SELECT k, CAST(round(loo * 1e6) AS BIGINT) AS tm
+         |      FROM b) GROUP BY k))
+         |SELECT source, n AS n_docs, loo AS loo_mean,
+         |  round(loo - ov, 6) AS influence, sej.jackknife_se
+         |FROM b CROSS JOIN sej""".stripMargin,
     "q261_readability" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks, text FROM documents),
          |c AS (SELECT doc_id,

@@ -610,6 +610,56 @@ object Quantiles {
           .otherwise(lit(0.0)).as("cramers_v"))
   }
 
+  /** Leave-one-group-out jackknife influence (Quenouille 1956 / Tukey
+    * 1958, public) — "which source drags the corpus metric": for every
+    * group, the corpus mean of `valuePpm` (an INTEGER parts-per-million
+    * metric — snap floats before calling) with that group removed, its
+    * signed influence vs the overall mean (both round-6 BEFORE the
+    * subtract — the calib_gap discipline), and the jackknife standard
+    * error of the mean over groups, computed from integer micro-moments
+    * (k·Σt² − (Σt)² with t = round-6 leave-out means in millionths —
+    * exact BIGINT, one sqrt at the end; k·Σt² fits int64 to ~10⁴
+    * groups). One scan → #groups-sized sums; leave-out means are
+    * (S − s_g)/(N − n_g) off the totals — no per-group rescan. A group
+    * that IS the whole corpus yields a NULL leave-out row.
+    */
+  def jackknifeGroupInfluence(df: DataFrame, groupCol: String,
+                              valuePpm: Column): DataFrame = {
+    val per = df.select(col(groupCol).as("__g"),
+        valuePpm.cast("long").as("__v"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+      .localCheckpoint()
+    val tot = per.agg(sum(col("__n")).as("__tn"), sum(col("__s")).as("__ts"),
+      count(lit(1)).as("__k"))
+    val loo = when(col("__tn") > col("__n"),
+      round((col("__ts") - col("__s")).cast("double") /
+        ((col("__tn") - col("__n")) * lit(1000000L)).cast("double"), 6))
+    val overall = round(col("__ts").cast("double") /
+      (col("__tn") * lit(1000000L)).cast("double"), 6)
+    val base = per.crossJoin(broadcast(tot))
+      .select(col("__g"), col("__n"), col("__k"),
+        loo.as("__loo"), overall.as("__ov"))
+      .localCheckpoint()
+    val se = base
+      .select(col("__k"),
+        round(col("__loo") * lit(1e6)).cast("long").as("__tm"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__tm")).as("__st"),
+        sum(col("__tm") * col("__tm")).as("__st2"))
+      .select(round(
+        sqrt(((col("__k") - lit(1L)) *
+          (col("__k") * col("__st2") - col("__st") * col("__st")))
+          .cast("double") /
+          (col("__k") * col("__k")).cast("double")) /
+          lit(1e6), 6).as("jackknife_se"))
+    base
+      .select(col("__g").as(groupCol), col("__n").as("n_docs"),
+        col("__loo").as("loo_mean"),
+        round(col("__loo") - col("__ov"), 6).as("influence"))
+      .crossJoin(broadcast(se))
+  }
+
   def rankUniformScores(df: DataFrame, groupCol: String, valueCol: String,
                         idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

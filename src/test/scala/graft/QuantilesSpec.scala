@@ -258,6 +258,21 @@ class QuantilesSpec extends SparkSpec {
     assert(oneClass == ((10L, 2L, 1L, 0L, 0.0, 0.0)))
   }
 
+  test("jackknifeGroupInfluence: hand-computed leave-out means, " +
+    "influences, and textbook jackknife SE") {
+    // A: ppm {1e6, 0}; B: {1e6}. loo(A) = 1.0, loo(B) = 0.5,
+    // overall = 2/3; SE = sqrt((k-1)/k * sum((theta - mean)^2))
+    //   = sqrt(0.5 * 0.125) = 0.25
+    val df = Seq(("A", 1000000L), ("A", 0L), ("B", 1000000L))
+      .toDF("source", "ppm")
+    val got = graft.ops.Quantiles
+      .jackknifeGroupInfluence(df, "source", col("ppm"))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 2L, 1.0, 0.333333, 0.25)))
+    assert(got("B") == (("B", 1L, 0.5, -0.166667, 0.25)))
+  }
+
   test("psiFromCounts (histogram form) equals psiByGroup (row form)") {
     val rows =
       (0 to 9).flatMap(v => Seq.fill(v + 1)(("g", v.toLong, true))) ++
