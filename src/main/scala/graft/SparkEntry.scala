@@ -3295,6 +3295,20 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q263_hybrid_linear" -> ((s, d) => {
+      // the other standard hybrid combiner beside q155's RRF: per-leg
+      // min-max normalization (round-before-combine) with a 0.3/0.7
+      // sparse/dense convex blend, round-before-rank top-10 — per-leg
+      // extrema ride as broadcast scalars, lists are top-k-sized
+      val sparse = TextAnalysis.bm25Rank(T(s, d, "documents"),
+          queryTerms = Seq("dup", "vector", "scan"), topK = 20)
+        .select(col("doc_id"), col("bm25"))
+      val dense = Similarity.cosineTopK(T(s, d, "embeddings"),
+          queryId = 0L, k = 20)
+        .select(col("vec_id").as("doc_id"), round(col("sim"), 6).as("sim"))
+      Similarity.linearFuse(Seq((sparse, "bm25", 0.3), (dense, "sim", 0.7)),
+        "doc_id", topK = 10)
+    }),
     "q262_quality_influence" -> ((s, d) =>
       // governance diagnostic: leave-one-source-out jackknife of the
       // corpus quality mean — which provider drags the average, with a
@@ -6019,6 +6033,30 @@ object SparkEntry {
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
     "q257_source_coverage" -> greedyCoverageOracleSql(3, 5),
+    "q263_hybrid_linear" ->
+      s"""WITH sp AS (SELECT doc_id, bm25 FROM ($bm25TopSql)),
+         |spm AS (SELECT min(bm25) AS lo, max(bm25) AS hi FROM sp),
+         |spn AS (SELECT doc_id, 0.3 * (CASE WHEN hi = lo THEN 1.0
+         |    ELSE round((bm25 - lo) / (hi - lo), 6) END) AS w0
+         |  FROM sp CROSS JOIN spm),
+         |dtop AS (
+         |  SELECT vec_id, round(${cosSql("ae", "qe")}, 6) AS sim,
+         |    ${cosSql("ae", "qe")} AS rawsim
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ae FROM embeddings
+         |        WHERE vec_id <> 0),
+         |    (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+         |     WHERE vec_id = 0)
+         |  ORDER BY rawsim DESC, vec_id LIMIT 20),
+         |dm AS (SELECT min(sim) AS lo, max(sim) AS hi FROM dtop),
+         |dn AS (SELECT vec_id AS doc_id, 0.7 * (CASE WHEN hi = lo THEN 1.0
+         |    ELSE round((sim - lo) / (hi - lo), 6) END) AS w1
+         |  FROM dtop CROSS JOIN dm),
+         |fz AS (SELECT coalesce(spn.doc_id, dn.doc_id) AS doc_id,
+         |    round(coalesce(w0, 0.0) + coalesce(w1, 0.0), 6)
+         |      AS fused_score
+         |  FROM spn FULL OUTER JOIN dn ON spn.doc_id = dn.doc_id)
+         |SELECT doc_id, fused_score FROM fz
+         |ORDER BY fused_score DESC, doc_id LIMIT 10""".stripMargin,
     "q262_quality_influence" ->
       s"""WITH f AS ($qualityFeaturesSql),
          |sc AS (SELECT doc_id,

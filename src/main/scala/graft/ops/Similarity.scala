@@ -1722,6 +1722,43 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Weighted min–max linear score fusion — the other standard hybrid
+    * combiner next to [[rrfFuse]] (convex score combination, e.g.
+    * Vogt & Cottrell 1999's linear CombSUM family, public): each leg's
+    * scores min–max-normalize to [0, 1] over ITS OWN candidate list
+    * (rounded to 6 — round-before-combine), scale by the leg weight,
+    * and ids sum across legs (absent from a leg = 0 contribution);
+    * fused score rounds to 6 BEFORE the top-k cut (round-before-rank,
+    * id tiebreak). A constant-score leg normalizes to 1.0 (every
+    * candidate equally best) rather than dividing by zero.
+    *
+    * Scale shape: per-leg min/max are broadcast 1-row scalars; the legs
+    * full-outer-join on the id over candidate-list-sized relations
+    * (top-k lists by construction), and the final cut is a
+    * TakeOrderedAndProject — nothing corpus-sized here at all.
+    */
+  def linearFuse(lists: Seq[(DataFrame, String, Double)],
+                 idCol: String = "doc_id", topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "linearFuse needs at least one list")
+    require(topK >= 1, s"topK ($topK) must be >= 1")
+    val normed = lists.zipWithIndex.map { case ((df, sc, w), i) =>
+      val b = df.select(col(idCol), col(sc).cast("double").as("__s"))
+      val mm = b.agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
+      b.crossJoin(broadcast(mm))
+        .select(col(idCol),
+          (lit(w) * when(col("__hi") === col("__lo"), lit(1.0))
+            .otherwise(round((col("__s") - col("__lo")) /
+              (col("__hi") - col("__lo")), 6))).as(s"__w$i"))
+    }
+    val joined = normed.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    joined
+      .select(col(idCol),
+        round(normed.indices.map(i => coalesce(col(s"__w$i"), lit(0.0)))
+          .reduce(_ + _), 6).as("fused_score"))
+      .orderBy(desc("fused_score"), col(idCol))
+      .limit(topK)
+  }
+
   /** Hard-negative mining for contrastive training: for each probe, the
     * top-k most-similar corpus vectors with a DIFFERENT label — the
     * "closest wrong answers" a metric-learning batch wants. Same

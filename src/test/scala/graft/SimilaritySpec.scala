@@ -871,6 +871,19 @@ class SimilaritySpec extends SparkSpec {
     assert(byId(2L)._3 == 2 && byId(4L)._3 == 1)
   }
 
+  test("linearFuse: per-leg min-max, constant leg normalizes to 1, " +
+    "missing leg contributes 0, tie by id") {
+    import spark.implicits._
+    // leg A scores 10/20/30 (w 0.5) -> 0 / 0.25 / 0.5;
+    // leg B constant (w 0.5) -> 0.5 for ids 2 and 4
+    val a = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("doc_id", "s")
+    val b = Seq((2L, 5.0), (4L, 5.0)).toDF("doc_id", "s")
+    val out = Similarity.linearFuse(Seq((a, "s", 0.5), (b, "s", 0.5)),
+        "doc_id", topK = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((2L, 0.75), (3L, 0.5), (4L, 0.5)))
+  }
+
   test("rrfFuse tie-breaks equal scores by id and honors topK") {
     import spark.implicits._
     val a = Seq((7L, 1L), (5L, 1L)).toDF("doc_id", "rnk") // same rank, 2 "legs"
