@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -47,6 +47,40 @@ object Multimodal {
         (pmod(col(idCol).cast("long"), lit(480)) + 32).cast("int").as("height"),
         lit(16000).as("sample_rate"),
         (pmod(col(idCol).cast("long"), lit(60000))).as("duration_ms")).as("meta"))
+
+  /** Real-bytes ingest tier: Spark's `binaryFile` source mapped into the
+    * [[mediaSchema]] shape — the path a production pipeline takes when
+    * media lands as FILES rather than blob columns. Ids are the
+    * portable hash of the file path (stable across re-ingests), kind
+    * derives from the extension, codec-derived metadata stays NULL
+    * until the (stubbed) decode fills it; `source_path`/`n_bytes` ride
+    * alongside for lineage. The binaryFile source prunes `content`
+    * when unselected, so metadata-only scans stay cheap exactly like
+    * the Parquet-backed [[metadataScan]] tier.
+    */
+  def ingestBinaryFiles(spark: SparkSession, dir: String,
+                        glob: String = "*"): DataFrame = {
+    val kinds = Seq("jpg" -> "image", "jpeg" -> "image", "png" -> "image",
+      "gif" -> "image", "wav" -> "audio", "mp3" -> "audio",
+      "flac" -> "audio", "mp4" -> "video", "mkv" -> "video",
+      "webm" -> "video")
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    val kindCol = kinds.foldLeft(lit("unknown"): Column) {
+      case (acc, (e, k)) => when(ext === e, lit(k)).otherwise(acc)
+    }
+    spark.read.format("binaryFile").option("pathGlobFilter", glob)
+      .load(dir)
+      .select(graft.functions.md5Hash31(col("path")).as("media_id"),
+        kindCol.as("kind"),
+        col("content"),
+        struct(
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("long").as("duration_ms")).as("meta"),
+        col("path").as("source_path"),
+        col("length").as("n_bytes"))
+  }
 
   /** STUB — the real implementation decodes `content` with a codec library
     * (pillow/ffmpeg-class, unavailable in this container) inside

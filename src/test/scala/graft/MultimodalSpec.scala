@@ -88,4 +88,33 @@ class MultimodalSpec extends SparkSpec {
       (3L, 256, 1, true),   // floor(2·256/3000)=0 → clamped to 1
       (4L, 640, 480, false)))
   }
+
+  test("ingestBinaryFiles: kind by extension, byte round-trip, " +
+    "stable path-hash ids, glob filter, decode-stub composes") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_media").toString
+    Files.write(Paths.get(dir, "a.png"), Array[Byte](1, 2, 3, 4))
+    Files.write(Paths.get(dir, "b.wav"), Array[Byte](9, 8, 7))
+    Files.write(Paths.get(dir, "c.xyz"), Array[Byte](5))
+    Files.write(Paths.get(dir, "skip.txt"), Array[Byte](0))
+    val got = graft.ops.Multimodal
+      .ingestBinaryFiles(spark, dir, glob = "*.{png,wav,xyz}")
+      .collect()
+    assert(got.length == 3)
+    val byKind = got.map(r => r.getAs[String]("kind") ->
+      r.getAs[Array[Byte]]("content")).toMap
+    assert(byKind("image").toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(byKind("audio").toSeq == Seq[Byte](9, 8, 7))
+    assert(byKind("unknown").toSeq == Seq[Byte](5))
+    assert(got.map(_.getAs[Long]("media_id")).distinct.length == 3)
+    // re-ingest yields the SAME ids (stable across runs)
+    val again = graft.ops.Multimodal
+      .ingestBinaryFiles(spark, dir, glob = "*.{png,wav,xyz}")
+      .collect().map(_.getAs[Long]("media_id")).toSet
+    assert(again == got.map(_.getAs[Long]("media_id")).toSet)
+    // the stub decoder runs over ingested rows (schema-compatible)
+    val feats = graft.ops.Multimodal.decodeStub(
+      graft.ops.Multimodal.ingestBinaryFiles(spark, dir, "*.png"))
+    assert(feats.count() == 1)
+  }
 }
