@@ -3295,6 +3295,36 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q264_corpus_health" -> ((s, d) => {
+      // capstone v10 — the corpus-health dashboard in ONE oracle row:
+      // volume + exact-dup rate, length PSI (even-id reference), mean
+      // quality in integer ppm, top-source concentration, and the last
+      // ingest batch's shingle novelty — five monitor families composed,
+      // every branch folding to a broadcast 1-row frame
+      val docs = T(s, d, "documents")
+      val dups = docs.agg(count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(md5Hash31(col("text"))))
+            .as("__nd"))
+        .select(col("n_docs"), expr("1000000 * __nd DIV n_docs")
+          .as("dup_ppm"))
+      val psi = Quantiles.psiByGroup(
+          docs.select(lit("all").as("__grp"), col("n_chars"),
+            (col("doc_id") % 2 === 0).as("__r")),
+          "__grp", "n_chars", col("__r"))
+        .select(col("psi").as("length_psi"))
+      val q = TextAnalysis.qualityLogistic(docs)
+        .select(round(col("quality_prob") * 1e6).cast("long").as("__p"))
+        .agg(expr("sum(__p) DIV count(1)").as("mean_quality_ppm"))
+      val top = docs.groupBy(col("source")).agg(count(lit(1)).as("__c"))
+        .agg(max(col("__c")).as("__mx"), sum(col("__c")).as("__tot"))
+        .select(expr("1000000 * __mx DIV __tot")
+          .as("top_source_share_ppm"))
+      val nov = TextAnalysis.noveltyCurve(docs)
+        .orderBy(desc("batch")).limit(1)
+        .select(col("novelty_ppm").as("last_batch_novelty_ppm"))
+      dups.crossJoin(broadcast(psi)).crossJoin(broadcast(q))
+        .crossJoin(broadcast(top)).crossJoin(broadcast(nov))
+    }),
     "q263_hybrid_linear" -> ((s, d) => {
       // the other standard hybrid combiner beside q155's RRF: per-leg
       // min-max normalization (round-before-combine) with a 0.3/0.7
@@ -6033,6 +6063,68 @@ object SparkEntry {
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
     "q257_source_coverage" -> greedyCoverageOracleSql(3, 5),
+    "q264_corpus_health" ->
+      s"""WITH dup AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(1000000 * (count(*) - count(DISTINCT
+         |      ${hash31Sql("text")})) // count(*) AS BIGINT) AS dup_ppm
+         |  FROM documents),
+         |pb AS (SELECT n_chars AS v, doc_id % 2 = 0 AS r FROM documents),
+         |ped AS (SELECT min(v) AS lo, max(v) AS hi FROM pb WHERE r),
+         |pbn AS (SELECT r,
+         |    CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+         |         ELSE (least(greatest(v, lo), hi) - lo) * 10
+         |              // (hi - lo + 1)
+         |    END AS bin
+         |  FROM pb CROSS JOIN ped),
+         |pc AS (SELECT bin,
+         |    CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+         |    CAST(sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS cc
+         |  FROM pbn GROUP BY bin),
+         |pt AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+         |    CAST(sum(cc) AS BIGINT) AS nc FROM pc),
+         |pf AS (SELECT nr, nc, gs.bin,
+         |    coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+         |  FROM pt CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) gs
+         |  LEFT JOIN pc ON pc.bin = gs.bin),
+         |pn AS (SELECT
+         |    CAST(round((CAST(cc + 1 AS DOUBLE) / (nc + 10)
+         |        - CAST(cr + 1 AS DOUBLE) / (nr + 10))
+         |      * ln((CAST(cc + 1 AS DOUBLE) / (nc + 10))
+         |          / (CAST(cr + 1 AS DOUBLE) / (nr + 10)))
+         |      * 1e9) AS BIGINT) AS nano
+         |  FROM pf),
+         |psi AS (SELECT round(CAST(sum(nano) AS BIGINT) / 1e9, 6)
+         |    AS length_psi FROM pn),
+         |f AS ($qualityFeaturesSql),
+         |sc AS (SELECT round(1.0 / (1.0 + exp(-(-2.0
+         |      + 0.45 * ln(1.0 + n_tokens) + 3.0 * stopword_ratio
+         |      + 0.15 * mean_token_len - 8.0 * punct_ratio))), 6) AS p
+         |  FROM f),
+         |qm AS (SELECT CAST(CAST(sum(CAST(round(p * 1e6) AS BIGINT))
+         |      AS BIGINT) // count(*) AS BIGINT) AS mean_quality_ppm
+         |  FROM sc),
+         |srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY source),
+         |tops AS (SELECT CAST(1000000 * max(c) //
+         |    CAST(sum(c) AS BIGINT) AS BIGINT) AS top_source_share_ppm
+         |  FROM srcs),
+         |${shingleCtesSql(3)},
+         |sb AS (SELECT DISTINCT doc_id // 50 AS batch,
+         |    ${hash31Sql("sg")} AS h
+         |  FROM (SELECT doc_id, unnest(s) AS sg FROM sh)),
+         |fs AS (SELECT h, min(batch) AS fb FROM sb GROUP BY h),
+         |pr AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_shingles
+         |  FROM sb GROUP BY batch),
+         |fr AS (SELECT fb AS batch, CAST(count(*) AS BIGINT) AS n_new
+         |  FROM fs GROUP BY fb),
+         |nov AS (SELECT CAST(1000000 * coalesce(n_new, 0) // n_shingles
+         |      AS BIGINT) AS last_batch_novelty_ppm
+         |  FROM pr LEFT JOIN fr ON pr.batch = fr.batch
+         |  ORDER BY pr.batch DESC LIMIT 1)
+         |SELECT n_docs, dup_ppm, length_psi, mean_quality_ppm,
+         |  top_source_share_ppm, last_batch_novelty_ppm
+         |FROM dup CROSS JOIN psi CROSS JOIN qm CROSS JOIN tops
+         |CROSS JOIN nov""".stripMargin,
     "q263_hybrid_linear" ->
       s"""WITH sp AS (SELECT doc_id, bm25 FROM ($bm25TopSql)),
          |spm AS (SELECT min(bm25) AS lo, max(bm25) AS hi FROM sp),
