@@ -1657,13 +1657,24 @@ object TextAnalysis {
     * tie-block deterministic with no per-row ordering ambiguity.
     */
   private[graft] def scoreCurve(scored: DataFrame, probCol: String,
-                                labelCol: String): DataFrame = {
-    val g = scored
+                                labelCol: String): DataFrame =
+    scoreCurveFromCounts(scored
       .select(col(probCol).as("threshold"),
         col(labelCol).cast("long").as("__y"))
       .groupBy(col("threshold"))
       .agg(sum(col("__y")).as("n_pos"),
-        (count(lit(1)) - sum(col("__y"))).as("n_neg"))
+        (count(lit(1)) - sum(col("__y"))).as("n_neg")))
+
+  /** [[scoreCurve]] from PRE-AGGREGATED (threshold, n_pos, n_neg)
+    * counts — the monitor form: per-threshold class counts are
+    * mergeable integers, so a streaming snapshot scored through this
+    * path equals the batch curve over everything seen. Rows for the
+    * same threshold re-aggregate (upsert idempotence doesn't depend on
+    * perfect store dedup).
+    */
+  private[graft] def scoreCurveFromCounts(counts: DataFrame): DataFrame = {
+    val g = counts.groupBy(col("threshold"))
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("threshold").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -1698,8 +1709,17 @@ object TextAnalysis {
     * documents for its ppm products.
     */
   def rocPrReport(scored: DataFrame, probCol: String,
-                  labelCol: String): DataFrame = {
-    val curve = scoreCurve(scored, probCol, labelCol)
+                  labelCol: String): DataFrame =
+    rocTail(scoreCurve(scored, probCol, labelCol))
+
+  /** [[rocPrReport]] from a PRE-AGGREGATED (threshold, n_pos, n_neg)
+    * relation — the monitor form (a streamed score-count snapshot
+    * instead of the scored rows); pinned equal to the row form.
+    */
+  def rocPrReportFromCounts(counts: DataFrame): DataFrame =
+    rocTail(scoreCurveFromCounts(counts))
+
+  private def rocTail(curve: DataFrame): DataFrame = {
     val tot = curve.agg(sum(col("n_pos")).as("__P"),
       sum(col("n_neg")).as("__N"))
     val f1 = round(lit(2.0) * col("tp").cast("double") /

@@ -627,6 +627,50 @@ object EventStream {
         .select(col(valueCol), col("n")),
       reference, valueCol, "n", bins)
 
+  /** Streaming score/label count upsert — the live-eval state for
+    * [[rocFromStore]]: every micro-batch scores its documents with the
+    * frozen quality logistic against the is-English proxy label and
+    * folds per-threshold (n_pos, n_neg) counts into the snapshot.
+    * The threshold domain is BOUNDED (round-6 scores, ≤ 10⁶+1 rows) so
+    * the whole-snapshot rewrite per batch is a bounded-state fold, not
+    * a corpus-sized one; the merged relation localCheckpoints BEFORE
+    * the overwrite so the read-your-own-write cycle is safe. Counts
+    * are mergeable integers — delivery batching is invisible (pinned).
+    */
+  def upsertScoreCounts(batch: DataFrame, dest: String): Unit = {
+    val spark = batch.sparkSession
+    val scored = graft.ops.TextAnalysis
+      .qualityLogistic(batch, carryCols = Seq("lang"))
+      .select(col("quality_prob").as("threshold"),
+        (col("lang") === "en").cast("long").as("__y"))
+      .groupBy(col("threshold"))
+      .agg(sum(col("__y")).as("n_pos"),
+        (count(lit(1)) - sum(col("__y"))).as("n_neg"))
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val exists = destPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(destPath)
+    val merged = (if (exists)
+        spark.read.parquet(dest).unionByName(scored)
+      else scored)
+      .groupBy(col("threshold"))
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(dest)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(merged)
+  }
+
+  /** Live threshold-free classifier report: the streamed score-count
+    * snapshot at `dest` through the ONE shared
+    * [[graft.ops.TextAnalysis.rocPrReportFromCounts]] definition —
+    * AUC/Gini/AP/best-F1 over everything the stream has seen, equal to
+    * the batch q242 statistic (StreamingSpec pins it).
+    */
+  def rocFromStore(spark: SparkSession, dest: String): DataFrame =
+    graft.ops.TextAnalysis.rocPrReportFromCounts(
+      spark.read.parquet(dest))
+
   /** Packing plan off the streamed token-count snapshot at `dest` — the
     * loader-planning twin of the drift monitors: the SAME
     * [[valueCountMonitor]] histogram that feeds KS/PSI scoring also

@@ -633,6 +633,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming ROC monitor equals the batch q242 report after batched upserts") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+    val dest = "/tmp/graft_drift/roc_" + System.nanoTime()
+    EventStream.upsertScoreCounts(docs.filter(col("doc_id") % 2 === 0), dest)
+    EventStream.upsertScoreCounts(docs.filter(col("doc_id") % 2 =!= 0), dest)
+    val streamed = EventStream.rocFromStore(spark, dest).collect().head
+    val batch = graft.ops.TextAnalysis.rocPrReport(
+      graft.ops.TextAnalysis.qualityLogistic(docs, carryCols = Seq("lang"))
+        .withColumn("is_en", (col("lang") === "en").cast("int")),
+      "quality_prob", "is_en").collect().head
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.getAs[Long]("n_pos") + streamed.getAs[Long]("n_neg")
+      == docs.count())
+  }
+
   test("streaming CUSUM monitor equals the batch statistic after batched upserts") {
     import org.apache.spark.sql.functions.col
     val events = Tables.events(spark, sf0001)
