@@ -3295,6 +3295,13 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q265_decayed_popularity" -> ((s, d) =>
+      // freshness-weighted activity: events count 2^(-age/7d) at the
+      // data's reference day — day counts reduce first, per-day decay
+      // terms nano-snap so the sum is order-free; the recency signal a
+      // trending rollup or freshness-aware sampler reads
+      Resample.decayedPopularity(Tables.events(s, d), "event_type",
+        "ts")),
     "q264_corpus_health" -> ((s, d) => {
       // capstone v10 — the corpus-health dashboard in ONE oracle row:
       // volume + exact-dup rate, length PSI (even-id reference), mean
@@ -6063,6 +6070,24 @@ object SparkEntry {
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
     "q257_source_coverage" -> greedyCoverageOracleSql(3, 5),
+    "q265_decayed_popularity" ->
+      """WITH d AS (SELECT event_type AS g,
+        |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY g, day),
+        |r AS (SELECT max(day) AS ref FROM d),
+        |t AS (SELECT g, c,
+        |    CAST(round(CAST(c AS DOUBLE)
+        |      * exp(-(ln(2.0) * CAST(ref - day AS DOUBLE) / 7.0))
+        |      * 1e9) AS BIGINT) AS nano
+        |  FROM d CROSS JOIN r),
+        |a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_events,
+        |    round(CAST(sum(nano) AS BIGINT) / 1e9, 6) AS decayed_count
+        |  FROM t GROUP BY g)
+        |SELECT g AS event_type, n_events, decayed_count,
+        |  round(decayed_count / CAST(n_events AS DOUBLE), 6)
+        |    AS freshness_ratio
+        |FROM a""".stripMargin,
     "q264_corpus_health" ->
       s"""WITH dup AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(1000000 * (count(*) - count(DISTINCT

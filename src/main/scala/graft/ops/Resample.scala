@@ -244,6 +244,41 @@ object Resample {
           .as("forecast"))
   }
 
+  /** Exponentially-decayed popularity per key — the recency weighting a
+    * freshness-aware sampler or trending rollup uses: every event
+    * counts 2^(−age_days/halfLife) at the data's reference day (max
+    * day — a broadcast 1-row scalar), so yesterday ≈ 1 and one
+    * half-life ago = ½. Per-(key, day) counts reduce first (the only
+    * corpus pass); each day's c·2^(−age/h) term — computed as
+    * exp(−ln 2 · age/h), the engine-portable form the quality logistic
+    * already relies on — nano-snaps to a BIGINT immediately so the sum
+    * is order-free. Returns (key, n_events, decayed_count,
+    * freshness_ratio) with freshness = decayed/n (1.0 = everything
+    * happened today, → 0 = stale).
+    */
+  def decayedPopularity(df: DataFrame, keyCol: String, tsCol: String,
+                        halfLifeDays: Double = 7.0): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays ($halfLifeDays) must be > 0")
+    val daily = df
+      .groupBy(col(keyCol),
+        expr(s"unix_timestamp(date_trunc('DAY', $tsCol)) DIV 86400")
+          .as("__day"))
+      .agg(count(lit(1)).as("__c"))
+    val ref = daily.agg(max(col("__day")).as("__ref"))
+    val term = col("__c").cast("double") *
+      exp(-(log(lit(2.0)) * (col("__ref") - col("__day")).cast("double") /
+        lit(halfLifeDays)))
+    daily.crossJoin(broadcast(ref))
+      .select(col(keyCol), col("__c"),
+        round(term * lit(1e9)).cast("long").as("__nano"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("n_events"),
+        round(sum(col("__nano")).cast("double") / lit(1e9), 6)
+          .as("decayed_count"))
+      .withColumn("freshness_ratio",
+        round(col("decayed_count") / col("n_events").cast("double"), 6))
+  }
+
   /** One-sided CUSUM changepoint monitor (Page 1954, public) per key —
     * the control-chart classic that catches a sustained upward SHIFT in
     * a daily statistic long before any single day looks anomalous:

@@ -153,6 +153,19 @@ class ResampleSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 2L, 2L), (2L, 1L, 3L), (9L, 1L, 1L)))
   }
 
+  test("decayedPopularity: one-half-life-old events count half; " +
+    "today's count full; freshness ratio exact") {
+    // key g: 2 events today (age 0) + 4 events 7 days ago (age 7,
+    // half-life 7): decayed = 2*1 + 4*0.5 = 4.0; freshness = 4/6
+    val day = 86400L
+    val rows = Seq.fill(4)(("g", 1L)) ++ Seq.fill(2)(("g", 7 * day + 1))
+    val df = rows.toDF("k", "sec")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"))
+    val got = Resample.decayedPopularity(df, "k", "ts", halfLifeDays = 7.0)
+      .as[(String, Long, Double, Double)].collect().head
+    assert(got == (("g", 6L, 4.0, 0.666667)))
+  }
+
   test("cusumAlarm: hand-computed integer recurrence fires after the shift") {
     // one $1 event/day for 3 days then $5/day: day stat = v·1e8 µ¢,
     // mu = 18e8 DIV 6 = 3e8, slack = 15e6, threshold = 1.5e8;
