@@ -3295,6 +3295,23 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q266_deduped_search" -> ((s, d) => {
+      // search-result diversification: BM25 top-20 collapsed to one
+      // result per near-dup cluster (best-scoring member wins, the
+      // session-cached rep relation rides a left join), re-cut to 10 —
+      // the query-time dedup a search/RAG stack applies so the context
+      // window isn't spent on five copies of one page
+      val ranked = TextAnalysis.bm25Rank(T(s, d, "documents"),
+          queryTerms = Seq("dup", "vector", "scan"), topK = 20)
+        .select(col("doc_id"), col("bm25"))
+      val reps = Dedup.cachedClusters(s, docClustersPath(s, d))
+      val joined = ranked.join(reps, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("bm25"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("dup_group"))
+      graft.plans.TopK.perGroup(joined, Seq("dup_group"),
+          Seq(("bm25", true), ("doc_id", false)), k = 1)
+        .orderBy(desc("bm25"), col("doc_id")).limit(10)
+    }),
     "q265_decayed_popularity" -> ((s, d) =>
       // freshness-weighted activity: events count 2^(-age/7d) at the
       // data's reference day — day counts reduce first, per-day decay
@@ -6070,6 +6087,24 @@ object SparkEntry {
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
     "q257_source_coverage" -> greedyCoverageOracleSql(3, 5),
+    "q266_deduped_search" ->
+      s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
+         |e2 AS (SELECT id_a AS s2, id_b AS t2 FROM jp
+         |  UNION ALL SELECT id_b, id_a FROM jp),
+         |r2(s2, t2) AS (SELECT s2, t2 FROM e2
+         |  UNION SELECT r.s2, e.t2 FROM r2 r JOIN e2 e ON r.t2 = e.s2),
+         |cl AS (SELECT s2 AS doc_id, least(s2, min(t2)) AS rep
+         |  FROM r2 GROUP BY s2),
+         |bt AS (SELECT doc_id, bm25 FROM ($bm25TopSql)),
+         |jn AS (SELECT bt.doc_id, bm25,
+         |    coalesce(cl.rep, bt.doc_id) AS dup_group
+         |  FROM bt LEFT JOIN cl ON bt.doc_id = cl.doc_id),
+         |kp AS (SELECT doc_id, bm25, dup_group,
+         |    row_number() OVER (PARTITION BY dup_group
+         |      ORDER BY bm25 DESC, doc_id) AS rn
+         |  FROM jn)
+         |SELECT doc_id, bm25, dup_group FROM kp WHERE rn = 1
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
     "q265_decayed_popularity" ->
       """WITH d AS (SELECT event_type AS g,
         |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
