@@ -513,23 +513,20 @@ object Graph {
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
       .localCheckpoint()
-    var lastCkpt = adj
-    for (r <- 1 to rounds) {
+    for (_ <- 1 to rounds) {
       val keep = adj.groupBy(col("a")).agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k).select(col("a"))
+      // each round's adjacency feeds TWO consumers (the degree aggregate
+      // and the survivor joins), so it must materialize per round — an
+      // every-N-rounds checkpoint recomputes the un-materialized rounds
+      // once per consumer (measured slower, not faster)
       val next = adj
         .join(keep, Seq("a"), "left_semi")
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-      // lineage here is LINEAR (two joins + one agg per round), so a
-      // materialization every round is pure overhead — checkpoint every
-      // third round (and at the end), releasing the superseded block
-      adj = if (r % 3 == 0 || r == rounds) {
-        val c = next.localCheckpoint()
-        release(lastCkpt)
-        lastCkpt = c
-        c
-      } else next
+        .localCheckpoint()
+      release(adj)
+      adj = next
     }
     // the final iterate stays checkpointed (the [[pageRankImpl]] `ranks`
     // precedent) — releasing it here would unpin the blocks before the
