@@ -268,8 +268,12 @@ object SparkEntry {
   /** Shared by q37 (inline assignment) and q77 (persisted partitioned
     * index) — both IVF strategies must return identical neighbors.
     */
-  private lazy val ivfOracleSql =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  /** The IVF probe CTE chain (assignments + probed cells for query 1,
+    * nProbe 2) without the final select — shared by q37/q77's ranking
+    * and q267's recall report.
+    */
+  private lazy val ivfCtesSql =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |cent AS (SELECT CAST(vec_id // 97 AS INTEGER) AS cell_id, e AS c
        |  FROM v WHERE vec_id % 97 = 0),
        |scored AS (SELECT v.vec_id, cent.cell_id,
@@ -281,7 +285,11 @@ object SparkEntry {
        |    FROM scored) WHERE rn = 1),
        |q AS (SELECT e AS qe FROM v WHERE vec_id = 1),
        |qc AS (SELECT cell_id FROM cent, q
-       |  ORDER BY round(${cosSql("c", "qe")}, 6) DESC, cell_id LIMIT 2)
+       |  ORDER BY round(${cosSql("c", "qe")}, 6) DESC, cell_id LIMIT 2)"""
+      .stripMargin
+
+  private lazy val ivfOracleSql =
+    s"""WITH $ivfCtesSql
        |SELECT v.vec_id,
        |  ${cosSql("v.e", "qe")} AS sim
        |FROM v JOIN assign USING (vec_id) JOIN qc USING (cell_id), q
@@ -3295,6 +3303,28 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q267_ann_recall_report" -> ((s, d) => {
+      // the ANN tradeoff quantified user-facing: IVF (nProbe=2) top-10
+      // vs exact top-10 for the q37 probe — overlap and recall ppm in
+      // one row; both tiers are existing operators, the report is two
+      // counts and a semi-join
+      val emb = T(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      val ivf = Similarity.ivfTopK(emb, centroids, queryId = 1L, k = 10,
+        nProbe = 2).select(col("vec_id"))
+      val exact = Similarity.cosineTopK(emb, queryId = 1L, k = 10)
+        .select(col("vec_id"))
+      val ov = exact.join(ivf, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("__o"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(ivf.agg(count(lit(1)).as("n_ivf"))))
+        .crossJoin(broadcast(ov))
+        .select(lit(10).as("k"), col("n_exact"), col("n_ivf"),
+          col("__o").as("n_overlap"),
+          expr("1000000 * __o DIV n_exact").as("recall_ppm"))
+    }),
     "q266_deduped_search" -> ((s, d) => {
       // search-result diversification: BM25 top-20 collapsed to one
       // result per near-dup cluster (best-scoring member wins, the
@@ -6087,6 +6117,23 @@ object SparkEntry {
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
     "q257_source_coverage" -> greedyCoverageOracleSql(3, 5),
+    "q267_ann_recall_report" ->
+      s"""WITH $ivfCtesSql,
+         |ivf AS (SELECT v.vec_id
+         |  FROM v JOIN assign USING (vec_id) JOIN qc USING (cell_id), q
+         |  WHERE v.vec_id <> 1
+         |  ORDER BY ${cosSql("v.e", "qe")} DESC, v.vec_id LIMIT 10),
+         |ex AS (SELECT v.vec_id FROM v, q WHERE v.vec_id <> 1
+         |  ORDER BY ${cosSql("v.e", "qe")} DESC, v.vec_id LIMIT 10),
+         |ov AS (SELECT CAST(count(*) AS BIGINT) AS o FROM ex
+         |  WHERE vec_id IN (SELECT vec_id FROM ivf))
+         |SELECT 10 AS k,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ivf) AS n_ivf,
+         |  o AS n_overlap,
+         |  CAST(1000000 * o // (SELECT count(*) FROM ex) AS BIGINT)
+         |    AS recall_ppm
+         |FROM ov""".stripMargin,
     "q266_deduped_search" ->
       s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
          |e2 AS (SELECT id_a AS s2, id_b AS t2 FROM jp
