@@ -3303,6 +3303,27 @@ object SparkEntry {
             carryCols = Seq("lang"))
           .withColumn("is_en", (col("lang") === "en").cast("int")),
         "quality_prob", "is_en")),
+    "q268_ann_recall_sweep" -> ((s, d) => {
+      // the nProbe tuning curve: recall vs exact at probes 1/2/4 — the
+      // table an index operator reads to set the latency/recall dial;
+      // exact top-10 computed once (checkpointed), each probe point is
+      // a semi-join count
+      val emb = T(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      val exact = Similarity.cosineTopK(emb, queryId = 1L, k = 10)
+        .select(col("vec_id")).localCheckpoint()
+      Seq(1, 2, 4).map { np =>
+        exact.join(
+            Similarity.ivfTopK(emb, centroids, queryId = 1L, k = 10,
+              nProbe = np).select(col("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("__o"))
+          .select(lit(np).as("n_probe"), col("__o").as("n_overlap"),
+            expr("1000000 * __o DIV 10").as("recall_ppm"))
+      }.reduce(_ unionByName _)
+    }),
     "q267_ann_recall_report" -> ((s, d) => {
       // the ANN tradeoff quantified user-facing: IVF (nProbe=2) top-10
       // vs exact top-10 for the q37 probe — overlap and recall ppm in
@@ -6117,6 +6138,27 @@ object SparkEntry {
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
     "q257_source_coverage" -> greedyCoverageOracleSql(3, 5),
+    "q268_ann_recall_sweep" -> {
+      def probe(p: Int) =
+        s"""qcx$p AS (SELECT cell_id FROM cent, q
+           |  ORDER BY round(${cosSql("c", "qe")}, 6) DESC, cell_id
+           |  LIMIT $p),
+           |ivfx$p AS (SELECT v.vec_id
+           |  FROM v JOIN assign USING (vec_id) JOIN qcx$p USING (cell_id),
+           |    q
+           |  WHERE v.vec_id <> 1
+           |  ORDER BY ${cosSql("v.e", "qe")} DESC, v.vec_id LIMIT 10),
+           |ovx$p AS (SELECT CAST(count(*) AS BIGINT) AS o FROM ex
+           |  WHERE vec_id IN (SELECT vec_id FROM ivfx$p))""".stripMargin
+      s"""WITH $ivfCtesSql,
+         |ex AS (SELECT v.vec_id FROM v, q WHERE v.vec_id <> 1
+         |  ORDER BY ${cosSql("v.e", "qe")} DESC, v.vec_id LIMIT 10),
+         |${Seq(1, 2, 4).map(probe).mkString(",\n")}
+         |${Seq(1, 2, 4).map(p =>
+            s"SELECT $p AS n_probe, o AS n_overlap, " +
+              s"CAST(1000000 * o // 10 AS BIGINT) AS recall_ppm " +
+              s"FROM ovx$p").mkString("\nUNION ALL ")}""".stripMargin
+    },
     "q267_ann_recall_report" ->
       s"""WITH $ivfCtesSql,
          |ivf AS (SELECT v.vec_id
