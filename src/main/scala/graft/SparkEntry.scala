@@ -1975,30 +1975,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"),
           expr("bit_xor(doc_id)").as("id_checksum"))
     }),
-    "q112_pii_redaction" -> ((s, d) => {
+    "q112_pii_redaction" -> ((s, d) =>
       // the word-soup corpus carries no organic PII, so inject a
       // deterministic synthetic layer first (q102's injected-NULL trick,
       // applied to strings): both engines build the identical text, the
       // scrub genuinely fires, and the FULL redacted text participates
       // in the hash compare
-      val withPii = T(s, d, "documents").select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 3 === 0,
-            concat(lit(" contact user"), col("doc_id").cast("string"),
-              lit("@example.com"))).otherwise(lit("")),
-          when(col("doc_id") % 5 === 0,
-            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
-              lit(".7"))).otherwise(lit("")),
-          when(col("doc_id") % 7 === 0,
-            concat(lit(" call 555-"),
-              lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
-              lit("-"),
-              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-            .otherwise(lit(""))).as("text"))
-      Redact.scrub(withPii, "text")
+      Redact.scrub(piiInjectedDocs(s, d), "text")
         .select(col("doc_id"), col("n_emails"), col("n_ips"),
-          col("n_phones"), col("redacted"))
-    }),
+          col("n_phones"), col("redacted"))),
+    "q269_pii_by_source" -> ((s, d) =>
+      // provider-governance census over the injected-PII corpus: per
+      // source, document incidence ppm and hits per million input
+      // chars — the map-only scrub plus a groups-sized integer rollup
+      Redact.piiBySource(piiInjectedDocs(s, d))),
     "q113_bigram_lm_score" -> ((s, d) =>
       // conditional bigram LM quality score (KenLM-filter shape, one
       // rung above q96's unigram): single tokenize, array-side bigrams,
@@ -3642,6 +3632,26 @@ object SparkEntry {
           expr("bit_xor(doc_id)").as("id_checksum"))
     }))
 
+  /** q112/q269 input — the corpus with the deterministic synthetic PII
+    * layer appended (emails on doc_id%3, IPs on %5, phones on %7), the
+    * source column carried for the per-provider census.
+    */
+  private def piiInjectedDocs(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents").select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+
   /** q153/q154 input — Lee-et-al-style verbatim span mining over the
     * word-soup corpus, which has no natural multi-token cross-doc runs; so
     * (like q135's header injection) each doc pair (2g, 2g+1) gets a shared
@@ -4593,18 +4603,7 @@ object SparkEntry {
       // compiles (single source of truth — the boxesValuesSql pattern);
       // counts are taken on the same intermediate string each replace
       // runs on, mirroring Redact.scrub's email → IP → phone order
-      s"""WITH pii AS (SELECT doc_id, text ||
-         |    CASE WHEN doc_id % 3 = 0
-         |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-         |         ELSE '' END ||
-         |    CASE WHEN doc_id % 5 = 0
-         |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
-         |         ELSE '' END ||
-         |    CASE WHEN doc_id % 7 = 0
-         |         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-         |              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-         |         ELSE '' END AS t
-         |  FROM documents),
+      s"""WITH pii AS ($piiInjectedCteSql),
          |s1 AS (SELECT doc_id,
          |    CAST(len(regexp_extract_all(t, '${graft.ops.Redact.emailPattern}')) AS INTEGER) AS n_emails,
          |    regexp_replace(t, '${graft.ops.Redact.emailPattern}', '<EMAIL>', 'g') AS t1
@@ -6138,6 +6137,32 @@ object SparkEntry {
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
     "q257_source_coverage" -> greedyCoverageOracleSql(3, 5),
+    "q269_pii_by_source" ->
+      s"""WITH pii AS ($piiInjectedCteSql),
+         |s1 AS (SELECT source, len(t) AS nc,
+         |    CAST(len(regexp_extract_all(t, '${graft.ops.Redact.emailPattern}')) AS INTEGER) AS ne,
+         |    regexp_replace(t, '${graft.ops.Redact.emailPattern}', '<EMAIL>', 'g') AS t1
+         |  FROM pii),
+         |s2 AS (SELECT source, nc, ne,
+         |    CAST(len(regexp_extract_all(t1, '${graft.ops.Redact.ipv4Pattern}')) AS INTEGER) AS ni,
+         |    regexp_replace(t1, '${graft.ops.Redact.ipv4Pattern}', '<IP>', 'g') AS t2
+         |  FROM s1),
+         |s3 AS (SELECT source, nc, ne, ni,
+         |    CAST(len(regexp_extract_all(t2, '${graft.ops.Redact.phonePattern}')) AS INTEGER) AS np
+         |  FROM s2),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS docs_with_pii,
+         |    CAST(sum(ne + ni + np) AS BIGINT) AS total_hits,
+         |    CAST(sum(nc) AS BIGINT) AS chars
+         |  FROM s3 GROUP BY source)
+         |SELECT source, n_docs, docs_with_pii,
+         |  CAST(1000000 * docs_with_pii // n_docs AS BIGINT)
+         |    AS pii_docs_ppm,
+         |  total_hits,
+         |  CAST(1000000 * total_hits // greatest(chars, 1) AS BIGINT)
+         |    AS hits_per_mchar
+         |FROM g""".stripMargin,
     "q268_ann_recall_sweep" -> {
       def probe(p: Int) =
         s"""qcx$p AS (SELECT cell_id FROM cent, q
@@ -7557,6 +7582,25 @@ object SparkEntry {
        |FROM $src""".stripMargin
 
   private lazy val qualityFeaturesSql: String = qualityFeaturesSqlFrom("documents")
+
+  /** The q112/q269 injected-PII corpus as SQL — mirrors piiInjectedDocs
+    * verbatim (one source of truth for the synthetic layer).
+    */
+  // NOTE: embedded into s"""…""".stripMargin oracles — no line here may
+  // start (after whitespace) with '|', or the OUTER stripMargin eats it
+  private lazy val piiInjectedCteSql: String =
+    """SELECT doc_id, source, text ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+      |              '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |         ELSE '' END AS t
+      |  FROM documents""".stripMargin
 
   /** Unrolled DuckDB mirror of Sampling.greedySourceCoverage: `rounds`
     * greedy layers, each picking the argmax-marginal source (m DESC,

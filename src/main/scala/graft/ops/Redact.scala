@@ -77,4 +77,27 @@ object Redact {
         sum((col("n_phones") > 0).cast("long")).as("docs_with_phone"),
         sum(col("n_emails") + col("n_ips") + col("n_phones")).as("total_hits"),
         sum(length(col("redacted"))).as("redacted_chars"))
+
+  /** Per-source PII exposure census — the governance table a provider
+    * review reads ("which supplier ships PII and at what density"):
+    * per group, document incidence (any PII class, integer ppm via DIV)
+    * and hit density per million characters of the INPUT text. Rides
+    * the same map-only [[scrub]] projection; the rollup is a
+    * groups-sized aggregate of exact integers.
+    */
+  def piiBySource(df: DataFrame, srcCol: String = "source",
+                  textCol: String = "text"): DataFrame =
+    scrub(df, textCol)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(((col("n_emails") + col("n_ips") + col("n_phones")) > 0)
+          .cast("long")).as("docs_with_pii"),
+        sum((col("n_emails") + col("n_ips") + col("n_phones"))
+          .cast("long")).as("total_hits"),
+        sum(length(col(textCol)).cast("long")).as("__chars"))
+      .select(col(srcCol), col("n_docs"), col("docs_with_pii"),
+        expr("1000000 * docs_with_pii DIV n_docs").as("pii_docs_ppm"),
+        col("total_hits"),
+        expr("1000000 * total_hits DIV greatest(__chars, 1)")
+          .as("hits_per_mchar"))
 }

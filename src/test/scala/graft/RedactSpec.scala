@@ -66,4 +66,20 @@ class RedactSpec extends SparkSpec {
     assert(out(0).isNullAt(out(0).fieldIndex("n_emails")))
     assert(out(1).getInt(out(1).fieldIndex("n_emails")) == 1)
   }
+
+  test("piiBySource: per-source incidence ppm and density per Mchar") {
+    import spark.implicits._
+    // source a: 2 docs, 1 with 2 hits; source b: 1 clean doc
+    val df = Seq(
+      ("a", "contact x@y.com or 10.0.0.1 ok"), // 30 chars, 2 hits
+      ("a", "clean words here"),               // 16 chars
+      ("b", "nothing to see")                  // 14 chars
+    ).toDF("source", "text")
+    val got = Redact.piiBySource(df)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 2L, 1L, 500000L, 2L,
+      1000000L * 2L / 46L))) // 2 hits over 46 input chars
+    assert(got("b") == (("b", 1L, 0L, 0L, 0L, 0L)))
+  }
 }
