@@ -1984,6 +1984,27 @@ object SparkEntry {
       Redact.scrub(piiInjectedDocs(s, d), "text")
         .select(col("doc_id"), col("n_emails"), col("n_ips"),
           col("n_phones"), col("redacted"))),
+    "q270_packing_efficiency" -> ((s, d) =>
+      // strategy scorecard: the complement plan's pack count, solo share
+      // and padding waste vs the concat-and-chop window count on the
+      // same clamped token mass — the loader-design tradeoff (no doc
+      // splits vs zero padding) in one row, all off the k-row plan
+      Packing.complementPackingPlan(
+          T(s, d, "documents").select(
+            graft.functions.tokenCount(col("text")).cast("long")
+              .as("n_toks")),
+          "n_toks", capacity = 256)
+        .agg(sum(col("fill_tokens") * col("n_packs")).as("total_tokens"),
+          sum(col("n_packs")).as("n_packs"),
+          sum(when(col("len_b").isNull, col("n_packs"))
+            .otherwise(lit(0L))).as("n_solo_packs"),
+          sum((lit(256L) - col("fill_tokens")) * col("n_packs"))
+            .as("waste_tokens"))
+        .select(col("total_tokens"),
+          expr("(total_tokens + 255) DIV 256").as("concat_windows"),
+          col("n_packs"), col("n_solo_packs"), col("waste_tokens"),
+          expr("1000000 * waste_tokens DIV (n_packs * 256)")
+            .as("waste_ppm"))),
     "q269_pii_by_source" -> ((s, d) =>
       // provider-governance census over the injected-PII corpus: per
       // source, document incidence ppm and hits per million input
@@ -6137,6 +6158,24 @@ object SparkEntry {
          |    AS fill_ratio
          |FROM rec WHERE la IS NOT NULL""".stripMargin,
     "q257_source_coverage" -> greedyCoverageOracleSql(3, 5),
+    "q270_packing_efficiency" ->
+      s"""WITH RECURSIVE
+         |$complementTraceCtesSql,
+         |st AS (SELECT
+         |    CAST(sum((la + coalesce(lb, 0)) * k) AS BIGINT)
+         |      AS total_tokens,
+         |    CAST(sum(k) AS BIGINT) AS n_packs,
+         |    CAST(sum(CASE WHEN lb IS NULL THEN k ELSE 0 END) AS BIGINT)
+         |      AS n_solo_packs,
+         |    CAST(sum((256 - (la + coalesce(lb, 0))) * k) AS BIGINT)
+         |      AS waste_tokens
+         |  FROM rec WHERE la IS NOT NULL)
+         |SELECT total_tokens,
+         |  CAST((total_tokens + 255) // 256 AS BIGINT) AS concat_windows,
+         |  n_packs, n_solo_packs, waste_tokens,
+         |  CAST(1000000 * waste_tokens // (n_packs * 256) AS BIGINT)
+         |    AS waste_ppm
+         |FROM st""".stripMargin,
     "q269_pii_by_source" ->
       s"""WITH pii AS ($piiInjectedCteSql),
          |s1 AS (SELECT source, len(t) AS nc,
