@@ -5261,15 +5261,17 @@ object SparkEntry {
         |  LEFT JOIN f3 ON u.sk = f3.sk)
         |SELECT depth, count(*) AS n_sessions FROM d GROUP BY depth""".stripMargin,
     "q151_frame_sample" -> {
+      // digest-once parity: the blob hex folds to ONE 60-bit digest per
+      // media row; per-(frame, dim) hashing mixes only the decimal digest
       val fcols = (0 until 4).map(i =>
-        s"((${hash31Sql("hx || '#' || CAST(frame_no AS VARCHAR) || ':' || " + i)}) " +
+        s"((${hash31Sql("CAST(dg AS VARCHAR) || '#' || CAST(frame_no AS VARCHAR) || ':' || " + i)}) " +
           s"% 1000003)::DOUBLE / 1000003 AS f$i").mkString(",\n  ")
       s"""WITH m AS (SELECT doc_id AS media_id,
          |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
-         |    sha256(CAST(doc_id AS VARCHAR)) AS hx,
+         |    (${hash60Sql("sha256(CAST(doc_id AS VARCHAR))")}) AS dg,
          |    doc_id % 60000 AS duration_ms
          |  FROM documents),
-         |fr AS (SELECT media_id, hx,
+         |fr AS (SELECT media_id, dg,
          |    unnest(range(0, CAST(ceil(duration_ms * 30e0 / 1000e0) AS BIGINT)))
          |      AS frame_no
          |  FROM m WHERE kind = 'video')
