@@ -2005,6 +2005,21 @@ object SparkEntry {
           col("n_packs"), col("n_solo_packs"), col("waste_tokens"),
           expr("1000000 * waste_tokens DIV (n_packs * 256)")
             .as("waste_ppm"))),
+    "q271_image_decode_resize" -> ((s, d) =>
+      // REAL codec tier: javax.imageio PNG encode (fixture synth) →
+      // q152's resize plan decides which blobs decode (in-budget images
+      // never deserialize) → ImageIO decode + integer nearest-neighbor
+      // resample → channel means + position-weighted pixel checksum.
+      // The oracle replays the pattern + resample closed-form in SQL.
+      Multimodal.decodeResizeImages(
+        Multimodal.synthesizePng(s, T(s, d, "documents").select("doc_id"),
+          "doc_id"), maxSide = 9)
+        .select(col("media_id"), col("src_width"), col("src_height"),
+          col("target_width"), col("target_height"),
+          round(col("r_mean"), 6).as("r_mean"),
+          round(col("g_mean"), 6).as("g_mean"),
+          round(col("b_mean"), 6).as("b_mean"),
+          col("pixel_checksum"))),
     "q269_pii_by_source" -> ((s, d) =>
       // provider-governance census over the injected-PII corpus: per
       // source, document incidence ppm and hits per million input
@@ -6178,6 +6193,46 @@ object SparkEntry {
          |  CAST(1000000 * waste_tokens // (n_packs * 256) AS BIGINT)
          |    AS waste_ppm
          |FROM st""".stripMargin,
+    "q271_image_decode_resize" ->
+      // replays the synthetic RGB pattern (Multimodal.synthChannel) and
+      // the integer nearest-neighbor resample closed-form — the Spark
+      // side actually ENCODES/DECODES real PNGs through javax.imageio,
+      // so a match proves the codec round-trip is lossless end-to-end
+      """WITH m AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 13 + 4 AS INTEGER) AS w,
+        |    CAST(doc_id % 11 + 4 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |p AS (SELECT id, w, h,
+        |    greatest(CAST(floor(w * (9e0 / CAST(greatest(w, h) AS DOUBLE)))
+        |      AS INTEGER), 1) AS tw,
+        |    greatest(CAST(floor(h * (9e0 / CAST(greatest(w, h) AS DOUBLE)))
+        |      AS INTEGER), 1) AS th
+        |  FROM m WHERE greatest(w, h) > 9),
+        |gx AS (SELECT p.*, unnest(range(tw)) AS tx FROM p),
+        |px AS (SELECT gx.*, unnest(range(th)) AS ty FROM gx),
+        |c AS (SELECT id, w, h, tw, th, tx, ty,
+        |    (tx * w) // tw AS sx, (ty * h) // th AS sy
+        |  FROM px),
+        |v AS (SELECT id, w, h, tw, th,
+        |    (id * 7 + sx * 31 + sy * 17) % 256 AS r,
+        |    (id * 3 + sx * 13 + sy * 29) % 256 AS g,
+        |    (id * 11 + sx * 23 + sy * 19) % 256 AS b,
+        |    1 + tx + tw * ty AS wt
+        |  FROM c),
+        |a AS (SELECT id, w, h, tw, th,
+        |    CAST(sum(r) AS BIGINT) AS rs, CAST(sum(g) AS BIGINT) AS gs,
+        |    CAST(sum(b) AS BIGINT) AS bs,
+        |    CAST(sum((r + 256 * g + 65536 * b) * wt) AS BIGINT)
+        |      AS pixel_checksum
+        |  FROM v GROUP BY id, w, h, tw, th)
+        |SELECT id AS media_id, w AS src_width, h AS src_height,
+        |  CAST(tw AS INTEGER) AS target_width,
+        |  CAST(th AS INTEGER) AS target_height,
+        |  round(CAST(rs AS DOUBLE) / (tw * th), 6) AS r_mean,
+        |  round(CAST(gs AS DOUBLE) / (tw * th), 6) AS g_mean,
+        |  round(CAST(bs AS DOUBLE) / (tw * th), 6) AS b_mean,
+        |  pixel_checksum
+        |FROM a""".stripMargin,
     "q269_pii_by_source" ->
       s"""WITH pii AS ($piiInjectedCteSql),
          |s1 AS (SELECT source, len(t) AS nc,

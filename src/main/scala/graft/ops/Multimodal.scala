@@ -187,6 +187,138 @@ object Multimodal {
   case class MediaFeature(media_id: Long, kind: String, n_bytes: Int,
                           features: Array[Double])
 
+  // ------------------------------------------------- real image codec tier
+
+  /** Channel value of the synthetic test pattern at (x, y) for image `id` —
+    * the single source of truth shared by the PNG encoder below, the
+    * decode round-trip spec, and (re-derived in SQL) the q271 oracle.
+    * Plain integer arithmetic so DuckDB reproduces it exactly.
+    */
+  def synthChannel(id: Long, x: Int, y: Int, channel: Int): Int =
+    (channel match {
+      case 0 => (id * 7L + x * 31L + y * 17L) % 256L  // R
+      case 1 => (id * 3L + x * 13L + y * 29L) % 256L  // G
+      case _ => (id * 11L + x * 23L + y * 19L) % 256L // B
+    }).toInt
+
+  private case class SynthPng(media_id: Long, kind: String,
+                              content: Array[Byte], width: Int, height: Int)
+
+  /** REAL PNG synthesis: encodes a deterministic RGB test pattern with
+    * `javax.imageio` (JDK-native, zero extra dependencies) per image row.
+    * Geometry is id-derived (width = id%13+4, height = id%11+4) so a SQL
+    * oracle knows every image's true size; kind follows [[synthesize]]'s
+    * id%3 mapping and only image rows carry a blob (audio/video content
+    * stays NULL — there is nothing real to encode for them here).
+    *
+    * One `ImageIO`/`BufferedImage` context per partition via
+    * mapPartitions (SURVEY §4 tier d — codecs are imperative state).
+    */
+  def synthesizePng(spark: SparkSession, ids: DataFrame,
+                    idCol: String): DataFrame = {
+    import spark.implicits._
+    val kinds = Seq("image", "audio", "video")
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val kind = kinds((((id % 3) + 3) % 3).toInt)
+          val w = (id % 13 + 4).toInt
+          val h = (id % 11 + 4).toInt
+          val bytes = if (kind != "image") null else {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y,
+                  (synthChannel(id, x, y, 0) << 16) |
+                    (synthChannel(id, x, y, 1) << 8) |
+                    synthChannel(id, x, y, 2))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          SynthPng(id, kind, bytes, w, h)
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("kind"), col("content"),
+        struct(col("width"), col("height"),
+          lit(16000).as("sample_rate"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+  }
+
+  case class DecodedResize(media_id: Long, src_width: Int, src_height: Int,
+                           target_width: Int, target_height: Int,
+                           r_mean: Double, g_mean: Double, b_mean: Double,
+                           pixel_checksum: Long)
+
+  /** Real decode + resize executor tier: `javax.imageio` PNG decode inside
+    * mapPartitions, nearest-neighbor resample to the [[resizePlan]] target
+    * geometry, per-image channel means and a position-weighted pixel
+    * checksum (Σ (r + 256·g + 65536·b) · (1 + tx + TW·ty) — fits a long:
+    * ≤ 1.7e7 · W·H² ≪ 2^63 for any sane thumbnail budget).
+    *
+    * ONLY `needs_resize` rows reach the codec: the metadata-derived plan
+    * filter (image ∧ scale < 1) sits UNDER the mapPartitions, so in-budget
+    * blobs are never deserialized — the deserialize-count spec pins this
+    * with a codec-side accumulator. Nearest-neighbor uses pure integer
+    * arithmetic (sx = tx·W div TW) so an SQL oracle replays the resample
+    * bit-exactly; src_width/src_height come from the DECODED image (the
+    * codec's truth), not the metadata.
+    */
+  def decodeResizeImages(media: DataFrame, maxSide: Int = 256,
+                         decodeCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    require(maxSide >= 1, s"maxSide must be >= 1: $maxSide")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val w = col("meta.width"); val h = col("meta.height")
+    val scale = least(lit(1.0),
+      lit(maxSide).cast("double") / greatest(w, h).cast("double"))
+    media
+      .filter(col("kind") === "image" && scale < 1.0)
+      .select(col("media_id"), col("content"),
+        greatest(floor(w * scale).cast("int"), lit(1)).as("tw"),
+        greatest(floor(h * scale).cast("int"), lit(1)).as("th"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, tw, th) =>
+          decodeCounter.foreach(_.add(1))
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"media_id=$id: content is not a decodable image")
+          val sw = img.getWidth; val sh = img.getHeight
+          var rSum = 0L; var gSum = 0L; var bSum = 0L; var ck = 0L
+          var ty = 0
+          while (ty < th) {
+            val sy = ty * sh / th
+            var tx = 0
+            while (tx < tw) {
+              val sx = tx * sw / tw
+              val rgb = img.getRGB(sx, sy)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              rSum += r; gSum += g; bSum += b
+              ck += (r + 256L * g + 65536L * b) * (1L + tx + tw.toLong * ty)
+              tx += 1
+            }
+            ty += 1
+          }
+          val n = tw.toLong * th
+          DecodedResize(id, sw, sh, tw, th,
+            rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n, ck)
+        }
+      }
+      .toDF()
+  }
+
   /** STUB CODEC — stands in for a native decoder (libjpeg/ffmpeg-class,
     * not available in this container). One instance per partition models
     * the expensive codec-context initialization (here: the MessageDigest);

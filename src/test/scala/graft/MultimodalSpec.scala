@@ -117,4 +117,91 @@ class MultimodalSpec extends SparkSpec {
       graft.ops.Multimodal.ingestBinaryFiles(spark, dir, "*.png"))
     assert(feats.count() == 1)
   }
+
+  // ---------------------------------------------------- real codec tier
+
+  test("synthesizePng: decode(encode(img)) round-trips every pixel " +
+    "through javax.imageio losslessly") {
+    val ids = Seq(0L, 3L, 6L, 9L, 12L, 33L).toDF("doc_id") // id%3==0 → image
+    val rows = Multimodal.synthesizePng(spark, ids, "doc_id")
+      .select("media_id", "content", "meta.width", "meta.height")
+      .as[(Long, Array[Byte], Int, Int)].collect()
+    assert(rows.length == 6 && rows.forall(_._2 != null))
+    rows.foreach { case (id, png, w, h) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == Multimodal.synthChannel(id, x, y, 0))
+        assert(((rgb >> 8) & 0xff) == Multimodal.synthChannel(id, x, y, 1))
+        assert((rgb & 0xff) == Multimodal.synthChannel(id, x, y, 2))
+      }
+    }
+  }
+
+  test("synthesizePng: non-image rows carry NULL content; kind follows " +
+    "the id%3 mapping") {
+    val ids = (0L to 8L).toDF("doc_id")
+    val got = Multimodal.synthesizePng(spark, ids, "doc_id")
+      .select("media_id", "kind", "content")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Array[Byte]]("content") == null)).sortBy(_._1)
+    got.foreach { case (id, kind, nullBlob) =>
+      val expect = Seq("image", "audio", "video")((id % 3).toInt)
+      assert(kind == expect, s"id=$id")
+      assert(nullBlob == (kind != "image"), s"id=$id")
+    }
+  }
+
+  test("decodeResizeImages: only needs_resize blobs reach the codec " +
+    "(in-budget images never deserialize), geometry from decoded truth") {
+    // ids chosen so geometry spans in-budget and over-budget: w=id%13+4,
+    // h=id%11+4; maxSide=9 → decode iff max(w,h)>9
+    val ids = (0L to 59L by 3L).toDF("doc_id") // all images
+    val media = Multimodal.synthesizePng(spark, ids, "doc_id")
+    val expectDecodes = media
+      .filter(greatest(col("meta.width"), col("meta.height")) > 9).count()
+    assert(expectDecodes > 0 && expectDecodes < media.count(),
+      "fixture must span both sides of the budget")
+    val counter = spark.sparkContext.longAccumulator("decodes")
+    val out = Multimodal.decodeResizeImages(media, maxSide = 9,
+      decodeCounter = Some(counter))
+    val got = out.collect()
+    assert(got.length.toLong == expectDecodes)
+    assert(counter.value == expectDecodes) // untouched blobs never decoded
+    // decoded geometry is the codec's truth and matches the metadata here
+    got.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("src_width") == (id % 13 + 4).toInt)
+      assert(r.getAs[Int]("src_height") == (id % 11 + 4).toInt)
+      assert(math.max(r.getAs[Int]("target_width"),
+        r.getAs[Int]("target_height")) <= 9)
+    }
+  }
+
+  test("decodeResizeImages: nearest-neighbor checksum matches a " +
+    "hand-computed replay of the closed form") {
+    val ids = Seq(21L).toDF("doc_id") // w=21%13+4=12, h=21%11+4=14 → resize
+    val out = Multimodal.decodeResizeImages(
+      Multimodal.synthesizePng(spark, ids, "doc_id"), maxSide = 9)
+      .collect().head
+    val (w, h) = (12, 14)
+    val tw = math.max((w * (9.0 / math.max(w, h))).floor.toInt, 1)
+    val th = math.max((h * (9.0 / math.max(w, h))).floor.toInt, 1)
+    assert(out.getAs[Int]("target_width") == tw)
+    assert(out.getAs[Int]("target_height") == th)
+    var ck = 0L; var rs = 0L
+    for (ty <- 0 until th; tx <- 0 until tw) {
+      val sx = tx * w / tw; val sy = ty * h / th
+      val r = Multimodal.synthChannel(21L, sx, sy, 0)
+      val g = Multimodal.synthChannel(21L, sx, sy, 1)
+      val b = Multimodal.synthChannel(21L, sx, sy, 2)
+      rs += r
+      ck += (r + 256L * g + 65536L * b) * (1L + tx + tw.toLong * ty)
+    }
+    assert(out.getAs[Long]("pixel_checksum") == ck)
+    assert(math.abs(out.getAs[Double]("r_mean") -
+      rs.toDouble / (tw * th)) < 1e-9)
+  }
 }
