@@ -3469,8 +3469,13 @@ object SparkEntry {
       // self-join), channels-sized rollup, -1 = unattributed
       Funnel.lastTouchAttribution(Tables.events(s, d),
         touchType = "view", convType = "purchase",
+        // floor division (k - pmod(k,10)) DIV 10, NOT bare DIV: Spark DIV
+        // truncates toward zero while the oracle's // floors, and the
+        // props regex admits negative k — the two must agree on -5 → -1
         channelCol = expr(
-          "CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10"))),
+          """(CAST(get_json_object(props, '$.k') AS BIGINT)
+            | - pmod(CAST(get_json_object(props, '$.k') AS BIGINT), 10))
+            | DIV 10""".stripMargin))),
     "q258_novelty_curve" -> ((s, d) =>
       // crawl-health monitor: per ingest batch (50 id-ordered docs),
       // distinct 3-shingles present vs never-before-seen — first-seen is
@@ -6738,6 +6743,7 @@ object SparkEntry {
          |  JOIN ny ON c.feature = ny.feature AND c.y = ny.y
          |  JOIN nt ON c.feature = nt.feature)
          |SELECT t.feature, nt.n AS n_docs,
+         |  CAST(0 AS BIGINT) AS n_null,
          |  round(CAST(sum(nano) AS BIGINT) / 1e9, 6) AS mi_nats
          |FROM t JOIN nt ON t.feature = nt.feature
          |GROUP BY t.feature, nt.n""".stripMargin,

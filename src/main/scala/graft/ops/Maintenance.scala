@@ -167,15 +167,20 @@ object Maintenance {
   def maintainBinaryQuantIndex(spark: SparkSession, indexPath: String,
                                maxFiles: Int = 64): Report = {
     require(maxFiles > 0, "maxFiles must be > 0")
-    val files = math.max(parquetFileCount(spark, s"$indexPath/vectors"),
-      parquetFileCount(spark, s"$indexPath/codes"))
+    val subFiles = Seq("vectors", "codes")
+      .map(sub => sub -> parquetFileCount(spark, s"$indexPath/$sub")).toMap
+    val files = subFiles.values.max
     val doCompact = files > maxFiles
-    if (doCompact) Seq("vectors", "codes").foreach { sub =>
-      val t = spark.read.parquet(s"$indexPath/$sub").localCheckpoint()
-      try graft.io.IO.writeDir(t, s"$indexPath/$sub")
-      finally org.apache.spark.sql.graftbridge.ColumnBridge
-        .releaseLocalCheckpoint(t)
-    }
+    // per-sub-table guard: a crash between the two appends can leave one
+    // half fragmented and the other absent — the sweep must compact what
+    // exists instead of throwing on the missing dir
+    if (doCompact) subFiles.collect { case (sub, n) if n > 0 => sub }
+      .foreach { sub =>
+        val t = spark.read.parquet(s"$indexPath/$sub").localCheckpoint()
+        try graft.io.IO.writeDir(t, s"$indexPath/$sub")
+        finally org.apache.spark.sql.graftbridge.ColumnBridge
+          .releaseLocalCheckpoint(t)
+      }
     Report("binary_quant", files, maxFiles.toLong, doCompact, 0.0,
       rebuildRecommended = false)
   }

@@ -1888,19 +1888,29 @@ object TextAnalysis {
     * definition's 0·ln(0) limit. Integer products stay exact to
     * n ≈ 3·10⁹ rows; past that swap for DECIMAL.
     *
+    * NULL (or NaN) feature values carry no bin: they are EXCLUDED from
+    * the joint/marginal counts (so the cell probabilities still sum to
+    * 1 over the observed rows) and surfaced per feature as `n_null` —
+    * silently folding them into a phantom bin would bias mi_nats with
+    * no error, and silently dropping them would hide a data-quality
+    * problem the scorecard exists to catch.
+    *
     * Scale shape: one melt scan (|features| rows per input row, a
     * map-side explode), per-feature min/max (|features| rows, broadcast
     * back), then everything runs on the (features × bins × labels)-
-    * bounded count relation. Returns (feature, n_docs, mi_nats).
+    * bounded count relation. Returns (feature, n_docs, n_null, mi_nats).
     */
   def featureMutualInfo(df: DataFrame, featureCols: Seq[String],
                         labelCol: String, bins: Int = 10): DataFrame = {
     require(bins > 1, s"bins must be > 1: $bins")
     require(featureCols.nonEmpty, "featureCols must be non-empty")
     val melted = df
-      .select(explode(array(featureCols.map(f =>
-          struct(lit(f).as("feature"), col(f).cast("double").as("__v")))
-          : _*)).as("__m"),
+      .select(explode(array(featureCols.map { f =>
+          val v = col(f).cast("double")
+          // NaN → NULL here so one null path covers both absent kinds
+          struct(lit(f).as("feature"),
+            when(isnan(v), lit(null).cast("double")).otherwise(v).as("__v"))
+        }: _*)).as("__m"),
         col(labelCol).cast("long").as("__y"))
       .select(col("__m.feature").as("feature"), col("__m.__v").as("__v"),
         col("__y"))
@@ -1908,14 +1918,18 @@ object TextAnalysis {
       .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
     val binned = melted.join(broadcast(edges), Seq("feature"))
       .select(col("feature"), col("__y"),
-        when(col("__hi") === col("__lo"), lit(0L))
+        when(col("__v").isNull, lit(null).cast("long"))
+          .when(col("__hi") === col("__lo"), lit(0L))
           .otherwise(least(
             floor((col("__v") - col("__lo")) * bins /
               (col("__hi") - col("__lo"))).cast("long"),
             lit((bins - 1).toLong))).as("__b"))
-    val c = binned.groupBy(col("feature"), col("__b"), col("__y"))
+    val cAll = binned.groupBy(col("feature"), col("__b"), col("__y"))
       .agg(count(lit(1)).as("__nby"))
       .localCheckpoint()
+    val nNull = cAll.filter(col("__b").isNull).groupBy(col("feature"))
+      .agg(sum(col("__nby")).as("__nnull"))
+    val c = cAll.filter(col("__b").isNotNull)
     val nb = c.groupBy(col("feature"), col("__b"))
       .agg(sum(col("__nby")).as("__nb"))
     val ny = c.groupBy(col("feature"), col("__y"))
@@ -1933,6 +1947,12 @@ object TextAnalysis {
       .agg(first(col("__n")).as("n_docs"),
         round(sum(col("__nano")).cast("double") / lit(1e9), 6)
           .as("mi_nats"))
+      // full outer: an ALL-null feature has no observed counts but must
+      // still appear in the scorecard (n_docs 0, its rows all in n_null)
+      .join(broadcast(nNull), Seq("feature"), "full_outer")
+      .select(col("feature"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("__nnull"), lit(0L)).as("n_null"),
+        coalesce(col("mi_nats"), lit(0.0)).as("mi_nats"))
   }
 
   /** One-row classifier governance report — the page a model-review

@@ -186,4 +186,24 @@ class FunnelSpec extends SparkSpec {
     assert(got == Map(2L -> ((1L, 300L)), 4L -> ((1L, 500L)),
       -1L -> ((2L, 800L))))
   }
+
+  test("lastTouchAttribution: q259's floor-div bucketing agrees with " +
+    "SQL // on NEGATIVE channels (DIV truncates, // floors)") {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_seconds}
+    // k = -5: floor(-5/10) = -1; bare DIV 10 would emit 0 and silently
+    // collide with the k∈[0,9] bucket. The q259 call site uses the
+    // pmod floor-div form — replicated here against a negative fixture.
+    val ev = Seq(
+      (1L, 1L, 10L, "view", 0.0, -5L), (2L, 1L, 20L, "purchase", 2.0, 0L),
+      (3L, 2L, 10L, "view", 0.0, 5L), (4L, 2L, 20L, "purchase", 1.0, 0L)
+    ).toDF("event_id", "user_id", "sec", "event_type", "value", "k")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("sec")).as("ts"), col("event_type"),
+        col("value"), col("k"))
+    val got = Funnel.lastTouchAttribution(ev, "view", "purchase",
+        expr("(k - pmod(k, 10)) DIV 10"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, n, cents) => c -> ((n, cents)) }.toMap
+    assert(got == Map(-1L -> ((1L, 200L)), 0L -> ((1L, 100L))))
+  }
 }

@@ -178,4 +178,23 @@ class MaintenanceSpec extends SparkSpec {
     val bq = Maintenance.maintainBinaryQuantIndex(spark, ghost)
     assert(!bq.compacted && bq.files == 0L, s"$bq")
   }
+
+  test("binary-quant: HALF-built index (vectors fragmented, codes absent " +
+    "after a crash between appends) compacts what exists, no throw") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val path = tmp("binq_half")
+    Similarity.buildBinaryQuantIndex(emb.filter(col("vec_id") < 300), path)
+    Seq((300, 400), (400, 500)).foreach { case (lo, hi) =>
+      Similarity.appendToBinaryQuantIndex(spark, path,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi))
+    }
+    // simulate the crash window: codes dir vanishes, vectors stays
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
+    val r = Maintenance.maintainBinaryQuantIndex(spark, path, maxFiles = 2)
+    assert(r.compacted, s"$r") // vectors side compacted
+    assert(spark.read.parquet(s"$path/vectors").count() == 500)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes")))
+  }
 }

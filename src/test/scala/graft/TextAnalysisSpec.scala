@@ -721,10 +721,28 @@ class TextAnalysisSpec extends SparkSpec {
     val df = (0 to 9).map(i => (i.toDouble, 7.0, if (i >= 5) 1 else 0))
       .toDF("f1", "f2", "y")
     val got = TextAnalysis.featureMutualInfo(df, Seq("f1", "f2"), "y")
-      .as[(String, Long, Double)].collect()
-      .map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(got("f1") == ((10L, 0.693147)))
-    assert(got("f2") == ((10L, 0.0)))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("f1") == ((10L, 0L, 0.693147)))
+    assert(got("f2") == ((10L, 0L, 0.0)))
+  }
+
+  test("featureMutualInfo: NULL/NaN feature values are excluded from " +
+    "the bin counts and reported as n_null (no silent bias)") {
+    // f1: 6 observed values perfectly split by y + 2 null + 2 NaN rows;
+    // MI over the OBSERVED rows is exactly ln 2 — a phantom null bin
+    // would have dragged it down. f2: all-null feature stays visible.
+    val rows: Seq[(java.lang.Double, java.lang.Double, Int)] = Seq(
+      (0.0, null, 0), (1.0, null, 0), (2.0, null, 0),
+      (7.0, null, 1), (8.0, null, 1), (9.0, null, 1),
+      (null, null, 0), (null, null, 1),
+      (Double.NaN, null, 0), (Double.NaN, null, 1))
+    val df = rows.toDF("f1", "f2", "y")
+    val got = TextAnalysis.featureMutualInfo(df, Seq("f1", "f2"), "y")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("f1") == ((6L, 4L, 0.693147)), s"got ${got("f1")}")
+    assert(got("f2") == ((0L, 10L, 0.0)), s"got ${got("f2")}")
   }
 
   test("classifierGovernanceReport: composes ROC metrics with " +
