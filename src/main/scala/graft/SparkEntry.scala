@@ -111,7 +111,13 @@ object SparkEntry {
     */
   private def docClustersPath(s: SparkSession, d: String): String = {
     val path = s"/tmp/graft_clusters/docs_${tagFor(d)}"
-    Dedup.ensurePairClusters(s, path, "doc_id")(
+    // fingerprint over exactly the columns the pair pipeline consumes:
+    // a fresh process reuses the warm parquet relation iff the corpus is
+    // byte-identical, else rebuilds (the LSH+CC run is the most
+    // expensive stage every consumer shares)
+    Dedup.ensurePairClusters(s, path, "doc_id",
+      fingerprint = Some(Dedup.corpusFingerprint(
+        T(s, d, "documents"), Seq("doc_id", "text"))))(
       Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
         shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))
     path
@@ -124,7 +130,9 @@ object SparkEntry {
     */
   private def knnClustersPath(s: SparkSession, d: String): String = {
     val path = s"/tmp/graft_clusters/knn_${tagFor(d)}"
-    Dedup.ensurePairClusters(s, path, "vec_id")(
+    Dedup.ensurePairClusters(s, path, "vec_id",
+      fingerprint = Some(Dedup.corpusFingerprint(
+        T(s, d, "embeddings"), Seq("vec_id", "embedding"))))(
       Similarity.mutualKnnPairs(T(s, d, "embeddings"), k = 5))
     path
   }
@@ -136,7 +144,9 @@ object SparkEntry {
     */
   private def knnIvfClustersPath(s: SparkSession, d: String): String = {
     val path = s"/tmp/graft_clusters/knnivf_${tagFor(d)}"
-    Dedup.ensurePairClusters(s, path, "vec_id") {
+    Dedup.ensurePairClusters(s, path, "vec_id",
+      fingerprint = Some(Dedup.corpusFingerprint(
+        T(s, d, "embeddings"), Seq("vec_id", "embedding")))) {
       val emb = T(s, d, "embeddings")
       val centroids = emb.filter(col("vec_id") % 97 === 0)
         .select((col("vec_id") / 97).cast("int").as("cell_id"),

@@ -163,6 +163,27 @@ object IO {
     }).save(dest)
   }
 
+  /** Recursive count of .parquet data files under `dir`; 0 when the dir
+    * is absent — the existence probe shared by the index-maintenance
+    * sweeps and the warm-relation validity checks (a missing or
+    * half-built table must read as "not there", never throw).
+    */
+  def parquetFileCount(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+  }
+
   /** Incremental partition maintenance: overwrite ONLY the partitions
     * present in `df`, leaving all other partitions of `dest` untouched
     * (dynamic partition overwrite). This is the operational shape of a

@@ -616,29 +616,73 @@ object Dedup {
     * order-insensitive (per-component min), and parquet round-trips
     * long/double/string exactly (DedupSpec pins cached ≡ fresh).
     *
-    * Same staleness/race posture as [[ensureNearDupIndex]] /
-    * [[Similarity.ensureIvfPqIndex]]: the skip is SESSION-scoped (a
-    * RuntimeConfig key), so a new session rebuilds over any stale
-    * on-disk copy rather than trusting another process's leftovers, and
-    * concurrent first-callers serialize through the lock. The clusters
-    * write reads the just-written `path/pairs` so the LSH/scoring
-    * pipeline runs exactly once per build.
+    * Staleness/race posture: the fast skip is SESSION-scoped (a
+    * RuntimeConfig key) and concurrent first-callers serialize through
+    * the lock. A FRESH process additionally reuses a warm on-disk
+    * relation when the caller supplies a `fingerprint` (one corpus
+    * aggregate — row count + two order-free hash lanes, see
+    * [[corpusFingerprint]]) that matches the fingerprint persisted at
+    * build time under `path/meta`: at production scale the LSH + CC
+    * rebuild is the most expensive computation in the pipeline, and
+    * re-paying it every process start just to avoid trusting disk is the
+    * wrong trade once validity is CHECKED rather than assumed. A changed
+    * corpus (any row added/removed/edited) moves the fingerprint and
+    * forces the rebuild; `meta` is deleted before and rewritten after
+    * the two relation writes, so a crash mid-build can never leave a
+    * matching fingerprint over mixed-generation relations. Without a
+    * fingerprint the behavior is unchanged: a new session always
+    * rebuilds. The clusters write reads the just-written `path/pairs`
+    * so the LSH/scoring pipeline runs exactly once per build.
     */
   def ensurePairClusters(spark: org.apache.spark.sql.SparkSession,
-                         path: String, idCol: String)
+                         path: String, idCol: String,
+                         fingerprint: Option[DataFrame] = None)
                         (pairs: => DataFrame): Boolean =
     Dedup.synchronized {
       val key = s"graft.internal.pairClustersBuilt.$path"
       if (spark.conf.getOption(key).isDefined) false
       else {
-        graft.io.IO.writeDir(pairs, s"$path/pairs")
-        graft.io.IO.writeDir(
-          clusterNearDups(spark.read.parquet(s"$path/pairs"), idCol = idCol),
-          s"$path/clusters")
+        val metaPath = s"$path/meta"
+        val fp = fingerprint.map(_.collect().head)
+        val warmValid = fp.exists { cur =>
+          graft.io.IO.parquetFileCount(spark, metaPath) > 0 &&
+            graft.io.IO.parquetFileCount(spark, s"$path/pairs") > 0 &&
+            graft.io.IO.parquetFileCount(spark, s"$path/clusters") > 0 &&
+            spark.read.parquet(metaPath).collect().headOption.contains(cur)
+        }
+        if (!warmValid) {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(metaPath), true)
+          graft.io.IO.writeDir(pairs, s"$path/pairs")
+          graft.io.IO.writeDir(
+            clusterNearDups(spark.read.parquet(s"$path/pairs"),
+              idCol = idCol),
+            s"$path/clusters")
+          fingerprint.foreach(f => graft.io.IO.writeDir(f, metaPath))
+        }
         spark.conf.set(key, "true")
-        true
+        !warmValid
       }
     }
+
+  /** One-row corpus fingerprint for [[ensurePairClusters]]'s
+    * cross-process validity check: exact row count plus two order-free
+    * content lanes (a modular hash-sum and a bit-XOR over the row hash —
+    * XOR alone cancels on duplicate rows, the sum alone is blind to
+    * reorder-with-compensation; together with the count a collision
+    * needs an engineered corpus). The modular sum stays exact past
+    * 9·10⁹ rows; the aggregate is one map-side-combinable pass over
+    * exactly the columns the pair pipeline consumes.
+    */
+  def corpusFingerprint(corpus: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    corpus.select(xxhash64(cols.map(col): _*).as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(pmod(col("__h"), lit(1000000007L))), lit(0L))
+          .as("hash_sum"),
+        coalesce(expr("bit_xor(__h)"), lit(0L)).as("hash_xor"))
+  }
 
   /** The stored pair relation of [[ensurePairClusters]] — schema is
     * whatever the building pair pipeline produced (id_a, id_b, score…).

@@ -41,20 +41,8 @@ object Maintenance {
                           compacted: Boolean, maxCellRatio: Double,
                           rebuildRecommended: Boolean)
 
-  private def parquetFileCount(spark: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else {
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) n += 1
-      }
-      n
-    }
-  }
+  private def parquetFileCount(spark: SparkSession, dir: String): Long =
+    graft.io.IO.parquetFileCount(spark, dir)
 
   private def maxCellRatio(spark: SparkSession, codesPath: String): Double =
     Similarity.indexCellStats(spark, codesPath)

@@ -189,6 +189,41 @@ class DedupSpec extends SparkSpec {
     assert(cachedC == freshC && cachedC.nonEmpty)
   }
 
+  test("ensurePairClusters: a FRESH process reuses the warm relation iff " +
+    "the corpus fingerprint matches, rebuilds on any corpus change") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 150)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ens_fp").toString
+    val key = s"graft.internal.pairClustersBuilt.$dir"
+    def fp(corpus: org.apache.spark.sql.DataFrame) =
+      Some(Dedup.corpusFingerprint(corpus, Seq("doc_id", "text")))
+    def pairsOf(corpus: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        shingleK = 2, numPerm = 32, bands = 8, threshold = 0.8)
+    // first process: builds and persists the fingerprint
+    assert(Dedup.ensurePairClusters(spark, dir, "doc_id", fp(docs))(
+      pairsOf(docs)))
+    val built = Dedup.cachedClusters(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    // "fresh process" = the session-scoped skip key is gone; unchanged
+    // corpus must REUSE (the by-name thunk throwing proves no rebuild)
+    spark.conf.unset(key)
+    assert(!Dedup.ensurePairClusters(spark, dir, "doc_id", fp(docs))(
+      throw new IllegalStateException("rebuilt despite matching fingerprint")))
+    assert(Dedup.cachedClusters(spark, dir)
+      .as[(Long, Long)].collect().toSet == built)
+    // fresh process over a CHANGED corpus (one row dropped) must rebuild
+    spark.conf.unset(key)
+    val changed = docs.filter(col("doc_id") =!= 7L)
+    assert(Dedup.ensurePairClusters(spark, dir, "doc_id", fp(changed))(
+      pairsOf(changed)))
+    assert(!Dedup.cachedClusters(spark, dir)
+      .as[(Long, Long)].collect().map(_._1).contains(7L))
+    // no fingerprint supplied → a fresh process always rebuilds (old
+    // posture preserved for callers that cannot cheaply fingerprint)
+    spark.conf.unset(key)
+    assert(Dedup.ensurePairClusters(spark, dir, "doc_id")(pairsOf(docs)))
+  }
+
   test("appendToNearDupIndex converges to the full build") {
     val docs = Tables.documents(spark, sf0001)
     val sliceA = docs.filter(col("doc_id") < 60)
