@@ -3411,8 +3411,12 @@ object SparkEntry {
       // volume + exact-dup rate, length PSI (even-id reference), mean
       // quality in integer ppm, top-source concentration, and the last
       // ingest batch's shingle novelty — five monitor families composed,
-      // every branch folding to a broadcast 1-row frame
+      // every branch folding to a broadcast 1-row frame. The shared base
+      // is checkpointed ONCE (the q207 per-source-funnel discipline) so
+      // the dashboard costs one corpus FileScan, not five — plan-gated
       val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+        .localCheckpoint()
       val dups = docs.agg(count(lit(1)).as("n_docs"),
           (count(lit(1)) - countDistinct(md5Hash31(col("text"))))
             .as("__nd"))

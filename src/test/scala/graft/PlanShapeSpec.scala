@@ -756,6 +756,19 @@ class PlanShapeSpec extends SparkSpec {
       "HashAggregate".r.findAllIn(s).length >= 4, s)
   }
 
+  test("q264 corpus health: all five monitor branches read the one " +
+    "checkpointed base — a single corpus scan, not five") {
+    // the dashboard previously opened a FileScan per monitor family
+    // (dup rate, PSI, quality, concentration, novelty); the shared base
+    // is now checkpointed once (q207 discipline), so the composed plan
+    // must contain ZERO parquet FileScans — every branch reads the
+    // checkpoint blocks
+    val q = SparkEntry.queries("q264_corpus_health")(spark, sf0001)
+    val s = planString(q)
+    assert(!s.contains("FileScan"),
+      s"corpus-health dashboard re-scanned parquet:\n$s")
+  }
+
   test("q153 duplicate spans: single tokenize, broadcast-anti hot-gram cap") {
     // the positional-gram relation is checkpointed once — the droplist
     // aggregate and both self-join sides must read the checkpoint (no
