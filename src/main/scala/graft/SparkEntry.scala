@@ -2100,6 +2100,16 @@ object SparkEntry {
       T(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         Layout.zorder2(col("l_partkey"), col("l_orderkey")).as("zkey"))),
+    "q272_zorder3_key" -> ((s, d) =>
+      // q120 generalized to the real OPTIMIZE ZORDER shape: THREE scan
+      // dimensions interleaved (bit i of col j at position i*3+j, 20
+      // bits each = 60 ≤ 62, ANSI-safe); ZOrderSpec pins that 3-D
+      // z-blocks prune all three dimensions where any 1-D sort loses
+      // on the sum (20 vs 36 chunks touched on the 16^3 fixture)
+      T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Layout.zorderN(Seq(col("l_partkey"), col("l_suppkey"),
+          col("l_orderkey")), bits = 20).as("zkey3"))),
     "q121_jl_projection" -> ((s, d) => {
       // Johnson-Lindenstrauss random projection 64 → 24 dims with the
       // SAME seeded plane family as SRP (plan-build-time constants — the
@@ -4769,6 +4779,13 @@ object SparkEntry {
     "q120_zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  ${graft.ops.Layout.zorder2Sql("l_partkey", "l_orderkey")} AS zkey
+         |FROM lineitem""".stripMargin,
+    "q272_zorder3_key" ->
+      // generated from the SAME loop as the Spark expression (the q120
+      // zorder2Sql discipline at N=3) — zero drift surface
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${graft.ops.Layout.zorderNSql(
+               Seq("l_partkey", "l_suppkey", "l_orderkey"), 20)} AS zkey3
          |FROM lineitem""".stripMargin,
     "q121_jl_projection" ->
       s"""WITH planes(i, p) AS (VALUES

@@ -19,44 +19,70 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Bit-interleaved z-value of two non-negative ints binned to `bits`
-    * bits each: x occupies even bit positions, y odd. Inputs are masked to
-    * the bin domain first, so any long column is safe to pass.
+  /** Bit-interleaved z-value of N non-negative ints binned to `bits` bits
+    * each: bit i of column j lands at position i·N + j (column 0 gets the
+    * lowest lane — for N = 2 that is the classic even/odd interleave).
+    * Inputs are masked to the bin domain first, so any long column is
+    * safe to pass. N·bits ≤ 62 keeps every term and the sum inside a
+    * non-negative long, so ANSI mode never overflows. Real layout tuning
+    * wants 3–4 scan dimensions (the OPTIMIZE ZORDER shape); the unroll
+    * is still one codegen'd arithmetic expression, no UDF.
+    */
+  def zorderN(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.length
+    require(n >= 2, s"zorderN needs at least 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 62,
+      s"need bits >= 1 and n*bits <= 62: n=$n bits=$bits")
+    val masked = cols.map(_.bitwiseAND(lit((1L << bits) - 1)))
+    (for { i <- 0 until bits; (c, j) <- masked.zipWithIndex } yield
+      shiftright(c, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j))
+    ).reduce(_ + _)
+  }
+
+  /** Bit-interleaved z-value of two non-negative ints — the N = 2 case of
+    * [[zorderN]] (x even bits, y odd).
     */
   def zorder2(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    val xm = x.bitwiseAND(lit((1L << bits) - 1))
-    val ym = y.bitwiseAND(lit((1L << bits) - 1))
-    (0 until bits).map { i =>
-      shiftright(xm, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-        shiftright(ym, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
-    }.reduce(_ + _)
+    zorderN(Seq(x, y), bits)
   }
 
   /** The SAME unrolled interleave as ANSI SQL over `>>`/`&` — generated
     * from one loop so the Spark expression and a SQL oracle cannot drift.
     */
-  def zorder2Sql(x: String, y: String, bits: Int = 16): String = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+  def zorderNSql(cols: Seq[String], bits: Int = 16): String = {
+    val n = cols.length
+    require(n >= 2 && bits >= 1 && n * bits <= 62,
+      s"need n >= 2, bits >= 1, n*bits <= 62: n=$n bits=$bits")
     val mask = (1L << bits) - 1
-    (0 until bits).map { i =>
-      s"((($x & $mask) >> $i) & 1) * ${1L << (2 * i)}" +
-        s" + ((($y & $mask) >> $i) & 1) * ${1L << (2 * i + 1)}"
-    }.mkString("(", ") + (", ")")
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      s"((($c & $mask) >> $i) & 1) * ${1L << (i * n + j)}"
+    ).mkString("(", ") + (", ")")
   }
 
-  /** Write `df` clustered by the z-order of two columns: range-partition on
+  /** [[zorderNSql]] for the two-column case. */
+  def zorder2Sql(x: String, y: String, bits: Int = 16): String = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    zorderNSql(Seq(x, y), bits)
+  }
+
+  /** Write `df` clustered by the z-order of N columns: range-partition on
     * the z-key (each output file owns a contiguous z-range = a compact
-    * rectangle of (x, y) space), sort within partitions so row-group
-    * min/max stats are tight, then drop the helper column. `numFiles`
-    * bounds output file count — at corpus scale pick input-size / target
-    * file size.
+    * hyper-rectangle of the key space), sort within partitions so
+    * row-group min/max stats are tight, then drop the helper column.
+    * `numFiles` bounds output file count — at corpus scale pick
+    * input-size / target file size.
     */
-  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,
-                    numFiles: Int = 8, bits: Int = 16): Unit =
-    df.withColumn("__z", zorder2(col(xCol), col(yCol), bits))
+  def writeZOrderedN(df: DataFrame, zCols: Seq[String], path: String,
+                     numFiles: Int = 8, bits: Int = 16): Unit =
+    df.withColumn("__z", zorderN(zCols.map(col), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** [[writeZOrderedN]] for the two-column case. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,
+                    numFiles: Int = 8, bits: Int = 16): Unit =
+    writeZOrderedN(df, Seq(xCol, yCol), path, numFiles, bits)
 }

@@ -84,4 +84,100 @@ class ZOrderSpec extends SparkSpec {
     val yTouch = spans.count { case (_, _, ymn, _) => ymn <= 7 }
     assert(xTouch + yTouch <= 12, s"x=$xTouch y=$yTouch spans=${spans.toSeq}")
   }
+
+  // ------------------------------------------------------- N-dimensional
+
+  private def z3(x: Long, y: Long, t: Long, bits: Int): Long =
+    Seq((x, y, t)).toDF("x", "y", "t")
+      .select(Layout.zorderN(Seq(col("x"), col("y"), col("t")), bits))
+      .head().getLong(0)
+
+  test("zorderN: hand-computed 3-D interleaves; N=2 equals zorder2") {
+    // bit i of column j lands at position i*3 + j
+    assert(z3(1L, 1L, 1L, 1) == 7L)
+    // x=0b10: bit1→pos3 (8); y=0b01: bit0→pos1 (2); t=0b11: bit0→pos2
+    // (4), bit1→pos5 (32) → 46
+    assert(z3(2L, 1L, 3L, 2) == 46L)
+    assert(z3(0L, 0L, 0L, 8) == 0L)
+    // out-of-domain input masked, not overflowed
+    assert(z3(0x103L, 0L, 0L, 4) == z3(3L, 0L, 0L, 4))
+    // the N=2 lane layout is exactly zorder2's
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val (a, b) = (rnd.nextLong().abs % 100000, rnd.nextLong().abs % 100000)
+      val two = Seq((a, b)).toDF("x", "y")
+        .select(Layout.zorder2(col("x"), col("y")),
+          Layout.zorderN(Seq(col("x"), col("y")))).head()
+      assert(two.getLong(0) == two.getLong(1))
+    }
+  }
+
+  test("zorderN matches its generated SQL oracle at N=3 and N=4") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(200)((rnd.nextLong().abs % 100000,
+      rnd.nextLong().abs % 100000, rnd.nextLong().abs % 100000,
+      rnd.nextLong().abs % 100000))
+    val df = rows.toDF("a", "b", "c", "d")
+    val e3 = df.select(Layout.zorderN(Seq(col("a"), col("b"), col("c")), 20))
+      .as[Long].collect().toSeq
+    val s3 = df.selectExpr(Layout.zorderNSql(Seq("a", "b", "c"), 20))
+      .as[Long].collect().toSeq
+    assert(e3 == s3)
+    val e4 = df.select(Layout.zorderN(
+      Seq(col("a"), col("b"), col("c"), col("d")), 15))
+      .as[Long].collect().toSeq
+    val s4 = df.selectExpr(Layout.zorderNSql(Seq("a", "b", "c", "d"), 15))
+      .as[Long].collect().toSeq
+    assert(e4 == s4)
+  }
+
+  test("3-D z-order chunks prune selective predicates on ALL THREE " +
+    "dimensions; any 1-D sort loses on the sum") {
+    // 16^3 grid, 16 chunks of 256 rows. A chunk is READ iff its bbox
+    // intersects the predicate (dim <= 3). x-major sort: x perfect (4),
+    // y and t full scans (16 + 16) = 36. Z-order blocks fix x/y bit 3
+    // and t bits 3..2 → 8 + 8 + 4 = 20.
+    val pts = for (x <- 0 until 16; y <- 0 until 16; t <- 0 until 16)
+      yield (x.toLong, y.toLong, t.toLong)
+    val zmap = pts.toDF("x", "y", "t")
+      .select(col("x"), col("y"), col("t"),
+        Layout.zorderN(Seq(col("x"), col("y"), col("t")), 4).as("z"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    def touched(sorted: Seq[(Long, Long, Long)],
+                dim: ((Long, Long, Long)) => Long): Int =
+      sorted.grouped(256).count(c => c.map(dim).min <= 3)
+    val zSorted = pts.sortBy(zmap)
+    val xMajor = pts.sortBy(identity)
+    val zTot = touched(zSorted, _._1) + touched(zSorted, _._2) +
+      touched(zSorted, _._3)
+    val rmTot = touched(xMajor, _._1) + touched(xMajor, _._2) +
+      touched(xMajor, _._3)
+    assert(zTot == 20 && rmTot == 36, s"z=$zTot x-major=$rmTot")
+  }
+
+  test("writeZOrderedN: footer stats prune all three dimensions vs the " +
+    "1-D stripe bound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder3").toString
+    val pts = (for (x <- 0 until 16; y <- 0 until 16; t <- 0 until 16)
+      yield (x.toLong, y.toLong, t.toLong)).toDF("x", "y", "t")
+    Layout.writeZOrderedN(pts, Seq("x", "y", "t"), s"$dir/t",
+      numFiles = 16, bits = 4)
+    assert(spark.read.parquet(s"$dir/t").count() == 16L * 16L * 16L)
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("x"), min("y"), min("t")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val tot = spans.count(_._1 <= 3) + spans.count(_._2 <= 3) +
+      spans.count(_._3 <= 3)
+    // ideal z-blocks: 8 + 8 + 4 = 20; an x-major stripe layout reads
+    // 4 + 16 + 16 = 36. Allow slack for repartitionByRange's sampled
+    // boundaries but stay firmly below the stripe bound.
+    assert(tot <= 28, s"touched $tot of ${3 * files.length}; " +
+      s"spans=${spans.toSeq}")
+  }
 }
