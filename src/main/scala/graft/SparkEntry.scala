@@ -183,6 +183,40 @@ object SparkEntry {
   private def hash60Sql(e: String): String =
     s"('0x' || substring(md5($e), 1, 15))::BIGINT"
 
+  /** DuckDB replay of [[graft.ops.Multimodal.imageAHash]] over the
+    * synthetic pattern (Multimodal.synthChannel + integer 8×8 resample +
+    * integer grayscale + exact mean threshold, two 32-bit lanes) —
+    * shared by q273 and q274 so the two oracles cannot drift. `from` is
+    * the id source relation (may carry a WHERE); yields CTE `ah` with
+    * (id, w, h, ahash_hi, ahash_lo).
+    */
+  private def ahashCtesSql(idExpr: String, from: String): String =
+    s"""am AS (SELECT $idExpr AS id,
+       |    CAST($idExpr % 13 + 4 AS INTEGER) AS w,
+       |    CAST($idExpr % 11 + 4 AS INTEGER) AS h
+       |  FROM $from),
+       |agx AS (SELECT am.*, unnest(range(8)) AS tx FROM am),
+       |apx AS (SELECT agx.*, unnest(range(8)) AS ty FROM agx),
+       |ac AS (SELECT id, w, h, tx, ty,
+       |    (tx * w) // 8 AS sx, (ty * h) // 8 AS sy
+       |  FROM apx),
+       |ag AS (SELECT id, w, h, ty * 8 + tx AS p,
+       |    (((id * 7 + sx * 31 + sy * 17) % 256)
+       |     + ((id * 3 + sx * 13 + sy * 29) % 256)
+       |     + ((id * 11 + sx * 23 + sy * 19) % 256)) // 3 AS gr
+       |  FROM ac),
+       |asum AS (SELECT id, w, h, p, gr,
+       |    sum(gr) OVER (PARTITION BY id) AS sg
+       |  FROM ag),
+       |ah AS (SELECT id, w, h,
+       |    CAST(sum(CASE WHEN p >= 32 AND gr * 64 >= sg
+       |      THEN (CAST(1 AS BIGINT) << (p - 32)) ELSE 0 END) AS BIGINT)
+       |      AS ahash_hi,
+       |    CAST(sum(CASE WHEN p < 32 AND gr * 64 >= sg
+       |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+       |      AS ahash_lo
+       |  FROM asum GROUP BY id, w, h)""".stripMargin
+
   /** DuckDB mirror of `TextAnalysis.cleanText` — shared by q87 and the
     * q100 pipeline capstone.
     */
@@ -2554,6 +2588,36 @@ object SparkEntry {
       Multimodal.resizePlan(
         Multimodal.synthesize(s, T(s, d, "documents").select("doc_id"),
           "doc_id"), maxSide = 256)),
+    "q273_image_ahash" -> ((s, d) =>
+      // perceptual average-hash over REAL decoded pixels: ImageIO PNG
+      // decode → integer 8×8 nearest-neighbor downsample → integer
+      // grayscale → exact mean-threshold bits packed into two 32-bit
+      // lanes (the binary-quant code shape); map-only per image, and
+      // the oracle replays every bit from the pattern closed form
+      Multimodal.imageAHash(
+        Multimodal.synthesizePng(s, T(s, d, "documents").select("doc_id"),
+          "doc_id"))),
+    "q274_perceptual_dup_groups" -> ((s, d) =>
+      // perceptual image dedup: patternMod injects byte-identical image
+      // content under distinct media ids (the re-hosted-copy shape);
+      // identical pixels ⇒ identical aHash, so duplicate groups are one
+      // hash-groupBy over the two 32-bit lanes — the image twin of q18's
+      // exact text dedup, with the decode tier real end to end
+      Multimodal.imageAHash(
+        Multimodal.synthesizePng(s, T(s, d, "documents").select("doc_id"),
+          "doc_id", patternMod = 10))
+        .groupBy(col("ahash_hi"), col("ahash_lo"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("media_id")).as("rep_id"))
+        .filter(col("n_copies") >= 2)),
+    "q275_audio_features" -> ((s, d) =>
+      // REAL audio codec tier: javax.sound.sampled WAV decode (16-bit LE
+      // mono PCM, header-derived sample rate) → exact integer corpus-
+      // filter features (peak, energy proxy, strict zero crossings);
+      // non-audio blobs never deserialize (metadata-only kind filter)
+      Multimodal.decodeWavFeatures(
+        Multimodal.synthesizeWav(s, T(s, d, "documents").select("doc_id"),
+          "doc_id"))),
     "q153_duplicate_spans" -> ((s, d) =>
       // the mined span relation is session-cached (dupSpansPath) — the
       // report (here) and the scrub (q154) consume ONE mining run
@@ -6269,6 +6333,49 @@ object SparkEntry {
         |  round(CAST(bs AS DOUBLE) / (tw * th), 6) AS b_mean,
         |  pixel_checksum
         |FROM a""".stripMargin,
+    "q273_image_ahash" ->
+      // replays the synthetic pattern + 8×8 resample + integer grayscale
+      // + exact mean threshold; a match proves the Spark side's REAL
+      // PNG decode reproduces the encoded pixels bit-for-bit
+      s"""WITH ${ahashCtesSql("doc_id", "documents WHERE doc_id % 3 = 0")}
+         |SELECT id AS media_id, w AS width, h AS height,
+         |  ahash_hi, ahash_lo
+         |FROM ah""".stripMargin,
+    "q274_perceptual_dup_groups" ->
+      // hash per DISTINCT pattern (pid = doc_id % 10), joined back to
+      // the image rows, grouped by the two hash lanes exactly like the
+      // Spark side (two colliding patterns would merge on both sides)
+      s"""WITH imgs AS (SELECT doc_id, doc_id % 10 AS pid
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |pats AS (SELECT DISTINCT pid FROM imgs),
+         |${ahashCtesSql("pid", "pats")}
+         |SELECT ahash_hi, ahash_lo,
+         |  CAST(count(*) AS BIGINT) AS n_copies,
+         |  min(doc_id) AS rep_id
+         |FROM imgs JOIN ah ON imgs.pid = ah.id
+         |GROUP BY ahash_hi, ahash_lo
+         |HAVING count(*) >= 2""".stripMargin,
+    "q275_audio_features" ->
+      // replays the PCM test signal closed form; a match proves the
+      // Spark side's javax.sound WAV encode/decode round-trips every
+      // 16-bit sample (and reads the rate from the real RIFF header)
+      """WITH m AS (SELECT doc_id AS id, doc_id % 50 + 20 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |sm AS (SELECT id, n, unnest(range(n)) AS i FROM m),
+        |v AS (SELECT id, n, i,
+        |    (id * 31 + i * 17) % 2001 - 1000 AS s
+        |  FROM sm),
+        |w AS (SELECT id, n, s,
+        |    lag(s) OVER (PARTITION BY id ORDER BY i) AS sp
+        |  FROM v)
+        |SELECT id AS media_id,
+        |  CAST(16000 AS INTEGER) AS sample_rate,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(s)) AS INTEGER) AS peak_abs,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(CASE WHEN sp * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_crossings
+        |FROM w GROUP BY id""".stripMargin,
     "q269_pii_by_source" ->
       s"""WITH pii AS ($piiInjectedCteSql),
          |s1 AS (SELECT source, len(t) AS nc,

@@ -211,17 +211,25 @@ object Multimodal {
     * id%3 mapping and only image rows carry a blob (audio/video content
     * stays NULL — there is nothing real to encode for them here).
     *
+    * `patternMod > 0` derives the PIXEL PATTERN (and geometry) from
+    * id % patternMod instead of the id itself, so distinct media rows
+    * share byte-identical image content — the duplicate-injection knob
+    * the perceptual-dedup queries need (real corpora are full of
+    * re-hosted copies of one image under different ids).
+    *
     * One `ImageIO`/`BufferedImage` context per partition via
     * mapPartitions (SURVEY §4 tier d — codecs are imperative state).
     */
   def synthesizePng(spark: SparkSession, ids: DataFrame,
-                    idCol: String): DataFrame = {
+                    idCol: String, patternMod: Long = 0L): DataFrame = {
     import spark.implicits._
+    require(patternMod >= 0L, s"patternMod must be >= 0: $patternMod")
     val kinds = Seq("image", "audio", "video")
     ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
-        it.map { id =>
-          val kind = kinds((((id % 3) + 3) % 3).toInt)
+        it.map { rowId =>
+          val kind = kinds((((rowId % 3) + 3) % 3).toInt)
+          val id = if (patternMod > 0) rowId % patternMod else rowId
           val w = (id % 13 + 4).toInt
           val h = (id % 11 + 4).toInt
           val bytes = if (kind != "image") null else {
@@ -243,7 +251,7 @@ object Multimodal {
             javax.imageio.ImageIO.write(img, "png", bos)
             bos.toByteArray
           }
-          SynthPng(id, kind, bytes, w, h)
+          SynthPng(rowId, kind, bytes, w, h)
         }
       }
       .toDF()
@@ -272,6 +280,75 @@ object Multimodal {
     * bit-exactly; src_width/src_height come from the DECODED image (the
     * codec's truth), not the metadata.
     */
+  case class AHash(media_id: Long, width: Int, height: Int,
+                   ahash_hi: Long, ahash_lo: Long)
+
+  /** Perceptual average-hash (aHash) over REAL decoded pixels: ImageIO
+    * decode, integer nearest-neighbor downsample to the grid (default
+    * 8×8), integer grayscale (r+g+b) div 3, then bit p (= ty·grid+tx,
+    * row-major) set iff grid²·gray ≥ Σgray — the mean threshold kept in
+    * exact integer arithmetic (no float mean) so an SQL oracle replays
+    * every bit. The 64 bits pack into TWO 32-bit lanes (hi = bits
+    * 63..32, lo = 31..0) exactly like the binary-quant codes — a single
+    * BIGINT would need the sign bit. Byte-identical images always
+    * collide; small crops/noise land within a few bits, which is the
+    * whole point of a perceptual hash (exact dedup misses re-encodes).
+    *
+    * Scale shape: map-only per image (one decode, O(grid²) resample),
+    * never touches non-image rows (the kind filter is metadata-only, so
+    * audio/video blobs are pruned before deserialization).
+    */
+  def imageAHash(media: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 2 && grid * grid <= 64,
+      s"grid must be in [2, 8] (grid^2 <= 64 bits): $grid")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "image" && col("content").isNotNull)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"media_id=$id: content is not a decodable image")
+          val w = img.getWidth; val h = img.getHeight
+          val g = new Array[Long](grid * grid)
+          var sum = 0L
+          var ty = 0
+          while (ty < grid) {
+            val sy = ty * h / grid
+            var tx = 0
+            while (tx < grid) {
+              val rgb = img.getRGB(tx * w / grid, sy)
+              val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)) / 3
+              g(ty * grid + tx) = gray.toLong
+              sum += gray
+              tx += 1
+            }
+            ty += 1
+          }
+          val n = (grid * grid).toLong
+          var hi = 0L; var lo = 0L
+          var p = 0
+          while (p < grid * grid) {
+            if (g(p) * n >= sum) {
+              if (p >= 32) hi |= 1L << (p - 32) else lo |= 1L << p
+            }
+            p += 1
+          }
+          AHash(id, w, h, hi, lo)
+        }
+      }
+      .toDF()
+  }
+
+  /** Hamming distance between two (hi, lo) aHash lane pairs. */
+  def ahashDistance(hiA: Column, loA: Column,
+                    hiB: Column, loB: Column): Column =
+    bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB))
+
   def decodeResizeImages(media: DataFrame, maxSide: Int = 256,
                          decodeCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
@@ -352,6 +429,113 @@ object Multimodal {
       }
       out
     }
+  }
+
+  // -------------------------------------------------- real audio codec tier
+
+  /** Sample i of the synthetic 16-bit PCM test signal for audio `id` —
+    * the single source of truth shared by the WAV encoder, the decode
+    * round-trip spec, and (re-derived in SQL) the audio-features oracle.
+    * Values in [-1000, 1000]; plain integer arithmetic.
+    */
+  def synthSample(id: Long, i: Int): Int =
+    ((id * 31L + i * 17L) % 2001L - 1000L).toInt
+
+  private case class SynthWav(media_id: Long, kind: String,
+                              content: Array[Byte], n_samples: Int)
+
+  /** REAL WAV synthesis: encodes the deterministic PCM test signal with
+    * `javax.sound.sampled` (JDK-native RIFF/WAVE writer, zero extra
+    * dependencies) — 16-bit signed little-endian mono at 16 kHz,
+    * n = id%50+20 samples. Kind follows [[synthesize]]'s id%3 mapping
+    * and only AUDIO rows carry a blob. The image twin is
+    * [[synthesizePng]]; together they make the media fixtures real
+    * container bytes end to end.
+    */
+  def synthesizeWav(spark: SparkSession, ids: DataFrame,
+                    idCol: String): DataFrame = {
+    import spark.implicits._
+    val kinds = Seq("image", "audio", "video")
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
+          true, false) // signed 16-bit LE mono — one codec ctx/partition
+        it.map { id =>
+          val kind = kinds((((id % 3) + 3) % 3).toInt)
+          val n = (((id % 50) + 50) % 50 + 20).toInt
+          val bytes = if (kind != "audio") null else {
+            val pcm = new Array[Byte](n * 2)
+            var i = 0
+            while (i < n) {
+              val s = synthSample(id, i)
+              pcm(2 * i) = (s & 0xff).toByte
+              pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+              i += 1
+            }
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            bos.toByteArray
+          }
+          SynthWav(id, kind, bytes, if (bytes == null) 0 else n)
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("kind"), col("content"),
+        struct(lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(16000).as("sample_rate"),
+          (col("n_samples").cast("long") * 1000L / 16000L)
+            .as("duration_ms")).as("meta"))
+  }
+
+  case class WavFeatures(media_id: Long, sample_rate: Int, n_samples: Long,
+                         peak_abs: Int, sum_abs: Long, zero_crossings: Long)
+
+  /** Real audio decode executor tier: `javax.sound.sampled` WAV parse
+    * inside mapPartitions, then the standard cheap audio-quality
+    * features a corpus filter wants, all in exact integer arithmetic so
+    * an SQL oracle replays them: sample count, peak |s|, Σ|s| (energy
+    * proxy), and strict zero crossings (s[i−1]·s[i] < 0). Sample rate
+    * comes from the DECODED header (the codec's truth, not metadata).
+    * Only audio rows with a blob reach the codec — the metadata-only
+    * kind filter prunes image/video blob reads.
+    */
+  def decodeWavFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "audio" && col("content").isNotNull)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"media_id=$id: expected 16-bit mono PCM, got $fmt")
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          var peak = 0; var sumAbs = 0L; var zc = 0L
+          var prev = 0; var i = 0
+          while (i < n) {
+            val lo = raw(2 * i) & 0xff
+            val hi = raw(2 * i + 1).toInt
+            val s = (hi << 8) | lo
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sumAbs += a
+            if (i > 0 && prev.toLong * s < 0) zc += 1
+            prev = s
+            i += 1
+          }
+          WavFeatures(id, fmt.getSampleRate.toInt, n.toLong, peak, sumAbs, zc)
+        }
+      }
+      .toDF()
   }
 
   /** Partition-wise decode via mapPartitions (SURVEY.md §4 tier d — the

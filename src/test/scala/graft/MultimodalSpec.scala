@@ -180,6 +180,72 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageAHash: byte-identical images collide (patternMod dup " +
+    "injection), lanes replay the hand-computed mean threshold") {
+    // patternMod=10: ids 0 and 30 (both images, both ≡0 mod 10) carry
+    // byte-identical PNG content → identical hash lanes; id 3 (pattern
+    // 3) differs. Hand-replay pattern 0's aHash from the closed form.
+    val ids = Seq(0L, 3L, 30L).toDF("doc_id")
+    val got = Multimodal.imageAHash(
+        Multimodal.synthesizePng(spark, ids, "doc_id", patternMod = 10))
+      .select("media_id", "ahash_hi", "ahash_lo")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(0L) == got(30L), "identical content must collide")
+    assert(got(0L) != got(3L), "distinct patterns must differ")
+    // closed-form replay for pattern id=0 (w=4, h=4)
+    val (w, h) = (4, 4)
+    val gray = Array.tabulate(64) { p =>
+      val (tx, ty) = (p % 8, p / 8)
+      val (sx, sy) = (tx * w / 8, ty * h / 8)
+      (Multimodal.synthChannel(0L, sx, sy, 0) +
+        Multimodal.synthChannel(0L, sx, sy, 1) +
+        Multimodal.synthChannel(0L, sx, sy, 2)) / 3
+    }
+    val sum = gray.map(_.toLong).sum
+    var hi = 0L; var lo = 0L
+    for (p <- 0 until 64; if gray(p) * 64L >= sum)
+      if (p >= 32) hi |= 1L << (p - 32) else lo |= 1L << p
+    assert(got(0L) == ((hi, lo)), s"got ${got(0L)} want ($hi, $lo)")
+    // distance helper: identical → 0, self vs other > 0
+    val d = Seq((got(0L)._1, got(0L)._2, got(30L)._1, got(30L)._2,
+        got(3L)._1, got(3L)._2)).toDF("h1", "l1", "h2", "l2", "h3", "l3")
+      .select(
+        Multimodal.ahashDistance(col("h1"), col("l1"), col("h2"), col("l2")),
+        Multimodal.ahashDistance(col("h1"), col("l1"), col("h3"), col("l3")))
+      .head()
+    assert(d.getInt(0) == 0 && d.getInt(1) > 0)
+  }
+
+  test("synthesizeWav + decodeWavFeatures: javax.sound WAV round-trips " +
+    "every 16-bit sample; features replay the closed form") {
+    val ids = Seq(1L, 4L, 7L, 49L).toDF("doc_id") // id%3==1 → audio
+    val media = Multimodal.synthesizeWav(spark, ids, "doc_id")
+    assert(media.filter(col("kind") =!= "audio").count() == 0)
+    val got = Multimodal.decodeWavFeatures(media)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(got.size == 4)
+    got.foreach { case (id, r) =>
+      val n = (id % 50 + 20).toInt
+      val samples = (0 until n).map(Multimodal.synthSample(id, _))
+      assert(r.getAs[Int]("sample_rate") == 16000)
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      assert(r.getAs[Int]("peak_abs") == samples.map(math.abs).max)
+      assert(r.getAs[Long]("sum_abs") ==
+        samples.map(s => math.abs(s).toLong).sum)
+      val zc = samples.sliding(2).count(p => p.head.toLong * p(1) < 0)
+      assert(r.getAs[Long]("zero_crossings") == zc.toLong, s"id=$id")
+    }
+    // non-audio kinds carry NULL content and never reach the codec
+    val all = Multimodal.synthesizeWav(spark,
+      (0L to 8L).toDF("doc_id"), "doc_id")
+    assert(all.filter(col("kind") === "audio" && col("content").isNull)
+      .count() == 0)
+    assert(all.filter(col("kind") =!= "audio" && col("content").isNotNull)
+      .count() == 0)
+    assert(Multimodal.decodeWavFeatures(all).count() == 3)
+  }
+
   test("decodeResizeImages: nearest-neighbor checksum matches a " +
     "hand-computed replay of the closed form") {
     val ids = Seq(21L).toDF("doc_id") // w=21%13+4=12, h=21%11+4=14 → resize
