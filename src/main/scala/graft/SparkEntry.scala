@@ -1153,6 +1153,32 @@ object SparkEntry {
       // served from the session-cached rep relation (ensurePairClusters);
       // the LSH + CC pipeline this used to inline runs once per session
       Dedup.cachedClusters(s, docClustersPath(s, d))),
+    "q276_incremental_clusters" -> ((s, d) => {
+      // q38's cluster relation arrived at INCREMENTALLY (the daily-ingest
+      // tier): build over the base corpus (doc_id%5 != 0) once, then mine
+      // ONLY the batch's pairs (batch↔base via shared band buckets +
+      // batch-internal LSH) and merge them into the stored clusters via
+      // star compression — no LSH or CC re-run over the base. Shares
+      // q38's exact-CC oracle: incremental ≡ full rebuild, oracle-proven
+      val docs = T(s, d, "documents")
+      val base = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val path = s"/tmp/graft_clusters/incr_${tagFor(d)}"
+      Dedup.ensurePairClusters(s, path, "doc_id",
+        fingerprint = Some(Dedup.corpusFingerprint(base,
+          Seq("doc_id", "text"))))(
+        Dedup.minhashNearDupPairs(base, "doc_id", "text",
+          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)
+          .select("id_a", "id_b"))
+      val newPairs = Dedup.nearDupMatches(batch, base, "doc_id", "text",
+          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)
+        .select(col("__bid").as("id_a"), col("__cid").as("id_b"))
+        .unionAll(Dedup.minhashNearDupPairs(batch, "doc_id", "text",
+          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)
+          .select("id_a", "id_b"))
+      Dedup.appendToPairClusters(s, path, "doc_id", newPairs)
+      Dedup.cachedClusters(s, path)
+    }),
 
     // --- scalar/json/date function coverage (SURVEY §2.6) ---
     "q39_props_stats" -> ((s, d) =>
@@ -3997,6 +4023,16 @@ object SparkEntry {
     "q37_ivf_topk" -> ivfOracleSql,
     "q77_ivf_indexed" -> ivfOracleSql, // tier-equivalence: same semantics
     "q38_neardup_clusters" ->
+      s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |reach(src, dst) AS (SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+         |FROM reach GROUP BY src""".stripMargin,
+    // tier-equivalence pair with q38: the incremental base+batch merge
+    // must land on exactly the full-corpus exact-CC relation
+    "q276_incremental_clusters" ->
       s"""WITH RECURSIVE ${jaccardPairCtesSql(2, 0.8)},
          |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
          |          UNION ALL SELECT id_b, id_a FROM jp),

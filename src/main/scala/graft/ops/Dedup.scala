@@ -691,6 +691,69 @@ object Dedup {
                   path: String): DataFrame =
     spark.read.parquet(s"$path/pairs")
 
+  /** Incremental batch append for an [[ensurePairClusters]] relation —
+    * the daily-ingest shape: mine ONLY the new batch's pairs
+    * ([[nearDupMatches]] batch↔corpus + [[minhashNearDupPairs]] within
+    * the batch), then merge them into the stored clusters WITHOUT
+    * re-running LSH or CC over the old corpus. Correctness rests on star
+    * compression: each old cluster collapses to (rep, member) edges,
+    * which preserve connectivity exactly, so CC over
+    * (star edges ∪ new pairs) equals CC over (old pairs ∪ new pairs) —
+    * and the star graph re-converges in O(1) pointer-doubling rounds.
+    * Cost is O(old cluster members + new pairs), never O(corpus²) mining.
+    *
+    * Replay-idempotent (the near-dup/kNN index append discipline): new
+    * pairs are canonicalized (id_a < id_b) and anti-joined against the
+    * stored relation, so a crash-window replay of the same batch appends
+    * nothing and rewrites the same clusters. The stored pair relation
+    * must be ids-only (id_a, id_b) — scored relations (thresholdSweep
+    * inputs) stay on the full-rebuild path where the score column is
+    * meaningful corpus-wide. `fingerprint` (of the corpus INCLUDING the
+    * batch) refreshes the [[ensurePairClusters]] validity meta; the
+    * delete-meta-first / write-meta-last ordering keeps crash windows
+    * rebuild-safe. Returns the number of pairs actually appended.
+    */
+  def appendToPairClusters(spark: org.apache.spark.sql.SparkSession,
+                           path: String, idCol: String,
+                           newPairs: DataFrame,
+                           fingerprint: Option[DataFrame] = None): Long =
+    Dedup.synchronized {
+      val stored = spark.read.parquet(s"$path/pairs")
+      require(stored.columns.toSeq == Seq("id_a", "id_b"),
+        s"appendToPairClusters needs an ids-only pair relation " +
+          s"(id_a, id_b); found ${stored.columns.mkString(", ")} — " +
+          "scored pair relations stay on the full-rebuild path")
+      val canon = newPairs.select(
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+        .distinct()
+        .localCheckpoint(true) // materialize BEFORE touching the dir
+      // the anti-join guards the FILE append only (no duplicate rows on
+      // disk); the cluster merge below uses ALL canonical batch pairs —
+      // a replay after a crash between the pairs append and the clusters
+      // write would otherwise see nFresh = 0 and drop the batch's edges
+      // from the clusters forever
+      val fresh = canon.join(stored, Seq("id_a", "id_b"), "left_anti")
+      val nFresh = fresh.count()
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+      if (nFresh > 0)
+        fresh.write.mode("append").parquet(s"$path/pairs")
+      val star = spark.read.parquet(s"$path/clusters")
+        .filter(col(idCol) =!= col("cluster_rep"))
+        .select(col("cluster_rep").as("id_a"), col(idCol).as("id_b"))
+      val merged = clusterNearDups(star.unionAll(canon), idCol = idCol)
+      // clusterNearDups materializes its state eagerly, so overwriting
+      // the clusters dir it read the star edges from is safe
+      graft.io.IO.writeDir(merged, s"$path/clusters")
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .releaseLocalCheckpoint(canon)
+      fingerprint.foreach(f => graft.io.IO.writeDir(f, s"$path/meta"))
+      nFresh
+    }
+
   /** The stored (idCol, cluster_rep) relation of [[ensurePairClusters]]. */
   def cachedClusters(spark: org.apache.spark.sql.SparkSession,
                      path: String): DataFrame =

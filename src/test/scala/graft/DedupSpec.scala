@@ -224,6 +224,53 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ensurePairClusters(spark, dir, "doc_id")(pairsOf(docs)))
   }
 
+  test("appendToPairClusters: star-compressed batch merge equals the " +
+    "full rebuild; replay appends nothing; crash window self-heals") {
+    val docs = Tables.documents(spark, sf0001)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    def mine(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashNearDupPairs(d, "doc_id", "text",
+        shingleK = 2, numPerm = 32, bands = 8, threshold = 0.8)
+        .select("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    Dedup.ensurePairClusters(spark, dir, "doc_id")(mine(base))
+    val newPairs = Dedup.nearDupMatches(batch, base, "doc_id", "text",
+        shingleK = 2, numPerm = 32, bands = 8, threshold = 0.8)
+      .select(col("__bid").as("id_a"), col("__cid").as("id_b"))
+      .unionAll(mine(batch))
+    val n1 = Dedup.appendToPairClusters(spark, dir, "doc_id", newPairs)
+    assert(n1 > 0, "fixture must contain batch-touching pairs")
+    val incremental = Dedup.cachedClusters(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    // full rebuild over the whole corpus
+    val full = Dedup.clusterNearDups(mine(docs))
+      .as[(Long, Long)].collect().toSet
+    assert(incremental == full && full.nonEmpty)
+    // replay: nothing appended, clusters unchanged
+    assert(Dedup.appendToPairClusters(spark, dir, "doc_id", newPairs) == 0L)
+    assert(Dedup.cachedClusters(spark, dir)
+      .as[(Long, Long)].collect().toSet == full)
+    // crash window: pairs appended but clusters NOT rewritten — simulate
+    // by rebuilding the base-only clusters over the already-merged pairs
+    graft.io.IO.writeDir(
+      Dedup.clusterNearDups(mine(base)), s"$dir/clusters")
+    assert(Dedup.appendToPairClusters(spark, dir, "doc_id", newPairs) == 0L)
+    assert(Dedup.cachedClusters(spark, dir)
+      .as[(Long, Long)].collect().toSet == full,
+      "replay after the crash window must re-merge the batch edges")
+    // scored pair relations are rejected loudly (full-rebuild path only)
+    val scoredDir = java.nio.file.Files
+      .createTempDirectory("graft_incr_scored").toString
+    Dedup.ensurePairClusters(spark, scoredDir, "doc_id")(
+      Dedup.minhashNearDupPairs(base, "doc_id", "text",
+        shingleK = 2, numPerm = 32, bands = 8, threshold = 0.8))
+    val err = intercept[IllegalArgumentException] {
+      Dedup.appendToPairClusters(spark, scoredDir, "doc_id", newPairs)
+    }
+    assert(err.getMessage.contains("ids-only"))
+  }
+
   test("appendToNearDupIndex converges to the full build") {
     val docs = Tables.documents(spark, sf0001)
     val sliceA = docs.filter(col("doc_id") < 60)
