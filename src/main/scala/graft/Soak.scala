@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Memory-pressure soak over a SCALED-UP corpus — the "would this survive
+  * the next order of magnitude" smoke the correctness suite (sf0.01/sf0.1
+  * oracles) cannot provide, because no sf1.0 testdata exists in this
+  * environment. The scale-up derives strictly from the driver-provided
+  * sf tables: each copy k shifts ids into a disjoint range and perturbs
+  * content (a per-copy text tag / one embedding dim / a per-copy ts
+  * offset), so the scaled corpus is mostly-distinct the way a real 10×
+  * corpus would be — NOT ten exact replicas, which would flatter dedup
+  * (tiny candidate buckets per copy) and bore ANN (identical cells).
+  *
+  * Stages are the memory-pressure edges called out for a soak:
+  * exact-median ObjectHashAggregate paths, the iterative CC loop's
+  * checkpoint accumulation, LSH bucket explosion, IVF build+batch-probe,
+  * the packing plan's driver-side capacity histogram, and BM25 index
+  * math over the widened vocabulary. Each stage is consumed via a
+  * count/hash action and timed; output is one JSON line plus
+  * SOAK_r11.json. rc != 0 (any thrown stage) fails the run loudly.
+  */
+object Soak {
+
+  private def consume(df: DataFrame): Long = df.count()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SOAK_MULT", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_r11.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- scaled corpora (id-disjoint copies, content perturbed) --------
+    val OFF = 10000000L // id offset per copy — far above any sf's max id
+    def copies(k: Int)(f: Int => DataFrame): DataFrame =
+      (0 until k).map(f).reduce(_ unionAll _)
+
+    val docs0 = Tables.documents(spark, sfDir)
+    val docs = copies(mult) { k =>
+      docs0.select((col("doc_id") + lit(k * OFF)).as("doc_id"),
+        // per-copy tag keeps copies near-dup-distinct (shingle sets move)
+        concat(col("text"), lit(s" soakcopy$k tag$k")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.localCheckpoint(true)
+
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = copies(mult) { k =>
+      emb0.select((col("vec_id") + lit(k * OFF)).as("vec_id"),
+        // perturb dim k%64 so copies land in (mostly) the same cell
+        // geometry but are not byte-identical vectors
+        transform(col("embedding").cast("array<double>"),
+          (v, i) => when(i === lit(k % 64), v + lit(0.001 * (k + 1)))
+            .otherwise(v)).as("embedding"))
+    }.localCheckpoint(true)
+
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val lineitem = copies(mult) { k =>
+      li0.select((col("l_orderkey") + lit(k * OFF)).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"))
+    }.localCheckpoint(true)
+
+    val ev0 = Tables.events(spark, sfDir)
+    val events = copies(mult) { k =>
+      ev0.select((col("event_id") + lit(k * OFF)).as("event_id"),
+        (col("user_id") + lit(k * OFF)).as("user_id"),
+        col("ts"), col("event_type"), col("value"))
+    }.localCheckpoint(true)
+
+    val sizes = Map(
+      "documents" -> docs.count(), "embeddings" -> emb.count(),
+      "lineitem" -> lineitem.count(), "events" -> events.count())
+
+    // ---- stages --------------------------------------------------------
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def stage(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body // any throw aborts the soak loudly — that IS the signal
+      results(name) = (System.nanoTime() - t0) / 1e9
+      counts(name) = n
+      System.err.println(f"[soak] $name%-24s ${results(name)}%8.2f s  rows=$n")
+    }
+
+    stage("lsh_pairs_cc") {
+      // LSH pair mining + iterative CC over the 10× corpus — checkpoint
+      // accumulation + bucket-explosion pressure
+      val pairs = ops.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)
+      consume(ops.Dedup.clusterNearDups(pairs))
+    }
+    stage("exact_median_rollup") {
+      // ObjectHashAggregate exact-median path over 10× lineitem rows,
+      // one group per part — the percentile buffer pressure edge
+      consume(lineitem.groupBy(col("l_partkey"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"),
+          sum(col("l_extendedprice")).as("rev")))
+    }
+    stage("ivf_build_batch_probe") {
+      // IVF over the 10× vector corpus: assignment + a 1%-of-corpus
+      // batch probe (candidate join + per-query top-k)
+      val centroids = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") / 97).cast("int").as("cell_id"),
+          col("embedding").as("centroid"))
+      consume(ops.Similarity.ivfTopKBatch(emb, centroids,
+        probeFilter = col("vec_id") % 101 === 0, k = 10, nProbe = 2))
+    }
+    stage("packing_plan") {
+      // complement packing over 10× token counts — the driver-side
+      // histogram is O(capacity), NOT O(rows); the soak checks exactly that
+      consume(ops.Packing.complementPackingPlan(
+        docs.select(graft.functions.tokenCount(col("text")).cast("long")
+          .as("n_toks")), "n_toks", capacity = 256))
+    }
+    stage("bm25_rank") {
+      consume(ops.TextAnalysis.bm25Rank(docs,
+        queryTerms = Seq("dup", "vector", "scan"), topK = 20))
+    }
+    stage("pagerank_events") {
+      // type-transition graph stays small but the windowed edge
+      // derivation runs over 10× events (per-user sort pressure)
+      consume(ops.Graph.pageRank(ops.Graph.transitionEdges(events),
+        iterations = 10))
+    }
+
+    val total = results.values.sum
+    def jmap(m: collection.Map[String, Any]): String =
+      m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val json = s"""{"metric":"soak","sf":"$sfDir","multiplier":$mult,""" +
+      s""""rows":${jmap(sizes)},"stage_sec":${jmap(results)},""" +
+      s""""stage_rows":${jmap(counts)},"total_sec":$total,"rc":0}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}

@@ -2644,6 +2644,44 @@ object SparkEntry {
       Multimodal.decodeWavFeatures(
         Multimodal.synthesizeWav(s, T(s, d, "documents").select("doc_id"),
           "doc_id"))),
+    "q277_audio_dup_groups" -> ((s, d) =>
+      // audio near-dup via the chromaprint-shaped energy-delta
+      // fingerprint over REAL decoded PCM — completes the per-modality
+      // dedup grid (text minhash / image aHash / audio fingerprint);
+      // patternMod injects byte-identical re-uploads, groups are one
+      // hash-groupBy over (fingerprint, n_samples)
+      Multimodal.audioFingerprint(
+        Multimodal.synthesizeWav(s, T(s, d, "documents").select("doc_id"),
+          "doc_id", patternMod = 10))
+        .groupBy(col("fingerprint"), col("n_samples"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("media_id")).as("rep_id"))
+        .filter(col("n_copies") >= 2)),
+    "q278_scene_changes" -> ((s, d) => {
+      // shot-boundary detection plumbing over the frame relation: L1
+      // distance between consecutive frames' features (one per-video
+      // window lag — frames never cross videos), cut iff round(L1,6) >
+      // 1.0. Features come from the (stubbed) frame decode; the boundary
+      // logic, windowing, and rollup are the real pipeline shape
+      val fr = Multimodal.frameSample(
+        Multimodal.synthesize(s, T(s, d, "documents").select("doc_id"),
+          "doc_id"), fps = 30.0, featureDims = 4)
+        .select(Seq(col("media_id"), col("frame_no")) ++
+          (0 until 4).map(i =>
+            element_at(col("frame_features"), i + 1).as(s"f$i")): _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("frame_no"))
+      val lagged = fr.select(Seq(col("media_id"), col("frame_no")) ++
+        (0 until 4).flatMap(i => Seq(col(s"f$i"),
+          lag(col(s"f$i"), 1).over(w).as(s"p$i"))): _*)
+      val l1 = (0 until 4).map(i => abs(col(s"f$i") - col(s"p$i")))
+        .reduce(_ + _)
+      lagged
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          coalesce(sum((round(l1, 6) > 1.0).cast("long")), lit(0L))
+            .as("n_cuts"))
+    }),
     "q153_duplicate_spans" -> ((s, d) =>
       // the mined span relation is session-cached (dupSpansPath) — the
       // report (here) and the scrub (q154) consume ONE mining run
@@ -6412,6 +6450,65 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN sp * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS zero_crossings
         |FROM w GROUP BY id""".stripMargin,
+    "q277_audio_dup_groups" ->
+      // fingerprint per DISTINCT signal pattern (pid = doc_id % 10)
+      // replayed from the PCM closed form, joined back to the audio
+      // rows, grouped by (fingerprint, n_samples) exactly like Spark
+      """WITH auds AS (SELECT doc_id, doc_id % 10 AS pid
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |pats AS (SELECT DISTINCT pid FROM auds),
+        |pm AS (SELECT pid, pid % 50 + 20 AS n FROM pats),
+        |ps AS (SELECT pid, n, unnest(range(n)) AS i FROM pm),
+        |pv AS (SELECT pid, n,
+        |    abs((pid * 31 + i * 17) % 2001 - 1000) AS a,
+        |    (i * 16) // n AS w
+        |  FROM ps),
+        |pe AS (SELECT pid, n, w, sum(a) AS e FROM pv GROUP BY pid, n, w),
+        |pd AS (SELECT pid, n, w, e,
+        |    lag(e) OVER (PARTITION BY pid ORDER BY w) AS ep
+        |  FROM pe),
+        |pf AS (SELECT pid, CAST(max(n) AS BIGINT) AS n_samples,
+        |    CAST(coalesce(sum(CASE WHEN w >= 1 AND e > ep
+        |      THEN (CAST(1 AS BIGINT) << (w - 1)) ELSE 0 END), 0)
+        |      AS BIGINT) AS fingerprint
+        |  FROM pd GROUP BY pid)
+        |SELECT fingerprint, n_samples,
+        |  CAST(count(*) AS BIGINT) AS n_copies, min(doc_id) AS rep_id
+        |FROM auds JOIN pf ON auds.pid = pf.pid
+        |GROUP BY fingerprint, n_samples
+        |HAVING count(*) >= 2""".stripMargin,
+    "q278_scene_changes" -> {
+      // q151's digest-once frame features + a per-video lag window; the
+      // L1 sum is written left-associated on both engines and rounded
+      // before the threshold compare (NOTES_r3 discipline)
+      val fcols = (0 until 4).map(i =>
+        s"((${hash31Sql("CAST(dg AS VARCHAR) || '#' || CAST(frame_no AS VARCHAR) || ':' || " + i)}) " +
+          s"% 1000003)::DOUBLE / 1000003 AS f$i").mkString(",\n  ")
+      val lags = (0 until 4).map(i =>
+        s"lag(f$i) OVER (PARTITION BY media_id ORDER BY frame_no) AS p$i")
+        .mkString(",\n  ")
+      val l1 = (0 until 4).map(i => s"abs(f$i - p$i)").mkString(" + ")
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+         |    (${hash60Sql("sha256(CAST(doc_id AS VARCHAR))")}) AS dg,
+         |    doc_id % 60000 AS duration_ms
+         |  FROM documents),
+         |fr AS (SELECT media_id, dg,
+         |    unnest(range(0, CAST(ceil(duration_ms * 30e0 / 1000e0) AS BIGINT)))
+         |      AS frame_no
+         |  FROM m WHERE kind = 'video'),
+         |f AS (SELECT media_id, frame_no,
+         |  $fcols
+         |FROM fr),
+         |lg AS (SELECT media_id,
+         |  $lags,
+         |  f0, f1, f2, f3
+         |FROM f)
+         |SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(coalesce(sum(CASE WHEN round($l1, 6) > 1.0
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts
+         |FROM lg GROUP BY media_id""".stripMargin
+    },
     "q269_pii_by_source" ->
       s"""WITH pii AS ($piiInjectedCteSql),
          |s1 AS (SELECT source, len(t) AS nc,

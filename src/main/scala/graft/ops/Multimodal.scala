@@ -444,6 +444,55 @@ object Multimodal {
   private case class SynthWav(media_id: Long, kind: String,
                               content: Array[Byte], n_samples: Int)
 
+  case class AudioFingerprint(media_id: Long, n_samples: Long,
+                              fingerprint: Long)
+
+  /** Chromaprint-shaped audio fingerprint over REAL decoded PCM: split
+    * the sample stream into `windows` equal spans (sample i lands in
+    * window i·W div n — exact integer banding), take each window's
+    * Σ|s| energy, and set bit w−1 iff window w's energy exceeds window
+    * w−1's. Energy DELTAS, not absolute energies, so the fingerprint is
+    * volume-invariant the way perceptual audio hashes are; byte-identical
+    * audio always collides. W−1 ≤ 63 keeps the pack in a signed long.
+    * Map-only per audio row; non-audio blobs never deserialize.
+    */
+  def audioFingerprint(media: DataFrame, windows: Int = 16): DataFrame = {
+    require(windows >= 2 && windows <= 64,
+      s"windows must be in [2, 64]: $windows")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "audio" && col("content").isNotNull)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          require(ais.getFormat.getSampleSizeInBits == 16 &&
+            ais.getFormat.getChannels == 1,
+            s"media_id=$id: expected 16-bit mono PCM")
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val energy = new Array[Long](windows)
+          var i = 0
+          while (i < n) {
+            val s = (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff)
+            energy((i.toLong * windows / n).toInt) += math.abs(s)
+            i += 1
+          }
+          var fp = 0L
+          var w = 1
+          while (w < windows) {
+            if (energy(w) > energy(w - 1)) fp |= 1L << (w - 1)
+            w += 1
+          }
+          AudioFingerprint(id, n.toLong, fp)
+        }
+      }
+      .toDF()
+  }
+
   /** REAL WAV synthesis: encodes the deterministic PCM test signal with
     * `javax.sound.sampled` (JDK-native RIFF/WAVE writer, zero extra
     * dependencies) — 16-bit signed little-endian mono at 16 kHz,
@@ -453,15 +502,20 @@ object Multimodal {
     * container bytes end to end.
     */
   def synthesizeWav(spark: SparkSession, ids: DataFrame,
-                    idCol: String): DataFrame = {
+                    idCol: String, patternMod: Long = 0L): DataFrame = {
     import spark.implicits._
+    require(patternMod >= 0L, s"patternMod must be >= 0: $patternMod")
     val kinds = Seq("image", "audio", "video")
     ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
         val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
           true, false) // signed 16-bit LE mono — one codec ctx/partition
-        it.map { id =>
-          val kind = kinds((((id % 3) + 3) % 3).toInt)
+        it.map { rowId =>
+          val kind = kinds((((rowId % 3) + 3) % 3).toInt)
+          // patternMod > 0: the SIGNAL derives from rowId % patternMod so
+          // distinct media ids carry byte-identical audio (the re-upload
+          // duplicate shape), mirroring synthesizePng's knob
+          val id = if (patternMod > 0) rowId % patternMod else rowId
           val n = (((id % 50) + 50) % 50 + 20).toInt
           val bytes = if (kind != "audio") null else {
             val pcm = new Array[Byte](n * 2)
@@ -479,7 +533,7 @@ object Multimodal {
               javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
             bos.toByteArray
           }
-          SynthWav(id, kind, bytes, if (bytes == null) 0 else n)
+          SynthWav(rowId, kind, bytes, if (bytes == null) 0 else n)
         }
       }
       .toDF()

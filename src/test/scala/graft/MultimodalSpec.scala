@@ -246,6 +246,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWavFeatures(all).count() == 3)
   }
 
+  test("audioFingerprint: byte-identical audio collides (patternMod), " +
+    "fingerprint replays the hand-computed energy deltas") {
+    // patternMod=10: ids 1 and 31 (both audio, both ≡1 mod 10) carry
+    // byte-identical WAV content; id 4 (pattern 4) differs
+    val ids = Seq(1L, 4L, 31L).toDF("doc_id")
+    val got = Multimodal.audioFingerprint(
+        Multimodal.synthesizeWav(spark, ids, "doc_id", patternMod = 10))
+      .select("media_id", "n_samples", "fingerprint")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(1L) == got(31L), "identical content must collide")
+    assert(got(1L) != got(4L), "distinct signals must differ")
+    // closed-form replay for pattern 1 (n = 21 samples, 16 windows)
+    val n = 21
+    val e = new Array[Long](16)
+    for (i <- 0 until n)
+      e(i * 16 / n) += math.abs(Multimodal.synthSample(1L, i)).toLong
+    var fp = 0L
+    for (w <- 1 until 16; if e(w) > e(w - 1)) fp |= 1L << (w - 1)
+    assert(got(1L) == ((n.toLong, fp)), s"got ${got(1L)} want ($n, $fp)")
+  }
+
   test("decodeResizeImages: nearest-neighbor checksum matches a " +
     "hand-computed replay of the closed form") {
     val ids = Seq(21L).toDF("doc_id") // w=21%13+4=12, h=21%11+4=14 → resize
