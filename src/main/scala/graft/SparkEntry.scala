@@ -2644,6 +2644,50 @@ object SparkEntry {
       Multimodal.decodeWavFeatures(
         Multimodal.synthesizeWav(s, T(s, d, "documents").select("doc_id"),
           "doc_id"))),
+    "q279_image_quality" -> ((s, d) => {
+      // vision-corpus quality filter over REAL decoded pixels: the codec
+      // tier emits exact integers only (Σg, Σg², nano-snapped histogram
+      // Σc·ln c); brightness/contrast/entropy assemble HERE with Spark's
+      // round so the cross-engine float discipline stays in the query
+      // layer — the drop-dark/drop-flat gate before an embedding stage
+      val raw = Multimodal.imageQualityRaw(
+        Multimodal.synthesizePng(s, T(s, d, "documents").select("doc_id"),
+          "doc_id"))
+      val n = (col("width").cast("long") * col("height")).as("__n")
+      raw.select(col("media_id"), col("width"), col("height"),
+          col("gray_sum"), col("gray_sq_sum"), col("ent_nano"), n)
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("gray_sum").cast("double") / col("__n"), 6)
+            .as("gray_mean"),
+          round((col("__n") * col("gray_sq_sum") -
+              col("gray_sum") * col("gray_sum")).cast("double") /
+            (col("__n") * col("__n")).cast("double"), 6)
+            .as("gray_contrast"),
+          round(log(col("__n").cast("double")) -
+            (col("ent_nano").cast("double") / lit(1e9)) / col("__n"), 6)
+            .as("gray_entropy"))
+    }),
+    "q280_meta_mismatch" -> ((s, d) => {
+      // ingest-integrity audit: declared metadata geometry vs the
+      // DECODED truth — the corrupted-declaration rows (width lies by
+      // +5 on every 7th image id) must surface, nothing else; decode
+      // geometry comes from the real codec tier
+      val media = Multimodal.withCorruptedMeta(
+        Multimodal.synthesizePng(s, T(s, d, "documents").select("doc_id"),
+          "doc_id"), everyNth = 7)
+      val declared = Multimodal.metadataScan(media)
+        .select(col("media_id"), col("width").as("declared_width"),
+          col("height").as("declared_height"))
+      Multimodal.imageQualityRaw(media)
+        .select(col("media_id"), col("width").as("decoded_width"),
+          col("height").as("decoded_height"))
+        .join(declared, Seq("media_id"))
+        .filter(col("decoded_width") =!= col("declared_width") ||
+          col("decoded_height") =!= col("declared_height"))
+        .select(col("media_id"), col("declared_width"),
+          col("decoded_width"), col("declared_height"),
+          col("decoded_height"))
+    }),
     "q277_audio_dup_groups" -> ((s, d) =>
       // audio near-dup via the chromaprint-shaped energy-delta
       // fingerprint over REAL decoded PCM — completes the per-modality
@@ -6450,6 +6494,47 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN sp * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS zero_crossings
         |FROM w GROUP BY id""".stripMargin,
+    "q279_image_quality" ->
+      // replays pattern → full-resolution gray → exact integer moments +
+      // per-bin nano-snapped c·ln c, assembled with DuckDB's round/ln in
+      // the same expression shapes as the Spark query layer
+      """WITH m AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 13 + 4 AS INTEGER) AS w,
+        |    CAST(doc_id % 11 + 4 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |gx AS (SELECT m.*, unnest(range(w)) AS x FROM m),
+        |px AS (SELECT gx.*, unnest(range(h)) AS y FROM gx),
+        |c AS (SELECT id, w, h,
+        |    (((id * 7 + x * 31 + y * 17) % 256)
+        |     + ((id * 3 + x * 13 + y * 29) % 256)
+        |     + ((id * 11 + x * 23 + y * 19) % 256)) // 3 AS g
+        |  FROM px),
+        |a AS (SELECT id, w, h, CAST(sum(g) AS BIGINT) AS s1,
+        |    CAST(sum(g * g) AS BIGINT) AS s2
+        |  FROM c GROUP BY id, w, h),
+        |hb AS (SELECT id, g // 16 AS b, CAST(count(*) AS BIGINT) AS cb
+        |  FROM c GROUP BY id, g // 16),
+        |he AS (SELECT id,
+        |    CAST(sum(CAST(round(cb * ln(cb) * 1e9) AS BIGINT)) AS BIGINT)
+        |      AS ent
+        |  FROM hb GROUP BY id)
+        |SELECT id AS media_id, w AS width, h AS height,
+        |  round(CAST(s1 AS DOUBLE) / (w * h), 6) AS gray_mean,
+        |  round(CAST((w * h) * s2 - s1 * s1 AS DOUBLE)
+        |    / CAST(CAST(w * h AS BIGINT) * (w * h) AS DOUBLE), 6)
+        |    AS gray_contrast,
+        |  round(ln(w * h) - (CAST(ent AS DOUBLE) / 1e9) / (w * h), 6)
+        |    AS gray_entropy
+        |FROM a JOIN he USING (id)""".stripMargin,
+    "q280_meta_mismatch" ->
+      // the lie is fully determined: +5 on width for image ids ≡ 0 mod 7
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 13 + 4 + 5 AS INTEGER) AS declared_width,
+        |  CAST(doc_id % 13 + 4 AS INTEGER) AS decoded_width,
+        |  CAST(doc_id % 11 + 4 AS INTEGER) AS declared_height,
+        |  CAST(doc_id % 11 + 4 AS INTEGER) AS decoded_height
+        |FROM documents
+        |WHERE doc_id % 3 = 0 AND doc_id % 7 = 0""".stripMargin,
     "q277_audio_dup_groups" ->
       // fingerprint per DISTINCT signal pattern (pid = doc_id % 10)
       // replayed from the PCM closed form, joined back to the audio

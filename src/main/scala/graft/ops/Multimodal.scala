@@ -261,6 +261,24 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta"))
   }
 
+  /** Test/demo fixture knob: declare a LYING width (+5) in the metadata
+    * struct of every `everyNth`-id image — the corrupted-ingest shape the
+    * metadata-vs-decoded-truth audit (q280) exists to catch. Content is
+    * untouched; only the declaration lies.
+    */
+  def withCorruptedMeta(media: DataFrame, everyNth: Long = 7L): DataFrame = {
+    require(everyNth > 0, s"everyNth must be > 0: $everyNth")
+    val lie = pmod(col("media_id"), lit(everyNth)) === 0 &&
+      col("kind") === "image"
+    media.select(col("media_id"), col("kind"), col("content"),
+      struct(
+        when(lie, col("meta.width") + 5).otherwise(col("meta.width"))
+          .as("width"),
+        col("meta.height").as("height"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.duration_ms").as("duration_ms")).as("meta"))
+  }
+
   case class DecodedResize(media_id: Long, src_width: Int, src_height: Int,
                            target_width: Int, target_height: Int,
                            r_mean: Double, g_mean: Double, b_mean: Double,
@@ -348,6 +366,64 @@ object Multimodal {
   def ahashDistance(hiA: Column, loA: Column,
                     hiB: Column, loB: Column): Column =
     bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB))
+
+  case class ImageQualityRaw(media_id: Long, width: Int, height: Int,
+                             gray_sum: Long, gray_sq_sum: Long,
+                             ent_nano: Long)
+
+  /** Raw per-image quality statistics over REAL decoded pixels — the
+    * codec tier emits EXACT INTEGERS ONLY (Σgray, Σgray², and the
+    * nano-snapped Σ c_b·ln(c_b) over a 16-bin gray histogram); every
+    * float (mean, variance/contrast, entropy) is derived DOWNSTREAM in
+    * the query layer with Spark's own round(), so the cross-engine
+    * float discipline stays in one place (the NOTES_r2/r3 recipes) and
+    * the codec output is bit-stable by construction. Brightness/contrast
+    * /entropy are the standard cheap filters a vision-corpus curation
+    * pass runs (drop near-black and near-flat images before the
+    * expensive embedding stage).
+    */
+  def imageQualityRaw(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "image" && col("content").isNotNull)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"media_id=$id: content is not a decodable image")
+          val w = img.getWidth; val h = img.getHeight
+          var s1 = 0L; var s2 = 0L
+          val hist = new Array[Long](16)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)) / 3
+              s1 += g; s2 += g.toLong * g
+              hist(g / 16) += 1
+              x += 1
+            }
+            y += 1
+          }
+          // Σ c·ln(c) nano-snapped per BIN (order-free integer sum); the
+          // entropy H = ln(N) − Σc·ln(c)/N assembles in the query layer
+          var ent = 0L
+          var b = 0
+          while (b < 16) {
+            if (hist(b) > 0)
+              ent += math.round(hist(b) * math.log(hist(b).toDouble) * 1e9)
+            b += 1
+          }
+          ImageQualityRaw(id, w, h, s1, s2, ent)
+        }
+      }
+      .toDF()
+  }
 
   def decodeResizeImages(media: DataFrame, maxSide: Int = 256,
                          decodeCounter: Option[org.apache.spark.util.LongAccumulator] = None)

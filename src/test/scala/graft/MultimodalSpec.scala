@@ -246,6 +246,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWavFeatures(all).count() == 3)
   }
 
+  test("imageQualityRaw: exact integer moments + nano-snapped histogram " +
+    "entropy replay the closed form; corrupted meta never changes pixels") {
+    val ids = Seq(9L).toDF("doc_id") // image: w=9%13+4=13, h=9%11+4=13
+    val media = Multimodal.synthesizePng(spark, ids, "doc_id")
+    val r = Multimodal.imageQualityRaw(media).collect().head
+    val (w, h) = (13, 13)
+    assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+    val grays = for (y <- 0 until h; x <- 0 until w) yield
+      (Multimodal.synthChannel(9L, x, y, 0) +
+        Multimodal.synthChannel(9L, x, y, 1) +
+        Multimodal.synthChannel(9L, x, y, 2)) / 3
+    assert(r.getAs[Long]("gray_sum") == grays.map(_.toLong).sum)
+    assert(r.getAs[Long]("gray_sq_sum") ==
+      grays.map(g => g.toLong * g).sum)
+    val hist = grays.groupBy(_ / 16).view.mapValues(_.size.toLong)
+    val ent = hist.values.map(c => math.round(c * math.log(c.toDouble) * 1e9)).sum
+    assert(r.getAs[Long]("ent_nano") == ent)
+    // the metadata lie flags in the audit but the decoded truth (and so
+    // every pixel statistic) is untouched
+    val lied = Multimodal.withCorruptedMeta(media, everyNth = 9)
+    assert(Multimodal.metadataScan(lied).select("width")
+      .as[Int].head() == w + 5)
+    val r2 = Multimodal.imageQualityRaw(lied).collect().head
+    assert(r2.getAs[Int]("width") == w &&
+      r2.getAs[Long]("gray_sum") == r.getAs[Long]("gray_sum"))
+  }
+
   test("audioFingerprint: byte-identical audio collides (patternMod), " +
     "fingerprint replays the hand-computed energy deltas") {
     // patternMod=10: ids 1 and 31 (both audio, both ≡1 mod 10) carry
