@@ -85,4 +85,26 @@ object Layout {
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,
                     numFiles: Int = 8, bits: Int = 16): Unit =
     writeZOrderedN(df, Seq(xCol, yCol), path, numFiles, bits)
+
+  /** Write `df` with parquet BLOOM FILTERS on `bloomCols` — the
+    * point-lookup complement to z-order's range pruning: min/max footer
+    * stats cannot skip a row group for `key = X` when keys are
+    * high-cardinality and unsorted (every group's [min, max] spans X),
+    * but a bloom filter answers "definitely not here" per row group with
+    * ~1% false positives at the default NDV. At 100 TB this turns a
+    * needle-in-haystack id lookup from a full scan into a handful of
+    * group reads. `ndv` sizes the filter (set it to the expected
+    * distinct keys PER FILE, not globally — oversizing wastes footer
+    * bytes on every file).
+    */
+  def writeWithBloomFilters(df: DataFrame, bloomCols: Seq[String],
+                            path: String, ndv: Long = 100000L): Unit = {
+    require(bloomCols.nonEmpty, "need at least one bloom column")
+    val w0 = df.write.mode("overwrite")
+    val w = bloomCols.foldLeft(w0) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(path)
+  }
 }

@@ -180,4 +180,43 @@ class ZOrderSpec extends SparkSpec {
     assert(tot <= 28, s"touched $tot of ${3 * files.length}; " +
       s"spans=${spans.toSeq}")
   }
+
+  test("writeWithBloomFilters: the footer carries a bloom filter that " +
+    "admits every present key and rejects (almost) every absent one") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val ids = (0L until 1000L).toDF("id")
+      .select(col("id"), (col("id") * 37 % 101).as("payload"))
+      .coalesce(1)
+    Layout.writeWithBloomFilters(ids, Seq("id"), s"$dir/t", ndv = 1000L)
+    val file = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val block = reader.getRowGroups.get(0)
+      val meta = block.getColumns.asScala
+        .find(_.getPath.toDotString == "id").get
+      val bloom = reader.getBloomFilterDataReader(block)
+        .readBloomFilter(meta)
+      assert(bloom != null, "id column must carry a bloom filter")
+      // zero false negatives by construction
+      (0L until 1000L).foreach { v =>
+        assert(bloom.findHash(bloom.hash(v)), s"present key $v rejected")
+      }
+      // absent keys reject at ~the configured fpp (1% default) — allow
+      // a generous band so the gate never flakes
+      val fp = (1000000L until 1000200L).count(v =>
+        bloom.findHash(bloom.hash(v)))
+      assert(fp < 40, s"$fp of 200 absent keys admitted — filter is " +
+        "missing or catastrophically undersized")
+      // the payload column did NOT pay for a filter it didn't ask for
+      val payloadMeta = block.getColumns.asScala
+        .find(_.getPath.toDotString == "payload").get
+      assert(reader.getBloomFilterDataReader(block)
+        .readBloomFilter(payloadMeta) == null)
+    } finally reader.close()
+  }
 }
