@@ -66,7 +66,10 @@ object PlanDump {
     "q242_quality_roc_report" -> "rank-sum AUC: corpus-sized work stops at the distinct-score aggregate; the cumulative window input is the bounded score domain",
     "q245_psi_drift" -> "PSI: reference bin edges broadcast back, map-side binning, window-free — one (groups × bins)-sized aggregate",
     "q253_pack_partners" -> "pack assignment: interval table broadcasts onto the per-length rank, partner map is an (id, id)-keyed join",
-    "q259_last_touch_attribution" -> "attribution: ONE per-user carry-forward window (no self-join), channels-sized rollup")
+    "q259_last_touch_attribution" -> "attribution: ONE per-user carry-forward window (no self-join), channels-sized rollup",
+    "q264_corpus_health" -> "corpus health post-fix: all five monitor branches read the ONE checkpointed base — zero FileScans in the composed plan",
+    "q271_image_decode_resize" -> "real codec tier: metadata-only needs_resize filter sits UNDER the mapPartitions decode — in-budget blobs never deserialize",
+    "q276_incremental_clusters" -> "incremental clusters: batch pairs mined via band-bucket equi-joins, star edges from the stored relation, CC over the union")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
