@@ -2644,6 +2644,24 @@ object SparkEntry {
       Multimodal.decodeWavFeatures(
         Multimodal.synthesizeWav(s, T(s, d, "documents").select("doc_id"),
           "doc_id"))),
+    "q281_copurchase_partners" -> ((s, d) => {
+      // "customers who bought A also bought B": distinct (cust, part)
+      // baskets, deterministic lowest-id cap at 20 items/cust BEFORE
+      // pairing (hot-key pair explosion bounded at C(20,2) regardless
+      // of skew), unordered pair support, symmetric top-3 partners per
+      // part via GroupedTopK (ints only — no round-before-rank needed)
+      val baskets = T(s, d, "lineitem")
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      val pairs = Graph.coOccurrencePairs(baskets, "cust", "part",
+        maxPerKey = 20)
+      val sym = pairs.select(col("item_a").as("part"),
+          col("item_b").as("partner"), col("n_keys"))
+        .unionAll(pairs.select(col("item_b").as("part"),
+          col("item_a").as("partner"), col("n_keys")))
+      graft.plans.TopK.perGroup(sym, Seq("part"),
+        Seq(("n_keys", true), ("partner", false)), 3)
+    }),
     "q279_image_quality" -> ((s, d) => {
       // vision-corpus quality filter over REAL decoded pixels: the codec
       // tier emits exact integers only (Σg, Σg², nano-snapped histogram
@@ -6494,6 +6512,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN sp * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS zero_crossings
         |FROM w GROUP BY id""".stripMargin,
+    "q281_copurchase_partners" ->
+      """WITH b AS (SELECT DISTINCT o_custkey AS k, l_partkey AS i
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cap AS (SELECT k, i FROM (
+        |    SELECT k, i, row_number() OVER (PARTITION BY k ORDER BY i)
+        |      AS rn FROM b)
+        |  WHERE rn <= 20),
+        |p AS (SELECT a.i AS item_a, bb.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_keys
+        |  FROM cap a JOIN cap bb ON a.k = bb.k AND a.i < bb.i
+        |  GROUP BY a.i, bb.i),
+        |sym AS (SELECT item_a AS part, item_b AS partner, n_keys FROM p
+        |  UNION ALL SELECT item_b, item_a, n_keys FROM p),
+        |r AS (SELECT part, partner, n_keys,
+        |    row_number() OVER (PARTITION BY part
+        |      ORDER BY n_keys DESC, partner) AS rn
+        |  FROM sym)
+        |SELECT part, partner, n_keys FROM r WHERE rn <= 3""".stripMargin,
     "q279_image_quality" ->
       // replays pattern → full-resolution gray → exact integer moments +
       // per-bin nano-snapped c·ln c, assembled with DuckDB's round/ln in

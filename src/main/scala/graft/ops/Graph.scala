@@ -57,6 +57,33 @@ object Graph {
     * hygiene); nodes and the normalized edge relation checkpoint once and
     * release before return.
     */
+  /** Co-occurrence pair counts over (key, item) observations — the
+    * recommender / co-purchase building block ("customers who bought A
+    * also bought B"): distinct items per key, unordered item pairs
+    * within each key, pair support = #keys sharing both. The classic
+    * scale hazard is the HOT KEY (a crawler account touching 10⁶ items
+    * explodes to 10¹² pairs); `maxPerKey` caps every key's basket to
+    * its lowest-id `maxPerKey` items BEFORE pairing — deterministic
+    * (sorted, not sampled) so an SQL oracle replays the cap exactly,
+    * and the per-key work is bounded at C(maxPerKey, 2) regardless of
+    * skew. Returns (item_a, item_b, n_keys) with item_a < item_b.
+    */
+  def coOccurrencePairs(df: DataFrame, keyCol: String, itemCol: String,
+                        maxPerKey: Int = 50): DataFrame = {
+    require(maxPerKey >= 2, s"maxPerKey must be >= 2: $maxPerKey")
+    df.select(col(keyCol).as("__k"), col(itemCol).as("__i"))
+      .groupBy(col("__k"))
+      .agg(slice(sort_array(collect_set(col("__i"))), 1, maxPerKey)
+        .as("__items"))
+      .filter(size(col("__items")) > 1)
+      .select(explode(
+        flatten(transform(col("__items"), (x, i) =>
+          transform(slice(col("__items"), i + 2, size(col("__items"))),
+            y => struct(x.as("item_a"), y.as("item_b")))))).as("__p"))
+      .groupBy(col("__p.item_a").as("item_a"), col("__p.item_b").as("item_b"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
   def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
                roundTo: Int = 6): DataFrame =
     pageRankImpl(edges, None, iterations, damping, roundTo)
