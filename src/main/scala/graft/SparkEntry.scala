@@ -117,7 +117,8 @@ object SparkEntry {
     // expensive stage every consumer shares)
     Dedup.ensurePairClusters(s, path, "doc_id",
       fingerprint = Some(Dedup.corpusFingerprint(
-        T(s, d, "documents"), Seq("doc_id", "text"))))(
+        T(s, d, "documents"), Seq("doc_id", "text"))),
+      paramsTag = "minhash shingleK=2 numPerm=64 bands=16 thr=0.8")(
       Dedup.minhashNearDupPairs(T(s, d, "documents"), "doc_id", "text",
         shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8))
     path
@@ -132,7 +133,8 @@ object SparkEntry {
     val path = s"/tmp/graft_clusters/knn_${tagFor(d)}"
     Dedup.ensurePairClusters(s, path, "vec_id",
       fingerprint = Some(Dedup.corpusFingerprint(
-        T(s, d, "embeddings"), Seq("vec_id", "embedding"))))(
+        T(s, d, "embeddings"), Seq("vec_id", "embedding"))),
+      paramsTag = "mutualKnn k=5 exact")(
       Similarity.mutualKnnPairs(T(s, d, "embeddings"), k = 5))
     path
   }
@@ -146,7 +148,8 @@ object SparkEntry {
     val path = s"/tmp/graft_clusters/knnivf_${tagFor(d)}"
     Dedup.ensurePairClusters(s, path, "vec_id",
       fingerprint = Some(Dedup.corpusFingerprint(
-        T(s, d, "embeddings"), Seq("vec_id", "embedding")))) {
+        T(s, d, "embeddings"), Seq("vec_id", "embedding"))),
+      paramsTag = "mutualKnnIvf k=5 nProbe=64 cells=vec_id%97") {
       val emb = T(s, d, "embeddings")
       val centroids = emb.filter(col("vec_id") % 97 === 0)
         .select((col("vec_id") / 97).cast("int").as("cell_id"),
@@ -1164,9 +1167,10 @@ object SparkEntry {
       val base = docs.filter(col("doc_id") % 5 =!= 0)
       val batch = docs.filter(col("doc_id") % 5 === 0)
       val path = s"/tmp/graft_clusters/incr_${tagFor(d)}"
+      val incrTag = "minhash shingleK=2 numPerm=64 bands=16 thr=0.8 incr"
       Dedup.ensurePairClusters(s, path, "doc_id",
         fingerprint = Some(Dedup.corpusFingerprint(base,
-          Seq("doc_id", "text"))))(
+          Seq("doc_id", "text"))), paramsTag = incrTag)(
         Dedup.minhashNearDupPairs(base, "doc_id", "text",
           shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)
           .select("id_a", "id_b"))
@@ -1176,7 +1180,14 @@ object SparkEntry {
         .unionAll(Dedup.minhashNearDupPairs(batch, "doc_id", "text",
           shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)
           .select("id_a", "id_b"))
-      Dedup.appendToPairClusters(s, path, "doc_id", newPairs)
+      // restore the BASE-corpus meta after the merge: a fresh process's
+      // ensure call then warm-reuses the stored relation and replays
+      // only this idempotent append (ADVICE r11 — an append without a
+      // fingerprint destroyed the meta and forced a full rebuild every
+      // process start)
+      Dedup.appendToPairClusters(s, path, "doc_id", newPairs,
+        fingerprint = Some(Dedup.corpusFingerprint(base,
+          Seq("doc_id", "text"))), paramsTag = incrTag)
       Dedup.cachedClusters(s, path)
     }),
 

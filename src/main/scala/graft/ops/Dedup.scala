@@ -633,17 +633,39 @@ object Dedup {
     * fingerprint the behavior is unchanged: a new session always
     * rebuilds. The clusters write reads the just-written `path/pairs`
     * so the LSH/scoring pipeline runs exactly once per build.
+    *
+    * `paramsTag` names the PIPELINE the pairs came from (mining
+    * parameters, builder version — e.g. "minhash k=2 perm=64 bands=16
+    * thr=0.8"): it is persisted beside the corpus fingerprint and must
+    * ALSO match for warm reuse, so a fresh process after a parameter or
+    * code change (or a different pair pipeline pointed at the same
+    * path) rebuilds instead of silently serving clusters mined under
+    * the old parameters — the corpus fingerprint alone cannot see a
+    * pipeline change because the corpus did not move.
+    *
+    * Cross-PROCESS writers serialize through a best-effort lock file
+    * (`path/.lock`, exclusive-create, stale after 10 min); intra-JVM
+    * callers additionally serialize through `Dedup.synchronized`. The
+    * lock closes the interleaving window two unfingerprinted processes
+    * sharing a path would otherwise have between the pairs append and
+    * the clusters overwrite. On object stores without atomic create
+    * the lock degrades to advisory — there the deployment contract is
+    * single writer per path (one curation driver owns a relation).
     */
   def ensurePairClusters(spark: org.apache.spark.sql.SparkSession,
                          path: String, idCol: String,
-                         fingerprint: Option[DataFrame] = None)
+                         fingerprint: Option[DataFrame] = None,
+                         paramsTag: String = "")
                         (pairs: => DataFrame): Boolean =
     Dedup.synchronized {
       val key = s"graft.internal.pairClustersBuilt.$path"
       if (spark.conf.getOption(key).isDefined) false
-      else {
+      else withPathLock(spark, path) {
         val metaPath = s"$path/meta"
-        val fp = fingerprint.map(_.collect().head)
+        val meta = fingerprint.map(
+          _.withColumn("params_tag", org.apache.spark.sql.functions
+            .lit(paramsTag)))
+        val fp = meta.map(_.collect().head)
         val warmValid = fp.exists { cur =>
           graft.io.IO.parquetFileCount(spark, metaPath) > 0 &&
             graft.io.IO.parquetFileCount(spark, s"$path/pairs") > 0 &&
@@ -659,12 +681,51 @@ object Dedup {
             clusterNearDups(spark.read.parquet(s"$path/pairs"),
               idCol = idCol),
             s"$path/clusters")
-          fingerprint.foreach(f => graft.io.IO.writeDir(f, metaPath))
+          meta.foreach(m => graft.io.IO.writeDir(m, metaPath))
         }
         spark.conf.set(key, "true")
         !warmValid
       }
     }
+
+  /** Best-effort cross-process mutex on a relation directory: exclusive
+    * create of `path/.lock` (atomic on HDFS and posix local FS), retry
+    * with backoff while held elsewhere, steal locks older than
+    * `staleMs` (a crashed holder never unlocks), always release. This
+    * guards the build/append critical sections of the pair-cluster
+    * relations; it is ADVISORY on stores without atomic create — see
+    * the single-writer contract in [[ensurePairClusters]].
+    */
+  private def withPathLock[A](spark: org.apache.spark.sql.SparkSession,
+                              path: String, staleMs: Long = 600000L,
+                              timeoutMs: Long = 600000L)(body: => A): A = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$path/.lock")
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var held = false
+    while (!held) {
+      try {
+        val out = fs.create(lock, false) // overwrite=false: exclusive
+        out.write(s"${java.lang.ProcessHandle.current().pid()}"
+          .getBytes("UTF-8"))
+        out.close()
+        held = true
+      } catch {
+        case _: java.io.IOException =>
+          val age = try System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime
+          catch { case _: java.io.FileNotFoundException => -1L }
+          if (age > staleMs) fs.delete(lock, false) // crashed holder
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"withPathLock: could not acquire $lock within ${timeoutMs}ms" +
+                " — another writer holds it (or raise staleMs)")
+          else Thread.sleep(200)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
 
   /** One-row corpus fingerprint for [[ensurePairClusters]]'s
     * cross-process validity check: exact row count plus two order-free
@@ -708,16 +769,23 @@ object Dedup {
     * nothing and rewrites the same clusters. The stored pair relation
     * must be ids-only (id_a, id_b) — scored relations (thresholdSweep
     * inputs) stay on the full-rebuild path where the score column is
-    * meaningful corpus-wide. `fingerprint` (of the corpus INCLUDING the
-    * batch) refreshes the [[ensurePairClusters]] validity meta; the
-    * delete-meta-first / write-meta-last ordering keeps crash windows
-    * rebuild-safe. Returns the number of pairs actually appended.
+    * meaningful corpus-wide. `fingerprint`/`paramsTag` refresh the
+    * [[ensurePairClusters]] validity meta; pass the fingerprint of the
+    * BASE corpus (the one the ensure call checks) so a fresh process
+    * warm-reuses the relation and replays only this idempotent append —
+    * a full-corpus fingerprint would force the ensure call to rebuild
+    * every process start. The delete-meta-first / write-meta-last
+    * ordering keeps crash windows rebuild-safe, and the append holds
+    * the same `path/.lock` as the build (see [[ensurePairClusters]] —
+    * single logical writer per path across processes). Returns the
+    * number of pairs actually appended.
     */
   def appendToPairClusters(spark: org.apache.spark.sql.SparkSession,
                            path: String, idCol: String,
                            newPairs: DataFrame,
-                           fingerprint: Option[DataFrame] = None): Long =
-    Dedup.synchronized {
+                           fingerprint: Option[DataFrame] = None,
+                           paramsTag: String = ""): Long =
+    Dedup.synchronized { withPathLock(spark, path) {
       val stored = spark.read.parquet(s"$path/pairs")
       require(stored.columns.toSeq == Seq("id_a", "id_b"),
         s"appendToPairClusters needs an ids-only pair relation " +
@@ -750,9 +818,11 @@ object Dedup {
       graft.io.IO.writeDir(merged, s"$path/clusters")
       org.apache.spark.sql.graftbridge.ColumnBridge
         .releaseLocalCheckpoint(canon)
-      fingerprint.foreach(f => graft.io.IO.writeDir(f, s"$path/meta"))
+      fingerprint.foreach(f => graft.io.IO.writeDir(
+        f.withColumn("params_tag",
+          org.apache.spark.sql.functions.lit(paramsTag)), s"$path/meta"))
       nFresh
-    }
+    } }
 
   /** The stored (idCol, cluster_rep) relation of [[ensurePairClusters]]. */
   def cachedClusters(spark: org.apache.spark.sql.SparkSession,

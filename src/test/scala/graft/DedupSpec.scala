@@ -224,6 +224,50 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ensurePairClusters(spark, dir, "doc_id")(pairsOf(docs)))
   }
 
+  test("ensurePairClusters: warm reuse requires the params tag too — a " +
+    "pipeline change rebuilds even when the corpus did not move; the " +
+    "append restores the meta; the path lock always releases") {
+    val corpus = Tables.documents(spark, sf0001).filter(col("doc_id") < 150)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ens_tag").toString
+    val key = s"graft.internal.pairClustersBuilt.$dir"
+    def fp = Some(Dedup.corpusFingerprint(corpus, Seq("doc_id", "text")))
+    def pairsOf(bands: Int) =
+      Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        shingleK = 2, numPerm = 32, bands = bands, threshold = 0.8)
+        .select("id_a", "id_b")
+    assert(Dedup.ensurePairClusters(spark, dir, "doc_id", fp,
+      paramsTag = "bands=8")(pairsOf(8)))
+    // fresh process, unchanged corpus AND unchanged tag → warm reuse
+    spark.conf.unset(key)
+    assert(!Dedup.ensurePairClusters(spark, dir, "doc_id", fp,
+      paramsTag = "bands=8")(
+      throw new IllegalStateException("rebuilt despite matching meta")))
+    // fresh process, unchanged corpus but CHANGED mining params → the
+    // corpus fingerprint alone is blind to this; the tag forces a rebuild
+    // (ADVICE r11: checked validity must cover pipeline identity)
+    spark.conf.unset(key)
+    assert(Dedup.ensurePairClusters(spark, dir, "doc_id", fp,
+      paramsTag = "bands=4")(pairsOf(4)))
+    // an append that passes the same fingerprint+tag restores the meta,
+    // so the NEXT fresh process warm-reuses and replays only the append
+    Dedup.appendToPairClusters(spark, dir, "doc_id",
+      Seq((1L, 2L)).toDF("id_a", "id_b"), fp, paramsTag = "bands=4")
+    spark.conf.unset(key)
+    assert(!Dedup.ensurePairClusters(spark, dir, "doc_id", fp,
+      paramsTag = "bands=4")(
+      throw new IllegalStateException("rebuilt despite restored meta")))
+    // ...while an append under a DIFFERENT tag (another pipeline writing
+    // to the same path) invalidates the warm path
+    Dedup.appendToPairClusters(spark, dir, "doc_id",
+      Seq((1L, 3L)).toDF("id_a", "id_b"), fp, paramsTag = "bands=2")
+    spark.conf.unset(key)
+    assert(Dedup.ensurePairClusters(spark, dir, "doc_id", fp,
+      paramsTag = "bands=4")(pairsOf(4)))
+    // the cross-process lock file never outlives its critical section
+    assert(!new java.io.File(s"$dir/.lock").exists(),
+      "path lock must release after build/append")
+  }
+
   test("appendToPairClusters: star-compressed batch merge equals the " +
     "full rebuild; replay appends nothing; crash window self-heals") {
     val docs = Tables.documents(spark, sf0001)
