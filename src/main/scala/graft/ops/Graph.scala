@@ -67,14 +67,27 @@ object Graph {
     * (sorted, not sampled) so an SQL oracle replays the cap exactly,
     * and the per-key work is bounded at C(maxPerKey, 2) regardless of
     * skew. Returns (item_a, item_b, n_keys) with item_a < item_b.
+    *
+    * The cap is enforced with BOUNDED AGGREGATION STATE end to end
+    * (VERDICT r11): distinct (key, item) pairs hash-partition across
+    * the cluster, then [[graft.plans.TopK.perGroup]] pre-cuts each key
+    * to its `maxPerKey` lowest items with a partial-aggregated bounded
+    * heap — a pathological hot key never materializes more than
+    * `maxPerKey` items in any single buffer. (The earlier
+    * `slice(sort_array(collect_set(...)))` form bounded the PAIR
+    * explosion but built the full distinct-item array per key in one
+    * aggregation buffer before slicing.)
     */
   def coOccurrencePairs(df: DataFrame, keyCol: String, itemCol: String,
                         maxPerKey: Int = 50): DataFrame = {
     require(maxPerKey >= 2, s"maxPerKey must be >= 2: $maxPerKey")
-    df.select(col(keyCol).as("__k"), col(itemCol).as("__i"))
+    val distinctPairs = df
+      .select(col(keyCol).as("__k"), col(itemCol).as("__i"))
+      .distinct()
+    graft.plans.TopK.perGroup(distinctPairs, Seq("__k"),
+        Seq(("__i", false)), maxPerKey) // lowest maxPerKey items asc
       .groupBy(col("__k"))
-      .agg(slice(sort_array(collect_set(col("__i"))), 1, maxPerKey)
-        .as("__items"))
+      .agg(sort_array(collect_list(col("__i"))).as("__items"))
       .filter(size(col("__items")) > 1)
       .select(explode(
         flatten(transform(col("__items"), (x, i) =>

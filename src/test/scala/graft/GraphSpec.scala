@@ -249,6 +249,25 @@ class GraphSpec extends SparkSpec {
     assert(r(Seq(("a", "b"), ("b", "c"), ("c", "a"))).isEmpty) // triangle
   }
 
+  test("coOccurrencePairs: duplicate observations collapse, the hot-key " +
+    "cap keeps the LOWEST maxPerKey items, pair support counts keys") {
+    val obs = Seq(
+      // key 1: items 10,20,30 (20 observed twice — must count once)
+      (1L, 10L), (1L, 20L), (1L, 20L), (1L, 30L),
+      // key 2: shares (10,20) with key 1
+      (2L, 10L), (2L, 20L),
+      // hot key 3: items 1..6 — cap at 3 keeps {1,2,3} only
+      (3L, 1L), (3L, 2L), (3L, 3L), (3L, 4L), (3L, 5L), (3L, 6L),
+      // key 4: single item — no pairs
+      (4L, 99L)
+    ).toDF("k", "i")
+    val got = Graph.coOccurrencePairs(obs, "k", "i", maxPerKey = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L), // keys 1+2
+      (1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))      // hot key capped
+  }
+
   test("hits: star graph fixpoint — center is the pure hub, " +
     "leaves split authority; both scores L1-normalize") {
     val edges = Seq(

@@ -643,6 +643,20 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prevOpt
   }
 
+  test("q281 co-occurrence baskets: the hot-key cap is a bounded-state " +
+    "GroupedTopK pre-cut UNDER the basket aggregate (no unbounded " +
+    "collect_set buffer)") {
+    // VERDICT r11: slice(sort_array(collect_set)) capped the pair
+    // explosion but materialized ALL distinct items of a hot key in one
+    // aggregation buffer first. The pre-cut must appear as the partial+
+    // final GroupedTopK pair feeding the collect aggregate.
+    val df = SparkEntry.queries("q281_copurchase_partners")(spark, sf0001)
+    val s = planString(df)
+    assert(s.contains("GroupedTopKPartial"), s)
+    assert(s.contains("GroupedTopKFinal"), s)
+    assert(!s.contains("collect_set"), s)
+  }
+
   test("contamination fingerprint index: probe reads the index in place") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)
