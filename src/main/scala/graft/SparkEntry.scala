@@ -2688,9 +2688,8 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"),
           round(col("gray_sum").cast("double") / col("__n"), 6)
             .as("gray_mean"),
-          round((col("__n") * col("gray_sq_sum") -
-              col("gray_sum") * col("gray_sum")).cast("double") /
-            (col("__n") * col("__n")).cast("double"), 6)
+          round(Multimodal.grayContrast(col("__n"), col("gray_sum"),
+              col("gray_sq_sum")), 6)
             .as("gray_contrast"),
           round(log(col("__n").cast("double")) -
             (col("ent_nano").cast("double") / lit(1e9)) / col("__n"), 6)
@@ -6567,7 +6566,7 @@ object SparkEntry {
         |  FROM hb GROUP BY id)
         |SELECT id AS media_id, w AS width, h AS height,
         |  round(CAST(s1 AS DOUBLE) / (w * h), 6) AS gray_mean,
-        |  round(CAST((w * h) * s2 - s1 * s1 AS DOUBLE)
+        |  round((CAST(s2 AS DOUBLE) * (w * h) - CAST(s1 AS DOUBLE) * s1)
         |    / CAST(CAST(w * h AS BIGINT) * (w * h) AS DOUBLE), 6)
         |    AS gray_contrast,
         |  round(ln(w * h) - (CAST(ent AS DOUBLE) / 1e9) / (w * h), 6)

@@ -425,6 +425,21 @@ object Multimodal {
       .toDF()
   }
 
+  /** Query-layer contrast (population variance of gray) from
+    * [[imageQualityRaw]]'s exact integer moments — computed in DOUBLE
+    * from the first product: the BIGINT form `n·Σg² − (Σg)²` ANSI-
+    * overflows int64 once n·Σg² > 2⁶³, i.e. at n ≳ 1.2·10⁷ pixels for
+    * saturated images (Σg² ≤ 255²·n) — ordinary 12-megapixel
+    * photographs. Double costs ulp-level precision instead, identically
+    * in any IEEE engine: the oracle replays the same operand order
+    * (Σg²·n − Σg·Σg, then the n² divide), so both engines round the
+    * same values. n² itself stays exact in int64 (and in double below
+    * 2⁵³) up to n ≈ 3·10⁹ pixels.
+    */
+  def grayContrast(n: Column, graySum: Column, graySqSum: Column): Column =
+    (graySqSum.cast("double") * n - graySum.cast("double") * graySum) /
+      (n * n).cast("double")
+
   def decodeResizeImages(media: DataFrame, maxSide: Int = 256,
                          decodeCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {

@@ -273,6 +273,27 @@ class MultimodalSpec extends SparkSpec {
       r2.getAs[Long]("gray_sum") == r.getAs[Long]("gray_sum"))
   }
 
+  test("grayContrast computes in double from the first product: a 14 Mpx " +
+    "saturated image is finite (the BIGINT n*s2 form would ANSI-throw)") {
+    import org.apache.spark.sql.functions.{col, round}
+    // n·Σg² = 1.4e7 · (65025 · 1.4e7) ≈ 1.27e19 > 2^63 — the r11 form
+    // overflowed int64 here; the double form must return exact variance
+    val n = 4000L * 3500L
+    val rows = Seq(
+      (n, 255L * n, 65025L * n),     // all-white: variance 0
+      (n, 128L * n, 16384L * n))     // constant g=128: variance 0
+      .toDF("n", "s1", "s2")
+    val got = rows.select(
+        round(Multimodal.grayContrast(col("n"), col("s1"), col("s2")), 6)
+          .as("c"))
+      .as[Double].collect().toSeq
+    assert(got == Seq(0.0, 0.0), got.toString)
+    // a non-degenerate case stays exact: half 0s, half 200s → var 10000
+    val mixed = Seq((n, 100L * n, 20000L * n)).toDF("n", "s1", "s2")
+    assert(mixed.select(round(Multimodal.grayContrast(col("n"), col("s1"),
+      col("s2")), 6)).as[Double].head() == 10000.0)
+  }
+
   test("audioFingerprint: byte-identical audio collides (patternMod), " +
     "fingerprint replays the hand-computed energy deltas") {
     // patternMod=10: ids 1 and 31 (both audio, both ≡1 mod 10) carry
