@@ -2633,7 +2633,8 @@ object SparkEntry {
       // the oracle replays every bit from the pattern closed form
       Multimodal.imageAHash(
         Multimodal.synthesizePng(s, T(s, d, "documents").select("doc_id"),
-          "doc_id"))),
+          "doc_id"))
+        .drop("decode_error")), // clean fixture — census is q282's job
     "q274_perceptual_dup_groups" -> ((s, d) =>
       // perceptual image dedup: patternMod injects byte-identical image
       // content under distinct media ids (the re-hosted-copy shape);
@@ -2654,7 +2655,8 @@ object SparkEntry {
       // non-audio blobs never deserialize (metadata-only kind filter)
       Multimodal.decodeWavFeatures(
         Multimodal.synthesizeWav(s, T(s, d, "documents").select("doc_id"),
-          "doc_id"))),
+          "doc_id"))
+        .drop("decode_error")), // clean fixture — census is q282's job
     "q281_copurchase_partners" -> ((s, d) => {
       // "customers who bought A also bought B": distinct (cust, part)
       // baskets, deterministic lowest-id cap at 20 items/cust BEFORE
@@ -2673,6 +2675,34 @@ object SparkEntry {
       graft.plans.TopK.perGroup(sym, Seq("part"),
         Seq(("n_keys", true), ("partner", false)), 3)
     }),
+    "q282_decode_census" -> ((s, d) => {
+      // the quarantine lane end to end (VERDICT r11's production
+      // blocker): every 5th blob is garbage bytes; the codec tiers emit
+      // (null metrics, decode_error) rows instead of crashing the job 4×,
+      // and the census reports the bad-row count per modality — the
+      // honest-accounting report a 100 TB decode run ships with
+      val ids = T(s, d, "documents").select("doc_id")
+      val img = Multimodal.imageQualityRaw(Multimodal.withCorruptedBlobs(
+        Multimodal.synthesizePng(s, ids, "doc_id"), everyNth = 5))
+      val aud = Multimodal.decodeWavFeatures(Multimodal.withCorruptedBlobs(
+        Multimodal.synthesizeWav(s, ids, "doc_id"), everyNth = 5))
+      Multimodal.decodeCensus(
+        img.select(lit("image").as("modality"), col("decode_error"))
+          .unionAll(
+            aud.select(lit("audio").as("modality"), col("decode_error"))),
+        groupCols = Seq("modality"))
+    }),
+    "q283_jpeg_geometry" -> ((s, d) =>
+      // JPEG through the same decode tier (ImageIO sniffs the container —
+      // no per-format dispatch): lossy pixels are deterministic per JVM
+      // but not closed-form, so the oracle checks what IS exact — every
+      // JPEG decodes (no quarantine rows) and the decoded geometry is the
+      // synth closed form
+      Multimodal.imageQualityRaw(
+        Multimodal.synthesizeJpeg(s, T(s, d, "documents").select("doc_id"),
+          "doc_id"))
+        .filter(col("decode_error").isNull)
+        .select(col("media_id"), col("width"), col("height"))),
     "q279_image_quality" -> ((s, d) => {
       // vision-corpus quality filter over REAL decoded pixels: the codec
       // tier emits exact integers only (Σg, Σg², nano-snapped histogram
@@ -6540,6 +6570,28 @@ object SparkEntry {
         |      ORDER BY n_keys DESC, partner) AS rn
         |  FROM sym)
         |SELECT part, partner, n_keys FROM r WHERE rn <= 3""".stripMargin,
+    "q282_decode_census" ->
+      // the corruption rule is id-deterministic (every 5th blob), so the
+      // quarantine census is pure arithmetic over documents; error TEXT
+      // is JVM-specific and deliberately outside the oracle contract
+      """SELECT 'image' AS modality, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_decoded,
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quarantined
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 'audio', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
+    "q283_jpeg_geometry" ->
+      // JPEG pixels are lossy (never oracle'd); geometry and "every blob
+      // decodes" are exact — a row-count mismatch means a quarantine row
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 13 + 4 AS INTEGER) AS width,
+        |  CAST(doc_id % 11 + 4 AS INTEGER) AS height
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "q279_image_quality" ->
       // replays pattern → full-resolution gray → exact integer moments +
       // per-bin nano-snapped c·ln c, assembled with DuckDB's round/ln in

@@ -221,7 +221,26 @@ object Multimodal {
     * mapPartitions (SURVEY §4 tier d — codecs are imperative state).
     */
   def synthesizePng(spark: SparkSession, ids: DataFrame,
-                    idCol: String, patternMod: Long = 0L): DataFrame = {
+                    idCol: String, patternMod: Long = 0L): DataFrame =
+    synthesizeImage(spark, ids, idCol, patternMod, "png")
+
+  /** The JPEG twin of [[synthesizePng]]: same pattern, same geometry,
+    * encoded with the JDK's JPEG writer. JPEG is LOSSY — decoded pixels
+    * are deterministic per JVM but NOT the closed-form pattern, so only
+    * geometry and decodability are cross-engine oracle-checkable (the
+    * pixel-exact oracles keep their PNG fixtures). What this buys the
+    * decode tier: proof that every [[imageQualityRaw]]/[[imageAHash]]/
+    * [[decodeResizeImages]] path accepts real JPEG containers — the
+    * dominant image format of any web crawl — through the same
+    * `ImageIO.read` sniffing, no per-format dispatch.
+    */
+  def synthesizeJpeg(spark: SparkSession, ids: DataFrame,
+                     idCol: String, patternMod: Long = 0L): DataFrame =
+    synthesizeImage(spark, ids, idCol, patternMod, "jpg")
+
+  private def synthesizeImage(spark: SparkSession, ids: DataFrame,
+                              idCol: String, patternMod: Long,
+                              format: String): DataFrame = {
     import spark.implicits._
     require(patternMod >= 0L, s"patternMod must be >= 0: $patternMod")
     val kinds = Seq("image", "audio", "video")
@@ -248,7 +267,7 @@ object Multimodal {
               y += 1
             }
             val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
+            javax.imageio.ImageIO.write(img, format, bos)
             bos.toByteArray
           }
           SynthPng(rowId, kind, bytes, w, h)
@@ -279,10 +298,14 @@ object Multimodal {
         col("meta.duration_ms").as("duration_ms")).as("meta"))
   }
 
-  case class DecodedResize(media_id: Long, src_width: Int, src_height: Int,
-                           target_width: Int, target_height: Int,
-                           r_mean: Double, g_mean: Double, b_mean: Double,
-                           pixel_checksum: Long)
+  case class DecodedResize(media_id: Long, src_width: Option[Int],
+                           src_height: Option[Int],
+                           target_width: Option[Int],
+                           target_height: Option[Int],
+                           r_mean: Option[Double], g_mean: Option[Double],
+                           b_mean: Option[Double],
+                           pixel_checksum: Option[Long],
+                           decode_error: Option[String])
 
   /** Real decode + resize executor tier: `javax.imageio` PNG decode inside
     * mapPartitions, nearest-neighbor resample to the [[resizePlan]] target
@@ -298,8 +321,54 @@ object Multimodal {
     * bit-exactly; src_width/src_height come from the DECODED image (the
     * codec's truth), not the metadata.
     */
-  case class AHash(media_id: Long, width: Int, height: Int,
-                   ahash_hi: Long, ahash_lo: Long)
+  // ------------------------------------------------- decode quarantine lane
+
+  /** Error-message shape shared by every codec tier: class name + first
+    * 200 chars of the message (JVM codec messages can embed whole byte
+    * dumps). Deterministic per (JVM, bytes), never used in oracles —
+    * oracle queries compare error PRESENCE (the census), not text.
+    */
+  private def decodeErrMsg(e: Throwable): String =
+    s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+
+  /** Test/demo fixture knob for the quarantine lane: replace the BLOB of
+    * every `everyNth`-id media row with deterministic garbage bytes
+    * (sha2 of the id — no PNG magic, no RIFF header, undecodable by any
+    * codec). The corrupted-crawl shape: on real data some blobs are
+    * always truncated/mislabeled/bit-rotted, and a decode tier that
+    * hard-crashes on them fails the task 4× and kills the whole job.
+    * Metadata and kind are untouched — only the content lies.
+    */
+  def withCorruptedBlobs(media: DataFrame, everyNth: Long = 5L): DataFrame = {
+    require(everyNth > 0, s"everyNth must be > 0: $everyNth")
+    val bad = pmod(col("media_id"), lit(everyNth)) === 0 &&
+      col("content").isNotNull
+    media.select(col("media_id"), col("kind"),
+      when(bad, to_binary(sha2(col("media_id").cast("string"), 256),
+        lit("hex"))).otherwise(col("content")).as("content"),
+      col("meta"))
+  }
+
+  /** Bad-row census over any quarantined decode output (a DataFrame
+    * carrying a `decode_error` column): total rows, decoded rows, and
+    * quarantined rows, optionally per group — the honest-accounting
+    * report a 100 TB decode job emits INSTEAD of crashing (the
+    * `piiSummary`/`n_null` discipline). `count(decode_error)` counts
+    * non-NULLs, so the census is one partial-aggregated pass.
+    */
+  def decodeCensus(decoded: DataFrame,
+                   groupCols: Seq[String] = Nil): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("decode_error"))).as("n_decoded"),
+      count(col("decode_error")).as("n_quarantined"))
+    if (groupCols.isEmpty) decoded.agg(aggs.head, aggs.tail: _*)
+    else decoded.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  case class AHash(media_id: Long, width: Option[Int], height: Option[Int],
+                   ahash_hi: Option[Long], ahash_lo: Option[Long],
+                   decode_error: Option[String])
 
   /** Perceptual average-hash (aHash) over REAL decoded pixels: ImageIO
     * decode, integer nearest-neighbor downsample to the grid (default
@@ -314,7 +383,10 @@ object Multimodal {
     *
     * Scale shape: map-only per image (one decode, O(grid²) resample),
     * never touches non-image rows (the kind filter is metadata-only, so
-    * audio/video blobs are pruned before deserialization).
+    * audio/video blobs are pruned before deserialization). Undecodable
+    * blobs QUARANTINE (null metrics + `decode_error`) instead of
+    * crashing the job — corrupt blobs are a certainty on a real crawl;
+    * [[decodeCensus]] reports the bad-row count.
     */
   def imageAHash(media: DataFrame, grid: Int = 8): DataFrame = {
     require(grid >= 2 && grid * grid <= 64,
@@ -327,36 +399,40 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          require(img != null, s"media_id=$id: content is not a decodable image")
-          val w = img.getWidth; val h = img.getHeight
-          val g = new Array[Long](grid * grid)
-          var sum = 0L
-          var ty = 0
-          while (ty < grid) {
-            val sy = ty * h / grid
-            var tx = 0
-            while (tx < grid) {
-              val rgb = img.getRGB(tx * w / grid, sy)
-              val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-                (rgb & 0xff)) / 3
-              g(ty * grid + tx) = gray.toLong
-              sum += gray
-              tx += 1
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null, "content is not a decodable image")
+            val w = img.getWidth; val h = img.getHeight
+            val g = new Array[Long](grid * grid)
+            var sum = 0L
+            var ty = 0
+            while (ty < grid) {
+              val sy = ty * h / grid
+              var tx = 0
+              while (tx < grid) {
+                val rgb = img.getRGB(tx * w / grid, sy)
+                val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)) / 3
+                g(ty * grid + tx) = gray.toLong
+                sum += gray
+                tx += 1
+              }
+              ty += 1
             }
-            ty += 1
-          }
-          val n = (grid * grid).toLong
-          var hi = 0L; var lo = 0L
-          var p = 0
-          while (p < grid * grid) {
-            if (g(p) * n >= sum) {
-              if (p >= 32) hi |= 1L << (p - 32) else lo |= 1L << p
+            val n = (grid * grid).toLong
+            var hi = 0L; var lo = 0L
+            var p = 0
+            while (p < grid * grid) {
+              if (g(p) * n >= sum) {
+                if (p >= 32) hi |= 1L << (p - 32) else lo |= 1L << p
+              }
+              p += 1
             }
-            p += 1
+            AHash(id, Some(w), Some(h), Some(hi), Some(lo), None)
+          } catch { case scala.util.control.NonFatal(e) =>
+            AHash(id, None, None, None, None, Some(decodeErrMsg(e)))
           }
-          AHash(id, w, h, hi, lo)
         }
       }
       .toDF()
@@ -367,9 +443,11 @@ object Multimodal {
                     hiB: Column, loB: Column): Column =
     bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB))
 
-  case class ImageQualityRaw(media_id: Long, width: Int, height: Int,
-                             gray_sum: Long, gray_sq_sum: Long,
-                             ent_nano: Long)
+  case class ImageQualityRaw(media_id: Long, width: Option[Int],
+                             height: Option[Int], gray_sum: Option[Long],
+                             gray_sq_sum: Option[Long],
+                             ent_nano: Option[Long],
+                             decode_error: Option[String])
 
   /** Raw per-image quality statistics over REAL decoded pixels — the
     * codec tier emits EXACT INTEGERS ONLY (Σgray, Σgray², and the
@@ -391,35 +469,41 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          require(img != null, s"media_id=$id: content is not a decodable image")
-          val w = img.getWidth; val h = img.getHeight
-          var s1 = 0L; var s2 = 0L
-          val hist = new Array[Long](16)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-                (rgb & 0xff)) / 3
-              s1 += g; s2 += g.toLong * g
-              hist(g / 16) += 1
-              x += 1
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null, "content is not a decodable image")
+            val w = img.getWidth; val h = img.getHeight
+            var s1 = 0L; var s2 = 0L
+            val hist = new Array[Long](16)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)) / 3
+                s1 += g; s2 += g.toLong * g
+                hist(g / 16) += 1
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            // Σ c·ln(c) nano-snapped per BIN (order-free integer sum); the
+            // entropy H = ln(N) − Σc·ln(c)/N assembles in the query layer
+            var ent = 0L
+            var b = 0
+            while (b < 16) {
+              if (hist(b) > 0)
+                ent += math.round(hist(b) * math.log(hist(b).toDouble) * 1e9)
+              b += 1
+            }
+            ImageQualityRaw(id, Some(w), Some(h), Some(s1), Some(s2),
+              Some(ent), None)
+          } catch { case scala.util.control.NonFatal(e) =>
+            ImageQualityRaw(id, None, None, None, None, None,
+              Some(decodeErrMsg(e)))
           }
-          // Σ c·ln(c) nano-snapped per BIN (order-free integer sum); the
-          // entropy H = ln(N) − Σc·ln(c)/N assembles in the query layer
-          var ent = 0L
-          var b = 0
-          while (b < 16) {
-            if (hist(b) > 0)
-              ent += math.round(hist(b) * math.log(hist(b).toDouble) * 1e9)
-            b += 1
-          }
-          ImageQualityRaw(id, w, h, s1, s2, ent)
         }
       }
       .toDF()
@@ -458,30 +542,36 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, bytes, tw, th) =>
           decodeCounter.foreach(_.add(1))
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          require(img != null, s"media_id=$id: content is not a decodable image")
-          val sw = img.getWidth; val sh = img.getHeight
-          var rSum = 0L; var gSum = 0L; var bSum = 0L; var ck = 0L
-          var ty = 0
-          while (ty < th) {
-            val sy = ty * sh / th
-            var tx = 0
-            while (tx < tw) {
-              val sx = tx * sw / tw
-              val rgb = img.getRGB(sx, sy)
-              val r = (rgb >> 16) & 0xff
-              val g = (rgb >> 8) & 0xff
-              val b = rgb & 0xff
-              rSum += r; gSum += g; bSum += b
-              ck += (r + 256L * g + 65536L * b) * (1L + tx + tw.toLong * ty)
-              tx += 1
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null, "content is not a decodable image")
+            val sw = img.getWidth; val sh = img.getHeight
+            var rSum = 0L; var gSum = 0L; var bSum = 0L; var ck = 0L
+            var ty = 0
+            while (ty < th) {
+              val sy = ty * sh / th
+              var tx = 0
+              while (tx < tw) {
+                val sx = tx * sw / tw
+                val rgb = img.getRGB(sx, sy)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                rSum += r; gSum += g; bSum += b
+                ck += (r + 256L * g + 65536L * b) * (1L + tx + tw.toLong * ty)
+                tx += 1
+              }
+              ty += 1
             }
-            ty += 1
+            val n = tw.toLong * th
+            DecodedResize(id, Some(sw), Some(sh), Some(tw), Some(th),
+              Some(rSum.toDouble / n), Some(gSum.toDouble / n),
+              Some(bSum.toDouble / n), Some(ck), None)
+          } catch { case scala.util.control.NonFatal(e) =>
+            DecodedResize(id, None, None, None, None, None, None, None,
+              None, Some(decodeErrMsg(e)))
           }
-          val n = tw.toLong * th
-          DecodedResize(id, sw, sh, tw, th,
-            rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n, ck)
         }
       }
       .toDF()
@@ -535,8 +625,9 @@ object Multimodal {
   private case class SynthWav(media_id: Long, kind: String,
                               content: Array[Byte], n_samples: Int)
 
-  case class AudioFingerprint(media_id: Long, n_samples: Long,
-                              fingerprint: Long)
+  case class AudioFingerprint(media_id: Long, n_samples: Option[Long],
+                              fingerprint: Option[Long],
+                              decode_error: Option[String])
 
   /** Chromaprint-shaped audio fingerprint over REAL decoded PCM: split
     * the sample stream into `windows` equal spans (sample i lands in
@@ -546,6 +637,13 @@ object Multimodal {
     * volume-invariant the way perceptual audio hashes are; byte-identical
     * audio always collides. W−1 ≤ 63 keeps the pack in a signed long.
     * Map-only per audio row; non-audio blobs never deserialize.
+    *
+    * Clips SHORTER than `windows` samples quarantine rather than
+    * fingerprint: with empty windows the energy-delta chain would
+    * compare zero-filled buckets that a populated-windows oracle never
+    * sees (ADVICE r11's latent drift) — "too short to fingerprint" is a
+    * data-quality fact the census should surface, not a silent hash.
+    * Undecodable/non-PCM blobs quarantine the same way.
     */
   def audioFingerprint(media: DataFrame, windows: Int = 16): DataFrame = {
     require(windows >= 2 && windows <= 64,
@@ -558,27 +656,32 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          require(ais.getFormat.getSampleSizeInBits == 16 &&
-            ais.getFormat.getChannels == 1,
-            s"media_id=$id: expected 16-bit mono PCM")
-          val raw = ais.readAllBytes()
-          val n = raw.length / 2
-          val energy = new Array[Long](windows)
-          var i = 0
-          while (i < n) {
-            val s = (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff)
-            energy((i.toLong * windows / n).toInt) += math.abs(s)
-            i += 1
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            require(ais.getFormat.getSampleSizeInBits == 16 &&
+              ais.getFormat.getChannels == 1, "expected 16-bit mono PCM")
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            if (n < windows) throw new IllegalArgumentException(
+              s"audio too short to fingerprint: n_samples=$n < windows=$windows")
+            val energy = new Array[Long](windows)
+            var i = 0
+            while (i < n) {
+              val s = (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff)
+              energy((i.toLong * windows / n).toInt) += math.abs(s)
+              i += 1
+            }
+            var fp = 0L
+            var w = 1
+            while (w < windows) {
+              if (energy(w) > energy(w - 1)) fp |= 1L << (w - 1)
+              w += 1
+            }
+            AudioFingerprint(id, Some(n.toLong), Some(fp), None)
+          } catch { case scala.util.control.NonFatal(e) =>
+            AudioFingerprint(id, None, None, Some(decodeErrMsg(e)))
           }
-          var fp = 0L
-          var w = 1
-          while (w < windows) {
-            if (energy(w) > energy(w - 1)) fp |= 1L << (w - 1)
-            w += 1
-          }
-          AudioFingerprint(id, n.toLong, fp)
         }
       }
       .toDF()
@@ -636,8 +739,11 @@ object Multimodal {
             .as("duration_ms")).as("meta"))
   }
 
-  case class WavFeatures(media_id: Long, sample_rate: Int, n_samples: Long,
-                         peak_abs: Int, sum_abs: Long, zero_crossings: Long)
+  case class WavFeatures(media_id: Long, sample_rate: Option[Int],
+                         n_samples: Option[Long], peak_abs: Option[Int],
+                         sum_abs: Option[Long],
+                         zero_crossings: Option[Long],
+                         decode_error: Option[String])
 
   /** Real audio decode executor tier: `javax.sound.sampled` WAV parse
     * inside mapPartitions, then the standard cheap audio-quality
@@ -657,27 +763,33 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val fmt = ais.getFormat
-          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-            s"media_id=$id: expected 16-bit mono PCM, got $fmt")
-          val raw = ais.readAllBytes()
-          val n = raw.length / 2
-          var peak = 0; var sumAbs = 0L; var zc = 0L
-          var prev = 0; var i = 0
-          while (i < n) {
-            val lo = raw(2 * i) & 0xff
-            val hi = raw(2 * i + 1).toInt
-            val s = (hi << 8) | lo
-            val a = math.abs(s)
-            if (a > peak) peak = a
-            sumAbs += a
-            if (i > 0 && prev.toLong * s < 0) zc += 1
-            prev = s
-            i += 1
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+              s"expected 16-bit mono PCM, got $fmt")
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            var peak = 0; var sumAbs = 0L; var zc = 0L
+            var prev = 0; var i = 0
+            while (i < n) {
+              val lo = raw(2 * i) & 0xff
+              val hi = raw(2 * i + 1).toInt
+              val s = (hi << 8) | lo
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sumAbs += a
+              if (i > 0 && prev.toLong * s < 0) zc += 1
+              prev = s
+              i += 1
+            }
+            WavFeatures(id, Some(fmt.getSampleRate.toInt), Some(n.toLong),
+              Some(peak), Some(sumAbs), Some(zc), None)
+          } catch { case scala.util.control.NonFatal(e) =>
+            WavFeatures(id, None, None, None, None, None,
+              Some(decodeErrMsg(e)))
           }
-          WavFeatures(id, fmt.getSampleRate.toInt, n.toLong, peak, sumAbs, zc)
         }
       }
       .toDF()

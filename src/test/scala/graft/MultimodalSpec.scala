@@ -340,4 +340,79 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("r_mean") -
       rs.toDouble / (tw * th)) < 1e-9)
   }
+
+  test("quarantine lane: corrupt blobs yield (null metrics, decode_error) " +
+    "rows in EVERY codec tier — the job succeeds, the census is honest") {
+    import org.apache.spark.sql.DataFrame
+    // 20 image ids, every 5th blob garbage → 16 decode, 4 quarantine
+    val imgIds = (0L to 57L by 3L).toDF("doc_id")
+    val badImgs = Multimodal.withCorruptedBlobs(
+      Multimodal.synthesizePng(spark, imgIds, "doc_id"), everyNth = 5)
+    def split(out: DataFrame, metricCol: String): (Long, Long) = {
+      val q = out.filter(col("decode_error").isNotNull)
+      // quarantined rows carry NO metric values; decoded rows carry no error
+      assert(q.filter(col(metricCol).isNotNull).count() == 0)
+      (out.filter(col("decode_error").isNull).count(), q.count())
+    }
+    assert(split(Multimodal.imageQualityRaw(badImgs), "gray_sum")
+      == ((16L, 4L)))
+    assert(split(Multimodal.imageAHash(badImgs), "ahash_hi") == ((16L, 4L)))
+    // resize tier: corrupt blobs that pass the metadata budget gate
+    // quarantine inside the codec (maxSide=1 → every image over budget)
+    assert(split(Multimodal.decodeResizeImages(badImgs, maxSide = 1),
+      "pixel_checksum") == ((16L, 4L)))
+    // 20 audio ids (id%3==1), every 5th blob garbage → ids 10, 25, 40, 55
+    val audIds = (1L to 58L by 3L).toDF("doc_id")
+    val badWavs = Multimodal.withCorruptedBlobs(
+      Multimodal.synthesizeWav(spark, audIds, "doc_id"), everyNth = 5)
+    assert(split(Multimodal.decodeWavFeatures(badWavs), "sum_abs")
+      == ((16L, 4L)))
+    assert(split(Multimodal.audioFingerprint(badWavs), "fingerprint")
+      == ((16L, 4L)))
+    // the census rolls the same numbers up in one pass
+    val census = Multimodal.decodeCensus(
+      Multimodal.imageQualityRaw(badImgs)).head()
+    assert(census.getAs[Long]("n_rows") == 20L)
+    assert(census.getAs[Long]("n_decoded") == 16L)
+    assert(census.getAs[Long]("n_quarantined") == 4L)
+  }
+
+  test("JPEG flows through the same decode tier as PNG (ImageIO container " +
+    "sniffing): geometry exact, zero quarantine, bytes genuinely lossy") {
+    val ids = (0L to 27L by 3L).toDF("doc_id")
+    val jpegs = Multimodal.synthesizeJpeg(spark, ids, "doc_id")
+    // it IS a different container: JPEG SOI marker, not PNG magic
+    val firstBytes = jpegs.select(col("content")).as[Array[Byte]]
+      .collect()
+    assert(firstBytes.forall(b => (b(0) & 0xff) == 0xff &&
+      (b(1) & 0xff) == 0xd8), "expected JPEG SOI header")
+    val out = Multimodal.imageQualityRaw(jpegs).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[String]("decode_error") == null, s"id=$id")
+      assert(r.getAs[Int]("width") == (id % 13 + 4).toInt)
+      assert(r.getAs[Int]("height") == (id % 11 + 4).toInt)
+    }
+    // lossy: same pattern, different pixel statistics than the PNG truth
+    val png = Multimodal.imageQualityRaw(
+      Multimodal.synthesizePng(spark, ids, "doc_id"))
+      .select("media_id", "gray_sum").as[(Long, Long)].collect().toMap
+    val diff = out.count(r =>
+      png(r.getAs[Long]("media_id")) != r.getAs[Long]("gray_sum"))
+    assert(diff > 0, "JPEG decode should not equal the lossless pattern")
+  }
+
+  test("audioFingerprint quarantines clips shorter than the window count " +
+    "instead of hashing zero-filled windows (ADVICE r11 latent drift)") {
+    // id=1 → n=21 samples: fine at windows=16, too short at windows=32
+    val ids = Seq(1L).toDF("doc_id")
+    val media = Multimodal.synthesizeWav(spark, ids, "doc_id")
+    val ok = Multimodal.audioFingerprint(media, windows = 16).head()
+    assert(ok.getAs[String]("decode_error") == null)
+    val short = Multimodal.audioFingerprint(media, windows = 32).head()
+    assert(short.getAs[String]("decode_error") != null &&
+      short.getAs[String]("decode_error").contains("too short"))
+    assert(short.isNullAt(short.fieldIndex("fingerprint")))
+  }
 }
