@@ -2181,6 +2181,52 @@ object SparkEntry {
         col("l_orderkey"), col("l_linenumber"),
         Layout.zorderN(Seq(col("l_partkey"), col("l_suppkey"),
           col("l_orderkey")), bits = 20).as("zkey3"))),
+    "q284_zorder_scan" -> ((s, d) => {
+      // the z-order layout READ BACK through the query path (VERDICT
+      // r11 #6): write-once per (session, sf) a lineitem layout
+      // clustered by (l_partkey, l_suppkey), then run the selective 2-D
+      // scan the layout exists for. The rewrite is row-preserving, so
+      // the oracle is the same predicate over the raw table; the
+      // footer-level skipping proof is ZOrderSpec's chunk-count gate,
+      // and PlanShapeSpec pins that BOTH predicates push into this scan
+      val path = s"/tmp/graft_layout/z2_${tagFor(d)}"
+      val key = s"graft.internal.zorderWritten.$path"
+      if (s.conf.getOption(key).isEmpty) {
+        Layout.writeZOrderedN(
+          T(s, d, "lineitem").select("l_orderkey", "l_partkey",
+            "l_suppkey", "l_quantity"),
+          Seq("l_partkey", "l_suppkey"), path, numFiles = 8, bits = 16)
+        s.conf.set(key, "true")
+      }
+      s.read.parquet(path)
+        .filter(col("l_partkey") < 50 && col("l_suppkey") < 5)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty")) // integer-valued: exact
+    }),
+    "q285_bloom_lookup" -> ((s, d) => {
+      // the bloom-filter layout READ BACK through the query path: write-
+      // once per (session, sf) with a bloom filter on the unsorted
+      // high-cardinality l_orderkey (min/max stats cannot skip a point
+      // lookup there), then the needle-in-haystack id probe. Correctness
+      // oracle = same lookup on the raw table; the row-group-skip proof
+      // (bloom-on reads 1–2 groups where stats-only reads all) is
+      // ZOrderSpec's bloom read gate
+      val path = s"/tmp/graft_layout/bloom_${tagFor(d)}"
+      val key = s"graft.internal.bloomWritten.$path"
+      if (s.conf.getOption(key).isEmpty) {
+        Layout.writeWithBloomFilters(
+          T(s, d, "lineitem").select("l_orderkey", "l_partkey",
+            "l_quantity"),
+          Seq("l_orderkey"), path, ndv = 100000L)
+        s.conf.set(key, "true")
+      }
+      s.read.parquet(path)
+        .filter(col("l_orderkey") === 1L)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"))
+    }),
     "q121_jl_projection" -> ((s, d) => {
       // Johnson-Lindenstrauss random projection 64 → 24 dims with the
       // SAME seeded plane family as SRP (plan-build-time constants — the
@@ -5027,6 +5073,18 @@ object SparkEntry {
          |  ${graft.ops.Layout.zorderNSql(
                Seq("l_partkey", "l_suppkey", "l_orderkey"), 20)} AS zkey3
          |FROM lineitem""".stripMargin,
+    "q284_zorder_scan" ->
+      // the z-order rewrite is row-preserving: same rows, new physical
+      // order — so the raw table IS the oracle for any aggregate
+      """SELECT l_partkey, l_suppkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_partkey < 50 AND l_suppkey < 5
+        |GROUP BY l_partkey, l_suppkey""".stripMargin,
+    "q285_bloom_lookup" ->
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_orderkey = 1
+        |GROUP BY l_orderkey""".stripMargin,
     "q121_jl_projection" ->
       s"""WITH planes(i, p) AS (VALUES
          |  ${planesValuesSql(64, 24)}),

@@ -97,10 +97,17 @@ object Layout {
     * distinct keys PER FILE, not globally — oversizing wastes footer
     * bytes on every file).
     */
+  /** `extraOptions` pass through to the parquet writer (e.g.
+    * `parquet.block.size` to bound row-group height so a point lookup
+    * has groups to SKIP — one giant group per file gives a bloom filter
+    * nothing to prune).
+    */
   def writeWithBloomFilters(df: DataFrame, bloomCols: Seq[String],
-                            path: String, ndv: Long = 100000L): Unit = {
+                            path: String, ndv: Long = 100000L,
+                            extraOptions: Map[String, String] =
+                              Map.empty): Unit = {
     require(bloomCols.nonEmpty, "need at least one bloom column")
-    val w0 = df.write.mode("overwrite")
+    val w0 = df.write.mode("overwrite").options(extraOptions)
     val w = bloomCols.foldLeft(w0) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)

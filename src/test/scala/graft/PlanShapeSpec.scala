@@ -19,6 +19,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("GreaterThan(l_quantity,45"), s)
   }
 
+  test("q284/q285 layout read-back: point/range predicates push into the " +
+    "scan over the z-ordered and bloom-filtered tables") {
+    val sz = planString(SparkEntry.queries("q284_zorder_scan")(spark, sf0001))
+    assert(sz.contains("LessThan(l_partkey,50)"), sz)
+    assert(sz.contains("LessThan(l_suppkey,5)"), sz)
+    val sb = planString(SparkEntry.queries("q285_bloom_lookup")(spark, sf0001))
+    assert(sb.contains("EqualTo(l_orderkey,1)"), sb)
+  }
+
   test("q02 projection prunes the read schema to selected columns") {
     val s = planString(SparkEntry.queries("q02_projection")(spark, sf0001))
     val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -219,4 +219,46 @@ class ZOrderSpec extends SparkSpec {
         .readBloomFilter(payloadMeta) == null)
     } finally reader.close()
   }
+
+  test("bloom READ path: a point lookup skips row groups that min/max " +
+    "stats cannot (hash-ordered keys span every group's range)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomrd").toString
+    // hash order ⇒ every row group's [min, max] covers ~the full id
+    // domain, so the stats filter prunes NOTHING on a point lookup —
+    // exactly the unsorted-high-cardinality shape q285 reads; a small
+    // block size gives the file many groups to skip
+    val n = 100000L
+    val df = spark.range(n).toDF("id")
+      .orderBy(org.apache.spark.sql.functions.hash(col("id")))
+      .coalesce(1)
+    Layout.writeWithBloomFilters(df, Seq("id"), s"$dir/t", ndv = 20000L,
+      extraOptions = Map("parquet.block.size" -> "65536"))
+    val file = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    def groups(useBloom: Boolean): Int = {
+      val pred = org.apache.parquet.filter2.predicate.FilterApi.eq(
+        org.apache.parquet.filter2.predicate.FilterApi.longColumn("id"),
+        java.lang.Long.valueOf(777L))
+      val opts = org.apache.parquet.HadoopReadOptions
+        .builder(spark.sparkContext.hadoopConfiguration)
+        .withRecordFilter(
+          org.apache.parquet.filter2.compat.FilterCompat.get(pred))
+        .useStatsFilter(true)
+        .useDictionaryFilter(false) // isolate the bloom contribution
+        .useBloomFilter(useBloom)
+        .build()
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+          spark.sparkContext.hadoopConfiguration), opts)
+      try reader.getRowGroups.size() finally reader.close()
+    }
+    val statsOnly = groups(useBloom = false)
+    val withBloom = groups(useBloom = true)
+    assert(statsOnly >= 5,
+      s"fixture needs many stats-unprunable groups, got $statsOnly")
+    assert(withBloom >= 1, "present key must survive (no false negatives)")
+    assert(withBloom <= 2,
+      s"bloom should reduce $statsOnly groups to ~1, got $withBloom")
+  }
 }
