@@ -310,6 +310,24 @@ object Dedup {
                             idCol: String, textCol: String,
                             shingleK: Int = 3, numPerm: Int = 128,
                             bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val dupBatchIds = nearDupMatchesIndexed(batch, name, idCol, textCol,
+      shingleK, numPerm, bands, threshold)
+      .select(col("__bid").as(idCol)).distinct()
+    batch.join(dupBatchIds, Seq(idCol), "left_anti")
+  }
+
+  /** [[nearDupMatches]] against the PERSISTED index: verified batch↔corpus
+    * near-dup PAIRS (`__bid`, `__cid`) with the corpus never rescanned —
+    * the row-level core [[nearDupNewOnlyIndexed]] reduces to a drop set,
+    * exposed separately so the streaming cluster-relation upkeep
+    * ([[appendToPairClusters]] under `foreachBatch`) can append the
+    * EDGES, not just act on the survivors.
+    */
+  def nearDupMatchesIndexed(batch: DataFrame, name: String,
+                            idCol: String, textCol: String,
+                            shingleK: Int = 3, numPerm: Int = 128,
+                            bands: Int = 16,
+                            threshold: Double = 0.8): DataFrame = {
     val cands = indexCandidates(batch, name, idCol, textCol,
       shingleK, numPerm, bands).distinct()
     val corpusSh = batch.sparkSession.table(s"${name}_shingles")
@@ -320,12 +338,11 @@ object Dedup {
       .withColumn("__n___bid", size(col("__sh___bid")))
     val inter = sortedIntersectCount(col("__sh___bid"), col("__sh___cid")).cast("double")
     val unionSize = (col("__n___bid") + col("__n___cid")).cast("double") - inter
-    val dupBatchIds = cands
+    cands
       .join(batchSh, "__bid")
       .join(corpusSh, "__cid")
       .filter(when(unionSize === 0, lit(0.0)).otherwise(inter / unionSize) >= threshold)
-      .select(col("__bid").as(idCol)).distinct()
-    batch.join(dupBatchIds, Seq(idCol), "left_anti")
+      .select(col("__bid"), col("__cid"))
   }
 
   // ------------------------------------------------------------ MinHash LSH

@@ -768,6 +768,7 @@ object EventStream {
       bm25Name: String, bm25Path: String,
       ivfPath: Option[String] = None,
       binQuantPath: Option[String] = None,
+      clustersPath: Option[String] = None,
       idCol: String = "doc_id", textCol: String = "text",
       vecCol: String = "embedding",
       shingleK: Int = 2, numPerm: Int = 64, bands: Int = 16,
@@ -779,6 +780,10 @@ object EventStream {
   /** One micro-batch of the continuous-curation loop — the composition a
     * real training-data pipeline runs on every arriving slice:
     *
+    *   0. (when `clustersPath` is set) CLUSTER upkeep: append the
+    *      batch's near-dup edges to the standing pair-cluster relation
+    *      so downstream split/leakage consumers never read stale
+    *      clusters ([[graft.ops.Dedup.appendToPairClusters]]);
     *   1. DEDUP against the standing corpus: drop batch docs with a
     *      near-duplicate in the persisted LSH index
     *      ([[graft.ops.Dedup.nearDupNewOnlyIndexed]] — bucket-probe cost)
@@ -805,6 +810,29 @@ object EventStream {
     */
   def ingestBatch(batch: DataFrame, ix: IngestIndexes, dest: String): Unit = {
     val spark = batch.sparkSession
+    // 0. cluster-relation upkeep (q276's discipline under foreachBatch,
+    // VERDICT r11 #3): when a standing pair-cluster relation rides the
+    // loop, mine ONLY the batch's near-dup edges — batch↔indexed-corpus
+    // matches (probed BEFORE this batch's signatures append in step 3,
+    // so no self-matches) plus within-batch pairs — and star-merge them
+    // into the stored clusters. Without this the cluster relation every
+    // split/leakage consumer joins against goes stale under streaming
+    // ingest until the next full fingerprint rebuild. Batch-cost only;
+    // replay-idempotent (canonicalized + anti-joined inside the append).
+    // The relation must have been seeded by [[graft.ops.Dedup
+    // .ensurePairClusters]] with IDS-ONLY pairs at the SAME LSH params.
+    ix.clustersPath.foreach { cp =>
+      val corpusPairs = graft.ops.Dedup.nearDupMatchesIndexed(batch,
+          ix.ndName, ix.idCol, ix.textCol, ix.shingleK, ix.numPerm,
+          ix.bands, ix.threshold)
+        .select(col("__bid").as("id_a"), col("__cid").as("id_b"))
+      val innerPairs = graft.ops.Dedup.minhashNearDupPairs(batch,
+          ix.idCol, ix.textCol, ix.shingleK, ix.numPerm, ix.bands,
+          ix.threshold)
+        .select("id_a", "id_b")
+      graft.ops.Dedup.appendToPairClusters(spark, cp, ix.idCol,
+        corpusPairs.unionAll(innerPairs))
+    }
     // 1. corpus-level: near-dup index probe, then span-contamination probe
     val ndSurvivors = graft.ops.Dedup.nearDupNewOnlyIndexed(batch,
       ix.ndName, ix.idCol, ix.textCol, ix.shingleK, ix.numPerm, ix.bands,

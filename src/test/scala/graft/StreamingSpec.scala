@@ -752,9 +752,16 @@ class StreamingSpec extends SparkSpec {
         codebook, s"$root/ivf", m = 4, idCol = "doc_id")
       graft.ops.Similarity.buildBinaryQuantIndex(seedEmb, s"$root/bq",
         idCol = "doc_id")
+      // the standing pair-cluster relation the loop keeps fresh (v12):
+      // seeded over the seed corpus with IDS-ONLY pairs, same LSH params
+      graft.ops.Dedup.ensurePairClusters(spark, s"$root/cl", "doc_id")(
+        graft.ops.Dedup.minhashNearDupPairs(seed, "doc_id", "text",
+          shingleK = 2, numPerm = 32, bands = 8, threshold = 0.8)
+          .select("id_a", "id_b"))
       (EventStream.IngestIndexes(s"cap_nd_$tag", s"cap_ct_$tag",
         s"cap_bm_$tag", s"$root/bm", ivfPath = Some(s"$root/ivf"),
         binQuantPath = Some(s"$root/bq"),
+        clustersPath = Some(s"$root/cl"),
         shingleK = 2, numPerm = 32, bands = 8), s"$root/kept")
     }
     def indexState(ix: EventStream.IngestIndexes) = (
@@ -766,7 +773,9 @@ class StreamingSpec extends SparkSpec {
       spark.table(s"${ix.bm25Name}_meta").collect().toSeq,
       spark.read.parquet(s"${ix.ivfPath.get}/codes")
         .select("doc_id", "cell_id").collect().toSet,
-      spark.read.parquet(s"${ix.binQuantPath.get}/codes").collect().toSet)
+      spark.read.parquet(s"${ix.binQuantPath.get}/codes").collect().toSet,
+      graft.ops.Dedup.cachedClusters(spark, ix.clustersPath.get)
+        .as[(Long, Long)].collect().toSet)
     def keptIds(dest: String) = spark.read.parquet(dest)
       .select("doc_id").as[Long].collect().toSet
     // A: two micro-batches through the loop
@@ -781,6 +790,11 @@ class StreamingSpec extends SparkSpec {
     assert(keptIds(destA).nonEmpty)
     assert(keptIds(destA) == keptIds(destB))
     assert(indexState(ixA) == indexState(ixB))
+    // the cluster relation did NOT go stale under streaming ingest:
+    // ingested docs' near-dup edges landed in the standing clusters
+    assert(graft.ops.Dedup.cachedClusters(spark, ixA.clustersPath.get)
+      .filter(col("doc_id") >= 200).count() > 0,
+      "ingested batches must appear in the standing cluster relation")
     // the composed loop searches identically through both histories
     def bm25(ix: EventStream.IngestIndexes) = graft.ops.TextAnalysis
       .bm25SearchIndexed(spark, ix.bm25Name, Seq("dup", "vector"), topK = 10)
