@@ -29,7 +29,7 @@ object Soak {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SOAK_MULT", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val out = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_r11.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_r12.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -130,6 +130,55 @@ object Soak {
       // type-transition graph stays small but the windowed edge
       // derivation runs over 10× events (per-user sort pressure)
       consume(ops.Graph.pageRank(ops.Graph.transitionEdges(events),
+        iterations = 10))
+    }
+
+    // ---- skewed stages (VERDICT r11 #4) --------------------------------
+    // Volume scaling alone inherits sf0.1's benign key distributions; the
+    // scale-killers the bounded-state defenses exist for only appear
+    // under SKEW — a boilerplate page duplicated across the crawl, a bot
+    // account on a chunk of all baskets, one hyperactive user in the
+    // event log. Each stage below plants a deliberately hot key at ~0.2–1%
+    // of ALL rows (orders of magnitude above any organic key) and names
+    // the defense it exercises; rc 0 means the defense held the stage to
+    // bounded state and it completed.
+
+    stage("skew_lsh_hot_bucket") {
+      // DEFENSE: LSH bucket cap (maxBucket deterministic prefix — pair
+      // expansion Σ|bucket|² stays bounded) + CC star convergence.
+      // Every 500th doc becomes the SAME boilerplate text → one ~0.2%-of-
+      // corpus LSH bucket in all bands and one giant near-dup star.
+      val hotDocs = docs.select(col("doc_id"),
+        when(col("doc_id") % 500 === 0,
+          lit("the exact same boilerplate navigation footer text " +
+            "repeated on every mirror of the site"))
+          .otherwise(col("text")).as("text"))
+      consume(ops.Dedup.clusterNearDups(
+        ops.Dedup.minhashNearDupPairs(hotDocs, "doc_id", "text",
+          shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)))
+    }
+    stage("skew_copurchase_hot_key") {
+      // DEFENSE: the GroupedTopK pre-cut in coOccurrencePairs — the hot
+      // customer (1% of ALL basket rows) is cut to its maxPerKey lowest
+      // items in a BOUNDED partial-aggregation buffer before any pairing;
+      // per-key pair work ≤ C(20, 2) regardless of skew.
+      val baskets = lineitem.select(
+        when(col("l_orderkey") % 100 === 0, lit(-1L))
+          .otherwise(col("l_orderkey")).as("cust"),
+        col("l_partkey").as("part"))
+      consume(ops.Graph.coOccurrencePairs(baskets, "cust", "part",
+        maxPerKey = 20))
+    }
+    stage("skew_pagerank_hot_user") {
+      // DEFENSE: the transition-edge derivation aggregates to
+      // |distinct (src, dst)| BEFORE PageRank, so one user owning 1% of
+      // all events costs one hot window sort (AQE handles the skewed
+      // exchange), never a hot rank partition.
+      val hotEvents = events.select(col("event_id"),
+        when(col("event_id") % 100 === 0, lit(-1L))
+          .otherwise(col("user_id")).as("user_id"),
+        col("ts"), col("event_type"), col("value"))
+      consume(ops.Graph.pageRank(ops.Graph.transitionEdges(hotEvents),
         iterations = 10))
     }
 
