@@ -2227,6 +2227,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity")).as("sum_qty"))
     }),
+    "q286_skew_report" -> ((s, d) =>
+      // the diagnostic read BEFORE reaching for the skew defenses: exact
+      // hot-key frequencies (partial-aggregated), corpus share ppm, ratio
+      // vs the mean key, and the ready-to-use salt-bucket knob — a
+      // broadcast 1-row totals frame + TakeOrderedAndProject top-k, so
+      // nothing key-cardinality-sized sorts globally (plan-gated in
+      // DedupSpec)
+      Salting.skewReport(T(s, d, "lineitem").select(col("l_partkey")),
+        "l_partkey", topK = 10)),
+    "q287_media_curation_capstone" -> ((s, d) => {
+      // capstone v11: the vision-corpus curation funnel in ONE row over
+      // a corrupt + re-upload-injected image corpus — quarantine census
+      // (q282) → brightness gate over DECODED truth with INTEGER bounds
+      // (80·n ≤ Σg ≤ 176·n — no float in the gate, q279's moments) →
+      // perceptual dup collapse (distinct aHash lanes, q273/q274) →
+      // resize-pressure census off metadata alone (q152); each branch a
+      // broadcast 1-row frame, the corpus never collects
+      val ids = T(s, d, "documents").select("doc_id")
+      val media = Multimodal.withCorruptedBlobs(
+        Multimodal.synthesizePng(s, ids, "doc_id", patternMod = 10),
+        everyNth = 5)
+      val quality = Multimodal.imageQualityRaw(media)
+      val census = quality.agg(
+        count(lit(1)).as("n_images"),
+        count(col("decode_error")).as("n_quarantined"),
+        sum(when(col("decode_error").isNull &&
+          col("gray_sum") >= lit(80L) * col("width") * col("height") &&
+          col("gray_sum") <= lit(176L) * col("width") * col("height"),
+          1L).otherwise(0L)).as("n_bright_ok"))
+      val uniq = Multimodal.imageAHash(media)
+        .filter(col("decode_error").isNull)
+        .agg(countDistinct(col("ahash_hi"), col("ahash_lo"))
+          .as("n_unique_visual"))
+      val rz = Multimodal.resizePlan(media, maxSide = 9)
+        .agg(sum(when(col("needs_resize"), 1L).otherwise(0L))
+          .as("n_need_resize"))
+      census.crossJoin(uniq).crossJoin(rz)
+    }),
     "q121_jl_projection" -> ((s, d) => {
       // Johnson-Lindenstrauss random projection 64 → 24 dims with the
       // SAME seeded plane family as SRP (plan-build-time constants — the
@@ -5085,6 +5123,54 @@ object SparkEntry {
         |  sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey = 1
         |GROUP BY l_orderkey""".stripMargin,
+    "q286_skew_report" ->
+      // mean reduces FIRST (floor, min 1) exactly like the Spark side so
+      // the integer ratios agree; ties at the top-k boundary break on key
+      """WITH c AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT)
+        |    AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+        |    greatest(CAST(sum(n_rows) AS BIGINT) // count(*), 1) AS mean
+        |  FROM c)
+        |SELECT key, n_rows,
+        |  1000000 * n_rows // total AS share_ppm,
+        |  100 * n_rows // mean AS skew_x100,
+        |  (n_rows + mean - 1) // mean AS salt_buckets
+        |FROM c, t ORDER BY n_rows DESC, key LIMIT 10""".stripMargin,
+    "q287_media_curation_capstone" ->
+      // every branch replays its standalone query's closed form, keyed
+      // by the PATTERN id (pid = doc_id % 10 — patternMod makes content
+      // a function of pid, corruption a function of doc_id % 5); the
+      // aHash CTE chain is the SAME builder as q273/q274
+      s"""WITH m AS (SELECT doc_id, doc_id % 10 AS pid,
+         |    (doc_id % 5 = 0) AS bad
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |pats AS (SELECT DISTINCT pid FROM m),
+         |pg AS (SELECT pid, CAST(pid % 13 + 4 AS INTEGER) AS w,
+         |    CAST(pid % 11 + 4 AS INTEGER) AS h FROM pats),
+         |gx AS (SELECT pg.*, unnest(range(w)) AS x FROM pg),
+         |px AS (SELECT gx.*, unnest(range(h)) AS y FROM gx),
+         |pc AS (SELECT pid, w, h,
+         |    (((pid * 7 + x * 31 + y * 17) % 256)
+         |     + ((pid * 3 + x * 13 + y * 29) % 256)
+         |     + ((pid * 11 + x * 23 + y * 19) % 256)) // 3 AS g
+         |  FROM px),
+         |ps AS (SELECT pid, w, h, CAST(sum(g) AS BIGINT) AS s1
+         |  FROM pc GROUP BY pid, w, h),
+         |${ahashCtesSql("pid", "pats")},
+         |good AS (SELECT doc_id, pid FROM m WHERE NOT bad)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_images,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM m WHERE bad)
+         |    AS n_quarantined,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM good g
+         |     JOIN ps ON ps.pid = g.pid
+         |     WHERE s1 >= 80 * w * h AND s1 <= 176 * w * h) AS n_bright_ok,
+         |  (SELECT CAST(count(DISTINCT CAST(ahash_hi AS VARCHAR) || '_'
+         |       || CAST(ahash_lo AS VARCHAR)) AS BIGINT)
+         |     FROM good g JOIN ah ON ah.id = g.pid) AS n_unique_visual,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM m JOIN pg USING (pid)
+         |     WHERE greatest(w, h) > 9) AS n_need_resize""".stripMargin,
     "q121_jl_projection" ->
       s"""WITH planes(i, p) AS (VALUES
          |  ${planesValuesSql(64, 24)}),

@@ -49,4 +49,38 @@ object Salting {
       .agg(sum(col("__psum")).as(s"sum_$valueCol"),
         sum(col("__pcnt")).as("n_rows"))
   }
+
+  /** Skew DIAGNOSTIC: the report an operator reads before reaching for
+    * the defenses above (salting, caps, AQE skew hints) — the `topK`
+    * hottest keys with exact frequency, corpus share (ppm, integer DIV),
+    * and the skew ratio vs the mean key (×100, integer DIV; 100 = a
+    * perfectly uniform key, 10 000 = this key carries 100 keys' worth of
+    * rows). `salt_buckets` is the ready-to-use knob: the ceiling of the
+    * ratio, i.e. how many uniform keys' worth of rows the hot key must
+    * shard into for the shuffle to flatten.
+    *
+    * Scale shape: one partial-aggregated per-key count (hot keys collapse
+    * map-side), a broadcast 1-row totals frame, and a global top-k that
+    * plans as TakeOrderedAndProject — nothing key-cardinality-sized ever
+    * sorts globally or reaches the driver.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    // mean key height reduces FIRST (floor, min 1) so every later product
+    // stays ≤ 1e6·n_rows — n_rows·__nkeys would overflow int64 at
+    // trillion-row × billion-key scale
+    val totals = counts.agg(sum(col("n_rows")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+      .select(col("__total"),
+        expr("greatest(__total DIV __nkeys, 1)").as("__mean"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("n_rows"),
+        expr("1000000 * n_rows DIV __total").as("share_ppm"),
+        expr("100 * n_rows DIV __mean").as("skew_x100"),
+        expr("(n_rows + __mean - 1) DIV __mean").as("salt_buckets"))
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(topK)
+  }
 }

@@ -385,6 +385,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("skewReport: hand-computed hot-key shares, ratios, and the salt " +
+    "knob; top-k ties break on the key; plans as TakeOrderedAndProject") {
+    // 4 keys, 20 rows: hot=10, warm=6, two cold=2 each → mean 5
+    val rows = Seq.fill(10)("hot") ++ Seq.fill(6)("warm") ++
+      Seq.fill(2)("cold_a") ++ Seq.fill(2)("cold_b")
+    val df = rows.toDF("k")
+    val got = graft.ops.Salting.skewReport(df, "k", topK = 3)
+    val s = got.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"), s)
+    val r = got.as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("hot", 10L, 500000L, 200L, 2L),   // 10/20 rows, 2× the mean key
+      ("warm", 6L, 300000L, 120L, 2L),   // ceil(6/5) = 2 salt buckets
+      ("cold_a", 2L, 100000L, 40L, 1L))) // tie with cold_b → key asc
+  }
+
   test("editDistancePairs finds exactly the ED-1 pairs (sub/ins/del), no ED-2") {
     val df = Seq("cat", "bat", "cart", "ca", "dog", "dig", "zebra", "cat")
       .toDF("s")
