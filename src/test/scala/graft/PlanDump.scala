@@ -69,7 +69,11 @@ object PlanDump {
     "q259_last_touch_attribution" -> "attribution: ONE per-user carry-forward window (no self-join), channels-sized rollup",
     "q264_corpus_health" -> "corpus health post-fix: all five monitor branches read the ONE checkpointed base — zero FileScans in the composed plan",
     "q271_image_decode_resize" -> "real codec tier: metadata-only needs_resize filter sits UNDER the mapPartitions decode — in-budget blobs never deserialize",
-    "q276_incremental_clusters" -> "incremental clusters: batch pairs mined via band-bucket equi-joins, star edges from the stored relation, CC over the union")
+    "q276_incremental_clusters" -> "incremental clusters: batch pairs mined via band-bucket equi-joins, star edges from the stored relation, CC over the union",
+    "q281_copurchase_partners" -> "co-occurrence post-fix: GroupedTopKPartial/Final pre-cut bounds per-key state BEFORE the basket collect; pair fan-out ≤ C(maxPerKey,2)",
+    "q284_zorder_scan" -> "z-ordered layout read-back: both range predicates pushed into the parquet scan over the clustered table",
+    "q285_bloom_lookup" -> "bloom layout read-back: point predicate pushed into the scan; row-group skipping proven footer-level in ZOrderSpec",
+    "q286_skew_report" -> "skew report: partial-aggregated key counts, broadcast 1-row totals, TakeOrderedAndProject top-k — no global sort")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
