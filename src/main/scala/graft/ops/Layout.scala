@@ -97,6 +97,54 @@ object Layout {
     * distinct keys PER FILE, not globally — oversizing wastes footer
     * bytes on every file).
     */
+  // ----------------------------------------------- managed z-order layout
+
+  /** Manifest location of a MANAGED z-ordered table: one `file_name`
+    * column listing the data files written by the last clustering pass.
+    * Underscore-prefixed, so Spark's file index treats it as hidden and
+    * plain `spark.read.parquet(path)` never picks it up as data.
+    */
+  def zorderManifestPath(path: String): String = s"$path/_zorder_manifest"
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+                   path: String): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Top-level data files of a layout dir (hidden `_*` entries excluded). */
+  def dataFiles(spark: org.apache.spark.sql.SparkSession,
+                path: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+  }
+
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit = {
+    import spark.implicits._
+    graft.io.IO.writeDir(
+      dataFiles(spark, path).map(_.getPath.getName).sorted.toDF("file_name"),
+      zorderManifestPath(path))
+  }
+
+  /** [[writeZOrderedN]] plus a manifest naming the clustered files — the
+    * MANAGED form [[graft.ops.Maintenance.maintainZOrderedTable]] watches.
+    * Later plain `mode("append")` writes land as UNCLUSTERED files (not
+    * in the manifest); the maintenance sweep measures their byte share
+    * and re-clusters when it crosses the threshold — the OPTIMIZE ZORDER
+    * lifecycle, manifest-tracked the way table formats do it.
+    */
+  def writeZOrderedManaged(df: DataFrame, zCols: Seq[String], path: String,
+                           numFiles: Int = 8, bits: Int = 16): Unit = {
+    writeZOrderedN(df, zCols, path, numFiles, bits)
+    writeManifest(df.sparkSession, path)
+  }
+
   /** `extraOptions` pass through to the parquet writer (e.g.
     * `parquet.block.size` to bound row-group height so a point lookup
     * has groups to SKIP — one giant group per file gives a bloom filter

@@ -186,4 +186,108 @@ object Maintenance {
     Report("contamination", files, threshold, doCompact, 0.0,
       rebuildRecommended = false)
   }
+
+  /** Managed Z-ORDER layout (the 7th maintained family): a table written
+    * by [[Layout.writeZOrderedManaged]] degrades as plain appends land —
+    * appended files are UNCLUSTERED (full-z-span, so footer stats stop
+    * pruning them) and are recognizable as exactly the data files NOT in
+    * the layout manifest. When their byte share crosses
+    * `maxUnclusteredPpm`, the whole table re-clusters.
+    *
+    * The rewrite is crash-safe under the single-writer contract by
+    * STAGING + a two-marker commit protocol: (1) the new clustered
+    * layout writes to `_rewrite_tmp` (hidden — concurrent readers of the
+    * dir never see it; the committer's `_SUCCESS` marks the stage
+    * complete); (2) the manifest rewrites to the staged file names —
+    * the durable keep-set — and `_MANIFEST_COMMITTED` is touched in tmp;
+    * (3) old data files not in the keep-set delete and staged files
+    * rename into place; (4) tmp drops. Recovery at sweep entry
+    * re-converges from ANY crash point: no `_SUCCESS` → the stage is
+    * garbage, discard it (source files untouched); `_SUCCESS` without
+    * `_MANIFEST_COMMITTED` → the swap never began and tmp is complete,
+    * so re-derive the manifest from the staged listing and proceed;
+    * both markers → the MANIFEST is the authoritative keep-set (tmp may
+    * be partially drained by a mid-rename crash — re-deriving from tmp
+    * there would drop already-moved files), so replay the swap from it.
+    * A lost manifest outside a swap just makes every file count as
+    * unclustered — the safe direction.
+    */
+  /** What [[maintainZOrderedTable]] measured and did: data-file count,
+    * unclustered byte share (ppm) vs its threshold, and whether the
+    * re-cluster ran this sweep.
+    */
+  final case class LayoutReport(files: Long, unclusteredPpm: Long,
+                                maxUnclusteredPpm: Long, rewritten: Boolean)
+
+  def maintainZOrderedTable(spark: SparkSession, path: String,
+                            zCols: Seq[String],
+                            maxUnclusteredPpm: Long = 200000L,
+                            numFiles: Int = 8, bits: Int = 16)
+      : LayoutReport = {
+    require(maxUnclusteredPpm >= 0, "maxUnclusteredPpm must be >= 0")
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_rewrite_tmp")
+    val manifestPath = Layout.zorderManifestPath(path)
+    val stagedOk = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    val committed = new org.apache.hadoop.fs.Path(tmp, "_MANIFEST_COMMITTED")
+
+    def readManifest(): Set[String] =
+      if (graft.io.IO.parquetFileCount(spark, manifestPath) > 0)
+        spark.read.parquet(manifestPath).collect()
+          .map(_.getString(0)).toSet // manifest is file-count-sized
+      else Set.empty
+
+    // phase 2: durable keep-set — manifest := staged names, then marker
+    def commitManifest(): Unit = {
+      import spark.implicits._
+      graft.io.IO.writeDir(
+        fs.listStatus(tmp).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).sorted.toSeq.toDF("file_name"),
+        manifestPath)
+      fs.create(committed, true).close()
+    }
+
+    // phase 3+4: swap driven by the DURABLE keep-set, then drop the stage
+    def swapFromManifest(): Unit = {
+      val keep = readManifest()
+      Layout.dataFiles(spark, path)
+        .filterNot(f => keep(f.getPath.getName))
+        .foreach(f => fs.delete(f.getPath, false))
+      fs.listStatus(tmp)
+        .filter(f => keep(f.getPath.getName))
+        .foreach(f => fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(path, f.getPath.getName)))
+      fs.delete(tmp, true)
+    }
+
+    // crash recovery BEFORE measuring — see the protocol in the docstring
+    if (fs.exists(tmp)) {
+      if (!fs.exists(stagedOk)) fs.delete(tmp, true)
+      else {
+        if (!fs.exists(committed)) commitManifest()
+        swapFromManifest()
+      }
+    }
+
+    val files = Layout.dataFiles(spark, path)
+    if (files.isEmpty)
+      return LayoutReport(0L, 0L, maxUnclusteredPpm, rewritten = false)
+    val clustered = readManifest()
+    val totalBytes = files.map(_.getLen).sum
+    val unBytes = files.filterNot(f => clustered(f.getPath.getName))
+      .map(_.getLen).sum
+    val ppm = if (totalBytes == 0) 0L else 1000000L * unBytes / totalBytes
+    val doRewrite = ppm > maxUnclusteredPpm
+    if (doRewrite) {
+      // phase 1: stage the re-clustered layout (source files untouched;
+      // the parquet committer's _SUCCESS marks completion)
+      Layout.writeZOrderedN(spark.read.parquet(path), zCols, tmp.toString,
+        numFiles, bits)
+      commitManifest()
+      swapFromManifest()
+    }
+    LayoutReport(files.size.toLong, ppm, maxUnclusteredPpm,
+      rewritten = doRewrite)
+  }
 }

@@ -197,4 +197,106 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/vectors").count() == 500)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes")))
   }
+
+  test("z-order layout: appends degrade the clustering, the sweep " +
+    "re-clusters past the byte threshold, content held, skip restored") {
+    import graft.ops.Layout
+    val dir = s"${tmp("zmaint")}/t"
+    // managed clustered write of a 16×16 grid, then a SHUFFLED full-range
+    // append — the appended file spans the whole z-domain, so every
+    // selective footer check has to touch it
+    val grid = (for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    Layout.writeZOrderedManaged(grid, Seq("x", "y"), dir, numFiles = 8,
+      bits = 4)
+    val r0 = Maintenance.maintainZOrderedTable(spark, dir, Seq("x", "y"),
+      maxUnclusteredPpm = 100000L, numFiles = 8, bits = 4)
+    assert(!r0.rewritten && r0.unclusteredPpm == 0L, s"$r0")
+    grid.orderBy(org.apache.spark.sql.functions.hash(col("x"), col("y")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    def spanTouched(): Int = {
+      val files = Layout.dataFiles(spark, dir)
+      files.count { f =>
+        val m = spark.read.parquet(f.getPath.toString)
+          .agg(min("x"), max("x")).head()
+        m.getLong(0) <= 3 && m.getLong(1) >= 3 // file's x-span covers x=3
+      }
+    }
+    assert(spanTouched() >= 1, "appended full-span file must be visible")
+    val r1 = Maintenance.maintainZOrderedTable(spark, dir, Seq("x", "y"),
+      maxUnclusteredPpm = 100000L, numFiles = 8, bits = 4)
+    assert(r1.rewritten && r1.unclusteredPpm > 100000L, s"$r1")
+    // content held through the rewrite: the appended rows are KEPT (the
+    // table now has each grid point twice), just re-clustered
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 512 && out.distinct().count() == 256)
+    // quiet after the sweep: everything is in the manifest again
+    val r2 = Maintenance.maintainZOrderedTable(spark, dir, Seq("x", "y"),
+      maxUnclusteredPpm = 100000L, numFiles = 8, bits = 4)
+    assert(!r2.rewritten && r2.unclusteredPpm == 0L, s"$r2")
+  }
+
+  test("z-order layout crash windows: an incomplete stage discards, a " +
+    "complete-but-unswapped stage replays, mid-swap replays from the " +
+    "durable manifest — every path converges with no data loss") {
+    import graft.ops.Layout
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val grid = (for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+
+    // (a) incomplete stage (no _SUCCESS): discarded, source intact
+    val dirA = s"${tmp("zcrashA")}/t"
+    Layout.writeZOrderedManaged(grid, Seq("x", "y"), dirA, 8, 4)
+    val tmpA = new org.apache.hadoop.fs.Path(s"$dirA/_rewrite_tmp")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dirA), fsConf)
+    fs.mkdirs(tmpA)
+    fs.create(new org.apache.hadoop.fs.Path(tmpA, "part-junk.parquet"),
+      true).close()
+    val ra = Maintenance.maintainZOrderedTable(spark, dirA, Seq("x", "y"),
+      200000L, 8, 4)
+    assert(!fs.exists(tmpA) && !ra.rewritten)
+    assert(spark.read.parquet(dirA).count() == 256)
+
+    // (b) complete stage, swap never began (crash between stage and
+    // manifest commit): the sweep re-derives the manifest and swaps
+    val dirB = s"${tmp("zcrashB")}/t"
+    Layout.writeZOrderedManaged(grid, Seq("x", "y"), dirB, 8, 4)
+    grid.limit(64).coalesce(1).write.mode("append").parquet(dirB)
+    Layout.writeZOrderedN(spark.read.parquet(dirB), Seq("x", "y"),
+      s"$dirB/_rewrite_tmp", 8, 4) // staged (has _SUCCESS), then "crash"
+    val rb = Maintenance.maintainZOrderedTable(spark, dirB, Seq("x", "y"),
+      200000L, 8, 4)
+    val outB = spark.read.parquet(dirB)
+    assert(outB.count() == 320, s"recovered swap must keep all rows: $rb")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dirB/_rewrite_tmp")))
+    // post-recovery the layout is quiet (manifest covers everything)
+    assert(!Maintenance.maintainZOrderedTable(spark, dirB, Seq("x", "y"),
+      200000L, 8, 4).rewritten)
+
+    // (c) mid-swap crash (manifest committed, one staged file already
+    // moved): replay converges from the manifest with no loss
+    val dirC = s"${tmp("zcrashC")}/t"
+    Layout.writeZOrderedManaged(grid, Seq("x", "y"), dirC, 8, 4)
+    grid.limit(64).coalesce(1).write.mode("append").parquet(dirC)
+    val tmpC = new org.apache.hadoop.fs.Path(s"$dirC/_rewrite_tmp")
+    Layout.writeZOrderedN(spark.read.parquet(dirC), Seq("x", "y"),
+      tmpC.toString, 8, 4)
+    // manifest := staged names + marker (phase 2), then move ONE file
+    // and "crash"
+    val staged = fs.listStatus(tmpC)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    graft.io.IO.writeDir(
+      staged.map(_.getPath.getName).sorted.toSeq.toDF("file_name"),
+      Layout.zorderManifestPath(dirC))
+    fs.create(new org.apache.hadoop.fs.Path(tmpC, "_MANIFEST_COMMITTED"),
+      true).close()
+    fs.rename(staged.head.getPath,
+      new org.apache.hadoop.fs.Path(dirC, staged.head.getPath.getName))
+    val rc = Maintenance.maintainZOrderedTable(spark, dirC, Seq("x", "y"),
+      200000L, 8, 4)
+    assert(spark.read.parquet(dirC).count() == 320,
+      s"mid-swap replay must keep all rows: $rc")
+    assert(!fs.exists(tmpC))
+  }
 }
