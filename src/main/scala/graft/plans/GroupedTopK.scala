@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 
 /** Grouped top-k as a first-class operator (SURVEY.md §4 tier c — custom
   * LogicalPlan + Strategy + SparkPlan).
@@ -147,6 +147,12 @@ case class GroupedTopKFinalExec(groupExprs: Seq[Expression],
                                 sortOrder: Seq[SortOrder], k: Int,
                                 child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
+  // pass the exchange's hash partitioning through (output == child.output,
+  // so its expressions stay resolvable): a downstream aggregate on the
+  // SAME group keys then reuses the partitioning instead of inserting a
+  // redundant exchange — the default UnknownPartitioning cost q281's
+  // basket collect a third full shuffle of the corpus pairs
+  override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
