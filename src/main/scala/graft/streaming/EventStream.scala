@@ -661,6 +661,36 @@ object EventStream {
       .releaseLocalCheckpoint(merged)
   }
 
+  /** Streaming twin of q282's quarantine census: merge a micro-batch's
+    * per-modality decode outcomes into the standing snapshot at `dest` —
+    * the live bad-blob monitor a continuous media-ingest loop reads (a
+    * quarantine-rate step change is how blob corruption upstream
+    * surfaces first). `decoded` is any quarantined decode output
+    * carrying a `modality` column and the `decode_error` lane; counts
+    * merge by sum ([[upsertScoreCounts]]'s snapshot discipline), so
+    * multi-batch ≡ one-shot (StreamingSpec pins it).
+    */
+  def upsertDecodeCensus(decoded: DataFrame, dest: String): Unit = {
+    val spark = decoded.sparkSession
+    val census = graft.ops.Multimodal.decodeCensus(decoded,
+      groupCols = Seq("modality"))
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val exists = destPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(destPath)
+    val merged = (if (exists)
+        spark.read.parquet(dest).unionByName(census)
+      else census)
+      .groupBy(col("modality"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_decoded")).as("n_decoded"),
+        sum(col("n_quarantined")).as("n_quarantined"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(dest)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(merged)
+  }
+
   /** Live threshold-free classifier report: the streamed score-count
     * snapshot at `dest` through the ONE shared
     * [[graft.ops.TextAnalysis.rocPrReportFromCounts]] definition —

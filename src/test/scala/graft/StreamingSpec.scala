@@ -719,6 +719,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("upsertDecodeCensus: two micro-batches merge to the one-shot " +
+    "census — the live quarantine-rate monitor never drifts from batch") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    def decoded(lo: Long, hi: Long) = {
+      val ids = Tables.documents(spark, sf0001)
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select("doc_id")
+      graft.ops.Multimodal.imageQualityRaw(
+        graft.ops.Multimodal.withCorruptedBlobs(
+          graft.ops.Multimodal.synthesizePng(spark, ids, "doc_id"),
+          everyNth = 5))
+        .select(lit("image").as("modality"), col("decode_error"))
+    }
+    def snap(dest: String) = spark.read.parquet(dest)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val twoDir = java.nio.file.Files
+      .createTempDirectory("graft_census2").toString + "/c"
+    EventStream.upsertDecodeCensus(decoded(0, 150), twoDir)
+    EventStream.upsertDecodeCensus(decoded(150, 400), twoDir)
+    val oneDir = java.nio.file.Files
+      .createTempDirectory("graft_census1").toString + "/c"
+    EventStream.upsertDecodeCensus(decoded(0, 400), oneDir)
+    assert(snap(twoDir) == snap(oneDir) && snap(oneDir).nonEmpty)
+    // the snapshot agrees with the batch census over the same corpus
+    val batch = graft.ops.Multimodal.decodeCensus(decoded(0, 400),
+      groupCols = Seq("modality"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(snap(oneDir) == batch)
+    assert(batch.head._4 > 0, "fixture must quarantine some blobs")
+  }
+
   test("ingest-to-index capstone: multi-batch ingest converges to one-shot; batch replay is a no-op") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
