@@ -2236,6 +2236,20 @@ object SparkEntry {
       // DedupSpec)
       Salting.skewReport(T(s, d, "lineitem").select(col("l_partkey")),
         "l_partkey", topK = 10)),
+    "q288_source_sample" -> ((s, d) =>
+      // deterministic exact-n-per-source sample: smallest portable
+      // id-hash wins, id tie-break — the eval-slice primitive percent
+      // gates can't deliver for small groups; GroupedTopK bounded
+      // buffers, never a group in one task
+      Sampling.groupSample(T(s, d, "documents").select("source", "doc_id"),
+        "source", "doc_id", n = 20)),
+    "q289_systematic_sample" -> ((s, d) =>
+      // systematic weight-proportional selection (~k docs, inclusion ∝
+      // n_chars) on the two-level prefix scan — no RNG, no float: pure
+      // integer interval containment, replayed bit-for-bit by the oracle
+      Sampling.systematicWeightedSample(
+        T(s, d, "documents").select("doc_id", "n_chars"), "n_chars",
+        k = 100)),
     "q287_media_curation_capstone" -> ((s, d) => {
       // capstone v11: the vision-corpus curation funnel in ONE row over
       // a corrupt + re-upload-injected image corpus — quarantine census
@@ -5137,6 +5151,32 @@ object SparkEntry {
         |  100 * n_rows // mean AS skew_x100,
         |  (n_rows + mean - 1) // mean AS salt_buckets
         |FROM c, t ORDER BY n_rows DESC, key LIMIT 10""".stripMargin,
+    "q288_source_sample" ->
+      s"""WITH h AS (SELECT source, doc_id,
+         |    ${hash31Sql("CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM documents),
+         |r AS (SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY hh, doc_id)
+         |      AS rn
+         |  FROM h)
+         |SELECT source, doc_id FROM r WHERE rn <= 20""".stripMargin,
+    "q289_systematic_sample" ->
+      // the same integer interval-containment rule over DuckDB's cumsum;
+      // the oracle may use the single-partition window — it is the
+      // oracle, not the engine
+      """WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+        |  FROM documents),
+        |c AS (SELECT doc_id, weight,
+        |    CAST(sum(weight) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - weight
+        |      AS BIGINT) AS start_offset
+        |  FROM t),
+        |st AS (SELECT greatest(CAST(sum(weight) AS BIGINT) // 100, 1)
+        |    AS step FROM t)
+        |SELECT doc_id, weight, start_offset FROM c, st
+        |WHERE weight > 0 AND (start_offset % step = 0
+        |  OR (start_offset + weight - 1) // step > start_offset // step)
+        |""".stripMargin,
     "q287_media_curation_capstone" ->
       // every branch replays its standalone query's closed form, keyed
       // by the PATTERN id (pid = doc_id % 10 — patternMod makes content

@@ -817,4 +817,62 @@ object Sampling {
     out.toSeq
       .toDF("round", "source", "new_shingles", "cumulative_shingles")
   }
+
+  /** Deterministic FIXED-SIZE per-group sample: the `n` rows with the
+    * smallest portable id-hash per group ("give me 500 docs per source
+    * for eval/eyeballing"). [[hashSample]]'s percent gate over- or
+    * under-shoots small groups; this is exact-n per group (fewer only
+    * when the group is smaller), reproducible across runs and engines
+    * (md5-based hash, id tie-break for the collision case). Scale shape:
+    * [[graft.plans.TopK.perGroup]] bounded buffers — no group ever holds
+    * more than n rows in any task, shuffle carries ≤ n·tasks rows per
+    * group, never the group.
+    */
+  def groupSample(df: DataFrame, groupCol: String, idCol: String,
+                  n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    graft.plans.TopK.perGroup(
+        df.withColumn("__h",
+          graft.functions.md5Hash31(col(idCol).cast("string"))),
+        Seq(groupCol), Seq(("__h", false), (idCol, false)), n)
+      .drop("__h")
+  }
+
+  /** Systematic weight-proportional sampling: lay every row's weight on
+    * the global [0, ΣW) number line in ascending `idCol` order and keep
+    * the rows whose interval contains a multiple of step = ⌊ΣW / k⌋ —
+    * ~k rows selected with inclusion probability ∝ weight, fully
+    * deterministic (no RNG, no float: pure integer interval arithmetic,
+    * so an SQL oracle replays the exact pick set). The classic use:
+    * "sample k documents proportional to token count" for a
+    * token-budgeted eval slice. Rows heavier than step can be picked
+    * once per contained multiple conceptually but emit ONCE here (the
+    * containment test, not a per-multiple explode).
+    *
+    * Scale shape: the global offset is [[Packing.packConcatChop]]'s
+    * two-level prefix scan (parallel within-bucket windows + a
+    * buckets-sized tiny window) — no single-partition corpus sort; ΣW
+    * and step ride as a broadcast 1-row frame.
+    */
+  def systematicWeightedSample(df: DataFrame, weightCol: String, k: Int,
+                               idCol: String = "doc_id",
+                               buckets: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val off = Packing.packConcatChop(df, weightCol, capacity = 1,
+        idCol = idCol, buckets = buckets)
+      .select(col(idCol), col("n_tokens").as("weight"),
+        col("start_offset"))
+    val tot = off.agg(coalesce(sum(col("weight")), lit(0L)).as("__tot"))
+    off.crossJoin(broadcast(tot))
+      .withColumn("__step",
+        greatest(expr(s"__tot DIV ${k.toLong}"), lit(1L)))
+      // a multiple of step lies in [s, s+w) iff s is itself a multiple
+      // or the next multiple after s DIV step lands before s+w — all
+      // integer, so both engines agree bit-for-bit
+      .filter(col("weight") > 0 &&
+        (pmod(col("start_offset"), col("__step")) === 0 ||
+          expr("(start_offset + weight - 1) DIV __step") >
+            expr("start_offset DIV __step")))
+      .select(col(idCol), col("weight"), col("start_offset"))
+  }
 }

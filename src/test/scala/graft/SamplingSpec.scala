@@ -423,4 +423,41 @@ class SamplingSpec extends SparkSpec {
       .as[(Int, String, Long, Long)].collect().toSeq
     assert(t == Seq((1, "a", 2L, 2L), (2, "b", 2L, 4L)))
   }
+
+  test("groupSample: exact n per group (whole group when smaller), " +
+    "deterministic across runs, disjoint-group independence") {
+    val d = docs.select(col("source"), col("doc_id"))
+    val got = Sampling.groupSample(d, "source", "doc_id", n = 7)
+    val perGroup = got.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val sizes = d.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perGroup.keySet == sizes.keySet)
+    perGroup.foreach { case (s, n) =>
+      assert(n == math.min(7L, sizes(s)), s"source=$s")
+    }
+    // reproducible: the same pick set on a re-run
+    val again = Sampling.groupSample(d, "source", "doc_id", n = 7)
+      .as[(String, Long)].collect().toSet
+    assert(got.as[(String, Long)].collect().toSet == again)
+  }
+
+  test("systematicWeightedSample: hand-computed integer pick set; heavy " +
+    "rows emit once; selection count tracks k") {
+    // weights 5,1,1,1,1,1 → ΣW=10, k=2 → step=5; multiples {0, 5}:
+    // doc 1 [0,5) holds 0, doc 2 [5,6) holds 5, nothing else selected
+    val w = Seq((1L, 5L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("doc_id", "w")
+    val got = Sampling.systematicWeightedSample(w, "w", k = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 5L, 0L), (2L, 1L, 5L)))
+    // one row heavier than several steps still emits ONCE
+    val heavy = Seq((1L, 100L), (2L, 1L)).toDF("doc_id", "w")
+    val h = Sampling.systematicWeightedSample(heavy, "w", k = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(h.count(_._1 == 1L) == 1)
+    // ~k selected on real data (step floor can pick a few extra)
+    val n = Sampling.systematicWeightedSample(
+      docs.select(col("doc_id"), col("n_chars")), "n_chars", k = 50).count()
+    assert(n >= 45 && n <= 60, s"expected ~50, got $n")
+  }
 }
