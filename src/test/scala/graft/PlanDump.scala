@@ -73,7 +73,9 @@ object PlanDump {
     "q281_copurchase_partners" -> "co-occurrence post-fix: GroupedTopKPartial/Final pre-cut bounds per-key state BEFORE the basket collect; pair fan-out ≤ C(maxPerKey,2)",
     "q284_zorder_scan" -> "z-ordered layout read-back: both range predicates pushed into the parquet scan over the clustered table",
     "q285_bloom_lookup" -> "bloom layout read-back: point predicate pushed into the scan; row-group skipping proven footer-level in ZOrderSpec",
-    "q286_skew_report" -> "skew report: partial-aggregated key counts, broadcast 1-row totals, TakeOrderedAndProject top-k — no global sort")
+    "q286_skew_report" -> "skew report: partial-aggregated key counts, broadcast 1-row totals, TakeOrderedAndProject top-k — no global sort",
+    "q288_source_sample" -> "per-group exact-n sample: GroupedTopK bounded buffers on the portable hash — no per-group window sort",
+    "q289_systematic_sample" -> "systematic weighted sample: two-level prefix scan (bucket windows + buckets-sized tiny window), broadcast total, integer containment filter — no single-partition corpus sort")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
