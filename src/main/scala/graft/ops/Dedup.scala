@@ -260,6 +260,77 @@ object Dedup {
     org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(sh)
   }
 
+  /** GDPR/right-to-be-forgotten delete for the near-dup signature index:
+    * drop every signature and shingle row of `ids` from both bucketed
+    * tables — the deleted docs stop matching future batches entirely.
+    * Anti-join + bucketed rewrite with the BUILD's exact specs, so probe
+    * plans (bucket-pruned, exchange-free index side) are unchanged;
+    * convergence with a fresh build over corpus-minus-ids is unit-pinned.
+    * Completes the delete story across all six index families (BM25 /
+    * IVF-PQ / binary-quant / kNN-graph already had one).
+    */
+  def deleteFromNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                             name: String, path: String, ids: DataFrame,
+                             idCol: String = "doc_id",
+                             numBuckets: Int = 32): Unit = {
+    val gone = ids.select(col(idCol)).distinct()
+    val sig = spark.table(s"${name}_sig")
+      .join(gone, Seq(idCol), "left_anti").localCheckpoint()
+    val sh = spark.table(s"${name}_shingles")
+      .join(gone, Seq(idCol), "left_anti").localCheckpoint()
+    graft.io.IO.writeBucketed(sig, s"${name}_sig", s"$path/sig",
+      Seq("__band", "__bucket"), numBuckets, Seq("__band", "__bucket"))
+    graft.io.IO.writeBucketed(sh, s"${name}_shingles", s"$path/shingles",
+      Seq(idCol), numBuckets)
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(sig)
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(sh)
+  }
+
+  /** Forget `ids` in a stored pair-cluster relation: drop every pair
+    * touching a forgotten id, then recompute connected components over
+    * the surviving pairs — removing a node can SPLIT a component (it may
+    * have been the only bridge), so star compression cannot shortcut a
+    * delete the way [[appendToPairClusters]] shortcuts an append; the CC
+    * rerun is pairs-sized, never corpus-sized. Works on both ids-only
+    * and scored pair relations (the filter keys on the two id columns
+    * and carries the rest). Meta handling mirrors the append: deleted
+    * first (a stale corpus fingerprint must never validate the shrunken
+    * relation), rewritten only when the caller supplies the
+    * post-delete fingerprint + tag. Same path lock, same single-writer
+    * contract. Returns the number of pairs removed.
+    */
+  def deleteFromPairClusters(spark: org.apache.spark.sql.SparkSession,
+                             path: String, idCol: String, ids: DataFrame,
+                             fingerprint: Option[DataFrame] = None,
+                             paramsTag: String = ""): Long =
+    Dedup.synchronized { withPathLock(spark, path) {
+      val gone = ids.select(ids.columns.head).toDF("__gone")
+        .distinct().localCheckpoint(true)
+      val stored = spark.read.parquet(s"$path/pairs")
+      val before = stored.count()
+      val kept = stored
+        .join(gone, stored("id_a") === col("__gone"), "left_anti")
+        .join(gone, stored("id_b") === col("__gone"), "left_anti")
+        .localCheckpoint(true) // materialize BEFORE touching the dir
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+      graft.io.IO.writeDir(kept, s"$path/pairs")
+      graft.io.IO.writeDir(
+        clusterNearDups(spark.read.parquet(s"$path/pairs")
+          .select(col("id_a"), col("id_b")), idCol = idCol),
+        s"$path/clusters")
+      val removed = before - kept.count()
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .releaseLocalCheckpoint(kept)
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .releaseLocalCheckpoint(gone)
+      fingerprint.foreach(f => graft.io.IO.writeDir(
+        f.withColumn("params_tag",
+          org.apache.spark.sql.functions.lit(paramsTag)), s"$path/meta"))
+      removed
+    } }
+
   /** [[buildNearDupIndex]] unless BOTH of the index's tables are already
     * registered in this session's catalog (see
     * [[graft.io.IO.ensureBucketed]] for why the skip is session-scoped).

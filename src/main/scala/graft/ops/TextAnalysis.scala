@@ -302,6 +302,46 @@ object TextAnalysis {
         .select("fp").distinct(),
       name, path, Seq("fp"), numBuckets, Seq("fp"))
 
+  /** GDPR delete for the contamination-fingerprint index. The index
+    * stores DISTINCT span fingerprints with no doc ids, so "forget these
+    * docs" must not remove a fingerprint another (remaining) document
+    * still sponsors — dropping it would un-flag genuine contamination.
+    * The sponsorship check is one hash-only scan of `remaining`
+    * semi-joined against the forgotten docs' (small) fingerprint set;
+    * only orphaned fingerprints leave the index. Cost is one remaining-
+    * corpus fingerprint pass per call — batch forget requests rather
+    * than calling per doc. (k, w, shingleHash) MUST match the build.
+    */
+  def deleteFromContaminationIndex(spark: org.apache.spark.sql.SparkSession,
+                                   name: String, path: String,
+                                   forgotten: DataFrame,
+                                   remaining: DataFrame,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text",
+                                   k: Int = 3, w: Int = 4,
+                                   shingleHash: Column => Column = xxhash64(_),
+                                   numBuckets: Int = 32): Unit = {
+    val goneFps = winnowFps(forgotten, idCol, textCol, k, w, shingleHash)
+      .select("fp").distinct().localCheckpoint(true)
+    // fingerprints a remaining doc still sponsors — map-side filtered by
+    // the (broadcastable) forgotten-fp set, never materializing the
+    // remaining corpus's full fp relation past the semi-join
+    val sponsored = winnowFps(remaining, idCol, textCol, k, w, shingleHash)
+      .select("fp")
+      .join(org.apache.spark.sql.functions.broadcast(goneFps),
+        Seq("fp"), "left_semi")
+      .distinct()
+    val removable = goneFps.join(sponsored, Seq("fp"), "left_anti")
+    val kept = spark.table(name)
+      .join(removable, Seq("fp"), "left_anti").localCheckpoint()
+    graft.io.IO.writeBucketed(kept, name, path, Seq("fp"), numBuckets,
+      Seq("fp"))
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(kept)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(goneFps)
+  }
+
   /** [[buildContaminationIndex]] unless `name` already exists in this
     * session's catalog (see [[graft.io.IO.ensureBucketed]] for why the
     * skip is session-scoped): repeated pipeline invocations in one

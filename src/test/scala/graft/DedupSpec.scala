@@ -315,6 +315,59 @@ class DedupSpec extends SparkSpec {
     assert(err.getMessage.contains("ids-only"))
   }
 
+  test("deleteFromNearDupIndex: forgotten docs stop matching, survivors " +
+    "unaffected — converges to a build over corpus-minus-forgotten") {
+    val all = Tables.documents(spark, sf0001)
+    val corpus = all.filter(col("doc_id") < 120)
+    val gone = corpus.filter(col("doc_id") % 4 === 0).select("doc_id")
+    val batch = all.filter(col("doc_id") >= 120 && col("doc_id") < 200)
+    def probe(name: String) = Dedup.nearDupNewOnlyIndexed(batch, name,
+      "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8)
+      .select("doc_id").as[Long].collect().toSet
+    val dirD = java.nio.file.Files.createTempDirectory("graft_nd_del").toString
+    Dedup.buildNearDupIndex(corpus, "del_nd", dirD, "doc_id", "text",
+      shingleK = 2, numPerm = 32, bands = 8)
+    Dedup.deleteFromNearDupIndex(spark, "del_nd", dirD, gone)
+    // every trace of the forgotten ids is out of both tables
+    assert(spark.table("del_nd_sig")
+      .join(gone, Seq("doc_id"), "left_semi").count() == 0)
+    assert(spark.table("del_nd_shingles")
+      .join(gone, Seq("doc_id"), "left_semi").count() == 0)
+    // ...and the index behaves exactly like one built without them
+    val dirR = java.nio.file.Files.createTempDirectory("graft_nd_ref").toString
+    Dedup.buildNearDupIndex(corpus.join(gone, Seq("doc_id"), "left_anti"),
+      "del_nd_ref", dirR, "doc_id", "text",
+      shingleK = 2, numPerm = 32, bands = 8)
+    assert(probe("del_nd") == probe("del_nd_ref"))
+    Seq("del_nd_sig", "del_nd_shingles", "del_nd_ref_sig",
+      "del_nd_ref_shingles").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("deleteFromPairClusters: pairs touching forgotten ids leave, CC " +
+    "recomputes (bridge removal splits), meta is invalidated") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pc_del").toString
+    val corpus = Tables.documents(spark, sf0001).filter(col("doc_id") < 150)
+    def fp = Some(Dedup.corpusFingerprint(corpus, Seq("doc_id", "text")))
+    Dedup.ensurePairClusters(spark, dir, "doc_id", fp, paramsTag = "t")(
+      Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b"))
+    // forgetting the bridge node 2 splits {1,2,3}: 1 and 3 lose their
+    // only connection and drop out of the pair relation entirely
+    val removed = Dedup.deleteFromPairClusters(spark, dir, "doc_id",
+      Seq(2L).toDF("doc_id"))
+    assert(removed == 2L)
+    assert(Dedup.cachedPairs(spark, dir)
+      .as[(Long, Long)].collect().toSet == Set((4L, 5L)))
+    assert(Dedup.cachedClusters(spark, dir)
+      .as[(Long, Long)].collect().toSet == Set((4L, 4L), (5L, 4L)))
+    // meta was deleted (corpus changed): a fresh process must rebuild
+    spark.conf.unset(s"graft.internal.pairClustersBuilt.$dir")
+    assert(Dedup.ensurePairClusters(spark, dir, "doc_id", fp,
+      paramsTag = "t")(Seq((1L, 2L)).toDF("id_a", "id_b")))
+    // the path lock released through both operations
+    assert(!new java.io.File(s"$dir/.lock").exists())
+  }
+
   test("appendToNearDupIndex converges to the full build") {
     val docs = Tables.documents(spark, sf0001)
     val sliceA = docs.filter(col("doc_id") < 60)

@@ -279,6 +279,37 @@ class TextAnalysisSpec extends SparkSpec {
     spark.sql("DROP TABLE contam_inc"); spark.sql("DROP TABLE contam_full")
   }
 
+  test("deleteFromContaminationIndex: orphaned fingerprints leave, " +
+    "fingerprints a remaining doc still sponsors stay") {
+    val uniqueText = "zq alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda unique sentinel phrase never shared anywhere"
+    val sharedText = "the benchmark answer is exactly forty two and the " +
+      "question remains deeply unknown to every careful reader here"
+    val corpus = Seq(
+      (1L, uniqueText),              // forgotten, sole sponsor of its fps
+      (2L, sharedText),              // forgotten...
+      (3L, sharedText),              // ...but doc 3 remains and sponsors
+      (4L, "completely different filler content about spark plans and " +
+        "parquet footers with nothing in common with the others")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ct_del").toString
+    TextAnalysis.buildContaminationIndex(corpus, "del_ct", dir,
+      "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
+    TextAnalysis.deleteFromContaminationIndex(spark, "del_ct", dir,
+      forgotten = corpus.filter(col("doc_id") <= 2L),
+      remaining = corpus.filter(col("doc_id") >= 3L),
+      k = 5, w = 8, shingleHash = md5Hash31)
+    val probe = Seq((10L, uniqueText), (11L, sharedText))
+      .toDF("doc_id", "text")
+    val flags = TextAnalysis.contaminationFlagsIndexed(probe, "del_ct",
+      "doc_id", "text", k = 5, w = 8, shingleHash = md5Hash31)
+      .as[(Long, Int)].collect().toMap
+    assert(flags(10L) == 0, "doc 1's orphaned fps must be forgotten")
+    assert(flags(11L) == 1, "doc 3 still sponsors the shared fps")
+    spark.sql("DROP TABLE IF EXISTS del_ct")
+  }
+
   test("tf-idf top terms: corpus-wide terms score 0, rare terms rank first") {
     // "common" is in every doc → idf = ln(1) = 0; each doc's distinctive
     // term must outrank it despite lower tf
