@@ -250,12 +250,17 @@ object Dedup {
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                           name: String, path: String, idCol: String,
                           numBuckets: Int = 32): Unit = {
+    // in-place rewrite must reuse the BUILD's bucket count (see
+    // [[deleteFromNearDupIndex]]) — the catalog's spec wins over the
+    // caller's default
+    val buckets = org.apache.spark.sql.graftbridge.ColumnBridge
+      .tableNumBuckets(spark, s"${name}_sig").getOrElse(numBuckets)
     val sig = spark.table(s"${name}_sig").localCheckpoint()
     val sh = spark.table(s"${name}_shingles").localCheckpoint()
     graft.io.IO.writeBucketed(sig, s"${name}_sig", s"$path/sig",
-      Seq("__band", "__bucket"), numBuckets, Seq("__band", "__bucket"))
+      Seq("__band", "__bucket"), buckets, Seq("__band", "__bucket"))
     graft.io.IO.writeBucketed(sh, s"${name}_shingles", s"$path/shingles",
-      Seq(idCol), numBuckets)
+      Seq(idCol), buckets)
     org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(sig)
     org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(sh)
   }
@@ -273,15 +278,20 @@ object Dedup {
                              name: String, path: String, ids: DataFrame,
                              idCol: String = "doc_id",
                              numBuckets: Int = 32): Unit = {
+    // the rewrite must reuse the BUILD's bucket count or the "probe
+    // plans unchanged / exchange-free index side" guarantee breaks —
+    // prefer the catalog's recorded spec over the caller's default
+    val buckets = org.apache.spark.sql.graftbridge.ColumnBridge
+      .tableNumBuckets(spark, s"${name}_sig").getOrElse(numBuckets)
     val gone = ids.select(col(idCol)).distinct()
     val sig = spark.table(s"${name}_sig")
       .join(gone, Seq(idCol), "left_anti").localCheckpoint()
     val sh = spark.table(s"${name}_shingles")
       .join(gone, Seq(idCol), "left_anti").localCheckpoint()
     graft.io.IO.writeBucketed(sig, s"${name}_sig", s"$path/sig",
-      Seq("__band", "__bucket"), numBuckets, Seq("__band", "__bucket"))
+      Seq("__band", "__bucket"), buckets, Seq("__band", "__bucket"))
     graft.io.IO.writeBucketed(sh, s"${name}_shingles", s"$path/shingles",
-      Seq(idCol), numBuckets)
+      Seq(idCol), buckets)
     org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(sig)
     org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(sh)
   }
@@ -304,7 +314,9 @@ object Dedup {
                              fingerprint: Option[DataFrame] = None,
                              paramsTag: String = ""): Long =
     Dedup.synchronized { withPathLock(spark, path) {
-      val gone = ids.select(ids.columns.head).toDF("__gone")
+      // key on idCol, not columns.head: a multi-column ids frame (e.g.
+      // full document rows) must still anti-join on the id
+      val gone = ids.select(col(idCol)).toDF("__gone")
         .distinct().localCheckpoint(true)
       val stored = spark.read.parquet(s"$path/pairs")
       val before = stored.count()
@@ -777,12 +789,26 @@ object Dedup {
     }
 
   /** Best-effort cross-process mutex on a relation directory: exclusive
-    * create of `path/.lock` (atomic on HDFS and posix local FS), retry
-    * with backoff while held elsewhere, steal locks older than
-    * `staleMs` (a crashed holder never unlocks), always release. This
-    * guards the build/append critical sections of the pair-cluster
-    * relations; it is ADVISORY on stores without atomic create — see
-    * the single-writer contract in [[ensurePairClusters]].
+    * create of `path/.lock` carrying a UNIQUE holder token (pid:uuid),
+    * retry with backoff while held elsewhere, steal locks older than
+    * `staleMs` (a crashed holder never unlocks), always release — but
+    * only OUR OWN acquisition (token-checked), so a racer that stole a
+    * stale lock is never unlocked by the previous holder's finally.
+    *
+    * The steal is compare-then-rename, not blind delete: the waiter
+    * first observes the lock's (token, mtime), and a stale lock is
+    * MOVED aside to a private name (rename of an existing file is
+    * atomic on posix local FS and HDFS — at most one stealer wins).
+    * The moved file's token is then compared against the observation:
+    * a match proves it is the same stale acquisition (delete it and
+    * re-contend); a mismatch means the lock changed hands between the
+    * age check and the rename — the fresh lock is renamed straight
+    * back. This closes the TOCTOU where measure-then-delete could
+    * remove a lock that was released and re-acquired in between,
+    * admitting two writers.
+    *
+    * Still ADVISORY on stores without atomic create/rename — see the
+    * single-writer contract in [[ensurePairClusters]].
     */
   private def withPathLock[A](spark: org.apache.spark.sql.SparkSession,
                               path: String, staleMs: Long = 600000L,
@@ -790,21 +816,44 @@ object Dedup {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val lock = new org.apache.hadoop.fs.Path(s"$path/.lock")
+    val myToken = s"${java.lang.ProcessHandle.current().pid()}:" +
+      java.util.UUID.randomUUID().toString
+    def readToken(p: org.apache.hadoop.fs.Path): Option[String] =
+      try {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
     val deadline = System.currentTimeMillis() + timeoutMs
     var held = false
     while (!held) {
       try {
         val out = fs.create(lock, false) // overwrite=false: exclusive
-        out.write(s"${java.lang.ProcessHandle.current().pid()}"
-          .getBytes("UTF-8"))
+        out.write(myToken.getBytes("UTF-8"))
         out.close()
         held = true
       } catch {
         case _: java.io.IOException =>
-          val age = try System.currentTimeMillis() -
-            fs.getFileStatus(lock).getModificationTime
-          catch { case _: java.io.FileNotFoundException => -1L }
-          if (age > staleMs) fs.delete(lock, false) // crashed holder
+          // observe (token, mtime) BEFORE deciding to steal
+          val observed = try {
+            val st = fs.getFileStatus(lock)
+            readToken(lock).map(tok => (tok, st.getModificationTime))
+          } catch { case _: java.io.FileNotFoundException => None }
+          val age = observed.map(o => System.currentTimeMillis() - o._2)
+            .getOrElse(-1L)
+          if (age > staleMs) {
+            val aside = new org.apache.hadoop.fs.Path(
+              s"$path/.lock.steal.${java.util.UUID.randomUUID()}")
+            val moved = try fs.rename(lock, aside)
+            catch { case _: java.io.IOException => false }
+            if (moved) {
+              if (readToken(aside) == observed.map(_._1))
+                fs.delete(aside, false) // genuine stale holder — stolen
+              else if (!fs.rename(aside, lock)) // changed hands: restore
+                fs.delete(aside, false) // racer re-created it first
+            }
+          }
           else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"withPathLock: could not acquire $lock within ${timeoutMs}ms" +
@@ -812,7 +861,10 @@ object Dedup {
           else Thread.sleep(200)
       }
     }
-    try body finally fs.delete(lock, false)
+    try body finally {
+      // token-checked release: delete only if the lock is still OURS
+      if (readToken(lock).contains(myToken)) fs.delete(lock, false)
+    }
   }
 
   /** One-row corpus fingerprint for [[ensurePairClusters]]'s

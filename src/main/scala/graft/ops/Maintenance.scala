@@ -198,17 +198,24 @@ object Maintenance {
     * STAGING + a two-marker commit protocol: (1) the new clustered
     * layout writes to `_rewrite_tmp` (hidden — concurrent readers of the
     * dir never see it; the committer's `_SUCCESS` marks the stage
-    * complete); (2) the manifest rewrites to the staged file names —
+    * complete); (1b) the CONSUMED source-file listing persists to
+    * `_rewrite_tmp/_sources` — the only files the swap is ever allowed
+    * to delete; (2) the manifest rewrites to the staged file names —
     * the durable keep-set — and `_MANIFEST_COMMITTED` is touched in tmp;
-    * (3) old data files not in the keep-set delete and staged files
-    * rename into place; (4) tmp drops. Recovery at sweep entry
-    * re-converges from ANY crash point: no `_SUCCESS` → the stage is
-    * garbage, discard it (source files untouched); `_SUCCESS` without
-    * `_MANIFEST_COMMITTED` → the swap never began and tmp is complete,
-    * so re-derive the manifest from the staged listing and proceed;
-    * both markers → the MANIFEST is the authoritative keep-set (tmp may
-    * be partially drained by a mid-rename crash — re-deriving from tmp
-    * there would drop already-moved files), so replay the swap from it.
+    * (3) consumed source files delete and staged files rename into
+    * place; (4) tmp drops. Recovery at sweep entry re-converges from
+    * ANY crash point: BOTH markers → the swap is committed and must
+    * replay (a mid-rename crash may have already deleted sources whose
+    * rows exist only in tmp — discarding would lose them); the MANIFEST
+    * is the authoritative keep-set and `_sources` bounds the deletes,
+    * so rows appended between the crash and this sweep are untouched
+    * (they simply stay unclustered until the threshold next trips).
+    * Anything less than both markers → the swap never began and the
+    * source files are all still in place, so the stage — possibly STALE
+    * by now (the same writer may have appended since the crash; its
+    * snapshot no longer covers the table) — is discarded wholesale
+    * rather than completed: no data loss from any crash point, at the
+    * cost of re-running one rewrite when the threshold next trips.
     * A lost manifest outside a swap just makes every file count as
     * unclustered — the safe direction.
     */
@@ -238,6 +245,21 @@ object Maintenance {
           .map(_.getString(0)).toSet // manifest is file-count-sized
       else Set.empty
 
+    // phase 1b: persist the CONSUMED source listing — the swap's delete
+    // authority. Written before the committed marker, so both-markers
+    // recovery always finds it.
+    val sourcesPath = new org.apache.hadoop.fs.Path(tmp, "_sources")
+    def writeSources(names: Seq[String]): Unit = {
+      import spark.implicits._
+      graft.io.IO.writeDir(names.sorted.toDF("file_name"),
+        sourcesPath.toString)
+    }
+    def readSources(): Option[Set[String]] =
+      if (graft.io.IO.parquetFileCount(spark, sourcesPath.toString) > 0)
+        Some(spark.read.parquet(sourcesPath.toString).collect()
+          .map(_.getString(0)).toSet)
+      else None
+
     // phase 2: durable keep-set — manifest := staged names, then marker
     def commitManifest(): Unit = {
       import spark.implicits._
@@ -248,11 +270,18 @@ object Maintenance {
       fs.create(committed, true).close()
     }
 
-    // phase 3+4: swap driven by the DURABLE keep-set, then drop the stage
+    // phase 3+4: swap driven by the DURABLE keep-set, deleting ONLY the
+    // consumed sources (files appended after staging are not in the
+    // stage's snapshot and must survive), then drop the stage.
+    // `_sources` missing can only mean a stage committed by a pre-1b
+    // version of this writer; its snapshot-consumed-everything semantics
+    // apply, so fall back to every current data file.
     def swapFromManifest(): Unit = {
       val keep = readManifest()
+      val consumed = readSources()
       Layout.dataFiles(spark, path)
         .filterNot(f => keep(f.getPath.getName))
+        .filter(f => consumed.forall(_(f.getPath.getName)))
         .foreach(f => fs.delete(f.getPath, false))
       fs.listStatus(tmp)
         .filter(f => keep(f.getPath.getName))
@@ -261,13 +290,13 @@ object Maintenance {
       fs.delete(tmp, true)
     }
 
-    // crash recovery BEFORE measuring — see the protocol in the docstring
+    // crash recovery BEFORE measuring — see the protocol in the docstring:
+    // only a COMMITTED swap replays; any half-staged state (even a
+    // complete stage) is stale against post-crash appends and is
+    // discarded with its sources untouched.
     if (fs.exists(tmp)) {
-      if (!fs.exists(stagedOk)) fs.delete(tmp, true)
-      else {
-        if (!fs.exists(committed)) commitManifest()
-        swapFromManifest()
-      }
+      if (fs.exists(stagedOk) && fs.exists(committed)) swapFromManifest()
+      else fs.delete(tmp, true)
     }
 
     val files = Layout.dataFiles(spark, path)
@@ -284,6 +313,9 @@ object Maintenance {
       // the parquet committer's _SUCCESS marks completion)
       Layout.writeZOrderedN(spark.read.parquet(path), zCols, tmp.toString,
         numFiles, bits)
+      // phase 1b: the stage consumed exactly the files measured above —
+      // single writer, same thread, nothing landed in between
+      writeSources(files.map(_.getPath.getName))
       commitManifest()
       swapFromManifest()
     }

@@ -50,4 +50,19 @@ object ColumnBridge {
         lr.rdd.unpersist(blocking = false)
       case _ =>
     }
+
+  /** The catalog's bucket count for a bucketed table, if the table
+    * exists and was written with a bucket spec (`sessionState` is
+    * `private[sql]`). Lets in-place index rewrites (compaction, GDPR
+    * delete) reuse the BUILD's exact bucket count instead of trusting a
+    * caller-supplied default that may disagree with what's on disk.
+    */
+  def tableNumBuckets(spark: org.apache.spark.sql.SparkSession,
+                      table: String): Option[Int] = {
+    val cat = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (cat.tableExists(id)) cat.getTableMetadata(id).bucketSpec.map(_.numBuckets)
+    else None
+  }
 }

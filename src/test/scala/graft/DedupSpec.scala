@@ -325,9 +325,15 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8)
       .select("doc_id").as[Long].collect().toSet
     val dirD = java.nio.file.Files.createTempDirectory("graft_nd_del").toString
+    // build with a NON-default bucket count and delete with the default
+    // argument: the rewrite must derive the build's count from the
+    // catalog, not trust the caller (or probe plans change under it)
     Dedup.buildNearDupIndex(corpus, "del_nd", dirD, "doc_id", "text",
-      shingleK = 2, numPerm = 32, bands = 8)
+      shingleK = 2, numPerm = 32, bands = 8, numBuckets = 8)
     Dedup.deleteFromNearDupIndex(spark, "del_nd", dirD, gone)
+    assert(org.apache.spark.sql.graftbridge.ColumnBridge
+      .tableNumBuckets(spark, "del_nd_sig").contains(8),
+      "delete rewrite must preserve the build's bucket count")
     // every trace of the forgotten ids is out of both tables
     assert(spark.table("del_nd_sig")
       .join(gone, Seq("doc_id"), "left_semi").count() == 0)
@@ -352,9 +358,11 @@ class DedupSpec extends SparkSpec {
     Dedup.ensurePairClusters(spark, dir, "doc_id", fp, paramsTag = "t")(
       Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b"))
     // forgetting the bridge node 2 splits {1,2,3}: 1 and 3 lose their
-    // only connection and drop out of the pair relation entirely
+    // only connection and drop out of the pair relation entirely.
+    // ids is a MULTI-column frame with the id NOT first — the delete
+    // must key on idCol, not on whatever column happens to lead
     val removed = Dedup.deleteFromPairClusters(spark, dir, "doc_id",
-      Seq(2L).toDF("doc_id"))
+      Seq(("full row", 2L)).toDF("text", "doc_id"))
     assert(removed == 2L)
     assert(Dedup.cachedPairs(spark, dir)
       .as[(Long, Long)].collect().toSet == Set((4L, 5L)))

@@ -236,9 +236,11 @@ class MaintenanceSpec extends SparkSpec {
     assert(!r2.rewritten && r2.unclusteredPpm == 0L, s"$r2")
   }
 
-  test("z-order layout crash windows: an incomplete stage discards, a " +
-    "complete-but-unswapped stage replays, mid-swap replays from the " +
-    "durable manifest — every path converges with no data loss") {
+  test("z-order layout crash windows: an uncommitted stage discards " +
+    "(even when complete — it may be stale), a committed swap replays " +
+    "from the durable manifest deleting only its consumed sources — " +
+    "rows appended between a crash and the recovery sweep survive " +
+    "every path") {
     import graft.ops.Layout
     val fsConf = spark.sparkContext.hadoopConfiguration
     val grid = (for (x <- 0 until 16; y <- 0 until 16)
@@ -258,32 +260,42 @@ class MaintenanceSpec extends SparkSpec {
     assert(!fs.exists(tmpA) && !ra.rewritten)
     assert(spark.read.parquet(dirA).count() == 256)
 
-    // (b) complete stage, swap never began (crash between stage and
-    // manifest commit): the sweep re-derives the manifest and swaps
+    // (b) complete stage (has _SUCCESS) but manifest never committed,
+    // and the writer APPENDS between the crash and the next sweep: the
+    // stage's snapshot does not cover the append, so completing it would
+    // lose those rows — recovery must DISCARD the stage instead
     val dirB = s"${tmp("zcrashB")}/t"
     Layout.writeZOrderedManaged(grid, Seq("x", "y"), dirB, 8, 4)
     grid.limit(64).coalesce(1).write.mode("append").parquet(dirB)
     Layout.writeZOrderedN(spark.read.parquet(dirB), Seq("x", "y"),
       s"$dirB/_rewrite_tmp", 8, 4) // staged (has _SUCCESS), then "crash"
+    grid.limit(32).coalesce(1).write.mode("append").parquet(dirB)
     val rb = Maintenance.maintainZOrderedTable(spark, dirB, Seq("x", "y"),
       200000L, 8, 4)
     val outB = spark.read.parquet(dirB)
-    assert(outB.count() == 320, s"recovered swap must keep all rows: $rb")
+    assert(outB.count() == 352,
+      s"post-crash append must survive stage recovery: $rb")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dirB/_rewrite_tmp")))
-    // post-recovery the layout is quiet (manifest covers everything)
+    // the discarded stage's staleness re-triggered the rewrite (the
+    // appends' byte share is over threshold), so the layout is quiet now
     assert(!Maintenance.maintainZOrderedTable(spark, dirB, Seq("x", "y"),
       200000L, 8, 4).rewritten)
+    assert(spark.read.parquet(dirB).count() == 352)
 
-    // (c) mid-swap crash (manifest committed, one staged file already
-    // moved): replay converges from the manifest with no loss
+    // (c) mid-swap crash (manifest + _sources committed, one staged file
+    // already moved) with a post-crash append: replay converges from the
+    // manifest, deletes ONLY the consumed sources, keeps the append
     val dirC = s"${tmp("zcrashC")}/t"
     Layout.writeZOrderedManaged(grid, Seq("x", "y"), dirC, 8, 4)
     grid.limit(64).coalesce(1).write.mode("append").parquet(dirC)
     val tmpC = new org.apache.hadoop.fs.Path(s"$dirC/_rewrite_tmp")
+    val sourcesC = Layout.dataFiles(spark, dirC).map(_.getPath.getName)
     Layout.writeZOrderedN(spark.read.parquet(dirC), Seq("x", "y"),
       tmpC.toString, 8, 4)
-    // manifest := staged names + marker (phase 2), then move ONE file
-    // and "crash"
+    // phases 1b+2 by hand: _sources + manifest := staged names + marker,
+    // then move ONE file and "crash"
+    graft.io.IO.writeDir(sourcesC.sorted.toDF("file_name"),
+      new org.apache.hadoop.fs.Path(tmpC, "_sources").toString)
     val staged = fs.listStatus(tmpC)
       .filter(_.getPath.getName.endsWith(".parquet"))
     graft.io.IO.writeDir(
@@ -293,10 +305,32 @@ class MaintenanceSpec extends SparkSpec {
       true).close()
     fs.rename(staged.head.getPath,
       new org.apache.hadoop.fs.Path(dirC, staged.head.getPath.getName))
+    grid.limit(32).coalesce(1).write.mode("append").parquet(dirC)
     val rc = Maintenance.maintainZOrderedTable(spark, dirC, Seq("x", "y"),
-      200000L, 8, 4)
-    assert(spark.read.parquet(dirC).count() == 320,
-      s"mid-swap replay must keep all rows: $rc")
+      1000000L, 8, 4) // threshold high: isolate the replay from a rewrite
+    assert(spark.read.parquet(dirC).count() == 352,
+      s"mid-swap replay must keep staged rows AND the post-crash append: $rc")
     assert(!fs.exists(tmpC))
+
+    // (d) legacy committed stage (no _sources): falls back to the old
+    // snapshot-consumed-everything semantics and still converges
+    val dirD = s"${tmp("zcrashD")}/t"
+    Layout.writeZOrderedManaged(grid, Seq("x", "y"), dirD, 8, 4)
+    grid.limit(64).coalesce(1).write.mode("append").parquet(dirD)
+    val tmpD = new org.apache.hadoop.fs.Path(s"$dirD/_rewrite_tmp")
+    Layout.writeZOrderedN(spark.read.parquet(dirD), Seq("x", "y"),
+      tmpD.toString, 8, 4)
+    val stagedD = fs.listStatus(tmpD)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    graft.io.IO.writeDir(
+      stagedD.map(_.getPath.getName).sorted.toSeq.toDF("file_name"),
+      Layout.zorderManifestPath(dirD))
+    fs.create(new org.apache.hadoop.fs.Path(tmpD, "_MANIFEST_COMMITTED"),
+      true).close()
+    val rd = Maintenance.maintainZOrderedTable(spark, dirD, Seq("x", "y"),
+      1000000L, 8, 4)
+    assert(spark.read.parquet(dirD).count() == 320,
+      s"legacy committed stage must still replay losslessly: $rd")
+    assert(!fs.exists(tmpD))
   }
 }
