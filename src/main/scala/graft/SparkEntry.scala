@@ -2801,6 +2801,41 @@ object SparkEntry {
           "doc_id"))
         .filter(col("decode_error").isNull)
         .select(col("media_id"), col("width"), col("height"))),
+    "q290_video_scene_cuts" -> ((s, d) => {
+      // shot-boundary detection over REAL decoded MJPEG-in-AVI frames
+      // (q278's stub-feature successor): frames within a scene are
+      // byte-identical JPEGs, so their decoded (gray_sum, pixel_checksum)
+      // are EXACTLY equal and a cut is any consecutive-frame metric
+      // change — the detector sees only decoded pixels, the oracle
+      // replays the closed-form scene grid (cuts at k % sceneLen = 0)
+      val fr = Multimodal.decodeAviFrames(
+        Multimodal.synthesizeAvi(s, T(s, d, "documents").select("doc_id"),
+          "doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("frame_no"))
+      fr.select(col("media_id"), col("gray_sum"), col("pixel_checksum"),
+          lag(col("gray_sum"), 1).over(w).as("pg"),
+          lag(col("pixel_checksum"), 1).over(w).as("pc"))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          coalesce(sum((col("pg").isNotNull &&
+            (col("gray_sum") =!= col("pg") ||
+              col("pixel_checksum") =!= col("pc"))).cast("long")), lit(0L))
+            .as("n_cuts"))
+    }),
+    "q291_video_decode_census" -> ((s, d) => {
+      // corrupt-container quarantine through the video demux: every 5th
+      // blob is garbage bytes (no RIFF header) — the bounds-checked
+      // demux throws, the tier emits ONE (null-metrics, decode_error)
+      // row for the whole video, frames roll up per video, and the
+      // census reports the honest bad-container count
+      val fr = Multimodal.decodeAviFrames(Multimodal.withCorruptedBlobs(
+        Multimodal.synthesizeAvi(s, T(s, d, "documents").select("doc_id"),
+          "doc_id"), everyNth = 5))
+      Multimodal.decodeCensus(
+        fr.groupBy(col("media_id"))
+          .agg(max(col("decode_error")).as("decode_error")))
+    }),
     "q279_image_quality" -> ((s, d) => {
       // vision-corpus quality filter over REAL decoded pixels: the codec
       // tier emits exact integers only (Σg, Σg², nano-snapped histogram
@@ -6776,6 +6811,26 @@ object SparkEntry {
         |  CAST(doc_id % 13 + 4 AS INTEGER) AS width,
         |  CAST(doc_id % 11 + 4 AS INTEGER) AS height
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    "q290_video_scene_cuts" ->
+      // the synth writes n = id%10+4 frames in scenes of 3 (frame k's
+      // pattern id is id·1000 + k//3, one JPEG per scene reused for its
+      // frames), so over DECODED pixels the cut count has a closed form:
+      // boundaries at k % 3 = 0, k ≥ 1 → ceil(n/3) − 1. A detector that
+      // missed a boundary (or hallucinated one inside a scene) breaks
+      // the row hash — this oracles the decode+detect path end to end
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 10 + 4 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 10 + 4 + 2) // 3 - 1 AS BIGINT) AS n_cuts
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    "q291_video_decode_census" ->
+      // the corruption rule is id-deterministic (every 5th blob), so the
+      // per-video quarantine census is pure arithmetic over documents
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_decoded,
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quarantined
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     "q279_image_quality" ->
       // replays pattern → full-resolution gray → exact integer moments +
       // per-bin nano-snapped c·ln c, assembled with DuckDB's round/ln in

@@ -795,6 +795,247 @@ object Multimodal {
       .toDF()
   }
 
+  // -------------------------------------------------- real video codec tier
+
+  /** Minimal RIFF/AVI (MJPEG) mux: one `00dc` chunk per JPEG frame under
+    * the standard `hdrl`(avih + strl(strh/strf)) + `movi` layout, all
+    * little-endian, no idx1 (players tolerate index-less AVI; our own
+    * demuxer below never needs one). MJPEG-in-AVI is the one video
+    * container a pure JVM can both WRITE and DECODE (each frame is a
+    * standalone JPEG through `ImageIO`), which is exactly what the video
+    * tier needs to stop being a stub: real container bytes, real frame
+    * decode, real corrupt-container quarantine.
+    */
+  private def aviBytes(jpegs: Seq[Array[Byte]], w: Int, h: Int,
+                       fps: Int): Array[Byte] = {
+    def pad(n: Int) = n + (n & 1)
+    val maxJpeg = jpegs.map(_.length).max
+    val moviContent = 4 + jpegs.map(j => 8 + pad(j.length)).sum
+    val hdrlContent = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffContent = 4 + (8 + hdrlContent) + (8 + moviContent)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffContent)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); buf.putInt(riffContent); cc("AVI ")
+    cc("LIST"); buf.putInt(hdrlContent); cc("hdrl")
+    cc("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps) // dwMicroSecPerFrame
+    buf.putInt(0); buf.putInt(0); buf.putInt(0) // maxBytesPerSec/pad/flags
+    buf.putInt(jpegs.length) // dwTotalFrames
+    buf.putInt(0); buf.putInt(1) // dwInitialFrames, dwStreams
+    buf.putInt(maxJpeg) // dwSuggestedBufferSize
+    buf.putInt(w); buf.putInt(h)
+    (0 until 4).foreach(_ => buf.putInt(0)) // dwReserved
+    cc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); cc("strl")
+    cc("strh"); buf.putInt(56)
+    cc("vids"); cc("MJPG")
+    buf.putInt(0) // dwFlags
+    buf.putShort(0); buf.putShort(0) // wPriority, wLanguage
+    buf.putInt(0) // dwInitialFrames
+    buf.putInt(1); buf.putInt(fps) // dwScale, dwRate → fps frames/sec
+    buf.putInt(0); buf.putInt(jpegs.length) // dwStart, dwLength
+    buf.putInt(maxJpeg) // dwSuggestedBufferSize
+    buf.putInt(-1); buf.putInt(0) // dwQuality (default), dwSampleSize
+    buf.putShort(0); buf.putShort(0) // rcFrame left, top
+    buf.putShort(w.toShort); buf.putShort(h.toShort) // rcFrame right, bottom
+    cc("strf"); buf.putInt(40)
+    buf.putInt(40); buf.putInt(w); buf.putInt(h) // biSize, biWidth, biHeight
+    buf.putShort(1); buf.putShort(24) // biPlanes, biBitCount
+    cc("MJPG") // biCompression
+    buf.putInt(w * h * 3) // biSizeImage
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    cc("LIST"); buf.putInt(moviContent); cc("movi")
+    jpegs.foreach { j =>
+      cc("00dc"); buf.putInt(j.length); buf.put(j)
+      if ((j.length & 1) == 1) buf.put(0.toByte) // RIFF even-padding
+    }
+    buf.array()
+  }
+
+  /** Defensive RIFF/AVI demux: walk the chunk tree, collect the `movi`
+    * list's `00dc` payloads in stream order. Every size field is bounds-
+    * checked against the remaining container BEFORE it is trusted — a
+    * truncated or bit-rotted chunk size throws (→ the quarantine lane),
+    * never reads past the buffer or allocates a bogus-size array.
+    */
+  private def aviFrameChunks(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    require(bytes.length >= 12, "truncated container (no RIFF header)")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(): String = {
+      val a = new Array[Byte](4); buf.get(a); new String(a, "US-ASCII")
+    }
+    require(cc() == "RIFF", "not a RIFF container")
+    val riffSize = buf.getInt
+    require(riffSize >= 4 && riffSize <= buf.remaining(),
+      "RIFF size overruns container")
+    require(cc() == "AVI ", "RIFF is not an AVI")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (buf.remaining() >= 8) {
+      val id = cc(); val sz = buf.getInt
+      require(sz >= 0 && sz <= buf.remaining(),
+        s"chunk '$id' size overruns container")
+      val end = buf.position() + sz
+      if (id == "LIST" && sz >= 4 && cc() == "movi") {
+        while (buf.position() + 8 <= end) {
+          val cid = cc(); val csz = buf.getInt
+          require(csz >= 0 && buf.position() + csz <= end,
+            s"movi chunk '$cid' overruns list")
+          if (cid == "00dc") {
+            val a = new Array[Byte](csz); buf.get(a); frames += a
+          } else buf.position(buf.position() + csz)
+          if ((csz & 1) == 1 && buf.position() < end)
+            buf.position(buf.position() + 1)
+        }
+      }
+      buf.position(math.min(end + (sz & 1), buf.limit()))
+    }
+    require(frames.nonEmpty, "no video frame chunks in container")
+    frames.toSeq
+  }
+
+  private case class SynthAvi(media_id: Long, kind: String,
+                              content: Array[Byte], width: Int, height: Int,
+                              n_frames: Int)
+
+  /** REAL MJPEG-in-AVI synthesis — the video third of the fixture
+    * trilogy ([[synthesizePng]] / [[synthesizeWav]]): only VIDEO rows
+    * (id%3 = 2) carry a blob; geometry reuses the image closed form
+    * (w = vid%13+4, h = vid%11+4), frame count is vid%10+4, and frames
+    * come in SCENES of `sceneLen`: frame k's pixels are the
+    * [[synthChannel]] pattern of pid = vid·1000 + k/sceneLen, JPEG-
+    * encoded once per scene, so frames within a scene are byte-identical
+    * (decoded pixels exactly equal — zero feature delta) and every scene
+    * boundary is a real content cut. That gives scene-change detection
+    * over DECODED pixels a closed-form truth: cuts happen exactly at
+    * k % sceneLen = 0, k ≥ 1.  `patternMod` mirrors the other synths:
+    * pixel pattern + geometry derive from rowId % patternMod so distinct
+    * ids carry byte-identical video (the re-upload duplicate shape).
+    */
+  def synthesizeAvi(spark: SparkSession, ids: DataFrame, idCol: String,
+                    patternMod: Long = 0L, fps: Int = 4,
+                    sceneLen: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(patternMod >= 0L, s"patternMod must be >= 0: $patternMod")
+    require(fps >= 1 && fps <= 1000000, s"fps must be in [1, 1e6]: $fps")
+    require(sceneLen >= 1, s"sceneLen must be >= 1: $sceneLen")
+    val kinds = Seq("image", "audio", "video")
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { rowId =>
+          val kind = kinds((((rowId % 3) + 3) % 3).toInt)
+          val id = if (patternMod > 0) rowId % patternMod else rowId
+          val w = (id % 13 + 4).toInt
+          val h = (id % 11 + 4).toInt
+          val n = (id % 10 + 4).toInt
+          val bytes = if (kind != "video") null else {
+            // one JPEG per SCENE, reused for every frame in it
+            val sceneJpeg = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+            def jpegOf(scene: Int): Array[Byte] =
+              sceneJpeg.getOrElseUpdate(scene, {
+                val pid = id * 1000L + scene
+                val img = new java.awt.image.BufferedImage(
+                  w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    img.setRGB(x, y,
+                      (synthChannel(pid, x, y, 0) << 16) |
+                        (synthChannel(pid, x, y, 1) << 8) |
+                        synthChannel(pid, x, y, 2))
+                    x += 1
+                  }
+                  y += 1
+                }
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "jpg", bos)
+                bos.toByteArray
+              })
+            aviBytes((0 until n).map(k => jpegOf(k / sceneLen)), w, h, fps)
+          }
+          SynthAvi(rowId, kind, bytes, w, h, n)
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("kind"), col("content"),
+        struct(
+          when(col("kind") === "video", col("width")).cast("int").as("width"),
+          when(col("kind") === "video", col("height")).cast("int")
+            .as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          when(col("kind") === "video",
+            col("n_frames").cast("long") * 1000L / fps).cast("long")
+            .as("duration_ms")).as("meta"))
+  }
+
+  case class VideoFrame(media_id: Long, frame_no: Option[Int],
+                        width: Option[Int], height: Option[Int],
+                        gray_sum: Option[Long], pixel_checksum: Option[Long],
+                        decode_error: Option[String])
+
+  /** Real video decode executor tier: demux the AVI container, decode
+    * every MJPEG frame through the SAME `ImageIO` sniffing as the image
+    * tiers, and emit one row per frame with exact-integer metrics
+    * (Σgray and the position-weighted pixel checksum
+    * Σ (r + 256·g + 65536·b)·(1 + x + w·y) — [[decodeResizeImages]]'s
+    * recipe, collision-proof enough that two frames comparing equal on
+    * BOTH metrics are the same picture). A container that fails
+    * structurally (truncated, bit-rotted sizes, garbage bytes) or any
+    * frame `ImageIO` rejects quarantines the whole video as ONE
+    * (null-metrics, decode_error) row — the per-video census shape —
+    * instead of crashing the task. Non-video rows never reach the demux
+    * (metadata-only kind filter prunes the blob read).
+    *
+    * Scale shape: map-only; one container + one decoded frame in memory
+    * at a time per task. JPEG decoded pixels are deterministic per JVM
+    * but lossy, so oracle queries compare frame metrics for EQUALITY
+    * ACROSS frames (byte-identical frames ⇒ equal metrics ⇒ scene-cut
+    * detection has a closed form) — never pixel values themselves
+    * (q283's JPEG discipline).
+    */
+  def decodeAviFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "video" && col("content").isNotNull)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          try {
+            aviFrameChunks(bytes).zipWithIndex.map { case (jpeg, k) =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(jpeg))
+              require(img != null, s"frame $k is not a decodable image")
+              val w = img.getWidth; val h = img.getHeight
+              var gs = 0L; var ck = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val r = (rgb >> 16) & 0xff
+                  val g = (rgb >> 8) & 0xff
+                  val b = rgb & 0xff
+                  gs += (r + g + b) / 3
+                  ck += (r + 256L * g + 65536L * b) * (1L + x + w.toLong * y)
+                  x += 1
+                }
+                y += 1
+              }
+              VideoFrame(id, Some(k), Some(w), Some(h), Some(gs), Some(ck),
+                None)
+            }
+          } catch { case scala.util.control.NonFatal(e) =>
+            Seq(VideoFrame(id, None, None, None, None, None,
+              Some(decodeErrMsg(e))))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Partition-wise decode via mapPartitions (SURVEY.md §4 tier d — the
     * right tier here because a codec context is imperative, per-partition
     * state the expression layer can't model). The iterator is consumed

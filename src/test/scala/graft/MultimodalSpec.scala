@@ -415,4 +415,67 @@ class MultimodalSpec extends SparkSpec {
       short.getAs[String]("decode_error").contains("too short"))
     assert(short.isNullAt(short.fieldIndex("fingerprint")))
   }
+
+  test("synthesizeAvi + decodeAviFrames: real MJPEG-in-AVI round-trips — " +
+    "geometry and frame count match the closed form, frames within a " +
+    "scene decode byte-identical, scene boundaries always differ") {
+    // id%3==2 → video; id=5: w=5%13+4=9, h=5%11+4=9, n=5%10+4=9 frames,
+    // scenes of 3 → boundaries at k=3 and k=6
+    val ids = Seq(2L, 5L, 8L, 11L, 35L).toDF("doc_id")
+    val media = Multimodal.synthesizeAvi(spark, ids, "doc_id")
+    // container sanity: RIFF....AVI magic at the expected offsets
+    media.select(col("content")).as[Array[Byte]].collect().foreach { b =>
+      assert(new String(b.take(4), "US-ASCII") == "RIFF")
+      assert(new String(b.slice(8, 12), "US-ASCII") == "AVI ")
+    }
+    val frames = Multimodal.decodeAviFrames(media).collect()
+    assert(frames.forall(_.getAs[String]("decode_error") == null))
+    val byVid = frames.groupBy(_.getAs[Long]("media_id"))
+    assert(byVid.keySet == Set(2L, 5L, 8L, 11L, 35L))
+    byVid.foreach { case (id, fr) =>
+      assert(fr.length == (id % 10 + 4).toInt, s"id=$id frame count")
+      fr.foreach { r =>
+        assert(r.getAs[Int]("width") == (id % 13 + 4).toInt)
+        assert(r.getAs[Int]("height") == (id % 11 + 4).toInt)
+      }
+      val metrics = fr.sortBy(_.getAs[Int]("frame_no"))
+        .map(r => (r.getAs[Long]("gray_sum"), r.getAs[Long]("pixel_checksum")))
+      metrics.zipWithIndex.sliding(2).foreach {
+        case Array((a, i), (b, j)) =>
+          if (j / 3 == i / 3)
+            assert(a == b, s"id=$id frames $i,$j same scene must be equal")
+          else assert(a != b, s"id=$id frames $i,$j cross a scene boundary")
+        case _ =>
+      }
+    }
+    // patternMod: distinct ids share byte-identical video (re-upload dup)
+    val dup = Multimodal.synthesizeAvi(spark, Seq(2L, 32L).toDF("doc_id"),
+      "doc_id", patternMod = 30)
+      .select(col("content")).as[Array[Byte]].collect()
+    assert(java.util.Arrays.equals(dup(0), dup(1)))
+  }
+
+  test("decodeAviFrames quarantines corrupt containers (garbage bytes AND " +
+    "truncation) as one per-video error row instead of crashing") {
+    val ids = Seq(2L, 5L, 8L, 11L, 20L).toDF("doc_id")
+    // every 5th id's blob is sha2 garbage: ids 5 and 20 quarantine
+    val bad = Multimodal.withCorruptedBlobs(
+      Multimodal.synthesizeAvi(spark, ids, "doc_id"), everyNth = 5)
+    val out = Multimodal.decodeAviFrames(bad).collect()
+    val q = out.filter(_.getAs[String]("decode_error") != null)
+    assert(q.map(_.getAs[Long]("media_id")).toSet == Set(5L, 20L))
+    assert(q.forall(r => r.isNullAt(r.fieldIndex("frame_no")) &&
+      r.isNullAt(r.fieldIndex("gray_sum"))))
+    assert(out.filter(_.getAs[String]("decode_error") == null)
+      .map(_.getAs[Long]("media_id")).toSet == Set(2L, 8L, 11L))
+    // truncation: cut a valid container mid-movi — the bounds-checked
+    // demux must throw into the quarantine lane, not read past the buffer
+    val whole = Multimodal.synthesizeAvi(spark, Seq(2L).toDF("doc_id"),
+      "doc_id").select(col("content")).as[Array[Byte]].head()
+    val cut = spark.createDataset(Seq((2L, whole.take(whole.length / 2))))
+      .toDF("media_id", "content")
+      .select(col("media_id"), lit("video").as("kind"), col("content"))
+    val tr = Multimodal.decodeAviFrames(cut).collect()
+    assert(tr.length == 1 && tr.head.getAs[String]("decode_error") != null)
+  }
 }
