@@ -756,6 +756,25 @@ object SparkEntry {
       path
     }
 
+  /** Session-cached transition-edge relation
+    * ([[graft.ops.Graph.transitionEdges]] over the event log) — the ~10
+    * graph queries (PageRank/PPR/LPA/paths/triangles/k-core/HITS/…)
+    * consume the IDENTICAL |distinct (src,dst)|-sized relation, so the
+    * window-over-events derivation runs once per (session, sf) and every
+    * consumer reads the parquet copy — bit-identical, because (string,
+    * string, bigint) rows round-trip parquet exactly
+    * ([[graft.io.IO.ensureWritten]] discipline).
+    */
+  private def transitionEdgesPath(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_clusters/tedges_${tagFor(d)}"
+    graft.io.IO.ensureWritten(s, path)(
+      Graph.transitionEdges(T(s, d, "events")))
+    path
+  }
+
+  private def cachedTransitionEdges(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(transitionEdgesPath(s, d))
+
   /** Session-cached mined-span relation over the pair-injected corpus —
     * q153 reports it, q154 scrubs with it; one mining run per session
     * ([[graft.io.IO.ensureWritten]]).
@@ -2566,7 +2585,7 @@ object SparkEntry {
       // fixed damped PageRank rounds — the oracle unrolls the identical
       // iteration to 10 SQL layers via Graph.pageRankOracleSql, one
       // source of truth for the arithmetic
-      Graph.pageRank(Graph.transitionEdges(T(s, d, "events")),
+      Graph.pageRank(cachedTransitionEdges(s, d),
         iterations = 10)),
     "q137_mmr_diverse" -> ((s, d) =>
       // diversified retrieval: MMR-greedy 5 picks from the 40-vector
@@ -2653,7 +2672,7 @@ object SparkEntry {
       // restricted to the source set — q136's shared implementation and
       // unrolled oracle with a sources CTE
       import s.implicits._
-      Graph.personalizedPageRank(Graph.transitionEdges(T(s, d, "events")),
+      Graph.personalizedPageRank(cachedTransitionEdges(s, d),
         Seq("signup").toDF("node"), iterations = 10)
     }),
     "q145_training_pipeline_v3" -> ((s, d) => {
@@ -2685,12 +2704,12 @@ object SparkEntry {
       // community detection on the transition graph: 5 semi-synchronous
       // rounds of heaviest-incoming-vote label adoption (integer votes —
       // exact; smallest-label tiebreak); unrolled materialized oracle
-      Graph.labelPropagation(Graph.transitionEdges(T(s, d, "events")),
+      Graph.labelPropagation(cachedTransitionEdges(s, d),
         iterations = 5)),
     "q147_cheapest_paths" -> ((s, d) =>
       // most-probable transition paths from 'signup': Bellman-Ford over
       // -ln(transition probability) edge costs, 6 relaxation rounds
-      Graph.cheapestPaths(Graph.transitionEdges(T(s, d, "events")),
+      Graph.cheapestPaths(cachedTransitionEdges(s, d),
         source = "signup", iterations = 6)),
     "q148_timed_funnel" -> ((s, d) =>
       // q141's funnel with a CONVERSION WINDOW: later steps count only
@@ -2766,10 +2785,16 @@ object SparkEntry {
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       val pairs = Graph.coOccurrencePairs(baskets, "cust", "part",
         maxPerKey = 20)
-      val sym = pairs.select(col("item_a").as("part"),
-          col("item_b").as("partner"), col("n_keys"))
-        .unionAll(pairs.select(col("item_b").as("part"),
-          col("item_a").as("partner"), col("n_keys")))
+      // symmetrize with a both-directions explode, NOT a self-union: a
+      // union of two selects over `pairs` plans the whole mining subtree
+      // TWICE (r12 verdict finding); the generator doubles rows off ONE
+      // subtree instead
+      val sym = pairs.select(explode(array(
+          struct(col("item_a").as("part"), col("item_b").as("partner")),
+          struct(col("item_b").as("part"), col("item_a").as("partner"))))
+          .as("pp"), col("n_keys"))
+        .select(col("pp.part").as("part"), col("pp.partner").as("partner"),
+          col("n_keys"))
       graft.plans.TopK.perGroup(sym, Seq("part"),
         Seq(("n_keys", true), ("partner", false)), 3)
     }),
@@ -2951,7 +2976,7 @@ object SparkEntry {
       // clustering-coefficient precursor over the event-type transition
       // graph: canonical a<b<c enumeration, each triangle credits its
       // three corners
-      Graph.triangleCounts(Graph.transitionEdges(T(s, d, "events")))),
+      Graph.triangleCounts(cachedTransitionEdges(s, d))),
     "q157_incremental_span_scrub" -> ((s, d) => {
       // incremental decontamination: the odd-id half is the NEW batch,
       // the even-id half the immutable corpus — each batch doc loses the
@@ -2972,7 +2997,7 @@ object SparkEntry {
         groupCol = "source", minMean = 0.625)),
     "q159_clustering_coeff" -> ((s, d) =>
       Graph.clusteringCoefficients(
-        Graph.transitionEdges(T(s, d, "events")))),
+        cachedTransitionEdges(s, d))),
     "q160_cluster_best_keeper" -> ((s, d) =>
       // SemDeDup keep-best: q38's near-dup clusters, but the keeper is
       // the highest-quality member (ties to lower id), not the lowest id
@@ -3189,7 +3214,7 @@ object SparkEntry {
       // weight >= max/2 (integer floor — portable), label components via
       // the pointer-doubling CC core on portable-hashed type nodes, and
       // histogram the component sizes — the graph-health snapshot
-      val edges = Graph.transitionEdges(T(s, d, "events"))
+      val edges = cachedTransitionEdges(s, d)
       val mx = edges.agg(max(col("weight")).as("__mw"))
       val kept = edges.crossJoin(broadcast(mx))
         .filter(col("weight") >= expr("__mw div 2"))
@@ -3671,7 +3696,7 @@ object SparkEntry {
       // event kinds FEED engagement (hubs) vs RECEIVE it (authorities) —
       // 10 weighted HITS rounds, L1-normalized, round-6 every step, the
       // oracle unrolls the identical iteration (q136's discipline)
-      Graph.hits(Graph.transitionEdges(T(s, d, "events")),
+      Graph.hits(cachedTransitionEdges(s, d),
         iterations = 10)),
     "q244_ranksum_pairs" -> ((s, d) =>
       // directional drift matrix: Mann–Whitney 2U between every source
@@ -3845,7 +3870,7 @@ object SparkEntry {
       // closes the community-detection loop: Newman modularity of
       // q146's LPA communities on the same transition graph — exact
       // integer numerator Σ(w_in·m₂ − deg²), one final division
-      val edges = Graph.transitionEdges(T(s, d, "events"))
+      val edges = cachedTransitionEdges(s, d)
       Graph.modularity(edges, Graph.labelPropagation(edges,
         iterations = 5))
     }),

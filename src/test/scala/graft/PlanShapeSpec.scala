@@ -664,6 +664,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("GroupedTopKPartial"), s)
     assert(s.contains("GroupedTopKFinal"), s)
     assert(!s.contains("collect_set"), s)
+    // r12 verdict: the symmetrize must NOT self-union (that plans the
+    // mining subtree twice) — one subtree + a both-directions explode
+    assert(!s.contains("Union"), s)
+    assert(s.contains("Generate explode"), s)
   }
 
   test("contamination fingerprint index: probe reads the index in place") {
