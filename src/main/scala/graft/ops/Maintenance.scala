@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Auto-maintenance policy for the persisted index families — the glue
@@ -226,18 +226,22 @@ object Maintenance {
   final case class LayoutReport(files: Long, unclusteredPpm: Long,
                                 maxUnclusteredPpm: Long, rewritten: Boolean)
 
-  def maintainZOrderedTable(spark: SparkSession, path: String,
-                            zCols: Seq[String],
-                            maxUnclusteredPpm: Long = 200000L,
-                            numFiles: Int = 8, bits: Int = 16)
-      : LayoutReport = {
-    require(maxUnclusteredPpm >= 0, "maxUnclusteredPpm must be >= 0")
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
-      spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_rewrite_tmp")
-    val manifestPath = Layout.zorderManifestPath(path)
-    val stagedOk = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
-    val committed = new org.apache.hadoop.fs.Path(tmp, "_MANIFEST_COMMITTED")
+  /** The staged two-marker swap protocol of a MANAGED z-ordered table,
+    * factored out so every whole-table rewrite — threshold re-cluster
+    * ([[maintainZOrderedTable]]) and GDPR delete
+    * ([[deleteFromZOrderedTable]]) — shares ONE crash-recovery story.
+    * See the protocol walk-through on [[maintainZOrderedTable]].
+    */
+  private final class ZOrderSwap(spark: SparkSession, path: String) {
+    val fs: org.apache.hadoop.fs.FileSystem =
+      org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        spark.sparkContext.hadoopConfiguration)
+    private val tmp = new org.apache.hadoop.fs.Path(s"$path/_rewrite_tmp")
+    private val manifestPath = Layout.zorderManifestPath(path)
+    private val stagedOk = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    private val committed =
+      new org.apache.hadoop.fs.Path(tmp, "_MANIFEST_COMMITTED")
+    private val sourcesPath = new org.apache.hadoop.fs.Path(tmp, "_sources")
 
     def readManifest(): Set[String] =
       if (graft.io.IO.parquetFileCount(spark, manifestPath) > 0)
@@ -248,20 +252,19 @@ object Maintenance {
     // phase 1b: persist the CONSUMED source listing — the swap's delete
     // authority. Written before the committed marker, so both-markers
     // recovery always finds it.
-    val sourcesPath = new org.apache.hadoop.fs.Path(tmp, "_sources")
-    def writeSources(names: Seq[String]): Unit = {
+    private def writeSources(names: Seq[String]): Unit = {
       import spark.implicits._
       graft.io.IO.writeDir(names.sorted.toDF("file_name"),
         sourcesPath.toString)
     }
-    def readSources(): Option[Set[String]] =
+    private def readSources(): Option[Set[String]] =
       if (graft.io.IO.parquetFileCount(spark, sourcesPath.toString) > 0)
         Some(spark.read.parquet(sourcesPath.toString).collect()
           .map(_.getString(0)).toSet)
       else None
 
     // phase 2: durable keep-set — manifest := staged names, then marker
-    def commitManifest(): Unit = {
+    private def commitManifest(): Unit = {
       import spark.implicits._
       graft.io.IO.writeDir(
         fs.listStatus(tmp).map(_.getPath.getName)
@@ -276,7 +279,7 @@ object Maintenance {
     // `_sources` missing can only mean a stage committed by a pre-1b
     // version of this writer; its snapshot-consumed-everything semantics
     // apply, so fall back to every current data file.
-    def swapFromManifest(): Unit = {
+    private def swapFromManifest(): Unit = {
       val keep = readManifest()
       val consumed = readSources()
       Layout.dataFiles(spark, path)
@@ -290,36 +293,87 @@ object Maintenance {
       fs.delete(tmp, true)
     }
 
-    // crash recovery BEFORE measuring — see the protocol in the docstring:
-    // only a COMMITTED swap replays; any half-staged state (even a
-    // complete stage) is stale against post-crash appends and is
-    // discarded with its sources untouched.
-    if (fs.exists(tmp)) {
-      if (fs.exists(stagedOk) && fs.exists(committed)) swapFromManifest()
-      else fs.delete(tmp, true)
-    }
+    /** Crash recovery — run BEFORE any measurement or rewrite: only a
+      * COMMITTED swap replays; any half-staged state (even a complete
+      * stage) is stale against post-crash appends and is discarded with
+      * its sources untouched.
+      */
+    def recover(): Unit =
+      if (fs.exists(tmp)) {
+        if (fs.exists(stagedOk) && fs.exists(committed)) swapFromManifest()
+        else fs.delete(tmp, true)
+      }
 
+    /** Stage `build`(current table) re-clustered on `zCols`, then run
+      * the full commit + swap. `consumed` is the data-file listing the
+      * caller measured immediately before (single writer, same thread —
+      * exactly what `build`'s scan will read).
+      */
+    def rewrite(consumed: Seq[String], zCols: Seq[String], numFiles: Int,
+                bits: Int)(build: DataFrame => DataFrame): Unit = {
+      // phase 1: stage the re-clustered layout (source files untouched;
+      // the parquet committer's _SUCCESS marks completion)
+      Layout.writeZOrderedN(build(spark.read.parquet(path)), zCols,
+        tmp.toString, numFiles, bits)
+      writeSources(consumed)
+      commitManifest()
+      swapFromManifest()
+    }
+  }
+
+  def maintainZOrderedTable(spark: SparkSession, path: String,
+                            zCols: Seq[String],
+                            maxUnclusteredPpm: Long = 200000L,
+                            numFiles: Int = 8, bits: Int = 16)
+      : LayoutReport = {
+    require(maxUnclusteredPpm >= 0, "maxUnclusteredPpm must be >= 0")
+    val swap = new ZOrderSwap(spark, path)
+    swap.recover()
     val files = Layout.dataFiles(spark, path)
     if (files.isEmpty)
       return LayoutReport(0L, 0L, maxUnclusteredPpm, rewritten = false)
-    val clustered = readManifest()
+    val clustered = swap.readManifest()
     val totalBytes = files.map(_.getLen).sum
     val unBytes = files.filterNot(f => clustered(f.getPath.getName))
       .map(_.getLen).sum
     val ppm = if (totalBytes == 0) 0L else 1000000L * unBytes / totalBytes
     val doRewrite = ppm > maxUnclusteredPpm
-    if (doRewrite) {
-      // phase 1: stage the re-clustered layout (source files untouched;
-      // the parquet committer's _SUCCESS marks completion)
-      Layout.writeZOrderedN(spark.read.parquet(path), zCols, tmp.toString,
-        numFiles, bits)
-      // phase 1b: the stage consumed exactly the files measured above —
-      // single writer, same thread, nothing landed in between
-      writeSources(files.map(_.getPath.getName))
-      commitManifest()
-      swapFromManifest()
-    }
+    if (doRewrite)
+      swap.rewrite(files.map(_.getPath.getName), zCols, numFiles,
+        bits)(identity)
     LayoutReport(files.size.toLong, ppm, maxUnclusteredPpm,
       rewritten = doRewrite)
+  }
+
+  /** GDPR/right-to-be-forgotten delete for the managed z-order family —
+    * the 7th family's missing lifecycle leg (build/append/re-cluster
+    * existed; see [[graft.ops.Dedup.deleteFromPairClusters]] for the
+    * discipline). Anti-joins `ids` out of the CURRENT table (clustered
+    * files AND any unclustered appends — a forgotten row must leave no
+    * matter where it sits) and rewrites the survivors re-clustered
+    * through the SAME staged two-marker swap as the maintenance sweep,
+    * manifest refreshed — so after a delete the table is both forgotten-
+    * free and fully clustered, and every crash point converges exactly
+    * like the sweep's (an uncommitted delete stage discards — the delete
+    * simply has not happened yet, the caller's retry contract — and a
+    * committed one replays without touching post-crash appends).
+    * Returns the number of rows removed.
+    */
+  def deleteFromZOrderedTable(spark: SparkSession, path: String,
+                              zCols: Seq[String], ids: DataFrame,
+                              idCol: String, numFiles: Int = 8,
+                              bits: Int = 16): Long = {
+    val swap = new ZOrderSwap(spark, path)
+    swap.recover()
+    val files = Layout.dataFiles(spark, path)
+    if (files.isEmpty) return 0L
+    val gone = ids.select(col(idCol)).distinct().localCheckpoint(true)
+    val before = spark.read.parquet(path).count()
+    try {
+      swap.rewrite(files.map(_.getPath.getName), zCols, numFiles, bits)(
+        _.join(gone, Seq(idCol), "left_anti"))
+      before - spark.read.parquet(path).count()
+    } finally org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(gone)
   }
 }

@@ -333,4 +333,45 @@ class MaintenanceSpec extends SparkSpec {
       s"legacy committed stage must still replay losslessly: $rd")
     assert(!fs.exists(tmpD))
   }
+
+  test("z-order GDPR delete: forgotten ids leave clustered AND unclustered " +
+    "files, result equals a fresh managed write over the survivors, " +
+    "an uncommitted delete stage discards (retry contract)") {
+    import graft.ops.Layout
+    val base = (for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+      .select(col("x"), col("y"), (col("x") * 1000 + col("y")).as("rid"))
+    val dir = s"${tmp("zdel")}/t"
+    Layout.writeZOrderedManaged(base, Seq("x", "y"), dir, 8, 4) // 256 rows
+    // unclustered append that ALSO carries forgotten rows (x<2 ⊂ x<4)
+    base.filter(col("x") < 4).coalesce(1).write.mode("append").parquet(dir)
+    val gone = base.filter(col("x") < 2).select("rid") // 32 distinct rids
+    val removed = Maintenance.deleteFromZOrderedTable(spark, dir,
+      Seq("x", "y"), gone, "rid", 8, 4)
+    // 32 clustered + 32 appended copies of the forgotten rids
+    assert(removed == 64L, s"removed=$removed")
+    val out = spark.read.parquet(dir)
+    assert(out.filter(col("x") < 2).count() == 0, "forgotten rows remain")
+    assert(out.count() == 320 - 64)
+    // fully clustered again: the sweep right after is quiet
+    assert(!Maintenance.maintainZOrderedTable(spark, dir, Seq("x", "y"),
+      200000L, 8, 4).rewritten)
+    // equivalence with a fresh managed write over the survivors
+    val refDir = s"${tmp("zdelref")}/t"
+    Layout.writeZOrderedManaged(out, Seq("x", "y"), refDir, 8, 4)
+    assert(spark.read.parquet(refDir).orderBy("rid", "y").collect()
+      .toSeq == out.orderBy("rid", "y").collect().toSeq)
+    // crash window: a delete stage without the committed marker discards
+    // — the table is unchanged and the delete simply has not happened
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val tmpP = new org.apache.hadoop.fs.Path(s"$dir/_rewrite_tmp")
+    Layout.writeZOrderedN(out.filter(col("x") >= 8), Seq("x", "y"),
+      tmpP.toString, 8, 4) // staged partial delete, then "crash"
+    val rows = out.count()
+    val r = Maintenance.maintainZOrderedTable(spark, dir, Seq("x", "y"),
+      1000000L, 8, 4)
+    assert(!fs.exists(tmpP) && spark.read.parquet(dir).count() == rows,
+      s"uncommitted delete stage must discard: $r")
+  }
 }
