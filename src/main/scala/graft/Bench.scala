@@ -76,26 +76,57 @@ object Bench {
     * `steady_pass_totals` = per-pass wall totals (a contention window
     * shows here as one inflated pass). `fresh` stays the headline for
     * cross-round comparability.
+    *
+    * FRESH is also multi-rep (r12 verdict: one cold run per round left
+    * fresh deltas unadjudicable — two builder runs bracketed ±8%):
+    * rep 1 is the original cold-JVM pass and REMAINS the `fresh`
+    * headline (comparable to every earlier round); reps 2..freshReps
+    * each STOP the SparkSession and rebuild it, so all session-scoped
+    * state (catalog, RuntimeConfig ensure* caches, persisted blocks)
+    * rebuilds from scratch — cold SESSION, warm JVM (the static codegen
+    * cache survives, deliberately documented rather than pretended
+    * away). `fresh_median`/`fresh_min`/`fresh_pass_totals`/
+    * `fresh_rep_times` let a later round tell one noisy cold pass from
+    * a real fresh-lane regression without rerunning anything.
     */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val steadyReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC") // same session as Verify
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen, parquet reader, broadcast machinery) so the
-    // first timed query doesn't absorb ~4s of one-time JVM/session startup
-    SparkEntry.entry(spark).count()
+    val freshReps = sys.env.getOrElse("SPARK_GRAFT_FRESH_REPS", "3").toInt
+    def buildSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC") // same session as Verify
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // warm the session (codegen, parquet reader, broadcast machinery) so
+      // the first timed query doesn't absorb ~4s of one-time startup
+      SparkEntry.entry(s).count()
+      s
+    }
+    var spark = buildSession()
     val order = SparkEntry.queries.toSeq.sortBy(_._1)
-    val fresh = order.map { case (n, fn) =>
-      n -> timeOnce(spark, sfDir, fn) }.toMap
+    val freshPasses: Seq[Seq[(String, Double)]] = (1 to freshReps).map { rep =>
+      if (rep > 1) {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = buildSession()
+      }
+      order.map { case (n, fn) => n -> timeOnce(spark, sfDir, fn) }
+    }
+    val fresh = freshPasses.head.toMap // rep 1 = cold JVM, the headline
+    val freshPassTotals = freshPasses.map(_.map(_._2).sum)
+    val freshRepTimes: Map[String, Seq[Double]] =
+      order.map { case (n, _) => n -> freshPasses.map(_.toMap.apply(n)) }.toMap
+    val freshMedian = freshRepTimes.map { case (n, ts) =>
+      n -> ts.sorted.apply(ts.size / 2) }
+    val freshMin = freshRepTimes.map { case (n, ts) => n -> ts.min }
     val (rddsAfterFresh, bytesAfterFresh) = storageSnapshot(spark)
     // steady passes, each full-suite in its own deterministic rotation
     val passes: Seq[Seq[(String, Double)]] = (1 to steadyReps).map { rep =>
@@ -125,12 +156,27 @@ object Bench {
       .append(s""""steady_min_total":$steadyMinTotal,""")
       .append(s""""steady_reps":$steadyReps,""")
       .append(s""""steady_pass_totals":[${passTotals.mkString(",")}],""")
+      .append(s""""fresh_reps":$freshReps,""")
+      .append(s""""fresh_pass_totals":[${freshPassTotals.mkString(",")}],""")
+      .append(s""""fresh_median_total":${freshMedian.values.sum},""")
+      .append(s""""fresh_min_total":${freshMin.values.sum},""")
+      .append(s""""fresh_lane_note":"fresh = rep 1 only (cold JVM, comparable to earlier rounds); reps 2+ rebuild the SparkSession (cold session, warm JVM codegen cache). Adjudicate fresh deltas on fresh_median vs fresh_min before believing rep-1 noise.",""")
       .append(s""""compare_lane":"steady (median); if it moved but steady_min did not, adjudicate as contention noise",""")
       .append(s""""persistent_rdds_after_fresh":$rddsAfterFresh,""")
       .append(s""""persisted_bytes_after_fresh":$bytesAfterFresh,""")
       .append("\"fresh\":{")
       .append(fresh.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"$k\":$v" }.mkString(",\n"))
+      .append("},\n\"fresh_median\":{")
+      .append(freshMedian.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"$k\":$v" }.mkString(",\n"))
+      .append("},\n\"fresh_min\":{")
+      .append(freshMin.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"$k\":$v" }.mkString(",\n"))
+      .append("},\n\"fresh_rep_times\":{")
+      .append(freshRepTimes.toSeq.sortBy(_._1)
+        .map { case (k, ts) => s"\"$k\":[${ts.mkString(",")}]" }
+        .mkString(",\n"))
       .append("},\n\"steady\":{")
       .append(steady.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"$k\":$v" }.mkString(",\n"))

@@ -25,11 +25,42 @@ object Soak {
 
   private def consume(df: DataFrame): Long = df.count()
 
+  /** Task-metric tap for the soak's honesty lane: per-soak-stage spill
+    * and peak-execution-memory, straight from Spark's TaskEnd metrics.
+    * Listener delivery is async; `snapshot` drains after a short settle
+    * — the numbers are diagnostics (is the stage spilling? how close to
+    * the executor-memory ceiling?), not timed measurements.
+    */
+  private final class MetricsTap extends org.apache.spark.scheduler.SparkListener {
+    private val memSpill = new java.util.concurrent.atomic.AtomicLong
+    private val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    private val peakMem = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        peakMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+      }
+    }
+    /** (memSpilled, diskSpilled, maxTaskPeakExecMem) since last reset. */
+    def snapshotAndReset(): (Long, Long, Long) = {
+      Thread.sleep(300) // settle the async listener bus
+      (memSpill.getAndSet(0L), diskSpill.getAndSet(0L),
+        peakMem.getAndSet(0L))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SOAK_MULT", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val out = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_r12.json")
+    // optional stage subset (comma-separated) — the 100× ceiling probe
+    // runs only the heaviest stages rather than 9 × 100× wall-clock
+    val only = sys.env.get("SPARK_GRAFT_SOAK_STAGES")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -84,12 +115,21 @@ object Soak {
     // ---- stages --------------------------------------------------------
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val spills = scala.collection.mutable.LinkedHashMap[String, String]()
+    val tap = new MetricsTap
+    spark.sparkContext.addSparkListener(tap)
+    tap.snapshotAndReset() // drop the corpus-build metrics
     def stage(name: String)(body: => Long): Unit = {
+      if (only.exists(!_.contains(name))) return // subset probe: skip
       val t0 = System.nanoTime()
       val n = body // any throw aborts the soak loudly — that IS the signal
       results(name) = (System.nanoTime() - t0) / 1e9
       counts(name) = n
-      System.err.println(f"[soak] $name%-24s ${results(name)}%8.2f s  rows=$n")
+      val (ms, ds, pk) = tap.snapshotAndReset()
+      spills(name) =
+        s"""{"mem_spill_bytes":$ms,"disk_spill_bytes":$ds,"peak_task_exec_mem_bytes":$pk}"""
+      System.err.println(f"[soak] $name%-24s ${results(name)}%8.2f s  " +
+        f"rows=$n  spill=$ms/$ds  peak=$pk")
     }
 
     stage("lsh_pairs_cc") {
@@ -187,7 +227,8 @@ object Soak {
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val json = s"""{"metric":"soak","sf":"$sfDir","multiplier":$mult,""" +
       s""""rows":${jmap(sizes)},"stage_sec":${jmap(results)},""" +
-      s""""stage_rows":${jmap(counts)},"total_sec":$total,"rc":0}"""
+      s""""stage_rows":${jmap(counts)},""" +
+      s""""stage_memory":${jmap(spills)},"total_sec":$total,"rc":0}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     println(json)
     spark.stop()

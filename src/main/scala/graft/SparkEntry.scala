@@ -2861,6 +2861,46 @@ object SparkEntry {
         fr.groupBy(col("media_id"))
           .agg(max(col("decode_error")).as("decode_error")))
     }),
+    "q292_video_dup_groups" -> ((s, d) => {
+      // video near-dup over REAL decoded frames — completes the
+      // per-modality dedup grid (text minhash / image aHash / audio
+      // fingerprint / VIDEO): patternMod injects byte-identical
+      // re-uploads; a video's content fingerprint is the exact-integer
+      // (Σ frame checksums, Σ frame gray-sums, n_frames) triple over
+      // decoded pixels (byte-identical videos collide by construction,
+      // distinct patterns collide with ~2^-64 odds). The lossy decoded
+      // fingerprint itself stays OFF the output (q283's JPEG
+      // discipline) — groups report rep/copies/frames only
+      val fr = Multimodal.decodeAviFrames(
+        Multimodal.synthesizeAvi(s, T(s, d, "documents").select("doc_id"),
+          "doc_id", patternMod = 10))
+      fr.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("pixel_checksum")).as("__fp"),
+          sum(col("gray_sum")).as("__fp2"))
+        .groupBy(col("__fp"), col("__fp2"), col("n_frames"))
+        .agg(min(col("media_id")).as("rep_id"),
+          count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") >= 2)
+        .select(col("rep_id"), col("n_copies"), col("n_frames"))
+    }),
+    "q293_video_meta_audit" -> ((s, d) => {
+      // q280's video twin: declared duration vs DECODED truth. The
+      // synth writes duration = n_frames·1000/fps (fps=4 → 250·n);
+      // every 7th video's declaration lies (+1000 ms) — exactly those
+      // surface where the declaration disagrees with 250 × the demuxed
+      // frame count (exact integer comparison, no division)
+      val media = Multimodal.withCorruptedMeta(
+        Multimodal.synthesizeAvi(s, T(s, d, "documents").select("doc_id"),
+          "doc_id"), everyNth = 7)
+      val decoded = Multimodal.decodeAviFrames(media)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+      media.filter(col("kind") === "video")
+        .select(col("media_id"),
+          col("meta.duration_ms").as("declared_duration_ms"))
+        .join(decoded, Seq("media_id"))
+        .filter(col("declared_duration_ms") =!= col("n_frames") * 250L)
+    }),
     "q279_image_quality" -> ((s, d) => {
       // vision-corpus quality filter over REAL decoded pixels: the codec
       // tier emits exact integers only (Σg, Σg², nano-snapped histogram
@@ -6856,6 +6896,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_quarantined
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    "q292_video_dup_groups" ->
+      // with patternMod=10 two videos share bytes iff doc_id % 10 is
+      // equal; geometry/frames collapse to the pattern id (pid < 10 ⇒
+      // both mods no-op), so the dup groups are pure id arithmetic —
+      // the DECODED fingerprint's group structure must reproduce it
+      """SELECT min(doc_id) AS rep_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(min(doc_id) % 10 + 4 AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2
+        |GROUP BY doc_id % 10 HAVING count(*) >= 2""".stripMargin,
+    "q293_video_meta_audit" ->
+      // liars are id-deterministic: every 7th video declares 250·n+1000
+      // ms; honest declarations (250·n) imply exactly n frames at fps=4
+      """SELECT doc_id AS media_id,
+        |  CAST((doc_id % 10 + 4) * 250 + 1000 AS BIGINT)
+        |    AS declared_duration_ms,
+        |  CAST(doc_id % 10 + 4 AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2 AND doc_id % 7 = 0""".stripMargin,
     "q279_image_quality" ->
       // replays pattern → full-resolution gray → exact integer moments +
       // per-bin nano-snapped c·ln c, assembled with DuckDB's round/ln in

@@ -281,21 +281,26 @@ object Multimodal {
   }
 
   /** Test/demo fixture knob: declare a LYING width (+5) in the metadata
-    * struct of every `everyNth`-id image — the corrupted-ingest shape the
-    * metadata-vs-decoded-truth audit (q280) exists to catch. Content is
-    * untouched; only the declaration lies.
+    * struct of every `everyNth`-id image, and a LYING duration (+1000 ms)
+    * on every `everyNth`-id video — the corrupted-ingest shapes the
+    * metadata-vs-decoded-truth audits (q280 images, q293 videos) exist
+    * to catch. Content is untouched; only the declaration lies. (The
+    * video lie is a no-op on rows whose duration is NULL, so image-only
+    * fixtures are unaffected.)
     */
   def withCorruptedMeta(media: DataFrame, everyNth: Long = 7L): DataFrame = {
     require(everyNth > 0, s"everyNth must be > 0: $everyNth")
-    val lie = pmod(col("media_id"), lit(everyNth)) === 0 &&
-      col("kind") === "image"
+    val nth = pmod(col("media_id"), lit(everyNth)) === 0
+    val lie = nth && col("kind") === "image"
+    val lieDur = nth && col("kind") === "video"
     media.select(col("media_id"), col("kind"), col("content"),
       struct(
         when(lie, col("meta.width") + 5).otherwise(col("meta.width"))
           .as("width"),
         col("meta.height").as("height"),
         col("meta.sample_rate").as("sample_rate"),
-        col("meta.duration_ms").as("duration_ms")).as("meta"))
+        when(lieDur, col("meta.duration_ms") + 1000L)
+          .otherwise(col("meta.duration_ms")).as("duration_ms")).as("meta"))
   }
 
   case class DecodedResize(media_id: Long, src_width: Option[Int],

@@ -75,7 +75,9 @@ object PlanDump {
     "q285_bloom_lookup" -> "bloom layout read-back: point predicate pushed into the scan; row-group skipping proven footer-level in ZOrderSpec",
     "q286_skew_report" -> "skew report: partial-aggregated key counts, broadcast 1-row totals, TakeOrderedAndProject top-k — no global sort",
     "q288_source_sample" -> "per-group exact-n sample: GroupedTopK bounded buffers on the portable hash — no per-group window sort",
-    "q289_systematic_sample" -> "systematic weighted sample: two-level prefix scan (bucket windows + buckets-sized tiny window), broadcast total, integer containment filter — no single-partition corpus sort")
+    "q289_systematic_sample" -> "systematic weighted sample: two-level prefix scan (bucket windows + buckets-sized tiny window), broadcast total, integer containment filter — no single-partition corpus sort",
+    "q290_video_scene_cuts" -> "scene cuts over decoded MJPEG frames: map-only demux+decode, one (media_id) window for the lag, partial-aggregated rollup",
+    "q292_video_dup_groups" -> "video perceptual dedup: map-only frame decode, two partial-aggregated hash aggregations (per-video fingerprint, then dup groups) — no window, no self-join")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
