@@ -2884,6 +2884,17 @@ object SparkEntry {
         .filter(col("n_copies") >= 2)
         .select(col("rep_id"), col("n_copies"), col("n_frames"))
     }),
+    "q294_video_frame_sample" -> ((s, d) =>
+      // the decode-cost lever: demux every chunk (header arithmetic)
+      // but decode only every 2nd frame's JPEG — the video analogue of
+      // q151's every-Nth selection, now over a REAL container; sampled
+      // counts and the last sampled index have closed forms
+      Multimodal.decodeAviFrames(
+        Multimodal.synthesizeAvi(s, T(s, d, "documents").select("doc_id"),
+          "doc_id"), everyKth = 2)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          max(col("frame_no")).cast("long").as("last_frame"))),
     "q293_video_meta_audit" -> ((s, d) => {
       // q280's video twin: declared duration vs DECODED truth. The
       // synth writes duration = n_frames·1000/fps (fps=4 → 250·n);
@@ -6914,6 +6925,13 @@ object SparkEntry {
         |    AS declared_duration_ms,
         |  CAST(doc_id % 10 + 4 AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id % 3 = 2 AND doc_id % 7 = 0""".stripMargin,
+    "q294_video_frame_sample" ->
+      // n = id%10+4 frames; every 2nd decodes → ceil(n/2) sampled, the
+      // last sampled index is 2·((n−1)//2)
+      """SELECT doc_id AS media_id,
+        |  CAST((doc_id % 10 + 4 + 1) // 2 AS BIGINT) AS n_sampled,
+        |  CAST(2 * ((doc_id % 10 + 4 - 1) // 2) AS BIGINT) AS last_frame
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     "q279_image_quality" ->
       // replays pattern → full-resolution gray → exact integer moments +
       // per-bin nano-snapped c·ln c, assembled with DuckDB's round/ln in

@@ -999,7 +999,14 @@ object Multimodal {
     * detection has a closed form) — never pixel values themselves
     * (q283's JPEG discipline).
     */
-  def decodeAviFrames(media: DataFrame): DataFrame = {
+  /** `everyKth > 1` is the production decode-cost lever: the demux
+    * walks every chunk (cheap — header arithmetic only) but ONLY every
+    * k-th frame's JPEG reaches the codec, the video analogue of
+    * [[frameSample]]'s every-Nth selection. Emitted `frame_no` keeps
+    * the ORIGINAL stream index so timing math stays exact.
+    */
+  def decodeAviFrames(media: DataFrame, everyKth: Int = 1): DataFrame = {
+    require(everyKth >= 1, s"everyKth must be >= 1: $everyKth")
     val spark = media.sparkSession
     import spark.implicits._
     media
@@ -1009,7 +1016,9 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           try {
-            aviFrameChunks(bytes).zipWithIndex.map { case (jpeg, k) =>
+            aviFrameChunks(bytes).zipWithIndex
+              .filter { case (_, k) => k % everyKth == 0 }
+              .map { case (jpeg, k) =>
               val img = javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(jpeg))
               require(img != null, s"frame $k is not a decodable image")

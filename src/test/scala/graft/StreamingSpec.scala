@@ -728,11 +728,21 @@ class StreamingSpec extends SparkSpec {
       val ids = Tables.documents(spark, sf0001)
         .filter(col("doc_id") >= lo && col("doc_id") < hi)
         .select("doc_id")
+      // image lane + VIDEO lane (per-video rollup of the frame relation)
+      // through the same modality-generic upsert — the live monitor
+      // covers every codec tier
       graft.ops.Multimodal.imageQualityRaw(
         graft.ops.Multimodal.withCorruptedBlobs(
           graft.ops.Multimodal.synthesizePng(spark, ids, "doc_id"),
           everyNth = 5))
         .select(lit("image").as("modality"), col("decode_error"))
+        .unionAll(graft.ops.Multimodal.decodeAviFrames(
+          graft.ops.Multimodal.withCorruptedBlobs(
+            graft.ops.Multimodal.synthesizeAvi(spark, ids, "doc_id"),
+            everyNth = 5))
+          .groupBy(col("media_id"))
+          .agg(max(col("decode_error")).as("decode_error"))
+          .select(lit("video").as("modality"), col("decode_error")))
     }
     def snap(dest: String) = spark.read.parquet(dest)
       .as[(String, Long, Long, Long)].collect().toSet
