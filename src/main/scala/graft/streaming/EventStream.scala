@@ -805,7 +805,14 @@ object EventStream {
       threshold: Double = 0.8,
       contamK: Int = 5, contamW: Int = 8,
       contamHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        graft.functions.md5Hash31(_))
+        graft.functions.md5Hash31(_),
+      // when non-empty, `dest` is a MANAGED z-ordered table: each batch's
+      // plain append lands unclustered and the in-loop maintenance sweep
+      // re-clusters once the unclustered byte share crosses the threshold
+      // — the OPTIMIZE-on-ingest lifecycle
+      zOrderCols: Seq[String] = Nil,
+      zMaxUnclusteredPpm: Long = 200000L,
+      zNumFiles: Int = 8, zBits: Int = 16)
 
   /** One micro-batch of the continuous-curation loop — the composition a
     * real training-data pipeline runs on every arriving slice:
@@ -826,7 +833,13 @@ object EventStream {
     *      signatures, contamination fingerprints, BM25 postings, and
     *      (when embeddings ride the batch) IVF-PQ and binary-quant
     *      codes — so the NEXT batch dedups against them too;
-    *   4. EMIT the kept docs to `dest`.
+    *   4. EMIT the kept docs to `dest`;
+    *   5. (when `zOrderCols` is set) LAYOUT upkeep: `dest` is a managed
+    *      z-ordered table — the emit's plain append landed unclustered,
+    *      and [[graft.ops.Maintenance.maintainZOrderedTable]] re-clusters
+    *      once the unclustered byte share crosses the threshold, so
+    *      selective reads over the emitted corpus keep their footer
+    *      pruning no matter how long the ingest loop runs.
     *
     * Batch-cost throughout: every probe is index-bucket-pruned, every
     * append is batch-sized, the corpus is never rescanned. Idempotent
@@ -907,6 +920,17 @@ object EventStream {
         }
         // 4. emit the survivors
         kept.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dest)
+        // 5. layout upkeep (when dest is a managed z-ordered table): the
+        // append above landed unclustered; sweep once its byte share
+        // crosses the threshold — cheap measurement every batch, a
+        // re-cluster only when the layout actually degraded. Crash-safe
+        // (the staged two-marker swap) and content-preserving, so the
+        // at-least-once emit contract is unchanged. Self-seeding: a dest
+        // with no manifest counts as 100% unclustered and clusters on
+        // the first sweep.
+        if (ix.zOrderCols.nonEmpty)
+          graft.ops.Maintenance.maintainZOrderedTable(spark, dest,
+            ix.zOrderCols, ix.zMaxUnclusteredPpm, ix.zNumFiles, ix.zBits)
       } finally
         org.apache.spark.sql.graftbridge.ColumnBridge
           .releaseLocalCheckpoint(kept)

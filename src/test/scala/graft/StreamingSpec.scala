@@ -856,4 +856,63 @@ class StreamingSpec extends SparkSpec {
       "cap_bm_one_postings", "cap_bm_one_docstats", "cap_bm_one_meta")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("ingest loop layout upkeep: with zOrderCols set the emitted dest " +
+    "stays a clustered managed z-ordered table across batches — appends " +
+    "land unclustered, the in-loop sweep restores the layout, no rows " +
+    "are lost or duplicated") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val seed = docs.filter(col("doc_id") < 200)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zingest").toString
+    graft.ops.Dedup.buildNearDupIndex(seed, "zing_nd", s"$root/nd",
+      "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8)
+    graft.ops.TextAnalysis.buildContaminationIndex(seed, "zing_ct",
+      s"$root/ct", "doc_id", "text", k = 5, w = 8,
+      shingleHash = graft.functions.md5Hash31(_))
+    graft.ops.TextAnalysis.buildBm25Index(seed, "zing_bm", s"$root/bm")
+    val ix = EventStream.IngestIndexes("zing_nd", "zing_ct", "zing_bm",
+      s"$root/bm", shingleK = 2, numPerm = 32, bands = 8,
+      // threshold 0: EVERY batch's append triggers the sweep, so the
+      // lifecycle (append → unclustered → re-cluster) runs per batch
+      zOrderCols = Seq("doc_id", "n_chars"), zMaxUnclusteredPpm = 0L,
+      zNumFiles = 4, zBits = 8)
+    val dest = s"$root/kept"
+    EventStream.ingestBatch(docs.filter(col("doc_id") >= 200 &&
+      col("doc_id") < 350), ix, dest)
+    EventStream.ingestBatch(docs.filter(col("doc_id") >= 350), ix, dest)
+    // compare against the SAME loop without layout management: identical
+    // emitted rows (the sweep is content-preserving)
+    graft.ops.Dedup.buildNearDupIndex(seed, "zref_nd", s"$root/nd2",
+      "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8)
+    graft.ops.TextAnalysis.buildContaminationIndex(seed, "zref_ct",
+      s"$root/ct2", "doc_id", "text", k = 5, w = 8,
+      shingleHash = graft.functions.md5Hash31(_))
+    graft.ops.TextAnalysis.buildBm25Index(seed, "zref_bm", s"$root/bm2")
+    val ixRef = EventStream.IngestIndexes("zref_nd", "zref_ct", "zref_bm",
+      s"$root/bm2", shingleK = 2, numPerm = 32, bands = 8)
+    val destRef = s"$root/kept2"
+    EventStream.ingestBatch(docs.filter(col("doc_id") >= 200 &&
+      col("doc_id") < 350), ixRef, destRef)
+    EventStream.ingestBatch(docs.filter(col("doc_id") >= 350), ixRef, destRef)
+    val got = spark.read.parquet(dest).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    val ref = spark.read.parquet(destRef).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(got == ref && got.nonEmpty)
+    // the layout is CLUSTERED after the loop: everything in the manifest
+    // (a follow-up sweep measures zero unclustered bytes and stays quiet)
+    val quiet = graft.ops.Maintenance.maintainZOrderedTable(spark, dest,
+      Seq("doc_id", "n_chars"), maxUnclusteredPpm = 0L, numFiles = 4,
+      bits = 8)
+    assert(!quiet.rewritten && quiet.unclusteredPpm == 0L, s"$quiet")
+    Seq("zing_nd_sig", "zing_nd_shingles", "zing_ct", "zing_bm_postings",
+      "zing_bm_docstats", "zing_bm_meta", "zref_nd_sig",
+      "zref_nd_shingles", "zref_ct", "zref_bm_postings",
+      "zref_bm_docstats", "zref_bm_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
