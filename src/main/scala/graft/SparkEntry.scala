@@ -2884,6 +2884,28 @@ object SparkEntry {
         .filter(col("n_copies") >= 2)
         .select(col("rep_id"), col("n_copies"), col("n_frames"))
     }),
+    "q295_image_neardup_indexed" -> ((s, d) => {
+      // the per-modality dedup grid at the INDEX tier for images:
+      // multi-index Hamming LSH over the 64-bit aHash (bands of 16 bits,
+      // equi-join candidate generation, exact bit_count verify). The
+      // pigeonhole theorem (maxDist < bands ⇒ some band matches exactly)
+      // makes the banded probe EQUAL to the all-pairs Hamming filter —
+      // which is exactly what the oracle replays, so a band-extraction
+      // bug or a lost candidate breaks the row hash
+      val docs = T(s, d, "documents").select("doc_id")
+      val name = s"ahash_idx_${tagFor(d)}"
+      if (!s.catalog.tableExists(s"${name}_bands"))
+        Multimodal.buildAHashIndex(
+          Multimodal.synthesizePng(s,
+            docs.filter(col("doc_id") % 2 === 0), "doc_id",
+            patternMod = 5),
+          name, s"/tmp/graft_clusters/ahash_${tagFor(d)}", bands = 4)
+      Multimodal.probeAHashIndex(
+        Multimodal.synthesizePng(s,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id",
+          patternMod = 5),
+        name, maxDist = 3)
+    }),
     "q294_video_frame_sample" -> ((s, d) =>
       // the decode-cost lever: demux every chunk (header arithmetic)
       // but decode only every 2nd frame's JPEG — the video analogue of
@@ -6932,6 +6954,27 @@ object SparkEntry {
         |  CAST((doc_id % 10 + 4 + 1) // 2 AS BIGINT) AS n_sampled,
         |  CAST(2 * ((doc_id % 10 + 4 - 1) // 2) AS BIGINT) AS last_frame
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    "q295_image_neardup_indexed" -> {
+      // the banded index probe equals the plain all-pairs Hamming filter
+      // (pigeonhole, maxDist 3 < 4 bands), so the oracle skips the bands
+      // and replays hashes (the q273/q274 shared CTE) + bit_count/xor
+      val ham = "bit_count(xor(bh.hi, ch.hi)) + bit_count(xor(bh.lo, ch.lo))"
+      s"""WITH corpus AS (SELECT doc_id, doc_id % 5 AS pid
+         |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 0),
+         |batch AS (SELECT doc_id, doc_id % 5 AS pid
+         |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 1),
+         |pats AS (SELECT DISTINCT pid FROM (SELECT pid FROM corpus
+         |  UNION ALL SELECT pid FROM batch) u),
+         |${ahashCtesSql("pid", "pats")},
+         |bh AS (SELECT b.doc_id AS batch_id, ah.ahash_hi AS hi,
+         |    ah.ahash_lo AS lo
+         |  FROM batch b JOIN ah ON b.pid = ah.id),
+         |ch AS (SELECT c.doc_id AS corpus_id, ah.ahash_hi AS hi,
+         |    ah.ahash_lo AS lo
+         |  FROM corpus c JOIN ah ON c.pid = ah.id)
+         |SELECT batch_id, corpus_id, CAST($ham AS INTEGER) AS dist
+         |FROM bh, ch WHERE $ham <= 3""".stripMargin
+    },
     "q279_image_quality" ->
       // replays pattern → full-resolution gray → exact integer moments +
       // per-bin nano-snapped c·ln c, assembled with DuckDB's round/ln in

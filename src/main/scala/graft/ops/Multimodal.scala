@@ -1050,6 +1050,107 @@ object Multimodal {
       .toDF()
   }
 
+  // ------------------------------- persisted perceptual-hash (aHash) index
+
+  /** The `bands` equal bit-spans of a 64-bit aHash carried as two 32-bit
+    * lanes — multi-index hashing (Norouzi/Punjani/Fleet, public): two
+    * hashes within Hamming distance r < bands MUST agree exactly on at
+    * least one band (pigeonhole: r flipped bits cannot touch every one
+    * of `bands` disjoint spans), so near-dup candidate generation is a
+    * plain equi-join on (band_id, band_val) against a bucketed table —
+    * no O(n²) Hamming scan, the image analogue of MinHash-LSH banding.
+    * Bands must split the two lanes evenly (64 % bands = 0 and each
+    * band inside one lane) so the extraction is two shifts and a mask.
+    */
+  private def ahashBandVals(hi: Column, lo: Column,
+                            bands: Int): Seq[Column] = {
+    val bits = 64 / bands
+    val mask = if (bits == 32) 0xffffffffL else (1L << bits) - 1
+    (0 until bands).map { b =>
+      val off = b * bits
+      val lane = if (off < 32) lo else hi
+      shiftright(lane, off % 32).bitwiseAND(lit(mask))
+    }
+  }
+
+  private def ahashBanded(ah: DataFrame, bands: Int): DataFrame = {
+    val vals = ahashBandVals(col("ahash_hi"), col("ahash_lo"), bands)
+    ah.select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band_id"), vals(b).as("band_val"))): _*))
+          .as("__bb"))
+      .select(col("media_id"), col("__bb.band_id").as("band_id"),
+        col("__bb.band_val").as("band_val"),
+        col("ahash_hi"), col("ahash_lo"))
+  }
+
+  /** Build the persisted perceptual-dup index over `media`'s images:
+    * decode → aHash → one row per (band_id, band_val), bucketed on the
+    * band key so probes read matching buckets in place (the
+    * [[graft.ops.Dedup.buildNearDupIndex]] lifecycle, image edition).
+    * Undecodable blobs are excluded (they quarantine in the aHash tier
+    * and have no hash to index — run [[decodeCensus]] for the count).
+    */
+  def buildAHashIndex(media: DataFrame, name: String, path: String,
+                      grid: Int = 8, bands: Int = 4,
+                      numBuckets: Int = 32): Unit = {
+    require(bands >= 2 && 64 % bands == 0 && 32 % (64 / bands) == 0,
+      s"bands must split the two 32-bit lanes evenly: $bands")
+    val ah = imageAHash(media, grid).filter(col("decode_error").isNull)
+    graft.io.IO.writeBucketed(ahashBanded(ah, bands), s"${name}_bands",
+      s"$path/bands", Seq("band_id", "band_val"), numBuckets,
+      Seq("band_id", "band_val"))
+  }
+
+  /** Append a batch's images to the standing index — replay-idempotent
+    * (anti-join on media_id), the streaming-ingest discipline.
+    */
+  def appendToAHashIndex(spark: SparkSession, name: String,
+                         batch: DataFrame, grid: Int = 8, bands: Int = 4,
+                         numBuckets: Int = 32): Unit = {
+    val fresh = batch.join(
+      spark.table(s"${name}_bands").select(col("media_id")).distinct(),
+      Seq("media_id"), "left_anti")
+    val ah = imageAHash(fresh, grid).filter(col("decode_error").isNull)
+    ahashBanded(ah, bands).write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(numBuckets, "band_id", "band_val")
+      .sortBy("band_id", "band_val")
+      .format("parquet").saveAsTable(s"${name}_bands")
+  }
+
+  /** Probe: every (batch image, indexed image) pair within Hamming
+    * distance `maxDist` — EXACTLY (the pigeonhole makes the banded
+    * candidate set a superset of the true result whenever maxDist <
+    * bands, and the bit_count verify filters it to equality; an SQL
+    * oracle can therefore replay the result as a plain all-pairs
+    * Hamming filter). Returns (batch_id, corpus_id, dist).
+    */
+  def probeAHashIndex(batch: DataFrame, name: String, maxDist: Int = 3,
+                      grid: Int = 8, bands: Int = 4): DataFrame = {
+    require(maxDist >= 0 && maxDist < bands,
+      s"pigeonhole guarantee needs maxDist < bands: $maxDist vs $bands")
+    val spark = batch.sparkSession
+    val ah = imageAHash(batch, grid).filter(col("decode_error").isNull)
+    val probe = ahashBanded(ah, bands)
+      .select(col("media_id").as("batch_id"), col("band_id"),
+        col("band_val"), col("ahash_hi").as("__bh"),
+        col("ahash_lo").as("__bl"))
+    val ix = spark.table(s"${name}_bands")
+      .select(col("media_id").as("corpus_id"), col("band_id"),
+        col("band_val"), col("ahash_hi").as("__ch"),
+        col("ahash_lo").as("__cl"))
+    probe.join(ix, Seq("band_id", "band_val"))
+      .select(col("batch_id"), col("corpus_id"),
+        col("__bh"), col("__bl"), col("__ch"), col("__cl"))
+      .distinct() // a pair may collide in several bands
+      .select(col("batch_id"), col("corpus_id"),
+        (bit_count(col("__bh").bitwiseXOR(col("__ch"))) +
+          bit_count(col("__bl").bitwiseXOR(col("__cl")))).cast("int")
+          .as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Partition-wise decode via mapPartitions (SURVEY.md §4 tier d — the
     * right tier here because a codec context is imperative, per-partition
     * state the expression layer can't model). The iterator is consumed

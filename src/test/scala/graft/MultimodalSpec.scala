@@ -455,6 +455,73 @@ class MultimodalSpec extends SparkSpec {
     assert(java.util.Arrays.equals(dup(0), dup(1)))
   }
 
+  test("aHash index: the banded probe equals brute-force Hamming (the " +
+    "pigeonhole superset + exact verify), append is replay-idempotent, " +
+    "probes read the bucketed table in place") {
+    val corpusIds = (0L to 174L by 6L).toDF("doc_id")  // images, even ids
+    val batchIds = (3L to 177L by 6L).toDF("doc_id")   // images, odd ids
+    // patternMod = 5: even and odd id slices BOTH cover all five
+    // patterns (mod 10 would give parity-disjoint pattern sets and an
+    // empty probe), so cross-slice dist-0 dups are guaranteed
+    val corpus = Multimodal.synthesizePng(spark, corpusIds, "doc_id",
+      patternMod = 5)
+    val batch = Multimodal.synthesizePng(spark, batchIds, "doc_id",
+      patternMod = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ahidx").toString
+    Multimodal.buildAHashIndex(corpus, "t_ah_idx", dir, bands = 4)
+    def probe() = Multimodal.probeAHashIndex(batch, "t_ah_idx",
+      maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val got = probe()
+    // brute force over the SAME hashes — banding must lose nothing
+    val bh = Multimodal.imageAHash(batch)
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
+      .as[(Long, Long, Long)].collect()
+    val ch = Multimodal.imageAHash(corpus)
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
+      .as[(Long, Long, Long)].collect()
+    val brute = (for {
+      (bid, bHi, bLo) <- bh; (cid, cHi, cLo) <- ch
+      d = java.lang.Long.bitCount(bHi ^ cHi) +
+        java.lang.Long.bitCount(bLo ^ cLo)
+      if d <= 3
+    } yield (bid, cid, d)).toSet
+    assert(got == brute && got.nonEmpty, s"got=${got.size} brute=${brute.size}")
+    // exact dups (shared pattern id) are found at distance 0
+    assert(got.exists(_._3 == 0), "patternMod dups must match at dist 0")
+    // append: new images join the candidate set; replay appends nothing
+    val moreIds = (180L to 240L by 6L).toDF("doc_id")
+    val more = Multimodal.synthesizePng(spark, moreIds, "doc_id",
+      patternMod = 5)
+    Multimodal.appendToAHashIndex(spark, "t_ah_idx", more, bands = 4)
+    val afterAppend = probe()
+    assert(afterAppend.size > got.size,
+      "appended images must become probe candidates")
+    val rows = spark.table("t_ah_idx_bands").count()
+    Multimodal.appendToAHashIndex(spark, "t_ah_idx", more, bands = 4)
+    assert(spark.table("t_ah_idx_bands").count() == rows,
+      "replayed append must write nothing")
+    assert(probe() == afterAppend)
+    // scale shape: the probe's index side reads the bucketed table in
+    // place (no exchange on the index scan)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = Multimodal.probeAHashIndex(batch, "t_ah_idx", maxDist = 3)
+      p.collect()
+      val scans = p.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.exists(_.bucketedScan), p.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+    spark.sql("DROP TABLE IF EXISTS t_ah_idx_bands")
+  }
+
   test("decodeAviFrames quarantines corrupt containers (garbage bytes AND " +
     "truncation) as one per-video error row instead of crashing") {
     val ids = Seq(2L, 5L, 8L, 11L, 20L).toDF("doc_id")

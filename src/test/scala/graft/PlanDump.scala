@@ -77,7 +77,8 @@ object PlanDump {
     "q288_source_sample" -> "per-group exact-n sample: GroupedTopK bounded buffers on the portable hash — no per-group window sort",
     "q289_systematic_sample" -> "systematic weighted sample: two-level prefix scan (bucket windows + buckets-sized tiny window), broadcast total, integer containment filter — no single-partition corpus sort",
     "q290_video_scene_cuts" -> "scene cuts over decoded MJPEG frames: map-only demux+decode, one (media_id) window for the lag, partial-aggregated rollup",
-    "q292_video_dup_groups" -> "video perceptual dedup: map-only frame decode, two partial-aggregated hash aggregations (per-video fingerprint, then dup groups) — no window, no self-join")
+    "q292_video_dup_groups" -> "video perceptual dedup: map-only frame decode, two partial-aggregated hash aggregations (per-video fingerprint, then dup groups) — no window, no self-join",
+    "q295_image_neardup_indexed" -> "aHash index probe: banded equi-join against the bucketed index (read in place), distinct candidates, bit_count Hamming verify — no all-pairs scan")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
