@@ -173,6 +173,23 @@ object Maintenance {
       rebuildRecommended = false)
   }
 
+  /** Perceptual-hash (aHash) index: one bucketed band table, same
+    * generation rule as the text families — each append stacks
+    * `numBuckets` files and probes pay open/footer cost per generation.
+    */
+  def maintainAHashIndex(spark: SparkSession, name: String, path: String,
+                         numBuckets: Int = 32,
+                         maxGenerations: Int = 3): Report = {
+    require(maxGenerations > 0, "maxGenerations must be > 0")
+    val files = parquetFileCount(spark, s"$path/bands")
+    val threshold = numBuckets.toLong * maxGenerations
+    val doCompact = files > threshold
+    if (doCompact)
+      Multimodal.compactAHashIndex(spark, name, path, numBuckets)
+    Report("ahash", files, threshold, doCompact, 0.0,
+      rebuildRecommended = false)
+  }
+
   /** Contamination fingerprint index: one bucketed table, same rule. */
   def maintainContaminationIndex(spark: SparkSession, name: String,
                                  path: String, numBuckets: Int = 32,

@@ -1119,6 +1119,44 @@ object Multimodal {
       .format("parquet").saveAsTable(s"${name}_bands")
   }
 
+  /** Small-file hygiene after many appends ([[graft.ops.Dedup
+    * .compactNearDupIndex]]'s discipline): rewrite the bucketed band
+    * table in place with the BUILD's catalog-recorded bucket count —
+    * contents bit-identical, probe plans unchanged.
+    */
+  def compactAHashIndex(spark: SparkSession, name: String,
+                        path: String, numBuckets: Int = 32): Unit = {
+    val buckets = org.apache.spark.sql.graftbridge.ColumnBridge
+      .tableNumBuckets(spark, s"${name}_bands").getOrElse(numBuckets)
+    val b = spark.table(s"${name}_bands").localCheckpoint()
+    try graft.io.IO.writeBucketed(b, s"${name}_bands", s"$path/bands",
+      Seq("band_id", "band_val"), buckets, Seq("band_id", "band_val"))
+    finally org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(b)
+  }
+
+  /** GDPR/right-to-be-forgotten delete: drop every band row of `ids` —
+    * forgotten images stop matching future probes entirely. Anti-join +
+    * bucketed rewrite with the build's exact specs (catalog-derived), so
+    * probe plans are unchanged; convergence with a fresh build over
+    * corpus-minus-ids is unit-pinned. Keeps the "delete reaches every
+    * persisted index family" contract true for the 8th family.
+    */
+  def deleteFromAHashIndex(spark: SparkSession, name: String,
+                           path: String, ids: DataFrame,
+                           idCol: String = "media_id",
+                           numBuckets: Int = 32): Unit = {
+    val buckets = org.apache.spark.sql.graftbridge.ColumnBridge
+      .tableNumBuckets(spark, s"${name}_bands").getOrElse(numBuckets)
+    val gone = ids.select(col(idCol).as("media_id")).distinct()
+    val kept = spark.table(s"${name}_bands")
+      .join(gone, Seq("media_id"), "left_anti").localCheckpoint()
+    try graft.io.IO.writeBucketed(kept, s"${name}_bands", s"$path/bands",
+      Seq("band_id", "band_val"), buckets, Seq("band_id", "band_val"))
+    finally org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(kept)
+  }
+
   /** Probe: every (batch image, indexed image) pair within Hamming
     * distance `maxDist` — EXACTLY (the pigeonhole makes the banded
     * candidate set a superset of the true result whenever maxDist <

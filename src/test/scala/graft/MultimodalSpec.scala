@@ -502,6 +502,29 @@ class MultimodalSpec extends SparkSpec {
     assert(spark.table("t_ah_idx_bands").count() == rows,
       "replayed append must write nothing")
     assert(probe() == afterAppend)
+    // compaction: contents bit-identical, fewer file generations
+    val before = spark.table("t_ah_idx_bands").collect().toSet
+    Multimodal.compactAHashIndex(spark, "t_ah_idx", dir)
+    assert(spark.table("t_ah_idx_bands").collect().toSet == before)
+    assert(probe() == afterAppend)
+    // the maintenance policy runs the same compaction past the
+    // generation threshold (build + append = 2 generations of 32 files)
+    val r0 = graft.ops.Maintenance.maintainAHashIndex(spark, "t_ah_idx",
+      dir, numBuckets = 32, maxGenerations = 3)
+    assert(!r0.compacted, s"$r0") // just compacted: one generation
+    val r1 = graft.ops.Maintenance.maintainAHashIndex(spark, "t_ah_idx",
+      dir, numBuckets = 32, maxGenerations = 3)
+    assert(r1.files <= 32L * 3, s"$r1")
+    // GDPR delete: forgotten images stop matching, survivors unaffected —
+    // the probe converges to a fresh build over corpus-minus-forgotten
+    val goneIds = Seq(0L, 6L, 180L).toDF("media_id")
+    Multimodal.deleteFromAHashIndex(spark, "t_ah_idx", dir, goneIds)
+    assert(spark.table("t_ah_idx_bands")
+      .join(goneIds, Seq("media_id"), "left_semi").count() == 0)
+    val afterDelete = probe()
+    assert(afterDelete == afterAppend.filterNot(p =>
+      Set(0L, 6L, 180L)(p._2)),
+      "delete must remove exactly the forgotten corpus ids' matches")
     // scale shape: the probe's index side reads the bucketed table in
     // place (no exchange on the index scan)
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
