@@ -2906,6 +2906,49 @@ object SparkEntry {
           patternMod = 5),
         name, maxDist = 3)
     }),
+    "q296_audio_dup_indexed" -> ((s, d) => {
+      // exact audio dedup against a STANDING corpus at batch cost: the
+      // generic fingerprint index keyed on (fingerprint, n_samples) over
+      // REAL decoded PCM — with patternMod=5, n_samples = pid+20 is
+      // unique per pattern, so matches ⇔ equal pattern id: the oracle is
+      // pure id arithmetic while the Spark side proves decode + index
+      val docs = T(s, d, "documents").select("doc_id")
+      val name = s"audiofp_idx_${tagFor(d)}"
+      val keys = Seq("fingerprint", "n_samples")
+      if (!s.catalog.tableExists(s"${name}_fp"))
+        Dedup.buildFingerprintIndex(
+          Multimodal.audioFingerprint(Multimodal.synthesizeWav(s,
+            docs.filter(col("doc_id") % 2 === 0), "doc_id",
+            patternMod = 5)).filter(col("decode_error").isNull),
+          name, s"/tmp/graft_clusters/audiofp_${tagFor(d)}", keys,
+          "media_id")
+      Dedup.probeFingerprintIndex(
+        Multimodal.audioFingerprint(Multimodal.synthesizeWav(s,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id",
+          patternMod = 5)).filter(col("decode_error").isNull),
+        name, keys, "media_id")
+    }),
+    "q297_video_dup_indexed" -> ((s, d) => {
+      // the video edition: keys are the decoded per-video metric triple
+      // (n_frames, Σ checksums, Σ gray-sums) — n_frames = pid+4 is
+      // unique per pattern at patternMod=5, so matches ⇔ equal pattern
+      val docs = T(s, d, "documents").select("doc_id")
+      val name = s"videofp_idx_${tagFor(d)}"
+      val keys = Seq("n_frames", "fp_a", "fp_b")
+      def fps(slice: DataFrame) = Multimodal.decodeAviFrames(
+        Multimodal.synthesizeAvi(s, slice, "doc_id", patternMod = 5))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("pixel_checksum")).as("fp_a"),
+          sum(col("gray_sum")).as("fp_b"))
+      if (!s.catalog.tableExists(s"${name}_fp"))
+        Dedup.buildFingerprintIndex(
+          fps(docs.filter(col("doc_id") % 2 === 0)),
+          name, s"/tmp/graft_clusters/videofp_${tagFor(d)}", keys,
+          "media_id")
+      Dedup.probeFingerprintIndex(
+        fps(docs.filter(col("doc_id") % 2 === 1)), name, keys, "media_id")
+    }),
     "q294_video_frame_sample" -> ((s, d) =>
       // the decode-cost lever: demux every chunk (header arithmetic)
       // but decode only every 2nd frame's JPEG — the video analogue of
@@ -6954,6 +6997,22 @@ object SparkEntry {
         |  CAST((doc_id % 10 + 4 + 1) // 2 AS BIGINT) AS n_sampled,
         |  CAST(2 * ((doc_id % 10 + 4 - 1) // 2) AS BIGINT) AS last_frame
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    "q296_audio_dup_indexed" ->
+      // byte-identical audio ⇔ equal pattern id (n_samples = pid+20 is
+      // injective over pid < 5), so the index probe is id arithmetic
+      """SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        |FROM documents b JOIN documents c
+        |  ON b.doc_id % 5 = c.doc_id % 5
+        |WHERE b.doc_id % 3 = 1 AND b.doc_id % 2 = 1
+        |  AND c.doc_id % 3 = 1 AND c.doc_id % 2 = 0""".stripMargin,
+    "q297_video_dup_indexed" ->
+      // byte-identical video ⇔ equal pattern id (n_frames = pid+4 is
+      // injective over pid < 5)
+      """SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        |FROM documents b JOIN documents c
+        |  ON b.doc_id % 5 = c.doc_id % 5
+        |WHERE b.doc_id % 3 = 2 AND b.doc_id % 2 = 1
+        |  AND c.doc_id % 3 = 2 AND c.doc_id % 2 = 0""".stripMargin,
     "q295_image_neardup_indexed" -> {
       // the banded index probe equals the plain all-pairs Hamming filter
       // (pigeonhole, maxDist 3 < 4 bands), so the oracle skips the bands

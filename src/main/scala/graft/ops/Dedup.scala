@@ -1768,4 +1768,75 @@ object Dedup {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  // ----------------- generic exact-fingerprint dup index (any modality)
+
+  /** Persisted EXACT-dup index over any fingerprint tuple — the
+    * modality-agnostic complement of the per-modality NEAR-dup indexes
+    * (text LSH bands, image aHash bands): a corpus's (id, key…) rows
+    * live in a table bucketed on the key columns, and a probe is one
+    * equi-join read in place. This is how exact audio-fingerprint dedup
+    * (keys: fingerprint + n_samples) and exact video dedup (keys: the
+    * decoded per-video metric triple) run against a STANDING corpus at
+    * batch cost instead of recomputing a corpus-wide groupBy per batch.
+    * `fps` must carry `idCol` plus exactly `keyCols`.
+    */
+  def buildFingerprintIndex(fps: DataFrame, name: String, path: String,
+                            keyCols: Seq[String], idCol: String,
+                            numBuckets: Int = 32): Unit = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    graft.io.IO.writeBucketed(
+      fps.select((idCol +: keyCols).map(col): _*),
+      s"${name}_fp", s"$path/fp", keyCols, numBuckets, keyCols)
+  }
+
+  /** Replay-idempotent append (anti-join on `idCol`). */
+  def appendToFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+                               name: String, batchFps: DataFrame,
+                               keyCols: Seq[String], idCol: String,
+                               numBuckets: Int = 32): Unit = {
+    val buckets = org.apache.spark.sql.graftbridge.ColumnBridge
+      .tableNumBuckets(spark, s"${name}_fp").getOrElse(numBuckets)
+    val fresh = batchFps.join(
+      spark.table(s"${name}_fp").select(col(idCol)),
+      Seq(idCol), "left_anti")
+    fresh.select((idCol +: keyCols).map(col): _*).write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .format("parquet").saveAsTable(s"${name}_fp")
+  }
+
+  /** Every (batch id, corpus id) pair with IDENTICAL key tuple —
+    * (batch_id, corpus_id), index side read in place.
+    */
+  def probeFingerprintIndex(batchFps: DataFrame, name: String,
+                            keyCols: Seq[String],
+                            idCol: String): DataFrame = {
+    val spark = batchFps.sparkSession
+    batchFps.select((idCol +: keyCols).map(col): _*)
+      .withColumnRenamed(idCol, "batch_id")
+      .join(spark.table(s"${name}_fp")
+        .withColumnRenamed(idCol, "corpus_id"), keyCols)
+      .select(col("batch_id"), col("corpus_id"))
+  }
+
+  /** GDPR delete: anti-join + bucketed rewrite with the build's exact
+    * specs (catalog-derived), probe plans unchanged.
+    */
+  def deleteFromFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+                                 name: String, path: String,
+                                 ids: DataFrame, keyCols: Seq[String],
+                                 idCol: String,
+                                 numBuckets: Int = 32): Unit = {
+    val buckets = org.apache.spark.sql.graftbridge.ColumnBridge
+      .tableNumBuckets(spark, s"${name}_fp").getOrElse(numBuckets)
+    val kept = spark.table(s"${name}_fp")
+      .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    try graft.io.IO.writeBucketed(kept, s"${name}_fp", s"$path/fp",
+      keyCols, buckets, keyCols)
+    finally org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(kept)
+  }
 }

@@ -854,6 +854,59 @@ class DedupSpec extends SparkSpec {
       (1.0, 0L, 0L, 0L))) // nothing clears the cut
   }
 
+  test("generic fingerprint index: probe equals a brute-force key join, " +
+    "append is replay-idempotent, delete converges to build-minus-" +
+    "forgotten, index side reads in place") {
+    // fingerprints: (id, k1, k2) where the key tuple repeats every 4 ids
+    def fps(ids: Range) = ids.map(i =>
+      (i.toLong, (i % 4).toLong, (i % 4) * 10L + 3)).toDF("id", "k1", "k2")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpidx").toString
+    val keys = Seq("k1", "k2")
+    Dedup.buildFingerprintIndex(fps(0 until 40), "t_fp_idx", dir, keys,
+      "id", numBuckets = 8)
+    def probe() = Dedup.probeFingerprintIndex(fps(100 until 120),
+      "t_fp_idx", keys, "id").as[(Long, Long)].collect().toSet
+    val got = probe()
+    val brute = (for {
+      b <- 100 until 120; c <- 0 until 40 if b % 4 == c % 4
+    } yield (b.toLong, c.toLong)).toSet
+    assert(got == brute && got.nonEmpty)
+    // append joins new corpus rows in; replay writes nothing
+    Dedup.appendToFingerprintIndex(spark, "t_fp_idx", fps(40 until 60),
+      keys, "id")
+    val afterAppend = probe()
+    assert(afterAppend.size > got.size)
+    val rows = spark.table("t_fp_idx_fp").count()
+    Dedup.appendToFingerprintIndex(spark, "t_fp_idx", fps(40 until 60),
+      keys, "id")
+    assert(spark.table("t_fp_idx_fp").count() == rows)
+    // delete: forgotten corpus ids stop matching; bucket spec preserved
+    Dedup.deleteFromFingerprintIndex(spark, "t_fp_idx", dir,
+      Seq(0L, 4L, 44L).toDF("id"), keys, "id")
+    assert(probe() == afterAppend.filterNot(p => Set(0L, 4L, 44L)(p._2)))
+    assert(org.apache.spark.sql.graftbridge.ColumnBridge
+      .tableNumBuckets(spark, "t_fp_idx_fp").contains(8))
+    // scale shape: the probe's index side reads the bucketed table in
+    // place (no exchange under the join)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = Dedup.probeFingerprintIndex(fps(100 until 120), "t_fp_idx",
+        keys, "id")
+      p.collect()
+      val scans = p.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.exists(_.bucketedScan), p.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+    spark.sql("DROP TABLE IF EXISTS t_fp_idx_fp")
+  }
+
   implicit class Tuple3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
