@@ -1135,6 +1135,33 @@ object Multimodal {
       .releaseLocalCheckpoint(b)
   }
 
+  /** Within-relation perceptual near-dup pairs over an aHash relation:
+    * banded self-join (candidate generation, same pigeonhole guarantee
+    * as the index probe) + exact bit_count verify → (id_a, id_b) with
+    * id_a < id_b — the input [[graft.ops.Dedup.clusterNearDups]] wants
+    * for rep selection. O(candidates), never O(n²).
+    */
+  def ahashNearDupPairs(ah: DataFrame, maxDist: Int = 3,
+                        bands: Int = 4): DataFrame = {
+    require(maxDist >= 0 && maxDist < bands,
+      s"pigeonhole guarantee needs maxDist < bands: $maxDist vs $bands")
+    val banded = ahashBanded(ah, bands)
+    val a = banded.select(col("media_id").as("id_a"), col("band_id"),
+      col("band_val"), col("ahash_hi").as("__ah"),
+      col("ahash_lo").as("__al"))
+    val b = banded.select(col("media_id").as("id_b"), col("band_id"),
+      col("band_val"), col("ahash_hi").as("__bh"),
+      col("ahash_lo").as("__bl"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ah"), col("__al"),
+        col("__bh"), col("__bl"))
+      .distinct()
+      .filter(bit_count(col("__ah").bitwiseXOR(col("__bh"))) +
+        bit_count(col("__al").bitwiseXOR(col("__bl"))) <= maxDist)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** GDPR/right-to-be-forgotten delete: drop every band row of `ids` —
     * forgotten images stop matching future probes entirely. Anti-join +
     * bucketed rewrite with the build's exact specs (catalog-derived), so
@@ -1165,11 +1192,20 @@ object Multimodal {
     * Hamming filter). Returns (batch_id, corpus_id, dist).
     */
   def probeAHashIndex(batch: DataFrame, name: String, maxDist: Int = 3,
-                      grid: Int = 8, bands: Int = 4): DataFrame = {
+                      grid: Int = 8, bands: Int = 4): DataFrame =
+    probeAHashHashes(
+      imageAHash(batch, grid).filter(col("decode_error").isNull),
+      name, maxDist, bands)
+
+  /** [[probeAHashIndex]] over an ALREADY-computed aHash relation
+    * (media_id, ahash_hi, ahash_lo) — the ingest loop hashes each batch
+    * once and feeds census, probe, and within-batch dedup from it.
+    */
+  def probeAHashHashes(ah: DataFrame, name: String, maxDist: Int = 3,
+                       bands: Int = 4): DataFrame = {
     require(maxDist >= 0 && maxDist < bands,
       s"pigeonhole guarantee needs maxDist < bands: $maxDist vs $bands")
-    val spark = batch.sparkSession
-    val ah = imageAHash(batch, grid).filter(col("decode_error").isNull)
+    val spark = ah.sparkSession
     val probe = ahashBanded(ah, bands)
       .select(col("media_id").as("batch_id"), col("band_id"),
         col("band_val"), col("ahash_hi").as("__bh"),

@@ -939,6 +939,75 @@ object EventStream {
         .releaseLocalCheckpoint(cleanMat)
   }
 
+  /** Config for [[ingestMediaBatch]]: the standing aHash index
+    * (built by [[graft.ops.Multimodal.buildAHashIndex]]) plus the live
+    * decode-census store and the perceptual-dup distance.
+    */
+  final case class MediaIngestIndexes(
+      ahashName: String,
+      censusDest: Option[String] = None,
+      maxDist: Int = 3, grid: Int = 8, bands: Int = 4)
+
+  /** One micro-batch of the continuous MEDIA-curation loop — the
+    * [[ingestBatch]] composition for image corpora, every stage over
+    * REAL decoded pixels:
+    *
+    *   0. hash the batch ONCE (decode + aHash; undecodable blobs carry
+    *      `decode_error`) and, when a census store rides the loop,
+    *      upsert the live quarantine counts ([[upsertDecodeCensus]]);
+    *   1. corpus-level perceptual dedup: drop batch images within
+    *      Hamming `maxDist` of an INDEXED image (banded probe — batch
+    *      cost, the corpus is never rescanned);
+    *   2. batch-level dedup: within-batch perceptual pairs (banded
+    *      self-join + Hamming verify) cluster via connected components
+    *      and one rep (lowest media_id) per cluster survives — the same
+    *      two-concerns-compose shape as the text loop's step 2;
+    *   3. APPEND the survivors to the standing index (replay-idempotent
+    *      anti-join), so the NEXT batch dedups against them;
+    *   4. EMIT the surviving media rows to `dest`.
+    *
+    * Convergence mirrors the text loop: ordered batches (later batches
+    * carry higher ids) make two-batch ≡ one-shot, and a fully-replayed
+    * batch dedups to nothing against the index rows it wrote first time
+    * (the emit itself is at-least-once — dedup downstream by id).
+    */
+  def ingestMediaBatch(batch: DataFrame, ix: MediaIngestIndexes,
+                       dest: String): Unit = {
+    val spark = batch.sparkSession
+    // 0. one decode pass feeds census, probe, and within-batch dedup
+    val ah = graft.ops.Multimodal.imageAHash(batch, ix.grid)
+      .localCheckpoint()
+    try {
+      ix.censusDest.foreach(cd => upsertDecodeCensus(
+        ah.select(lit("image").as("modality"), col("decode_error")), cd))
+      val good = ah.filter(col("decode_error").isNull)
+      // 1. corpus-level: anti-join the probed dup ids out
+      val dupIds = graft.ops.Multimodal.probeAHashHashes(good,
+          ix.ahashName, ix.maxDist, ix.bands)
+        .select(col("batch_id").as("media_id")).distinct()
+      val fresh = good.join(dupIds, Seq("media_id"), "left_anti")
+      // 2. batch-level: perceptual clusters keep their lowest id
+      val clusters = graft.ops.Dedup.clusterNearDups(
+        graft.ops.Multimodal.ahashNearDupPairs(fresh, ix.maxDist,
+          ix.bands), idCol = "media_id")
+      val reps = fresh.join(clusters, Seq("media_id"), "left")
+        .filter(col("cluster_rep").isNull ||
+          col("cluster_rep") === col("media_id"))
+        .select(col("media_id"))
+      val keptIds = reps.localCheckpoint() // consumed by append + emit
+      try {
+        val kept = batch.join(keptIds, Seq("media_id"), "left_semi")
+        // 3. replay-idempotent append (re-decodes survivors only)
+        graft.ops.Multimodal.appendToAHashIndex(spark, ix.ahashName,
+          kept, ix.grid, ix.bands)
+        // 4. emit the surviving media rows
+        kept.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dest)
+      } finally org.apache.spark.sql.graftbridge.ColumnBridge
+        .releaseLocalCheckpoint(keptIds)
+    } finally org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(ah)
+  }
+
   /** The capstone wired to a stream: every micro-batch runs
     * [[ingestBatch]] under `foreachBatch` — continuous curation against
     * standing indexes, the operational loop of a 100 TB pipeline.

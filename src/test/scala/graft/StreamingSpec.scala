@@ -857,6 +857,63 @@ class StreamingSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("media ingest loop: two ordered batches converge to one-shot " +
+    "(emitted reps, index contents, live census); replayed batch is a " +
+    "no-op against the index rows it wrote first time") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // patternMod=45 (≡ 0 mod 3, so id and id+45 share kind AND pattern):
+    // seed images carry pids {0,3,..,27}; batch1 (ids 30–59) brings five
+    // NEW pids {30..42} and five seed dups; batch2 (ids 60–89) is ALL
+    // dups of seed or batch1. Every 7th blob is garbage (ids 42/63/84)
+    // → quarantined, never indexed, so pid 42's clean copy (id 87)
+    // surfaces in batch2.
+    def media(lo: Long, hi: Long) = graft.ops.Multimodal.withCorruptedBlobs(
+      graft.ops.Multimodal.synthesizePng(spark,
+        Tables.documents(spark, sf0001)
+          .filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select("doc_id"), "doc_id", patternMod = 45), everyNth = 7)
+    def setup(tag: String): (EventStream.MediaIngestIndexes, String, String) = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_mingest_$tag").toString
+      graft.ops.Multimodal.buildAHashIndex(media(0, 30), s"mi_$tag",
+        s"$root/ah")
+      (EventStream.MediaIngestIndexes(s"mi_$tag",
+        censusDest = Some(s"$root/census")), s"$root/kept", s"$root/census")
+    }
+    val (ixA, destA, cenA) = setup("inc")
+    EventStream.ingestMediaBatch(media(30, 60), ixA, destA)
+    EventStream.ingestMediaBatch(media(60, 90), ixA, destA)
+    val (ixB, destB, cenB) = setup("one")
+    EventStream.ingestMediaBatch(media(30, 90), ixB, destB)
+    def kept(dest: String) = spark.read.parquet(dest)
+      .select("media_id").as[Long].collect().toSet
+    def bands(name: String) = spark.table(s"${name}_bands")
+      .collect().toSet
+    def census(c: String) = spark.read.parquet(c)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(kept(destA) == kept(destB) && kept(destA).nonEmpty)
+    // {30,33,36,39} = batch1's genuinely-new pids; 45/66/87 = clean
+    // copies of pids whose ONLY earlier copy (ids 0/21/42, ≡ 0 mod 7)
+    // was garbage and therefore never indexed — quarantined blobs must
+    // not "occupy" a pattern slot
+    assert(kept(destA) == Set(30L, 33L, 36L, 39L, 45L, 66L, 87L),
+      s"new pids keep their lowest clean id: ${kept(destA)}")
+    assert(bands("mi_inc") == bands("mi_one"))
+    assert(census(cenA) == census(cenB))
+    // 20 image rows crossed the loop, 3 quarantined (42, 63, 84)
+    assert(census(cenA) == Set(("image", 20L, 17L, 3L)), census(cenA))
+    // replay: the re-delivered batch dedups to nothing; census counts
+    // it again (at-least-once, the documented contract)
+    val bandsBefore = bands("mi_inc")
+    EventStream.ingestMediaBatch(media(60, 90), ixA, destA)
+    assert(bands("mi_inc") == bandsBefore)
+    assert(kept(destA) == kept(destB))
+    Seq("mi_inc_bands", "mi_one_bands")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("ingest loop layout upkeep: with zOrderCols set the emitted dest " +
     "stays a clustered managed z-ordered table across batches — appends " +
     "land unclustered, the in-loop sweep restores the layout, no rows " +
