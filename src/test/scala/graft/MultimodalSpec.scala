@@ -545,6 +545,32 @@ class MultimodalSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS t_ah_idx_bands")
   }
 
+  test("AVI demux total robustness: EVERY truncation point of a valid " +
+    "container either decodes (a prefix of frames is still whole) or " +
+    "quarantines — never throws out of the tier, never over-reads") {
+    val whole = Multimodal.synthesizeAvi(spark, Seq(2L).toDF("doc_id"),
+      "doc_id").select(col("content")).as[Array[Byte]].head()
+    // exhaustive over every byte boundary — the bounds-checked demux
+    // must classify all of them without escaping the quarantine lane
+    val cuts = (0 until whole.length).map(n => (n.toLong, whole.take(n)))
+      .toDF("media_id", "content")
+      .select(col("media_id"), lit("video").as("kind"), col("content"))
+    val out = Multimodal.decodeAviFrames(cuts)
+      .groupBy(col("media_id"))
+      .agg(max(col("decode_error").isNotNull).as("q"),
+        count(lit(1)).as("n"))
+      .as[(Long, Boolean, Long)].collect()
+    assert(out.length == whole.length, "every cut classifies exactly once")
+    // the full container is NOT in this set (max cut = len-1), so very
+    // short prefixes must all quarantine and nothing may exceed the
+    // true frame count
+    val full = Multimodal.decodeAviFrames(
+      Multimodal.synthesizeAvi(spark, Seq(2L).toDF("doc_id"), "doc_id"))
+      .count()
+    assert(out.filter(!_._2).forall(_._3 <= full))
+    assert(out.filter(_._1 < 12).forall(_._2), "headerless prefixes quarantine")
+  }
+
   test("decodeAviFrames quarantines corrupt containers (garbage bytes AND " +
     "truncation) as one per-video error row instead of crashing") {
     val ids = Seq(2L, 5L, 8L, 11L, 20L).toDF("doc_id")
