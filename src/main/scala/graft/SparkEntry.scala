@@ -2906,6 +2906,17 @@ object SparkEntry {
           patternMod = 5),
         name, maxDist = 3)
     }),
+    "q298_image_neardup_pairs" -> ((s, d) =>
+      // the media ingest loop's step-2 primitive standalone: within-
+      // corpus perceptual pairs via the banded self-join + exact
+      // bit_count verify — pigeonhole makes it EQUAL to the all-pairs
+      // Hamming filter the oracle replays (shared aHash CTE)
+      Multimodal.ahashNearDupPairs(
+        Multimodal.imageAHash(
+          Multimodal.synthesizePng(s, T(s, d, "documents")
+            .select("doc_id"), "doc_id", patternMod = 5))
+          .filter(col("decode_error").isNull),
+        maxDist = 3)),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -6997,6 +7008,18 @@ object SparkEntry {
         |  CAST((doc_id % 10 + 4 + 1) // 2 AS BIGINT) AS n_sampled,
         |  CAST(2 * ((doc_id % 10 + 4 - 1) // 2) AS BIGINT) AS last_frame
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    "q298_image_neardup_pairs" -> {
+      val ham = "bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))"
+      s"""WITH imgs AS (SELECT doc_id, doc_id % 5 AS pid
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |pats AS (SELECT DISTINCT pid FROM imgs),
+         |${ahashCtesSql("pid", "pats")},
+         |ih AS (SELECT doc_id, ah.ahash_hi AS hi, ah.ahash_lo AS lo
+         |  FROM imgs JOIN ah ON imgs.pid = ah.id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM ih a JOIN ih b ON a.doc_id < b.doc_id
+         |WHERE $ham <= 3""".stripMargin
+    },
     "q296_audio_dup_indexed" ->
       // byte-identical audio ⇔ equal pattern id (n_samples = pid+20 is
       // injective over pid < 5), so the index probe is id arithmetic
