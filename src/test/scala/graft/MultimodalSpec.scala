@@ -571,6 +571,50 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter(_._1 < 12).forall(_._2), "headerless prefixes quarantine")
   }
 
+  test("image and audio tiers share the AVI demux's total robustness: " +
+    "EVERY truncation point of a valid PNG/WAV either decodes or " +
+    "quarantines — no codec tier ever throws out of its task") {
+    // PNG through imageQualityRaw (id 3 → image)
+    val png = Multimodal.synthesizePng(spark, Seq(3L).toDF("doc_id"),
+      "doc_id").select(col("content")).as[Array[Byte]].head()
+    val pngCuts = (0 until png.length).map(n => (n.toLong, png.take(n)))
+      .toDF("media_id", "content")
+      .select(col("media_id"), lit("image").as("kind"), col("content"))
+    val pngOut = Multimodal.imageQualityRaw(pngCuts).collect()
+    assert(pngOut.length == png.length)
+    // the JDK PNG reader tolerates a cut AFTER the pixel data (IEND is
+    // optional to it) — decoded prefixes must still report the TRUE
+    // header geometry; anything shorter quarantines, nothing crashes
+    pngOut.foreach { r =>
+      if (r.getAs[String]("decode_error") == null) {
+        assert(r.getAs[Int]("width") == 7 && r.getAs[Int]("height") == 7)
+      }
+    }
+    assert(pngOut.count(_.getAs[String]("decode_error") != null) > 0)
+    assert(pngOut.filter(_.getAs[Long]("media_id") < 8)
+      .forall(_.getAs[String]("decode_error") != null))
+    // WAV through decodeWavFeatures (id 1 → audio)
+    val wav = Multimodal.synthesizeWav(spark, Seq(1L).toDF("doc_id"),
+      "doc_id").select(col("content")).as[Array[Byte]].head()
+    val wavCuts = (0 until wav.length).map(n => (n.toLong, wav.take(n)))
+      .toDF("media_id", "content")
+      .select(col("media_id"), lit("audio").as("kind"), col("content"))
+    val wavOut = Multimodal.decodeWavFeatures(wavCuts).collect()
+    assert(wavOut.length == wav.length)
+    // RIFF truncation may still parse a shorter PCM run (javax.sound
+    // reads what the header admits) — decoded cuts must never claim
+    // MORE samples than the full clip; headerless prefixes quarantine
+    val fullN = Multimodal.decodeWavFeatures(
+      Multimodal.synthesizeWav(spark, Seq(1L).toDF("doc_id"), "doc_id"))
+      .head().getAs[Long]("n_samples")
+    wavOut.foreach { r =>
+      if (r.getAs[String]("decode_error") == null)
+        assert(r.getAs[Long]("n_samples") <= fullN)
+    }
+    assert(wavOut.filter(_.getAs[Long]("media_id") < 12)
+      .forall(_.getAs[String]("decode_error") != null))
+  }
+
   test("decodeAviFrames quarantines corrupt containers (garbage bytes AND " +
     "truncation) as one per-video error row instead of crashing") {
     val ids = Seq(2L, 5L, 8L, 11L, 20L).toDF("doc_id")
