@@ -1140,12 +1140,26 @@ object Multimodal {
     * as the index probe) + exact bit_count verify → (id_a, id_b) with
     * id_a < id_b — the input [[graft.ops.Dedup.clusterNearDups]] wants
     * for rep selection. O(candidates), never O(n²).
+    *
+    * `maxBucket > 0` is the HOT-BAND defense (the LSH `maxBucket`
+    * lesson, perceptual edition): a crawl's flat/black images all share
+    * one aHash, so one (band_id, band_val) bucket goes quadratic in the
+    * self-join. The cap keeps each band bucket's `maxBucket` LOWEST ids
+    * via a GroupedTopK BOUNDED partial+final buffer — deterministic
+    * prefix, no collect_list of the whole bucket anywhere — trading
+    * recall on hot buckets for bounded state (byte-identical images
+    * keep the SAME prefix in every band, so capped exact-dup groups
+    * still pair within the prefix and CC reps stay the lowest ids).
+    * 0 (the default) is exact — the oracle-replayable form.
     */
   def ahashNearDupPairs(ah: DataFrame, maxDist: Int = 3,
-                        bands: Int = 4): DataFrame = {
+                        bands: Int = 4, maxBucket: Int = 0): DataFrame = {
     require(maxDist >= 0 && maxDist < bands,
       s"pigeonhole guarantee needs maxDist < bands: $maxDist vs $bands")
-    val banded = ahashBanded(ah, bands)
+    val all = ahashBanded(ah, bands)
+    val banded = if (maxBucket <= 0) all
+      else graft.plans.TopK.perGroup(all, Seq("band_id", "band_val"),
+        Seq(("media_id", false)), maxBucket)
     val a = banded.select(col("media_id").as("id_a"), col("band_id"),
       col("band_val"), col("ahash_hi").as("__ah"),
       col("ahash_lo").as("__al"))

@@ -455,6 +455,37 @@ class MultimodalSpec extends SparkSpec {
     assert(java.util.Arrays.equals(dup(0), dup(1)))
   }
 
+  test("ahashNearDupPairs maxBucket: the hot-band cap is a subset of the " +
+    "exact result, keeps each bucket's lowest-id prefix (byte-identical " +
+    "groups still pair within it), and plans as bounded GroupedTopK") {
+    // 30 images, patternMod=3 → three byte-identical groups of 10: every
+    // band bucket is HOT (10 ids deep)
+    val ids = (0L to 87L by 3L).toDF("doc_id")
+    val ah = Multimodal.imageAHash(Multimodal.synthesizePng(spark, ids,
+      "doc_id", patternMod = 3)).filter(col("decode_error").isNull)
+    val exact = Multimodal.ahashNearDupPairs(ah, maxDist = 3)
+      .as[(Long, Long)].collect().toSet
+    val capped = Multimodal.ahashNearDupPairs(ah, maxDist = 3,
+      maxBucket = 4)
+    val got = capped.as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact) && got.nonEmpty)
+    // the cap keeps the LOWEST ids: each pattern's 4 smallest image ids
+    // still pair with each other (CC reps unchanged for them)
+    val keptPerPattern = (0L to 87L by 3L).groupBy(_ % 3)
+      .values.map(_.sorted.take(4)).toSeq
+    keptPerPattern.foreach { g =>
+      for (a <- g; b <- g if a < b)
+        assert(got((a, b)), s"lowest-prefix pair ($a,$b) must survive the cap")
+    }
+    // bounded state: the cap plans as GroupedTopK partial+final, with no
+    // unbounded per-bucket collect anywhere
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopKPartial") &&
+      plan.contains("GroupedTopKFinal"), plan)
+    assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
+      plan)
+  }
+
   test("aHash index: the banded probe equals brute-force Hamming (the " +
     "pigeonhole superset + exact verify), append is replay-idempotent, " +
     "probes read the bucketed table in place") {
