@@ -2276,20 +2276,23 @@ object SparkEntry {
       // (80·n ≤ Σg ≤ 176·n — no float in the gate, q279's moments) →
       // perceptual dup collapse (distinct aHash lanes, q273/q274) →
       // resize-pressure census off metadata alone (q152); each branch a
-      // broadcast 1-row frame, the corpus never collects
+      // broadcast 1-row frame, the corpus never collects. The quality
+      // and aHash branches read ONE materialized decodeImageFeatures
+      // relation — each blob reaches the codec exactly once, not once
+      // per consuming tier (the decode is the funnel's dominant cost)
       val ids = T(s, d, "documents").select("doc_id")
       val media = Multimodal.withCorruptedBlobs(
         Multimodal.synthesizePng(s, ids, "doc_id", patternMod = 10),
         everyNth = 5)
-      val quality = Multimodal.imageQualityRaw(media)
-      val census = quality.agg(
+      val feats = Multimodal.decodeImageFeatures(media).localCheckpoint()
+      val census = feats.agg(
         count(lit(1)).as("n_images"),
         count(col("decode_error")).as("n_quarantined"),
         sum(when(col("decode_error").isNull &&
           col("gray_sum") >= lit(80L) * col("width") * col("height") &&
           col("gray_sum") <= lit(176L) * col("width") * col("height"),
           1L).otherwise(0L)).as("n_bright_ok"))
-      val uniq = Multimodal.imageAHash(media)
+      val uniq = feats
         .filter(col("decode_error").isNull)
         .agg(countDistinct(col("ahash_hi"), col("ahash_lo"))
           .as("n_unique_visual"))
@@ -2917,6 +2920,17 @@ object SparkEntry {
             .select("doc_id"), "doc_id", patternMod = 5))
           .filter(col("decode_error").isNull),
         maxDist = 3)),
+    "q299_reference_lm_filter" -> ((s, d) => {
+      // CCNet's actual shape: LM trained on a REFERENCE corpus (even
+      // ids — the "Wikipedia" slice) scores a disjoint TARGET corpus
+      // (odd ids) with add-one smoothing; OOV tokens — impossible in
+      // the in-corpus q96 form — carry the unknown-slot probability and
+      // surface as their own tripwire column
+      val docs = T(s, d, "documents")
+      TextAnalysis.referenceCrossEntropy(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -7020,6 +7034,26 @@ object SparkEntry {
          |FROM ih a JOIN ih b ON a.doc_id < b.doc_id
          |WHERE $ham <= 3""".stripMargin
     },
+    "q299_reference_lm_filter" ->
+      // add-one-smoothed reference LM: denom = T + V + 1 off the
+      // reference counts; unseen target tokens coalesce to cnt 0 (the
+      // unknown slot). DuckDB's per-occurrence avg vs Spark's
+      // tf-weighted sum differ only by reassociation (~1e-13), absorbed
+      // by the shared 6-decimal rounding (the q96 discipline)
+      s"""WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+         |rt AS (SELECT unnest($toksSql) AS token FROM ref),
+         |counts AS (SELECT token, count(*) AS cnt FROM rt GROUP BY token),
+         |denom AS (SELECT CAST(sum(cnt) + count(*) + 1 AS DOUBLE) AS dn
+         |  FROM counts),
+         |tt AS (SELECT doc_id, unnest($toksSql) AS token FROM tgt)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS oov_tokens,
+         |  round(ln(dn) - avg(ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE))), 6)
+         |    AS ref_cross_entropy
+         |FROM tt LEFT JOIN counts USING (token) CROSS JOIN denom
+         |GROUP BY doc_id, dn""".stripMargin,
     "q296_audio_dup_indexed" ->
       // byte-identical audio ⇔ equal pattern id (n_samples = pid+20 is
       // injective over pid < 5), so the index probe is id arithmetic

@@ -529,6 +529,107 @@ object Multimodal {
     (graySqSum.cast("double") * n - graySum.cast("double") * graySum) /
       (n * n).cast("double")
 
+  case class ImageFeatures(media_id: Long, width: Option[Int],
+                           height: Option[Int], gray_sum: Option[Long],
+                           gray_sq_sum: Option[Long], ent_nano: Option[Long],
+                           ahash_hi: Option[Long], ahash_lo: Option[Long],
+                           decode_error: Option[String])
+
+  /** Decode-ONCE combined feature tier: one `ImageIO.read` per blob emits
+    * BOTH [[imageQualityRaw]]'s exact integer moments (Σg, Σg², the
+    * nano-snapped 16-bin Σc·ln c) AND [[imageAHash]]'s two perceptual-hash
+    * lanes — per pixel and per grid cell the arithmetic is the SAME
+    * statements as the standalone tiers (the aHash grid samples the
+    * already-decoded `BufferedImage`, 64 extra `getRGB` calls), so the
+    * combined row is bit-identical to the join of the two tiers'
+    * outputs (MultimodalSpec pins the equivalence on a corrupt-injected
+    * fixture). A multi-consumer pipeline (the q287 curation capstone:
+    * quarantine census + brightness gate + perceptual dup collapse)
+    * materializes THIS relation once instead of paying the dominant
+    * decode cost once per consuming tier — at crawl scale the decode is
+    * 10²–10³× the feature arithmetic, so k consumers over a combined
+    * decode is a ~k× win on the media family's bottleneck stage.
+    * Quarantine discipline identical to the standalone tiers: an
+    * undecodable blob is ONE (null metrics, `decode_error`) row serving
+    * every consumer.
+    */
+  def decodeImageFeatures(media: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 2 && grid * grid <= 64,
+      s"grid must be in [2, 8] (grid^2 <= 64 bits): $grid")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "image" && col("content").isNotNull)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null, "content is not a decodable image")
+            val w = img.getWidth; val h = img.getHeight
+            // full-pixel walk: imageQualityRaw's statements verbatim
+            var s1 = 0L; var s2 = 0L
+            val hist = new Array[Long](16)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)) / 3
+                s1 += g; s2 += g.toLong * g
+                hist(g / 16) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var ent = 0L
+            var b = 0
+            while (b < 16) {
+              if (hist(b) > 0)
+                ent += math.round(hist(b) * math.log(hist(b).toDouble) * 1e9)
+              b += 1
+            }
+            // grid sample over the SAME decoded image: imageAHash's
+            // statements verbatim
+            val cg = new Array[Long](grid * grid)
+            var gsum = 0L
+            var ty = 0
+            while (ty < grid) {
+              val sy = ty * h / grid
+              var tx = 0
+              while (tx < grid) {
+                val rgb = img.getRGB(tx * w / grid, sy)
+                val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)) / 3
+                cg(ty * grid + tx) = gray.toLong
+                gsum += gray
+                tx += 1
+              }
+              ty += 1
+            }
+            val n = (grid * grid).toLong
+            var hi = 0L; var lo = 0L
+            var p = 0
+            while (p < grid * grid) {
+              if (cg(p) * n >= gsum) {
+                if (p >= 32) hi |= 1L << (p - 32) else lo |= 1L << p
+              }
+              p += 1
+            }
+            ImageFeatures(id, Some(w), Some(h), Some(s1), Some(s2),
+              Some(ent), Some(hi), Some(lo), None)
+          } catch { case scala.util.control.NonFatal(e) =>
+            ImageFeatures(id, None, None, None, None, None, None, None,
+              Some(decodeErrMsg(e)))
+          }
+        }
+      }
+      .toDF()
+  }
+
   def decodeResizeImages(media: DataFrame, maxSide: Int = 256,
                          decodeCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {

@@ -841,15 +841,25 @@ object Similarity {
     */
   def semanticDedupFlags(emb: DataFrame, centroids: DataFrame, tau: Double,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding",
+                         maxCell: Int = 0): DataFrame = {
     // the assignment (crossJoin + argmax aggregate) is consumed THREE
     // times below (both self-join sides + the output spine) — checkpoint
     // it once rather than trusting exchange reuse to dedupe all three
     // subtrees (same CacheManager-free materialization rationale and
     // elastic-cluster caveat as TextAnalysis.termFrequencies)
     val cells = assignCells(emb, centroids, vecCol, idCol).localCheckpoint()
-    val a = cells.select(col(idCol), col(vecCol).as("__va"), col("cell_id"))
-    val b = cells.select(col(idCol).as("__bid"), col(vecCol).as("__vb"),
+    // maxCell caps the PAIR-MINING side per cell (lowest ids win,
+    // GroupedTopK bounded buffers) — the LSH maxBucket lesson, SemDeDup
+    // edition: one degenerate mega-cell (a failed centroid, an
+    // all-zeros-embedding bug) must bound the Σ|cell|² join, degrading
+    // dup RECALL in that cell only — the flag spine still carries every
+    // member. Default 0 stays exact (the oracle-replayable form).
+    val mined = if (maxCell <= 0) cells
+      else graft.plans.TopK.perGroup(cells, Seq("cell_id"),
+        Seq((idCol, false)), maxCell)
+    val a = mined.select(col(idCol), col(vecCol).as("__va"), col("cell_id"))
+    val b = mined.select(col(idCol).as("__bid"), col(vecCol).as("__vb"),
       col("cell_id").as("__cb"))
     val dups = a.join(b, col("cell_id") === col("__cb") &&
         col("__bid") < col(idCol))

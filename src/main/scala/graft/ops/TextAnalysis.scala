@@ -1053,6 +1053,50 @@ object TextAnalysis {
           .as("bigram_cross_entropy"))
   }
 
+  /** Cross-corpus LM quality scoring — the ACTUAL CCNet shape: the LM is
+    * trained on a separate REFERENCE corpus (CCNet: Wikipedia) and scores
+    * a TARGET corpus; [[unigramCrossEntropy]]'s in-corpus form never sees
+    * an unseen token, so this is the op that introduces the genuinely new
+    * semantics — out-of-vocabulary mass. Add-one (Laplace) smoothing over
+    * the reference vocabulary plus one unknown slot: p(w) = (c(w) + 1) /
+    * (T + V + 1), unseen w → 1 / (T + V + 1); per-doc score is the
+    * tf-weighted −avg ln p = ln(T + V + 1) − avg ln(c(w) + 1). Also
+    * emits the raw OOV token count — the fast "wrong language / binary
+    * junk" tripwire a curation pass reads before the entropy itself.
+    *
+    * Shape at corpus scale: the reference tokenizes once
+    * ([[termFrequencies]], materialized — its vocabulary counts feed two
+    * aggregates); its count table is vocabulary-sized and joins the
+    * target's (doc, term, tf) relation as the build side (AQE
+    * broadcasts); (T + V + 1) folds to a broadcast 1-row frame. The
+    * target never shuffles text — only (doc, term, tf). The tf-weighted
+    * double-sum reassociation drift is the same ~1e-13 class as q96's,
+    * absorbed by the 6-decimal rounding (NOTES_r3 item 15).
+    */
+  def referenceCrossEntropy(ref: DataFrame, target: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val refTf = termFrequencies(ref, idCol, textCol)
+    val counts = refTf.groupBy(col("term")).agg(sum(col("tf")).as("__cnt"))
+    // T + V + 1 in one vocabulary-sized pass; 1-row broadcast
+    val denomRow = counts
+      .agg((sum(col("__cnt")) + count(lit(1)) + lit(1L)).cast("double")
+        .as("__denom"))
+    termFrequencies(target, idCol, textCol, materialize = false)
+      .join(counts, Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("__cnt").isNull, col("tf")).otherwise(0L))
+          .as("oov_tokens"),
+        (sum(col("tf").cast("double") *
+          log(coalesce(col("__cnt"), lit(0L)).cast("double") + 1.0)) /
+          sum(col("tf")).cast("double")).as("__mean_log"))
+      .crossJoin(broadcast(denomRow))
+      .select(col(idCol), col("n_tokens"), col("oov_tokens"),
+        round(log(col("__denom")) - col("__mean_log"), 6)
+          .as("ref_cross_entropy"))
+  }
+
   /** Corpus-level language/quality rollup. */
   def corpusSummary(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

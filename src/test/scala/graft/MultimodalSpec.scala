@@ -669,4 +669,33 @@ class MultimodalSpec extends SparkSpec {
     val tr = Multimodal.decodeAviFrames(cut).collect()
     assert(tr.length == 1 && tr.head.getAs[String]("decode_error") != null)
   }
+
+  test("decodeImageFeatures ≡ imageQualityRaw ⋈ imageAHash (one decode " +
+    "pass serves both tiers, quarantine included)") {
+    import org.apache.spark.sql.functions.col
+    // corrupt-injected fixture with re-upload dups: exercises decoded
+    // rows, quarantined rows, AND patternMod collisions in one corpus
+    val ids = (0L to 87L by 3L).toDF("doc_id")
+    val media = Multimodal.withCorruptedBlobs(
+      Multimodal.synthesizePng(spark, ids, "doc_id", patternMod = 10),
+      everyNth = 5)
+    val combined = Multimodal.decodeImageFeatures(media)
+      .select("media_id", "width", "height", "gray_sum", "gray_sq_sum",
+        "ent_nano", "ahash_hi", "ahash_lo", "decode_error")
+    val quality = Multimodal.imageQualityRaw(media)
+      .select(col("media_id"), col("width"), col("height"),
+        col("gray_sum"), col("gray_sq_sum"), col("ent_nano"),
+        col("decode_error"))
+    val ahash = Multimodal.imageAHash(media)
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
+    val joined = quality.join(ahash, "media_id")
+      .select("media_id", "width", "height", "gray_sum", "gray_sq_sum",
+        "ent_nano", "ahash_hi", "ahash_lo", "decode_error")
+    assert(combined.count() == ids.count())
+    assert(combined.exceptAll(joined).count() == 0)
+    assert(joined.exceptAll(combined).count() == 0)
+    // both lanes genuinely populated: some decoded, some quarantined
+    assert(combined.filter(col("decode_error").isNull).count() > 0)
+    assert(combined.filter(col("decode_error").isNotNull).count() > 0)
+  }
 }

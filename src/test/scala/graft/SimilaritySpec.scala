@@ -1186,4 +1186,31 @@ class SimilaritySpec extends SparkSpec {
     // the mislabel's centroid cosine is far below the in-cluster three
     assert(a(4L) < a(1L) && a(4L) < a(2L) && a(4L) < a(3L))
   }
+
+  test("semanticDedupFlags maxCell: the hot-cell cap bounds pair mining " +
+    "(lowest ids win) but the flag spine still carries every member") {
+    // two well-separated cells; within +x: ids 1,2,7 mutually near-dup
+    // (cos ≈ 1 ≥ τ), id 9 distinct (cos < τ to all); within +y: 4,5 dup
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.999, 0.01)), (7L, Seq(0.998, 0.02)),
+      (9L, Seq(0.5, -0.86)),
+      (4L, Seq(0.0, 1.0)), (5L, Seq(0.01, 0.999))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cell_id", "centroid")
+    def flags(maxCell: Int): Map[Long, (Int, Int)] =
+      Similarity.semanticDedupFlags(emb, cents, tau = 0.9, maxCell = maxCell)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Int]("cell_id"), r.getAs[Int]("is_semdup")))).toMap
+    // exact (no cap): 2 and 7 flag (lower-id 1 at cos ≥ τ); 5 flags via 4
+    val exact = flags(0)
+    assert(exact == Map(1L -> ((0, 0)), 2L -> ((0, 1)), 7L -> ((0, 1)),
+      9L -> ((0, 0)), 4L -> ((1, 0)), 5L -> ((1, 1))))
+    // maxCell = 2: cell 0 mines pairs only among its two lowest ids
+    // {1, 2} → 7 stops flagging (recall degrades in the capped cell
+    // ONLY); every member still appears in the output spine
+    val capped = flags(2)
+    assert(capped == exact + (7L -> ((0, 0))))
+    assert(capped.keySet == exact.keySet)
+  }
 }

@@ -805,4 +805,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0.5) == ((0.5, 6L, 3L, 0.5, 1.0, 0.666667)))
     assert(got(0.2) == ((0.2, 7L, 3L, 0.428571, 1.0, 0.6)))
   }
+
+  test("referenceCrossEntropy: add-one smoothing over the reference " +
+    "vocabulary; OOV tokens hit the unknown slot and the tripwire count") {
+    // ref corpus: tokens {a: 2, b: 1} → T = 3, V = 2, denom = 6
+    val ref = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val tgt = Seq(
+      (10L, "a c"),      // a seen (cnt 2), c OOV
+      (11L, "b b"),      // all seen
+      (12L, "z"),        // all OOV
+      (13L, "   ")       // no tokens → no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.referenceCrossEntropy(ref, tgt)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_tokens"),
+          r.getAs[Double]("ref_cross_entropy")))).toMap
+    assert(got.size == 3)
+    def ce(logs: Seq[Double]): Double =
+      BigDecimal(math.log(6.0) - logs.sum / logs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 10: ln6 − (ln(2+1) + ln(0+1))/2
+    assert(got(10L) == ((2L, 1L, ce(Seq(math.log(3.0), 0.0)))))
+    // doc 11: ln6 − ln(1+1)
+    assert(got(11L) == ((2L, 0L, ce(Seq(math.log(2.0), math.log(2.0))))))
+    // doc 12: pure unknown mass — the worst score: ln6 − ln1
+    assert(got(12L) == ((1L, 1L, ce(Seq(0.0)))))
+    // monotone: more OOV ⇒ higher cross-entropy
+    assert(got(12L)._3 > got(10L)._3 && got(10L)._3 > got(11L)._3)
+  }
+
 }
