@@ -343,6 +343,49 @@ object SparkEntry {
        |WHERE v.vec_id <> 1
        |ORDER BY sim DESC, v.vec_id LIMIT 10""".stripMargin
 
+  /** DuckDB replay of q300's batch-perceptron training: the same integer
+    * features, and per round the same misclassified-set aggregate under
+    * the PREVIOUS round's weights — all int64, so the weight trajectory
+    * matches bit-for-bit (the reason q300 is a perceptron and not
+    * logistic GD). One CTE pair (errors/deltas, updated weights) per
+    * round, carried forward by CROSS JOINs of 1-row frames.
+    */
+  private def perceptronOracleSql(rounds: Int): String = {
+    val chain = new StringBuilder
+    chain.append(
+      s"""f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |    1::BIGINT AS x0,
+         |    CAST(len($toksSql) AS BIGINT) AS x1,
+         |    n_chars AS x2,
+         |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         |      AS BIGINT) AS x3,
+         |    CAST(length(text) -
+         |      length(regexp_replace(lower(text), '[aeiou]', '', 'g'))
+         |      AS BIGINT) AS x4
+         |  FROM documents),
+         |w0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2,
+         |  0::BIGINT AS w3, 0::BIGINT AS w4)""".stripMargin)
+    for (r <- 1 to rounds) {
+      chain.append(",\n")
+      chain.append(
+        s"""e$r AS (SELECT CAST(count(*) AS BIGINT) AS ne,
+           |    ${(0 to 4).map(i =>
+                  s"CAST(coalesce(sum(y * x$i), 0) AS BIGINT) AS d$i")
+                  .mkString(",\n           |    ")}
+           |  FROM f CROSS JOIN w${r - 1}
+           |  WHERE y * (${(0 to 4).map(i => s"w$i * x$i").mkString(" + ")}) <= 0),
+           |w$r AS (SELECT ${(0 to 4).map(i => s"w$i + d$i AS w$i")
+                  .mkString(", ")}
+           |  FROM w${r - 1} CROSS JOIN e$r)""".stripMargin)
+    }
+    val union = (1 to rounds)
+      .map(r => s"SELECT $r AS round, ne AS n_errors, " +
+        (0 to 4).map(i => s"w$i AS w_$i").mkString(", ") +
+        s" FROM e$r CROSS JOIN w$r")
+      .mkString("\nUNION ALL ")
+    s"WITH ${chain.toString}\n$union"
+  }
+
   /** Same MinHash permutation params as the Spark side, as a VALUES list —
     * one source of truth for both engines (a, b < 2^31 so a·h+b stays in
     * BIGINT range in DuckDB exactly as in the native expression).
@@ -2931,6 +2974,57 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
     }),
+    "q300_perceptron_train" -> ((s, d) => {
+      // TRAIN the quality/language classifier on the cluster (q115
+      // scores with frozen weights; this learns them): batch perceptron
+      // over integer char-class features, label = lang=='en' — every
+      // round is exact int64 (no float GD drift to compound), one
+      // partial-aggregated scan per round, weights ride as literals
+      val f = T(s, d, "documents").select(
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        lit(1L).as("x0"),
+        tokenCount(col("text")).cast("long").as("x1"),
+        col("n_chars").as("x2"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("x3"),
+        (length(col("text")) -
+          length(regexp_replace(lower(col("text")), "[aeiou]", "")))
+          .cast("long").as("x4"))
+      TextAnalysis.perceptronTrain(f, "y",
+        Seq("x0", "x1", "x2", "x3", "x4"), rounds = 6)
+    }),
+    "q301_preference_leaderboard" -> ((s, d) => {
+      // post-training preference data shape: pairwise comparisons
+      // (within each order, the higher-quantity part "beats" the other;
+      // ties skipped) → head-to-head matchups → Copeland + Borda
+      // leaderboard, all int64 (iterative Elo/BT float fits can't replay
+      // cross-engine; the voting-theory pair can — and is what eval
+      // leaderboards actually publish)
+      val items = T(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val a = items.select(col("ok"), col("pk").as("pk_a"), col("q").as("q_a"))
+      val b = items.select(col("ok"), col("pk").as("pk_b"), col("q").as("q_b"))
+      val cmp = a.join(b, Seq("ok"))
+        .filter(col("pk_a") < col("pk_b") && col("q_a") =!= col("q_b"))
+        .select(
+          when(col("q_a") > col("q_b"), col("pk_a")).otherwise(col("pk_b"))
+            .as("winner"),
+          when(col("q_a") > col("q_b"), col("pk_b")).otherwise(col("pk_a"))
+            .as("loser"))
+      Preference.leaderboard(cmp)
+    }),
+    "q302_k_anonymity" -> ((s, d) =>
+      // release-gate privacy audit: k-anonymity census over the
+      // (lang, source, length-bucket) quasi-identifier tuple — group
+      // sizes in ONE map-side-combined pass, each threshold a 1-row
+      // aggregate over the QI-sized relation, suppression cost in
+      // integer ppm
+      Redact.kAnonymityReport(
+        T(s, d, "documents").select(col("lang"), col("source"),
+          expr("n_chars DIV 100").as("len_bucket")),
+        Seq("lang", "source", "len_bucket"))),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -7054,6 +7148,46 @@ object SparkEntry {
          |    AS ref_cross_entropy
          |FROM tt LEFT JOIN counts USING (token) CROSS JOIN denom
          |GROUP BY doc_id, dn""".stripMargin,
+    "q300_perceptron_train" -> perceptronOracleSql(6),
+    "q301_preference_leaderboard" ->
+      // l_quantity values are small integers in doubles, so sums and
+      // compares are exact in both engines; // is DuckDB's integer DIV
+      // (non-negative operands, identical to Spark's DIV)
+      """WITH it AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+        |    sum(l_quantity) AS q FROM lineitem GROUP BY 1, 2),
+        |cmp AS (SELECT
+        |    CASE WHEN a.q > b.q THEN a.pk ELSE b.pk END AS winner,
+        |    CASE WHEN a.q > b.q THEN b.pk ELSE a.pk END AS loser
+        |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+        |  WHERE a.q <> b.q),
+        |m AS (SELECT least(winner, loser) AS ia, greatest(winner, loser) AS ib,
+        |    CAST(sum(CASE WHEN winner <= loser THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+        |    CAST(sum(CASE WHEN winner > loser THEN 1 ELSE 0 END) AS BIGINT) AS wb
+        |  FROM cmp GROUP BY 1, 2),
+        |sides AS (SELECT ia AS item, wa AS w, wb AS l FROM m
+        |  UNION ALL SELECT ib, wb, wa FROM m)
+        |SELECT item, count(*) AS n_matchups,
+        |  CAST(sum(w + l) AS BIGINT) AS n_games,
+        |  CAST(sum(w) AS BIGINT) AS n_wins,
+        |  CAST(sum(CASE WHEN w > l THEN 1 WHEN w < l THEN -1 ELSE 0 END)
+        |    AS BIGINT) AS copeland,
+        |  1000000 * CAST(sum(w) AS BIGINT) // CAST(sum(w + l) AS BIGINT)
+        |    AS win_ppm
+        |FROM sides GROUP BY item""".stripMargin,
+    "q302_k_anonymity" ->
+      """WITH g AS (SELECT lang, source, n_chars // 100 AS lb,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM documents GROUP BY 1, 2, 3),
+        |t AS (SELECT unnest([2, 5, 10, 25]) AS k_threshold)
+        |SELECT k_threshold, count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN k < k_threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS violating_groups,
+        |  CAST(sum(k) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN k < k_threshold THEN k ELSE 0 END) AS BIGINT)
+        |    AS violating_rows,
+        |  1000000 * CAST(sum(CASE WHEN k < k_threshold THEN k ELSE 0 END)
+        |    AS BIGINT) // CAST(sum(k) AS BIGINT) AS suppression_ppm
+        |FROM g CROSS JOIN t GROUP BY k_threshold""".stripMargin,
     "q296_audio_dup_indexed" ->
       // byte-identical audio ⇔ equal pattern id (n_samples = pid+20 is
       // injective over pid < 5), so the index probe is id arithmetic

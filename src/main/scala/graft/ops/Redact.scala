@@ -100,4 +100,42 @@ object Redact {
         col("total_hits"),
         expr("1000000 * total_hits DIV greatest(__chars, 1)")
           .as("hits_per_mchar"))
+
+  /** k-anonymity census over a quasi-identifier tuple — the
+    * re-identification audit a release review runs BEFORE shipping a
+    * corpus (Sweeney 2002): a row is k-anonymous iff at least k rows
+    * share its full quasi-identifier combination, so rows in small QI
+    * groups are the re-identifiable ones. For each threshold, reports
+    * how many QI groups and rows fall below it and the suppression cost
+    * in integer ppm (what you'd have to drop — or generalize — to claim
+    * k-anonymity at that level).
+    *
+    * Shape at 100 TB: ONE groupBy on the QI tuple (map-side combined;
+    * the group relation is QI-cardinality-sized, never row-sized), then
+    * each threshold is a 1-row aggregate over that small relation —
+    * thresholds are a broadcast-exploded constant array, so the group
+    * relation is scanned once, not once per threshold. All integers.
+    */
+  def kAnonymityReport(df: DataFrame, qiCols: Seq[String],
+                       thresholds: Seq[Int] = Seq(2, 5, 10, 25)): DataFrame = {
+    require(qiCols.nonEmpty, "qiCols must be non-empty")
+    require(thresholds.nonEmpty && thresholds.forall(_ >= 2),
+      s"thresholds must all be >= 2: $thresholds")
+    val groups = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__k"))
+    groups
+      .select(col("__k"),
+        explode(array(thresholds.map(t => lit(t)): _*)).as("k_threshold"))
+      .groupBy(col("k_threshold"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__k") < col("k_threshold"), 1L).otherwise(0L))
+          .as("violating_groups"),
+        sum(col("__k")).as("n_rows"),
+        sum(when(col("__k") < col("k_threshold"), col("__k")).otherwise(0L))
+          .as("violating_rows"))
+      .select(col("k_threshold"), col("n_groups"), col("violating_groups"),
+        col("n_rows"), col("violating_rows"),
+        expr("1000000 * violating_rows DIV n_rows").as("suppression_ppm"))
+  }
 }

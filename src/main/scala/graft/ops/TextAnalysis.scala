@@ -91,6 +91,72 @@ object TextAnalysis {
       .withColumn("keep", (col("quality_prob") >= threshold).cast("int"))
   }
 
+  /** Distributed batch-perceptron TRAINING (Rosenblatt's rule in Collins
+    * 2002's batch form) — the step [[qualityLogistic]] assumes happened
+    * offline: learn the linear classifier's weights ON the cluster, over
+    * INTEGER features and ±1 labels, so every round is EXACT int64
+    * arithmetic that an independent engine replays bit-for-bit (the
+    * reason this is a perceptron and not logistic GD: iterative float
+    * updates compound ulp drift across rounds, which no final rounding
+    * can absorb — integer updates don't drift at all).
+    *
+    * Round r: misclassified = rows with y·(w·x) ≤ 0 under the PREVIOUS
+    * round's weights; w += Σ_misclassified y·x (learning rate 1, the
+    * classical rule). Emits one row per round: (round, n_errors,
+    * w_0..w_{d-1}) with the weights AFTER the update — n_errors is the
+    * training-error curve a pipeline monitors for separability. A
+    * 0-error round is a fixed point (no update, all later rounds
+    * identical), emitted rather than skipped so the output is always
+    * exactly `rounds` rows.
+    *
+    * Shape at corpus scale: the feature relation is computed ONCE
+    * (localCheckpoint — each round rescans d+1 narrow long columns, the
+    * text/feature extraction never re-runs) and each round is ONE
+    * partial-aggregated scan (count + d conditional sums, map-side
+    * combined); current weights ride into the plan as literals — the
+    * Lloyd-loop discipline, d+1 longs of driver traffic per round.
+    * int64 envelope: |w_j| grows ≤ rounds·Σ|x_j|, so margins stay exact
+    * while rounds·n_rows·max|x|² < 2⁶³ — at a billion docs with
+    * 10³-bounded features and ≤64 rounds that is 6·10¹⁸... document
+    * feature scaling if you exceed it; training on a SAMPLE (the
+    * q288/q289 primitives) is the standard move well before that.
+    */
+  def perceptronTrain(df: DataFrame, labelCol: String,
+                      featureCols: Seq[String], rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64]: $rounds")
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    val spark = df.sparkSession
+    val d = featureCols.size
+    val f = df.select(col(labelCol).cast("long").as("__y") +:
+        featureCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("long").as(s"__x$i") }: _*)
+      .localCheckpoint(true)
+    val w = Array.fill(d)(0L)
+    val out = Seq.newBuilder[org.apache.spark.sql.Row]
+    try {
+      for (r <- 1 to rounds) {
+        val margin = (0 until d)
+          .map(i => lit(w(i)) * col(s"__x$i")).reduce(_ + _) * col("__y")
+        val aggs = count(lit(1)).as("__ne") +: (0 until d).map(i =>
+          coalesce(sum(col("__y") * col(s"__x$i")), lit(0L)).as(s"__d$i"))
+        val row = f.filter(margin <= 0).agg(aggs.head, aggs.tail: _*).head()
+        for (i <- 0 until d) w(i) += row.getLong(i + 1)
+        out += org.apache.spark.sql.Row.fromSeq(
+          r +: row.getLong(0) +: w.toSeq)
+      }
+    } finally org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(f)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("round",
+        org.apache.spark.sql.types.IntegerType) ::
+      org.apache.spark.sql.types.StructField("n_errors",
+        org.apache.spark.sql.types.LongType) ::
+      (0 until d).map(i => org.apache.spark.sql.types.StructField(s"w_$i",
+        org.apache.spark.sql.types.LongType)).toList)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.result(), 1), schema)
+  }
+
   /** Source-level quality gate — the C4/CCNet DOMAIN-filter shape: score
     * every document with the frozen logistic, average per `groupCol`
     * (rounded to 6 before the threshold compare, round-before-compare),

@@ -82,4 +82,19 @@ class RedactSpec extends SparkSpec {
       1000000L * 2L / 46L))) // 2 hits over 46 input chars
     assert(got("b") == (("b", 1L, 0L, 0L, 0L, 0L)))
   }
+
+  test("kAnonymityReport: per-threshold violating groups/rows and " +
+    "suppression ppm over the QI group sizes") {
+    // QI groups: a ×1, b ×3, c ×6 → 3 groups, 10 rows
+    val df = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(6)("c"))
+      .zipWithIndex.map { case (g, i) => (g, i) }.toDF("g", "i")
+      .select(col("g"))
+    val got = Redact.kAnonymityReport(df, Seq("g"), thresholds = Seq(2, 5))
+      .collect().map(r => r.getAs[Int]("k_threshold") ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("violating_groups"),
+          r.getAs[Long]("n_rows"), r.getAs[Long]("violating_rows"),
+          r.getAs[Long]("suppression_ppm")))).toMap
+    assert(got(2) == ((3L, 1L, 10L, 1L, 100000L)))
+    assert(got(5) == ((3L, 2L, 10L, 4L, 400000L)))
+  }
 }

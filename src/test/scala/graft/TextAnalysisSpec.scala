@@ -834,4 +834,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(12L)._3 > got(10L)._3 && got(10L)._3 > got(11L)._3)
   }
 
+  test("perceptronTrain: exact integer weight trajectory; a 0-error " +
+    "round is a fixed point emitted, not skipped") {
+    // A: y=+1, x=(1, 2); B: y=-1, x=(1, -3)
+    // round 1: w=(0,0) -> both margins 0 <= 0 -> dw = (1,2) + (-1,3) = (0,5)
+    // round 2: A margin 10 > 0, B margin 15 > 0 -> 0 errors, w unchanged
+    val df = Seq((1L, 1L, 2L), (-1L, 1L, -3L)).toDF("y", "x0", "x1")
+    val got = TextAnalysis.perceptronTrain(df, "y", Seq("x0", "x1"),
+      rounds = 3).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_errors"),
+        r.getAs[Long]("w_0"), r.getAs[Long]("w_1")))
+    assert(got.toSeq == Seq(
+      (1, 2L, 0L, 5L),
+      (2, 0L, 0L, 5L),
+      (3, 0L, 0L, 5L)))
+  }
 }
