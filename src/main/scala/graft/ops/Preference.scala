@@ -51,8 +51,15 @@ object Preference {
     * aggregate. Everything is int64; ties need no float tiebreak.
     */
   def leaderboard(comparisons: DataFrame, winnerCol: String = "winner",
-                  loserCol: String = "loser"): DataFrame = {
-    val m = matchups(comparisons, winnerCol, loserCol)
+                  loserCol: String = "loser"): DataFrame =
+    leaderboardFromMatchups(matchups(comparisons, winnerCol, loserCol))
+
+  /** The per-item fold off an existing [[matchups]] relation — ONE
+    * definition shared by the batch query and the streaming snapshot
+    * reader ([[graft.streaming.EventStream.leaderboardFromStore]]), so
+    * the live leaderboard equals the batch statistic by construction.
+    */
+  def leaderboardFromMatchups(m: DataFrame): DataFrame = {
     val sides = m.select(explode(array(
       struct(col("item_a").as("item"), col("wins_a").as("w"),
         col("wins_b").as("l")),

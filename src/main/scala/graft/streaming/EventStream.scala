@@ -691,6 +691,42 @@ object EventStream {
       .releaseLocalCheckpoint(merged)
   }
 
+  /** Streaming twin of q301's preference leaderboard: merge a
+    * micro-batch of (winner, loser) comparison records into the standing
+    * head-to-head matchup snapshot at `dest`. Matchup counts are
+    * mergeable integers ([[upsertScoreCounts]]'s snapshot discipline) —
+    * delivery batching is invisible (multi-batch ≡ one-shot, pinned),
+    * and the snapshot stays MATCHUP-granular (bounded by the item
+    * universe, never comparison-granular) however long the preference
+    * stream runs — the shape a continuously-collected RLHF comparison
+    * log needs.
+    */
+  def upsertMatchups(batch: DataFrame, dest: String): Unit = {
+    val spark = batch.sparkSession
+    val m = graft.ops.Preference.matchups(batch)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val exists = destPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(destPath)
+    val merged = (if (exists)
+        spark.read.parquet(dest).unionByName(m)
+      else m)
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("wins_a")).as("wins_a"), sum(col("wins_b")).as("wins_b"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(dest)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(merged)
+  }
+
+  /** Live leaderboard off the streamed matchup snapshot through the ONE
+    * shared [[graft.ops.Preference.leaderboardFromMatchups]] fold —
+    * Copeland/Borda/win-ppm over every comparison the stream has seen,
+    * equal to the batch q301 statistic (StreamingSpec pins it).
+    */
+  def leaderboardFromStore(spark: SparkSession, dest: String): DataFrame =
+    graft.ops.Preference.leaderboardFromMatchups(spark.read.parquet(dest))
+
   /** Live threshold-free classifier report: the streamed score-count
     * snapshot at `dest` through the ONE shared
     * [[graft.ops.TextAnalysis.rocPrReportFromCounts]] definition —

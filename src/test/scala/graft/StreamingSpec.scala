@@ -649,6 +649,39 @@ class StreamingSpec extends SparkSpec {
       == docs.count())
   }
 
+  test("streaming preference leaderboard equals the batch q301 fold " +
+    "after batched upserts (matchup counts merge by sum)") {
+    import org.apache.spark.sql.functions.col
+    // deterministic comparison log: within each order, higher summed
+    // quantity beats lower (the q301 construction)
+    val li = Tables.lineitem(spark, sf0001)
+    val items = li
+      .groupBy(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .agg(org.apache.spark.sql.functions.sum(col("l_quantity")).as("q"))
+    val a = items.select(col("ok"), col("pk").as("pk_a"), col("q").as("q_a"))
+    val b = items.select(col("ok"), col("pk").as("pk_b"), col("q").as("q_b"))
+    val cmp = a.join(b, Seq("ok"))
+      .filter(col("pk_a") < col("pk_b") && col("q_a") =!= col("q_b"))
+      .select(
+        org.apache.spark.sql.functions
+          .when(col("q_a") > col("q_b"), col("pk_a")).otherwise(col("pk_b"))
+          .as("winner"),
+        org.apache.spark.sql.functions
+          .when(col("q_a") > col("q_b"), col("pk_b")).otherwise(col("pk_a"))
+          .as("loser"))
+      .localCheckpoint()
+    val dest = "/tmp/graft_drift/pref_" + System.nanoTime()
+    // two arbitrary delivery halves — mergeable matchup integers must
+    // make the split invisible
+    EventStream.upsertMatchups(cmp.filter(col("winner") % 2 === 0), dest)
+    EventStream.upsertMatchups(cmp.filter(col("winner") % 2 =!= 0), dest)
+    val streamed = EventStream.leaderboardFromStore(spark, dest)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Preference.leaderboard(cmp)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming CUSUM monitor equals the batch statistic after batched upserts") {
     import org.apache.spark.sql.functions.col
     val events = Tables.events(spark, sf0001)
