@@ -3025,6 +3025,16 @@ object SparkEntry {
         T(s, d, "documents").select(col("lang"), col("source"),
           expr("n_chars DIV 100").as("len_bucket")),
         Seq("lang", "source", "len_bucket"))),
+    "q303_generalization_ladder" -> ((s, d) =>
+      // the enforcement half of q302: widen the length bucket by powers
+      // of two and pick the smallest level whose k=5 suppression cost is
+      // zero (fallback: the coarsest level, residual suppression
+      // reported) — corpus scanned once at the finest width, coarser
+      // levels reaggregate from the QI-sized relation (buckets nest
+      // exactly under integer DIV)
+      Redact.generalizationLadder(T(s, d, "documents"),
+        Seq("lang", "source"), "n_chars", baseWidth = 100, levels = 4,
+        k = 5)),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -7188,6 +7198,31 @@ object SparkEntry {
         |  1000000 * CAST(sum(CASE WHEN k < k_threshold THEN k ELSE 0 END)
         |    AS BIGINT) // CAST(sum(k) AS BIGINT) AS suppression_ppm
         |FROM g CROSS JOIN t GROUP BY k_threshold""".stripMargin,
+    "q303_generalization_ladder" ->
+      // levels reaggregate from the finest groups ((n DIV w) DIV 2^l =
+      // n DIV (w·2^l) for n ≥ 0); chosen = min level with 0 violating
+      // rows, fallback coarsest
+      """WITH g0 AS (SELECT lang, source, n_chars // 100 AS b0,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM documents GROUP BY 1, 2, 3),
+        |lf AS (SELECT unnest([0, 1, 2, 3, 4]) AS level),
+        |gl AS (SELECT level, lang, source, b0 // (1 << level) AS b,
+        |    CAST(sum(k) AS BIGINT) AS k
+        |  FROM g0 CROSS JOIN lf GROUP BY 1, 2, 3, 4),
+        |pl AS (SELECT level, count(*) AS n_groups,
+        |    CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS violating_groups,
+        |    CAST(sum(k) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |      AS violating_rows
+        |  FROM gl GROUP BY level),
+        |ch AS (SELECT coalesce(min(CASE WHEN violating_rows = 0
+        |    THEN level END), 4) AS chosen_level FROM pl)
+        |SELECT level, CAST(100 * (1 << level) AS BIGINT) AS bucket_width,
+        |  n_groups, violating_groups, violating_rows,
+        |  1000000 * violating_rows // n_rows AS suppression_ppm,
+        |  CAST(level = chosen_level AS INTEGER) AS chosen
+        |FROM pl CROSS JOIN ch""".stripMargin,
     "q296_audio_dup_indexed" ->
       // byte-identical audio ⇔ equal pattern id (n_samples = pid+20 is
       // injective over pid < 5), so the index probe is id arithmetic

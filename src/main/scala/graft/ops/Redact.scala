@@ -138,4 +138,57 @@ object Redact {
         col("n_rows"), col("violating_rows"),
         expr("1000000 * violating_rows DIV n_rows").as("suppression_ppm"))
   }
+
+  /** Global-recoding generalization ladder — the ENFORCEMENT half of
+    * [[kAnonymityReport]] (Samarati/Sweeney full-domain generalization):
+    * widen the numeric quasi-identifier's bucket by powers of two
+    * (level l ⇒ width `baseWidth`·2^l) and, per level, measure what
+    * k-anonymity at threshold `k` would still have to suppress. The
+    * CHOSEN level is the smallest with zero violating rows — maximal
+    * utility under the privacy constraint — falling back to the coarsest
+    * level (residual suppression reported as ppm) when even full
+    * generalization can't protect every group.
+    *
+    * Shape at 100 TB: the corpus is scanned ONCE, at the FINEST bucket
+    * width (one map-side-combined groupBy → a QI-cardinality-sized
+    * relation); every coarser level reaggregates from that small
+    * relation, because `n DIV (w·2^l)` = `(n DIV w) DIV 2^l` for
+    * non-negative n — buckets nest exactly. Level factors ride as a
+    * broadcast-exploded literal array; the chosen level is a 1-row
+    * broadcast back over the (levels+1)-row rollup. All integers.
+    */
+  def generalizationLadder(df: DataFrame, catCols: Seq[String],
+                           numCol: String, baseWidth: Int, levels: Int,
+                           k: Int): DataFrame = {
+    require(baseWidth >= 1 && levels >= 0 && levels <= 32 && k >= 2,
+      s"bad params: baseWidth=$baseWidth levels=$levels k=$k")
+    val g0 = df
+      .groupBy((catCols.map(col) :+
+        expr(s"$numCol DIV $baseWidth").as("__b0")): _*)
+      .agg(count(lit(1)).as("__k"))
+    val factors = explode(array((0 to levels).map(l =>
+      struct(lit(l).as("level"), lit(1L << l).as("factor"))): _*)).as("__lf")
+    val perLevel = g0
+      .select(col("*"), factors)
+      .groupBy((catCols.map(col) :+ col("__lf.level").as("level") :+
+        expr("__b0 DIV __lf.factor").as("__b")): _*)
+      .agg(sum(col("__k")).as("__k"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__k") < k, 1L).otherwise(0L)).as("violating_groups"),
+        sum(col("__k")).as("n_rows"),
+        sum(when(col("__k") < k, col("__k")).otherwise(0L))
+          .as("violating_rows"))
+    val chosenRow = perLevel.agg(
+      coalesce(min(when(col("violating_rows") === 0, col("level"))),
+        lit(levels)).as("__chosen"))
+    perLevel
+      .crossJoin(broadcast(chosenRow))
+      .select(col("level"),
+        expr(s"CAST($baseWidth AS BIGINT) * shiftleft(CAST(1 AS BIGINT), level)")
+          .as("bucket_width"),
+        col("n_groups"), col("violating_groups"), col("violating_rows"),
+        expr("1000000 * violating_rows DIV n_rows").as("suppression_ppm"),
+        (col("level") === col("__chosen")).cast("int").as("chosen"))
+  }
 }

@@ -97,4 +97,27 @@ class RedactSpec extends SparkSpec {
     assert(got(2) == ((3L, 1L, 10L, 1L, 100000L)))
     assert(got(5) == ((3L, 2L, 10L, 4L, 400000L)))
   }
+
+  test("generalizationLadder: chosen = smallest level with zero " +
+    "violations; coarsest-level fallback when none protects") {
+    // one category, values 5 and 15, width 10, k=2: level 0 splits them
+    // (both singletons violate), level 1 (width 20) merges them (k=2)
+    val df = Seq(("g", 5L), ("g", 15L)).toDF("cat", "v")
+    val got = Redact.generalizationLadder(df, Seq("cat"), "v",
+      baseWidth = 10, levels = 2, k = 2)
+      .collect().map(r => r.getAs[Int]("level") ->
+        ((r.getAs[Long]("bucket_width"), r.getAs[Long]("n_groups"),
+          r.getAs[Long]("violating_groups"), r.getAs[Long]("violating_rows"),
+          r.getAs[Long]("suppression_ppm"), r.getAs[Int]("chosen")))).toMap
+    assert(got(0) == ((10L, 2L, 2L, 2L, 1000000L, 0)))
+    assert(got(1) == ((20L, 1L, 0L, 0L, 0L, 1)))
+    assert(got(2) == ((40L, 1L, 0L, 0L, 0L, 0))) // level 1 already wins
+    // a lone row can never reach k=2 — fallback to the coarsest level
+    val lone = Redact.generalizationLadder(
+      Seq(("g", 5L)).toDF("cat", "v"), Seq("cat"), "v",
+      baseWidth = 10, levels = 2, k = 2)
+      .collect().map(r => r.getAs[Int]("level") -> r.getAs[Int]("chosen"))
+      .toMap
+    assert(lone == Map(0 -> 0, 1 -> 0, 2 -> 1))
+  }
 }
