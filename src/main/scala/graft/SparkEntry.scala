@@ -3035,6 +3035,15 @@ object SparkEntry {
       Redact.generalizationLadder(T(s, d, "documents"),
         Seq("lang", "source"), "n_chars", baseWidth = 100, levels = 4,
         k = 5)),
+    "q304_windowed_ppmi" -> ((s, d) =>
+      // the count-based embedding preprocessing matrix (SVD-PPMI):
+      // positional ±4-window co-occurrence pairs generated ARRAY-SIDE
+      // (no self-join, no corpus window fn), self-consistent marginals
+      // off the same pair relation, PPMI rounded before the per-word
+      // GroupedTopK — a stop-word's million collocates never exceed k
+      // in any buffer
+      TextAnalysis.windowedPpmi(T(s, d, "documents"), window = 4,
+        minCount = 5, k = 5)),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -7223,6 +7232,31 @@ object SparkEntry {
         |  1000000 * violating_rows // n_rows AS suppression_ppm,
         |  CAST(level = chosen_level AS INTEGER) AS chosen
         |FROM pl CROSS JOIN ch""".stripMargin,
+    "q304_windowed_ppmi" ->
+      // marginal product in DOUBLE (both engines — int64 would overflow
+      // at crawl-scale marginals); PPMI rounded before the rank
+      s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
+         |p AS (SELECT least(t[CAST(i AS INT)], t[CAST(j AS INT)]) AS a,
+         |    greatest(t[CAST(i AS INT)], t[CAST(j AS INT)]) AS b
+         |  FROM (SELECT t, i,
+         |      unnest(range(i + 1, least(i + 4, len(t)) + 1)) AS j
+         |    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks) x) y),
+         |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_cooc
+         |  FROM p GROUP BY 1, 2 HAVING count(*) >= 5),
+         |m AS (SELECT w, CAST(count(*) AS BIGINT) AS m FROM
+         |    (SELECT a AS w FROM p UNION ALL SELECT b FROM p) u GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM p),
+         |sc AS (SELECT c.a, c.b, c.n_cooc,
+         |    greatest(0.0, round(ln(c.n_cooc * nn.n /
+         |      (CAST(ma.m AS DOUBLE) * mb.m)), 6)) AS ppmi
+         |  FROM c JOIN m ma ON ma.w = c.a JOIN m mb ON mb.w = c.b
+         |  CROSS JOIN nn),
+         |sides AS (SELECT a AS word, b AS collocate, n_cooc, ppmi FROM sc
+         |  UNION ALL SELECT b, a, n_cooc, ppmi FROM sc)
+         |SELECT word, collocate, n_cooc, ppmi FROM (
+         |  SELECT word, collocate, n_cooc, ppmi, row_number() OVER (
+         |    PARTITION BY word ORDER BY ppmi DESC, collocate) AS rn
+         |  FROM sides) r WHERE rn <= 5""".stripMargin,
     "q296_audio_dup_indexed" ->
       // byte-identical audio ⇔ equal pattern id (n_samples = pid+20 is
       // injective over pid < 5), so the index probe is id arithmetic

@@ -1244,6 +1244,76 @@ object TextAnalysis {
     * 1-row broadcast. PMI rounds to 6 BEFORE the rank (ln differs in
     * the last ulp across engines); ties break on the term pair.
     */
+  /** Windowed positional PPMI — the co-occurrence-matrix construction
+    * under every count-based embedding (SVD-PPMI; Levy & Goldberg 2014
+    * show word2vec SGNS implicitly factorizes exactly this matrix):
+    * pairs are TOKEN OCCURRENCES within ±`window` positions
+    * ([[termCooccurrencePmi]] counts document CO-MEMBERSHIP instead —
+    * different statistic, different use), canonicalized unordered;
+    * marginals are pair-participation counts off the SAME pair relation
+    * (self-consistent: marginals sum to 2N); PPMI = max(0,
+    * ln(c_ab·N/(m_a·m_b))) rounded to 6 BEFORE the per-word top-k rank
+    * (ties break on the collocate). Each pair feeds BOTH endpoint
+    * words' lists via a both-directions explode off one subtree (the
+    * q281 symmetrize lesson).
+    *
+    * Scale shape: tokenize once; pair generation is ARRAY-SIDE
+    * (nested transform over the bounded window — ~window·N rows, no
+    * per-doc self-join, no corpus-wide window function); counts and
+    * marginals are map-side-combinable aggregates; the top-k is
+    * GroupedTopK bounded buffers (a stop-word with 10⁶ collocates never
+    * materializes more than k in any task). The m_a·m_b product is
+    * computed in DOUBLE in both engines — at crawl scale marginals
+    * exceed 2³¹·² and the int64 product would overflow where the
+    * identical double expression just rounds.
+    */
+  def windowedPpmi(docs: DataFrame, window: Int = 4, minCount: Long = 5,
+                   k: Int = 5, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(window >= 1 && k >= 1 && minCount >= 1,
+      s"bad params: window=$window k=$k minCount=$minCount")
+    val base = docs.select(tokens(col(textCol)).as("__t"))
+      .select(col("__t"), size(col("__t")).as("__n"))
+    // sequence(1, 0) counts DOWN in Spark — guard < 2 tokens to empty
+    val pairsArr = when(col("__n") < 2,
+        array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(flatten(transform(sequence(lit(1), col("__n") - 1), i =>
+        transform(sequence(i + 1, least(i + lit(window), col("__n"))), j =>
+          struct(
+            least(element_at(col("__t"), i), element_at(col("__t"), j))
+              .as("a"),
+            greatest(element_at(col("__t"), i), element_at(col("__t"), j))
+              .as("b"))))))
+    // three consumers (counts, marginals, N) — materialize the pair
+    // relation once (the termFrequencies discipline)
+    val pairs = base.select(explode(pairsArr).as("__p"))
+      .select(col("__p.a").as("__a"), col("__p.b").as("__b"))
+      .localCheckpoint()
+    val c = pairs.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .filter(col("n_cooc") >= minCount)
+    val m = pairs.select(col("__a").as("__w"))
+      .unionAll(pairs.select(col("__b").as("__w")))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__m"))
+    val nRow = pairs.agg(count(lit(1)).cast("double").as("__nn"))
+    val scored = c
+      .join(m.select(col("__w").as("__a"), col("__m").as("__ma")), "__a")
+      .join(m.select(col("__w").as("__b"), col("__m").as("__mb")), "__b")
+      .crossJoin(broadcast(nRow))
+      .select(col("__a"), col("__b"), col("n_cooc"),
+        greatest(lit(0.0), round(log(col("n_cooc") * col("__nn") /
+          (col("__ma").cast("double") * col("__mb"))), 6)).as("ppmi"))
+    val sides = scored.select(explode(array(
+        struct(col("__a").as("word"), col("__b").as("collocate"),
+          col("n_cooc"), col("ppmi")),
+        struct(col("__b").as("word"), col("__a").as("collocate"),
+          col("n_cooc"), col("ppmi")))).as("__s"))
+      .select(col("__s.word").as("word"), col("__s.collocate").as("collocate"),
+        col("__s.n_cooc").as("n_cooc"), col("__s.ppmi").as("ppmi"))
+    graft.plans.TopK.perGroup(sides, Seq("word"),
+      Seq(("ppmi", true), ("collocate", false)), k)
+  }
+
   def termCooccurrencePmi(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text", minCount: Long = 5,
                           k: Int = 50,

@@ -1035,4 +1035,19 @@ class PlanShapeSpec extends SparkSpec {
       }
     }
   }
+
+  test("windowedPpmi: bounded GroupedTopK rank (no window sort), " +
+    "array-side pair generation (no self-join on a pair relation)") {
+    val docs = Tables.documents(spark, sf0001)
+    val s = planString(
+      graft.ops.TextAnalysis.windowedPpmi(docs, window = 4, minCount = 2,
+        k = 3))
+    assert(s.contains("GroupedTopK"), s) // bounded buffers per word
+    assert(!s.contains("Window"), s)
+    // pair generation is the exploded array, not a positions self-join:
+    // the only joins are the vocabulary-sized marginal lookups (both
+    // broadcast) + the 1-row N ride — none between pair-sized relations
+    assert(s.contains("Generate explode"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
 }
