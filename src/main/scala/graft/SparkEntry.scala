@@ -3044,6 +3044,17 @@ object SparkEntry {
       // in any buffer
       TextAnalysis.windowedPpmi(T(s, d, "documents"), window = 4,
         minCount = 5, k = 5)),
+    "q305_bitext_mining" -> ((s, d) => {
+      // CCMatrix-style aligned-pair mining between two embedding spaces
+      // (even ids ↔ odd ids): forward top-4 candidates by rounded
+      // cosine, hubness-normalizing ratio margin, mutual margin-best at
+      // threshold 1.0 — block-grid cross-score (no corpus broadcast),
+      // GroupedTopK everywhere after it
+      val emb = T(s, d, "embeddings")
+      Similarity.marginMutualPairs(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), k = 4, threshold = 1.0)
+    }),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -7257,6 +7268,43 @@ object SparkEntry {
          |  SELECT word, collocate, n_cooc, ppmi, row_number() OVER (
          |    PARTITION BY word ORDER BY ppmi DESC, collocate) AS rn
          |  FROM sides) r WHERE rn <= 5""".stripMargin,
+    "q305_bitext_mining" ->
+      // round-before-rank for the cosine; after that EXACT int64
+      // micro-unit arithmetic (a float neighborhood average re-rounds
+      // at the 6th digit on sum order — observed), so the margin is a
+      // quotient of identical integers in both engines
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |xa AS (SELECT vec_id AS a_id, e FROM v WHERE vec_id % 2 = 0),
+         |yb AS (SELECT vec_id AS b_id, e FROM v WHERE vec_id % 2 = 1),
+         |s AS (SELECT a_id, b_id, sim,
+         |    CAST(round(sim * 1e6) AS BIGINT) AS simm FROM (
+         |  SELECT a_id, b_id,
+         |    round(${cosSql("xa.e", "yb.e")}, 6) AS sim FROM xa, yb) s0),
+         |ka AS (SELECT a_id, b_id, sim, simm FROM (SELECT a_id, b_id, sim,
+         |    simm,
+         |    row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id)
+         |      AS rn FROM s) t WHERE rn <= 4),
+         |kb AS (SELECT a_id, b_id, sim, simm FROM (SELECT a_id, b_id, sim,
+         |    simm,
+         |    row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id)
+         |      AS rn FROM s) t WHERE rn <= 4),
+         |ax AS (SELECT a_id, CAST(sum(simm) AS BIGINT) AS sa,
+         |    CAST(count(*) AS BIGINT) AS na FROM ka GROUP BY 1),
+         |byy AS (SELECT b_id, CAST(sum(simm) AS BIGINT) AS sb,
+         |    CAST(count(*) AS BIGINT) AS nb FROM kb GROUP BY 1),
+         |mg AS (SELECT ka.a_id, ka.b_id, ka.sim,
+         |    round(CAST(2 * ka.simm * na * nb AS DOUBLE) /
+         |      CAST(sa * nb + sb * na AS DOUBLE), 6) AS margin
+         |  FROM ka JOIN ax USING (a_id) JOIN byy USING (b_id)),
+         |ba AS (SELECT a_id, b_id, sim, margin FROM (SELECT a_id, b_id,
+         |    sim, margin, row_number() OVER (PARTITION BY a_id
+         |      ORDER BY margin DESC, b_id) AS rn FROM mg) t WHERE rn = 1),
+         |bb AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+         |    row_number() OVER (PARTITION BY b_id
+         |      ORDER BY margin DESC, a_id) AS rn FROM mg) t WHERE rn = 1)
+         |SELECT ba.a_id, ba.b_id, ba.sim AS cosine_sim, ba.margin
+         |FROM ba JOIN bb USING (a_id, b_id) WHERE ba.margin >= 1.0"""
+        .stripMargin,
     "q296_audio_dup_indexed" ->
       // byte-identical audio ⇔ equal pattern id (n_samples = pid+20 is
       // injective over pid < 5), so the index probe is id arithmetic

@@ -118,6 +118,92 @@ object Similarity {
         col("__b.sim").as("sim"))
   }
 
+  /** Margin-based cross-corpus pair mining (Artetxe & Schwenk 2019 —
+    * the CCMatrix/LASER bitext-mining criterion, public): for every
+    * vector in corpus A, its forward top-k candidates in corpus B by
+    * rounded cosine; each candidate scored by the RATIO margin —
+    * sim(x,y) over the mean of both endpoints' top-k neighborhood
+    * averages — which normalizes away hubness (a y that is "everyone's
+    * neighbor" has a high denominator and stops winning everything);
+    * kept pairs are MUTUAL margin-bests over the candidate relation at
+    * `threshold`. The canonical aligned-pair miner for parallel text,
+    * caption↔image, or any two embedding spaces sharing a metric.
+    *
+    * Determinism: cosines round to 6 BEFORE the top-k (ties by id), and
+    * everything after is EXACT INTEGER arithmetic in micro-units — a
+    * 6-rounded sim is a multiple of 1e-6, so margin = sim / ((s_a/n_a +
+    * s_b/n_b)/2) = 2·simµ·n_a·n_b / (s_aµ·n_b + s_bµ·n_a), a quotient
+    * of exact int64s both engines turn into the identical double (a
+    * float neighborhood AVERAGE would re-round at the 6th digit on sum
+    * order — observed, not hypothetical).
+    *
+    * Shape at 100 TB: the cross-score is the block-grid equi-join of
+    * [[nearestNeighborBlocked]] (neither corpus broadcasts; Σ per-grid
+    * work, plan has no nested loop); it IS exact all-pairs compute —
+    * the oracle-tier contract. At real scale route candidates through
+    * the IVF index first ([[ivfTopKBatch]]) and feed the surviving
+    * candidate relation to the SAME margin/mutual tail; the miner's
+    * statistics are defined on whatever candidate relation it is given.
+    * Everything after the scoring join is top-k-sized: GroupedTopK
+    * bounded buffers for both kNN directions and both argmax ranks.
+    */
+  def marginMutualPairs(a: DataFrame, b: DataFrame, k: Int = 4,
+                        threshold: Double = 1.0,
+                        aBlocks: Int = 8, bBlocks: Int = 8,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && aBlocks >= 1 && bBlocks >= 1,
+      s"bad params: k=$k aBlocks=$aBlocks bBlocks=$bBlocks")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val grid = (for (i <- 0 until aBlocks; j <- 0 until bBlocks)
+      yield (i, j)).toDF("__gab", "__gbb")
+    val av = a.select(col(idCol).cast("long").as("a_id"),
+        col(vecCol).cast("array<double>").as("__av"))
+      .withColumn("__an", l2Norm(col("__av")))
+      .withColumn("__gab",
+        pmod(xxhash64(col("a_id")), lit(aBlocks)).cast("int"))
+      .join(broadcast(grid), "__gab")
+    val bv = b.select(col(idCol).cast("long").as("b_id"),
+        col(vecCol).cast("array<double>").as("__bv"))
+      .withColumn("__bn", l2Norm(col("__bv")))
+      .withColumn("__gbb",
+        pmod(xxhash64(col("b_id")), lit(bBlocks)).cast("int"))
+      .join(broadcast(grid), "__gbb")
+    // two consumers (both kNN directions) — materialize the scored
+    // relation once (the termFrequencies discipline)
+    val scored = av.join(bv, Seq("__gab", "__gbb"))
+      .select(col("a_id"), col("b_id"),
+        round(dotProduct(col("__av"), col("__bv")) /
+          (col("__an") * col("__bn")), 6).as("sim"))
+      .withColumn("__simm", round(col("sim") * 1e6).cast("long"))
+      .localCheckpoint()
+    val ka = graft.plans.TopK.perGroup(scored, Seq("a_id"),
+      Seq(("sim", true), ("b_id", false)), k)
+    val kb = graft.plans.TopK.perGroup(scored, Seq("b_id"),
+      Seq(("sim", true), ("a_id", false)), k)
+    val ax = ka.groupBy(col("a_id"))
+      .agg(sum(col("__simm")).as("__sa"), count(lit(1)).as("__na"))
+    val by = kb.groupBy(col("b_id"))
+      .agg(sum(col("__simm")).as("__sb"), count(lit(1)).as("__nb"))
+    val mg = ka.join(ax, "a_id").join(by, "b_id")
+      .select(col("a_id"), col("b_id"), col("sim"),
+        round((lit(2L) * col("__simm") * col("__na") * col("__nb"))
+          .cast("double") /
+          (col("__sa") * col("__nb") + col("__sb") * col("__na"))
+            .cast("double"), 6)
+          .as("margin"))
+      .localCheckpoint()
+    val bestA = graft.plans.TopK.perGroup(mg, Seq("a_id"),
+      Seq(("margin", true), ("b_id", false)), 1)
+    val bestB = graft.plans.TopK.perGroup(mg, Seq("b_id"),
+      Seq(("margin", true), ("a_id", false)), 1)
+    bestA.join(bestB.select(col("a_id"), col("b_id")), Seq("a_id", "b_id"))
+      .filter(col("margin") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim").as("cosine_sim"),
+        col("margin"))
+  }
+
   // -------------------------------------------- LSH (signed random projection)
 
   /** Deterministic seeded hyperplanes, generated driver-side and shipped as
