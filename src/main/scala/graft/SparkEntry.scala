@@ -3055,6 +3055,23 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 0),
         emb.filter(col("vec_id") % 2 === 1), k = 4, threshold = 1.0)
     }),
+    "q306_multimodal_packing" -> ((s, d) => {
+      // VLM sequence composition: image-bearing docs (the media fixture's
+      // kind convention — doc_id%3==0 carries one image) charge a fixed
+      // 64-patch-token cost, the exact two-level-prefix packer packs the
+      // combined cost, and the census splits every 256-token window's
+      // fill into image vs text tokens — the dial that keeps the vision
+      // share from starving the language loss
+      val docs = T(s, d, "documents")
+      val media = Multimodal.synthesize(s, docs.select("doc_id"), "doc_id")
+      val withImg = docs
+        .join(media.select(col("media_id").as("doc_id"),
+          (col("kind") === "image").cast("long").as("n_imgs")), Seq("doc_id"))
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_toks"), col("n_imgs"))
+      Packing.multimodalWindowCensus(withImg, "n_toks", "n_imgs",
+        imgTokens = 64, capacity = 256)
+    }),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -7305,6 +7322,38 @@ object SparkEntry {
          |SELECT ba.a_id, ba.b_id, ba.sim AS cosine_sim, ba.margin
          |FROM ba JOIN bb USING (a_id, b_id) WHERE ba.margin >= 1.0"""
         .stripMargin,
+    "q306_multimodal_packing" ->
+      // the q233 prefix-sum window arithmetic with the image patch cost
+      // folded in (doc_id%3==0 ⇒ one 64-token image at the doc START);
+      // per-window attribution by exact integer interval overlap
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 64 ELSE 0 END AS BIGINT) AS img
+        |  FROM documents),
+        |c AS (SELECT doc_id, n + img AS eff, img,
+        |    CAST(sum(n + img) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - (n + img) AS st
+        |  FROM t),
+        |e AS (SELECT st, eff, img,
+        |    unnest(range(st // 256, (st + eff - 1) // 256 + 1)) AS seq_id
+        |  FROM c WHERE eff > 0),
+        |o AS (SELECT seq_id,
+        |    least((seq_id + 1) * 256, st + eff) - greatest(seq_id * 256, st)
+        |      AS tok_here,
+        |    greatest(0, least((seq_id + 1) * 256, st + img)
+        |      - greatest(seq_id * 256, st)) AS img_here
+        |  FROM e)
+        |SELECT seq_id, count(*) AS n_docs,
+        |  CAST(sum(tok_here) AS BIGINT) AS fill_tokens,
+        |  CAST(sum(img_here) AS BIGINT) AS image_tokens,
+        |  CAST(sum(tok_here) - sum(img_here) AS BIGINT) AS text_tokens,
+        |  CAST(sum(CASE WHEN img_here > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_with_image_tokens,
+        |  1000000 * CAST(sum(img_here) AS BIGINT)
+        |    // CAST(sum(tok_here) AS BIGINT) AS image_share_ppm
+        |FROM o GROUP BY seq_id""".stripMargin,
     "q296_audio_dup_indexed" ->
       // byte-identical audio ⇔ equal pattern id (n_samples = pid+20 is
       // injective over pid < 5), so the index probe is id arithmetic

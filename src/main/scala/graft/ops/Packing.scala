@@ -166,6 +166,60 @@ object Packing {
         round(col("n_tokens").cast("double") / cap, 6))
   }
 
+  /** Multimodal (VLM) window census — [[packingCensus]] with the budget
+    * SPLIT by modality. Production VLM packers reduce the two-budget
+    * problem (text tokens + image slots) to 1-D by charging every image
+    * a FIXED patch-token cost at the vision encoder's resolution
+    * (LLaVA/PaLI-style: an image IS `imgTokens` sequence positions), so
+    * a doc's effective cost is `tokCol + imgCol·imgTokens` and the
+    * exact two-level-prefix packer applies unchanged. The census then
+    * reports, per context window, how the fill divides into image patch
+    * tokens vs text — the sequence-composition dial a VLM trainer tunes
+    * (too-high image share starves the language loss).
+    *
+    * Convention (mirrored exactly by the oracle): a doc's image patches
+    * sit at its START — [st, st+img) — text fills the rest; windows
+    * attribute each doc's tokens by exact integer interval overlap.
+    * Shape: the packer's two-level scan, one id-keyed join to carry the
+    * image split, then docs explode to exactly the windows they occupy
+    * (output-sized) and aggregate per window. All integers; share in
+    * integer ppm.
+    */
+  def multimodalWindowCensus(docs: DataFrame, tokCol: String,
+                             imgCol: String, imgTokens: Int, capacity: Int,
+                             idCol: String = "doc_id"): DataFrame = {
+    require(imgTokens >= 1 && capacity > 0,
+      s"bad params: imgTokens=$imgTokens capacity=$capacity")
+    val eff = docs.select(col(idCol),
+      (col(tokCol).cast("long") + col(imgCol).cast("long") * imgTokens)
+        .as("__eff"),
+      (col(imgCol).cast("long") * imgTokens).as("__img"))
+    val asg = packConcatChop(eff, "__eff", capacity, idCol)
+    val cap = lit(capacity.toLong)
+    asg.join(eff.select(col(idCol), col("__img")), Seq(idCol))
+      .filter(col("n_tokens") > 0)
+      .select(col("start_offset").as("__st"), col("n_tokens").as("__n"),
+        col("__img"),
+        explode(sequence(col("first_seq"),
+          col("first_seq") + col("n_seqs") - 1)).as("seq_id"))
+      .select(col("seq_id"),
+        (least((col("seq_id") + 1) * cap, col("__st") + col("__n")) -
+          greatest(col("seq_id") * cap, col("__st"))).as("__tok_here"),
+        greatest(lit(0L),
+          least((col("seq_id") + 1) * cap, col("__st") + col("__img")) -
+            greatest(col("seq_id") * cap, col("__st"))).as("__img_here"))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok_here")).as("fill_tokens"),
+        sum(col("__img_here")).as("image_tokens"),
+        (sum(col("__tok_here")) - sum(col("__img_here"))).as("text_tokens"),
+        sum(when(col("__img_here") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_image_tokens"))
+      .withColumn("image_share_ppm",
+        expr("1000000 * image_tokens DIV fill_tokens"))
+  }
+
   /** Histogram-based complement packing plan — the no-split alternative
     * to [[packConcatChop]] (the SPFHP family of Krell et al. 2021,
     * arXiv:2107.02027, public; simplified to ≤ 2 docs per pack): pair

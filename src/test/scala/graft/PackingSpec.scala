@@ -161,4 +161,29 @@ class PackingSpec extends SparkSpec {
       "doc_id", "n_toks", 10).collect()
     assert(solo.forall(r => r.isNullAt(5) && r.getLong(6) == 9L))
   }
+
+  test("multimodalWindowCensus: image tokens at the doc start, exact " +
+    "overlap attribution, conservation across windows") {
+    import spark.implicits._
+    // doc 1: 2 text + 1 image (4 patch) → eff 6 at offset 0 (img [0,4))
+    // doc 2: 5 text, no image → eff 5 at offset 6, straddles the w=8
+    //   boundary (windows 0 and 1)
+    // doc 3: 1 text + 1 image → eff 5 at offset 11 (img [11,15)), all w1
+    val docs = Seq((1L, 2L, 1L), (2L, 5L, 0L), (3L, 1L, 1L))
+      .toDF("doc_id", "n_toks", "n_imgs")
+    val got = Packing.multimodalWindowCensus(docs, "n_toks", "n_imgs",
+      imgTokens = 4, capacity = 8)
+      .collect().map(r => r.getAs[Long]("seq_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("fill_tokens"),
+          r.getAs[Long]("image_tokens"), r.getAs[Long]("text_tokens"),
+          r.getAs[Long]("n_docs_with_image_tokens"),
+          r.getAs[Long]("image_share_ppm")))).toMap
+    // window 0 [0,8): doc1 fully (4 img + 2 text), doc2 partial (2 text)
+    assert(got(0L) == ((2L, 8L, 4L, 4L, 1L, 500000L)))
+    // window 1 [8,16): doc2 tail (3 text), doc3 fully (4 img + 1 text)
+    assert(got(1L) == ((2L, 8L, 4L, 4L, 1L, 500000L)))
+    // conservation: Σ fill = Σ eff, Σ image = Σ img budget
+    assert(got.values.map(_._2).sum == 16L)
+    assert(got.values.map(_._3).sum == 8L)
+  }
 }
