@@ -78,7 +78,13 @@ object PlanDump {
     "q289_systematic_sample" -> "systematic weighted sample: two-level prefix scan (bucket windows + buckets-sized tiny window), broadcast total, integer containment filter — no single-partition corpus sort",
     "q290_video_scene_cuts" -> "scene cuts over decoded MJPEG frames: map-only demux+decode, one (media_id) window for the lag, partial-aggregated rollup",
     "q292_video_dup_groups" -> "video perceptual dedup: map-only frame decode, two partial-aggregated hash aggregations (per-video fingerprint, then dup groups) — no window, no self-join",
-    "q295_image_neardup_indexed" -> "aHash index probe: banded equi-join against the bucketed index (read in place), distinct candidates, bit_count Hamming verify — no all-pairs scan")
+    "q295_image_neardup_indexed" -> "aHash index probe: banded equi-join against the bucketed index (read in place), distinct candidates, bit_count Hamming verify — no all-pairs scan",
+    "q299_reference_lm_filter" -> "cross-corpus reference LM: vocabulary-sized count build side (broadcast), target text never shuffles, 1-row T+V+1 ride",
+    "q300_perceptron_train" -> "perceptron round: ONE partial-aggregated scan (count + d conditional sums) under literal weights — the Lloyd-loop discipline",
+    "q301_preference_leaderboard" -> "preference leaderboard: matchup-granular after one map-side-combined pass, both-directions explode off one subtree, partial-aggregated per-item fold",
+    "q304_windowed_ppmi" -> "windowed PPMI: array-side pair generation (Generate, no positions self-join), broadcast vocabulary-sized marginal joins, GroupedTopK per word",
+    "q305_bitext_mining" -> "bitext mining: block-grid cross-score (no corpus broadcast, no nested loop), GroupedTopK for both kNN directions and both argmax ranks",
+    "q306_multimodal_packing" -> "VLM window census: two-level prefix scan, docs explode to exactly their windows, partial-aggregated per-window fold")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
