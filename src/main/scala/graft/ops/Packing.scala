@@ -36,9 +36,17 @@ object Packing {
     */
   def packConcatChop(docs: DataFrame, tokCol: String, capacity: Int,
                      idCol: String = "doc_id", buckets: Int = 256,
-                     base: Long = 0L): DataFrame = {
+                     base: Long = 0L,
+                     carryCols: Seq[String] = Nil): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val t = docs.select(col(idCol), col(tokCol).cast("long").as("n_tokens"))
+    // carryCols ride the bucketed prefix-sum lane untouched and appear on
+    // the output — a consumer that needs per-doc side data (e.g. the
+    // multimodal census's image split) avoids re-joining the corpus on id
+    // (an avoidable shuffle pair at 100 TB) just to recover a column the
+    // scan already had
+    val t = docs.select(col(idCol) +:
+      col(tokCol).cast("long").as("n_tokens") +:
+      carryCols.map(col): _*)
     // id range as a 1-row broadcast scalar ride (no driver collect): the
     // bucket of an id is monotone in the id, so within-bucket order +
     // bucket order = global order
@@ -65,14 +73,14 @@ object Packing {
     local.join(broadcast(bases), Seq("__b"))
       .withColumn("start_offset",
         lit(base) + col("__off") + col("__cum") - col("n_tokens"))
-      .select(
-        col(idCol),
-        col("n_tokens"),
-        col("start_offset"),
-        floor(col("start_offset") / cap).as("first_seq"),
+      .select(col(idCol) +:
+        col("n_tokens") +:
+        col("start_offset") +:
+        floor(col("start_offset") / cap).as("first_seq") +:
         (floor((col("start_offset") + col("n_tokens") - 1) / cap) -
-          floor(col("start_offset") / cap) + 1).as("n_seqs"),
-        pmod(col("start_offset"), cap).as("offset_in_seq"))
+          floor(col("start_offset") / cap) + 1).as("n_seqs") +:
+        pmod(col("start_offset"), cap).as("offset_in_seq") +:
+        carryCols.map(col): _*)
   }
 
   /** Balanced training-shard assignment by snake (boustrophedon) order:
@@ -180,10 +188,10 @@ object Packing {
     * Convention (mirrored exactly by the oracle): a doc's image patches
     * sit at its START — [st, st+img) — text fills the rest; windows
     * attribute each doc's tokens by exact integer interval overlap.
-    * Shape: the packer's two-level scan, one id-keyed join to carry the
-    * image split, then docs explode to exactly the windows they occupy
-    * (output-sized) and aggregate per window. All integers; share in
-    * integer ppm.
+    * Shape: the packer's two-level scan with the image split riding the
+    * carry lane (no id-keyed re-join of the corpus), then docs explode
+    * to exactly the windows they occupy (output-sized) and aggregate
+    * per window. All integers; share in integer ppm.
     */
   def multimodalWindowCensus(docs: DataFrame, tokCol: String,
                              imgCol: String, imgTokens: Int, capacity: Int,
@@ -194,9 +202,12 @@ object Packing {
       (col(tokCol).cast("long") + col(imgCol).cast("long") * imgTokens)
         .as("__eff"),
       (col(imgCol).cast("long") * imgTokens).as("__img"))
-    val asg = packConcatChop(eff, "__eff", capacity, idCol)
+    // __img rides packConcatChop's carry lane — no id-keyed re-join of
+    // the corpus (an avoidable shuffle pair) to recover the image split
+    val asg = packConcatChop(eff, "__eff", capacity, idCol,
+      carryCols = Seq("__img"))
     val cap = lit(capacity.toLong)
-    asg.join(eff.select(col(idCol), col("__img")), Seq(idCol))
+    asg
       .filter(col("n_tokens") > 0)
       .select(col("start_offset").as("__st"), col("n_tokens").as("__n"),
         col("__img"),

@@ -30,6 +30,10 @@ object Preference {
   def matchups(comparisons: DataFrame, winnerCol: String = "winner",
                loserCol: String = "loser"): DataFrame =
     comparisons
+      // a self-comparison (winner = loser — a malformed log row) would
+      // fabricate an (x, x) matchup whose two exploded sides double-count
+      // x's games; drop it at the door instead
+      .filter(col(winnerCol) =!= col(loserCol))
       .select(
         least(col(winnerCol), col(loserCol)).as("item_a"),
         greatest(col(winnerCol), col(loserCol)).as("item_b"),

@@ -119,8 +119,9 @@ object Redact {
   def kAnonymityReport(df: DataFrame, qiCols: Seq[String],
                        thresholds: Seq[Int] = Seq(2, 5, 10, 25)): DataFrame = {
     require(qiCols.nonEmpty, "qiCols must be non-empty")
-    require(thresholds.nonEmpty && thresholds.forall(_ >= 2),
-      s"thresholds must all be >= 2: $thresholds")
+    require(thresholds.nonEmpty && thresholds.forall(_ >= 2) &&
+      thresholds.distinct.size == thresholds.size,
+      s"thresholds must be distinct and all >= 2: $thresholds")
     val groups = df.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("__k"))
     groups

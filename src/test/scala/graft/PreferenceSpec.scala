@@ -36,6 +36,17 @@ class PreferenceSpec extends SparkSpec {
     assert(got(3L) == ((2L, 2L, 1L, 0L, 500000L)))
   }
 
+  test("self-comparisons (winner = loser) are dropped, not fabricated " +
+    "into an (x, x) matchup") {
+    val dirty = Seq((1L, 2L), (1L, 1L), (2L, 2L)).toDF("winner", "loser")
+    val m = Preference.matchups(dirty).collect()
+    assert(m.length == 1 &&
+      m.head.getLong(0) == 1L && m.head.getLong(1) == 2L)
+    val lb = Preference.leaderboard(dirty).collect()
+      .map(r => r.getAs[Long]("item") -> r.getAs[Long]("n_games")).toMap
+    assert(lb == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("drawn matchup contributes 0 to Copeland but counts games") {
     val draw = Seq((1L, 2L), (2L, 1L)).toDF("winner", "loser")
     val got = Preference.leaderboard(draw).collect()
