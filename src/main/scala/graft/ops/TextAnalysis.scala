@@ -1269,9 +1269,21 @@ object TextAnalysis {
     */
   def windowedPpmi(docs: DataFrame, window: Int = 4, minCount: Long = 5,
                    k: Int = 5, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
-    require(window >= 1 && k >= 1 && minCount >= 1,
-      s"bad params: window=$window k=$k minCount=$minCount")
+                   textCol: String = "text"): DataFrame =
+    ppmiFromPairCounts(
+      windowedPairCounts(docs, window, textCol), minCount, k)
+
+  /** The (a, b, n) windowed co-occurrence COUNT relation — the mergeable
+    * state under [[windowedPpmi]]: pair counts add across corpus slices
+    * (and marginals/N derive from them), so a streaming twin can upsert
+    * these counts and read the SAME [[ppmiFromPairCounts]] fold
+    * ([[graft.streaming.EventStream.upsertCooccurrence]]). Unfiltered —
+    * minCount applies at fold time, because a pair below threshold
+    * today may cross it after the next batch.
+    */
+  def windowedPairCounts(docs: DataFrame, window: Int = 4,
+                         textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"bad window: $window")
     val base = docs.select(tokens(col(textCol)).as("__t"))
       .select(col("__t"), size(col("__t")).as("__n"))
     // sequence(1, 0) counts DOWN in Spark — guard < 2 tokens to empty
@@ -1284,18 +1296,33 @@ object TextAnalysis {
               .as("a"),
             greatest(element_at(col("__t"), i), element_at(col("__t"), j))
               .as("b"))))))
-    // three consumers (counts, marginals, N) — materialize the pair
-    // relation once (the termFrequencies discipline)
-    val pairs = base.select(explode(pairsArr).as("__p"))
-      .select(col("__p.a").as("__a"), col("__p.b").as("__b"))
+    base.select(explode(pairsArr).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The PPMI fold off an (a, b, n) pair-count relation — ONE definition
+    * shared by the batch query and the streaming snapshot reader, so the
+    * live collocation board equals the batch statistic by construction.
+    * Marginals and N are derived FROM the counts (m_w = Σ n over pairs
+    * containing w, N = Σ n), which is what makes the count relation the
+    * complete mergeable state.
+    */
+  def ppmiFromPairCounts(counts: DataFrame, minCount: Long = 5,
+                         k: Int = 5): DataFrame = {
+    require(k >= 1 && minCount >= 1,
+      s"bad params: k=$k minCount=$minCount")
+    // three consumers (filtered counts, marginals, N) — materialize once
+    // (the termFrequencies discipline)
+    val cAll = counts.select(col("a").as("__a"), col("b").as("__b"),
+        col("n").cast("long").as("n_cooc"))
       .localCheckpoint()
-    val c = pairs.groupBy(col("__a"), col("__b"))
-      .agg(count(lit(1)).as("n_cooc"))
-      .filter(col("n_cooc") >= minCount)
-    val m = pairs.select(col("__a").as("__w"))
-      .unionAll(pairs.select(col("__b").as("__w")))
-      .groupBy(col("__w")).agg(count(lit(1)).as("__m"))
-    val nRow = pairs.agg(count(lit(1)).cast("double").as("__nn"))
+    val c = cAll.filter(col("n_cooc") >= minCount)
+    val m = cAll.select(col("__a").as("__w"), col("n_cooc"))
+      .unionAll(cAll.select(col("__b").as("__w"), col("n_cooc")))
+      .groupBy(col("__w")).agg(sum(col("n_cooc")).as("__m"))
+    val nRow = cAll.agg(sum(col("n_cooc")).cast("double").as("__nn"))
     val scored = c
       .join(m.select(col("__w").as("__a"), col("__m").as("__ma")), "__a")
       .join(m.select(col("__w").as("__b"), col("__m").as("__mb")), "__b")

@@ -727,6 +727,45 @@ object EventStream {
   def leaderboardFromStore(spark: SparkSession, dest: String): DataFrame =
     graft.ops.Preference.leaderboardFromMatchups(spark.read.parquet(dest))
 
+  /** Streaming twin of q304's collocation board: merge a micro-batch's
+    * windowed co-occurrence pair counts into the standing (a, b, n)
+    * snapshot at `dest`. Pairs never cross document boundaries and docs
+    * arrive whole, so per-batch pair counts summed across batches ARE
+    * the whole-corpus counts — and marginals/N derive from the counts,
+    * making the (a, b, n) relation the COMPLETE mergeable state
+    * (StreamingSpec pins multi-batch ≡ one-shot). Snapshot is
+    * pair-vocabulary-sized, never corpus-sized.
+    */
+  def upsertCooccurrence(batch: DataFrame, dest: String,
+                         window: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    val m = graft.ops.TextAnalysis.windowedPairCounts(batch, window)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val exists = destPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(destPath)
+    val merged = (if (exists)
+        spark.read.parquet(dest).unionByName(m)
+      else m)
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("n")).as("n"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(dest)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(merged)
+  }
+
+  /** Live collocation board off the streamed co-occurrence snapshot
+    * through the ONE shared
+    * [[graft.ops.TextAnalysis.ppmiFromPairCounts]] fold — PPMI top-k per
+    * word over everything the stream has seen, equal to the batch q304
+    * statistic (StreamingSpec pins it).
+    */
+  def ppmiFromStore(spark: SparkSession, dest: String, minCount: Long = 5,
+                    k: Int = 5): DataFrame =
+    graft.ops.TextAnalysis.ppmiFromPairCounts(
+      spark.read.parquet(dest), minCount, k)
+
   /** Live threshold-free classifier report: the streamed score-count
     * snapshot at `dest` through the ONE shared
     * [[graft.ops.TextAnalysis.rocPrReportFromCounts]] definition —

@@ -682,6 +682,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming collocation board equals the batch q304 PPMI after " +
+    "batched upserts (pair counts are the complete mergeable state)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+    val dest = "/tmp/graft_drift/cooc_" + System.nanoTime()
+    EventStream.upsertCooccurrence(docs.filter(col("doc_id") % 2 === 0), dest)
+    EventStream.upsertCooccurrence(docs.filter(col("doc_id") % 2 =!= 0), dest)
+    val streamed = EventStream.ppmiFromStore(spark, dest, minCount = 3, k = 3)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.TextAnalysis
+      .windowedPpmi(docs, window = 4, minCount = 3, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming CUSUM monitor equals the batch statistic after batched upserts") {
     import org.apache.spark.sql.functions.col
     val events = Tables.events(spark, sf0001)
