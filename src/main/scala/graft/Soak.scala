@@ -172,6 +172,33 @@ object Soak {
       consume(ops.Graph.pageRank(ops.Graph.transitionEdges(events),
         iterations = 10))
     }
+    stage("preference_leaderboard") {
+      // q301's family over 10× baskets: within-order pairwise
+      // comparisons collapse to the matchup relation in one map-side-
+      // combined pass; the per-item fold never sees comparison grain
+      val items = lineitem
+        .groupBy(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val a = items.select(col("ok"), col("pk").as("pk_a"),
+        col("q").as("q_a"))
+      val b = items.select(col("ok"), col("pk").as("pk_b"),
+        col("q").as("q_b"))
+      val cmp = a.join(b, Seq("ok"))
+        .filter(col("pk_a") < col("pk_b") && col("q_a") =!= col("q_b"))
+        .select(
+          when(col("q_a") > col("q_b"), col("pk_a")).otherwise(col("pk_b"))
+            .as("winner"),
+          when(col("q_a") > col("q_b"), col("pk_b")).otherwise(col("pk_a"))
+            .as("loser"))
+      consume(ops.Preference.leaderboard(cmp))
+    }
+    stage("ppmi_windowed") {
+      // q304's family over 10× docs: ~window·N array-side pairs,
+      // map-side-combined counts, GroupedTopK per word — a corpus-wide
+      // stop word is the organic hot key this stage carries
+      consume(ops.TextAnalysis.windowedPpmi(docs, window = 4,
+        minCount = 5, k = 5))
+    }
 
     // ---- skewed stages (VERDICT r11 #4) --------------------------------
     // Volume scaling alone inherits sf0.1's benign key distributions; the
