@@ -3072,6 +3072,25 @@ object SparkEntry {
       Packing.multimodalWindowCensus(withImg, "n_toks", "n_imgs",
         imgTokens = 64, capacity = 256)
     }),
+    "q307_l_diversity" -> ((s, d) =>
+      // the attribute-disclosure audit k-anonymity (q302) misses: a QI
+      // group whose rows all share one lang re-identifies the attribute
+      // however large the group is — per threshold, groups/rows spanning
+      // fewer than l distinct sensitive values, suppression cost in
+      // integer ppm; one corpus groupBy on (QI, lang), cell-sized after
+      Redact.lDiversityReport(
+        T(s, d, "documents").select(col("lang"), col("source"),
+          expr("n_chars DIV 200").as("len_bucket")),
+        Seq("source", "len_bucket"), "lang")),
+    "q308_t_closeness" -> ((s, d) =>
+      // the skew audit l-diversity misses: per-group total-variation
+      // distance from the corpus lang distribution, EXACT via the common
+      // denominator n_g·N in decimal(38,0) (int64 overflows past
+      // N ≈ 3·10⁹ rows); per ppm threshold, violating groups/rows + max
+      Redact.tClosenessReport(
+        T(s, d, "documents").select(col("lang"), col("source"),
+          expr("n_chars DIV 200").as("len_bucket")),
+        Seq("source", "len_bucket"), "lang")),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -7354,6 +7373,52 @@ object SparkEntry {
         |  1000000 * CAST(sum(img_here) AS BIGINT)
         |    // CAST(sum(tok_here) AS BIGINT) AS image_share_ppm
         |FROM o GROUP BY seq_id""".stripMargin,
+    "q307_l_diversity" ->
+      """WITH cells AS (SELECT source, n_chars // 200 AS len_bucket, lang,
+        |    CAST(count(*) AS BIGINT) AS n_gv
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2, 3),
+        |g AS (SELECT source, len_bucket, CAST(count(*) AS BIGINT) AS l,
+        |    CAST(sum(n_gv) AS BIGINT) AS k FROM cells GROUP BY 1, 2),
+        |t AS (SELECT unnest([2, 3, 5]) AS l_threshold)
+        |SELECT l_threshold, count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN l < l_threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS violating_groups,
+        |  CAST(sum(k) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN l < l_threshold THEN k ELSE 0 END) AS BIGINT)
+        |    AS violating_rows,
+        |  1000000 * CAST(sum(CASE WHEN l < l_threshold THEN k ELSE 0 END)
+        |    AS BIGINT) // CAST(sum(k) AS BIGINT) AS suppression_ppm
+        |FROM g CROSS JOIN t GROUP BY 1""".stripMargin,
+    "q308_t_closeness" ->
+      // exact TV distance over the common denominator n_g·N — HUGEINT
+      // products mirror the Spark side's decimal(38,0) envelope
+      """WITH cells AS (SELECT source, n_chars // 200 AS len_bucket, lang,
+        |    CAST(count(*) AS HUGEINT) AS n_gv
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2, 3),
+        |gv AS (SELECT lang, CAST(sum(n_gv) AS HUGEINT) AS n_v
+        |  FROM cells GROUP BY 1),
+        |gt AS (SELECT source, len_bucket, CAST(sum(n_gv) AS HUGEINT) AS n_g
+        |  FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_v) AS HUGEINT) AS n FROM gv),
+        |pg AS (SELECT c.source, c.len_bucket, max(g.n_g) AS n_g,
+        |    max(tot.n) AS n,
+        |    sum(abs(c.n_gv * tot.n - v.n_v * g.n_g)) AS s1,
+        |    sum(v.n_v) AS sv
+        |  FROM cells c JOIN gv v USING (lang)
+        |  JOIN gt g ON g.source = c.source AND g.len_bucket = c.len_bucket
+        |  CROSS JOIN tot GROUP BY 1, 2),
+        |tv AS (SELECT CAST(n_g AS BIGINT) AS k,
+        |    CAST((1000000 * (s1 + (n - sv) * n_g)) // (2 * n_g * n)
+        |      AS BIGINT) AS tv_ppm FROM pg),
+        |th AS (SELECT unnest([100000, 250000, 500000]) AS t_ppm_threshold)
+        |SELECT t_ppm_threshold, count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN tv_ppm > t_ppm_threshold THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS violating_groups,
+        |  CAST(sum(k) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN tv_ppm > t_ppm_threshold THEN k ELSE 0 END)
+        |    AS BIGINT) AS violating_rows,
+        |  CAST(max(tv_ppm) AS BIGINT) AS max_tv_ppm
+        |FROM tv CROSS JOIN th GROUP BY 1""".stripMargin,
     "q296_audio_dup_indexed" ->
       // byte-identical audio ⇔ equal pattern id (n_samples = pid+20 is
       // injective over pid < 5), so the index probe is id arithmetic

@@ -192,4 +192,128 @@ object Redact {
         expr("1000000 * violating_rows DIV n_rows").as("suppression_ppm"),
         (col("level") === col("__chosen")).cast("int").as("chosen"))
   }
+
+  /** Per-(QI, sensitive-value) count relation — the shared first pass of
+    * [[lDiversityReport]] and [[tClosenessReport]]. ONE map-side-combined
+    * groupBy over the corpus; everything downstream of it works on a
+    * (QI-cardinality × sensitive-cardinality)-sized relation, never the
+    * row-sized corpus. Rows with a NULL sensitive value are excluded up
+    * front (neither metric is defined over an unknown sensitive value,
+    * and a silent null "value" would join away in the distribution pass).
+    */
+  private def sensitiveCells(df: DataFrame, qiCols: Seq[String],
+                             sensitiveCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "qiCols must be non-empty")
+    require(!qiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    df.filter(col(sensitiveCol).isNotNull)
+      .groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__n_gv"))
+  }
+
+  /** Distinct l-diversity census (Machanavajjhala et al. 2007) — the
+    * attribute-disclosure audit k-anonymity misses: a QI group where
+    * every row shares one sensitive value re-identifies the attribute
+    * even when the group is large. A group is l-diverse iff its rows
+    * span at least l DISTINCT sensitive values; per threshold, reports
+    * the violating groups/rows and the suppression cost in integer ppm
+    * (same report shape as [[kAnonymityReport]], so a release gate can
+    * union the two audits).
+    *
+    * Shape at 100 TB: one corpus groupBy on (QI, sensitive) → cell
+    * relation; group sizes and distinct-value counts are a second
+    * aggregate OVER THE CELLS (cardinality-sized); thresholds ride a
+    * broadcast-exploded literal array. All integers.
+    */
+  def lDiversityReport(df: DataFrame, qiCols: Seq[String],
+                       sensitiveCol: String,
+                       thresholds: Seq[Int] = Seq(2, 3, 5)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(_ >= 2) &&
+      thresholds.distinct.size == thresholds.size,
+      s"thresholds must be distinct and all >= 2: $thresholds")
+    val groups = sensitiveCells(df, qiCols, sensitiveCol)
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__l"), sum(col("__n_gv")).as("__k"))
+    groups
+      .select(col("__l"), col("__k"),
+        explode(array(thresholds.map(t => lit(t)): _*)).as("l_threshold"))
+      .groupBy(col("l_threshold"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__l") < col("l_threshold"), 1L).otherwise(0L))
+          .as("violating_groups"),
+        sum(col("__k")).as("n_rows"),
+        sum(when(col("__l") < col("l_threshold"), col("__k")).otherwise(0L))
+          .as("violating_rows"))
+      .select(col("l_threshold"), col("n_groups"), col("violating_groups"),
+        col("n_rows"), col("violating_rows"),
+        expr("1000000 * violating_rows DIV n_rows").as("suppression_ppm"))
+  }
+
+  /** t-closeness census (Li et al. 2007) — the skew audit l-diversity
+    * misses: a group can span many sensitive values yet still leak if
+    * its distribution is far from the corpus-wide one. For a categorical
+    * sensitive attribute the earth-mover distance is the total-variation
+    * distance, TV(g) = ½·Σ_v |n_gv/n_g − n_v/N|, computed here EXACTLY:
+    * with the common denominator n_g·N, absent-from-group values
+    * contribute (N − Σ_{v∈g} n_v)·n_g, so
+    * tv_ppm = 10⁶·(Σ_{v∈g}|n_gv·N − n_v·n_g| + (N − Σ_{v∈g}n_v)·n_g)
+    *          DIV (2·n_g·N).
+    * Products are decimal(38,0) (DuckDB: HUGEINT) — n_gv·N reaches N²,
+    * which overflows int64 past N ≈ 3·10⁹ rows but stays exact in
+    * 128-bit far beyond crawl scale (N ≤ 10¹⁴ ⇒ products ≤ 10²⁸). Per
+    * threshold, reports groups/rows whose TV exceeds it plus the corpus
+    * max — the "how close to compliant" dial.
+    *
+    * Shape at 100 TB: the corpus groupBy on (QI, sensitive) is the only
+    * row-sized pass; the value marginals and group totals are aggregates
+    * of the cell relation, joined back broadcast; thresholds ride a
+    * broadcast-exploded literal array. Exact integer/decimal end to end.
+    */
+  def tClosenessReport(df: DataFrame, qiCols: Seq[String],
+                       sensitiveCol: String,
+                       tPpmThresholds: Seq[Int] =
+                         Seq(100000, 250000, 500000)): DataFrame = {
+    require(tPpmThresholds.nonEmpty &&
+      tPpmThresholds.forall(t => t >= 0 && t <= 1000000) &&
+      tPpmThresholds.distinct.size == tPpmThresholds.size,
+      s"thresholds must be distinct ppm in [0, 1000000]: $tPpmThresholds")
+    val cells = sensitiveCells(df, qiCols, sensitiveCol)
+      .withColumn("__n_gv", col("__n_gv").cast("decimal(38,0)"))
+    val valueMarginals = cells.groupBy(col(sensitiveCol))
+      .agg(sum(col("__n_gv")).as("__n_v"))
+    val groupTotals = cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__n_gv")).as("__n_g"))
+    val total = valueMarginals.agg(sum(col("__n_v")).as("__N"))
+    val tv = cells
+      .join(broadcast(valueMarginals), Seq(sensitiveCol))
+      .join(broadcast(groupTotals), qiCols)
+      .crossJoin(broadcast(total))
+      .groupBy(qiCols.map(col): _*)
+      .agg(
+        max(col("__n_g")).as("__n_g"), max(col("__N")).as("__N"),
+        sum(abs(col("__n_gv") * col("__N") - col("__n_v") * col("__n_g")))
+          .as("__s1"),
+        sum(col("__n_v")).as("__sv"))
+      .select(col("__n_g").cast("long").as("__k"),
+        expr("""(1000000 * (__s1 + (__N - __sv) * __n_g))
+               | DIV (2 * __n_g * __N)""".stripMargin.replace("\n", ""))
+          .as("__tv_ppm"))
+    tv
+      .select(col("__k"), col("__tv_ppm"),
+        explode(array(tPpmThresholds.map(t => lit(t)): _*))
+          .as("t_ppm_threshold"))
+      .groupBy(col("t_ppm_threshold"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__tv_ppm") > col("t_ppm_threshold"), 1L).otherwise(0L))
+          .as("violating_groups"),
+        sum(col("__k")).as("n_rows"),
+        sum(when(col("__tv_ppm") > col("t_ppm_threshold"), col("__k"))
+          .otherwise(0L)).as("violating_rows"),
+        max(col("__tv_ppm")).as("max_tv_ppm"))
+      .select(col("t_ppm_threshold"), col("n_groups"),
+        col("violating_groups"), col("n_rows"), col("violating_rows"),
+        col("max_tv_ppm"))
+  }
 }

@@ -120,4 +120,56 @@ class RedactSpec extends SparkSpec {
       .toMap
     assert(lone == Map(0 -> 0, 1 -> 0, 2 -> 1))
   }
+
+  test("lDiversityReport: per-threshold groups spanning fewer than l " +
+    "distinct sensitive values, suppression ppm over rows") {
+    // group a: 3 rows all x (l=1); b: x,y (l=2); c: x,y,z,z (l=3)
+    val df = (Seq.fill(3)(("a", "x")) ++ Seq(("b", "x"), ("b", "y")) ++
+      Seq(("c", "x"), ("c", "y"), ("c", "z"), ("c", "z")))
+      .toDF("g", "s")
+    val got = Redact.lDiversityReport(df, Seq("g"), "s",
+      thresholds = Seq(2, 3))
+      .collect().map(r => r.getAs[Int]("l_threshold") ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("violating_groups"),
+          r.getAs[Long]("n_rows"), r.getAs[Long]("violating_rows"),
+          r.getAs[Long]("suppression_ppm")))).toMap
+    assert(got(2) == ((3L, 1L, 9L, 3L, 333333L)))
+    assert(got(3) == ((3L, 2L, 9L, 5L, 555555L)))
+  }
+
+  test("lDiversityReport: null sensitive values are excluded up front") {
+    val df = Seq(("a", "x"), ("a", null), ("a", "x")).toDF("g", "s")
+    val got = Redact.lDiversityReport(df, Seq("g"), "s",
+      thresholds = Seq(2)).head()
+    // 2 surviving rows, one value → l=1 violates, rows counted post-drop
+    assert(got.getAs[Long]("n_rows") == 2L)
+    assert(got.getAs[Long]("violating_groups") == 1L)
+  }
+
+  test("tClosenessReport: exact total-variation ppm per group, " +
+    "per-threshold violation census and corpus max") {
+    // global: x=4, y=1, N=5
+    // group a = {x,x,x}: TV = ½(|1−0.8| + |0−0.2|) = 0.2 → 200000 ppm
+    // group b = {x,y}:   TV = ½(|0.5−0.8| + |0.5−0.2|) = 0.3 → 300000
+    val df = (Seq.fill(3)(("a", "x")) ++ Seq(("b", "x"), ("b", "y")))
+      .toDF("g", "s")
+    val got = Redact.tClosenessReport(df, Seq("g"), "s",
+      tPpmThresholds = Seq(250000, 500000))
+      .collect().map(r => r.getAs[Int]("t_ppm_threshold") ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("violating_groups"),
+          r.getAs[Long]("n_rows"), r.getAs[Long]("violating_rows"),
+          r.getAs[Long]("max_tv_ppm")))).toMap
+    assert(got(250000) == ((2L, 1L, 5L, 2L, 300000L)))
+    assert(got(500000) == ((2L, 0L, 5L, 0L, 300000L)))
+  }
+
+  test("tClosenessReport: a group matching the global distribution " +
+    "has zero TV; a single-group corpus is trivially 0-close") {
+    val df = Seq(("a", "x"), ("a", "y"), ("a", "x"), ("a", "y"))
+      .toDF("g", "s")
+    val got = Redact.tClosenessReport(df, Seq("g"), "s",
+      tPpmThresholds = Seq(100000)).head()
+    assert(got.getAs[Long]("max_tv_ppm") == 0L)
+    assert(got.getAs[Long]("violating_groups") == 0L)
+  }
 }
