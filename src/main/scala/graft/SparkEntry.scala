@@ -57,6 +57,35 @@ object SparkEntry {
   private val toksSql =
     """list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)"""
 
+  /** q309/q310's blocklist fixture: all border-free (no phrase has a
+    * proper prefix = suffix), so the Aho–Corasick overlapping count
+    * equals the replace-based non-overlapping count and both tiers
+    * share one oracle. "quantum leap" never occurs — the census must
+    * still report its zero row.
+    */
+  private val blocklistPhrases = Seq(
+    "big table", "slow scan", "fast merge", "key value", "quantum leap")
+
+  /** Shared q309/q310 oracle: replace-difference counts per phrase over
+    * the lowercased text, zero-hit phrases kept by the CROSS JOIN shape.
+    */
+  private val blocklistOracleSql = {
+    val lst = blocklistPhrases.map(p => s"'$p'").mkString(", ")
+    s"""WITH p AS (SELECT unnest([$lst]) AS phrase),
+       |d AS (SELECT lower(text) AS t FROM documents WHERE text IS NOT NULL),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+       |h AS (SELECT phrase, CAST((len(t) - len(replace(t, phrase, '')))
+       |    // len(phrase) AS BIGINT) AS hits
+       |  FROM d CROSS JOIN p)
+       |SELECT phrase,
+       |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_hit,
+       |  CAST(sum(hits) AS BIGINT) AS total_hits,
+       |  1000000 * CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) // n.n_docs AS docs_hit_ppm
+       |FROM h CROSS JOIN n GROUP BY phrase, n.n_docs""".stripMargin
+  }
+
   /** q135's injected boilerplate: 9 tokens = exactly three 3-token chunks,
     * one constant shared by the Spark query and the oracle.
     */
@@ -3091,6 +3120,20 @@ object SparkEntry {
         T(s, d, "documents").select(col("lang"), col("source"),
           expr("n_chars DIV 200").as("len_bucket")),
         Seq("source", "len_bucket"), "lang")),
+    "q309_blocklist_census" -> ((s, d) =>
+      // the C4/RefinedWeb bad-phrase release gate: per-phrase documents
+      // hit, total non-overlapping occurrences, incidence in integer
+      // ppm; text consumed in ONE map-only projection (exploded rows
+      // carry only (phrase, hits)), |phrases|-sized rollup after
+      TextAnalysis.blocklistCensus(T(s, d, "documents"),
+        blocklistPhrases)),
+    "q310_blocklist_ac" -> ((s, d) =>
+      // the SCALE tier of q309: one broadcast Aho–Corasick pass per
+      // document regardless of |phrases| (the expression tier pays one
+      // replace per phrase); the fixture phrases are border-free, so
+      // overlapping-count ≡ replace-count and the pair shares one oracle
+      TextAnalysis.blocklistCensusAC(T(s, d, "documents"),
+        blocklistPhrases)),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -7419,6 +7462,8 @@ object SparkEntry {
         |    AS BIGINT) AS violating_rows,
         |  CAST(max(tv_ppm) AS BIGINT) AS max_tv_ppm
         |FROM tv CROSS JOIN th GROUP BY 1""".stripMargin,
+    "q309_blocklist_census" -> blocklistOracleSql,
+    "q310_blocklist_ac" -> blocklistOracleSql, // tier-equivalence (AC)
     "q296_audio_dup_indexed" ->
       // byte-identical audio ⇔ equal pattern id (n_samples = pid+20 is
       // injective over pid < 5), so the index probe is id arithmetic

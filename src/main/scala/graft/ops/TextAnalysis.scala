@@ -2238,6 +2238,152 @@ object TextAnalysis {
     * corpus-sized; F1 uses the integer identity 2·TP/(TP+FP+P) so no
     * already-rounded metric feeds another.
     */
+  // ----------------------------------------- multi-pattern blocklist scan
+
+  /** `array<struct<phrase, hits>>` of non-overlapping, case-insensitive
+    * occurrence counts of each literal phrase in `text` — the C4/
+    * RefinedWeb-style bad-phrase gate. hits is the replace-difference
+    * count ((len − len(replace)) / len(phrase)): pure string/length
+    * expressions, so the identical formula runs in the DuckDB oracle
+    * and the whole tier stays a map-only projection.
+    */
+  def blocklistHits(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty) &&
+      phrases.distinct.size == phrases.size,
+      s"phrases must be distinct and non-empty: $phrases")
+    val t = lower(text)
+    array(phrases.map { p =>
+      val pl = p.toLowerCase
+      val rep = call_function("replace", t, lit(pl), lit(""))
+      struct(lit(pl).as("phrase"),
+        ((length(t) - length(rep)) / lit(pl.length)).cast("long").as("hits"))
+    }: _*)
+  }
+
+  /** Per-document blocklist gate: total hits, phrases hit, and the
+    * worst (most-frequent, ties → lexicographically first) phrase —
+    * the row-level filter a curation pipeline composes with quality
+    * scores. Map-only: ONE projection builds the [[blocklistHits]]
+    * array, higher-order folds reduce it; no shuffle, no UDF, and the
+    * text is never copied per phrase past the projection.
+    */
+  def blocklistPerDoc(docs: DataFrame, phrases: Seq[String],
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val arr = blocklistHits(col(textCol), phrases)
+    val init = struct(lit("").as("phrase"), lit(-1L).as("hits"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), arr.as("__h"))
+      .select(col(idCol),
+        aggregate(col("__h"), lit(0L),
+          (acc, x) => acc + x.getField("hits")).as("n_hits"),
+        aggregate(col("__h"), lit(0L),
+          (acc, x) => acc + when(x.getField("hits") > 0, 1L).otherwise(0L))
+          .as("n_phrases_hit"),
+        aggregate(col("__h"), init, (acc, x) =>
+          when(x.getField("hits") > acc.getField("hits") ||
+            (x.getField("hits") === acc.getField("hits") &&
+              x.getField("phrase") < acc.getField("phrase")), x)
+            .otherwise(acc)).getField("phrase").as("__worst"))
+      .select(col(idCol), col("n_hits"), col("n_phrases_hit"),
+        when(col("n_hits") > 0, col("__worst")).otherwise(lit(null))
+          .as("worst_phrase"),
+        (col("n_hits") > 0).as("flagged"))
+  }
+
+  /** Corpus-level blocklist census: per phrase, documents hit, total
+    * occurrences, and document incidence in integer ppm — the
+    * governance rollup behind a bad-phrase release gate. Phrases with
+    * zero hits still report (a release review must see the clean rows).
+    *
+    * Shape at 100 TB: the text is consumed in ONE map-only projection
+    * (the exploded rows carry only (phrase, hits), never the text); the
+    * rollup is a |phrases|-sized map-side-combined aggregate and the
+    * doc count rides a broadcast 1-row join.
+    */
+  def blocklistCensus(docs: DataFrame, phrases: Seq[String],
+                      textCol: String = "text"): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+    val nDocs = base.agg(count(lit(1)).as("__n_docs"))
+    base
+      .select(explode(blocklistHits(col(textCol), phrases)).as("__h"))
+      .select(col("__h.phrase").as("phrase"), col("__h.hits").as("hits"))
+      .groupBy(col("phrase"))
+      .agg(sum((col("hits") > 0).cast("long")).as("docs_hit"),
+        sum(col("hits")).as("total_hits"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("phrase"), col("docs_hit"), col("total_hits"),
+        expr("1000000 * docs_hit DIV __n_docs").as("docs_hit_ppm"))
+  }
+
+  /** Aho–Corasick multi-pattern scan — the SCALE tier of the blocklist:
+    * ONE automaton pass per document regardless of |phrases|, where the
+    * expression tier pays one `replace` pass per phrase. The automaton
+    * is built once on the driver, broadcast, and walked inside
+    * mapPartitions (SURVEY §4 tier d — imperative per-row state, like
+    * the codec tiers); emits only (id, phrase, hits > 0) rows, so the
+    * output is sparse however large the phrase list grows.
+    *
+    * Semantics: counts ALL occurrences, overlapping included (match
+    * ends, the textbook automaton output). For phrases with no proper
+    * border (no prefix = suffix, e.g. any two-word phrase whose words
+    * differ) self-overlap is impossible and this EQUALS the
+    * non-overlapping replace count of [[blocklistHits]] — pinned in
+    * TextAnalysisSpec; a bordered phrase like "aa" diverges by design
+    * ("aaaa": 3 overlapping vs 2 non-overlapping).
+    */
+  def blocklistScanAC(docs: DataFrame, phrases: Seq[String],
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty) &&
+      phrases.distinct.size == phrases.size,
+      s"phrases must be distinct and non-empty: $phrases")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pats = phrases.map(_.toLowerCase).toArray
+    val acB = spark.sparkContext.broadcast(new AhoCorasick(pats))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), lower(col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = acB.value
+        it.flatMap { case (id, text) =>
+          val counts = ac.countsIn(text)
+          Iterator.range(0, counts.length).collect {
+            case pi if counts(pi) > 0L => BlocklistHit(id, ac.pattern(pi), counts(pi))
+          }
+        }
+      }
+      .toDF()
+      .select(col("id").as(idCol), col("phrase"), col("hits"))
+  }
+
+  /** [[blocklistCensus]] computed through the [[blocklistScanAC]] scale
+    * tier: the sparse hit rows re-aggregate per phrase, zero-hit phrases
+    * rejoin from the literal list (a release review must see the clean
+    * rows), and the doc count rides the same broadcast 1-row join. For
+    * border-free phrases this is row-identical to the expression tier —
+    * the tier-equivalence pair shares one oracle.
+    */
+  def blocklistCensusAC(docs: DataFrame, phrases: Seq[String],
+                        textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.filter(col(textCol).isNotNull)
+    val nDocs = base.agg(count(lit(1)).as("__n_docs"))
+    val all = phrases.map(_.toLowerCase).toDF("phrase")
+    blocklistScanAC(docs, phrases, textCol = textCol)
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("docs_hit"), sum(col("hits")).as("total_hits"))
+      .join(broadcast(all), Seq("phrase"), "right")
+      .select(col("phrase"),
+        coalesce(col("docs_hit"), lit(0L)).as("docs_hit"),
+        coalesce(col("total_hits"), lit(0L)).as("total_hits"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("phrase"), col("docs_hit"), col("total_hits"),
+        expr("1000000 * docs_hit DIV __n_docs").as("docs_hit_ppm"))
+  }
+
   def prCurve(scored: DataFrame, probCol: String,
               labelCol: String): DataFrame = {
     val curve = scoreCurve(scored, probCol, labelCol)
@@ -2251,5 +2397,78 @@ object TextAnalysis {
           col("__P").cast("double"), 6)).as("recall"),
         round(lit(2.0) * col("tp").cast("double") /
           (col("tp") + col("fp") + col("__P")).cast("double"), 6).as("f1"))
+  }
+}
+
+/** Sparse (doc, phrase) hit row emitted by [[TextAnalysis.blocklistScanAC]]. */
+private[ops] case class BlocklistHit(id: Long, phrase: String, hits: Long)
+
+/** Classic Aho–Corasick automaton (Aho & Corasick 1975) over literal
+  * lowercase patterns: trie + BFS failure links with output sets merged
+  * along the links, so one left-to-right walk reports every occurrence of
+  * every pattern (overlapping included). Built once on the driver and
+  * broadcast — construction is O(Σ|pattern|), the scan is O(|text| +
+  * matches) independent of the pattern count, which is the entire point
+  * versus the per-phrase `replace` expression tier.
+  */
+private[graft] final class AhoCorasick(patterns: Array[String])
+    extends Serializable {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "patterns must be non-empty")
+
+  private val children =
+    scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.HashMap.empty[Char, Int])
+  private val out =
+    scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+
+  patterns.zipWithIndex.foreach { case (p, pi) =>
+    var cur = 0
+    p.foreach { c =>
+      cur = children(cur).getOrElseUpdate(c, {
+        children += scala.collection.mutable.HashMap.empty[Char, Int]
+        out += Nil
+        children.size - 1
+      })
+    }
+    out(cur) = pi :: out(cur)
+  }
+
+  // BFS: a node's failure target is strictly shallower, so out(fail(v))
+  // is final by the time v is processed and can be merged in place
+  private val fail: Array[Int] = {
+    val f = new Array[Int](children.size)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    children(0).valuesIterator.foreach { v => f(v) = 0; queue += v }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      children(u).foreach { case (c, v) =>
+        var t = f(u)
+        while (t != 0 && !children(t).contains(c)) t = f(t)
+        val target = children(t).getOrElse(c, 0)
+        f(v) = if (target == v) 0 else target
+        out(v) = out(v) ::: out(f(v))
+        queue += v
+      }
+    }
+    f
+  }
+
+  def pattern(i: Int): String = patterns(i)
+
+  /** Per-pattern occurrence counts (all match end positions) in one pass. */
+  def countsIn(text: String): Array[Long] = {
+    val counts = new Array[Long](patterns.length)
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      while (s != 0 && !children(s).contains(c)) s = fail(s)
+      s = children(s).getOrElse(c, 0)
+      var o = out(s)
+      while (o.nonEmpty) { counts(o.head) += 1L; o = o.tail }
+      i += 1
+    }
+    counts
   }
 }

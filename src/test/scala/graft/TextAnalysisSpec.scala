@@ -849,4 +849,81 @@ class TextAnalysisSpec extends SparkSpec {
       (2, 0L, 0L, 5L),
       (3, 0L, 0L, 5L)))
   }
+
+  test("blocklistPerDoc: case-insensitive non-overlapping counts, worst " +
+    "phrase by (hits, lexicographic), null worst when clean") {
+    val df = Seq(
+      (1L, "the Big Table has a big table and a slow scan"),
+      (2L, "nothing bad here"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistPerDoc(df,
+      Seq("big table", "slow scan", "quantum leap"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("n_phrases_hit"),
+          r.getAs[String]("worst_phrase"), r.getAs[Boolean]("flagged"))))
+      .toMap
+    assert(got(1L) == ((3L, 2L, "big table", true)))
+    assert(got(2L) == ((0L, 0L, null, false)))
+    assert(!got.contains(3L)) // null text excluded up front
+  }
+
+  test("blocklistPerDoc worst-phrase tie-break: equal hits pick the " +
+    "lexicographically first phrase") {
+    val df = Seq((1L, "slow scan then big table")).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistPerDoc(df,
+      Seq("slow scan", "big table")).head()
+    assert(got.getAs[String]("worst_phrase") == "big table")
+  }
+
+  test("blocklistCensus: per-phrase docs/hits rollup keeps zero-hit " +
+    "phrases and reports integer ppm incidence") {
+    val df = Seq(
+      (1L, "big table big table"),
+      (2L, "slow scan"),
+      (3L, "big table"),
+      (4L, "clean")).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistCensus(df,
+      Seq("big table", "slow scan", "quantum leap"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("docs_hit"), r.getAs[Long]("total_hits"),
+          r.getAs[Long]("docs_hit_ppm")))).toMap
+    assert(got("big table") == ((2L, 3L, 500000L)))
+    assert(got("slow scan") == ((1L, 1L, 250000L)))
+    assert(got("quantum leap") == ((0L, 0L, 0L)))
+  }
+
+  test("blocklistScanAC equals the expression tier on border-free " +
+    "phrases (sparse per-(doc, phrase) hit rows)") {
+    val phrases = Seq("big table", "slow scan", "fast merge")
+    val df = Seq(
+      (1L, "big table big table slow scan"),
+      (2L, "Fast Merge and fast merge and more"),
+      (3L, "no hits at all"),
+      (4L, "slow scanfast merge")).toDF("doc_id", "text")
+    val exprTier = df.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(TextAnalysis.blocklistHits(col("text"), phrases)).as("h"))
+      .select(col("doc_id"), col("h.phrase"), col("h.hits"))
+      .filter(col("hits") > 0)
+      .as[(Long, String, Long)].collect().toSet
+    val acTier = TextAnalysis.blocklistScanAC(df, phrases)
+      .as[(Long, String, Long)].collect().toSet
+    assert(acTier == exprTier && acTier.nonEmpty)
+    assert(acTier.contains((4L, "slow scan", 1L))) // match across the glue
+  }
+
+  test("blocklistScanAC: overlapping occurrences count (bordered " +
+    "pattern), suffix patterns all fire") {
+    import spark.implicits._
+    // "aa" in "aaaa": ends at 1,2,3 -> 3 overlapping (replace tier: 2)
+    val aa = TextAnalysis.blocklistScanAC(
+      Seq((1L, "aaaa")).toDF("doc_id", "text"), Seq("aa")).head()
+    assert(aa.getAs[Long]("hits") == 3L)
+    // classic AC sanity: "ushers" fires he, she, hers once each
+    val got = TextAnalysis.blocklistScanAC(
+      Seq((1L, "ushers")).toDF("doc_id", "text"), Seq("he", "she", "hers"))
+      .as[(Long, String, Long)].collect()
+      .map(t => t._2 -> t._3).toMap
+    assert(got == Map("he" -> 1L, "she" -> 1L, "hers" -> 1L))
+  }
 }
