@@ -86,6 +86,47 @@ object SparkEntry {
        |FROM h CROSS JOIN n GROUP BY phrase, n.n_docs""".stripMargin
   }
 
+  /** q311's oracle: integer k-means with every Lloyd round unrolled as
+    * CTEs (the q300 perceptron discipline). Exact-integer throughout —
+    * micro-unit quantize, integer squared-L2, truncating mean via
+    * sign(s)·(|s| // n) (trunc ≡ floor on |s|, so DuckDB's // and
+    * Spark's DIV agree on negative sums), ties to the lowest cluster,
+    * emptied clusters keep their previous centroid (the coalesce).
+    */
+  private def integerKMeansOracleSql(k: Int, rounds: Int,
+                                     dims: Int): String = {
+    val dist = s"CAST(list_sum(list_transform(range(1, ${dims + 1}), " +
+      "i -> (q[i] - c[i]) * (q[i] - c[i]))) AS BIGINT)"
+    val head = Seq(
+      "v AS (SELECT vec_id, list_transform(embedding::DOUBLE[], " +
+        "x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM embeddings)",
+      "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 " +
+        s"AS INTEGER) AS cl, q AS c FROM v ORDER BY vec_id LIMIT $k)",
+      s"d AS (SELECT unnest(range(1, ${dims + 1})) AS i)")
+    val roundCtes = (1 to rounds).flatMap { r => Seq(
+      s"a$r AS (SELECT vec_id, q, cl FROM (SELECT v.vec_id, v.q, c.cl, " +
+        s"row_number() OVER (PARTITION BY v.vec_id ORDER BY $dist, c.cl) " +
+        s"AS rn FROM v CROSS JOIN c${r - 1} c) t WHERE rn = 1)",
+      s"s$r AS (SELECT cl, i, CAST(sum(q[i]) AS BIGINT) AS s, " +
+        s"CAST(count(*) AS BIGINT) AS n FROM a$r CROSS JOIN d " +
+        "GROUP BY cl, i)",
+      s"u$r AS (SELECT cl, list(CAST(sign(s) AS BIGINT) * (abs(s) // n) " +
+        s"ORDER BY i) AS c FROM s$r GROUP BY cl)",
+      s"c$r AS (SELECT p.cl, coalesce(u$r.c, p.c) AS c FROM c${r - 1} p " +
+        s"LEFT JOIN u$r USING (cl))")
+    }
+    val fin = "af AS (SELECT vec_id, cl, dist FROM (SELECT v.vec_id, " +
+      s"c.cl, $dist AS dist, row_number() OVER (PARTITION BY v.vec_id " +
+      s"ORDER BY $dist, c.cl) AS rn FROM v CROSS JOIN c$rounds c) t " +
+      "WHERE rn = 1)"
+    "WITH " + (head ++ roundCtes :+ fin).mkString(",\n") + "\n" +
+      s"""SELECT af.cl AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
+         |  CAST(sum(dist) AS BIGINT) AS inertia,
+         |  CAST(max(list_sum(c.c)) AS BIGINT) AS centroid_sum
+         |FROM af JOIN c$rounds c USING (cl) GROUP BY af.cl""".stripMargin
+  }
+
   /** q135's injected boilerplate: 9 tokens = exactly three 3-token chunks,
     * one constant shared by the Spark query and the oracle.
     */
@@ -3134,6 +3175,15 @@ object SparkEntry {
       // overlapping-count ≡ replace-count and the pair shares one oracle
       TextAnalysis.blocklistCensusAC(T(s, d, "documents"),
         blocklistPhrases)),
+    "q311_integer_kmeans" -> ((s, d) =>
+      // on-cluster k-means TRAINING, exactly verified: micro-unit
+      // quantized coordinates, integer squared-L2, truncating
+      // element-wise mean, ties to the lowest cluster — the oracle
+      // replays all 3 Lloyd rounds as unrolled CTEs and both engines
+      // agree bit-for-bit (the q300 perceptron discipline, now for the
+      // clustering family that seeds every IVF index)
+      Similarity.integerKMeansReport(T(s, d, "embeddings"),
+        k = 4, rounds = 3)),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -7464,6 +7514,8 @@ object SparkEntry {
         |FROM tv CROSS JOIN th GROUP BY 1""".stripMargin,
     "q309_blocklist_census" -> blocklistOracleSql,
     "q310_blocklist_ac" -> blocklistOracleSql, // tier-equivalence (AC)
+    "q311_integer_kmeans" -> integerKMeansOracleSql(k = 4, rounds = 3,
+      dims = 64),
     "q296_audio_dup_indexed" ->
       // byte-identical audio ⇔ equal pattern id (n_samples = pid+20 is
       // injective over pid < 5), so the index probe is id arithmetic

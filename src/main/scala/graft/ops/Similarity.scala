@@ -716,6 +716,88 @@ object Similarity {
     (centroids, rounds)
   }
 
+  /** Exact-arithmetic Lloyd training REPORT — the oracle-checkable twin of
+    * [[kmeansCentroids]] (which trains in float for IVF, where last-ULP
+    * drift is harmless because a verify step re-ranks): here every
+    * quantity is integer, so two engines replaying the same rounds agree
+    * bit-for-bit. Coordinates quantize once to int64 micro-units
+    * (round(x·10⁶)); distance is exact integer squared-L2; the update is
+    * the TRUNCATING element-wise mean sign(s)·(|s| DIV n) — trunc equals
+    * floor on |s|, so Spark's DIV and DuckDB's // agree on negative sums;
+    * assignment ties go to the lowest cluster id; an emptied cluster
+    * keeps its previous centroid (and reports no row — it has no
+    * members). Init = the k lowest-id vectors, deterministic by
+    * construction (k-means++ would need RNG the oracle can't replay; at
+    * scale the init choice is orthogonal to the per-round plan shape).
+    *
+    * Scale shape: the quantized corpus localCheckpoints once; each round
+    * is ONE distributed (cluster, dim)-grouped aggregation (map-side
+    * combined, collect_list bounded by dims) and only k×dims ints reach
+    * the driver — the next round's broadcast literals, exactly the
+    * [[kmeansCentroids]] discipline. Envelope: |coord| ≤ 2²⁰ micro ⇒
+    * per-vector distance ≤ dims·2⁴² < 2⁴⁸·dims; the inertia sum is
+    * carried in decimal(38,0) and reported as int64 — past ~2⁶³ total
+    * (trillions of rows × large dims) report the decimal instead.
+    */
+  def integerKMeansReport(emb: DataFrame, k: Int, rounds: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"bad k-means config (k=$k rounds=$rounds)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol).cast("long").as("__id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * 1000000d).cast("long")).as("__q"))
+      .localCheckpoint(true)
+    val init: Array[Array[Long]] = v.orderBy(col("__id")).limit(k)
+      .select(col("__q")).collect().map(_.getSeq[Long](0).toArray)
+    require(init.length == k, s"need at least k=$k vectors, got ${init.length}")
+    var cents = init
+    def assigned(c: Array[Array[Long]]): DataFrame = {
+      val dists = array(c.map { cj =>
+        aggregate(zip_with(col("__q"), typedLit(cj.toSeq),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+      }: _*)
+      v.select(col("__id"), col("__q"), dists.as("__d"))
+        .select(col("__id"), col("__q"),
+          (array_position(col("__d"), array_min(col("__d"))) - 1)
+            .cast("int").as("__cl"),
+          array_min(col("__d")).as("__dist"))
+    }
+    (1 to rounds).foreach { _ =>
+      val updated: Map[Int, Array[Long]] = assigned(cents)
+        .select(col("__cl"), posexplode(col("__q")).as(Seq("__i", "__x")))
+        .groupBy(col("__cl"), col("__i"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("__cl"), col("__i"),
+          (when(col("__s") < 0, -1L).otherwise(lit(1L)) *
+            expr("abs(__s) DIV __n")).as("__m"))
+        .groupBy(col("__cl"))
+        .agg(array_sort(collect_list(struct(col("__i"), col("__m"))))
+          .as("__a"))
+        .select(col("__cl"),
+          transform(col("__a"), s => s.getField("__m")).as("__c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+      cents = cents.indices.map(j => updated.getOrElse(j, cents(j))).toArray
+    }
+    val centroidSums = cents.zipWithIndex
+      .map { case (c, j) => (j, c.sum) }.toSeq.toDF("cluster", "centroid_sum")
+    // the k-row report materializes BEFORE the corpus checkpoint is
+    // released (it still reads v for the final assignment pass)
+    val report = assigned(cents)
+      .groupBy(col("__cl").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__id")).as("sum_vec_id"),
+        sum(col("__dist").cast("decimal(38,0)")).cast("long").as("inertia"))
+      .join(broadcast(centroidSums), Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("sum_vec_id"),
+        col("inertia"), col("centroid_sum"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(v)
+    report
+  }
+
   /** Persist the IVF index: the assigned cell table written PARTITIONED by
     * cell_id. A probe then reads only its `nProbe` cells' directories —
     * partition pruning turns a corpus scan into a few-cell lookup

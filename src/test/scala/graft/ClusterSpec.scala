@@ -181,4 +181,39 @@ class ClusterSpec extends SparkSpec {
     assert((approx intersect exact).size >= 3,
       s"recall too low: approx=$approx exact=$exact")
   }
+
+  test("integerKMeansReport: hand-replayed 1-D Lloyd — truncating means, " +
+    "lowest-id init, exact inertia") {
+    // micro-units: ids 1..4 at -5, -3, 4, 6; k=2, rounds=2
+    // init c0=-5 c1=-3; r1: {1}->c0, {2,3,4}->c1, c0=-5, c1=7 DIV 3=2
+    // r2: {1,2}->c0 (c0=-(8 DIV 2)=-4), {3,4}->c1 (c1=10 DIV 2=5)
+    // final: c0 {1,2} inertia 1+1, c1 {3,4} inertia 1+1
+    val emb = Seq(
+      (1L, Seq(-5e-6)), (2L, Seq(-3e-6)), (3L, Seq(4e-6)), (4L, Seq(6e-6)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.integerKMeansReport(emb, k = 2, rounds = 2)
+      .orderBy("cluster")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 2L, 3L, 2L, -4L), (1, 2L, 7L, 2L, 5L)))
+  }
+
+  test("integerKMeansReport: negative-sum mean truncates toward zero " +
+    "(Spark DIV), matching DuckDB // on |s|") {
+    // k=1: s = -7, n = 2 -> -(7 DIV 2) = -3, NOT floor(-3.5) = -4
+    val emb = Seq((1L, Seq(-3e-6)), (2L, Seq(-4e-6)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.integerKMeansReport(emb, k = 1, rounds = 1).head()
+    assert(got.getAs[Long]("centroid_sum") == -3L)
+    // final dists: (-3-(-3))² = 0, (-4-(-3))² = 1
+    assert(got.getAs[Long]("inertia") == 1L)
+  }
+
+  test("integerKMeansReport: coincident init centroids tie to the " +
+    "lowest cluster; the emptied cluster reports no row") {
+    val emb = Seq((1L, Seq(5e-6)), (2L, Seq(5e-6)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.integerKMeansReport(emb, k = 2, rounds = 2)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 2L, 3L, 0L, 5L)))
+  }
 }
