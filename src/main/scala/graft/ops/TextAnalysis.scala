@@ -2291,6 +2291,33 @@ object TextAnalysis {
         (col("n_hits") > 0).as("flagged"))
   }
 
+  /** Per-phrase blocklist count relation (phrase, docs_hit, total_hits,
+    * n_docs) — the COMPLETE mergeable state behind [[blocklistCensus]]:
+    * counts sum across batches (every phrase reports a row per batch,
+    * zero-hit included, so n_docs accumulates identically on each), which
+    * is what the streaming twin merges.
+    */
+  def blocklistCounts(docs: DataFrame, phrases: Seq[String],
+                      textCol: String = "text"): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    base
+      .select(explode(blocklistHits(col(textCol), phrases)).as("__h"))
+      .select(col("__h.phrase").as("phrase"), col("__h.hits").as("hits"))
+      .groupBy(col("phrase"))
+      .agg(sum((col("hits") > 0).cast("long")).as("docs_hit"),
+        sum(col("hits")).as("total_hits"))
+      .crossJoin(broadcast(nDocs))
+  }
+
+  /** The census statistic off a [[blocklistCounts]]-shaped relation —
+    * ONE fold shared by the batch census, the AC tier, and the
+    * streaming snapshot (StreamingSpec pins multi-batch ≡ one-shot).
+    */
+  def blocklistCensusFromCounts(counts: DataFrame): DataFrame =
+    counts.select(col("phrase"), col("docs_hit"), col("total_hits"),
+      expr("1000000 * docs_hit DIV n_docs").as("docs_hit_ppm"))
+
   /** Corpus-level blocklist census: per phrase, documents hit, total
     * occurrences, and document incidence in integer ppm — the
     * governance rollup behind a bad-phrase release gate. Phrases with
@@ -2302,19 +2329,8 @@ object TextAnalysis {
     * doc count rides a broadcast 1-row join.
     */
   def blocklistCensus(docs: DataFrame, phrases: Seq[String],
-                      textCol: String = "text"): DataFrame = {
-    val base = docs.filter(col(textCol).isNotNull)
-    val nDocs = base.agg(count(lit(1)).as("__n_docs"))
-    base
-      .select(explode(blocklistHits(col(textCol), phrases)).as("__h"))
-      .select(col("__h.phrase").as("phrase"), col("__h.hits").as("hits"))
-      .groupBy(col("phrase"))
-      .agg(sum((col("hits") > 0).cast("long")).as("docs_hit"),
-        sum(col("hits")).as("total_hits"))
-      .crossJoin(broadcast(nDocs))
-      .select(col("phrase"), col("docs_hit"), col("total_hits"),
-        expr("1000000 * docs_hit DIV __n_docs").as("docs_hit_ppm"))
-  }
+                      textCol: String = "text"): DataFrame =
+    blocklistCensusFromCounts(blocklistCounts(docs, phrases, textCol))
 
   /** Aho–Corasick multi-pattern scan — the SCALE tier of the blocklist:
     * ONE automaton pass per document regardless of |phrases|, where the
@@ -2370,18 +2386,17 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.filter(col(textCol).isNotNull)
-    val nDocs = base.agg(count(lit(1)).as("__n_docs"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
     val all = phrases.map(_.toLowerCase).toDF("phrase")
-    blocklistScanAC(docs, phrases, textCol = textCol)
-      .groupBy(col("phrase"))
-      .agg(count(lit(1)).as("docs_hit"), sum(col("hits")).as("total_hits"))
-      .join(broadcast(all), Seq("phrase"), "right")
-      .select(col("phrase"),
-        coalesce(col("docs_hit"), lit(0L)).as("docs_hit"),
-        coalesce(col("total_hits"), lit(0L)).as("total_hits"))
-      .crossJoin(broadcast(nDocs))
-      .select(col("phrase"), col("docs_hit"), col("total_hits"),
-        expr("1000000 * docs_hit DIV __n_docs").as("docs_hit_ppm"))
+    blocklistCensusFromCounts(
+      blocklistScanAC(docs, phrases, textCol = textCol)
+        .groupBy(col("phrase"))
+        .agg(count(lit(1)).as("docs_hit"), sum(col("hits")).as("total_hits"))
+        .join(broadcast(all), Seq("phrase"), "right")
+        .select(col("phrase"),
+          coalesce(col("docs_hit"), lit(0L)).as("docs_hit"),
+          coalesce(col("total_hits"), lit(0L)).as("total_hits"))
+        .crossJoin(broadcast(nDocs)))
   }
 
   def prCurve(scored: DataFrame, probCol: String,

@@ -755,6 +755,45 @@ object EventStream {
       .releaseLocalCheckpoint(merged)
   }
 
+  /** Streaming twin of q309's blocklist census: merge a micro-batch's
+    * per-phrase counts into the standing (phrase, docs_hit, total_hits,
+    * n_docs) snapshot at `dest`. Docs arrive whole and every phrase
+    * reports a row per batch (zero-hit included), so per-batch counts
+    * summed across batches ARE the whole-corpus counts — the relation is
+    * the COMPLETE mergeable state (StreamingSpec pins multi-batch ≡
+    * one-shot). Snapshot is |phrases|-sized, never corpus-sized.
+    */
+  def upsertBlocklistCounts(batch: DataFrame, dest: String,
+                            phrases: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val m = graft.ops.TextAnalysis.blocklistCounts(batch, phrases)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val exists = destPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(destPath)
+    val merged = (if (exists)
+        spark.read.parquet(dest).unionByName(m)
+      else m)
+      .groupBy(col("phrase"))
+      .agg(sum(col("docs_hit")).as("docs_hit"),
+        sum(col("total_hits")).as("total_hits"),
+        sum(col("n_docs")).as("n_docs"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(dest)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(merged)
+  }
+
+  /** Live blocklist board off the streamed count snapshot through the
+    * ONE shared [[graft.ops.TextAnalysis.blocklistCensusFromCounts]]
+    * fold — per-phrase incidence over every document the stream has
+    * seen, equal to the batch q309 statistic (StreamingSpec pins it).
+    */
+  def blocklistCensusFromStore(spark: SparkSession,
+                               dest: String): DataFrame =
+    graft.ops.TextAnalysis.blocklistCensusFromCounts(
+      spark.read.parquet(dest))
+
   /** Live collocation board off the streamed co-occurrence snapshot
     * through the ONE shared
     * [[graft.ops.TextAnalysis.ppmiFromPairCounts]] fold — PPMI top-k per

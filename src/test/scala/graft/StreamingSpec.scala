@@ -697,6 +697,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming blocklist board equals the batch q309 census after " +
+    "batched upserts (per-phrase counts are the complete mergeable state)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+    val phrases = Seq("big table", "slow scan", "quantum leap")
+    val dest = "/tmp/graft_drift/blockl_" + System.nanoTime()
+    // two arbitrary delivery halves — mergeable phrase counts must make
+    // the split invisible (zero-hit phrases still row per batch, so the
+    // doc denominator accumulates on every phrase)
+    EventStream.upsertBlocklistCounts(
+      docs.filter(col("doc_id") % 2 === 0), dest, phrases)
+    EventStream.upsertBlocklistCounts(
+      docs.filter(col("doc_id") % 2 =!= 0), dest, phrases)
+    val streamed = EventStream.blocklistCensusFromStore(spark, dest)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.TextAnalysis.blocklistCensus(docs, phrases)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming CUSUM monitor equals the batch statistic after batched upserts") {
     import org.apache.spark.sql.functions.col
     val events = Tables.events(spark, sf0001)
