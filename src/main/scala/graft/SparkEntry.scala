@@ -3184,6 +3184,13 @@ object SparkEntry {
       // clustering family that seeds every IVF index)
       Similarity.integerKMeansReport(T(s, d, "embeddings"),
         k = 4, rounds = 3)),
+    "q312_release_gate" -> ((s, d) =>
+      // governance capstone (v14): per-source release scorecard fusing
+      // PII incidence, blocklist incidence, worst k-anonymity group and
+      // lang diversity — ONE text-consuming pass into a (source, bucket,
+      // lang) cell aggregate, gates applied on the cell relation; the
+      // verdict a supplier review reads before a corpus ships
+      Redact.releaseGateReport(piiInjectedDocs(s, d), blocklistPhrases)),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -4485,6 +4492,7 @@ object SparkEntry {
     */
   private def piiInjectedDocs(s: SparkSession, d: String): DataFrame =
     T(s, d, "documents").select(col("doc_id"), col("source"),
+      col("lang"), col("n_chars"),
       concat(col("text"),
         when(col("doc_id") % 3 === 0,
           concat(lit(" contact user"), col("doc_id").cast("string"),
@@ -7516,6 +7524,55 @@ object SparkEntry {
     "q310_blocklist_ac" -> blocklistOracleSql, // tier-equivalence (AC)
     "q311_integer_kmeans" -> integerKMeansOracleSql(k = 4, rounds = 3,
       dims = 64),
+    "q312_release_gate" -> {
+      // per-doc blocked = OR over the phrase list's replace-difference
+      // hits (≡ the Spark side's summed-hits > 0); PII counts replay the
+      // q112 sequential scrub chain from the SAME Redact constants
+      val blocked = blocklistPhrases.map(p =>
+        s"len(lower(t)) - len(replace(lower(t), '$p', '')) > 0")
+        .mkString(" OR ")
+      s"""WITH pii AS ($piiInjectedCteSql),
+         |s1 AS (SELECT *, CAST(len(regexp_extract_all(t,
+         |      '${graft.ops.Redact.emailPattern}')) AS INTEGER) AS n_emails,
+         |    regexp_replace(t, '${graft.ops.Redact.emailPattern}',
+         |      '<EMAIL>', 'g') AS t1
+         |  FROM pii),
+         |s2 AS (SELECT *, CAST(len(regexp_extract_all(t1,
+         |      '${graft.ops.Redact.ipv4Pattern}')) AS INTEGER) AS n_ips,
+         |    regexp_replace(t1, '${graft.ops.Redact.ipv4Pattern}',
+         |      '<IP>', 'g') AS t2
+         |  FROM s1),
+         |pd AS (SELECT source, lang, n_chars // 200 AS lb,
+         |    CASE WHEN n_emails + n_ips + CAST(len(regexp_extract_all(t2,
+         |      '${graft.ops.Redact.phonePattern}')) AS INTEGER) > 0
+         |      THEN 1 ELSE 0 END AS pii_doc,
+         |    CASE WHEN $blocked THEN 1 ELSE 0 END AS blocked_doc
+         |  FROM s2),
+         |cells AS (SELECT source, lb, lang, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(pii_doc) AS BIGINT) AS p,
+         |    CAST(sum(blocked_doc) AS BIGINT) AS b
+         |  FROM pd GROUP BY 1, 2, 3),
+         |g2 AS (SELECT source, lb, CAST(sum(n) AS BIGINT) AS k,
+         |    CAST(sum(p) AS BIGINT) AS p, CAST(sum(b) AS BIGINT) AS b
+         |  FROM cells GROUP BY 1, 2),
+         |langs AS (SELECT source, CAST(count(DISTINCT lang) AS BIGINT)
+         |    AS distinct_langs FROM cells GROUP BY 1),
+         |src AS (SELECT source, CAST(sum(k) AS BIGINT) AS n_docs,
+         |    CAST(min(k) AS BIGINT) AS min_group_k,
+         |    CAST(sum(p) AS BIGINT) AS p, CAST(sum(b) AS BIGINT) AS b
+         |  FROM g2 GROUP BY 1),
+         |rep AS (SELECT src.source, n_docs,
+         |    1000000 * p // n_docs AS pii_docs_ppm,
+         |    1000000 * b // n_docs AS blocked_docs_ppm,
+         |    min_group_k, distinct_langs
+         |  FROM src JOIN langs USING (source))
+         |SELECT source, n_docs, pii_docs_ppm, blocked_docs_ppm,
+         |  min_group_k, distinct_langs,
+         |  CAST(pii_docs_ppm <= 500000 AND blocked_docs_ppm <= 250000
+         |    AND min_group_k >= 4 AND distinct_langs >= 5 AS INTEGER)
+         |    AS release_ok
+         |FROM rep""".stripMargin
+    },
     "q296_audio_dup_indexed" ->
       // byte-identical audio ⇔ equal pattern id (n_samples = pid+20 is
       // injective over pid < 5), so the index probe is id arithmetic
@@ -9106,7 +9163,7 @@ object SparkEntry {
   // NOTE: embedded into s"""…""".stripMargin oracles — no line here may
   // start (after whitespace) with '|', or the OUTER stripMargin eats it
   private lazy val piiInjectedCteSql: String =
-    """SELECT doc_id, source, text ||
+    """SELECT doc_id, source, lang, n_chars, text ||
       |    CASE WHEN doc_id % 3 = 0
       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
       |         ELSE '' END ||

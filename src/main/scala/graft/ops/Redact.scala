@@ -316,4 +316,65 @@ object Redact {
         col("violating_groups"), col("n_rows"), col("violating_rows"),
         col("max_tv_ppm"))
   }
+
+  /** Per-source release-gate scorecard — the capstone that fuses the
+    * governance families into ONE text pass: PII incidence (the [[scrub]]
+    * chain), blocklist incidence
+    * ([[TextAnalysis.blocklistHits]]), the source's worst k-anonymity
+    * group over the (source, length-bucket) QI, and its lang diversity,
+    * each compared against an explicit gate; `release_ok` = every gate
+    * passes. The verdict a data-governance review reads per supplier
+    * before a corpus ships.
+    *
+    * Shape at 100 TB: the corpus is scanned ONCE — PII counts and
+    * blocklist hits are map-only projections feeding a single
+    * (source, bucket, lang)-grouped map-side-combined aggregate; the
+    * per-source rollup, worst-group min, lang count, and gates all work
+    * on that cell relation. All integers (ppm via DIV).
+    */
+  def releaseGateReport(docs: DataFrame, phrases: Seq[String],
+                        srcCol: String = "source",
+                        langCol: String = "lang",
+                        lenCol: String = "n_chars",
+                        bucketWidth: Int = 200,
+                        textCol: String = "text",
+                        maxPiiPpm: Long = 500000L,
+                        maxBlockedPpm: Long = 250000L,
+                        minGroupK: Long = 4L,
+                        minLangs: Long = 5L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1: $bucketWidth")
+    val nHits = aggregate(
+      TextAnalysis.blocklistHits(col(textCol), phrases), lit(0L),
+      (acc, x) => acc + x.getField("hits"))
+    val perDoc = scrub(docs, textCol)
+      .select(col(srcCol), col(langCol),
+        expr(s"$lenCol DIV $bucketWidth").as("__lb"),
+        (coalesce(col("n_emails"), lit(0)) + coalesce(col("n_ips"), lit(0))
+          + coalesce(col("n_phones"), lit(0)) > 0).cast("long").as("__pii"),
+        (coalesce(nHits, lit(0L)) > 0).cast("long").as("__blocked"))
+    val cells = perDoc
+      .groupBy(col(srcCol), col("__lb"), col(langCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__pii")).as("__p"),
+        sum(col("__blocked")).as("__b"))
+    val groups = cells
+      .groupBy(col(srcCol), col("__lb"))
+      .agg(sum(col("__n")).as("__k"), sum(col("__p")).as("__p"),
+        sum(col("__b")).as("__b"))
+    val langs = cells.groupBy(col(srcCol))
+      .agg(countDistinct(col(langCol)).as("distinct_langs"))
+    groups
+      .groupBy(col(srcCol))
+      .agg(sum(col("__k")).as("n_docs"), min(col("__k")).as("min_group_k"),
+        sum(col("__p")).as("__pii"), sum(col("__b")).as("__blocked"))
+      .join(broadcast(langs), Seq(srcCol))
+      .select(col(srcCol), col("n_docs"),
+        expr("1000000 * __pii DIV n_docs").as("pii_docs_ppm"),
+        expr("1000000 * __blocked DIV n_docs").as("blocked_docs_ppm"),
+        col("min_group_k"), col("distinct_langs"))
+      .withColumn("release_ok",
+        (col("pii_docs_ppm") <= maxPiiPpm &&
+          col("blocked_docs_ppm") <= maxBlockedPpm &&
+          col("min_group_k") >= minGroupK &&
+          col("distinct_langs") >= minLangs).cast("int"))
+  }
 }

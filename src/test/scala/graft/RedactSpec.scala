@@ -163,6 +163,28 @@ class RedactSpec extends SparkSpec {
     assert(got(500000) == ((2L, 0L, 5L, 0L, 300000L)))
   }
 
+  test("releaseGateReport: each gate independently fails a source; a " +
+    "clean source passes all four") {
+    val df = Seq(
+      // source a: one bucket of 4, two langs, clean text
+      ("a", "en", 10L, "clean words"), ("a", "en", 11L, "clean words"),
+      ("a", "fr", 12L, "clean words"), ("a", "fr", 13L, "clean words"),
+      // source b: two singleton buckets (min k = 1), one lang,
+      // one PII doc, one blocklisted doc
+      ("b", "en", 10L, "mail a@b.co"), ("b", "en", 300L, "a bad phrase")
+    ).toDF("source", "lang", "n_chars", "text")
+    val got = Redact.releaseGateReport(df, Seq("bad phrase"),
+      maxPiiPpm = 500000L, maxBlockedPpm = 0L, minGroupK = 2L,
+      minLangs = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("pii_docs_ppm"),
+          r.getAs[Long]("blocked_docs_ppm"), r.getAs[Long]("min_group_k"),
+          r.getAs[Long]("distinct_langs"), r.getAs[Int]("release_ok"))))
+      .toMap
+    assert(got("a") == ((4L, 0L, 0L, 4L, 2L, 1)))
+    assert(got("b") == ((2L, 500000L, 500000L, 1L, 1L, 0)))
+  }
+
   test("tClosenessReport: a group matching the global distribution " +
     "has zero TV; a single-group corpus is trivially 0-close") {
     val df = Seq(("a", "x"), ("a", "y"), ("a", "x"), ("a", "y"))
