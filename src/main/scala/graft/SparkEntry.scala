@@ -127,6 +127,41 @@ object SparkEntry {
          |FROM af JOIN c$rounds c USING (cl) GROUP BY af.cl""".stripMargin
   }
 
+  /** q313's oracle: every greedy k-center round unrolled — round r takes
+    * the pool-wide argmax (md DESC, vec_id) of the min distance to the
+    * selected set sel_{r-1}, then folds the pick in. Same micro-unit
+    * integer distance as q311, so both engines agree bit-for-bit.
+    */
+  private def kCenterOracleSql(k: Int, poolPercent: Int,
+                               dims: Int): String = {
+    val dist = s"CAST(list_sum(list_transform(range(1, ${dims + 1}), " +
+      "i -> (p.q[i] - s.q[i]) * (p.q[i] - s.q[i]))) AS BIGINT)"
+    val head = Seq(
+      "pool AS (SELECT vec_id, list_transform(embedding::DOUBLE[], " +
+        "x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM embeddings " +
+        s"WHERE ${hash31Sql("CAST(vec_id AS VARCHAR)")} % 100 " +
+        s"< $poolPercent)",
+      "sel1 AS (SELECT vec_id, q FROM pool " +
+        "WHERE vec_id = (SELECT min(vec_id) FROM pool))")
+    val rounds = (2 to k).flatMap { r => Seq(
+      s"m$r AS (SELECT p.vec_id, min($dist) AS md FROM pool p " +
+        s"CROSS JOIN sel${r - 1} s WHERE p.vec_id NOT IN " +
+        s"(SELECT vec_id FROM sel${r - 1}) GROUP BY p.vec_id)",
+      s"pick$r AS (SELECT m.vec_id, pool.q, m.md FROM m$r m " +
+        "JOIN pool ON pool.vec_id = m.vec_id " +
+        "ORDER BY m.md DESC, m.vec_id LIMIT 1)",
+      s"sel$r AS (SELECT vec_id, q FROM sel${r - 1} " +
+        s"UNION ALL SELECT vec_id, q FROM pick$r)")
+    }
+    val picks = (2 to k).map(r =>
+      s"SELECT $r AS selection_rank, vec_id, md AS min_dist_sq " +
+        s"FROM pick$r").mkString(" UNION ALL ")
+    "WITH " + (head ++ rounds).mkString(",\n") + "\n" +
+      "SELECT 1 AS selection_rank, vec_id, CAST(0 AS BIGINT) " +
+      "AS min_dist_sq FROM sel1" +
+      (if (k > 1) " UNION ALL " + picks else "")
+  }
+
   /** q135's injected boilerplate: 9 tokens = exactly three 3-token chunks,
     * one constant shared by the Spark query and the oracle.
     */
@@ -3191,6 +3226,14 @@ object SparkEntry {
       // lang) cell aggregate, gates applied on the cell relation; the
       // verdict a supplier review reads before a corpus ships
       Redact.releaseGateReport(piiInjectedDocs(s, d), blocklistPhrases)),
+    "q313_kcenter_coreset" -> ((s, d) =>
+      // geometric data pruning: greedy k-center (Gonzalez 2-approx) over
+      // the portable-hash-bounded pool — exact integer distances, ties
+      // to the lowest id, the non-increasing min_dist_sq sequence ends
+      // at the covering radius²; each greedy round is one TakeOrdered(1)
+      // job over the checkpointed pool, never the corpus
+      Similarity.kCenterCoreset(T(s, d, "embeddings"), k = 6,
+        poolPercent = 20)),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -7523,6 +7566,8 @@ object SparkEntry {
     "q309_blocklist_census" -> blocklistOracleSql,
     "q310_blocklist_ac" -> blocklistOracleSql, // tier-equivalence (AC)
     "q311_integer_kmeans" -> integerKMeansOracleSql(k = 4, rounds = 3,
+      dims = 64),
+    "q313_kcenter_coreset" -> kCenterOracleSql(k = 6, poolPercent = 20,
       dims = 64),
     "q312_release_gate" -> {
       // per-doc blocked = OR over the phrase list's replace-difference

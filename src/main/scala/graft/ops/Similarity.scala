@@ -798,6 +798,66 @@ object Similarity {
     report
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985, the 2-approx
+    * farthest-point traversal) — geometric data pruning: pick k vectors
+    * such that every pool vector is within the (approximately minimal)
+    * covering radius of a pick; the per-pick `min_dist_sq` sequence is
+    * non-increasing and its last value IS the covering radius², the
+    * "how redundant is this corpus" dial. Exact integer arithmetic
+    * end-to-end (micro-unit quantize + integer squared-L2, the
+    * [[integerKMeansReport]] conventions), ties to the lowest id, so the
+    * oracle replays every greedy round bit-for-bit.
+    *
+    * Scale: greedy k-center is INHERENTLY k sequential argmax passes —
+    * the same pattern [[kmeansCentroidsWithRounds]] evicted from its
+    * init because cluster seeding needs k in the thousands. Coreset
+    * selection doesn't: k is tens-to-hundreds (the deliverable is the
+    * guarantee, not cells), and the passes run over a POOL bounded up
+    * front by the portable hash gate (`poolPercent` via md5Hash31, the
+    * [[Sampling.hashSamplePortable]] discipline) — each round is one
+    * TakeOrdered(1) job over the checkpointed pool, never the corpus.
+    */
+  def kCenterCoreset(emb: DataFrame, k: Int, poolPercent: Int = 100,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(poolPercent >= 1 && poolPercent <= 100,
+      s"poolPercent must be in [1, 100]: $poolPercent")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val gated =
+      if (poolPercent >= 100) emb
+      else emb.filter(graft.functions.md5Hash31(col(idCol).cast("string"))
+        % 100 < poolPercent)
+    val pool = gated.select(col(idCol).cast("long").as("__id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * 1000000d).cast("long")).as("__q"))
+      .localCheckpoint(true)
+    def distTo(c: Array[Long]): Column =
+      aggregate(zip_with(col("__q"), typedLit(c.toSeq),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    val seed = pool.orderBy(col("__id")).limit(1)
+      .select(col("__id"), col("__q")).collect()
+    require(seed.nonEmpty, "empty pool — raise poolPercent or check input")
+    var selected =
+      Vector((seed.head.getLong(0), seed.head.getSeq[Long](1).toArray, 0L))
+    (2 to k).foreach { _ =>
+      val dists = array(selected.map { case (_, c, _) => distTo(c) }: _*)
+      val picked = pool
+        .filter(!col("__id").isin(selected.map(_._1): _*))
+        .select(col("__id"), col("__q"), array_min(dists).as("__md"))
+        .orderBy(desc("__md"), col("__id")).limit(1)
+        .collect()
+      require(picked.nonEmpty, s"pool smaller than k=$k")
+      selected :+= ((picked.head.getLong(0),
+        picked.head.getSeq[Long](1).toArray, picked.head.getLong(2)))
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(pool)
+    selected.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1, id, d) }
+      .toDF("selection_rank", idCol, "min_dist_sq")
+  }
+
   /** Persist the IVF index: the assigned cell table written PARTITIONED by
     * cell_id. A probe then reads only its `nProbe` cells' directories —
     * partition pruning turns a corpus scan into a few-cell lookup

@@ -208,6 +208,18 @@ class ClusterSpec extends SparkSpec {
     assert(got.getAs[Long]("inertia") == 1L)
   }
 
+  test("kCenterCoreset: hand-replayed greedy rounds — farthest-first, " +
+    "ties to lowest id, non-increasing min_dist_sq") {
+    // 1-D micro-units: ids 1..5 at 0, 10, 1, 9, 5
+    // seed id1 (lowest id); r2: farthest from {0} is id2 (100);
+    // r3: min-dists to {0,10}: id3=1, id4=1, id5=25 -> id5 (25)
+    val emb = Seq((1L, Seq(0e-6)), (2L, Seq(10e-6)), (3L, Seq(1e-6)),
+      (4L, Seq(9e-6)), (5L, Seq(5e-6))).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(emb, k = 3)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((1, 1L, 0L), (2, 2L, 100L), (3, 5L, 25L)))
+  }
+
   test("integerKMeansReport: coincident init centroids tie to the " +
     "lowest cluster; the emptied cluster reports no row") {
     val emb = Seq((1L, Seq(5e-6)), (2L, Seq(5e-6)))
