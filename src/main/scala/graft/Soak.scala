@@ -199,6 +199,22 @@ object Soak {
       consume(ops.TextAnalysis.windowedPpmi(docs, window = 4,
         minCount = 5, k = 5))
     }
+    stage("blocklist_ac_scan") {
+      // q310's family at the size the automaton exists for: ~2,000
+      // two-word phrases over 10× docs — ONE Aho–Corasick pass per
+      // document where the expression tier would pay ~2,000 replace
+      // passes; the census stays |phrases|-sized however many hit
+      val words = Seq("key", "agg", "row", "scan", "slow", "fast",
+        "table", "value", "part", "hash", "merge", "batch", "spark",
+        "line", "sort", "window", "big", "small", "filter", "data",
+        "column", "join", "customer", "query", "stream", "group",
+        "order", "vector", "the", "a", "supplier", "region", "nation",
+        "price", "disc", "tax", "ship", "clerk", "comment", "status",
+        "flag", "mode", "container", "brand", "type")
+      val phrases = for (w1 <- words; w2 <- words if w1 != w2)
+        yield s"$w1 $w2"
+      consume(ops.TextAnalysis.blocklistCensusAC(docs, phrases))
+    }
 
     // ---- skewed stages (VERDICT r11 #4) --------------------------------
     // Volume scaling alone inherits sf0.1's benign key distributions; the
