@@ -194,21 +194,52 @@ object Redact {
   }
 
   /** Per-(QI, sensitive-value) count relation — the shared first pass of
-    * [[lDiversityReport]] and [[tClosenessReport]]. ONE map-side-combined
-    * groupBy over the corpus; everything downstream of it works on a
-    * (QI-cardinality × sensitive-cardinality)-sized relation, never the
-    * row-sized corpus. Rows with a NULL sensitive value are excluded up
-    * front (neither metric is defined over an unknown sensitive value,
-    * and a silent null "value" would join away in the distribution pass).
+    * [[kAnonymityFromCells]], [[lDiversityReport]] and
+    * [[tClosenessReport]], and the COMPLETE mergeable state behind the
+    * streaming privacy twin (cell counts sum across batches; every audit
+    * below derives from the counts). ONE map-side-combined groupBy over
+    * the corpus; everything downstream works on a (QI-cardinality ×
+    * sensitive-cardinality)-sized relation, never the row-sized corpus.
+    * Rows with a NULL sensitive value are excluded up front (no metric
+    * is defined over an unknown sensitive value, and a silent null
+    * "value" would join away in the distribution pass).
     */
-  private def sensitiveCells(df: DataFrame, qiCols: Seq[String],
-                             sensitiveCol: String): DataFrame = {
+  private[graft] def sensitiveCells(df: DataFrame, qiCols: Seq[String],
+                                    sensitiveCol: String): DataFrame = {
     require(qiCols.nonEmpty, "qiCols must be non-empty")
     require(!qiCols.contains(sensitiveCol),
       s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
     df.filter(col(sensitiveCol).isNotNull)
       .groupBy((qiCols :+ sensitiveCol).map(col): _*)
-      .agg(count(lit(1)).as("__n_gv"))
+      .agg(count(lit(1)).as("n_gv"))
+  }
+
+  /** k-anonymity census off a [[sensitiveCells]]-shaped relation — the
+    * [[kAnonymityReport]] statistic with group sizes reassembled from
+    * the cell counts; ONE fold shared by the batch path and the
+    * streaming snapshot (StreamingSpec pins multi-batch ≡ one-shot).
+    */
+  def kAnonymityFromCells(cells: DataFrame, qiCols: Seq[String],
+                          thresholds: Seq[Int] = Seq(2, 5, 10, 25))
+      : DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(_ >= 2) &&
+      thresholds.distinct.size == thresholds.size,
+      s"thresholds must be distinct and all >= 2: $thresholds")
+    cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("n_gv")).as("__k"))
+      .select(col("__k"),
+        explode(array(thresholds.map(t => lit(t)): _*)).as("k_threshold"))
+      .groupBy(col("k_threshold"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__k") < col("k_threshold"), 1L).otherwise(0L))
+          .as("violating_groups"),
+        sum(col("__k")).as("n_rows"),
+        sum(when(col("__k") < col("k_threshold"), col("__k")).otherwise(0L))
+          .as("violating_rows"))
+      .select(col("k_threshold"), col("n_groups"), col("violating_groups"),
+        col("n_rows"), col("violating_rows"),
+        expr("1000000 * violating_rows DIV n_rows").as("suppression_ppm"))
   }
 
   /** Distinct l-diversity census (Machanavajjhala et al. 2007) — the
@@ -227,13 +258,22 @@ object Redact {
     */
   def lDiversityReport(df: DataFrame, qiCols: Seq[String],
                        sensitiveCol: String,
-                       thresholds: Seq[Int] = Seq(2, 3, 5)): DataFrame = {
+                       thresholds: Seq[Int] = Seq(2, 3, 5)): DataFrame =
+    lDiversityFromCells(sensitiveCells(df, qiCols, sensitiveCol), qiCols,
+      thresholds)
+
+  /** The l-diversity statistic off a [[sensitiveCells]]-shaped relation —
+    * ONE fold shared by [[lDiversityReport]] and the streaming snapshot
+    * (StreamingSpec pins multi-batch ≡ one-shot).
+    */
+  def lDiversityFromCells(cells: DataFrame, qiCols: Seq[String],
+                          thresholds: Seq[Int] = Seq(2, 3, 5)): DataFrame = {
     require(thresholds.nonEmpty && thresholds.forall(_ >= 2) &&
       thresholds.distinct.size == thresholds.size,
       s"thresholds must be distinct and all >= 2: $thresholds")
-    val groups = sensitiveCells(df, qiCols, sensitiveCol)
+    val groups = cells
       .groupBy(qiCols.map(col): _*)
-      .agg(count(lit(1)).as("__l"), sum(col("__n_gv")).as("__k"))
+      .agg(count(lit(1)).as("__l"), sum(col("n_gv")).as("__k"))
     groups
       .select(col("__l"), col("__k"),
         explode(array(thresholds.map(t => lit(t)): _*)).as("l_threshold"))
@@ -273,13 +313,24 @@ object Redact {
   def tClosenessReport(df: DataFrame, qiCols: Seq[String],
                        sensitiveCol: String,
                        tPpmThresholds: Seq[Int] =
-                         Seq(100000, 250000, 500000)): DataFrame = {
+                         Seq(100000, 250000, 500000)): DataFrame =
+    tClosenessFromCells(sensitiveCells(df, qiCols, sensitiveCol), qiCols,
+      sensitiveCol, tPpmThresholds)
+
+  /** The t-closeness statistic off a [[sensitiveCells]]-shaped relation —
+    * ONE fold shared by [[tClosenessReport]] and the streaming snapshot
+    * (StreamingSpec pins multi-batch ≡ one-shot).
+    */
+  def tClosenessFromCells(cells0: DataFrame, qiCols: Seq[String],
+                          sensitiveCol: String,
+                          tPpmThresholds: Seq[Int] =
+                            Seq(100000, 250000, 500000)): DataFrame = {
     require(tPpmThresholds.nonEmpty &&
       tPpmThresholds.forall(t => t >= 0 && t <= 1000000) &&
       tPpmThresholds.distinct.size == tPpmThresholds.size,
       s"thresholds must be distinct ppm in [0, 1000000]: $tPpmThresholds")
-    val cells = sensitiveCells(df, qiCols, sensitiveCol)
-      .withColumn("__n_gv", col("__n_gv").cast("decimal(38,0)"))
+    val cells = cells0
+      .withColumn("__n_gv", col("n_gv").cast("decimal(38,0)"))
     val valueMarginals = cells.groupBy(col(sensitiveCol))
       .agg(sum(col("__n_gv")).as("__n_v"))
     val groupTotals = cells.groupBy(qiCols.map(col): _*)

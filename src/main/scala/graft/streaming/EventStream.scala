@@ -794,6 +794,67 @@ object EventStream {
     graft.ops.TextAnalysis.blocklistCensusFromCounts(
       spark.read.parquet(dest))
 
+  /** Streaming twin of the privacy family (q302/q307/q308): merge a
+    * micro-batch's (QI, sensitive-value) cell counts into the standing
+    * snapshot at `dest`. Docs arrive whole and every audit derives from
+    * the counts, so the cell relation is the COMPLETE mergeable state
+    * for k-anonymity, l-diversity AND t-closeness at once (StreamingSpec
+    * pins all three multi-batch ≡ one-shot). Snapshot is (QI-cardinality
+    * × sensitive-cardinality)-sized, never corpus-sized — the live
+    * release-review posture over everything a stream has shipped.
+    */
+  def upsertPrivacyCells(batch: DataFrame, dest: String,
+                         qiCols: Seq[String],
+                         sensitiveCol: String): Unit = {
+    val spark = batch.sparkSession
+    val m = graft.ops.Redact.sensitiveCells(batch, qiCols, sensitiveCol)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val exists = destPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(destPath)
+    val merged = (if (exists)
+        spark.read.parquet(dest).unionByName(m)
+      else m)
+      .groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(sum(col("n_gv")).as("n_gv"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(dest)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(merged)
+  }
+
+  /** Live k-anonymity census off the streamed privacy-cell snapshot
+    * through the ONE shared [[graft.ops.Redact.kAnonymityFromCells]]
+    * fold — equal to the batch q302 statistic (StreamingSpec pins it).
+    */
+  def kAnonymityFromStore(spark: SparkSession, dest: String,
+                          qiCols: Seq[String],
+                          thresholds: Seq[Int] = Seq(2, 5, 10, 25))
+      : DataFrame =
+    graft.ops.Redact.kAnonymityFromCells(spark.read.parquet(dest), qiCols,
+      thresholds)
+
+  /** Live l-diversity census off the streamed privacy-cell snapshot —
+    * the shared [[graft.ops.Redact.lDiversityFromCells]] fold, equal to
+    * the batch q307 statistic (StreamingSpec pins it).
+    */
+  def lDiversityFromStore(spark: SparkSession, dest: String,
+                          qiCols: Seq[String],
+                          thresholds: Seq[Int] = Seq(2, 3, 5)): DataFrame =
+    graft.ops.Redact.lDiversityFromCells(spark.read.parquet(dest), qiCols,
+      thresholds)
+
+  /** Live t-closeness census off the streamed privacy-cell snapshot —
+    * the shared [[graft.ops.Redact.tClosenessFromCells]] fold, equal to
+    * the batch q308 statistic (StreamingSpec pins it).
+    */
+  def tClosenessFromStore(spark: SparkSession, dest: String,
+                          qiCols: Seq[String], sensitiveCol: String,
+                          tPpmThresholds: Seq[Int] =
+                            Seq(100000, 250000, 500000)): DataFrame =
+    graft.ops.Redact.tClosenessFromCells(spark.read.parquet(dest), qiCols,
+      sensitiveCol, tPpmThresholds)
+
   /** Live collocation board off the streamed co-occurrence snapshot
     * through the ONE shared
     * [[graft.ops.TextAnalysis.ppmiFromPairCounts]] fold — PPMI top-k per

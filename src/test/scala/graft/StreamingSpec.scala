@@ -717,6 +717,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming privacy cells serve all three audits: k-anonymity, " +
+    "l-diversity and t-closeness equal their batch statistics") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars DIV 200").as("len_bucket"))
+    val qi = Seq("source", "len_bucket")
+    val dest = "/tmp/graft_drift/priv_" + System.nanoTime()
+    // two arbitrary delivery halves — the cell counts must make the
+    // split invisible to every derived audit
+    EventStream.upsertPrivacyCells(
+      docs.filter(col("doc_id") % 2 === 0), dest, qi, "lang")
+    EventStream.upsertPrivacyCells(
+      docs.filter(col("doc_id") % 2 =!= 0), dest, qi, "lang")
+    val kS = EventStream.kAnonymityFromStore(spark, dest, qi)
+      .collect().map(_.toSeq).toSet
+    val kB = graft.ops.Redact.kAnonymityReport(
+      docs.select(qi.map(col): _*), qi).collect().map(_.toSeq).toSet
+    assert(kS.nonEmpty && kS == kB)
+    val lS = EventStream.lDiversityFromStore(spark, dest, qi)
+      .collect().map(_.toSeq).toSet
+    val lB = graft.ops.Redact.lDiversityReport(docs, qi, "lang")
+      .collect().map(_.toSeq).toSet
+    assert(lS.nonEmpty && lS == lB)
+    val tS = EventStream.tClosenessFromStore(spark, dest, qi, "lang")
+      .collect().map(_.toSeq).toSet
+    val tB = graft.ops.Redact.tClosenessReport(docs, qi, "lang")
+      .collect().map(_.toSeq).toSet
+    assert(tS.nonEmpty && tS == tB)
+  }
+
   test("streaming CUSUM monitor equals the batch statistic after batched upserts") {
     import org.apache.spark.sql.functions.col
     val events = Tables.events(spark, sf0001)
