@@ -403,6 +403,11 @@ object Redact {
         (coalesce(col("n_emails"), lit(0)) + coalesce(col("n_ips"), lit(0))
           + coalesce(col("n_phones"), lit(0)) > 0).cast("long").as("__pii"),
         (coalesce(nHits, lit(0L)) > 0).cast("long").as("__blocked"))
+    // ONE aggregation chain (cells → groups → source) so the text scan
+    // happens exactly once — a second branch off `cells` would replay
+    // the corpus subtree (PlanShapeSpec gates the single scan). The lang
+    // set rides the chain as bounded state: ≤ |langs| per group by the
+    // audit's own premise (a low-cardinality sensitive attribute).
     val cells = perDoc
       .groupBy(col(srcCol), col("__lb"), col(langCol))
       .agg(count(lit(1)).as("__n"), sum(col("__pii")).as("__p"),
@@ -410,14 +415,14 @@ object Redact {
     val groups = cells
       .groupBy(col(srcCol), col("__lb"))
       .agg(sum(col("__n")).as("__k"), sum(col("__p")).as("__p"),
-        sum(col("__b")).as("__b"))
-    val langs = cells.groupBy(col(srcCol))
-      .agg(countDistinct(col(langCol)).as("distinct_langs"))
+        sum(col("__b")).as("__b"),
+        collect_set(col(langCol)).as("__langs"))
     groups
       .groupBy(col(srcCol))
       .agg(sum(col("__k")).as("n_docs"), min(col("__k")).as("min_group_k"),
-        sum(col("__p")).as("__pii"), sum(col("__b")).as("__blocked"))
-      .join(broadcast(langs), Seq(srcCol))
+        sum(col("__p")).as("__pii"), sum(col("__b")).as("__blocked"),
+        size(array_distinct(flatten(collect_list(col("__langs")))))
+          .cast("long").as("distinct_langs"))
       .select(col(srcCol), col("n_docs"),
         expr("1000000 * __pii DIV n_docs").as("pii_docs_ppm"),
         expr("1000000 * __blocked DIV n_docs").as("blocked_docs_ppm"),

@@ -2298,17 +2298,17 @@ object TextAnalysis {
     * is what the streaming twin merges.
     */
   def blocklistCounts(docs: DataFrame, phrases: Seq[String],
-                      textCol: String = "text"): DataFrame = {
-    val base = docs.filter(col(textCol).isNotNull)
-    val nDocs = base.agg(count(lit(1)).as("n_docs"))
-    base
+                      textCol: String = "text"): DataFrame =
+    // every doc emits exactly one struct per phrase, so count(1) per
+    // phrase group IS the doc count — no second corpus scan for the
+    // denominator (PlanShapeSpec gates the single scan)
+    docs.filter(col(textCol).isNotNull)
       .select(explode(blocklistHits(col(textCol), phrases)).as("__h"))
       .select(col("__h.phrase").as("phrase"), col("__h.hits").as("hits"))
       .groupBy(col("phrase"))
       .agg(sum((col("hits") > 0).cast("long")).as("docs_hit"),
-        sum(col("hits")).as("total_hits"))
-      .crossJoin(broadcast(nDocs))
-  }
+        sum(col("hits")).as("total_hits"),
+        count(lit(1)).as("n_docs"))
 
   /** The census statistic off a [[blocklistCounts]]-shaped relation —
     * ONE fold shared by the batch census, the AC tier, and the

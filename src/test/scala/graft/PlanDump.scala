@@ -84,7 +84,14 @@ object PlanDump {
     "q301_preference_leaderboard" -> "preference leaderboard: matchup-granular after one map-side-combined pass, both-directions explode off one subtree, partial-aggregated per-item fold",
     "q304_windowed_ppmi" -> "windowed PPMI: array-side pair generation (Generate, no positions self-join), broadcast vocabulary-sized marginal joins, GroupedTopK per word",
     "q305_bitext_mining" -> "bitext mining: block-grid cross-score (no corpus broadcast, no nested loop), GroupedTopK for both kNN directions and both argmax ranks",
-    "q306_multimodal_packing" -> "VLM window census: two-level prefix scan, docs explode to exactly their windows, partial-aggregated per-window fold")
+    "q306_multimodal_packing" -> "VLM window census: two-level prefix scan, docs explode to exactly their windows, partial-aggregated per-window fold",
+    "q307_l_diversity" -> "l-diversity: one corpus groupBy on (QI, sensitive), threshold census over the cell-sized relation, broadcast-exploded thresholds",
+    "q308_t_closeness" -> "t-closeness: decimal(38,0) exact TV distance; value marginals and group totals rejoin the cell relation broadcast",
+    "q309_blocklist_census" -> "blocklist census: text consumed in ONE map-only projection (single scan, n_docs piggybacked on the phrase rollup), |phrases|-sized partial+final aggregate",
+    "q310_blocklist_ac" -> "blocklist AC tier: broadcast automaton in mapPartitions (DeserializeToObject span), sparse hits re-aggregate, zero rows rejoin broadcast",
+    "q311_integer_kmeans" -> "integer k-means final round: argmin over k literal centroids (zip_with/aggregate folds), one partial-aggregated report fold",
+    "q312_release_gate" -> "release gate: ONE corpus scan through a single (source, bucket, lang) aggregation chain — no second branch, langs as bounded set state",
+    "q313_kcenter_coreset" -> "k-center: portable-hash pool gate pushed to the scan; per-round argmax is TakeOrdered(1) over the checkpointed pool")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -1050,4 +1050,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("Generate explode"), s)
     assert(!s.contains("SortMergeJoin"), s)
   }
+
+  test("q309 blocklist census: text consumed in one map-only projection " +
+    "(one scan, text pruned in, one rollup shuffle, no sort join)") {
+    val s = planString(SparkEntry.queries("q309_blocklist_census")(
+      spark, sf0001))
+    assert("Scan parquet|FileScan".r.findAllIn(s).length == 1, s)
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("source"),
+      readSchema) // only the text column reaches the scan
+    // the sole shuffle is the |phrases|-sized rollup; the doc count rides
+    // a 1-row broadcast
+    assert(!s.contains("SortMergeJoin"), s)
+    assert("HashAggregate".r.findAllIn(s).length >= 2, s) // partial+final
+  }
+
+  test("q312 release gate: the corpus text is scanned exactly ONCE " +
+    "(single aggregation chain, no second branch off the cells)") {
+    val s = planString(SparkEntry.queries("q312_release_gate")(
+      spark, sf0001))
+    assert("Scan parquet|FileScan".r.findAllIn(s).length == 1, s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("q313 k-center: each greedy round is a TakeOrdered(1) over the " +
+    "pool, never a global sort") {
+    // the op loops on the driver; gate the per-round argmax shape on the
+    // pool relation directly
+    import org.apache.spark.sql.functions.{col, desc}
+    val emb = Tables.embeddings(spark, sf0001)
+    val pool = emb.select(col("vec_id"), col("embedding"))
+    val s = planString(pool.orderBy(desc("vec_id")).limit(1))
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(!s.contains("Exchange rangepartitioning"), s)
+  }
 }
