@@ -392,30 +392,59 @@ object Redact {
                         maxPiiPpm: Long = 500000L,
                         maxBlockedPpm: Long = 250000L,
                         minGroupK: Long = 4L,
-                        minLangs: Long = 5L): DataFrame = {
+                        minLangs: Long = 5L): DataFrame =
+    releaseGateFromCells(
+      releaseGateCells(docs, phrases, srcCol, langCol, lenCol, bucketWidth,
+        textCol),
+      srcCol, langCol, maxPiiPpm, maxBlockedPpm, minGroupK, minLangs)
+
+  /** The (source, length-bucket, lang) cell relation behind
+    * [[releaseGateReport]] — doc/PII/blocklist counts at QI grain, the
+    * COMPLETE mergeable state for the live release posture (counts sum
+    * across batches; the whole scorecard derives from them). ONE
+    * text-consuming corpus pass into one map-side-combined aggregate.
+    */
+  def releaseGateCells(docs: DataFrame, phrases: Seq[String],
+                       srcCol: String = "source",
+                       langCol: String = "lang",
+                       lenCol: String = "n_chars",
+                       bucketWidth: Int = 200,
+                       textCol: String = "text"): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1: $bucketWidth")
     val nHits = aggregate(
       TextAnalysis.blocklistHits(col(textCol), phrases), lit(0L),
       (acc, x) => acc + x.getField("hits"))
-    val perDoc = scrub(docs, textCol)
+    scrub(docs, textCol)
       .select(col(srcCol), col(langCol),
-        expr(s"$lenCol DIV $bucketWidth").as("__lb"),
+        expr(s"$lenCol DIV $bucketWidth").as("len_bucket"),
         (coalesce(col("n_emails"), lit(0)) + coalesce(col("n_ips"), lit(0))
           + coalesce(col("n_phones"), lit(0)) > 0).cast("long").as("__pii"),
         (coalesce(nHits, lit(0L)) > 0).cast("long").as("__blocked"))
-    // ONE aggregation chain (cells → groups → source) so the text scan
-    // happens exactly once — a second branch off `cells` would replay
-    // the corpus subtree (PlanShapeSpec gates the single scan). The lang
-    // set rides the chain as bounded state: ≤ |langs| per group by the
-    // audit's own premise (a low-cardinality sensitive attribute).
-    val cells = perDoc
-      .groupBy(col(srcCol), col("__lb"), col(langCol))
-      .agg(count(lit(1)).as("__n"), sum(col("__pii")).as("__p"),
-        sum(col("__blocked")).as("__b"))
+      .groupBy(col(srcCol), col("len_bucket"), col(langCol))
+      .agg(count(lit(1)).as("n_docs_cell"), sum(col("__pii")).as("pii_docs"),
+        sum(col("__blocked")).as("blocked_docs"))
+  }
+
+  /** The scorecard statistic off a [[releaseGateCells]]-shaped relation —
+    * ONE fold shared by the batch report and the streaming snapshot
+    * (StreamingSpec pins multi-batch ≡ one-shot). A single aggregation
+    * chain (cells → groups → source): no second branch, so the batch
+    * path's text scan happens exactly once (PlanShapeSpec gates the
+    * single scan); the lang set rides the chain as bounded state
+    * (≤ |langs| per group — a low-cardinality sensitive attribute is
+    * the audit's own premise).
+    */
+  def releaseGateFromCells(cells: DataFrame,
+                           srcCol: String = "source",
+                           langCol: String = "lang",
+                           maxPiiPpm: Long = 500000L,
+                           maxBlockedPpm: Long = 250000L,
+                           minGroupK: Long = 4L,
+                           minLangs: Long = 5L): DataFrame = {
     val groups = cells
-      .groupBy(col(srcCol), col("__lb"))
-      .agg(sum(col("__n")).as("__k"), sum(col("__p")).as("__p"),
-        sum(col("__b")).as("__b"),
+      .groupBy(col(srcCol), col("len_bucket"))
+      .agg(sum(col("n_docs_cell")).as("__k"), sum(col("pii_docs")).as("__p"),
+        sum(col("blocked_docs")).as("__b"),
         collect_set(col(langCol)).as("__langs"))
     groups
       .groupBy(col(srcCol))

@@ -855,6 +855,50 @@ object EventStream {
     graft.ops.Redact.tClosenessFromCells(spark.read.parquet(dest), qiCols,
       sensitiveCol, tPpmThresholds)
 
+  /** Streaming twin of the q312 release-gate capstone: merge a
+    * micro-batch's (source, length-bucket, lang) doc/PII/blocklist cell
+    * counts into the standing snapshot at `dest`. Docs arrive whole and
+    * the whole scorecard derives from the counts, so the cell relation
+    * is the COMPLETE mergeable state — the live per-supplier release
+    * posture over everything the stream has shipped (StreamingSpec pins
+    * multi-batch ≡ one-shot). Snapshot is QI-cardinality-sized.
+    */
+  def upsertReleaseGateCells(batch: DataFrame, dest: String,
+                             phrases: Seq[String],
+                             srcCol: String = "source",
+                             langCol: String = "lang",
+                             lenCol: String = "n_chars",
+                             bucketWidth: Int = 200): Unit = {
+    val spark = batch.sparkSession
+    val m = graft.ops.Redact.releaseGateCells(batch, phrases, srcCol,
+      langCol, lenCol, bucketWidth)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val exists = destPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(destPath)
+    val merged = (if (exists)
+        spark.read.parquet(dest).unionByName(m)
+      else m)
+      .groupBy(col(srcCol), col("len_bucket"), col(langCol))
+      .agg(sum(col("n_docs_cell")).as("n_docs_cell"),
+        sum(col("pii_docs")).as("pii_docs"),
+        sum(col("blocked_docs")).as("blocked_docs"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(dest)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .releaseLocalCheckpoint(merged)
+  }
+
+  /** Live release scorecard off the streamed cell snapshot through the
+    * ONE shared [[graft.ops.Redact.releaseGateFromCells]] fold — equal
+    * to the batch q312 statistic (StreamingSpec pins it).
+    */
+  def releaseGateFromStore(spark: SparkSession, dest: String,
+                           srcCol: String = "source",
+                           langCol: String = "lang"): DataFrame =
+    graft.ops.Redact.releaseGateFromCells(spark.read.parquet(dest),
+      srcCol, langCol)
+
   /** Live collocation board off the streamed co-occurrence snapshot
     * through the ONE shared
     * [[graft.ops.TextAnalysis.ppmiFromPairCounts]] fold — PPMI top-k per

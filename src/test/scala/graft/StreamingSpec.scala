@@ -748,6 +748,23 @@ class StreamingSpec extends SparkSpec {
     assert(tS.nonEmpty && tS == tB)
   }
 
+  test("streaming release-gate scorecard equals the batch q312 report " +
+    "after batched upserts (cell counts are the complete mergeable state)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+    val phrases = Seq("big table", "slow scan", "quantum leap")
+    val dest = "/tmp/graft_drift/relgate_" + System.nanoTime()
+    EventStream.upsertReleaseGateCells(
+      docs.filter(col("doc_id") % 2 === 0), dest, phrases)
+    EventStream.upsertReleaseGateCells(
+      docs.filter(col("doc_id") % 2 =!= 0), dest, phrases)
+    val streamed = EventStream.releaseGateFromStore(spark, dest)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Redact.releaseGateReport(docs, phrases)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming CUSUM monitor equals the batch statistic after batched upserts") {
     import org.apache.spark.sql.functions.col
     val events = Tables.events(spark, sf0001)
