@@ -139,7 +139,7 @@ object Main {
       }
     }
     require(pos.nonEmpty, "agg needs a glob argument")
-    require(GeoAggregate.modes.contains(mode.toLowerCase),
+    require(GeoAggregate.modes.contains(mode.toLowerCase(java.util.Locale.ROOT)),
       s"mode must be one of ${GeoAggregate.modes.keys.mkString("|")}") // agg.py:287
     require(meters >= 0, "grid size must be >= 0") // agg.py:291
     withLog(new CliLog("agg", debugFlag(args))) { log =>

@@ -27,7 +27,7 @@ object IO {
   def extensionOf(path: String): String = {
     val base = path.substring(path.lastIndexOf('/') + 1)
     val i = base.lastIndexOf('.')
-    if (i < 0) "" else base.substring(i + 1).toLowerCase
+    if (i < 0) "" else base.substring(i + 1).toLowerCase(java.util.Locale.ROOT)
   }
 
   /** `read_csv(src, index_col=False, skipinitialspace=True, low_memory=True)`

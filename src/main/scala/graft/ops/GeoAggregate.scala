@@ -76,7 +76,7 @@ object GeoAggregate {
       valCol: String = "Data",
       scaleDiv: Double = 10.0): DataFrame = {
     val aggFn = modes.getOrElse(
-      mode.toLowerCase,
+      mode.toLowerCase(java.util.Locale.ROOT),
       throw new IllegalArgumentException(
         s"mode must be one of ${modes.keys.mkString("|")}, got: $mode"))
     df.select(col(latCol), col(lonCol), (col(valCol) / scaleDiv).as(valCol))

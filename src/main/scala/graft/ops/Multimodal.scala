@@ -448,6 +448,146 @@ object Multimodal {
                     hiB: Column, loB: Column): Column =
     bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB))
 
+  /** Quantized 1-D DCT-II basis for the 8-point transform:
+    * dctBasisQ(u)(x) = round(10⁶·cos(π(2x+1)u/16)). HARDCODED integers —
+    * not computed at runtime — so the JVM codec tier and the SQL oracle
+    * share the exact same table (no cos() on either side, so last-ulp
+    * drift between Java's and DuckDB's libm is impossible; every value
+    * sits ≥ 0.03 from a rounding boundary). With 8-bit pixels the
+    * 2-D coefficient Σ g·C(u,x)·C(v,y) is bounded by 64·255·10¹² ≈
+    * 1.6·10¹⁶ — exact in int64 with headroom.
+    */
+  private[graft] val dctBasisQ: Array[Array[Long]] = Array(
+    Array(1000000L, 1000000L, 1000000L, 1000000L,
+      1000000L, 1000000L, 1000000L, 1000000L),
+    Array(980785L, 831470L, 555570L, 195090L,
+      -195090L, -555570L, -831470L, -980785L),
+    Array(923880L, 382683L, -382683L, -923880L,
+      -923880L, -382683L, 382683L, 923880L),
+    Array(831470L, -195090L, -980785L, -555570L,
+      555570L, 980785L, 195090L, -831470L),
+    Array(707107L, -707107L, -707107L, 707107L,
+      707107L, -707107L, -707107L, 707107L),
+    Array(555570L, -980785L, 195090L, 831470L,
+      -831470L, -195090L, 980785L, -555570L),
+    Array(382683L, -923880L, 923880L, -382683L,
+      -382683L, 923880L, -923880L, 382683L),
+    Array(195090L, -555570L, 831470L, -980785L,
+      980785L, -831470L, 555570L, -195090L))
+
+  case class PHash(media_id: Long, width: Option[Int], height: Option[Int],
+                   phash_hi: Option[Long], phash_lo: Option[Long],
+                   decode_error: Option[String])
+
+  /** Perceptual DCT hash (pHash) over REAL decoded pixels — the
+    * production tier of perceptual image dedup ([[imageAHash]] is the
+    * cheap tier). Decode → the SAME integer 8×8 nearest-neighbor
+    * grayscale grid as aHash → exact integer 2-D DCT-II against
+    * [[dctBasisQ]] → bit p (= v·8+u, row-major over the frequency
+    * plane) set iff coefficient(u,v) strictly exceeds the LOWER MEDIAN
+    * (32nd smallest, ties irrelevant: the value at a sorted position is
+    * order-stable) of the 63 AC coefficients. The DC coefficient (p=0)
+    * is excluded from both the median and the bits: uniform brightness
+    * lives almost entirely in DC, which is exactly why pHash survives
+    * the clipped-brightness shifts that flip aHash's mean-threshold
+    * bits (MultimodalSpec pins a +120-clip gradient fixture where aHash
+    * drifts 8 bits and pHash 1). Bits pack into two 32-bit lanes like
+    * aHash, so [[ahashDistance]], the banded Hamming near-dup join and
+    * the persisted q295 index lifecycle all apply unchanged (they are
+    * generic over any 64-bit hash in (hi, lo) lanes).
+    *
+    * Scale shape: map-only per image — one decode, O(64) resample,
+    * O(64·64) integer multiply-adds; non-image rows are pruned by the
+    * metadata-only kind filter before any deserialization; undecodable
+    * blobs quarantine with `decode_error` instead of failing the job.
+    * Everything is exact integer arithmetic, so an SQL oracle replays
+    * every bit from the synthetic-pattern closed form.
+    */
+  def imagePHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "image" && col("content").isNotNull)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val basis = dctBasisQ
+        rows.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null, "content is not a decodable image")
+            val w = img.getWidth; val h = img.getHeight
+            val g = new Array[Long](64)
+            var ty = 0
+            while (ty < 8) {
+              val sy = ty * h / 8
+              var tx = 0
+              while (tx < 8) {
+                val rgb = img.getRGB(tx * w / 8, sy)
+                g(ty * 8 + tx) = ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+                  + (rgb & 0xff)) / 3).toLong
+                tx += 1
+              }
+              ty += 1
+            }
+            // row DCT then column DCT (separable) — exact integers
+            val rowT = new Array[Long](64) // rowT(ty*8+u) = Σ_tx g·C(u,tx)
+            var r = 0
+            while (r < 8) {
+              var u = 0
+              while (u < 8) {
+                var acc = 0L; var x = 0
+                while (x < 8) { acc += g(r * 8 + x) * basis(u)(x); x += 1 }
+                rowT(r * 8 + u) = acc
+                u += 1
+              }
+              r += 1
+            }
+            val coef = new Array[Long](64) // coef(v*8+u) = Σ_ty rowT·C(v,ty)
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                var acc = 0L; var y = 0
+                while (y < 8) { acc += rowT(y * 8 + u) * basis(v)(y); y += 1 }
+                coef(v * 8 + u) = acc
+                u += 1
+              }
+              v += 1
+            }
+            val ac = new Array[Long](63)
+            System.arraycopy(coef, 1, ac, 0, 63)
+            java.util.Arrays.sort(ac)
+            val med = ac(31) // lower median of the 63 AC coefficients
+            var hi = 0L; var lo = 0L
+            var p = 1
+            while (p < 64) {
+              if (coef(p) > med) {
+                if (p >= 32) hi |= 1L << (p - 32) else lo |= 1L << p
+              }
+              p += 1
+            }
+            PHash(id, Some(w), Some(h), Some(hi), Some(lo), None)
+          } catch { case scala.util.control.NonFatal(e) =>
+            PHash(id, None, None, None, None, Some(decodeErrMsg(e)))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** pHash-keyed view of [[imagePHash]] output in the (media_id,
+    * ahash_hi, ahash_lo) shape every aHash consumer expects — the
+    * banded near-dup join, the batch probe and the whole persisted
+    * index lifecycle are generic over any 64-bit hash in two lanes, so
+    * pHash rides them by column rename alone.
+    */
+  def phashAsHashRelation(ph: DataFrame): DataFrame =
+    ph.filter(col("decode_error").isNull)
+      .select(col("media_id"), col("phash_hi").as("ahash_hi"),
+        col("phash_lo").as("ahash_lo"))
+
   case class ImageQualityRaw(media_id: Long, width: Option[Int],
                              height: Option[Int], gray_sum: Option[Long],
                              gray_sq_sum: Option[Long],

@@ -200,17 +200,22 @@ object Redact {
     * below derives from the counts). ONE map-side-combined groupBy over
     * the corpus; everything downstream works on a (QI-cardinality ×
     * sensitive-cardinality)-sized relation, never the row-sized corpus.
-    * Rows with a NULL sensitive value are excluded up front (no metric
-    * is defined over an unknown sensitive value, and a silent null
-    * "value" would join away in the distribution pass).
+    * Rows with a NULL sensitive value are KEPT as their own cell per QI
+    * group: k-anonymity group sizes are defined regardless of the
+    * sensitive value, so dropping them here would understate __k vs the
+    * batch [[kAnonymityReport]]. The distribution audits exclude the
+    * null cells themselves — l-diversity's distinct-value count skips
+    * them in [[lDiversityFromCells]], and [[tClosenessFromCells]]
+    * filters them before the marginals (a null "value" is not a point
+    * of the sensitive distribution and would silently join away in the
+    * marginal pass otherwise).
     */
   private[graft] def sensitiveCells(df: DataFrame, qiCols: Seq[String],
                                     sensitiveCol: String): DataFrame = {
     require(qiCols.nonEmpty, "qiCols must be non-empty")
     require(!qiCols.contains(sensitiveCol),
       s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
-    df.filter(col(sensitiveCol).isNotNull)
-      .groupBy((qiCols :+ sensitiveCol).map(col): _*)
+    df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("n_gv"))
   }
 
@@ -260,20 +265,25 @@ object Redact {
                        sensitiveCol: String,
                        thresholds: Seq[Int] = Seq(2, 3, 5)): DataFrame =
     lDiversityFromCells(sensitiveCells(df, qiCols, sensitiveCol), qiCols,
-      thresholds)
+      sensitiveCol, thresholds)
 
   /** The l-diversity statistic off a [[sensitiveCells]]-shaped relation —
     * ONE fold shared by [[lDiversityReport]] and the streaming snapshot
-    * (StreamingSpec pins multi-batch ≡ one-shot).
+    * (StreamingSpec pins multi-batch ≡ one-shot). Group sizes (__k) sum
+    * EVERY cell, null-sensitive included — group size is defined
+    * regardless of the sensitive value — while the diversity count (__l)
+    * counts only non-null cells: null is an unknown, not an l-th
+    * distinct value (RedactSpec pins both on a null-bearing fixture).
     */
   def lDiversityFromCells(cells: DataFrame, qiCols: Seq[String],
+                          sensitiveCol: String,
                           thresholds: Seq[Int] = Seq(2, 3, 5)): DataFrame = {
     require(thresholds.nonEmpty && thresholds.forall(_ >= 2) &&
       thresholds.distinct.size == thresholds.size,
       s"thresholds must be distinct and all >= 2: $thresholds")
     val groups = cells
       .groupBy(qiCols.map(col): _*)
-      .agg(count(lit(1)).as("__l"), sum(col("n_gv")).as("__k"))
+      .agg(count(col(sensitiveCol)).as("__l"), sum(col("n_gv")).as("__k"))
     groups
       .select(col("__l"), col("__k"),
         explode(array(thresholds.map(t => lit(t)): _*)).as("l_threshold"))
@@ -306,9 +316,12 @@ object Redact {
     * max — the "how close to compliant" dial.
     *
     * Shape at 100 TB: the corpus groupBy on (QI, sensitive) is the only
-    * row-sized pass; the value marginals and group totals are aggregates
-    * of the cell relation, joined back broadcast; thresholds ride a
-    * broadcast-exploded literal array. Exact integer/decimal end to end.
+    * row-sized pass; the value marginals are a small aggregate of the
+    * cell relation joined back broadcast (|values| is small by the
+    * audit's premise), while group totals are never a join side — they
+    * fall out of the QI-grouped fold itself (see [[tClosenessFromCells]]);
+    * thresholds ride a broadcast-exploded literal array. Exact
+    * integer/decimal end to end.
     */
   def tClosenessReport(df: DataFrame, qiCols: Seq[String],
                        sensitiveCol: String,
@@ -319,7 +332,22 @@ object Redact {
 
   /** The t-closeness statistic off a [[sensitiveCells]]-shaped relation —
     * ONE fold shared by [[tClosenessReport]] and the streaming snapshot
-    * (StreamingSpec pins multi-batch ≡ one-shot).
+    * (StreamingSpec pins multi-batch ≡ one-shot). Null-sensitive cells
+    * (kept by [[sensitiveCells]] for the k-anonymity fold) are excluded
+    * up front: a null is not a point of the sensitive distribution.
+    *
+    * Scale shape: the r13 verdict flagged the previous form's forced
+    * `broadcast(groupTotals)` — groupTotals has QI-GROUP cardinality,
+    * which at crawl scale with a fine QI (the audit's own sweet spot)
+    * reaches 10⁷–10⁸ rows and OOMs the driver. Group totals are now
+    * never materialized as a join side at all: one two-level aggregate
+    * groups the cells by QI, carrying the per-value (n_gv, n_v) pairs
+    * as bounded collect_list state (≤ |sensitive values| per group —
+    * the SAME small-|values| premise the broadcast(valueMarginals)
+    * already rests on), and the |n_gv·N − n_v·n_g| fold runs as a
+    * higher-order `aggregate` once n_g is known. The only broadcasts
+    * left are value-cardinality and 1-row (PlanShapeSpec gates the
+    * absence of any QI-keyed join).
     */
   def tClosenessFromCells(cells0: DataFrame, qiCols: Seq[String],
                           sensitiveCol: String,
@@ -330,22 +358,24 @@ object Redact {
       tPpmThresholds.distinct.size == tPpmThresholds.size,
       s"thresholds must be distinct ppm in [0, 1000000]: $tPpmThresholds")
     val cells = cells0
+      .filter(col(sensitiveCol).isNotNull)
       .withColumn("__n_gv", col("n_gv").cast("decimal(38,0)"))
     val valueMarginals = cells.groupBy(col(sensitiveCol))
       .agg(sum(col("__n_gv")).as("__n_v"))
-    val groupTotals = cells.groupBy(qiCols.map(col): _*)
-      .agg(sum(col("__n_gv")).as("__n_g"))
     val total = valueMarginals.agg(sum(col("__n_v")).as("__N"))
     val tv = cells
       .join(broadcast(valueMarginals), Seq(sensitiveCol))
-      .join(broadcast(groupTotals), qiCols)
       .crossJoin(broadcast(total))
       .groupBy(qiCols.map(col): _*)
       .agg(
-        max(col("__n_g")).as("__n_g"), max(col("__N")).as("__N"),
-        sum(abs(col("__n_gv") * col("__N") - col("__n_v") * col("__n_g")))
-          .as("__s1"),
-        sum(col("__n_v")).as("__sv"))
+        sum(col("__n_gv")).as("__n_g"), max(col("__N")).as("__N"),
+        sum(col("__n_v")).as("__sv"),
+        collect_list(struct(col("__n_gv").as("gv"), col("__n_v").as("nv")))
+          .as("__pairs"))
+      .withColumn("__s1",
+        aggregate(col("__pairs"), lit(0).cast("decimal(38,0)"),
+          (acc, p) => acc + abs(p.getField("gv") * col("__N")
+            - p.getField("nv") * col("__n_g"))))
       .select(col("__n_g").cast("long").as("__k"),
         expr("""(1000000 * (__s1 + (__N - __sv) * __n_g))
                | DIV (2 * __n_g * __N)""".stripMargin.replace("\n", ""))
@@ -403,6 +433,11 @@ object Redact {
     * COMPLETE mergeable state for the live release posture (counts sum
     * across batches; the whole scorecard derives from them). ONE
     * text-consuming corpus pass into one map-side-combined aggregate.
+    * NULL-text docs are excluded up front so the gate's ppm denominator
+    * matches the [[TextAnalysis.blocklistCensus]] family's (which also
+    * filters null text) — counting null-text docs as clean would
+    * silently dilute the gate ppm on corpora with null text (RedactSpec
+    * pins the shared denominator).
     */
   def releaseGateCells(docs: DataFrame, phrases: Seq[String],
                        srcCol: String = "source",
@@ -414,7 +449,7 @@ object Redact {
     val nHits = aggregate(
       TextAnalysis.blocklistHits(col(textCol), phrases), lit(0L),
       (acc, x) => acc + x.getField("hits"))
-    scrub(docs, textCol)
+    scrub(docs.filter(col(textCol).isNotNull), textCol)
       .select(col(srcCol), col(langCol),
         expr(s"$lenCol DIV $bucketWidth").as("len_bucket"),
         (coalesce(col("n_emails"), lit(0)) + coalesce(col("n_ips"), lit(0))

@@ -2247,13 +2247,28 @@ object TextAnalysis {
     * expressions, so the identical formula runs in the DuckDB oracle
     * and the whole tier stays a map-only projection.
     */
+  /** Validated, lowercased phrase list shared by every blocklist tier.
+    * Lowering uses Locale.ROOT — String.toLowerCase with the JVM default
+    * locale would turn 'I' into dotless 'ı' on a Turkish-locale driver
+    * while Spark's lower() is locale-independent, so a phrase containing
+    * 'I' would silently never match. Distinctness is required on the
+    * LOWERED forms: two phrases differing only in case collide after
+    * lowering and would double-count the census (the expression tier
+    * accumulates the collided phrase twice per doc; the AC tier emits
+    * two rows) — reject the list instead.
+    */
+  private def lowerPhrases(phrases: Seq[String]): Seq[String] = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      s"phrases must be non-empty: $phrases")
+    val lowered = phrases.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(lowered.distinct.size == lowered.size,
+      s"phrases must be distinct after lowercasing: $phrases")
+    lowered
+  }
+
   def blocklistHits(text: Column, phrases: Seq[String]): Column = {
-    require(phrases.nonEmpty && phrases.forall(_.nonEmpty) &&
-      phrases.distinct.size == phrases.size,
-      s"phrases must be distinct and non-empty: $phrases")
     val t = lower(text)
-    array(phrases.map { p =>
-      val pl = p.toLowerCase
+    array(lowerPhrases(phrases).map { pl =>
       val rep = call_function("replace", t, lit(pl), lit(""))
       struct(lit(pl).as("phrase"),
         ((length(t) - length(rep)) / lit(pl.length)).cast("long").as("hits"))
@@ -2351,12 +2366,9 @@ object TextAnalysis {
   def blocklistScanAC(docs: DataFrame, phrases: Seq[String],
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    require(phrases.nonEmpty && phrases.forall(_.nonEmpty) &&
-      phrases.distinct.size == phrases.size,
-      s"phrases must be distinct and non-empty: $phrases")
     val spark = docs.sparkSession
     import spark.implicits._
-    val pats = phrases.map(_.toLowerCase).toArray
+    val pats = lowerPhrases(phrases).toArray
     val acB = spark.sparkContext.broadcast(new AhoCorasick(pats))
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long"), lower(col(textCol)))
@@ -2387,7 +2399,7 @@ object TextAnalysis {
     import spark.implicits._
     val base = docs.filter(col(textCol).isNotNull)
     val nDocs = base.agg(count(lit(1)).as("n_docs"))
-    val all = phrases.map(_.toLowerCase).toDF("phrase")
+    val all = lowerPhrases(phrases).toDF("phrase")
     blocklistCensusFromCounts(
       blocklistScanAC(docs, phrases, textCol = textCol)
         .groupBy(col("phrase"))

@@ -839,10 +839,10 @@ object EventStream {
     * the batch q307 statistic (StreamingSpec pins it).
     */
   def lDiversityFromStore(spark: SparkSession, dest: String,
-                          qiCols: Seq[String],
+                          qiCols: Seq[String], sensitiveCol: String,
                           thresholds: Seq[Int] = Seq(2, 3, 5)): DataFrame =
     graft.ops.Redact.lDiversityFromCells(spark.read.parquet(dest), qiCols,
-      thresholds)
+      sensitiveCol, thresholds)
 
   /** Live t-closeness census off the streamed privacy-cell snapshot —
     * the shared [[graft.ops.Redact.tClosenessFromCells]] fold, equal to

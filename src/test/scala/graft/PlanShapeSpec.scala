@@ -1085,4 +1085,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s)
     assert(!s.contains("Exchange rangepartitioning"), s)
   }
+
+  test("q308 t-closeness: the QI-group-cardinality relation never " +
+    "crosses a BroadcastExchange and no join is keyed on the QI") {
+    import org.apache.spark.sql.functions._
+    // 10^5 QI groups × 2 sensitive values — the relation the old forced
+    // broadcast(groupTotals) would have shipped driver-side (r13 verdict:
+    // OOM at crawl-scale fine-grained QI, the audit's own sweet spot)
+    val df = spark.range(200000L)
+      .select((col("id") % 100000L).as("g"),
+        (col("id") % 2L).cast("string").as("s"))
+    val (p, nRows) = withoutAqe {
+      val rep = graft.ops.Redact.tClosenessReport(df, Seq("g"), "s")
+      val n = rep.collect().map(_.getAs[Long]("n_rows")).max
+      (plan(rep), n)
+    }
+    assert(nRows == 200000L)
+    val s = p.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"t-closeness grew a QI-keyed shuffle join:\n$s")
+    val bx = p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(bx.nonEmpty, s) // value marginals + 1-row total still broadcast
+    bx.foreach { b =>
+      assert(!b.output.exists(_.name == "g"),
+        s"QI-group-cardinality relation crossed a BroadcastExchange:\n$s")
+    }
+  }
 }

@@ -137,13 +137,58 @@ class RedactSpec extends SparkSpec {
     assert(got(3) == ((3L, 2L, 9L, 5L, 555555L)))
   }
 
-  test("lDiversityReport: null sensitive values are excluded up front") {
+  test("lDiversityReport: null sensitive rows count toward group size " +
+    "but never as a distinct value") {
     val df = Seq(("a", "x"), ("a", null), ("a", "x")).toDF("g", "s")
     val got = Redact.lDiversityReport(df, Seq("g"), "s",
       thresholds = Seq(2)).head()
-    // 2 surviving rows, one value → l=1 violates, rows counted post-drop
-    assert(got.getAs[Long]("n_rows") == 2L)
+    // group size is all 3 rows; diversity is 1 (null is unknown, not a
+    // second value) → the group violates l=2 with all its rows
+    assert(got.getAs[Long]("n_rows") == 3L)
     assert(got.getAs[Long]("violating_groups") == 1L)
+    assert(got.getAs[Long]("violating_rows") == 3L)
+  }
+
+  test("kAnonymityFromCells counts null-sensitive rows in group sizes, " +
+    "matching the batch kAnonymityReport") {
+    // group a: 2 rows (one null-sensitive) — a cells path that dropped
+    // nulls would understate a's size as 1 and flag it at k=2
+    val df = Seq(("a", "x"), ("a", null), ("b", "y"))
+      .toDF("g", "s")
+    val fromCells = Redact.kAnonymityFromCells(
+      Redact.sensitiveCells(df, Seq("g"), "s"), Seq("g"),
+      thresholds = Seq(2)).head()
+    val batch = Redact.kAnonymityReport(df.select(col("g")), Seq("g"),
+      thresholds = Seq(2)).head()
+    assert(fromCells.toSeq == batch.toSeq)
+    assert(fromCells.getAs[Long]("n_rows") == 3L)
+    assert(fromCells.getAs[Long]("violating_groups") == 1L) // only b
+  }
+
+  test("tClosenessReport: null sensitive rows are not part of the " +
+    "distribution — TV equals the null-free corpus") {
+    val base = Seq.fill(3)(("a", "x")) ++ Seq(("b", "x"), ("b", "y"))
+    val withNulls = base ++ Seq(("a", null), ("b", null))
+    def tv(rows: Seq[(String, String)]) =
+      Redact.tClosenessReport(rows.toDF("g", "s"), Seq("g"), "s",
+        tPpmThresholds = Seq(250000)).head()
+    val (clean, dirty) = (tv(base), tv(withNulls))
+    assert(dirty.getAs[Long]("max_tv_ppm")
+      == clean.getAs[Long]("max_tv_ppm"))
+    assert(dirty.getAs[Long]("n_rows") == clean.getAs[Long]("n_rows"))
+  }
+
+  test("releaseGateReport: null-text docs are excluded from the ppm " +
+    "denominator (consistent with the blocklist census family)") {
+    val df = Seq(
+      ("a", "en", 10L, "mail a@b.co"),
+      ("a", "en", 11L, null.asInstanceOf[String])
+    ).toDF("source", "lang", "n_chars", "text")
+    val got = Redact.releaseGateReport(df, Seq("bad phrase")).head()
+    // 1 real doc, 1 PII doc → 1000000 ppm; counting the null doc as a
+    // clean denominator row would dilute it to 500000
+    assert(got.getAs[Long]("n_docs") == 1L)
+    assert(got.getAs[Long]("pii_docs_ppm") == 1000000L)
   }
 
   test("tClosenessReport: exact total-variation ppm per group, " +

@@ -736,7 +736,7 @@ class StreamingSpec extends SparkSpec {
     val kB = graft.ops.Redact.kAnonymityReport(
       docs.select(qi.map(col): _*), qi).collect().map(_.toSeq).toSet
     assert(kS.nonEmpty && kS == kB)
-    val lS = EventStream.lDiversityFromStore(spark, dest, qi)
+    val lS = EventStream.lDiversityFromStore(spark, dest, qi, "lang")
       .collect().map(_.toSeq).toSet
     val lB = graft.ops.Redact.lDiversityReport(docs, qi, "lang")
       .collect().map(_.toSeq).toSet

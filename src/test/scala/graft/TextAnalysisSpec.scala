@@ -926,4 +926,47 @@ class TextAnalysisSpec extends SparkSpec {
       .map(t => t._2 -> t._3).toMap
     assert(got == Map("he" -> 1L, "she" -> 1L, "hers" -> 1L))
   }
+
+  test("blocklist tiers reject phrase lists that collide after " +
+    "lowercasing (double-count hazard) in every entry point") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    val colliding = Seq("Bad Phrase", "bad phrase")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistHits(col("text"), colliding)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistScanAC(df, colliding)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistCensusAC(df, colliding)
+    }
+    // distinct-after-lowering lists still pass and match case-blind
+    val ok = TextAnalysis.blocklistScanAC(
+      Seq((1L, "A Bad Phrase")).toDF("doc_id", "text"), Seq("BAD PHRASE"))
+      .head()
+    assert(ok.getAs[String]("phrase") == "bad phrase" &&
+      ok.getAs[Long]("hits") == 1L)
+  }
+
+  test("driver-side phrase lowering is locale-independent: a phrase " +
+    "with 'I' matches under a Turkish default locale") {
+    import spark.implicits._
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+    try {
+      // "tr".toLowerCase would give dotless ı for 'I' and never match
+      // Spark's locale-independent lower(); Locale.ROOT keeps 'i'
+      val got = TextAnalysis.blocklistScanAC(
+        Seq((1L, "filtered input")).toDF("doc_id", "text"),
+        Seq("FILTERED INPUT")).count()
+      assert(got == 1L)
+      val exprTier = Seq((1L, "filtered input")).toDF("doc_id", "text")
+        .select(explode(
+          TextAnalysis.blocklistHits(col("text"), Seq("FILTERED INPUT")))
+          .as("h"))
+        .select(col("h.hits")).head().getLong(0)
+      assert(exprTier == 1L)
+    } finally java.util.Locale.setDefault(prev)
+  }
 }
