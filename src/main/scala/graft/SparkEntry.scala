@@ -325,6 +325,62 @@ object SparkEntry {
        |      AS ahash_lo
        |  FROM asum GROUP BY id, w, h)""".stripMargin
 
+  /** The 8-point quantized DCT-II basis as SQL VALUES rows — rendered
+    * from [[graft.ops.Multimodal.dctBasisQ]] (the SINGLE hardcoded
+    * table), so the JVM tier and the oracle can never disagree on a
+    * cosine micro-unit.
+    */
+  private lazy val cosqValuesSql: String =
+    (for { u <- 0 until 8; x <- 0 until 8 }
+      yield s"($u, $x, ${graft.ops.Multimodal.dctBasisQ(u)(x)})")
+      .mkString(", ")
+
+  /** DuckDB replay of [[graft.ops.Multimodal.imagePHash]] over the
+    * synthetic pattern: 8×8 integer grid (same resample/grayscale as
+    * the aHash CTE) → exact integer 2-D DCT-II against the hardcoded
+    * cosine table → strict lower-median threshold over the 63 AC
+    * coefficients (row 32 of the per-id coef order — the value at a
+    * sorted position is tie-order-stable). Yields CTE `ph` with
+    * (id, w, h, phash_hi, phash_lo); shared by q314 and q315 so the
+    * two oracles cannot drift.
+    */
+  private def phashCtesSql(idExpr: String, from: String): String =
+    s"""pm AS (SELECT $idExpr AS id,
+       |    CAST($idExpr % 13 + 4 AS INTEGER) AS w,
+       |    CAST($idExpr % 11 + 4 AS INTEGER) AS h
+       |  FROM $from),
+       |pgx AS (SELECT pm.*, unnest(range(8)) AS tx FROM pm),
+       |ppx AS (SELECT pgx.*, unnest(range(8)) AS ty FROM pgx),
+       |pcc AS (SELECT id, w, h, tx, ty,
+       |    (tx * w) // 8 AS sx, (ty * h) // 8 AS sy
+       |  FROM ppx),
+       |pg AS (SELECT id, w, h, tx, ty,
+       |    (((id * 7 + sx * 31 + sy * 17) % 256)
+       |     + ((id * 3 + sx * 13 + sy * 29) % 256)
+       |     + ((id * 11 + sx * 23 + sy * 19) % 256)) // 3 AS gr
+       |  FROM pcc),
+       |cosq(u, x, c) AS (VALUES $cosqValuesSql),
+       |pdct AS (SELECT pg.id, pg.w, pg.h, cu.u AS u, cv.u AS v,
+       |    CAST(sum(pg.gr * cu.c * cv.c) AS BIGINT) AS coef
+       |  FROM pg JOIN cosq cu ON cu.x = pg.tx
+       |    JOIN cosq cv ON cv.x = pg.ty
+       |  GROUP BY pg.id, pg.w, pg.h, cu.u, cv.u),
+       |pmed AS (SELECT id, coef AS med FROM (
+       |    SELECT id, coef, row_number() OVER (
+       |      PARTITION BY id ORDER BY coef) AS rn
+       |    FROM pdct WHERE NOT (u = 0 AND v = 0)) s
+       |  WHERE rn = 32),
+       |ph AS (SELECT d.id, d.w, d.h,
+       |    CAST(sum(CASE WHEN v * 8 + u >= 32 AND d.coef > m.med
+       |      THEN (CAST(1 AS BIGINT) << (v * 8 + u - 32)) ELSE 0 END)
+       |      AS BIGINT) AS phash_hi,
+       |    CAST(sum(CASE WHEN v * 8 + u >= 1 AND v * 8 + u < 32
+       |        AND d.coef > m.med
+       |      THEN (CAST(1 AS BIGINT) << (v * 8 + u)) ELSE 0 END)
+       |      AS BIGINT) AS phash_lo
+       |  FROM pdct d JOIN pmed m ON d.id = m.id
+       |  GROUP BY d.id, d.w, d.h)""".stripMargin
+
   /** DuckDB mirror of `TextAnalysis.cleanText` — shared by q87 and the
     * q100 pipeline capstone.
     */
@@ -3234,6 +3290,32 @@ object SparkEntry {
       // job over the checkpointed pool, never the corpus
       Similarity.kCenterCoreset(T(s, d, "embeddings"), k = 6,
         poolPercent = 20)),
+    "q314_image_phash" -> ((s, d) =>
+      // perceptual DCT hash (pHash) over REAL decoded pixels — the
+      // production tier of perceptual image dedup (aHash is the cheap
+      // tier and is blind to clipped-brightness shifts). PNG decode →
+      // integer 8×8 grid → exact integer 2-D DCT-II against the
+      // HARDCODED micro-unit cosine table (no runtime cos on either
+      // engine) → bits from the strict lower-median threshold over the
+      // 63 AC coefficients, DC excluded; map-only per image, and the
+      // oracle replays every bit from the pattern closed form
+      Multimodal.imagePHash(
+        Multimodal.synthesizePng(s, T(s, d, "documents").select("doc_id"),
+          "doc_id"))
+        .drop("decode_error")), // clean fixture — census is q282's job
+    "q315_phash_neardup_pairs" -> ((s, d) =>
+      // pHash near-dup pairs through the SAME banded Hamming machinery
+      // as q298/q295 (band join, probe and persisted index lifecycle
+      // are generic over any 64-bit hash in two 32-bit lanes — pHash
+      // rides by column rename alone); pigeonhole (maxDist 3 < 4 bands)
+      // makes the banded self-join EQUAL to the all-pairs Hamming
+      // filter the oracle replays over the shared pHash CTE
+      Multimodal.ahashNearDupPairs(
+        Multimodal.phashAsHashRelation(
+          Multimodal.imagePHash(
+            Multimodal.synthesizePng(s, T(s, d, "documents")
+              .select("doc_id"), "doc_id", patternMod = 5))),
+        maxDist = 3)),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -7569,6 +7651,30 @@ object SparkEntry {
       dims = 64),
     "q313_kcenter_coreset" -> kCenterOracleSql(k = 6, poolPercent = 20,
       dims = 64),
+    "q314_image_phash" ->
+      // replays the synthetic pattern + 8×8 resample + integer grayscale
+      // + exact integer DCT against the shared hardcoded cosine table +
+      // strict lower-median AC threshold; a match proves the Spark
+      // side's REAL PNG decode feeds the exact transform bit-for-bit
+      s"""WITH ${phashCtesSql("doc_id", "documents WHERE doc_id % 3 = 0")}
+         |SELECT id AS media_id, w AS width, h AS height,
+         |  phash_hi, phash_lo
+         |FROM ph""".stripMargin,
+    "q315_phash_neardup_pairs" -> {
+      // banded probe equals the plain all-pairs Hamming filter
+      // (pigeonhole, maxDist 3 < 4 bands) — the oracle skips the bands
+      // and replays hashes per DISTINCT pattern (pid = doc_id % 5)
+      val ham = "bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))"
+      s"""WITH imgs AS (SELECT doc_id, doc_id % 5 AS pid
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |pats AS (SELECT DISTINCT pid FROM imgs),
+         |${phashCtesSql("pid", "pats")},
+         |ih AS (SELECT doc_id, ph.phash_hi AS hi, ph.phash_lo AS lo
+         |  FROM imgs JOIN ph ON imgs.pid = ph.id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM ih a JOIN ih b ON a.doc_id < b.doc_id
+         |WHERE $ham <= 3""".stripMargin
+    },
     "q312_release_gate" -> {
       // per-doc blocked = OR over the phrase list's replace-difference
       // hits (≡ the Spark side's summed-hits > 0); PII counts replay the

@@ -698,4 +698,70 @@ class MultimodalSpec extends SparkSpec {
     assert(combined.filter(col("decode_error").isNull).count() > 0)
     assert(combined.filter(col("decode_error").isNotNull).count() > 0)
   }
+
+  private def pngBytes(w: Int, h: Int, gray: (Int, Int) => Int)
+      : Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = math.max(0, math.min(255, gray(x, y)))
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imagePHash survives a clipped brightness shift that flips " +
+    "aHash past the near-dup threshold; the banded pair join catches " +
+    "the pHash pair and (correctly per its own metric) not the aHash") {
+    // 16×16 horizontal gradient + checker texture; +120 with clipping
+    // at 255 saturates the bright half, which moves the MEAN by less
+    // than the unclipped pixels — aHash's mean-threshold bits flip
+    // (dist 8 at these fixtures), while pHash thresholds AC DCT
+    // coefficients against their own median: the shift lives almost
+    // entirely in the (excluded) DC term, so only 1 bit drifts.
+    def grad(shift: Int)(x: Int, y: Int): Int =
+      (x * 255) / 15 + (if ((x + y) % 2 == 0) 8 else 0) + shift
+    val media = Seq(
+      (1L, "image", pngBytes(16, 16, grad(0))),
+      (2L, "image", pngBytes(16, 16, grad(120))))
+      .toDF("media_id", "kind", "content")
+    val ph = Multimodal.imagePHash(media)
+    val phDist = ph.select(col("media_id"), col("phash_hi"),
+        col("phash_lo")).as[(Long, Long, Long)].collect()
+      .sortBy(_._1) match { case Array(a, b) =>
+        java.lang.Long.bitCount(a._2 ^ b._2) +
+          java.lang.Long.bitCount(a._3 ^ b._3) }
+    val ahDist = Multimodal.imageAHash(media)
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
+      .as[(Long, Long, Long)].collect()
+      .sortBy(_._1) match { case Array(a, b) =>
+        java.lang.Long.bitCount(a._2 ^ b._2) +
+          java.lang.Long.bitCount(a._3 ^ b._3) }
+    assert(ahDist > 3, s"fixture must flip aHash past maxDist=3: $ahDist")
+    assert(phDist <= 3, s"pHash must survive the clipped shift: $phDist")
+    // the generic banded machinery over the renamed pHash lanes finds
+    // the pair; over aHash it (per aHash's own distances) must not
+    val phPairs = Multimodal.ahashNearDupPairs(
+      Multimodal.phashAsHashRelation(ph), maxDist = 3).collect()
+    assert(phPairs.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 2L)))
+    assert(Multimodal.ahashNearDupPairs(
+      Multimodal.imageAHash(media).filter(col("decode_error").isNull)
+        .select("media_id", "ahash_hi", "ahash_lo"),
+      maxDist = 3).isEmpty)
+  }
+
+  test("imagePHash quarantine: corrupt blobs yield (null lanes, " +
+    "decode_error) like every codec tier") {
+    val imgIds = (0L to 57L by 3L).toDF("doc_id")
+    val badImgs = Multimodal.withCorruptedBlobs(
+      Multimodal.synthesizePng(spark, imgIds, "doc_id"), everyNth = 5)
+    val out = Multimodal.imagePHash(badImgs)
+    val q = out.filter(col("decode_error").isNotNull)
+    assert(q.filter(col("phash_hi").isNotNull).count() == 0)
+    assert(out.filter(col("decode_error").isNull).count() == 16L)
+    assert(q.count() == 4L)
+  }
 }
