@@ -3316,6 +3316,29 @@ object SparkEntry {
             Multimodal.synthesizePng(s, T(s, d, "documents")
               .select("doc_id"), "doc_id", patternMod = 5))),
         maxDist = 3)),
+    "q316_bradley_terry" -> ((s, d) => {
+      // model-based strength fit over the SAME comparison log as q301's
+      // voting-theory leaderboard: 3 unrolled Hunter-MM rounds in int64
+      // micro-units (per-term integer DIV then sum — order-independent,
+      // so DuckDB replays every strength exactly; the q300/q311
+      // discipline). Matchup-granular state; per-round joins broadcast
+      // the items-sized strength relation
+      val items = T(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val a = items.select(col("ok"), col("pk").as("pk_a"),
+        col("q").as("q_a"))
+      val b = items.select(col("ok"), col("pk").as("pk_b"),
+        col("q").as("q_b"))
+      val cmp = a.join(b, Seq("ok"))
+        .filter(col("pk_a") < col("pk_b") && col("q_a") =!= col("q_b"))
+        .select(
+          when(col("q_a") > col("q_b"), col("pk_a")).otherwise(col("pk_b"))
+            .as("winner"),
+          when(col("q_a") > col("q_b"), col("pk_b")).otherwise(col("pk_a"))
+            .as("loser"))
+      Preference.bradleyTerryFit(cmp, rounds = 3)
+    }),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -7674,6 +7697,50 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM ih a JOIN ih b ON a.doc_id < b.doc_id
          |WHERE $ham <= 3""".stripMargin
+    },
+    "q316_bradley_terry" -> {
+      // every MM round unrolled: per-term (n·1e9) // (w_i + w_j) then
+      // sum (order-independent), strengths renormalized to max = 1e6 —
+      // all non-negative int64, so // ≡ Spark's DIV bit-for-bit
+      val roundCtes = (1 to 3).map { i =>
+        s"""bd$i AS (SELECT sd.item,
+           |    CAST(sum((sd.n * 1000000000) // greatest(wi.w + wj.w, 1))
+           |      AS BIGINT) AS d
+           |  FROM btsides sd JOIN bs${i - 1} wi ON sd.item = wi.item
+           |    JOIN bs${i - 1} wj ON sd.opp = wj.item
+           |  GROUP BY sd.item),
+           |br$i AS (SELECT w.item,
+           |    (w.n_wins * 1000000000) // greatest(d.d, 1) AS raw
+           |  FROM btwins w JOIN bd$i d ON w.item = d.item),
+           |bm$i AS (SELECT max(raw) AS mx FROM br$i),
+           |bs$i AS (SELECT item,
+           |    CAST((raw * 1000000) // greatest(mx, 1) AS BIGINT) AS w
+           |  FROM br$i, bm$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH it AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+         |    sum(l_quantity) AS q FROM lineitem GROUP BY 1, 2),
+         |cmp AS (SELECT
+         |    CASE WHEN a.q > b.q THEN a.pk ELSE b.pk END AS winner,
+         |    CASE WHEN a.q > b.q THEN b.pk ELSE a.pk END AS loser
+         |  FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+         |  WHERE a.q <> b.q),
+         |bmu AS (SELECT least(winner, loser) AS ia,
+         |    greatest(winner, loser) AS ib,
+         |    CAST(sum(CASE WHEN winner <= loser THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS wa,
+         |    CAST(sum(CASE WHEN winner > loser THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS wb
+         |  FROM cmp GROUP BY 1, 2),
+         |btsides AS (SELECT ia AS item, ib AS opp, wa + wb AS n, wa AS w
+         |  FROM bmu
+         |  UNION ALL SELECT ib, ia, wa + wb, wb FROM bmu),
+         |btwins AS (SELECT item, CAST(sum(w) AS BIGINT) AS n_wins,
+         |    CAST(sum(n) AS BIGINT) AS n_games
+         |  FROM btsides GROUP BY item),
+         |bs0 AS (SELECT item, CAST(1000000 AS BIGINT) AS w FROM btwins),
+         |$roundCtes
+         |SELECT btwins.item, bs3.w AS strength_micro, n_wins, n_games
+         |FROM btwins JOIN bs3 ON btwins.item = bs3.item""".stripMargin
     },
     "q312_release_gate" -> {
       // per-doc blocked = OR over the phrase list's replace-difference

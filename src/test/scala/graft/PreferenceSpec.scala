@@ -56,4 +56,71 @@ class PreferenceSpec extends SparkSpec {
     assert(got(1L) == ((0L, 2L, 500000L)))
     assert(got(2L) == ((0L, 2L, 500000L)))
   }
+
+  /** Plain-Scala replay of the integer MM recursion — an independent
+    * implementation (maps and loops, no Spark) the operator must match
+    * exactly, the q300-perceptron test discipline.
+    */
+  private def btReplay(games: Seq[(Long, Long)], rounds: Int)
+      : Map[Long, Long] = {
+    val pairs = games.groupBy { case (w, l) =>
+      (math.min(w, l), math.max(w, l)) }
+      .map { case ((a, b), g) =>
+        (a, b, g.count(_._1 == a).toLong, g.count(_._1 == b).toLong) }.toSeq
+    val items = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val winsOf = items.map(i => i -> pairs.collect {
+      case (a, _, wa, _) if a == i => wa
+      case (_, b, _, wb) if b == i => wb }.sum).toMap
+    var s = items.map(_ -> 1000000L).toMap
+    for (_ <- 1 to rounds) {
+      val d = items.map { i =>
+        i -> pairs.collect {
+          case (a, b, wa, wb) if a == i || b == i =>
+            val opp = if (a == i) b else a
+            (wa + wb) * 1000000000L / math.max(s(i) + s(opp), 1L)
+        }.sum
+      }.toMap
+      val raw = items.map(i =>
+        i -> winsOf(i) * 1000000000L / math.max(d(i), 1L)).toMap
+      val mx = raw.values.max
+      s = items.map(i => i -> raw(i) * 1000000L / math.max(mx, 1L)).toMap
+    }
+    s
+  }
+
+  test("bradleyTerryFit replays the integer MM recursion exactly and " +
+    "orders a transitive tournament consistently with Copeland") {
+    // transitive: 1 > 2 > 3, with 1 also beating 3 (no cycles); uneven
+    // win counts make the strengths informative beyond the ordering
+    val games = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 3L), (2L, 3L),
+      (1L, 3L), (1L, 3L), (2L, 1L), (3L, 2L))
+    val df = games.toDF("winner", "loser")
+    val got = Preference.bradleyTerryFit(df, rounds = 3).collect()
+      .map(r => r.getAs[Long]("item") ->
+        ((r.getAs[Long]("strength_micro"), r.getAs[Long]("n_wins"),
+          r.getAs[Long]("n_games")))).toMap
+    val expect = btReplay(games, rounds = 3)
+    assert(got.view.mapValues(_._1).toMap == expect,
+      s"got=$got expect=$expect")
+    // max-normalization: the strongest item sits exactly at 1e6
+    assert(got.values.map(_._1).max == 1000000L)
+    // strength order ≡ Copeland order on the transitive fixture
+    val cope = Preference.leaderboard(df).collect()
+      .map(r => r.getAs[Long]("item") -> r.getAs[Long]("copeland")).toMap
+    val byStrength = got.toSeq.sortBy(-_._2._1).map(_._1)
+    val byCopeland = cope.toSeq.sortBy(-_._2).map(_._1)
+    assert(byStrength == byCopeland, s"$byStrength vs $byCopeland")
+    assert(got(1L)._2 == 5L && got(1L)._3 == 6L) // wins/games carried
+  }
+
+  test("bradleyTerryFit: a zero-win item pins to strength 0; its games " +
+    "still feed opponents' denominators") {
+    val games = Seq((1L, 2L), (1L, 2L), (3L, 2L))
+    val got = Preference.bradleyTerryFit(games.toDF("winner", "loser"),
+      rounds = 2).collect()
+      .map(r => r.getAs[Long]("item") -> r.getAs[Long]("strength_micro"))
+      .toMap
+    assert(got(2L) == 0L)
+    assert(got == btReplay(games, rounds = 2))
+  }
 }
