@@ -3339,6 +3339,15 @@ object SparkEntry {
             .as("loser"))
       Preference.bradleyTerryFit(cmp, rounds = 3)
     }),
+    "q317_ppmi_power_iteration" -> ((s, d) =>
+      // the factorization step after q304's SVD-PPMI matrix: dominant
+      // direction by 3 unrolled power-iteration rounds over the
+      // edge-list matrix — PPMI is 6-rounded so w = round(ppmi·1e6) is
+      // exact int64 in both engines; matvec = equi-join + aggregate
+      // (128-bit-exact sums), renorm = integer DIV by the round max;
+      // per-round vocab-sized checkpoints, released on the next iterate
+      TextAnalysis.ppmiPowerIteration(T(s, d, "documents"), window = 4,
+        minCount = 2, rounds = 3)),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -7741,6 +7750,44 @@ object SparkEntry {
          |$roundCtes
          |SELECT btwins.item, bs3.w AS strength_micro, n_wins, n_games
          |FROM btwins JOIN bs3 ON btwins.item = bs3.item""".stripMargin
+    },
+    "q317_ppmi_power_iteration" -> {
+      // q304's scored-pair chain (shared semantics, one PPMI
+      // definition), then 3 unrolled integer power-iteration rounds:
+      // w = round(ppmi·1e6) is exact (ppmi already 6-rounded), sums go
+      // HUGEINT, renorm is // by the round max — all non-negative
+      val roundCtes = (1 to 3).map { i =>
+        s"""pu$i AS (SELECT e.x AS word, sum(e.w * v.s) AS u
+           |  FROM ped e JOIN pv${i - 1} v ON e.y = v.word GROUP BY e.x),
+           |px$i AS (SELECT max(u) AS mx FROM pu$i),
+           |pv$i AS (SELECT word,
+           |    CAST((u * 1000000) // greatest(mx, 1) AS BIGINT) AS s
+           |  FROM pu$i, px$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
+         |p AS (SELECT least(t[CAST(i AS INT)], t[CAST(j AS INT)]) AS a,
+         |    greatest(t[CAST(i AS INT)], t[CAST(j AS INT)]) AS b
+         |  FROM (SELECT t, i,
+         |      unnest(range(i + 1, least(i + 4, len(t)) + 1)) AS j
+         |    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks) x) y),
+         |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_cooc
+         |  FROM p GROUP BY 1, 2 HAVING count(*) >= 2),
+         |m AS (SELECT w, CAST(count(*) AS BIGINT) AS m FROM
+         |    (SELECT a AS w FROM p UNION ALL SELECT b FROM p) u GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM p),
+         |sc AS (SELECT c.a, c.b, c.n_cooc,
+         |    greatest(0.0, round(ln(c.n_cooc * nn.n /
+         |      (CAST(ma.m AS DOUBLE) * mb.m)), 6)) AS ppmi
+         |  FROM c JOIN m ma ON ma.w = c.a JOIN m mb ON mb.w = c.b
+         |  CROSS JOIN nn),
+         |pe AS (SELECT a, b, CAST(round(ppmi * 1000000) AS BIGINT) AS w
+         |  FROM sc WHERE ppmi > 0),
+         |ped AS (SELECT a AS x, b AS y, w FROM pe
+         |  UNION ALL SELECT b, a, w FROM pe WHERE a <> b),
+         |pv0 AS (SELECT DISTINCT x AS word, CAST(1000000 AS BIGINT) AS s
+         |  FROM ped),
+         |$roundCtes
+         |SELECT word, s AS score_micro FROM pv3""".stripMargin
     },
     "q312_release_gate" -> {
       // per-doc blocked = OR over the phrase list's replace-difference

@@ -1311,8 +1311,30 @@ object TextAnalysis {
     */
   def ppmiFromPairCounts(counts: DataFrame, minCount: Long = 5,
                          k: Int = 5): DataFrame = {
-    require(k >= 1 && minCount >= 1,
-      s"bad params: k=$k minCount=$minCount")
+    require(k >= 1, s"bad params: k=$k")
+    val scored = ppmiScoredPairs(counts, minCount)
+    val sides = scored.select(explode(array(
+        struct(col("__a").as("word"), col("__b").as("collocate"),
+          col("n_cooc"), col("ppmi")),
+        struct(col("__b").as("word"), col("__a").as("collocate"),
+          col("n_cooc"), col("ppmi")))).as("__s"))
+      .select(col("__s.word").as("word"), col("__s.collocate").as("collocate"),
+        col("__s.n_cooc").as("n_cooc"), col("__s.ppmi").as("ppmi"))
+    graft.plans.TopK.perGroup(sides, Seq("word"),
+      Seq(("ppmi", true), ("collocate", false)), k)
+  }
+
+  /** The scored canonical-pair relation (__a, __b, n_cooc, ppmi) under
+    * [[ppmiFromPairCounts]] and [[ppmiPowerIteration]] — ONE definition
+    * so the collocation board and the embedding factorization can never
+    * disagree on a PPMI value. Marginals and N derive FROM the counts;
+    * the m_a·m_b product is DOUBLE in both engines (int64 would
+    * overflow at crawl-scale marginals); PPMI is rounded to 6 HERE,
+    * before anything ranks or quantizes it.
+    */
+  private[graft] def ppmiScoredPairs(counts: DataFrame,
+                                     minCount: Long): DataFrame = {
+    require(minCount >= 1, s"bad minCount: $minCount")
     // three consumers (filtered counts, marginals, N) — materialize once
     // (the termFrequencies discipline)
     val cAll = counts.select(col("a").as("__a"), col("b").as("__b"),
@@ -1323,22 +1345,85 @@ object TextAnalysis {
       .unionAll(cAll.select(col("__b").as("__w"), col("n_cooc")))
       .groupBy(col("__w")).agg(sum(col("n_cooc")).as("__m"))
     val nRow = cAll.agg(sum(col("n_cooc")).cast("double").as("__nn"))
-    val scored = c
+    c
       .join(m.select(col("__w").as("__a"), col("__m").as("__ma")), "__a")
       .join(m.select(col("__w").as("__b"), col("__m").as("__mb")), "__b")
       .crossJoin(broadcast(nRow))
       .select(col("__a"), col("__b"), col("n_cooc"),
         greatest(lit(0.0), round(log(col("n_cooc") * col("__nn") /
           (col("__ma").cast("double") * col("__mb"))), 6)).as("ppmi"))
-    val sides = scored.select(explode(array(
-        struct(col("__a").as("word"), col("__b").as("collocate"),
-          col("n_cooc"), col("ppmi")),
-        struct(col("__b").as("word"), col("__a").as("collocate"),
-          col("n_cooc"), col("ppmi")))).as("__s"))
-      .select(col("__s.word").as("word"), col("__s.collocate").as("collocate"),
-        col("__s.n_cooc").as("n_cooc"), col("__s.ppmi").as("ppmi"))
-    graft.plans.TopK.perGroup(sides, Seq("word"),
-      Seq(("ppmi", true), ("collocate", false)), k)
+  }
+
+  /** Dominant direction of the windowed-PPMI co-occurrence matrix via
+    * `rounds` unrolled power-iteration steps — the factorization step
+    * that completes the classical count-based embedding pipeline (q304
+    * builds exactly the matrix Levy & Goldberg 2014 show SGNS
+    * implicitly factorizes; the top singular direction is its rank-1
+    * summary, and for a symmetric non-negative matrix the dominant
+    * eigenvector is non-negative by Perron–Frobenius, so no sign
+    * bookkeeping is needed).
+    *
+    * Exactness: PPMI is already rounded to 6 decimals, so the edge
+    * weight w = round(ppmi·10⁶) is an EXACT int64 in both engines (the
+    * q305 micro-unit discipline); each round is then
+    * u = Σ_j w_ij·v_j (int64 products, 128-bit-exact sum) followed by
+    * the integer renormalization v' = (u·10⁶) DIV max(u) — every value
+    * replays bit-for-bit in the oracle's unrolled CTEs. The fixed round
+    * count is the exact-replay contract (the q300/q311/q316 tradeoff).
+    *
+    * Scale shape: the matrix stays an EDGE LIST — the matvec is an
+    * equi-join of the (pair-relation-sized) symmetrized edges with the
+    * vocab-sized vector plus one map-side-combined aggregate, never a
+    * dense matrix (vocab² would be absurd; the dense MatVecProduct
+    * expression is for bounded-dim embedding vectors, not this). Edges
+    * are checkpointed once; per-round vectors are vocab-sized
+    * checkpoints, released as soon as the next iterate materializes
+    * (the pageRankImpl hygiene; the final iterate stays pinned for the
+    * caller — the kCore precedent).
+    */
+  def ppmiPowerIteration(docs: DataFrame, window: Int = 4,
+                         minCount: Long = 5, rounds: Int = 3,
+                         textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds ($rounds) must be in [1, 8]")
+    val release =
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    val scored = ppmiScoredPairs(
+        windowedPairCounts(docs, window, textCol), minCount)
+      .filter(col("ppmi") > 0.0)
+      .select(col("__a").as("a"), col("__b").as("b"),
+        expr("CAST(round(ppmi * 1000000) AS BIGINT)").as("w"))
+    // symmetrize off one subtree (the q281 lesson); a diagonal pair
+    // (a = b, a token co-occurring with itself) must appear ONCE
+    val edges = scored.select(explode(
+        when(col("a") === col("b"), array(
+          struct(col("a").as("x"), col("b").as("y"), col("w"))))
+        .otherwise(array(
+          struct(col("a").as("x"), col("b").as("y"), col("w")),
+          struct(col("b").as("x"), col("a").as("y"), col("w")))))
+        .as("__e"))
+      .select(col("__e.x").as("x"), col("__e.y").as("y"), col("__e.w"))
+      .localCheckpoint()
+    var v = edges.select(col("x").as("word")).distinct()
+      .withColumn("score_micro", lit(1000000L))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val u = edges
+        .join(v.select(col("word").as("y"),
+          col("score_micro").as("__v")), Seq("y"))
+        .groupBy(col("x"))
+        .agg(sum((col("w") * col("__v")).cast("decimal(38,0)")).as("__u"))
+      val mx = u.agg(max(col("__u")).as("__mx"))
+      val next = u.crossJoin(broadcast(mx))
+        .select(col("x").as("word"),
+          expr("CAST(__u * 1000000 DIV greatest(__mx, 1) AS BIGINT)")
+            .as("score_micro"))
+        .localCheckpoint()
+      release(v)
+      v = next
+    }
+    release(edges)
+    v
   }
 
   def termCooccurrencePmi(docs: DataFrame, idCol: String = "doc_id",

@@ -969,4 +969,72 @@ class TextAnalysisSpec extends SparkSpec {
       assert(exprTier == 1L)
     } finally java.util.Locale.setDefault(prev)
   }
+
+  /** Independent plain-Scala replay of the integer power-iteration
+    * recursion over the windowed-PPMI matrix (maps and BigInt loops, no
+    * Spark) — the q300/q316 test discipline.
+    */
+  private def ppmiPowerReplay(docs: Seq[String], window: Int,
+                              minCount: Long, rounds: Int)
+      : Map[String, Long] = {
+    val pairs = docs.flatMap { t =>
+      val tk = t.trim.split("\\s+").filter(_.nonEmpty)
+      for {
+        i <- tk.indices
+        j <- (i + 1) until math.min(i + window + 1, tk.length)
+      } yield if (tk(i) <= tk(j)) (tk(i), tk(j)) else (tk(j), tk(i))
+    }
+    val n = pairs.size.toDouble
+    val cnt = pairs.groupBy(identity).map { case (k, v) => k -> v.size }
+    val marg = pairs.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    val w = cnt.filter(_._2 >= minCount).flatMap { case ((a, b), c) =>
+      val ppmi = math.max(0.0,
+        BigDecimal(math.log(c * n / (marg(a).toDouble * marg(b))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      if (ppmi > 0.0) {
+        val wi = BigDecimal(ppmi * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        if (a == b) Seq((a, b, wi)) else Seq((a, b, wi), (b, a, wi))
+      } else Nil
+    }.toSeq
+    val vocab = w.map(_._1).distinct
+    var v = vocab.map(_ -> 1000000L).toMap
+    for (_ <- 1 to rounds) {
+      val u = vocab.map { x =>
+        x -> w.collect { case (`x`, y, wi) => BigInt(wi) * v(y) }.sum
+      }.toMap
+      val mx = u.values.max
+      v = vocab.map(x =>
+        x -> (u(x) * 1000000 / (if (mx > 0) mx else 1)).toLong).toMap
+    }
+    v
+  }
+
+  test("ppmiPowerIteration replays the integer recursion exactly; " +
+    "minCount prunes filler vocabulary and the iterate stays " +
+    "max-normalized") {
+    import spark.implicits._
+    // two disconnected collocation clusters ({x,y} tight 3-node-ish
+    // component with self-loops, {p,q} a bare pair) made RARE relative
+    // to the corpus by unique-token filler docs (PPMI rewards
+    // above-independence co-occurrence, so frequency-dominant tokens
+    // would score ~0 — the first draft of this fixture learned that);
+    // filler pairs occur once each and fall to minCount
+    val docs = Seq.fill(4)("x y x y") ++ Seq.fill(2)("p q") ++
+      (0 until 30).map(i => s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f")
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .ppmiPowerIteration(df, window = 2, minCount = 2, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = ppmiPowerReplay(docs, window = 2, minCount = 2, rounds = 3)
+    assert(got.nonEmpty && got == expect, s"got=$got expect=$expect")
+    assert(got.keySet == Set("x", "y", "p", "q"),
+      s"minCount must prune the filler vocab: ${got.keySet}")
+    assert(got.values.max == 1000000L) // max-normalized each round
+    // within each disconnected component the two endpoints of the
+    // symmetric pair converge to equal scores
+    assert(got("p") == got("q"))
+  }
 }
