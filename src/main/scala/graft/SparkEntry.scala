@@ -381,6 +381,77 @@ object SparkEntry {
        |  FROM pdct d JOIN pmed m ON d.id = m.id
        |  GROUP BY d.id, d.w, d.h)""".stripMargin
 
+  /** Synthetic crawl-URL fixture for q318/q319: five deterministic
+    * variants per doc (case + default port / trailing slash / tracking
+    * params / param order + fragment / non-default port) over a shared
+    * path space, so canonicalization provably collapses the first four
+    * and keeps the fifth distinct. Plain string concatenation — the
+    * oracle builds the identical strings.
+    */
+  private def urlFixture(s: SparkSession, d: String): DataFrame = {
+    val p = (col("doc_id") % 7).cast("string")
+    val url = when(col("doc_id") % 5 === 0,
+        concat(lit("HTTPS://WWW.Example.COM:443/docs/"), p))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("https://www.example.com/docs/"), p, lit("/")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("https://www.example.com/docs/"), p,
+          lit("?utm_source=feed&gclid=z")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("https://www.example.com/docs/"), p, lit("?b=2&a=1#top")))
+      .otherwise(
+        concat(lit("http://www.example.com:8080/docs/"), p,
+          lit("?a=1&b=2")))
+    T(s, d, "documents").select(col("doc_id"), url.as("url"))
+  }
+
+  /** The q318/q319 fixture + canonicalization as DuckDB CTEs — yields
+    * `uc(doc_id, url, canonical_url, site)`, the exact RE2 mirror of
+    * [[graft.ops.Web.canonicalizeUrl]]'s rule set.
+    */
+  private lazy val urlCanonCtesSql: String =
+    """uf AS (SELECT doc_id,
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN concat('HTTPS://WWW.Example.COM:443/docs/',
+      |        CAST(doc_id % 7 AS VARCHAR))
+      |      WHEN 1 THEN concat('https://www.example.com/docs/',
+      |        CAST(doc_id % 7 AS VARCHAR), '/')
+      |      WHEN 2 THEN concat('https://www.example.com/docs/',
+      |        CAST(doc_id % 7 AS VARCHAR), '?utm_source=feed&gclid=z')
+      |      WHEN 3 THEN concat('https://www.example.com/docs/',
+      |        CAST(doc_id % 7 AS VARCHAR), '?b=2&a=1#top')
+      |      ELSE concat('http://www.example.com:8080/docs/',
+      |        CAST(doc_id % 7 AS VARCHAR), '?a=1&b=2')
+      |    END AS url FROM documents),
+      |up AS (SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |      AS scheme,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+      |      AS auth,
+      |    regexp_replace(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+      |      AS cpath,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS query FROM uf),
+      |uq AS (SELECT doc_id, url, scheme,
+      |    lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
+      |    regexp_extract(auth, ':([0-9]+)$', 1) AS port, cpath,
+      |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |      p -> len(p) > 0 AND NOT starts_with(p, 'utm_')
+      |        AND NOT starts_with(p, 'gclid=')
+      |        AND NOT starts_with(p, 'fbclid=')
+      |        AND NOT starts_with(p, 'msclkid=')
+      |        AND NOT starts_with(p, 'ref='))), '&') AS q FROM up),
+      |uc AS (SELECT doc_id, url,
+      |    concat(scheme, '://', host,
+      |      CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+      |          AND NOT (scheme = 'https' AND port = '443')
+      |        THEN concat(':', port) ELSE '' END,
+      |      cpath,
+      |      CASE WHEN q <> '' THEN concat('?', q) ELSE '' END)
+      |      AS canonical_url,
+      |    regexp_replace(host, '^www\.', '') AS site
+      |  FROM uq)""".stripMargin
+
   /** DuckDB mirror of `TextAnalysis.cleanText` — shared by q87 and the
     * q100 pipeline capstone.
     */
@@ -3348,6 +3419,20 @@ object SparkEntry {
       // per-round vocab-sized checkpoints, released on the next iterate
       TextAnalysis.ppmiPowerIteration(T(s, d, "documents"), window = 4,
         minCount = 2, rounds = 3)),
+    "q318_url_canonicalize" -> ((s, d) =>
+      // crawl-pipeline URL normalization: case/default-port/trailing-
+      // slash/fragment/tracking-param/param-order variants collapse to
+      // one canonical string — pure regexp/split/sort column
+      // expressions, one map-only projection, every rule replayed
+      // byte-for-byte by the RE2 oracle
+      urlFixture(s, d).select(col("doc_id"), col("url"),
+        Web.canonicalizeUrl(col("url")).as("canonical_url"),
+        Web.siteOf(col("url")).as("site"))),
+    "q319_url_dedup" -> ((s, d) =>
+      // URL-level dedup — the pass a crawl runs BEFORE any content
+      // stage: group by canonical URL, keep the lowest id as
+      // representative; no bytes compared at all
+      Web.urlDedup(urlFixture(s, d))),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -7789,6 +7874,14 @@ object SparkEntry {
          |$roundCtes
          |SELECT word, s AS score_micro FROM pv3""".stripMargin
     },
+    "q318_url_canonicalize" ->
+      s"""WITH $urlCanonCtesSql
+         |SELECT doc_id, url, canonical_url, site FROM uc""".stripMargin,
+    "q319_url_dedup" ->
+      s"""WITH $urlCanonCtesSql
+         |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_copies,
+         |  min(doc_id) AS rep_id
+         |FROM uc GROUP BY canonical_url HAVING count(*) >= 2""".stripMargin,
     "q312_release_gate" -> {
       // per-doc blocked = OR over the phrase list's replace-difference
       // hits (≡ the Spark side's summed-hits > 0); PII counts replay the

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Web
+
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(Web.canonicalizeUrl(col("url"))).as[String]
+      .collect().toSeq
+
+  test("canonicalizeUrl rule table: case, default port, trailing slash, " +
+    "fragment, tracking params, param order") {
+    val table = Seq(
+      // scheme + host lowercase, path case preserved
+      "HTTP://ExAmple.COM/A/B" -> "http://example.com/A/B",
+      // default ports stripped, non-default kept
+      "http://example.com:80/x" -> "http://example.com/x",
+      "https://example.com:443/x" -> "https://example.com/x",
+      "https://example.com:444/x" -> "https://example.com:444/x",
+      "http://example.com:443/x" -> "http://example.com:443/x",
+      // trailing slashes stripped (root included)
+      "https://example.com/" -> "https://example.com",
+      "https://example.com/a///" -> "https://example.com/a",
+      // fragment dropped
+      "https://example.com/a#sec-2" -> "https://example.com/a",
+      // tracking params dropped, emptied query drops its '?'
+      "https://example.com/a?utm_source=x&utm_medium=y&gclid=1"
+        -> "https://example.com/a",
+      // surviving params sorted; ref/fbclid/msclkid dropped
+      "https://example.com/a?z=9&fbclid=f&a=1&ref=r&msclkid=m"
+        -> "https://example.com/a?a=1&z=9",
+      // a non-tracking param whose VALUE merely contains utm survives
+      "https://example.com/a?q=utm_test" -> "https://example.com/a?q=utm_test",
+      // empty query string
+      "https://example.com/a?" -> "https://example.com/a",
+      // www is part of the canonical URL (siteOf strips it, not this)
+      "https://WWW.Example.com/a" -> "https://www.example.com/a")
+    val got = canon(table.map(_._1): _*)
+    table.map(_._2).zip(got).zip(table.map(_._1)).foreach {
+      case ((want, g), in) => assert(g == want, s"$in -> $g, want $want")
+    }
+  }
+
+  test("siteOf strips one leading www and the port; hostCensus counts " +
+    "duplicate fetches per site") {
+    val df = Seq(
+      (1L, "https://www.a.com:443/x"),
+      (2L, "https://a.com/x/"), // same page modulo www — different site key? no: site a.com for both
+      (3L, "https://b.com/y?utm_source=z"),
+      (4L, "https://b.com/y"),
+      (5L, "https://b.com/z")).toDF("doc_id", "url")
+    val sites = df.select(Web.siteOf(col("url"))).as[String].collect()
+    assert(sites.toSeq == Seq("a.com", "a.com", "b.com", "b.com", "b.com"))
+    val census = Web.hostCensus(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // a.com: urls differ only by www → canonical still differs (www is
+    // kept in the URL), so 2 pages / 2 canonical
+    assert(census("a.com") == ((2L, 2L, 0L)))
+    // b.com: the tracking-param variant collapses → 3 pages, 2 canonical
+    assert(census("b.com") == ((3L, 2L, 333333L)))
+  }
+
+  test("urlDedup groups only true canonical collisions and keeps the " +
+    "lowest id as representative") {
+    val df = Seq(
+      (10L, "HTTPS://Example.com:443/p?b=2&a=1#f"),
+      (11L, "https://example.com/p?a=1&b=2"),
+      (12L, "https://example.com/p?a=1&b=3"),
+      (13L, "https://example.com/q/"),
+      (14L, "https://example.com/q")).toDF("doc_id", "url")
+    val got = Web.urlDedup(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "https://example.com/p?a=1&b=2" -> ((2L, 10L)),
+      "https://example.com/q" -> ((2L, 13L))))
+  }
+}
