@@ -3433,6 +3433,42 @@ object SparkEntry {
       // stage: group by canonical URL, keep the lowest id as
       // representative; no bytes compared at all
       Web.urlDedup(urlFixture(s, d))),
+    "q320_audio_spectral_fp" -> ((s, d) =>
+      // robust spectral audio hash over REAL decoded PCM: Walsh
+      // (sequency) band correlations — exact int64, no runtime cos on
+      // either engine — coded as adjacent-band deltas, so the hash is
+      // volume-invariant and frequency-sensitive where the time-domain
+      // energy profile of audioFingerprint (q296's key) is blind (both
+      // pinned in MultimodalSpec); map-only per audio row, oracle
+      // replays every band from the synth closed form
+      Multimodal.audioSequencyFingerprint(
+        Multimodal.synthesizeWav(s, T(s, d, "documents").select("doc_id"),
+          "doc_id"))
+        .drop("decode_error")), // clean fixture — census is q282's job
+    "q321_audio_spectral_dup_indexed" -> ((s, d) => {
+      // audio near-dup against a STANDING corpus through the SAME
+      // generic fingerprint index as q296, keyed on the ROBUST spectral
+      // hash instead of exact bytes — the index lifecycle is key-
+      // agnostic, so the spectral tier gets build/probe/append/delete
+      // for free; with patternMod=5, n_samples = pid+20 is injective so
+      // the oracle is pure id arithmetic while Spark proves decode +
+      // Walsh bands + bucketed index end to end
+      val docs = T(s, d, "documents").select("doc_id")
+      val name = s"audiosfp_idx_${tagFor(d)}"
+      val keys = Seq("spectral_fp", "n_samples")
+      if (!s.catalog.tableExists(s"${name}_fp"))
+        Dedup.buildFingerprintIndex(
+          Multimodal.audioSequencyFingerprint(Multimodal.synthesizeWav(s,
+            docs.filter(col("doc_id") % 2 === 0), "doc_id",
+            patternMod = 5)).filter(col("decode_error").isNull),
+          name, s"/tmp/graft_clusters/audiosfp_${tagFor(d)}", keys,
+          "media_id")
+      Dedup.probeFingerprintIndex(
+        Multimodal.audioSequencyFingerprint(Multimodal.synthesizeWav(s,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id",
+          patternMod = 5)).filter(col("decode_error").isNull),
+        name, keys, "media_id")
+    }),
     "q296_audio_dup_indexed" -> ((s, d) => {
       // exact audio dedup against a STANDING corpus at batch cost: the
       // generic fingerprint index keyed on (fingerprint, n_samples) over
@@ -7882,6 +7918,39 @@ object SparkEntry {
          |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_copies,
          |  min(doc_id) AS rep_id
          |FROM uc GROUP BY canonical_url HAVING count(*) >= 2""".stripMargin,
+    "q320_audio_spectral_fp" ->
+      // replays the synthetic PCM closed form + Walsh square-wave band
+      // correlations + adjacent-|X| delta bits; a match proves the
+      // Spark side's REAL WAV decode reproduces the samples and the
+      // exact-integer band fold bit-for-bit
+      """WITH am AS (SELECT doc_id AS id, doc_id % 50 + 20 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |ai AS (SELECT id, n, unnest(range(n)) AS i FROM am),
+        |asamp AS (SELECT id, n, i,
+        |    (id * 31 + i * 17) % 2001 - 1000 AS s FROM ai),
+        |ab AS (SELECT asamp.*, unnest(range(16)) AS b FROM asamp),
+        |ax AS (SELECT id, n, b, CAST(sum(s *
+        |      (CASE WHEN ((i * (CAST(1 AS BIGINT) << (b + 1))) // n) % 2 = 0
+        |        THEN 1 ELSE -1 END)) AS BIGINT) AS x
+        |  FROM ab GROUP BY id, n, b),
+        |axl AS (SELECT id, n, b, abs(x) AS e,
+        |    lag(abs(x)) OVER (PARTITION BY id ORDER BY b) AS ep FROM ax),
+        |afp AS (SELECT id, n,
+        |    CAST(sum(CASE WHEN b >= 1 AND e > ep
+        |      THEN (CAST(1 AS BIGINT) << (b - 1)) ELSE 0 END) AS BIGINT)
+        |      AS fp
+        |  FROM axl GROUP BY id, n)
+        |SELECT id AS media_id, CAST(n AS BIGINT) AS n_samples,
+        |  fp AS spectral_fp
+        |FROM afp""".stripMargin,
+    "q321_audio_spectral_dup_indexed" ->
+      // equal (spectral_fp, n_samples) ⇔ equal pattern id (n_samples =
+      // pid+20 injective over pid < 5) — same shape as the q296 oracle
+      """SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        |FROM documents b JOIN documents c
+        |  ON b.doc_id % 5 = c.doc_id % 5
+        |WHERE b.doc_id % 3 = 1 AND b.doc_id % 2 = 1
+        |  AND c.doc_id % 3 = 1 AND c.doc_id % 2 = 0""".stripMargin,
     "q312_release_gate" -> {
       // per-doc blocked = OR over the phrase list's replace-difference
       // hits (≡ the Spark side's summed-hits > 0); PII counts replay the

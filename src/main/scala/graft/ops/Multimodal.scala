@@ -933,6 +933,84 @@ object Multimodal {
       .toDF()
   }
 
+  case class AudioSpectralFp(media_id: Long, n_samples: Option[Long],
+                             spectral_fp: Option[Long],
+                             decode_error: Option[String])
+
+  /** Robust SPECTRAL audio fingerprint over REAL decoded PCM — the
+    * frequency-domain sibling of [[audioFingerprint]] (whose time-window
+    * energy deltas are blind to frequency content: a constant tone and
+    * an alternating square wave with equal per-window Σ|s| collide
+    * there; MultimodalSpec pins exactly that pair apart here). Band
+    * analysis uses WALSH (square-wave / sequency) correlations instead
+    * of a DFT: band b correlates the signal with the ±1 square wave
+    * holding 2^(b+1) half-periods over the clip
+    * (sign_b(i) = +1 iff (i·2^(b+1)) div n is even), so
+    * X_b = Σ_i s_i·sign_b(i) is EXACT int64 — a cosine basis would need
+    * runtime cos() on both engines, whose micro-unit rounding can drift
+    * in the last ulp (the hardcoded-table trick that saved pHash cannot
+    * cover every clip length n). Sequency analysis is the classical
+    * integer-exact spectral decomposition (Walsh–Hadamard family), and
+    * the fingerprint only needs a stable spectral SHAPE, not Fourier
+    * coefficients.
+    *
+    * Bit b−1 is set iff |X_b| > |X_{b−1}| — the same adjacent-delta
+    * coding as the time-domain tier, which makes the hash
+    * VOLUME-INVARIANT (scaling all samples by α > 0 scales every |X_b|
+    * together and preserves strict comparisons — pinned in
+    * MultimodalSpec with a re-encoded 3× clip whose bytes and exact
+    * fingerprint both change while this hash holds). Short/undecodable
+    * clips quarantine exactly like [[audioFingerprint]].
+    */
+  def audioSequencyFingerprint(media: DataFrame,
+                               bands: Int = 16): DataFrame = {
+    require(bands >= 2 && bands <= 64, s"bands must be in [2, 64]: $bands")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "audio" && col("content").isNotNull)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            require(ais.getFormat.getSampleSizeInBits == 16 &&
+              ais.getFormat.getChannels == 1, "expected 16-bit mono PCM")
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            if (n < bands) throw new IllegalArgumentException(
+              s"audio too short to fingerprint: n_samples=$n < bands=$bands")
+            val x = new Array[Long](bands)
+            var i = 0
+            while (i < n) {
+              val s = ((raw(2 * i + 1).toInt << 8) |
+                (raw(2 * i) & 0xff)).toLong
+              var b = 0
+              while (b < bands) {
+                val sign = if ((i.toLong * (1L << (b + 1)) / n) % 2 == 0) 1L
+                  else -1L
+                x(b) += s * sign
+                b += 1
+              }
+              i += 1
+            }
+            var fp = 0L
+            var b = 1
+            while (b < bands) {
+              if (math.abs(x(b)) > math.abs(x(b - 1))) fp |= 1L << (b - 1)
+              b += 1
+            }
+            AudioSpectralFp(id, Some(n.toLong), Some(fp), None)
+          } catch { case scala.util.control.NonFatal(e) =>
+            AudioSpectralFp(id, None, None, Some(decodeErrMsg(e)))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** REAL WAV synthesis: encodes the deterministic PCM test signal with
     * `javax.sound.sampled` (JDK-native RIFF/WAVE writer, zero extra
     * dependencies) — 16-bit signed little-endian mono at 16 kHz,

@@ -753,6 +753,71 @@ class MultimodalSpec extends SparkSpec {
       maxDist = 3).isEmpty)
   }
 
+  private def wavBytes(samples: Array[Int]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
+      true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioSequencyFingerprint separates signals the time-domain " +
+    "energy profile cannot, and is volume-invariant where the exact " +
+    "bytes are not") {
+    // constant tone vs ±alternation: per-window sum-|s| energies are
+    // IDENTICAL (audioFingerprint collides), but the sequency spectrum
+    // concentrates at opposite ends (spectral tier separates); 3× the
+    // alternating clip changes the bytes but scales every |X_b|
+    // together, so the delta-coded spectral hash is unchanged
+    val n = 64
+    val const = Array.fill(n)(500)
+    val alt = Array.tabulate(n)(i => if (i % 2 == 0) 500 else -500)
+    val alt3 = alt.map(_ * 3)
+    val media = Seq(
+      (1L, "audio", wavBytes(const)),
+      (2L, "audio", wavBytes(alt)),
+      (3L, "audio", wavBytes(alt3)))
+      .toDF("media_id", "kind", "content")
+    val tfp = Multimodal.audioFingerprint(media)
+      .select(col("media_id"), col("fingerprint"))
+      .as[(Long, Long)].collect().toMap
+    assert(tfp(1L) == tfp(2L),
+      s"time-domain tier must collide on equal window energies: $tfp")
+    val sfp = Multimodal.audioSequencyFingerprint(media)
+      .select(col("media_id"), col("spectral_fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(sfp(1L) != sfp(2L),
+      s"spectral tier must separate tone from alternation: $sfp")
+    assert(sfp(2L) == sfp(3L),
+      s"spectral hash must be volume-invariant: $sfp")
+    // ...and the 3x re-encode is byte-distinct (exact dedup would miss)
+    val bytes = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(!java.util.Arrays.equals(bytes(2L), bytes(3L)))
+  }
+
+  test("audioSequencyFingerprint quarantine: short and corrupt clips " +
+    "carry decode_error, never a hash") {
+    val media = Seq(
+      (1L, "audio", wavBytes(Array.fill(8)(100))), // 8 < 16 bands
+      (2L, "audio", Array[Byte](1, 2, 3)),
+      (3L, "audio", wavBytes(Array.fill(32)(100))))
+      .toDF("media_id", "kind", "content")
+    val out = Multimodal.audioSequencyFingerprint(media).collect()
+      .map(r => r.getLong(0) ->
+        ((r.isNullAt(2), r.isNullAt(3)))).toMap
+    assert(out(1L) == ((true, false)) && out(2L) == ((true, false)))
+    assert(out(3L) == ((false, true)))
+  }
+
   test("imagePHash quarantine: corrupt blobs yield (null lanes, " +
     "decode_error) like every codec tier") {
     val imgIds = (0L to 57L by 3L).toDF("doc_id")
