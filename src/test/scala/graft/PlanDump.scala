@@ -86,12 +86,20 @@ object PlanDump {
     "q305_bitext_mining" -> "bitext mining: block-grid cross-score (no corpus broadcast, no nested loop), GroupedTopK for both kNN directions and both argmax ranks",
     "q306_multimodal_packing" -> "VLM window census: two-level prefix scan, docs explode to exactly their windows, partial-aggregated per-window fold",
     "q307_l_diversity" -> "l-diversity: one corpus groupBy on (QI, sensitive), threshold census over the cell-sized relation, broadcast-exploded thresholds",
-    "q308_t_closeness" -> "t-closeness: decimal(38,0) exact TV distance; value marginals and group totals rejoin the cell relation broadcast",
+    "q308_t_closeness" -> "t-closeness: decimal(38,0) exact TV distance; group totals fall out of the two-level QI aggregate (bounded pair-list state, NO QI-keyed join), only value marginals and the 1-row total broadcast",
     "q309_blocklist_census" -> "blocklist census: text consumed in ONE map-only projection (single scan, n_docs piggybacked on the phrase rollup), |phrases|-sized partial+final aggregate",
     "q310_blocklist_ac" -> "blocklist AC tier: broadcast automaton in mapPartitions (DeserializeToObject span), sparse hits re-aggregate, zero rows rejoin broadcast",
     "q311_integer_kmeans" -> "integer k-means final round: argmin over k literal centroids (zip_with/aggregate folds), one partial-aggregated report fold",
     "q312_release_gate" -> "release gate: ONE corpus scan through a single (source, bucket, lang) aggregation chain — no second branch, langs as bounded set state",
-    "q313_kcenter_coreset" -> "k-center: portable-hash pool gate pushed to the scan; per-round argmax is TakeOrdered(1) over the checkpointed pool")
+    "q313_kcenter_coreset" -> "k-center: portable-hash pool gate pushed to the scan; per-round argmax is TakeOrdered(1) over the checkpointed pool",
+    "q314_image_phash" -> "pHash: map-only codec tier (metadata kind filter before any deserialization), zero exchanges before the output-sized projection",
+    "q315_phash_neardup_pairs" -> "pHash near-dup: the generic banded Hamming self-join over renamed lanes — equi-join on (band_id, band_val), distinct candidates, bit_count verify, no all-pairs scan",
+    "q316_bradley_terry" -> "Bradley-Terry MM round: matchup-sized aggregate with the items-sized strength relation joined back BROADCAST twice; per-round checkpoints keep the plan linear in rounds",
+    "q317_ppmi_power_iteration" -> "PPMI power iteration: edge-list matvec (equi-join + partial-aggregated sum, decimal-exact), 1-row max broadcast renorm, checkpointed per-round iterates",
+    "q318_url_canonicalize" -> "URL canonicalization: ONE map-only whole-stage-codegen projection — regexp/split/sort expressions, zero exchanges",
+    "q319_url_dedup" -> "URL dedup: map-only canonicalization into one map-side-combined groupBy on the canonical key",
+    "q320_audio_spectral_fp" -> "sequency audio fingerprint: map-only codec tier over audio rows only, no exchange before the output-sized projection",
+    "q321_audio_spectral_dup_indexed" -> "spectral audio index probe: batch-side decode map-only, equi-join on (spectral_fp, n_samples) against the bucketed index read in place")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
