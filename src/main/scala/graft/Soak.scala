@@ -216,6 +216,29 @@ object Soak {
       consume(ops.TextAnalysis.blocklistCensusAC(docs, phrases))
     }
 
+    stage("url_canonical_dedup") {
+      // q318/q319's family over the scaled corpus: the crawl's FIRST
+      // dedup pass — canonicalization is one map-only codegen regex
+      // projection, the dedup one map-side-combined groupBy on the
+      // canonical string; ~10k path space × 5 variants gives real
+      // group sizes without a planted hot key
+      val p = (col("doc_id") % 9973L).cast("string")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("HTTPS://WWW.Example.COM:443/docs/"), p))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("https://www.example.com/docs/"), p, lit("/")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://www.example.com/docs/"), p,
+            lit("?utm_source=feed&gclid=z")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("https://www.example.com/docs/"), p,
+            lit("?b=2&a=1#top")))
+        .otherwise(concat(lit("http://www.example.com:8080/docs/"), p,
+          lit("?a=1&b=2")))
+      consume(ops.Web.urlDedup(
+        docs.select(col("doc_id"), url.as("url"))))
+    }
+
     // ---- skewed stages (VERDICT r11 #4) --------------------------------
     // Volume scaling alone inherits sf0.1's benign key distributions; the
     // scale-killers the bounded-state defenses exist for only appear
