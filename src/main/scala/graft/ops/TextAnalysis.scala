@@ -1383,13 +1383,23 @@ object TextAnalysis {
     */
   def ppmiPowerIteration(docs: DataFrame, window: Int = 4,
                          minCount: Long = 5, rounds: Int = 3,
-                         textCol: String = "text"): DataFrame = {
+                         textCol: String = "text"): DataFrame =
+    ppmiPowerIterationFromCounts(
+      windowedPairCounts(docs, window, textCol), minCount, rounds)
+
+  /** The power-iteration fold off an (a, b, n) pair-count relation —
+    * ONE definition shared by [[ppmiPowerIteration]] and the streaming
+    * snapshot reader (the count relation is the complete mergeable
+    * state, so the live embedding direction equals the batch statistic
+    * by construction; StreamingSpec pins it).
+    */
+  def ppmiPowerIterationFromCounts(counts: DataFrame, minCount: Long = 5,
+                                   rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= 8,
       s"rounds ($rounds) must be in [1, 8]")
     val release =
       org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
-    val scored = ppmiScoredPairs(
-        windowedPairCounts(docs, window, textCol), minCount)
+    val scored = ppmiScoredPairs(counts, minCount)
       .filter(col("ppmi") > 0.0)
       .select(col("__a").as("a"), col("__b").as("b"),
         expr("CAST(round(ppmi * 1000000) AS BIGINT)").as("w"))

@@ -727,6 +727,19 @@ object EventStream {
   def leaderboardFromStore(spark: SparkSession, dest: String): DataFrame =
     graft.ops.Preference.leaderboardFromMatchups(spark.read.parquet(dest))
 
+  /** Live Bradley–Terry strengths off the SAME streamed matchup snapshot
+    * — the matchup relation is the complete mergeable state for the MM
+    * fit too (wins and game counts per pair are all the recursion
+    * reads), so the live strength table equals the batch q316 statistic
+    * through the ONE shared
+    * [[graft.ops.Preference.bradleyTerryFromMatchups]] recursion
+    * (StreamingSpec pins multi-batch ≡ one-shot).
+    */
+  def bradleyTerryFromStore(spark: SparkSession, dest: String,
+                            rounds: Int = 3): DataFrame =
+    graft.ops.Preference.bradleyTerryFromMatchups(
+      spark.read.parquet(dest), rounds)
+
   /** Streaming twin of q304's collocation board: merge a micro-batch's
     * windowed co-occurrence pair counts into the standing (a, b, n)
     * snapshot at `dest`. Pairs never cross document boundaries and docs
@@ -909,6 +922,20 @@ object EventStream {
                     k: Int = 5): DataFrame =
     graft.ops.TextAnalysis.ppmiFromPairCounts(
       spark.read.parquet(dest), minCount, k)
+
+  /** Live PPMI power-iteration direction off the SAME streamed
+    * co-occurrence snapshot — the (a, b, n) counts are the complete
+    * mergeable state for the factorization too (PPMI weights and the
+    * matvec both derive from them), so the live embedding direction
+    * equals the batch q317 statistic through the ONE shared
+    * [[graft.ops.TextAnalysis.ppmiPowerIterationFromCounts]] fold
+    * (StreamingSpec pins multi-batch ≡ one-shot).
+    */
+  def ppmiPowerIterationFromStore(spark: SparkSession, dest: String,
+                                  minCount: Long = 5,
+                                  rounds: Int = 3): DataFrame =
+    graft.ops.TextAnalysis.ppmiPowerIterationFromCounts(
+      spark.read.parquet(dest), minCount, rounds)
 
   /** Live threshold-free classifier report: the streamed score-count
     * snapshot at `dest` through the ONE shared

@@ -1086,6 +1086,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("Exchange rangepartitioning"), s)
   }
 
+  test("q314/q318/q320 are map-only plans: no exchange before the " +
+    "output-sized projection") {
+    // the pHash codec tier, the URL canonicalizer and the sequency
+    // audio fingerprint are all one whole-stage projection (plus the
+    // codec mapPartitions span) — a shuffle appearing here means a
+    // regression broke the map-only contract
+    for (q <- Seq("q314_image_phash", "q318_url_canonicalize",
+        "q320_audio_spectral_fp")) {
+      val s = planString(SparkEntry.queries(q)(spark, sf0001))
+      assert(!s.contains("Exchange"), s"$q grew a shuffle:\n$s")
+    }
+  }
+
   test("q308 t-closeness: the QI-group-cardinality relation never " +
     "crosses a BroadcastExchange and no join is keyed on the QI") {
     import org.apache.spark.sql.functions._

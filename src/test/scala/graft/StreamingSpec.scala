@@ -680,6 +680,13 @@ class StreamingSpec extends SparkSpec {
     val batch = graft.ops.Preference.leaderboard(cmp)
       .collect().map(_.toSeq).toSet
     assert(streamed.nonEmpty && streamed == batch)
+    // the SAME matchup snapshot serves the Bradley-Terry fit (q316):
+    // wins and game counts per pair are all the MM recursion reads
+    val btS = EventStream.bradleyTerryFromStore(spark, dest, rounds = 2)
+      .collect().map(_.toSeq).toSet
+    val btB = graft.ops.Preference.bradleyTerryFit(cmp, rounds = 2)
+      .collect().map(_.toSeq).toSet
+    assert(btS.nonEmpty && btS == btB)
   }
 
   test("streaming collocation board equals the batch q304 PPMI after " +
@@ -695,6 +702,15 @@ class StreamingSpec extends SparkSpec {
       .windowedPpmi(docs, window = 4, minCount = 3, k = 3)
       .collect().map(_.toSeq).toSet
     assert(streamed.nonEmpty && streamed == batch)
+    // the SAME count snapshot serves the power-iteration direction
+    // (q317): PPMI weights and the matvec both derive from the counts
+    val piS = EventStream.ppmiPowerIterationFromStore(spark, dest,
+        minCount = 2, rounds = 2)
+      .collect().map(_.toSeq).toSet
+    val piB = graft.ops.TextAnalysis
+      .ppmiPowerIteration(docs, window = 4, minCount = 2, rounds = 2)
+      .collect().map(_.toSeq).toSet
+    assert(piS.nonEmpty && piS == piB)
   }
 
   test("streaming blocklist board equals the batch q309 census after " +
