@@ -1412,10 +1412,21 @@ object Multimodal {
     */
   def buildAHashIndex(media: DataFrame, name: String, path: String,
                       grid: Int = 8, bands: Int = 4,
-                      numBuckets: Int = 32): Unit = {
+                      numBuckets: Int = 32): Unit =
+    buildHashIndex(imageAHash(media, grid)
+      .filter(col("decode_error").isNull), name, path, bands, numBuckets)
+
+  /** Build the banded Hamming index from an ALREADY-computed 64-bit
+    * hash relation (media_id, ahash_hi, ahash_lo) — the hash-GENERIC
+    * entry point: the pHash tier persists its index through here via
+    * [[phashAsHashRelation]] (MultimodalSpec pins the brightness-shift
+    * catch through the persisted lifecycle), and [[buildAHashIndex]] is
+    * just this over the aHash codec tier.
+    */
+  def buildHashIndex(ah: DataFrame, name: String, path: String,
+                     bands: Int = 4, numBuckets: Int = 32): Unit = {
     require(bands >= 2 && 64 % bands == 0 && 32 % (64 / bands) == 0,
       s"bands must split the two 32-bit lanes evenly: $bands")
-    val ah = imageAHash(media, grid).filter(col("decode_error").isNull)
     graft.io.IO.writeBucketed(ahashBanded(ah, bands), s"${name}_bands",
       s"$path/bands", Seq("band_id", "band_val"), numBuckets,
       Seq("band_id", "band_val"))

@@ -818,6 +818,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == ((false, true)))
   }
 
+  test("pHash rides the PERSISTED banded index lifecycle: a brightness-" +
+    "shifted probe matches through the pHash index and not the aHash one") {
+    def grad(shift: Int)(x: Int, y: Int): Int =
+      (x * 255) / 15 + (if ((x + y) % 2 == 0) 8 else 0) + shift
+    def noise(x: Int, y: Int): Int = (x * 31 + y * 17) % 256
+    val corpus = Seq(
+      (1L, "image", pngBytes(16, 16, grad(0))),
+      (2L, "image", pngBytes(16, 16, noise)))
+      .toDF("media_id", "kind", "content")
+    val batch = Seq((10L, "image", pngBytes(16, 16, grad(120))))
+      .toDF("media_id", "kind", "content")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_phash_idx").toString
+    Multimodal.buildHashIndex(
+      Multimodal.phashAsHashRelation(Multimodal.imagePHash(corpus)),
+      "t_ph_idx", s"$dir/ph", bands = 4)
+    val hits = Multimodal.probeAHashHashes(
+      Multimodal.phashAsHashRelation(Multimodal.imagePHash(batch)),
+      "t_ph_idx", maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hits == Seq((10L, 1L)),
+      s"pHash index must catch the clipped-brightness re-host: $hits")
+    // the same probe through an aHash index of the same corpus misses
+    Multimodal.buildAHashIndex(corpus, "t_ah_bright_idx", s"$dir/ah",
+      bands = 4)
+    assert(Multimodal.probeAHashIndex(batch, "t_ah_bright_idx",
+      maxDist = 3).isEmpty)
+  }
+
   test("imagePHash quarantine: corrupt blobs yield (null lanes, " +
     "decode_error) like every codec tier") {
     val imgIds = (0L to 57L by 3L).toDF("doc_id")
