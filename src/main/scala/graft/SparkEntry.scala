@@ -390,15 +390,21 @@ object SparkEntry {
     */
   private def urlFixture(s: SparkSession, d: String): DataFrame = {
     val p = (col("doc_id") % 7).cast("string")
-    val url = when(col("doc_id") % 5 === 0,
+    val url = when(col("doc_id") % 6 === 0,
         concat(lit("HTTPS://WWW.Example.COM:443/docs/"), p))
-      .when(col("doc_id") % 5 === 1,
+      .when(col("doc_id") % 6 === 1,
         concat(lit("https://www.example.com/docs/"), p, lit("/")))
-      .when(col("doc_id") % 5 === 2,
+      .when(col("doc_id") % 6 === 2,
         concat(lit("https://www.example.com/docs/"), p,
           lit("?utm_source=feed&gclid=z")))
-      .when(col("doc_id") % 5 === 3,
+      .when(col("doc_id") % 6 === 3,
         concat(lit("https://www.example.com/docs/"), p, lit("?b=2&a=1#top")))
+      .when(col("doc_id") % 6 === 4,
+        // unreserved percent-escapes (%64='d' in the path, %31='1' in a
+        // param value) — must merge with the bare-spelled variant-3
+        // group after decode + param sort
+        concat(lit("https://www.example.com/%64ocs/"), p,
+          lit("?a=%31&b=2")))
       .otherwise(
         concat(lit("http://www.example.com:8080/docs/"), p,
           lit("?a=1&b=2")))
@@ -410,8 +416,8 @@ object SparkEntry {
     * [[graft.ops.Web.canonicalizeUrl]]'s rule set.
     */
   private lazy val urlCanonCtesSql: String =
-    """uf AS (SELECT doc_id,
-      |    CASE doc_id % 5
+    s"""uf AS (SELECT doc_id,
+      |    CASE doc_id % 6
       |      WHEN 0 THEN concat('HTTPS://WWW.Example.COM:443/docs/',
       |        CAST(doc_id % 7 AS VARCHAR))
       |      WHEN 1 THEN concat('https://www.example.com/docs/',
@@ -420,21 +426,26 @@ object SparkEntry {
       |        CAST(doc_id % 7 AS VARCHAR), '?utm_source=feed&gclid=z')
       |      WHEN 3 THEN concat('https://www.example.com/docs/',
       |        CAST(doc_id % 7 AS VARCHAR), '?b=2&a=1#top')
+      |      WHEN 4 THEN concat('https://www.example.com/%64ocs/',
+      |        CAST(doc_id % 7 AS VARCHAR), '?a=%31&b=2')
       |      ELSE concat('http://www.example.com:8080/docs/',
       |        CAST(doc_id % 7 AS VARCHAR), '?a=1&b=2')
       |    END AS url FROM documents),
+      |ud AS (SELECT doc_id, url,
+      |    ${graft.ops.Web.percentDecodeUnreservedSql("url")} AS durl
+      |  FROM uf),
       |up AS (SELECT doc_id, url,
-      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |    lower(regexp_extract(durl, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
       |      AS scheme,
-      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+      |    regexp_extract(durl, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
       |      AS auth,
-      |    regexp_replace(regexp_extract(url,
-      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+      |    regexp_replace(regexp_extract(durl,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '')
       |      AS cpath,
-      |    regexp_extract(url, '\?([^#]*)', 1) AS query FROM uf),
+      |    regexp_extract(durl, '\\?([^#]*)', 1) AS query FROM ud),
       |uq AS (SELECT doc_id, url, scheme,
       |    lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
-      |    regexp_extract(auth, ':([0-9]+)$', 1) AS port, cpath,
+      |    regexp_extract(auth, ':([0-9]+)$$', 1) AS port, cpath,
       |    array_to_string(list_sort(list_filter(string_split(query, '&'),
       |      p -> len(p) > 0 AND NOT starts_with(p, 'utm_')
       |        AND NOT starts_with(p, 'gclid=')
@@ -449,7 +460,7 @@ object SparkEntry {
       |      cpath,
       |      CASE WHEN q <> '' THEN concat('?', q) ELSE '' END)
       |      AS canonical_url,
-      |    regexp_replace(host, '^www\.', '') AS site
+      |    regexp_replace(host, '^www\\.', '') AS site
       |  FROM uq)""".stripMargin
 
   /** DuckDB mirror of `TextAnalysis.cleanText` — shared by q87 and the

@@ -147,9 +147,12 @@ object Dedup {
         .withColumn(s"__n_$side", size(col(s"__sh_$side")))
     val inter = sortedIntersectCount(col("__sh___bid"), col("__sh___cid")).cast("double")
     val unionSize = (col("__n___bid") + col("__n___cid")).cast("double") - inter
+    // corpus shingles are corpus-sized: never broadcastable (see
+    // [[minhashNearDupPairs]]); the batch side is caller-sized and left
+    // to the optimizer (broadcasting a small daily batch IS the win)
     cands
       .join(shingled(batch, "__bid"), "__bid")
-      .join(shingled(corpus, "__cid"), "__cid")
+      .join(shingled(corpus, "__cid").hint("merge"), "__cid")
       .filter(when(unionSize === 0, lit(0.0)).otherwise(inter / unionSize) >= threshold)
       .select(col("__bid"), col("__cid"))
   }
@@ -421,9 +424,11 @@ object Dedup {
       .withColumn("__n___bid", size(col("__sh___bid")))
     val inter = sortedIntersectCount(col("__sh___bid"), col("__sh___cid")).cast("double")
     val unionSize = (col("__n___bid") + col("__n___cid")).cast("double") - inter
+    // the stored shingle table is corpus-sized — same no-broadcast pin as
+    // the inline path; merge keeps the bucketed index side exchange-free
     cands
       .join(batchSh, "__bid")
-      .join(corpusSh, "__cid")
+      .join(corpusSh.hint("merge"), "__cid")
       .filter(when(unionSize === 0, lit(0.0)).otherwise(inter / unionSize) >= threshold)
       .select(col("__bid"), col("__cid"))
   }
@@ -467,6 +472,52 @@ object Dedup {
     val sig = graft.functions.minhashSignature(
       hs, params.map(_._1).toArray, params.map(_._2).toArray)
     docs.select(col(idCol), sig.as("sig"))
+  }
+
+  /** [[minhashSignatures]] over a PRECOMPUTED shingle-hash array column —
+    * the modality-generic entry: any pipeline that can render a row as a
+    * SET of 64-bit hashes (video frame-pHash shingles, audio fingerprint
+    * n-grams, token k-grams from a custom tokenizer) rides the identical
+    * LSH surface. Same permutation family, same map-only shape.
+    */
+  def minhashSignaturesOfHashes(rel: DataFrame, idCol: String,
+                                hashesCol: String,
+                                numPerm: Int = 128): DataFrame = {
+    val params = permutationParams(numPerm)
+    val hs = transform(col(hashesCol), h => pmod(h, lit(HashDomain)))
+    val sig = graft.functions.minhashSignature(
+      hs, params.map(_._1).toArray, params.map(_._2).toArray)
+    rel.select(col(idCol), sig.as("sig"))
+  }
+
+  /** [[minhashNearDupPairs]] over precomputed shingle-hash SETS: rows of
+    * `rel` carry (idCol, hashesCol: array<long>); candidates from LSH
+    * banding of the minhash signatures, verification is exact jaccard
+    * over the sorted distinct sets (same two-pointer merge, same
+    * merge-pinned no-broadcast verify join — the hash-set relation grows
+    * with the corpus exactly like the text shingle relation).
+    */
+  def hashSetNearDupPairs(rel: DataFrame, idCol: String, hashesCol: String,
+                          numPerm: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.8): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val sets = rel.select(col(idCol),
+      sort_array(array_distinct(col(hashesCol))).as("__sh"))
+      .withColumn("__n", size(col("__sh")))
+    val sigs = minhashSignaturesOfHashes(
+      sets.filter(col("__n") > 0), idCol, "__sh", numPerm)
+    val cands = lshCandidates(sigs, idCol, bands, numPerm / bands)
+    val inter = sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
+    val unionSize = (col("n_a") + col("n_b")).cast("double") - inter
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
+        col("__n").as("n_a")).hint("merge"), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
+        col("__n").as("n_b")).hint("merge"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        when(unionSize === 0, lit(0.0)).otherwise(inter / unionSize)
+          .as("jaccard_sim"))
+      .filter(col("jaccard_sim") >= threshold)
   }
 
   /** Oracle-parity twin of `minhashSignatures`: same permutation family and
@@ -572,9 +623,16 @@ object Dedup {
       .withColumn("__n", size(col("__sh")))
     val inter = sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
     val unionSize = (col("n_a") + col("n_b")).cast("double") - inter
+    // The shingle relation GROWS WITH THE CORPUS (one sorted hash array
+    // per document) — a broadcast of it succeeds at test scale and fails
+    // on any driver at some corpus size (the 100× soak's observed
+    // "Not enough memory to build and broadcast" flake). Pin both verify
+    // attachments to sort-merge so neither the optimizer's static
+    // estimate nor AQE's runtime rewrite can ever elect a broadcast of a
+    // corpus-derived side (PlanShapeSpec gates the absence).
     cands
-      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"), col("__n").as("n_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"), col("__n").as("n_b")), "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"), col("__n").as("n_a")).hint("merge"), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"), col("__n").as("n_b")).hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"),
         when(unionSize === 0, lit(0.0)).otherwise(inter / unionSize).as("jaccard_sim"))
       .filter(col("jaccard_sim") >= threshold)
@@ -641,9 +699,16 @@ object Dedup {
       .head().getDecimal(0)
     var converged = labelSum == null
     while (iter < maxIter && !converged) {
-      // (a) neighbor-min: pull the smallest label across every edge
+      // (a) neighbor-min: pull the smallest label across every edge.
+      // The label relation is NODES-sized — it grows with the corpus, so
+      // it must never ride a BroadcastExchange (an 8 MB labels frame at
+      // test scale is terabytes at 10^11 nodes, and even locally the
+      // driver-side broadcast build flakes when executor threads hold
+      // the heap — the 100× soak failure). Every labels join below is
+      // pinned to sort-merge; the one-time edge materialization plus a
+      // nodes-sized shuffle per round is the 100 TB-correct cost.
       val propagated = edges
-        .join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "src_label"), "src")
+        .join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "src_label").hint("merge"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("src_label")).as("label"))
       // merge own label with the neighbor min via LEFT JOIN + least — NOT
@@ -653,7 +718,7 @@ object Dedup {
       // doubling self-join (truncates the per-round lineage and gives the
       // self-join a plain scan to dedup).
       val viaNeighbors = labels
-        .join(propagated.withColumnRenamed("label", "__nmin"), Seq("node"), "left")
+        .join(propagated.withColumnRenamed("label", "__nmin").hint("merge"), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
@@ -661,7 +726,7 @@ object Dedup {
       // values are node ids, so the lookup is a self-join; the chained
       // label is never larger (labels are monotone decreasing)
       val next = viaNeighbors.alias("n")
-        .join(viaNeighbors.select(col("node").as("l_node"), col("label").as("l_label")),
+        .join(viaNeighbors.select(col("node").as("l_node"), col("label").as("l_label")).hint("merge"),
           col("n.label") === col("l_node"))
         .select(col("n.node").as("node"), col("l_label").as("label"))
         .localCheckpoint(true) // next round + the sum below reuse it

@@ -201,7 +201,10 @@ object Multimodal {
       case _ => (id * 11L + x * 23L + y * 19L) % 256L // B
     }).toInt
 
-  private case class SynthPng(media_id: Long, kind: String,
+  // public (not private): Janino compiles the generated row encoder
+  // against these accessors — a private nested class forces a
+  // CompileException + interpreted-mode fallback on every media query
+  case class SynthPng(media_id: Long, kind: String,
                               content: Array[Byte], width: Int, height: Int)
 
   /** REAL PNG synthesis: encodes a deterministic RGB test pattern with
@@ -868,7 +871,10 @@ object Multimodal {
   def synthSample(id: Long, i: Int): Int =
     ((id * 31L + i * 17L) % 2001L - 1000L).toInt
 
-  private case class SynthWav(media_id: Long, kind: String,
+  // public (not private): Janino compiles the generated row encoder
+  // against these accessors — a private nested class forces a
+  // CompileException + interpreted-mode fallback on every media query
+  case class SynthWav(media_id: Long, kind: String,
                               content: Array[Byte], n_samples: Int)
 
   case class AudioFingerprint(media_id: Long, n_samples: Option[Long],
@@ -1218,7 +1224,10 @@ object Multimodal {
     frames.toSeq
   }
 
-  private case class SynthAvi(media_id: Long, kind: String,
+  // public (not private): Janino compiles the generated row encoder
+  // against these accessors — a private nested class forces a
+  // CompileException + interpreted-mode fallback on every media query
+  case class SynthAvi(media_id: Long, kind: String,
                               content: Array[Byte], width: Int, height: Int,
                               n_frames: Int)
 

@@ -23,11 +23,18 @@ import org.apache.spark.sql.functions._
   *      removed (utm_* prefix family and exact gclid/fbclid/msclkid/
   *      ref keys); surviving query parameters SORTED byte-wise so
   *      `?b=2&a=1` ≡ `?a=1&b=2`; an emptied query drops its `?`.
-  *  - Out of scope (documented, not silently wrong): percent-encoding
-  *    normalization, IDN/punycode, path dot-segment resolution — each
-  *    needs state machines that belong in a fetcher, not a dedup key;
-  *    a non-URL string canonicalizes to garbage-in-garbage-out rather
-  *    than erroring the job (crawl metadata is never clean).
+  *  - Percent-encoding: the UNRESERVED characters (RFC 3986 §2.3 —
+  *    ALPHA / DIGIT / "-" / "." / "_" / "~") are decoded before the
+  *    rule chain (`%7Euser` and `~user` name the same resource, so
+  *    they must share a dedup key); both hex cases per code. RESERVED
+  *    escapes (%2F %3F %26 %3D %25 …) are kept — decoding them would
+  *    change the URL's structure, not its spelling.
+  *  - Out of scope (documented, not silently wrong): IDN/punycode,
+  *    non-unreserved percent normalization, path dot-segment
+  *    resolution — each needs state machines that belong in a fetcher,
+  *    not a dedup key; a non-URL string canonicalizes to
+  *    garbage-in-garbage-out rather than erroring the job (crawl
+  *    metadata is never clean).
   *
   * Reference scope: the reference has no web/URL surface — this is
   * §2.11 LLM-pipeline extension work (r13 verdict gap #5).
@@ -55,9 +62,46 @@ object Web {
   def siteOf(url: Column): Column =
     regexp_replace(hostOf(url), "^www\\.", "")
 
+  /** (encoded spelling, decoded char) for every RFC 3986 unreserved
+    * character, both hex cases where the code contains a hex letter
+    * (%7E and %7e both spell '~'). Order is irrelevant: no decoded
+    * character is '%', so one replacement can never create another
+    * (true) escape — the chain is confluent on well-formed input. On
+    * MALFORMED input (a bare '%' colliding with a later escape, e.g.
+    * `%%341`) the chain can decode one level deeper than a state
+    * machine would; garbage-in-garbage-out, same posture as the rest
+    * of the canonicalizer — and the DuckDB oracle replays the
+    * identical chain, so the behavior is pinned, not accidental.
+    */
+  val unreservedDecodes: Seq[(String, String)] = {
+    val chars = ('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++
+      Seq('-', '.', '_', '~')
+    chars.flatMap { ch =>
+      val hex = f"${ch.toInt}%02X"
+      Seq("%" + hex, "%" + hex.toLowerCase).distinct.map(_ -> ch.toString)
+    }
+  }
+
+  /** Percent-decode tier: unreserved %XX → the bare character, as a
+    * chain of plain (non-regex) `replace` calls — one codegen'd
+    * projection, byte-identical DuckDB spelling via
+    * [[percentDecodeUnreservedSql]]. Reserved escapes untouched.
+    */
+  def percentDecodeUnreserved(url: Column): Column =
+    unreservedDecodes.foldLeft(url) { case (c, (enc, ch)) =>
+      replace(c, lit(enc), lit(ch)) }
+
+  /** SQL spelling of [[percentDecodeUnreserved]] over the expression
+    * `inner` — the oracle-side twin (DuckDB `replace` is the same
+    * all-occurrence literal replace).
+    */
+  def percentDecodeUnreservedSql(inner: String): String =
+    unreservedDecodes.foldLeft(inner) { case (s, (enc, ch)) =>
+      s"replace($s, '$enc', '$ch')" }
+
   /** Canonical form of `url` under the rules documented on [[Web]]. */
   def canonicalizeUrl(url: Column): Column = {
-    val u = trim(url)
+    val u = percentDecodeUnreserved(trim(url))
     val scheme = schemeOf(u)
     val auth = regexp_extract(u, authorityRe, 1)
     val host = lower(regexp_extract(auth, "^([^:]*)", 1))

@@ -51,6 +51,15 @@ object ColumnBridge {
       case _ =>
     }
 
+  /** Block until Spark's listener bus has delivered every queued event
+    * (`listenerBus` is `private[spark]`). Executed-plan capture through a
+    * QueryExecutionListener is asynchronous; plan-shape gates over
+    * eagerly-executed loops (the CC rounds) need a deterministic drain
+    * instead of a sleep.
+    */
+  def waitListenerBusEmpty(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** The catalog's bucket count for a bucketed table, if the table
     * exists and was written with a bucket spec (`sessionState` is
     * `private[sql]`). Lets in-place index rewrites (compaction, GDPR

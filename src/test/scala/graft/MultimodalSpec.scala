@@ -858,4 +858,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter(col("decode_error").isNull).count() == 16L)
     assert(q.count() == 4L)
   }
+
+  test("media fixture encoders codegen cleanly: zero interpreted-mode " +
+    "fallback across all three codec tiers") {
+    // A private nested case class (the r14 state of SynthPng/Wav/Avi)
+    // makes Janino fail to compile the generated row encoder — every
+    // media query then pays a failed-compile round trip plus interpreted
+    // serialization. Correctness never notices (the fallback is silent),
+    // so this gate listens to the log: any "Failed to compile" /
+    // "falling back to interpreter" WARN+ event during synthesis of all
+    // three fixture families fails the test.
+    val ctx = org.apache.logging.log4j.core.LoggerContext.getContext(false)
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-codegen-gate", null, null, false, Array.empty) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        events.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      val ids = (0L to 29L).toDF("doc_id")
+      assert(Multimodal.synthesizePng(spark, ids, "doc_id").count() == 30L)
+      assert(Multimodal.synthesizeWav(spark, ids, "doc_id").count() == 30L)
+      assert(Multimodal.synthesizeAvi(spark, ids, "doc_id").count() == 30L)
+    } finally {
+      rootCfg.removeAppender("graft-codegen-gate")
+      ctx.updateLoggers()
+      appender.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    val bad = events.asScala.filter(m =>
+      m.contains("Failed to compile") || m.contains("falling back to interpreter"))
+    assert(bad.isEmpty, s"codegen fallback during media synthesis:\n${bad.mkString("\n")}")
+  }
 }

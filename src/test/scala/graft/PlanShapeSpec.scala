@@ -1126,4 +1126,86 @@ class PlanShapeSpec extends SparkSpec {
         s"QI-group-cardinality relation crossed a BroadcastExchange:\n$s")
     }
   }
+
+  test("minhashNearDupPairs verify join: no corpus-derived side crosses a " +
+    "BroadcastExchange (the 100x soak's broadcast-build failure mode)") {
+    // At test scale the shingle relation is tiny, so WITHOUT the merge
+    // pin the planner elects a broadcast here (default 10 MB threshold
+    // left in force on purpose) — this gate fails the moment the pin is
+    // lost. The shingle relation grows with the corpus: a broadcast of
+    // it succeeds at sf0.001 and OOMs any driver at some corpus size.
+    withoutAqe {
+      val pairs = graft.ops.Dedup.minhashNearDupPairs(
+        Tables.documents(spark, sf0001), "doc_id", "text",
+        shingleK = 2, numPerm = 64, bands = 16, threshold = 0.8)
+      val bx = plan(pairs).collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bx.isEmpty,
+        s"corpus-derived relation crossed a BroadcastExchange:\n${plan(pairs)}")
+      assert(planString(pairs).contains("SortMergeJoin"), planString(pairs))
+    }
+  }
+
+  test("nearDupMatchesIndexed: the stored shingle table never broadcasts; " +
+    "only batch-derived sides may") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_bgate").toString
+    graft.ops.Dedup.buildNearDupIndex(docs.filter(col("doc_id") < 250),
+      "t_ndbx_idx", dir, "doc_id", "text", shingleK = 2, numPerm = 64, bands = 8)
+    try {
+      val m = withoutAqe {
+        plan(graft.ops.Dedup.nearDupMatchesIndexed(
+          docs.filter(col("doc_id") >= 250), "t_ndbx_idx", "doc_id", "text",
+          shingleK = 2, numPerm = 64, bands = 8, threshold = 0.8))
+      }
+      val bx = m.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      // the stored shingle arrays (corpus-sized, array payloads) must not
+      // appear under any broadcast build
+      bx.foreach { b =>
+        assert(!b.output.exists(_.name == "__sh___cid"),
+          s"stored shingle table crossed a BroadcastExchange:\n$m")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_ndbx_idx_sig")
+      spark.sql("DROP TABLE IF EXISTS t_ndbx_idx_shingles")
+    }
+  }
+
+  test("clusterNearDups: no CC round broadcasts the nodes-sized label " +
+    "relation (executed-plan capture across the whole loop)") {
+    import spark.implicits._
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // a 2-component graph with a chain long enough for several rounds;
+      // tiny relations on purpose: the optimizer WOULD broadcast every
+      // labels join absent the merge pins
+      val pairs = (1L to 40L).sliding(2).map(w => (w.head, w.last)).toSeq
+        .++(Seq((100L, 101L))).toDF("id_a", "id_b")
+      graft.ops.Dedup.clusterNearDups(pairs).collect()
+      org.apache.spark.sql.graftbridge.ColumnBridge.waitListenerBusEmpty(spark)
+      val plans = captured.toArray(Array.empty[String])
+      assert(plans.nonEmpty)
+      // the capture must actually include the round joins (not just the
+      // scalar label-sum aggregates) or this gate is vacuous
+      assert(plans.exists(_.contains("SortMergeJoin")),
+        s"no captured plan contains the round joins:\n${plans.mkString("\n---\n")}")
+      val offenders = plans.filter(_.contains("BroadcastExchange"))
+      assert(offenders.isEmpty, s"a CC round broadcast a nodes-sized " +
+        s"relation:\n${offenders.headOption.getOrElse("")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

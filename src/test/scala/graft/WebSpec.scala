@@ -36,7 +36,20 @@ class WebSpec extends SparkSpec {
       // empty query string
       "https://example.com/a?" -> "https://example.com/a",
       // www is part of the canonical URL (siteOf strips it, not this)
-      "https://WWW.Example.com/a" -> "https://www.example.com/a")
+      "https://WWW.Example.com/a" -> "https://www.example.com/a",
+      // unreserved percent-escapes decode (both hex cases); the decoded
+      // form then rides the rest of the chain (param sort here)
+      "https://example.com/%7Euser" -> "https://example.com/~user",
+      "https://example.com/%7euser" -> "https://example.com/~user",
+      "https://example.com/%64oc%73/%41?b=%32&a=%31"
+        -> "https://example.com/docs/A?a=1&b=2",
+      // RESERVED escapes are kept: %2F (/), %3F (?), %26 (&), %3D (=),
+      // %25 (%) would change URL structure if decoded
+      "https://example.com/a%2Fb?q=x%26y%3D1&p=%252F"
+        -> "https://example.com/a%2Fb?p=%252F&q=x%26y%3D1",
+      // a decoded digit never re-triggers: %2541 is %25 + "41", and the
+      // kept %25 does not recombine with the 4 into a new escape
+      "https://example.com/a%2541" -> "https://example.com/a%2541")
     val got = canon(table.map(_._1): _*)
     table.map(_._2).zip(got).zip(table.map(_._1)).foreach {
       case ((want, g), in) => assert(g == want, s"$in -> $g, want $want")
