@@ -3456,6 +3456,28 @@ object SparkEntry {
         Multimodal.synthesizeWav(s, T(s, d, "documents").select("doc_id"),
           "doc_id"))
         .drop("decode_error")), // clean fixture — census is q282's job
+    "q322_video_neardup_robust" -> ((s, d) => {
+      // ROBUST video near-dup — the tier the whole-video triple (q292)
+      // cannot reach: every video gets a byte-level TRIMMED re-upload
+      // (first 2 frames dropped, surviving frame bytes untouched),
+      // which changes n_frames and both sums (q292 blind) but keeps the
+      // frame-identity suffix. Per-frame exact decoded identity →
+      // 2-frame sequence shingles → the generic minhash-LSH pair
+      // pipeline. With sceneLen=3/drop=2 the copy loses exactly the
+      // scene-0 within-scene shingle, so jaccard has the closed form
+      // (k−1)/k over k distinct shingles — pure id arithmetic for the
+      // oracle while Spark proves demux + per-frame decode + shingling
+      // + banding + verify end to end. (The perceptual pHash twin has
+      // no oracle ON PURPOSE: the synthetic pattern family is additive
+      // in id, so scenes are brightness shifts — the one thing pHash
+      // quotients away; MultimodalSpec pins that tier instead.)
+      val base = Multimodal.synthesizeAvi(s,
+        T(s, d, "documents").select("doc_id"), "doc_id")
+      Multimodal.videoNearDupPairs(
+        base.unionByName(Multimodal.trimVideoCopies(base,
+          idOffset = 600000L, dropFrames = 2)),
+        shingleLen = 2, numPerm = 64, bands = 32, threshold = 0.6)
+    }),
     "q321_audio_spectral_dup_indexed" -> ((s, d) => {
       // audio near-dup against a STANDING corpus through the SAME
       // generic fingerprint index as q296, keyed on the ROBUST spectral
@@ -7954,6 +7976,21 @@ object SparkEntry {
         |SELECT id AS media_id, CAST(n AS BIGINT) AS n_samples,
         |  fp AS spectral_fp
         |FROM afp""".stripMargin,
+    "q322_video_neardup_robust" ->
+      // the trimmed copy keeps every shingle but scene-0's within-scene
+      // pair: j = (k−1)/k, k = 2(m−1) + [r≥2], m = ceil(n/3),
+      // r = n − 3(m−1), n = id%10+4 frames; j ≥ 0.6 ⟺ k ≥ 3 ⟺ n ≥ 5
+      // ⟺ id%10 ≠ 0 — both the PAIR SET and the jaccard VALUE are id
+      // arithmetic (MultimodalSpec pins the same closed form)
+      """SELECT doc_id AS id_a, doc_id + 600000 AS id_b,
+        |  CAST(k - 1 AS DOUBLE) / k AS jaccard_sim
+        |FROM (SELECT doc_id,
+        |    2 * (((doc_id % 10 + 4) + 2) // 3 - 1) +
+        |    CASE WHEN (doc_id % 10 + 4)
+        |        - 3 * (((doc_id % 10 + 4) + 2) // 3 - 1) >= 2
+        |      THEN 1 ELSE 0 END AS k
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2 AND doc_id % 10 <> 0)""".stripMargin,
     "q321_audio_spectral_dup_indexed" ->
       // equal (spectral_fp, n_samples) ⇔ equal pattern id (n_samples =
       // pid+20 injective over pid < 5) — same shape as the q296 oracle

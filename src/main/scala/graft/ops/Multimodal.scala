@@ -520,64 +520,77 @@ object Multimodal {
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
             require(img != null, "content is not a decodable image")
-            val w = img.getWidth; val h = img.getHeight
-            val g = new Array[Long](64)
-            var ty = 0
-            while (ty < 8) {
-              val sy = ty * h / 8
-              var tx = 0
-              while (tx < 8) {
-                val rgb = img.getRGB(tx * w / 8, sy)
-                g(ty * 8 + tx) = ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
-                  + (rgb & 0xff)) / 3).toLong
-                tx += 1
-              }
-              ty += 1
-            }
-            // row DCT then column DCT (separable) — exact integers
-            val rowT = new Array[Long](64) // rowT(ty*8+u) = Σ_tx g·C(u,tx)
-            var r = 0
-            while (r < 8) {
-              var u = 0
-              while (u < 8) {
-                var acc = 0L; var x = 0
-                while (x < 8) { acc += g(r * 8 + x) * basis(u)(x); x += 1 }
-                rowT(r * 8 + u) = acc
-                u += 1
-              }
-              r += 1
-            }
-            val coef = new Array[Long](64) // coef(v*8+u) = Σ_ty rowT·C(v,ty)
-            var v = 0
-            while (v < 8) {
-              var u = 0
-              while (u < 8) {
-                var acc = 0L; var y = 0
-                while (y < 8) { acc += rowT(y * 8 + u) * basis(v)(y); y += 1 }
-                coef(v * 8 + u) = acc
-                u += 1
-              }
-              v += 1
-            }
-            val ac = new Array[Long](63)
-            System.arraycopy(coef, 1, ac, 0, 63)
-            java.util.Arrays.sort(ac)
-            val med = ac(31) // lower median of the 63 AC coefficients
-            var hi = 0L; var lo = 0L
-            var p = 1
-            while (p < 64) {
-              if (coef(p) > med) {
-                if (p >= 32) hi |= 1L << (p - 32) else lo |= 1L << p
-              }
-              p += 1
-            }
-            PHash(id, Some(w), Some(h), Some(hi), Some(lo), None)
+            val (hi, lo) = phashLanes(img, basis)
+            PHash(id, Some(img.getWidth), Some(img.getHeight),
+              Some(hi), Some(lo), None)
           } catch { case scala.util.control.NonFatal(e) =>
             PHash(id, None, None, None, None, Some(decodeErrMsg(e)))
           }
         }
       }
       .toDF()
+  }
+
+  /** The pHash bit core shared by [[imagePHash]] and the per-frame video
+    * tier ([[videoFramePHashes]]): integer 8×8 nearest-neighbor gray
+    * grid → exact separable 2-D DCT-II → bit p set iff coefficient(p)
+    * strictly exceeds the lower median of the 63 AC coefficients (DC
+    * excluded). Returns the (hi, lo) 32-bit lanes.
+    */
+  private def phashLanes(img: java.awt.image.BufferedImage,
+                         basis: Array[Array[Long]]): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val g = new Array[Long](64)
+    var ty = 0
+    while (ty < 8) {
+      val sy = ty * h / 8
+      var tx = 0
+      while (tx < 8) {
+        val rgb = img.getRGB(tx * w / 8, sy)
+        g(ty * 8 + tx) = ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+          + (rgb & 0xff)) / 3).toLong
+        tx += 1
+      }
+      ty += 1
+    }
+    // row DCT then column DCT (separable) — exact integers
+    val rowT = new Array[Long](64) // rowT(ty*8+u) = Σ_tx g·C(u,tx)
+    var r = 0
+    while (r < 8) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0L; var x = 0
+        while (x < 8) { acc += g(r * 8 + x) * basis(u)(x); x += 1 }
+        rowT(r * 8 + u) = acc
+        u += 1
+      }
+      r += 1
+    }
+    val coef = new Array[Long](64) // coef(v*8+u) = Σ_ty rowT·C(v,ty)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0L; var y = 0
+        while (y < 8) { acc += rowT(y * 8 + u) * basis(v)(y); y += 1 }
+        coef(v * 8 + u) = acc
+        u += 1
+      }
+      v += 1
+    }
+    val ac = new Array[Long](63)
+    System.arraycopy(coef, 1, ac, 0, 63)
+    java.util.Arrays.sort(ac)
+    val med = ac(31) // lower median of the 63 AC coefficients
+    var hi = 0L; var lo = 0L
+    var p = 1
+    while (p < 64) {
+      if (coef(p) > med) {
+        if (p >= 32) hi |= 1L << (p - 32) else lo |= 1L << p
+      }
+      p += 1
+    }
+    (hi, lo)
   }
 
   /** pHash-keyed view of [[imagePHash]] output in the (media_id,
@@ -1376,6 +1389,180 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  // ------------------------------------------ robust video near-dup tier
+
+  case class FramePHash(media_id: Long, frame_no: Option[Int],
+                        phash_hi: Option[Long], phash_lo: Option[Long],
+                        decode_error: Option[String])
+
+  /** Per-frame perceptual hash of every video: demux the AVI container
+    * ([[decodeAviFrames]]'s walk), decode every `everyKth`-th MJPEG
+    * frame, and emit its [[imagePHash]] bits — the robust tier's input.
+    * The exact triple (q292's Σchecksum/Σgray/n_frames) only catches
+    * byte-identical re-uploads; a TRIMMED, frame-rate-shifted or
+    * mildly re-encoded copy needs content-level frame identity, which
+    * is exactly what the DCT hash provides per frame. Same quarantine
+    * contract as every codec tier: a structurally-broken container or
+    * an undecodable frame yields ONE (null, decode_error) row for the
+    * whole video. Map-only; one container + one frame in memory per
+    * task.
+    */
+  def videoFramePHashes(media: DataFrame, everyKth: Int = 1): DataFrame = {
+    require(everyKth >= 1, s"everyKth must be >= 1: $everyKth")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "video" && col("content").isNotNull)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val basis = dctBasisQ
+        rows.flatMap { case (id, bytes) =>
+          try {
+            aviFrameChunks(bytes).zipWithIndex
+              .filter { case (_, k) => k % everyKth == 0 }
+              .map { case (jpeg, k) =>
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(jpeg))
+                require(img != null, s"frame $k is not a decodable image")
+                val (hi, lo) = phashLanes(img, basis)
+                FramePHash(id, Some(k), Some(hi), Some(lo), None)
+              }
+          } catch { case scala.util.control.NonFatal(e) =>
+            Seq(FramePHash(id, None, None, None, Some(decodeErrMsg(e))))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Frame-hash SHINGLES per video: the per-frame identity sequence
+    * (ordered by frame_no) sliced into runs of `shingleLen` consecutive
+    * frames, each run hashed to one 64-bit value — a video becomes a
+    * SET of sequence shingles, the exact shape
+    * [[graft.ops.Dedup.hashSetNearDupPairs]] consumes. Trimming /
+    * frame-rate shifts remove a PREFIX of shingles and keep the rest,
+    * so jaccard over the sets degrades gracefully where the whole-video
+    * triple drops to zero. Sets are deduped (static scenes repeat
+    * shingles) and videos shorter than `shingleLen` frames emit no row.
+    *
+    * Scale shape: one groupBy on media_id moving ~24 B per frame
+    * (id + frame_no + two lanes), per-video state bounded by frame
+    * count; the shingle expansion is an in-row array transform, never a
+    * join.
+    */
+  private def frameShingles(frames: DataFrame, lane1: Column, lane2: Column,
+                            shingleLen: Int): DataFrame = {
+    require(shingleLen >= 1, s"shingleLen must be >= 1: $shingleLen")
+    frames
+      .filter(col("decode_error").isNull)
+      .select(col("media_id"), struct(col("frame_no"), lane1.as("h1"),
+        lane2.as("h2")).as("__e"))
+      .groupBy(col("media_id"))
+      .agg(array_sort(collect_list(col("__e"))).as("__f"))
+      .filter(size(col("__f")) >= shingleLen)
+      .select(col("media_id"),
+        sort_array(array_distinct(transform(
+          sequence(lit(0), size(col("__f")) - lit(shingleLen)),
+          i => xxhash64((0 until shingleLen).flatMap { j =>
+            val e = element_at(col("__f"), i + lit(j + 1))
+            Seq(e.getField("h1"), e.getField("h2"))
+          }: _*)))).as("__sh"))
+  }
+
+  /** [[frameShingles]] over [[videoFramePHashes]] output — the
+    * PERCEPTUAL frame identity (see [[videoNearDupPairsPerceptual]]).
+    */
+  def videoPHashShingles(framePh: DataFrame,
+                         shingleLen: Int = 2): DataFrame =
+    frameShingles(framePh, col("phash_hi"), col("phash_lo"), shingleLen)
+
+  /** [[frameShingles]] over [[decodeAviFrames]] output — the EXACT
+    * decoded-frame identity: (position-weighted pixel checksum, Σgray)
+    * plus geometry, collision-separated even where pHash is blind
+    * (pHash deliberately ignores uniform brightness shifts, which is
+    * ALSO what makes it collide on brightness-adjacent scenes).
+    */
+  def videoExactShingles(frames: DataFrame,
+                         shingleLen: Int = 2): DataFrame =
+    frameShingles(frames, col("pixel_checksum"), col("gray_sum"),
+      shingleLen)
+
+  /** Robust video near-dup PAIRS — CONTAINER-EDIT tier: per-frame EXACT
+    * decoded identity → sequence shingles → the generic MinHash-LSH
+    * pair pipeline (banded candidates, exact jaccard verify,
+    * merge-pinned no-broadcast joins). Catches what the whole-video
+    * triple (q292) provably cannot: a copy missing leading frames
+    * (trim), sampled at a coarser rate, or re-muxed — any edit that
+    * keeps SOME frames byte-identical. A mild RE-ENCODE (every frame's
+    * bytes change, content survives) needs the perceptual twin below.
+    * Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+    */
+  def videoNearDupPairs(media: DataFrame, shingleLen: Int = 2,
+                        numPerm: Int = 64, bands: Int = 32,
+                        threshold: Double = 0.6,
+                        everyKth: Int = 1): DataFrame =
+    graft.ops.Dedup.hashSetNearDupPairs(
+      videoExactShingles(decodeAviFrames(media, everyKth), shingleLen),
+      "media_id", "__sh", numPerm, bands, threshold)
+
+  /** The PERCEPTUAL twin of [[videoNearDupPairs]]: frame identity is
+    * the DCT pHash, so a copy whose frames were re-encoded (new bytes,
+    * same pictures) still matches as long as each frame's 64 pHash bits
+    * survive the recompression — the common case for mild quality
+    * changes, since AC coefficients sit well away from the median
+    * except on near-uniform frames. The trade: pHash quotients away
+    * brightness, so brightness-adjacent DISTINCT scenes can collide
+    * (the synthetic pattern family is additive in id and hits this by
+    * construction — MultimodalSpec pins both directions). Production
+    * guidance: run BOTH tiers; exact catches container edits with zero
+    * false merges, perceptual adds re-encode recall.
+    */
+  def videoNearDupPairsPerceptual(media: DataFrame, shingleLen: Int = 2,
+                                  numPerm: Int = 64, bands: Int = 32,
+                                  threshold: Double = 0.6,
+                                  everyKth: Int = 1): DataFrame =
+    graft.ops.Dedup.hashSetNearDupPairs(
+      videoPHashShingles(videoFramePHashes(media, everyKth), shingleLen),
+      "media_id", "__sh", numPerm, bands, threshold)
+
+  /** Byte-level TRIMMED re-uploads of every video row: demux, drop the
+    * first `dropFrames` frame chunks, re-mux with the same geometry —
+    * the frame BYTES are untouched, so decoded pixels (and frame
+    * pHashes) of surviving frames are identical to the original's. The
+    * fixture generator for the robust tier's oracle: the exact triple
+    * changes on every trimmed copy (n_frames and both sums shrink)
+    * while the shingle tier retains the suffix overlap. Ids shift by
+    * `idOffset` (callers pick a multiple of 3 so the synthetic kind
+    * mapping stays 'video').
+    */
+  def trimVideoCopies(media: DataFrame, idOffset: Long, dropFrames: Int,
+                      fps: Int = 4): DataFrame = {
+    require(dropFrames >= 1, s"dropFrames must be >= 1: $dropFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "video" && col("content").isNotNull)
+      .select(col("media_id"), col("content"),
+        col("meta.width"), col("meta.height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, w, h) =>
+          val kept = aviFrameChunks(bytes).drop(dropFrames)
+          SynthAvi(id + idOffset, "video", aviBytes(kept, w, h, fps),
+            w, h, kept.length)
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("kind"), col("content"),
+        struct(
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          (col("n_frames").cast("long") * 1000L / fps).cast("long")
+            .as("duration_ms")).as("meta"))
   }
 
   // ------------------------------- persisted perceptual-hash (aHash) index

@@ -859,6 +859,75 @@ class MultimodalSpec extends SparkSpec {
     assert(q.count() == 4L)
   }
 
+  test("videoFramePHashes: same-scene frames share a pHash, scene cuts " +
+    "change it; corrupt containers quarantine as one row") {
+    // ids ≡ 2 (mod 3) are videos; sceneLen=3 → frames k,k+1,k+2 of one
+    // scene are the SAME JPEG bytes, hence identical pHash
+    val vids = Seq(2L, 5L, 8L, 11L).toDF("doc_id")
+    val fph = Multimodal.videoFramePHashes(
+      Multimodal.synthesizeAvi(spark, vids, "doc_id"))
+    val rows = fph.filter(col("decode_error").isNull)
+      .select("media_id", "frame_no", "phash_hi", "phash_lo")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        (r.getLong(2), r.getLong(3))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, fr) =>
+      val byScene = fr.groupBy(_._2 / 3).values
+      byScene.foreach { s => assert(s.map(_._3).distinct.length == 1) }
+    }
+    // scene-cut sensitivity: at least one video has ≥2 scenes with
+    // different hashes (synthChannel patterns differ per scene pid)
+    assert(rows.groupBy(_._1).values.exists(fr =>
+      fr.map(_._3).distinct.length >= 2))
+    val bad = Multimodal.videoFramePHashes(Multimodal.withCorruptedBlobs(
+      Multimodal.synthesizeAvi(spark, vids, "doc_id"), everyNth = 1))
+    assert(bad.filter(col("decode_error").isNotNull).count() == 4L)
+    assert(bad.filter(col("phash_hi").isNotNull).count() == 0L)
+  }
+
+  test("robust video near-dup: a trimmed copy is caught with the " +
+    "closed-form jaccard; the exact triple provably misses it") {
+    val vids = (2L to 59L by 3L).toDF("doc_id") // 20 videos
+    val base = Multimodal.synthesizeAvi(spark, vids, "doc_id")
+    val copies = Multimodal.trimVideoCopies(base, idOffset = 600000L,
+      dropFrames = 2)
+    val pairs = Multimodal.videoNearDupPairs(base.unionByName(copies),
+      shingleLen = 2, numPerm = 64, bands = 32, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // perceptual twin on the same fixture: every trimmed copy is still
+    // CAUGHT (c ⊆ o ⇒ j = |c|/|o|, and pHash scene collisions only
+    // merge shingles, never lose suffix overlap), though its jaccard
+    // need not match the closed form — membership only
+    val ppairs = Multimodal.videoNearDupPairsPerceptual(
+      base.unionByName(copies), shingleLen = 2, numPerm = 64,
+      bands = 32, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (2L to 59L by 3L).filter(_ % 10 != 0).foreach { id =>
+      assert(ppairs.contains((id, id + 600000L)),
+        s"perceptual tier lost the trimmed copy of $id")
+    }
+    // closed form (sceneLen=3, drop=2, shingleLen=2): the copy loses
+    // exactly the within-scene-0 shingle, so j = (k-1)/k with
+    // k = 2(m-1) + [r >= 2], m = ceil(n/3), r = n - 3(m-1), n = id%10+4;
+    // j >= 0.6 ⟺ k >= 3 ⟺ n >= 5 ⟺ id%10 != 0
+    val expected = (2L to 59L by 3L).filter(_ % 10 != 0).map { id =>
+      val n = (id % 10 + 4).toInt
+      val m = (n + 2) / 3
+      val k = 2 * (m - 1) + (if (n - 3 * (m - 1) >= 2) 1 else 0)
+      (id, id + 600000L, (k - 1).toDouble / k)
+    }.toSet
+    assert(pairs.toSet == expected,
+      s"got ${pairs.sortBy(_._1).mkString(",")}")
+    // the exact triple tier (q292's key) misses EVERY trimmed copy:
+    // n_frames and both sums differ, so no fingerprint collides
+    val fr = Multimodal.decodeAviFrames(base.unionByName(copies))
+    val exact = fr.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("nf"), sum(col("pixel_checksum")).as("f1"),
+        sum(col("gray_sum")).as("f2"))
+      .groupBy("nf", "f1", "f2").count().filter(col("count") >= 2)
+    assert(exact.count() == 0L)
+  }
+
   test("media fixture encoders codegen cleanly: zero interpreted-mode " +
     "fallback across all three codec tiers") {
     // A private nested case class (the r14 state of SynthPng/Wav/Avi)
