@@ -3430,6 +3430,16 @@ object SparkEntry {
       // per-round vocab-sized checkpoints, released on the next iterate
       TextAnalysis.ppmiPowerIteration(T(s, d, "documents"), window = 4,
         minCount = 2, rounds = 3)),
+    "q323_ppmi_rank2" -> ((s, d) =>
+      // rank-2 SVD-PPMI: direction 1 is q317's iterate bit-for-bit;
+      // direction 2 re-iterates the HOTELLING-DEFLATED operator — the
+      // rank-1 term is never materialized (u·uᵀ is dense vocab²), just
+      // one vocab-sized projection join + broadcast scalars per round,
+      // so the edge-list matvec plan is unchanged; all divisions
+      // truncate toward zero via the sign-split spelling (Spark DIV vs
+      // DuckDB // disagree on negatives, which direction 2 has)
+      TextAnalysis.ppmiTopDirections(T(s, d, "documents"), window = 4,
+        minCount = 2, rounds = 3, k = 2)),
     "q318_url_canonicalize" -> ((s, d) =>
       // crawl-pipeline URL normalization: case/default-port/trailing-
       // slash/fragment/tracking-param/param-order variants collapse to
@@ -7942,6 +7952,72 @@ object SparkEntry {
          |  FROM ped),
          |$roundCtes
          |SELECT word, s AS score_micro FROM pv3""".stripMargin
+    },
+    "q323_ppmi_rank2" -> {
+      // direction 1 = the q317 chain verbatim; then A = u1ᵀMu1,
+      // B = u1ᵀu1 and 3 deflated rounds for direction 2:
+      // u = Mv − u1·TD(TD(A,B)·s, B) with s = u1ᵀv per round, where
+      // TD is TRUNCATE-toward-zero division — spelled sign-split
+      // because DuckDB // floors and Spark DIV truncates (they only
+      // agree on non-negatives, and direction 2 goes negative)
+      def td(a: String, b: String) =
+        s"(CASE WHEN $a < 0 THEN -((-($a)) // ($b)) ELSE ($a) // ($b) END)"
+      val d1Ctes = (1 to 3).map { i =>
+        s"""pu$i AS MATERIALIZED (SELECT e.x AS word, sum(e.w * v.s) AS u
+           |  FROM ped e JOIN pv${i - 1} v ON e.y = v.word GROUP BY e.x),
+           |px$i AS MATERIALIZED (SELECT max(u) AS mx FROM pu$i),
+           |pv$i AS MATERIALIZED (SELECT word,
+           |    CAST((u * 1000000) // greatest(mx, 1) AS BIGINT) AS s
+           |  FROM pu$i, px$i)""".stripMargin
+      }.mkString(",\n")
+      val d2Ctes = (1 to 3).map { i =>
+        val c2 = td(td("pA.a", "pB.b") + s" * qs$i.sp", "pB.b")
+        s"""qu$i AS MATERIALIZED (SELECT e.x AS word, sum(e.w * v.s) AS u
+           |  FROM ped e JOIN qv${i - 1} v ON e.y = v.word GROUP BY e.x),
+           |qs$i AS MATERIALIZED (SELECT sum(u1.s * v.s) AS sp
+           |  FROM pv3 u1 JOIN qv${i - 1} v ON u1.word = v.word),
+           |qd$i AS MATERIALIZED (SELECT m.word, m.u - u1.s * $c2 AS u
+           |  FROM qu$i m JOIN pv3 u1 ON m.word = u1.word,
+           |    pA, pB, qs$i),
+           |qx$i AS MATERIALIZED (SELECT max(abs(u)) AS mx FROM qd$i),
+           |qv$i AS MATERIALIZED (SELECT word,
+           |    CAST(${td("u * 1000000", "greatest(mx, 1)")} AS BIGINT) AS s
+           |  FROM qd$i, qx$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS MATERIALIZED (SELECT $toksSql AS t FROM documents),
+         |p AS MATERIALIZED (SELECT least(t[CAST(i AS INT)], t[CAST(j AS INT)]) AS a,
+         |    greatest(t[CAST(i AS INT)], t[CAST(j AS INT)]) AS b
+         |  FROM (SELECT t, i,
+         |      unnest(range(i + 1, least(i + 4, len(t)) + 1)) AS j
+         |    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks) x) y),
+         |c AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS n_cooc
+         |  FROM p GROUP BY 1, 2 HAVING count(*) >= 2),
+         |m AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS m FROM
+         |    (SELECT a AS w FROM p UNION ALL SELECT b FROM p) u GROUP BY 1),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM p),
+         |sc AS MATERIALIZED (SELECT c.a, c.b, c.n_cooc,
+         |    greatest(0.0, round(ln(c.n_cooc * nn.n /
+         |      (CAST(ma.m AS DOUBLE) * mb.m)), 6)) AS ppmi
+         |  FROM c JOIN m ma ON ma.w = c.a JOIN m mb ON mb.w = c.b
+         |  CROSS JOIN nn),
+         |pe AS MATERIALIZED (SELECT a, b, CAST(round(ppmi * 1000000) AS BIGINT) AS w
+         |  FROM sc WHERE ppmi > 0),
+         |ped AS MATERIALIZED (SELECT a AS x, b AS y, w FROM pe
+         |  UNION ALL SELECT b, a, w FROM pe WHERE a <> b),
+         |pv0 AS MATERIALIZED (SELECT DISTINCT x AS word, CAST(1000000 AS BIGINT) AS s
+         |  FROM ped),
+         |$d1Ctes,
+         |pA AS MATERIALIZED (SELECT sum(e.w * vx.s * vy.s) AS a
+         |  FROM ped e JOIN pv3 vx ON e.x = vx.word
+         |    JOIN pv3 vy ON e.y = vy.word),
+         |pB AS MATERIALIZED (SELECT sum(s * s) AS b FROM pv3),
+         |qv0 AS MATERIALIZED (SELECT word, s FROM pv0),
+         |$d2Ctes
+         |SELECT word, CAST(1 AS INTEGER) AS direction, s AS score_micro
+         |FROM pv3
+         |UNION ALL
+         |SELECT word, CAST(2 AS INTEGER) AS direction, s AS score_micro
+         |FROM qv3""".stripMargin
     },
     "q318_url_canonicalize" ->
       s"""WITH $urlCanonCtesSql

@@ -1393,19 +1393,18 @@ object TextAnalysis {
     * state, so the live embedding direction equals the batch statistic
     * by construction; StreamingSpec pins it).
     */
-  def ppmiPowerIterationFromCounts(counts: DataFrame, minCount: Long = 5,
-                                   rounds: Int = 3): DataFrame = {
-    require(rounds >= 1 && rounds <= 8,
-      s"rounds ($rounds) must be in [1, 8]")
-    val release =
-      org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+  /** Symmetrized integer-weight PPMI edge list (x, y, w) — the matrix
+    * both power-iteration tiers iterate against; checkpointed (callers
+    * release).
+    */
+  private def ppmiEdges(counts: DataFrame, minCount: Long): DataFrame = {
     val scored = ppmiScoredPairs(counts, minCount)
       .filter(col("ppmi") > 0.0)
       .select(col("__a").as("a"), col("__b").as("b"),
         expr("CAST(round(ppmi * 1000000) AS BIGINT)").as("w"))
     // symmetrize off one subtree (the q281 lesson); a diagonal pair
     // (a = b, a token co-occurring with itself) must appear ONCE
-    val edges = scored.select(explode(
+    scored.select(explode(
         when(col("a") === col("b"), array(
           struct(col("a").as("x"), col("b").as("y"), col("w"))))
         .otherwise(array(
@@ -1414,6 +1413,15 @@ object TextAnalysis {
         .as("__e"))
       .select(col("__e.x").as("x"), col("__e.y").as("y"), col("__e.w"))
       .localCheckpoint()
+  }
+
+  def ppmiPowerIterationFromCounts(counts: DataFrame, minCount: Long = 5,
+                                   rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds ($rounds) must be in [1, 8]")
+    val release =
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    val edges = ppmiEdges(counts, minCount)
     var v = edges.select(col("x").as("word")).distinct()
       .withColumn("score_micro", lit(1000000L))
       .localCheckpoint()
@@ -1434,6 +1442,118 @@ object TextAnalysis {
     }
     release(edges)
     v
+  }
+
+  /** Rank-k PPMI factorization by HOTELLING DEFLATION over the same
+    * edge-list matvec: direction 1 is [[ppmiPowerIteration]]'s iterate;
+    * direction e > 1 iterates the deflated operator
+    * M_e·v = M·v − Σ_{p<e} u_p · (A_p · s_p) / B_p² with
+    * A_p = u_pᵀMu_p, B_p = u_pᵀu_p, s_p = u_pᵀv — the rank-1 terms are
+    * NEVER materialized (u uᵀ is dense vocab²); each costs one
+    * vocab-sized join for s_p plus a broadcast scalar ride, so the
+    * matvec stays the equi-join + aggregate the q317 plan gate pins.
+    *
+    * Integer replay: the scalar chain is staged to stay inside
+    * decimal(38) — c1 = A DIV B (the Rayleigh quotient in matvec
+    * units), c2 = (c1·s) DIV B, corr_i = u_i·c2 — every division
+    * TRUNCATES TOWARD ZERO via the sign-split spelling (Spark DIV
+    * truncates, DuckDB // floors: they agree only on non-negatives, so
+    * negatives — which exist from direction 2 on — are divided as
+    * −(|a| DIV b); NOTES_r3 landmine class). Renorm divides by
+    * max(|u|). Deflation under truncation is approximate (≈1e-9
+    * relative), which is FINE: the contract is fixed-round bit replay,
+    * not spectral exactness — the oracle unrolls the identical chain.
+    *
+    * Returns (word, direction ∈ 1..k, score_micro), directions ordered
+    * by extraction. TextAnalysisSpec pins plain-Scala replay, sign
+    * diversity and near-orthogonality of direction 2 on a two-cluster
+    * fixture.
+    */
+  def ppmiTopDirections(docs: DataFrame, window: Int = 4,
+                        minCount: Long = 5, rounds: Int = 3, k: Int = 2,
+                        textCol: String = "text"): DataFrame =
+    ppmiTopDirectionsFromCounts(
+      windowedPairCounts(docs, window, textCol), minCount, rounds, k)
+
+  def ppmiTopDirectionsFromCounts(counts: DataFrame, minCount: Long = 5,
+                                  rounds: Int = 3, k: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds ($rounds) must be in [1, 8]")
+    require(k >= 1 && k <= 4, s"k ($k) must be in [1, 4]")
+    val release =
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    // truncate-toward-zero integral division (b > 0): the ONE spelling
+    // both engines compute identically on negatives
+    def tdiv(a: String, b: String) =
+      s"(CASE WHEN $a < 0 THEN -((-($a)) DIV ($b)) ELSE ($a) DIV ($b) END)"
+    val edges = ppmiEdges(counts, minCount)
+    val vocab = edges.select(col("x").as("word")).distinct()
+      .localCheckpoint()
+    // priors: per extracted direction, the converged integer vector and
+    // its 1-row (A = uᵀMu, B = uᵀu) scalar frame (both checkpointed)
+    var priors = List.empty[(DataFrame, DataFrame)]
+    var out = List.empty[DataFrame]
+    var finalVs = List.empty[DataFrame]
+    for (e <- 1 to k) {
+      var v = vocab.withColumn("score_micro", lit(1000000L))
+        .localCheckpoint()
+      for (_ <- 1 to rounds) {
+        val mv = edges
+          .join(v.select(col("word").as("y"),
+            col("score_micro").as("__v")), Seq("y"))
+          .groupBy(col("x").as("word"))
+          .agg(sum((col("w") * col("__v")).cast("decimal(38,0)")).as("__u"))
+        val u = priors.foldLeft(mv) { case (acc, (up, ab)) =>
+          val s = up.select(col("word"), col("score_micro").as("__up"))
+            .join(v, "word")
+            .agg(coalesce(sum((col("__up") * col("score_micro"))
+              .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+              .as("__s"))
+          acc
+            .join(up.select(col("word"), col("score_micro").as("__up")),
+              Seq("word"), "left")
+            .crossJoin(broadcast(ab))
+            .crossJoin(broadcast(s))
+            .select(col("word"),
+              expr("CAST(__u AS DECIMAL(38,0)) - " +
+                s"coalesce(__up, 0) * ${tdiv(s"${tdiv("__A", "__B")} * __s",
+                  "__B")}").cast("decimal(38,0)").as("__u"))
+        }
+        val mx = u.agg(max(abs(col("__u"))).as("__mx"))
+        val next = u.crossJoin(broadcast(mx))
+          .select(col("word"),
+            expr(s"CAST(${tdiv("__u * 1000000", "greatest(__mx, 1)")} " +
+              "AS BIGINT)").as("score_micro"))
+          .localCheckpoint()
+        release(v)
+        v = next
+      }
+      out ::= v.withColumn("direction", lit(e))
+      finalVs ::= v
+      if (e < k) {
+        // scalars for deflating the NEXT directions
+        val a = edges
+          .join(v.select(col("word").as("x"), col("score_micro").as("__sx")),
+            Seq("x"))
+          .join(v.select(col("word").as("y"), col("score_micro").as("__sy")),
+            Seq("y"))
+          .agg(sum((col("w") * col("__sx") * col("__sy"))
+            .cast("decimal(38,0)")).as("__A"))
+        val b = v.agg(sum((col("score_micro") * col("score_micro"))
+          .cast("decimal(38,0)")).as("__B"))
+        priors :+= ((v, a.crossJoin(b).localCheckpoint()))
+      }
+    }
+    release(edges)
+    val res = out.reverse.reduce(_ unionAll _)
+      .select(col("word"), col("direction"), col("score_micro"))
+      .localCheckpoint()
+    // res is materialized — every per-direction checkpoint (they back
+    // both `out` and `priors`) and the AB scalar frames are dead now
+    finalVs.foreach(release)
+    priors.foreach { case (_, ab) => release(ab) }
+    release(vocab)
+    res
   }
 
   def termCooccurrencePmi(docs: DataFrame, idCol: String = "doc_id",

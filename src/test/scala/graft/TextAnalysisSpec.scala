@@ -1037,4 +1037,95 @@ class TextAnalysisSpec extends SparkSpec {
     // symmetric pair converge to equal scores
     assert(got("p") == got("q"))
   }
+
+  /** Rank-k replay: the same integer recursion plus Hotelling deflation
+    * (c1 = A/B, c2 = c1·s/B, corr = u_p·c2; BigInt `/` truncates toward
+    * zero, which is exactly the sign-split DIV both engines compute).
+    */
+  private def ppmiDirectionsReplay(docs: Seq[String], window: Int,
+                                   minCount: Long, rounds: Int, k: Int)
+      : Map[(String, Int), Long] = {
+    val pairs = docs.flatMap { t =>
+      val tk = t.trim.split("\\s+").filter(_.nonEmpty)
+      for {
+        i <- tk.indices
+        j <- (i + 1) until math.min(i + window + 1, tk.length)
+      } yield if (tk(i) <= tk(j)) (tk(i), tk(j)) else (tk(j), tk(i))
+    }
+    val n = pairs.size.toDouble
+    val cnt = pairs.groupBy(identity).map { case (kk, v) => kk -> v.size }
+    val marg = pairs.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (kk, v) => kk -> v.size }
+    val w = cnt.filter(_._2 >= minCount).flatMap { case ((a, b), c) =>
+      val ppmi = math.max(0.0,
+        BigDecimal(math.log(c * n / (marg(a).toDouble * marg(b))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      if (ppmi > 0.0) {
+        val wi = BigDecimal(ppmi * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        if (a == b) Seq((a, b, wi)) else Seq((a, b, wi), (b, a, wi))
+      } else Nil
+    }.toSeq
+    val vocab = w.map(_._1).distinct
+    var priors = List.empty[(Map[String, Long], BigInt, BigInt)]
+    (1 to k).flatMap { e =>
+      var v = vocab.map(_ -> 1000000L).toMap
+      for (_ <- 1 to rounds) {
+        val u = vocab.map { x =>
+          val mv = w.collect { case (`x`, y, wi) => BigInt(wi) * v(y) }.sum
+          val defl = priors.map { case (up, a, b) =>
+            val s = vocab.map(t => BigInt(up.getOrElse(t, 0L)) * v(t)).sum
+            BigInt(up.getOrElse(x, 0L)) * ((a / b) * s / b)
+          }.sum
+          x -> (mv - defl)
+        }.toMap
+        val mx = u.values.map(_.abs).max
+        v = vocab.map(x =>
+          x -> (u(x) * 1000000 / (if (mx > 0) mx else 1)).toLong).toMap
+      }
+      if (e < k) {
+        val a = w.map { case (x, y, wi) =>
+          BigInt(wi) * v(x) * v(y) }.sum
+        val b = vocab.map(t => BigInt(v(t)) * v(t)).sum
+        priors :+= ((v, a, b))
+      }
+      vocab.map(x => (x, e) -> v(x))
+    }.toMap
+  }
+
+  test("ppmiTopDirections: bit-exact rank-2 replay; direction 2 lands " +
+    "on the deflated second cluster, near-orthogonal to direction 1") {
+    import spark.implicits._
+    // {x,y} is the dominant collocation cluster, {p,q} the runner-up;
+    // deflating direction 1 must hand direction 2 to {p,q}
+    val docs = Seq.fill(4)("x y x y") ++ Seq.fill(2)("p q") ++
+      (0 until 30).map(i => s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f")
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .ppmiTopDirections(df, window = 2, minCount = 2, rounds = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val expect = ppmiDirectionsReplay(docs, window = 2, minCount = 2,
+      rounds = 3, k = 2)
+    assert(got == expect, s"got=$got expect=$expect")
+    // direction 1 ≡ the single-direction operator (deflation only ever
+    // touches e > 1)
+    val d1 = graft.ops.TextAnalysis
+      .ppmiPowerIteration(df, window = 2, minCount = 2, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d1 == got.collect { case ((t, 1), s) => t -> s })
+    // structure: direction 1 peaks on the dominant cluster — which is
+    // {p,q}, NOT the frequent {x,y}: PPMI punishes frequency (the
+    // NOTES_r18 gotcha), so the rare pair carries the heavier edge —
+    // and deflation hands direction 2 to the runner-up {x,y}
+    val v1 = got.collect { case ((t, 1), s) => t -> s }
+    val v2 = got.collect { case ((t, 2), s) => t -> s }
+    assert(Set("p", "q").contains(v1.maxBy(_._2)._1))
+    assert(Set("x", "y").contains(v2.maxBy(kv => math.abs(kv._2))._1))
+    val dot = v1.keys.map(t => v1(t).toDouble * v2(t)).sum
+    val cos = dot / (math.sqrt(v1.values.map(s => s.toDouble * s).sum) *
+      math.sqrt(v2.values.map(s => s.toDouble * s).sum))
+    assert(math.abs(cos) < 0.1, s"direction 2 not orthogonal: cos=$cos")
+  }
 }
