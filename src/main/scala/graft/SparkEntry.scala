@@ -2411,6 +2411,13 @@ object SparkEntry {
       // source, document incidence ppm and hits per million input
       // chars — the map-only scrub plus a groups-sized integer rollup
       Redact.piiBySource(piiInjectedDocs(s, d))),
+    "q324_trigram_kn_lm" -> ((s, d) =>
+      // the quality-filter ladder's production rung: interpolated
+      // Kneser–Ney trigram (absolute discount 0.75, true-bigram
+      // backoff, continuation-count unigram) — level joins at n-gram-
+      // TYPE granularity, one join back to the (doc, trigram, tf)
+      // relation; the same distributed skeleton as q113 one order up
+      TextAnalysis.trigramKnCrossEntropy(T(s, d, "documents"))),
     "q113_bigram_lm_score" -> ((s, d) =>
       // conditional bigram LM quality score (KenLM-filter shape, one
       // rung above q96's unigram): single tokenize, array-side bigrams,
@@ -5802,6 +5809,49 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(t2, '${graft.ops.Redact.phonePattern}')) AS INTEGER) AS n_phones,
          |  regexp_replace(t2, '${graft.ops.Redact.phonePattern}', '<PHONE>', 'g') AS redacted
          |FROM s2""".stripMargin,
+    "q324_trigram_kn_lm" ->
+      // the full interpolated KN recursion unrolled: trigram ML with
+      // absolute discount, bigram backoff over TRUE corpus bigram
+      // counts, Kneser–Ney continuation unigram at the bottom — every
+      // level a grouped count, the formula parenthesized exactly as
+      // the Spark column expression so the doubles replay
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tg AS (SELECT doc_id, t[CAST(i AS INT)] AS w1,
+         |    t[CAST(i AS INT) + 1] AS w2, t[CAST(i AS INT) + 2] AS w3
+         |  FROM (SELECT doc_id, t,
+         |      unnest(range(1, greatest(len(t) - 1, 1))) AS i
+         |    FROM toks) x),
+         |tf3 AS (SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tg GROUP BY 1, 2, 3, 4),
+         |c3 AS (SELECT w1, w2, w3, CAST(sum(tf) AS BIGINT) AS c3
+         |  FROM tf3 GROUP BY 1, 2, 3),
+         |l12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12dot,
+         |    CAST(count(*) AS BIGINT) AS n1p12 FROM c3 GROUP BY 1, 2),
+         |bg AS (SELECT t[CAST(i AS INT)] AS u1, t[CAST(i AS INT) + 1] AS u2
+         |  FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i
+         |    FROM toks) x),
+         |cb AS (SELECT u1, u2, CAST(count(*) AS BIGINT) AS c2
+         |  FROM bg GROUP BY 1, 2),
+         |l2 AS (SELECT u1, CAST(sum(c2) AS BIGINT) AS c2dot,
+         |    CAST(count(*) AS BIGINT) AS n1p2 FROM cb GROUP BY 1),
+         |cont3 AS (SELECT u2, CAST(count(*) AS BIGINT) AS n1pdot3
+         |  FROM cb GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n1pdd FROM cb),
+         |lnp AS (SELECT c3.w1, c3.w2, c3.w3,
+         |    ln(greatest(c3.c3 - 0.75, 0.0) / c12dot
+         |      + (0.75 * n1p12 / c12dot) * (
+         |          greatest(cb.c2 - 0.75, 0.0) / c2dot
+         |        + (0.75 * n1p2 / c2dot)
+         |          * (n1pdot3 / CAST(n1pdd AS DOUBLE)))) AS lnp
+         |  FROM c3 JOIN l12 USING (w1, w2)
+         |    JOIN cb ON cb.u1 = c3.w2 AND cb.u2 = c3.w3
+         |    JOIN l2 ON l2.u1 = c3.w2
+         |    JOIN cont3 ON cont3.u2 = c3.w3, tot)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+         |  round(-sum(tf * lnp) / CAST(sum(tf) AS DOUBLE), 6)
+         |    AS trigram_kn_cross_entropy
+         |FROM tf3 JOIN lnp USING (w1, w2, w3)
+         |GROUP BY doc_id""".stripMargin,
     "q113_bigram_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |bg AS (SELECT doc_id,

@@ -1119,6 +1119,106 @@ object TextAnalysis {
           .as("bigram_cross_entropy"))
   }
 
+  /** Per-(doc, trigram) frequency relation — [[bigramFrequencies]] one
+    * order up: single tokenize, positional trigrams array-side, < 3
+    * tokens → empty.
+    */
+  private[graft] def trigramFrequencies(docs: DataFrame, idCol: String,
+                                        textCol: String,
+                                        materialize: Boolean = true): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"), size(col("__t")).as("__n"))
+    val trigrams = base.select(col(idCol),
+      explode(when(col("__n") < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), col("__n") - 2),
+          i => concat_ws(" ", element_at(col("__t"), i),
+            element_at(col("__t"), i + 1),
+            element_at(col("__t"), i + 2))))).as("__tg"))
+    val tf = trigrams.groupBy(col(idCol), col("__tg"))
+      .agg(count(lit(1)).as("__tf"))
+    if (materialize) tf.localCheckpoint() else tf
+  }
+
+  /** Trigram LM scoring with INTERPOLATED KNESER–NEY-style discounting —
+    * the production rung of the quality-filter ladder ([[unigramCrossEntropy]]
+    * → [[bigramCrossEntropy]] → this; KenLM's 5-gram is the same
+    * recursion two orders up):
+    *
+    *   p(w3|w1w2) = max(c(w1w2w3)−D, 0)/c(w1w2·)
+    *              + [D·N1+(w1w2·)/c(w1w2·)] · p(w3|w2)
+    *   p(w3|w2)   = max(c(w2w3)−D, 0)/c(w2·)
+    *              + [D·N1+(w2·)/c(w2·)] · N1+(·w3)/N1+(··)
+    *
+    * with one fixed discount D (Kneser–Ney's signature CONTINUATION
+    * distribution at the bottom: a word's unigram weight is how many
+    * distinct contexts it completes, not how often it occurs — "San
+    * Francisco" inflates c(Francisco) but not N1+(·Francisco)). The
+    * backoff bigram level uses TRUE corpus bigram counts (every doc's
+    * leading pair counts, not just trigram interiors), so each level is
+    * the consistent ML estimate of its own order. Every trigram's
+    * backoff terms exist by construction (its tail IS a corpus bigram),
+    * so no division hits zero. Docs with < 3 tokens emit no row.
+    *
+    * Shape at corpus scale: the same skeleton as [[bigramCrossEntropy]]
+    * — one tokenize per level, n-gram-type-granular count tables built
+    * by map-side-combinable aggregates, all level joins at TYPE
+    * granularity (never doc-granular), one final join back to the
+    * (doc, trigram, tf) relation. Double arithmetic in a fixed
+    * parenthesization; the per-doc tf-weighted average is rounded to 6
+    * decimals (the q96 reassociation-drift class).
+    */
+  def trigramKnCrossEntropy(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text",
+                            discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount ($discount) must be in (0, 1)")
+    val d = lit(discount)
+    val tf3 = trigramFrequencies(docs, idCol, textCol)
+    val c3 = tf3.groupBy(col("__tg")).agg(sum(col("__tf")).as("__c3"))
+      .withColumn("__p12", substring_index(col("__tg"), " ", 2))
+      .withColumn("__w3", substring_index(col("__tg"), " ", -1))
+      .withColumn("__b23", substring_index(col("__tg"), " ", -2))
+    val l12 = c3.groupBy(col("__p12"))
+      .agg(sum(col("__c3")).as("__c12dot"), count(lit(1)).as("__n1p12"))
+    val tf2 = bigramFrequencies(docs, idCol, textCol)
+    val c2 = tf2.groupBy(col("__bg")).agg(sum(col("__tf")).as("__c2"))
+      .localCheckpoint() // three consumers: tail counts, prefix level,
+                         // continuation counts
+    val l2 = c2.withColumn("__w2", substring_index(col("__bg"), " ", 1))
+      .groupBy(col("__w2"))
+      .agg(sum(col("__c2")).as("__c2dot"), count(lit(1)).as("__n1p2"))
+    val cont3 = c2
+      .withColumn("__w3", substring_index(col("__bg"), " ", -1))
+      .groupBy(col("__w3")).agg(count(lit(1)).as("__n1pdot3"))
+    val contTotal = c2.agg(count(lit(1)).as("__n1pdd"))
+    val lnP = c3
+      .join(l12, "__p12")
+      .join(c2.select(col("__bg").as("__b23"), col("__c2").as("__c23")),
+        "__b23")
+      .withColumn("__w2", substring_index(col("__b23"), " ", 1))
+      .join(l2, "__w2")
+      .join(cont3, "__w3")
+      .crossJoin(broadcast(contTotal))
+      .select(col("__tg"), log(
+        greatest(col("__c3").cast("double") - d, lit(0.0)) /
+          col("__c12dot").cast("double") +
+        (d * col("__n1p12").cast("double") /
+          col("__c12dot").cast("double")) * (
+          greatest(col("__c23").cast("double") - d, lit(0.0)) /
+            col("__c2dot").cast("double") +
+          (d * col("__n1p2").cast("double") /
+            col("__c2dot").cast("double")) *
+            (col("__n1pdot3").cast("double") /
+              col("__n1pdd").cast("double")))).as("__lnp"))
+    val res = tf3.join(lnP, "__tg")
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_trigrams"),
+        round(-sum(col("__tf").cast("double") * col("__lnp")) /
+          sum(col("__tf")).cast("double"), 6)
+          .as("trigram_kn_cross_entropy"))
+    res
+  }
+
   /** Cross-corpus LM quality scoring — the ACTUAL CCNet shape: the LM is
     * trained on a separate REFERENCE corpus (CCNet: Wikipedia) and scores
     * a TARGET corpus; [[unigramCrossEntropy]]'s in-corpus form never sees

@@ -1038,6 +1038,76 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("p") == got("q"))
   }
 
+  /** Plain-Scala replay of the interpolated-KN trigram recursion —
+    * maps and doubles, same parenthesization as the column expression.
+    */
+  private def knReplay(docs: Seq[(Long, String)], d: Double = 0.75)
+      : Map[Long, (Long, Double)] = {
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val tris = docs.flatMap { case (id, t) =>
+      toks(t).sliding(3).filter(_.size == 3)
+        .map(w => (id, (w(0), w(1), w(2)))) }
+    val bis = docs.flatMap { case (_, t) =>
+      toks(t).sliding(2).filter(_.size == 2).map(w => (w(0), w(1))) }
+    val c3 = tris.map(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    val l12 = c3.toSeq.groupBy { case ((a, b, _), _) => (a, b) }
+      .map { case (k, v) => k -> ((v.map(_._2).sum, v.size)) }
+    val cb = bis.groupBy(identity).map { case (k, v) => k -> v.size }
+    val l2 = cb.toSeq.groupBy(_._1._1)
+      .map { case (k, v) => k -> ((v.map(_._2).sum, v.size)) }
+    val cont3 = cb.toSeq.groupBy(_._1._2).map { case (k, v) => k -> v.size }
+    val n1pdd = cb.size
+    def lnp(tri: (String, String, String)): Double = {
+      val (w1, w2, w3) = tri
+      val (c12dot, n1p12) = l12((w1, w2))
+      val (c2dot, n1p2) = l2(w2)
+      math.log(
+        math.max(c3(tri) - d, 0.0) / c12dot +
+          (d * n1p12 / c12dot) * (
+            math.max(cb((w2, w3)) - d, 0.0) / c2dot +
+              (d * n1p2 / c2dot) * (cont3(w3).toDouble / n1pdd)))
+    }
+    tris.groupBy(_._1).map { case (id, g) =>
+      val tf = g.map(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+      val n = tf.values.sum.toLong
+      val s = tf.map { case (tri, f) => f * lnp(tri) }.sum
+      id -> ((n, BigDecimal(-s / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+  }
+
+  test("trigramKnCrossEntropy: plain-Scala KN replay; both tiers order " +
+    "repetitive < diverse and the trigram tier separates them harder") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c a b c a b c a b c a b c"), // repetitive
+      (2L, "q w e r t y u i o p z x j k l"), // all-unique
+      (3L, "a b c q w e a b c r t y"),
+      (4L, "the cat sat the cat ran the cat hid"))
+    val df = fixture.toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.trigramKnCrossEntropy(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val expect = knReplay(fixture)
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, (n, ce)) =>
+      assert(n == expect(id)._1)
+      assert(math.abs(ce - expect(id)._2) < 1e-9,
+        s"doc $id: got $ce want ${expect(id)._2}")
+    }
+    val t = got.view.mapValues(_._2).toMap
+    val b = graft.ops.TextAnalysis.bigramCrossEntropy(df)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // THE reason smoothing exists: the unsmoothed in-corpus bigram ML
+    // gives every singleton bigram p = c2/c1 = 1 → an all-unique doc
+    // scores ~zero entropy and the ordering INVERTS; the discounted
+    // interpolated tier keeps repetitive < diverse
+    assert(t(1L) < t(2L),
+      s"KN must order repetitive < diverse: ${t(1L)} vs ${t(2L)}")
+    assert(b(2L) < b(1L),
+      s"fixture must exhibit the unsmoothed inversion: ${b(2L)} vs ${b(1L)}")
+  }
+
   /** Rank-k replay: the same integer recursion plus Hotelling deflation
     * (c1 = A/B, c2 = c1·s/B, corr = u_p·c2; BigInt `/` truncates toward
     * zero, which is exactly the sign-split DIV both engines compute).
