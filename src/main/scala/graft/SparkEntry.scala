@@ -411,6 +411,27 @@ object SparkEntry {
     T(s, d, "documents").select(col("doc_id"), url.as("url"))
   }
 
+  /** Synthetic crawl-page fixture for q325: every document's text
+    * wrapped in a deterministic page skeleton — link-only nav, a short
+    * heading (under the min-chars cut), the body paragraph, a
+    * link-only related-articles div, and a mixed footer whose 45 chars
+    * of visible text carry 16 chars of anchor text (3·16 = 48 > 45 —
+    * the link-density boundary case, dropped). Attribute values are
+    * unquoted so the SQL twin needs no quote escaping.
+    */
+  private def htmlFixture(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><body><nav><a href=/>Home</a> <a href=/about>About</a>" +
+        " <a href=/contact>Contact</a></nav><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><div><a href=/l1>Related article one</a> " +
+        "<a href=/l2>Related article two</a></div>" +
+        "<footer>Copyright 2026 Example Corp " +
+        "<a href=/tos>Terms of Service</a></footer></body></html>"))
+    T(s, d, "documents").select(col("doc_id"), html.as("html"))
+  }
+
   /** The q318/q319 fixture + canonicalization as DuckDB CTEs — yields
     * `uc(doc_id, url, canonical_url, site)`, the exact RE2 mirror of
     * [[graft.ops.Web.canonicalizeUrl]]'s rule set.
@@ -3447,6 +3468,16 @@ object SparkEntry {
       // DuckDB // disagree on negatives, which direction 2 has)
       TextAnalysis.ppmiTopDirections(T(s, d, "documents"), window = 4,
         minCount = 2, rounds = 3, k = 2)),
+    "q325_main_content" -> ((s, d) =>
+      // DOM-aware main-content extraction ahead of every quality
+      // stage: block segmentation on block-level tags, per-block
+      // visible-text length + integer-exact link-density cut
+      // (3·linkChars < textChars), kept blocks reassembled — ONE
+      // codegen'd projection, nav/menu/footer boilerplate provably
+      // dropped, body kept (plan-gated map-only)
+      htmlFixture(s, d).select(col("doc_id"),
+        size(Web.mainContentBlocks(col("html"))).as("n_blocks_kept"),
+        Web.extractMainContent(col("html")).as("main_content"))),
     "q318_url_canonicalize" -> ((s, d) =>
       // crawl-pipeline URL normalization: case/default-port/trailing-
       // slash/fragment/tracking-param/param-order variants collapse to
@@ -8068,6 +8099,34 @@ object SparkEntry {
          |UNION ALL
          |SELECT word, CAST(2 AS INTEGER) AS direction, s AS score_micro
          |FROM qv3""".stripMargin
+    },
+    "q325_main_content" -> {
+      // the identical block split + metrics in RE2: vis(b) is the
+      // cleanText class chain, the link-density cut is the integer
+      // spelling, and the fixture string is byte-identical
+      val vis = (b: String) => "trim(regexp_replace(regexp_replace(" +
+        s"$b, '<[^>]+>', ' ', 'g'), '[ \\t\\n\\f\\r]+', ' ', 'g'))"
+      val linkLen = (b: String) => "coalesce(list_sum(list_transform(" +
+        s"regexp_extract_all($b, '(?s)<a(?: [^>]*)?>(.*?)</a>', 1), " +
+        "x -> len(x))), 0)"
+      s"""WITH hf AS (SELECT doc_id,
+         |    concat('<html><body><nav><a href=/>Home</a> ',
+         |      '<a href=/about>About</a> <a href=/contact>Contact</a>',
+         |      '</nav><h1>Doc ', CAST(doc_id AS VARCHAR), '</h1><p>',
+         |      text, '</p><div><a href=/l1>Related article one</a> ',
+         |      '<a href=/l2>Related article two</a></div>',
+         |      '<footer>Copyright 2026 Example Corp ',
+         |      '<a href=/tos>Terms of Service</a></footer>',
+         |      '</body></html>') AS html FROM documents),
+         |hb AS (SELECT doc_id, string_split_regex(html,
+         |    '${graft.ops.Web.blockTagRe}') AS blocks FROM hf),
+         |hk AS (SELECT doc_id, list_transform(list_filter(blocks,
+         |    b -> len(${vis("b")}) >= 25
+         |      AND 3 * ${linkLen("b")} < len(${vis("b")})),
+         |    b -> ${vis("b")}) AS kept FROM hb)
+         |SELECT doc_id, CAST(len(kept) AS INTEGER) AS n_blocks_kept,
+         |  array_to_string(kept, ' ') AS main_content
+         |FROM hk""".stripMargin
     },
     "q318_url_canonicalize" ->
       s"""WITH $urlCanonCtesSql

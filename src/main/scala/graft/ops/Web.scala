@@ -125,6 +125,71 @@ object Web {
       when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
   }
 
+  /** Block-level tags that segment an HTML document into candidate
+    * content blocks (the jusText/trafilatura family's first move):
+    * splitting on these leaves each block's INLINE markup (anchors,
+    * bold…) intact for the density metrics below.
+    */
+  val blockTagRe: String =
+    "(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|" +
+      "section|article|header|footer|nav|aside|blockquote|title|head|" +
+      "body|html|form|fieldset|pre)[^>]*>"
+
+  /** Anchor elements with their text content — group 1 is the link
+    * text whose length drives the link-density cut. `(?s)` so anchors
+    * spanning newlines count; lazy body so adjacent anchors don't
+    * merge. RE2-safe (no backreferences/lookahead), so DuckDB replays
+    * it verbatim.
+    */
+  val anchorRe: String = "(?s)<a(?: [^>]*)?>(.*?)</a>"
+
+  /** A block's VISIBLE text: inline tags stripped, whitespace
+    * normalized (the [[graft.ops.TextAnalysis.cleanText]] class rules —
+    * explicit class, never bare \s next to an RE2 oracle).
+    */
+  def visibleText(block: Column): Column =
+    trim(regexp_replace(regexp_replace(block, "<[^>]+>", " "),
+      "[ \\t\\n\\f\\r]+", " "))
+
+  /** MAIN-CONTENT block extraction — the crawl-curation step that runs
+    * BEFORE any quality stage (boilerplate nav/menu/footer text poisons
+    * every downstream statistic: language ID, n-gram LMs, dedup
+    * shingles all see "Home About Contact" otherwise). Coarse
+    * jusText-family heuristic, deliberately closed-form:
+    *
+    *   1. segment on block-level tags ([[blockTagRe]]);
+    *   2. keep a block iff its visible text has ≥ `minChars` chars
+    *      (drops headings/crumbs/button labels) AND its link density
+    *      is under 1/3 — spelled 3·linkChars < textChars so the cut is
+    *      INTEGER-exact (no double division, no tie ambiguity);
+    *   3. reassemble kept blocks' visible text in document order.
+    *
+    * The whole extractor is ONE codegen'd projection: split + per-block
+    * regexp metrics inside a higher-order filter — zero UDFs, zero
+    * shuffles, and each piece has an identical RE2/DuckDB spelling.
+    * Scope (documented): tag-soup tolerant but not a parser — comments,
+    * CDATA and script/style BODIES are not special-cased (a script
+    * body with ≥ minChars of low-link text would survive; the fixture
+    * and real use put extraction before [[graft.ops.TextAnalysis.cleanText]],
+    * which still strips leftovers).
+    */
+  def mainContentBlocks(html: Column, minChars: Int = 25): Column = {
+    require(minChars >= 1, s"minChars must be >= 1: $minChars")
+    val kept = filter(split(html, blockTagRe), b => {
+      val vis = visibleText(b)
+      val linkLen = aggregate(
+        transform(regexp_extract_all(b, lit(anchorRe), lit(1)),
+          a => length(a)),
+        lit(0), (acc, x) => acc + x)
+      length(vis) >= minChars && linkLen * 3 < length(vis)
+    })
+    transform(kept, b => visibleText(b))
+  }
+
+  /** [[mainContentBlocks]] reassembled into one text column. */
+  def extractMainContent(html: Column, minChars: Int = 25): Column =
+    array_join(mainContentBlocks(html, minChars), " ")
+
   /** Canonical-URL dedup census: one row per canonical URL fetched more
     * than once, with the copy count and the representative (lowest) id —
     * the exact-dedup shape of [[Dedup]] keyed on [[canonicalizeUrl]]

@@ -1093,7 +1093,7 @@ class PlanShapeSpec extends SparkSpec {
     // codec mapPartitions span) — a shuffle appearing here means a
     // regression broke the map-only contract
     for (q <- Seq("q314_image_phash", "q318_url_canonicalize",
-        "q320_audio_spectral_fp")) {
+        "q320_audio_spectral_fp", "q325_main_content")) {
       val s = planString(SparkEntry.queries(q)(spark, sf0001))
       assert(!s.contains("Exchange"), s"$q grew a shuffle:\n$s")
     }

@@ -76,6 +76,37 @@ class WebSpec extends SparkSpec {
     assert(census("b.com") == ((3L, 2L, 333333L)))
   }
 
+  test("extractMainContent: boilerplate nav/menu/footer dropped, body " +
+    "kept; the link-density cut is integer-exact at the boundary") {
+    val page = "<html><body>" +
+      "<nav><a href=/>Home</a> <a href=/a>About</a></nav>" +
+      "<h1>Short heading</h1>" + // 13 chars < 25 → dropped
+      "<p>The quick brown fox jumps over the lazy dog near the bank " +
+      "of the river.</p>" + // long, zero links → kept
+      "<p>Read the <a href=/d>full documentation</a> for the longer " +
+      "story about everything here.</p>" + // anchored but low density → kept
+      "<div><a href=/x>Link one list</a> <a href=/y>Link two list</a>" +
+      "</div>" + // pure links → dropped
+      "</body></html>"
+    val got = Seq(page).toDF("html")
+      .select(Web.extractMainContent(col("html"))).as[String].head()
+    assert(got == "The quick brown fox jumps over the lazy dog near " +
+      "the bank of the river. Read the full documentation for the " +
+      "longer story about everything here.", got)
+    // boundary around 3·linkChars < visChars with 28 non-anchor chars
+    // ("Copyright 2026 Example Corp "): anchor L gives vis = 28 + L, so
+    // keep ⟺ 2L < 28 ⟺ L ≤ 13; L = 14 is EXACT equality (42 = 42) and
+    // the strict < drops it — the tie goes to boilerplate
+    def densityCase(anchor: String) = Seq(
+      s"<p>Copyright 2026 Example Corp <a href=/t>$anchor</a></p>")
+      .toDF("html")
+      .select(size(Web.mainContentBlocks(col("html"))).as("n"))
+      .head().getInt(0)
+    assert(densityCase("Terms of Service") == 0) // L=16: 48 > 44
+    assert(densityCase("Terms of Servi") == 0)   // L=14: 42 = 42, strict
+    assert(densityCase("Terms of Ser") == 1)     // L=12: 36 < 40
+  }
+
   test("urlDedup groups only true canonical collisions and keeps the " +
     "lowest id as representative") {
     val df = Seq(
