@@ -196,6 +196,80 @@ object Dedup {
       Seq(idCol), numBuckets)
   }
 
+  // ----------- crash-safe append markers (persisted near-dup index)
+
+  /** Data files (relative names) of one index half's directory. */
+  private def indexDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: org.apache.hadoop.fs.Path): Set[String] =
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet
+
+  /** The index's root directory (parent of `sig`/`shingles`), from the
+    * catalog's location of the sig half — None when the index is not
+    * built in this session's catalog.
+    */
+  private def nearDupIndexRoot(spark: org.apache.spark.sql.SparkSession,
+                               name: String)
+      : Option[org.apache.hadoop.fs.Path] =
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .tableLocation(spark, s"${name}_sig")
+      .map(u => new org.apache.hadoop.fs.Path(u).getParent)
+
+  /** Crash recovery for an interrupted [[appendToNearDupIndex]] — the
+    * MARKER discipline the z-order swap uses, ported to the two-table
+    * append (r14 verdict gap #6: replay-idempotence alone leaves a
+    * crashed half-append INCONSISTENT until the same batch happens to
+    * be redelivered — sig rows whose shingles are missing silently
+    * drop their candidate pairs at verify time).
+    *
+    * Protocol: the append persists the PRE-append file listing of both
+    * halves to `<root>/_append_pending` BEFORE writing anything, and
+    * deletes the marker only after BOTH bucketed appends are durable.
+    * Recovery at writer entry (append/compact/delete all call this):
+    *   - no marker → nothing interrupted;
+    *   - marker with listing → a crashed append: every data file NOT
+    *     in the pre-listing is the crashed batch's partial output —
+    *     delete it (both halves reconverge to the pre-append state,
+    *     bit-identical), refresh the catalog's file listings, drop the
+    *     marker. Like the z-order "less than both markers" branch this
+    *     DISCARDS rather than completes — the batch data is not
+    *     durable anywhere, so completion is impossible; the caller's
+    *     replay (idempotent by the anti-join guards) re-adds it.
+    *   - torn marker (dir exists, no parquet) → the crash hit the
+    *     marker write itself, so no append started: drop the marker.
+    *
+    * Single-writer contract (the `.lock` discipline of the cluster
+    * store); readers never call this. Returns true iff a pending
+    * append was found and rolled back.
+    */
+  def recoverNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                          name: String): Boolean =
+    nearDupIndexRoot(spark, name).exists { root =>
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pending = new org.apache.hadoop.fs.Path(root, "_append_pending")
+      if (!fs.exists(pending)) false
+      else {
+        val valid =
+          graft.io.IO.parquetFileCount(spark, pending.toString) > 0
+        if (valid) {
+          val pre = spark.read.parquet(pending.toString).collect()
+            .map(r => (r.getString(0), r.getString(1)))
+            .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+          for ((half, table) <- Seq("sig" -> s"${name}_sig",
+              "shingles" -> s"${name}_shingles")) {
+            val dir = new org.apache.hadoop.fs.Path(root, half)
+            val keep = pre.getOrElse(half, Set.empty[String])
+            indexDataFiles(fs, dir).filterNot(keep).foreach { f =>
+              fs.delete(new org.apache.hadoop.fs.Path(dir, f), false) }
+            spark.catalog.refreshTable(table)
+          }
+        }
+        fs.delete(pending, true)
+        valid
+      }
+    }
+
   /** Grow the standing index with a NEW corpus slice — batch-cost only
     * (signatures and shingles computed for the slice, bucketed appends
     * with the IDENTICAL bucket specs, nothing re-read beyond an id
@@ -208,11 +282,13 @@ object Dedup {
     * the sig append anti-joins ids already in `<name>_sig`, the shingle
     * append ids already in `<name>_shingles` — so a retried or
     * re-delivered micro-batch (the streaming foreachBatch reality)
-    * appends nothing, and a crash in the window BETWEEN the two appends
-    * (sig written, shingles not yet) replays cleanly: the sig half skips
-    * its already-written rows instead of duplicating them forever, the
-    * shingle half fills in its missing rows (DedupSpec pins append-twice
-    * ≡ append-once and the mid-sequence-crash replay).
+    * appends nothing (DedupSpec pins append-twice ≡ append-once).
+    * CRASH-SAFE by marker ([[recoverNearDupIndex]]): the pre-append
+    * listing persists before the first write and the marker clears
+    * only after both halves are durable, so a crash at ANY point
+    * between leaves a state the next writer rolls back to the exact
+    * pre-append bytes — consistency no longer depends on the crashed
+    * batch being redelivered (MaintenanceSpec pins every crash point).
     */
   def appendToNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                            name: String, newDocs: DataFrame,
@@ -220,6 +296,18 @@ object Dedup {
                            shingleK: Int = 3, numPerm: Int = 128,
                            bands: Int = 16, numBuckets: Int = 32): Unit = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    recoverNearDupIndex(spark, name) // converge any crashed predecessor
+    val root = nearDupIndexRoot(spark, name).getOrElse(throw
+      new IllegalStateException(s"near-dup index '$name' is not built"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(root, "_append_pending")
+    val pre: Seq[(String, String)] = Seq("sig", "shingles").flatMap { h =>
+      indexDataFiles(fs, new org.apache.hadoop.fs.Path(root, h))
+        .toSeq.sorted.map(f => (h, f)) }
+    locally {
+      import spark.implicits._
+      graft.io.IO.writeDir(pre.toDF("half", "file_name"), pending.toString)
+    }
     // per-half replay guards: each append probes ITS OWN table's ids, so
     // the halves re-converge independently after a crash between them
     val fresh = newDocs.join(
@@ -241,6 +329,7 @@ object Dedup {
     sh.write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(numBuckets, idCol)
       .format("parquet").saveAsTable(s"${name}_shingles")
+    fs.delete(pending, true) // COMMIT: both halves durable
   }
 
   /** Small-file hygiene after many appends: rewrite both bucketed halves
@@ -253,6 +342,7 @@ object Dedup {
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                           name: String, path: String, idCol: String,
                           numBuckets: Int = 32): Unit = {
+    recoverNearDupIndex(spark, name) // writer entry: converge crashes
     // in-place rewrite must reuse the BUILD's bucket count (see
     // [[deleteFromNearDupIndex]]) — the catalog's spec wins over the
     // caller's default
@@ -281,6 +371,7 @@ object Dedup {
                              name: String, path: String, ids: DataFrame,
                              idCol: String = "doc_id",
                              numBuckets: Int = 32): Unit = {
+    recoverNearDupIndex(spark, name) // writer entry: converge crashes
     // the rewrite must reuse the BUILD's bucket count or the "probe
     // plans unchanged / exchange-free index side" guarantee breaks —
     // prefer the catalog's recorded spec over the caller's default

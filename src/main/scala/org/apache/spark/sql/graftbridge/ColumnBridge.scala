@@ -60,6 +60,20 @@ object ColumnBridge {
   def waitListenerBusEmpty(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** The catalog's storage LOCATION for a table, if it exists — lets
+    * index maintenance find the on-disk directories of the bucketed
+    * halves it must reconcile after a crash (`sessionState` is
+    * `private[sql]`).
+    */
+  def tableLocation(spark: org.apache.spark.sql.SparkSession,
+                    table: String): Option[java.net.URI] = {
+    val cat = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (cat.tableExists(id)) Some(cat.getTableMetadata(id).location)
+    else None
+  }
+
   /** The catalog's bucket count for a bucketed table, if the table
     * exists and was written with a bucket spec (`sessionState` is
     * `private[sql]`). Lets in-place index rewrites (compaction, GDPR

@@ -145,6 +145,90 @@ class MaintenanceSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("near-dup index append crash windows: the pending marker rolls " +
+    "every partial-append state back to the exact pre-append bytes") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf0001)
+    val path = tmp("ndcrash")
+    Dedup.buildNearDupIndex(docs.filter(col("doc_id") < 200), "crash_nd",
+      path, "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8,
+      numBuckets = 8)
+    try {
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pending = new Path(root, "_append_pending")
+      def files(half: String): Set[String] =
+        fs.listStatus(new Path(root, half)).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).toSet
+      def sigIds(): Set[Long] = spark.table("crash_nd_sig")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      def writeMarker(sig: Set[String], sh: Set[String]): Unit =
+        graft.io.IO.writeDir(
+          (sig.toSeq.sorted.map(("sig", _)) ++
+            sh.toSeq.sorted.map(("shingles", _)))
+            .toDF("half", "file_name"), pending.toString)
+      val l0sig = files("sig"); val l0sh = files("shingles")
+      val s0 = sigIds()
+      val batch = docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+
+      // committed append: marker must be gone, ids grown
+      Dedup.appendToNearDupIndex(spark, "crash_nd", batch, "doc_id",
+        "text", shingleK = 2, numPerm = 32, bands = 8, numBuckets = 8)
+      assert(!fs.exists(pending), "commit must clear the marker")
+      val s1 = sigIds()
+      assert(s0.subsetOf(s1) && s1.size > s0.size)
+
+      // (a) crash BETWEEN halves — the silent-miss state replay-
+      // idempotence alone cannot repair without redelivery: sig holds
+      // the batch, shingles doesn't, marker still pending
+      files("shingles").diff(l0sh).foreach(f =>
+        fs.delete(new Path(root, s"shingles/$f"), false))
+      spark.catalog.refreshTable("crash_nd_shingles")
+      writeMarker(l0sig, l0sh)
+      assert(Dedup.recoverNearDupIndex(spark, "crash_nd"))
+      assert(files("sig") == l0sig && files("shingles") == l0sh,
+        "rollback must reconverge both halves to the pre-append files")
+      assert(sigIds() == s0)
+      assert(!fs.exists(pending))
+
+      // (b) the replayed append completes and re-reaches the committed
+      // state (ids; file names differ across write jobs)
+      Dedup.appendToNearDupIndex(spark, "crash_nd", batch, "doc_id",
+        "text", shingleK = 2, numPerm = 32, bands = 8, numBuckets = 8)
+      assert(sigIds() == s1)
+      val l1sig = files("sig"); val l1sh = files("shingles")
+
+      // (c) crash BEFORE any write: marker present, nothing extra —
+      // recovery acts (marker consumed), state untouched
+      writeMarker(l1sig, l1sh)
+      assert(Dedup.recoverNearDupIndex(spark, "crash_nd"))
+      assert(files("sig") == l1sig && files("shingles") == l1sh)
+
+      // (d) torn marker (crash during the marker write itself): no
+      // listing → no append ever started → marker just drops
+      fs.mkdirs(pending)
+      assert(!Dedup.recoverNearDupIndex(spark, "crash_nd"))
+      assert(!fs.exists(pending))
+
+      // (e) crash AFTER both halves but before commit, then the WRITER
+      // path itself recovers: append batch2, fake the un-cleared
+      // marker, and let the next appendToNearDupIndex's entry recovery
+      // discard + its own body re-append — net state = one clean append
+      val batch2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      Dedup.appendToNearDupIndex(spark, "crash_nd", batch2, "doc_id",
+        "text", shingleK = 2, numPerm = 32, bands = 8, numBuckets = 8)
+      val s2 = sigIds()
+      writeMarker(l1sig, l1sh) // as if the commit delete never ran
+      Dedup.appendToNearDupIndex(spark, "crash_nd", batch2, "doc_id",
+        "text", shingleK = 2, numPerm = 32, bands = 8, numBuckets = 8)
+      assert(sigIds() == s2)
+      assert(!fs.exists(pending))
+    } finally {
+      Seq("crash_nd_sig", "crash_nd_shingles")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("binary-quant: fragmented tables compact, search unchanged, quiet untouched") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val path = tmp("binq")
