@@ -216,6 +216,20 @@ object Soak {
       consume(ops.TextAnalysis.blocklistCensusAC(docs, phrases))
     }
 
+    stage("video_neardup_robust") {
+      // q322's family over the 10× id space: real MJPEG synthesis,
+      // container demux + per-frame decode (map-only, one blob per
+      // task) feeding the hash-set-generic LSH pair pipeline with the
+      // merge-pinned verify — the decode-bound stage of the media
+      // curation loop plus a full trim-copy near-dup mine
+      val ids = docs.select(col("doc_id"))
+      val base = ops.Multimodal.synthesizeAvi(spark, ids, "doc_id")
+      val copies = ops.Multimodal.trimVideoCopies(base,
+        idOffset = 600000000L, dropFrames = 2)
+      consume(ops.Multimodal.videoNearDupPairs(base.unionByName(copies),
+        shingleLen = 2, numPerm = 64, bands = 32, threshold = 0.6))
+    }
+
     stage("url_canonical_dedup") {
       // q318/q319's family over the scaled corpus: the crawl's FIRST
       // dedup pass — canonicalization is one map-only codegen regex

@@ -3526,6 +3526,25 @@ object SparkEntry {
           idOffset = 600000L, dropFrames = 2)),
         shingleLen = 2, numPerm = 64, bands = 32, threshold = 0.6)
     }),
+    "q326_video_neardup_indexed" -> ((s, d) => {
+      // incremental video dedup at the INDEX tier: the even originals'
+      // frame-shingle surface persists once through the generic
+      // hash-set index (bucketed sig + sets halves, in-place bucket
+      // probe); the daily batch — trimmed re-uploads — pays only its
+      // own decode. Same (k−1)/k jaccard closed form as q322, so the
+      // expected pair set is pure id arithmetic
+      val docs = T(s, d, "documents").select("doc_id")
+      val name = s"videond_idx_${tagFor(d)}"
+      val even = Multimodal.synthesizeAvi(s,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id")
+      if (!s.catalog.tableExists(s"${name}_sig"))
+        Multimodal.buildVideoNearDupIndex(even, name,
+          s"/tmp/graft_clusters/videond_${tagFor(d)}")
+      Multimodal.probeVideoNearDup(
+        Multimodal.trimVideoCopies(even, idOffset = 600000L,
+          dropFrames = 2), name)
+        .select(col("__bid").as("batch_id"), col("__cid").as("corpus_id"))
+    }),
     "q321_audio_spectral_dup_indexed" -> ((s, d) => {
       // audio near-dup against a STANDING corpus through the SAME
       // generic fingerprint index as q296, keyed on the ROBUST spectral
@@ -8176,6 +8195,14 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END AS k
         |  FROM documents
         |  WHERE doc_id % 3 = 2 AND doc_id % 10 <> 0)""".stripMargin,
+    "q326_video_neardup_indexed" ->
+      // every even video's trimmed copy matches its original iff
+      // j = (k−1)/k ≥ 0.6 ⟺ n ≥ 5 ⟺ id%10 ≠ 0 (the q322 closed form);
+      // exact frame identity makes cross-video matches impossible
+      """SELECT doc_id + 600000 AS batch_id, doc_id AS corpus_id
+        |FROM documents
+        |WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
+        |  AND doc_id % 10 <> 0""".stripMargin,
     "q321_audio_spectral_dup_indexed" ->
       // equal (spectral_fp, n_samples) ⇔ equal pattern id (n_samples =
       // pid+20 injective over pid < 5) — same shape as the q296 oracle

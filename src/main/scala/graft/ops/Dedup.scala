@@ -196,14 +196,115 @@ object Dedup {
       Seq(idCol), numBuckets)
   }
 
-  // ----------- crash-safe append markers (persisted near-dup index)
+  // ------------------- persisted HASH-SET index (modality-generic LSH)
 
-  /** Data files (relative names) of one index half's directory. */
-  private def indexDataFiles(fs: org.apache.hadoop.fs.FileSystem,
-                             dir: org.apache.hadoop.fs.Path): Set[String] =
-    if (!fs.exists(dir)) Set.empty
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).toSet
+  /** [[buildNearDupIndex]] over a PRECOMPUTED shingle-hash-set column —
+    * the persisted tier of [[hashSetNearDupPairs]]: the same two
+    * bucketed halves (banded signatures keyed (__band, __bucket); the
+    * sorted distinct hash sets keyed id), so any modality that renders
+    * rows as 64-bit hash sets (video frame shingles, audio n-grams)
+    * gets the build-once / probe-many lifecycle, the in-place bucket
+    * read, and the marker-guarded append for free. (numPerm, bands)
+    * parameterize the hash family — probe values MUST match the build.
+    */
+  def buildHashSetIndex(rel: DataFrame, name: String, path: String,
+                        idCol: String, hashesCol: String,
+                        numPerm: Int = 64, bands: Int = 16,
+                        numBuckets: Int = 32): Unit = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val sets = rel.select(col(idCol),
+      sort_array(array_distinct(col(hashesCol))).as("__sh"))
+      .withColumn("__n", size(col("__sh")))
+      .filter(col("__n") > 0)
+    val banded = bandBuckets(
+      minhashSignaturesOfHashes(sets, idCol, "__sh", numPerm),
+      idCol, bands, numPerm / bands)
+    graft.io.IO.writeBucketed(banded, s"${name}_sig", s"$path/sig",
+      Seq("__band", "__bucket"), numBuckets, Seq("__band", "__bucket"))
+    graft.io.IO.writeBucketed(sets, s"${name}_shingles",
+      s"$path/shingles", Seq(idCol), numBuckets)
+  }
+
+  /** Verified batch↔index near-dup PAIRS (`__bid`, `__cid`) for a
+    * hash-set batch against a [[buildHashSetIndex]] index — the
+    * [[nearDupMatchesIndexed]] shape with the batch's sets supplied
+    * instead of tokenized: banded candidates against the bucketed sig
+    * table (index side read in place), exact jaccard against the
+    * stored sets (merge-pinned, corpus side never broadcasts).
+    */
+  def hashSetMatchesIndexed(batch: DataFrame, name: String,
+                            idCol: String, hashesCol: String,
+                            numPerm: Int = 64, bands: Int = 16,
+                            threshold: Double = 0.8): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val spark = batch.sparkSession
+    val sets = batch.select(col(idCol),
+      sort_array(array_distinct(col(hashesCol))).as("__sh"))
+      .withColumn("__n", size(col("__sh")))
+      .filter(col("__n") > 0)
+    val corpusSig = spark.table(s"${name}_sig")
+      .withColumnRenamed(idCol, "__cid")
+    val batchBanded = bandBuckets(
+      minhashSignaturesOfHashes(sets, idCol, "__sh", numPerm),
+      idCol, bands, numPerm / bands)
+      .withColumnRenamed(idCol, "__bid")
+    val cands = batchBanded.join(corpusSig, Seq("__band", "__bucket"))
+      .select("__bid", "__cid").distinct()
+    val corpusSh = spark.table(s"${name}_shingles")
+      .select(col(idCol).as("__cid"),
+        col("__sh").as("__sh___cid"), col("__n").as("__n___cid"))
+    val batchSh = sets.select(col(idCol).as("__bid"),
+      col("__sh").as("__sh___bid"), col("__n").as("__n___bid"))
+    val inter = sortedIntersectCount(col("__sh___bid"), col("__sh___cid"))
+      .cast("double")
+    val unionSize = (col("__n___bid") + col("__n___cid")).cast("double") -
+      inter
+    cands
+      .join(batchSh, "__bid")
+      .join(corpusSh.hint("merge"), "__cid")
+      .filter(when(unionSize === 0, lit(0.0))
+        .otherwise(inter / unionSize) >= threshold)
+      .select(col("__bid"), col("__cid"))
+  }
+
+  /** Marker-guarded append of new hash-set rows — the
+    * [[appendToNearDupIndex]] discipline verbatim (per-half anti-join
+    * replay guards + the [[IndexCommit]] pre-listing marker).
+    */
+  def appendToHashSetIndex(spark: org.apache.spark.sql.SparkSession,
+                           name: String, rel: DataFrame,
+                           idCol: String, hashesCol: String,
+                           numPerm: Int = 64, bands: Int = 16,
+                           numBuckets: Int = 32): Unit = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val root = nearDupIndexRoot(spark, name).getOrElse(throw
+      new IllegalStateException(s"hash-set index '$name' is not built"))
+    IndexCommit.withMarker(spark, root.toString, Seq("sig", "shingles"),
+      Seq(s"${name}_sig", s"${name}_shingles")) {
+      val sets = rel.select(col(idCol),
+        sort_array(array_distinct(col(hashesCol))).as("__sh"))
+        .withColumn("__n", size(col("__sh")))
+        .filter(col("__n") > 0)
+      val fresh = sets.join(
+        spark.table(s"${name}_shingles").select(col(idCol)),
+        Seq(idCol), "left_anti")
+      val sigFresh = sets.join(
+        spark.table(s"${name}_sig").select(col(idCol)),
+        Seq(idCol), "left_anti")
+      val banded = bandBuckets(
+        minhashSignaturesOfHashes(sigFresh, idCol, "__sh", numPerm),
+        idCol, bands, numPerm / bands)
+      banded.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(numBuckets, "__band", "__bucket")
+        .sortBy("__band", "__bucket")
+        .format("parquet").saveAsTable(s"${name}_sig")
+      fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(numBuckets, idCol)
+        .format("parquet").saveAsTable(s"${name}_shingles")
+    }
+  }
+
+  // ----------- crash-safe append markers (persisted near-dup index)
 
   /** The index's root directory (parent of `sig`/`shingles`), from the
     * catalog's location of the sig half — None when the index is not
@@ -217,57 +318,20 @@ object Dedup {
       .map(u => new org.apache.hadoop.fs.Path(u).getParent)
 
   /** Crash recovery for an interrupted [[appendToNearDupIndex]] — the
-    * MARKER discipline the z-order swap uses, ported to the two-table
-    * append (r14 verdict gap #6: replay-idempotence alone leaves a
+    * shared [[IndexCommit]] marker discipline over the two bucketed
+    * halves (r14 verdict gap #6: replay-idempotence alone leaves a
     * crashed half-append INCONSISTENT until the same batch happens to
     * be redelivered — sig rows whose shingles are missing silently
-    * drop their candidate pairs at verify time).
-    *
-    * Protocol: the append persists the PRE-append file listing of both
-    * halves to `<root>/_append_pending` BEFORE writing anything, and
-    * deletes the marker only after BOTH bucketed appends are durable.
-    * Recovery at writer entry (append/compact/delete all call this):
-    *   - no marker → nothing interrupted;
-    *   - marker with listing → a crashed append: every data file NOT
-    *     in the pre-listing is the crashed batch's partial output —
-    *     delete it (both halves reconverge to the pre-append state,
-    *     bit-identical), refresh the catalog's file listings, drop the
-    *     marker. Like the z-order "less than both markers" branch this
-    *     DISCARDS rather than completes — the batch data is not
-    *     durable anywhere, so completion is impossible; the caller's
-    *     replay (idempotent by the anti-join guards) re-adds it.
-    *   - torn marker (dir exists, no parquet) → the crash hit the
-    *     marker write itself, so no append started: drop the marker.
-    *
-    * Single-writer contract (the `.lock` discipline of the cluster
-    * store); readers never call this. Returns true iff a pending
-    * append was found and rolled back.
+    * drop their candidate pairs at verify time). Writer entry only
+    * (append/compact/delete); single-writer contract. Returns true iff
+    * a pending append was found and rolled back to the exact
+    * pre-append bytes.
     */
   def recoverNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                           name: String): Boolean =
     nearDupIndexRoot(spark, name).exists { root =>
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val pending = new org.apache.hadoop.fs.Path(root, "_append_pending")
-      if (!fs.exists(pending)) false
-      else {
-        val valid =
-          graft.io.IO.parquetFileCount(spark, pending.toString) > 0
-        if (valid) {
-          val pre = spark.read.parquet(pending.toString).collect()
-            .map(r => (r.getString(0), r.getString(1)))
-            .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-          for ((half, table) <- Seq("sig" -> s"${name}_sig",
-              "shingles" -> s"${name}_shingles")) {
-            val dir = new org.apache.hadoop.fs.Path(root, half)
-            val keep = pre.getOrElse(half, Set.empty[String])
-            indexDataFiles(fs, dir).filterNot(keep).foreach { f =>
-              fs.delete(new org.apache.hadoop.fs.Path(dir, f), false) }
-            spark.catalog.refreshTable(table)
-          }
-        }
-        fs.delete(pending, true)
-        valid
-      }
+      IndexCommit.recover(spark, root.toString, Seq("sig", "shingles"),
+        Seq(s"${name}_sig", s"${name}_shingles"))
     }
 
   /** Grow the standing index with a NEW corpus slice — batch-cost only
@@ -296,40 +360,33 @@ object Dedup {
                            shingleK: Int = 3, numPerm: Int = 128,
                            bands: Int = 16, numBuckets: Int = 32): Unit = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
-    recoverNearDupIndex(spark, name) // converge any crashed predecessor
     val root = nearDupIndexRoot(spark, name).getOrElse(throw
       new IllegalStateException(s"near-dup index '$name' is not built"))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pending = new org.apache.hadoop.fs.Path(root, "_append_pending")
-    val pre: Seq[(String, String)] = Seq("sig", "shingles").flatMap { h =>
-      indexDataFiles(fs, new org.apache.hadoop.fs.Path(root, h))
-        .toSeq.sorted.map(f => (h, f)) }
-    locally {
-      import spark.implicits._
-      graft.io.IO.writeDir(pre.toDF("half", "file_name"), pending.toString)
+    IndexCommit.withMarker(spark, root.toString, Seq("sig", "shingles"),
+      Seq(s"${name}_sig", s"${name}_shingles")) {
+      // per-half replay guards: each append probes ITS OWN table's ids,
+      // so the halves re-converge independently after a crash between
+      // them even on redelivery (marker rollback handles no-redelivery)
+      val fresh = newDocs.join(
+        spark.table(s"${name}_shingles").select(col(idCol)),
+        Seq(idCol), "left_anti")
+      val sigFresh = newDocs.join(
+        spark.table(s"${name}_sig").select(col(idCol)),
+        Seq(idCol), "left_anti")
+      val banded = bandBuckets(
+        minhashSignatures(sigFresh, idCol, textCol, shingleK, numPerm),
+        idCol, bands, numPerm / bands)
+      banded.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(numBuckets, "__band", "__bucket")
+        .sortBy("__band", "__bucket")
+        .format("parquet").saveAsTable(s"${name}_sig")
+      val sh = fresh.select(col(idCol),
+        sort_array(shingleHashes(col(textCol), shingleK)).as("__sh"))
+        .withColumn("__n", size(col("__sh")))
+      sh.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(numBuckets, idCol)
+        .format("parquet").saveAsTable(s"${name}_shingles")
     }
-    // per-half replay guards: each append probes ITS OWN table's ids, so
-    // the halves re-converge independently after a crash between them
-    val fresh = newDocs.join(
-      spark.table(s"${name}_shingles").select(col(idCol)),
-      Seq(idCol), "left_anti")
-    val sigFresh = newDocs.join(
-      spark.table(s"${name}_sig").select(col(idCol)),
-      Seq(idCol), "left_anti")
-    val banded = bandBuckets(
-      minhashSignatures(sigFresh, idCol, textCol, shingleK, numPerm),
-      idCol, bands, numPerm / bands)
-    banded.write.mode(org.apache.spark.sql.SaveMode.Append)
-      .bucketBy(numBuckets, "__band", "__bucket")
-      .sortBy("__band", "__bucket")
-      .format("parquet").saveAsTable(s"${name}_sig")
-    val sh = fresh.select(col(idCol),
-      sort_array(shingleHashes(col(textCol), shingleK)).as("__sh"))
-      .withColumn("__n", size(col("__sh")))
-    sh.write.mode(org.apache.spark.sql.SaveMode.Append)
-      .bucketBy(numBuckets, idCol)
-      .format("parquet").saveAsTable(s"${name}_shingles")
-    fs.delete(pending, true) // COMMIT: both halves durable
   }
 
   /** Small-file hygiene after many appends: rewrite both bucketed halves

@@ -1528,6 +1528,33 @@ object Multimodal {
       videoPHashShingles(videoFramePHashes(media, everyKth), shingleLen),
       "media_id", "__sh", numPerm, bands, threshold)
 
+  /** Build-once / probe-many lifecycle for incremental VIDEO near-dup:
+    * the corpus's frame-shingle surface persists through the generic
+    * hash-set index ([[graft.ops.Dedup.buildHashSetIndex]] — the same
+    * two bucketed halves, in-place bucket probe, marker-guarded append
+    * as the text family), so a daily video batch probes buckets
+    * instead of re-decoding the corpus. Probe params MUST match the
+    * build's (they parameterize the hash family).
+    */
+  def buildVideoNearDupIndex(media: DataFrame, name: String, path: String,
+                             shingleLen: Int = 2, numPerm: Int = 64,
+                             bands: Int = 32, numBuckets: Int = 32,
+                             everyKth: Int = 1): Unit =
+    graft.ops.Dedup.buildHashSetIndex(
+      videoExactShingles(decodeAviFrames(media, everyKth), shingleLen),
+      name, path, "media_id", "__sh", numPerm, bands, numBuckets)
+
+  /** Verified (batch video, indexed video) near-dup pairs against a
+    * [[buildVideoNearDupIndex]] index — batch decode cost only.
+    */
+  def probeVideoNearDup(batch: DataFrame, name: String,
+                        shingleLen: Int = 2, numPerm: Int = 64,
+                        bands: Int = 32, threshold: Double = 0.6,
+                        everyKth: Int = 1): DataFrame =
+    graft.ops.Dedup.hashSetMatchesIndexed(
+      videoExactShingles(decodeAviFrames(batch, everyKth), shingleLen),
+      name, "media_id", "__sh", numPerm, bands, threshold)
+
   /** Byte-level TRIMMED re-uploads of every video row: demux, drop the
     * first `dropFrames` frame chunks, re-mux with the same geometry —
     * the frame BYTES are untouched, so decoded pixels (and frame

@@ -2320,10 +2320,21 @@ object Similarity {
     * crash-window self-healing: EACH half anti-joins its own stored ids,
     * so replay completes whichever half is missing and no-ops the other.
     */
+  /** Crash recovery for an interrupted binary-quant append — the shared
+    * [[IndexCommit]] marker over the vectors+codes pair (a crashed
+    * half-append is otherwise exactly the HALF-BUILT state the
+    * maintenance sweep can only detect, not repair; path-based tables,
+    * so no catalog refresh needed).
+    */
+  def recoverBinaryQuantIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Boolean =
+    IndexCommit.recover(spark, path, Seq("vectors", "codes"))
+
   def appendToBinaryQuantIndex(spark: org.apache.spark.sql.SparkSession,
                                path: String, newEmb: DataFrame,
                                idCol: String = "vec_id",
-                               vecCol: String = "embedding"): Unit = {
+                               vecCol: String = "embedding"): Unit =
+    IndexCommit.withMarker(spark, path, Seq("vectors", "codes")) {
     val batch = newEmb
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .localCheckpoint()

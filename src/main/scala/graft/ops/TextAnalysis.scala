@@ -776,11 +776,36 @@ object TextAnalysis {
     * docstats-present ids), and the recovery is [[deleteFromBm25Index]]
     * on the batch's ids followed by a clean re-append, or a rebuild.
     */
+  /** Crash recovery for an interrupted BM25 index mutation — the shared
+    * [[IndexCommit]] marker over postings+docstats. WITHOUT it, a crash
+    * between the postings and docstats writes doesn't just go stale, it
+    * CORRUPTS on replay: the batch guard anti-joins docstats (which
+    * never saw the batch), so the redelivered batch appends its
+    * postings a second time. The meta table overwrites in place, so
+    * the listing cannot roll it back — it REBUILDS from the recovered
+    * docstats instead (n_docs = row count, total_tf = Σ __dl — the
+    * exact identities the build wrote).
+    */
+  def recoverBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       name: String, path: String): Boolean =
+    IndexCommit.recover(spark, path, Seq("postings", "docstats"),
+      Seq(s"${name}_postings", s"${name}_docstats"),
+      postRecover = () => writeBm25Meta(spark, name, path,
+        spark.table(s"${name}_docstats").agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("__dl")), lit(0L)).as("total_tf"))))
+
   def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
                         name: String, path: String, newDocs: DataFrame,
                         idCol: String = "doc_id",
                         textCol: String = "text",
-                        numBuckets: Int = 32): Unit = {
+                        numBuckets: Int = 32): Unit =
+    IndexCommit.withMarker(spark, path, Seq("postings", "docstats"),
+      Seq(s"${name}_postings", s"${name}_docstats"),
+      postRecover = () => writeBm25Meta(spark, name, path,
+        spark.table(s"${name}_docstats").agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("__dl")), lit(0L)).as("total_tf")))) {
     // checkpoint the filtered batch: its lineage (anti-join against the
     // stored docstats) feeds three consumers below, and the docstats
     // table it probes is itself appended to mid-sequence

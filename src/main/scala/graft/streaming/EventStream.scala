@@ -937,6 +937,18 @@ object EventStream {
     graft.ops.TextAnalysis.ppmiPowerIterationFromCounts(
       spark.read.parquet(dest), minCount, rounds)
 
+  /** The rank-k twin off the SAME snapshot: the deflated directions
+    * (q323) are a pure fold of the (a, b, n) counts too, so the live
+    * rank-2 embedding equals the batch statistic through the ONE
+    * shared [[graft.ops.TextAnalysis.ppmiTopDirectionsFromCounts]]
+    * fold (StreamingSpec pins multi-batch ≡ one-shot).
+    */
+  def ppmiTopDirectionsFromStore(spark: SparkSession, dest: String,
+                                 minCount: Long = 5, rounds: Int = 3,
+                                 k: Int = 2): DataFrame =
+    graft.ops.TextAnalysis.ppmiTopDirectionsFromCounts(
+      spark.read.parquet(dest), minCount, rounds, k)
+
   /** Live threshold-free classifier report: the streamed score-count
     * snapshot at `dest` through the ONE shared
     * [[graft.ops.TextAnalysis.rocPrReportFromCounts]] definition —

@@ -907,6 +907,53 @@ class DedupSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS t_fp_idx_fp")
   }
 
+  test("hash-set index lifecycle: probe ≡ inline pairs; marker-guarded " +
+    "append closes the incremental loop idempotently") {
+    import org.apache.spark.sql.functions._
+    val rel = (0L until 300L).map { i =>
+      // blocks of 3 share most of their hash set → within-block pairs
+      val base = (i / 3) * 100L
+      (i, Seq(base, base + 1, base + 2, base + 3, i % 3 + base + 10))
+    }.toDF("id", "hs")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hs_life").toString
+    graft.ops.Dedup.buildHashSetIndex(rel.filter(col("id") < 200),
+      "t_hsl_idx", dir, "id", "hs", numPerm = 32, bands = 16,
+      numBuckets = 8)
+    try {
+      val batch = rel.filter(col("id") >= 200)
+      val got = graft.ops.Dedup.hashSetMatchesIndexed(batch, "t_hsl_idx",
+        "id", "hs", numPerm = 32, bands = 16, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // inline ground truth: exact jaccard ≥ 0.5 between batch and
+      // corpus sets (sets here are small — brute force is the oracle)
+      val sets = rel.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val expected = (for {
+        b <- 200L until 300L; c <- 0L until 200L
+        j = sets(b).intersect(sets(c)).size.toDouble /
+          sets(b).union(sets(c)).size
+        if j >= 0.5
+      } yield (b, c)).toSet
+      assert(got == expected, s"got=${got.size} want=${expected.size}")
+      assert(got.nonEmpty)
+      // append the batch; replay must add nothing; a fresh probe of the
+      // batch now matches ITSELF in the index (j = 1 self-pairs appear)
+      graft.ops.Dedup.appendToHashSetIndex(spark, "t_hsl_idx", batch,
+        "id", "hs", numPerm = 32, bands = 16, numBuckets = 8)
+      val n1 = spark.table("t_hsl_idx_shingles").count()
+      graft.ops.Dedup.appendToHashSetIndex(spark, "t_hsl_idx", batch,
+        "id", "hs", numPerm = 32, bands = 16, numBuckets = 8)
+      assert(spark.table("t_hsl_idx_shingles").count() == n1)
+      val self = graft.ops.Dedup.hashSetMatchesIndexed(batch, "t_hsl_idx",
+        "id", "hs", numPerm = 32, bands = 16, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((200L until 300L).forall(b => self.contains((b, b))))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_hsl_idx_sig")
+      spark.sql("DROP TABLE IF EXISTS t_hsl_idx_shingles")
+    }
+  }
+
   implicit class Tuple3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }

@@ -229,6 +229,58 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("bm25 index append crash window: marker rollback prevents the " +
+    "replay postings-duplication and rebuilds the meta") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf0001)
+    val path = tmp("bm25crash")
+    TextAnalysis.buildBm25Index(docs.filter(col("doc_id") < 300),
+      "crash_bm", path, numBuckets = 8)
+    try {
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def files(d: String): Set[String] =
+        fs.listStatus(new Path(root, d)).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).toSet
+      def search() = TextAnalysis.bm25SearchIndexed(spark, "crash_bm",
+        Seq("table", "scan", "vector"), topK = 10)
+        .collect().map(_.toSeq).toSeq
+      def postingsCount() = spark.table("crash_bm_postings").count()
+      val p0 = search(); val l0p = files("postings"); val l0d = files("docstats")
+      val batch = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      TextAnalysis.appendToBm25Index(spark, "crash_bm", path, batch,
+        numBuckets = 8)
+      val p1 = search(); val n1 = postingsCount()
+      assert(p1 != p0)
+      // fabricate the worst window: postings appended, docstats NOT,
+      // meta stale, marker still pending — the state whose naive replay
+      // would append the batch's postings a SECOND time (the guard
+      // anti-joins docstats, which never saw the batch)
+      files("docstats").diff(l0d).foreach(f =>
+        fs.delete(new Path(root, s"docstats/$f"), false))
+      spark.catalog.refreshTable("crash_bm_docstats")
+      graft.io.IO.writeDir(
+        (l0p.toSeq.sorted.map(("postings", _)) ++
+          l0d.toSeq.sorted.map(("docstats", _)))
+          .toDF("half", "file_name"),
+        s"$path/${graft.ops.IndexCommit.MarkerDir}")
+      // the next WRITER call recovers then appends: net = one clean
+      // append — postings count equals the clean-append count (no
+      // duplicates), search and meta equal the committed state
+      TextAnalysis.appendToBm25Index(spark, "crash_bm", path, batch,
+        numBuckets = 8)
+      assert(postingsCount() == n1,
+        "crashed-then-replayed append must not duplicate postings")
+      assert(search() == p1)
+      val meta = spark.table("crash_bm_meta").head()
+      val expectDocs = spark.table("crash_bm_docstats").count()
+      assert(meta.getLong(0) == expectDocs)
+    } finally {
+      Seq("crash_bm_postings", "crash_bm_docstats", "crash_bm_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("binary-quant: fragmented tables compact, search unchanged, quiet untouched") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val path = tmp("binq")

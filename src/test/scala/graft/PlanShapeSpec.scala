@@ -1175,6 +1175,42 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("hash-set index probe: the sig table reads in place (bucketed, " +
+    "zero exchange on the index side) like the text family") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rel = (0L until 400L).map(i =>
+      (i, Seq(i % 7, i % 11, i % 13, i % 17).map(_ * 1000L + i % 5)))
+      .toDF("id", "hs")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hs_idx").toString
+    graft.ops.Dedup.buildHashSetIndex(rel.filter(col("id") < 200),
+      "t_hs_idx", dir, "id", "hs", numPerm = 32, bands = 8, numBuckets = 8)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val m = graft.ops.Dedup.hashSetMatchesIndexed(
+        rel.filter(col("id") >= 200), "t_hs_idx", "id", "hs",
+        numPerm = 32, bands = 8, threshold = 0.5)
+      m.collect()
+      val p = m.queryExecution.executedPlan
+      val scans = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.exists(_.bucketedScan), p.toString)
+      val bx = p.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bx.isEmpty, s"index probe grew a broadcast:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql("DROP TABLE IF EXISTS t_hs_idx_sig")
+      spark.sql("DROP TABLE IF EXISTS t_hs_idx_shingles")
+    }
+  }
+
   test("clusterNearDups: no CC round broadcasts the nodes-sized label " +
     "relation (executed-plan capture across the whole loop)") {
     import spark.implicits._

@@ -711,6 +711,15 @@ class StreamingSpec extends SparkSpec {
       .ppmiPowerIteration(docs, window = 4, minCount = 2, rounds = 2)
       .collect().map(_.toSeq).toSet
     assert(piS.nonEmpty && piS == piB)
+    // the rank-2 deflated fit rides the same snapshot through the same
+    // shared fold — multi-batch ≡ one-shot for BOTH directions
+    val tdS = EventStream.ppmiTopDirectionsFromStore(spark, dest,
+        minCount = 2, rounds = 2, k = 2)
+      .collect().map(_.toSeq).toSet
+    val tdB = graft.ops.TextAnalysis
+      .ppmiTopDirections(docs, window = 4, minCount = 2, rounds = 2, k = 2)
+      .collect().map(_.toSeq).toSet
+    assert(tdS.nonEmpty && tdS == tdB)
   }
 
   test("streaming blocklist board equals the batch q309 census after " +
