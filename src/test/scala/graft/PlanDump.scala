@@ -99,7 +99,12 @@ object PlanDump {
     "q318_url_canonicalize" -> "URL canonicalization: ONE map-only whole-stage-codegen projection — regexp/split/sort expressions, zero exchanges",
     "q319_url_dedup" -> "URL dedup: map-only canonicalization into one map-side-combined groupBy on the canonical key",
     "q320_audio_spectral_fp" -> "sequency audio fingerprint: map-only codec tier over audio rows only, no exchange before the output-sized projection",
-    "q321_audio_spectral_dup_indexed" -> "spectral audio index probe: batch-side decode map-only, equi-join on (spectral_fp, n_samples) against the bucketed index read in place")
+    "q321_audio_spectral_dup_indexed" -> "spectral audio index probe: batch-side decode map-only, equi-join on (spectral_fp, n_samples) against the bucketed index read in place",
+    "q322_video_neardup_robust" -> "robust video near-dup: per-frame decode map-only, one groupBy to frame-shingle sets, banded LSH candidates, MERGE-PINNED verify joins (no corpus-derived broadcast)",
+    "q323_ppmi_rank2" -> "rank-2 PPMI deflation: edge-list matvec unchanged (equi-join + partial aggregate); deflation is a vocab-sized projection join + 1-row broadcast scalars per round, u*uT never materialized",
+    "q324_trigram_kn_lm" -> "interpolated-KN trigram: every level a map-side-combined count aggregate, level joins at n-gram-TYPE granularity, one join back to the doc-granular relation",
+    "q325_main_content" -> "main-content extraction: ONE whole-stage-codegen projection (split + per-block regex metrics in a higher-order filter), zero exchange",
+    "q326_video_neardup_indexed" -> "incremental video dedup: batch decode map-only; banded candidates equi-join the bucketed sig table read IN PLACE; stored sets side merge-pinned")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
