@@ -2432,6 +2432,17 @@ object SparkEntry {
       // source, document incidence ppm and hits per million input
       // chars — the map-only scrub plus a groups-sized integer rollup
       Redact.piiBySource(piiInjectedDocs(s, d))),
+    "q327_ref_trigram_kn" -> ((s, d) =>
+      // the ACTUAL CCNet filter shape at trigram order: the KN LM
+      // trains on the even-id half (the "Wikipedia") and scores the
+      // odd-id half — unseen trigrams/prefixes/words exercise every
+      // rung of the backoff chain down to the add-one-smoothed
+      // continuation unigram, and the unseen-trigram count rides along
+      // as the shift tripwire; target types LEFT-join the reference
+      // count tables, missing rows ARE the backoff signal
+      TextAnalysis.refTrigramKnCrossEntropy(
+        T(s, d, "documents").filter(col("doc_id") % 2 === 1),
+        T(s, d, "documents").filter(col("doc_id") % 2 === 0))),
     "q324_trigram_kn_lm" -> ((s, d) =>
       // the quality-filter ladder's production rung: interpolated
       // Kneser–Ney trigram (absolute discount 0.75, true-bigram
@@ -5859,6 +5870,71 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(t2, '${graft.ops.Redact.phonePattern}')) AS INTEGER) AS n_phones,
          |  regexp_replace(t2, '${graft.ops.Redact.phonePattern}', '<PHONE>', 'g') AS redacted
          |FROM s2""".stripMargin,
+    "q327_ref_trigram_kn" -> {
+      // the q324 recursion with LEFT joins against the even-half
+      // reference counts: the CASE chain IS the backoff ladder, the
+      // continuation unigram add-one-smooths over the reference's
+      // continuation vocabulary + one unknown slot
+      val pc = "(coalesce(n1pdot3, 0) + 1.0) / CAST(n1pdd + v + 1 AS DOUBLE)"
+      val p2 = "CASE WHEN c2dot IS NULL THEN " + pc +
+        " ELSE greatest(coalesce(c23, 0) - 0.75, 0.0) / c2dot" +
+        s" + (0.75 * n1p2 / c2dot) * ($pc) END"
+      s"""WITH rtoks AS MATERIALIZED (SELECT doc_id, $toksSql AS t
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |rtg AS MATERIALIZED (SELECT t[CAST(i AS INT)] AS w1,
+         |    t[CAST(i AS INT) + 1] AS w2, t[CAST(i AS INT) + 2] AS w3
+         |  FROM (SELECT t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+         |    FROM rtoks) x),
+         |c3 AS MATERIALIZED (SELECT w1, w2, w3,
+         |    CAST(count(*) AS BIGINT) AS c3 FROM rtg GROUP BY 1, 2, 3),
+         |l12 AS MATERIALIZED (SELECT w1, w2,
+         |    CAST(sum(c3) AS BIGINT) AS c12dot,
+         |    CAST(count(*) AS BIGINT) AS n1p12 FROM c3 GROUP BY 1, 2),
+         |rbg AS MATERIALIZED (SELECT t[CAST(i AS INT)] AS u1,
+         |    t[CAST(i AS INT) + 1] AS u2
+         |  FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i
+         |    FROM rtoks) x),
+         |cb AS MATERIALIZED (SELECT u1, u2, CAST(count(*) AS BIGINT) AS c2
+         |  FROM rbg GROUP BY 1, 2),
+         |l2 AS MATERIALIZED (SELECT u1, CAST(sum(c2) AS BIGINT) AS c2dot,
+         |    CAST(count(*) AS BIGINT) AS n1p2 FROM cb GROUP BY 1),
+         |cont3 AS MATERIALIZED (SELECT u2,
+         |    CAST(count(*) AS BIGINT) AS n1pdot3 FROM cb GROUP BY 1),
+         |tot AS MATERIALIZED (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cb) AS n1pdd,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cont3) AS v),
+         |ttoks AS MATERIALIZED (SELECT doc_id, $toksSql AS t
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |ttg AS MATERIALIZED (SELECT doc_id, t[CAST(i AS INT)] AS w1,
+         |    t[CAST(i AS INT) + 1] AS w2, t[CAST(i AS INT) + 2] AS w3
+         |  FROM (SELECT doc_id, t,
+         |      unnest(range(1, greatest(len(t) - 1, 1))) AS i
+         |    FROM ttoks) x),
+         |tf3 AS MATERIALIZED (SELECT doc_id, w1, w2, w3,
+         |    CAST(count(*) AS BIGINT) AS tf FROM ttg GROUP BY 1, 2, 3, 4),
+         |ty AS MATERIALIZED (SELECT DISTINCT w1, w2, w3 FROM tf3),
+         |sc AS MATERIALIZED (SELECT ty.w1, ty.w2, ty.w3,
+         |    c3.c3, l12.c12dot, l12.n1p12, cb.c2 AS c23,
+         |    l2.c2dot, l2.n1p2, cont3.n1pdot3, tot.n1pdd, tot.v
+         |  FROM ty LEFT JOIN c3
+         |      ON c3.w1 = ty.w1 AND c3.w2 = ty.w2 AND c3.w3 = ty.w3
+         |    LEFT JOIN l12 ON l12.w1 = ty.w1 AND l12.w2 = ty.w2
+         |    LEFT JOIN cb ON cb.u1 = ty.w2 AND cb.u2 = ty.w3
+         |    LEFT JOIN l2 ON l2.u1 = ty.w2
+         |    LEFT JOIN cont3 ON cont3.u2 = ty.w3, tot),
+         |lnp AS MATERIALIZED (SELECT w1, w2, w3,
+         |    CASE WHEN c3 IS NULL THEN 1 ELSE 0 END AS unseen,
+         |    ln(CASE WHEN c12dot IS NULL THEN $p2
+         |      ELSE greatest(coalesce(c3, 0) - 0.75, 0.0) / c12dot
+         |        + (0.75 * n1p12 / c12dot) * ($p2) END) AS lnp
+         |  FROM sc)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+         |  CAST(sum(tf * unseen) AS BIGINT) AS n_unseen_trigrams,
+         |  round(-sum(tf * lnp) / CAST(sum(tf) AS DOUBLE), 6)
+         |    AS ref_trigram_kn_cross_entropy
+         |FROM tf3 JOIN lnp USING (w1, w2, w3)
+         |GROUP BY doc_id""".stripMargin
+    },
     "q324_trigram_kn_lm" ->
       // the full interpolated KN recursion unrolled: trigram ML with
       // absolute discount, bigram backoff over TRUE corpus bigram

@@ -1244,6 +1244,99 @@ object TextAnalysis {
     res
   }
 
+  /** CROSS-CORPUS interpolated-KN trigram scoring — the actual CCNet
+    * shape at the order that matters: the LM trains on a REFERENCE
+    * corpus and scores a TARGET corpus, so unlike the in-corpus tier
+    * ([[trigramKnCrossEntropy]], which never meets an unseen n-gram)
+    * every rung of the backoff chain is genuinely exercised:
+    *
+    *   - seen trigram: the full discounted-interpolated formula;
+    *   - unseen trigram under a SEEN prefix: the max(c−D,0) term is 0
+    *     and the score is exactly the prefix's reserved mass
+    *     λ(w1w2)·p(w3|w2);
+    *   - unseen prefix: no context to discount — back off to the
+    *     bigram level outright;
+    *   - same two cases one level down, bottoming out in the
+    *     continuation unigram, ADD-ONE smoothED over the reference's
+    *     continuation vocabulary plus one unknown slot
+    *     (pc(w) = (N1+(·w)+1)/(N1+(··)+V+1); unseen word →
+    *     1/(N1+(··)+V+1) — the q299 Laplace discipline applied to
+    *     CONTINUATION counts, so "San Francisco"-style frequency
+    *     inflation still cannot leak in through the floor).
+    *
+    * Also emits the unseen-trigram count — the fast
+    * "distribution shift / wrong register" tripwire a curation pass
+    * reads before the entropy. Docs with < 3 tokens emit no row.
+    *
+    * Shape at corpus scale: reference count tables are n-gram-TYPE
+    * granular (map-side-combined aggregates, built once); the target's
+    * (doc, trigram, tf) relation LEFT-joins them at type granularity —
+    * missing rows ARE the backoff signal, coalesced into the CASE
+    * chain, never a second scan of the reference.
+    */
+  def refTrigramKnCrossEntropy(target: DataFrame, reference: DataFrame,
+                               idCol: String = "doc_id",
+                               textCol: String = "text",
+                               discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount ($discount) must be in (0, 1)")
+    val d = lit(discount)
+    // reference count tables (type-granular)
+    val rtf3 = trigramFrequencies(reference, idCol, textCol)
+    val c3 = rtf3.groupBy(col("__tg")).agg(sum(col("__tf")).as("__c3"))
+      .withColumn("__p12", substring_index(col("__tg"), " ", 2))
+    val l12 = c3.groupBy(col("__p12"))
+      .agg(sum(col("__c3")).as("__c12dot"), count(lit(1)).as("__n1p12"))
+    val rtf2 = bigramFrequencies(reference, idCol, textCol)
+    val c2 = rtf2.groupBy(col("__bg")).agg(sum(col("__tf")).as("__c2"))
+      .localCheckpoint()
+    val l2 = c2.withColumn("__w2", substring_index(col("__bg"), " ", 1))
+      .groupBy(col("__w2"))
+      .agg(sum(col("__c2")).as("__c2dot"), count(lit(1)).as("__n1p2"))
+    val cont3 = c2
+      .withColumn("__w3", substring_index(col("__bg"), " ", -1))
+      .groupBy(col("__w3")).agg(count(lit(1)).as("__n1pdot3"))
+    val totals = c2.agg(count(lit(1)).as("__n1pdd"))
+      .crossJoin(cont3.agg(count(lit(1)).as("__v")))
+    // target trigram types, scored once per TYPE then joined back
+    val ttf = trigramFrequencies(target, idCol, textCol)
+    val types = ttf.select(col("__tg")).distinct()
+      .withColumn("__p12", substring_index(col("__tg"), " ", 2))
+      .withColumn("__w3", substring_index(col("__tg"), " ", -1))
+      .withColumn("__b23", substring_index(col("__tg"), " ", -2))
+      .withColumn("__w2", substring_index(
+        substring_index(col("__tg"), " ", -2), " ", 1))
+    val scored = types
+      .join(c3.select(col("__tg"), col("__c3")), Seq("__tg"), "left")
+      .join(l12, Seq("__p12"), "left")
+      .join(c2.select(col("__bg").as("__b23"), col("__c2").as("__c23")),
+        Seq("__b23"), "left")
+      .join(l2, Seq("__w2"), "left")
+      .join(cont3, Seq("__w3"), "left")
+      .crossJoin(broadcast(totals))
+    val pc = (coalesce(col("__n1pdot3"), lit(0L)).cast("double") + 1.0) /
+      (col("__n1pdd") + col("__v") + lit(1L)).cast("double")
+    val p2 = when(col("__c2dot").isNull, pc).otherwise(
+      greatest(coalesce(col("__c23"), lit(0L)).cast("double") - d,
+        lit(0.0)) / col("__c2dot").cast("double") +
+        (d * col("__n1p2").cast("double") /
+          col("__c2dot").cast("double")) * pc)
+    val p3 = when(col("__c12dot").isNull, p2).otherwise(
+      greatest(coalesce(col("__c3"), lit(0L)).cast("double") - d,
+        lit(0.0)) / col("__c12dot").cast("double") +
+        (d * col("__n1p12").cast("double") /
+          col("__c12dot").cast("double")) * p2)
+    val lnP = scored.select(col("__tg"), log(p3).as("__lnp"),
+      col("__c3").isNull.cast("int").as("__unseen"))
+    ttf.join(lnP, "__tg")
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_trigrams"),
+        sum(col("__tf") * col("__unseen")).as("n_unseen_trigrams"),
+        round(-sum(col("__tf").cast("double") * col("__lnp")) /
+          sum(col("__tf")).cast("double"), 6)
+          .as("ref_trigram_kn_cross_entropy"))
+  }
+
   /** Cross-corpus LM quality scoring — the ACTUAL CCNet shape: the LM is
     * trained on a separate REFERENCE corpus (CCNet: Wikipedia) and scores
     * a TARGET corpus; [[unigramCrossEntropy]]'s in-corpus form never sees

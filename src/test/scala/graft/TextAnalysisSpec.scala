@@ -1108,6 +1108,34 @@ class TextAnalysisSpec extends SparkSpec {
       s"fixture must exhibit the unsmoothed inversion: ${b(2L)} vs ${b(1L)}")
   }
 
+  test("refTrigramKnCrossEntropy: every backoff rung behaves — seen " +
+    "< prefix-backoff < fully-OOV entropy; unseen counts exact") {
+    import spark.implicits._
+    val reference = Seq(
+      (0L, "the cat sat on the mat and the cat ran off"),
+      (2L, "the dog sat on the rug and the dog ran off"))
+      .toDF("doc_id", "text")
+    val target = Seq(
+      (1L, "the cat sat on the mat"),   // all trigrams seen
+      (3L, "the cat sat on the rug quickly"), // one unseen under a seen prefix
+      (5L, "zx qy wv uk tj ri"))        // fully OOV
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .refTrigramKnCrossEntropy(target, reference)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 4 trigrams, every one in the reference → zero unseen
+    assert(got(1L)._1 == 4L && got(1L)._2 == 0L)
+    // doc 5: 4 trigrams, all unseen (and every word OOV)
+    assert(got(5L)._1 == 4L && got(5L)._2 == 4L)
+    // doc 3: four seen trigrams plus "the rug quickly" — unseen but
+    // under the SEEN prefix (the, rug), i.e. the reserved-mass rung
+    assert(got(3L)._1 == 5L && got(3L)._2 == 1L)
+    // entropy ordering: in-distribution < mixed < fully-OOV
+    assert(got(1L)._3 < got(3L)._3 && got(3L)._3 < got(5L)._3,
+      s"backoff entropy ordering broken: $got")
+  }
+
   /** Rank-k replay: the same integer recursion plus Hotelling deflation
     * (c1 = A/B, c2 = c1·s/B, corr = u_p·c2; BigInt `/` truncates toward
     * zero, which is exactly the sign-split DIV both engines compute).
