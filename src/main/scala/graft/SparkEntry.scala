@@ -3537,6 +3537,23 @@ object SparkEntry {
           idOffset = 600000L, dropFrames = 2)),
         shingleLen = 2, numPerm = 64, bands = 32, threshold = 0.6)
     }),
+    "q328_video_containment" -> ((s, d) => {
+      // DEEP-trim clip detection — the edit class the jaccard tier
+      // (q322) provably cannot reach: originals with n = id%10+4 ≥ 8
+      // frames lose their first 6 (most of the video for small n), so
+      // jaccard collapses to |c|/|o| < 0.6 while the copy's shingle
+      // set stays a strict SUBSET of the original's → containment is
+      // exactly 1.0; min-shingle anchoring guarantees the candidate
+      // (the copy's min IS in the original's set), so the expected
+      // pair set is pure id arithmetic
+      val base = Multimodal.synthesizeAvi(s,
+        T(s, d, "documents").select("doc_id")
+          .filter(col("doc_id") % 10 >= 4), "doc_id")
+      Multimodal.videoContainmentPairs(
+        base.unionByName(Multimodal.trimVideoCopies(base,
+          idOffset = 600000L, dropFrames = 6)),
+        shingleLen = 2, threshold = 0.9)
+    }),
     "q326_video_neardup_indexed" -> ((s, d) => {
       // incremental video dedup at the INDEX tier: the even originals'
       // frame-shingle surface persists once through the generic
@@ -8271,6 +8288,15 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END AS k
         |  FROM documents
         |  WHERE doc_id % 3 = 2 AND doc_id % 10 <> 0)""".stripMargin,
+    "q328_video_containment" ->
+      // the copy's suffix shingles are a subset of the original's →
+      // containment exactly 1.0 for every deep-trimmed video; the
+      // jaccard each such pair would score is |c|/|o| < 0.6 (the q322
+      // tier's documented miss)
+      """SELECT doc_id + 600000 AS id_a, doc_id AS id_b,
+        |  1.0 AS containment
+        |FROM documents
+        |WHERE doc_id % 3 = 2 AND doc_id % 10 >= 4""".stripMargin,
     "q326_video_neardup_indexed" ->
       // every even video's trimmed copy matches its original iff
       // j = (k−1)/k ≥ 0.6 ⟺ n ≥ 5 ⟺ id%10 ≠ 0 (the q322 closed form);

@@ -1738,6 +1738,28 @@ object Dedup {
     containmentVerify(cands, base, base, threshold)
   }
 
+  /** [[containmentPairs]] over PRECOMPUTED hash sets — the modality-
+    * generic entry, and the metric that matters for DEEP edits: a copy
+    * missing half its frames/paragraphs has jaccard ≈ ½ and escapes any
+    * sane jaccard cut, while its shingle set is still ⊆ the original's
+    * (containment 1). Same min-shingle anchoring, same capped candidate
+    * discipline, same verify — only the base construction differs.
+    */
+  def hashSetContainmentPairs(rel: DataFrame, idCol: String,
+                              hashesCol: String, threshold: Double = 0.9,
+                              anchorCount: Int = 1,
+                              maxBucket: Int = 10000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    require(anchorCount >= 1, s"anchorCount must be >= 1: $anchorCount")
+    val base = rel.select(col(idCol).as("__id"),
+      array_sort(array_distinct(col(hashesCol))).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .localCheckpoint()
+    val cands = containmentCandidates(base, anchorCount, maxBucket)
+    containmentVerify(cands, base, base, threshold)
+  }
+
   /** (__id, __sh) relation shared by the inline and indexed containment
     * tiers: sorted distinct portable-hash k-shingle sets, empty docs
     * dropped.

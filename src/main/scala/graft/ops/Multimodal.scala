@@ -1528,6 +1528,22 @@ object Multimodal {
       videoPHashShingles(videoFramePHashes(media, everyKth), shingleLen),
       "media_id", "__sh", numPerm, bands, threshold)
 
+  /** DEEP-TRIM video tier — CONTAINMENT, not jaccard: a clip keeping
+    * only a tail (or any minority span) of the original drops jaccard
+    * to |c|/|o| and provably escapes the [[videoNearDupPairs]] cut,
+    * while its frame-shingle set is still a SUBSET of the original's —
+    * containment |c∩o|/|c| stays 1. Rides the text family's
+    * min-shingle-anchored capped candidate machinery over the exact
+    * frame identity. Returns (id_a contained-in id_b, containment).
+    */
+  def videoContainmentPairs(media: DataFrame, shingleLen: Int = 2,
+                            threshold: Double = 0.9,
+                            anchorCount: Int = 1,
+                            everyKth: Int = 1): DataFrame =
+    graft.ops.Dedup.hashSetContainmentPairs(
+      videoExactShingles(decodeAviFrames(media, everyKth), shingleLen),
+      "media_id", "__sh", threshold, anchorCount)
+
   /** Build-once / probe-many lifecycle for incremental VIDEO near-dup:
     * the corpus's frame-shingle surface persists through the generic
     * hash-set index ([[graft.ops.Dedup.buildHashSetIndex]] — the same

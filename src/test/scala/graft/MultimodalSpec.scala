@@ -928,6 +928,27 @@ class MultimodalSpec extends SparkSpec {
     assert(exact.count() == 0L)
   }
 
+  test("deep-trim clips: the jaccard tier provably misses them, the " +
+    "containment tier catches every one at exactly 1.0") {
+    // originals with n ≥ 8 frames losing their first 6: jaccard
+    // collapses to |c|/|o| < 0.6, containment stays 1
+    val vids = (2L to 89L by 3L).filter(_ % 10 >= 4).toDF("doc_id")
+    val base = Multimodal.synthesizeAvi(spark, vids, "doc_id")
+    val both = base.unionByName(
+      Multimodal.trimVideoCopies(base, idOffset = 600000L, dropFrames = 6))
+    val jac = Multimodal.videoNearDupPairs(both, shingleLen = 2,
+      numPerm = 64, bands = 32, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.isEmpty,
+      s"deep trims must escape the jaccard tier (that's the point): $jac")
+    val cont = Multimodal.videoContainmentPairs(both, shingleLen = 2,
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = (2L to 89L by 3L).filter(_ % 10 >= 4)
+      .map(id => (id + 600000L, id, 1.0)).toSet
+    assert(cont.toSet == expect, s"got ${cont.sortBy(_._1).mkString(",")}")
+  }
+
   test("media fixture encoders codegen cleanly: zero interpreted-mode " +
     "fallback across all three codec tiers") {
     // A private nested case class (the r14 state of SynthPng/Wav/Avi)
