@@ -104,7 +104,9 @@ object PlanDump {
     "q323_ppmi_rank2" -> "rank-2 PPMI deflation: edge-list matvec unchanged (equi-join + partial aggregate); deflation is a vocab-sized projection join + 1-row broadcast scalars per round, u*uT never materialized",
     "q324_trigram_kn_lm" -> "interpolated-KN trigram: every level a map-side-combined count aggregate, level joins at n-gram-TYPE granularity, one join back to the doc-granular relation",
     "q325_main_content" -> "main-content extraction: ONE whole-stage-codegen projection (split + per-block regex metrics in a higher-order filter), zero exchange",
-    "q326_video_neardup_indexed" -> "incremental video dedup: batch decode map-only; banded candidates equi-join the bucketed sig table read IN PLACE; stored sets side merge-pinned")
+    "q326_video_neardup_indexed" -> "incremental video dedup: batch decode map-only; banded candidates equi-join the bucketed sig table read IN PLACE; stored sets side merge-pinned",
+    "q327_ref_trigram_kn" -> "cross-corpus KN: reference count tables built once at type granularity; target types LEFT-join them (missing rows are the backoff signal), one join back to the doc-granular relation",
+    "q328_video_containment" -> "deep-trim containment: min-shingle anchor join shuffles scalars only (row_number caps, no array across the candidate exchange); arrays fetched once per surviving pair")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
