@@ -8200,7 +8200,7 @@ object SparkEntry {
          |pv0 AS MATERIALIZED (SELECT DISTINCT x AS word, CAST(1000000 AS BIGINT) AS s
          |  FROM ped),
          |$d1Ctes,
-         |pA AS MATERIALIZED (SELECT sum(e.w * vx.s * vy.s) AS a
+         |pA AS MATERIALIZED (SELECT sum(CAST(e.w AS HUGEINT) * vx.s * vy.s) AS a
          |  FROM ped e JOIN pv3 vx ON e.x = vx.word
          |    JOIN pv3 vy ON e.y = vy.word),
          |pB AS MATERIALIZED (SELECT sum(s * s) AS b FROM pv3),

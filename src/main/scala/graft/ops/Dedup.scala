@@ -179,11 +179,50 @@ object Dedup {
     * Probe-time (shingleK, numPerm, bands) MUST match the build call;
     * they parameterize the hash family itself.
     */
+  /** The hash-family parameters of a persisted LSH index, written at
+    * build time as a 1-row `<name>_params` table under `<path>/params`
+    * and VALIDATED at every probe/append entry: (shingleK, numPerm,
+    * bands) parameterize the hash family itself, so a caller probing a
+    * bands=32 video index with the bands=16 default would get silently
+    * wrong band buckets (empty or bogus candidate sets) — the contract
+    * must fail fast, not live in a doc comment. `shingleK` is -1 for
+    * the hash-set family (sets arrive precomputed; no tokenizer
+    * parameter exists). Indexes built before this table existed skip
+    * validation (legacy; documented, not silently wrong — the table is
+    * written by every current build).
+    */
+  private def writeIndexParams(spark: org.apache.spark.sql.SparkSession,
+                               name: String, path: String, shingleK: Int,
+                               numPerm: Int, bands: Int): Unit = {
+    import spark.implicits._
+    Seq((shingleK, numPerm, bands))
+      .toDF("shingle_k", "num_perm", "bands").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$path/params")
+      .format("parquet").saveAsTable(s"${name}_params")
+  }
+
+  private def requireIndexParams(spark: org.apache.spark.sql.SparkSession,
+                                 name: String, shingleK: Int,
+                                 numPerm: Int, bands: Int): Unit =
+    if (spark.catalog.tableExists(s"${name}_params")) {
+      val r = spark.table(s"${name}_params").head()
+      val (sk, np, b) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      require((shingleK == sk || sk == -1 || shingleK == -1) &&
+        numPerm == np && bands == b,
+        s"index '$name' was built with (shingleK=$sk, numPerm=$np, " +
+          s"bands=$b) but this call passes (shingleK=$shingleK, " +
+          s"numPerm=$numPerm, bands=$bands) — the hash family would " +
+          "not match; pass the build-time parameters")
+    }
+
   def buildNearDupIndex(corpus: DataFrame, name: String, path: String,
                         idCol: String, textCol: String,
                         shingleK: Int = 3, numPerm: Int = 128, bands: Int = 16,
                         numBuckets: Int = 32): Unit = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    writeIndexParams(corpus.sparkSession, name, path, shingleK, numPerm,
+      bands)
     val banded = bandBuckets(
       minhashSignatures(corpus, idCol, textCol, shingleK, numPerm),
       idCol, bands, numPerm / bands)
@@ -212,6 +251,7 @@ object Dedup {
                         numPerm: Int = 64, bands: Int = 16,
                         numBuckets: Int = 32): Unit = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    writeIndexParams(rel.sparkSession, name, path, -1, numPerm, bands)
     val sets = rel.select(col(idCol),
       sort_array(array_distinct(col(hashesCol))).as("__sh"))
       .withColumn("__n", size(col("__sh")))
@@ -238,6 +278,7 @@ object Dedup {
                             threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val spark = batch.sparkSession
+    requireIndexParams(spark, name, -1, numPerm, bands)
     val sets = batch.select(col(idCol),
       sort_array(array_distinct(col(hashesCol))).as("__sh"))
       .withColumn("__n", size(col("__sh")))
@@ -277,6 +318,7 @@ object Dedup {
                            numPerm: Int = 64, bands: Int = 16,
                            numBuckets: Int = 32): Unit = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    requireIndexParams(spark, name, -1, numPerm, bands)
     val root = nearDupIndexRoot(spark, name).getOrElse(throw
       new IllegalStateException(s"hash-set index '$name' is not built"))
     IndexCommit.withMarker(spark, root.toString, Seq("sig", "shingles"),
@@ -360,6 +402,7 @@ object Dedup {
                            shingleK: Int = 3, numPerm: Int = 128,
                            bands: Int = 16, numBuckets: Int = 32): Unit = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    requireIndexParams(spark, name, shingleK, numPerm, bands)
     val root = nearDupIndexRoot(spark, name).getOrElse(throw
       new IllegalStateException(s"near-dup index '$name' is not built"))
     IndexCommit.withMarker(spark, root.toString, Seq("sig", "shingles"),
@@ -562,6 +605,7 @@ object Dedup {
                             shingleK: Int = 3, numPerm: Int = 128,
                             bands: Int = 16,
                             threshold: Double = 0.8): DataFrame = {
+    requireIndexParams(batch.sparkSession, name, shingleK, numPerm, bands)
     val cands = indexCandidates(batch, name, idCol, textCol,
       shingleK, numPerm, bands).distinct()
     val corpusSh = batch.sparkSession.table(s"${name}_shingles")

@@ -23,11 +23,28 @@ import org.apache.spark.sql.SparkSession
   * branch this DISCARDS rather than completes (the batch is not
   * durable anywhere, so completion is impossible); the caller's replay
   * re-adds it, and each family's replay guards make that idempotent.
-  * A TORN marker (directory exists, no parquet inside) means the crash
-  * hit the marker write itself — nothing was mutated, the marker just
-  * drops. `postRecover` runs after a real rollback for state the
-  * listing cannot restore — DERIVED artifacts that overwrite in place
-  * (the BM25 meta) rebuild from the rolled-back relations instead.
+  * A TORN marker (directory exists, no `_SUCCESS` inside) means the
+  * crash hit the marker write itself — nothing was mutated, the marker
+  * just drops. Validity is gated on the `_SUCCESS` file, NOT on data
+  * files being present: `_SUCCESS` is written only at the atomic
+  * FileOutputCommitter job commit, after every part file has been
+  * renamed into place, so its presence proves the listing is COMPLETE.
+  * (Counting parquet files would accept a partially-committed marker —
+  * v1 commit renames part files sequentially, so a crash mid-commit can
+  * leave a strict subset in place — and a recovery driven by an
+  * incomplete listing would delete committed pre-existing index files
+  * as "partial output": silent loss of durable data, the exact class
+  * this discipline exists to close.) Belt-and-braces the marker also
+  * writes via `coalesce(1)` so the listing is one part file. The
+  * rollback itself deletes by exact file name, never touching
+  * `_SUCCESS`/`_append_pending`, so data-dir `_SUCCESS` files carry no
+  * meaning here — only the marker's does. `postRecover` runs after a
+  * real rollback for state the listing cannot restore — DERIVED
+  * artifacts that overwrite in place (the BM25 meta) rebuild from the
+  * rolled-back relations instead — and runs BEFORE the marker deletes,
+  * so a crash between rollback and rebuild leaves the marker in place
+  * and the next writer entry re-runs the (idempotent) recovery instead
+  * of leaving the derived artifact permanently inconsistent.
   *
   * Why replay-idempotence alone is not enough (the r14 verdict's gap):
   * a crashed half-append leaves the index INCONSISTENT until the same
@@ -62,7 +79,12 @@ object IndexCommit {
     val pending = new Path(rootP, MarkerDir)
     if (!fs.exists(pending)) false
     else {
-      val valid = graft.io.IO.parquetFileCount(spark, pending.toString) > 0
+      // _SUCCESS only appears at atomic job commit, i.e. AFTER every
+      // part file of the listing was renamed in — a marker without it
+      // is torn (possibly a PARTIAL listing) and must be dropped, never
+      // acted on: rolling back against an incomplete listing would
+      // delete durable pre-existing index files.
+      val valid = fs.exists(new Path(pending, "_SUCCESS"))
       if (valid) {
         val pre = spark.read.parquet(pending.toString).collect()
           .map(r => (r.getString(0), r.getString(1)))
@@ -75,9 +97,11 @@ object IndexCommit {
         }
         refreshTables.foreach { t =>
           if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t) }
+        // Idempotent derived-state rebuild runs BEFORE the marker
+        // deletes: a crash here re-enters this whole path next entry.
+        postRecover()
       }
       fs.delete(pending, true)
-      if (valid) postRecover()
       valid
     }
   }
@@ -94,7 +118,11 @@ object IndexCommit {
       dataFiles(fs, new Path(rootP, d)).toSeq.sorted.map(f => (d, f)) }
     locally {
       import spark.implicits._
-      graft.io.IO.writeDir(pre.toDF("half", "file_name"), pending.toString)
+      // coalesce(1): the listing is one part file, so the v1 sequential
+      // rename window cannot leave a partial listing even in principle;
+      // _SUCCESS (checked by recover) remains the authoritative gate.
+      graft.io.IO.writeDir(pre.toDF("half", "file_name").coalesce(1),
+        pending.toString)
     }
     body
     fs.delete(pending, true) // COMMIT

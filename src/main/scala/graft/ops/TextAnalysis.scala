@@ -1755,8 +1755,13 @@ object TextAnalysis {
             Seq("x"))
           .join(v.select(col("word").as("y"), col("score_micro").as("__sy")),
             Seq("y"))
-          .agg(sum((col("w") * col("__sx") * col("__sy"))
-            .cast("decimal(38,0)")).as("__A"))
+          // widen BEFORE multiplying: w (PPMI micro) can exceed ~9.2e6
+          // at large corpus N, and w·sx·sy with |s| up to 1e6 then
+          // passes int64 — ANSI Spark would throw ARITHMETIC_OVERFLOW
+          // if the product were computed in BIGINT first (the oracle
+          // mirrors with HUGEINT for the same reason)
+          .agg(sum(col("w").cast("decimal(38,0)") * col("__sx")
+            * col("__sy")).as("__A"))
         val b = v.agg(sum((col("score_micro") * col("score_micro"))
           .cast("decimal(38,0)")).as("__B"))
         priors :+= ((v, a.crossJoin(b).localCheckpoint()))

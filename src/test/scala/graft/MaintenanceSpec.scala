@@ -510,4 +510,128 @@ class MaintenanceSpec extends SparkSpec {
     assert(!fs.exists(tmpP) && spark.read.parquet(dir).count() == rows,
       s"uncommitted delete stage must discard: $r")
   }
+
+  test("LSH index params persist at build and mismatched probe/append " +
+    "fails fast (silently-wrong band buckets are unreachable)") {
+    val docs = Tables.documents(spark, sf0001).filter(col("doc_id") < 200)
+    // hash-set family: any array<long> rendering works as the set
+    val sets = docs.select(col("doc_id"), array(
+      col("doc_id") % 7, col("doc_id") % 11 + 100,
+      col("doc_id") % 13 + 200).as("hs"))
+    val hsPath = tmp("hsparams")
+    Dedup.buildHashSetIndex(sets, "params_hs", hsPath, "doc_id", "hs",
+      numPerm = 32, bands = 8, numBuckets = 4)
+    try {
+      // matching params probe: runs (content is irrelevant here)
+      Dedup.hashSetMatchesIndexed(sets.limit(5), "params_hs", "doc_id",
+        "hs", numPerm = 32, bands = 8).count()
+      // the exact ADVICE scenario: a caller relying on the (64, 16)
+      // defaults against a differently-built index must ERROR, not
+      // return empty/bogus candidate sets
+      val eProbe = intercept[IllegalArgumentException] {
+        Dedup.hashSetMatchesIndexed(sets.limit(5), "params_hs",
+          "doc_id", "hs").count()
+      }
+      assert(eProbe.getMessage.contains("hash family"), eProbe.getMessage)
+      val eApp = intercept[IllegalArgumentException] {
+        Dedup.appendToHashSetIndex(spark, "params_hs", sets, "doc_id",
+          "hs", numPerm = 64, bands = 8, numBuckets = 4)
+      }
+      assert(eApp.getMessage.contains("built with"), eApp.getMessage)
+      // text family shares the discipline (shingleK validated too)
+      val tdPath = tmp("ndparams")
+      Dedup.buildNearDupIndex(docs, "params_nd", tdPath, "doc_id",
+        "text", shingleK = 2, numPerm = 32, bands = 8, numBuckets = 4)
+      Dedup.nearDupMatchesIndexed(docs.limit(5), "params_nd", "doc_id",
+        "text", shingleK = 2, numPerm = 32, bands = 8).count()
+      val eTxt = intercept[IllegalArgumentException] {
+        Dedup.nearDupMatchesIndexed(docs.limit(5), "params_nd",
+          "doc_id", "text", shingleK = 3, numPerm = 32, bands = 8)
+          .count()
+      }
+      assert(eTxt.getMessage.contains("shingleK"), eTxt.getMessage)
+    } finally {
+      Seq("params_hs_sig", "params_hs_shingles", "params_hs_params",
+        "params_nd_sig", "params_nd_shingles", "params_nd_params")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("partially-committed marker (no _SUCCESS) is torn: recovery " +
+    "drops it WITHOUT rollback — committed index files survive") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf0001)
+    val path = tmp("tornmk")
+    Dedup.buildNearDupIndex(docs.filter(col("doc_id") < 200), "torn_nd",
+      path, "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8,
+      numBuckets = 4)
+    try {
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def files(half: String): Set[String] =
+        fs.listStatus(new Path(root, half)).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).toSet
+      val l0sig = files("sig"); val l0sh = files("shingles")
+      Dedup.appendToNearDupIndex(spark, "torn_nd",
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 300),
+        "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8,
+        numBuckets = 4)
+      val l1sig = files("sig"); val l1sh = files("shingles")
+      assert(l1sig.size > l0sig.size)
+      // fabricate the v1-commit-interrupted marker: the listing parquet
+      // is present (possibly a SUBSET of the real listing — here the
+      // pre-append one) but _SUCCESS never landed. Acting on it would
+      // delete the COMMITTED append's files as "partial output" —
+      // silent loss of durable data. The gate must treat it as torn.
+      val pending = new Path(root, graft.ops.IndexCommit.MarkerDir)
+      graft.io.IO.writeDir(
+        (l0sig.toSeq.sorted.map(("sig", _)) ++
+          l0sh.toSeq.sorted.map(("shingles", _)))
+          .toDF("half", "file_name"), pending.toString)
+      fs.delete(new Path(pending, "_SUCCESS"), false)
+      assert(!Dedup.recoverNearDupIndex(spark, "torn_nd"),
+        "a marker without _SUCCESS must be torn, not valid")
+      assert(!fs.exists(pending), "torn marker must still be consumed")
+      assert(files("sig") == l1sig && files("shingles") == l1sh,
+        "committed files must survive a torn-marker recovery")
+    } finally {
+      Seq("torn_nd_sig", "torn_nd_shingles", "torn_nd_params")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("crash between rollback and postRecover re-enters recovery: the " +
+    "marker outlives a failed derived-state rebuild") {
+    import org.apache.hadoop.fs.Path
+    val root = tmp("postrec")
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    graft.io.IO.writeDir(Seq((1L, "a")).toDF("k", "v"), s"$root/d")
+    def dFiles(): Set[String] =
+      fs.listStatus(new Path(root, "d")).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    val pre = dFiles()
+    // a mutation wrote an extra file, then crashed before commit
+    val extraDir = tmp("postrec_extra")
+    graft.io.IO.writeDir(Seq((2L, "b")).toDF("k", "v"), extraDir)
+    val extra = fs.listStatus(new Path(extraDir))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(extra, new Path(s"$root/d/zz_${extra.getName}"))
+    assert(dFiles().size == pre.size + 1)
+    val pending = new Path(root, graft.ops.IndexCommit.MarkerDir)
+    graft.io.IO.writeDir(
+      pre.toSeq.sorted.map(("d", _)).toDF("half", "file_name"),
+      pending.toString)
+    // recovery whose postRecover "crashes": rollback runs, marker stays
+    intercept[RuntimeException] {
+      graft.ops.IndexCommit.recover(spark, root, Seq("d"),
+        postRecover = () => throw new RuntimeException("boom"))
+    }
+    assert(fs.exists(pending),
+      "marker must survive a postRecover crash so recovery re-enters")
+    assert(dFiles() == pre, "rollback itself ran before the crash")
+    // next entry re-runs the full (idempotent) path and commits
+    assert(graft.ops.IndexCommit.recover(spark, root, Seq("d")))
+    assert(!fs.exists(pending) && dFiles() == pre)
+  }
 }
