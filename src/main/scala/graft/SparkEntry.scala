@@ -3573,6 +3573,45 @@ object SparkEntry {
           dropFrames = 2), name)
         .select(col("__bid").as("batch_id"), col("__cid").as("corpus_id"))
     }),
+    "q329_audio_neardup_trim" -> ((s, d) => {
+      // TRIM-ROBUST audio near-dup — the last corner of the
+      // per-modality edit-robustness grid (text spans/containment,
+      // video q322/q328, image pHash q314): both whole-clip audio
+      // fingerprints anchor bands at sample 0, so a trimmed copy
+      // shifts every band and misses (pinned in MultimodalSpec); the
+      // windowed identity keeps the suffix window hashes bit-identical.
+      // Fixture: every audio clip gets a byte-level copy missing its
+      // first 16 samples (= one window), so the copy's window-hash set
+      // is the original's minus window 0 → j = (k−1)/k over
+      // k = n div 16 complete windows — pure id arithmetic for the
+      // oracle (the hash-mixed synth family makes cross-clip window
+      // collisions impossible; the additive q296/q320 family is
+      // degenerate here — see mixedSample's scaladoc)
+      val base = Multimodal.synthesizeWavMixed(s,
+        T(s, d, "documents").select("doc_id"), "doc_id")
+      Multimodal.audioNearDupPairsWindowed(
+        base.unionByName(Multimodal.trimWavCopies(base,
+          idOffset = 600000L, dropSamples = 16)),
+        windowSamples = 16, shingleLen = 1, numPerm = 64, bands = 32,
+        threshold = 0.6)
+    }),
+    "q330_audio_neardup_indexed" -> ((s, d) => {
+      // incremental audio dedup at the INDEX tier: the even originals'
+      // windowed-identity surface persists once through the generic
+      // hash-set index; the daily batch — trimmed re-uploads — pays
+      // only its own decode. Same (k−1)/k closed form as q329.
+      val docs = T(s, d, "documents").select("doc_id")
+      val name = s"audiownd_idx_${tagFor(d)}"
+      val even = Multimodal.synthesizeWavMixed(s,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id")
+      if (!s.catalog.tableExists(s"${name}_sig"))
+        Multimodal.buildAudioNearDupIndex(even, name,
+          s"/tmp/graft_clusters/audiownd_${tagFor(d)}")
+      Multimodal.probeAudioNearDup(
+        Multimodal.trimWavCopies(even, idOffset = 600000L,
+          dropSamples = 16), name)
+        .select(col("__bid").as("batch_id"), col("__cid").as("corpus_id"))
+    }),
     "q321_audio_spectral_dup_indexed" -> ((s, d) => {
       // audio near-dup against a STANDING corpus through the SAME
       // generic fingerprint index as q296, keyed on the ROBUST spectral
@@ -8305,6 +8344,25 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
         |  AND doc_id % 10 <> 0""".stripMargin,
+    "q329_audio_neardup_trim" ->
+      // the copy missing one 16-sample window keeps windows 1..k−1 of
+      // the original's k = n div 16 → j = (k−1)/k; j ≥ 0.6 ⟺ k ≥ 3
+      // ⟺ n = id%50+20 ≥ 48 ⟺ id%50 ≥ 28 — both the PAIR SET and the
+      // jaccard VALUE are id arithmetic (the hash-mixed PCM family
+      // guarantees zero cross-clip window collisions; MultimodalSpec
+      // pins the closed form and the whole-clip-fingerprint miss)
+      """SELECT doc_id AS id_a, doc_id + 600000 AS id_b,
+        |  CAST(k - 1 AS DOUBLE) / k AS jaccard_sim
+        |FROM (SELECT doc_id, (doc_id % 50 + 20) // 16 AS k
+        |  FROM documents
+        |  WHERE doc_id % 3 = 1 AND doc_id % 50 >= 28)""".stripMargin,
+    "q330_audio_neardup_indexed" ->
+      // every even audio original's trimmed copy matches iff k ≥ 3 —
+      // the q329 closed form through the persisted hash-set index
+      """SELECT doc_id + 600000 AS batch_id, doc_id AS corpus_id
+        |FROM documents
+        |WHERE doc_id % 3 = 1 AND doc_id % 2 = 0
+        |  AND doc_id % 50 >= 28""".stripMargin,
     "q321_audio_spectral_dup_indexed" ->
       // equal (spectral_fp, n_samples) ⇔ equal pattern id (n_samples =
       // pid+20 injective over pid < 5) — same shape as the q296 oracle

@@ -1082,6 +1082,264 @@ object Multimodal {
             .as("duration_ms")).as("meta"))
   }
 
+  // ------------------------------------ trim-robust WINDOWED audio tier
+
+  /** splitmix64-style finalizer: the avalanche mix behind both the
+    * window content hash and the non-additive synth sample family.
+    * Public for the same Janino-codegen reason as the Synth* case
+    * classes (row encoders compile against enclosing-object accessors).
+    */
+  def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 29; z *= 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 32)
+  }
+
+  /** Sample i of the NON-ADDITIVE synthetic PCM family for audio `id`
+    * — hash-mixed, so unlike [[synthSample]] (an arithmetic progression
+    * with the SAME step 17 mod 2001 for every clip) no two clips share
+    * a run of samples. The additive family is degenerate for windowed
+    * identity: clip windows are equal whenever 31·Δid ≡ 17·Δoffset
+    * (mod 2001) — e.g. clips id and id+2001 carry byte-identical
+    * aligned windows — which poisons any cross-clip-silence oracle the
+    * moment ids span 2001 (they do at sf0.1). Mixing kills the
+    * structure; window equality across distinct (id, offset) is a
+    * 256-bit-content collision, i.e. never for a fixed deterministic
+    * fixture (validated at all three SFs).
+    */
+  def mixedSample(id: Long, i: Int): Int =
+    (java.lang.Math.floorMod(mix64(id * 1000003L + i), 2001L) - 1000L)
+      .toInt
+
+  /** [[synthesizeWav]] with the hash-mixed sample family — REAL WAV
+    * container bytes, same id%3 kind mapping, same n = id%50+20
+    * lengths; only the PCM content generator differs (see
+    * [[mixedSample]] for why windowed-identity fixtures need it).
+    */
+  def synthesizeWavMixed(spark: SparkSession, ids: DataFrame,
+                         idCol: String): DataFrame = {
+    import spark.implicits._
+    val kinds = Seq("image", "audio", "video")
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
+          true, false)
+        it.map { rowId =>
+          val kind = kinds((((rowId % 3) + 3) % 3).toInt)
+          val n = (((rowId % 50) + 50) % 50 + 20).toInt
+          val bytes = if (kind != "audio") null else {
+            val pcm = new Array[Byte](n * 2)
+            var i = 0
+            while (i < n) {
+              val s = mixedSample(rowId, i)
+              pcm(2 * i) = (s & 0xff).toByte
+              pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+              i += 1
+            }
+            wavContainerBytes(pcm, fmt, n)
+          }
+          SynthWav(rowId, kind, bytes, if (bytes == null) 0 else n)
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("kind"), col("content"),
+        struct(lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(16000).as("sample_rate"),
+          (col("n_samples").cast("long") * 1000L / 16000L)
+            .as("duration_ms")).as("meta"))
+  }
+
+  /** RIFF/WAVE container for raw 16-bit LE mono PCM — the one encoder
+    * shared by [[synthesizeWav]]-family synthesis and
+    * [[trimWavCopies]] re-encoding (so a trimmed copy's container is
+    * byte-identical to what a fresh synthesis of the suffix would
+    * produce; only the PCM payload differs from the original's).
+    */
+  private def wavContainerBytes(pcm: Array[Byte],
+                                fmt: javax.sound.sampled.AudioFormat,
+                                n: Int): Array[Byte] = {
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Byte-level TRIMMED re-uploads of every audio row: decode, drop the
+    * first `dropSamples` PCM samples, re-encode — the audio analog of
+    * [[trimVideoCopies]] (surviving sample bytes untouched; header and
+    * both whole-clip fingerprints change). Ids shift by `idOffset`
+    * (pick a multiple of 3 so the synthetic kind mapping stays audio).
+    */
+  def trimWavCopies(media: DataFrame, idOffset: Long,
+                    dropSamples: Int): DataFrame = {
+    require(dropSamples >= 1, s"dropSamples must be >= 1: $dropSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "audio" && col("content").isNotNull)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
+          true, false)
+        rows.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val raw = ais.readAllBytes()
+          val kept = raw.drop(2 * dropSamples)
+          SynthWav(id + idOffset, "audio",
+            wavContainerBytes(kept, fmt, kept.length / 2),
+            kept.length / 2)
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("kind"), col("content"),
+        struct(lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(16000).as("sample_rate"),
+          (col("n_samples").cast("long") * 1000L / 16000L)
+            .as("duration_ms")).as("meta"))
+  }
+
+  /** Windowed audio identity SETS — the trim-robust fingerprint
+    * surface: decoded PCM chops into COMPLETE fixed-length windows of
+    * `windowSamples` (ragged tail dropped), each window's exact sample
+    * content hashes to one 64-bit value, and consecutive runs of
+    * `shingleLen` window hashes hash again into sequence shingles —
+    * the (media_id, __sh array<long>) shape every
+    * [[graft.ops.Dedup.hashSetNearDupPairs]]-family consumer takes.
+    *
+    * Why this closes the audio corner of the edit-robustness grid:
+    * both whole-clip fingerprints ([[audioFingerprint]],
+    * [[audioSequencyFingerprint]]) anchor their bands at sample 0 over
+    * the FULL clip, so a copy trimmed by even half a window shifts
+    * every band boundary and the hash misses. Here a trim of any
+    * multiple of `windowSamples` removes a PREFIX of window hashes and
+    * keeps the rest bit-identical — jaccard degrades gracefully,
+    * (k−w)/k after w dropped windows, exactly the q322 video closed
+    * form. (A trim NOT aligned to the window grid still misses — the
+    * documented trade of fixed-hop windowing; production systems layer
+    * overlapping hops for sub-window alignment, which is this same op
+    * at a second offset.)
+    *
+    * `shingleLen` defaults to 1 (each window hash IS the set element):
+    * audio windows of 16+ samples are already sequence-context-rich,
+    * unlike video frames where static scenes repeat identical frames
+    * and need consecutive-frame shingles (q322) to stay
+    * order-sensitive. Map-only: the whole chop+hash chain runs inside
+    * one mapPartitions over (id, blob) — no shuffle at all until the
+    * LSH consumer aggregates.
+    *
+    * Clips with fewer than `windowSamples·shingleLen` samples (no
+    * complete shingle) and undecodable blobs emit NO row — same
+    * contract as [[videoExactShingles]]; the census tiers own
+    * data-quality surfacing.
+    */
+  def audioWindowShingles(media: DataFrame, windowSamples: Int = 16,
+                          shingleLen: Int = 1): DataFrame = {
+    require(windowSamples >= 2 && windowSamples <= 65536,
+      s"windowSamples must be in [2, 65536]: $windowSamples")
+    require(shingleLen >= 1 && shingleLen <= 16,
+      s"shingleLen must be in [1, 16]: $shingleLen")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "audio" && col("content").isNotNull)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            require(ais.getFormat.getSampleSizeInBits == 16 &&
+              ais.getFormat.getChannels == 1, "expected 16-bit mono PCM")
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            val k = n / windowSamples
+            if (k < shingleLen) Iterator.empty
+            else {
+              val wh = new Array[Long](k)
+              var w = 0
+              while (w < k) {
+                var h = 0x6a09e667f3bcc908L // content-only: no id, no
+                var i = 0                   // offset — trim-invariant
+                while (i < windowSamples) {
+                  val p = 2 * (w * windowSamples + i)
+                  val s = (raw(p + 1).toInt << 8) | (raw(p) & 0xff)
+                  h = mix64(h * 0x100000001b3L ^ s)
+                  i += 1
+                }
+                wh(w) = h
+                w += 1
+              }
+              val sh = new Array[Long](k - shingleLen + 1)
+              var j = 0
+              while (j <= k - shingleLen) {
+                var h = 0x3c6ef372fe94f82bL
+                var t = 0
+                while (t < shingleLen) {
+                  h = mix64(h * 0x100000001b3L ^ wh(j + t))
+                  t += 1
+                }
+                sh(j) = h
+                j += 1
+              }
+              Iterator.single((id, sh))
+            }
+          } catch { case scala.util.control.NonFatal(_) =>
+            Iterator.empty
+          }
+        }
+      }
+      .toDF("media_id", "__sh")
+  }
+
+  /** Trim-robust audio near-dup PAIRS: windowed identity sets → the
+    * generic MinHash-LSH pair pipeline (banded candidates, exact
+    * jaccard verify, merge-pinned no-broadcast joins) — the audio
+    * member of the per-modality edit-robustness grid (text spans /
+    * containment, video q322/q328, image pHash). Returns
+    * (id_a, id_b, jaccard_sim) with id_a < id_b.
+    */
+  def audioNearDupPairsWindowed(media: DataFrame,
+                                windowSamples: Int = 16,
+                                shingleLen: Int = 1,
+                                numPerm: Int = 64, bands: Int = 32,
+                                threshold: Double = 0.6): DataFrame =
+    graft.ops.Dedup.hashSetNearDupPairs(
+      audioWindowShingles(media, windowSamples, shingleLen),
+      "media_id", "__sh", numPerm, bands, threshold)
+
+  /** Build-once / probe-many lifecycle for incremental AUDIO near-dup
+    * over the windowed identity — the audio twin of
+    * [[buildVideoNearDupIndex]], riding the same generic hash-set
+    * index (bucketed halves, in-place bucket probe, marker-guarded
+    * append, params validated at probe).
+    */
+  def buildAudioNearDupIndex(media: DataFrame, name: String,
+                             path: String, windowSamples: Int = 16,
+                             shingleLen: Int = 1, numPerm: Int = 64,
+                             bands: Int = 32, numBuckets: Int = 32): Unit =
+    graft.ops.Dedup.buildHashSetIndex(
+      audioWindowShingles(media, windowSamples, shingleLen),
+      name, path, "media_id", "__sh", numPerm, bands, numBuckets)
+
+  /** Verified (batch audio, indexed audio) near-dup pairs against a
+    * [[buildAudioNearDupIndex]] index — batch decode cost only.
+    */
+  def probeAudioNearDup(batch: DataFrame, name: String,
+                        windowSamples: Int = 16, shingleLen: Int = 1,
+                        numPerm: Int = 64, bands: Int = 32,
+                        threshold: Double = 0.6): DataFrame =
+    graft.ops.Dedup.hashSetMatchesIndexed(
+      audioWindowShingles(batch, windowSamples, shingleLen),
+      name, "media_id", "__sh", numPerm, bands, threshold)
+
   case class WavFeatures(media_id: Long, sample_rate: Option[Int],
                          n_samples: Option[Long], peak_abs: Option[Int],
                          sum_abs: Option[Long],

@@ -949,6 +949,53 @@ class MultimodalSpec extends SparkSpec {
     assert(cont.toSet == expect, s"got ${cont.sortBy(_._1).mkString(",")}")
   }
 
+  test("trim-robust audio near-dup: a byte-trimmed copy is caught with " +
+    "the (k-1)/k closed form; both whole-clip fingerprints miss it") {
+    // audio ids ≡ 1 mod 3; n = id%50+20 samples, k = n div 16 windows;
+    // dropping one 16-sample window keeps windows 1..k-1 bit-identical
+    val ids = (1L to 148L by 3L).toDF("doc_id")
+    val base = Multimodal.synthesizeWavMixed(spark, ids, "doc_id")
+    val copies = Multimodal.trimWavCopies(base, idOffset = 600000L,
+      dropSamples = 16)
+    val pairs = Multimodal.audioNearDupPairsWindowed(
+      base.unionByName(copies), windowSamples = 16, shingleLen = 1,
+      numPerm = 64, bands = 32, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = (1L to 148L by 3L).filter(_ % 50 >= 28).map { id =>
+      val k = ((id % 50 + 20) / 16).toInt
+      (id, id + 600000L, (k - 1).toDouble / k)
+    }.toSet
+    assert(pairs.toSet == expected,
+      s"got ${pairs.sortBy(_._1).mkString(",")}")
+    // whole-clip tiers anchor bands at sample 0 over the FULL clip: the
+    // trim shifts every band boundary, so NEITHER fingerprint collides
+    // on any (original, trimmed copy) pair the windowed tier catches —
+    // the audio twin of q322's "exact triple misses every trimmed copy"
+    val both = base.unionByName(copies)
+    def fpMisses(fp: org.apache.spark.sql.DataFrame,
+                 fpCol: String): Unit = {
+      val m = fp.select(col("media_id"), col(fpCol), col("n_samples"))
+        .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+      expected.foreach { case (a, b, _) =>
+        assert(m(a) != m(b),
+          s"whole-clip $fpCol must miss the trimmed pair ($a, $b)")
+      }
+    }
+    fpMisses(Multimodal.audioFingerprint(both), "fingerprint")
+    fpMisses(Multimodal.audioSequencyFingerprint(both), "spectral_fp")
+    // and a sub-window trim (not a multiple of 16) misses in the
+    // windowed tier too — the documented fixed-hop alignment trade
+    val ragged = Multimodal.audioNearDupPairsWindowed(
+      base.unionByName(Multimodal.trimWavCopies(base,
+        idOffset = 700000L, dropSamples = 7)),
+      windowSamples = 16, shingleLen = 1, numPerm = 64, bands = 32,
+      threshold = 0.6)
+      .filter(col("id_b") >= 700000L).count()
+    assert(ragged == 0L,
+      "sub-window trims shift every window: the fixed-hop tier " +
+        "documents this miss (overlapping hops are the production fix)")
+  }
+
   test("media fixture encoders codegen cleanly: zero interpreted-mode " +
     "fallback across all three codec tiers") {
     // A private nested case class (the r14 state of SynthPng/Wav/Avi)
