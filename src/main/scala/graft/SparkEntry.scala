@@ -2455,6 +2455,24 @@ object SparkEntry {
       // rung above q96's unigram): single tokenize, array-side bigrams,
       // map-side-combinable counts — no corpus-hot-key window
       TextAnalysis.bigramCrossEntropy(T(s, d, "documents"))),
+    "q331_kn5_lm" -> ((s, d) =>
+      // the KenLM PRODUCTION order: interpolated Kneser–Ney at n=5 —
+      // the q324 recursion three rungs up, every level's true counts
+      // cut from ONE tokenize pass (allOrderFrequencies), level joins
+      // type-granular, linear join fan (two per added order);
+      // order=3 of this same chain is unit-pinned ≡ q324's tier
+      TextAnalysis.ngramKnCrossEntropy(T(s, d, "documents"), order = 5)),
+    "q332_ref_kn5" -> ((s, d) =>
+      // cross-corpus 5-gram KN — the CCNet/KenLM perplexity filter at
+      // its real order: trains on the even-id half, scores the odd-id
+      // half; the CASE chain exercises every rung of the FIVE-level
+      // backoff ladder (unseen 5-gram → reserved mass; unseen context
+      // → next order down; bottoming in the add-one continuation
+      // unigram), unseen-5-gram count rides as the shift tripwire
+      TextAnalysis.refNgramKnCrossEntropy(
+        T(s, d, "documents").filter(col("doc_id") % 2 === 1),
+        T(s, d, "documents").filter(col("doc_id") % 2 === 0),
+        order = 5)),
     "q114_corpus_melt" -> ((s, d) =>
       // relational melt (wide → long) of the per-language rollup via the
       // native unpivot operator — Expand-based, map-only, no shuffle
@@ -6034,6 +6052,134 @@ object SparkEntry {
          |    AS trigram_kn_cross_entropy
          |FROM tf3 JOIN lnp USING (w1, w2, w3)
          |GROUP BY doc_id""".stripMargin,
+    "q331_kn5_lm" -> {
+      // the q324 oracle generalized to n=5: per-level true counts +
+      // prefix aggregates as grouped CTEs, the interpolated-KN
+      // recursion unrolled with the formula parenthesized exactly as
+      // the Spark column expression (doubles replay); level k joins
+      // the 5-gram's last-k-word suffix
+      val lvls = (2 to 5).map { k =>
+        val ws = (1 to k).map(j =>
+          s"t[CAST(i AS INT) + ${j - 1}] AS w$j").mkString(", ")
+        val wc = (1 to k).map(j => s"w$j").mkString(", ")
+        val pc = (1 until k).map(j => s"w$j").mkString(", ")
+        s"""g$k AS (SELECT $ws
+           |  FROM (SELECT t, unnest(range(1, greatest(len(t) - ${k - 2},
+           |      1))) AS i FROM toks) x),
+           |c$k AS (SELECT $wc, CAST(count(*) AS BIGINT) AS c$k
+           |  FROM g$k GROUP BY ${(1 to k).mkString(", ")}),
+           |l$k AS (SELECT $pc, CAST(sum(c$k) AS BIGINT) AS cdot$k,
+           |    CAST(count(*) AS BIGINT) AS n1p$k
+           |  FROM c$k GROUP BY ${(1 until k).mkString(", ")})""".stripMargin
+      }.mkString(",\n")
+      // suffix-aligned join: level-k word j pairs with the 5-gram's
+      // word 5-k+j; formula nests bottom-up
+      val joins = (2 to 4).map { k =>
+        val off = 5 - k
+        val cOn = (1 to k).map(j =>
+          s"c$k.w$j = c5.w${off + j}").mkString(" AND ")
+        val lOn = (1 until k).map(j =>
+          s"l$k.w$j = c5.w${off + j}").mkString(" AND ")
+        s"JOIN c$k ON $cOn\n    JOIN l$k ON $lOn"
+      }.mkString("\n    ")
+      val p = (2 to 5).foldLeft("(n1pdot / CAST(n1pdd AS DOUBLE))") {
+        (inner, k) =>
+          s"greatest(c$k.c$k - 0.75, 0.0) / cdot$k" +
+            s" + (0.75 * n1p$k / cdot$k) * ($inner)"
+      }
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, $toksSql AS t
+         |  FROM documents),
+         |$lvls,
+         |cont AS (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS n1pdot
+         |  FROM c2 GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n1pdd FROM c2),
+         |tg5 AS (SELECT doc_id, ${(1 to 5).map(j =>
+           s"t[CAST(i AS INT) + ${j - 1}] AS w$j").mkString(", ")}
+         |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3,
+         |      1))) AS i FROM toks) x),
+         |tf5 AS (SELECT doc_id, w1, w2, w3, w4, w5,
+         |    CAST(count(*) AS BIGINT) AS tf FROM tg5
+         |  GROUP BY 1, 2, 3, 4, 5, 6),
+         |lnp AS (SELECT c5.w1, c5.w2, c5.w3, c5.w4, c5.w5,
+         |    ln($p) AS lnp
+         |  FROM c5 JOIN l5 ON ${(1 to 4).map(j =>
+           s"l5.w$j = c5.w$j").mkString(" AND ")}
+         |    $joins
+         |    JOIN cont ON cont.w = c5.w5, tot)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_ngrams,
+         |  round(-sum(tf * lnp) / CAST(sum(tf) AS DOUBLE), 6)
+         |    AS kn_cross_entropy
+         |FROM tf5 JOIN lnp USING (w1, w2, w3, w4, w5)
+         |GROUP BY doc_id""".stripMargin
+    },
+    "q332_ref_kn5" -> {
+      // the q327 oracle at order 5: reference-trained level tables,
+      // target types LEFT-join them, the CASE chain IS the five-level
+      // backoff ladder; pc add-one-smooths over the reference's
+      // continuation vocabulary + one unknown slot
+      val lvls = (2 to 5).map { k =>
+        val ws = (1 to k).map(j =>
+          s"t[CAST(i AS INT) + ${j - 1}] AS w$j").mkString(", ")
+        val wc = (1 to k).map(j => s"w$j").mkString(", ")
+        val pc = (1 until k).map(j => s"w$j").mkString(", ")
+        s"""g$k AS MATERIALIZED (SELECT $ws
+           |  FROM (SELECT t, unnest(range(1, greatest(len(t) - ${k - 2},
+           |      1))) AS i FROM rtoks) x),
+           |c$k AS MATERIALIZED (SELECT $wc,
+           |    CAST(count(*) AS BIGINT) AS c$k
+           |  FROM g$k GROUP BY ${(1 to k).mkString(", ")}),
+           |l$k AS MATERIALIZED (SELECT $pc,
+           |    CAST(sum(c$k) AS BIGINT) AS cdot$k,
+           |    CAST(count(*) AS BIGINT) AS n1p$k
+           |  FROM c$k GROUP BY ${(1 until k).mkString(", ")})""".stripMargin
+      }.mkString(",\n")
+      val joins = (2 to 5).map { k =>
+        val off = 5 - k
+        val cOn = (1 to k).map(j =>
+          s"c$k.w$j = ty.w${off + j}").mkString(" AND ")
+        val lOn = (1 until k).map(j =>
+          s"l$k.w$j = ty.w${off + j}").mkString(" AND ")
+        s"LEFT JOIN c$k ON $cOn\n    LEFT JOIN l$k ON $lOn"
+      }.mkString("\n    ")
+      val pcU = "(coalesce(n1pdot, 0) + 1.0) / " +
+        "CAST(n1pdd + v + 1 AS DOUBLE)"
+      val p = (2 to 5).foldLeft(pcU) { (inner, k) =>
+        s"CASE WHEN cdot$k IS NULL THEN $inner" +
+          s" ELSE greatest(coalesce(c$k.c$k, 0) - 0.75, 0.0) / cdot$k" +
+          s" + (0.75 * n1p$k / cdot$k) * ($inner) END"
+      }
+      s"""WITH rtoks AS MATERIALIZED (SELECT doc_id, $toksSql AS t
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |$lvls,
+         |cont AS MATERIALIZED (SELECT w2 AS w,
+         |    CAST(count(*) AS BIGINT) AS n1pdot FROM c2 GROUP BY 1),
+         |tot AS MATERIALIZED (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM c2) AS n1pdd,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cont) AS v),
+         |ttoks AS MATERIALIZED (SELECT doc_id, $toksSql AS t
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |tg5 AS MATERIALIZED (SELECT doc_id, ${(1 to 5).map(j =>
+           s"t[CAST(i AS INT) + ${j - 1}] AS w$j").mkString(", ")}
+         |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3,
+         |      1))) AS i FROM ttoks) x),
+         |tf5 AS MATERIALIZED (SELECT doc_id, w1, w2, w3, w4, w5,
+         |    CAST(count(*) AS BIGINT) AS tf FROM tg5
+         |  GROUP BY 1, 2, 3, 4, 5, 6),
+         |ty AS MATERIALIZED (SELECT DISTINCT w1, w2, w3, w4, w5
+         |  FROM tf5),
+         |lnp AS MATERIALIZED (SELECT ty.w1, ty.w2, ty.w3, ty.w4, ty.w5,
+         |    CASE WHEN c5.c5 IS NULL THEN 1 ELSE 0 END AS unseen,
+         |    ln($p) AS lnp
+         |  FROM ty
+         |    $joins
+         |    LEFT JOIN cont ON cont.w = ty.w5, tot)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_ngrams,
+         |  CAST(sum(tf * unseen) AS BIGINT) AS n_unseen_ngrams,
+         |  round(-sum(tf * lnp) / CAST(sum(tf) AS DOUBLE), 6)
+         |    AS ref_kn_cross_entropy
+         |FROM tf5 JOIN lnp USING (w1, w2, w3, w4, w5)
+         |GROUP BY doc_id""".stripMargin
+    },
     "q113_bigram_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
          |bg AS (SELECT doc_id,

@@ -1337,6 +1337,204 @@ object TextAnalysis {
           .as("ref_trigram_kn_cross_entropy"))
   }
 
+  /** ALL-ORDERS n-gram frequencies from ONE tokenize pass: per doc, the
+    * (order k ∈ [2, maxOrder], gram, tf) relation — every k-gram window
+    * of every order in a single explode, so the order-N KN chain below
+    * pays ONE corpus scan + tokenize where the per-level formulation
+    * (q324's trigram + bigram passes) pays one per level. Corpus-level
+    * type counts derive by a further groupBy — never a second scan.
+    * Docs shorter than k tokens contribute no k-grams (the sequence()
+    * counts-down guard, same landmine as [[bigramFrequencies]]).
+    */
+  private[graft] def allOrderFrequencies(docs: DataFrame, idCol: String,
+                                         textCol: String,
+                                         maxOrder: Int): DataFrame = {
+    require(maxOrder >= 2 && maxOrder <= 6,
+      s"maxOrder ($maxOrder) must be in [2, 6]")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"), size(col("__t")).as("__n"))
+    val perOrder = (2 to maxOrder).map { k =>
+      when(col("__n") < k,
+        array().cast("array<struct<__k:int,__g:string>>"))
+        .otherwise(transform(sequence(lit(1), col("__n") - (k - 1)),
+          i => struct(lit(k).as("__k"),
+            concat_ws(" ", (0 until k).map(j =>
+              element_at(col("__t"), i + lit(j))): _*).as("__g"))))
+    }
+    base.select(col(idCol), explode(concat(perOrder: _*)).as("__e"))
+      .select(col(idCol), col("__e.__k").as("__k"), col("__e.__g").as("__g"))
+      .groupBy(col(idCol), col("__k"), col("__g"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
+  }
+
+  /** Per-level relations for the order-N KN chain, cut from ONE
+    * materialized [[allOrderFrequencies]] relation: for each level k,
+    * the true k-gram corpus counts (keyed by the N-gram's last-k-word
+    * suffix for the scoring join) and the prefix aggregates
+    * (c(prefix·), N1+(prefix·)); plus the continuation tables from the
+    * bigram level. Shared by the in-corpus and cross-corpus tiers.
+    */
+  private def knLevelTables(tfAll: DataFrame, order: Int)
+      : (Seq[(Int, DataFrame, DataFrame)], DataFrame, DataFrame) = {
+    val levels = (2 to order).map { k =>
+      val ck = tfAll.filter(col("__k") === k)
+        .groupBy(col("__g")).agg(sum(col("__tf")).as(s"__c$k"))
+      val lk = ck
+        .withColumn("__p", substring_index(col("__g"), " ", k - 1))
+        .groupBy(col("__p"))
+        .agg(sum(col(s"__c$k")).as(s"__cdot$k"),
+          count(lit(1)).as(s"__n1p$k"))
+      (k, ck, lk)
+    }
+    val c2 = levels.head._2 // k = 2
+    val cont = c2.withColumn("__w", substring_index(col("__g"), " ", -1))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n1pdot"))
+    val contTotal = c2.agg(count(lit(1)).as("__n1pdd"))
+    (levels, cont, contTotal)
+  }
+
+  /** ORDER-N interpolated Kneser–Ney cross-entropy — [[trigramKnCrossEntropy]]
+    * generalized to the KenLM production orders (4–5): the identical
+    * recursion, one rung per order,
+    *
+    *   p_k(w|ctx_k) = max(c_k − D, 0)/c(ctx_k·)
+    *                + [D·N1+(ctx_k·)/c(ctx_k·)] · p_{k−1}
+    *
+    * bottoming out in the continuation unigram
+    * N1+(·w)/N1+(··). Every level uses TRUE corpus counts of its own
+    * order (each level the consistent ML estimate — the q324
+    * discipline), all cut from ONE tokenize pass
+    * ([[allOrderFrequencies]]); in-corpus, every k-gram suffix of a
+    * corpus N-gram IS a corpus k-gram, so no rung's denominator is
+    * null. `order` = 3 reproduces [[trigramKnCrossEntropy]]'s formula
+    * exactly (unit-pinned bit-for-bit after the shared 6-decimal
+    * rounding).
+    *
+    * Shape at corpus scale: one tokenize + one (id, k, gram)
+    * aggregation; level tables are n-gram-TYPE granular cuts of it
+    * (map-side combinable); the scoring chain is 2(N−1)+2 joins ALL at
+    * type granularity, one final join back to the doc-granular
+    * relation. Level-count join fan: each added order adds exactly two
+    * type-granular joins — the "watch the level joins" budget is
+    * linear, never quadratic.
+    */
+  def ngramKnCrossEntropy(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", order: Int = 5,
+                          discount: Double = 0.75): DataFrame = {
+    require(order >= 3 && order <= 5, s"order ($order) must be in [3, 5]")
+    require(discount > 0.0 && discount < 1.0,
+      s"discount ($discount) must be in (0, 1)")
+    val d = lit(discount)
+    val release =
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    val tfAll = allOrderFrequencies(docs, idCol, textCol, order)
+    val (levels, cont, contTotal) = knLevelTables(tfAll, order)
+    val tfN = tfAll.filter(col("__k") === order)
+      .select(col(idCol), col("__g"), col("__tf"))
+    // scoring join: the top level keys the full gram; level k < N keys
+    // the gram's last-k-word suffix; prefixes are suffix-local
+    var scored = levels.last._2 // cN keyed __g
+      .withColumn("__w", substring_index(col("__g"), " ", -1))
+    for ((k, ck, lk) <- levels) {
+      val sufx =
+        if (k == order) col("__g") else substring_index(col("__g"), " ", -k)
+      val pfx = substring_index(sufx, " ", k - 1)
+      scored =
+        (if (k == order) scored // cN already aboard
+         else scored.withColumn(s"__s$k", sufx)
+           .join(ck.select(col("__g").as(s"__s$k"), col(s"__c$k")),
+             s"__s$k"))
+        .withColumn(s"__p$k", pfx)
+        .join(lk.select(col("__p").as(s"__p$k"), col(s"__cdot$k"),
+          col(s"__n1p$k")), s"__p$k")
+    }
+    scored = scored.join(cont, "__w").crossJoin(broadcast(contTotal))
+    var p: Column =
+      col("__n1pdot").cast("double") / col("__n1pdd").cast("double")
+    for (k <- 2 to order) {
+      p = greatest(col(s"__c$k").cast("double") - d, lit(0.0)) /
+        col(s"__cdot$k").cast("double") +
+        (d * col(s"__n1p$k").cast("double") /
+          col(s"__cdot$k").cast("double")) * p
+    }
+    val lnP = scored.select(col("__g"), log(p).as("__lnp"))
+    val res = tfN.join(lnP, "__g")
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_ngrams"),
+        round(-sum(col("__tf").cast("double") * col("__lnp")) /
+          sum(col("__tf")).cast("double"), 6).as("kn_cross_entropy"))
+      .localCheckpoint()
+    release(tfAll)
+    res
+  }
+
+  /** CROSS-CORPUS order-N interpolated KN — [[refTrigramKnCrossEntropy]]
+    * generalized: the reference corpus trains every level's count
+    * tables, the target's N-gram types LEFT-join them, and the CASE
+    * chain IS the backoff ladder — an unseen context at level k scores
+    * as level k−1 outright, bottoming out in the add-one-smoothed
+    * continuation unigram (unseen word → 1/(N1+(··)+V+1)). Emits the
+    * unseen-top-order count as the shift tripwire. Same one-tokenize-
+    * per-corpus, all-type-granular join discipline as the in-corpus
+    * tier.
+    */
+  def refNgramKnCrossEntropy(target: DataFrame, reference: DataFrame,
+                             idCol: String = "doc_id",
+                             textCol: String = "text", order: Int = 5,
+                             discount: Double = 0.75): DataFrame = {
+    require(order >= 3 && order <= 5, s"order ($order) must be in [3, 5]")
+    require(discount > 0.0 && discount < 1.0,
+      s"discount ($discount) must be in (0, 1)")
+    val d = lit(discount)
+    val release =
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    val rAll = allOrderFrequencies(reference, idCol, textCol, order)
+    val (levels, cont, contTotal) = knLevelTables(rAll, order)
+    val totals = contTotal
+      .crossJoin(cont.agg(count(lit(1)).as("__v")))
+    val tAll = allOrderFrequencies(target, idCol, textCol, order)
+    val ttf = tAll.filter(col("__k") === order)
+      .select(col(idCol), col("__g"), col("__tf"))
+    var scored = ttf.select(col("__g")).distinct()
+      .withColumn("__w", substring_index(col("__g"), " ", -1))
+    for ((k, ck, lk) <- levels) {
+      val sufx =
+        if (k == order) col("__g") else substring_index(col("__g"), " ", -k)
+      val pfx = substring_index(sufx, " ", k - 1)
+      scored = scored.withColumn(s"__s$k", sufx)
+        .join(ck.select(col("__g").as(s"__s$k"), col(s"__c$k")),
+          Seq(s"__s$k"), "left")
+        .withColumn(s"__p$k", pfx)
+        .join(lk.select(col("__p").as(s"__p$k"), col(s"__cdot$k"),
+          col(s"__n1p$k")), Seq(s"__p$k"), "left")
+    }
+    scored = scored.join(cont, Seq("__w"), "left")
+      .crossJoin(broadcast(totals))
+    var p: Column =
+      (coalesce(col("__n1pdot"), lit(0L)).cast("double") + 1.0) /
+        (col("__n1pdd") + col("__v") + lit(1L)).cast("double")
+    for (k <- 2 to order) {
+      p = when(col(s"__cdot$k").isNull, p).otherwise(
+        greatest(coalesce(col(s"__c$k"), lit(0L)).cast("double") - d,
+          lit(0.0)) / col(s"__cdot$k").cast("double") +
+          (d * col(s"__n1p$k").cast("double") /
+            col(s"__cdot$k").cast("double")) * p)
+    }
+    val lnP = scored.select(col("__g"), log(p).as("__lnp"),
+      col(s"__c$order").isNull.cast("int").as("__unseen"))
+    val res = ttf.join(lnP, "__g")
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_ngrams"),
+        sum(col("__tf") * col("__unseen")).as("n_unseen_ngrams"),
+        round(-sum(col("__tf").cast("double") * col("__lnp")) /
+          sum(col("__tf")).cast("double"), 6)
+          .as("ref_kn_cross_entropy"))
+      .localCheckpoint()
+    release(rAll); release(tAll)
+    res
+  }
+
   /** Cross-corpus LM quality scoring — the ACTUAL CCNet shape: the LM is
     * trained on a separate REFERENCE corpus (CCNet: Wikipedia) and scores
     * a TARGET corpus; [[unigramCrossEntropy]]'s in-corpus form never sees

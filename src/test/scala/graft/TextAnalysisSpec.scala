@@ -1136,6 +1136,80 @@ class TextAnalysisSpec extends SparkSpec {
       s"backoff entropy ordering broken: $got")
   }
 
+  test("ngramKnCrossEntropy(order=3) reproduces trigramKnCrossEntropy " +
+    "exactly; ref twin likewise — the generalized chain is a strict " +
+    "superset of the trigram rung") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c a b c a b c"),
+      (2L, "q w e r t y u i o p z x j k l"),
+      (3L, "a b c q w e a b c r t y"),
+      (4L, "the cat sat the cat ran the cat hid")).toDF("doc_id", "text")
+    val tri = graft.ops.TextAnalysis.trigramKnCrossEntropy(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val gen = graft.ops.TextAnalysis.ngramKnCrossEntropy(docs, order = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(gen == tri, s"order-3 general chain diverged: $gen vs $tri")
+    val reference = Seq(
+      (0L, "the cat sat on the mat and the cat ran off"),
+      (2L, "the dog sat on the rug and the dog ran off"))
+      .toDF("doc_id", "text")
+    val target = Seq(
+      (1L, "the cat sat on the mat"),
+      (3L, "the cat sat on the rug quickly"),
+      (5L, "zx qy wv uk tj ri")).toDF("doc_id", "text")
+    val rtri = graft.ops.TextAnalysis
+      .refTrigramKnCrossEntropy(target, reference)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val rgen = graft.ops.TextAnalysis
+      .refNgramKnCrossEntropy(target, reference, order = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rgen == rtri, s"order-3 ref chain diverged: $rgen vs $rtri")
+  }
+
+  test("order-4/5 cross-corpus KN: backoff entropy ordering " +
+    "in-distribution < mixed < fully-OOV holds at every order; unseen " +
+    "counts exact") {
+    import spark.implicits._
+    val reference = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog every day"),
+      (2L, "the quick red fox runs over the lazy cat every night"))
+      .toDF("doc_id", "text")
+    val target = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // verbatim span
+      (3L, "the quick brown fox sleeps over the lazy dog"), // one novel word
+      (5L, "zx qy wv uk tj ri mm nn oo pp")) // fully OOV
+      .toDF("doc_id", "text")
+    for (order <- Seq(4, 5)) {
+      val got = graft.ops.TextAnalysis
+        .refNgramKnCrossEntropy(target, reference, order = order)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      // top-order gram counts: doc of m tokens has m-order+1 grams
+      assert(got(1L)._1 == 9L - order + 1, s"order $order: $got")
+      assert(got(1L)._2 == 0L,
+        s"order $order: verbatim span must have zero unseen: $got")
+      assert(got(5L)._2 == got(5L)._1,
+        s"order $order: fully-OOV doc must be all-unseen: $got")
+      assert(got(1L)._3 < got(3L)._3 && got(3L)._3 < got(5L)._3,
+        s"order $order: entropy ordering broken: $got")
+    }
+    // in-corpus: the order-5 chain runs green on the same fixture and
+    // keeps the smoothing ordering (repetitive < diverse)
+    val docs = Seq(
+      (1L, "a b c d e a b c d e a b c d e a b c d e"),
+      (2L, "q w e r t y u i o p z x j k l m n b v c"))
+      .toDF("doc_id", "text")
+    val in5 = graft.ops.TextAnalysis.ngramKnCrossEntropy(docs, order = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(in5(1L) < in5(2L),
+      s"order-5 KN must order repetitive < diverse: $in5")
+  }
+
   /** Rank-k replay: the same integer recursion plus Hotelling deflation
     * (c1 = A/B, c2 = c1·s/B, corr = u_p·c2; BigInt `/` truncates toward
     * zero, which is exactly the sign-split DIV both engines compute).
