@@ -3591,6 +3591,44 @@ object SparkEntry {
           dropFrames = 2), name)
         .select(col("__bid").as("batch_id"), col("__cid").as("corpus_id"))
     }),
+    "q334_video_neardup_perceptual" -> ((s, d) => {
+      // the PERCEPTUAL video tier graduates from unit pins to an
+      // oracle (the r15 gap): the additive synthesizeAvi family made
+      // scenes brightness shifts — the one thing pHash quotients away —
+      // so pHash-distinctness oracles were unsound; the non-additive
+      // TEXTURED family (binary 8-px cells, hash-mixed per scene) has
+      // genuinely distinct DCT signatures. Fixture: every video
+      // re-encoded at JPEG quality 0.5 — every frame's BYTES change
+      // and decoded pixels drift (the exact tier catches zero pairs,
+      // pinned), while each frame's 64 pHash bits survive EXACTLY
+      // (binary per-block-uniform luma → recompression is an affine
+      // gray remap, and pHash is affine-invariant by construction) —
+      // so the pair set is all videos at jaccard exactly 1.0
+      val base = Multimodal.synthesizeAviTextured(s,
+        T(s, d, "documents").select("doc_id"), "doc_id")
+      Multimodal.videoNearDupPairsPerceptual(
+        base.unionByName(Multimodal.reencodeVideoCopies(base,
+          idOffset = 600000L, quality = 0.5f)),
+        shingleLen = 2, numPerm = 64, bands = 32, threshold = 0.6)
+    }),
+    "q333_image_crop_containment" -> ((s, d) => {
+      // CROP-ROBUST image re-upload detection — the edit class both
+      // whole-image hashes miss entirely (any crop moves every 8×8
+      // sample point; pinned in MultimodalSpec): fixed-grid 16×16 tile
+      // pHashes make the image a SET of tile identities, and a crop
+      // aligned to the grid keeps its tiles pixel-identical → the
+      // copy's tile set is a strict subset of the original's →
+      // containment exactly 1.0 (q328's deep-trim logic applied to
+      // images). The textured (hash-mixed) PNG family guarantees
+      // distinct images share no tile; the original-in-copy direction
+      // scores (tW−1)(tH−1)/(tW·tH) ≤ 0.6 < 0.9 and drops.
+      val base = Multimodal.synthesizePngTextured(s,
+        T(s, d, "documents").select("doc_id"), "doc_id")
+      Multimodal.imageCropContainmentPairs(
+        base.unionByName(Multimodal.cropImageCopies(base,
+          idOffset = 600000L, dropTiles = 1)),
+        tilePx = 16, threshold = 0.9)
+    }),
     "q329_audio_neardup_trim" -> ((s, d) => {
       // TRIM-ROBUST audio near-dup — the last corner of the
       // per-modality edit-robustness grid (text spans/containment,
@@ -8490,6 +8528,22 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
         |  AND doc_id % 10 <> 0""".stripMargin,
+    "q334_video_neardup_perceptual" ->
+      // every textured video's re-encode keeps all frame pHashes
+      // bit-exact → identical shingle sets → jaccard exactly 1.0;
+      // distinct textures share no scene hash, so no other pair exists
+      """SELECT doc_id AS id_a, doc_id + 600000 AS id_b,
+        |  1.0 AS jaccard_sim
+        |FROM documents
+        |WHERE doc_id % 3 = 2""".stripMargin,
+    "q333_image_crop_containment" ->
+      // every image's grid-aligned crop keeps its tiles pixel-exact →
+      // tile set ⊆ original's → containment 1.0; the reverse direction
+      // and all cross-image pairs drop (no shared tiles)
+      """SELECT doc_id + 600000 AS id_a, doc_id AS id_b,
+        |  1.0 AS containment
+        |FROM documents
+        |WHERE doc_id % 3 = 0""".stripMargin,
     "q329_audio_neardup_trim" ->
       // the copy missing one 16-sample window keeps windows 1..k−1 of
       // the original's k = n div 16 → j = (k−1)/k; j ≥ 0.6 ⟺ k ≥ 3

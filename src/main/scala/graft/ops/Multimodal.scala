@@ -1340,6 +1340,171 @@ object Multimodal {
       audioWindowShingles(batch, windowSamples, shingleLen),
       name, "media_id", "__sh", numPerm, bands, threshold)
 
+  // ------------------------------------- crop-robust TILED image tier
+
+  /** Sample-accurate textured PNG synthesis for tile-identity fixtures:
+    * dims are exact multiples of `tilePx` (tilesW = (id/3)%4+2,
+    * tilesH = (id/3)%3+2 tiles), pixel gray is hash-mixed in
+    * (id, x, y) — NON-additive, so distinct images share no tile and
+    * (unlike the brightness-shift [[synthChannel]] family) tile pHashes
+    * are genuinely distinct. Same id%3 kind mapping as
+    * [[synthesizePng]].
+    */
+  def synthesizePngTextured(spark: SparkSession, ids: DataFrame,
+                            idCol: String, tilePx: Int = 16): DataFrame = {
+    import spark.implicits._
+    require(tilePx >= 8 && tilePx <= 64, s"tilePx in [8, 64]: $tilePx")
+    val kinds = Seq("image", "audio", "video")
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { rowId =>
+          val kind = kinds((((rowId % 3) + 3) % 3).toInt)
+          val m = rowId / 3
+          val w = ((m % 4 + 4) % 4 + 2).toInt * tilePx
+          val h = ((m % 3 + 3) % 3 + 2).toInt * tilePx
+          val bytes = if (kind != "image") null else {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val g = java.lang.Math.floorMod(
+                  mix64(rowId * 1000003L + y.toLong * 65536L + x),
+                  256L).toInt
+                img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          SynthPng(rowId, kind, bytes, w, h)
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("kind"), col("content"),
+        struct(col("width"), col("height"),
+          lit(16000).as("sample_rate"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+  }
+
+  /** Cropped re-uploads of every image row: decode, cut `dropTiles`
+    * tile rows off the top AND tile columns off the left (crop origin
+    * aligned to the `tilePx` grid), re-encode PNG (lossless — surviving
+    * pixels untouched). The image analog of [[trimVideoCopies]] /
+    * [[trimWavCopies]]. Ids shift by `idOffset` (multiple of 3 keeps
+    * the kind mapping).
+    */
+  def cropImageCopies(media: DataFrame, idOffset: Long,
+                      dropTiles: Int = 1, tilePx: Int = 16): DataFrame = {
+    require(dropTiles >= 1, s"dropTiles must be >= 1: $dropTiles")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "image" && col("content").isNotNull)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val cut = dropTiles * tilePx
+          val sub = img.getSubimage(cut, cut,
+            img.getWidth - cut, img.getHeight - cut)
+          // getSubimage shares the raster; copy so the PNG writer sees
+          // a plain raster with (0,0) origin
+          val out = new java.awt.image.BufferedImage(sub.getWidth,
+            sub.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gfx = out.createGraphics()
+          gfx.drawImage(sub, 0, 0, null)
+          gfx.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          SynthPng(id + idOffset, "image", bos.toByteArray,
+            out.getWidth, out.getHeight)
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("kind"), col("content"),
+        struct(col("width"), col("height"),
+          lit(16000).as("sample_rate"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+  }
+
+  /** Tile-grid pHash identity SETS — the crop-robust image surface:
+    * the image splits into COMPLETE fixed-size `tilePx`×`tilePx` tiles
+    * (ragged right/bottom edges dropped), each tile's 64 pHash bits
+    * (the [[phashLanes]] core on the tile's pixels — content-only, no
+    * position) pack into one 64-bit element, and the image becomes a
+    * SET of tile hashes for the [[graft.ops.Dedup]] hash-set machinery.
+    *
+    * Why this closes the crop gap: whole-image aHash/pHash resample
+    * the FULL frame to 8×8, so any crop moves every sample point and
+    * the hash walks away (pinned). A crop whose origin lands on the
+    * tile grid keeps its interior tiles PIXEL-identical, so its tile
+    * set is a subset of the original's — containment 1.0 through
+    * [[graft.ops.Dedup.hashSetContainmentPairs]], exactly q328's
+    * deep-trim logic applied to images. (Arbitrary-offset crops miss —
+    * the fixed-grid trade, same as the audio tier's window alignment;
+    * production systems add overlapping grids, which is this op at
+    * shifted origins.) Map-only per image row.
+    */
+  def imageTilePHashes(media: DataFrame, tilePx: Int = 16): DataFrame = {
+    require(tilePx >= 8 && tilePx <= 256, s"tilePx in [8, 256]: $tilePx")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "image" && col("content").isNotNull)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val basis = dctBasisQ
+        rows.flatMap { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null, "content is not a decodable image")
+            val tw = img.getWidth / tilePx
+            val th = img.getHeight / tilePx
+            if (tw == 0 || th == 0) Iterator.empty
+            else {
+              val hs = new Array[Long](tw * th)
+              var ty = 0
+              while (ty < th) {
+                var tx = 0
+                while (tx < tw) {
+                  val (hi, lo) = phashLanes(
+                    img.getSubimage(tx * tilePx, ty * tilePx,
+                      tilePx, tilePx), basis)
+                  hs(ty * tw + tx) = (hi << 32) | (lo & 0xffffffffL)
+                  tx += 1
+                }
+                ty += 1
+              }
+              Iterator.single((id, hs))
+            }
+          } catch { case scala.util.control.NonFatal(_) =>
+            Iterator.empty
+          }
+        }
+      }
+      .toDF("media_id", "__sh")
+  }
+
+  /** Crop-robust image pairs — CONTAINMENT over tile-pHash sets:
+    * (id_a contained-in id_b, containment). A cropped re-upload scores
+    * exactly 1.0 while both whole-image hashes miss it entirely.
+    */
+  def imageCropContainmentPairs(media: DataFrame, tilePx: Int = 16,
+                                threshold: Double = 0.9,
+                                anchorCount: Int = 1): DataFrame =
+    graft.ops.Dedup.hashSetContainmentPairs(
+      imageTilePHashes(media, tilePx), "media_id", "__sh",
+      threshold, anchorCount)
+
   case class WavFeatures(media_id: Long, sample_rate: Option[Int],
                          n_samples: Option[Long], peak_abs: Option[Int],
                          sum_abs: Option[Long],
@@ -1571,6 +1736,141 @@ object Multimodal {
           when(col("kind") === "video",
             col("n_frames").cast("long") * 1000L / fps).cast("long")
             .as("duration_ms")).as("meta"))
+  }
+
+  /** NON-ADDITIVE textured MJPEG-in-AVI synthesis — the video twin of
+    * [[synthesizePngTextured]], built so the PERCEPTUAL tier can carry
+    * an oracle: scene pixels are flat 8-px cells (one JPEG luma
+    * block each) whose binary grays are hash-mixed in (scene pid, cell) — structured, LOW-frequency
+    * content with genuinely distinct DCT signatures per scene, unlike
+    * [[synthesizeAvi]]'s additive [[synthChannel]] family where scenes
+    * are brightness shifts of each other (the one thing pHash quotients
+    * away, which is why the perceptual tier stayed unit-pinned through
+    * r15). Flat cells spanning whole JPEG blocks also make the 64
+    * pHash bits ROBUST to re-encoding at a different quality — the
+    * coefficients sit far from the median, so recompression noise
+    * cannot flip them. Geometry: (m%4+2)×(m%3+2) cells (m = id/3),
+    * n = id%10+4 frames in scenes of `sceneLen`.
+    */
+  def synthesizeAviTextured(spark: SparkSession, ids: DataFrame,
+                            idCol: String, fps: Int = 4,
+                            sceneLen: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(fps >= 1 && fps <= 1000000, s"fps must be in [1, 1e6]: $fps")
+    require(sceneLen >= 1, s"sceneLen must be >= 1: $sceneLen")
+    val kinds = Seq("image", "audio", "video")
+    // 8-px texture cells (one JPEG luma block each — the affine-remap
+    // invariance below needs per-block-uniform luma) on 16-px-unit
+    // geometry: the smallest frame is 32×32 = 4×4 cells = 16 binary
+    // degrees of freedom, so scene pHashes are distinct across
+    // videos/scenes whp (16-px cells would leave 2×2-cell frames with
+    // only 16 possible patterns — massive cross-video collisions)
+    val cellPx = 8
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { rowId =>
+          val kind = kinds((((rowId % 3) + 3) % 3).toInt)
+          val m = rowId / 3
+          val w = ((m % 4 + 4) % 4 + 2).toInt * 16
+          val h = ((m % 3 + 3) % 3 + 2).toInt * 16
+          val n = (((rowId % 10) + 10) % 10 + 4).toInt
+          val bytes = if (kind != "video") null else {
+            val sceneJpeg = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+            def jpegOf(scene: Int): Array[Byte] =
+              sceneJpeg.getOrElseUpdate(scene, {
+                val pid = rowId * 1000L + scene
+                val img = new java.awt.image.BufferedImage(
+                  w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    // BINARY cell grays (57 | 201): DCT coefficients of
+                    // a ±80 blocky pattern sit far from the median
+                    // comparisons, so recompression noise (±2 gray)
+                    // cannot flip pHash bits — measured 100% bit
+                    // survival under quality-0.5 re-encode where a
+                    // 256-level texture lost ~5% of scenes
+                    val g = if ((mix64(pid * 7919L
+                      + (y / cellPx).toLong * 4096L
+                      + (x / cellPx)) & 1L) == 0L) 57 else 201
+                    img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                    x += 1
+                  }
+                  y += 1
+                }
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "jpg", bos)
+                bos.toByteArray
+              })
+            aviBytes((0 until n).map(k => jpegOf(k / sceneLen)), w, h, fps)
+          }
+          SynthAvi(rowId, kind, bytes, w, h, n)
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("kind"), col("content"),
+        struct(
+          when(col("kind") === "video", col("width")).cast("int").as("width"),
+          when(col("kind") === "video", col("height")).cast("int")
+            .as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          when(col("kind") === "video",
+            col("n_frames").cast("long") * 1000L / fps).cast("long")
+            .as("duration_ms")).as("meta"))
+  }
+
+  /** RE-ENCODED copies of every video row — the fixture for the
+    * perceptual tier's oracle: demux, DECODE each MJPEG frame, encode
+    * it again at an explicit JPEG `quality` (≠ the writer default the
+    * synthesis used), re-mux. Every frame's BYTES change (different
+    * entropy coding + quantization tables) and decoded pixels drift by
+    * recompression noise — so the EXACT decoded-identity tier provably
+    * loses the copy — while each frame's 64 pHash bits survive on
+    * low-frequency content. Ids shift by `idOffset` (multiple of 3).
+    */
+  def reencodeVideoCopies(media: DataFrame, idOffset: Long,
+                          quality: Float = 0.5f,
+                          fps: Int = 4): DataFrame = {
+    require(quality > 0f && quality < 1f,
+      s"quality must be in (0, 1): $quality")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .filter(col("kind") === "video" && col("content").isNotNull)
+      .select(col("media_id"), col("content"),
+        col("meta.width"), col("meta.height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, w, h) =>
+          val recoded = aviFrameChunks(bytes).map { j =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(j))
+            val writer = javax.imageio.ImageIO
+              .getImageWritersByFormatName("jpg").next()
+            val p = writer.getDefaultWriteParam
+            p.setCompressionMode(
+              javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            p.setCompressionQuality(quality)
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            writer.write(null,
+              new javax.imageio.IIOImage(img, null, null), p)
+            writer.dispose(); ios.close()
+            bos.toByteArray
+          }
+          SynthAvi(id + idOffset, "video", aviBytes(recoded, w, h, fps),
+            w, h, recoded.length)
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("kind"), col("content"),
+        struct(col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          (col("n_frames").cast("long") * 1000L / fps).as("duration_ms"))
+          .as("meta"))
   }
 
   case class VideoFrame(media_id: Long, frame_no: Option[Int],

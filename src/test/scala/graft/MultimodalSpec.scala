@@ -996,6 +996,81 @@ class MultimodalSpec extends SparkSpec {
         "documents this miss (overlapping hops are the production fix)")
   }
 
+  test("crop-robust image tier: a grid-aligned crop scores containment " +
+    "1.0 while BOTH whole-image hashes (aHash, pHash) walk away") {
+    // image ids ≡ 0 mod 3; dims (m%4+2)×(m%3+2) tiles of 16px, m=id/3
+    val ids = (0L to 120L by 3L).toDF("doc_id")
+    val base = Multimodal.synthesizePngTextured(spark, ids, "doc_id")
+    val crops = Multimodal.cropImageCopies(base, idOffset = 600000L,
+      dropTiles = 1)
+    val both = base.unionByName(crops)
+    val cont = Multimodal.imageCropContainmentPairs(both, tilePx = 16,
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = (0L to 120L by 3L).map(id => (id + 600000L, id, 1.0)).toSet
+    assert(cont.toSet == expect, s"got ${cont.sortBy(_._1).mkString(",")}")
+    // whole-image hashes: any crop moves every 8x8 sample point, so no
+    // (original, crop) pair collides on EITHER hash — the gap this tier
+    // exists to close
+    def lanes(df: org.apache.spark.sql.DataFrame, hi: String,
+              lo: String): Map[Long, (Long, Long)] =
+      df.select(col("media_id"), col(hi), col(lo)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ah = lanes(Multimodal.imageAHash(both), "ahash_hi", "ahash_lo")
+    val ph = lanes(Multimodal.imagePHash(both), "phash_hi", "phash_lo")
+    (0L to 120L by 3L).foreach { id =>
+      assert(ah(id) != ah(id + 600000L),
+        s"whole-image aHash must miss the crop of $id")
+      assert(ph(id) != ph(id + 600000L),
+        s"whole-image pHash must miss the crop of $id")
+    }
+  }
+
+  test("perceptual video tier vs re-encode: every frame's bytes change " +
+    "and the exact tier catches nothing, yet frame pHashes survive " +
+    "bit-exact and the perceptual pair set is complete at 1.0") {
+    val ids = (2L to 150L by 3L).toDF("doc_id")
+    val base = Multimodal.synthesizeAviTextured(spark, ids, "doc_id")
+    val copies = Multimodal.reencodeVideoCopies(base, idOffset = 600000L,
+      quality = 0.5f)
+    // container bytes all change (different quant tables + entropy
+    // coding); decoded pixels drift on nearly every frame
+    val blobs = base.unionByName(copies)
+      .select(col("media_id"), col("content")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    (2L to 150L by 3L).foreach { id =>
+      assert(!java.util.Arrays.equals(blobs(id), blobs(id + 600000L)),
+        s"re-encode must change the bytes of $id")
+    }
+    // per-frame pHash survives EXACTLY: binary per-block-uniform luma
+    // means recompression is an affine gray remap (all dark cells map
+    // to one value, all light cells to another), and pHash compares
+    // AC coefficients to their median — affine-invariant
+    val phB = Multimodal.videoFramePHashes(base)
+      .select(col("media_id"), col("frame_no"),
+        col("phash_hi"), col("phash_lo"))
+    val phC = Multimodal.videoFramePHashes(copies)
+      .select((col("media_id") - 600000L).as("media_id"), col("frame_no"),
+        col("phash_hi").as("chi"), col("phash_lo").as("clo"))
+    val j = phB.join(phC, Seq("media_id", "frame_no"))
+    assert(j.filter(col("phash_hi") =!= col("chi") ||
+      col("phash_lo") =!= col("clo")).count() == 0L,
+      "every frame pHash must survive the re-encode bit-exact")
+    // the exact decoded-identity tier loses every copy (that's the gap
+    // the perceptual tier exists to close)
+    val both = base.unionByName(copies)
+    val exact = Multimodal.videoNearDupPairs(both, shingleLen = 2,
+      numPerm = 64, bands = 32, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.isEmpty,
+      s"exact tier must miss re-encoded copies: $exact")
+    val pp = Multimodal.videoNearDupPairsPerceptual(both, shingleLen = 2,
+      numPerm = 64, bands = 32, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = (2L to 150L by 3L).map(id => (id, id + 600000L, 1.0)).toSet
+    assert(pp.toSet == expect, s"got ${pp.sortBy(_._1).mkString(",")}")
+  }
+
   test("media fixture encoders codegen cleanly: zero interpreted-mode " +
     "fallback across all three codec tiers") {
     // A private nested case class (the r14 state of SynthPng/Wav/Avi)
