@@ -390,24 +390,36 @@ object SparkEntry {
     */
   private def urlFixture(s: SparkSession, d: String): DataFrame = {
     val p = (col("doc_id") % 7).cast("string")
-    val url = when(col("doc_id") % 6 === 0,
+    val url = when(col("doc_id") % 8 === 0,
         concat(lit("HTTPS://WWW.Example.COM:443/docs/"), p))
-      .when(col("doc_id") % 6 === 1,
+      .when(col("doc_id") % 8 === 1,
         concat(lit("https://www.example.com/docs/"), p, lit("/")))
-      .when(col("doc_id") % 6 === 2,
+      .when(col("doc_id") % 8 === 2,
         concat(lit("https://www.example.com/docs/"), p,
           lit("?utm_source=feed&gclid=z")))
-      .when(col("doc_id") % 6 === 3,
+      .when(col("doc_id") % 8 === 3,
         concat(lit("https://www.example.com/docs/"), p, lit("?b=2&a=1#top")))
-      .when(col("doc_id") % 6 === 4,
+      .when(col("doc_id") % 8 === 4,
         // unreserved percent-escapes (%64='d' in the path, %31='1' in a
         // param value) — must merge with the bare-spelled variant-3
         // group after decode + param sort
         concat(lit("https://www.example.com/%64ocs/"), p,
           lit("?a=%31&b=2")))
-      .otherwise(
+      .when(col("doc_id") % 8 === 5,
         concat(lit("http://www.example.com:8080/docs/"), p,
           lit("?a=1&b=2")))
+      .when(col("doc_id") % 8 === 6,
+        // dot-segment twin: /x/../docs/./<p> must resolve to /docs/<p>
+        // and merge with the variant-3/4 group
+        concat(lit("https://www.example.com/x/../docs/./"), p,
+          lit("?b=2&a=1")))
+      .otherwise(
+        // IDN twins: the unicode spelling and the (case-mangled)
+        // punycode spelling must canonicalize to ONE key
+        when(col("doc_id") % 16 === 7,
+          concat(lit("https://bücher.example/docs/"), p))
+          .otherwise(
+            concat(lit("https://XN--BCHER-KVA.Example/docs/"), p)))
     T(s, d, "documents").select(col("doc_id"), url.as("url"))
   }
 
@@ -438,7 +450,7 @@ object SparkEntry {
     */
   private lazy val urlCanonCtesSql: String =
     s"""uf AS (SELECT doc_id,
-      |    CASE doc_id % 6
+      |    CASE doc_id % 8
       |      WHEN 0 THEN concat('HTTPS://WWW.Example.COM:443/docs/',
       |        CAST(doc_id % 7 AS VARCHAR))
       |      WHEN 1 THEN concat('https://www.example.com/docs/',
@@ -449,8 +461,15 @@ object SparkEntry {
       |        CAST(doc_id % 7 AS VARCHAR), '?b=2&a=1#top')
       |      WHEN 4 THEN concat('https://www.example.com/%64ocs/',
       |        CAST(doc_id % 7 AS VARCHAR), '?a=%31&b=2')
-      |      ELSE concat('http://www.example.com:8080/docs/',
+      |      WHEN 5 THEN concat('http://www.example.com:8080/docs/',
       |        CAST(doc_id % 7 AS VARCHAR), '?a=1&b=2')
+      |      WHEN 6 THEN concat('https://www.example.com/x/../docs/./',
+      |        CAST(doc_id % 7 AS VARCHAR), '?b=2&a=1')
+      |      ELSE CASE WHEN doc_id % 16 = 7
+      |        THEN concat('https://bücher.example/docs/',
+      |          CAST(doc_id % 7 AS VARCHAR))
+      |        ELSE concat('https://XN--BCHER-KVA.Example/docs/',
+      |          CAST(doc_id % 7 AS VARCHAR)) END
       |    END AS url FROM documents),
       |ud AS (SELECT doc_id, url,
       |    ${graft.ops.Web.percentDecodeUnreservedSql("url")} AS durl
@@ -460,12 +479,18 @@ object SparkEntry {
       |      AS scheme,
       |    regexp_extract(durl, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
       |      AS auth,
-      |    regexp_replace(regexp_extract(durl,
-      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '')
-      |      AS cpath,
+      |    regexp_replace(${graft.ops.Web.resolveDotSegmentsSql(
+             "regexp_extract(durl, " +
+               "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")},
+      |      '/+$$', '') AS cpath,
       |    regexp_extract(durl, '\\?([^#]*)', 1) AS query FROM ud),
       |uq AS (SELECT doc_id, url, scheme,
-      |    lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
+      |    -- punycode: DuckDB has no IDN codec, so the oracle pins the
+      |    -- fixture's ONE unicode host to its known RFC 3492 encoding;
+      |    -- the Spark side computes it through the real codec, so a
+      |    -- wrong encoding fails this compare
+      |    replace(lower(regexp_extract(auth, '^([^:]*)', 1)),
+      |      'bücher.example', 'xn--bcher-kva.example') AS host,
       |    regexp_extract(auth, ':([0-9]+)$$', 1) AS port, cpath,
       |    array_to_string(list_sort(list_filter(string_split(query, '&'),
       |      p -> len(p) > 0 AND NOT starts_with(p, 'utm_')

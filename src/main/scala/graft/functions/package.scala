@@ -32,6 +32,13 @@ package object functions {
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
+  /** IDN → ASCII (punycode) host encoding (codegen'd; ASCII hosts pass
+    * through untouched — see PunycodeImpl for the exact scope).
+    */
+  def punycodeHost(h: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(PunycodeHost(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(h)))
+
   /** Constant-matrix × vector product via the native codegen'd MatVec
     * expression (see MatVecProduct scaladoc — the `array(dot, dot, …)`
     * composition at 64×64 exceeds the codegen budget and interprets).

@@ -321,8 +321,9 @@ object Dedup {
     requireIndexParams(spark, name, -1, numPerm, bands)
     val root = nearDupIndexRoot(spark, name).getOrElse(throw
       new IllegalStateException(s"hash-set index '$name' is not built"))
-    IndexCommit.withMarker(spark, root.toString, Seq("sig", "shingles"),
-      Seq(s"${name}_sig", s"${name}_shingles")) {
+    IndexCommit.withMarkerFenced(spark, root.toString,
+      Seq("sig", "shingles"),
+      Seq(s"${name}_sig", s"${name}_shingles")) { fenceCheck =>
       val sets = rel.select(col(idCol),
         sort_array(array_distinct(col(hashesCol))).as("__sh"))
         .withColumn("__n", size(col("__sh")))
@@ -340,6 +341,7 @@ object Dedup {
         .bucketBy(numBuckets, "__band", "__bucket")
         .sortBy("__band", "__bucket")
         .format("parquet").saveAsTable(s"${name}_sig")
+      fenceCheck() // between halves: bound the stolen-writer window
       fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(numBuckets, idCol)
         .format("parquet").saveAsTable(s"${name}_shingles")
@@ -405,8 +407,9 @@ object Dedup {
     requireIndexParams(spark, name, shingleK, numPerm, bands)
     val root = nearDupIndexRoot(spark, name).getOrElse(throw
       new IllegalStateException(s"near-dup index '$name' is not built"))
-    IndexCommit.withMarker(spark, root.toString, Seq("sig", "shingles"),
-      Seq(s"${name}_sig", s"${name}_shingles")) {
+    IndexCommit.withMarkerFenced(spark, root.toString,
+      Seq("sig", "shingles"),
+      Seq(s"${name}_sig", s"${name}_shingles")) { fenceCheck =>
       // per-half replay guards: each append probes ITS OWN table's ids,
       // so the halves re-converge independently after a crash between
       // them even on redelivery (marker rollback handles no-redelivery)
@@ -423,6 +426,7 @@ object Dedup {
         .bucketBy(numBuckets, "__band", "__bucket")
         .sortBy("__band", "__bucket")
         .format("parquet").saveAsTable(s"${name}_sig")
+      fenceCheck() // between halves: bound the stolen-writer window
       val sh = fresh.select(col(idCol),
         sort_array(shingleHashes(col(textCol), shingleK)).as("__sh"))
         .withColumn("__n", size(col("__sh")))
@@ -507,7 +511,7 @@ object Dedup {
                              path: String, idCol: String, ids: DataFrame,
                              fingerprint: Option[DataFrame] = None,
                              paramsTag: String = ""): Long =
-    Dedup.synchronized { withPathLock(spark, path) {
+    Dedup.synchronized { withPathLockFenced(spark, path) { fenceCheck =>
       // key on idCol, not columns.head: a multi-column ids frame (e.g.
       // full document rows) must still anti-join on the id
       val gone = ids.select(col(idCol)).toDF("__gone")
@@ -531,6 +535,7 @@ object Dedup {
         .releaseLocalCheckpoint(kept)
       org.apache.spark.sql.graftbridge.ColumnBridge
         .releaseLocalCheckpoint(gone)
+      fenceCheck() // COMMIT gate: never validate a stolen store
       fingerprint.foreach(f => graft.io.IO.writeDir(
         f.withColumn("params_tag",
           org.apache.spark.sql.functions.lit(paramsTag)), s"$path/meta"))
@@ -1017,7 +1022,7 @@ object Dedup {
     Dedup.synchronized {
       val key = s"graft.internal.pairClustersBuilt.$path"
       if (spark.conf.getOption(key).isDefined) false
-      else withPathLock(spark, path) {
+      else withPathLockFenced(spark, path) { fenceCheck =>
         val metaPath = s"$path/meta"
         val meta = fingerprint.map(
           _.withColumn("params_tag", org.apache.spark.sql.functions
@@ -1038,6 +1043,7 @@ object Dedup {
             clusterNearDups(spark.read.parquet(s"$path/pairs"),
               idCol = idCol),
             s"$path/clusters")
+          fenceCheck() // COMMIT gate: never validate a stolen store
           meta.foreach(m => graft.io.IO.writeDir(m, metaPath))
         }
         spark.conf.set(key, "true")
@@ -1069,7 +1075,23 @@ object Dedup {
     */
   private def withPathLock[A](spark: org.apache.spark.sql.SparkSession,
                               path: String, staleMs: Long = 600000L,
-                              timeoutMs: Long = 600000L)(body: => A): A = {
+                              timeoutMs: Long = 600000L)(body: => A): A =
+    withPathLockFenced(spark, path, staleMs, timeoutMs)(_ => body)
+
+  /** [[withPathLock]] + the [[IndexCommit]] FENCING discipline: after
+    * winning the lock the holder allocates a monotone epoch, and the
+    * body receives a check thunk to call immediately before its COMMIT
+    * point (for the pair-cluster store that is the meta write — the
+    * store is deleted-meta-first / meta-written-last, so a writer
+    * fenced before meta leaves the store recognizably INVALID, which
+    * the next `ensurePairClusters` rebuilds, instead of silently
+    * wrong). A stale-steal victim therefore cannot validate a store it
+    * no longer owns.
+    */
+  private def withPathLockFenced[A](
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, staleMs: Long = 600000L,
+      timeoutMs: Long = 600000L)(body: (() => Unit) => A): A = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val lock = new org.apache.hadoop.fs.Path(s"$path/.lock")
@@ -1118,7 +1140,8 @@ object Dedup {
           else Thread.sleep(200)
       }
     }
-    try body finally {
+    val epoch = IndexCommit.acquireFence(spark, path)
+    try body(() => IndexCommit.requireFence(spark, path, epoch)) finally {
       // token-checked release: delete only if the lock is still OURS
       if (readToken(lock).contains(myToken)) fs.delete(lock, false)
     }
@@ -1182,7 +1205,7 @@ object Dedup {
                            newPairs: DataFrame,
                            fingerprint: Option[DataFrame] = None,
                            paramsTag: String = ""): Long =
-    Dedup.synchronized { withPathLock(spark, path) {
+    Dedup.synchronized { withPathLockFenced(spark, path) { fenceCheck =>
       val stored = spark.read.parquet(s"$path/pairs")
       require(stored.columns.toSeq == Seq("id_a", "id_b"),
         s"appendToPairClusters needs an ids-only pair relation " +
@@ -1215,6 +1238,7 @@ object Dedup {
       graft.io.IO.writeDir(merged, s"$path/clusters")
       org.apache.spark.sql.graftbridge.ColumnBridge
         .releaseLocalCheckpoint(canon)
+      fenceCheck() // COMMIT gate: never validate a stolen store
       fingerprint.foreach(f => graft.io.IO.writeDir(
         f.withColumn("params_tag",
           org.apache.spark.sql.functions.lit(paramsTag)), s"$path/meta"))

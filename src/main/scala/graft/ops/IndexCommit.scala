@@ -54,12 +54,77 @@ import org.apache.spark.sql.SparkSession
   * would DUPLICATE postings on replay (the batch guard keys docstats,
   * which never saw the batch). The marker closes both holes.
   */
+/** A writer lost the fence: a NEWER writer entered the same index root
+  * (after stealing a stale lock from this one), so this writer's
+  * mutation must not commit — the newer writer's entry recovery owns
+  * the root now.
+  */
+class FencedWriterException(msg: String)
+  extends IllegalStateException(msg)
+
 object IndexCommit {
 
   val MarkerDir = "_append_pending"
+  val FenceDir = ".fence"
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ----------------------------------------------- fencing tokens
+
+  /** Highest allocated writer epoch under `root` (0 when none). */
+  def maxEpoch(spark: SparkSession, root: String): Long = {
+    val dir = new Path(new Path(root), FenceDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Allocate a MONOTONE writer epoch for `root` — the fencing token
+    * the stale-steal `.lock` alone cannot provide: exclusive-create of
+    * `<root>/.fence/<epoch>` arbitrates (at most one writer owns any
+    * epoch; losers retry above the new max), so a writer that stole a
+    * stale lock ALWAYS carries a strictly higher epoch than the writer
+    * it stole from. Validating `myEpoch == maxEpoch` right before a
+    * mutation commits turns the classic double-steal interleaving into
+    * a rejected commit instead of silent corruption. Old epoch files
+    * prune on allocation (a short tail is kept for debugging; pruning
+    * below the max never changes the max).
+    */
+  def acquireFence(spark: SparkSession, root: String): Long = {
+    val dir = new Path(new Path(root), FenceDir)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(dir)
+    var e = maxEpoch(spark, root) + 1
+    var got = false
+    while (!got) {
+      try {
+        fs.create(new Path(dir, e.toString), false).close()
+        got = true
+      } catch { case _: java.io.IOException =>
+        e = math.max(maxEpoch(spark, root), e) + 1
+      }
+    }
+    fs.listStatus(dir).foreach { s =>
+      scala.util.Try(s.getPath.getName.toLong).toOption
+        .filter(_ < e - 8).foreach(_ => fs.delete(s.getPath, false))
+    }
+    e
+  }
+
+  /** Throw [[FencedWriterException]] iff a newer writer has entered
+    * `root` since `epoch` was allocated.
+    */
+  def requireFence(spark: SparkSession, root: String, epoch: Long): Unit = {
+    val mx = maxEpoch(spark, root)
+    if (mx != epoch)
+      throw new FencedWriterException(
+        s"writer epoch $epoch was fenced off by a newer writer " +
+          s"(epoch $mx) on $root — this mutation must not commit; " +
+          "the newer writer's entry recovery owns the root")
+  }
 
   /** Data files (relative names) of one participating directory. */
   def dataFiles(fs: FileSystem, dir: Path): Set[String] =
@@ -109,7 +174,31 @@ object IndexCommit {
   /** Entry recovery + pre-listing marker around `body` + commit. */
   def withMarker(spark: SparkSession, root: String, dirs: Seq[String],
                  refreshTables: Seq[String] = Nil,
-                 postRecover: () => Unit = () => ())(body: => Unit): Unit = {
+                 postRecover: () => Unit = () => ())(body: => Unit): Unit =
+    withMarkerFenced(spark, root, dirs, refreshTables, postRecover)(
+      _ => body)
+
+  /** [[withMarker]] with the FENCE discipline threaded through: the
+    * writer allocates a monotone epoch at entry, re-validates it after
+    * the marker lands, hands the body a `check` thunk to call between
+    * its own mutation steps, and validates ONCE MORE immediately
+    * before the commit (the marker delete). A writer that was
+    * stale-stolen therefore CANNOT commit — it throws
+    * [[FencedWriterException]] and leaves its marker (if the newer
+    * writer has not already consumed it) for the next entry recovery
+    * to roll back. Residual exposure, documented: a body WRITE already
+    * in flight when the newer writer's recovery runs can still land
+    * after it — closing that last window needs store-side conditional
+    * writes (e.g. S3 If-None-Match per file), which plain HDFS/POSIX
+    * rename semantics cannot express; the mid-body `check` calls bound
+    * the window to a single mutation step.
+    */
+  def withMarkerFenced(spark: SparkSession, root: String,
+                       dirs: Seq[String],
+                       refreshTables: Seq[String] = Nil,
+                       postRecover: () => Unit = () => ())(
+                       body: (() => Unit) => Unit): Unit = {
+    val epoch = acquireFence(spark, root)
     recover(spark, root, dirs, refreshTables, postRecover)
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
@@ -124,7 +213,10 @@ object IndexCommit {
       graft.io.IO.writeDir(pre.toDF("half", "file_name").coalesce(1),
         pending.toString)
     }
-    body
+    def check(): Unit = requireFence(spark, root, epoch)
+    check()
+    body(check _)
+    check() // the fence gate: a newer writer exists → do NOT commit
     fs.delete(pending, true) // COMMIT
   }
 }

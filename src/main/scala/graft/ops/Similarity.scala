@@ -2334,7 +2334,8 @@ object Similarity {
                                path: String, newEmb: DataFrame,
                                idCol: String = "vec_id",
                                vecCol: String = "embedding"): Unit =
-    IndexCommit.withMarker(spark, path, Seq("vectors", "codes")) {
+    IndexCommit.withMarkerFenced(spark, path,
+      Seq("vectors", "codes")) { fenceCheck =>
     val batch = newEmb
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .localCheckpoint()
@@ -2345,6 +2346,7 @@ object Similarity {
       if (!freshV.isEmpty)
         freshV.write.mode(org.apache.spark.sql.SaveMode.Append)
           .parquet(s"$path/vectors")
+      fenceCheck() // between halves: bound the stolen-writer window
       val freshC = signCodes64(batch, "c", idCol, vecCol)
         .select(col("__idc").as(idCol), col("__loc").as("lo"),
           col("__hic").as("hi"))

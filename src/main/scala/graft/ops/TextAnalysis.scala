@@ -800,12 +800,14 @@ object TextAnalysis {
                         idCol: String = "doc_id",
                         textCol: String = "text",
                         numBuckets: Int = 32): Unit =
-    IndexCommit.withMarker(spark, path, Seq("postings", "docstats"),
+    IndexCommit.withMarkerFenced(spark, path,
+      Seq("postings", "docstats"),
       Seq(s"${name}_postings", s"${name}_docstats"),
       postRecover = () => writeBm25Meta(spark, name, path,
         spark.table(s"${name}_docstats").agg(
           count(lit(1)).as("n_docs"),
           coalesce(sum(col("__dl")), lit(0L)).as("total_tf")))) {
+      fenceCheck =>
     // checkpoint the filtered batch: its lineage (anti-join against the
     // stored docstats) feeds three consumers below, and the docstats
     // table it probes is itself appended to mid-sequence
@@ -817,6 +819,7 @@ object TextAnalysis {
       tf.write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(numBuckets, "term").sortBy("term")
         .format("parquet").saveAsTable(s"${name}_postings")
+      fenceCheck() // between halves: bound the stolen-writer window
       val dl = fresh.select(col(idCol)).distinct()
         .join(tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__tf")),
           Seq(idCol), "left")
@@ -824,6 +827,7 @@ object TextAnalysis {
       dl.write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(numBuckets, idCol)
         .format("parquet").saveAsTable(s"${name}_docstats")
+      fenceCheck()
       val old = spark.table(s"${name}_meta").head()
       val delta = fresh.agg(countDistinct(col(idCol)).as("nd"))
         .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).as("tt"))).head()
@@ -1347,8 +1351,9 @@ object TextAnalysis {
     * counts-down guard, same landmine as [[bigramFrequencies]]).
     */
   private[graft] def allOrderFrequencies(docs: DataFrame, idCol: String,
-                                         textCol: String,
-                                         maxOrder: Int): DataFrame = {
+                                         textCol: String, maxOrder: Int,
+                                         materialize: Boolean = true)
+      : DataFrame = {
     require(maxOrder >= 2 && maxOrder <= 6,
       s"maxOrder ($maxOrder) must be in [2, 6]")
     val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
@@ -1361,25 +1366,44 @@ object TextAnalysis {
             concat_ws(" ", (0 until k).map(j =>
               element_at(col("__t"), i + lit(j))): _*).as("__g"))))
     }
-    base.select(col(idCol), explode(concat(perOrder: _*)).as("__e"))
+    val tf = base
+      .select(col(idCol), explode(concat(perOrder: _*)).as("__e"))
       .select(col(idCol), col("__e.__k").as("__k"), col("__e.__g").as("__g"))
       .groupBy(col(idCol), col("__k"), col("__g"))
       .agg(count(lit(1)).as("__tf"))
-      .localCheckpoint()
+    if (materialize) tf.localCheckpoint() else tf
   }
 
-  /** Per-level relations for the order-N KN chain, cut from ONE
-    * materialized [[allOrderFrequencies]] relation: for each level k,
-    * the true k-gram corpus counts (keyed by the N-gram's last-k-word
-    * suffix for the scoring join) and the prefix aggregates
-    * (c(prefix·), N1+(prefix·)); plus the continuation tables from the
-    * bigram level. Shared by the in-corpus and cross-corpus tiers.
+  /** The order-N KN reference SNAPSHOT relation: corpus-global
+    * (order k, gram, count) for every k ∈ [2, order], aggregated from
+    * ONE tokenize pass — everything [[refNgramKnFromCounts]] needs
+    * (per-level counts, prefix aggregates and the continuation tables
+    * all derive from it by filters and groupBys, never a re-scan).
+    * Batch-side this is the relation a curation pipeline persists and
+    * refreshes periodically; the streaming twin
+    * ([[graft.streaming.EventStream.refKnScoredDocuments]]) reads the
+    * frozen copy — the dsirScorePpm/mixtureGate snapshot discipline.
     */
-  private def knLevelTables(tfAll: DataFrame, order: Int)
+  def knReferenceCounts(reference: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        order: Int = 5): DataFrame =
+    allOrderFrequencies(reference, idCol, textCol, order,
+      materialize = false)
+      .groupBy(col("__k"), col("__g")).agg(sum(col("__tf")).as("__c"))
+
+  /** Per-level relations for the order-N KN chain, cut from ONE
+    * aggregated (order, gram, count) relation ([[knReferenceCounts]]'
+    * shape): for each level k, the true k-gram corpus counts (keyed by
+    * the N-gram's last-k-word suffix for the scoring join) and the
+    * prefix aggregates (c(prefix·), N1+(prefix·)); plus the
+    * continuation tables from the bigram level. Shared by the
+    * in-corpus, cross-corpus and streaming-snapshot tiers.
+    */
+  private def knLevelTables(counts: DataFrame, order: Int)
       : (Seq[(Int, DataFrame, DataFrame)], DataFrame, DataFrame) = {
     val levels = (2 to order).map { k =>
-      val ck = tfAll.filter(col("__k") === k)
-        .groupBy(col("__g")).agg(sum(col("__tf")).as(s"__c$k"))
+      val ck = counts.filter(col("__k") === k)
+        .select(col("__g"), col("__c").as(s"__c$k"))
       val lk = ck
         .withColumn("__p", substring_index(col("__g"), " ", k - 1))
         .groupBy(col("__p"))
@@ -1429,7 +1453,9 @@ object TextAnalysis {
     val release =
       org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
     val tfAll = allOrderFrequencies(docs, idCol, textCol, order)
-    val (levels, cont, contTotal) = knLevelTables(tfAll, order)
+    val (levels, cont, contTotal) = knLevelTables(
+      tfAll.groupBy(col("__k"), col("__g")).agg(sum(col("__tf")).as("__c")),
+      order)
     val tfN = tfAll.filter(col("__k") === order)
       .select(col(idCol), col("__g"), col("__tf"))
     // scoring join: the top level keys the full gram; level k < N keys
@@ -1483,14 +1509,38 @@ object TextAnalysis {
                              idCol: String = "doc_id",
                              textCol: String = "text", order: Int = 5,
                              discount: Double = 0.75): DataFrame = {
+    val release =
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    val rAll = allOrderFrequencies(reference, idCol, textCol, order)
+    val res = refNgramKnFromCounts(target,
+      rAll.groupBy(col("__k"), col("__g")).agg(sum(col("__tf")).as("__c")),
+      idCol, textCol, order, discount)
+    release(rAll)
+    res
+  }
+
+  /** The cross-corpus scoring chain against a PRECOMPUTED reference
+    * count snapshot ([[knReferenceCounts]]' (order, gram, count)
+    * relation — possibly read back from parquet): everything
+    * [[refNgramKnCrossEntropy]] does after the reference tokenize.
+    * This is the entry the STREAMING twin rides
+    * ([[graft.streaming.EventStream.refKnScoredDocuments]]): each
+    * micro-batch pays only its own tokenize; the reference is a frozen
+    * snapshot refreshed batch-side (per-doc scores depend only on the
+    * snapshot, so multi-batch union ≡ one-shot — StreamingSpec pins
+    * it).
+    */
+  def refNgramKnFromCounts(target: DataFrame, refCounts: DataFrame,
+                           idCol: String = "doc_id",
+                           textCol: String = "text", order: Int = 5,
+                           discount: Double = 0.75): DataFrame = {
     require(order >= 3 && order <= 5, s"order ($order) must be in [3, 5]")
     require(discount > 0.0 && discount < 1.0,
       s"discount ($discount) must be in (0, 1)")
     val d = lit(discount)
     val release =
       org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
-    val rAll = allOrderFrequencies(reference, idCol, textCol, order)
-    val (levels, cont, contTotal) = knLevelTables(rAll, order)
+    val (levels, cont, contTotal) = knLevelTables(refCounts, order)
     val totals = contTotal
       .crossJoin(cont.agg(count(lit(1)).as("__v")))
     val tAll = allOrderFrequencies(target, idCol, textCol, order)
@@ -1531,7 +1581,7 @@ object TextAnalysis {
           sum(col("__tf")).cast("double"), 6)
           .as("ref_kn_cross_entropy"))
       .localCheckpoint()
-    release(rAll); release(tAll)
+    release(tAll)
     res
   }
 

@@ -29,12 +29,24 @@ import org.apache.spark.sql.functions._
   *    they must share a dedup key); both hex cases per code. RESERVED
   *    escapes (%2F %3F %26 %3D %25 …) are kept — decoding them would
   *    change the URL's structure, not its spelling.
-  *  - Out of scope (documented, not silently wrong): IDN/punycode,
-  *    non-unreserved percent normalization, path dot-segment
-  *    resolution — each needs state machines that belong in a fetcher,
-  *    not a dedup key; a non-URL string canonicalizes to
-  *    garbage-in-garbage-out rather than erroring the job (crawl
-  *    metadata is never clean).
+  *  - Path DOT-SEGMENTS resolve (RFC 3986 §5.2.4): `/./` drops and
+  *    `/seg/../` pops, spelled as a bounded fixpoint of RE2 rewrites
+  *    ([[resolveDotSegments]]) — `/a/../b` and `/b` are one page. A
+  *    root-level `..` pops nothing (RFC: ignored). Nesting deeper
+  *    than `maxDepth` (default 8) levels of chained `..` is left
+  *    partially resolved — crawl paths do not nest deeper, and a
+  *    partially-resolved key is still deterministic on both engines.
+  *  - IDN hosts encode to punycode ([[graft.functions.punycodeHost]] —
+  *    RFC 3490 ToASCII per label via the JDK codec, codegen'd
+  *    static-call expression): `bücher.example` and
+  *    `xn--bcher-kva.example` are one dedup key. ASCII hosts take an
+  *    O(n) scan fast path; hosts the codec rejects pass through
+  *    unchanged (the canonicalizer's garbage-in-garbage-out posture).
+  *  - Still out of scope (documented, not silently wrong):
+  *    non-unreserved percent normalization and `//` empty-segment
+  *    collapse (both change which resource is named on some servers);
+  *    a non-URL string canonicalizes to garbage-in-garbage-out rather
+  *    than erroring the job (crawl metadata is never clean).
   *
   * Reference scope: the reference has no web/URL surface — this is
   * §2.11 LLM-pipeline extension work (r13 verdict gap #5).
@@ -60,7 +72,51 @@ object Web {
     * page's identity for fetching).
     */
   def siteOf(url: Column): Column =
-    regexp_replace(hostOf(url), "^www\\.", "")
+    regexp_replace(graft.functions.punycodeHost(hostOf(url)),
+      "^www\\.", "")
+
+  /** One ordered rule set of the RFC 3986 §5.2.4 dot-segment
+    * resolution, as (RE2 pattern, replacement) rewrites — applied
+    * repeatedly by [[resolveDotSegments]] until the nesting budget is
+    * spent. The `/seg/..` patterns spell "a segment that is not `.`
+    * or `..`" with explicit alternatives (RE2 has no lookahead), so a
+    * root-level `/../` never pops a phantom segment — it drops via its
+    * own rules, as the RFC prescribes.
+    */
+  private val dotSegRules: Seq[(String, String)] = Seq(
+    "/\\./" -> "/",
+    "/\\.$" -> "/",
+    "/(?:[^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)/\\.\\./" -> "/",
+    "/(?:[^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)/\\.\\.$" -> "/",
+    "^/\\.\\./" -> "/",
+    "^/\\.\\.$" -> "/")
+
+  /** Resolve `.` / `..` path segments (RFC 3986 §5.2.4) as a BOUNDED
+    * fold of RE2 rewrites — each pass resolves one nesting level, so
+    * `maxDepth` passes handle `..` chains up to that depth (deeper
+    * paths stay partially resolved — deterministic, documented).
+    * Guarded on `contains("/.")`: paths without any dot segment (the
+    * overwhelming majority) skip the whole chain at runtime, the
+    * [[percentDecodeUnreserved]] discipline. Identical DuckDB spelling
+    * via [[resolveDotSegmentsSql]].
+    */
+  def resolveDotSegments(path: Column, maxDepth: Int = 8): Column =
+    when(contains(path, lit("/.")),
+      (1 to maxDepth).foldLeft(path) { (p, _) =>
+        dotSegRules.foldLeft(p) { case (c, (re, repl)) =>
+          regexp_replace(c, re, repl) } })
+      .otherwise(path)
+
+  /** SQL spelling of [[resolveDotSegments]] over the expression
+    * `inner` — the oracle-side twin (same RE2 patterns, same pass
+    * count, same guard).
+    */
+  def resolveDotSegmentsSql(inner: String, maxDepth: Int = 8): String = {
+    val chain = (1 to maxDepth).foldLeft(inner) { (s, _) =>
+      dotSegRules.foldLeft(s) { case (t, (re, repl)) =>
+        s"regexp_replace($t, '$re', '$repl', 'g')" } }
+    s"(CASE WHEN contains($inner, '/.') THEN $chain ELSE $inner END)"
+  }
 
   /** (encoded spelling, decoded char) for every RFC 3986 unreserved
     * character, both hex cases where the code contains a hex letter
@@ -113,12 +169,14 @@ object Web {
     val u = percentDecodeUnreserved(trim(url))
     val scheme = schemeOf(u)
     val auth = regexp_extract(u, authorityRe, 1)
-    val host = lower(regexp_extract(auth, "^([^:]*)", 1))
+    val host = graft.functions.punycodeHost(
+      lower(regexp_extract(auth, "^([^:]*)", 1)))
     val port = regexp_extract(auth, ":([0-9]+)$", 1)
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
-    val path = regexp_replace(regexp_extract(u, pathRe, 1), "/+$", "")
+    val path = regexp_replace(
+      resolveDotSegments(regexp_extract(u, pathRe, 1)), "/+$", "")
     val query = regexp_extract(u, "\\?([^#]*)", 1)
     val params = filter(split(query, "&"), p =>
       length(p) > 0 &&

@@ -949,6 +949,27 @@ object EventStream {
     graft.ops.TextAnalysis.ppmiTopDirectionsFromCounts(
       spark.read.parquet(dest), minCount, rounds, k)
 
+  /** Streaming cross-corpus KN scorer — the q332/q327 twin: the
+    * reference LM's count tables cannot derive per-row (they are a
+    * corpus-global aggregate), so each micro-batch scores against a
+    * FROZEN reference snapshot
+    * ([[graft.ops.TextAnalysis.knReferenceCounts]] persisted at
+    * `refCountsDest`, refreshed periodically batch-side — the
+    * dsirScorePpm/mixtureGate snapshot discipline) through the ONE
+    * shared [[graft.ops.TextAnalysis.refNgramKnFromCounts]] chain:
+    * type-granular LEFT joins, the full backoff ladder, the
+    * continuation-Laplace floor. Per-doc scores depend only on the
+    * snapshot, so multi-batch union ≡ the one-shot batch statistic
+    * (StreamingSpec pins it). Use under `foreachBatch` — the chain
+    * aggregates per document, which is a batch-side shape.
+    */
+  def refKnScoredDocuments(spark: SparkSession, docs: DataFrame,
+                           refCountsDest: String, order: Int = 5,
+                           discount: Double = 0.75): DataFrame =
+    graft.ops.TextAnalysis.refNgramKnFromCounts(docs,
+      spark.read.parquet(refCountsDest), "doc_id", "text", order,
+      discount)
+
   /** Live threshold-free classifier report: the streamed score-count
     * snapshot at `dest` through the ONE shared
     * [[graft.ops.TextAnalysis.rocPrReportFromCounts]] definition —

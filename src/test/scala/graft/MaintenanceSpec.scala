@@ -600,6 +600,102 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("fencing: a paused writer that was stale-stolen CANNOT commit — " +
+    "its commit throws, the stealing writer's state stands") {
+    import org.apache.hadoop.fs.Path
+    import graft.ops.{IndexCommit, FencedWriterException}
+    val docs = Tables.documents(spark, sf0001)
+    val path = tmp("fence")
+    Dedup.buildNearDupIndex(docs.filter(col("doc_id") < 200), "fence_nd",
+      path, "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8,
+      numBuckets = 4)
+    try {
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def files(half: String): Set[String] =
+        fs.listStatus(new Path(root, half)).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).toSet
+      def sigIds(): Set[Long] = spark.table("fence_nd_sig")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      // epochs allocate monotonically, and the current holder passes
+      val e1 = IndexCommit.acquireFence(spark, path)
+      val e2 = IndexCommit.acquireFence(spark, path)
+      assert(e2 > e1)
+      IndexCommit.requireFence(spark, path, e2)
+      intercept[FencedWriterException] {
+        IndexCommit.requireFence(spark, path, e1)
+      }
+      // the double-steal interleaving: writer A enters its marker
+      // window and writes a partial mutation, stalls past staleMs; B
+      // steals, enters (B's recovery rolls A's partial back off A's
+      // marker), appends a real batch, COMMITS; A resumes and tries to
+      // commit — the fence gate must reject A, and the index must hold
+      // exactly B's committed state
+      val batch = docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+      var afterB: (Set[String], Set[String], Set[Long]) = null
+      val thrown = intercept[FencedWriterException] {
+        IndexCommit.withMarkerFenced(spark, path, Seq("sig", "shingles"),
+          Seq("fence_nd_sig", "fence_nd_shingles")) { _ =>
+          // A's partial mutation: an orphan data file in the sig half
+          val donor = fs.listStatus(new Path(root, "sig"))
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs,
+            new Path(root, s"sig/zz_orphan_${donor.getName}"), false,
+            spark.sparkContext.hadoopConfiguration)
+          // B steals and runs a full committed append (higher epoch;
+          // entry recovery consumes A's marker and deletes A's orphan)
+          Dedup.appendToNearDupIndex(spark, "fence_nd", batch, "doc_id",
+            "text", shingleK = 2, numPerm = 32, bands = 8,
+            numBuckets = 4)
+          afterB = (files("sig"), files("shingles"), sigIds())
+          assert(!afterB._1.exists(_.startsWith("zz_orphan_")),
+            "B's entry recovery must have rolled back A's partial file")
+          // A resumes here; the commit gate must now reject it
+        }
+      }
+      assert(thrown.getMessage.contains("fenced off"), thrown.getMessage)
+      assert((files("sig"), files("shingles"), sigIds()) == afterB,
+        "A's rejected commit must leave B's committed state untouched")
+      assert(!fs.exists(new Path(root, IndexCommit.MarkerDir)),
+        "B committed: no marker may remain")
+      // lifecycle unchanged: the next writer enters, appends, commits
+      Dedup.appendToNearDupIndex(spark, "fence_nd",
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+        "doc_id", "text", shingleK = 2, numPerm = 32, bands = 8,
+        numBuckets = 4)
+      assert(sigIds().size > afterB._3.size)
+    } finally {
+      Seq("fence_nd_sig", "fence_nd_shingles", "fence_nd_params")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("fencing: a stolen pair-clusters writer cannot VALIDATE the " +
+    "store — meta stays absent and the next entry rebuilds") {
+    import graft.ops.{IndexCommit, FencedWriterException}
+    val path = tmp("fencepc") + "/rel"
+    val fp = Seq((42L, 7L)).toDF("n", "h")
+    def pairs() = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    // writer A starts the build; B "steals" mid-body (allocates a newer
+    // epoch while A computes); A's commit — validating the store by
+    // writing meta — must be rejected, leaving the store meta-less
+    intercept[FencedWriterException] {
+      graft.ops.Dedup.ensurePairClusters(spark, path, "doc_id",
+        fingerprint = Some(fp), paramsTag = "t") {
+        IndexCommit.acquireFence(spark, path) // B enters here
+        pairs()
+      }
+    }
+    assert(graft.io.IO.parquetFileCount(spark, s"$path/meta") == 0L,
+      "a fenced writer must never validate the store")
+    // the store is recognizably invalid → the next writer rebuilds and
+    // validates; lifecycle unchanged
+    assert(graft.ops.Dedup.ensurePairClusters(spark, path, "doc_id",
+      fingerprint = Some(fp), paramsTag = "t")(pairs()))
+    assert(graft.io.IO.parquetFileCount(spark, s"$path/meta") > 0L)
+    assert(graft.ops.Dedup.cachedClusters(spark, path).count() == 3L)
+  }
+
   test("crash between rollback and postRecover re-enters recovery: the " +
     "marker outlives a failed derived-state rebuild") {
     import org.apache.hadoop.fs.Path

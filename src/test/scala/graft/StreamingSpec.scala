@@ -722,6 +722,33 @@ class StreamingSpec extends SparkSpec {
     assert(tdS.nonEmpty && tdS == tdB)
   }
 
+  test("streaming cross-corpus KN scorer equals the batch q332 chain " +
+    "off a frozen reference snapshot; micro-batch split is invisible") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+    // batch-side: persist the reference count snapshot (the periodic
+    // refresh a curation pipeline runs); the stream reads the frozen
+    // copy — the dsirScorePpm/mixtureGate discipline
+    val dest = "/tmp/graft_drift/kncounts_" + System.nanoTime()
+    graft.io.IO.writeDir(
+      graft.ops.TextAnalysis.knReferenceCounts(even, order = 4), dest)
+    val batch = graft.ops.TextAnalysis
+      .refNgramKnCrossEntropy(odd, even, order = 4)
+      .collect().map(_.toSeq).toSet
+    // two arbitrary micro-batches against the SAME snapshot: per-doc
+    // scores depend only on the snapshot, so the union equals the
+    // one-shot statistic exactly
+    val streamed = (EventStream.refKnScoredDocuments(spark,
+        odd.filter(col("doc_id") % 4 === 1), dest, order = 4)
+      .collect() ++
+      EventStream.refKnScoredDocuments(spark,
+        odd.filter(col("doc_id") % 4 === 3), dest, order = 4)
+        .collect()).map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming blocklist board equals the batch q309 census after " +
     "batched upserts (per-phrase counts are the complete mergeable state)") {
     import org.apache.spark.sql.functions.col

@@ -56,6 +56,48 @@ class WebSpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUrl rule table: dot-segment resolution and IDN " +
+    "punycode hosts") {
+    val table = Seq(
+      // /./ drops, /seg/../ pops — RFC 3986 §5.2.4
+      "https://example.com/a/./b" -> "https://example.com/a/b",
+      "https://example.com/a/../b" -> "https://example.com/b",
+      "https://example.com/x/../docs/./1?b=2&a=1"
+        -> "https://example.com/docs/1?a=1&b=2",
+      // chains resolve level by level up to the depth bound
+      "https://example.com/a/b/c/../../../d" -> "https://example.com/d",
+      "https://example.com/a/b/../c/../d" -> "https://example.com/a/d",
+      // a root-level .. pops NOTHING (RFC: ignored), alone or chained
+      "https://example.com/../a" -> "https://example.com/a",
+      "https://example.com/../../a" -> "https://example.com/a",
+      // trailing /. and /.. (directory forms; trailing slash then strips)
+      "https://example.com/a/b/." -> "https://example.com/a/b",
+      "https://example.com/a/b/.." -> "https://example.com/a",
+      // dotted SEGMENTS are ordinary names, not operators
+      "https://example.com/a.b/c" -> "https://example.com/a.b/c",
+      "https://example.com/.well-known/x"
+        -> "https://example.com/.well-known/x",
+      "https://example.com/a.../b" -> "https://example.com/a.../b",
+      "https://example.com/..a/b" -> "https://example.com/..a/b",
+      // a "..a" segment pops like any other name
+      "https://example.com/..a/../b" -> "https://example.com/b",
+      // IDN host → punycode; the pre-encoded spelling is the SAME key
+      "https://bücher.example/a" -> "https://xn--bcher-kva.example/a",
+      "https://XN--BCHER-KVA.Example/a"
+        -> "https://xn--bcher-kva.example/a",
+      // the JDK codec agrees with the fixture's pinned constant
+      "https://BÜCHER.example/a" -> "https://xn--bcher-kva.example/a",
+      // ASCII hosts never pay the codec (passthrough, incl. xn--)
+      "https://example.com/a" -> "https://example.com/a")
+    val got = canon(table.map(_._1): _*)
+    table.map(_._2).zip(got).zip(table.map(_._1)).foreach {
+      case ((want, g), in) => assert(g == want, s"$in -> $g, want $want")
+    }
+    // the pinned oracle constant IS what the real codec computes
+    assert(java.net.IDN.toASCII("bücher.example")
+      == "xn--bcher-kva.example")
+  }
+
   test("siteOf strips one leading www and the port; hostCensus counts " +
     "duplicate fetches per site") {
     val df = Seq(
