@@ -3676,6 +3676,34 @@ object SparkEntry {
         windowSamples = 16, shingleLen = 1, numPerm = 64, bands = 32,
         threshold = 0.6)
     }),
+    "q335_audio_containment" -> ((s, d) => {
+      // DEEP-TRIM audio — q328's containment logic on the windowed
+      // identity: dropping 2 of k ≤ 4 windows collapses jaccard to
+      // (k−2)/k ≤ 1/2 < 0.6 (the q329 tier's documented miss, pinned
+      // empty in MultimodalSpec) while the copy's window set stays a
+      // strict subset → containment exactly 1.0; min-window anchoring
+      // guarantees the candidate
+      val base = Multimodal.synthesizeWavMixed(s,
+        T(s, d, "documents").select("doc_id"), "doc_id")
+      Multimodal.audioContainmentPairs(
+        base.unionByName(Multimodal.trimWavCopies(base,
+          idOffset = 600000L, dropSamples = 32)),
+        windowSamples = 16, threshold = 0.9)
+    }),
+    "q336_audio_neardup_overlap" -> ((s, d) => {
+      // OVERLAPPING-HOP lanes — the production fix for the fixed-grid
+      // alignment trade: a HALF-window trim (8 samples) shifts every
+      // single-lane window so q329's tier misses it entirely (pinned),
+      // but with lanes {0, 8} the copy's lane-0 windows ARE the
+      // original's lane-8 windows — jaccard has the closed form
+      // (s−1)/s with s = n div 16 + (n−8) div 16, pure id arithmetic
+      val base = Multimodal.synthesizeWavMixed(s,
+        T(s, d, "documents").select("doc_id"), "doc_id")
+      Multimodal.audioNearDupPairsOverlapped(
+        base.unionByName(Multimodal.trimWavCopies(base,
+          idOffset = 600000L, dropSamples = 8)),
+        windowSamples = 16, numPerm = 64, bands = 32, threshold = 0.6)
+    }),
     "q330_audio_neardup_indexed" -> ((s, d) => {
       // incremental audio dedup at the INDEX tier: the even originals'
       // windowed-identity surface persists once through the generic
@@ -8581,6 +8609,26 @@ object SparkEntry {
         |FROM (SELECT doc_id, (doc_id % 50 + 20) // 16 AS k
         |  FROM documents
         |  WHERE doc_id % 3 = 1 AND doc_id % 50 >= 28)""".stripMargin,
+    "q335_audio_containment" ->
+      // the deep-trimmed copy's window set is a strict subset of the
+      // original's → containment exactly 1.0 for every clip whose copy
+      // keeps ≥ 1 complete window (k ≥ 3); the jaccard each pair would
+      // score is (k−2)/k ≤ 1/2 — the q329 tier's documented miss
+      """SELECT doc_id + 600000 AS id_a, doc_id AS id_b,
+        |  1.0 AS containment
+        |FROM documents
+        |WHERE doc_id % 3 = 1 AND doc_id % 50 >= 28""".stripMargin,
+    "q336_audio_neardup_overlap" ->
+      // two hop lanes {0, 8}: the half-window-trimmed copy's lane-0
+      // windows ARE the original's lane-8 windows and its lane-8 is the
+      // original's lane-0 minus window 0 → intersection s−1 of union s,
+      // s = n div 16 + (n−8) div 16; j ≥ 0.6 ⟺ s ≥ 3 ⟺ id%50 ≥ 12
+      """SELECT doc_id AS id_a, doc_id + 600000 AS id_b,
+        |  CAST(s - 1 AS DOUBLE) / s AS jaccard_sim
+        |FROM (SELECT doc_id,
+        |    (doc_id % 50 + 20) // 16 + (doc_id % 50 + 12) // 16 AS s
+        |  FROM documents
+        |  WHERE doc_id % 3 = 1 AND doc_id % 50 >= 12)""".stripMargin,
     "q330_audio_neardup_indexed" ->
       // every even audio original's trimmed copy matches iff k ≥ 3 —
       // the q329 closed form through the persisted hash-set index

@@ -1234,17 +1234,32 @@ object Multimodal {
     * one mapPartitions over (id, blob) — no shuffle at all until the
     * LSH consumer aggregates.
     *
+    * `hopOffsets` is the OVERLAPPING-HOP production fix for the
+    * fixed-grid alignment trade: each offset contributes its own
+    * window lane (windows starting at that sample offset), and all
+    * lanes' shingles union into one set. With offsets {0, W/2} a trim
+    * of W/2 samples maps the copy's lane-0 windows onto the original's
+    * lane-W/2 windows bit-exactly — the single-lane tier provably
+    * misses that trim (q329's pin) while the two-lane set keeps
+    * (s−1)/s of its elements (q336's closed form). Lanes cost one
+    * extra O(n) hash pass each over the ALREADY-decoded samples — the
+    * decode (the real cost) still happens once.
+    *
     * Clips with fewer than `windowSamples·shingleLen` samples (no
     * complete shingle) and undecodable blobs emit NO row — same
     * contract as [[videoExactShingles]]; the census tiers own
     * data-quality surfacing.
     */
   def audioWindowShingles(media: DataFrame, windowSamples: Int = 16,
-                          shingleLen: Int = 1): DataFrame = {
+                          shingleLen: Int = 1,
+                          hopOffsets: Seq[Int] = Seq(0)): DataFrame = {
     require(windowSamples >= 2 && windowSamples <= 65536,
       s"windowSamples must be in [2, 65536]: $windowSamples")
     require(shingleLen >= 1 && shingleLen <= 16,
       s"shingleLen must be in [1, 16]: $shingleLen")
+    require(hopOffsets.nonEmpty && hopOffsets.forall(o =>
+      o >= 0 && o < windowSamples),
+      s"hopOffsets must be in [0, windowSamples): $hopOffsets")
     val spark = media.sparkSession
     import spark.implicits._
     media
@@ -1260,37 +1275,39 @@ object Multimodal {
               ais.getFormat.getChannels == 1, "expected 16-bit mono PCM")
             val raw = ais.readAllBytes()
             val n = raw.length / 2
-            val k = n / windowSamples
-            if (k < shingleLen) Iterator.empty
-            else {
-              val wh = new Array[Long](k)
-              var w = 0
-              while (w < k) {
-                var h = 0x6a09e667f3bcc908L // content-only: no id, no
-                var i = 0                   // offset — trim-invariant
-                while (i < windowSamples) {
-                  val p = 2 * (w * windowSamples + i)
-                  val s = (raw(p + 1).toInt << 8) | (raw(p) & 0xff)
-                  h = mix64(h * 0x100000001b3L ^ s)
-                  i += 1
+            val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+            for (off <- hopOffsets) {
+              val k = (n - off) / windowSamples
+              if (k >= shingleLen) {
+                val wh = new Array[Long](k)
+                var w = 0
+                while (w < k) {
+                  var h = 0x6a09e667f3bcc908L // content-only: no id, no
+                  var i = 0                   // offset — trim-invariant
+                  while (i < windowSamples) {
+                    val p = 2 * (off + w * windowSamples + i)
+                    val s = (raw(p + 1).toInt << 8) | (raw(p) & 0xff)
+                    h = mix64(h * 0x100000001b3L ^ s)
+                    i += 1
+                  }
+                  wh(w) = h
+                  w += 1
                 }
-                wh(w) = h
-                w += 1
-              }
-              val sh = new Array[Long](k - shingleLen + 1)
-              var j = 0
-              while (j <= k - shingleLen) {
-                var h = 0x3c6ef372fe94f82bL
-                var t = 0
-                while (t < shingleLen) {
-                  h = mix64(h * 0x100000001b3L ^ wh(j + t))
-                  t += 1
+                var j = 0
+                while (j <= k - shingleLen) {
+                  var h = 0x3c6ef372fe94f82bL
+                  var t = 0
+                  while (t < shingleLen) {
+                    h = mix64(h * 0x100000001b3L ^ wh(j + t))
+                    t += 1
+                  }
+                  out += h
+                  j += 1
                 }
-                sh(j) = h
-                j += 1
               }
-              Iterator.single((id, sh))
             }
+            if (out.isEmpty) Iterator.empty
+            else Iterator.single((id, out.toArray))
           } catch { case scala.util.control.NonFatal(_) =>
             Iterator.empty
           }
@@ -1339,6 +1356,39 @@ object Multimodal {
     graft.ops.Dedup.hashSetMatchesIndexed(
       audioWindowShingles(batch, windowSamples, shingleLen),
       name, "media_id", "__sh", numPerm, bands, threshold)
+
+  /** DEEP-TRIM audio tier — CONTAINMENT, not jaccard (the q328 video
+    * logic on the windowed identity): a clip keeping only a minority
+    * suffix drops jaccard to |c|/|o| and provably escapes the
+    * [[audioNearDupPairsWindowed]] cut, while its window-hash set is
+    * still a SUBSET of the original's — containment stays exactly 1.
+    * Returns (id_a contained-in id_b, containment).
+    */
+  def audioContainmentPairs(media: DataFrame, windowSamples: Int = 16,
+                            shingleLen: Int = 1,
+                            threshold: Double = 0.9,
+                            anchorCount: Int = 1): DataFrame =
+    graft.ops.Dedup.hashSetContainmentPairs(
+      audioWindowShingles(media, windowSamples, shingleLen),
+      "media_id", "__sh", threshold, anchorCount)
+
+  /** [[audioNearDupPairsWindowed]] with TWO overlapping hop lanes
+    * ({0, W/2}) — catches trims aligned to the HALF-window grid that
+    * the single-lane tier provably misses: the trimmed copy's lane-0
+    * windows are the original's lane-W/2 windows bit-exactly, so the
+    * union set keeps (s−1)/s of its elements (s = both lanes' window
+    * count). Arbitrary-offset trims still miss — each added lane
+    * halves the blind spot at one extra O(n) hash pass (never an
+    * extra decode).
+    */
+  def audioNearDupPairsOverlapped(media: DataFrame,
+                                  windowSamples: Int = 16,
+                                  numPerm: Int = 64, bands: Int = 32,
+                                  threshold: Double = 0.6): DataFrame =
+    graft.ops.Dedup.hashSetNearDupPairs(
+      audioWindowShingles(media, windowSamples, shingleLen = 1,
+        hopOffsets = Seq(0, windowSamples / 2)),
+      "media_id", "__sh", numPerm, bands, threshold)
 
   // ------------------------------------- crop-robust TILED image tier
 

@@ -996,6 +996,47 @@ class MultimodalSpec extends SparkSpec {
         "documents this miss (overlapping hops are the production fix)")
   }
 
+  test("audio deep-trim + half-window trim: containment and the " +
+    "overlapped-lane tier each catch what the plain windowed tier " +
+    "provably misses") {
+    val ids = (1L to 148L by 3L).toDF("doc_id")
+    val base = Multimodal.synthesizeWavMixed(spark, ids, "doc_id")
+    // DEEP trim (2 of k ≤ 4 windows): jaccard ≤ 1/2 misses everything,
+    // containment catches every copy with ≥ 1 surviving window at 1.0
+    val deep = base.unionByName(Multimodal.trimWavCopies(base,
+      idOffset = 600000L, dropSamples = 32))
+    val jDeep = Multimodal.audioNearDupPairsWindowed(deep,
+      windowSamples = 16, shingleLen = 1, numPerm = 64, bands = 32,
+      threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jDeep.isEmpty, s"deep trims must escape the jaccard tier: $jDeep")
+    val cont = Multimodal.audioContainmentPairs(deep, windowSamples = 16,
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cExpect = (1L to 148L by 3L).filter(_ % 50 >= 28)
+      .map(id => (id + 600000L, id, 1.0)).toSet
+    assert(cont.toSet == cExpect, s"got ${cont.sortBy(_._1).mkString(",")}")
+    // HALF-WINDOW trim (8 samples): the single-lane tier misses every
+    // copy; lanes {0, 8} keep (s−1)/s of the union — the closed form
+    val half = base.unionByName(Multimodal.trimWavCopies(base,
+      idOffset = 600000L, dropSamples = 8))
+    val jHalf = Multimodal.audioNearDupPairsWindowed(half,
+      windowSamples = 16, shingleLen = 1, numPerm = 64, bands = 32,
+      threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jHalf.isEmpty,
+      s"half-window trims must escape the single-lane tier: $jHalf")
+    val ov = Multimodal.audioNearDupPairsOverlapped(half,
+      windowSamples = 16, numPerm = 64, bands = 32, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val oExpect = (1L to 148L by 3L).filter(_ % 50 >= 12).map { id =>
+      val n = (id % 50 + 20).toInt
+      val s = n / 16 + (n - 8) / 16
+      (id, id + 600000L, (s - 1).toDouble / s)
+    }.toSet
+    assert(ov.toSet == oExpect, s"got ${ov.sortBy(_._1).mkString(",")}")
+  }
+
   test("crop-robust image tier: a grid-aligned crop scores containment " +
     "1.0 while BOTH whole-image hashes (aHash, pHash) walk away") {
     // image ids ≡ 0 mod 3; dims (m%4+2)×(m%3+2) tiles of 16px, m=id/3
