@@ -3636,6 +3636,35 @@ object SparkEntry {
           idOffset = 600000L, quality = 0.5f)),
         shingleLen = 2, numPerm = 64, bands = 32, threshold = 0.6)
     }),
+    "q337_image_tile_neardup" -> ((s, d) => {
+      // LIGHT-crop image dedup — jaccard over tile-pHash sets: one
+      // cut tile column keeps (tW−1)·tH of tW·tH tiles pixel-exact →
+      // j = (tW−1)·tH/(tW·tH), caught at 0.6 iff tW ≥ 3; heavy crops
+      // fall to the containment tier (q333) — both off ONE tile pass
+      val base = Multimodal.synthesizePngTextured(s,
+        T(s, d, "documents").select("doc_id"), "doc_id")
+      Multimodal.imageTileNearDupPairs(
+        base.unionByName(Multimodal.cropImageCopies(base,
+          idOffset = 600000L, dropLeftTiles = 1, dropTopTiles = 0)),
+        tilePx = 16, numPerm = 64, bands = 32, threshold = 0.6)
+    }),
+    "q338_image_tile_indexed" -> ((s, d) => {
+      // incremental crop-aware image dedup at the INDEX tier — the
+      // image member of the generic hash-set index family: the even
+      // originals' tile surface persists once, the cropped batch pays
+      // only its own decode; same (tW−1)/tW closed form as q337
+      val docs = T(s, d, "documents").select("doc_id")
+      val name = s"imgtile_idx_${tagFor(d)}"
+      val even = Multimodal.synthesizePngTextured(s,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id")
+      if (!s.catalog.tableExists(s"${name}_sig"))
+        Multimodal.buildImageTileIndex(even, name,
+          s"/tmp/graft_clusters/imgtile_${tagFor(d)}")
+      Multimodal.probeImageTileNearDup(
+        Multimodal.cropImageCopies(even, idOffset = 600000L,
+          dropLeftTiles = 1, dropTopTiles = 0), name)
+        .select(col("__bid").as("batch_id"), col("__cid").as("corpus_id"))
+    }),
     "q333_image_crop_containment" -> ((s, d) => {
       // CROP-ROBUST image re-upload detection — the edit class both
       // whole-image hashes miss entirely (any crop moves every 8×8
@@ -3651,7 +3680,7 @@ object SparkEntry {
         T(s, d, "documents").select("doc_id"), "doc_id")
       Multimodal.imageCropContainmentPairs(
         base.unionByName(Multimodal.cropImageCopies(base,
-          idOffset = 600000L, dropTiles = 1)),
+          idOffset = 600000L, dropLeftTiles = 1, dropTopTiles = 1)),
         tilePx = 16, threshold = 0.9)
     }),
     "q329_audio_neardup_trim" -> ((s, d) => {
@@ -8589,6 +8618,23 @@ object SparkEntry {
         |  1.0 AS jaccard_sim
         |FROM documents
         |WHERE doc_id % 3 = 2""".stripMargin,
+    "q337_image_tile_neardup" ->
+      // one cut tile column: j = (tW−1)·tH/(tW·tH) with tW = m%4+2,
+      // tH = m%3+2, m = doc_id//3; j ≥ 0.6 ⟺ tW ≥ 3 ⟺ m%4 ≥ 1 —
+      // spelled with the exact numerator/denominator Spark divides
+      """SELECT doc_id AS id_a, doc_id + 600000 AS id_b,
+        |  CAST((tw - 1) * th AS DOUBLE) / (tw * th) AS jaccard_sim
+        |FROM (SELECT doc_id, (doc_id // 3) % 4 + 2 AS tw,
+        |    (doc_id // 3) % 3 + 2 AS th
+        |  FROM documents
+        |  WHERE doc_id % 3 = 0 AND (doc_id // 3) % 4 >= 1)""".stripMargin,
+    "q338_image_tile_indexed" ->
+      // every even image original's column-cropped copy matches iff
+      // tW ≥ 3 — the q337 closed form through the persisted index
+      """SELECT doc_id + 600000 AS batch_id, doc_id AS corpus_id
+        |FROM documents
+        |WHERE doc_id % 3 = 0 AND doc_id % 2 = 0
+        |  AND (doc_id // 3) % 4 >= 1""".stripMargin,
     "q333_image_crop_containment" ->
       // every image's grid-aligned crop keeps its tiles pixel-exact →
       // tile set ⊆ original's → containment 1.0; the reverse direction

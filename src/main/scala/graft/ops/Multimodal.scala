@@ -1441,16 +1441,20 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta"))
   }
 
-  /** Cropped re-uploads of every image row: decode, cut `dropTiles`
-    * tile rows off the top AND tile columns off the left (crop origin
+  /** Cropped re-uploads of every image row: decode, cut `dropTopTiles`
+    * tile rows off the top and `dropLeftTiles` columns off the left
+    * (either may be 0 for a single-edge crop; crop origin
     * aligned to the `tilePx` grid), re-encode PNG (lossless — surviving
     * pixels untouched). The image analog of [[trimVideoCopies]] /
     * [[trimWavCopies]]. Ids shift by `idOffset` (multiple of 3 keeps
     * the kind mapping).
     */
   def cropImageCopies(media: DataFrame, idOffset: Long,
-                      dropTiles: Int = 1, tilePx: Int = 16): DataFrame = {
-    require(dropTiles >= 1, s"dropTiles must be >= 1: $dropTiles")
+                      dropLeftTiles: Int = 1, dropTopTiles: Int = 1,
+                      tilePx: Int = 16): DataFrame = {
+    require(dropLeftTiles >= 0 && dropTopTiles >= 0 &&
+      dropLeftTiles + dropTopTiles >= 1,
+      s"need a nonempty crop: ($dropLeftTiles, $dropTopTiles)")
     val spark = media.sparkSession
     import spark.implicits._
     media
@@ -1461,9 +1465,10 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
-          val cut = dropTiles * tilePx
-          val sub = img.getSubimage(cut, cut,
-            img.getWidth - cut, img.getHeight - cut)
+          val cutX = dropLeftTiles * tilePx
+          val cutY = dropTopTiles * tilePx
+          val sub = img.getSubimage(cutX, cutY,
+            img.getWidth - cutX, img.getHeight - cutY)
           // getSubimage shares the raster; copy so the PNG writer sees
           // a plain raster with (0,0) origin
           val out = new java.awt.image.BufferedImage(sub.getWidth,
@@ -1554,6 +1559,46 @@ object Multimodal {
     graft.ops.Dedup.hashSetContainmentPairs(
       imageTilePHashes(media, tilePx), "media_id", "__sh",
       threshold, anchorCount)
+
+  /** JACCARD over tile-pHash sets — the symmetric sibling of
+    * [[imageCropContainmentPairs]] for LIGHT crops (a trimmed border,
+    * one cut edge) where the overlap is still the majority of BOTH
+    * images: rides the generic banded MinHash-LSH pipeline, so a
+    * corpus-scale sweep needs no all-pairs pass. Heavy crops drop
+    * below any sane jaccard cut and belong to the containment tier
+    * (q333); both run off ONE [[imageTilePHashes]] pass.
+    */
+  def imageTileNearDupPairs(media: DataFrame, tilePx: Int = 16,
+                            numPerm: Int = 64, bands: Int = 32,
+                            threshold: Double = 0.6): DataFrame =
+    graft.ops.Dedup.hashSetNearDupPairs(
+      imageTilePHashes(media, tilePx), "media_id", "__sh",
+      numPerm, bands, threshold)
+
+  /** Build-once / probe-many lifecycle for incremental crop-aware
+    * IMAGE dedup — the image member of the generic hash-set index
+    * family (video [[buildVideoNearDupIndex]], audio
+    * [[buildAudioNearDupIndex]]): the corpus's tile-pHash surface
+    * persists once; a daily image batch probes buckets with only its
+    * own decode. Params validated at probe.
+    */
+  def buildImageTileIndex(media: DataFrame, name: String, path: String,
+                          tilePx: Int = 16, numPerm: Int = 64,
+                          bands: Int = 32, numBuckets: Int = 32): Unit =
+    graft.ops.Dedup.buildHashSetIndex(
+      imageTilePHashes(media, tilePx), name, path, "media_id", "__sh",
+      numPerm, bands, numBuckets)
+
+  /** Verified (batch image, indexed image) near-dup pairs against a
+    * [[buildImageTileIndex]] index — batch decode cost only.
+    */
+  def probeImageTileNearDup(batch: DataFrame, name: String,
+                            tilePx: Int = 16, numPerm: Int = 64,
+                            bands: Int = 32,
+                            threshold: Double = 0.6): DataFrame =
+    graft.ops.Dedup.hashSetMatchesIndexed(
+      imageTilePHashes(batch, tilePx), name, "media_id", "__sh",
+      numPerm, bands, threshold)
 
   case class WavFeatures(media_id: Long, sample_rate: Option[Int],
                          n_samples: Option[Long], peak_abs: Option[Int],

@@ -1043,7 +1043,7 @@ class MultimodalSpec extends SparkSpec {
     val ids = (0L to 120L by 3L).toDF("doc_id")
     val base = Multimodal.synthesizePngTextured(spark, ids, "doc_id")
     val crops = Multimodal.cropImageCopies(base, idOffset = 600000L,
-      dropTiles = 1)
+      dropLeftTiles = 1, dropTopTiles = 1)
     val both = base.unionByName(crops)
     val cont = Multimodal.imageCropContainmentPairs(both, tilePx = 16,
       threshold = 0.9)
