@@ -3636,6 +3636,26 @@ object SparkEntry {
           idOffset = 600000L, quality = 0.5f)),
         shingleLen = 2, numPerm = 64, bands = 32, threshold = 0.6)
     }),
+    "q339_video_containment_indexed" -> ((s, d) => {
+      // incremental DEEP-TRIM clip detection at the INDEX tier: the
+      // even originals' anchor-key surface persists once through the
+      // generic hash-set containment index; the deep-trimmed batch
+      // (jaccard |c|/|o| < 0.6 — q322's documented miss) probes with
+      // only its own decode and scores containment exactly 1.0
+      val docs = T(s, d, "documents").select("doc_id")
+      val name = s"videoct_idx_${tagFor(d)}"
+      val even = Multimodal.synthesizeAvi(s,
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 >= 4),
+        "doc_id")
+      if (!s.catalog.tableExists(s"${name}_keys"))
+        Multimodal.buildVideoContainmentIndex(even, name,
+          s"/tmp/graft_clusters/videoct_${tagFor(d)}")
+      Multimodal.probeVideoContainment(
+        Multimodal.trimVideoCopies(even, idOffset = 600000L,
+          dropFrames = 6), name)
+        .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
+          col("containment"))
+    }),
     "q337_image_tile_neardup" -> ((s, d) => {
       // LIGHT-crop image dedup — jaccard over tile-pHash sets: one
       // cut tile column keeps (tW−1)·tH of tW·tH tiles pixel-exact →
@@ -8618,6 +8638,15 @@ object SparkEntry {
         |  1.0 AS jaccard_sim
         |FROM documents
         |WHERE doc_id % 3 = 2""".stripMargin,
+    "q339_video_containment_indexed" ->
+      // every indexed original's deep-trimmed copy is contained at
+      // exactly 1.0 — the q328 closed form through the persisted
+      // anchor-key index
+      """SELECT doc_id + 600000 AS batch_id, doc_id AS corpus_id,
+        |  1.0 AS containment
+        |FROM documents
+        |WHERE doc_id % 3 = 2 AND doc_id % 2 = 0
+        |  AND doc_id % 10 >= 4""".stripMargin,
     "q337_image_tile_neardup" ->
       // one cut tile column: j = (tW−1)·tH/(tW·tH) with tW = m%4+2,
       // tH = m%3+2, m = doc_id//3; j ≥ 0.6 ⟺ tW ≥ 3 ⟺ m%4 ≥ 1 —

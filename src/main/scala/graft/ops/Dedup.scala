@@ -1828,6 +1828,55 @@ object Dedup {
     containmentVerify(cands, base, base, threshold)
   }
 
+  /** Build-once / probe-many lifecycle for HASH-SET containment — the
+    * persisted tier of [[hashSetContainmentPairs]], mirroring
+    * [[buildContainmentIndex]] with the sets supplied instead of
+    * tokenized: any modality that renders rows as 64-bit hash sets
+    * (video frame shingles, audio windows, image tiles) gets
+    * incremental deep-trim/crop detection — the corpus's anchor-key
+    * surface persists once (capped, bucketed by `__key` so the probe
+    * reads it in place), daily batches pay only their own decode.
+    */
+  def buildHashSetContainmentIndex(rel: DataFrame, name: String,
+                                   path: String, idCol: String,
+                                   hashesCol: String,
+                                   maxBucket: Int = 10000,
+                                   numBuckets: Int = 32): Unit = {
+    val base = rel.select(col(idCol).as("__id"),
+      array_sort(array_distinct(col(hashesCol))).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val keys = capPerKey(base.select(col("__id").as("id_b"),
+      explode(col("__sh")).as("__key")), "id_b", maxBucket)
+    graft.io.IO.writeBucketed(keys, s"${name}_keys", s"$path/keys",
+      Seq("__key"), numBuckets, Seq("__key"))
+    graft.io.IO.writeBucketed(base, s"${name}_shingles",
+      s"$path/shingles", Seq("__id"), numBuckets)
+  }
+
+  /** Containment of batch rows IN indexed corpus rows against a
+    * [[buildHashSetContainmentIndex]] index: (batch id_a, corpus id_b,
+    * containment ≥ threshold) — the [[containmentPairsIndexed]] chain
+    * with precomputed sets; candidates from the bucketed key table,
+    * verification arrays from the bucketed shingle table, corpus never
+    * rescanned.
+    */
+  def hashSetContainmentPairsIndexed(batch: DataFrame, name: String,
+                                     idCol: String, hashesCol: String,
+                                     threshold: Double = 0.9,
+                                     anchorCount: Int = 1,
+                                     maxBucket: Int = 10000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val batchBase = batch.select(col(idCol).as("__id"),
+      array_sort(array_distinct(col(hashesCol))).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .localCheckpoint()
+    val cands = containmentCandidatesIndexed(batchBase, name,
+      anchorCount, maxBucket)
+    containmentVerify(cands, batchBase,
+      batch.sparkSession.table(s"${name}_shingles"), threshold)
+  }
+
   /** (__id, __sh) relation shared by the inline and indexed containment
     * tiers: sorted distinct portable-hash k-shingle sets, empty docs
     * dropped.

@@ -2224,6 +2224,33 @@ object Multimodal {
       videoExactShingles(decodeAviFrames(batch, everyKth), shingleLen),
       name, "media_id", "__sh", numPerm, bands, threshold)
 
+  /** Build-once / probe-many lifecycle for incremental DEEP-TRIM video
+    * detection — the persisted tier of [[videoContainmentPairs]]
+    * through the generic hash-set containment index: the corpus's
+    * frame-shingle anchor surface persists once; a daily batch of
+    * suspected clips probes with only its own decode.
+    */
+  def buildVideoContainmentIndex(media: DataFrame, name: String,
+                                 path: String, shingleLen: Int = 2,
+                                 maxBucket: Int = 10000,
+                                 numBuckets: Int = 32,
+                                 everyKth: Int = 1): Unit =
+    graft.ops.Dedup.buildHashSetContainmentIndex(
+      videoExactShingles(decodeAviFrames(media, everyKth), shingleLen),
+      name, path, "media_id", "__sh", maxBucket, numBuckets)
+
+  /** Clips of the batch contained in indexed corpus videos —
+    * (batch id_a, corpus id_b, containment).
+    */
+  def probeVideoContainment(batch: DataFrame, name: String,
+                            shingleLen: Int = 2,
+                            threshold: Double = 0.9,
+                            anchorCount: Int = 1,
+                            everyKth: Int = 1): DataFrame =
+    graft.ops.Dedup.hashSetContainmentPairsIndexed(
+      videoExactShingles(decodeAviFrames(batch, everyKth), shingleLen),
+      name, "media_id", "__sh", threshold, anchorCount)
+
   /** Byte-level TRIMMED re-uploads of every video row: demux, drop the
     * first `dropFrames` frame chunks, re-mux with the same geometry —
     * the frame BYTES are untouched, so decoded pixels (and frame
