@@ -22,6 +22,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every ImageIO.read /
+  // write on a byte stream creates, fills and deletes a temp file. The
+  // codec tiers decode tens of thousands of small in-memory blobs per
+  // query, so the temp-file round-trip dominates the actual decode.
+  // In-memory stream cache instead — pure I/O plumbing, the decoded
+  // pixels (and encoded bytes) are unchanged. Runs once per JVM at
+  // object init, which every codec path goes through.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false), // image|audio|video
@@ -1937,23 +1946,35 @@ object Multimodal {
         col("meta.width"), col("meta.height"))
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions { rows =>
+        // ONE writer per partition (provider lookup + instance setup per
+        // frame is pure overhead; setOutput rebinds it per frame, and the
+        // JDK JPEG writer is deterministic, so the bytes are unchanged)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpg").next()
+        val p = writer.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
         rows.map { case (id, bytes, w, h) =>
+          // recode-once-per-distinct-chunk memo (the decodeAviFrames
+          // discipline): identical input JPEG → identical recoded bytes
+          val memo = new java.util.HashMap[java.nio.ByteBuffer,
+            Array[Byte]]()
           val recoded = aviFrameChunks(bytes).map { j =>
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(j))
-            val writer = javax.imageio.ImageIO
-              .getImageWritersByFormatName("jpg").next()
-            val p = writer.getDefaultWriteParam
-            p.setCompressionMode(
-              javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-            p.setCompressionQuality(quality)
-            val bos = new java.io.ByteArrayOutputStream()
-            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-            writer.setOutput(ios)
-            writer.write(null,
-              new javax.imageio.IIOImage(img, null, null), p)
-            writer.dispose(); ios.close()
-            bos.toByteArray
+            val key = java.nio.ByteBuffer.wrap(j)
+            var out = memo.get(key)
+            if (out == null) {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(j))
+              val bos = new java.io.ByteArrayOutputStream()
+              val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+              writer.setOutput(ios)
+              writer.write(null,
+                new javax.imageio.IIOImage(img, null, null), p)
+              ios.close()
+              out = bos.toByteArray
+              memo.put(key, out)
+            }
+            out
           }
           SynthAvi(id + idOffset, "video", aviBytes(recoded, w, h, fps),
             w, h, recoded.length)
@@ -2010,30 +2031,48 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           try {
+            // scene-structured MJPEG repeats ONE JPEG for every frame of
+            // a scene: decode each DISTINCT chunk once per video and
+            // replay its metrics for the byte-identical repeats (content
+            // equality via ByteBuffer keys — identical bytes decode to
+            // identical pixels, so the memo cannot change any metric)
+            val memo = new java.util.HashMap[java.nio.ByteBuffer,
+              (Int, Int, Long, Long)]()
             aviFrameChunks(bytes).zipWithIndex
               .filter { case (_, k) => k % everyKth == 0 }
               .map { case (jpeg, k) =>
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(jpeg))
-              require(img != null, s"frame $k is not a decodable image")
-              val w = img.getWidth; val h = img.getHeight
-              var gs = 0L; var ck = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  val r = (rgb >> 16) & 0xff
-                  val g = (rgb >> 8) & 0xff
-                  val b = rgb & 0xff
-                  gs += (r + g + b) / 3
-                  ck += (r + 256L * g + 65536L * b) * (1L + x + w.toLong * y)
-                  x += 1
+              val key = java.nio.ByteBuffer.wrap(jpeg)
+              var m = memo.get(key)
+              if (m == null) {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(jpeg))
+                require(img != null, s"frame $k is not a decodable image")
+                val w = img.getWidth; val h = img.getHeight
+                // one bulk getRGB: the per-pixel accessor re-runs the
+                // color-model conversion on every call
+                val px = img.getRGB(0, 0, w, h, null, 0, w)
+                var gs = 0L; var ck = 0L
+                var y = 0
+                while (y < h) {
+                  val rowOff = y * w
+                  var x = 0
+                  while (x < w) {
+                    val rgb = px(rowOff + x)
+                    val r = (rgb >> 16) & 0xff
+                    val g = (rgb >> 8) & 0xff
+                    val b = rgb & 0xff
+                    gs += (r + g + b) / 3
+                    ck += (r + 256L * g + 65536L * b) *
+                      (1L + x + w.toLong * y)
+                    x += 1
+                  }
+                  y += 1
                 }
-                y += 1
+                m = (w, h, gs, ck)
+                memo.put(key, m)
               }
-              VideoFrame(id, Some(k), Some(w), Some(h), Some(gs), Some(ck),
-                None)
+              VideoFrame(id, Some(k), Some(m._1), Some(m._2), Some(m._3),
+                Some(m._4), None)
             }
           } catch { case scala.util.control.NonFatal(e) =>
             Seq(VideoFrame(id, None, None, None, None, None,
@@ -2074,14 +2113,23 @@ object Multimodal {
         val basis = dctBasisQ
         rows.flatMap { case (id, bytes) =>
           try {
+            // decode-once-per-distinct-chunk memo (the decodeAviFrames
+            // discipline): byte-identical scene repeats replay the pHash
+            val memo = new java.util.HashMap[java.nio.ByteBuffer,
+              (Long, Long)]()
             aviFrameChunks(bytes).zipWithIndex
               .filter { case (_, k) => k % everyKth == 0 }
               .map { case (jpeg, k) =>
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(jpeg))
-                require(img != null, s"frame $k is not a decodable image")
-                val (hi, lo) = phashLanes(img, basis)
-                FramePHash(id, Some(k), Some(hi), Some(lo), None)
+                val key = java.nio.ByteBuffer.wrap(jpeg)
+                var m = memo.get(key)
+                if (m == null) {
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(jpeg))
+                  require(img != null, s"frame $k is not a decodable image")
+                  m = phashLanes(img, basis)
+                  memo.put(key, m)
+                }
+                FramePHash(id, Some(k), Some(m._1), Some(m._2), None)
               }
           } catch { case scala.util.control.NonFatal(e) =>
             Seq(FramePHash(id, None, None, None, Some(decodeErrMsg(e))))
