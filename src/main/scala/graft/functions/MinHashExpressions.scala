@@ -65,20 +65,25 @@ case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long])
     val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
     val arrayDataCls = classOf[GenericArrayData].getName
     nullSafeCodeGen(ctx, ev, hs => {
+      // freshName, NOT fixed identifiers (the SortedIntersectCount
+      // lesson): two instances in one codegen scope must not redeclare
+      val n = ctx.freshName("mhN"); val sg = ctx.freshName("mhSig")
+      val jj = ctx.freshName("mhJ"); val mn = ctx.freshName("mhMin")
+      val ii = ctx.freshName("mhI"); val v = ctx.freshName("mhV")
       s"""
-         |int mhN = $hs.numElements();
-         |long[] mhSig = new long[$asRef.length];
-         |for (int mhJ = 0; mhJ < $asRef.length; mhJ++) {
-         |  long mhMin = ${P}L;
-         |  for (int mhI = 0; mhI < mhN; mhI++) {
-         |    if (!$hs.isNullAt(mhI)) {
-         |      long mhV = ($asRef[mhJ] * $hs.getLong(mhI) + $bsRef[mhJ]) % ${P}L;
-         |      if (mhV < mhMin) mhMin = mhV;
+         |int $n = $hs.numElements();
+         |long[] $sg = new long[$asRef.length];
+         |for (int $jj = 0; $jj < $asRef.length; $jj++) {
+         |  long $mn = ${P}L;
+         |  for (int $ii = 0; $ii < $n; $ii++) {
+         |    if (!$hs.isNullAt($ii)) {
+         |      long $v = ($asRef[$jj] * $hs.getLong($ii) + $bsRef[$jj]) % ${P}L;
+         |      if ($v < $mn) $mn = $v;
          |    }
          |  }
-         |  mhSig[mhJ] = mhMin;
+         |  $sg[$jj] = $mn;
          |}
-         |${ev.value} = new $arrayDataCls(mhSig);
+         |${ev.value} = new $arrayDataCls($sg);
        """.stripMargin
     })
   }

@@ -58,20 +58,29 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, NOT fixed identifiers: a plan evaluating this
+      // expression twice in one codegen scope (e.g. the jaccard value and
+      // a pushed-down threshold filter on it) generated two `int siNa`
+      // declarations — a Janino CompileException that silently dropped
+      // the whole stage to the interpreter on every LSH verify join
+      val na = ctx.freshName("siNa"); val nb = ctx.freshName("siNb")
+      val i = ctx.freshName("siI"); val j = ctx.freshName("siJ")
+      val n = ctx.freshName("siN")
+      val x = ctx.freshName("siX"); val y = ctx.freshName("siY")
       s"""
-         |int siNa = $a.numElements();
-         |int siNb = $b.numElements();
-         |int siI = 0; int siJ = 0; int siN = 0;
-         |while (siI < siNa && siJ < siNb) {
-         |  long siX = $a.getLong(siI);
-         |  long siY = $b.getLong(siJ);
-         |  if (siX == siY) {
-         |    siN++;
-         |    while (siI < siNa && $a.getLong(siI) == siX) siI++;
-         |    while (siJ < siNb && $b.getLong(siJ) == siX) siJ++;
-         |  } else if (siX < siY) { siI++; } else { siJ++; }
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $n = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) {
+         |    $n++;
+         |    while ($i < $na && $a.getLong($i) == $x) $i++;
+         |    while ($j < $nb && $b.getLong($j) == $x) $j++;
+         |  } else if ($x < $y) { $i++; } else { $j++; }
          |}
-         |${ev.value} = siN;
+         |${ev.value} = $n;
        """.stripMargin
     })
 

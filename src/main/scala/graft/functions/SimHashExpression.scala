@@ -60,22 +60,28 @@ case class SimHashBits(child: Expression, numBits: Int) extends UnaryExpression 
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, hs => {
+      // freshName, NOT fixed identifiers (the SortedIntersectCount
+      // lesson): two instances in one codegen scope must not redeclare
+      val n = ctx.freshName("shN"); val votes = ctx.freshName("shVotes")
+      val i = ctx.freshName("shI"); val h = ctx.freshName("shH")
+      val b = ctx.freshName("shB"); val b2 = ctx.freshName("shB")
+      val sg = ctx.freshName("shSig")
       s"""
-         |int shN = $hs.numElements();
-         |int[] shVotes = new int[$numBits];
-         |for (int shI = 0; shI < shN; shI++) {
-         |  if (!$hs.isNullAt(shI)) {
-         |    long shH = $hs.getLong(shI);
-         |    for (int shB = 0; shB < $numBits; shB++) {
-         |      if (((shH >> shB) & 1L) == 1L) shVotes[shB]++; else shVotes[shB]--;
+         |int $n = $hs.numElements();
+         |int[] $votes = new int[$numBits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$hs.isNullAt($i)) {
+         |    long $h = $hs.getLong($i);
+         |    for (int $b = 0; $b < $numBits; $b++) {
+         |      if ((($h >> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
          |    }
          |  }
          |}
-         |long shSig = 0L;
-         |for (int shB = 0; shB < $numBits; shB++) {
-         |  if (shVotes[shB] > 0) shSig |= (1L << shB);
+         |long $sg = 0L;
+         |for (int $b2 = 0; $b2 < $numBits; $b2++) {
+         |  if ($votes[$b2] > 0) $sg |= (1L << $b2);
          |}
-         |${ev.value} = shSig;
+         |${ev.value} = $sg;
        """.stripMargin
     })
 

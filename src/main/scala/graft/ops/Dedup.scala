@@ -698,9 +698,16 @@ object Dedup {
                           numPerm: Int = 64, bands: Int = 16,
                           threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    // the set relation feeds THREE consumers (the signature path and both
+    // verify attachments); without materialization the upstream subtree —
+    // typically a full decode/fingerprint pass — replays once per
+    // consumer. One localCheckpoint = guide-§8 "fingerprint once":
+    // heavy decode bytes are read exactly once, the checkpointed
+    // (id, hashes) relation is what re-plays.
     val sets = rel.select(col(idCol),
       sort_array(array_distinct(col(hashesCol))).as("__sh"))
       .withColumn("__n", size(col("__sh")))
+      .localCheckpoint()
     val sigs = minhashSignaturesOfHashes(
       sets.filter(col("__n") > 0), idCol, "__sh", numPerm)
     val cands = lshCandidates(sigs, idCol, bands, numPerm / bands)
@@ -813,11 +820,18 @@ object Dedup {
                           shingleK: Int = 3, numPerm: Int = 64,
                           bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numPerm)
-    val cands = lshCandidates(sigs, idCol, bands, numPerm / bands)
+    // ONE shingle pass for all three consumers (signatures + both verify
+    // attachments): the sorted shingle-hash relation is materialized once
+    // and signatures derive from it (min over the set is order-insensitive,
+    // and graft.functions.minhashSignature keeps the empty-array sentinel
+    // behavior, so every signature bit is unchanged). Previously the
+    // corpus tokenize+shingle subtree replayed once per consumer.
     val sh = docs.select(
       col(idCol), sort_array(shingleHashes(col(textCol), shingleK)).as("__sh"))
       .withColumn("__n", size(col("__sh")))
+      .localCheckpoint()
+    val sigs = minhashSignaturesOfHashes(sh, idCol, "__sh", numPerm)
+    val cands = lshCandidates(sigs, idCol, bands, numPerm / bands)
     val inter = sortedIntersectCount(col("sh_a"), col("sh_b")).cast("double")
     val unionSize = (col("n_a") + col("n_b")).cast("double") - inter
     // The shingle relation GROWS WITH THE CORPUS (one sorted hash array

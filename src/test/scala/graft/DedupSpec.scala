@@ -954,6 +954,49 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_count codegen survives double evaluation in one " +
+    "stage (freshName regression gate)") {
+    // The r16 find: fixed local-variable names in doGenCode made any plan
+    // that evaluates the expression twice in one codegen scope (the
+    // jaccard value + a pushed-down threshold filter on it, i.e. EVERY
+    // LSH verify join) fail Janino compilation and silently run the whole
+    // stage interpreted. Gate on the log like MultimodalSpec's codec gate.
+    val ctx = org.apache.logging.log4j.core.LoggerContext.getContext(false)
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-sic-gate", null, null, false, Array.empty) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        events.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
+    ctx.updateLoggers()
+    val got = try {
+      Seq((Array(1L, 2L, 3L), Array(2L, 3L, 4L)),
+          (Array(1L, 2L), Array(3L, 4L)))
+        .toDF("a", "b")
+        // two evaluations of the SAME expression in one projection plus a
+        // filter over it — the shape that used to redeclare `siNa`
+        .select(graft.functions.sortedIntersectCount(col("a"), col("b"))
+            .as("n"),
+          (graft.functions.sortedIntersectCount(col("a"), col("b")) * 2)
+            .as("n2"))
+        .filter(col("n") >= 0)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    } finally {
+      rootCfg.removeAppender("graft-sic-gate")
+      ctx.updateLoggers()
+      appender.stop()
+    }
+    assert(got == Set((2, 4), (0, 0)))
+    import scala.jdk.CollectionConverters._
+    val bad = events.asScala.filter(m =>
+      m.contains("Failed to compile") ||
+        m.contains("falling back to interpreter"))
+    assert(bad.isEmpty, s"codegen fallback:\n${bad.mkString("\n")}")
+  }
+
   implicit class Tuple3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
