@@ -4687,14 +4687,25 @@ object SparkEntry {
       // dense-subgraph mining: bounded-round k-core peel (k=16) over the
       // customer–part purchase bipartite graph — who buys broadly from
       // the broadly-bought; integer degree math, (id, id)-only shuffles,
-      // unrolled-layer oracle (the fixed-iterate pageRank contract)
+      // unrolled-layer oracle (the fixed-iterate pageRank contract).
+      // r16: the peel runs on LONG-encoded nodes (customer 2k, part
+      // 2k+1 — injective, so the graph is isomorphic and every degree
+      // identical) instead of "c:"/"p:" strings: 6 rounds × 3 exchanges
+      // + a checkpoint each carry 8-byte keys instead of ~9-char
+      // strings (guide §2.3 narrower types); the string label is
+      // re-derived only on the final node-sized output
       Graph.kCore(
         T(s, d, "lineitem")
           .join(T(s, d, "orders"),
             col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c:"), col("o_custkey")).as("src"),
-            concat(lit("p:"), col("l_partkey")).as("dst")),
-        k = 16, rounds = 6)),
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst")),
+        k = 16, rounds = 6)
+        .select(
+          concat(when(pmod(col("node"), lit(2)) === 0, lit("c:"))
+              .otherwise(lit("p:")),
+            shiftright(col("node"), 1)).as("node"),
+          col("degree"))),
     "q247_event_hits" -> ((s, d) =>
       // hubs & authorities over the event-type transition graph: which
       // event kinds FEED engagement (hubs) vs RECEIVE it (authorities) —
@@ -4952,12 +4963,16 @@ object SparkEntry {
       // customer–part purchase graph (bipartite wiring → expect it
       // negative) — exact integer moment sums, two separately-rooted
       // variances, one rounded division; no windows, nothing collects
+      // r16: LONG-encoded nodes (customer 2k, part 2k+1 — the q246
+      // spelling): the output is three scalar aggregates over the
+      // isomorphic graph, node labels never appear, so only the shuffle
+      // key width changes (guide §2.3)
       Graph.degreeAssortativity(
         T(s, d, "lineitem")
           .join(T(s, d, "orders"),
             col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c:"), col("o_custkey")).as("src"),
-            concat(lit("p:"), col("l_partkey")).as("dst")))),
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst")))),
     "q250_quality_governance" -> ((s, d) =>
       // capstone v9 — the model-review page for the frozen quality
       // filter in ONE oracle row: rank-sum AUC/Gini, tie-block AP,

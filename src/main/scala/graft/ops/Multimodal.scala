@@ -256,7 +256,9 @@ object Multimodal {
     import spark.implicits._
     require(patternMod >= 0L, s"patternMod must be >= 0: $patternMod")
     val kinds = Seq("image", "audio", "video")
-    ids.select(col(idCol).cast("long")).as[Long]
+    Spread.spread(ids.select(col(idCol).cast("long"))).as[Long]
+      // (spread: a one-row-group id scan is ONE split; without it the
+      // whole synthesis+codec chain fused onto it runs on one core)
       .mapPartitions { it =>
         it.map { rowId =>
           val kind = kinds((((rowId % 3) + 3) % 3).toInt)
@@ -1052,7 +1054,9 @@ object Multimodal {
     import spark.implicits._
     require(patternMod >= 0L, s"patternMod must be >= 0: $patternMod")
     val kinds = Seq("image", "audio", "video")
-    ids.select(col(idCol).cast("long")).as[Long]
+    Spread.spread(ids.select(col(idCol).cast("long"))).as[Long]
+      // (spread: a one-row-group id scan is ONE split; without it the
+      // whole synthesis+codec chain fused onto it runs on one core)
       .mapPartitions { it =>
         val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
           true, false) // signed 16-bit LE mono — one codec ctx/partition
@@ -1130,7 +1134,9 @@ object Multimodal {
                          idCol: String): DataFrame = {
     import spark.implicits._
     val kinds = Seq("image", "audio", "video")
-    ids.select(col(idCol).cast("long")).as[Long]
+    Spread.spread(ids.select(col(idCol).cast("long"))).as[Long]
+      // (spread: a one-row-group id scan is ONE split; without it the
+      // whole synthesis+codec chain fused onto it runs on one core)
       .mapPartitions { it =>
         val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
           true, false)
@@ -1414,7 +1420,9 @@ object Multimodal {
     import spark.implicits._
     require(tilePx >= 8 && tilePx <= 64, s"tilePx in [8, 64]: $tilePx")
     val kinds = Seq("image", "audio", "video")
-    ids.select(col(idCol).cast("long")).as[Long]
+    Spread.spread(ids.select(col(idCol).cast("long"))).as[Long]
+      // (spread: a one-row-group id scan is ONE split; without it the
+      // whole synthesis+codec chain fused onto it runs on one core)
       .mapPartitions { it =>
         it.map { rowId =>
           val kind = kinds((((rowId % 3) + 3) % 3).toInt)
@@ -1793,7 +1801,9 @@ object Multimodal {
     require(fps >= 1 && fps <= 1000000, s"fps must be in [1, 1e6]: $fps")
     require(sceneLen >= 1, s"sceneLen must be >= 1: $sceneLen")
     val kinds = Seq("image", "audio", "video")
-    ids.select(col(idCol).cast("long")).as[Long]
+    Spread.spread(ids.select(col(idCol).cast("long"))).as[Long]
+      // (spread: a one-row-group id scan is ONE split; without it the
+      // whole synthesis+codec chain fused onto it runs on one core)
       .mapPartitions { it =>
         it.map { rowId =>
           val kind = kinds((((rowId % 3) + 3) % 3).toInt)
@@ -1870,7 +1880,9 @@ object Multimodal {
     // videos/scenes whp (16-px cells would leave 2×2-cell frames with
     // only 16 possible patterns — massive cross-video collisions)
     val cellPx = 8
-    ids.select(col(idCol).cast("long")).as[Long]
+    Spread.spread(ids.select(col(idCol).cast("long"))).as[Long]
+      // (spread: a one-row-group id scan is ONE split; without it the
+      // whole synthesis+codec chain fused onto it runs on one core)
       .mapPartitions { it =>
         it.map { rowId =>
           val kind = kinds((((rowId % 3) + 3) % 3).toInt)

@@ -608,7 +608,9 @@ object TextAnalysis {
   private[graft] def termFrequencies(docs: DataFrame, idCol: String,
                                      textCol: String,
                                      materialize: Boolean = true): DataFrame = {
-    val tf = docs
+    // spread before the tokenize+explode (one-row-group scan = one core;
+    // Spread scaladoc)
+    val tf = Spread.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -1111,7 +1113,9 @@ object TextAnalysis {
   private[graft] def bigramFrequencies(docs: DataFrame, idCol: String,
                                        textCol: String,
                                        materialize: Boolean = true): DataFrame = {
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    // spread before the gram expansion (Spread scaladoc)
+    val base = Spread.spread(docs.select(col(idCol),
+        tokens(col(textCol)).as("__t")))
       .select(col(idCol), col("__t"), size(col("__t")).as("__n"))
     // sequence(1, 0) counts DOWN in Spark — guard < 2 tokens to empty
     // (same landmine as repetitionStats)
@@ -1155,7 +1159,9 @@ object TextAnalysis {
   private[graft] def trigramFrequencies(docs: DataFrame, idCol: String,
                                         textCol: String,
                                         materialize: Boolean = true): DataFrame = {
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    // spread before the gram expansion (Spread scaladoc)
+    val base = Spread.spread(docs.select(col(idCol),
+        tokens(col(textCol)).as("__t")))
       .select(col(idCol), col("__t"), size(col("__t")).as("__n"))
     val trigrams = base.select(col(idCol),
       explode(when(col("__n") < 3, array().cast("array<string>"))
@@ -1356,7 +1362,11 @@ object TextAnalysis {
       : DataFrame = {
     require(maxOrder >= 2 && maxOrder <= 6,
       s"maxOrder ($maxOrder) must be in [2, 6]")
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    // spread BEFORE the per-order gram expansion: a one-row-group corpus
+    // file is one scan split, which serialized the whole explode+concat
+    // pass on a single core (Spread scaladoc)
+    val base = Spread.spread(docs.select(col(idCol),
+        tokens(col(textCol)).as("__t")))
       .select(col(idCol), col("__t"), size(col("__t")).as("__n"))
     val perOrder = (2 to maxOrder).map { k =>
       when(col("__n") < k,
@@ -1750,7 +1760,8 @@ object TextAnalysis {
   def windowedPairCounts(docs: DataFrame, window: Int = 4,
                          textCol: String = "text"): DataFrame = {
     require(window >= 1, s"bad window: $window")
-    val base = docs.select(tokens(col(textCol)).as("__t"))
+    // spread before the window-pair expansion (Spread scaladoc)
+    val base = Spread.spread(docs.select(tokens(col(textCol)).as("__t")))
       .select(col("__t"), size(col("__t")).as("__n"))
     // sequence(1, 0) counts DOWN in Spark — guard < 2 tokens to empty
     val pairsArr = when(col("__n") < 2,
