@@ -132,27 +132,32 @@ object Dedup {
                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val rowsPerBand = numPerm / bands
-    def banded(docs: DataFrame, side: String) =
-      bandBuckets(
-        minhashSignatures(docs, idCol, textCol, shingleK, numPerm),
-        idCol, bands, rowsPerBand)
-        .withColumnRenamed(idCol, side)
-    val cands = banded(batch, "__bid")
-      .join(banded(corpus, "__cid"), Seq("__band", "__bucket"))
-      .select("__bid", "__cid").distinct()
-    // verify on true shingle sets
+    // ONE shingle pass per side (the minhashNearDupPairs r16 refactor):
+    // each side's sorted shingle relation materializes once and feeds
+    // both its banding path and its verify attachment — previously each
+    // side tokenized twice
     def shingled(docs: DataFrame, side: String) =
       docs.select(col(idCol).as(side),
         sort_array(shingleHashes(col(textCol), shingleK)).as(s"__sh_$side"))
         .withColumn(s"__n_$side", size(col(s"__sh_$side")))
+        .localCheckpoint()
+    val shB = shingled(batch, "__bid")
+    val shC = shingled(corpus, "__cid")
+    def banded(sh: DataFrame, side: String) =
+      bandBuckets(
+        minhashSignaturesOfHashes(sh, side, s"__sh_$side", numPerm),
+        side, bands, rowsPerBand)
+    val cands = banded(shB, "__bid")
+      .join(banded(shC, "__cid"), Seq("__band", "__bucket"))
+      .select("__bid", "__cid").distinct()
     val inter = sortedIntersectCount(col("__sh___bid"), col("__sh___cid")).cast("double")
     val unionSize = (col("__n___bid") + col("__n___cid")).cast("double") - inter
     // corpus shingles are corpus-sized: never broadcastable (see
     // [[minhashNearDupPairs]]); the batch side is caller-sized and left
     // to the optimizer (broadcasting a small daily batch IS the win)
     cands
-      .join(shingled(batch, "__bid"), "__bid")
-      .join(shingled(corpus, "__cid").hint("merge"), "__cid")
+      .join(shB, "__bid")
+      .join(shC.hint("merge"), "__cid")
       .filter(when(unionSize === 0, lit(0.0)).otherwise(inter / unionSize) >= threshold)
       .select(col("__bid"), col("__cid"))
   }
@@ -878,17 +883,36 @@ object Dedup {
                      scoreCol: String = "jaccard_sim",
                      idCol: String = "doc_id"): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
-    thresholds.map { t =>
-      val p = pairs.filter(col(scoreCol) >= t).select("id_a", "id_b")
-      val cl = clusterNearDups(p, idCol = idCol)
-      val ps = p.agg(count(lit(1)).as("n_pairs"))
-      val cs = cl.agg(
-        countDistinct(col("cluster_rep")).as("n_clusters"),
-        coalesce(sum((col(idCol) =!= col("cluster_rep")).cast("int")),
-          lit(0)).cast("bigint").as("n_removed"))
-      ps.crossJoin(cs).select(lit(t).as("threshold"), col("n_pairs"),
-        col("n_clusters"), col("n_removed"))
-    }.reduce(_ unionAll _)
+    // r16: the per-threshold CC loops are INDEPENDENT job chains whose
+    // rounds synchronize on the driver (guide §2.6 "overlap independent
+    // jobs") — run them from a small thread pool so one sweep's
+    // straggling round back-fills the executors another sweep idles;
+    // FIFO scheduling keeps the earliest sweep prioritized. Each
+    // thread's work is a complete, deterministic CC run — the union is
+    // threshold-keyed, so result rows are identical to the sequential
+    // spelling.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(thresholds.length, 4))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futs = thresholds.map { t =>
+        scala.concurrent.Future {
+          val p = pairs.filter(col(scoreCol) >= t).select("id_a", "id_b")
+          val cl = clusterNearDups(p, idCol = idCol)
+          val ps = p.agg(count(lit(1)).as("n_pairs"))
+          val cs = cl.agg(
+            countDistinct(col("cluster_rep")).as("n_clusters"),
+            coalesce(sum((col(idCol) =!= col("cluster_rep")).cast("int")),
+              lit(0)).cast("bigint").as("n_removed"))
+          ps.crossJoin(cs).select(lit(t).as("threshold"), col("n_pairs"),
+            col("n_clusters"), col("n_removed"))
+        }
+      }
+      futs.map(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+        .reduce(_ unionAll _)
+    } finally pool.shutdown()
   }
 
   def clusterNearDups(pairs: DataFrame, maxIter: Int = 20,
@@ -928,11 +952,18 @@ object Dedup {
       // ("key not found" on a shared attribute). Checkpoint BEFORE the
       // doubling self-join (truncates the per-round lineage and gives the
       // self-join a plain scan to dedup).
+      // r16: viaNeighbors is NOT checkpointed — the doubling self-join
+      // references it twice, but both occurrences carry IDENTICAL
+      // exchanges, which the engine deduplicates (ReusedExchange), so
+      // fusing saves one materialization job + one full nodes-sized
+      // write per round at every scale; only the cheap post-exchange
+      // least-projection re-streams. (The union-constraint-rewrite
+      // landmine the old per-step checkpoint also guarded against only
+      // bites union branches, not this aliased self-join.)
       val viaNeighbors = labels
         .join(propagated.withColumnRenamed("label", "__nmin").hint("merge"), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
       // (b) pointer doubling: follow the label chain one hop — label
       // values are node ids, so the lookup is a self-join; the chained
       // label is never larger (labels are monotone decreasing)
@@ -951,7 +982,6 @@ object Dedup {
       // intermediate and the superseded labels blocks are dead; release
       // them now rather than accumulating 2·rounds checkpoints until
       // driver GC (the long-session memory-pressure source)
-      org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(viaNeighbors)
       org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint(labels)
       labels = next
       converged = nextSum.compareTo(labelSum) == 0

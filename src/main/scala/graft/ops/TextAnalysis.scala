@@ -1463,9 +1463,14 @@ object TextAnalysis {
     val release =
       org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
     val tfAll = allOrderFrequencies(docs, idCol, textCol, order)
-    val (levels, cont, contTotal) = knLevelTables(
-      tfAll.groupBy(col("__k"), col("__g")).agg(sum(col("__tf")).as("__c")),
-      order)
+    // the type-count relation feeds every level cut (2 per order) plus
+    // the continuation tables — ~10 consumers; materialize it once so
+    // each cut re-reads a type-granular relation instead of re-running
+    // the doc-granular aggregation
+    val counts = tfAll.groupBy(col("__k"), col("__g"))
+      .agg(sum(col("__tf")).as("__c"))
+      .localCheckpoint()
+    val (levels, cont, contTotal) = knLevelTables(counts, order)
     val tfN = tfAll.filter(col("__k") === order)
       .select(col(idCol), col("__g"), col("__tf"))
     // scoring join: the top level keys the full gram; level k < N keys
@@ -1502,6 +1507,7 @@ object TextAnalysis {
           sum(col("__tf")).cast("double"), 6).as("kn_cross_entropy"))
       .localCheckpoint()
     release(tfAll)
+    release(counts)
     res
   }
 
@@ -1550,7 +1556,11 @@ object TextAnalysis {
     val d = lit(discount)
     val release =
       org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
-    val (levels, cont, contTotal) = knLevelTables(refCounts, order)
+    // materialize the type-count snapshot once for its ~10 level-table
+    // cuts (the ngramKnCrossEntropy rationale; also saves the streaming
+    // twin re-scanning the stored snapshot per cut)
+    val countsMat = refCounts.localCheckpoint()
+    val (levels, cont, contTotal) = knLevelTables(countsMat, order)
     val totals = contTotal
       .crossJoin(cont.agg(count(lit(1)).as("__v")))
     val tAll = allOrderFrequencies(target, idCol, textCol, order)
@@ -1592,6 +1602,7 @@ object TextAnalysis {
           .as("ref_kn_cross_entropy"))
       .localCheckpoint()
     release(tAll)
+    release(countsMat)
     res
   }
 
