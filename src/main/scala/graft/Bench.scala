@@ -89,7 +89,29 @@ object Bench {
     * `fresh_rep_times` let a later round tell one noisy cold pass from
     * a real fresh-lane regression without rerunning anything.
     */
+  /** Self-contained measurement (r17): the fingerprint-keyed shared
+    * relations under /tmp/graft_* persist across PROCESSES, so a second
+    * bench run (or a lower-core scaling run) would probe parquet built by
+    * an earlier run instead of paying the build — steady lanes then
+    * measure probe cost, not compute cost, and core-scaling ratios come
+    * out < 1. Wiping once at main start makes every run pay each build
+    * exactly once; within-run reuse (fresh builds, steady probes) is the
+    * declared incremental semantics and is unchanged.
+    */
+  private def wipeCrossRunRelations(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete()
+    }
+    Option(new java.io.File("/tmp").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("graft_"))
+      .foreach(rm)
+  }
+
   def main(args: Array[String]): Unit = {
+    wipeCrossRunRelations()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val steadyReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt

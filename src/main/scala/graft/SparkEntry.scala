@@ -4693,13 +4693,15 @@ object SparkEntry {
       // identical) instead of "c:"/"p:" strings: 6 rounds × 3 exchanges
       // + a checkpoint each carry 8-byte keys instead of ~9-char
       // strings (guide §2.3 narrower types); the string label is
-      // re-derived only on the final node-sized output
+      // re-derived only on the final node-sized output. The explicit
+      // cast to long guards the *2 encode against an Int32-typed key
+      // column at larger SFs (ANSI overflow would abort the query)
       Graph.kCore(
         T(s, d, "lineitem")
           .join(T(s, d, "orders"),
             col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_partkey") * 2 + 1).as("dst")),
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_partkey").cast("long") * 2 + 1).as("dst")),
         k = 16, rounds = 6)
         .select(
           concat(when(pmod(col("node"), lit(2)) === 0, lit("c:"))
@@ -4971,8 +4973,10 @@ object SparkEntry {
         T(s, d, "lineitem")
           .join(T(s, d, "orders"),
             col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_partkey") * 2 + 1).as("dst")))),
+          // cast-to-long before *2: Int32 keys at large SF would hit
+          // ANSI ARITHMETIC_OVERFLOW (q246's guard, same encode)
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_partkey").cast("long") * 2 + 1).as("dst")))),
     "q250_quality_governance" -> ((s, d) =>
       // capstone v9 — the model-review page for the frozen quality
       // filter in ONE oracle row: rank-sum AUC/Gini, tie-block AP,

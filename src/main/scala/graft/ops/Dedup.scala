@@ -1930,6 +1930,11 @@ object Dedup {
     val sh = array_sort(array_distinct(transform(
       graft.functions.wordShingles(col(textCol), k),
       s => graft.functions.md5Hash31(s))))
+    // NO Spread here (r17 matched A/B, confirming the r16 revert): the
+    // shingle+hash projection is cheap relative to the round-robin
+    // exchange it would buy — q176 2.57→3.19 s, q183 2.21→2.88 s,
+    // q85 1.49→1.84 s min-of-3 WITH it. The capPerKey window exchange
+    // right after restores parallelism anyway.
     df.select(col(idCol).as("__id"), sh.as("__sh"))
       .filter(size(col("__sh")) > 0)
   }

@@ -152,15 +152,23 @@ object Graph {
       .select(col("node"), round(teleport(1.0 / n), roundTo).as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val dm = ranks.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
+      // r17: the dangling mass rides the plan as a broadcast 1-row scalar
+      // (the HITS normalizer shape) instead of a per-round driver
+      // collect — one job per round (the checkpoint) instead of two.
+      // Arithmetic is unchanged: same sum aggregate, and dm/n stays ONE
+      // double division (now in-plan), exactly the oracle's dg.dm / nn.n
+      val dmRow = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
       val contrib = ranks.drop("__insrc")
         .join(norm, col("node") === col("src"))
         .groupBy("dst").agg(sum(col("rank") * col("__norm")).as("__contrib"))
       val next = flagged.join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dmRow))
         .select(col("node"), col("__insrc"),
           round(teleport(base) + lit(damping) *
-            (coalesce(col("__contrib"), lit(0.0)) + teleport(dm / n)),
+            (coalesce(col("__contrib"), lit(0.0)) +
+              when(col("__insrc"), col("__dm") / lit(n.toDouble))
+                .otherwise(lit(0.0))),
             roundTo).as("rank"))
         .localCheckpoint()
       release(ranks)
@@ -213,9 +221,13 @@ object Graph {
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val mixed = phase(labels, 0).localCheckpoint()
-      val next = phase(mixed, 1).localCheckpoint()
-      release(labels); release(mixed)
+      // r17: ONE checkpoint per round (the clusterNearDups r16 fusion) —
+      // the phase-0 result stays lazy inside phase-1's plan; its two
+      // consumers (the vote join and the keep-label left join) dedupe
+      // through ReusedExchange, so the round pays one materialization
+      // job instead of two. Expressions are untouched — same labels.
+      val next = phase(phase(labels, 0), 1).localCheckpoint()
+      release(labels)
       labels = next
     }
     release(nodes)
@@ -664,6 +676,13 @@ object Graph {
       .distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "hits: empty graph")
+    // r17 note: a one-checkpoint-per-round fusion (authority half lazy
+    // inside the hub half's plan, ReusedExchange deduping the repeated
+    // subtrees) was implemented and MEASURED SLOWER (q247 min-of-6
+    // 4.64 s → 6.17 s): the auth subtree carries its own broadcast
+    // normalizer, so leaving it lazy re-executes the deep half twice per
+    // round — more than the saved checkpoint job costs. Two half-step
+    // checkpoints stand.
     var hubs = nodes.select(col("node"),
       round(lit(1.0 / n), roundTo).as("hub")).localCheckpoint()
     var auth: DataFrame = null

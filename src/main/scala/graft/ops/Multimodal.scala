@@ -1054,9 +1054,12 @@ object Multimodal {
     import spark.implicits._
     require(patternMod >= 0L, s"patternMod must be >= 0: $patternMod")
     val kinds = Seq("image", "audio", "video")
-    Spread.spread(ids.select(col(idCol).cast("long"))).as[Long]
-      // (spread: a one-row-group id scan is ONE split; without it the
-      // whole synthesis+codec chain fused onto it runs on one core)
+    // NO Spread here (r17, unlike the image/video synths): WAV synthesis
+    // is a trivial per-row cost — a few hundred PCM bytes, no codec work —
+    // so the round-robin exchange costs more than the parallelism buys
+    // (r16 driver lane: all six audio queries regressed 0.5-0.65× with
+    // it). Multi-split production inputs parallelize at the scan anyway.
+    ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
         val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
           true, false) // signed 16-bit LE mono — one codec ctx/partition
@@ -1134,9 +1137,8 @@ object Multimodal {
                          idCol: String): DataFrame = {
     import spark.implicits._
     val kinds = Seq("image", "audio", "video")
-    Spread.spread(ids.select(col(idCol).cast("long"))).as[Long]
-      // (spread: a one-row-group id scan is ONE split; without it the
-      // whole synthesis+codec chain fused onto it runs on one core)
+    // no Spread: trivial per-row synthesis cost — see [[synthesizeWav]]
+    ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
         val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
           true, false)

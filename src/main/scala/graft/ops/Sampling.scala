@@ -757,11 +757,18 @@ object Sampling {
     * agrees cross-engine). Runs at most `rounds` rounds, fewer if
     * sources run out — the fixed-unroll oracle contract.
     *
-    * Scale shape: the corpus reduces ONCE to the distinct (source,
-    * shingle-hash) relation (localCheckpointed, reused every round);
-    * each round is one hash-keyed anti-join + a #sources-row aggregate,
-    * and only the 1-row argmax reaches the driver (the pageRank scalar
-    * discipline). Covered-set checkpoints release round over round.
+    * Scale shape (r17): the corpus reduces ONCE to the distinct (source,
+    * shingle-hash) relation; when the source universe is small (≤ 24 —
+    * the common "which providers" shape), a SECOND one-pass aggregate
+    * folds that relation to the per-shingle source-membership BITMASK
+    * histogram (≤ 2^nSrc rows, corpus-size-independent — the q252
+    * bounded-histogram discipline), and the greedy replays on the
+    * driver over the histogram alone: two corpus passes total, zero
+    * per-round jobs, byte-identical picks (marginal of s = Σ counts of
+    * masks containing s and disjoint from the picked set — exactly the
+    * anti-join count). With more sources it falls back to the r16
+    * per-round anti-join + argmax loop (one hash-keyed anti-join + a
+    * #sources-row aggregate per round, 1-row argmax to the driver).
     * Returns (round, source, new_shingles, cumulative_shingles).
     */
   def greedySourceCoverage(docs: DataFrame, srcCol: String = "source",
@@ -770,7 +777,7 @@ object Sampling {
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
     val release = org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
     val spark = docs.sparkSession
-    val sh = docs
+    val sh = Spread.spread(docs.select(col(srcCol), col(textCol)))
       .select(col(srcCol).as("source"),
         explode(graft.functions.wordShingles(col(textCol), shingleK))
           .as("__s"))
@@ -779,39 +786,77 @@ object Sampling {
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, Long, Long)]
-    var picked = List.empty[String]
-    var covered: DataFrame = null
     var cum = 0L
-    var exhausted = false
-    for (r <- 1 to rounds if !exhausted) {
-      val remaining =
-        if (picked.isEmpty) sh
-        else sh.filter(!col("source").isin(picked: _*))
-      val freshRel =
-        if (covered == null) remaining
-        else remaining.join(covered, Seq("__h"), "left_anti")
-      // sh is distinct per (source, h): count(*) IS the distinct marginal
-      val best = freshRel.groupBy(col("source"))
-        .agg(count(lit(1)).as("__m"))
-        .orderBy(desc("__m"), col("source"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val src = best(0).getString(0)
-        val m = best(0).getLong(1)
-        cum += m
-        out += ((r, src, m, cum))
-        picked = picked :+ src
-        val nextCov = (if (covered == null)
-            sh.filter(col("source") === src).select(col("__h"))
-          else covered.union(
-            sh.filter(col("source") === src).select(col("__h"))).distinct())
-          .localCheckpoint()
-        if (covered != null) release(covered)
-        covered = nextCov
+    val srcs = sh.select(col("source")).distinct()
+      .orderBy(col("source")).collect().map(_.getString(0))
+    if (srcs.length <= 24) {
+      // mask-histogram fast path: one aggregate over sh, then the greedy
+      // touches only the ≤ 2^nSrc-row (mask, count) histogram
+      val bitExpr = srcs.zipWithIndex.tail.foldLeft(
+          when(col("source") === srcs.head, lit(1L))) {
+        case (acc, (sname, i)) => acc.when(col("source") === sname, lit(1L << i))
+      }.otherwise(lit(0L))
+      val hist = sh
+        .select(col("__h"), bitExpr.as("__bit"))
+        .groupBy(col("__h")).agg(expr("bit_or(__bit)").as("__mask"))
+        .groupBy(col("__mask")).agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      var pickedMask = 0L
+      var exhausted = false
+      for (r <- 1 to rounds if !exhausted) {
+        var bestIdx = -1
+        var bestM = 0L
+        for (i <- srcs.indices if (pickedMask & (1L << i)) == 0L) {
+          var m = 0L
+          for ((mask, n) <- hist)
+            if ((mask & (1L << i)) != 0L && (mask & pickedMask) == 0L) m += n
+          // strict >: equal marginals keep the earlier (lexicographically
+          // smaller — srcs is sorted) source, the orderBy tiebreak; m ≥ 1
+          // mirrors the loop path, where a fully-covered source has no
+          // freshRel rows and cannot win the argmax
+          if (m > bestM) { bestM = m; bestIdx = i }
+        }
+        if (bestIdx < 0) exhausted = true
+        else {
+          cum += bestM
+          out += ((r, srcs(bestIdx), bestM, cum))
+          pickedMask |= 1L << bestIdx
+        }
       }
+    } else {
+      var picked = List.empty[String]
+      var covered: DataFrame = null
+      var exhausted = false
+      for (r <- 1 to rounds if !exhausted) {
+        val remaining =
+          if (picked.isEmpty) sh
+          else sh.filter(!col("source").isin(picked: _*))
+        val freshRel =
+          if (covered == null) remaining
+          else remaining.join(covered, Seq("__h"), "left_anti")
+        // sh is distinct per (source, h): count(*) IS the distinct marginal
+        val best = freshRel.groupBy(col("source"))
+          .agg(count(lit(1)).as("__m"))
+          .orderBy(desc("__m"), col("source"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val src = best(0).getString(0)
+          val m = best(0).getLong(1)
+          cum += m
+          out += ((r, src, m, cum))
+          picked = picked :+ src
+          val nextCov = (if (covered == null)
+              sh.filter(col("source") === src).select(col("__h"))
+            else covered.union(
+              sh.filter(col("source") === src).select(col("__h"))).distinct())
+            .localCheckpoint()
+          if (covered != null) release(covered)
+          covered = nextCov
+        }
+      }
+      if (covered != null) release(covered)
     }
-    if (covered != null) release(covered)
     release(sh)
     import spark.implicits._
     out.toSeq

@@ -2170,6 +2170,9 @@ object TextAnalysis {
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    // no Spread on the word base: measured flat (q171/q179/q193 within
+    // noise, r17 matched A/B) — the per-round pair aggregation over the
+    // checkpointed vocab dominates, not the tokenize
     val words = docs
       .select(explode(graft.functions.tokens(col(textCol))).as("__w"))
       .filter(!col("__w").contains("|"))
@@ -2753,7 +2756,8 @@ object TextAnalysis {
                    textCol: String = "text", shingleK: Int = 3,
                    batchSize: Long = 50L): DataFrame = {
     require(batchSize >= 1, s"batchSize ($batchSize) must be >= 1")
-    val shingled = docs
+    // spread before the shingle explode (one-row-group scan = one core)
+    val shingled = Spread.spread(docs.select(col(idCol), col(textCol)))
       .select(expr(s"$idCol DIV $batchSize").as("batch"),
         explode(graft.functions.wordShingles(col(textCol), shingleK))
           .as("__s"))

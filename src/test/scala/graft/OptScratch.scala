@@ -46,7 +46,8 @@ object OptScratch {
       planTag.foreach { tag =>
         val df = fn(spark, sfDir)
         val txt = df.queryExecution.explainString(FormattedMode)
-        val dir = Paths.get("plans/r16")
+        val dir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR",
+          "plans/r17"))
         Files.createDirectories(dir)
         Files.writeString(dir.resolve(s"${name}_$tag.txt"), txt)
       }
