@@ -560,14 +560,23 @@ object Graph {
     require(k >= 1, s"k ($k) must be >= 1")
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
     val release = org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    // r17: iterate on the CANONICAL (a ≤ b) edge set — half the rows of
+    // the symmetrized relation through every per-round checkpoint and
+    // survivor join; the degree aggregate recovers both directions with
+    // a map-side explode (a self-loop emits its node once, exactly the
+    // symmetrize+distinct semantics). Same peel, same surviving nodes,
+    // same degrees.
+    def degrees(canon: DataFrame): DataFrame = canon
+      .select(explode(when(col("a") === col("b"), array(col("a")))
+        .otherwise(array(col("a"), col("b")))).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("__deg"))
     var adj = edges
-      .select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val keep = adj.groupBy(col("a")).agg(count(lit(1)).as("__deg"))
-        .filter(col("__deg") >= k).select(col("a"))
+      val keep = degrees(adj).filter(col("__deg") >= k).select(col("a"))
       // each round's adjacency feeds TWO consumers (the degree aggregate
       // and the survivor joins), so it must materialize per round — an
       // every-N-rounds checkpoint recomputes the un-materialized rounds
@@ -583,7 +592,7 @@ object Graph {
     // the final iterate stays checkpointed (the [[pageRankImpl]] `ranks`
     // precedent) — releasing it here would unpin the blocks before the
     // caller's lazy aggregate runs
-    adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+    degrees(adj).select(col("a").as("node"), col("__deg").as("degree"))
   }
 
   /** Unrolled-layer DuckDB mirror of [[kCore]]. `symCte` must name a CTE

@@ -128,6 +128,13 @@ object Preference {
     * (the pageRankImpl hygiene).
     */
   def bradleyTerryFromMatchups(m: DataFrame, rounds: Int = 3): DataFrame = {
+    // r17 note: a pair-granular round variant (checkpoint the matchup
+    // relation — half the side-exploded bytes — and derive both sides'
+    // terms per round from one row, explode-after-compute) was
+    // implemented and MEASURED SLOWER on q316 (min-of-6 3.63 → 4.10 s
+    // with explode, 4.20 s with stack): the per-round generator over
+    // 0.9M pairs costs more than reading the 1.8M-row checkpoint whose
+    // explosion was paid once. The side-exploded shape stands.
     require(rounds >= 1 && rounds <= 16,
       s"rounds ($rounds) must be in [1, 16]")
     val release =

@@ -1208,15 +1208,22 @@ object TextAnalysis {
     require(discount > 0.0 && discount < 1.0,
       s"discount ($discount) must be in (0, 1)")
     val d = lit(discount)
-    val tf3 = trigramFrequencies(docs, idCol, textCol)
+    val release =
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    // r17: ONE tokenize pass feeds both orders (the q331
+    // allOrderFrequencies discipline) — the separate trigram + bigram
+    // passes each re-scanned and re-tokenized the corpus
+    val tfAll = allOrderFrequencies(docs, idCol, textCol, maxOrder = 3)
+    val tf3 = tfAll.filter(col("__k") === 3)
+      .select(col(idCol), col("__g").as("__tg"), col("__tf"))
     val c3 = tf3.groupBy(col("__tg")).agg(sum(col("__tf")).as("__c3"))
       .withColumn("__p12", substring_index(col("__tg"), " ", 2))
-      .withColumn("__w3", substring_index(col("__tg"), " ", -1))
       .withColumn("__b23", substring_index(col("__tg"), " ", -2))
     val l12 = c3.groupBy(col("__p12"))
       .agg(sum(col("__c3")).as("__c12dot"), count(lit(1)).as("__n1p12"))
-    val tf2 = bigramFrequencies(docs, idCol, textCol)
-    val c2 = tf2.groupBy(col("__bg")).agg(sum(col("__tf")).as("__c2"))
+    val c2 = tfAll.filter(col("__k") === 2)
+      .select(col("__g").as("__bg"), col("__tf"))
+      .groupBy(col("__bg")).agg(sum(col("__tf")).as("__c2"))
       .localCheckpoint() // three consumers: tail counts, prefix level,
                          // continuation counts
     val l2 = c2.withColumn("__w2", substring_index(col("__bg"), " ", 1))
@@ -1226,13 +1233,19 @@ object TextAnalysis {
       .withColumn("__w3", substring_index(col("__bg"), " ", -1))
       .groupBy(col("__w3")).agg(count(lit(1)).as("__n1pdot3"))
     val contTotal = c2.agg(count(lit(1)).as("__n1pdd"))
-    val lnP = c3
-      .join(l12, "__p12")
-      .join(c2.select(col("__bg").as("__b23"), col("__c2").as("__c23")),
-        "__b23")
+    // r17 suffix-chain: fold the bigram-level stats (tail count, prefix
+    // level, continuation unigram) into ONE bigram-keyed table first, so
+    // the trigram-type frame pays TWO joins instead of four — the same
+    // (type, stats) tuples reach the score expression, values unchanged
+    val s2 = c2.select(col("__bg").as("__b23"), col("__c2").as("__c23"))
       .withColumn("__w2", substring_index(col("__b23"), " ", 1))
       .join(l2, "__w2")
+      .withColumn("__w3", substring_index(col("__b23"), " ", -1))
       .join(cont3, "__w3")
+      .drop("__w2", "__w3")
+    val lnP = c3
+      .join(l12, "__p12")
+      .join(s2, "__b23")
       .crossJoin(broadcast(contTotal))
       .select(col("__tg"), log(
         greatest(col("__c3").cast("double") - d, lit(0.0)) /
@@ -1251,6 +1264,9 @@ object TextAnalysis {
         round(-sum(col("__tf").cast("double") * col("__lnp")) /
           sum(col("__tf")).cast("double"), 6)
           .as("trigram_kn_cross_entropy"))
+      .localCheckpoint()
+    release(tfAll)
+    release(c2)
     res
   }
 
@@ -1291,14 +1307,20 @@ object TextAnalysis {
     require(discount > 0.0 && discount < 1.0,
       s"discount ($discount) must be in (0, 1)")
     val d = lit(discount)
-    // reference count tables (type-granular)
-    val rtf3 = trigramFrequencies(reference, idCol, textCol)
-    val c3 = rtf3.groupBy(col("__tg")).agg(sum(col("__tf")).as("__c3"))
+    val release =
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseLocalCheckpoint _
+    // reference count tables (type-granular) — ONE tokenize pass feeds
+    // both orders (r17, the q331 allOrderFrequencies discipline)
+    val rAll = allOrderFrequencies(reference, idCol, textCol, maxOrder = 3)
+    val c3 = rAll.filter(col("__k") === 3)
+      .select(col("__g").as("__tg"), col("__tf"))
+      .groupBy(col("__tg")).agg(sum(col("__tf")).as("__c3"))
       .withColumn("__p12", substring_index(col("__tg"), " ", 2))
     val l12 = c3.groupBy(col("__p12"))
       .agg(sum(col("__c3")).as("__c12dot"), count(lit(1)).as("__n1p12"))
-    val rtf2 = bigramFrequencies(reference, idCol, textCol)
-    val c2 = rtf2.groupBy(col("__bg")).agg(sum(col("__tf")).as("__c2"))
+    val c2 = rAll.filter(col("__k") === 2)
+      .select(col("__g").as("__bg"), col("__tf"))
+      .groupBy(col("__bg")).agg(sum(col("__tf")).as("__c2"))
       .localCheckpoint()
     val l2 = c2.withColumn("__w2", substring_index(col("__bg"), " ", 1))
       .groupBy(col("__w2"))
@@ -1308,21 +1330,28 @@ object TextAnalysis {
       .groupBy(col("__w3")).agg(count(lit(1)).as("__n1pdot3"))
     val totals = c2.agg(count(lit(1)).as("__n1pdd"))
       .crossJoin(cont3.agg(count(lit(1)).as("__v")))
-    // target trigram types, scored once per TYPE then joined back
+    // target trigram types, scored once per TYPE then joined back.
+    // r17 suffix-chain: the bigram-level stats left-join ONCE at
+    // target-2-suffix-type granularity (every 2-suffix of a target
+    // trigram is itself a target 2-suffix, so the final join is total);
+    // the trigram-type frame pays three joins instead of five, and the
+    // per-level NULLs (the backoff signal) are preserved level by level
     val ttf = trigramFrequencies(target, idCol, textCol)
     val types = ttf.select(col("__tg")).distinct()
       .withColumn("__p12", substring_index(col("__tg"), " ", 2))
-      .withColumn("__w3", substring_index(col("__tg"), " ", -1))
       .withColumn("__b23", substring_index(col("__tg"), " ", -2))
-      .withColumn("__w2", substring_index(
-        substring_index(col("__tg"), " ", -2), " ", 1))
+    val s2t = types.select(col("__b23")).distinct()
+      .join(c2.select(col("__bg").as("__b23"), col("__c2").as("__c23")),
+        Seq("__b23"), "left")
+      .withColumn("__w2", substring_index(col("__b23"), " ", 1))
+      .join(l2, Seq("__w2"), "left")
+      .withColumn("__w3", substring_index(col("__b23"), " ", -1))
+      .join(cont3, Seq("__w3"), "left")
+      .drop("__w2", "__w3")
     val scored = types
       .join(c3.select(col("__tg"), col("__c3")), Seq("__tg"), "left")
       .join(l12, Seq("__p12"), "left")
-      .join(c2.select(col("__bg").as("__b23"), col("__c2").as("__c23")),
-        Seq("__b23"), "left")
-      .join(l2, Seq("__w2"), "left")
-      .join(cont3, Seq("__w3"), "left")
+      .join(s2t, Seq("__b23"))
       .crossJoin(broadcast(totals))
     val pc = (coalesce(col("__n1pdot3"), lit(0L)).cast("double") + 1.0) /
       (col("__n1pdd") + col("__v") + lit(1L)).cast("double")
@@ -1338,13 +1367,18 @@ object TextAnalysis {
           col("__c12dot").cast("double")) * p2)
     val lnP = scored.select(col("__tg"), log(p3).as("__lnp"),
       col("__c3").isNull.cast("int").as("__unseen"))
-    ttf.join(lnP, "__tg")
+    val res = ttf.join(lnP, "__tg")
       .groupBy(col(idCol))
       .agg(sum(col("__tf")).as("n_trigrams"),
         sum(col("__tf") * col("__unseen")).as("n_unseen_trigrams"),
         round(-sum(col("__tf").cast("double") * col("__lnp")) /
           sum(col("__tf")).cast("double"), 6)
           .as("ref_trigram_kn_cross_entropy"))
+      .localCheckpoint()
+    release(rAll)
+    release(c2)
+    release(ttf)
+    res
   }
 
   /** ALL-ORDERS n-gram frequencies from ONE tokenize pass: per doc, the
@@ -1473,6 +1507,13 @@ object TextAnalysis {
     val (levels, cont, contTotal) = knLevelTables(counts, order)
     val tfN = tfAll.filter(col("__k") === order)
       .select(col(idCol), col("__g"), col("__tf"))
+    // r17 note: a bottom-up suffix-chain (fold each level's tables into
+    // one suffix-keyed table, 2 joins on the top frame instead of
+    // 2(N−1)+1) was implemented and MEASURED SLOWER (q331 min-of-6
+    // 2.82→3.64 s, q332 5.04→5.47 s): the per-level type tables are
+    // small enough that AQE broadcasts them onto the one big frame,
+    // while the chain's type-table joins are genuine shuffles. The flat
+    // per-level join cascade stands.
     // scoring join: the top level keys the full gram; level k < N keys
     // the gram's last-k-word suffix; prefixes are suffix-local
     var scored = levels.last._2 // cN keyed __g
@@ -1566,6 +1607,8 @@ object TextAnalysis {
     val tAll = allOrderFrequencies(target, idCol, textCol, order)
     val ttf = tAll.filter(col("__k") === order)
       .select(col(idCol), col("__g"), col("__tf"))
+    // (r17: the suffix-chain variant measured slower here too — see
+    // ngramKnCrossEntropy. Flat per-level LEFT joins stand.)
     var scored = ttf.select(col("__g")).distinct()
       .withColumn("__w", substring_index(col("__g"), " ", -1))
     for ((k, ck, lk) <- levels) {
