@@ -104,9 +104,13 @@ object Bench {
         Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
       f.delete()
     }
+    // DIRECTORIES only: every engine-owned shared relation is a parquet
+    // directory; a plain /tmp/graft_* FILE belongs to someone else (the
+    // driver parks its own graft_-prefixed files in /tmp) and must
+    // survive the wipe
     Option(new java.io.File("/tmp").listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.startsWith("graft_"))
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_"))
       .foreach(rm)
   }
 

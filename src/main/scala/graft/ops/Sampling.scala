@@ -758,7 +758,7 @@ object Sampling {
     * sources run out — the fixed-unroll oracle contract.
     *
     * Scale shape (r17): the corpus reduces ONCE to the distinct (source,
-    * shingle-hash) relation; when the source universe is small (≤ 24 —
+    * shingle-hash) relation; when the source universe is small (≤ 20 —
     * the common "which providers" shape), a SECOND one-pass aggregate
     * folds that relation to the per-shingle source-membership BITMASK
     * histogram (≤ 2^nSrc rows, corpus-size-independent — the q252
@@ -789,7 +789,7 @@ object Sampling {
     var cum = 0L
     val srcs = sh.select(col("source")).distinct()
       .orderBy(col("source")).collect().map(_.getString(0))
-    if (srcs.length <= 24) {
+    if (srcs.length <= 20) {
       // mask-histogram fast path: one aggregate over sh, then the greedy
       // touches only the ≤ 2^nSrc-row (mask, count) histogram
       val bitExpr = srcs.zipWithIndex.tail.foldLeft(
